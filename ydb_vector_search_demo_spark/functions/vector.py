@@ -1,0 +1,96 @@
+"""Dense-vector distance/similarity expressions (SURVEY.md §2.2 V3).
+
+The reference delegates distance computation to the store's server-side
+``Knn::*`` functions behind ``similarity_search_by_vector_with_score``
+(/root/reference/app.py:124); its public strategy surface offers cosine
+similarity/distance, inner product, Euclidean and Manhattan. Here each
+metric is a pure Column expression built from Spark's higher-order array
+functions (``zip_with``/``aggregate``/``transform``) — JVM-side, no UDF,
+fully inside whole-stage codegen, so a distance scan over 100 TB of
+``ARRAY<FLOAT>`` never leaves Tungsten.
+
+All math is done in DOUBLE regardless of the storage element type
+(float32 on disk) so results are reproducible against the DuckDB oracle
+(SURVEY.md §7.4): elements are cast to double *before* any arithmetic,
+and folds run sequentially left-to-right, matching DuckDB's list
+functions to the last ulp in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _c(col: ColumnOrName) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def to_double_array(col: ColumnOrName) -> Column:
+    """Cast array<float> → array<double> element-wise (no-op on doubles)."""
+    return _c(col).cast("array<double>")
+
+
+def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Inner product ⟨a,b⟩ as a sequential left-to-right double fold."""
+    prods = F.zip_with(to_double_array(a), to_double_array(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: ColumnOrName) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def l1_norm(a: ColumnOrName) -> Column:
+    arr = F.transform(to_double_array(a), lambda x: F.abs(x))
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """1 - cosine similarity. Lower is better — the reference's score
+    convention (lower = more relevant, /root/reference/static/js/script.js:222)."""
+    return F.lit(1.0) - cosine_similarity(a, b)
+
+
+def euclidean_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    diffs = F.zip_with(
+        to_double_array(a), to_double_array(b), lambda x, y: (x - y) * (x - y)
+    )
+    return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def manhattan_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    diffs = F.zip_with(to_double_array(a), to_double_array(b), lambda x, y: F.abs(x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def inner_product_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Negated inner product, so that for every metric 'lower is better'
+    holds and top-k code can uniformly sort ascending."""
+    return -dot(a, b)
+
+
+# Metric registry: name -> (distance_expr, lower_is_better is always True)
+METRICS = {
+    "cosine": cosine_distance,
+    "euclidean": euclidean_distance,
+    "manhattan": manhattan_distance,
+    "inner_product": inner_product_distance,
+}
+
+
+def distance(a: ColumnOrName, b: ColumnOrName, metric: str = "cosine") -> Column:
+    """Distance under the named metric; ascending order == most similar first.
+
+    Mirrors the pluggable-strategy requirement of SURVEY.md §7.4 (the
+    reference deployment yields a distance — lower is better)."""
+    try:
+        return METRICS[metric](a, b)
+    except KeyError:
+        raise ValueError(f"unknown metric {metric!r}; one of {sorted(METRICS)}") from None

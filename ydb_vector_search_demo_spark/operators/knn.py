@@ -1,0 +1,129 @@
+"""Exact K-nearest-neighbor search — the heart of the reference
+(SURVEY.md §2.2 V2): brute-force scored scan, k lowest distances with
+scores, ``index_enabled=False`` semantics of
+/root/reference/app.py:37,124.
+
+Scale design (100 TB posture):
+
+* The query vector is a plan literal — broadcast implicitly with the
+  serialized plan; nothing is collected from executors.
+* Distance + ``orderBy().limit(k)`` compiles to ``TakeOrderedAndProject``:
+  each scan task keeps a size-k heap, only ``k * num_partitions`` tiny
+  rows ever reach the driver-side merge. No global sort, no full shuffle.
+  This mirrors the reference's limit pushdown (only k rows cross the
+  wire, SURVEY.md §4).
+* Score first on the *embeddings* table alone (narrow: id + vector),
+  join document payloads only for the k winners afterwards — the big
+  text/media columns are never scanned into the distance stage, and the
+  k-row side is broadcast. At 100 TB this is the difference between
+  scanning 'id,embedding' and scanning the whole store.
+* Ties break on ``id_col`` ascending so results are deterministic
+  (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ydb_vector_search_demo_spark.functions.vector import distance
+
+
+def knn_scores(
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 5,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Top-k (id, score) under ``metric``; ascending score = most similar.
+
+    Reference analogue: ``similarity_search_by_vector_with_score(v, k)``
+    (/root/reference/app.py:124) with ``index_enabled=False``.
+    """
+    qv = F.lit([float(x) for x in query_vector])
+    return (
+        embeddings.select(
+            F.col(id_col), distance(vector_col, qv, metric).alias(score_col)
+        )
+        .orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def knn(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 5,
+    metric: str = "cosine",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """KNN top-k with document payloads: score the narrow embeddings
+    relation, then broadcast-join the k winners back to documents."""
+    top = knn_scores(
+        embeddings, query_vector, k, metric, id_col=vec_id_col, vector_col=vector_col,
+        score_col=score_col,
+    )
+    return documents.join(
+        F.broadcast(top), documents[doc_id_col] == top[vec_id_col]
+    ).drop(vec_id_col)
+
+
+def enumerate_results(
+    scored: DataFrame, score_col: str = "score", id_col: str = "doc_id"
+) -> DataFrame:
+    """1-based ``id`` over the (tiny, already top-k) result set — the
+    reference's ``enumerate(results, 1)`` (/root/reference/app.py:129).
+    The single-partition window is fine: it only ever sees k rows."""
+    w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    return scored.withColumn("id", F.row_number().over(w))
+
+
+def batch_knn(
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k: int = 5,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    score_col: str = "score",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k per query for a whole DataFrame of query vectors at once
+    (SURVEY.md §2.6 'Batch KNN for all queries at once').
+
+    The query set is broadcast (it is small by construction — if it were
+    not, this would be a similarity join, see operators.dedup), the big
+    embeddings side streams through a single crossJoin stage, and a
+    per-query window keeps rank <= k. One scan of the store regardless
+    of the number of queries.
+    """
+    scored = embeddings.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        distance(vector_col, F.col(query_vec_col), metric).alias(score_col),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def distance_column(
+    vector_col: str | Column, query_vector: Sequence[float], metric: str = "cosine"
+) -> Column:
+    """Convenience: distance of a vector column to a literal query vector."""
+    return distance(vector_col, F.lit([float(x) for x in query_vector]), metric)

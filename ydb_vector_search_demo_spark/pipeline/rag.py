@@ -1,0 +1,237 @@
+"""The full RAG search pipeline around the KNN core (SURVEY.md §3.1).
+
+Reference dataflow (/root/reference/app.py:103-171):
+  embed query → exact KNN top-5 with scores → format results (1-based id,
+  content, metadata, float score) → top-3 context joined with "\\n\\n" →
+  Russian prompt template → LLM summary → JSON envelope with per-stage
+  timings.
+
+External model calls (YandexGPTEmbeddings at app.py:118, YandexGPT at
+app.py:95) are network services; here they are pluggable. The default
+implementations are the deterministic seeded stubs required for oracle
+checking (FIXTURES.md): query text → 64-dim unit vector from per-token
+hashes, and summary → deterministic function of the prompt. Swap in real
+services by passing a different ``embed_fn`` / ``llm_fn`` — both run as
+Arrow-batched pandas UDFs when applied to columns, never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+from collections.abc import Callable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, StringType
+
+from ydb_vector_search_demo_spark.operators.knn import knn_scores
+from ydb_vector_search_demo_spark.sources.tables import load_table
+
+EMBEDDING_DIM = 64
+_STUB_SEED = 42
+
+# Exact template of /root/reference/app.py:86-91 (Russian text preserved;
+# SURVEY.md §7.4 requires UTF-8 golden fidelity).
+PROMPT_TEMPLATE = (
+    'На основе следующих документов ответь на вопрос: "%s"\n'
+    "\n"
+    "Документы:\n"
+    "%s\n"
+    "\n"
+    "Дай краткий и информативный ответ на русском языке, основываясь только "
+    "на предоставленной информации. Если информации недостаточно для ответа, "
+    "укажи это."
+)
+
+CONTEXT_SEPARATOR = "\n\n"  # app.py:82
+CONTEXT_TOP_N = 3  # app.py:82 — only the first 3 docs feed the LLM
+DEFAULT_K = 5  # app.py:124
+
+
+def embed_query_stub(text: str) -> list[float]:
+    """Deterministic replacement for ``embeddings.embed_query`` (app.py:118).
+
+    Per-token md5-seeded pseudo-random 64-dim contribution, summed and
+    L2-normalized. Pure Python + stdlib so the identical literal vector
+    can be inlined into DuckDB oracle SQL.
+    """
+    v = [0.0] * EMBEDDING_DIM
+    for tok in text.split():
+        seed = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        seed ^= _STUB_SEED
+        rng = random.Random(seed)
+        for i in range(EMBEDDING_DIM):
+            v[i] += rng.uniform(-1.0, 1.0)
+    n = math.sqrt(sum(x * x for x in v))
+    if n == 0.0:
+        return v
+    return [x / n for x in v]
+
+
+def summarize_stub(prompt: str) -> str:
+    """Deterministic replacement for ``yandex_gpt.invoke`` (app.py:95):
+    echoes a fingerprint of the prompt. Stripped like app.py:97."""
+    digest = hashlib.md5(prompt.encode("utf-8")).hexdigest()[:12]
+    return f"[stub-summary {digest}]".strip()
+
+
+def embed_texts_udf(embed_fn: Callable[[str], list[float]] = embed_query_stub):
+    """Arrow-batched pandas UDF wrapping an embedding service (S3/V1).
+    In production ``embed_fn`` calls the model API once per text (or in
+    micro-batches); the UDF boundary is the only Python in the pipeline."""
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: embed_fn(t or ""))
+
+    return _embed
+
+
+def llm_udf(llm_fn: Callable[[str], str] = summarize_stub):
+    """Arrow-batched pandas UDF wrapping the LLM call (S4, app.py:95)."""
+
+    @F.pandas_udf(StringType())
+    def _invoke(prompts: pd.Series) -> pd.Series:
+        return prompts.map(lambda p: llm_fn(p or ""))
+
+    return _invoke
+
+
+def validate_query(query: str) -> str:
+    """Non-empty-after-trim filter (P1, app.py:108-111)."""
+    query = (query or "").strip()
+    if not query:
+        raise ValueError("Запрос не может быть пустым")  # app.py:111
+    return query
+
+
+def format_results(scored_docs: DataFrame) -> DataFrame:
+    """P2/P3/V6 (app.py:129-138): 1-based id ordered by ascending score,
+    ``text`` renamed ``content``, score cast to double. Window over k rows
+    only — this runs after the top-k, never on the full table."""
+    w = Window.orderBy(F.col("score").asc(), F.col("doc_id").asc())
+    return scored_docs.select(
+        F.row_number().over(w).alias("id"),
+        F.col("doc_id"),
+        F.col("text").alias("content"),
+        F.col("source"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def assemble_context(formatted: DataFrame, top_n: int = CONTEXT_TOP_N) -> DataFrame:
+    """P4 + F2 (app.py:82): first ``top_n`` contents joined with a blank
+    line, order preserved via sort_array over (id, content) structs so the
+    aggregation is deterministic regardless of partitioning."""
+    return (
+        formatted.filter(F.col("id") <= top_n)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("id", "content"))),
+                    lambda s: s["content"],
+                ),
+                CONTEXT_SEPARATOR,
+            ).alias("context"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def build_prompt(query: str, context_df: DataFrame) -> DataFrame:
+    """F3 (app.py:86-91): the exact Russian prompt template."""
+    return context_df.select(
+        F.format_string(
+            PROMPT_TEMPLATE, F.lit(query), F.col("context")
+        ).alias("prompt"),
+        F.col("n_docs"),
+    )
+
+
+def search(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str,
+    k: int = DEFAULT_K,
+    metric: str = "cosine",
+    embed_fn: Callable[[str], Sequence[float]] = embed_query_stub,
+) -> DataFrame:
+    """End-to-end search stage (app.py:117-138): embed once, exact KNN
+    top-k, formatted results. Returns the formatted-results DataFrame."""
+    query = validate_query(query)
+    qv = list(embed_fn(query))  # computed once, reused — app.py:118 CSE
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    top = knn_scores(embs, qv, k=k, metric=metric)
+    scored_docs = docs.join(F.broadcast(top), docs.doc_id == top.vec_id).drop("vec_id")
+    return format_results(scored_docs)
+
+
+def search_with_summary(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str,
+    k: int = DEFAULT_K,
+    metric: str = "cosine",
+    embed_fn: Callable[[str], Sequence[float]] = embed_query_stub,
+    llm_fn: Callable[[str], str] = summarize_stub,
+) -> DataFrame:
+    """Full pipeline including the summary stage (app.py:141-149):
+    context → prompt → LLM UDF → stripped summary, single-row DataFrame
+    with (prompt, summary, n_docs)."""
+    formatted = search(spark, sf_dir, query, k=k, metric=metric, embed_fn=embed_fn)
+    prompt_df = build_prompt(query, assemble_context(formatted))
+    invoke = llm_udf(llm_fn)
+    return prompt_df.select(
+        "prompt",
+        F.trim(invoke(F.col("prompt"))).alias("summary"),  # .strip(), app.py:97
+        "n_docs",
+    )
+
+
+def response_envelope(
+    query: str,
+    formatted: DataFrame,
+    summary_df: DataFrame,
+    timings: dict[str, float] | None = None,
+) -> DataFrame:
+    """S5 (app.py:155-167): one-row envelope with results array, count,
+    summary, and 3-dp performance struct. Timings come from the harness
+    (wall-clock instrumentation is not a data operator, SURVEY.md §6)."""
+    t = timings or {"embedding_time": 0.0, "search_time": 0.0, "gpt_time": 0.0}
+    total = t.get("total_time", sum(t.values()))
+    results_arr = formatted.agg(
+        F.sort_array(
+            F.collect_list(F.struct("id", "content", "source", "score"))
+        ).alias("results"),
+        F.count(F.lit(1)).alias("count"),
+    )
+    return (
+        results_arr.crossJoin(summary_df.select("summary"))
+        .select(
+            F.lit(True).alias("success"),
+            F.lit(query).alias("query"),
+            F.col("results"),
+            F.col("count"),
+            # summary may be null when no results / LLM down (app.py:141-149)
+            F.when(F.col("count") > 0, F.col("summary")).otherwise(F.lit(None)).alias("summary"),
+            F.struct(
+                F.round(F.lit(t.get("embedding_time", 0.0)), 3).alias("embedding_time"),
+                F.round(F.lit(t.get("search_time", 0.0)), 3).alias("search_time"),
+                F.round(F.lit(t.get("gpt_time", 0.0)), 3).alias("gpt_time"),
+                F.round(F.lit(total), 3).alias("total_time"),
+            ).alias("performance"),
+        )
+    )
+
+
+def health(spark: SparkSession) -> DataFrame:
+    """GET /health analogue (app.py:173-180): static availability row."""
+    return spark.range(1).select(
+        F.lit("healthy").alias("status"),
+        F.lit(True).alias("vector_store_available"),
+        F.lit(True).alias("yandex_gpt_available"),
+    )

@@ -1,0 +1,8 @@
+from ydb_vector_search_demo_spark.sources.tables import (
+    TABLES,
+    load_table,
+    load_tables,
+    register_views,
+)
+
+__all__ = ["TABLES", "load_table", "load_tables", "register_views"]

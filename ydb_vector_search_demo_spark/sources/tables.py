@@ -1,0 +1,48 @@
+"""Parquet table sources (SURVEY.md §2.1 S2).
+
+The reference's single source is a named vector-store table reached over
+the network (/root/reference/app.py:29-42, table at :36). Our engine's
+store is columnar Parquet: one directory per scale factor, one file per
+table (TESTDATA.md / FIXTURES.md). ``spark.read.parquet`` gives us the
+vectorized reader, column pruning and predicate pushdown for free; at
+100 TB each "file" becomes a partitioned dataset and nothing here
+changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that are always broadcast-join candidates.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` can be used
+    interchangeably with the DataFrame API (same names as the DuckDB
+    oracle views)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
