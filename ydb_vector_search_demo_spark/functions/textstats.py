@@ -41,7 +41,8 @@ BPE_ISH_PATTERN = r"[A-Za-zÀ-ɏ]{1,4}|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def bpe_token_count(col: ColumnOrName) -> Column:
-    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_ISH_PATTERN)))
+    # idx=0 → whole-match extraction (the pattern has no capture groups)
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_ISH_PATTERN), 0))
 
 
 # ---------------------------------------------------------------- quality

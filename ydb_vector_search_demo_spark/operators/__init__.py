@@ -1,3 +1,3 @@
-from ydb_vector_search_demo_spark.operators import knn
+from ydb_vector_search_demo_spark.operators import ann, dedup, knn
 
-__all__ = ["knn"]
+__all__ = ["knn", "dedup", "ann"]

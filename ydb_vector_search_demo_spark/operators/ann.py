@@ -1,0 +1,168 @@
+"""Approximate nearest-neighbor search: MLlib batch index building.
+
+The reference ships an ANN path but runs with it disabled
+(``index_enabled=False``, /root/reference/app.py:37); when enabled, the
+store builds a ``vector_kmeans_tree`` (hierarchical k-means) index
+[API-inferred]. The Spark-first analogue (BASELINE.json
+``spark_approach`` = "MLlib for batch indexing"):
+
+* **IVF**: KMeans over the corpus → every vector gets a ``centroid_id``.
+  Persist the corpus **partitioned by centroid_id**; at query time rank
+  centroids by distance to the query, read only the ``nprobe`` nearest
+  partitions (ordinary partition pruning — a plain filter, no custom
+  Catalyst rule, SURVEY.md §4), and exact-rescore inside them. At 100 TB
+  with 4096 centroids and nprobe=8, a query scans ~0.2% of the data.
+* **LSH**: MLlib ``BucketedRandomProjectionLSH`` as the
+  similarity-join / multi-probe alternative.
+
+Index *building* is the Spark batch job; online serving of the built
+index belongs to a serving system, not Spark.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.feature import BucketedRandomProjectionLSH
+from pyspark.ml.functions import array_to_vector, vector_to_array
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ydb_vector_search_demo_spark.functions.vector import distance
+from ydb_vector_search_demo_spark.operators.knn import knn_scores
+
+
+class IvfIndex:
+    """IVF(flat) index: KMeans centroids + centroid assignment column.
+
+    ``assigned`` keeps only (id, vector, centroid_id) — at scale this is
+    what gets written out partitioned by ``centroid_id``; ``centroids``
+    is a tiny driver-side list (k × dim floats) that travels as plan
+    literals, never a collect of corpus data."""
+
+    def __init__(self, assigned: DataFrame, centroids: list[list[float]],
+                 id_col: str, vector_col: str):
+        self.assigned = assigned
+        self.centroids = centroids
+        self.id_col = id_col
+        self.vector_col = vector_col
+
+    def search(
+        self,
+        query_vector: Sequence[float],
+        k: int = 5,
+        nprobe: int = 3,
+        metric: str = "cosine",
+    ) -> DataFrame:
+        """Rank centroids on the driver (k_clusters tiny), prune to the
+        ``nprobe`` nearest cells with an ordinary IN filter (→ partition
+        pruning on a centroid-partitioned layout), exact-rescore inside."""
+        import math
+
+        qv = [float(x) for x in query_vector]
+
+        def _dist(c: list[float]) -> float:
+            if metric == "euclidean":
+                return math.sqrt(sum((a - b) ** 2 for a, b in zip(c, qv)))
+            dotp = sum(a * b for a, b in zip(c, qv))
+            if metric == "inner_product":
+                return -dotp
+            na = math.sqrt(sum(a * a for a in c))
+            nb = math.sqrt(sum(b * b for b in qv))
+            if metric == "manhattan":
+                return sum(abs(a - b) for a, b in zip(c, qv))
+            return 1.0 - dotp / (na * nb) if na and nb else 1.0
+
+        ranked = sorted(range(len(self.centroids)), key=lambda i: _dist(self.centroids[i]))
+        probes = ranked[:nprobe]
+        pruned = self.assigned.filter(F.col("centroid_id").isin(probes))
+        return knn_scores(
+            pruned, qv, k=k, metric=metric, id_col=self.id_col,
+            vector_col=self.vector_col,
+        )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    k_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> IvfIndex:
+    """Batch index build: MLlib KMeans (seeded → deterministic) over the
+    corpus; one pass to fit on (a sample of) the data, one map-only pass
+    to assign ``centroid_id``. The ml.linalg.Vector conversion exists
+    only at the MLlib boundary; storage stays ARRAY<FLOAT>
+    (SURVEY.md §7.4)."""
+    feats = embeddings.withColumn("features", array_to_vector(F.col(vector_col).cast("array<double>")))
+    model = KMeans(k=k_clusters, seed=seed, featuresCol="features").fit(feats)
+    assigned = (
+        model.transform(feats)
+        .select(id_col, vector_col, F.col("prediction").alias("centroid_id"))
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return IvfIndex(assigned, centroids, id_col, vector_col)
+
+
+def write_ivf_partitioned(index: IvfIndex, path: str) -> None:
+    """Persist the assigned corpus partitioned by centroid_id — queries
+    that filter on centroid_id then hit Parquet partition pruning."""
+    index.assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def recall_at_k(exact_ids: list, ann_ids: list) -> float:
+    """|ANN ∩ exact| / k — the ANN quality metric (BASELINE.md)."""
+    if not exact_ids:
+        return 1.0
+    return len(set(exact_ids) & set(ann_ids)) / len(exact_ids)
+
+
+def ivf_recall(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    k_clusters: int = 16,
+    nprobe: int = 3,
+    metric: str = "cosine",
+) -> DataFrame:
+    """One-row DataFrame with recall@k of the IVF index vs exact KNN on
+    the same corpus — the reference's (disabled) ANN path, measured."""
+    exact = [r[0] for r in knn_scores(embeddings, query_vector, k, metric).collect()]
+    index = build_ivf_index(embeddings, k_clusters=k_clusters)
+    approx = [r[0] for r in index.search(query_vector, k=k, nprobe=nprobe, metric=metric).collect()]
+    r = recall_at_k(exact, approx)
+    return spark.createDataFrame(
+        [(k, k_clusters, nprobe, float(r))],
+        "k INT, k_clusters INT, nprobe INT, recall DOUBLE",
+    )
+
+
+def brp_lsh_neighbors(
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 5,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approxNearestNeighbors (the
+    Euclidean-metric ANN alternative; SURVEY.md §2.2 V4)."""
+    from pyspark.ml.linalg import Vectors
+
+    feats = embeddings.withColumn(
+        "features", array_to_vector(F.col(vector_col).cast("array<double>"))
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(feats)
+    key = Vectors.dense([float(x) for x in query_vector])
+    return (
+        model.approxNearestNeighbors(feats, key, k)
+        .select(id_col, F.col("distCol").alias("score"))
+    )

@@ -1,0 +1,332 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Not part of the reference's own surface (its corpus arrives pre-cleaned
+in the vector store) — these are the north-star LLM-pipeline extensions
+(BASELINE.json). Design notes per operator explain the 100 TB posture;
+the common theme is: never materialize O(n²) anything, bucket first
+(LSH bands / simhash prefixes), verify only within buckets, and keep
+per-document signature computation entirely in JVM array expressions
+(no explode → no shuffle until the candidate join itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ydb_vector_search_demo_spark.functions.textstats import tokens, word_shingles
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group identical texts, keep the lowest id.
+
+    Scale: the groupBy key is a 64-bit hash of the text, not the text
+    itself — the shuffle moves 8-byte keys, not documents. Collisions are
+    broken by grouping on (hash, text); at 100 TB the hash pre-bucketing
+    means each reducer compares only within one hash bucket.
+    """
+    w = Window.partitionBy(F.xxhash64(F.col(text_col)), F.col(text_col)).orderBy(
+        F.col(id_col).asc()
+    )
+    return df.withColumn("dup_rank", F.row_number().over(w)).withColumn(
+        "is_duplicate", F.col("dup_rank") > 1
+    )
+
+
+# ---------------------------------------------------------------- jaccard
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs (a < b) whose word-
+    shingle sets overlap with Jaccard >= threshold.
+
+    Plan shape: per-doc DISTINCT shingle arrays (array expr, no shuffle)
+    → explode → self-join on the shingle (the only shuffle, keyed by
+    shingle hash) → count intersections per pair → Jaccard from
+    |A|+|B|-|A∩B|. ``max_shingle_doc_freq`` drops ultra-common shingles
+    before the join — the skew valve at scale: a stopword-shingle shared
+    by millions of docs would otherwise produce a quadratic hot key.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("sid"),
+        F.array_distinct(word_shingles(text_col, n)).alias("shingles"),
+    ).withColumn("n_shingles", F.size("shingles"))
+
+    exploded = shingled.select("sid", "n_shingles", F.explode("shingles").alias("sh"))
+    if max_shingle_doc_freq is not None:
+        freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        exploded = exploded.join(
+            F.broadcast(freq.filter(F.col("df_") <= max_shingle_doc_freq)), "sh"
+        ).drop("df_")
+
+    a = exploded.select(
+        F.col("sid").alias("a"), F.col("n_shingles").alias("na"), "sh"
+    )
+    b = exploded.select(
+        F.col("sid").alias("b"), F.col("n_shingles").alias("nb"), "sh"
+    )
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs.select("a", "b", "inter", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per document, entirely as nested array
+    expressions: sig[i] = min over shingles of xxhash64(shingle, i).
+
+    No explode, no shuffle — each row computes its own signature inside
+    whole-stage codegen. At 100 TB this is a map-only pass.
+    """
+    shingles = F.array_distinct(word_shingles(text_col, n))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.xxhash64(F.concat(s, F.lit("#"), i.cast("string"))),
+            )
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("sid"),
+        shingles.alias("shingles"),
+        sig.alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band.
+
+    The classic banding scheme: a pair agrees on a band with prob s^r
+    (s = true Jaccard), so P(candidate) = 1-(1-s^r)^b — a sharp
+    threshold near (1/b)^(1/r). The join key is (band_idx, band_hash):
+    uniform 64-bit hashes, so the shuffle is skew-free by construction.
+    """
+    banded = signatures.select(
+        "sid",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(
+                                F.col("signature"),
+                                bidx * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                            lambda h: h.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.select(F.col("sid").alias("a"), "band_idx", "band_hash")
+    right = banded.select(F.col("sid").alias("b"), "band_idx", "band_hash")
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidate
+    pairs → exact Jaccard verification on the candidates only."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sh = sigs.select("sid", "shingles")
+    verified = (
+        cands.join(sh.withColumnRenamed("sid", "a").withColumnRenamed("shingles", "sh_a"), "a")
+        .join(sh.withColumnRenamed("sid", "b").withColumnRenamed("shingles", "sh_b"), "b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------- simhash
+
+
+SIMHASH_BITS = 63  # sign bit left clear so the BIGINT pack never overflows
+                   # (Spark 4 runs ANSI mode: signed overflow would error)
+
+
+def simhash64(text_col: str | Column = "text") -> Column:
+    """SimHash of the whitespace tokens (63 usable bits), as one array
+    expression: bit b is set when the sum over tokens of ±1 (value of bit
+    b of the token's xxhash64) is positive. Map-only; no shuffle."""
+    toks = tokens(text_col)
+    # one vote per bit (fold over token hashes), then fold the votes
+    # MSB-first into a single BIGINT via acc*2 + bit.
+    votes = F.transform(
+        F.sequence(F.lit(SIMHASH_BITS - 1), F.lit(0), F.lit(-1)),
+        lambda b: F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc
+            + F.when(F.getbit(F.xxhash64(t), b) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        votes,
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc * 2 + F.when(v > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup candidates: block on the top ``prefix_bits`` of
+    the fingerprint (docs within small Hamming distance usually share a
+    16-bit prefix; production would use 4 rotated blocks), verify with
+    bit_count(xor) <= max_hamming inside each block."""
+    hashed = df.select(
+        F.col(id_col).alias("sid"), simhash64(text_col).alias("simhash")
+    ).withColumn(
+        "block", F.shiftrightunsigned(F.col("simhash"), SIMHASH_BITS - prefix_bits)
+    )
+    a = hashed.select(
+        F.col("sid").alias("a"), F.col("simhash").alias("ha"), "block"
+    )
+    b = hashed.select(
+        F.col("sid").alias("b"), F.col("simhash").alias("hb"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------- embedding
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (a < b, similarity >=
+    threshold) via a self-join.
+
+    This is the *oracle-checkable exact* variant; it is quadratic and
+    meant for verification and small partitions. The scale path is
+    :func:`bucketed_cosine_near_dup_pairs` (sign-bit LSH blocking) or
+    MLlib's BucketedRandomProjectionLSH (operators.ann).
+    """
+    from ydb_vector_search_demo_spark.functions.vector import cosine_similarity
+
+    a = embeddings.select(
+        F.col(id_col).alias("a"), F.col(vector_col).alias("va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("b"), F.col(vector_col).alias("vb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos_sim", cosine_similarity("va", "vb"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def bucketed_cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Scale variant: random-hyperplane (sign) LSH blocking. Vectors with
+    high cosine similarity agree on most hyperplane signs, so candidates
+    are restricted to equal sign-codes; pairs are then verified exactly.
+    Hyperplanes are generated deterministically from ``seed`` on the
+    driver (n_planes × dim floats — trivially broadcastable)."""
+    import random as _random
+
+    from ydb_vector_search_demo_spark.functions.vector import cosine_similarity, dot
+
+    # determine dim from schema metadata-free sample: planes sized lazily
+    dim = len(embeddings.select(vector_col).first()[0])
+    rng = _random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+    code = F.aggregate(
+        F.transform(
+            F.array(*[F.lit(p) for p in planes]),
+            lambda p: F.when(dot(F.col(vector_col), p) > 0, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, bit: acc * 2 + bit,
+    )
+    coded = embeddings.select(
+        F.col(id_col).alias("sid"), F.col(vector_col).alias("v"), code.alias("code")
+    )
+    a = coded.select(F.col("sid").alias("a"), F.col("v").alias("va"), "code")
+    b = coded.select(F.col("sid").alias("b"), F.col("v").alias("vb"), "code")
+    return (
+        a.join(b, "code")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos_sim", cosine_similarity("va", "vb"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -1,0 +1,620 @@
+"""Query catalog: every operator of SURVEY.md §2 (+ north-star
+extensions) as a named query over the testdata tables, each with a
+DuckDB oracle SQL twin where the semantics are ANSI-SQL-expressible.
+
+Registry contract (mirrors ``__spark_entry__``):
+* ``QUERIES[name](spark, sf_dir) -> DataFrame``
+* ``ORACLES[name]`` — equivalent DuckDB SQL over the same parquet views,
+  byte-identical results after 6-dp rounding of float scores
+  (SURVEY.md §7.4: double math, deterministic tie-breaks).
+
+Cross-engine determinism rules used throughout:
+* float aggregates go through exact integer cents
+  (``cast(round(x*100) as bigint)``) so partial-agg order can't change
+  results;
+* ``round(_, n)`` with n >= 1 only (decimal halfway points are never
+  exactly representable in binary, so both engines round identically);
+* every window/top-k orders with a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ydb_vector_search_demo_spark.functions import strings as S
+from ydb_vector_search_demo_spark.functions import textstats as T
+from ydb_vector_search_demo_spark.functions import vector as V
+from ydb_vector_search_demo_spark.operators import ann, dedup
+from ydb_vector_search_demo_spark.operators.knn import batch_knn, knn_scores
+from ydb_vector_search_demo_spark.pipeline import rag
+from ydb_vector_search_demo_spark.sources.tables import load_table
+from ydb_vector_search_demo_spark.streaming import events as EV
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _vec_sql(v: list[float]) -> str:
+    return "[" + ",".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+
+def _sql_str(s: str) -> str:
+    """SQL E-string literal with escaped quotes/newlines (DuckDB)."""
+    return "e'" + s.replace("\\", "\\\\").replace("'", "''").replace("\n", "\\n") + "'"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# 1. Vector search core (SURVEY.md §2.2)
+# ===========================================================================
+
+FLAGSHIP_QUERY = "fast scan table row value"
+BATCH_QUERIES = ["hash join spark", "window order data", "customer query line"]
+QV = rag.embed_query_stub(FLAGSHIP_QUERY)
+BATCH_QVS = [rag.embed_query_stub(q) for q in BATCH_QUERIES]
+
+_METRIC_ORACLE_EXPR = {
+    "cosine": "1.0 - list_cosine_similarity(embedding::DOUBLE[], {q})",
+    "euclidean": "list_distance(embedding::DOUBLE[], {q})",
+    "inner_product": "-list_inner_product(embedding::DOUBLE[], {q})",
+    "manhattan": (
+        "list_sum(list_transform(list_zip(embedding::DOUBLE[], {q}),"
+        " s -> abs(s[1] - s[2])))"
+    ),
+}
+
+
+def _register_knn_metric(metric: str) -> None:
+    oracle = f"""
+        SELECT vec_id, round(raw, 6) AS score
+        FROM (SELECT vec_id, {_METRIC_ORACLE_EXPR[metric].format(q=_vec_sql(QV))} AS raw
+              FROM embeddings)
+        ORDER BY raw, vec_id LIMIT 5
+    """
+
+    @register(f"knn_top5_{metric}", oracle)
+    def _q(spark: SparkSession, sf_dir: str, metric=metric) -> DataFrame:
+        embs = _t(spark, sf_dir, "embeddings")
+        return knn_scores(embs, QV, k=5, metric=metric).select(
+            "vec_id", F.round("score", 6).alias("score")
+        )
+
+
+for _m in ("cosine", "euclidean", "manhattan", "inner_product"):
+    _register_knn_metric(_m)
+
+
+_SCORED_TOP5_CTE = f"""
+  SELECT vec_id,
+         1.0 - list_cosine_similarity(embedding::DOUBLE[], {_vec_sql(QV)}) AS raw
+  FROM embeddings ORDER BY raw, vec_id LIMIT 5
+"""
+
+
+@register(
+    "knn_top5_full",
+    f"""
+    WITH scored AS ({_SCORED_TOP5_CTE})
+    SELECT row_number() OVER (ORDER BY s.raw, d.doc_id)::INTEGER AS id,
+           d.doc_id, d.text AS content, d.source, round(s.raw, 6) AS score
+    FROM scored s JOIN documents d ON d.doc_id = s.vec_id
+    """,
+)
+def q_knn_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: top-5 cosine KNN joined back to document payloads with
+    1-based result ids (reference app.py:124 + 129-138)."""
+    docs, embs = _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    top = knn_scores(embs, QV, k=5, metric="cosine")
+    scored = docs.join(F.broadcast(top), docs.doc_id == top.vec_id).drop("vec_id")
+    return rag.format_results(scored).select(
+        "id", "doc_id", "content", "source", F.round("score", 6).alias("score")
+    )
+
+
+@register(
+    "batch_knn_cosine",
+    f"""
+    WITH q(query_id, qv) AS (VALUES {", ".join(f"({i}, {_vec_sql(v)})" for i, v in enumerate(BATCH_QVS))}),
+    scored AS (
+      SELECT q.query_id::INTEGER AS query_id, e.vec_id,
+             1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS raw
+      FROM embeddings e CROSS JOIN q
+    ), ranked AS (
+      SELECT query_id, vec_id, raw,
+             row_number() OVER (PARTITION BY query_id ORDER BY raw, vec_id)::INTEGER AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, vec_id, round(raw, 6) AS score
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per query for a batch of query vectors in one scan
+    (SURVEY.md §2.6)."""
+    embs = _t(spark, sf_dir, "embeddings")
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(BATCH_QVS)],
+        "query_id INT, query_vec ARRAY<DOUBLE>",
+    )
+    return batch_knn(qdf, embs, k=3, metric="cosine").select(
+        "query_id", "rank", "vec_id", F.round("score", 6).alias("score")
+    )
+
+
+@register(
+    "vector_norms",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) AS l2_norm,
+           round(list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))), 6) AS l1_norm
+    FROM embeddings
+    """,
+)
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _t(spark, sf_dir, "embeddings")
+    return embs.select(
+        "vec_id",
+        F.round(V.l2_norm("embedding"), 6).alias("l2_norm"),
+        F.round(V.l1_norm("embedding"), 6).alias("l1_norm"),
+    )
+
+
+# ===========================================================================
+# 2. RAG pipeline (SURVEY.md §3.1)
+# ===========================================================================
+
+_RANKED_TOP3_CTE = f"""
+  WITH scored AS ({_SCORED_TOP5_CTE}),
+  ranked AS (
+    SELECT d.text, row_number() OVER (ORDER BY s.raw, d.doc_id) AS id
+    FROM scored s JOIN documents d ON d.doc_id = s.vec_id
+  )
+"""
+
+
+@register(
+    "rag_context_top3",
+    _RANKED_TOP3_CTE
+    + """
+    SELECT string_agg(text, e'\\n\\n' ORDER BY id) AS context,
+           count(*) AS n_docs
+    FROM ranked WHERE id <= 3
+    """,
+)
+def q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    formatted = rag.search(spark, sf_dir, FLAGSHIP_QUERY, k=5)
+    return rag.assemble_context(formatted)
+
+
+_PROMPT_PREFIX = (
+    f'На основе следующих документов ответь на вопрос: "{FLAGSHIP_QUERY}"\n'
+    "\nДокументы:\n"
+)
+_PROMPT_SUFFIX = (
+    "\n\nДай краткий и информативный ответ на русском языке, основываясь "
+    "только на предоставленной информации. Если информации недостаточно "
+    "для ответа, укажи это."
+)
+
+
+@register(
+    "rag_prompt",
+    _RANKED_TOP3_CTE
+    + f"""
+    SELECT {_sql_str(_PROMPT_PREFIX)} || string_agg(text, e'\\n\\n' ORDER BY id)
+             || {_sql_str(_PROMPT_SUFFIX)} AS prompt,
+           count(*) AS n_docs
+    FROM ranked WHERE id <= 3
+    """,
+)
+def q_rag_prompt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    formatted = rag.search(spark, sf_dir, FLAGSHIP_QUERY, k=5)
+    return rag.build_prompt(FLAGSHIP_QUERY, rag.assemble_context(formatted))
+
+
+@register(
+    "rag_envelope_fields",
+    _RANKED_TOP3_CTE
+    + f"""
+    SELECT TRUE AS success,
+           '{FLAGSHIP_QUERY}' AS query,
+           count(*) AS count,
+           count(*) > 0 AS has_summary
+    FROM ranked
+    """,
+)
+def q_rag_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed response-envelope fields (app.py:155-167); the JSON edge
+    itself is golden-tested (to_json formatting is engine-specific)."""
+    formatted = rag.search(spark, sf_dir, FLAGSHIP_QUERY, k=5)
+    return formatted.agg(
+        F.lit(True).alias("success"),
+        F.lit(FLAGSHIP_QUERY).alias("query"),
+        F.count(F.lit(1)).alias("count"),
+        (F.count(F.lit(1)) > 0).alias("has_summary"),
+    )
+
+
+# ===========================================================================
+# 3. Presentation string functions (SURVEY.md §2.4 F6-F16)
+# ===========================================================================
+
+
+@register(
+    "fn_truncate_word_boundary",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) <= 120 THEN text
+                WHEN strpos(reverse(substring(text, 1, 120)), ' ') > 0
+                     AND (120 - strpos(reverse(substring(text, 1, 120)), ' ')) > 96.0
+                THEN substring(text, 1, 120 - strpos(reverse(substring(text, 1, 120)), ' ')) || '...'
+                ELSE substring(text, 1, 120) || '...'
+           END AS truncated
+    FROM documents
+    """,
+)
+def q_fn_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 (script.js:294-308): word-boundary truncation at 120 chars."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", S.truncate_text("text", 120).alias("truncated"))
+
+
+@register(
+    "fn_format_score",
+    """
+    SELECT doc_id,
+           printf('%.2e', n_chars / 1000000.0) AS fs_exp,
+           printf('%.3f', n_chars / 1000.0) AS fs_fixed3,
+           CASE WHEN n_chars / 100.0 < 0.001 THEN printf('%.2e', n_chars / 100.0)
+                WHEN n_chars / 100.0 < 1 THEN printf('%.3f', n_chars / 100.0)
+                ELSE printf('%.2f', n_chars / 100.0) END AS fs_mixed
+    FROM documents
+    """,
+)
+def q_fn_format_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 (script.js:310-319): three-branch numeric display format.
+    n_chars scaled to hit each branch (<0.001 → exp, <1 → 3dp, else 2dp)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        S.format_score(F.col("n_chars") / 1000000.0).alias("fs_exp"),
+        S.format_score(F.col("n_chars") / 1000.0).alias("fs_fixed3"),
+        S.format_score(F.col("n_chars") / 100.0).alias("fs_mixed"),
+    )
+
+
+@register(
+    "fn_strip_markdown",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace('# Заголовок {#h}' || e'\n' || substring(text, 1, 80)
+                            || e'\n\n\n## Sub\n' || substring(text, 1, 40),
+                            '(?m)^\s*#{1,6}\s*.*$', '', 'g'),
+             e'\n\s*\n\s*\n', e'\n\n', 'g')) AS cleaned
+    FROM documents
+    """,
+)
+def q_fn_strip_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 (script.js:278-292): markdown-header removal over synthesized
+    markdown-ish input (headers + text + blank-line runs)."""
+    docs = _t(spark, sf_dir, "documents")
+    md = F.concat(
+        F.lit("# Заголовок {#h}\n"),
+        F.substring("text", 1, 80),
+        F.lit("\n\n\n## Sub\n"),
+        F.substring("text", 1, 40),
+    )
+    return docs.select("doc_id", S.strip_markdown_headers(md).alias("cleaned"))
+
+
+@register(
+    "fn_escape_html",
+    """
+    SELECT doc_id,
+           replace(replace(replace(replace(replace(
+             substring(text, 1, 60) || ' <a href="x">&''q''</a>',
+             '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), '''', '&#039;')
+           AS escaped
+    FROM documents
+    """,
+)
+def q_fn_escape_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 (script.js:176-183): ordered HTML entity escaping ('&' first)."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(F.substring("text", 1, 60), F.lit(' <a href="x">&\'q\'</a>'))
+    return docs.select("doc_id", S.escape_html(raw).alias("escaped"))
+
+
+@register(
+    "fn_paragraphs_html",
+    r"""
+    WITH p AS (
+      SELECT doc_id, replace(text, ' the ', e'\n\n') AS para_text FROM documents
+    )
+    SELECT doc_id,
+           len(list_filter(string_split(para_text, e'\n\n'), x -> trim(x) != '')) AS n_paragraphs,
+           CASE WHEN contains(regexp_replace(regexp_replace(para_text, '\n\n+', '</p><p>', 'g'),
+                                             '\n', '<br>', 'g'), '</p><p>')
+                THEN '<p>' || regexp_replace(regexp_replace(para_text, '\n\n+', '</p><p>', 'g'),
+                                             '\n', '<br>', 'g') || '</p>'
+                ELSE regexp_replace(regexp_replace(para_text, '\n\n+', '</p><p>', 'g'),
+                                    '\n', '<br>', 'g')
+           END AS html
+    FROM p
+    """,
+)
+def q_fn_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10+F11 (script.js:189, 266-275): paragraph split + newline→HTML
+    rewriting over text with synthesized blank-line breaks."""
+    docs = _t(spark, sf_dir, "documents")
+    para_text = F.replace(F.col("text"), F.lit(" the "), F.lit("\n\n"))
+    return docs.select(
+        "doc_id",
+        F.size(S.split_paragraphs(para_text)).alias("n_paragraphs"),
+        S.newlines_to_html(para_text).alias("html"),
+    )
+
+
+_ANCHOR_SQL = r"'^(.+?)\s*\{#([^}]+)\}\s*$'"
+
+
+def _sql_anchor_text(h: str) -> str:
+    return (
+        f"CASE WHEN {h} IS NULL THEN NULL "
+        f"WHEN regexp_extract({h}, {_ANCHOR_SQL}, 1) != '' "
+        f"THEN trim(regexp_extract({h}, {_ANCHOR_SQL}, 1)) ELSE {h} END"
+    )
+
+
+def _sql_anchor_id(h: str) -> str:
+    return f"nullif(regexp_extract({h}, {_ANCHOR_SQL}, 2), '')"
+
+
+@register(
+    "fn_breadcrumb_link",
+    f"""
+    WITH meta AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'Главная {{#home}}' ELSE 'Маркет' END AS h1,
+             CASE WHEN doc_id % 3 = 0 THEN NULL
+                  ELSE 'Раздел ' || lang || ' {{#sec-' || lang || '}}' END AS h2,
+             CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 'Тема' END AS h3,
+             CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source || '.html' END AS sp
+      FROM documents
+    ), parts AS (
+      SELECT doc_id,
+             {_sql_anchor_text('h1')} AS t1, {_sql_anchor_text('h2')} AS t2,
+             {_sql_anchor_text('h3')} AS t3,
+             coalesce({_sql_anchor_id('h3')}, {_sql_anchor_id('h2')},
+                      {_sql_anchor_id('h1')}) AS anchor,
+             sp
+      FROM meta
+    )
+    SELECT doc_id,
+           nullif(concat_ws(' > ', t1, t2, t3), '') AS crumb,
+           anchor,
+           CASE WHEN sp IS NULL OR sp = '' THEN NULL
+                ELSE 'https://yandex.ru/support/market/ru/' || sp
+                     || CASE WHEN anchor IS NOT NULL THEN '#' || anchor ELSE '' END
+           END AS link
+    FROM parts
+    """,
+)
+def q_fn_breadcrumb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12+F13+F14 (script.js:321-418): anchor extraction, breadcrumb
+    assembly with null-skipping, source-link synthesis with the
+    last-anchor-wins fragment — over metadata synthesized per §1.3."""
+    docs = _t(spark, sf_dir, "documents")
+    h1 = F.when(F.col("doc_id") % 2 == 0, F.lit("Главная {#home}")).otherwise(
+        F.lit("Маркет")
+    )
+    h2 = F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("Раздел "), F.col("lang"), F.lit(" {#sec-"), F.col("lang"), F.lit("}"))
+    )
+    h3 = F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string")).otherwise(F.lit("Тема"))
+    sp = F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.col("source"), F.lit(".html"))
+    )
+    anchor = S.last_anchor(h1, h2, h3)
+    return docs.select(
+        "doc_id",
+        S.breadcrumb(h1, h2, h3).alias("crumb"),
+        anchor.alias("anchor"),
+        S.source_link(sp, anchor).alias("link"),
+    )
+
+
+@register(
+    "fn_percent_of_total",
+    """
+    WITH g AS (
+      SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, round(n * 100.0 / (SELECT sum(n) FROM g), 1) AS pct
+    FROM g
+    """,
+)
+def q_fn_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 (script.js:522-529): share-of-total percentages, 1 dp."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    return g.select(
+        "event_type", "n",
+        F.round(F.col("n") * 100.0 / F.sum("n").over(total), 1).alias("pct"),
+    )
+
+
+# ===========================================================================
+# 4. Text analysis (north-star: langid, quality, tokens, fingerprint)
+# ===========================================================================
+
+_TOKENS_SQL = r"string_split_regex(trim(text), '\s+')"
+_SW_EN = "['the','a','of','and','to','in','is','on','for','with']"
+
+
+@register(
+    "text_token_stats",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS toks, text FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]{{1,4}}|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks), 6) AS avg_token_len
+    FROM tk
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex segmentation."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+        F.round(T.avg_token_length("text"), 6).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, text, {_TOKENS_SQL} AS toks,
+             length(text) AS n,
+             length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS np
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks)::DOUBLE AS n_tok,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks, t -> list_contains({_SW_EN}, lower(t))))::DOUBLE / len(toks)
+             END AS sw,
+             CASE WHEN n = 0 THEN 0.0 ELSE np::DOUBLE / n END AS pr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+             END AS awl
+      FROM tk
+    )
+    SELECT doc_id,
+           round(sw, 6) AS stopword_ratio,
+           round(pr, 6) AS punct_ratio,
+           round(0.3 * least(n_tok / 50.0, 1.0)
+               + 0.3 * (1.0 - least(abs(sw - 0.4) / 0.4, 1.0))
+               + 0.2 * (1.0 - least(pr / 0.2, 1.0))
+               + 0.2 * (1.0 - least(abs(awl - 5.0) / 5.0, 1.0)), 6) AS quality
+    FROM m
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (C4/Gopher-style heuristics)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(T.stopword_ratio("text", "en"), 6).alias("stopword_ratio"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        T.quality_score("text", "en").alias("quality"),
+    )
+
+
+def _sql_sw_ratio(lang_list: str) -> str:
+    return (
+        f"CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+        f"len(list_filter(toks, t -> list_contains({lang_list}, lower(t))))::DOUBLE / len(toks) END"
+    )
+
+
+_SW_LISTS = {
+    "de": "['der','die','das','und','ist','ein','mit','auf','von','zu']",
+    "en": _SW_EN,
+    "es": "['el','la','de','que','y','en','un','es','por','con']",
+    "fr": "['le','la','de','et','est','un','une','dans','que','pour']",
+}
+
+
+@register(
+    "text_langid",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    sc AS (
+      SELECT doc_id,
+             {_sql_sw_ratio(_SW_LISTS["de"])} AS s_de,
+             {_sql_sw_ratio(_SW_LISTS["en"])} AS s_en,
+             {_sql_sw_ratio(_SW_LISTS["es"])} AS s_es,
+             {_sql_sw_ratio(_SW_LISTS["fr"])} AS s_fr
+      FROM tk
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0.0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM sc
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-profile argmax; alphabetical
+    tie-break). The synthetic corpus shares one vocabulary across langs,
+    so this grades the mechanism, not label recovery."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.language_id("text").alias("lang_pred"))
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_transform({_TOKENS_SQL},
+                            t -> (37 * length(t) + ascii(t[1]) + 101 * ascii(t[-1]))::BIGINT),
+             (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (engine-portable
+    polynomial fold — see functions.textstats.doc_fingerprint)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.doc_fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "text_shingles",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(toks) <= 3 THEN 1 ELSE len(toks) - 2 END AS n_shingles,
+           CASE WHEN len(toks) <= 3
+                THEN len(list_distinct([array_to_string(toks, ' ')]))
+                ELSE len(list_distinct(list_transform(range(1, len(toks) - 1),
+                                                      i -> array_to_string(toks[i:i+2], ' '))))
+           END AS n_distinct_shingles
+    FROM tk
+    """,
+)
+def q_text_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-shingle generation surface (dedup primitive)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = T.word_shingles("text", 3)
+    return docs.select(
+        "doc_id",
+        F.size(sh).alias("n_shingles"),
+        F.size(F.array_distinct(sh)).alias("n_distinct_shingles"),
+    )

@@ -33,6 +33,18 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; one of {TABLES}")
+    if name == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects; read the raw int64 nanos and convert
+        # to a microsecond timestamp (truncating division — identical to
+        # what DuckDB's nanos→micros conversion does).
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("bigint"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,154 @@
+"""Event-stream operators over the ``events`` table.
+
+The reference is pure request/response — no streams exist in it
+(SURVEY.md §2.5 'Streaming: NONE'); these are the driver-extension /
+north-star operators. Every transformation is written once against a
+DataFrame and works identically in batch (``spark.read``) and
+Structured Streaming (``spark.readStream``) — the streaming entry
+points below just re-bind the source and add watermarking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+SESSION_GAP_MINUTES = 30
+
+
+def hourly_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation: count + value sum per
+    (window, event_type). Uses ``F.window`` so the identical expression
+    runs under Structured Streaming with a watermark. The value sum is
+    aggregated in exact integer cents (values carry 2 decimals) so
+    results are reproducible regardless of partial-agg order."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            (F.col("value_cents") / 100.0).alias("value_sum"),
+        )
+    )
+
+
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """JSON extraction surface (SURVEY.md §2.5 'Map/JSON functions'):
+    pull ``$.k`` out of the props JSON and aggregate it per event type."""
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .withColumn("k_avg", F.round(F.col("k_sum") / F.col("n"), 6))
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Gap-based sessionization (batch form): a new session starts when a
+    user's inter-event gap exceeds ``gap_minutes``. Classic lag + running
+    sum of session-start markers; the shuffle is one hash partitioning by
+    user_id, and both windows reuse that partitioning (single Exchange)."""
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
+    new_session = F.when(
+        gap_s.isNull() | (gap_s > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    return events.withColumn("session_seq", F.sum(new_session).over(
+        by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ))
+
+
+def session_stats(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Per-user session counts + per-session event counts, aggregated to
+    one row per user (deterministic, oracle-friendly)."""
+    s = sessionize(events, gap_minutes)
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("session_seq").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn(
+            "events_per_session", F.round(F.col("n_events") / F.col("n_sessions"), 6)
+        )
+    )
+
+
+# ----------------------------------------------------------- streaming
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming source over the events parquet directory —
+    in production this is Kafka/Kinesis; the transformation stack is
+    identical either way."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def streaming_hourly_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """The hourly aggregation under a watermark: late events beyond
+    ``watermark`` are dropped, state is bounded, results are append-able."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            (F.col("value_cents") / 100.0).alias("value_sum"),
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, mode: str = "append"
+) -> "object":
+    """Drive a streaming plan into an in-memory sink until all available
+    input is processed (test/bench harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
