@@ -1,0 +1,40 @@
+"""Every catalog query must execute and return a stable schema at the
+smoke scale factor — including the rows-only entries (MLlib, xxhash64
+signatures, mapInPandas, Structured Streaming) that the oracle-parity
+test can't cover."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from ydb_vector_search_demo_spark.plans.catalog import ORACLES, QUERIES
+
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+# queries whose result may legitimately be empty at sf0.001
+MAY_BE_EMPTY = {
+    "dedup_jaccard_pairs", "dedup_cosine_pairs", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_cosine_bucketed",
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_executes(spark, name):
+    df = QUERIES[name](spark, SF_SMOKE)
+    rows = df.collect()
+    assert df.schema.fields, f"{name}: empty schema"
+    if name not in MAY_BE_EMPTY:
+        assert len(rows) > 0, f"{name}: no rows at smoke sf"
+
+
+def test_rows_only_set_is_intentional():
+    assert ROWS_ONLY == [
+        "ann_ivf_recall",
+        "ann_lsh_top5",
+        "dedup_cosine_bucketed",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "multimodal_decode_meta",
+        "multimodal_embedding",
+        "multimodal_frame_sample",
+    ], f"unexpected rows-only queries: {ROWS_ONLY}"

@@ -618,3 +618,553 @@ def q_text_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(sh).alias("n_shingles"),
         F.size(F.array_distinct(sh)).alias("n_distinct_shingles"),
     )
+
+
+# ===========================================================================
+# 5. Relational surface (SURVEY.md §2.5 — joins, aggs, windows, rollup,
+#    set ops; driver-extension TPC-H-ish tables)
+# ===========================================================================
+
+def _cents(col: F.Column | str) -> F.Column:
+    """Exact integer cents from a 2-dp double — the cross-engine-safe way
+    to aggregate money (see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("bigint")
+
+
+_CENTS_SQL = "CAST(round({x} * 100) AS BIGINT)"
+
+
+@register(
+    "tpch_q1_pricing",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum({_CENTS_SQL.format(x="l_extendedprice")}) AS base_cents,
+           sum({_CENTS_SQL.format(x="l_extendedprice * (1 - l_discount)")}) AS disc_cents,
+           sum({_CENTS_SQL.format(x="l_extendedprice * (1 - l_discount) * (1 + l_tax)")}) AS charge_cents,
+           round(sum(l_quantity) / count(*), 6) AS avg_qty,
+           round(sum({_CENTS_SQL.format(x="l_extendedprice")}) / (100.0 * count(*)), 6) AS avg_price,
+           round(sum(CAST(round(l_discount * 100) AS BIGINT)) / (100.0 * count(*)), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the full hash-agg surface with
+    map-side partial aggregation; money flows through exact cents."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(_cents("l_extendedprice")).alias("base_cents"),
+            F.sum(_cents(disc)).alias("disc_cents"),
+            F.sum(_cents(charge)).alias("charge_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.sum(_cents("l_discount")).alias("_disc_pct"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty",
+            "base_cents", "disc_cents", "charge_cents",
+            F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+            F.round(F.col("base_cents") / (100.0 * F.col("count_order")), 6).alias("avg_price"),
+            F.round(F.col("_disc_pct") / (100.0 * F.col("count_order")), 6).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    f"""
+    WITH rev AS (
+      SELECT o_custkey, sum({_CENTS_SQL.format(x="o_totalprice")}) AS revenue_cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT n.n_name, c.c_custkey, r.revenue_cents,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY r.revenue_cents DESC, c.c_custkey)::INTEGER AS rank
+      FROM rev r
+      JOIN customer c ON c.c_custkey = r.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT n_name, rank, c_custkey, revenue_cents FROM ranked WHERE rank <= 3
+    """,
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-N per group over a join: revenue rank per nation.
+    nation broadcasts (25 rows); the orders agg pre-shrinks the fact
+    side before the join, so the only big shuffle is one groupBy."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("revenue_cents")
+    )
+    joined = rev.join(cust, rev.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue_cents").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "rank", "c_custkey", "revenue_cents")
+    )
+
+
+@register(
+    "region_revenue",
+    f"""
+    SELECT r.r_name, count(*) AS n_orders,
+           sum({_CENTS_SQL.format(x="o.o_totalprice")}) AS revenue_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join rollup to region (TPC-H Q5 shape): dimension chain
+    customer→nation→region broadcast onto the orders fact table — no
+    shuffle until the final 5-group aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "order_priority_count",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-pushdown filter + distinct aggregate (TPC-H Q4 shape).
+    The date filter reaches the Parquet scan as PushedFilters."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "rollup_status_priority",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           sum({_CENTS_SQL.format(x="o_totalprice")}) AS revenue_cents
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (subtotals + grand total) —
+    'free in Spark if we expose them' (SURVEY.md §2.5)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_cents("o_totalprice")).alias("revenue_cents"),
+    )
+
+
+@register(
+    "setops_customers",
+    """
+    WITH y98 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                   AND o_orderdate < TIMESTAMP '1999-01-01'),
+         y99 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+                   AND o_orderdate < TIMESTAMP '2000-01-01')
+    SELECT 'intersect' AS op, (SELECT count(*) FROM (SELECT * FROM y98 INTERSECT SELECT * FROM y99)) AS n
+    UNION ALL
+    SELECT 'except', (SELECT count(*) FROM (SELECT * FROM y98 EXCEPT SELECT * FROM y99))
+    UNION ALL
+    SELECT 'union', (SELECT count(*) FROM (SELECT * FROM y98 UNION SELECT * FROM y99))
+    """,
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT / UNION) on yearly customer
+    cohorts."""
+    o = _t(spark, sf_dir, "orders")
+
+    def cohort(y0: str, y1: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y98 = cohort("1998-01-01", "1999-01-01")
+    y99 = cohort("1999-01-01", "2000-01-01")
+    rows = [
+        ("intersect", y98.intersect(y99)),
+        ("except", y98.exceptAll(y99).distinct()),
+        ("union", y98.union(y99).distinct()),
+    ]
+    out = None
+    for op, df in rows:
+        one = df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+        out = one if out is None else out.unionAll(one)
+    return out
+
+
+@register(
+    "window_running_total",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           sum({_CENTS_SQL.format(x="o_totalprice")})
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+    FROM orders WHERE o_custkey < 10
+    """,
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total window (cumulative revenue per customer), exact
+    integer arithmetic, unique (date, orderkey) ordering."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 10)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(_cents("o_totalprice")).over(w).alias("cum_cents"),
+    )
+
+
+@register(
+    "segment_acctbal_stats",
+    f"""
+    SELECT c_mktsegment, count(*) AS n,
+           sum({_CENTS_SQL.format(x="c_acctbal")}) AS bal_cents,
+           min({_CENTS_SQL.format(x="c_acctbal")}) AS min_cents,
+           max({_CENTS_SQL.format(x="c_acctbal")}) AS max_cents,
+           round(sum({_CENTS_SQL.format(x="c_acctbal")}) / (100.0 * count(*)), 6) AS avg_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg/sum aggregate surface per market segment."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents("c_acctbal")).alias("bal_cents"),
+            F.min(_cents("c_acctbal")).alias("min_cents"),
+            F.max(_cents("c_acctbal")).alias("max_cents"),
+        )
+        .select(
+            "c_mktsegment", "n", "bal_cents", "min_cents", "max_cents",
+            F.round(F.col("bal_cents") / (100.0 * F.col("n")), 6).alias("avg_bal"),
+        )
+    )
+
+
+@register(
+    "part_like_filter",
+    """
+    SELECT p_brand, p_type, count(*) AS n,
+           round(sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0, 2) AS price_sum
+    FROM part
+    WHERE p_type LIKE '%ECONOMY%' OR p_name LIKE 'red%'
+    GROUP BY p_brand, p_type
+    """,
+)
+def q_part_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-predicate scan (LIKE prefix/contains) + group agg."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").like("%ECONOMY%") | F.col("p_name").like("red%"))
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_cents("p_retailprice")) / 100.0, 2).alias("price_sum"),
+        )
+    )
+
+
+# ===========================================================================
+# 6. Events: time windows, JSON, sessionization (streaming-shaped batch)
+# ===========================================================================
+
+
+@register(
+    "events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation (batch form of the
+    Structured Streaming plan — same expression, see streaming.events)."""
+    return EV.hourly_counts(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_json_stats",
+    """
+    SELECT event_type, count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+           round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) / (1.0 * count(*)), 6) AS k_avg
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (get_json_object) + aggregate surface."""
+    return EV.json_props_stats(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sessions",
+    """
+    WITH marks AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM marks
+    )
+    SELECT user_id, max(session_seq) AS n_sessions, count(*) AS n_events,
+           round(count(*) / (1.0 * max(session_seq)), 6) AS events_per_session
+    FROM sess GROUP BY user_id
+    """,
+)
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) + per-user stats."""
+    return EV.session_stats(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+# ===========================================================================
+# 7. Deduplication & similarity (north-star LLM-pipeline operators)
+# ===========================================================================
+
+
+@register(
+    "dedup_exact_stats",
+    """
+    SELECT count(*) AS total,
+           count(DISTINCT text) AS n_unique,
+           count(*) - count(DISTINCT text) AS n_dups
+    FROM documents
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-grouping: totals + kept/duplicate counts."""
+    d = dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+    return d.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("is_duplicate"), 0).otherwise(1)).cast("bigint").alias("n_unique"),
+        F.sum(F.when(F.col("is_duplicate"), 1).otherwise(0)).cast("bigint").alias("n_dups"),
+    )
+
+
+_SHINGLES_SQL = f"""
+  CASE WHEN len({_TOKENS_SQL}) <= 3
+       THEN [array_to_string({_TOKENS_SQL}, ' ')]
+       ELSE list_transform(range(1, len({_TOKENS_SQL}) - 1),
+                           i -> array_to_string({_TOKENS_SQL}[i:i+2], ' '))
+  END
+"""
+
+
+@register(
+    "dedup_jaccard_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles FROM documents
+    ), e AS (
+      SELECT doc_id, len(shingles) AS ns, unnest(shingles) AS s FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, a.ns AS na, b.ns AS nb, count(*) AS inter
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT a, b, inter,
+           round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+    FROM pairs
+    WHERE inter::DOUBLE / (na + nb - inter) >= 0.5
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs (threshold 0.5) —
+    the ground truth the MinHash path approximates."""
+    return dedup.shingle_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+@register(
+    "dedup_cosine_pairs",
+    """
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def q_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact variant (the
+    hyperplane-LSH bucketed variant is the scale path, rows-only below)."""
+    return dedup.cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# --- rows-only checked (xxhash64 signatures / MLlib / mapInPandas /
+#     Structured Streaming — not ANSI-SQL-expressible; SURVEY.md §5.2) ---
+
+
+@register("dedup_minhash_lsh")
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) near-dup pairs verified at Jaccard>=0.5.
+    Deterministic (xxhash64), but the hash is Spark-specific → rows-only."""
+    return dedup.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), n=3, num_hashes=64, bands=16, threshold=0.5
+    )
+
+
+@register("dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates at Hamming<=3 over 63-bit fingerprints."""
+    return dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, prefix_bits=16
+    )
+
+
+@register("dedup_cosine_bucketed")
+def q_dedup_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-bucketed cosine near-dup (the 100 TB path for
+    dedup_cosine_pairs: candidates only within equal sign-codes)."""
+    return dedup.bucketed_cosine_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=8
+    )
+
+
+@register("ann_ivf_recall")
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans-partition-pruned) ANN vs exact KNN: recall@10.
+    The reference's disabled vector_kmeans_tree path, measured."""
+    return ann.ivf_recall(
+        spark, _t(spark, sf_dir, "embeddings"), QV,
+        k=10, k_clusters=16, nprobe=4,
+    )
+
+
+@register("ann_lsh_top5")
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approximate top-5 (Euclidean)."""
+    df = ann.brp_lsh_neighbors(
+        _t(spark, sf_dir, "embeddings"), QV, k=5,
+        bucket_length=2.0, num_hash_tables=3,
+    )
+    return df.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@register("multimodal_decode_meta")
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: payload → typed metadata via
+    Arrow-batched mapInPandas (decoder stubbed, schema/batching real)."""
+    from ydb_vector_search_demo_spark.multimodal import media
+
+    docs = _t(spark, sf_dir, "documents")
+    return media.decode_media_meta(media.synthesize_media_table(docs))
+
+
+@register("multimodal_frame_sample")
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: every-8th-frame index explode."""
+    from ydb_vector_search_demo_spark.multimodal import media
+
+    docs = _t(spark, sf_dir, "documents")
+    return media.frame_sample(media.synthesize_media_table(docs), every_n=8)
+
+
+@register("multimodal_embedding")
+def q_multimodal_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media feature-extraction plumbing: payload → 64-dim embedding
+    (encoder stubbed) → L2 norm check column."""
+    from ydb_vector_search_demo_spark.multimodal import media
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = media.media_embedding_stub(media.synthesize_media_table(docs))
+    return emb.select(
+        "media_id",
+        F.size("embedding").alias("dim"),
+        F.round(V.l2_norm("embedding"), 3).alias("l2_norm"),
+    )
+
+
+_STREAM_COUNTER = {"n": 0}
+
+
+@register(
+    "streaming_hourly_counts",
+    ORACLES["events_hourly"],
+)
+def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events_hourly aggregation executed as a real Structured
+    Streaming job (file source → watermark → windowed agg → memory sink,
+    availableNow trigger), then returned as the sink table. Oracle: the
+    exact same SQL as batch events_hourly — streaming==batch==DuckDB."""
+    _STREAM_COUNTER["n"] += 1
+    name = f"stream_hourly_{_STREAM_COUNTER['n']}"
+    stream = EV.read_events_stream(spark, sf_dir)
+    # convert nanos column: file stream reads via the same session conf
+    agg = EV.streaming_hourly_counts(stream, watermark="3650 days")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

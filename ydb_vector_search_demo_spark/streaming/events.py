@@ -24,7 +24,9 @@ from pyspark.sql.types import (
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", TimestampType()),
+        # raw int64 nanoseconds on disk (TIMESTAMP(NANOS) — Spark reads it
+        # as long under spark.sql.legacy.parquet.nanosAsLong)
+        StructField("ts", LongType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -81,9 +83,11 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> Dat
     sum of session-start markers; the shuffle is one hash partitioning by
     user_id, and both windows reuse that partitioning (single Exchange)."""
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
+    # integer microseconds (unix_micros ≡ DuckDB epoch_us) so gap compares
+    # are exact — no float epoch math
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(by_user)
     new_session = F.when(
-        gap_s.isNull() | (gap_s > gap_minutes * 60), F.lit(1)
+        gap_us.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     return events.withColumn("session_seq", F.sum(new_session).over(
         by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -110,12 +114,28 @@ def session_stats(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> 
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming source over the events parquet directory —
-    in production this is Kafka/Kinesis; the transformation stack is
-    identical either way."""
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(f"{sf_dir}/events.parquet")
+    """Structured Streaming source over the events parquet — in
+    production this is Kafka/Kinesis; the transformation stack is
+    identical either way. The file source wants a *directory*, and the
+    testdata is a single read-only file, so it is symlinked into a temp
+    dir; the raw nanosecond int64 ts converts to a micros timestamp
+    exactly like the batch reader (sources.tables)."""
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), "spark_events_stream", src.strip("/").replace("/", "_")
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("bigint"))
     )
 
 
