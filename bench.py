@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Per-query wall time covers plan construction + execution + collect —
+the reference's per-request ``search_time`` convention
+(/root/reference/app.py:123-126), 3-dp rounding (app.py:162-165).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the flagship KNN path plus one representative per
+# operator family (SURVEY.md §2 categories + north-star ops).
+HEADLINE = [
+    "knn_top5_full",
+    "knn_top5_euclidean",
+    "knn_top5_filtered",
+    "batch_knn_cosine",
+    "rag_prompt",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "supplier_nation_revenue",
+    "region_revenue",
+    "top_customers_per_nation",
+    "events_hourly",
+    "events_sessions",
+    "events_asof_purchase_click",
+    "events_session_window",
+    "text_quality",
+    "doc_fingerprint",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_cosine_pairs",
+    "ann_ivf_recall",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from ydb_vector_search_demo_spark.plans.catalog import QUERIES
+    from ydb_vector_search_demo_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up outside the timed region
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

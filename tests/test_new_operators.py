@@ -1,0 +1,111 @@
+"""Operator-level tests for the as-of join, session windows, stateful
+streaming, and the double-hashed MinHash family — semantics that the
+oracle-parity test either can't express (streaming, engine-specific
+hashes) or that deserve an independent brute-force check."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from ydb_vector_search_demo_spark.operators.asof import as_of_join
+from ydb_vector_search_demo_spark.operators.dedup import minhash_signatures
+from ydb_vector_search_demo_spark.sources.tables import load_table
+
+
+def test_asof_join_matches_bruteforce(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    got = {
+        r["event_id"]: r["matched_ts"]
+        for r in as_of_join(
+            left, right, "user_id", "ts", "ts", ["v"]
+        ).collect()
+    }
+
+    # brute force on the driver (smoke sf is small)
+    rights = {}
+    for r in right.collect():
+        rights.setdefault(r["user_id"], []).append(r["ts"])
+    expected = {}
+    for r in left.collect():
+        cands = [t for t in rights.get(r["user_id"], []) if t <= r["ts"]]
+        expected[r["event_id"]] = max(cands) if cands else None
+
+    assert got == expected
+
+
+def test_asof_join_strict_excludes_equal_ts(spark):
+    rows = [(1, 10, 100), (1, 20, 200)]
+    right = spark.createDataFrame(rows, "k INT, t INT, v INT")
+    left = spark.createDataFrame([(1, 20)], "k INT, t INT")
+    incl = as_of_join(left, right, "k", "t", "t", ["v"], inclusive=True).collect()
+    strict = as_of_join(left, right, "k", "t", "t", ["v"], inclusive=False).collect()
+    assert incl[0]["matched_v"] == 200
+    assert strict[0]["matched_v"] == 100
+
+
+def test_session_window_consistent_with_sessionize(spark):
+    from ydb_vector_search_demo_spark.streaming import events as EV
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    native = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    classic = (
+        EV.sessionize(ev, gap_minutes=30)
+        .groupBy("user_id")
+        .agg(F.max("session_seq").alias("n_sessions"))
+    )
+    n = {r["user_id"]: r["n_sessions"] for r in native.collect()}
+    c = {r["user_id"]: r["n_sessions"] for r in classic.collect()}
+    assert n == c
+
+
+def test_stateful_streaming_counts_equal_batch(spark):
+    from ydb_vector_search_demo_spark.plans.catalog import QUERIES
+
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in QUERIES["streaming_stateful_user_counts"](spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    expected = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == expected
+
+
+def test_minhash_estimates_jaccard(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    c = "completely different words with nothing shared at all whatsoever here"
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id BIGINT, text STRING"
+    )
+    sigs = {
+        r["sid"]: r["signature"]
+        for r in minhash_signatures(df, n=3, num_hashes=128).collect()
+    }
+    assert all(len(s) == 128 for s in sigs.values())
+
+    def est(x, y):
+        return sum(1 for i, j in zip(x, y) if i == j) / len(x)
+
+    sim_ab = est(sigs[0], sigs[1])
+    sim_ac = est(sigs[0], sigs[2])
+    # true jaccard(a,b) for 3-shingles of 13 tokens differing in the last
+    # token: 8 shared of 14 distinct ≈ 0.57; jaccard(a,c) = 0.
+    assert 0.3 < sim_ab < 0.85
+    assert sim_ac < 0.1

@@ -1,0 +1,76 @@
+"""Physical-plan regression tests: the 100 TB posture is encoded in the
+plan shape, so assert it directly (SURVEY.md §4). If one of these fails
+after a change, the query still returns correct rows — but it stopped
+being the plan we'd want on a 1000-executor cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+from ydb_vector_search_demo_spark.plans.catalog import QUERIES
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_knn_is_takeordered_no_shuffle(spark):
+    plan = plan_of(spark, "knn_top5_cosine")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, "top-k must not shuffle the scored scan"
+
+
+def test_knn_full_broadcasts_topk_side(spark):
+    plan = plan_of(spark, "knn_top5_full")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan, "k-row side must broadcast, not SMJ"
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "region_revenue")
+    assert plan.count("BroadcastHashJoin") == 3, "customer/nation/region all broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_q3_single_shuffle_join_dims_broadcast(spark):
+    plan = plan_of(spark, "tpch_q3_shipping")
+    assert "BroadcastHashJoin" in plan, "filtered customer dim must broadcast"
+    assert plan.count("SortMergeJoin") <= 1, "only lineitem<->orders may shuffle-join"
+    assert "TakeOrderedAndProject" in plan, "top-10 must not globally sort"
+
+
+def test_date_filter_reaches_parquet_scan(spark):
+    plan = plan_of(spark, "order_priority_count")
+    assert "PushedFilters: [" in plan
+    assert "o_orderdate" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_knn_scan_prunes_columns(spark):
+    plan = plan_of(spark, "knn_top5_cosine")
+    scan = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "embedding" in scan and "vec_id" in scan
+    assert "label" not in scan, "unused column must be pruned from the scan"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["text_quality", "doc_fingerprint", "dedup_exact_stats", "text_token_stats"],
+)
+def test_text_ops_stay_jvm_side(spark, name):
+    # Higher-order array functions are interpreted JVM expressions (no
+    # whole-stage codegen), which is fine; what must never appear in the
+    # hot path is a Python eval node.
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "text analysis must not fall out of the JVM"
+    )
+
+
+def test_relational_agg_is_partial(spark):
+    # map-side combine: a partial HashAggregate below the Exchange and a
+    # final one above it — only 6 groups ever cross the shuffle.
+    plan = plan_of(spark, "tpch_q1_pricing")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan

@@ -34,7 +34,11 @@ def test_rows_only_set_is_intentional():
         "dedup_cosine_bucketed",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "events_approx_distinct",
+        "ingest_embed_roundtrip",
         "multimodal_decode_meta",
         "multimodal_embedding",
         "multimodal_frame_sample",
+        "multimodal_resize",
+        "streaming_stateful_user_counts",
     ], f"unexpected rows-only queries: {ROWS_ONLY}"

@@ -87,6 +87,10 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
     ``_fake_dims`` for PIL/ffprobe in production — the schema, batching
     and nullability contract stay identical."""
 
+    from ydb_vector_search_demo_spark.shipping import ensure_package_on_workers
+
+    ensure_package_on_workers()
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             dims = pdf["payload"].map(lambda p: _fake_dims(bytes(p)))
@@ -130,12 +134,68 @@ def frame_sample(media: DataFrame, every_n: int = 8) -> DataFrame:
     return frames
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Resize stage for image rows: payload → smaller payload with the
+    aspect ratio preserved against the (stub-)decoded dimensions. STUB:
+    the 'resized' payload is a deterministic truncation of the original
+    bytes proportional to the pixel-count reduction — a real
+    implementation decodes, resamples and re-encodes in this exact
+    ``mapInPandas`` seam. Binary stays columnar Arrow end to end."""
+    from ydb_vector_search_demo_spark.shipping import ensure_package_on_workers
+
+    ensure_package_on_workers()
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, ws, hs, nb = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p)
+                w, h = _fake_dims(raw)
+                scale = min(max_side / max(w, h), 1.0)
+                nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                keep = max(int(len(raw) * (nw * nh) / (w * h)), 1)
+                out = raw[:keep]
+                ids.append(mid)
+                payloads.append(out)
+                ws.append(nw)
+                hs.append(nh)
+                nb.append(len(out))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "n_bytes": pd.array(nb, dtype="int64"),
+                }
+            )
+
+    return media.filter(F.col("modality") == "image").mapInPandas(
+        resize, RESIZE_SCHEMA
+    )
+
+
 def media_embedding_stub(media: DataFrame, dim: int = 64) -> DataFrame:
     """Feature-extraction stage: payload → embedding (real impl: a vision
     /audio encoder in the same mapInPandas seam). STUB: seeded projection
     of the payload hash, unit-normalized — deterministic for tests."""
     import math
     import random
+
+    from ydb_vector_search_demo_spark.shipping import ensure_package_on_workers
+
+    ensure_package_on_workers()
 
     def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

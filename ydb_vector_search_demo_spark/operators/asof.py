@@ -1,0 +1,84 @@
+"""As-of (nearest-preceding-event) join — a time-series operator the
+reference does not have (its data model is point-query request/response,
+SURVEY.md §1.1) but any event-pipeline engine needs; north-star scope.
+
+Spark has no ASOF JOIN operator, so this is the classic scalable
+re-expression as a composition of built-ins (SURVEY.md custom-operator
+rule (a)): union both sides tagged, one window per key ordered by time,
+last-non-null carry-forward of the right side's payload. Exactly ONE
+shuffle (hash partition by key), no range-condition join that would
+explode to a broadcast-nested-loop, no per-key collect. At 100 TB this
+is the same plan a hand-written merge join would want: co-partition by
+key, locally sort by time, stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts_col: str,
+    right_ts_col: str,
+    right_value_cols: list[str],
+    inclusive: bool = True,
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    timestamp <= the left timestamp (backward as-of; ``inclusive=False``
+    for strict <). Right payload columns come back null when no match.
+
+    The right side must be unique per (key, ts) — pre-aggregate it if it
+    is not, or the carried value is order-dependent.
+    """
+    tag = "_is_left"
+    payload = "_rpayload"
+    ts = "_ts"
+
+    l_side = left.select(
+        F.col(key_col).alias(key_col),
+        F.col(left_ts_col).alias(ts),
+        F.lit(1).alias(tag),
+        F.lit(None).cast(
+            right.select(F.struct(right_ts_col, *right_value_cols)).schema[0].dataType
+        ).alias(payload),
+        F.struct(*left.columns).alias("_lrow"),
+    )
+    r_side = right.select(
+        F.col(key_col).alias(key_col),
+        F.col(right_ts_col).alias(ts),
+        F.lit(0).alias(tag),
+        F.struct(right_ts_col, *right_value_cols).alias(payload),
+        F.lit(None)
+        .cast(left.select(F.struct(*left.columns)).schema[0].dataType)
+        .alias("_lrow"),
+    )
+
+    # At equal timestamps the right row must sort before the left row for
+    # inclusive semantics (so the window sees it), after it for strict.
+    tag_order = F.col(tag).asc() if inclusive else F.col(tag).desc()
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts).asc(), tag_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_side.unionByName(r_side).withColumn(
+        "_matched", F.last(payload, ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col(tag) == 1).select(
+        *[F.col("_lrow")[c].alias(c) for c in left.columns],
+        F.col("_matched")[right_ts_col].alias(f"matched_{right_ts_col}"),
+        *[F.col("_matched")[c].alias(f"matched_{c}") for c in right_value_cols],
+    )
+    return out
+
+
+def gap_seconds(left_ts: Column | str, right_ts: Column | str) -> Column:
+    """Whole seconds between a left timestamp and its matched right one
+    (exact integer micros arithmetic, no float epoch math)."""
+    lt = F.col(left_ts) if isinstance(left_ts, str) else left_ts
+    rt = F.col(right_ts) if isinstance(right_ts, str) else right_ts
+    return ((F.unix_micros(lt) - F.unix_micros(rt)) / F.lit(1_000_000)).cast("bigint")

@@ -93,6 +93,12 @@ def shingle_jaccard_pairs(
 # ---------------------------------------------------------------- minhash
 
 
+# Double-hashing family modulus: 2^31-1. Keeps every intermediate value
+# (h1 + i*h2 with h1,h2 < 2^31 and i < num_hashes) far below BIGINT
+# overflow — Spark 4 runs ANSI mode, where signed overflow is an error.
+MINHASH_MODULUS = 2_147_483_647
+
+
 def minhash_signatures(
     df: DataFrame,
     n: int = 3,
@@ -101,26 +107,48 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """MinHash signature per document, entirely as nested array
-    expressions: sig[i] = min over shingles of xxhash64(shingle, i).
+    expressions: sig[i] = min over shingles of h_i(shingle).
+
+    The hash family uses the standard double-hashing construction
+    h_i(s) = (h1(s) + i*h2(s)) mod P (Kirsch & Mitzenmacher 2006): each
+    shingle is string-hashed exactly TWICE (xxhash64 with two salts),
+    and the remaining ``num_hashes`` family members are integer
+    multiply-adds. ~num_hashes× cheaper than hashing ``concat(s, i)``
+    per family member, identical collision behavior in practice.
 
     No explode, no shuffle — each row computes its own signature inside
     whole-stage codegen. At 100 TB this is a map-only pass.
     """
+    p = F.lit(MINHASH_MODULUS)
     shingles = F.array_distinct(word_shingles(text_col, n))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.xxhash64(F.concat(s, F.lit("#"), i.cast("string"))),
-            )
+    # Everything flows through lambda VARIABLES (bound values): expressions
+    # placed inside a higher-order-function lambda are re-evaluated per
+    # element, so e.g. referencing the shingle array inside a per-i lambda
+    # would re-tokenize the document num_hashes times per row. The fold
+    # below evaluates the shingle pipeline once, hashes each shingle
+    # exactly twice (via the `s` variable), and the accumulator carries
+    # the element-wise minima.
+    base = F.transform(
+        F.col("shingles"),
+        lambda s: F.struct(
+            F.pmod(F.xxhash64(s), p).alias("h1"),
+            # h2 must be non-zero or every h_i degenerates to h1
+            (F.pmod(F.xxhash64(s, F.lit(1)), p - 1) + 1).alias("h2"),
+        ),
+    )
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.aggregate(
+        base,
+        F.array_repeat(p.cast("bigint"), num_hashes),  # > any pmod value
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(idx, lambda i: F.pmod(h["h1"] + i * h["h2"], p)),
+            lambda a, b: F.least(a, b),
         ),
     )
     return df.select(
-        F.col(id_col).alias("sid"),
-        shingles.alias("shingles"),
-        sig.alias("signature"),
-    )
+        F.col(id_col).alias("sid"), shingles.alias("shingles")
+    ).select("sid", "shingles", sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -176,7 +204,10 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidate
     pairs → exact Jaccard verification on the candidates only."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    # The signature relation feeds three joins (both banding sides + the
+    # verification); persist so the signature pass runs once. At 100 TB
+    # the equivalent is materializing signatures to a table first.
+    sigs = minhash_signatures(df, n, num_hashes, text_col, id_col).persist()
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     sh = sigs.select("sid", "shingles")
     verified = (
@@ -206,14 +237,19 @@ def simhash64(text_col: str | Column = "text") -> Column:
     b of the token's xxhash64) is positive. Map-only; no shuffle."""
     toks = tokens(text_col)
     # one vote per bit (fold over token hashes), then fold the votes
-    # MSB-first into a single BIGINT via acc*2 + bit.
-    votes = F.transform(
-        F.sequence(F.lit(SIMHASH_BITS - 1), F.lit(0), F.lit(-1)),
-        lambda b: F.aggregate(
-            toks,
-            F.lit(0).cast("bigint"),
-            lambda acc, t: acc
-            + F.when(F.getbit(F.xxhash64(t), b) == 1, F.lit(1)).otherwise(F.lit(-1)),
+    # MSB-first into a single BIGINT via acc*2 + bit. Each token is
+    # hashed exactly once (the hash travels as the fold's lambda
+    # variable); putting ``toks`` inside a per-bit lambda instead would
+    # re-tokenize and re-hash the document SIMHASH_BITS times per row.
+    bit_idx = F.sequence(F.lit(SIMHASH_BITS - 1), F.lit(0), F.lit(-1))
+    votes = F.aggregate(
+        F.transform(toks, lambda t: F.xxhash64(t)),
+        F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_idx,
+            lambda a, b: a
+            + F.when(F.getbit(h, b) == 1, F.lit(1)).otherwise(F.lit(-1)),
         ),
     )
     return F.aggregate(

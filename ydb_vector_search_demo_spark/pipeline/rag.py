@@ -82,6 +82,9 @@ def embed_texts_udf(embed_fn: Callable[[str], list[float]] = embed_query_stub):
     """Arrow-batched pandas UDF wrapping an embedding service (S3/V1).
     In production ``embed_fn`` calls the model API once per text (or in
     micro-batches); the UDF boundary is the only Python in the pipeline."""
+    from ydb_vector_search_demo_spark.shipping import ensure_package_on_workers
+
+    ensure_package_on_workers()
 
     @F.pandas_udf(ArrayType(FloatType()))
     def _embed(texts: pd.Series) -> pd.Series:
@@ -92,6 +95,9 @@ def embed_texts_udf(embed_fn: Callable[[str], list[float]] = embed_query_stub):
 
 def llm_udf(llm_fn: Callable[[str], str] = summarize_stub):
     """Arrow-batched pandas UDF wrapping the LLM call (S4, app.py:95)."""
+    from ydb_vector_search_demo_spark.shipping import ensure_package_on_workers
+
+    ensure_package_on_workers()
 
     @F.pandas_udf(StringType())
     def _invoke(prompts: pd.Series) -> pd.Series:

@@ -175,6 +175,68 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_top5_filtered",
+    f"""
+    SELECT vec_id, label, round(raw, 6) AS score
+    FROM (SELECT vec_id, label,
+                 1.0 - list_cosine_similarity(embedding::DOUBLE[], {_vec_sql(QV)}) AS raw
+          FROM embeddings WHERE label = 1)
+    ORDER BY raw, vec_id LIMIT 5
+    """,
+)
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (metadata predicate + KNN in one plan):
+    the label filter reaches the Parquet scan as a pushed filter, then
+    the usual TakeOrderedAndProject top-k runs over the survivors —
+    at scale, partitioning the store by the filter column makes this
+    partition pruning."""
+    embs = _t(spark, sf_dir, "embeddings").filter(F.col("label") == 1)
+    scored = embs.select(
+        "vec_id",
+        "label",
+        V.cosine_distance("embedding", F.lit(QV)).alias("score"),
+    )
+    return (
+        scored.orderBy(F.col("score").asc(), F.col("vec_id").asc())
+        .limit(5)
+        .select("vec_id", "label", F.round("score", 6).alias("score"))
+    )
+
+
+@register(
+    "label_centroids",
+    """
+    SELECT label, gs - 1 AS pos,
+           count(*) AS n,
+           round(sum(CAST(round(x * 1000000) AS BIGINT)) / (1000000.0 * count(*)), 6) AS centroid_val
+    FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+                 generate_subscripts(embedding, 1) AS gs
+          FROM embeddings)
+    WHERE gs <= 4
+    GROUP BY label, gs
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped vector aggregation: per-label centroid components (first
+    4 dims shown). Element sums go through exact integer micro-units so
+    partial-agg order can't change the result — the same pattern an IVF
+    re-clustering job uses at scale."""
+    embs = _t(spark, sf_dir, "embeddings")
+    exploded = embs.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    ).filter(F.col("pos") < 4)
+    return exploded.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("x") * 1_000_000).cast("bigint"))
+            / (1_000_000.0 * F.count(F.lit(1))),
+            6,
+        ).alias("centroid_val"),
+    )
+
+
 # ===========================================================================
 # 2. RAG pipeline (SURVEY.md §3.1)
 # ===========================================================================
@@ -754,6 +816,175 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q3_shipping",
+    f"""
+    SELECT l.l_orderkey,
+           sum({_CENTS_SQL.format(x="l.l_extendedprice * (1 - l.l_discount)")}) AS revenue_cents,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-07-01'
+      AND l.l_shipdate > TIMESTAMP '1998-07-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue_cents DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (unshipped-revenue top-10): the one genuinely
+    big-big join in the set — lineitem ⋈ orders shuffles on the order
+    key; customer pre-filters and broadcasts; TakeOrderedAndProject
+    caps the output. At 100 TB, bucketing both fact tables by orderkey
+    would eliminate the shuffle entirely."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
+        )
+        .select("l_orderkey", "revenue_cents", "o_orderdate")
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "supplier_nation_revenue",
+    f"""
+    SELECT n.n_name,
+           count(*) AS n_items,
+           sum({_CENTS_SQL.format(x="l.l_extendedprice * (1 - l.l_discount)")}) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape over the supplier dimension: lineitem ⋈ orders is
+    the shuffle join; supplier (100 rows) and nation (25) broadcast onto
+    the fact side, so the dimension chain adds zero shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "cube_status_priority",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           sum({_CENTS_SQL.format(x="o_totalprice")}) AS revenue_cents
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all grouping-set combinations) — completes the
+    grouping-sets surface next to rollup_status_priority."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_cents("o_totalprice")).alias("revenue_cents"),
+    )
+
+
+@register(
+    "datetime_order_stats",
+    """
+    SELECT year(o_orderdate) AS o_year,
+           quarter(o_orderdate) AS o_quarter,
+           count(*) AS n_orders,
+           count(DISTINCT month(o_orderdate)) AS n_months,
+           min(date_trunc('month', o_orderdate)) AS first_month,
+           max(last_day(o_orderdate::DATE)) AS last_month_end,
+           sum(day(o_orderdate)) AS day_sum
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_datetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface (SURVEY.md §2.5 row 'Date/time'):
+    year/quarter/month/day extraction, date_trunc, last_day — all
+    engine-portable."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.quarter("o_orderdate").alias("o_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct(F.month("o_orderdate")).alias("n_months"),
+            # to_date: DuckDB's date_trunc('month') yields DATE, Spark's
+            # yields TIMESTAMP — align the types for the hash compare
+            F.min(F.to_date(F.date_trunc("month", "o_orderdate"))).alias("first_month"),
+            F.max(F.last_day("o_orderdate")).alias("last_month_end"),
+            F.sum(F.dayofmonth("o_orderdate")).alias("day_sum"),
+        )
+    )
+
+
+@register(
+    "semi_anti_customers",
+    """
+    SELECT 'with_1999_order' AS op, count(*) AS n FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+                  AND o.o_orderdate < TIMESTAMP '2000-01-01')
+    UNION ALL
+    SELECT 'never_ordered', count(*) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi and left-anti join surface (EXISTS / NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    o99 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    semi = c.join(o99, c.c_custkey == o99.o_custkey, "left_semi").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("with_1999_order").alias("op"), "n")
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("never_ordered").alias("op"), "n")
+    return semi.unionAll(anti)
+
+
+@register(
     "order_priority_count",
     """
     SELECT o_orderpriority, count(*) AS n_orders,
@@ -984,6 +1215,105 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.session_stats(_t(spark, sf_dir, "events"), gap_minutes=30)
 
 
+@register(
+    "events_asof_purchase_click",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, max(value) AS click_value
+               FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS matched_ts,
+           round(c.click_value, 2) AS matched_click_value,
+           CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT) AS gap_s
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    preceding click (operators.asof — union + one window, ONE shuffle,
+    never a range cross-join). Right side pre-aggregated per (user, ts)
+    so ties can't make the carried value order-dependent."""
+    from ydb_vector_search_demo_spark.operators.asof import as_of_join, gap_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    joined = as_of_join(
+        purchases, clicks, key_col="user_id", left_ts_col="ts",
+        right_ts_col="ts", right_value_cols=["click_value"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "matched_ts",
+        F.round("matched_click_value", 2).alias("matched_click_value"),
+        gap_seconds("ts", "matched_ts").alias("gap_s"),
+    )
+
+
+@register(
+    "events_session_window",
+    """
+    WITH marks AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marks
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 30-min gap) — the same
+    expression runs under Structured Streaming with a watermark; the
+    DuckDB oracle proves it equals the classic gap-and-island SQL."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+@register("events_approx_distinct")
+def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-aggregate surface: HLL++ approx_count_distinct next
+    to the exact count (rows-only: sketch values are engine-specific).
+    At 100 TB the approx variant is one map-side sketch merge instead of
+    a distinct shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # ===========================================================================
 # 7. Deduplication & similarity (north-star LLM-pipeline operators)
 # ===========================================================================
@@ -1127,6 +1457,19 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.frame_sample(media.synthesize_media_table(docs), every_n=8)
 
 
+@register("multimodal_resize")
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: payload → smaller payload + new dims via
+    Arrow-batched mapInPandas (resampler stubbed; schema/batching real).
+    The binary column is returned as its size so the check stays
+    value-stable."""
+    from ydb_vector_search_demo_spark.multimodal import media
+
+    docs = _t(spark, sf_dir, "documents")
+    resized = media.resize_images(media.synthesize_media_table(docs), max_side=64)
+    return resized.select("media_id", "width", "height", "n_bytes")
+
+
 @register("multimodal_embedding")
 def q_multimodal_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media feature-extraction plumbing: payload → 64-dim embedding
@@ -1168,3 +1511,57 @@ def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register("streaming_stateful_user_counts")
+def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    running per-user event counts with explicit keyed state
+    (streaming.stateful). Update-mode sink → the final count per user
+    equals the batch groupBy count (asserted in tests); rows-only here
+    because the state machinery is not SQL-expressible."""
+    from ydb_vector_search_demo_spark.streaming import stateful
+
+    _STREAM_COUNTER["n"] += 1
+    name = f"stream_stateful_{_STREAM_COUNTER['n']}"
+    stream = EV.read_events_stream(spark, sf_dir)
+    counts = stateful.running_user_counts(stream)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per key per micro-batch; the final
+    # running count per user is the max.
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+
+
+@register("ingest_embed_roundtrip")
+def q_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion/upsert path (SURVEY.md §2.2 V5, app.py:29-42 implied):
+    embed documents with the Arrow-batched pandas UDF (the production
+    seam for a real embedding service) and write the store back as
+    Parquet — then re-read and validate (count, dim, unit L2 norms).
+    Rows-only: the write path is the thing under test."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    embed = rag.embed_texts_udf()
+    store = docs.select("doc_id", "text").withColumn("embedding", embed("text"))
+    path = tempfile.mkdtemp(prefix="ydbvs_ingest_") + "/store"
+    store.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.size("embedding")).alias("dim_min"),
+        F.max(F.size("embedding")).alias("dim_max"),
+        F.min(F.round(V.l2_norm("embedding"), 3)).alias("l2_min"),
+        F.max(F.round(V.l2_norm("embedding"), 3)).alias("l2_max"),
+    )

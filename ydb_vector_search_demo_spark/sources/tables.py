@@ -42,8 +42,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # `div` is exact integer division; `floor(ts / 1000)` would go
+        # through DOUBLE and round the low microsecond digit at 2^60-size
+        # nanos values.
         return df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("bigint"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

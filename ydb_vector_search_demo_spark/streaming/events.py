@@ -134,8 +134,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    # exact integer division — see sources.tables (floor(x/1000) rounds)
     return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("bigint"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 
