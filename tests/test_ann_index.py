@@ -1,0 +1,52 @@
+"""IVF index lifecycle at its real surface: build → write partitioned
+by centroid_id → query the store with partition pruning → recall vs
+exact. This is the reference's (disabled) vector_kmeans_tree path
+re-expressed as MLlib batch indexing + Parquet partition layout
+(SURVEY.md §2.2 V4, §4 'ANN pruning')."""
+
+from __future__ import annotations
+
+from ydb_vector_search_demo_spark.operators import ann
+from ydb_vector_search_demo_spark.operators.knn import knn_scores
+from ydb_vector_search_demo_spark.pipeline.rag import embed_query_stub
+from ydb_vector_search_demo_spark.sources.tables import load_table
+
+from tests.conftest import SF_SMOKE
+
+QV = embed_query_stub("partition pruned vector search")
+
+
+def test_ivf_parquet_roundtrip_prunes_and_recalls(spark, tmp_path):
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    index = ann.build_ivf_index(embs, k_clusters=8)
+    path = str(tmp_path / "ivf_store")
+    ann.write_ivf_partitioned(index, path)
+
+    nprobe = 4
+    result = ann.ivf_search_parquet(
+        spark, path, index.centroids, QV, k=10, nprobe=nprobe
+    )
+
+    # 1. the filter must surface as PARTITION pruning, not a data filter
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "centroid_id" in pf
+    # and the scan must still be a top-k, never a full sort
+    assert "TakeOrderedAndProject" in plan
+
+    # 2. the store actually has all 8 cells (so pruning is meaningful)
+    cells = spark.read.parquet(path).select("centroid_id").distinct().count()
+    assert cells == 8
+
+    # 3. recall vs exact at equal k
+    exact = [r["vec_id"] for r in knn_scores(embs, QV, k=10).collect()]
+    approx = [r["vec_id"] for r in result.collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.5, f"recall@10 {recall} too low for nprobe={nprobe}/8"
+
+    # 4. full probe == exact
+    allprobe = ann.ivf_search_parquet(
+        spark, path, index.centroids, QV, k=10, nprobe=8
+    )
+    assert [r["vec_id"] for r in allprobe.collect()] == exact

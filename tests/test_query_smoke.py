@@ -41,4 +41,5 @@ def test_rows_only_set_is_intentional():
         "multimodal_frame_sample",
         "multimodal_resize",
         "streaming_stateful_user_counts",
+        "text_tfidf_top_terms",
     ], f"unexpected rows-only queries: {ROWS_ONLY}"

@@ -1,0 +1,109 @@
+"""Watermark / late-data semantics for the streaming hourly aggregation
+(SURVEY.md §2.5 'Streaming' north-star): rows older than the watermark
+are dropped, and append-mode windows emit only once the watermark passes
+their end. Uses two micro-batches (maxFilesPerTrigger=1, distinct file
+mtimes) so the watermark actually advances between files."""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from ydb_vector_search_demo_spark.streaming.events import streaming_hourly_counts
+
+SCHEMA = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _write_file(spark, rows, directory: str, name: str, mtime: float) -> None:
+    df = spark.createDataFrame(rows, SCHEMA).coalesce(1)
+    staging = os.path.join(directory, f"_stage_{name}")
+    df.write.mode("overwrite").parquet(staging)
+    part = next(
+        f for f in os.listdir(staging) if f.endswith(".parquet") and f.startswith("part-")
+    )
+    dest = os.path.join(directory, name)
+    os.rename(os.path.join(staging, part), dest)
+    os.utime(dest, (mtime, mtime))
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    d = str(tmp_path / "stream")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(d)
+
+    def ev(eid, hh, mm):
+        return (eid, datetime(2024, 1, 1, hh, mm), 1, "view", 1.0, "{}")
+
+    def run_batch(name: str) -> list:
+        # One availableNow run per file; the shared checkpoint carries
+        # the watermark across runs, so batch boundaries are exact.
+        # (foreachBatch, because the memory sink can't resume from a
+        # checkpoint; in local mode the collect lands in-process.)
+        collected: list = []
+        stream = spark.readStream.schema(SCHEMA).parquet(d)
+        agg = streaming_hourly_counts(stream, watermark="10 minutes")
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, _epoch: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return collected
+
+    now = time.time()
+    # run 1: two events in the 10:00 window → watermark := 10:05 - 10min
+    _write_file(spark, [ev(1, 10, 0), ev(2, 10, 5)], d, "a.parquet", now - 120)
+    rows1 = run_batch("wm_run1")
+    assert rows1 == [], "10:00 window must stay open while watermark < its end"
+
+    # run 2: an event at 08:00 — its window end 09:00 is below the
+    # restored watermark 09:55 → DROPPED; an event at 12:00 advances the
+    # watermark to 11:50, releasing the 10:00 window for append emission.
+    _write_file(spark, [ev(3, 8, 0), ev(4, 12, 0)], d, "b.parquet", now - 60)
+    rows2 = run_batch("wm_run2")
+
+    # Only the 10:00 window is emitted: the late 08:00 event left no
+    # state (otherwise its window, whose end is below the final
+    # watermark, would appear with n_events=1); 12:00 is still open.
+    assert [(r["window_start"], r["n_events"]) for r in rows2] == [
+        (datetime(2024, 1, 1, 10, 0), 2)
+    ]
+
+
+def test_streaming_hourly_equals_batch(spark, tmp_path):
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+    from ydb_vector_search_demo_spark.streaming.events import (
+        hourly_counts,
+        read_events_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = read_events_stream(spark, sf)
+    agg = streaming_hourly_counts(stream, watermark="3650 days")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sb_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in spark.table("sb_test").collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in hourly_counts(load_table(spark, sf, "events")).collect()
+    }
+    assert got == expected

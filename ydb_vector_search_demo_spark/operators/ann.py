@@ -58,29 +58,59 @@ class IvfIndex:
         """Rank centroids on the driver (k_clusters tiny), prune to the
         ``nprobe`` nearest cells with an ordinary IN filter (→ partition
         pruning on a centroid-partitioned layout), exact-rescore inside."""
-        import math
-
         qv = [float(x) for x in query_vector]
-
-        def _dist(c: list[float]) -> float:
-            if metric == "euclidean":
-                return math.sqrt(sum((a - b) ** 2 for a, b in zip(c, qv)))
-            dotp = sum(a * b for a, b in zip(c, qv))
-            if metric == "inner_product":
-                return -dotp
-            na = math.sqrt(sum(a * a for a in c))
-            nb = math.sqrt(sum(b * b for b in qv))
-            if metric == "manhattan":
-                return sum(abs(a - b) for a, b in zip(c, qv))
-            return 1.0 - dotp / (na * nb) if na and nb else 1.0
-
-        ranked = sorted(range(len(self.centroids)), key=lambda i: _dist(self.centroids[i]))
-        probes = ranked[:nprobe]
+        probes = rank_centroids(self.centroids, qv, metric)[:nprobe]
         pruned = self.assigned.filter(F.col("centroid_id").isin(probes))
         return knn_scores(
             pruned, qv, k=k, metric=metric, id_col=self.id_col,
             vector_col=self.vector_col,
         )
+
+
+def rank_centroids(
+    centroids: list[list[float]], query_vector: Sequence[float], metric: str = "cosine"
+) -> list[int]:
+    """Centroid ids sorted nearest-first to the query — driver-side math
+    over k_clusters × dim floats (tiny by construction)."""
+    import math
+
+    qv = [float(x) for x in query_vector]
+
+    def _dist(c: list[float]) -> float:
+        if metric == "euclidean":
+            return math.sqrt(sum((a - b) ** 2 for a, b in zip(c, qv)))
+        if metric == "manhattan":
+            return sum(abs(a - b) for a, b in zip(c, qv))
+        dotp = sum(a * b for a, b in zip(c, qv))
+        if metric == "inner_product":
+            return -dotp
+        na = math.sqrt(sum(a * a for a in c))
+        nb = math.sqrt(sum(b * b for b in qv))
+        return 1.0 - dotp / (na * nb) if na and nb else 1.0
+
+    return sorted(range(len(centroids)), key=lambda i: _dist(centroids[i]))
+
+
+def ivf_search_parquet(
+    spark: SparkSession,
+    path: str,
+    centroids: list[list[float]],
+    query_vector: Sequence[float],
+    k: int = 5,
+    nprobe: int = 3,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted centroid-partitioned store (the 100 TB serving
+    path): the IN-filter on ``centroid_id`` becomes Parquet PARTITION
+    pruning — only nprobe/k_clusters of the directory tree is listed,
+    read, or scored. Centroids travel with the query (driver-side list),
+    never read from the cluster."""
+    qv = [float(x) for x in query_vector]
+    probes = rank_centroids(centroids, qv, metric)[:nprobe]
+    pruned = spark.read.parquet(path).filter(F.col("centroid_id").isin(probes))
+    return knn_scores(pruned, qv, k=k, metric=metric, id_col=id_col, vector_col=vector_col)
 
 
 def build_ivf_index(
@@ -89,14 +119,19 @@ def build_ivf_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    max_iter: int = 8,
 ) -> IvfIndex:
     """Batch index build: MLlib KMeans (seeded → deterministic) over the
     corpus; one pass to fit on (a sample of) the data, one map-only pass
     to assign ``centroid_id``. The ml.linalg.Vector conversion exists
     only at the MLlib boundary; storage stays ARRAY<FLOAT>
-    (SURVEY.md §7.4)."""
+    (SURVEY.md §7.4). ``max_iter=8``: an IVF coarse quantizer needs
+    roughly-balanced cells, not converged ones — recall comes from
+    nprobe, so the default-20 iterations buy nothing."""
     feats = embeddings.withColumn("features", array_to_vector(F.col(vector_col).cast("array<double>")))
-    model = KMeans(k=k_clusters, seed=seed, featuresCol="features").fit(feats)
+    model = KMeans(
+        k=k_clusters, seed=seed, featuresCol="features", maxIter=max_iter
+    ).fit(feats)
     assigned = (
         model.transform(feats)
         .select(id_col, vector_col, F.col("prediction").alias("centroid_id"))

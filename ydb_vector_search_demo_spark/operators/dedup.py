@@ -62,7 +62,11 @@ def shingle_jaccard_pairs(
         F.array_distinct(word_shingles(text_col, n)).alias("shingles"),
     ).withColumn("n_shingles", F.size("shingles"))
 
-    exploded = shingled.select("sid", "n_shingles", F.explode("shingles").alias("sh"))
+    # both sides of the self-join read this relation — persist so the
+    # shingle pipeline runs once (at 100 TB: materialize to a table)
+    exploded = shingled.select(
+        "sid", "n_shingles", F.explode("shingles").alias("sh")
+    ).persist()
     if max_shingle_doc_freq is not None:
         freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
         exploded = exploded.join(
@@ -307,18 +311,26 @@ def cosine_near_dup_pairs(
     :func:`bucketed_cosine_near_dup_pairs` (sign-bit LSH blocking) or
     MLlib's BucketedRandomProjectionLSH (operators.ann).
     """
-    from ydb_vector_search_demo_spark.functions.vector import cosine_similarity
+    from ydb_vector_search_demo_spark.functions.vector import dot, l2_norm
 
-    a = embeddings.select(
-        F.col(id_col).alias("a"), F.col(vector_col).alias("va")
+    # Precompute each row's norm ONCE before the join: cosine per pair is
+    # then a single dot-product fold instead of three (dot + two norms).
+    # Same arithmetic (dot/(na*nb)), ~3x less work in the O(n^2) stage.
+    normed = embeddings.select(
+        F.col(id_col).alias("sid"),
+        F.col(vector_col).alias("v"),
+        l2_norm(vector_col).alias("nrm"),
     )
-    b = embeddings.select(
-        F.col(id_col).alias("b"), F.col(vector_col).alias("vb")
+    a = normed.select(
+        F.col("sid").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = normed.select(
+        F.col("sid").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cos_sim", cosine_similarity("va", "vb"))
+        .withColumn("cos_sim", dot("va", "vb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
     )
@@ -339,7 +351,7 @@ def bucketed_cosine_near_dup_pairs(
     driver (n_planes × dim floats — trivially broadcastable)."""
     import random as _random
 
-    from ydb_vector_search_demo_spark.functions.vector import cosine_similarity, dot
+    from ydb_vector_search_demo_spark.functions.vector import dot, l2_norm
 
     # determine dim from schema metadata-free sample: planes sized lazily
     dim = len(embeddings.select(vector_col).first()[0])
@@ -355,14 +367,23 @@ def bucketed_cosine_near_dup_pairs(
         lambda acc, bit: acc * 2 + bit,
     )
     coded = embeddings.select(
-        F.col(id_col).alias("sid"), F.col(vector_col).alias("v"), code.alias("code")
+        F.col(id_col).alias("sid"),
+        F.col(vector_col).alias("v"),
+        l2_norm(vector_col).alias("nrm"),
+        code.alias("code"),
     )
-    a = coded.select(F.col("sid").alias("a"), F.col("v").alias("va"), "code")
-    b = coded.select(F.col("sid").alias("b"), F.col("v").alias("vb"), "code")
+    a = coded.select(
+        F.col("sid").alias("a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "code",
+    )
+    b = coded.select(
+        F.col("sid").alias("b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "code",
+    )
     return (
         a.join(b, "code")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cos_sim", cosine_similarity("va", "vb"))
+        .withColumn("cos_sim", dot("va", "vb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
     )

@@ -682,6 +682,39 @@ def q_text_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_tfidf_top_terms")
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib text-analysis pipeline (SURVEY.md §2.6): RegexTokenizer →
+    StopWordsRemover → CountVectorizer → IDF, then the top TF-IDF term
+    per document. Rows-only: hashing/fitting are MLlib-specific. The
+    vocabulary is size-capped so the model broadcast stays small at any
+    corpus scale."""
+    from pyspark.ml.feature import CountVectorizer, IDF, RegexTokenizer, StopWordsRemover
+    from pyspark.ml.functions import vector_to_array
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = RegexTokenizer(
+        inputCol="text", outputCol="raw_tokens", pattern=r"\s+"
+    ).transform(docs)
+    stopped = StopWordsRemover(
+        inputCol="raw_tokens", outputCol="tokens"
+    ).transform(tok)
+    cv_model = CountVectorizer(
+        inputCol="tokens", outputCol="tf", vocabSize=1024, minDF=2.0
+    ).fit(stopped)
+    tf = cv_model.transform(stopped)
+    idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    scored = idf_model.transform(tf)
+    vocab = F.array(*[F.lit(w) for w in cv_model.vocabulary])
+    arr = vector_to_array("tfidf")
+    top_idx = F.array_position(arr, F.array_max(arr)) - 1
+    return scored.select(
+        "doc_id",
+        F.element_at(vocab, (top_idx + 1).cast("int")).alias("top_term"),
+        F.round(F.array_max(arr), 6).alias("top_tfidf"),
+    ).filter(F.col("top_tfidf") > 0)
+
+
 # ===========================================================================
 # 5. Relational surface (SURVEY.md §2.5 — joins, aggs, windows, rollup,
 #    set ops; driver-extension TPC-H-ish tables)
