@@ -66,7 +66,9 @@ def strip_markdown_headers(col: ColumnOrName) -> Column:
     t = _c(col)
     t = F.regexp_replace(t, r"(?m)^\s*#{1,6}\s*.*$", "")
     t = F.regexp_replace(t, r"\n\s*\n\s*\n", "\n\n")
-    return F.trim(t)
+    # JS .trim() strips ALL whitespace incl. newlines; Spark's trim()
+    # strips only spaces — use a regex for reference fidelity
+    return F.regexp_replace(t, r"^\s+|\s+$", "")
 
 
 # ---------------------------------------------------------------- F9

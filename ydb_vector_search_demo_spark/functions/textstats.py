@@ -67,17 +67,23 @@ def punct_ratio(col: ColumnOrName) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n)
 
 
-def stopword_ratio(col: ColumnOrName, lang: str = "en") -> Column:
-    """Fraction of whitespace tokens that are stopwords of ``lang``."""
-    toks = tokens(col)
+def stopword_ratio_of(toks: Column, lang: str = "en") -> Column:
+    """Stopword hit-rate over an already-tokenized array column — stage
+    ``tokens(text)`` once as a real column and reuse it across metrics;
+    inlining ``tokens()`` into several metric expressions re-splits the
+    text once per metric."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, F.lower(x))))
     n = F.size(toks)
     return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
 
 
-def avg_token_length(col: ColumnOrName) -> Column:
-    toks = tokens(col)
+def stopword_ratio(col: ColumnOrName, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords of ``lang``."""
+    return stopword_ratio_of(tokens(col), lang)
+
+
+def avg_token_length_of(toks: Column) -> Column:
     n = F.size(toks)
     total = F.aggregate(
         toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
@@ -85,22 +91,31 @@ def avg_token_length(col: ColumnOrName) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(total.cast("double") / n)
 
 
+def avg_token_length(col: ColumnOrName) -> Column:
+    return avg_token_length_of(tokens(col))
+
+
+def quality_score_of(toks: Column, text: ColumnOrName, lang: str = "en") -> Column:
+    """Composite quality over a staged token column (see quality_score)."""
+    n_tok = F.size(toks).cast("double")
+    len_score = F.least(n_tok / 50.0, F.lit(1.0))  # saturates at 50 tokens
+    sw = stopword_ratio_of(toks, lang)
+    sw_score = F.lit(1.0) - F.least(F.abs(sw - 0.4) / 0.4, F.lit(1.0))
+    pr = punct_ratio(text)
+    punct_score = F.lit(1.0) - F.least(pr / 0.2, F.lit(1.0))
+    awl = avg_token_length_of(toks)
+    awl_score = F.lit(1.0) - F.least(F.abs(awl - 5.0) / 5.0, F.lit(1.0))
+    return F.round(
+        0.3 * len_score + 0.3 * sw_score + 0.2 * punct_score + 0.2 * awl_score, 6
+    )
+
+
 def quality_score(col: ColumnOrName, lang: str = "en") -> Column:
     """Composite document-quality heuristic in [0,1]: favors texts with a
     healthy length, a natural stopword rate, moderate punctuation, and
     plausible mean word length. The shape follows published quality-filter
     recipes (C4/Gopher-style rules); the exact weights are ours."""
-    n_tok = token_count(col).cast("double")
-    len_score = F.least(n_tok / 50.0, F.lit(1.0))  # saturates at 50 tokens
-    sw = stopword_ratio(col, lang)
-    sw_score = F.lit(1.0) - F.least(F.abs(sw - 0.4) / 0.4, F.lit(1.0))
-    pr = punct_ratio(col)
-    punct_score = F.lit(1.0) - F.least(pr / 0.2, F.lit(1.0))
-    awl = avg_token_length(col)
-    awl_score = F.lit(1.0) - F.least(F.abs(awl - 5.0) / 5.0, F.lit(1.0))
-    return F.round(
-        0.3 * len_score + 0.3 * sw_score + 0.2 * punct_score + 0.2 * awl_score, 6
-    )
+    return quality_score_of(tokens(col), col, lang)
 
 
 # ---------------------------------------------------------------- lang id

@@ -365,11 +365,11 @@ def q_fn_format_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_strip_markdown",
     r"""
     SELECT doc_id,
-           trim(regexp_replace(
+           regexp_replace(regexp_replace(
              regexp_replace('# Заголовок {#h}' || e'\n' || substring(text, 1, 80)
                             || e'\n\n\n## Sub\n' || substring(text, 1, 40),
                             '(?m)^\s*#{1,6}\s*.*$', '', 'g'),
-             e'\n\s*\n\s*\n', e'\n\n', 'g')) AS cleaned
+             e'\n\s*\n\s*\n', e'\n\n', 'g'), '^\s+|\s+$', '', 'g') AS cleaned
     FROM documents
     """,
 )
@@ -585,13 +585,17 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document quality scoring (C4/Gopher-style heuristics)."""
+    """Document quality scoring (C4/Gopher-style heuristics). The token
+    array is staged as a column once — the three metrics would otherwise
+    each re-tokenize the document (Catalyst keeps the staged projection
+    because the alias is referenced more than once)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    staged = docs.select("doc_id", "text", T.tokens("text").alias("toks"))
+    return staged.select(
         "doc_id",
-        F.round(T.stopword_ratio("text", "en"), 6).alias("stopword_ratio"),
+        F.round(T.stopword_ratio_of(F.col("toks"), "en"), 6).alias("stopword_ratio"),
         F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
-        T.quality_score("text", "en").alias("quality"),
+        T.quality_score_of(F.col("toks"), "text", "en").alias("quality"),
     )
 
 
