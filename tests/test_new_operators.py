@@ -87,6 +87,39 @@ def test_stateful_streaming_counts_equal_batch(spark):
     assert got == expected
 
 
+def test_block_cosine_equals_fold(spark):
+    from ydb_vector_search_demo_spark.operators.dedup import (
+        block_cosine_pairs,
+        cosine_near_dup_pairs,
+    )
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    blk = sorted(tuple(r) for r in block_cosine_pairs(embs, 0.3, n_blocks=4).collect())
+    fold = sorted(tuple(r) for r in cosine_near_dup_pairs(embs, 0.3).collect())
+    assert blk == fold
+    assert len(blk) > 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    from ydb_vector_search_demo_spark.operators.skew import salted_join
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_total"))
+    plain = sorted(
+        tuple(r)
+        for r in ev.join(dim, "user_id")
+        .select("event_id", "user_id", "user_total")
+        .collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_join(ev, dim, "user_id", salt_src="event_id", n_salts=4)
+        .select("event_id", "user_id", "user_total")
+        .collect()
+    )
+    assert salted == plain
+
+
 def test_minhash_estimates_jaccard(spark):
     a = "the quick brown fox jumps over the lazy dog again and again today"
     b = "the quick brown fox jumps over the lazy dog again and again tomorrow"

@@ -234,6 +234,22 @@ def response_envelope(
     )
 
 
+def upsert_store(
+    existing: DataFrame, incoming: DataFrame, key_col: str = "doc_id"
+) -> DataFrame:
+    """UPSERT semantics of the store's add_documents path (SURVEY.md
+    §2.2 V5 [API-inferred]: embed + UPSERT): incoming rows replace
+    existing rows with the same key, everything else is kept.
+
+    Pure-DataFrame merge: incoming ∪ (existing ⟂ incoming) via a
+    left-anti join on the key — one shuffle on the key (or zero with
+    bucketed storage). On a table format with MERGE (Delta/Iceberg) this
+    whole function is one `MERGE INTO`; on raw Parquet the caller
+    rewrites the affected partitions with the returned frame."""
+    survivors = existing.join(incoming, on=key_col, how="left_anti")
+    return survivors.unionByName(incoming)
+
+
 def health(spark: SparkSession) -> DataFrame:
     """GET /health analogue (app.py:173-180): static availability row."""
     return spark.range(1).select(

@@ -313,6 +313,53 @@ def q_rag_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "health",
+    """
+    SELECT 'healthy' AS status,
+           TRUE AS vector_store_available,
+           TRUE AS yandex_gpt_available
+    """,
+)
+def q_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /health analogue (S6, app.py:173-180)."""
+    return rag.health(spark)
+
+
+@register(
+    "metadata_struct_json",
+    f"""
+    WITH meta AS (
+      SELECT doc_id,
+             'Главная' AS h1,
+             CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'Раздел ' || lang END AS h2,
+             'Тема ' || (doc_id % 7) AS h3,
+             source || '.html' AS source_path
+      FROM documents
+    )
+    SELECT doc_id,
+           to_json(struct_pack(h1 := h1, h2 := h2, h3 := h3,
+                               source_path := source_path))::VARCHAR AS metadata_json
+    FROM meta
+    """,
+)
+def q_metadata_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata struct → JSON at the output edge (the SURVEY §1.3
+    decision: STRUCT<h1,h2,h3,source_path> inside the engine, to_json
+    for API compatibility; missing levels as '' so both engines
+    serialize every key)."""
+    docs = _t(spark, sf_dir, "documents")
+    meta = F.struct(
+        F.lit("Главная").alias("h1"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("Раздел "), F.col("lang"))
+        ).alias("h2"),
+        F.concat(F.lit("Тема "), (F.col("doc_id") % 7).cast("string")).alias("h3"),
+        F.concat(F.col("source"), F.lit(".html")).alias("source_path"),
+    )
+    return docs.select("doc_id", F.to_json(meta).alias("metadata_json"))
+
+
 # ===========================================================================
 # 3. Presentation string functions (SURVEY.md §2.4 F6-F16)
 # ===========================================================================
@@ -1420,9 +1467,15 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, exact variant (the
-    hyperplane-LSH bucketed variant is the scale path, rows-only below)."""
-    return dedup.cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    """Embedding-cosine near-duplicate pairs, exact — computed with the
+    block-matrix GEMM strategy (one numpy matmul per block pair instead
+    of an interpreted fold per vector pair; ~19x at sf0.1, identical
+    values). The per-pair fold variant remains as the cross-check
+    (tests), the hyperplane-LSH bucketed variant as the sub-quadratic
+    scale path (rows-only below)."""
+    return dedup.block_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_blocks=16
+    )
 
 
 # --- rows-only checked (xxhash64 signatures / MLlib / mapInPandas /
