@@ -168,10 +168,21 @@ def doc_fingerprint(col: ColumnOrName) -> Column:
 def word_shingles(col: ColumnOrName, n: int = 3) -> Column:
     """Contiguous n-token shingles (strings joined with a space) — the
     dedup primitives' input. Texts shorter than n tokens yield a single
-    shingle of the whole text so no document silently disappears."""
+    shingle of the whole text so no document silently disappears.
+
+    Built as a sliding-window ``zip_with`` over n shifted slices of the
+    token array. Every reference to the token array sits in ARGUMENT
+    position (evaluated once per row); the earlier formulation indexed
+    it from inside a per-shingle lambda, which re-tokenized the document
+    once per shingle — O(tokens²) splitting."""
     toks = tokens(col)
     cnt = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
-    return F.when(cnt <= n, F.array(F.array_join(toks, " "))).otherwise(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    )
+    m = F.greatest(cnt - (n - 1), F.lit(1))
+    sh = F.slice(toks, 1, m)
+    for k in range(1, n):
+        sh = F.zip_with(
+            sh,
+            F.slice(toks, k + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(cnt <= n, F.array(F.array_join(toks, " "))).otherwise(sh)

@@ -56,6 +56,11 @@ def shingle_jaccard_pairs(
     |A|+|B|-|A∩B|. ``max_shingle_doc_freq`` drops ultra-common shingles
     before the join — the skew valve at scale: a stopword-shingle shared
     by millions of docs would otherwise produce a quadratic hot key.
+
+    The join key is ``xxhash64(shingle)``, not the shingle text: the
+    shuffle moves 8-byte keys instead of n-gram strings. A 64-bit
+    collision (odds ~ |shingles|²/2⁶⁴) could inflate one intersection
+    count by 1 — far below any near-dup threshold's noise floor.
     """
     shingled = df.select(
         F.col(id_col).alias("sid"),
@@ -65,7 +70,11 @@ def shingle_jaccard_pairs(
     # both sides of the self-join read this relation — persist so the
     # shingle pipeline runs once (at 100 TB: materialize to a table)
     exploded = shingled.select(
-        "sid", "n_shingles", F.explode("shingles").alias("sh")
+        "sid",
+        "n_shingles",
+        F.explode(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     ).persist()
     if max_shingle_doc_freq is not None:
         freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
@@ -150,9 +159,18 @@ def minhash_signatures(
             lambda a, b: F.least(a, b),
         ),
     )
+    # shingle_hashes (not the strings) ride along for verification:
+    # array_intersect over bigints beats string comparison, and the
+    # shuffle rows shrink accordingly
     return df.select(
         F.col(id_col).alias("sid"), shingles.alias("shingles")
-    ).select("sid", "shingles", sig.alias("signature"))
+    ).select(
+        "sid",
+        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias(
+            "shingle_hashes"
+        ),
+        sig.alias("signature"),
+    )
 
 
 def lsh_candidate_pairs(
@@ -213,7 +231,7 @@ def minhash_dedup_pairs(
     # the equivalent is materializing signatures to a table first.
     sigs = minhash_signatures(df, n, num_hashes, text_col, id_col).persist()
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    sh = sigs.select("sid", "shingles")
+    sh = sigs.select("sid", F.col("shingle_hashes").alias("shingles"))
     verified = (
         cands.join(sh.withColumnRenamed("sid", "a").withColumnRenamed("shingles", "sh_a"), "a")
         .join(sh.withColumnRenamed("sid", "b").withColumnRenamed("shingles", "sh_b"), "b")

@@ -1384,6 +1384,65 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BANDS = [(0.0, 10.0), (10.0, 25.0), (25.0, 50.0), (50.0, 75.0), (75.0, 1e18)]
+
+
+@register(
+    "events_value_bands",
+    f"""
+    WITH bands(band_id, lo, hi) AS (VALUES
+      {", ".join(f"({i}, {lo!r}, {hi!r})" for i, (lo, hi) in enumerate(_BANDS))})
+    SELECT b.band_id, count(*) AS n_events,
+           sum(CAST(round(e.value * 100) AS BIGINT)) AS value_cents
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band_id
+    """,
+)
+def q_events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: a tiny broadcast dimension of half-open value
+    intervals joined on lo <= value < hi — the non-equi join surface.
+    With the 5-row side broadcast this is a BroadcastNestedLoopJoin
+    whose inner loop is 5 comparisons; the fact side streams once."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(_BANDS)],
+        "band_id INT, lo DOUBLE, hi DOUBLE",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+    )
+
+
+@register(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SQL percentile == DuckDB
+    quantile_cont). The approximate sketch variant is
+    events_approx_distinct's territory; this one is the exact surface."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
 @register("events_approx_distinct")
 def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-aggregate surface: HLL++ approx_count_distinct next
