@@ -40,6 +40,8 @@ def test_rows_only_set_is_intentional():
         "multimodal_embedding",
         "multimodal_frame_sample",
         "multimodal_resize",
+        "multimodal_union_search",
+        "rag_full_pipeline",
         "streaming_stateful_user_counts",
         "text_tfidf_top_terms",
     ], f"unexpected rows-only queries: {ROWS_ONLY}"

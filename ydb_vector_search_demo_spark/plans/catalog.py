@@ -1606,6 +1606,81 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.frame_sample(media.synthesize_media_table(docs), every_n=8)
 
 
+@register("rag_full_pipeline")
+def q_rag_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete POST /search dataflow as one plan (app.py:103-171):
+    embed (stub) → exact KNN top-5 → top-3 context → Russian prompt →
+    LLM UDF (stub) → stripped summary. Rows-only: the LLM seam is a
+    pandas UDF; its deterministic stub is golden-tested byte-exactly in
+    tests/test_golden_rag.py."""
+    out = rag.search_with_summary(spark, sf_dir, FLAGSHIP_QUERY, k=5)
+    return out.select(
+        F.length("prompt").alias("prompt_len"), "summary", "n_docs"
+    )
+
+
+@register("multimodal_union_search")
+def q_multimodal_union_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unioned metric search across modalities (SURVEY.md §2.6
+    'multimodal columns'): text-corpus embeddings and (stub-encoded)
+    media embeddings share one 64-dim space; one top-k runs over the
+    union with a modality tag, ties broken on (score, modality, id)."""
+    from ydb_vector_search_demo_spark.multimodal import media
+
+    embs = _t(spark, sf_dir, "embeddings").select(
+        F.lit("text").alias("modality"), F.col("vec_id").alias("item_id"),
+        F.col("embedding"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    media_emb = media.media_embedding_stub(
+        media.synthesize_media_table(docs)
+    ).select(
+        F.lit("media").alias("modality"), F.col("media_id").alias("item_id"),
+        F.col("embedding"),
+    )
+    unioned = embs.unionByName(media_emb)
+    scored = unioned.select(
+        "modality", "item_id",
+        V.cosine_distance("embedding", F.lit(QV)).alias("score"),
+    )
+    return (
+        scored.orderBy(F.col("score").asc(), F.col("modality"), F.col("item_id"))
+        .limit(5)
+        .select("modality", "item_id", F.round("score", 6).alias("score"))
+    )
+
+
+@register(
+    "streaming_dedup_events",
+    """
+    SELECT count(*) AS n_events, count(DISTINCT event_id) AS n_unique
+    FROM events
+    """,
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: the events stream unioned with
+    itself (every row duplicated) then dropDuplicates on the key — the
+    sink must hold exactly the original rows. Oracle: plain batch
+    counts, so the dedup is verified end-to-end."""
+    _STREAM_COUNTER["n"] += 1
+    name = f"stream_dedup_{_STREAM_COUNTER['n']}"
+    s1 = EV.read_events_stream(spark, sf_dir)
+    s2 = EV.read_events_stream(spark, sf_dir)
+    deduped = s1.unionByName(s2).dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_id").alias("n_unique"),
+    )
+
+
 @register("multimodal_resize")
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize plumbing: payload → smaller payload + new dims via
