@@ -1,0 +1,157 @@
+"""Property-based tests (SURVEY.md §5.2 item 5) — hypothesis-generated
+inputs, batched into one DataFrame per example so Spark actions stay
+cheap. Reference mirrors reproduce JAVA semantics exactly: `\\s` is
+ASCII-only in Java regex (unlike Python's unicode-aware `\\s`), and
+Spark's `trim` strips only the space character. Codepoints stay in the
+BMP so JS/Java UTF-16 lengths equal Python codepoint lengths."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from ydb_vector_search_demo_spark.functions.strings import truncate_text
+from ydb_vector_search_demo_spark.functions.textstats import word_shingles
+from ydb_vector_search_demo_spark.functions.vector import (
+    cosine_distance,
+    euclidean_distance,
+    manhattan_distance,
+)
+
+TEXT = st.text(
+    alphabet=st.characters(
+        max_codepoint=0xFFFF, exclude_categories=("Cs", "Cc")
+    ),
+    max_size=60,
+)
+TEXTS = st.lists(TEXT, min_size=1, max_size=12)
+
+_JAVA_WS = r"[ \t\n\x0b\f\r]+"  # Java regex \s (ASCII-only)
+
+_spark = None
+
+
+def _get_spark():
+    from pyspark.sql import SparkSession
+
+    global _spark
+    if _spark is None:
+        _spark = SparkSession.getActiveSession()
+    if _spark is None:
+        from ydb_vector_search_demo_spark.session import get_spark
+
+        _spark = get_spark("tests", master="local[8]", shuffle_partitions=8)
+        _spark.sparkContext.setLogLevel("ERROR")
+    return _spark
+
+
+def _ref_tokens(t: str) -> list[str]:
+    s = t.strip(" ")  # F.trim strips only spaces
+    if s == "":
+        return []
+    return re.split(_JAVA_WS, s)
+
+
+def _js_truncate(text: str, max_length: int) -> str:
+    if len(text) <= max_length:
+        return text
+    truncated = text[:max_length]
+    last_space = truncated.rfind(" ")
+    if last_space > max_length * 0.8:
+        return truncated[:last_space] + "..."
+    return truncated + "..."
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=TEXTS)
+def test_truncate_matches_js_reference(texts):
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i INT, t STRING"
+    )
+    got = {
+        r["i"]: r["out"]
+        for r in df.select(
+            "i", truncate_text(F.col("t"), 20).alias("out")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _js_truncate(t, 20), repr(t)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=TEXTS)
+def test_shingles_match_python_reference(texts):
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i INT, t STRING"
+    )
+    got = {
+        r["i"]: r["sh"]
+        for r in df.select("i", word_shingles("t", 3).alias("sh")).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = _ref_tokens(t)
+        if len(toks) <= 3:
+            expected = [" ".join(toks)]
+        else:
+            expected = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        assert got[i] == expected, repr(t)
+
+
+def test_zero_vector_never_outranks_real_matches(spark):
+    """Regression for the ANSI DIVIDE_BY_ZERO found by hypothesis: a
+    zero-norm embedding must neither crash the scan nor rank first."""
+    from ydb_vector_search_demo_spark.operators.knn import knn_scores
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    rows = knn_scores(df, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in rows] == [1, 2, 0]
+    assert rows[-1]["score"] is None
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-10, max_value=10, allow_nan=False, allow_infinity=False
+            ),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_distance_metric_properties(vecs):
+    spark = _get_spark()
+    pairs = [(i, vecs[i], vecs[(i + 1) % len(vecs)]) for i in range(len(vecs))]
+    df = spark.createDataFrame(pairs, "i INT, a ARRAY<DOUBLE>, b ARRAY<DOUBLE>")
+    rows = df.select(
+        "i",
+        euclidean_distance("a", "b").alias("eab"),
+        euclidean_distance("b", "a").alias("eba"),
+        manhattan_distance("a", "b").alias("mab"),
+        euclidean_distance("a", "a").alias("eaa"),
+        cosine_distance("a", "b").alias("cab"),
+    ).collect()
+    for r in rows:
+        assert math.isclose(r["eab"], r["eba"], rel_tol=1e-12, abs_tol=1e-12)
+        assert r["eab"] >= 0 and r["mab"] >= 0
+        assert r["mab"] + 1e-9 >= r["eab"]  # L1 >= L2 always
+        assert abs(r["eaa"]) < 1e-12
+        a, b = vecs[r["i"]], vecs[(r["i"] + 1) % len(vecs)]
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na == 0 or nb == 0:
+            # zero-norm → NULL (try_divide), never an ANSI error
+            assert r["cab"] is None
+        else:
+            assert -1e-9 <= r["cab"] <= 2 + 1e-9

@@ -49,7 +49,12 @@ def l1_norm(a: ColumnOrName) -> Column:
 
 
 def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL when either vector has zero norm — a plain division would be
+    an ANSI DIVIDE_BY_ZERO *error* under Spark 4, so one degenerate
+    embedding in a 100 TB corpus would kill the whole scan. Top-k code
+    sorts nulls last (knn_scores), matching DuckDB where 0/0 → NaN
+    sorts last ascending."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_distance(a: ColumnOrName, b: ColumnOrName) -> Column:

@@ -128,7 +128,11 @@ def build_ivf_index(
     (SURVEY.md §7.4). ``max_iter=8``: an IVF coarse quantizer needs
     roughly-balanced cells, not converged ones — recall comes from
     nprobe, so the default-20 iterations buy nothing."""
-    feats = embeddings.withColumn("features", array_to_vector(F.col(vector_col).cast("array<double>")))
+    # persist: KMeans re-reads its input every iteration — without this
+    # the parquet scan + vector conversion run max_iter+2 times
+    feats = embeddings.withColumn(
+        "features", array_to_vector(F.col(vector_col).cast("array<double>"))
+    ).persist()
     model = KMeans(
         k=k_clusters, seed=seed, featuresCol="features", maxIter=max_iter
     ).fit(feats)

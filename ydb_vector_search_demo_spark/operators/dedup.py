@@ -348,7 +348,9 @@ def cosine_near_dup_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cos_sim", dot("va", "vb") / (F.col("na") * F.col("nb")))
+        # try_divide: zero-norm vectors yield NULL (dropped by the
+        # threshold filter) instead of an ANSI DIVIDE_BY_ZERO error
+        .withColumn("cos_sim", F.try_divide(dot("va", "vb"), F.col("na") * F.col("nb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
     )
@@ -497,7 +499,7 @@ def bucketed_cosine_near_dup_pairs(
     return (
         a.join(b, "code")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cos_sim", dot("va", "vb") / (F.col("na") * F.col("nb")))
+        .withColumn("cos_sim", F.try_divide(dot("va", "vb"), F.col("na") * F.col("nb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
     )

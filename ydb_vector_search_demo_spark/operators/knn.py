@@ -50,7 +50,10 @@ def knn_scores(
         embeddings.select(
             F.col(id_col), distance(vector_col, qv, metric).alias(score_col)
         )
-        .orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+        # nulls last: a zero-norm vector has NULL cosine distance and
+        # must never outrank real matches (Spark default is nulls FIRST
+        # ascending; DuckDB's NaN sorts last — this aligns them)
+        .orderBy(F.col(score_col).asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
 
@@ -114,7 +117,7 @@ def batch_knn(
         distance(vector_col, F.col(query_vec_col), metric).alias(score_col),
     )
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col(score_col).asc(), F.col(id_col).asc()
+        F.col(score_col).asc_nulls_last(), F.col(id_col).asc()
     )
     return (
         scored.withColumn(rank_col, F.row_number().over(w))

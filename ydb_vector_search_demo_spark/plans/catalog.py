@@ -198,7 +198,7 @@ def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.cosine_distance("embedding", F.lit(QV)).alias("score"),
     )
     return (
-        scored.orderBy(F.col("score").asc(), F.col("vec_id").asc())
+        scored.orderBy(F.col("score").asc_nulls_last(), F.col("vec_id").asc())
         .limit(5)
         .select("vec_id", "label", F.round("score", 6).alias("score"))
     )
@@ -1644,7 +1644,9 @@ def q_multimodal_union_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.cosine_distance("embedding", F.lit(QV)).alias("score"),
     )
     return (
-        scored.orderBy(F.col("score").asc(), F.col("modality"), F.col("item_id"))
+        scored.orderBy(
+            F.col("score").asc_nulls_last(), F.col("modality"), F.col("item_id")
+        )
         .limit(5)
         .select("modality", "item_id", F.round("score", 6).alias("score"))
     )
