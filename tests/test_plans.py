@@ -54,6 +54,33 @@ def test_knn_scan_prunes_columns(spark):
     assert "label" not in scan, "unused column must be pruned from the scan"
 
 
+def test_asof_join_is_one_window_not_a_range_join(spark):
+    plan = plan_of(spark, "events_asof_purchase_click")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        "as-of must be the union+window plan, never a range cross-join"
+    )
+    # one Exchange for the right-side pre-agg, one for the keyed window
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Window" in plan
+
+
+def test_range_join_broadcasts_the_band_table(spark):
+    plan = plan_of(spark, "events_value_bands")
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "non-equi join against 5 bands must broadcast, not shuffle"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_supplier_star_one_shuffle_join(spark):
+    plan = plan_of(spark, "supplier_nation_revenue")
+    # supplier+nation always broadcast; the year-filtered orders side may
+    # also fit the broadcast threshold (3 BHJ, zero shuffle joins) or,
+    # at larger SFs, fall back to a single SMJ with lineitem
+    assert plan.count("BroadcastHashJoin") >= 2, "supplier+nation broadcast"
+    assert plan.count("SortMergeJoin") <= 1, "only lineitem<->orders may shuffle"
+
+
 @pytest.mark.parametrize(
     "name",
     ["text_quality", "doc_fingerprint", "dedup_exact_stats", "text_token_stats"],
