@@ -120,6 +120,59 @@ def test_salted_join_equals_plain_join(spark):
     assert salted == plain
 
 
+def test_asof_forward_direction(spark):
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 200), (1, 30, 300)], "k INT, t INT, v INT"
+    )
+    left = spark.createDataFrame([(1, 15), (1, 20), (1, 35)], "k INT, t INT")
+    fwd = {
+        (r["k"], r["t"]): r["matched_v"]
+        for r in as_of_join(
+            left, right, "k", "t", "t", ["v"], direction="forward"
+        ).collect()
+    }
+    # earliest right at-or-after each left ts; none after 35
+    assert fwd == {(1, 15): 200, (1, 20): 200, (1, 35): None}
+    strict = {
+        r["t"]: r["matched_v"]
+        for r in as_of_join(
+            left, right, "k", "t", "t", ["v"],
+            direction="forward", inclusive=False,
+        ).collect()
+    }
+    assert strict[20] == 300  # strictly after 20
+
+
+def test_simhash_rotation_blocking_full_recall(spark):
+    """Rotated blocking must find every pair the brute-force Hamming
+    scan finds at the smoke scale (the single-prefix scheme misses
+    pairs whose differing bits fall inside the prefix window)."""
+    from ydb_vector_search_demo_spark.operators.dedup import (
+        simhash64,
+        simhash_near_pairs,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = {
+        (r["a"], r["b"])
+        for r in simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    hashes = {
+        r["sid"]: r["h"]
+        for r in docs.select(
+            F.col("doc_id").alias("sid"), simhash64("text").alias("h")
+        ).collect()
+    }
+    ids = sorted(hashes)
+    expected = {
+        (x, y)
+        for i, x in enumerate(ids)
+        for y in ids[i + 1 :]
+        if bin(hashes[x] ^ hashes[y]).count("1") <= 3
+    }
+    assert got == expected
+
+
 def test_minhash_estimates_jaccard(spark):
     a = "the quick brown fox jumps over the lazy dog again and again today"
     b = "the quick brown fox jumps over the lazy dog again and again tomorrow"

@@ -26,14 +26,19 @@ def as_of_join(
     right_ts_col: str,
     right_value_cols: list[str],
     inclusive: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the right row with the greatest
-    timestamp <= the left timestamp (backward as-of; ``inclusive=False``
-    for strict <). Right payload columns come back null when no match.
+    timestamp <= the left timestamp (``direction='backward'``, the
+    default) or the smallest timestamp >= it (``'forward'``);
+    ``inclusive=False`` makes the comparison strict. Right payload
+    columns come back null when no match.
 
     The right side must be unique per (key, ts) — pre-aggregate it if it
     is not, or the carried value is order-dependent.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     tag = "_is_left"
     payload = "_rpayload"
     ts = "_ts"
@@ -59,10 +64,13 @@ def as_of_join(
 
     # At equal timestamps the right row must sort before the left row for
     # inclusive semantics (so the window sees it), after it for strict.
+    # 'forward' is the same sweep over time reversed: descending order,
+    # so "last right seen" is the earliest right at-or-after the left row.
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     tag_order = F.col(tag).asc() if inclusive else F.col(tag).desc()
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.col(ts).asc(), tag_order)
+        .orderBy(ts_order, tag_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = l_side.unionByName(r_side).withColumn(

@@ -287,28 +287,65 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     prefix_bits: int = 16,
+    n_rotations: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup candidates: block on the top ``prefix_bits`` of
-    the fingerprint (docs within small Hamming distance usually share a
-    16-bit prefix; production would use 4 rotated blocks), verify with
-    bit_count(xor) <= max_hamming inside each block."""
-    hashed = df.select(
-        F.col(id_col).alias("sid"), simhash64(text_col).alias("simhash")
-    ).withColumn(
-        "block", F.shiftrightunsigned(F.col("simhash"), SIMHASH_BITS - prefix_bits)
+    """SimHash near-dup candidates with ROTATION blocking (the classic
+    Manku/Jain/Sarma scheme): for each of ``n_rotations`` bit-rotations
+    of the fingerprint, block on the top ``prefix_bits``; a pair within
+    Hamming distance d is caught whenever its d differing bits miss one
+    of the rotated prefix windows. 4 rotations × 16 bits cover all 63
+    positions (one position doubly), so d <= 3 pairs escape only in the
+    adversarial case where one differing bit lands exactly on the
+    doubly-covered position while the other two hit the remaining
+    windows — vanishing in practice (the recall test measures it).
+    Verification is bit_count(xor) <= max_hamming inside each block;
+    the union of blocks is deduplicated.
+
+    A single candidate relation with a (rotation, block) composite key —
+    one shuffle regardless of n_rotations.
+    """
+    sim = simhash64(text_col)
+    # rotate-left by r*prefix_bits within the SIMHASH_BITS-bit space,
+    # then take the top prefix_bits as the block id
+    hashed = df.select(F.col(id_col).alias("sid"), sim.alias("simhash"))
+    mask = F.lit((1 << SIMHASH_BITS) - 1)
+
+    def rot_block(r: int) -> Column:
+        k = (r * prefix_bits) % SIMHASH_BITS
+        rolled = (
+            F.shiftleft(F.col("simhash"), k).bitwiseAND(mask)
+            + F.shiftrightunsigned(F.col("simhash"), SIMHASH_BITS - k)
+            if k
+            else F.col("simhash")
+        )
+        return F.shiftrightunsigned(rolled, SIMHASH_BITS - prefix_bits)
+
+    blocked = hashed.select(
+        "sid",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("rot"), rot_block(r).alias("blk"))
+                    for r in range(n_rotations)
+                ]
+            )
+        ).alias("rb"),
+    ).select("sid", "simhash", F.col("rb.rot").alias("rot"), F.col("rb.blk").alias("blk"))
+
+    a = blocked.select(
+        F.col("sid").alias("a"), F.col("simhash").alias("ha"), "rot", "blk"
     )
-    a = hashed.select(
-        F.col("sid").alias("a"), F.col("simhash").alias("ha"), "block"
-    )
-    b = hashed.select(
-        F.col("sid").alias("b"), F.col("simhash").alias("hb"), "block"
+    b = blocked.select(
+        F.col("sid").alias("b"), F.col("simhash").alias("hb"), "rot", "blk"
     )
     return (
-        a.join(b, "block")
+        a.join(b, ["rot", "blk"])
         .filter(F.col("a") < F.col("b"))
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+        .distinct()
     )
 
 
