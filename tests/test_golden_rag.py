@@ -149,7 +149,7 @@ def test_scalar_fn_goldens(spark):
     assert rows["anchor"] == "b2"  # deepest header with an anchor wins
     assert rows["link"] == "https://yandex.ru/support/market/ru/path/page#frag"
     assert rows["null_link"] is None
-    assert rows["exp"] == "1.23e-04"
+    assert rows["exp"] == "1.23e-4"  # JS toExponential(2), unpadded exponent
     assert rows["fix3"] == "0.500"
     assert rows["fix2"] == "12.35"
     assert rows["html"] == "<p>a</p><p>b<br>c</p>"

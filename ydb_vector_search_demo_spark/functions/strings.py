@@ -50,10 +50,17 @@ def truncate_text(col: ColumnOrName, max_length: int = 300) -> Column:
 # ---------------------------------------------------------------- F7
 def format_score(col: ColumnOrName) -> Column:
     """Score display format (script.js:310-319): <0.001 → 2-digit
-    exponential; <1 → 3 fixed decimals; else 2 fixed decimals."""
+    exponential; <1 → 3 fixed decimals; else 2 fixed decimals.
+
+    JS ``toExponential(2)`` prints the exponent unpadded (``1.23e-4``)
+    while Java's ``%.2e`` zero-pads (``1.23e-04``) — strip the pad for
+    byte-exact reference parity."""
     s = _c(col).cast("double")
+    exp = F.regexp_replace(
+        F.format_string("%.2e", s), r"e([+-])0(\d)$", r"e$1$2"
+    )
     return (
-        F.when(s < 0.001, F.format_string("%.2e", s))
+        F.when(s < 0.001, exp)
         .when(s < 1, F.format_string("%.3f", s))
         .otherwise(F.format_string("%.2f", s))
     )

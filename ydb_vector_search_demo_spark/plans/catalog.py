@@ -388,9 +388,12 @@ def q_fn_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_format_score",
     """
     SELECT doc_id,
-           printf('%.2e', n_chars / 1000000.0) AS fs_exp,
+           regexp_replace(printf('%.2e', n_chars / 1000000.0),
+                          'e([+-])0(\\d)$', 'e\\1\\2') AS fs_exp,
            printf('%.3f', n_chars / 1000.0) AS fs_fixed3,
-           CASE WHEN n_chars / 100.0 < 0.001 THEN printf('%.2e', n_chars / 100.0)
+           CASE WHEN n_chars / 100.0 < 0.001
+                THEN regexp_replace(printf('%.2e', n_chars / 100.0),
+                                    'e([+-])0(\\d)$', 'e\\1\\2')
                 WHEN n_chars / 100.0 < 1 THEN printf('%.3f', n_chars / 100.0)
                 ELSE printf('%.2f', n_chars / 100.0) END AS fs_mixed
     FROM documents
@@ -1271,6 +1274,37 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction (get_json_object) + aggregate surface."""
     return EV.json_props_stats(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_props_map",
+    """
+    SELECT list_sort(json_keys(props)) ::VARCHAR AS key_set,
+           count(*) AS n,
+           count(DISTINCT json_extract_string(props, '$.k')) AS n_distinct_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function surface (SURVEY.md §2.5 'Map/JSON functions'): parse
+    the props JSON into MAP<STRING,STRING>, group by the sorted key-set
+    and count distinct values of one key — from_json / map_keys / map
+    value access in one oracle-checked plan. key_set is rendered in
+    DuckDB's list-literal format so both engines emit the same string."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    key_set = F.concat(
+        F.lit("["), F.array_join(F.sort_array(F.map_keys(m)), ", "), F.lit("]")
+    )
+    return (
+        ev.select(key_set.alias("key_set"), m.getItem("k").alias("k_val"))
+        .groupBy("key_set")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("k_val").alias("n_distinct_k"),
+        )
+    )
 
 
 @register(
