@@ -50,3 +50,46 @@ def test_ivf_parquet_roundtrip_prunes_and_recalls(spark, tmp_path):
         spark, path, index.centroids, QV, k=10, nprobe=8
     )
     assert [r["vec_id"] for r in allprobe.collect()] == exact
+
+
+def test_ivf_assign_matches_kmeans_transform(spark):
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    index = ann.build_ivf_index(embs, k_clusters=8)
+    expr = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ann.ivf_assign(index.centroids, embs).collect()
+    }
+    mllib = {
+        r["vec_id"]: r["centroid_id"] for r in index.assigned.collect()
+    }
+    assert expr == mllib
+
+
+def test_ivf_append_serves_new_vectors(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    index = ann.build_ivf_index(embs, k_clusters=8)
+    path = str(tmp_path / "ivf_store")
+    ann.write_ivf_partitioned(index, path)
+    n0 = spark.read.parquet(path).count()
+
+    # ingest copies of 10 existing vectors under new ids — no refit
+    new = (
+        embs.limit(10)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    ann.ivf_append(index.centroids, new, path)
+
+    store = spark.read.parquet(path)
+    assert store.count() == n0 + 10
+
+    # a new vector is its own exact duplicate: searching with its
+    # embedding must surface the appended id right behind its twin
+    probe = embs.limit(1).collect()[0]
+    res = ann.ivf_search_parquet(
+        spark, path, index.centroids, list(probe["embedding"]), k=2, nprobe=1
+    ).collect()
+    ids = [r["vec_id"] for r in res]
+    assert ids == [probe["vec_id"], probe["vec_id"] + 1_000_000]
+    assert res[0]["score"] == res[1]["score"]

@@ -150,6 +150,51 @@ def write_ivf_partitioned(index: IvfIndex, path: str) -> None:
     index.assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
 
+def ivf_assign(
+    centroids: list[list[float]],
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to their nearest (Euclidean) centroid as a pure
+    map-side expression — the incremental-ingest path: new embeddings
+    join the index WITHOUT a KMeans refit. The centroid matrix travels
+    as plan literals (k × dim floats); no shuffle, no MLlib model
+    object, identical assignment rule to KMeans.transform."""
+    cents = F.array(*[F.lit([float(x) for x in c]) for c in centroids])
+    v = F.col(vector_col).cast("array<double>")
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    centroid_id = F.array_position(dists, F.array_min(dists)) - 1
+    return vectors.select(
+        F.col(id_col),
+        F.col(vector_col),
+        centroid_id.cast("int").alias("centroid_id"),
+    )
+
+
+def ivf_append(
+    centroids: list[list[float]],
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: route new vectors to their cells
+    and append to the centroid-partitioned store — only the touched
+    partitions gain files; existing data is never rewritten. Periodic
+    re-clustering (build_ivf_index + write_ivf_partitioned) rebalances
+    when cell sizes drift."""
+    assigned = ivf_assign(centroids, new_vectors, id_col, vector_col)
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+
+
 def recall_at_k(exact_ids: list, ann_ids: list) -> float:
     """|ANN ∩ exact| / k — the ANN quality metric (BASELINE.md)."""
     if not exact_ids:
