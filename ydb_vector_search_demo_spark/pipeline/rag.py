@@ -116,11 +116,13 @@ def validate_query(query: str) -> str:
 
 def format_results(scored_docs: DataFrame) -> DataFrame:
     """P2/P3/V6 (app.py:129-138): 1-based id ordered by ascending score,
-    ``text`` renamed ``content``, score cast to double. Window over k rows
-    only — this runs after the top-k, never on the full table."""
-    w = Window.orderBy(F.col("score").asc(), F.col("doc_id").asc())
-    return scored_docs.select(
-        F.row_number().over(w).alias("id"),
+    ``text`` renamed ``content``, score cast to double. The enumeration
+    window runs over k rows only — this runs after the top-k, never on
+    the full table."""
+    from ydb_vector_search_demo_spark.operators.knn import enumerate_results
+
+    return enumerate_results(scored_docs).select(
+        "id",
         F.col("doc_id"),
         F.col("text").alias("content"),
         F.col("source"),

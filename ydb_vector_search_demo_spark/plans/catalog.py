@@ -570,7 +570,7 @@ def q_fn_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = Window.partitionBy()
     return g.select(
         "event_type", "n",
-        F.round(F.col("n") * 100.0 / F.sum("n").over(total), 1).alias("pct"),
+        S.percent_of_total(F.col("n"), F.sum("n").over(total)).alias("pct"),
     )
 
 
@@ -1762,6 +1762,45 @@ def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = EV.read_events_stream(spark, sf_dir)
     # convert nanos column: file stream reads via the same session conf
     agg = EV.streaming_hourly_counts(stream, watermark="3650 days")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "streaming_session_windows",
+    ORACLES["events_session_window"],
+)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows under Structured Streaming: the identical
+    session_window aggregation as batch events_session_window, run as a
+    real stream (update mode; the single availableNow batch emits every
+    session in its final state). Oracle: the same gap-and-island SQL —
+    streaming == batch == DuckDB."""
+    _STREAM_COUNTER["n"] += 1
+    name = f"stream_sessions_{_STREAM_COUNTER['n']}"
+    stream = EV.read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "3650 days")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
