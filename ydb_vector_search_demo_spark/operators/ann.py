@@ -223,6 +223,32 @@ def ivf_recall(
     )
 
 
+def ivf_recall_sweep(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    k_clusters: int = 16,
+    nprobes: Sequence[int] = (1, 2, 4, 8),
+    metric: str = "cosine",
+) -> DataFrame:
+    """recall@k as a function of nprobe on one built index — the
+    quality/cost tradeoff curve that sizes nprobe in production (each
+    probe step scans ~1/k_clusters more of the corpus)."""
+    exact = [r[0] for r in knn_scores(embeddings, query_vector, k, metric).collect()]
+    index = build_ivf_index(embeddings, k_clusters=k_clusters)
+    rows = []
+    for nprobe in nprobes:
+        approx = [
+            r[0]
+            for r in index.search(query_vector, k=k, nprobe=nprobe, metric=metric).collect()
+        ]
+        rows.append((k, k_clusters, int(nprobe), float(recall_at_k(exact, approx))))
+    return spark.createDataFrame(
+        rows, "k INT, k_clusters INT, nprobe INT, recall DOUBLE"
+    )
+
+
 def brp_lsh_neighbors(
     embeddings: DataFrame,
     query_vector: Sequence[float],

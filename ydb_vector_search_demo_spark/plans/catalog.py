@@ -1611,6 +1611,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_recall_sweep")
+def q_ann_ivf_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 vs nprobe curve on one IVF index (operators.ann) —
+    the measurement that picks nprobe for a target recall."""
+    return ann.ivf_recall_sweep(
+        spark, _t(spark, sf_dir, "embeddings"), QV,
+        k=10, k_clusters=16, nprobes=(1, 2, 4, 8),
+    )
+
+
 @register("ann_lsh_top5")
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH approximate top-5 (Euclidean)."""
