@@ -120,6 +120,29 @@ def test_salted_join_equals_plain_join(spark):
     assert salted == plain
 
 
+def test_salted_left_join_keeps_unmatched_fact_rows(spark):
+    from ydb_vector_search_demo_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k INT, fid INT"
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    got = {
+        r["fid"]: r["v"]
+        for r in salted_join(fact, dim, "k", salt_src="fid", n_salts=3, how="left").collect()
+    }
+    assert got == {10: "a", 20: "b", 30: None}
+
+
+def test_load_table_rejects_unknown_name(spark):
+    import pytest as _pytest
+
+    from ydb_vector_search_demo_spark.sources.tables import load_table as lt
+
+    with _pytest.raises(ValueError, match="unknown table"):
+        lt(spark, SF_SMOKE, "nope")
+
+
 def test_asof_forward_direction(spark):
     right = spark.createDataFrame(
         [(1, 10, 100), (1, 20, 200), (1, 30, 300)], "k INT, t INT, v INT"
