@@ -87,6 +87,26 @@ def test_stateful_streaming_counts_equal_batch(spark):
     assert got == expected
 
 
+def test_block_batch_knn_equals_broadcast_batch_knn(spark):
+    from ydb_vector_search_demo_spark.operators.knn import batch_knn, block_batch_knn
+    from ydb_vector_search_demo_spark.pipeline.rag import embed_query_stub
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    qvs = [embed_query_stub(t) for t in ("alpha beta", "gamma delta", "epsilon")]
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(qvs)], "query_id INT, query_vec ARRAY<DOUBLE>"
+    )
+    a = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], round(r["score"], 9))
+        for r in batch_knn(qdf, embs, k=4).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], round(r["score"], 9))
+        for r in block_batch_knn(qdf, embs, k=4, n_blocks=4, n_query_blocks=2).collect()
+    )
+    assert a == b
+
+
 def test_block_cosine_equals_fold(spark):
     from ydb_vector_search_demo_spark.operators.dedup import (
         block_cosine_pairs,

@@ -125,6 +125,115 @@ def batch_knn(
     )
 
 
+def block_batch_knn(
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k: int = 5,
+    n_blocks: int = 16,
+    n_query_blocks: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Cosine batch KNN via block-matrix GEMM — the scale path when the
+    query set is itself large (batch retrieval for a RAG training job):
+    neither side is broadcast or collected; both are hash-packed into
+    blocks, each (query-block × corpus-block) pair computes one numpy
+    matmul and keeps the per-query top-k of that corpus block, and a
+    final per-query window merges the per-block winners. Wall-clock is
+    B_q × B_c GEMMs in parallel; driver traffic is queries × B_c × k
+    candidate rows.
+
+    Scores equal operators.knn.batch_knn's fold-computed cosine
+    distances (same dot/(na·nb) algebra in float64).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    def _norm(col: str) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(F.col(col).cast("array<double>"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    c_packed = (
+        embeddings.select(
+            F.col(id_col).alias("cid"),
+            F.col(vector_col).cast("array<double>").alias("cv"),
+            _norm(vector_col).alias("cn"),
+        )
+        .withColumn("blk", F.pmod(F.xxhash64("cid"), F.lit(n_blocks)))
+        .groupBy("blk")
+        .agg(
+            F.collect_list("cid").alias("cids"),
+            F.collect_list("cv").alias("cvs"),
+            F.collect_list("cn").alias("cns"),
+        )
+    )
+    q_packed = (
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.col(query_vec_col).cast("array<double>").alias("qv"),
+            _norm(query_vec_col).alias("qn"),
+        )
+        .withColumn("qblk", F.pmod(F.xxhash64("qid"), F.lit(n_query_blocks)))
+        .groupBy("qblk")
+        .agg(
+            F.collect_list("qid").alias("qids"),
+            F.collect_list("qv").alias("qvs"),
+            F.collect_list("qn").alias("qns"),
+        )
+    )
+    pairs = q_packed.crossJoin(c_packed)
+
+    out_schema = StructType(
+        [
+            StructField(query_id_col, LongType()),
+            StructField(id_col, LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def gemm_topk(batches):
+        import numpy as np
+
+        for pdf in batches:
+            q_out, c_out, s_out = [], [], []
+            for row in pdf.itertuples(index=False):
+                qids = np.asarray(row.qids, dtype=np.int64)
+                cids = np.asarray(row.cids, dtype=np.int64)
+                qm = np.asarray([np.asarray(v) for v in row.qvs])
+                cm = np.asarray([np.asarray(v) for v in row.cvs])
+                dist = 1.0 - (qm @ cm.T) / np.outer(row.qns, row.cns)
+                kk = min(k, dist.shape[1])
+                # per-query top-k within this corpus block; ties resolve
+                # in the final window on (score, vec_id)
+                idx = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+                for qi in range(len(qids)):
+                    sel = idx[qi]
+                    q_out.extend([int(qids[qi])] * len(sel))
+                    c_out.extend(cids[sel].tolist())
+                    s_out.extend(dist[qi, sel].tolist())
+            yield pd.DataFrame(
+                {query_id_col: q_out, id_col: c_out, "score": s_out}
+            )
+
+    candidates = pairs.mapInPandas(gemm_topk, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").asc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def distance_column(
     vector_col: str | Column, query_vector: Sequence[float], metric: str = "cosine"
 ) -> Column:

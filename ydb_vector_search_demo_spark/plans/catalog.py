@@ -28,7 +28,11 @@ from ydb_vector_search_demo_spark.functions import strings as S
 from ydb_vector_search_demo_spark.functions import textstats as T
 from ydb_vector_search_demo_spark.functions import vector as V
 from ydb_vector_search_demo_spark.operators import ann, dedup
-from ydb_vector_search_demo_spark.operators.knn import batch_knn, knn_scores
+from ydb_vector_search_demo_spark.operators.knn import (
+    batch_knn,
+    block_batch_knn,
+    knn_scores,
+)
 from ydb_vector_search_demo_spark.pipeline import rag
 from ydb_vector_search_demo_spark.sources.tables import load_table
 from ydb_vector_search_demo_spark.streaming import events as EV
@@ -154,6 +158,26 @@ def q_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return batch_knn(qdf, embs, k=3, metric="cosine").select(
         "query_id", "rank", "vec_id", F.round("score", 6).alias("score")
+    )
+
+
+@register("batch_knn_cosine_gemm", ORACLES["batch_knn_cosine"])
+def q_batch_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN via block-matrix GEMM (operators.knn.block_batch_knn) —
+    the large-query-set scale path; same results as batch_knn_cosine
+    (identical oracle), different physical strategy: no broadcast,
+    B_q × B_c numpy matmuls instead of per-row folds."""
+    embs = _t(spark, sf_dir, "embeddings")
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(BATCH_QVS)],
+        "query_id INT, query_vec ARRAY<DOUBLE>",
+    )
+    out = block_batch_knn(qdf, embs, k=3, n_blocks=8, n_query_blocks=2)
+    return out.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        "vec_id",
+        F.round("score", 6).alias("score"),
     )
 
 
