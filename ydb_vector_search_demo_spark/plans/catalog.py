@@ -1031,6 +1031,35 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_status_priority",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+           count(*) AS n_orders,
+           sum({_CENTS_SQL.format(x="o_totalprice")}) AS revenue_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint single-column sets + grand
+    total) with grouping() marker columns — the one grouping-set shape
+    ROLLUP/CUBE can't express (SURVEY.md §2.5 'Grouping sets')."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_cents("o_totalprice")).alias("revenue_cents"),
+    )
+
+
+@register(
     "datetime_order_stats",
     """
     SELECT year(o_orderdate) AS o_year,
