@@ -760,6 +760,43 @@ def q_text_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_chunk_overlap",
+    """
+    SELECT d.doc_id,
+           (t.start - 1) // 90 AS chunk_id,
+           substring(d.text, t.start::INTEGER, 120) AS chunk_text,
+           length(substring(d.text, t.start::INTEGER, 120)) AS chunk_chars
+    FROM documents d,
+         unnest(generate_series(1, greatest(length(d.text), 1), 90)) AS t(start)
+    """,
+)
+def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size document chunking with overlap (size 120, stride 90 →
+    30-char overlap) — the RAG pre-embedding splitter the reference
+    delegates to its ingestion script (absent from the snapshot,
+    /root/reference/README.md:62). Pure narrow ops: sequence + explode
+    + substring, no shuffle, no UDF — scales as a map-only stage."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(90)
+                )
+            ).alias("start"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.expr("(start - 1) div 90").alias("chunk_id"),
+            F.expr("substring(text, start, 120)").alias("chunk_text"),
+            F.length(F.expr("substring(text, start, 120)")).alias("chunk_chars"),
+        )
+    )
+
+
 @register("text_tfidf_top_terms")
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib text-analysis pipeline (SURVEY.md §2.6): RegexTokenizer →
