@@ -1067,6 +1067,58 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIVOT_SQL = """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+"""
+
+
+def _pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    # explicit value list above skips pivot's extra distinct-scan job;
+    # coalesce: Spark yields NULL for empty cells, FILTER-count yields 0
+    return p.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0).cast("bigint")).alias(f"n_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+    )
+
+
+@register("pivot_status_counts", _PIVOT_SQL)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot (long → one column per o_orderstatus value) — the
+    reshape surface next to rollup/cube/grouping-sets. One hash
+    aggregate; no shuffle beyond the groupBy."""
+    return _pivot_status(spark, sf_dir)
+
+
+@register(
+    "unpivot_status_counts",
+    f"""
+    WITH w AS ({_PIVOT_SQL})
+    SELECT o_orderpriority, 'n_f' AS status_col, n_f AS n_orders FROM w
+    UNION ALL SELECT o_orderpriority, 'n_o', n_o FROM w
+    UNION ALL SELECT o_orderpriority, 'n_p', n_p FROM w
+    """,
+)
+def q_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide → long), the inverse reshape of
+    pivot_status_counts — narrow map-side op, no shuffle."""
+    return _pivot_status(spark, sf_dir).unpivot(
+        "o_orderpriority", ["n_f", "n_o", "n_p"], "status_col", "n_orders"
+    )
+
+
 @register(
     "grouping_sets_status_priority",
     f"""
