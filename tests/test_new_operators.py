@@ -238,3 +238,34 @@ def test_minhash_estimates_jaccard(spark):
     # token: 8 shared of 14 distinct ≈ 0.57; jaccard(a,c) = 0.
     assert 0.3 < sim_ab < 0.85
     assert sim_ac < 0.1
+
+
+def test_jaccard_hot_shingle_valve(spark):
+    """The max_shingle_doc_freq valve must (a) change nothing when the
+    cap exceeds every observed doc-frequency and (b) drop a corpus-wide
+    stopword shingle from the self-join, keeping the candidate stage
+    sub-quadratic on skewed corpora."""
+    from ydb_vector_search_demo_spark.operators.dedup import (
+        release_persisted, shingle_jaccard_pairs,
+    )
+
+    # every doc shares the hot 3-shingle "aaa bbb ccc"; only doc pairs
+    # (2i, 2i+1) also share a second, rare shingle
+    docs = []
+    for i in range(20):
+        tail = f"tail{i // 2} x{i // 2} y{i // 2}"
+        docs.append((i, f"aaa bbb ccc {tail}"))
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+
+    uncapped = shingle_jaccard_pairs(df, n=3, threshold=0.1)
+    high_cap = shingle_jaccard_pairs(df, n=3, threshold=0.1, max_shingle_doc_freq=1000)
+    assert sorted(map(tuple, uncapped.collect())) == sorted(
+        map(tuple, high_cap.collect())
+    )
+
+    # cap below the hot shingle's df=20: the stopword shingle leaves the
+    # join, so only the rare-shingle pairs survive as candidates
+    capped = shingle_jaccard_pairs(df, n=3, threshold=0.0, max_shingle_doc_freq=5)
+    pairs = {(r["a"], r["b"]) for r in capped.collect()}
+    assert pairs == {(2 * i, 2 * i + 1) for i in range(10)}
+    release_persisted()

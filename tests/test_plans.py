@@ -95,6 +95,20 @@ def test_text_ops_stay_jvm_side(spark, name):
     )
 
 
+def test_batch_knn_prefilters_before_global_window(spark):
+    # the N×Q scored cross product must be cut to per-partition top-k
+    # (MapInPandas local heap) BEFORE the per-query window — a window
+    # straight over the cross join would shuffle the whole product into
+    # Q skewed partitions.
+    plan = plan_of(spark, "batch_knn_cosine")
+    assert "MapInPandas" in plan, "partition-local top-k stage missing"
+    assert "Window" in plan
+    win_input = plan.split("Window")[-1]
+    assert "MapInPandas" in win_input, (
+        "global window must run over the locally-reduced candidates"
+    )
+
+
 def test_relational_agg_is_partial(spark):
     # map-side combine: a partial HashAggregate below the Exchange and a
     # final one above it — only 6 groups ever cross the shuffle.

@@ -29,6 +29,7 @@ def test_query_executes(spark, name):
 
 def test_rows_only_set_is_intentional():
     assert ROWS_ONLY == [
+        "ann_ivf_build",
         "ann_ivf_recall",
         "ann_ivf_recall_sweep",
         "ann_lsh_top5",

@@ -140,8 +140,42 @@ def build_ivf_index(
         model.transform(feats)
         .select(id_col, vector_col, F.col("prediction").alias("centroid_id"))
     )
+    # materialize the assignment eagerly (this IS the index build — the
+    # batch job's output), then release the KMeans input cache; every
+    # subsequent probe scans the cached assignment only
+    assigned = assigned.persist()
+    assigned.count()
+    feats.unpersist()
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     return IvfIndex(assigned, centroids, id_col, vector_col)
+
+
+# Session-scope index cache: build once per (cache_key, k_clusters),
+# probe many times — the build/probe split a production IVF has (the
+# build is a periodic batch job, probes are the steady-state workload).
+_IVF_CACHE: dict[tuple, IvfIndex] = {}
+
+
+def get_or_build_ivf_index(
+    embeddings: DataFrame,
+    k_clusters: int = 16,
+    cache_key: object | None = None,
+    **build_kwargs,
+) -> IvfIndex:
+    """Return a cached IvfIndex for (cache_key, k_clusters), building it
+    on first use. ``cache_key`` identifies the corpus (e.g. its path);
+    pass None to always rebuild. Keeps per-call benchmarks honest:
+    probe-time measurements no longer pay a KMeans refit per query."""
+    key = None
+    if cache_key is not None:
+        key = (cache_key, k_clusters)
+        cached = _IVF_CACHE.get(key)
+        if cached is not None:
+            return cached
+    index = build_ivf_index(embeddings, k_clusters=k_clusters, **build_kwargs)
+    if key is not None:
+        _IVF_CACHE[key] = index
+    return index
 
 
 def write_ivf_partitioned(index: IvfIndex, path: str) -> None:
@@ -210,11 +244,14 @@ def ivf_recall(
     k_clusters: int = 16,
     nprobe: int = 3,
     metric: str = "cosine",
+    cache_key: object | None = None,
 ) -> DataFrame:
     """One-row DataFrame with recall@k of the IVF index vs exact KNN on
-    the same corpus — the reference's (disabled) ANN path, measured."""
+    the same corpus — the reference's (disabled) ANN path, measured.
+    With ``cache_key`` set, the index builds once per session and this
+    measures the probe path only (plus the exact-KNN ground truth)."""
     exact = [r[0] for r in knn_scores(embeddings, query_vector, k, metric).collect()]
-    index = build_ivf_index(embeddings, k_clusters=k_clusters)
+    index = get_or_build_ivf_index(embeddings, k_clusters=k_clusters, cache_key=cache_key)
     approx = [r[0] for r in index.search(query_vector, k=k, nprobe=nprobe, metric=metric).collect()]
     r = recall_at_k(exact, approx)
     return spark.createDataFrame(
@@ -231,12 +268,13 @@ def ivf_recall_sweep(
     k_clusters: int = 16,
     nprobes: Sequence[int] = (1, 2, 4, 8),
     metric: str = "cosine",
+    cache_key: object | None = None,
 ) -> DataFrame:
     """recall@k as a function of nprobe on one built index — the
     quality/cost tradeoff curve that sizes nprobe in production (each
     probe step scans ~1/k_clusters more of the corpus)."""
     exact = [r[0] for r in knn_scores(embeddings, query_vector, k, metric).collect()]
-    index = build_ivf_index(embeddings, k_clusters=k_clusters)
+    index = get_or_build_ivf_index(embeddings, k_clusters=k_clusters, cache_key=cache_key)
     rows = []
     for nprobe in nprobes:
         approx = [

@@ -17,6 +17,26 @@ from pyspark.sql import functions as F
 
 from ydb_vector_search_demo_spark.functions.textstats import tokens, word_shingles
 
+# Relations persisted by operators in this module (they feed multi-way
+# self-joins, so caching is part of the plan). A lazy DataFrame can't
+# unpersist itself before the caller's action runs, so callers that are
+# done with a result call release_persisted() — bench.py does between
+# timed queries.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    out = df.persist()
+    _PERSISTED.append(out)
+    return out
+
+
+def release_persisted() -> None:
+    """Unpersist every relation cached by this module's operators."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -69,13 +89,15 @@ def shingle_jaccard_pairs(
 
     # both sides of the self-join read this relation — persist so the
     # shingle pipeline runs once (at 100 TB: materialize to a table)
-    exploded = shingled.select(
-        "sid",
-        "n_shingles",
-        F.explode(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
-        ).alias("sh"),
-    ).persist()
+    exploded = _persist(
+        shingled.select(
+            "sid",
+            "n_shingles",
+            F.explode(
+                F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+    )
     if max_shingle_doc_freq is not None:
         freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
         exploded = exploded.join(
@@ -229,7 +251,7 @@ def minhash_dedup_pairs(
     # The signature relation feeds three joins (both banding sides + the
     # verification); persist so the signature pass runs once. At 100 TB
     # the equivalent is materializing signatures to a table first.
-    sigs = minhash_signatures(df, n, num_hashes, text_col, id_col).persist()
+    sigs = _persist(minhash_signatures(df, n, num_hashes, text_col, id_col))
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     sh = sigs.select("sid", F.col("shingle_hashes").alias("shingles"))
     verified = (
@@ -496,18 +518,21 @@ def bucketed_cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale variant: random-hyperplane (sign) LSH blocking. Vectors with
     high cosine similarity agree on most hyperplane signs, so candidates
     are restricted to equal sign-codes; pairs are then verified exactly.
     Hyperplanes are generated deterministically from ``seed`` on the
-    driver (n_planes × dim floats — trivially broadcastable)."""
+    driver (n_planes × dim floats — trivially broadcastable). Pass
+    ``dim`` explicitly to keep the call fully lazy; omitting it costs
+    one driver-side first() probe of the vector column."""
     import random as _random
 
     from ydb_vector_search_demo_spark.functions.vector import dot, l2_norm
 
-    # determine dim from schema metadata-free sample: planes sized lazily
-    dim = len(embeddings.select(vector_col).first()[0])
+    if dim is None:
+        dim = len(embeddings.select(vector_col).first()[0])
     rng = _random.Random(seed)
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 

@@ -106,21 +106,50 @@ def batch_knn(
     (SURVEY.md §2.6 'Batch KNN for all queries at once').
 
     The query set is broadcast (it is small by construction — if it were
-    not, this would be a similarity join, see operators.dedup), the big
-    embeddings side streams through a single crossJoin stage, and a
-    per-query window keeps rank <= k. One scan of the store regardless
-    of the number of queries.
+    not, this would be a similarity join, see operators.dedup) and the
+    big embeddings side streams through a single crossJoin stage with
+    distances computed in whole-stage codegen. Top-k is TWO-stage:
+
+    1. partition-local: each scan task keeps its own k best rows per
+       query (bounded Q×k state, Arrow-batched) — the N×Q scored cross
+       product never leaves the map side;
+    2. global: one per-query window over the surviving
+       ``num_partitions × Q × k`` candidate rows.
+
+    A single-stage ``Window.partitionBy(query_id)`` would instead
+    shuffle the ENTIRE scored cross product into Q partitions — each
+    holding a full copy of the corpus (skew by construction, fatal at
+    100 TB). This mirrors :func:`block_batch_knn`'s block-local top-k →
+    merge shape with a plain heap instead of a GEMM.
     """
+    import pandas as pd
+
     scored = embeddings.crossJoin(F.broadcast(queries)).select(
         F.col(query_id_col),
         F.col(id_col),
         distance(vector_col, F.col(query_vec_col), metric).alias(score_col),
     )
+
+    def local_topk(batches):
+        acc = None
+        for pdf in batches:
+            both = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            # (score asc NULLS LAST, id asc) — identical ordering to the
+            # global window, so the local cut can never drop a row the
+            # global top-k would keep
+            both = both.sort_values(
+                [score_col, id_col], ascending=[True, True], na_position="last"
+            )
+            acc = both.groupby(query_id_col, sort=False).head(k)
+        if acc is not None:
+            yield acc
+
+    local = scored.mapInPandas(local_topk, scored.schema)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col(score_col).asc_nulls_last(), F.col(id_col).asc()
     )
     return (
-        scored.withColumn(rank_col, F.row_number().over(w))
+        local.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
 

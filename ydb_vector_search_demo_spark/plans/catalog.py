@@ -1920,9 +1920,15 @@ _SHINGLES_SQL = f"""
 )
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs (threshold 0.5) —
-    the ground truth the MinHash path approximates."""
+    the ground truth the MinHash path approximates. The hot-shingle
+    valve is ON: a shingle shared by more than 1000 documents is
+    dropped before the self-join (at scale one stopword shingle
+    otherwise makes the join quadratic on a single hot key). The
+    fixture's max shingle doc-frequency is 7 at sf0.01 / 25 at sf0.1,
+    so the capped plan provably equals the uncapped oracle here."""
     return dedup.shingle_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5,
+        max_shingle_doc_freq=1000,
     )
 
 
@@ -1973,17 +1979,38 @@ def q_dedup_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH-bucketed cosine near-dup (the 100 TB path for
     dedup_cosine_pairs: candidates only within equal sign-codes)."""
     return dedup.bucketed_cosine_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=8
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=8,
+        dim=rag.EMBEDDING_DIM,
+    )
+
+
+@register("ann_ivf_build")
+def q_ann_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index BUILD as its own measurable step: seeded KMeans fit +
+    eager centroid assignment (operators.ann.build_ivf_index), cached
+    per (corpus, k_clusters) for the session. Returns per-cell sizes —
+    the balance profile that decides when to re-cluster. Splitting this
+    from ann_ivf_recall makes bench regressions attributable: build
+    time is the periodic batch job, probe time is the steady state."""
+    index = ann.get_or_build_ivf_index(
+        _t(spark, sf_dir, "embeddings"), k_clusters=16, cache_key=sf_dir
+    )
+    return (
+        index.assigned.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("cell_size"))
+        .orderBy("centroid_id")
     )
 
 
 @register("ann_ivf_recall")
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (KMeans-partition-pruned) ANN vs exact KNN: recall@10.
-    The reference's disabled vector_kmeans_tree path, measured."""
+    The reference's disabled vector_kmeans_tree path, measured. Uses
+    the session-cached index (see ann_ivf_build), so this measures the
+    probe path + exact ground truth, not a KMeans refit per call."""
     return ann.ivf_recall(
         spark, _t(spark, sf_dir, "embeddings"), QV,
-        k=10, k_clusters=16, nprobe=4,
+        k=10, k_clusters=16, nprobe=4, cache_key=sf_dir,
     )
 
 
@@ -1993,7 +2020,7 @@ def q_ann_ivf_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the measurement that picks nprobe for a target recall."""
     return ann.ivf_recall_sweep(
         spark, _t(spark, sf_dir, "embeddings"), QV,
-        k=10, k_clusters=16, nprobes=(1, 2, 4, 8),
+        k=10, k_clusters=16, nprobes=(1, 2, 4, 8), cache_key=sf_dir,
     )
 
 
