@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ydb_vector_search_demo_spark.functions.textstats import tokens, word_shingles
+from ydb_vector_search_demo_spark.sources.tables import fan_out
 
 # Relations persisted by operators in this module (they feed multi-way
 # self-joins, so caching is part of the plan). A lazy DataFrame can't
@@ -82,7 +83,7 @@ def shingle_jaccard_pairs(
     collision (odds ~ |shingles|²/2⁶⁴) could inflate one intersection
     count by 1 — far below any near-dup threshold's noise floor.
     """
-    shingled = df.select(
+    shingled = fan_out(df).select(
         F.col(id_col).alias("sid"),
         F.array_distinct(word_shingles(text_col, n)).alias("shingles"),
     ).withColumn("n_shingles", F.size("shingles"))
@@ -184,7 +185,7 @@ def minhash_signatures(
     # shingle_hashes (not the strings) ride along for verification:
     # array_intersect over bigints beats string comparison, and the
     # shuffle rows shrink accordingly
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col).alias("sid"), shingles.alias("shingles")
     ).select(
         "sid",
@@ -329,7 +330,7 @@ def simhash_near_pairs(
     sim = simhash64(text_col)
     # rotate-left by r*prefix_bits within the SIMHASH_BITS-bit space,
     # then take the top prefix_bits as the block id
-    hashed = df.select(F.col(id_col).alias("sid"), sim.alias("simhash"))
+    hashed = fan_out(df).select(F.col(id_col).alias("sid"), sim.alias("simhash"))
     mask = F.lit((1 << SIMHASH_BITS) - 1)
 
     def rot_block(r: int) -> Column:

@@ -124,6 +124,11 @@ def batch_knn(
     """
     import pandas as pd
 
+    from ydb_vector_search_demo_spark.sources.tables import fan_out
+
+    # fan_out the corpus BEFORE scoring: a single-file corpus would
+    # otherwise score and locally-rank on one core (no-op at scale)
+    embeddings = fan_out(embeddings)
     scored = embeddings.crossJoin(F.broadcast(queries)).select(
         F.col(query_id_col),
         F.col(id_col),

@@ -34,7 +34,7 @@ from ydb_vector_search_demo_spark.operators.knn import (
     knn_scores,
 )
 from ydb_vector_search_demo_spark.pipeline import rag
-from ydb_vector_search_demo_spark.sources.tables import load_table
+from ydb_vector_search_demo_spark.sources.tables import fan_out, load_table
 from ydb_vector_search_demo_spark.streaming import events as EV
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -831,7 +831,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     array is staged as a column once — the three metrics would otherwise
     each re-tokenize the document (Catalyst keeps the staged projection
     because the alias is referenced more than once)."""
-    docs = _t(spark, sf_dir, "documents")
+    # fan_out: the quality expression is compute-heavy per row and the
+    # fixture reads as one partition — parallelize the map stage
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     staged = docs.select("doc_id", "text", T.tokens("text").alias("toks"))
     return staged.select(
         "doc_id",

@@ -51,6 +51,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition UP to the cluster's default parallelism
+    when the input arrives in fewer partitions.
+
+    For compute-heavy per-row operators (minhash/simhash signatures,
+    shingling, quality scoring) a small file count otherwise serializes
+    the work: a 5 MB corpus sample reads as ONE partition → one core
+    does all the hashing. The inserted shuffle moves only the raw input
+    rows — orders of magnitude cheaper than the per-row work it
+    parallelizes. At real scale the input already has >=
+    defaultParallelism partitions and this is a no-op, so the big-data
+    plan shape is unchanged."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
