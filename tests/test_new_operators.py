@@ -269,3 +269,42 @@ def test_jaccard_hot_shingle_valve(spark):
     pairs = {(r["a"], r["b"]) for r in capped.collect()}
     assert pairs == {(2 * i, 2 * i + 1) for i in range(10)}
     release_persisted()
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 5-node chain must collapse to one component (label propagation
+    crosses the full diameter), disjoint pairs and singletons keep their
+    own clusters."""
+    from ydb_vector_search_demo_spark.operators.curation import dedup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id BIGINT")
+    # chain 0-1-2-3-4, pair 6-7, singletons 5, 8, 9
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (6, 7)], "a BIGINT, b BIGINT"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in dedup_clusters(nodes, edges).collect()
+    }
+    assert got == {
+        0: (0, 5, True), 1: (0, 5, False), 2: (0, 5, False),
+        3: (0, 5, False), 4: (0, 5, False),
+        5: (5, 1, True),
+        6: (6, 2, True), 7: (6, 2, False),
+        8: (8, 1, True), 9: (9, 1, True),
+    }
+
+
+def test_hash_split_is_stable_and_partition_independent(spark):
+    """The salted-md5 split must not depend on partitioning or row
+    order, and the train fraction must be near the target."""
+    from ydb_vector_search_demo_spark.operators.curation import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id BIGINT")
+    a = {r["doc_id"]: r["split"] for r in
+         df.withColumn("split", hash_split(df)).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         df.repartition(13).withColumn("split", hash_split(df)).collect()}
+    assert a == b
+    train_frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.85 < train_frac < 0.95

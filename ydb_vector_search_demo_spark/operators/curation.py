@@ -1,0 +1,197 @@
+"""Corpus-curation operators: the steps that turn raw documents plus
+near-duplicate PAIRS into an actual training corpus — duplicate
+clustering with a canonical keeper, quality gating with attributable
+drop reasons, deterministic train/validation splitting, and PII
+redaction.
+
+North-star LLM-pipeline extensions (BASELINE.json); the reference's
+corpus arrives pre-cleaned in its vector store, so none of this exists
+there — these are the operators a 100 TB ingest would run *before*
+embedding (reference ingest script absent from the snapshot,
+/root/reference/README.md:62).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "doc_id",
+    src_col: str = "a",
+    dst_col: str = "b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair graph by iterative
+    min-label propagation: every node starts labeled with itself; each
+    round every node takes the minimum label among itself and its
+    neighbors; convergence when no label changes.
+
+    Output: (node_col, cluster_id) for EVERY node (singletons keep
+    their own id as cluster_id).
+
+    Scale posture: each round is one shuffle join (labels ⋈ edges) plus
+    one aggregation — O(diameter) rounds. Near-duplicate graphs are
+    overwhelmingly tiny star-shaped clusters (diameter ≤ ~4), so this
+    converges in a handful of rounds; for adversarial long-chain graphs
+    the large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce", SoCC'14) drops rounds to O(log n) — same
+    join primitive, different edge rewrite. The convergence check is a
+    driver-side count of changed labels (an O(1)-row action per round,
+    never a collect of the graph). Labels persist each round; the
+    previous round's cache is released after the new one materializes.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
+        .union(edges.select(F.col(dst_col).alias("x"), F.col(src_col).alias("y")))
+        .distinct()
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    ).persist()
+    labels.count()
+    sym = sym.persist()
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.y == labels.node)
+            .groupBy("x")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.x, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")).alias(
+                    "_changed"
+                ),
+            )
+        ).persist()
+        # full count (not limit-1): materializes EVERY partition of the
+        # new labels into the cache before the old cache is released
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels.unpersist()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node").alias(node_col), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "a",
+    dst_col: str = "b",
+) -> DataFrame:
+    """Near-duplicate CLUSTERS with a canonical keeper — the step that
+    turns a pair list (from any of the dedup operators) into the actual
+    keep/drop decision a training pipeline needs: transitively-connected
+    documents form one cluster, the lowest id is kept, the rest drop.
+
+    Output per document: (id, cluster_id, cluster_size, is_canonical).
+    """
+    comp = connected_components(pairs, documents, node_col=id_col,
+                                src_col=src_col, dst_col=dst_col)
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(F.broadcast(sizes), "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "cluster_size",
+            (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )
+
+
+def quality_gate(
+    documents: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_punct_ratio: float = 0.2,
+    min_quality: float = 0.3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality gate with ATTRIBUTABLE drop reasons (first failing rule
+    wins, checked in a fixed order) — a filter that only says "dropped"
+    is undebuggable at 100 TB; per-reason counts are how curation
+    pipelines monitor drift. Pure column expressions, map-only."""
+    from ydb_vector_search_demo_spark.functions import textstats as T
+
+    # stage the token array once — the rules below reference it several
+    # times, and expressions re-evaluate per reference unless aliased
+    # (same pattern as the text_quality catalog query)
+    staged = documents.withColumn("_toks", T.tokens(text_col))
+    n_tok = F.size(F.col("_toks"))
+    punct = T.punct_ratio(text_col)
+    quality = F.round(T.quality_score_of(F.col("_toks"), text_col, "en"), 6)
+    reason = (
+        F.when(n_tok < min_tokens, F.lit("too_short"))
+        .when(n_tok > max_tokens, F.lit("too_long"))
+        .when(punct > max_punct_ratio, F.lit("too_much_punct"))
+        .when(quality < min_quality, F.lit("low_quality"))
+        .otherwise(F.lit("keep"))
+    )
+    return staged.withColumn("gate", reason).drop("_toks")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    salt: str = "split-v1",
+) -> Column:
+    """Deterministic train/validation assignment from a salted md5 of
+    the id — stable across engines, runs, partitionings and appends
+    (the property a %-of-rows or rand() split lacks). Returns a column;
+    callers attach it with withColumn. The md5-hex-prefix → integer
+    bucket construction is portable SQL (DuckDB computes the identical
+    value, so the split itself is oracle-checkable)."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    return F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("validation"))
+
+
+# Ordered redaction rules: (name, pattern, replacement). Email first so
+# the phone pattern can't eat the digits inside an address's local
+# part; IP before phone because a dotted quad is also a valid match for
+# the broad phone pattern. Patterns stay in the RE2 ∩ Java-regex
+# dialect so the DuckDB oracle applies them verbatim.
+REDACTION_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Apply the ordered redaction rules (emails, phone-like digit
+    runs, IPv4 literals) — regexp_replace chain, JVM-side, map-only."""
+    col = F.col(text) if isinstance(text, str) else text
+    for _, pattern, repl in REDACTION_RULES:
+        col = F.regexp_replace(col, pattern, repl)
+    return col
+
+
+def redaction_counts(text: Column | str) -> list[Column]:
+    """One count column per redaction rule (how many matches each rule
+    would hit) — the monitoring side of redact_pii."""
+    col = F.col(text) if isinstance(text, str) else text
+    out = []
+    for name, pattern, _ in REDACTION_RULES:
+        out.append(F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))).alias(f"n_{name}"))
+    return out

@@ -2282,6 +2282,187 @@ def q_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# 8. Corpus curation (north-star: clusters→keep-one, quality gate,
+#    deterministic split, PII redaction) — operators/curation.py
+# ===========================================================================
+
+_JACCARD_EDGES_CTES = f"""
+    sh AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles FROM documents),
+    e AS (SELECT doc_id, len(shingles) AS ns, unnest(shingles) AS s FROM sh),
+    jp AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.ns, b.ns
+      HAVING count(*)::DOUBLE / (a.ns + b.ns - count(*)) >= 0.5
+    )
+"""
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_JACCARD_EDGES_CTES},
+    edges AS (SELECT a AS x, b AS y FROM jp UNION SELECT b, a FROM jp),
+    reach(x, y) AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e2.y FROM reach r JOIN edges e2 ON r.y = e2.x
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           c.doc_id = c.cluster_id AS is_canonical
+    FROM comp c JOIN sizes s USING (cluster_id)
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS with a canonical keeper: the Jaccard≥0.5
+    pair graph resolved to connected components (min-label propagation,
+    operators.curation.connected_components) — the step that turns any
+    dedup operator's pair list into the keep/drop decision a training
+    corpus needs. Oracle: DuckDB WITH RECURSIVE transitive closure over
+    the identical pair SQL."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.shingle_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_doc_freq=1000
+    ).select("a", "b")
+    return curation.dedup_clusters(docs.select("doc_id"), pairs)
+
+
+@register(
+    "quality_gate_stats",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, text, {_TOKENS_SQL} AS toks,
+             length(text) AS n,
+             length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS np
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             {_sql_sw_ratio(_SW_EN)} AS sw,
+             CASE WHEN n = 0 THEN 0.0 ELSE np::DOUBLE / n END AS pr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+             END AS awl
+      FROM tk
+    ), g AS (
+      SELECT CASE WHEN n_tok < 10 THEN 'too_short'
+                  WHEN n_tok > 100000 THEN 'too_long'
+                  WHEN pr > 0.2 THEN 'too_much_punct'
+                  WHEN round(0.3 * least(n_tok / 50.0, 1.0)
+                           + 0.3 * (1.0 - least(abs(sw - 0.4) / 0.4, 1.0))
+                           + 0.2 * (1.0 - least(pr / 0.2, 1.0))
+                           + 0.2 * (1.0 - least(abs(awl - 5.0) / 5.0, 1.0)), 6) < 0.3
+                       THEN 'low_quality'
+                  ELSE 'keep' END AS gate
+      FROM m
+    )
+    SELECT gate, count(*) AS n_docs FROM g GROUP BY gate
+    """,
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate with attributable drop reasons (first failing rule
+    wins): per-reason document counts — the curation monitoring query.
+    Rules and score identical to text_quality's graded formula."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    gated = curation.quality_gate(fan_out(_t(spark, sf_dir, "documents")))
+    return gated.groupBy("gate").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "corpus_split_counts",
+    """
+    WITH s AS (
+      SELECT n_chars,
+             CASE WHEN ('0x' || substring(md5('split-v1' || doc_id::VARCHAR), 1, 4))::INTEGER % 100 < 90
+                  THEN 'train' ELSE 'validation' END AS split
+      FROM documents
+    )
+    SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY split
+    """,
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted-md5 train/validation split (stable across
+    engines, runs, partitionings and appends — the property rand() or
+    row-position splits lack), verified down to the per-split document
+    and character totals."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", curation.hash_split(docs))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+_PII_RULES_SQL = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
+}
+
+
+@register(
+    "pii_redaction_stats",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR
+                  || '@example.com or +7 (912) 345-67-'
+                  || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                  || ' ip 10.0.' || (doc_id % 256)::VARCHAR || '.1' AS pii
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(pii, '{_PII_RULES_SQL["email"]}')) AS n_email,
+           len(regexp_extract_all(pii, '{_PII_RULES_SQL["ipv4"]}')) AS n_ipv4,
+           len(regexp_extract_all(pii, '{_PII_RULES_SQL["phone"]}')) AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(pii,
+             '{_PII_RULES_SQL["email"]}', '<EMAIL>', 'g'),
+             '{_PII_RULES_SQL["ipv4"]}', '<IP>', 'g'),
+             '{_PII_RULES_SQL["phone"]}', '<PHONE>', 'g') AS redacted
+    FROM p
+    """,
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over synthesized contact blocks (emails, phone-like
+    digit runs, IPv4 literals — the corpus itself is PII-free, so both
+    engines append identical synthetic PII): per-rule INDEPENDENT match
+    counts on the raw text plus the fully-redacted text, byte-compared.
+    Ordered rules (email → ip → phone) so the broad phone pattern can't
+    eat an address or an IP first. Map-only regexp chain, JVM-side."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +7 (912) 345-67-"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1"),
+    )
+    staged = docs.select("doc_id", pii.alias("pii"))
+    return staged.select(
+        "doc_id",
+        *curation.redaction_counts(F.col("pii")),
+        curation.redact_pii(F.col("pii")).alias("redacted"),
+    )
+
+
+# ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
 # the 50 below are all oracle-bearing and cover every distinct surface;
