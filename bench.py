@@ -63,12 +63,20 @@ def main() -> None:
     # the reference likewise measures per-request time on a warm server
     # whose store connection is already up (app.py:66-67).
     spark.range(1000).selectExpr("sum(id)").collect()
+    from ydb_vector_search_demo_spark.operators import dedup
     from ydb_vector_search_demo_spark.sources.tables import TABLES, load_table
 
     for t in TABLES:
         load_table(spark, sf_dir, t).limit(1).collect()
-
-    from ydb_vector_search_demo_spark.operators import dedup
+    # run every headline plan once at the smoke SF: identical plan
+    # shapes compile whole-stage codegen, MLlib paths and Python workers
+    # so the timed region below measures steady-state data throughput,
+    # not one-time JIT/compile costs (which vary wildly with host load).
+    # Different sf_dir ⇒ different IVF cache key, so ann_ivf_build still
+    # pays its full KMeans fit in the timed region.
+    for name in HEADLINE:
+        QUERIES[name](spark, "/root/testdata/sf0.001").collect()
+        dedup.release_persisted()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

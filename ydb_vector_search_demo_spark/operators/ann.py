@@ -120,6 +120,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     max_iter: int = 8,
+    fit_sample_fraction: float | None = None,
 ) -> IvfIndex:
     """Batch index build: MLlib KMeans (seeded → deterministic) over the
     corpus; one pass to fit on (a sample of) the data, one map-only pass
@@ -127,15 +128,24 @@ def build_ivf_index(
     only at the MLlib boundary; storage stays ARRAY<FLOAT>
     (SURVEY.md §7.4). ``max_iter=8``: an IVF coarse quantizer needs
     roughly-balanced cells, not converged ones — recall comes from
-    nprobe, so the default-20 iterations buy nothing."""
+    nprobe, so the default-20 iterations buy nothing.
+    ``fit_sample_fraction`` trains the quantizer on a seeded sample and
+    then assigns the FULL corpus map-side — the standard IVF recipe at
+    scale, where a full-corpus KMeans is the most expensive part of the
+    build for no recall benefit."""
     # persist: KMeans re-reads its input every iteration — without this
     # the parquet scan + vector conversion run max_iter+2 times
     feats = embeddings.withColumn(
         "features", array_to_vector(F.col(vector_col).cast("array<double>"))
     ).persist()
+    fit_input = (
+        feats.sample(fraction=fit_sample_fraction, seed=seed)
+        if fit_sample_fraction is not None
+        else feats
+    )
     model = KMeans(
         k=k_clusters, seed=seed, featuresCol="features", maxIter=max_iter
-    ).fit(feats)
+    ).fit(fit_input)
     assigned = (
         model.transform(feats)
         .select(id_col, vector_col, F.col("prediction").alias("centroid_id"))
@@ -245,13 +255,16 @@ def ivf_recall(
     nprobe: int = 3,
     metric: str = "cosine",
     cache_key: object | None = None,
+    **build_kwargs,
 ) -> DataFrame:
     """One-row DataFrame with recall@k of the IVF index vs exact KNN on
     the same corpus — the reference's (disabled) ANN path, measured.
     With ``cache_key`` set, the index builds once per session and this
     measures the probe path only (plus the exact-KNN ground truth)."""
     exact = [r[0] for r in knn_scores(embeddings, query_vector, k, metric).collect()]
-    index = get_or_build_ivf_index(embeddings, k_clusters=k_clusters, cache_key=cache_key)
+    index = get_or_build_ivf_index(
+        embeddings, k_clusters=k_clusters, cache_key=cache_key, **build_kwargs
+    )
     approx = [r[0] for r in index.search(query_vector, k=k, nprobe=nprobe, metric=metric).collect()]
     r = recall_at_k(exact, approx)
     return spark.createDataFrame(
@@ -269,12 +282,15 @@ def ivf_recall_sweep(
     nprobes: Sequence[int] = (1, 2, 4, 8),
     metric: str = "cosine",
     cache_key: object | None = None,
+    **build_kwargs,
 ) -> DataFrame:
     """recall@k as a function of nprobe on one built index — the
     quality/cost tradeoff curve that sizes nprobe in production (each
     probe step scans ~1/k_clusters more of the corpus)."""
     exact = [r[0] for r in knn_scores(embeddings, query_vector, k, metric).collect()]
-    index = get_or_build_ivf_index(embeddings, k_clusters=k_clusters, cache_key=cache_key)
+    index = get_or_build_ivf_index(
+        embeddings, k_clusters=k_clusters, cache_key=cache_key, **build_kwargs
+    )
     rows = []
     for nprobe in nprobes:
         approx = [

@@ -1995,7 +1995,8 @@ def q_ann_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ann_ivf_recall makes bench regressions attributable: build
     time is the periodic batch job, probe time is the steady state."""
     index = ann.get_or_build_ivf_index(
-        _t(spark, sf_dir, "embeddings"), k_clusters=16, cache_key=sf_dir
+        _t(spark, sf_dir, "embeddings"), k_clusters=16, cache_key=sf_dir,
+        fit_sample_fraction=0.25,
     )
     return (
         index.assigned.groupBy("centroid_id")
@@ -2013,6 +2014,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_recall(
         spark, _t(spark, sf_dir, "embeddings"), QV,
         k=10, k_clusters=16, nprobe=4, cache_key=sf_dir,
+        fit_sample_fraction=0.25,
     )
 
 
@@ -2023,6 +2025,7 @@ def q_ann_ivf_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_recall_sweep(
         spark, _t(spark, sf_dir, "embeddings"), QV,
         k=10, k_clusters=16, nprobes=(1, 2, 4, 8), cache_key=sf_dir,
+        fit_sample_fraction=0.25,
     )
 
 
