@@ -308,3 +308,24 @@ def test_hash_split_is_stable_and_partition_independent(spark):
     assert a == b
     train_frac = sum(1 for v in a.values() if v == "train") / len(a)
     assert 0.85 < train_frac < 0.95
+
+
+def test_pack_sequences_respects_budget(spark):
+    """Every pack's token sum stays within budget unless it is a single
+    oversized row; walk order and bucket assignment are preserved."""
+    from ydb_vector_search_demo_spark.operators.curation import pack_sequences
+
+    rows = [(i, i % 3, t) for i, t in enumerate([100, 300, 200, 700, 50,
+                                                 512, 1, 511, 2, 600, 10, 10])]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, bucket BIGINT, n_tokens INT")
+    out = pack_sequences(df, budget=512).collect()
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault((r["bucket"], r["pack_id"]), []).append(r["n_tokens"])
+    for (bucket, _), toks in by_pack.items():
+        assert sum(toks) <= 512 or len(toks) == 1, (bucket, toks)
+    # packs are contiguous in doc order within a bucket
+    for b in {r["bucket"] for r in out}:
+        seq = sorted((r["doc_id"], r["pack_id"]) for r in out if r["bucket"] == b)
+        pids = [p for _, p in seq]
+        assert pids == sorted(pids)

@@ -195,3 +195,45 @@ def redaction_counts(text: Column | str) -> list[Column]:
     for name, pattern, _ in REDACTION_RULES:
         out.append(F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))).alias(f"n_{name}"))
     return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    bucket_col: str = "bucket",
+    order_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy sequence packing for LLM training batches: within each
+    bucket, walk rows in ``order_col`` order accumulating token counts
+    and start a new pack whenever adding the next row would exceed
+    ``budget`` (a row larger than the budget gets a pack of its own).
+
+    This is inherently sequential state per bucket, so it runs as an
+    Arrow-batched applyInPandas over bucket groups — the bucket is the
+    parallelism unit, exactly how a production packer shards (by file,
+    tenant or hash bucket). Deterministic: (bucket, order) fixes the
+    walk. Output adds an integer ``pack_id`` per row; pack token sums
+    never exceed the budget except for single oversized rows (property
+    tested)."""
+    import pandas as pd
+
+    out_fields = df.schema.fields
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+    out_schema += ", pack_id int"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        ids = []
+        pack_id, acc = 0, 0
+        for t in pdf[token_col]:
+            t = int(t)
+            if acc > 0 and acc + t > budget:
+                pack_id += 1
+                acc = 0
+            acc += t
+            ids.append(pack_id)
+        pdf["pack_id"] = pd.array(ids, dtype="int32")
+        return pdf
+
+    return df.groupBy(bucket_col).applyInPandas(pack, out_schema)
