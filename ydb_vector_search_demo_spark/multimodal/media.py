@@ -1,13 +1,21 @@
 """Multimodal columns: opaque binary payloads + typed metadata, with
-decode / feature-extract / resize / frame-sample plumbing.
+REAL decode / feature-extract / resize / frame-sample stages.
 
 North-star extension (BASELINE.json): treat image/audio/video as
-``BINARY`` columns in ordinary rows. The Spark-side plumbing — schema,
-Arrow batch shape, ``mapInPandas`` signatures, partition sizing — is
-real and tested; the actual codec calls are STUBBED (the image/audio
-libraries are not in this container): ``decode_media_meta`` derives
-deterministic fake dimensions from the payload bytes, and the seams are
-marked where a real decoder (PIL / ffmpeg / torchaudio) plugs in.
+``BINARY`` columns in ordinary rows. Heavy third-party codecs (PIL /
+ffmpeg / torchaudio) are not in this container, so the payloads use
+three REAL, self-describing public formats that parse with
+stdlib+numpy alone — the decode, resize and feature stages below are
+genuine codecs, not hash stubs:
+
+* image  → binary PGM (netpbm "P5": ASCII header + raw 8-bit gray)
+* audio  → RIFF/WAVE, PCM16 mono (44-byte canonical header)
+* video  → YUV4MPEG2 (Y4M: ASCII stream header + FRAME-delimited
+  4:2:0 planar frames)
+
+A production pipeline swaps the per-format parsers for PIL/ffprobe in
+the SAME mapInPandas seams; schema, Arrow batching and nullability
+contracts are identical.
 
 Scale notes: binary payloads dominate row size, so operators here
 (a) never shuffle the binary column — metadata extraction projects it
@@ -19,14 +27,17 @@ when payloads are large (a 10 MB-per-image table wants small batches).
 
 from __future__ import annotations
 
-import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -56,71 +67,207 @@ META_SCHEMA = StructType(
 )
 
 MODALITIES = ("image", "audio", "video")
+MIME_TYPES = {
+    "image": "image/x-portable-graymap",
+    "audio": "audio/wav",
+    "video": "video/x-yuv4mpeg",
+}
+
+
+# --------------------------------------------------------------- encoders
+# Deterministic synthesis: real bytes in real formats, derived from the
+# media id alone so both a re-run and a golden test reproduce them.
+
+
+def encode_pgm(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """Binary PGM (P5), 8-bit grayscale."""
+    header = f"P5\n{width} {height}\n255\n".encode("ascii")
+    return header + pixels.astype(np.uint8).tobytes()
+
+
+def synth_image(media_id: int) -> bytes:
+    w = 16 + media_id % 48
+    h = 12 + media_id % 36
+    yy, xx = np.mgrid[0:h, 0:w]
+    pixels = (xx * 7 + yy * 31 + media_id) % 256
+    return encode_pgm(w, h, pixels)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header + PCM16 mono data."""
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def synth_audio(media_id: int) -> bytes:
+    n = 800 + media_id % 800
+    i = np.arange(n)
+    samples = ((i * (media_id % 32 + 1)) % 512 - 256) * 64
+    return encode_wav(samples, 16000)
+
+
+def encode_y4m(width: int, height: int, frames: list[np.ndarray]) -> bytes:
+    """YUV4MPEG2 stream: ASCII header, then FRAME-delimited planar
+    4:2:0 frames (Y plane w*h + U,V planes (w/2)*(h/2) each)."""
+    out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode("ascii")]
+    for fr in frames:
+        out.append(b"FRAME\n")
+        out.append(fr.astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def synth_video(media_id: int) -> bytes:
+    w = 16 + 2 * (media_id % 8)
+    h = 8 + 2 * (media_id % 6)
+    n_frames = 3 + media_id % 5
+    frame_len = w * h + 2 * (w // 2) * (h // 2)
+    frames = [
+        (np.arange(frame_len) * (k + 1) + media_id) % 256
+        for k in range(n_frames)
+    ]
+    return encode_y4m(w, h, frames)
 
 
 def synthesize_media_table(documents: DataFrame) -> DataFrame:
     """Derive a deterministic media table from the documents fixture:
-    payload = UTF-8 bytes of the text (an opaque blob as far as the
-    pipeline is concerned), modality cycled by doc_id."""
-    modality = F.element_at(
-        F.array(*[F.lit(m) for m in MODALITIES]),
-        (F.pmod(F.col("doc_id"), F.lit(len(MODALITIES))) + 1).cast("int"),
-    )
-    return documents.select(
-        F.col("doc_id").alias("media_id"),
-        modality.alias("modality"),
-        F.encode("text", "UTF-8").alias("payload"),
-        F.concat(F.lit("application/x-"), modality).alias("mime_type"),
-    )
+    REAL PGM/WAV/Y4M payloads generated from the id, modality cycled by
+    doc_id. Runs as mapInPandas (payload bytes are built in numpy)."""
+    from ydb_vector_search_demo_spark.shipping import ensure_package_on_workers
+
+    ensure_package_on_workers()
+
+    synth = {"image": synth_image, "audio": synth_audio, "video": synth_video}
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids = pdf["doc_id"].astype("int64")
+            modality = [MODALITIES[m % len(MODALITIES)] for m in mids]
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "modality": modality,
+                    "payload": [synth[mo](int(m)) for m, mo in zip(mids, modality)],
+                    "mime_type": [MIME_TYPES[mo] for mo in modality],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
 
 
-def _fake_dims(payload: bytes) -> tuple[int, int]:
-    """Deterministic stand-in for a real header parse: two pseudo-dims
-    from the payload's md5. A real implementation opens the codec here."""
-    h = hashlib.md5(payload).digest()
-    return 16 + h[0] % 640, 16 + h[1] % 480
+# --------------------------------------------------------------- decoders
+
+
+def decode_pgm(raw: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse binary PGM (P5): returns (width, height, pixel matrix)."""
+    if not raw.startswith(b"P5"):
+        raise ValueError("not a P5 PGM payload")
+    # header: magic, width, height, maxval — whitespace separated
+    parts, pos, token = [], 2, b""
+    while len(parts) < 3:
+        c = raw[pos : pos + 1]
+        pos += 1
+        if c.isspace():
+            if token:
+                parts.append(int(token))
+                token = b""
+        else:
+            token += c
+    w, h, _maxval = parts
+    pixels = np.frombuffer(raw, dtype=np.uint8, count=w * h, offset=pos)
+    return w, h, pixels.reshape(h, w)
+
+
+def decode_wav(raw: bytes) -> tuple[int, int]:
+    """Parse a canonical RIFF/WAVE header: (sample_rate, n_samples)."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    sample_rate = struct.unpack_from("<I", raw, 24)[0]
+    bits = struct.unpack_from("<H", raw, 34)[0]
+    data_len = struct.unpack_from("<I", raw, 40)[0]
+    return sample_rate, data_len // (bits // 8)
+
+
+def wav_samples(raw: bytes) -> np.ndarray:
+    _, n = decode_wav(raw)
+    return np.frombuffer(raw, dtype="<i2", count=n, offset=44)
+
+
+def decode_y4m(raw: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Parse a YUV4MPEG2 stream: (width, height, frames) where each
+    frame is the raw planar 4:2:0 byte vector."""
+    nl = raw.index(b"\n")
+    header = raw[:nl].decode("ascii").split(" ")
+    if header[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = next(int(t[1:]) for t in header if t.startswith("W"))
+    h = next(int(t[1:]) for t in header if t.startswith("H"))
+    frame_len = w * h + 2 * (w // 2) * (h // 2)
+    frames, pos = [], nl + 1
+    while pos < len(raw):
+        fnl = raw.index(b"\n", pos)
+        if raw[pos:fnl].split(b" ")[0] != b"FRAME":
+            raise ValueError("corrupt FRAME marker")
+        start = fnl + 1
+        frames.append(np.frombuffer(raw, dtype=np.uint8, count=frame_len, offset=start))
+        pos = start + frame_len
+    return w, h, frames
 
 
 def decode_media_meta(media: DataFrame) -> DataFrame:
     """Decode stage: binary payload → typed metadata via Arrow-batched
-    ``mapInPandas``. STUB: dimensions are hash-derived fakes; swap
-    ``_fake_dims`` for PIL/ffprobe in production — the schema, batching
-    and nullability contract stay identical."""
-
+    ``mapInPandas``, using the real per-format header parsers above
+    (PIL/ffprobe would replace them in production — same seam, same
+    schema and nullability contract)."""
     from ydb_vector_search_demo_spark.shipping import ensure_package_on_workers
 
     ensure_package_on_workers()
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = pdf["payload"].map(lambda p: _fake_dims(bytes(p)))
-            is_img = pdf["modality"] == "image"
-            is_vid = pdf["modality"] == "video"
-            is_aud = pdf["modality"] == "audio"
-            out = pd.DataFrame(
+            width, height, n_frames, rate = [], [], [], []
+            for mo, p in zip(pdf["modality"], pdf["payload"]):
+                raw = bytes(p)
+                if mo == "image":
+                    w, h, _ = decode_pgm(raw)
+                    width.append(w); height.append(h)
+                    n_frames.append(1); rate.append(None)
+                elif mo == "audio":
+                    sr, _n = decode_wav(raw)
+                    width.append(None); height.append(None)
+                    n_frames.append(None); rate.append(sr)
+                else:
+                    w, h, frames = decode_y4m(raw)
+                    width.append(w); height.append(h)
+                    n_frames.append(len(frames)); rate.append(None)
+            yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
                     "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "width": [d[0] if v else None for d, v in zip(dims, is_img | is_vid)],
-                    "height": [d[1] if v else None for d, v in zip(dims, is_img | is_vid)],
-                    "n_frames": [
-                        1 if i else (d[0] * 4 if v else None)
-                        for d, i, v in zip(dims, is_img, is_vid)
-                    ],
-                    "sample_rate": [16000 if a else None for a in is_aud],
+                    "width": pd.array(width, dtype="Int32"),
+                    "height": pd.array(height, dtype="Int32"),
+                    "n_frames": pd.array(n_frames, dtype="Int32"),
+                    "sample_rate": pd.array(rate, dtype="Int32"),
                 }
             )
-            yield out
 
     return media.mapInPandas(decode, META_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n: int = 8) -> DataFrame:
-    """Frame-sampling plumbing for video rows: explode a deterministic
-    frame index list (real impl: decoder seek + jpeg encode per index).
-    The payload column is projected away *before* the explode so the
-    blob is not replicated per frame."""
+    """Frame-sampling for video rows: decode the real frame count, then
+    explode every-n frame indices. The payload column is projected away
+    *before* the explode so the blob is not replicated per frame; a
+    variant that EXTRACTS the sampled frames would re-join the sampled
+    indices to the payload and slice inside the same decode seam."""
     meta = decode_media_meta(media)
     frames = (
         meta.filter(F.col("modality") == "video")
@@ -146,12 +293,11 @@ RESIZE_SCHEMA = StructType(
 
 
 def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
-    """Resize stage for image rows: payload → smaller payload with the
-    aspect ratio preserved against the (stub-)decoded dimensions. STUB:
-    the 'resized' payload is a deterministic truncation of the original
-    bytes proportional to the pixel-count reduction — a real
-    implementation decodes, resamples and re-encodes in this exact
-    ``mapInPandas`` seam. Binary stays columnar Arrow end to end."""
+    """Resize stage for image rows: REAL nearest-neighbor resample —
+    decode the PGM pixel matrix, index-stride it down so the longest
+    side is ``max_side`` (aspect ratio preserved, never upscaled),
+    re-encode PGM. Binary stays columnar Arrow end to end; a production
+    impl swaps the resampler for PIL in this exact seam."""
     from ydb_vector_search_demo_spark.shipping import ensure_package_on_workers
 
     ensure_package_on_workers()
@@ -160,12 +306,14 @@ def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
         for pdf in batches:
             ids, payloads, ws, hs, nb = [], [], [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(p)
-                w, h = _fake_dims(raw)
+                w, h, pixels = decode_pgm(bytes(p))
                 scale = min(max_side / max(w, h), 1.0)
                 nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
-                keep = max(int(len(raw) * (nw * nh) / (w * h)), 1)
-                out = raw[:keep]
+                # nearest-neighbor: sample source rows/cols at the
+                # center of each destination cell
+                rows = ((np.arange(nh) + 0.5) * h / nh).astype(int)
+                cols = ((np.arange(nw) + 0.5) * w / nw).astype(int)
+                out = encode_pgm(nw, nh, pixels[np.ix_(rows, cols)])
                 ids.append(mid)
                 payloads.append(out)
                 ws.append(nw)
@@ -187,30 +335,37 @@ def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
 
 
 def media_embedding_stub(media: DataFrame, dim: int = 64) -> DataFrame:
-    """Feature-extraction stage: payload → embedding (real impl: a vision
-    /audio encoder in the same mapInPandas seam). STUB: seeded projection
-    of the payload hash, unit-normalized — deterministic for tests."""
-    import math
-    import random
-
+    """Feature-extraction stage: payload → unit-normalized ``dim``-bin
+    intensity histogram over the REAL decoded samples (image pixels,
+    audio PCM amplitudes, video first-frame bytes) — a genuine, if
+    simple, content feature: near-duplicate media get near-identical
+    histograms. A learned vision/audio encoder replaces the histogram
+    in this same mapInPandas seam (name kept for API stability)."""
     from ydb_vector_search_demo_spark.shipping import ensure_package_on_workers
 
     ensure_package_on_workers()
 
     def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            def one(p: bytes) -> list[float]:
-                seed = int.from_bytes(hashlib.md5(bytes(p)).digest()[:8], "big")
-                rng = random.Random(seed)
-                v = [rng.uniform(-1.0, 1.0) for _ in range(dim)]
-                n = math.sqrt(sum(x * x for x in v)) or 1.0
-                return [x / n for x in v]
-
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "embedding": pdf["payload"].map(one)}
-            )
-
-    from pyspark.sql.types import ArrayType, FloatType
+            vecs = []
+            for mo, p in zip(pdf["modality"], pdf["payload"]):
+                raw = bytes(p)
+                if mo == "image":
+                    _, _, pixels = decode_pgm(raw)
+                    values = pixels.ravel().astype(np.float64)
+                    lo, hi = 0.0, 255.0
+                elif mo == "audio":
+                    values = wav_samples(raw).astype(np.float64)
+                    lo, hi = -32768.0, 32767.0
+                else:
+                    _, _, frames = decode_y4m(raw)
+                    values = frames[0].astype(np.float64)
+                    lo, hi = 0.0, 255.0
+                hist, _ = np.histogram(values, bins=dim, range=(lo, hi))
+                v = hist.astype(np.float64)
+                n = np.linalg.norm(v)
+                vecs.append((v / n if n else v).astype(np.float32).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": vecs})
 
     schema = StructType(
         [
