@@ -329,3 +329,14 @@ def test_pack_sequences_respects_budget(spark):
         seq = sorted((r["doc_id"], r["pack_id"]) for r in out if r["bucket"] == b)
         pids = [p for _, p in seq]
         assert pids == sorted(pids)
+
+
+def test_fan_out_is_noop_when_wide_enough(spark):
+    from ydb_vector_search_demo_spark.sources.tables import fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    wide = spark.range(1000).repartition(target + 4)
+    assert fan_out(narrow).rdd.getNumPartitions() == target
+    # already-parallel input must pass through untouched (no extra shuffle)
+    assert fan_out(wide) is wide

@@ -1023,19 +1023,21 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_tfidf_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable TF-IDF (smoothed sklearn-style idf =
     ln((N+1)/(df+1))+1): top term per document, ties broken on term.
-    Pure DataFrame ops — explode → two hash aggs → one join on term →
-    per-doc argmax window; the corpus size joins in as a broadcast
-    1-row aggregate, never a driver-side count. Ranking happens on the
+    Pure DataFrame ops — explode → one hash agg (term frequency), then
+    document frequency as a count-over-window ON the tf relation (no
+    second aggregation, no self-join, no rescan of the corpus) → per-doc
+    argmax window; the corpus size joins in as a broadcast 1-row
+    aggregate, never a driver-side count. Ranking happens on the
     6-dp-rounded score so a last-ulp ln() difference between engines
     can't flip the argmax. The MLlib pipeline variant
     (text_tfidf_top_terms) stays rows-only."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     terms = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w_term = Window.partitionBy("term")
     scored = (
-        tf.join(dfq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -2228,6 +2230,45 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register("streaming_knn_top5", ORACLES["knn_top5_cosine"])
+def q_streaming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector search AS A STREAM: the corpus arrives as a Structured
+    Streaming file source and the exact cosine top-5 is maintained as a
+    complete-mode aggregation (array_sort(collect_list) sliced to k —
+    streaming forbids sort+limit, so top-k becomes an aggregate; state
+    is the running candidate list). Oracle: identical to the batch
+    knn_top5_cosine — streaming == batch == DuckDB on the same corpus.
+    The reference's per-request search, re-expressed over a live
+    ingest."""
+    _STREAM_COUNTER["n"] += 1
+    name = f"stream_knn_{_STREAM_COUNTER['n']}"
+    stream = EV.read_table_stream(spark, sf_dir, "embeddings")
+    scored = stream.select(
+        "vec_id", V.cosine_distance("embedding", F.lit(QV)).alias("score")
+    ).filter(F.col("score").isNotNull())
+    agg = scored.agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("score", "vec_id"))), 1, 5
+        ).alias("top")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(F.explode("top").alias("t"))
+        .select(
+            F.col("t.vec_id").alias("vec_id"),
+            F.round("t.score", 6).alias("score"),
+        )
+    )
 
 
 @register("streaming_stateful_user_counts")

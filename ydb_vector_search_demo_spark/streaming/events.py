@@ -140,6 +140,27 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Structured Streaming file source over any single-file testdata
+    table (same symlink-into-a-directory trick as read_events_stream;
+    schema sniffed from the parquet footer with a metadata-only batch
+    read). Use read_events_stream for events — it also performs the
+    nanos→micros timestamp conversion."""
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/{table}.parquet")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_{table}_stream", src.strip("/").replace("/", "_")
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(stream_dir)
+
+
 def streaming_hourly_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """The hourly aggregation under a watermark: late events beyond
     ``watermark`` are dropped, state is bounded, results are append-able."""
