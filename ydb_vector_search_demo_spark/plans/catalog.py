@@ -2232,6 +2232,69 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "streaming_purchase_click_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT p.user_id,
+           count(*) AS n_joined,
+           count(DISTINCT p.event_id) AS n_purchases,
+           CAST(sum(CAST(round(c.value * 100) AS BIGINT)) AS BIGINT) AS click_cents
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts <= p.ts
+    GROUP BY p.user_id
+    """,
+)
+def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (the last major Structured Streaming
+    surface): purchases joined to the same user's clicks from the
+    preceding 10 minutes, both sides watermarked so join state is
+    bounded — per-user match counts and click value totals. Oracle: the
+    identical interval join as batch SQL. At scale the watermark bound
+    is what keeps the click buffer finite; the join itself shuffles
+    both streams on user_id once."""
+    _STREAM_COUNTER["n"] += 1
+    name = f"stream_ssj_{_STREAM_COUNTER['n']}"
+    ev1 = EV.read_events_stream(spark, sf_dir)
+    ev2 = EV.read_events_stream(spark, sf_dir)
+    p = (
+        ev1.filter(F.col("event_type") == "purchase")
+        .select("event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "3650 days")
+    )
+    c = (
+        ev2.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), "value")
+        .withWatermark("c_ts", "3650 days")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_joined"),
+            F.countDistinct("event_id").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("click_cents"),
+        )
+    )
+
+
 @register("streaming_knn_top5", ORACLES["knn_top5_cosine"])
 def q_streaming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector search AS A STREAM: the corpus arrives as a Structured
