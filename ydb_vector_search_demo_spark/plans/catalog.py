@@ -2364,6 +2364,61 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROUNDTRIP_ORACLE = """
+    SELECT count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+           CAST(sum(length(source)) AS BIGINT) AS sum_source_len
+    FROM documents
+"""
+
+
+def _roundtrip_stats(df: DataFrame) -> DataFrame:
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.sum(F.length("source")).alias("sum_source_len"),
+    )
+
+
+@register("jsonl_roundtrip_stats", _ROUNDTRIP_ORACLE)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink roundtrip (the interchange format LLM
+    corpora actually ship in): documents written as JSONL and read back
+    with an explicit schema must preserve every row and every character
+    (UTF-8, quotes, escapes) — checked against aggregates DuckDB
+    computes on the original table. Schema-on-read, no inference scan."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="ydbvs_jsonl_") + "/docs"
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(docs.schema).json(path)
+    return _roundtrip_stats(back)
+
+
+@register("csv_roundtrip_stats", _ROUNDTRIP_ORACLE)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink roundtrip with full quoting/escaping enabled —
+    the lossy-format trap run deliberately: header on, quotes escaped,
+    explicit schema on read (PERMISSIVE mode). Content equality is
+    checked via the same DuckDB aggregates as the JSONL roundtrip."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="ydbvs_csv_") + "/docs"
+    docs.write.mode("overwrite").option("header", True).option("escape", '"').csv(path)
+    back = (
+        spark.read.schema(docs.schema)
+        .option("header", True)
+        .option("escape", '"')
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+    return _roundtrip_stats(back)
+
+
 @register("ingest_embed_roundtrip")
 def q_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion/upsert path (SURVEY.md §2.2 V5, app.py:29-42 implied):
