@@ -340,3 +340,20 @@ def test_fan_out_is_noop_when_wide_enough(spark):
     assert fan_out(narrow).rdd.getNumPartitions() == target
     # already-parallel input must pass through untouched (no extra shuffle)
     assert fan_out(wide) is wide
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from ydb_vector_search_demo_spark.sources.tables import compact_parquet
+
+    src = str(tmp_path / "small_files")
+    out = str(tmp_path / "compacted")
+    spark.range(10_000).repartition(40).write.parquet(src)
+    import glob
+    assert len(glob.glob(f"{src}/*.parquet")) == 40
+    n = compact_parquet(spark, src, out, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(f"{out}/*.parquet")) == 1
+    a = spark.read.parquet(src).agg({"id": "sum"}).collect()[0][0]
+    b = spark.read.parquet(out).agg({"id": "sum"}).collect()[0][0]
+    assert a == b
+    assert spark.read.parquet(out).count() == 10_000

@@ -79,3 +79,32 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     oracle views)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the table-maintenance job every
+    long-running ingest needs: rewrite a parquet dataset into
+    ceil(total_bytes / target) files of roughly target size. Streaming
+    sinks and incremental appends (e.g. ivf_append) accumulate small
+    files; scan cost then becomes file-open-bound rather than
+    byte-bound. Returns the output file count. Writes to ``out_path``
+    (never in place — the swap is the caller's atomic rename/metastore
+    step, exactly like a production compactor)."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(
+        out_path
+    )
+    return n_files
