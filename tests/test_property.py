@@ -155,3 +155,39 @@ def test_distance_metric_properties(vecs):
             assert r["cab"] is None
         else:
             assert -1e-9 <= r["cab"] <= 2 + 1e-9
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=700), min_size=1, max_size=40),
+    budget=st.integers(min_value=64, max_value=600),
+)
+def test_pack_sequences_matches_python_reference(spark, tokens, budget):
+    from ydb_vector_search_demo_spark.operators.curation import pack_sequences
+
+    rows = [(i, 0, t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, bucket BIGINT, n_tokens INT")
+    got = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_sequences(df, budget=budget).collect()
+    }
+    # pure-python reference of the greedy walk
+    expected, pack_id, acc = {}, 0, 0
+    for i, t in enumerate(tokens):
+        if acc > 0 and acc + t > budget:
+            pack_id += 1
+            acc = 0
+        acc += t
+        expected[i] = pack_id
+    assert got == expected
+
+
+@settings(max_examples=20, deadline=None)
+@given(texts=st.lists(TEXT, min_size=1, max_size=8))
+def test_redact_pii_is_idempotent(spark, texts):
+    from ydb_vector_search_demo_spark.operators.curation import redact_pii
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i INT, t STRING")
+    once = df.select("i", redact_pii("t").alias("r"))
+    twice = once.select("i", redact_pii(F.col("r")).alias("r"))
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
