@@ -357,3 +357,48 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     b = spark.read.parquet(out).agg({"id": "sum"}).collect()[0][0]
     assert a == b
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_star_components_equal_label_propagation(spark):
+    """large-star/small-star must produce the identical component map
+    as min-label propagation — on a long chain (the star method's
+    raison d'être: O(log n) vs O(n) rounds), on random graphs, and on
+    singleton-heavy graphs."""
+    import random
+
+    from ydb_vector_search_demo_spark.operators.curation import (
+        connected_components, connected_components_star,
+    )
+
+    def compare(n_nodes, edge_list):
+        nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id BIGINT")
+        edges = spark.createDataFrame(edge_list or [(0, 0)], "a BIGINT, b BIGINT")
+        if not edge_list:
+            edges = edges.filter("a != b")
+        lp = {r["doc_id"]: r["cluster_id"]
+              for r in connected_components(edges, nodes, max_iterations=64).collect()}
+        star = {r["doc_id"]: r["cluster_id"]
+                for r in connected_components_star(edges, nodes).collect()}
+        assert lp == star, f"mismatch: {dict(sorted(set(lp.items()) ^ set(star.items())))}"
+
+    # 40-node chain
+    compare(40, [(i, i + 1) for i in range(39)])
+    # random graph, seed-fixed
+    rng = random.Random(7)
+    compare(60, [(rng.randrange(60), rng.randrange(60)) for _ in range(45)])
+    # two triangles + singletons
+    compare(12, [(0, 1), (1, 2), (2, 0), (5, 6), (6, 7), (7, 5)])
+
+
+def test_label_propagation_raises_instead_of_wrong_answer(spark):
+    """Hitting the round cap without convergence must raise, never
+    silently return a partially-propagated labeling (a 40-node chain
+    needs 39 rounds; the default cap is 20)."""
+    import pytest as _pytest
+
+    from ydb_vector_search_demo_spark.operators.curation import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(40)], "doc_id BIGINT")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(39)], "a BIGINT, b BIGINT")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes)

@@ -48,12 +48,15 @@ def connected_components(
         edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
         .union(edges.select(F.col(dst_col).alias("x"), F.col(src_col).alias("y")))
         .distinct()
+        .persist()
     )
+    # localCheckpoint (not persist): every round derives from the
+    # previous labels TWICE, so without truncation the logical plan
+    # doubles per round and planning itself blows up after ~20 rounds.
+    # Eager local checkpointing materializes the round AND cuts lineage.
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
-    ).persist()
-    labels.count()
-    sym = sym.persist()
+    ).localCheckpoint(eager=True)
 
     for _ in range(max_iterations):
         neighbor_min = (
@@ -72,14 +75,18 @@ def connected_components(
                     "_changed"
                 ),
             )
-        ).persist()
-        # full count (not limit-1): materializes EVERY partition of the
-        # new labels into the cache before the old cache is released
+        ).localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).count()
-        labels.unpersist()
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    else:
+        sym.unpersist()
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iterations} rounds "
+            "(graph diameter exceeds the cap) — raise max_iterations or use "
+            "connected_components_star (O(log n) rounds)"
+        )
     sym.unpersist()
     return labels.select(F.col("node").alias(node_col), F.col("label").alias("cluster_id"))
 
@@ -97,9 +104,14 @@ def dedup_clusters(
     documents form one cluster, the lowest id is kept, the rest drop.
 
     Output per document: (id, cluster_id, cluster_size, is_canonical).
+
+    Components come from the large-star/small-star method
+    (:func:`connected_components_star`) — O(log n) rounds regardless
+    of cluster shape, so an adversarial duplicate CHAIN can't stall
+    the job the way it would stall plain label propagation.
     """
-    comp = connected_components(pairs, documents, node_col=id_col,
-                                src_col=src_col, dst_col=dst_col)
+    comp = connected_components_star(pairs, documents, node_col=id_col,
+                                     src_col=src_col, dst_col=dst_col)
     sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         comp.join(F.broadcast(sizes), "cluster_id")
@@ -237,3 +249,100 @@ def pack_sequences(
         return pdf
 
     return df.groupBy(bucket_col).applyInPandas(pack, out_schema)
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "doc_id",
+    src_col: str = "a",
+    dst_col: str = "b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components by the large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log n)-round scale path for graphs where plain
+    min-label propagation (:func:`connected_components`) would need
+    O(diameter) rounds (long chains).
+
+    * large-star: every node u links each LARGER neighbor to the
+      minimum of its neighborhood (incl. u);
+    * small-star: every node u links each neighbor ≤ u (and itself)
+      to that set's minimum.
+
+    Each phase is one groupBy-node shuffle. The edge set converges to
+    a star forest (every node → its component's minimum id); the
+    convergence check compares an order-insensitive edge-set checksum
+    (one tiny aggregate per round, nothing collected). Output matches
+    :func:`connected_components`: (node_col, cluster_id) for every
+    node, singletons included.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def checksum(df: DataFrame) -> int:
+        lo, hi = F.least("u", "v"), F.greatest("u", "v")
+        row = (
+            df.select(F.xxhash64(lo, hi).cast("decimal(38,0)").alias("h"))
+            .agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+        )
+        return (row["s"] or 0, row["n"])
+
+    def large_star(df: DataFrame) -> DataFrame:
+        sym = df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        grouped = sym.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+        m = F.least(F.array_min("nbrs"), F.col("u"))
+        return (
+            grouped.select(
+                F.explode("nbrs").alias("x"), m.alias("m"), F.col("u")
+            )
+            .filter(F.col("x") > F.col("u"))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(df: DataFrame) -> DataFrame:
+        # canonicalize so u >= v, then group the small neighbors
+        canon = df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        grouped = canon.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+        m = F.least(F.array_min("nbrs"), F.col("u"))
+        linked = grouped.select(
+            F.explode(
+                F.array_union("nbrs", F.array(F.col("u")))
+            ).alias("x"),
+            m.alias("m"),
+        )
+        return (
+            linked.filter(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    prev = None
+    # eager localCheckpoint per round: each phase references its input
+    # twice (the symmetrize/canonicalize unions), so lineage doubles
+    # per round without truncation — see connected_components.
+    e = e.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nxt = small_star(large_star(e)).localCheckpoint(eager=True)
+        sig = checksum(nxt)
+        e = nxt
+        if prev is not None and sig == prev:
+            break
+        prev = sig
+    roots = e.groupBy("u").agg(F.min("v").alias("root"))
+    return (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(roots, F.col("node") == roots.u, "left")
+        .select(
+            F.col("node").alias(node_col),
+            F.coalesce(F.col("root"), F.col("node")).alias("cluster_id"),
+        )
+    )
