@@ -49,6 +49,8 @@ def test_bad_payloads_raise():
     with pytest.raises(ValueError):
         media.decode_pgm(b"JFIF....")
     with pytest.raises(ValueError):
+        media.decode_pgm(b"P5\n12 34")  # truncated header must not hang
+    with pytest.raises(ValueError):
         media.decode_wav(b"OggS" + b"\0" * 60)
     with pytest.raises(ValueError):
         media.decode_y4m(b"MPEG2\n")

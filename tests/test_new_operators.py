@@ -402,3 +402,41 @@ def test_label_propagation_raises_instead_of_wrong_answer(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(39)], "a BIGINT, b BIGINT")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, nodes)
+
+
+def test_pack_oracle_matches_on_zero_and_oversized_rows(spark):
+    """The recursive-CTE oracle must replay the Python walk's
+    `acc > 0` guard: a zero-token doc leading a bucket followed by an
+    oversized doc must NOT open a new pack (the fixture has neither
+    case, so this guards the oracle directly on crafted data)."""
+    import duckdb
+    import pandas as pd
+
+    from ydb_vector_search_demo_spark.operators.curation import pack_sequences
+    from ydb_vector_search_demo_spark.plans.catalog import ORACLES
+
+    texts = {0: "   ", 8: " ".join(f"w{i}" for i in range(600))}
+    rows = [(i, texts.get(i, "a b c d e")) for i in range(16)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.sql(ORACLES["pack_sequences"]).fetchall()
+    }
+
+    from ydb_vector_search_demo_spark.functions.textstats import token_count
+    from pyspark.sql import functions as _F
+
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING").select(
+        "doc_id", (_F.col("doc_id") % 8).alias("bucket"),
+        token_count("text").alias("n_tokens"),
+    )
+    got = {
+        (r["doc_id"], r["bucket"]): (r["n_tokens"], r["pack_id"])
+        for r in pack_sequences(docs, budget=512).collect()
+    }
+    assert got == oracle
+    # and the guard semantics themselves: 0-token doc + oversized doc
+    # share pack 0 in bucket 0
+    assert got[(0, 0)][1] == got[(8, 0)][1] == 0

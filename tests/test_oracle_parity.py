@@ -6,8 +6,6 @@ anything but exact equality fails there too)."""
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 
@@ -27,20 +25,27 @@ def duck():
     con.close()
 
 
-def _normalize(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    names = [cols[i] for i in order]
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float) and math.isnan(v):
-                v = "NaN"
-            vals.append(v)
-        out.append(tuple(vals))
+def _norm_val(v):
+    if v is None:
+        return None
+    try:
+        if v != v:  # NaN and NaT
+            return "NaN"
+    except (TypeError, ValueError):
+        pass
+    return v
+
+
+def _normalize_pdf(pdf):
+    """Column-sorted (names, rows, dtype-kinds) from one pandas frame —
+    the same materialization path the driver hashes, so values AND
+    dtype families come from a single execution per engine."""
+    pdf = pdf[sorted(pdf.columns)]
+    names = list(pdf.columns)
+    kinds = {c: d.kind for c, d in pdf.dtypes.items()}
+    out = [tuple(_norm_val(v) for v in row) for row in pdf.itertuples(index=False)]
     out.sort(key=lambda r: tuple(str(x) for x in r))
-    return names, out
+    return names, out, kinds
 
 
 ORACLE_NAMES = sorted(set(entry_mod.queries()) & set(entry_mod.oracle_sql()))
@@ -73,30 +78,23 @@ def test_grading_window_is_all_oracles():
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_parity(spark, duck, name):
-    sdf = entry_mod.queries()[name](spark, SF_ORACLE)
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    # ONE materialization per engine, through pandas — the same path
+    # the driver hashes. Dtype families must agree too: DuckDB HUGEINT
+    # (an un-cast sum(BIGINT)) lands as float64 while Spark emits
+    # int64, which breaks the driver hash on identical values.
+    s_names, s_norm, s_kinds = _normalize_pdf(
+        entry_mod.queries()[name](spark, SF_ORACLE).toPandas()
+    )
+    d_names, d_norm, d_kinds = _normalize_pdf(
+        duck.sql(entry_mod.oracle_sql()[name]).df()
+    )
 
-    rel = duck.sql(entry_mod.oracle_sql()[name])
-    d_cols = rel.columns
-    d_rows = rel.fetchall()
-
-    # The driver materializes BOTH engines through pandas/Arrow and
-    # hashes those values, so dtype families must agree too — DuckDB
-    # HUGEINT (e.g. an un-cast sum(BIGINT)) lands as float64 while Spark
-    # emits int64, which breaks the driver hash on identical values.
-    s_kinds = {c: d.kind for c, d in sdf.toPandas().dtypes.items()}
-    d_kinds = {c: d.kind for c, d in duck.sql(entry_mod.oracle_sql()[name]).df().dtypes.items()}
     kind_diff = {
         c: (s_kinds[c], d_kinds[c])
         for c in s_kinds
         if c in d_kinds and s_kinds[c] != d_kinds[c]
     }
     assert not kind_diff, f"{name}: pandas dtype-kind mismatch {kind_diff}"
-
-    s_names, s_norm = _normalize(s_cols, s_rows)
-    d_names, d_norm = _normalize(d_cols, d_rows)
-
     assert s_names == d_names, f"{name}: column names differ {s_names} vs {d_names}"
     assert len(s_norm) == len(d_norm), (
         f"{name}: row count {len(s_norm)} vs {len(d_norm)}"

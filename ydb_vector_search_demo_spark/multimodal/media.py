@@ -172,6 +172,8 @@ def decode_pgm(raw: bytes) -> tuple[int, int, np.ndarray]:
     # header: magic, width, height, maxval — whitespace separated
     parts, pos, token = [], 2, b""
     while len(parts) < 3:
+        if pos >= len(raw):
+            raise ValueError("truncated PGM header")
         c = raw[pos : pos + 1]
         pos += 1
         if c.isspace():

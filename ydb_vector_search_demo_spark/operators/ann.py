@@ -178,7 +178,10 @@ def get_or_build_ivf_index(
     probe-time measurements no longer pay a KMeans refit per query."""
     key = None
     if cache_key is not None:
-        key = (cache_key, k_clusters)
+        # the build parameters are part of the identity — a sampled-fit
+        # index must never be returned to a caller asking for a
+        # full-fit one (or a different seed/max_iter)
+        key = (cache_key, k_clusters, tuple(sorted(build_kwargs.items())))
         cached = _IVF_CACHE.get(key)
         if cached is not None:
             return cached

@@ -41,8 +41,10 @@ def connected_components(
     Components in MapReduce", SoCC'14) drops rounds to O(log n) — same
     join primitive, different edge rewrite. The convergence check is a
     driver-side count of changed labels (an O(1)-row action per round,
-    never a collect of the graph). Labels persist each round; the
-    previous round's cache is released after the new one materializes.
+    never a collect of the graph). Each round's labels are an eager
+    localCheckpoint — lineage is truncated per round, and dropping the
+    Python reference to the previous round lets Spark's ContextCleaner
+    reclaim its blocks.
     """
     sym = (
         edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
@@ -169,7 +171,7 @@ def hash_split(
     value, so the split itself is oracle-checkable)."""
     bucket = (
         F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4),
+            F.substring(F.md5(F.concat(F.lit(salt), df[id_col].cast("string"))), 1, 4),
             16,
             10,
         ).cast("int")
@@ -337,6 +339,11 @@ def connected_components_star(
         if prev is not None and sig == prev:
             break
         prev = sig
+    else:
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {max_iterations} "
+            "rounds — raise max_iterations (expected rounds ~ log2(n))"
+        )
     roots = e.groupBy("u").agg(F.min("v").alias("root"))
     return (
         nodes.select(F.col(node_col).alias("node"))

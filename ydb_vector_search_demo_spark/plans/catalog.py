@@ -1758,6 +1758,10 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH marks AS (
       SELECT user_id, ts, event_id, value,
+             -- strict >: verified empirically — F.session_window MERGES
+             -- an exactly-gap-sized interval (two events 30:00.000000
+             -- apart form ONE session; only a strictly larger gap
+             -- splits), matching this gap-and-island formulation
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS new_s
@@ -2413,6 +2417,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema(docs.schema)
         .option("header", True)
         .option("escape", '"')
+        .option("multiLine", True)  # quoted fields may embed newlines
         .option("mode", "PERMISSIVE")
         .csv(path)
     )
@@ -2636,8 +2641,8 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT bucket, rn, doc_id, n_tokens, 0, n_tokens FROM base WHERE rn = 1
       UNION ALL
       SELECT b.bucket, b.rn, b.doc_id, b.n_tokens,
-             CASE WHEN w.acc + b.n_tokens > 512 THEN w.pack_id + 1 ELSE w.pack_id END,
-             CASE WHEN w.acc + b.n_tokens > 512 THEN b.n_tokens ELSE w.acc + b.n_tokens END
+             CASE WHEN w.acc > 0 AND w.acc + b.n_tokens > 512 THEN w.pack_id + 1 ELSE w.pack_id END,
+             CASE WHEN w.acc > 0 AND w.acc + b.n_tokens > 512 THEN b.n_tokens ELSE w.acc + b.n_tokens END
       FROM walk w JOIN base b ON b.bucket = w.bucket AND b.rn = w.rn + 1
     )
     SELECT doc_id, bucket, CAST(n_tokens AS INT) AS n_tokens,
