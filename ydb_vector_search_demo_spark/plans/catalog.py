@@ -1640,6 +1640,26 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.hourly_counts(_t(spark, sf_dir, "events"))
 
 
+@register("events_rollup_serve", ORACLES["events_hourly"])
+def q_events_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate serving (hypertable-rollup pattern): closed
+    hours are MATERIALIZED to a pre-aggregate parquet table, the open
+    tail aggregates from raw, and the served union must equal the
+    direct full aggregation — same oracle as events_hourly. The
+    boundary is the last closed hour minus a refresh horizon, derived
+    from the data (one tiny max() action)."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    boundary = max_ts.replace(minute=0, second=0, microsecond=0)
+    preagg_src = EV.hourly_counts(ev.filter(F.col("ts") < F.lit(boundary)))
+    path = tempfile.mkdtemp(prefix="ydbvs_rollup_") + "/hourly"
+    preagg_src.write.mode("overwrite").parquet(path)
+    preagg = spark.read.parquet(path)
+    return EV.serve_hourly_rollup(ev, preagg, boundary)
+
+
 @register(
     "events_json_stats",
     """

@@ -140,6 +140,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def serve_hourly_rollup(
+    raw: DataFrame, preagg: DataFrame, boundary
+) -> DataFrame:
+    """Continuous-aggregate read path (the 'hypertable rollup' serving
+    pattern): CLOSED hours come from the materialized pre-aggregate
+    table, the OPEN tail aggregates from raw events on the fly, and the
+    union is the complete, always-fresh hourly series. At 100 TB the
+    pre-aggregate is maintained incrementally (the streaming hourly
+    job); only the tail — bounded by the refresh interval — ever
+    rescans raw data. ``boundary`` must be an hour boundary; rows at or
+    after it come from raw so an in-progress hour is never double
+    counted."""
+    closed = preagg.filter(F.col("window_start") < F.lit(boundary))
+    tail = hourly_counts(raw.filter(F.col("ts") >= F.lit(boundary)))
+    return closed.unionByName(tail)
+
+
 def read_table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Structured Streaming file source over any single-file testdata
     table (same symlink-into-a-directory trick as read_events_stream;
