@@ -440,3 +440,31 @@ def test_pack_oracle_matches_on_zero_and_oversized_rows(spark):
     # and the guard semantics themselves: 0-token doc + oversized doc
     # share pack 0 in bucket 0
     assert got[(0, 0)][1] == got[(8, 0)][1] == 0
+
+
+def test_bucketed_cosine_multiprobe_improves_recall(spark):
+    """Multi-probe (1-bit bucket flips) must return a superset of the
+    single-bucket candidates, a subset of the exact pairs, and strictly
+    better (or already-perfect) recall on the smoke corpus."""
+    from ydb_vector_search_demo_spark.operators.dedup import (
+        bucketed_cosine_near_dup_pairs, cosine_near_dup_pairs,
+    )
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {(r["a"], r["b"]) for r in cosine_near_dup_pairs(embs, 0.3).collect()}
+    plain = {
+        (r["a"], r["b"])
+        for r in bucketed_cosine_near_dup_pairs(embs, 0.3, n_planes=8, dim=64).collect()
+    }
+    probed = {
+        (r["a"], r["b"])
+        for r in bucketed_cosine_near_dup_pairs(
+            embs, 0.3, n_planes=8, dim=64, probe_bits=8
+        ).collect()
+    }
+    assert plain <= probed <= exact
+    assert exact, "smoke corpus must contain near-dup pairs at 0.3"
+    r_plain = len(plain) / len(exact)
+    r_probed = len(probed) / len(exact)
+    assert r_probed >= r_plain
+    assert r_probed > r_plain or r_plain == 1.0

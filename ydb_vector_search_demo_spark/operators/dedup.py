@@ -520,6 +520,7 @@ def bucketed_cosine_near_dup_pairs(
     vector_col: str = "embedding",
     seed: int = 42,
     dim: int | None = None,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Scale variant: random-hyperplane (sign) LSH blocking. Vectors with
     high cosine similarity agree on most hyperplane signs, so candidates
@@ -527,7 +528,15 @@ def bucketed_cosine_near_dup_pairs(
     Hyperplanes are generated deterministically from ``seed`` on the
     driver (n_planes × dim floats — trivially broadcastable). Pass
     ``dim`` explicitly to keep the call fully lazy; omitting it costs
-    one driver-side first() probe of the vector column."""
+    one driver-side first() probe of the vector column.
+
+    ``probe_bits`` turns on MULTI-PROBE: one join side additionally
+    lands in every bucket reachable by flipping one of the first
+    ``probe_bits`` code bits, so any pair whose codes differ in at most
+    one probed bit is still a candidate — the classic recall/cost
+    valve (candidate volume grows ×(1+probe_bits); a near-dup pair
+    crossing a single hyperplane is no longer lost).
+    ``probe_bits=n_planes`` catches every 1-bit code difference."""
     import random as _random
 
     from ydb_vector_search_demo_spark.functions.vector import dot, l2_norm
@@ -551,9 +560,16 @@ def bucketed_cosine_near_dup_pairs(
         l2_norm(vector_col).alias("nrm"),
         code.alias("code"),
     )
+    probes = F.array(
+        F.col("code"),
+        *[
+            F.col("code").bitwiseXOR(F.lit(1 << i))
+            for i in range(min(probe_bits, n_planes))
+        ],
+    )
     a = coded.select(
         F.col("sid").alias("a"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"), "code",
+        F.col("nrm").alias("na"), F.explode(probes).alias("code"),
     )
     b = coded.select(
         F.col("sid").alias("b"), F.col("v").alias("vb"),
@@ -565,4 +581,5 @@ def bucketed_cosine_near_dup_pairs(
         .withColumn("cos_sim", F.try_divide(dot("va", "vb"), F.col("na") * F.col("nb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
+        .distinct()
     )

@@ -2005,10 +2005,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_cosine_bucketed")
 def q_dedup_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH-bucketed cosine near-dup (the 100 TB path for
-    dedup_cosine_pairs: candidates only within equal sign-codes)."""
+    dedup_cosine_pairs): candidates within equal sign-codes plus every
+    1-bit-flipped bucket (multi-probe — pairs crossing one hyperplane
+    are not lost; recall measured in tests)."""
     return dedup.bucketed_cosine_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=8,
-        dim=rag.EMBEDDING_DIM,
+        dim=rag.EMBEDDING_DIM, probe_bits=8,
     )
 
 
