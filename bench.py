@@ -78,13 +78,27 @@ def main() -> None:
         QUERIES[name](spark, "/root/testdata/sf0.001").collect()
         dedup.release_persisted()
 
+    # Median of 3 trials per query: single samples on a shared host
+    # swing up to 3x from CPU contention alone (BASELINE.md variance
+    # note); the median is the honest steady-state number. ann_ivf_build
+    # keeps its session cache only across trials of the SAME query, so
+    # trial 1 pays the fit and the median still reflects a warm rebuild
+    # path — its cache is cleared between trials to keep each one real.
+    from ydb_vector_search_demo_spark.operators import ann
+
+    TRIALS = 3
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
-        # operator-internal caches must not leak across timed queries
-        dedup.release_persisted()
+        samples = []
+        for _ in range(TRIALS):
+            if name == "ann_ivf_build":
+                ann.clear_index_cache()
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).collect()
+            samples.append(time.time() - t0)
+            # operator-internal caches must not leak across timed queries
+            dedup.release_persisted()
+        timings[name] = round(sorted(samples)[TRIALS // 2], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

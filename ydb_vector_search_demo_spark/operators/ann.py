@@ -166,6 +166,14 @@ def build_ivf_index(
 _IVF_CACHE: dict[tuple, IvfIndex] = {}
 
 
+def clear_index_cache() -> None:
+    """Drop every session-cached IVF index and release its persisted
+    assignment (benchmarks use this to make each build trial real)."""
+    for idx in _IVF_CACHE.values():
+        idx.assigned.unpersist()
+    _IVF_CACHE.clear()
+
+
 def get_or_build_ivf_index(
     embeddings: DataFrame,
     k_clusters: int = 16,
