@@ -80,10 +80,10 @@ def main() -> None:
 
     # Median of 3 trials per query: single samples on a shared host
     # swing up to 3x from CPU contention alone (BASELINE.md variance
-    # note); the median is the honest steady-state number. ann_ivf_build
-    # keeps its session cache only across trials of the SAME query, so
-    # trial 1 pays the fit and the median still reflects a warm rebuild
-    # path — its cache is cleared between trials to keep each one real.
+    # note); the median is the honest steady-state number. The IVF
+    # cache is cleared before EVERY ann_ivf_build trial, so all three
+    # measure a full KMeans fit; the build left in place by the last
+    # trial is what ann_ivf_recall's trials then probe against.
     from ydb_vector_search_demo_spark.operators import ann
 
     TRIALS = 3

@@ -531,12 +531,16 @@ def bucketed_cosine_near_dup_pairs(
     one driver-side first() probe of the vector column.
 
     ``probe_bits`` turns on MULTI-PROBE: one join side additionally
-    lands in every bucket reachable by flipping one of the first
-    ``probe_bits`` code bits, so any pair whose codes differ in at most
-    one probed bit is still a candidate — the classic recall/cost
-    valve (candidate volume grows ×(1+probe_bits); a near-dup pair
-    crossing a single hyperplane is no longer lost).
-    ``probe_bits=n_planes`` catches every 1-bit code difference."""
+    lands in every bucket reachable by flipping one of the LOW-ORDER
+    ``probe_bits`` code bits (the code packs plane 0 at the MSB, so
+    these are the last ``probe_bits`` hyperplanes — statistically
+    equivalent for random planes), so any pair whose codes differ in
+    at most one probed bit is still a candidate — the classic
+    recall/cost valve (candidate volume grows ×(1+probe_bits)).
+    ``probe_bits=n_planes`` catches every 1-bit code difference. A
+    pair can match through at most ONE probe element (the probe values
+    are pairwise distinct while the other side carries a single code),
+    so no post-join dedup is needed."""
     import random as _random
 
     from ydb_vector_search_demo_spark.functions.vector import dot, l2_norm
@@ -581,5 +585,4 @@ def bucketed_cosine_near_dup_pairs(
         .withColumn("cos_sim", F.try_divide(dot("va", "vb"), F.col("na") * F.col("nb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
-        .distinct()
     )

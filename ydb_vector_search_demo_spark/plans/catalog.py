@@ -1646,15 +1646,29 @@ def q_events_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours are MATERIALIZED to a pre-aggregate parquet table, the open
     tail aggregates from raw, and the served union must equal the
     direct full aggregation — same oracle as events_hourly. The
-    boundary is the last closed hour minus a refresh horizon, derived
-    from the data (one tiny max() action)."""
+    boundary is the start of the LAST hour window, computed with the
+    same F.window expression the aggregation uses, so it is aligned
+    with the bucketing by construction in any session timezone (one
+    tiny max() action)."""
+    import os
     import tempfile
 
     ev = _t(spark, sf_dir, "events")
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
-    boundary = max_ts.replace(minute=0, second=0, microsecond=0)
+    row = (
+        ev.agg(F.max("ts").alias("m"))
+        .select(F.window("m", "1 hour").start.alias("b"))
+        .collect()[0]
+    )
+    boundary = row["b"]
+    if boundary is None:  # empty table: nothing is closed, serve = direct
+        return EV.hourly_counts(ev)
+    # deterministic source-keyed path (same pattern as the stream
+    # sources): repeated invocations overwrite instead of accumulating
+    path = os.path.join(
+        tempfile.gettempdir(), "ydbvs_rollup",
+        os.path.abspath(sf_dir).strip("/").replace("/", "_"), "hourly",
+    )
     preagg_src = EV.hourly_counts(ev.filter(F.col("ts") < F.lit(boundary)))
-    path = tempfile.mkdtemp(prefix="ydbvs_rollup_") + "/hourly"
     preagg_src.write.mode("overwrite").parquet(path)
     preagg = spark.read.parquet(path)
     return EV.serve_hourly_rollup(ev, preagg, boundary)
