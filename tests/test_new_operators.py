@@ -468,3 +468,48 @@ def test_bucketed_cosine_multiprobe_improves_recall(spark):
     r_probed = len(probed) / len(exact)
     assert r_probed >= r_plain
     assert r_probed > r_plain or r_plain == 1.0
+
+
+def test_minhash_incremental_equals_full_cross_pairs(spark):
+    """Banding an incoming batch against the existing corpus must find
+    exactly the cross-corpus pairs the full self-join pipeline finds
+    (same signatures, same bands, same exact verification)."""
+    from ydb_vector_search_demo_spark.operators.dedup import (
+        minhash_dedup_pairs, minhash_incremental_pairs, release_persisted,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    newd = docs.filter(F.col("doc_id") % 2 == 1)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    full = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_dedup_pairs(docs, threshold=0.2).collect()
+    }
+    cross_expected = {
+        tuple(sorted(k)): v
+        for k, v in full.items()
+        if (k[0] % 2) != (k[1] % 2)
+    }
+    got = {
+        tuple(sorted((r["a"], r["b"]))): r["jaccard"]
+        for r in minhash_incremental_pairs(newd, old, threshold=0.2).collect()
+    }
+    release_persisted()
+    assert got == cross_expected
+
+
+def test_incremental_exact_dedup_drops_cross_and_in_batch(spark):
+    from ydb_vector_search_demo_spark.operators.dedup import incremental_exact_dedup
+
+    existing = spark.createDataFrame(
+        [(0, "alpha"), (2, "beta")], "doc_id BIGINT, text STRING"
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"),   # cross-corpus dup -> dropped
+         (3, "gamma"),   # unique -> kept
+         (5, "gamma"),   # in-batch dup -> dropped
+         (7, "delta")],  # unique -> kept
+        "doc_id BIGINT, text STRING",
+    )
+    kept = sorted(r["doc_id"] for r in incremental_exact_dedup(new, existing).collect())
+    assert kept == [3, 7]

@@ -586,3 +586,108 @@ def bucketed_cosine_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+# ----------------------------------------------------------- incremental
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an INCOMING batch against an existing corpus without
+    touching the corpus itself — the production ingest flow (a 100 TB
+    corpus is never re-deduped per batch). Two stages, both hash-keyed:
+
+    1. cross-corpus: anti-join the batch's text hashes against the
+       existing corpus's DISTINCT hashes (at scale the existing side is
+       a maintained hash table / bloom filter, not a corpus scan);
+    2. in-batch: keep the lowest id per surviving hash group
+       (:func:`exact_dedup` on the survivors).
+
+    Returns the surviving new rows. Collisions: stage 2 groups on
+    (hash, text) via exact_dedup; stage 1 accepts the ~2⁻⁶⁴ false-drop
+    odds like every hash-dedup at this scale."""
+    existing_h = existing_docs.select(
+        F.xxhash64(F.col(text_col)).alias("_h")
+    ).distinct()
+    survivors = (
+        new_docs.withColumn("_h", F.xxhash64(F.col(text_col)))
+        .join(existing_h, "_h", "left_anti")
+        .drop("_h")
+    )
+    return (
+        exact_dedup(survivors, text_col=text_col, id_col=id_col)
+        .filter(~F.col("is_duplicate"))
+        .drop("dup_rank", "is_duplicate")
+    )
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN an incoming batch and the existing
+    corpus (new id as ``a``, existing id as ``b``): band the batch's
+    MinHash signatures against the corpus's banded signatures — at
+    scale the corpus side is a materialized signature/band table, so
+    per batch only the (tiny) new side computes signatures and the join
+    touches matching band buckets. Verification is the same exact
+    Jaccard over shingle hashes as the full pipeline."""
+    rows_per_band = num_hashes // bands
+    new_sigs = _persist(minhash_signatures(new_docs, n, num_hashes, text_col, id_col))
+    old_sigs = _persist(
+        minhash_signatures(existing_docs, n, num_hashes, text_col, id_col)
+    )
+
+    def banded(sigs: DataFrame, side: str) -> DataFrame:
+        return sigs.select(
+            F.col("sid").alias(side),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda bidx: F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(
+                                    F.col("signature"),
+                                    bidx * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda h: h.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ),
+                )
+            ).alias("band_idx", "band_hash"),
+        )
+
+    cands = (
+        banded(new_sigs, "a")
+        .join(banded(old_sigs, "b"), ["band_idx", "band_hash"])
+        .select("a", "b")
+        .distinct()
+    )
+    sh_new = new_sigs.select(F.col("sid").alias("a"), F.col("shingle_hashes").alias("sh_a"))
+    sh_old = old_sigs.select(F.col("sid").alias("b"), F.col("shingle_hashes").alias("sh_b"))
+    return (
+        cands.join(sh_new, "a")
+        .join(sh_old, "b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )

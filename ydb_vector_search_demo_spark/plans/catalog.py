@@ -2666,6 +2666,36 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_stats",
+    """
+    WITH newd AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+         ex AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+         surv AS (SELECT n.* FROM newd n
+                  WHERE n.text NOT IN (SELECT text FROM ex)),
+         kept AS (SELECT doc_id FROM (
+                    SELECT doc_id,
+                           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                    FROM surv) WHERE rn = 1)
+    SELECT (SELECT count(*) FROM newd) AS n_new,
+           (SELECT count(*) FROM kept) AS n_kept
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (operators.dedup.incremental_exact_dedup):
+    an incoming batch (odd doc_ids) deduped against the existing corpus
+    (even doc_ids) via a hash anti-join, then in-batch keep-first — the
+    production flow where the standing corpus is never re-deduped.
+    Output: batch size and surviving count."""
+    docs = _t(spark, sf_dir, "documents")
+    newd = docs.filter(F.col("doc_id") % 2 == 1)
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    kept = dedup.incremental_exact_dedup(newd, existing)
+    return newd.agg(F.count(F.lit(1)).alias("n_new")).crossJoin(
+        kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+@register(
     "pack_sequences",
     f"""
     WITH RECURSIVE base AS (
