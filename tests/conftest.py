@@ -23,6 +23,17 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(autouse=True)
+def _release_dedup_persisted():
+    """Dedup operators persist self-join inputs; release them after every
+    test so a full suite run never accumulates pinned executor storage
+    (same contract as bench.py between timed queries)."""
+    yield
+    from ydb_vector_search_demo_spark.operators import dedup
+
+    dedup.release_persisted()
+
+
 @pytest.fixture(scope="session")
 def sf_smoke() -> str:
     return SF_SMOKE

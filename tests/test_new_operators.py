@@ -331,15 +331,29 @@ def test_pack_sequences_respects_budget(spark):
         assert pids == sorted(pids)
 
 
-def test_fan_out_is_noop_when_wide_enough(spark):
-    from ydb_vector_search_demo_spark.sources.tables import fan_out
+def test_fan_out_widens_narrow_file_scans_only(spark, tmp_path):
+    from ydb_vector_search_demo_spark.sources.tables import (
+        estimate_scan_partitions, fan_out,
+    )
 
     target = spark.sparkContext.defaultParallelism
-    narrow = spark.range(1000).coalesce(1)
-    wide = spark.range(1000).repartition(target + 4)
-    assert fan_out(narrow).rdd.getNumPartitions() == target
-    # already-parallel input must pass through untouched (no extra shuffle)
-    assert fan_out(wide) is wide
+    path = str(tmp_path / "one_file")
+    spark.range(1000).coalesce(1).write.parquet(path)
+    narrow = spark.read.parquet(path)
+    # a single small file estimates to one scan partition → fan_out
+    # inserts the round-robin repartition up to defaultParallelism
+    assert estimate_scan_partitions(narrow) == 1
+    widened = fan_out(narrow)
+    assert widened is not narrow
+    # .rdd here is test-side verification only; the package itself never
+    # touches .rdd (that is the point of the metadata-only estimate)
+    assert widened.rdd.getNumPartitions() == target
+    # non-file relations (in-memory frames, post-shuffle stages) must
+    # pass through untouched — and the width check itself must be
+    # metadata-only (no .rdd physical planning)
+    mem = spark.range(1000).repartition(target + 4)
+    assert estimate_scan_partitions(mem) is None
+    assert fan_out(mem) is mem
 
 
 def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):

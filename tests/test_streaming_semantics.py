@@ -107,3 +107,54 @@ def test_streaming_hourly_equals_batch(spark, tmp_path):
         for r in hourly_counts(load_table(spark, sf, "events")).collect()
     }
     assert got == expected
+
+
+def test_running_topk_bounded_state_equals_batch(spark, tmp_path):
+    """The O(k)-state streaming top-k (applyInPandasWithState) folds
+    candidates across micro-batches: after two batches the final update
+    equals the batch-sorted top-k, and no emission ever exceeds k rows
+    (the bounded-state evidence)."""
+    from ydb_vector_search_demo_spark.streaming.stateful import running_topk
+
+    directory = str(tmp_path / "scores")
+    os.makedirs(directory)
+    sch = "vec_id LONG, score DOUBLE"
+    now = time.time()
+
+    def write(rows, name, mtime):
+        df = spark.createDataFrame(rows, sch).coalesce(1)
+        staging = os.path.join(directory, f"_stage_{name}")
+        df.write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in os.listdir(staging)
+            if f.endswith(".parquet") and f.startswith("part-")
+        )
+        dest = os.path.join(directory, name)
+        os.rename(os.path.join(staging, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    write([(1, 0.9), (2, 0.1), (3, 0.5), (4, 0.7)], "f1.parquet", now - 60)
+    write([(5, 0.05), (6, 0.45), (7, 0.95)], "f2.parquet", now)
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(directory)
+    )
+    topk = running_topk(stream, k=3, id_col="vec_id", score_col="score")
+    batches: list[list] = []
+    q = (
+        topk.writeStream.foreachBatch(
+            lambda df, _bid: batches.append(df.collect())
+        )
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    non_empty = [b for b in batches if b]
+    assert non_empty, "stream emitted nothing"
+    assert all(len(b) <= 3 for b in non_empty)
+    final = [(r["id"], r["score"]) for r in non_empty[-1]]
+    # global top-3 by (score asc, id): 0.05(5), 0.1(2), 0.45(6)
+    assert final == [(5, 0.05), (2, 0.1), (6, 0.45)]

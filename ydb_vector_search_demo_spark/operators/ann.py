@@ -180,16 +180,32 @@ def get_or_build_ivf_index(
     cache_key: object | None = None,
     **build_kwargs,
 ) -> IvfIndex:
-    """Return a cached IvfIndex for (cache_key, k_clusters), building it
-    on first use. ``cache_key`` identifies the corpus (e.g. its path);
-    pass None to always rebuild. Keeps per-call benchmarks honest:
-    probe-time measurements no longer pay a KMeans refit per query."""
+    """Return a cached IvfIndex for (cache_key, input relation,
+    k_clusters, normalized build params), building it on first use.
+    ``cache_key`` names the corpus (e.g. its path); pass None to always
+    rebuild. Keeps per-call benchmarks honest: probe-time measurements
+    no longer pay a KMeans refit per query.
+
+    The key also folds in the input DataFrame's ``semanticHash()`` —
+    two callers passing DIFFERENT relations (e.g. a filtered corpus)
+    under the same cache_key must not silently share one index — and
+    normalizes ``build_kwargs`` against :func:`build_ivf_index`'s
+    defaults, so kwargs passed explicitly at their default value hit
+    the same entry as kwargs omitted."""
     key = None
     if cache_key is not None:
+        import inspect
+
         # the build parameters are part of the identity — a sampled-fit
         # index must never be returned to a caller asking for a
         # full-fit one (or a different seed/max_iter)
-        key = (cache_key, k_clusters, tuple(sorted(build_kwargs.items())))
+        params = inspect.signature(build_ivf_index).parameters
+        norm = tuple(
+            (name, build_kwargs.get(name, p.default))
+            for name, p in params.items()
+            if name not in ("embeddings", "k_clusters")
+        )
+        key = (cache_key, embeddings.semanticHash(), k_clusters, norm)
         cached = _IVF_CACHE.get(key)
         if cached is not None:
             return cached

@@ -12,6 +12,8 @@ per-document signature computation entirely in JVM array expressions
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -22,20 +24,26 @@ from ydb_vector_search_demo_spark.sources.tables import fan_out
 # self-joins, so caching is part of the plan). A lazy DataFrame can't
 # unpersist itself before the caller's action runs, so callers that are
 # done with a result call release_persisted() — bench.py does between
-# timed queries.
+# timed queries, and the test suite's autouse fixture does after every
+# test, so a long-lived session never accumulates pinned storage.
 _PERSISTED: list[DataFrame] = []
+_PERSISTED_LOCK = threading.Lock()
 
 
 def _persist(df: DataFrame) -> DataFrame:
     out = df.persist()
-    _PERSISTED.append(out)
+    with _PERSISTED_LOCK:
+        _PERSISTED.append(out)
     return out
 
 
 def release_persisted() -> None:
     """Unpersist every relation cached by this module's operators."""
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+    with _PERSISTED_LOCK:
+        items = _PERSISTED[:]
+        _PERSISTED.clear()
+    for df in items:
+        df.unpersist()
 
 
 # ---------------------------------------------------------------- exact
@@ -114,6 +122,16 @@ def shingle_jaccard_pairs(
     pairs = (
         a.join(b, "sh")
         .filter(F.col("a") < F.col("b"))
+        # size-ratio bound: |A∩B| <= min(|A|,|B|), so J(A,B) <=
+        # min(|A|,|B|)/max(|A|,|B|). Pairs whose size ratio is already
+        # below the threshold can never pass it — dropping them BEFORE
+        # the pair aggregation removes exactly the skew-heavy candidate
+        # volume (a short doc sharing one stopword shingle with every
+        # long doc) at zero cost: both counts are already on the row.
+        .filter(
+            F.least("na", "nb").cast("double")
+            >= F.lit(threshold) * F.greatest("na", "nb")
+        )
         .groupBy("a", "b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
         .withColumn(
@@ -258,6 +276,15 @@ def minhash_dedup_pairs(
     verified = (
         cands.join(sh.withColumnRenamed("sid", "a").withColumnRenamed("shingles", "sh_a"), "a")
         .join(sh.withColumnRenamed("sid", "b").withColumnRenamed("shingles", "sh_b"), "b")
+        # size-ratio bound (J <= min/max): skip the array_intersect for
+        # candidates that cannot reach the threshold — the intersect is
+        # the only O(|A|+|B|) step per candidate, the bound is O(1)
+        .filter(
+            F.size("sh_a").cast("double") >= F.lit(threshold) * F.size("sh_b")
+        )
+        .filter(
+            F.size("sh_b").cast("double") >= F.lit(threshold) * F.size("sh_a")
+        )
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
@@ -519,16 +546,18 @@ def bucketed_cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     seed: int = 42,
-    dim: int | None = None,
+    *,
+    dim: int,
     probe_bits: int = 0,
 ) -> DataFrame:
     """Scale variant: random-hyperplane (sign) LSH blocking. Vectors with
     high cosine similarity agree on most hyperplane signs, so candidates
     are restricted to equal sign-codes; pairs are then verified exactly.
     Hyperplanes are generated deterministically from ``seed`` on the
-    driver (n_planes × dim floats — trivially broadcastable). Pass
-    ``dim`` explicitly to keep the call fully lazy; omitting it costs
-    one driver-side first() probe of the vector column.
+    driver (n_planes × dim floats — trivially broadcastable). ``dim`` is
+    REQUIRED (array columns carry no length in the schema, and sniffing
+    it with a driver-side first() would scan a cold 100 TB table just to
+    build the plan) — the call stays fully lazy.
 
     ``probe_bits`` turns on MULTI-PROBE: one join side additionally
     lands in every bucket reachable by flipping one of the LOW-ORDER
@@ -545,8 +574,6 @@ def bucketed_cosine_near_dup_pairs(
 
     from ydb_vector_search_demo_spark.functions.vector import dot, l2_norm
 
-    if dim is None:
-        dim = len(embeddings.select(vector_col).first()[0])
     rng = _random.Random(seed)
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
@@ -682,6 +709,13 @@ def minhash_incremental_pairs(
     return (
         cands.join(sh_new, "a")
         .join(sh_old, "b")
+        # size-ratio bound — see minhash_dedup_pairs
+        .filter(
+            F.size("sh_a").cast("double") >= F.lit(threshold) * F.size("sh_b")
+        )
+        .filter(
+            F.size("sh_b").cast("double") >= F.lit(threshold) * F.size("sh_a")
+        )
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",

@@ -2340,8 +2340,12 @@ def q_streaming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector search AS A STREAM: the corpus arrives as a Structured
     Streaming file source and the exact cosine top-5 is maintained as a
     complete-mode aggregation (array_sort(collect_list) sliced to k —
-    streaming forbids sort+limit, so top-k becomes an aggregate; state
-    is the running candidate list). Oracle: identical to the batch
+    streaming forbids sort+limit, so top-k becomes an aggregate). NOTE
+    the state posture: complete-mode collect_list holds the FULL scored
+    set, O(N) not O(k) — acceptable for a demo corpus, not at 100 TB;
+    the bounded-state alternative is the applyInPandasWithState top-k
+    (streaming.stateful.running_topk, state = k candidates per key),
+    equal to this result by test. Oracle: identical to the batch
     knn_top5_cosine — streaming == batch == DuckDB on the same corpus.
     The reference's per-request search, re-expressed over a live
     ingest."""
@@ -2371,6 +2375,43 @@ def q_streaming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t.vec_id").alias("vec_id"),
             F.round("t.score", 6).alias("score"),
         )
+    )
+
+
+@register("streaming_knn_topk_bounded", ORACLES["knn_top5_cosine"])
+def q_streaming_knn_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-STATE form of streaming_knn_top5: top-5 maintained by
+    applyInPandasWithState with state capped at k candidates
+    (streaming.stateful.running_topk) instead of a complete-mode
+    collect_list of the whole corpus — the O(k)-state posture a 100 TB
+    stream needs. The final update (captured via foreachBatch) must
+    equal the batch/DuckDB top-5 exactly."""
+    from ydb_vector_search_demo_spark.streaming import stateful
+
+    stream = EV.read_table_stream(spark, sf_dir, "embeddings")
+    scored = stream.select(
+        "vec_id", V.cosine_distance("embedding", F.lit(QV)).alias("score")
+    ).filter(F.col("score").isNotNull())
+    topk = stateful.running_topk(scored, k=5, id_col="vec_id", score_col="score")
+    emissions: list[list] = []
+
+    def _capture(df: DataFrame, _bid: int) -> None:
+        rows = df.collect()
+        if rows:
+            emissions.append(rows)
+
+    q = (
+        topk.writeStream.foreachBatch(_capture)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = [
+        (int(r["id"]), float(r["score"])) for r in (emissions[-1] if emissions else [])
+    ]
+    return spark.createDataFrame(final, "vec_id BIGINT, score DOUBLE").select(
+        "vec_id", F.round("score", 6).alias("score")
     )
 
 

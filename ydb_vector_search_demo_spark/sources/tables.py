@@ -51,20 +51,81 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _size_bytes(conf_value: str) -> int:
+    """Parse a Spark byte-size conf value ("134217728", "128m", "4MB")."""
+    v = conf_value.strip().lower().removesuffix("b")
+    for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if v.endswith(suffix):
+            return int(float(v[:-1]) * mult)
+    return int(v)
+
+
+def estimate_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate how many partitions the file scan under ``df`` produces,
+    from file sizes and the session's split confs — the same formula
+    Spark's FilePartition packing uses (maxSplitBytes = min(
+    maxPartitionBytes, max(openCostInBytes, bytesPerCore))). Pure
+    metadata: ``inputFiles()`` + local stat, no RDD conversion, no job.
+    Returns None for non-file relations or unstat-able files."""
+    import os
+    from urllib.parse import urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    try:
+        sizes = [os.path.getsize(urlparse(f).path or f) for f in files]
+    except OSError:
+        return None
+    conf = df.sparkSession.conf
+    max_bytes = _size_bytes(conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    open_cost = _size_bytes(conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    total = sum(sizes) + open_cost * len(sizes)
+    bytes_per_core = total / max(parallelism, 1)
+    max_split = max(1, min(max_bytes, max(open_cost, bytes_per_core)))
+    # replay FilePartition's packing: split each file at max_split, sort
+    # splits descending, pack greedily with open_cost padding per split
+    chunks: list[int] = []
+    for s in sizes:
+        while s > max_split:
+            chunks.append(max_split)
+            s -= max_split
+        chunks.append(s)
+    chunks.sort(reverse=True)
+    parts, current = 0, max_split + 1  # force-open on first chunk
+    for c in chunks:
+        if current + c > max_split:
+            parts += 1
+            current = 0
+        current += c + open_cost
+    return max(1, parts)
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Round-robin repartition UP to the cluster's default parallelism
-    when the input arrives in fewer partitions.
+    when the underlying FILE SCAN arrives in fewer partitions.
 
     For compute-heavy per-row operators (minhash/simhash signatures,
     shingling, quality scoring) a small file count otherwise serializes
     the work: a 5 MB corpus sample reads as ONE partition → one core
     does all the hashing. The inserted shuffle moves only the raw input
     rows — orders of magnitude cheaper than the per-row work it
-    parallelizes. At real scale the input already has >=
+    parallelizes. At real scale the input already splits into >=
     defaultParallelism partitions and this is a no-op, so the big-data
-    plan shape is unchanged."""
+    plan shape is unchanged.
+
+    The width check is metadata-only (file sizes vs the session's split
+    confs, :func:`estimate_scan_partitions`) — no ``df.rdd`` conversion,
+    which would force full physical planning per call. Non-file
+    relations (in-memory test frames, post-shuffle stages) pass through
+    untouched: anything downstream of a shuffle already has
+    ``spark.sql.shuffle.partitions`` partitions."""
+    est = estimate_scan_partitions(df)
+    if est is None:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if est < target:
         return df.repartition(target)
     return df
 

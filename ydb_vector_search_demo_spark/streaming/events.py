@@ -113,6 +113,26 @@ def session_stats(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> 
 # ----------------------------------------------------------- streaming
 
 
+def _ensure_symlink(src: str, link: str) -> None:
+    """Create (or repoint) ``link`` → ``src``. ``os.path.exists`` is the
+    wrong guard here: a DANGLING symlink (testdata regenerated/removed)
+    makes exists() False while symlink() still raises FileExistsError.
+    Check the link itself (lexists/islink), retarget when it points
+    elsewhere, and absorb the create/create race."""
+    import os
+
+    if os.path.islink(link):
+        if os.readlink(link) == src:
+            return
+        os.unlink(link)
+    elif os.path.exists(link):
+        return  # a real file is already in place — leave it alone
+    try:
+        os.symlink(src, link)
+    except FileExistsError:
+        pass  # concurrent creator won the race
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming source over the events parquet — in
     production this is Kafka/Kinesis; the transformation stack is
@@ -128,9 +148,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), "spark_events_stream", src.strip("/").replace("/", "_")
     )
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    _ensure_symlink(src, os.path.join(stream_dir, "events.parquet"))
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
@@ -171,9 +189,7 @@ def read_table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame
         tempfile.gettempdir(), f"spark_{table}_stream", src.strip("/").replace("/", "_")
     )
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, f"{table}.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    _ensure_symlink(src, os.path.join(stream_dir, f"{table}.parquet"))
     schema = spark.read.parquet(src).schema
     return spark.readStream.schema(schema).parquet(stream_dir)
 
