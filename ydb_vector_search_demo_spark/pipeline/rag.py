@@ -252,6 +252,80 @@ def upsert_store(
     return survivors.unionByName(incoming)
 
 
+def delete_docs(
+    existing: DataFrame, keys, key_col: str = "doc_id"
+) -> DataFrame:
+    """Store document REMOVAL — the delete half of the store lifecycle
+    the reference's langchain-ydb store exposes alongside add/upsert
+    [API-inferred behind /root/reference/app.py:29-42]; the
+    takedown/refresh flow every real corpus pipeline hits.
+
+    ``keys`` is an iterable of key values or a one-column DataFrame.
+    Broadcast left-anti join: delete batches are tiny relative to the
+    store, so the store side never shuffles."""
+    if isinstance(keys, DataFrame):
+        keys_df = keys.select(F.col(keys.columns[0]).alias(key_col))
+    else:
+        keys_df = existing.sparkSession.createDataFrame(
+            [(k,) for k in keys], existing.select(key_col).schema
+        )
+    return existing.join(F.broadcast(keys_df), on=key_col, how="left_anti")
+
+
+def read_store(
+    base: DataFrame,
+    upserts: DataFrame,
+    deletes: DataFrame,
+    key_col: str = "doc_id",
+    version_col: str = "_v",
+) -> DataFrame:
+    """Log-structured store READ path: merge the base snapshot with an
+    upsert log and a tombstone log — merge-on-read, exactly what a
+    Delta/Iceberg table does between compactions, expressed as plain
+    DataFrame ops on raw Parquet.
+
+    ``base`` rows carry implicit version 0; ``upserts`` carries
+    ``version_col`` (> 0, at most one row per (key, version));
+    ``deletes`` is a (key, version) tombstone log. Latest version wins
+    per key, and a tombstone hides every row version <= its own — so a
+    later re-upsert RESURRECTS a deleted key, matching MERGE semantics.
+
+    One shuffle on the key for the latest-wins window; the tombstone
+    side broadcasts (delete logs are small). Compaction
+    (:func:`compact_store`) rewrites this view to a plain snapshot."""
+    allr = base.withColumn(version_col, F.lit(0)).unionByName(upserts)
+    w = Window.partitionBy(key_col).orderBy(F.col(version_col).desc())
+    latest = (
+        allr.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    del_max = deletes.groupBy(key_col).agg(F.max(version_col).alias("_del_v"))
+    return (
+        latest.join(F.broadcast(del_max), on=key_col, how="left")
+        .filter(F.col("_del_v").isNull() | (F.col(version_col) > F.col("_del_v")))
+        .drop("_del_v", version_col)
+    )
+
+
+def compact_store(
+    base: DataFrame,
+    upserts: DataFrame,
+    deletes: DataFrame,
+    out_path: str,
+    key_col: str = "doc_id",
+    version_col: str = "_v",
+) -> DataFrame:
+    """Tombstone-aware compaction: materialize the merged store view to
+    ``out_path`` and return the re-read snapshot — after this the logs
+    can be dropped and the read path is a plain scan again. Never
+    writes in place (the atomic swap is the caller's rename/metastore
+    step, like sources.tables.compact_parquet)."""
+    merged = read_store(base, upserts, deletes, key_col, version_col)
+    merged.write.mode("overwrite").parquet(out_path)
+    return base.sparkSession.read.parquet(out_path)
+
+
 def health(spark: SparkSession) -> DataFrame:
     """GET /health analogue (app.py:173-180): static availability row."""
     return spark.range(1).select(

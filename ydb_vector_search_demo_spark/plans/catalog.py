@@ -2525,6 +2525,69 @@ def q_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "store_lifecycle_counts",
+    """
+    WITH base AS (SELECT doc_id, text, 0 AS v FROM documents),
+    ups AS (
+      SELECT doc_id, 'UPDATED: ' || text AS text, 1 AS v
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 100000, text, 1 AS v
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    allr AS (SELECT * FROM base UNION ALL SELECT * FROM ups),
+    latest AS (
+      SELECT doc_id, text, v FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rn
+        FROM allr
+      ) WHERE rn = 1
+    ),
+    dels AS (SELECT doc_id, 2 AS v FROM documents WHERE doc_id % 13 = 0),
+    live AS (
+      SELECT l.doc_id, l.text FROM latest l
+      LEFT JOIN dels d ON l.doc_id = d.doc_id AND d.v >= l.v
+      WHERE d.doc_id IS NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(CASE WHEN text LIKE 'UPDATED: %' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_updated,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars
+    FROM live
+    """,
+)
+def q_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full store lifecycle (upsert + DELETE + merge-on-read,
+    pipeline.rag.read_store): version-1 upserts modify every doc_id%7
+    row and insert synthetic doc_id%11 rows; version-2 tombstones then
+    delete every doc_id%13 key — hiding base AND updated versions alike.
+    Checked down to surviving count, id sum, updated-row count and
+    character total. Oracle: identical window + anti-join SQL in DuckDB.
+    [API-inferred behind /root/reference/app.py:29-42 — langchain-ydb
+    stores support removal alongside add/upsert.]"""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat(F.lit("UPDATED: "), F.col("text")).alias("text"),
+        F.lit(1).alias("_v"),
+    )
+    ins = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", F.lit(1).alias("_v")
+    )
+    dels = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", F.lit(2).alias("_v")
+    )
+    live = rag.read_store(docs, ups.unionByName(ins), dels)
+    return live.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(F.when(F.col("text").like("UPDATED: %"), 1).otherwise(0)).alias(
+            "n_updated"
+        ),
+        F.sum(F.length("text")).alias("sum_chars"),
+    )
+
+
 # ===========================================================================
 # 8. Corpus curation (north-star: clusters→keep-one, quality gate,
 #    deterministic split, PII redaction) — operators/curation.py
