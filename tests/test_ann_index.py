@@ -93,3 +93,59 @@ def test_ivf_append_serves_new_vectors(spark, tmp_path):
     ids = [r["vec_id"] for r in res]
     assert ids == [probe["vec_id"], probe["vec_id"] + 1_000_000]
     assert res[0]["score"] == res[1]["score"]
+
+
+def test_kmeans_tree_partitions_and_recalls(spark):
+    """Two-level tree: sub-assignment is a partition of each top cell,
+    a full probe equals exact KNN, and at equal scanned fraction the
+    tree's recall is in the flat index's neighborhood."""
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    n = embs.count()
+    tree = ann.build_kmeans_tree_index(embs, k_top=8, k_sub=4)
+
+    # assignment is a partition: every row lands in exactly one
+    # (cell_top, cell_sub), sub ids stay within the child codebook
+    from pyspark.sql import functions as F
+
+    cells = tree.assigned.groupBy("cell_top", "cell_sub").count().collect()
+    assert sum(r["count"] for r in cells) == n
+    for r in cells:
+        assert 0 <= r["cell_sub"] < len(tree.centroids_sub[r["cell_top"]])
+
+    exact = [r["vec_id"] for r in knn_scores(embs, QV, k=10).collect()]
+
+    # full probe (all top cells, all sub cells) == exact
+    allprobe = tree.search(QV, k=10, nprobe_top=8, nprobe_sub=4)
+    assert [r["vec_id"] for r in allprobe.collect()] == exact
+
+    # 1/4 scanned fraction: tree (4/8 top × 2/4 sub) vs flat (8/32)
+    tree_hits = {
+        r["vec_id"] for r in tree.search(QV, k=10, nprobe_top=4, nprobe_sub=2).collect()
+    }
+    flat = ann.build_ivf_index(embs, k_clusters=32)
+    flat_probes = ann.rank_centroids(flat.centroids, QV)[:8]
+    flat_hits = {
+        r["vec_id"]
+        for r in knn_scores(
+            flat.assigned.filter(F.col("centroid_id").isin(flat_probes)), QV, k=10
+        ).collect()
+    }
+    tree_recall = len(tree_hits & set(exact)) / len(exact)
+    flat_recall = len(flat_hits & set(exact)) / len(exact)
+    assert tree_recall >= 0.4, f"tree recall@10 {tree_recall} too low at 1/4 scan"
+    # same scanned fraction → comparable quality (tree trades a little
+    # recall for sub-linear centroid ranking; must not collapse)
+    assert tree_recall >= flat_recall - 0.3, (tree_recall, flat_recall)
+    tree.assigned.unpersist()
+    flat.assigned.unpersist()
+
+
+def test_tree_recall_query_shape(spark):
+    from tests.conftest import SF_SMOKE as sf
+
+    embs = load_table(spark, sf, "embeddings")
+    row = ann.tree_recall(
+        spark, embs, QV, k=10, k_top=4, k_sub=2, nprobe_top=2, nprobe_sub=1,
+    ).collect()[0]
+    assert row["scanned_fraction"] == 0.25
+    assert 0.0 <= row["recall"] <= 1.0

@@ -2060,6 +2060,22 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_tree_recall")
+def q_ann_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level k-means TREE (YDB vector_kmeans_tree analogue,
+    operators.ann.KMeansTreeIndex): recall@10 at a 1/4 scanned fraction
+    (4 of 8 top cells × 2 of 4 sub-cells) — directly comparable to flat
+    IVF at k_clusters=32, nprobe=8. Centroid ranking cost: 8 + 4·4 = 24
+    comparisons vs the flat index's 32 — the gap that widens to orders
+    of magnitude when cell counts reach the tens of thousands (√N top
+    cells × √N children ranks 2√N instead of N)."""
+    return ann.tree_recall(
+        spark, _t(spark, sf_dir, "embeddings"), QV,
+        k=10, k_top=8, k_sub=4, nprobe_top=4, nprobe_sub=2,
+        cache_key=sf_dir, fit_sample_fraction=0.25,
+    )
+
+
 @register("ann_ivf_recall_sweep")
 def q_ann_ivf_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 vs nprobe curve on one IVF index (operators.ann) —
