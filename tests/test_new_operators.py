@@ -527,3 +527,16 @@ def test_incremental_exact_dedup_drops_cross_and_in_batch(spark):
     )
     kept = sorted(r["doc_id"] for r in incremental_exact_dedup(new, existing).collect())
     assert kept == [3, 7]
+
+
+def test_dedup_clusters_lsh_equals_exact_path(spark):
+    """The MinHash-LSH-fed cluster pipeline must produce the identical
+    (doc_id, cluster_id, cluster_size, is_canonical) output as the
+    exact-Jaccard-fed one: both verify candidates at exact Jaccard>=0.5
+    over the same distinct-shingle sets, and LSH banding catches every
+    true pair on this corpus."""
+    from ydb_vector_search_demo_spark.plans.catalog import QUERIES
+
+    exact = {tuple(r) for r in QUERIES["dedup_clusters"](spark, SF_SMOKE).collect()}
+    lsh = {tuple(r) for r in QUERIES["dedup_clusters_lsh"](spark, SF_SMOKE).collect()}
+    assert exact == lsh
