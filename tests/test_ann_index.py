@@ -149,3 +149,35 @@ def test_tree_recall_query_shape(spark):
     ).collect()[0]
     assert row["scanned_fraction"] == 0.25
     assert 0.0 <= row["recall"] <= 1.0
+
+
+def test_tree_parquet_roundtrip_prunes_both_levels(spark, tmp_path):
+    """Two-level store: the probe filter must surface as PARTITION
+    pruning over (cell_top, cell_sub), the scan stays a top-k, and a
+    full probe of the persisted store equals exact KNN."""
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    tree = ann.build_kmeans_tree_index(embs, k_top=8, k_sub=4)
+    path = str(tmp_path / "tree_store")
+    ann.write_tree_partitioned(tree, path)
+
+    result = ann.tree_search_parquet(
+        spark, path, tree.centroids_top, tree.centroids_sub, QV,
+        k=10, nprobe_top=4, nprobe_sub=2,
+    )
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "cell_top" in pf and "cell_sub" in pf
+    assert "TakeOrderedAndProject" in plan
+
+    exact = [r["vec_id"] for r in knn_scores(embs, QV, k=10).collect()]
+    approx = [r["vec_id"] for r in result.collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.4, f"tree-store recall@10 {recall} too low at 1/4 scan"
+
+    allprobe = ann.tree_search_parquet(
+        spark, path, tree.centroids_top, tree.centroids_sub, QV,
+        k=10, nprobe_top=8, nprobe_sub=4,
+    )
+    assert [r["vec_id"] for r in allprobe.collect()] == exact
+    tree.assigned.unpersist()

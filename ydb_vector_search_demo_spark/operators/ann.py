@@ -518,6 +518,50 @@ def get_or_build_kmeans_tree(
     return index
 
 
+def write_tree_partitioned(index: KMeansTreeIndex, path: str) -> None:
+    """Persist the tree-assigned corpus partitioned by (cell_top,
+    cell_sub) — the two-level directory layout under which the probe
+    filter becomes Parquet partition pruning at BOTH levels: a
+    nprobe_top×nprobe_sub probe lists only those directories out of
+    k_top×k_sub."""
+    index.assigned.write.mode("overwrite").partitionBy(
+        "cell_top", "cell_sub"
+    ).parquet(path)
+
+
+def tree_search_parquet(
+    spark: SparkSession,
+    path: str,
+    centroids_top: list[list[float]],
+    centroids_sub: list[list[list[float]]],
+    query_vector: Sequence[float],
+    k: int = 5,
+    nprobe_top: int = 2,
+    nprobe_sub: int = 2,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted two-level tree store (the 100 TB serving path,
+    mirroring :func:`ivf_search_parquet`): rank top cells, then only the
+    probed cells' child codebooks, and push the (cell_top, cell_sub)
+    OR-of-AND filter into the scan — directory-level pruning on the
+    two-level layout. Codebooks travel with the query (driver-side
+    lists), never read from the cluster."""
+    import functools
+
+    qv = [float(x) for x in query_vector]
+    tops = rank_centroids(centroids_top, qv, metric)[:nprobe_top]
+    clauses = []
+    for t in tops:
+        subs = rank_centroids(centroids_sub[t], qv, metric)[:nprobe_sub]
+        clauses.append((F.col("cell_top") == t) & F.col("cell_sub").isin(subs))
+    pruned = spark.read.parquet(path).filter(
+        functools.reduce(lambda a, b: a | b, clauses)
+    )
+    return knn_scores(pruned, qv, k=k, metric=metric, id_col=id_col, vector_col=vector_col)
+
+
 def tree_recall(
     spark: SparkSession,
     embeddings: DataFrame,

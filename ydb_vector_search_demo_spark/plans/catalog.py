@@ -1649,7 +1649,17 @@ def q_events_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary is the start of the LAST hour window, computed with the
     same F.window expression the aggregation uses, so it is aligned
     with the bucketing by construction in any session timezone (one
-    tiny max() action)."""
+    tiny max() action).
+
+    SIDE-EFFECT NOTE (intentional): unlike every other catalog query,
+    this one WRITES — the pre-aggregate materialization under /tmp is
+    the operator under test (a rollup you don't materialize is just
+    events_hourly). The path is source-keyed and overwrite-mode, so
+    repeated invocations are deterministic and never accumulate; in
+    production the write is the incremental streaming job's sink and
+    the swap is an atomic rename/metastore step, with readers pinned
+    to the previous snapshot (like ann_ivf_build, the maintenance op
+    would live beside, not inside, the serving query)."""
     import os
     import tempfile
 
