@@ -181,3 +181,41 @@ def test_tree_parquet_roundtrip_prunes_both_levels(spark, tmp_path):
     )
     assert [r["vec_id"] for r in allprobe.collect()] == exact
     tree.assigned.unpersist()
+
+
+def test_tree_assign_matches_build_and_append_serves(spark, tmp_path):
+    """tree_assign's map-side expression must reproduce the build-time
+    assignment exactly, and an appended duplicate must surface right
+    behind its twin through the persisted store."""
+    from pyspark.sql import functions as F
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    tree = ann.build_kmeans_tree_index(embs, k_top=4, k_sub=2)
+
+    expr = {
+        r["vec_id"]: (r["cell_top"], r["cell_sub"])
+        for r in ann.tree_assign(tree.centroids_top, tree.centroids_sub, embs).collect()
+    }
+    built = {
+        r["vec_id"]: (r["cell_top"], r["cell_sub"])
+        for r in tree.assigned.collect()
+    }
+    assert expr == built
+
+    path = str(tmp_path / "tree_store")
+    ann.write_tree_partitioned(tree, path)
+    n0 = spark.read.parquet(path).count()
+    new = embs.limit(5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    ann.tree_append(tree.centroids_top, tree.centroids_sub, new, path)
+    assert spark.read.parquet(path).count() == n0 + 5
+
+    probe = embs.limit(1).collect()[0]
+    res = ann.tree_search_parquet(
+        spark, path, tree.centroids_top, tree.centroids_sub,
+        list(probe["embedding"]), k=2, nprobe_top=1, nprobe_sub=1,
+    ).collect()
+    assert [r["vec_id"] for r in res] == [probe["vec_id"], probe["vec_id"] + 1_000_000]
+    assert res[0]["score"] == res[1]["score"]
+    tree.assigned.unpersist()

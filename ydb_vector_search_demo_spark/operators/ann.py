@@ -26,7 +26,7 @@ from collections.abc import Sequence
 from pyspark.ml.clustering import KMeans
 from pyspark.ml.feature import BucketedRandomProjectionLSH
 from pyspark.ml.functions import array_to_vector, vector_to_array
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ydb_vector_search_demo_spark.functions.vector import distance
@@ -560,6 +560,63 @@ def tree_search_parquet(
         functools.reduce(lambda a, b: a | b, clauses)
     )
     return knn_scores(pruned, qv, k=k, metric=metric, id_col=id_col, vector_col=vector_col)
+
+
+def tree_assign(
+    centroids_top: list[list[float]],
+    centroids_sub: list[list[list[float]]],
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to their (cell_top, cell_sub) pair as a pure
+    map-side expression — the tree's incremental-ingest path, mirroring
+    :func:`ivf_assign`: new embeddings join the index WITHOUT a KMeans
+    refit. Both codebooks travel as plan literals; the level-2 child
+    codebook is selected per row by the just-computed ``cell_top`` —
+    no shuffle, no MLlib model object, same Euclidean rule as
+    KMeans.transform at each level."""
+    v = F.col(vector_col).cast("array<double>")
+
+    def _nearest(codebook: Column) -> Column:
+        dists = F.transform(
+            codebook,
+            lambda c: F.aggregate(
+                F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    top_cb = F.array(*[F.lit(c) for c in centroids_top])
+    sub_cb = F.array(*[F.array(*[F.lit(c) for c in subs]) for subs in centroids_sub])
+    with_top = vectors.select(
+        F.col(id_col), F.col(vector_col), _nearest(top_cb).alias("cell_top")
+    )
+    return with_top.select(
+        id_col,
+        vector_col,
+        "cell_top",
+        _nearest(F.element_at(sub_cb, F.col("cell_top") + 1)).alias("cell_sub"),
+    )
+
+
+def tree_append(
+    centroids_top: list[list[float]],
+    centroids_sub: list[list[list[float]]],
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> None:
+    """Incremental tree maintenance: route new vectors to their
+    (cell_top, cell_sub) and append to the two-level store — only the
+    touched leaf directories gain files; existing data is never
+    rewritten. Periodic re-clustering (build + write) rebalances when
+    leaf sizes drift, exactly like the flat :func:`ivf_append`."""
+    assigned = tree_assign(centroids_top, centroids_sub, new_vectors, id_col, vector_col)
+    assigned.write.mode("append").partitionBy("cell_top", "cell_sub").parquet(path)
 
 
 def tree_recall(
