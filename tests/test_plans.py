@@ -115,3 +115,29 @@ def test_relational_agg_is_partial(spark):
     plan = plan_of(spark, "tpch_q1_pricing")
     assert plan.count("HashAggregate") >= 2
     assert "partial_sum" in plan
+
+
+def test_store_lifecycle_broadcasts_tombstones_single_keyed_shuffle(spark):
+    """Merge-on-read store view: the tombstone side must broadcast (a
+    delete log is small relative to the store) and the only shuffles
+    are the latest-wins window's key exchange — never a sort-merge join
+    against the delete log."""
+    plan = plan_of(spark, "store_lifecycle_counts")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tree_recall_probe_filters_cells(spark):
+    """The tree probe must reach the assignment as a cell filter (the
+    shape that partition-prunes on the two-level store layout), not a
+    post-scan filter of the whole corpus."""
+    from ydb_vector_search_demo_spark.operators import ann
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+
+    embs = load_table(spark, SF_ORACLE, "embeddings")
+    tree = ann.build_kmeans_tree_index(embs, k_top=4, k_sub=2)
+    df = tree.search([0.1] * 64, k=5, nprobe_top=2, nprobe_sub=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "cell_top" in plan and "cell_sub" in plan
+    assert "TakeOrderedAndProject" in plan, "probe result must stay a top-k"
+    tree.assigned.unpersist()
