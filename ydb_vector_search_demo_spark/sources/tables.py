@@ -34,21 +34,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; one of {TABLES}")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-        # vectorized reader rejects; read the raw int64 nanos and convert
-        # to a microsecond timestamp (truncating division — identical to
-        # what DuckDB's nanos→micros conversion does).
-        from pyspark.sql import functions as F
-
+        # events.parquet has shipped in two layouts: ts as
+        # TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+        # read the raw int64 nanos under nanosAsLong and divide down to
+        # micros) and ts as a plain TIMESTAMP(MICROS). Branch on the
+        # actual on-disk type so both generations of testdata load to
+        # the same TimestampType column.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # `div` is exact integer division; `floor(ts / 1000)` would go
-        # through DOUBLE and round the low microsecond digit at 2^60-size
-        # nanos values.
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        return normalize_event_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Coerce the events ``ts`` column to session-local TimestampType.
+
+    * int64 (nanos read under ``nanosAsLong``) → ``timestamp_micros(ts
+      div 1000)``. ``div`` is exact integer division; ``floor(ts/1000)``
+      would go through DOUBLE and round the low microsecond digit at
+      2^60-size nanos values.
+    * TIMESTAMP_NTZ (micros parquet, isAdjustedToUTC=false) → cast to
+      TimestampType. The harness runs UTC so the wall clock is
+      preserved; downstream code (windows, watermarks, oracles) keeps
+      seeing the same LTZ type it always has.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _size_bytes(conf_value: str) -> int:

@@ -12,27 +12,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
-)
+from pyspark.sql.types import StructType
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        # raw int64 nanoseconds on disk (TIMESTAMP(NANOS) — Spark reads it
-        # as long under spark.sql.legacy.parquet.nanosAsLong)
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(spark: SparkSession, path: str) -> StructType:
+    """Schema for the streaming reader, taken from the parquet footer of
+    the actual file (one driver-side metadata read, no data scan).
+    events.parquet has shipped with ts as TIMESTAMP(NANOS) — surfaced
+    as int64 under ``nanosAsLong`` — and as plain TIMESTAMP(MICROS);
+    hard-coding either layout breaks the other, so ask the file."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path).schema
 
 SESSION_GAP_MINUTES = 30
 
@@ -138,10 +127,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     production this is Kafka/Kinesis; the transformation stack is
     identical either way. The file source wants a *directory*, and the
     testdata is a single read-only file, so it is symlinked into a temp
-    dir; the raw nanosecond int64 ts converts to a micros timestamp
-    exactly like the batch reader (sources.tables)."""
+    dir; the ts column normalizes to TimestampType exactly like the
+    batch reader (sources.tables.normalize_event_ts)."""
     import os
     import tempfile
+
+    from ydb_vector_search_demo_spark.sources.tables import normalize_event_ts
 
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     stream_dir = os.path.join(
@@ -150,12 +141,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stream_dir, exist_ok=True)
     _ensure_symlink(src, os.path.join(stream_dir, "events.parquet"))
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
-    # exact integer division — see sources.tables (floor(x/1000) rounds)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    raw = spark.readStream.schema(_events_schema(spark, src)).parquet(stream_dir)
+    return normalize_event_ts(raw)
 
 
 def serve_hourly_rollup(
