@@ -117,6 +117,10 @@ def main() -> None:
             "min": round(samples[0], 3),
             "median": timings[name],
             "max": round(samples[-1], 3),
+            # contention fingerprint: a plan regression shifts min; host
+            # contention widens max/min while min stays put. Logged per
+            # query so the driver JSON is self-diagnosing (r3 verdict #7).
+            "mm_ratio": round(samples[-1] / samples[0], 2) if samples[0] else None,
         }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -127,6 +131,12 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                # CONTRACT METRIC (BASELINE.md): total of per-query
+                # min-of-5 — the least-contended estimate of the same
+                # plans on a shared host. Medians stay in "value"/
+                # "queries" for round-over-round continuity.
+                "value_min": round(sum(s["min"] for s in spread.values()), 3),
+                "queries_min": {n: s["min"] for n, s in spread.items()},
                 "spread": spread,
                 "trials": TRIALS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

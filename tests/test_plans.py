@@ -97,16 +97,19 @@ def test_text_ops_stay_jvm_side(spark, name):
 
 def test_batch_knn_prefilters_before_global_window(spark):
     # the N×Q scored cross product must be cut to per-partition top-k
-    # (MapInPandas local heap) BEFORE the per-query window — a window
-    # straight over the cross join would shuffle the whole product into
-    # Q skewed partitions.
+    # BEFORE the per-query window — a window straight over the cross
+    # join would shuffle the whole product into Q skewed partitions.
+    # Catalyst's InferWindowGroupLimit (Spark >= 3.5) provides the cut
+    # as a Partial WindowGroupLimit below the exchange, fully JVM-side:
+    # zero Python workers may appear anywhere in this hot path.
     plan = plan_of(spark, "batch_knn_cosine")
-    assert "MapInPandas" in plan, "partition-local top-k stage missing"
-    assert "Window" in plan
-    win_input = plan.split("Window")[-1]
-    assert "MapInPandas" in win_input, (
-        "global window must run over the locally-reduced candidates"
+    assert plan.count("WindowGroupLimit") == 2, "need Partial + Final group-limit"
+    below_shuffle = plan.split("Exchange hashpartitioning")[-1]
+    assert "WindowGroupLimit" in below_shuffle and "Partial" in below_shuffle, (
+        "the map-side Partial WindowGroupLimit must cut before the keyed shuffle"
     )
+    for py_node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py_node not in plan, "batch KNN must stay JVM-side"
 
 
 def test_relational_agg_is_partial(spark):

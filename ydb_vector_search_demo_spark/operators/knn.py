@@ -108,22 +108,30 @@ def batch_knn(
     The query set is broadcast (it is small by construction — if it were
     not, this would be a similarity join, see operators.dedup) and the
     big embeddings side streams through a single crossJoin stage with
-    distances computed in whole-stage codegen. Top-k is TWO-stage:
+    distances computed in whole-stage codegen. Top-k is TWO-stage and
+    entirely JVM-side: the ``row_number() <= k`` window filter triggers
+    Catalyst's ``InferWindowGroupLimit`` rewrite (Spark >= 3.5, on while
+    ``k < spark.sql.optimizer.windowGroupLimitThreshold``, default 1000),
+    which plans a *Partial* ``WindowGroupLimit`` below the exchange:
 
-    1. partition-local: each scan task keeps its own k best rows per
-       query (bounded Q×k state, Arrow-batched) — the N×Q scored cross
-       product never leaves the map side;
-    2. global: one per-query window over the surviving
-       ``num_partitions × Q × k`` candidate rows.
+    1. partition-local: each scan task sorts its slice and keeps only its
+       k best rows per query (bounded, codegen'd, spill-safe) — the N×Q
+       scored cross product never leaves the map side;
+    2. global: the keyed exchange carries only ``num_partitions × Q × k``
+       candidate rows into a *Final* ``WindowGroupLimit`` + window.
 
-    A single-stage ``Window.partitionBy(query_id)`` would instead
+    A naive single-stage window (without the group-limit rewrite) would
     shuffle the ENTIRE scored cross product into Q partitions — each
     holding a full copy of the corpus (skew by construction, fatal at
-    100 TB). This mirrors :func:`block_batch_knn`'s block-local top-k →
-    merge shape with a plain heap instead of a GEMM.
+    100 TB). tests/test_plans.py asserts the Partial node is present so
+    a conf/threshold regression can't silently reintroduce that plan.
+    Earlier rounds used a mapInPandas heap for stage 1; the plan shape
+    was identical but paid 32 Python-worker spin-ups + Arrow transfer
+    of the full scored product per run (the r3 `weak (watch)` bench
+    entry) — the JVM rewrite keeps the same bounded state with zero
+    Python workers. This mirrors :func:`block_batch_knn`'s block-local
+    top-k → merge shape with a sort-limit instead of a GEMM.
     """
-    import pandas as pd
-
     from ydb_vector_search_demo_spark.sources.tables import fan_out
 
     # fan_out the corpus BEFORE scoring: a single-file corpus would
@@ -134,27 +142,13 @@ def batch_knn(
         F.col(id_col),
         distance(vector_col, F.col(query_vec_col), metric).alias(score_col),
     )
-
-    def local_topk(batches):
-        acc = None
-        for pdf in batches:
-            both = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
-            # (score asc NULLS LAST, id asc) — identical ordering to the
-            # global window, so the local cut can never drop a row the
-            # global top-k would keep
-            both = both.sort_values(
-                [score_col, id_col], ascending=[True, True], na_position="last"
-            )
-            acc = both.groupby(query_id_col, sort=False).head(k)
-        if acc is not None:
-            yield acc
-
-    local = scored.mapInPandas(local_topk, scored.schema)
+    # (score asc NULLS LAST, id asc) — deterministic ties; NULL scores
+    # (zero-norm cosine) never outrank real matches
     w = Window.partitionBy(query_id_col).orderBy(
         F.col(score_col).asc_nulls_last(), F.col(id_col).asc()
     )
     return (
-        local.withColumn(rank_col, F.row_number().over(w))
+        scored.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
 
