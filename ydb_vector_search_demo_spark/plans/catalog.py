@@ -2906,7 +2906,11 @@ _GRADE_FIRST = [
     "knn_top5_full",
     "knn_top5_filtered",
     "batch_knn_cosine",
-    "batch_knn_cosine_gemm",
+    # r3 verdict #4: batch_knn_cosine_gemm shares batch_knn_cosine's
+    # oracle (a duplicate check burning a graded slot) — rotated out for
+    # the store delete-lifecycle query, whose window + anti-join oracle
+    # is distinct. gemm stays covered by tests/test_oracle_parity.
+    "store_lifecycle_counts",
     "label_centroids",
     # RAG pipeline
     "rag_context_top3",
