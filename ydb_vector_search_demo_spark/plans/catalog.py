@@ -2107,6 +2107,76 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("vec_id", F.round("score", 6).alias("score"))
 
 
+@register(
+    "quant_roundtrip_error",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+               AS scale
+      FROM embeddings
+    ), d AS (
+      SELECT vec_id, scale, v,
+             list_transform(
+               v, x -> CASE WHEN scale > 0
+                            THEN round(x / scale) * scale ELSE 0.0 END) AS dq
+      FROM s
+    ), e AS (
+      SELECT vec_id, scale,
+             list_transform(list_zip(v, dq), p -> abs(p[1] - p[2])) AS err
+      FROM d
+    )
+    SELECT vec_id, round(scale, 6) AS qscale,
+           round(list_max(err), 6) AS max_err,
+           round(list_sum(err) / len(err), 6) AS mean_err
+    FROM e ORDER BY vec_id
+    """,
+)
+def q_quant_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantize→dequantize roundtrip error per vector
+    (operators.quant) — pure double arithmetic, fully oracle-checked:
+    per-element |x - round(x/scale)·scale| with scale = max(|x|)/127,
+    reported as per-row max/mean. The bound max_err ≤ scale/2 is what
+    makes the coarse-scan-then-rescore recall argument quantitative."""
+    from ydb_vector_search_demo_spark.operators import quant
+
+    embs = _t(spark, sf_dir, "embeddings")
+    scale = quant.int8_scale("embedding")
+    q = quant.quantize_expr("embedding", scale)
+    dq = F.transform(q, lambda e: e.cast("double") * scale)
+    err = F.zip_with(
+        V.to_double_array("embedding"), dq, lambda x, y: F.abs(x - y)
+    )
+    return (
+        embs.select(
+            "vec_id",
+            F.round(scale, 6).alias("qscale"),
+            F.round(F.array_max(err), 6).alias("max_err"),
+            F.round(
+                F.aggregate(err, F.lit(0.0), lambda a, x: a + x)
+                / F.size(err),
+                6,
+            ).alias("mean_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register("ann_quantized_recall")
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-scan-then-exact-rescore (operators.quant, the YDB Knn
+    Int8/bit vector-type analogue): recall@10 vs exact float KNN for
+    (a) the raw int8 coarse ordering, (b) int8 coarse + exact rescore
+    at c=4, and (c) 1-bit Hamming + rescore at the same c. The coarse
+    scan reads ~4× (int8) / ~32× (1-bit) fewer bytes than float32;
+    rescore touches float vectors for only c·k candidate rows."""
+    from ydb_vector_search_demo_spark.operators import quant
+
+    return quant.quantized_recall(
+        spark, _t(spark, sf_dir, "embeddings"), QV, k=10, rescore=4
+    )
+
+
 @register("multimodal_decode_meta")
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing: payload → typed metadata via
