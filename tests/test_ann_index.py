@@ -219,3 +219,93 @@ def test_tree_assign_matches_build_and_append_serves(spark, tmp_path):
     assert [r["vec_id"] for r in res] == [probe["vec_id"], probe["vec_id"] + 1_000_000]
     assert res[0]["score"] == res[1]["score"]
     tree.assigned.unpersist()
+
+
+def test_doubling_and_tree_probe_levels():
+    assert ann._doubling_levels(1, 16) == [1, 2, 4, 8, 16]
+    assert ann._doubling_levels(3, 16) == [3, 6, 12, 16]
+    assert ann._doubling_levels(4, 4) == [4]
+    # sub widens to k_sub first, then top widens to k_top
+    assert ann._tree_probe_levels(2, 1, 8, 4) == [
+        (2, 1), (2, 2), (2, 4), (4, 4), (8, 4)
+    ]
+
+
+def test_filtered_ivf_parquet_pushes_predicate_into_pruned_scan(spark, tmp_path):
+    """r3 verdict #3: the metadata predicate must reach the parquet
+    reader as a pushed filter ALONGSIDE the centroid partition filter —
+    filtered rows are skipped at the row-group level, never scored."""
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    index = ann.build_ivf_index(embs, k_clusters=8, keep_cols=("label",))
+    path = str(tmp_path / "ivf_store_meta")
+    ann.write_ivf_partitioned(index, path)
+
+    result = ann.ivf_search_parquet(
+        spark, path, index.centroids, QV, k=5, nprobe=3, predicate="label = 1"
+    )
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "centroid_id" in plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "PushedFilters: [" in plan
+    assert "label" in plan.split("PushedFilters:")[1].split("]")[0]
+    assert "TakeOrderedAndProject" in plan
+
+    label1 = {r.vec_id for r in embs.filter("label = 1").select("vec_id").collect()}
+    assert {r.vec_id for r in result.collect()} <= label1
+    index.assigned.unpersist()
+
+
+def test_filtered_probe_widening_restores_recall(spark, sf_oracle):
+    """A selective predicate starves a fixed nprobe=1 probe; the
+    min_candidates widening rule must recover filtered-exact recall."""
+    from pyspark.sql import functions as F
+
+    embs = load_table(spark, sf_oracle, "embeddings")
+    report = ann.filtered_recall(
+        spark, embs, QV, predicate=F.col("label") == 1,
+        k=10, k_clusters=16, nprobe=1, rescore_factor=3,
+    ).collect()[0]
+    assert report.recall_widened >= report.recall_fixed
+    assert report.nprobe_widened > report.nprobe_fixed
+    assert report.recall_widened >= 0.9, report
+    ann.clear_index_cache()
+
+
+def test_filtered_widening_caps_at_full_probe_and_equals_exact(spark):
+    """min_candidates beyond the predicate's total population must cap
+    the widening at a full probe — which IS filtered exact KNN."""
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    index = ann.build_ivf_index(embs, k_clusters=4, keep_cols=("label",))
+    pred = "label = 2"
+    exact = [
+        r.vec_id for r in knn_scores(embs.filter(pred), QV, k=5).collect()
+    ]
+    got = [
+        r.vec_id
+        for r in index.search(
+            QV, k=5, nprobe=1, predicate=pred, min_candidates=10**9
+        ).collect()
+    ]
+    assert got == exact
+    index.assigned.unpersist()
+
+
+def test_filtered_tree_parquet_pushes_predicate(spark, tmp_path):
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    tree = ann.build_kmeans_tree_index(
+        embs, k_top=4, k_sub=2, keep_cols=("label",)
+    )
+    path = str(tmp_path / "tree_store_meta")
+    ann.write_tree_partitioned(tree, path)
+    result = ann.tree_search_parquet(
+        spark, path, tree.centroids_top, tree.centroids_sub, QV,
+        k=5, nprobe_top=2, nprobe_sub=2, predicate="label = 1",
+        min_candidates=5,
+    )
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "cell_top" in plan and "cell_sub" in plan
+    assert "PushedFilters: [" in plan
+    assert "label" in plan.split("PushedFilters:")[1].split("]")[0]
+    label1 = {r.vec_id for r in embs.filter("label = 1").select("vec_id").collect()}
+    assert {r.vec_id for r in result.collect()} <= label1
+    tree.assigned.unpersist()

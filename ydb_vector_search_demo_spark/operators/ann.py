@@ -33,6 +33,50 @@ from ydb_vector_search_demo_spark.functions.vector import distance
 from ydb_vector_search_demo_spark.operators.knn import knn_scores
 
 
+def _pred(predicate: Column | str | None) -> Column | None:
+    """Normalize a metadata predicate (Column or SQL string) — None
+    passes through."""
+    if predicate is None or isinstance(predicate, Column):
+        return predicate
+    return F.expr(predicate)
+
+
+def _choose_probe_level(
+    count_at, levels: list, min_candidates: int | None
+):
+    """Selectivity-aware probe widening (r3 verdict #3): walk ``levels``
+    (ascending probe configurations) and return the first whose
+    filtered candidate count reaches ``min_candidates``, else the last.
+    ``count_at(level) -> int`` runs one count job over the pruned,
+    predicate-filtered scan — at scale that reads only the probed
+    partitions' filter columns (pruned + pushed down), so each widening
+    step costs a sliver of a full scan. Without this, a fixed nprobe
+    under a selective predicate silently starves the candidate pool
+    and recall collapses — the classic filtered-ANN failure mode."""
+    if min_candidates is None:
+        return levels[0]
+    for level in levels[:-1]:
+        if count_at(level) >= min_candidates:
+            return level
+    return levels[-1]
+
+
+def _hashable(v):
+    """Cache-key normalization: list-valued build kwargs (keep_cols)
+    become tuples so the session-cache key stays hashable."""
+    return tuple(v) if isinstance(v, list) else v
+
+
+def _doubling_levels(start: int, maximum: int) -> list[int]:
+    """start, 2·start, 4·start, … capped at maximum (always included)."""
+    levels, n = [], max(1, int(start))
+    while n < maximum:
+        levels.append(n)
+        n *= 2
+    levels.append(maximum)
+    return levels
+
+
 class IvfIndex:
     """IVF(flat) index: KMeans centroids + centroid assignment column.
 
@@ -54,15 +98,33 @@ class IvfIndex:
         k: int = 5,
         nprobe: int = 3,
         metric: str = "cosine",
+        predicate: Column | str | None = None,
+        min_candidates: int | None = None,
     ) -> DataFrame:
         """Rank centroids on the driver (k_clusters tiny), prune to the
         ``nprobe`` nearest cells with an ordinary IN filter (→ partition
-        pruning on a centroid-partitioned layout), exact-rescore inside."""
+        pruning on a centroid-partitioned layout), exact-rescore inside.
+
+        ``predicate`` (metadata filter, Column or SQL string) applies
+        *inside* the pruned scan — the filtered-vector-search shape
+        (RAG over a tenant/date slice). With ``min_candidates`` set,
+        ``nprobe`` doubles until the filtered candidate pool reaches it
+        (or every cell is probed) — see :func:`_choose_probe_level`."""
         qv = [float(x) for x in query_vector]
-        probes = rank_centroids(self.centroids, qv, metric)[:nprobe]
-        pruned = self.assigned.filter(F.col("centroid_id").isin(probes))
+        ranked = rank_centroids(self.centroids, qv, metric)
+        pred = _pred(predicate)
+
+        def pruned_at(n: int) -> DataFrame:
+            out = self.assigned.filter(F.col("centroid_id").isin(ranked[:n]))
+            return out.filter(pred) if pred is not None else out
+
+        nprobe = _choose_probe_level(
+            lambda n: pruned_at(n).count(),
+            _doubling_levels(nprobe, len(ranked)),
+            min_candidates if pred is not None else None,
+        )
         return knn_scores(
-            pruned, qv, k=k, metric=metric, id_col=self.id_col,
+            pruned_at(nprobe), qv, k=k, metric=metric, id_col=self.id_col,
             vector_col=self.vector_col,
         )
 
@@ -101,16 +163,39 @@ def ivf_search_parquet(
     metric: str = "cosine",
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    predicate: Column | str | None = None,
+    min_candidates: int | None = None,
 ) -> DataFrame:
     """Query a persisted centroid-partitioned store (the 100 TB serving
     path): the IN-filter on ``centroid_id`` becomes Parquet PARTITION
     pruning — only nprobe/k_clusters of the directory tree is listed,
     read, or scored. Centroids travel with the query (driver-side list),
-    never read from the cluster."""
+    never read from the cluster.
+
+    ``predicate`` applies inside the pruned scan and reaches the
+    parquet reader as a pushed filter (plan-asserted in tests) — data
+    that fails the metadata filter is skipped at the row-group level,
+    not scored. ``min_candidates`` enables selectivity-aware nprobe
+    doubling (each widening step counts only the pruned, filtered
+    scan)."""
     qv = [float(x) for x in query_vector]
-    probes = rank_centroids(centroids, qv, metric)[:nprobe]
-    pruned = spark.read.parquet(path).filter(F.col("centroid_id").isin(probes))
-    return knn_scores(pruned, qv, k=k, metric=metric, id_col=id_col, vector_col=vector_col)
+    ranked = rank_centroids(centroids, qv, metric)
+    pred = _pred(predicate)
+    base = spark.read.parquet(path)
+
+    def pruned_at(n: int) -> DataFrame:
+        out = base.filter(F.col("centroid_id").isin(ranked[:n]))
+        return out.filter(pred) if pred is not None else out
+
+    nprobe = _choose_probe_level(
+        lambda n: pruned_at(n).count(),
+        _doubling_levels(nprobe, len(ranked)),
+        min_candidates if pred is not None else None,
+    )
+    return knn_scores(
+        pruned_at(nprobe), qv, k=k, metric=metric, id_col=id_col,
+        vector_col=vector_col,
+    )
 
 
 def build_ivf_index(
@@ -121,6 +206,7 @@ def build_ivf_index(
     vector_col: str = "embedding",
     max_iter: int = 8,
     fit_sample_fraction: float | None = None,
+    keep_cols: Sequence[str] = (),
 ) -> IvfIndex:
     """Batch index build: MLlib KMeans (seeded → deterministic) over the
     corpus; one pass to fit on (a sample of) the data, one map-only pass
@@ -132,7 +218,10 @@ def build_ivf_index(
     ``fit_sample_fraction`` trains the quantizer on a seeded sample and
     then assigns the FULL corpus map-side — the standard IVF recipe at
     scale, where a full-corpus KMeans is the most expensive part of the
-    build for no recall benefit."""
+    build for no recall benefit. ``keep_cols`` carries metadata columns
+    (tenant, date, label, …) into the assigned store so filtered probes
+    (``search(predicate=...)``) can push them down; pass a tuple when
+    using the session cache."""
     # persist: KMeans re-reads its input every iteration — without this
     # the parquet scan + vector conversion run max_iter+2 times
     feats = embeddings.withColumn(
@@ -148,7 +237,7 @@ def build_ivf_index(
     ).fit(fit_input)
     assigned = (
         model.transform(feats)
-        .select(id_col, vector_col, F.col("prediction").alias("centroid_id"))
+        .select(id_col, vector_col, *keep_cols, F.col("prediction").alias("centroid_id"))
     )
     # materialize the assignment eagerly (this IS the index build — the
     # batch job's output), then release the KMeans input cache; every
@@ -201,7 +290,7 @@ def get_or_build_ivf_index(
         # full-fit one (or a different seed/max_iter)
         params = inspect.signature(build_ivf_index).parameters
         norm = tuple(
-            (name, build_kwargs.get(name, p.default))
+            (name, _hashable(build_kwargs.get(name, p.default)))
             for name, p in params.items()
             if name not in ("embeddings", "k_clusters")
         )
@@ -368,26 +457,77 @@ class KMeansTreeIndex:
         nprobe_top: int = 2,
         nprobe_sub: int = 2,
         metric: str = "cosine",
+        predicate: Column | str | None = None,
+        min_candidates: int | None = None,
     ) -> DataFrame:
         """Rank top cells (k_top comparisons), then ONLY the probed
         cells' child codebooks (nprobe_top*k_sub comparisons); prune to
         the chosen (cell_top, cell_sub) pairs — an OR-of-AND filter that
-        partition-prunes on the two-level layout — and exact-rescore."""
-        import functools
+        partition-prunes on the two-level layout — and exact-rescore.
 
+        ``predicate``/``min_candidates``: filtered probe with
+        selectivity-aware widening, same contract as
+        :meth:`IvfIndex.search` — the probe set grows along
+        :func:`_tree_probe_levels` (sub first, then top) until the
+        filtered candidate pool reaches ``min_candidates``."""
         qv = [float(x) for x in query_vector]
-        tops = rank_centroids(self.centroids_top, qv, metric)[:nprobe_top]
-        clauses = []
-        for t in tops:
-            subs = rank_centroids(self.centroids_sub[t], qv, metric)[:nprobe_sub]
-            clauses.append(
-                (F.col("cell_top") == t) & F.col("cell_sub").isin(subs)
+        pred = _pred(predicate)
+
+        def pruned_at(level: tuple[int, int]) -> DataFrame:
+            nt, ns = level
+            clause = _tree_probe_clause(
+                self.centroids_top, self.centroids_sub, qv, nt, ns, metric
             )
-        pruned = self.assigned.filter(functools.reduce(lambda a, b: a | b, clauses))
+            out = self.assigned.filter(clause)
+            return out.filter(pred) if pred is not None else out
+
+        level = _choose_probe_level(
+            lambda lv: pruned_at(lv).count(),
+            _tree_probe_levels(
+                nprobe_top, nprobe_sub,
+                len(self.centroids_top), max(len(s) for s in self.centroids_sub),
+            ),
+            min_candidates if pred is not None else None,
+        )
         return knn_scores(
-            pruned, qv, k=k, metric=metric, id_col=self.id_col,
+            pruned_at(level), qv, k=k, metric=metric, id_col=self.id_col,
             vector_col=self.vector_col,
         )
+
+
+def _tree_probe_clause(
+    centroids_top: list[list[float]],
+    centroids_sub: list[list[list[float]]],
+    qv: list[float],
+    nprobe_top: int,
+    nprobe_sub: int,
+    metric: str,
+) -> Column:
+    """OR-of-AND (cell_top, cell_sub ∈ …) filter for the probed cells —
+    the shape that partition-prunes a two-level directory layout."""
+    import functools
+
+    tops = rank_centroids(centroids_top, qv, metric)[:nprobe_top]
+    clauses = []
+    for t in tops:
+        subs = rank_centroids(centroids_sub[t], qv, metric)[:nprobe_sub]
+        clauses.append((F.col("cell_top") == t) & F.col("cell_sub").isin(subs))
+    return functools.reduce(lambda a, b: a | b, clauses)
+
+
+def _tree_probe_levels(
+    nprobe_top: int, nprobe_sub: int, k_top: int, k_sub: int
+) -> list[tuple[int, int]]:
+    """Widening schedule for the two-level probe: double nprobe_sub to
+    k_sub first (stays inside the already-ranked top cells — cheapest
+    marginal candidates), then double nprobe_top to k_top."""
+    levels = [
+        (nprobe_top, ns) for ns in _doubling_levels(nprobe_sub, k_sub)
+    ]
+    levels += [
+        (nt, k_sub) for nt in _doubling_levels(nprobe_top, k_top)[1:]
+    ]
+    return levels
 
 
 def build_kmeans_tree_index(
@@ -399,10 +539,13 @@ def build_kmeans_tree_index(
     vector_col: str = "embedding",
     max_iter: int = 8,
     fit_sample_fraction: float | None = None,
+    keep_cols: Sequence[str] = (),
 ) -> KMeansTreeIndex:
     """Build the two-level tree: one level-1 KMeans over (a sample of)
     the corpus, then one level-2 KMeans per top cell over (a sample of)
-    that cell's rows. The k_top child fits are small independent batch
+    that cell's rows. ``keep_cols`` carries metadata columns into the
+    assigned store for filtered probes (pass a tuple when using the
+    session cache). The k_top child fits are small independent batch
     jobs (cell-sized inputs, sampled); the final sub-assignment is ONE
     map-only pass over the corpus — the child codebook is selected per
     row by ``cell_top`` from a nested plan literal, no per-cell scan,
@@ -423,7 +566,8 @@ def build_kmeans_tree_index(
         k=k_top, seed=seed, featuresCol="features", maxIter=max_iter
     ).fit(fit_input)
     assigned_top = top_model.transform(feats).select(
-        id_col, vector_col, "features", F.col("prediction").alias("cell_top")
+        id_col, vector_col, *keep_cols, "features",
+        F.col("prediction").alias("cell_top"),
     ).persist()
     assigned_top.count()
     feats.unpersist()
@@ -469,6 +613,7 @@ def build_kmeans_tree_index(
     assigned = assigned_top.select(
         id_col,
         vector_col,
+        *keep_cols,
         "cell_top",
         (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cell_sub"),
     ).persist()
@@ -502,7 +647,7 @@ def get_or_build_kmeans_tree(
 
         params = inspect.signature(build_kmeans_tree_index).parameters
         norm = tuple(
-            (name, build_kwargs.get(name, p.default))
+            (name, _hashable(build_kwargs.get(name, p.default)))
             for name, p in params.items()
             if name not in ("embeddings", "k_top", "k_sub")
         )
@@ -541,25 +686,43 @@ def tree_search_parquet(
     metric: str = "cosine",
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    predicate: Column | str | None = None,
+    min_candidates: int | None = None,
 ) -> DataFrame:
     """Query a persisted two-level tree store (the 100 TB serving path,
     mirroring :func:`ivf_search_parquet`): rank top cells, then only the
     probed cells' child codebooks, and push the (cell_top, cell_sub)
     OR-of-AND filter into the scan — directory-level pruning on the
     two-level layout. Codebooks travel with the query (driver-side
-    lists), never read from the cluster."""
-    import functools
+    lists), never read from the cluster.
 
+    ``predicate`` applies inside the pruned scan (pushed to the parquet
+    reader alongside the cell filter); ``min_candidates`` widens the
+    probe set along :func:`_tree_probe_levels` until the filtered
+    candidate pool is large enough."""
     qv = [float(x) for x in query_vector]
-    tops = rank_centroids(centroids_top, qv, metric)[:nprobe_top]
-    clauses = []
-    for t in tops:
-        subs = rank_centroids(centroids_sub[t], qv, metric)[:nprobe_sub]
-        clauses.append((F.col("cell_top") == t) & F.col("cell_sub").isin(subs))
-    pruned = spark.read.parquet(path).filter(
-        functools.reduce(lambda a, b: a | b, clauses)
+    pred = _pred(predicate)
+    base = spark.read.parquet(path)
+
+    def pruned_at(level: tuple[int, int]) -> DataFrame:
+        nt, ns = level
+        out = base.filter(
+            _tree_probe_clause(centroids_top, centroids_sub, qv, nt, ns, metric)
+        )
+        return out.filter(pred) if pred is not None else out
+
+    level = _choose_probe_level(
+        lambda lv: pruned_at(lv).count(),
+        _tree_probe_levels(
+            nprobe_top, nprobe_sub,
+            len(centroids_top), max(len(s) for s in centroids_sub),
+        ),
+        min_candidates if pred is not None else None,
     )
-    return knn_scores(pruned, qv, k=k, metric=metric, id_col=id_col, vector_col=vector_col)
+    return knn_scores(
+        pruned_at(level), qv, k=k, metric=metric, id_col=id_col,
+        vector_col=vector_col,
+    )
 
 
 def tree_assign(
@@ -653,6 +816,80 @@ def tree_recall(
         [(k, k_top, k_sub, nprobe_top, nprobe_sub, round(frac, 6), float(r))],
         "k INT, k_top INT, k_sub INT, nprobe_top INT, nprobe_sub INT, "
         "scanned_fraction DOUBLE, recall DOUBLE",
+    )
+
+
+def filtered_recall(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    predicate: Column | str,
+    k: int = 10,
+    k_clusters: int = 16,
+    nprobe: int = 2,
+    rescore_factor: int = 3,
+    metric: str = "cosine",
+    cache_key: object | None = None,
+    keep_cols: Sequence[str] = ("label",),
+    **build_kwargs,
+) -> DataFrame:
+    """Filtered-ANN quality report (r3 verdict #3): recall@k of the
+    predicate-filtered IVF probe vs predicate-filtered *exact* KNN
+    (the `knn_top5_filtered` shape), measured twice — at the fixed
+    starting ``nprobe`` and at the selectivity-widened nprobe (doubled
+    until the filtered candidate pool reaches ``rescore_factor·k``).
+    The gap between ``recall_fixed`` and ``recall_widened`` is exactly
+    what a fixed-nprobe filtered search silently loses under a
+    selective predicate."""
+    qv = [float(x) for x in query_vector]
+    pred = _pred(predicate)
+    filtered = embeddings.filter(pred)
+    exact = [
+        r[0] for r in knn_scores(filtered, qv, k, metric).collect()
+    ]
+    index = get_or_build_ivf_index(
+        embeddings, k_clusters=k_clusters, cache_key=cache_key,
+        keep_cols=tuple(keep_cols), **build_kwargs,
+    )
+    fixed = [
+        r[0]
+        for r in index.search(qv, k=k, nprobe=nprobe, metric=metric,
+                              predicate=pred).collect()
+    ]
+    # widened level computed once here so it can be *reported*; search
+    # with min_candidates would redo the same counts internally
+    ranked = rank_centroids(index.centroids, qv, metric)
+
+    def count_at(n: int) -> int:
+        return (
+            index.assigned.filter(F.col("centroid_id").isin(ranked[:n]))
+            .filter(pred)
+            .count()
+        )
+
+    target = int(rescore_factor) * k
+    nprobe_eff = _choose_probe_level(
+        count_at, _doubling_levels(nprobe, len(ranked)), target
+    )
+    widened = [
+        r[0]
+        for r in index.search(qv, k=k, nprobe=nprobe_eff, metric=metric,
+                              predicate=pred).collect()
+    ]
+    return spark.createDataFrame(
+        [
+            (
+                k,
+                filtered.count(),
+                target,
+                int(nprobe),
+                float(recall_at_k(exact, fixed)),
+                int(nprobe_eff),
+                float(recall_at_k(exact, widened)),
+            )
+        ],
+        "k INT, n_matching BIGINT, min_candidates INT, nprobe_fixed INT, "
+        "recall_fixed DOUBLE, nprobe_widened INT, recall_widened DOUBLE",
     )
 
 

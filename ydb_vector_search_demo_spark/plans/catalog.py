@@ -2097,6 +2097,24 @@ def q_ann_ivf_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_filtered_recall")
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN probe (operators.ann.filtered_recall):
+    recall@10 of the label-filtered IVF probe vs label-filtered exact
+    KNN (knn_top5_filtered's shape), at the fixed starting nprobe AND
+    after selectivity-aware widening (nprobe doubles until the
+    filtered candidate pool reaches 3·k). A ~2.5%-selective predicate
+    starves a fixed nprobe=1 probe; the widened probe restores recall —
+    the most common production vector-search shape (RAG over a
+    tenant/date slice) measured honestly."""
+    return ann.filtered_recall(
+        spark, _t(spark, sf_dir, "embeddings"), QV,
+        predicate=F.col("label") == 1, k=10, k_clusters=16, nprobe=1,
+        rescore_factor=3, cache_key=(sf_dir, "filtered"),
+        keep_cols=("label",), fit_sample_fraction=0.25,
+    )
+
+
 @register("ann_lsh_top5")
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH approximate top-5 (Euclidean)."""
