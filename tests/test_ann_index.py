@@ -309,3 +309,85 @@ def test_filtered_tree_parquet_pushes_predicate(spark, tmp_path):
     label1 = {r.vec_id for r in embs.filter("label = 1").select("vec_id").collect()}
     assert {r.vec_id for r in result.collect()} <= label1
     tree.assigned.unpersist()
+
+
+def test_tree_drift_detection_and_rebalance(spark, tmp_path):
+    """Skewed appends must trip the drift report; rebalance_tree must
+    rebuild into a store whose skew is back under control."""
+    from pyspark.sql import functions as F
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    tree = ann.build_kmeans_tree_index(embs, k_top=4, k_sub=2)
+    path = str(tmp_path / "tree_drift")
+    ann.write_tree_partitioned(tree, path)
+    balanced = ann.tree_drift_report(spark, path).collect()[0]
+
+    # skewed append: clone ONE leaf's vectors 6x with fresh ids — they
+    # route back to the same leaf by construction
+    leaf = spark.read.parquet(path).limit(1).collect()[0]
+    one_leaf = (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("cell_top") == leaf.cell_top)
+            & (F.col("cell_sub") == leaf.cell_sub)
+        )
+        .select("vec_id", "embedding")
+    )
+    for i in range(6):
+        clones = one_leaf.select(
+            (F.col("vec_id") + 100000 * (i + 1)).alias("vec_id"), "embedding"
+        )
+        ann.tree_append(tree.centroids_top, tree.centroids_sub, clones, path)
+
+    drifted = ann.tree_drift_report(spark, path).collect()[0]
+    assert drifted.skew_ratio > balanced.skew_ratio
+    assert drifted.needs_rebalance, drifted
+
+    # stats carry real byte counts per leaf
+    stats = ann.tree_leaf_stats(spark, path).collect()
+    assert all(r.leaf_bytes > 0 for r in stats)
+    assert sum(r.n_rows for r in stats) == drifted.total_rows
+
+    # balanced store: no-op (returns None, store untouched)
+    pre = ann.rebalance_tree(
+        spark, path, str(tmp_path / "never"),
+        skew_threshold=drifted.skew_ratio + 1,
+    )
+    assert pre is None
+
+    out = str(tmp_path / "tree_rebalanced")
+    new_index = ann.rebalance_tree(spark, path, out, k_top=4, k_sub=2)
+    assert new_index is not None
+    after = ann.tree_drift_report(spark, out).collect()[0]
+    assert after.total_rows == drifted.total_rows  # nothing lost
+    assert after.skew_ratio < drifted.skew_ratio
+    new_index.assigned.unpersist()
+    tree.assigned.unpersist()
+
+
+def test_parallel_child_fits_identical_to_sequential(spark):
+    """child_fit_parallelism must not change the codebook: each child
+    fit keeps its own (seed + t), so parallel and sequential builds are
+    bit-identical."""
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    seq = ann.build_kmeans_tree_index(embs, k_top=4, k_sub=2, child_fit_parallelism=1)
+    par = ann.build_kmeans_tree_index(embs, k_top=4, k_sub=2, child_fit_parallelism=8)
+    assert seq.centroids_top == par.centroids_top
+    assert seq.centroids_sub == par.centroids_sub
+    seq.assigned.unpersist()
+    par.assigned.unpersist()
+
+
+def test_tree_build_survives_near_duplicate_corpus(spark):
+    """A cell whose points are (near-)duplicates must not kill the
+    build: MLlib KMeans returns fewer centers (or fails) when distinct
+    points < k — the child fit clamps/falls back instead of raising."""
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(40)] + [
+        (i + 40, [9.0, 8.0, 7.0, 6.0]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    tree = ann.build_kmeans_tree_index(df, k_top=2, k_sub=4)
+    assert len(tree.centroids_sub) == 2
+    got = tree.search([1.0, 2.0, 3.0, 4.0], k=3, nprobe_top=2, nprobe_sub=4)
+    assert got.count() == 3
+    tree.assigned.unpersist()

@@ -540,12 +540,15 @@ def build_kmeans_tree_index(
     max_iter: int = 8,
     fit_sample_fraction: float | None = None,
     keep_cols: Sequence[str] = (),
+    child_fit_parallelism: int = 16,
 ) -> KMeansTreeIndex:
     """Build the two-level tree: one level-1 KMeans over (a sample of)
     the corpus, then one level-2 KMeans per top cell over (a sample of)
     that cell's rows. ``keep_cols`` carries metadata columns into the
     assigned store for filtered probes (pass a tuple when using the
-    session cache). The k_top child fits are small independent batch
+    session cache). ``child_fit_parallelism`` submits that many child
+    fits concurrently (1 = sequential); results are seed-deterministic
+    and independent of the setting. The k_top child fits are small independent batch
     jobs (cell-sized inputs, sampled); the final sub-assignment is ONE
     map-only pass over the corpus — the child codebook is selected per
     row by ``cell_top`` from a nested plan literal, no per-cell scan,
@@ -577,23 +580,58 @@ def build_kmeans_tree_index(
         r["cell_top"]: r["n"]
         for r in assigned_top.groupBy("cell_top").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    centroids_sub: list[list[list[float]]] = []
-    for t in range(k_top):
+
+    def _fit_child(t: int) -> list[list[float]]:
         n = cell_sizes.get(t, 0)
         if n < 2:
             # degenerate level-1 cell (empty or singleton): a single
             # child at the parent centroid — every row maps to sub 0
             # and MLlib (which requires k >= 2) is never consulted
-            centroids_sub.append([centroids_top[t]])
-            continue
+            return [centroids_top[t]]
         cell = assigned_top.filter(F.col("cell_top") == t)
         if fit_sample_fraction is not None and n * fit_sample_fraction >= k_sub:
             cell = cell.sample(fraction=fit_sample_fraction, seed=seed + t)
-        sub_model = KMeans(
-            k=min(k_sub, n), seed=seed + t, featuresCol="features",
-            maxIter=max_iter,
-        ).fit(cell)
-        centroids_sub.append([list(map(float, c)) for c in sub_model.clusterCenters()])
+        try:
+            sub_model = KMeans(
+                k=min(k_sub, n), seed=seed + t, featuresCol="features",
+                maxIter=max_iter,
+            ).fit(cell)
+        except Exception:
+            # MLlib KMeans can fail outright (KMeansAggregator AIOOBE)
+            # when a cell's sample has fewer distinct points than k —
+            # near-duplicate-heavy corpora hit this in practice. Clamp
+            # k to the cell's distinct-point count and refit; a cell
+            # with one distinct point keeps a single child at the
+            # parent centroid.
+            nd = cell.select(vector_col).distinct().count()
+            kk = min(k_sub, n, nd)
+            if kk < 2:
+                return [centroids_top[t]]
+            try:
+                sub_model = KMeans(
+                    k=kk, seed=seed + t, featuresCol="features",
+                    maxIter=max_iter,
+                ).fit(cell)
+            except Exception:
+                return [centroids_top[t]]
+        return [list(map(float, c)) for c in sub_model.clusterCenters()]
+
+    # The k_top child fits are independent small jobs over the CACHED
+    # level-1 assignment; submitted concurrently from driver threads so
+    # the cluster interleaves their (individually under-parallel)
+    # stages — build cost stays flat as k_top grows past ~100 instead
+    # of paying k_top sequential job latencies (r3 verdict #6). Each
+    # fit keeps its own (seed + t), so the codebook is bit-identical
+    # to the sequential build at any parallelism.
+    if child_fit_parallelism > 1 and k_top > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(int(child_fit_parallelism), k_top)
+        ) as pool:
+            centroids_sub = list(pool.map(_fit_child, range(k_top)))
+    else:
+        centroids_sub = [_fit_child(t) for t in range(k_top)]
 
     # single map-only sub-assignment pass: per row, pick the child
     # codebook by cell_top from a nested literal and take the nearest
@@ -776,10 +814,117 @@ def tree_append(
     """Incremental tree maintenance: route new vectors to their
     (cell_top, cell_sub) and append to the two-level store — only the
     touched leaf directories gain files; existing data is never
-    rewritten. Periodic re-clustering (build + write) rebalances when
-    leaf sizes drift, exactly like the flat :func:`ivf_append`."""
+    rewritten. Drift is *measured*, not guessed: :func:`tree_drift_report`
+    tracks per-leaf row/byte skew and :func:`rebalance_tree` rebuilds
+    once the documented threshold is crossed."""
     assigned = tree_assign(centroids_top, centroids_sub, new_vectors, id_col, vector_col)
     assigned.write.mode("append").partitionBy("cell_top", "cell_sub").parquet(path)
+
+
+def tree_leaf_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-leaf (cell_top, cell_sub) row AND byte counts for a persisted
+    two-level store — the measurement half of the incremental-ingest
+    maintenance story (r3 verdict #5): :func:`tree_append` routes new
+    vectors into existing leaves without refitting, so popular leaves
+    fatten over time and probe cost skews. Row counts come from one
+    aggregation over the store (partition-column-only scan — the
+    parquet reader materializes cell_top/cell_sub from directory names,
+    reading no data pages); byte counts from a recursive FileSystem
+    listing (a metadata op on any Hadoop FS, never a data read)."""
+    import re
+
+    rows = (
+        spark.read.parquet(path)
+        .groupBy("cell_top", "cell_sub")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    by_leaf: dict[tuple[int, int], int] = {}
+    while it.hasNext():
+        f = it.next()
+        m = re.search(r"cell_top=(\d+)/cell_sub=(\d+)/", f.getPath().toString())
+        if m:
+            key = (int(m.group(1)), int(m.group(2)))
+            by_leaf[key] = by_leaf.get(key, 0) + f.getLen()
+    sizes = spark.createDataFrame(
+        [(t, s, b) for (t, s), b in sorted(by_leaf.items())],
+        "cell_top INT, cell_sub INT, leaf_bytes BIGINT",
+    )
+    return (
+        rows.join(F.broadcast(sizes), on=["cell_top", "cell_sub"], how="left")
+        .orderBy("cell_top", "cell_sub")
+    )
+
+
+def tree_drift_report(
+    spark: SparkSession, path: str, skew_threshold: float = 4.0
+) -> DataFrame:
+    """One-row leaf-balance summary with the rebalance decision:
+    ``skew_ratio`` = max leaf rows / mean leaf rows. The documented
+    threshold (default 4.0) is a probe-latency budget: a query probing
+    the fattest leaf scans ``skew_ratio``× the average leaf, so once
+    drift exceeds the budget, :func:`rebalance_tree` rebuilds. Leaf
+    counts are k_top·k_sub — driver-side math over a tiny collect."""
+    stats = tree_leaf_stats(spark, path).collect()
+    counts = [r.n_rows for r in stats]
+    total = sum(counts)
+    mean = total / len(counts) if counts else 0.0
+    skew = (max(counts) / mean) if mean else 0.0
+    return spark.createDataFrame(
+        [
+            (
+                len(counts),
+                total,
+                int(min(counts)) if counts else 0,
+                int(max(counts)) if counts else 0,
+                round(mean, 3),
+                round(skew, 6),
+                float(skew_threshold),
+                bool(skew > skew_threshold),
+            )
+        ],
+        "n_leaves INT, total_rows BIGINT, min_leaf INT, max_leaf INT, "
+        "mean_leaf DOUBLE, skew_ratio DOUBLE, skew_threshold DOUBLE, "
+        "needs_rebalance BOOLEAN",
+    )
+
+
+def rebalance_tree(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    k_top: int = 8,
+    k_sub: int = 4,
+    skew_threshold: float = 4.0,
+    force: bool = False,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    **build_kwargs,
+) -> KMeansTreeIndex | None:
+    """Threshold-triggered re-clustering — the rebuild half of the
+    maintenance family (compact_store's analogue for the tree index):
+    when :func:`tree_drift_report` crosses ``skew_threshold`` (or
+    ``force``), refit the two-level tree on the store's CURRENT
+    contents (metadata columns are preserved as keep_cols) and write
+    the rebalanced store to ``out_path``. Returns the new index, or
+    None when the store is still balanced. Never writes in place — the
+    atomic swap is the caller's rename/metastore step, same contract
+    as :func:`~ydb_vector_search_demo_spark.pipeline.rag.compact_store`."""
+    if not force:
+        report = tree_drift_report(spark, path, skew_threshold).collect()[0]
+        if not report.needs_rebalance:
+            return None
+    data = spark.read.parquet(path).drop("cell_top", "cell_sub")
+    keep = tuple(c for c in data.columns if c not in (id_col, vector_col))
+    index = build_kmeans_tree_index(
+        data, k_top=k_top, k_sub=k_sub, id_col=id_col, vector_col=vector_col,
+        keep_cols=keep, **build_kwargs,
+    )
+    write_tree_partitioned(index, out_path)
+    return index
 
 
 def tree_recall(
