@@ -540,3 +540,37 @@ def test_dedup_clusters_lsh_equals_exact_path(spark):
     exact = {tuple(r) for r in QUERIES["dedup_clusters"](spark, SF_SMOKE).collect()}
     lsh = {tuple(r) for r in QUERIES["dedup_clusters_lsh"](spark, SF_SMOKE).collect()}
     assert exact == lsh
+
+
+def test_persist_scope_bounds_cache_lifetime(spark):
+    """r3 verdict #8: a long-lived session running dedup operators in
+    `with dedup.persist_scope():` must not accumulate pinned relations
+    — the module registry is empty after each block, and nested scopes
+    release only their own persists."""
+    from ydb_vector_search_demo_spark.operators import dedup
+    from ydb_vector_search_demo_spark.plans.catalog import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    assert len(dedup._PERSISTED) == 0
+    for _ in range(3):
+        with dedup.persist_scope():
+            QUERIES["dedup_jaccard_pairs"](spark, SF_SMOKE).collect()
+        assert len(dedup._PERSISTED) == 0, "scope leaked persisted relations"
+
+    # nesting: outer persists survive the inner scope
+    with dedup.persist_scope():
+        QUERIES["dedup_jaccard_pairs"](spark, SF_SMOKE).collect()
+        outer = len(dedup._PERSISTED)
+        with dedup.persist_scope():
+            QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE).collect()
+        assert len(dedup._PERSISTED) == outer, "inner scope over-released"
+    assert len(dedup._PERSISTED) == 0
+
+    # error path: the scope releases on exception too
+    try:
+        with dedup.persist_scope():
+            QUERIES["dedup_jaccard_pairs"](spark, SF_SMOKE).collect()
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert len(dedup._PERSISTED) == 0

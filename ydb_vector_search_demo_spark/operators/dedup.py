@@ -46,6 +46,32 @@ def release_persisted() -> None:
         df.unpersist()
 
 
+class persist_scope:
+    """Bound the lifetime of operator-internal caches to a ``with``
+    block — the serving-session completion of the bench/test release
+    contract: a long-lived session that runs dedup operators inside
+    ``with dedup.persist_scope():`` releases exactly the relations
+    persisted within the block on exit (even on error), instead of
+    accumulating pinned executor storage until someone remembers to
+    call :func:`release_persisted`.
+
+    Scopes nest: an inner scope releases only what was persisted after
+    it opened; relations persisted before the block stay cached for
+    the caller."""
+
+    def __enter__(self) -> "persist_scope":
+        with _PERSISTED_LOCK:
+            self._mark = len(_PERSISTED)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        with _PERSISTED_LOCK:
+            items = _PERSISTED[self._mark:]
+            del _PERSISTED[self._mark:]
+        for df in items:
+            df.unpersist()
+
+
 # ---------------------------------------------------------------- exact
 
 
