@@ -29,10 +29,12 @@ def test_query_executes(spark, name):
 
 def test_rows_only_set_is_intentional():
     assert ROWS_ONLY == [
+        "ann_filtered_recall",
         "ann_ivf_build",
         "ann_ivf_recall",
         "ann_ivf_recall_sweep",
         "ann_lsh_top5",
+        "ann_quantized_recall",
         "ann_tree_recall",
         "dedup_clusters_lsh",
         "dedup_cosine_bucketed",
