@@ -107,3 +107,40 @@ def test_serving_plan_shape(spark, tmp_path):
     assert "SortMergeJoin" not in plan
     for py_node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert py_node not in plan
+
+
+def test_ivf_quantized_store_composes_pruning_and_byte_reduction(spark, tmp_path):
+    """The composed serving layout: coarse scan partition-prunes on
+    centroid_id AND reads the int8 column; rescore broadcasts c*k ids
+    into the float relation. Full probe + rescore == exact top-k."""
+    from ydb_vector_search_demo_spark.operators import ann
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    index = ann.build_ivf_index(embs, k_clusters=8)
+    qpath = str(tmp_path / "ivf_q")
+    quant.write_ivf_quantized(index, qpath)
+
+    df = quant.ivf_quantized_search_parquet(
+        spark, qpath, embs, index.centroids, QV, k=5, nprobe=3, rescore=4
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # two scans: the quantized store must partition-prune on centroid_id
+    # (the float scan's PartitionFilters stays empty — it serves rescore)
+    pfs = [seg.split("]")[0] for seg in plan.split("PartitionFilters:")[1:]]
+    assert any("centroid_id" in pf for pf in pfs), pfs
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # the coarse scan must read the quantized column, never the floats
+    qscan = [seg for seg in plan.split("ReadSchema:") if "qvec" in seg.split("\n")[0]]
+    assert qscan, "coarse scan does not read the int8 store"
+
+    # full probe + exact rescore == exact float top-k
+    exact = [
+        (r.vec_id, round(r.score, 9)) for r in knn_scores(embs, QV, k=5).collect()
+    ]
+    full = quant.ivf_quantized_search_parquet(
+        spark, qpath, embs, index.centroids, QV, k=5, nprobe=8, rescore=8
+    )
+    got = [(r.vec_id, round(r.score, 9)) for r in full.collect()]
+    assert got == exact
+    index.assigned.unpersist()

@@ -189,6 +189,72 @@ def quantized_search_parquet(
 
 
 # --------------------------------------------------------------------------
+# Composition with IVF: quantized centroid-partitioned store
+# --------------------------------------------------------------------------
+
+
+def write_ivf_quantized(index, path: str) -> None:
+    """Quantized companion of ``ann.write_ivf_partitioned``: (id, qvec,
+    qscale, centroid_id) partitioned by ``centroid_id``. The two scan
+    levers MULTIPLY at the coarse stage — a probe reads
+    nprobe/k_clusters of the directories AND ~4× fewer bytes inside
+    them; the float store keeps serving the c·k-row rescore. This is
+    the realistic 100 TB serving layout."""
+    assigned = index.assigned
+    scale = int8_scale(index.vector_col)
+    (
+        assigned.select(
+            F.col(index.id_col),
+            quantize_expr(index.vector_col, scale).alias("qvec"),
+            scale.cast("float").alias("qscale"),
+            F.col("centroid_id"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
+def ivf_quantized_search_parquet(
+    spark: SparkSession,
+    quantized_path: str,
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    query_vector: Sequence[float],
+    k: int = 5,
+    nprobe: int = 3,
+    rescore: int = 4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Serve from the quantized IVF store: rank centroids driver-side,
+    partition-prune to ``nprobe`` cells, coarse-score the int8 column
+    inside them (TakeOrderedAndProject), exact-rescore the top
+    ``rescore·k`` from the float relation."""
+    from ydb_vector_search_demo_spark.operators.ann import rank_centroids
+
+    qv = [float(x) for x in query_vector]
+    probes = rank_centroids(centroids, qv, metric)[:nprobe]
+    coarse = (
+        spark.read.parquet(quantized_path)
+        .filter(F.col("centroid_id").isin(probes))
+        .select(
+            F.col(id_col),
+            coarse_distance("qvec", "qscale", qv, metric).alias("qscore"),
+        )
+        .orderBy(F.col("qscore").asc_nulls_last(), F.col(id_col).asc())
+        .limit(int(rescore) * k)
+    )
+    candidates = embeddings.join(
+        F.broadcast(coarse.select(id_col)), on=id_col, how="inner"
+    )
+    return knn_scores(
+        candidates, qv, k=k, metric=metric, id_col=id_col, vector_col=vector_col
+    )
+
+
+# --------------------------------------------------------------------------
 # 1-bit (sign) quantization: Hamming coarse pass
 # --------------------------------------------------------------------------
 

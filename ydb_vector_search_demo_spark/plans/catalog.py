@@ -2180,6 +2180,37 @@ def q_quant_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quant_hamming_topk",
+    f"""
+    SELECT vec_id,
+           list_sum(list_transform(list_zip(embedding::DOUBLE[], {{q}}),
+             p -> CASE WHEN (p[1] > 0) != (p[2] > 0) THEN 1 ELSE 0 END)
+           )::INTEGER AS hamming
+    FROM embeddings
+    ORDER BY hamming, vec_id LIMIT 20
+    """.format(q=_vec_sql(QV)),
+)
+def q_quant_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit Hamming coarse scan, fully oracle-checked: Spark packs
+    sign bits 32-per-BIGINT and scores via bit_count(xor) over the
+    packed words (operators.quant); DuckDB recomputes the same number
+    as an elementwise sign-disagreement count over the raw floats —
+    equality proves the pack/xor/popcount path bit-for-bit."""
+    from ydb_vector_search_demo_spark.operators import quant
+
+    embs = _t(spark, sf_dir, "embeddings")
+    b = quant.quantize_binary(embs, dim=len(QV))
+    qw = quant.pack_query_bits(QV)
+    return (
+        b.select(
+            "vec_id", quant.hamming_distance("bvec", qw).alias("hamming")
+        )
+        .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
 @register("ann_quantized_recall")
 def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized-scan-then-exact-rescore (operators.quant, the YDB Knn
