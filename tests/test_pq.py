@@ -1,0 +1,101 @@
+"""Product quantization + ADC (operators.pq): encode/score math against
+a driver-side reimplementation, recall contract, and plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import SF_ORACLE, SF_SMOKE
+from ydb_vector_search_demo_spark.operators import pq
+from ydb_vector_search_demo_spark.operators.knn import knn_scores
+from ydb_vector_search_demo_spark.plans.catalog import QV
+from ydb_vector_search_demo_spark.sources.tables import load_table
+
+FIXED_BOOKS = [
+    [[0.1 * (c + 1) * ((i + j) % 3 - 1) for i in range(8)] for c in range(4)]
+    for j in range(2)
+]  # m=2 subspaces × k*=4 × 8 dims → dim 16
+
+
+def _encode_py(v):
+    codes = []
+    for j, book in enumerate(FIXED_BOOKS):
+        sub = v[j * 8 : j * 8 + 8]
+        d = [sum((a - b) ** 2 for a, b in zip(sub, c)) for c in book]
+        codes.append(d.index(min(d)))
+    return codes
+
+
+def test_encode_and_adc_match_driver_side_math(spark):
+    vecs = [[math.sin(i * 0.7 + s) for i in range(16)] for s in range(6)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    got = {
+        r.vec_id: (list(r.pq_codes), r.vnorm)
+        for r in pq.pq_encode(df, FIXED_BOOKS).collect()
+    }
+    q = [0.3] * 16
+    lut = pq.adc_lut(q, FIXED_BOOKS, "euclidean")
+    import pyspark.sql.functions as F
+
+    scores = {
+        r.vec_id: r.s
+        for r in pq.pq_encode(df, FIXED_BOOKS)
+        .select("vec_id", pq.adc_score("pq_codes", lut, "euclidean", q).alias("s"))
+        .collect()
+    }
+    for i, v in enumerate(vecs):
+        exp_codes = _encode_py(v)
+        assert got[i][0] == exp_codes, i
+        assert got[i][1] == pytest.approx(math.sqrt(sum(x * x for x in v)), rel=1e-6)
+        exp_score = sum(lut[j][exp_codes[j]] for j in range(2))
+        assert scores[i] == pytest.approx(exp_score, rel=1e-9)
+
+
+def test_subspace_bounds_rejects_ragged_split():
+    with pytest.raises(ValueError):
+        pq.subspace_bounds(10, 3)
+    with pytest.raises(ValueError):
+        pq.train_pq_codebooks(None, 64, k_star=200)
+
+
+def test_pq_rescore_meets_recall_contract(spark):
+    embs = load_table(spark, SF_ORACLE, "embeddings")
+    row = pq.pq_recall(
+        spark, embs, QV, dim=64, m=8, k_star=64, k=10, rescore=8,
+        fit_sample_fraction=0.5,
+    ).collect()[0]
+    assert row.recall_adc_rescored >= 0.9, row
+    assert row.compression_x > 20
+
+
+def test_pq_store_schema_and_plan_shape(spark, tmp_path):
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    books = pq.train_pq_codebooks(embs, 64, m=4, k_star=16)
+    path = str(tmp_path / "pq_store")
+    pq.write_pq_store(embs, books, path)
+    stored = spark.read.parquet(path)
+    schema = {f.name: f.dataType.simpleString() for f in stored.schema.fields}
+    assert schema["pq_codes"] == "array<tinyint>"
+    assert schema["vnorm"] == "float"
+
+    df = pq.pq_search(stored, embs, books, QV, k=5, rescore=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    for py_node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py_node not in plan
+
+    # full-corpus candidate pool + exact rescore == exact top-k
+    exact = [
+        (r.vec_id, round(r.score, 9)) for r in knn_scores(embs, QV, k=5).collect()
+    ]
+    big_c = stored.count() // 5 + 1
+    got = [
+        (r.vec_id, round(r.score, 9))
+        for r in pq.pq_search(stored, embs, books, QV, k=5, rescore=big_c).collect()
+    ]
+    assert got == exact

@@ -34,6 +34,7 @@ def test_rows_only_set_is_intentional():
         "ann_ivf_recall",
         "ann_ivf_recall_sweep",
         "ann_lsh_top5",
+        "ann_pq_recall",
         "ann_quantized_recall",
         "ann_tree_recall",
         "dedup_clusters_lsh",

@@ -1,0 +1,329 @@
+"""Product quantization (PQ) with asymmetric-distance (ADC) scoring —
+the compression level between int8 scalar quantization and 1-bit sign
+packing (operators.quant), and the codes behind the industry-standard
+IVF-PQ layout (Jégou, Douze, Schmid, "Product Quantization for Nearest
+Neighbor Search", IEEE TPAMI 2011).
+
+Reference analogue: the YDB Knn API behind the reference's store
+(/root/reference/app.py:29-42) exposes quantized vector types to cut
+scan bytes; PQ is the classical next step on the same axis — the
+vector is split into ``m`` subspaces, each subvector replaced by the
+id of its nearest codebook centroid, so storage is ``m`` bytes plus
+one exact float norm (64-dim float32 = 256 B → m=8 codes = 12 B,
+~21×).
+
+Scale shape (100 TB posture):
+
+* **Training** is a batch job: ``m`` independent MLlib KMeans fits
+  over (a sample of) the subvector columns, thread-pooled like the
+  k-means tree's child fits; codebooks are driver-side lists
+  (m × k* × d/m floats) that travel as plan literals.
+* **Encoding** is one map-only pass of pure Column expressions
+  (slice → zip_with → aggregate → array_position): no shuffle, no
+  Python, no MLlib model objects at scan time.
+* **Query (ADC)**: the query is NOT encoded — the driver computes a
+  lookup table LUT[j][c] (distance/dot of the query's j-th subvector
+  to every centroid of codebook j; m·k* doubles), ships it as a plan
+  literal, and each row's coarse score is ``m`` array lookups + a sum
+  (``zip_with(codes, LUT, element_at)``), entirely JVM-side. Coarse
+  top-``rescore·k`` then broadcast-joins the float relation for an
+  exact rescore, same contract as operators.quant.
+* Cosine uses the PQ-reconstructed *dot product* plus the exactly
+  stored per-vector norm (4 bytes), so only the dot is approximate.
+
+Codes are stored 0-based in ``ARRAY<TINYINT>``; ``k_star`` is capped
+at 128 so codes fit a signed byte without an offset dance (the
+classical 256-centroid variant would store SMALLINT at 2 B/code —
+same machinery, half the compression, not worth the asymmetry here).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ydb_vector_search_demo_spark.functions.vector import (
+    l2_norm,
+    to_double_array,
+)
+from ydb_vector_search_demo_spark.operators.knn import knn_scores
+
+Codebooks = list[list[list[float]]]  # m × k* × (dim/m)
+
+
+def subspace_bounds(dim: int, m: int) -> list[tuple[int, int]]:
+    """(start, length) per subspace; dim must divide evenly by m so the
+    stored layout is self-describing (no ragged tail subspace)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    return [(j * d, d) for j in range(m)]
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 8,
+    k_star: int = 64,
+    seed: int = 42,
+    vector_col: str = "embedding",
+    max_iter: int = 8,
+    fit_sample_fraction: float | None = None,
+    fit_parallelism: int = 8,
+) -> Codebooks:
+    """``m`` seeded KMeans fits over the subvector slices (thread-pooled
+    — independent small jobs, deterministic per-subspace seeds). Returns
+    driver-side codebooks; nothing corpus-sized is collected."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if k_star > 128:
+        raise ValueError(f"k_star {k_star} > 128 does not fit TINYINT codes")
+    bounds = subspace_bounds(dim, m)
+    v = to_double_array(vector_col)
+    feats = vectors.select(
+        *[
+            array_to_vector(F.slice(v, start + 1, length)).alias(f"_sub{j}")
+            for j, (start, length) in enumerate(bounds)
+        ]
+    )
+    if fit_sample_fraction is not None:
+        feats = feats.sample(fraction=fit_sample_fraction, seed=seed)
+    feats = feats.persist()
+    try:
+        n = feats.count()  # materialize once; every fit reuses the cache
+
+        def _fit(j: int) -> list[list[float]]:
+            model = KMeans(
+                k=min(k_star, max(2, n)), seed=seed + j,
+                featuresCol=f"_sub{j}", maxIter=max_iter,
+            ).fit(feats)
+            return [list(map(float, c)) for c in model.clusterCenters()]
+
+        if fit_parallelism > 1 and m > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(fit_parallelism, m)) as pool:
+                return list(pool.map(_fit, range(m)))
+        return [_fit(j) for j in range(m)]
+    finally:
+        feats.unpersist()
+
+
+def encode_expr(vector_col: Column | str, codebooks: Codebooks) -> Column:
+    """0-based nearest-centroid code per subspace as ``ARRAY<TINYINT>``
+    — a pure map-side expression; the codebooks travel as literals."""
+    v = to_double_array(vector_col)
+
+    def dist_to(sub: Column):
+        # single-arg lambda: a 2-arg function would be interpreted by
+        # PySpark's HOF protocol as (element, index)
+        def inner(c: Column) -> Column:
+            return F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        return inner
+
+    codes = []
+    start = 0
+    for book in codebooks:
+        length = len(book[0])
+        sub = F.slice(v, start + 1, length)
+        dists = F.transform(F.array(*[F.lit(c) for c in book]), dist_to(sub))
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("tinyint")
+        )
+        start += length
+    return F.array(*codes)
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: Codebooks,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    norm_col: str = "vnorm",
+) -> DataFrame:
+    """Ingest-side encoding: (id, m-byte codes, exact float norm). The
+    norm keeps cosine exact up to the reconstructed dot product."""
+    return vectors.select(
+        F.col(id_col),
+        encode_expr(vector_col, codebooks).alias(codes_col),
+        l2_norm(vector_col).cast("float").alias(norm_col),
+    )
+
+
+def adc_lut(
+    query_vector: Sequence[float], codebooks: Codebooks, metric: str = "cosine"
+) -> list[list[float]]:
+    """Driver-side lookup table LUT[j][c]: ``euclidean``/``manhattan``
+    store per-subspace distances (sum over j = distance^2 / L1 of the
+    reconstruction); ``cosine``/``inner_product`` store per-subspace
+    dot products (sum over j = reconstructed <q, x̂>)."""
+    qv = [float(x) for x in query_vector]
+    lut = []
+    start = 0
+    for book in codebooks:
+        length = len(book[0])
+        q_sub = qv[start : start + length]
+        row = []
+        for c in book:
+            if metric == "euclidean":
+                row.append(sum((a - b) ** 2 for a, b in zip(q_sub, c)))
+            elif metric == "manhattan":
+                row.append(sum(abs(a - b) for a, b in zip(q_sub, c)))
+            else:  # cosine / inner_product: reconstructed dot
+                row.append(sum(a * b for a, b in zip(q_sub, c)))
+        lut.append(row)
+        start += length
+    return lut
+
+
+def adc_score(
+    codes_col: Column | str,
+    lut: list[list[float]],
+    metric: str,
+    query_vector: Sequence[float],
+    norm_col: Column | str = "vnorm",
+) -> Column:
+    """Coarse ADC score (lower = more similar, every metric): m array
+    lookups + a fold, all JVM-side. Cosine divides the reconstructed
+    dot by the EXACT stored norm (NULL-lawful for zero norms, matching
+    functions.vector.cosine_similarity)."""
+    codes = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    nrm = F.col(norm_col) if isinstance(norm_col, str) else norm_col
+    picked = F.zip_with(
+        codes,
+        F.lit([[float(x) for x in row] for row in lut]),
+        lambda c, row: F.element_at(row, c.cast("int") + 1),
+    )
+    total = F.aggregate(picked, F.lit(0.0), lambda acc, x: acc + x)
+    if metric in ("euclidean", "manhattan"):
+        return total
+    if metric == "inner_product":
+        return -total
+    if metric == "cosine":
+        qn = math.sqrt(sum(float(x) * float(x) for x in query_vector))
+        return F.lit(1.0) - F.try_divide(total, nrm * F.lit(qn))
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def pq_search(
+    encoded: DataFrame,
+    embeddings: DataFrame,
+    codebooks: Codebooks,
+    query_vector: Sequence[float],
+    k: int = 5,
+    rescore: int = 4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    norm_col: str = "vnorm",
+) -> DataFrame:
+    """ADC coarse pass over the m-byte codes (TakeOrderedAndProject —
+    no shuffle of scored rows), broadcast the top ``rescore·k`` ids
+    into the float relation, exact rescore, exact top-k of candidates."""
+    qv = [float(x) for x in query_vector]
+    lut = adc_lut(qv, codebooks, metric)
+    coarse = (
+        encoded.select(
+            F.col(id_col),
+            adc_score(codes_col, lut, metric, qv, norm_col).alias("pq_score"),
+        )
+        .orderBy(F.col("pq_score").asc_nulls_last(), F.col(id_col).asc())
+        .limit(int(rescore) * k)
+    )
+    candidates = embeddings.join(
+        F.broadcast(coarse.select(id_col)), on=id_col, how="inner"
+    )
+    return knn_scores(
+        candidates, qv, k=k, metric=metric, id_col=id_col, vector_col=vector_col
+    )
+
+
+def write_pq_store(
+    vectors: DataFrame,
+    codebooks: Codebooks,
+    path: str,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> None:
+    """Persist the PQ companion store (id, codes, norm). Composes with
+    the IVF layout exactly like quant.write_ivf_quantized — add the
+    centroid_id column before writing and partition by it."""
+    pq_encode(vectors, codebooks, id_col=id_col, vector_col=vector_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def pq_recall(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    dim: int,
+    m: int = 8,
+    k_star: int = 64,
+    k: int = 10,
+    rescore: int = 4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    **train_kwargs,
+) -> DataFrame:
+    """One-row report: recall@k of (a) the raw ADC ordering and (b)
+    ADC + exact rescore, vs exact float KNN — the PQ counterpart of
+    quant.quantized_recall, with the compression ratio alongside."""
+    from ydb_vector_search_demo_spark.operators.ann import recall_at_k
+
+    qv = [float(x) for x in query_vector]
+    exact = [
+        r[0]
+        for r in knn_scores(
+            embeddings, qv, k, metric, id_col=id_col, vector_col=vector_col
+        ).collect()
+    ]
+    books = train_pq_codebooks(
+        embeddings, dim, m=m, k_star=k_star, vector_col=vector_col, **train_kwargs
+    )
+    encoded = pq_encode(embeddings, books, id_col=id_col, vector_col=vector_col)
+    lut = adc_lut(qv, books, metric)
+    coarse_only = [
+        r[0]
+        for r in encoded.select(
+            F.col(id_col), adc_score("pq_codes", lut, metric, qv).alias("s")
+        )
+        .orderBy(F.col("s").asc_nulls_last(), F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    ]
+    rescored = [
+        r[0]
+        for r in pq_search(
+            encoded, embeddings, books, qv, k=k, rescore=rescore, metric=metric,
+            id_col=id_col, vector_col=vector_col,
+        ).collect()
+    ]
+    compression = (dim * 4.0) / (m + 4.0)  # float32 bytes vs codes+norm
+    return spark.createDataFrame(
+        [
+            (
+                k,
+                m,
+                k_star,
+                int(rescore),
+                round(compression, 2),
+                float(recall_at_k(exact, coarse_only)),
+                float(recall_at_k(exact, rescored)),
+            )
+        ],
+        "k INT, m INT, k_star INT, rescore INT, compression_x DOUBLE, "
+        "recall_adc_coarse DOUBLE, recall_adc_rescored DOUBLE",
+    )

@@ -2226,6 +2226,100 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed deterministic PQ codebooks (m=4 subspaces × k*=4 centroids ×
+# 16 dims) derived from QV arithmetic and rounded to 6 dp so the SQL
+# literals equal the Python floats exactly — with codebooks FIXED, PQ
+# encode + ADC is pure arithmetic and fully DuckDB-checkable; the
+# KMeans-trained variant (ann_pq_recall) stays rows-only.
+_PQ_FIXED_BOOKS = [
+    [
+        [round(QV[(j * 16 + i) % len(QV)] * (c + 1) - 0.05 * c, 6) for i in range(16)]
+        for c in range(4)
+    ]
+    for j in range(4)
+]
+
+
+def _pq_fixed_oracle_sql() -> str:
+    def dlist(xs):
+        return "[" + ",".join(repr(float(x)) for x in xs) + "]"
+
+    code_exprs, adc_terms = [], []
+    for j, book in enumerate(_PQ_FIXED_BOOKS):
+        sub = f"v[{j * 16 + 1}:{j * 16 + 16}]"
+        books_sql = "[" + ",".join(dlist(c) for c in book) + "]"
+        dists = (
+            f"list_transform({books_sql}, c -> list_sum("
+            f"list_transform(list_zip({sub}, c), p -> (p[1]-p[2])*(p[1]-p[2]))))"
+        )
+        code_exprs.append(
+            f"list_position({dists}, list_min({dists}))::INTEGER AS code_{j}"
+        )
+        # ADC LUT for the fixed query = per-centroid L2^2 of QV's subspace
+        qsub = QV[j * 16 : j * 16 + 16]
+        lut = [sum((a - b) ** 2 for a, b in zip(qsub, c)) for c in book]
+        adc_terms.append(f"({dlist(lut)})[code_{j}]")
+    return f"""
+    WITH coded AS (
+      SELECT vec_id, {", ".join(code_exprs)}
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    )
+    SELECT vec_id, code_0, code_1, code_2, code_3,
+           round({" + ".join(adc_terms)}, 6) AS adc_score
+    FROM coded ORDER BY vec_id
+    """
+
+
+@register("pq_adc_fixed", _pq_fixed_oracle_sql())
+def q_pq_adc_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode + asymmetric-distance scoring (operators.pq) against a
+    full DuckDB oracle: with the codebooks pinned to deterministic
+    literals, the nearest-centroid code per subspace and the ADC
+    lookup-sum are pure arithmetic, recomputed independently by DuckDB
+    from the raw floats. Codes are reported 1-based to match SQL
+    list_position; the euclidean LUT makes the ADC a plain sum."""
+    from ydb_vector_search_demo_spark.operators import pq
+
+    embs = _t(spark, sf_dir, "embeddings")
+    codes = pq.encode_expr("embedding", _PQ_FIXED_BOOKS)
+    lut = pq.adc_lut(QV, _PQ_FIXED_BOOKS, "euclidean")
+    return (
+        embs.select(
+            "vec_id",
+            codes.alias("_codes"),
+            F.round(
+                pq.adc_score("_codes", lut, "euclidean", QV), 6
+            ).alias("adc_score"),
+        )
+        .select(
+            "vec_id",
+            *[
+                (F.element_at("_codes", j + 1).cast("int") + 1).alias(f"code_{j}")
+                for j in range(4)
+            ],
+            "adc_score",
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register("ann_pq_recall")
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end-to-end (operators.pq): m=8 KMeans
+    codebooks (thread-pooled subspace fits), m-byte codes + exact
+    norm (~21× compression at dim 64), ADC coarse scan, exact rescore
+    at c=8 — recall@10 vs exact float KNN for both the raw ADC
+    ordering and the rescored result (1.0 at sf0.01; the coarse-only
+    number is what rescore exists to repair)."""
+    from ydb_vector_search_demo_spark.operators import pq
+
+    return pq.pq_recall(
+        spark, _t(spark, sf_dir, "embeddings"), QV,
+        dim=len(QV), m=8, k_star=64, k=10, rescore=8,
+        fit_sample_fraction=0.5,
+    )
+
+
 @register("multimodal_decode_meta")
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing: payload → typed metadata via
