@@ -158,3 +158,50 @@ def test_running_topk_bounded_state_equals_batch(spark, tmp_path):
     final = [(r["id"], r["score"]) for r in non_empty[-1]]
     # global top-3 by (score asc, id): 0.05(5), 0.1(2), 0.45(6)
     assert final == [(5, 0.05), (2, 0.1), (6, 0.45)]
+
+
+def test_streaming_tree_ingest_matches_batch_assignment(spark, tmp_path):
+    """Two micro-batches of embedding files stream through the map-only
+    tree routing into the partitioned store; contents must equal the
+    batch tree_assign of the same rows, and a second drop must only
+    append (exactly-once via the checkpoint)."""
+    from tests.conftest import SF_SMOKE
+    from ydb_vector_search_demo_spark.operators import ann
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+    from ydb_vector_search_demo_spark.streaming import ingest
+
+    embs = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    tree = ann.build_kmeans_tree_index(embs, k_top=4, k_sub=2)
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    store = str(tmp_path / "stream_store")
+    ckpt = str(tmp_path / "ckpt")
+    first = embs.filter("vec_id % 2 = 0")
+    second = embs.filter("vec_id % 2 = 1")
+    first.write.parquet(str(src / "batch1"))
+
+    stream = ingest.read_embeddings_stream(spark, str(src) + "/*", dim_hint_df=embs)
+    q = ingest.stream_tree_ingest(
+        stream, tree.centroids_top, tree.centroids_sub, store, ckpt
+    )
+    q.awaitTermination(120)
+
+    got1 = spark.read.parquet(store)
+    assert got1.count() == first.count()
+
+    second.write.parquet(str(src / "batch2"))
+    q2 = ingest.stream_tree_ingest(
+        ingest.read_embeddings_stream(spark, str(src) + "/*", dim_hint_df=embs),
+        tree.centroids_top, tree.centroids_sub, store, ckpt,
+    )
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(store).select(
+        "vec_id", "cell_top", "cell_sub"
+    )
+    batch = ann.tree_assign(
+        tree.centroids_top, tree.centroids_sub, embs
+    ).select("vec_id", "cell_top", "cell_sub")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+    tree.assigned.unpersist()

@@ -1,0 +1,87 @@
+"""Streaming vector-store ingest: new embeddings arrive as files, get
+routed to their index cell (and optionally int8-quantized) map-side,
+and append to the partitioned store continuously — the streaming
+completion of the batch ``ivf_append``/``tree_append`` story
+(operators.ann) and the store-ingest half of the reference's
+(disabled) index path [API-inferred, /root/reference/app.py:37].
+
+Everything between source and sink is a stateless projection
+(``tree_assign``/``ivf_assign``/``quantize_int8`` are pure Column
+expressions), so this runs as a stateless streaming query: no
+watermark, no state store, exactly-once file-sink semantics via the
+checkpoint, and each micro-batch touches only the leaf directories
+its rows route to. Index maintenance stays batch: the codebooks are
+plan literals fixed at query start, and when drift accumulates
+(`ann.tree_drift_report`) a batch `rebalance_tree` rewrites the store
+— the classic streaming-ingest / batch-reorg split."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ydb_vector_search_demo_spark.operators.ann import ivf_assign, tree_assign
+from ydb_vector_search_demo_spark.operators.quant import int8_scale, quantize_expr
+
+
+def read_embeddings_stream(
+    spark: SparkSession, source_dir: str, dim_hint_df: DataFrame | None = None,
+    schema=None,
+) -> DataFrame:
+    """File-source stream of (vec_id, embedding) parquet drops. The
+    schema comes from ``schema`` or a batch ``dim_hint_df`` (file
+    streams need an explicit schema — one batch-read of an existing
+    file, never inference over the stream)."""
+    if schema is None:
+        schema = dim_hint_df.select("vec_id", "embedding").schema
+    return spark.readStream.schema(schema).parquet(source_dir)
+
+
+def stream_ivf_ingest(
+    stream: DataFrame,
+    centroids: list[list[float]],
+    store_path: str,
+    checkpoint_dir: str,
+    quantize: bool = False,
+    available_now: bool = True,
+):
+    """Continuous IVF ingest: map-only centroid routing (+ optional
+    int8 companion columns), appended to the centroid-partitioned
+    store. Returns the started StreamingQuery (caller awaits)."""
+    assigned = ivf_assign(centroids, stream)
+    if quantize:
+        scale = int8_scale("embedding")
+        assigned = assigned.withColumns(
+            {"qvec": quantize_expr("embedding", scale),
+             "qscale": scale.cast("float")}
+        )
+    writer = (
+        assigned.writeStream.format("parquet")
+        .option("path", store_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("centroid_id")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_tree_ingest(
+    stream: DataFrame,
+    centroids_top: list[list[float]],
+    centroids_sub: list[list[list[float]]],
+    store_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous two-level-tree ingest: (cell_top, cell_sub) routing
+    map-side, appended to the two-level directory layout."""
+    assigned = tree_assign(centroids_top, centroids_sub, stream)
+    writer = (
+        assigned.writeStream.format("parquet")
+        .option("path", store_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("cell_top", "cell_sub")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
