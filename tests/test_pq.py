@@ -99,3 +99,62 @@ def test_pq_store_schema_and_plan_shape(spark, tmp_path):
         for r in pq.pq_search(stored, embs, books, QV, k=5, rescore=big_c).collect()
     ]
     assert got == exact
+
+
+def test_ivfpq_full_probe_full_pool_equals_exact(spark, tmp_path):
+    """nprobe = all cells + candidate pool = whole corpus must collapse
+    IVF-PQ to exact KNN (the invariant that pins the machinery)."""
+    from ydb_vector_search_demo_spark.operators import ann
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    index = ann.build_ivf_index(embs, k_clusters=4)
+    books = pq.train_ivfpq_codebooks(index, 64, m=4, k_star=16)
+    path = str(tmp_path / "ivfpq")
+    pq.write_ivfpq_store(index, books, path)
+
+    exact = [
+        (r.vec_id, round(r.score, 9)) for r in knn_scores(embs, QV, k=5).collect()
+    ]
+    n = embs.count()
+    got_df = pq.ivfpq_search_parquet(
+        spark, path, index.centroids, books, embs, QV,
+        k=5, nprobe=4, rescore=n // 5 + 1,
+    )
+    got = [(r.vec_id, round(r.score, 9)) for r in got_df.collect()]
+    assert got == exact
+    index.assigned.unpersist()
+
+
+def test_ivfpq_plan_prunes_and_stays_jvm(spark, tmp_path):
+    from ydb_vector_search_demo_spark.operators import ann
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    index = ann.build_ivf_index(embs, k_clusters=8)
+    books = pq.train_ivfpq_codebooks(index, 64, m=4, k_star=16)
+    path = str(tmp_path / "ivfpq_plan")
+    pq.write_ivfpq_store(index, books, path)
+    df = pq.ivfpq_search_parquet(
+        spark, path, index.centroids, books, embs, QV, k=5, nprobe=3, rescore=4
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pfs = [seg.split("]")[0] for seg in plan.split("PartitionFilters:")[1:]]
+    assert any("centroid_id" in pf for pf in pfs), pfs
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    for py_node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py_node not in plan
+    index.assigned.unpersist()
+
+
+def test_ivfpq_recall_report(spark, tmp_path):
+    from ydb_vector_search_demo_spark.operators import ann
+
+    embs = load_table(spark, SF_ORACLE, "embeddings")
+    row = pq.ivfpq_recall(
+        spark, embs, QV, dim=64, tmp_path=str(tmp_path / "store"),
+        k_clusters=16, m=8, k_star=64, k=10, nprobe=8, rescore=8,
+        fit_sample_fraction=0.5,
+    ).collect()[0]
+    assert row.recall >= 0.8, row
+    assert row.bytes_per_vector == 12.0
+    ann.clear_index_cache()

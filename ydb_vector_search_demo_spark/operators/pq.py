@@ -264,6 +264,215 @@ def write_pq_store(
     ).parquet(path)
 
 
+# --------------------------------------------------------------------------
+# IVF-PQ: residual-encoded codes inside the centroid-partitioned layout
+# --------------------------------------------------------------------------
+
+
+def _residual_expr(
+    vector_col: Column | str, centroids: list[list[float]], cid_col: str = "centroid_id"
+) -> Column:
+    """x − centroid[centroid_id] as a map-side expression (the centroid
+    matrix is a plan literal indexed by the assignment column)."""
+    v = to_double_array(vector_col)
+    cents = F.array(*[F.lit([float(x) for x in c]) for c in centroids])
+    c = F.element_at(cents, F.col(cid_col) + 1)
+    return F.zip_with(v, c, lambda x, y: x - y)
+
+
+def train_ivfpq_codebooks(
+    index,
+    dim: int,
+    m: int = 8,
+    k_star: int = 64,
+    **train_kwargs,
+) -> Codebooks:
+    """Classical IVF-PQ: ONE shared set of PQ codebooks trained on the
+    RESIDUALS x − centroid (Jégou et al. 2011 §IV) — residuals are
+    centered and much lower-variance than raw vectors, so the same m
+    bytes quantize them far more precisely. ``index`` is an
+    ``ann.IvfIndex`` (its ``assigned`` relation already carries
+    centroid_id)."""
+    residuals = index.assigned.select(
+        _residual_expr(index.vector_col, index.centroids).alias("_res")
+    )
+    return train_pq_codebooks(residuals, dim, m=m, k_star=k_star,
+                              vector_col="_res", **train_kwargs)
+
+
+def ivfpq_encode(
+    index,
+    codebooks: Codebooks,
+    codes_col: str = "pq_codes",
+    norm_col: str = "vnorm",
+) -> DataFrame:
+    """(id, centroid_id, residual codes, exact norm) — one map-only
+    pass; written ``partitionBy("centroid_id")`` this is the full
+    IVF-PQ store: a probe partition-prunes to nprobe directories and
+    scans m bytes + 4 per vector."""
+    return index.assigned.select(
+        F.col(index.id_col),
+        F.col("centroid_id"),
+        encode_expr(
+            _residual_expr(index.vector_col, index.centroids), codebooks
+        ).alias(codes_col),
+        l2_norm(index.vector_col).cast("float").alias(norm_col),
+    )
+
+
+def write_ivfpq_store(index, codebooks: Codebooks, path: str) -> None:
+    ivfpq_encode(index, codebooks).write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(path)
+
+
+def _ivfpq_cell_lut(
+    query_vector: Sequence[float],
+    centroid: Sequence[float],
+    codebooks: Codebooks,
+    metric: str,
+) -> list[list[float]]:
+    """Per-probed-cell LUT. euclidean/manhattan: distance of (q − c)'s
+    subvectors to the residual centroids — sums to the exact
+    reconstruction distance. cosine/inner_product: dot of q's
+    subvectors with the residual centroids, plus ⟨q, c⟩/m folded into
+    every entry so the fold total is ⟨q, x̂⟩ = ⟨q,c⟩ + ⟨q,reŝ⟩."""
+    qv = [float(x) for x in query_vector]
+    if metric in ("euclidean", "manhattan"):
+        shifted = [a - b for a, b in zip(qv, centroid)]
+        return adc_lut(shifted, codebooks, metric)
+    lut = adc_lut(qv, codebooks, metric)  # dot LUT
+    qc = sum(a * b for a, b in zip(qv, centroid)) / len(codebooks)
+    return [[x + qc for x in row] for row in lut]
+
+
+def ivfpq_search_parquet(
+    spark: SparkSession,
+    store_path: str,
+    centroids: list[list[float]],
+    codebooks: Codebooks,
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 5,
+    nprobe: int = 4,
+    rescore: int = 8,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    norm_col: str = "vnorm",
+) -> DataFrame:
+    """The 100 TB ANN serving shape: partition-prune to ``nprobe``
+    cells, ADC-score m-byte residual codes against per-cell LUTs
+    (rows pick their LUT by probe index — the literal scales with
+    nprobe, never k_clusters), coarse top-``rescore·k``, broadcast
+    exact rescore from the float relation."""
+    from ydb_vector_search_demo_spark.operators.ann import rank_centroids
+
+    qv = [float(x) for x in query_vector]
+    probes = rank_centroids(centroids, qv, metric)[:nprobe]
+    luts = [
+        _ivfpq_cell_lut(qv, centroids[t], codebooks, metric) for t in probes
+    ]
+    base = spark.read.parquet(store_path).filter(
+        F.col("centroid_id").isin(probes)
+    )
+    probe_idx = F.array_position(
+        F.lit([int(t) for t in probes]), F.col("centroid_id")
+    )  # 1-based index into the LUT stack
+    cell_lut = F.element_at(F.lit(luts), probe_idx.cast("int"))
+    codes = F.col(codes_col)
+    picked = F.zip_with(
+        codes, cell_lut, lambda cc, row: F.element_at(row, cc.cast("int") + 1)
+    )
+    total = F.aggregate(picked, F.lit(0.0), lambda acc, x: acc + x)
+    if metric in ("euclidean", "manhattan"):
+        score = total
+    elif metric == "inner_product":
+        score = -total
+    elif metric == "cosine":
+        qn = math.sqrt(sum(x * x for x in qv))
+        score = F.lit(1.0) - F.try_divide(total, F.col(norm_col) * F.lit(qn))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    coarse = (
+        base.select(F.col(id_col), score.alias("pq_score"))
+        .orderBy(F.col("pq_score").asc_nulls_last(), F.col(id_col).asc())
+        .limit(int(rescore) * k)
+    )
+    candidates = embeddings.join(
+        F.broadcast(coarse.select(id_col)), on=id_col, how="inner"
+    )
+    return knn_scores(
+        candidates, qv, k=k, metric=metric, id_col=id_col, vector_col=vector_col
+    )
+
+
+def ivfpq_recall(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    dim: int,
+    tmp_path: str,
+    k_clusters: int = 16,
+    m: int = 8,
+    k_star: int = 64,
+    k: int = 10,
+    nprobe: int = 4,
+    rescore: int = 8,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    cache_key: object | None = None,
+    **train_kwargs,
+) -> DataFrame:
+    """End-to-end IVF-PQ quality report: build (or reuse) the IVF
+    index, train residual codebooks, write the IVF-PQ store under
+    ``tmp_path``, probe it, and report recall@k vs exact — alongside
+    the bytes-per-vector of the probed store."""
+    from ydb_vector_search_demo_spark.operators.ann import (
+        get_or_build_ivf_index,
+        recall_at_k,
+    )
+
+    qv = [float(x) for x in query_vector]
+    exact = [
+        r[0]
+        for r in knn_scores(
+            embeddings, qv, k, metric, id_col=id_col, vector_col=vector_col
+        ).collect()
+    ]
+    index = get_or_build_ivf_index(
+        embeddings, k_clusters=k_clusters, cache_key=cache_key
+    )
+    books = train_ivfpq_codebooks(index, dim, m=m, k_star=k_star, **train_kwargs)
+    write_ivfpq_store(index, books, tmp_path)
+    approx = [
+        r[0]
+        for r in ivfpq_search_parquet(
+            spark, tmp_path, index.centroids, books, embeddings, qv,
+            k=k, nprobe=nprobe, rescore=rescore, metric=metric,
+            id_col=id_col, vector_col=vector_col,
+        ).collect()
+    ]
+    return spark.createDataFrame(
+        [
+            (
+                k,
+                k_clusters,
+                int(nprobe),
+                m,
+                k_star,
+                int(rescore),
+                float(m + 4),  # code bytes + exact norm
+                float(recall_at_k(exact, approx)),
+            )
+        ],
+        "k INT, k_clusters INT, nprobe INT, m INT, k_star INT, rescore INT, "
+        "bytes_per_vector DOUBLE, recall DOUBLE",
+    )
+
+
 def pq_recall(
     spark: SparkSession,
     embeddings: DataFrame,

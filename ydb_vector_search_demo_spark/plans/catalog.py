@@ -2320,6 +2320,31 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivfpq_recall")
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ (operators.pq): residual-trained codebooks inside
+    the centroid-partitioned layout — a probe partition-prunes to
+    nprobe directories and ADC-scans 12 bytes/vector (m=8 codes +
+    exact norm) against per-cell LUTs, then exact-rescores c·k floats.
+    recall@10 = flat-IVF recall at the same scanned fraction on this
+    corpus (the coarse probe, not PQ precision, is the binding
+    constraint — exactly what residual encoding is for).
+    SIDE-EFFECT NOTE: writes the IVF-PQ store under a deterministic
+    /tmp path (overwrite-keyed by sf_dir hash), mirroring
+    events_rollup_serve's documented convention."""
+    import hashlib
+
+    from ydb_vector_search_demo_spark.operators import pq
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return pq.ivfpq_recall(
+        spark, _t(spark, sf_dir, "embeddings"), QV,
+        dim=len(QV), tmp_path=f"/tmp/spark_graft_ivfpq_{tag}",
+        k_clusters=16, m=8, k_star=64, k=10, nprobe=8, rescore=8,
+        fit_sample_fraction=0.5, cache_key=(sf_dir, "ivfpq"),
+    )
+
+
 @register("multimodal_decode_meta")
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing: payload → typed metadata via
