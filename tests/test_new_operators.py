@@ -574,3 +574,37 @@ def test_persist_scope_bounds_cache_lifetime(spark):
     except RuntimeError:
         pass
     assert len(dedup._PERSISTED) == 0
+
+
+def test_duplicated_ngram_spans_flags_planted_boilerplate(spark):
+    """Two docs sharing an 8-token licence block must have exactly its
+    windows flagged; a unique doc must have zero; a doc shorter than n
+    must report 0 windows (not a descending-sequence explosion)."""
+    from ydb_vector_search_demo_spark.operators import dedup
+
+    boiler = "this content is licensed under the terms below"  # 8 tokens
+    docs = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, "intro words here " + boiler),
+        (3, "a completely unique document with many distinct tokens inside"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r for r in dedup.duplicated_ngram_spans(df, n=8).collect()}
+    # doc 1: 12 tokens -> 5 windows; only the pure-boilerplate window
+    # (positions 1..8) repeats in doc 2
+    assert out[1].n_windows == 5 and out[1].dup_windows == 1
+    assert out[2].n_windows == 4 and out[2].dup_windows == 1
+    assert out[3].dup_windows == 0
+    assert out[4].n_windows == 0 and out[4].dup_fraction == 0.0
+
+    # xxhash64 variant (the 8-byte-shuffle-key scale path) agrees
+    from pyspark.sql import functions as F
+
+    fast = {
+        r.doc_id: (r.n_windows, r.dup_windows)
+        for r in dedup.duplicated_ngram_spans(df, n=8, hash_fn=F.xxhash64).collect()
+    }
+    assert fast == {
+        k: (v.n_windows, v.dup_windows) for k, v in out.items()
+    }

@@ -91,6 +91,74 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def duplicated_ngram_spans(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    hash_fn=None,
+) -> DataFrame:
+    """Substring-level dedup signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): hash every n-token
+    window, count global window frequencies, and report per document
+    how many of its windows appear ``min_count``+ times corpus-wide —
+    the signal that catches boilerplate/licence blocks and templated
+    spans that document-level dedup (exact/MinHash above) cannot see.
+
+    Columns: (id, n_windows, dup_windows, dup_fraction).
+
+    Scale shape: windows are built as a map-side higher-order
+    expression over the token array (no join); the single shuffle is
+    the window-hash groupBy, whose key is the hash — one row per
+    window ≈ one per corpus token, the algorithm's inherent cost. At
+    100 TB, pass ``hash_fn=F.xxhash64`` so shuffle keys are 8 bytes
+    (the default md5 keeps the query bit-reproducible in the DuckDB
+    oracle), and put a doc-frequency valve in front of the join like
+    shingle_jaccard_pairs' hot-shingle valve if a handful of windows
+    (empty lines, separators) dominate."""
+    if hash_fn is None:
+        hash_fn = F.md5
+    toks = tokens(F.col(text_col))
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n) + 1),
+        lambda i: hash_fn(F.array_join(F.slice(toks, i, n), " ")),
+    )
+    base = df.select(
+        F.col(id_col),
+        # sequence(1, s) with s < 1 would count DOWN; short docs get []
+        F.when(F.size(toks) >= n, wins)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_wins"),
+    )
+    per = base.select(id_col, F.explode("_wins").alias("_h"))
+    freq = per.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
+    dup = (
+        per.join(freq, on="_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(
+                F.when(F.col("_c") >= min_count, 1).otherwise(0)
+            ).alias("dup_windows"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(dup, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+            F.round(
+                F.coalesce("dup_windows", F.lit(0))
+                / F.greatest(F.coalesce("n_windows", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- jaccard
 
 

@@ -1943,6 +1943,50 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NGRAM_N = 8
+
+
+@register(
+    "dedup_ngram_spans",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    wins AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {_NGRAM_N}
+                  THEN list_transform(
+                         generate_series(1, len(t) - {_NGRAM_N} + 1),
+                         i -> md5(array_to_string(t[i:i+{_NGRAM_N}-1], ' ')))
+                  ELSE []::VARCHAR[] END AS ws
+      FROM toks
+    ), per AS (SELECT doc_id, unnest(ws) AS h FROM wins),
+    freq AS (SELECT h, count(*) AS c FROM per GROUP BY h),
+    dup AS (
+      SELECT per.doc_id, count(*) AS n_windows,
+             sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_windows
+      FROM per JOIN freq USING (h) GROUP BY per.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_windows, 0) AS n_windows,
+           coalesce(dup_windows, 0) AS dup_windows,
+           round(coalesce(dup_windows, 0)::DOUBLE
+                 / greatest(coalesce(n_windows, 0), 1), 6) AS dup_fraction
+    FROM documents d LEFT JOIN dup USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (operators.dedup.duplicated_ngram_spans,
+    Lee et al. 2022): per-document count/fraction of 8-token windows
+    whose hash repeats corpus-wide — catches boilerplate and templated
+    spans invisible to document-level dedup. Fully oracle-checked (md5
+    window hashes are engine-independent); production uses
+    hash_fn=xxhash64 for 8-byte shuffle keys."""
+    out = dedup.duplicated_ngram_spans(
+        _t(spark, sf_dir, "documents"), n=_NGRAM_N
+    )
+    return out.orderBy("doc_id")
+
+
 _SHINGLES_SQL = f"""
   CASE WHEN len({_TOKENS_SQL}) <= 3
        THEN [array_to_string({_TOKENS_SQL}, ' ')]
