@@ -608,3 +608,22 @@ def test_duplicated_ngram_spans_flags_planted_boilerplate(spark):
     assert fast == {
         k: (v.n_windows, v.dup_windows) for k, v in out.items()
     }
+
+
+def test_repetition_stats_flags_repeated_content(spark):
+    from ydb_vector_search_demo_spark.functions import textstats as T
+
+    docs = [
+        (1, "spam spam spam spam ham"),                      # top token 4/5
+        (2, "line one\nline one\nline two\nunique text"),    # dup lines
+        (3, ""),                                             # empty
+        (4, "all tokens here are different words entirely"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r for r in T.repetition_stats(df).collect()}
+    assert out[1].top_token_fraction == 0.8
+    assert out[1].n_distinct_tokens == 2
+    assert out[2].n_lines == 4 and out[2].dup_line_fraction == 0.5
+    assert out[3].n_tokens == 0 and out[3].dup_line_fraction == 0.0
+    assert out[4].top_token_fraction == round(1 / 7, 6)
+    assert out[4].distinct_token_ratio == 1.0

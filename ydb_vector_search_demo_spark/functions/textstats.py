@@ -186,3 +186,70 @@ def word_shingles(col: ColumnOrName, n: int = 3) -> Column:
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
     return F.when(cnt <= n, F.array(F.array_join(toks, " "))).otherwise(sh)
+
+
+# ---------------------------------------------------------------- repetition
+
+
+def repetition_stats(
+    df, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Gopher-style repetition quality signals (Rae et al. 2021, table
+    A1) per document: top-token fraction, distinct-token ratio, and
+    duplicate-line fraction — the boilerplate/spam indicators that
+    document-level dedup cannot see and per-token stats miss.
+
+    Implemented RELATIONALLY (explode → two keyed aggregations) rather
+    than as per-row quadratic array expressions: the shuffles are keyed
+    by (doc, token)/(doc, line) — map-side partial aggregation collapses
+    them to per-doc distinct counts, so at 100 TB this costs two
+    combine-heavy aggregations, not O(tokens²) per document.
+
+    Returns (id, n_tokens, n_distinct_tokens, top_token_fraction,
+    distinct_token_ratio, n_lines, dup_line_fraction); empty documents
+    report zero counts and 0.0 fractions."""
+    from pyspark.sql import functions as F
+
+    tok_rows = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+    tf = tok_rows.groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("_c"))
+    tok_agg = tf.groupBy(id_col).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.max("_c").alias("_maxc"),
+    )
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), F.trim),
+        lambda x: x != "",
+    )
+    ln_rows = df.select(F.col(id_col), F.explode(lines).alias("_l"))
+    lf = ln_rows.groupBy(id_col, "_l").agg(F.count(F.lit(1)).alias("_c"))
+    ln_agg = lf.groupBy(id_col).agg(
+        F.sum("_c").alias("n_lines"),
+        F.sum(F.when(F.col("_c") >= 2, F.col("_c")).otherwise(0)).alias("_dupl"),
+    )
+    return (
+        df.select(id_col)
+        .join(tok_agg, on=id_col, how="left")
+        .join(ln_agg, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_distinct_tokens", F.lit(0)).alias("n_distinct_tokens"),
+            F.round(
+                F.coalesce("_maxc", F.lit(0))
+                / F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("top_token_fraction"),
+            F.round(
+                F.coalesce("n_distinct_tokens", F.lit(0))
+                / F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("distinct_token_ratio"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.round(
+                F.coalesce("_dupl", F.lit(0))
+                / F.greatest(F.coalesce("n_lines", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_line_fraction"),
+        )
+    )

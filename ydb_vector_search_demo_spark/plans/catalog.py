@@ -1943,6 +1943,43 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition_stats",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents),
+    tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+    ta AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_distinct,
+                  max(c) AS maxc
+           FROM tf GROUP BY 1),
+    ln AS (SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS l
+           FROM documents),
+    lnf AS (SELECT doc_id, l, count(*) AS c FROM ln WHERE l <> '' GROUP BY 1, 2),
+    la AS (SELECT doc_id, sum(c)::BIGINT AS n_lines,
+                  sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS dupl
+           FROM lnf GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(n_tokens, 0) AS n_tokens,
+           coalesce(n_distinct, 0) AS n_distinct_tokens,
+           round(coalesce(maxc, 0)::DOUBLE
+                 / greatest(coalesce(n_tokens, 0), 1), 6) AS top_token_fraction,
+           round(coalesce(n_distinct, 0)::DOUBLE
+                 / greatest(coalesce(n_tokens, 0), 1), 6) AS distinct_token_ratio,
+           coalesce(n_lines, 0) AS n_lines,
+           round(coalesce(dupl, 0)::DOUBLE
+                 / greatest(coalesce(n_lines, 0), 1), 6) AS dup_line_fraction
+    FROM documents d LEFT JOIN ta USING (doc_id) LEFT JOIN la USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals
+    (functions.textstats.repetition_stats): top-token fraction,
+    distinct-token ratio, duplicate-line fraction per document —
+    relational implementation (two keyed aggregations with map-side
+    combine), fully oracle-checked."""
+    return T.repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 _NGRAM_N = 8
 
 
