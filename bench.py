@@ -45,6 +45,12 @@ HEADLINE = [
     # fit + assignment; ann_ivf_recall then measures the probe path
     "ann_ivf_build",
     "ann_ivf_recall",
+    # round-4 additions (OUTSIDE the comparable-20/21 subsets — exclude
+    # these when comparing totals against pre-r4 rounds): quantized
+    # Hamming scan, substring-level dedup, repetition quality stats
+    "quant_hamming_topk",
+    "dedup_ngram_spans",
+    "text_repetition_stats",
 ]
 
 

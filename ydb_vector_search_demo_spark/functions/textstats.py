@@ -210,6 +210,11 @@ def repetition_stats(
     report zero counts and 0.0 fractions."""
     from pyspark.sql import functions as F
 
+    # deliberately NO fan_out here (unlike duplicated_ngram_spans):
+    # the map side is a cheap tokenize+explode feeding a partial agg,
+    # and an interleaved A/B at sf0.1 showed the round-robin shuffle
+    # of full text rows costs more than the single-file serialization
+    # it removes (min 0.62 s plain vs 0.94 s fanned; BASELINE.md r4)
     tok_rows = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
     tf = tok_rows.groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("_c"))
     tok_agg = tf.groupBy(id_col).agg(

@@ -119,6 +119,9 @@ def duplicated_ngram_spans(
     (empty lines, separators) dominate."""
     if hash_fn is None:
         hash_fn = F.md5
+    # a single-file corpus would build + hash every window on one core
+    # (the window pass is the compute-heavy part); no-op at real scale
+    df = fan_out(df)
     toks = tokens(F.col(text_col))
     wins = F.transform(
         F.sequence(F.lit(1), F.size(toks) - F.lit(n) + 1),
