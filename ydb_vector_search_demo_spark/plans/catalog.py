@@ -1569,6 +1569,49 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_function_suite",
+    f"""
+    SELECT o_orderpriority, o_orderkey,
+           {_CENTS_SQL.format(x="o_totalprice")} AS cents,
+           lag({_CENTS_SQL.format(x="o_totalprice")}) OVER w AS prev_cents,
+           lead({_CENTS_SQL.format(x="o_totalprice")}) OVER w AS next_cents,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist,
+           first_value({_CENTS_SQL.format(x="o_totalprice")}) OVER w AS first_cents,
+           nth_value({_CENTS_SQL.format(x="o_totalprice")}, 3) OVER w AS third_cents
+    FROM orders WHERE o_custkey % 100 = 1
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+)
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth in one graded result: lead/lag, ntile,
+    percent_rank, cume_dist, first_value, nth_value over a totally
+    ordered (date, orderkey) frame — all default-frame semantics,
+    integer-cents money. One keyed shuffle; the suite shares a single
+    Window spec so the plan has ONE Window node."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 1)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    cents = _cents("o_totalprice")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            cents.alias("cents"),
+            F.lag(cents).over(w).alias("prev_cents"),
+            F.lead(cents).over(w).alias("next_cents"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+            F.first(cents).over(w).alias("first_cents"),
+            F.nth_value(cents, 3).over(w).alias("third_cents"),
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
+@register(
     "segment_acctbal_stats",
     f"""
     SELECT c_mktsegment, count(*) AS n,
