@@ -144,3 +144,22 @@ def test_ivf_quantized_store_composes_pruning_and_byte_reduction(spark, tmp_path
     got = [(r.vec_id, round(r.score, 9)) for r in full.collect()]
     assert got == exact
     index.assigned.unpersist()
+
+
+def test_filtered_quantized_search_equals_filtered_exact(spark):
+    """Predicate inside the coarse scan + exact rescore == exact
+    filtered top-k (when the coarse pool is wide enough)."""
+    embs = load_table(spark, SF_ORACLE, "embeddings")
+    qdf = quant.quantize_int8(embs, keep_cols=("label",))
+    assert "label" in qdf.columns
+    exact = [
+        (r.vec_id, round(r.score, 9))
+        for r in knn_scores(embs.filter("label = 1"), QV, k=5).collect()
+    ]
+    got = [
+        (r.vec_id, round(r.score, 9))
+        for r in quant.quantized_search(
+            qdf, embs, QV, k=5, rescore=8, predicate="label = 1"
+        ).collect()
+    ]
+    assert got == exact

@@ -83,15 +83,19 @@ def quantize_int8(
     vector_col: str = "embedding",
     q_col: str = "qvec",
     scale_col: str = "qscale",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Ingest-side int8 quantization: (id, ARRAY<TINYINT>, float scale).
     One map-only pass; write the result with :func:`write_quantized_store`
-    and the coarse scan thereafter reads ~4× fewer bytes than float32."""
+    and the coarse scan thereafter reads ~4× fewer bytes than float32.
+    ``keep_cols`` carries metadata columns (tenant, label, date) into
+    the quantized store so filtered coarse scans can push them down."""
     scale = int8_scale(vector_col)
     return vectors.select(
         F.col(id_col),
         quantize_expr(vector_col, scale).alias(q_col),
         scale.cast("float").alias(scale_col),
+        *keep_cols,
     )
 
 
@@ -121,6 +125,7 @@ def quantized_search(
     vector_col: str = "embedding",
     q_col: str = "qvec",
     scale_col: str = "qscale",
+    predicate=None,
 ) -> DataFrame:
     """Coarse-scan the quantized relation for the top ``rescore·k``
     candidates (TakeOrderedAndProject — k·c rows reach the driver-side
@@ -130,8 +135,18 @@ def quantized_search(
     ``rescore`` is the recall knob: the int8 coarse ordering differs
     from the exact one only within quantization-error margins, so a
     small c (2-8) recovers recall@k ≈ 1.0 while the full-precision
-    column is read for c·k rows instead of the whole corpus."""
+    column is read for c·k rows instead of the whole corpus.
+
+    ``predicate`` (Column or SQL string) applies inside the coarse
+    scan — the quantized filtered-search shape; the filter columns
+    must be in the quantized relation (``keep_cols`` at quantize
+    time). Selecting candidates under the predicate keeps the exact
+    top-k of the FILTERED set, because rescore is exact over them."""
     qv = [float(x) for x in query_vector]
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    if predicate is not None:
+        quantized = quantized.filter(predicate)
     coarse = (
         quantized.select(
             F.col(id_col),
