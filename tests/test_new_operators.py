@@ -627,3 +627,48 @@ def test_repetition_stats_flags_repeated_content(spark):
     assert out[3].n_tokens == 0 and out[3].dup_line_fraction == 0.0
     assert out[4].top_token_fraction == round(1 / 7, 6)
     assert out[4].distinct_token_ratio == 1.0
+
+
+def test_bm25_hand_computed_score(spark):
+    """Pin BM25 arithmetic on a 3-doc corpus against a hand-derived
+    value (k1=1.2, b=0.75, Lucene-positive idf)."""
+    import math
+
+    from ydb_vector_search_demo_spark.operators import retrieval as R
+
+    docs = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "durian elderberry fig grape"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    got = {r.doc_id: r.bm25 for r in R.bm25_topk(df, ["apple"], k=3).collect()}
+    # N=3, df(apple)=1, idf = ln(1 + (3-1+0.5)/1.5); doc1: tf=2, dl=3,
+    # avgdl=3 -> tf_norm = 2*2.2/(2 + 1.2*(1-0.75+0.75*3/3))
+    idf = math.log(1 + 2.5 / 1.5)
+    expected = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75))
+    assert got == {1: round(expected, 6)}
+
+
+def test_hybrid_rrf_rewards_dual_system_hits(spark):
+    """A doc ranked by BOTH systems must outrank docs of equal single
+    rank; RRF values must be exact reciprocal sums."""
+    from ydb_vector_search_demo_spark.operators import retrieval as R
+    from ydb_vector_search_demo_spark.plans.catalog import FLAGSHIP_QUERY, QV
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    embs = load_table(spark, SF_ORACLE, "embeddings")
+    out = R.hybrid_rrf_topk(docs, embs, FLAGSHIP_QUERY, QV, k=20, pool=20).collect()
+    for r in out:
+        exp = 0.0
+        if r.lex_rank is not None:
+            exp += 1.0 / (60 + r.lex_rank)
+        if r.vec_rank is not None:
+            exp += 1.0 / (60 + r.vec_rank)
+        assert r.rrf == round(exp, 6)
+    both = [r for r in out if r.lex_rank is not None and r.vec_rank is not None]
+    only = [r for r in out if (r.lex_rank is None) != (r.vec_rank is None)]
+    if both and only:
+        assert max(r.rrf for r in both) > min(r.rrf for r in only)

@@ -1,0 +1,159 @@
+"""Hybrid retrieval: BM25 lexical scoring + vector KNN, fused by
+reciprocal-rank fusion (RRF) — the retrieval shape a production RAG
+service built on the reference (semantic search over a support corpus,
+/root/reference/app.py:117-138) reaches for next: lexical recall for
+exact terms/ids the embedding misses, vector recall for paraphrases,
+one fused ranking.
+
+Formulas (public, standard):
+
+* BM25 (Robertson/Spärck Jones, Lucene-style positive idf):
+  ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+  ``score(d) = Σ_t idf·tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))``.
+* RRF (Cormack et al. 2009): ``Σ_systems 1/(k_rrf + rank)``,
+  rank 1-based per system, k_rrf = 60.
+
+Scale shape: the query's terms are a tiny driver-side list, pushed as
+an ``isin`` filter BEFORE the token explode is aggregated — per-doc
+term frequencies shuffle only rows whose token matches a query term
+(map-side pruned), never the full token stream. Corpus stats (N,
+avgdl) and per-term document frequencies are one-row / per-term
+aggregates broadcast into the scoring join. Everything is exact
+integer counts + double arithmetic: fully DuckDB-oracle-checkable."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ydb_vector_search_demo_spark.functions.textstats import token_count, tokens
+from ydb_vector_search_demo_spark.operators.knn import knn_scores
+
+RRF_K = 60
+
+
+def query_terms(query: str) -> list[str]:
+    """Lowercased whitespace terms, deduplicated, order-preserving."""
+    seen: dict[str, None] = {}
+    for t in query.strip().lower().split():
+        if t:
+            seen.setdefault(t, None)
+    return list(seen)
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, bm25) for every document containing ≥1 query term; exact
+    counts, standard Lucene-positive idf. Matching is lowercased
+    whole-token equality (the oracle-reproducible core; stemming and
+    analyzers are tokenizer concerns layered in front)."""
+    terms = [t.lower() for t in terms]
+    tl = F.array(*[F.lit(t) for t in terms])
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(token_count(text_col)).alias("_avgdl"),
+    )
+    tok = docs.select(
+        F.col(id_col),
+        token_count(text_col).alias("_dl"),
+        F.explode(tokens(text_col)).alias("_t"),
+    ).withColumn("_t", F.lower(F.col("_t"))).filter(F.array_contains(tl, F.col("_t")))
+    tf = tok.groupBy(id_col, "_dl", "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    df_t = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        tf.join(F.broadcast(df_t), on="_t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+                )
+                * (F.col("_tf") * (k1 + 1))
+                / (
+                    F.col("_tf")
+                    + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+                )
+            ).alias("_s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.sum("_s").alias("bm25"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k lexical matches, (score desc, id asc) deterministic —
+    compiles to a TakeOrderedAndProject over the per-doc sums."""
+    s = bm25_scores(docs, terms, k1, b, text_col, id_col)
+    return (
+        s.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round("bm25", 6).alias("bm25"))
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_text: str,
+    query_vector: Sequence[float],
+    k: int = 5,
+    pool: int = 20,
+    metric: str = "cosine",
+    k_rrf: int = RRF_K,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Fused top-k: take each system's top-``pool`` (both are
+    TakeOrderedAndProject plans — two bounded scans), full-outer-join
+    the two tiny pools on id, score ``1/(k_rrf+rank)`` per side (rank
+    missing → contributes 0), return the RRF top-k. The fusion join
+    touches ≤ 2·pool rows — driver-scale, exactly as RRF is deployed."""
+    lex = bm25_topk(docs, query_terms(query_text), k=pool,
+                    text_col=text_col, id_col=doc_id_col)
+    w_lex = Window.orderBy(F.col("bm25").desc(), F.col(doc_id_col).asc())
+    lex_r = lex.select(
+        F.col(doc_id_col).alias("_id"), F.row_number().over(w_lex).alias("_rl")
+    )
+    vec = knn_scores(
+        embeddings, query_vector, k=pool, metric=metric,
+        id_col=vec_id_col, vector_col=vector_col,
+    )
+    w_vec = Window.orderBy(F.col("score").asc_nulls_last(), F.col(vec_id_col).asc())
+    vec_r = vec.select(
+        F.col(vec_id_col).alias("_id"), F.row_number().over(w_vec).alias("_rv")
+    )
+    fused = (
+        lex_r.join(vec_r, on="_id", how="full_outer")
+        .select(
+            F.col("_id").alias(doc_id_col),
+            F.round(
+                F.coalesce(1.0 / (F.lit(k_rrf) + F.col("_rl")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(k_rrf) + F.col("_rv")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            F.col("_rl").alias("lex_rank"),
+            F.col("_rv").alias("vec_rank"),
+        )
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col(doc_id_col).asc()).limit(k)
+    )

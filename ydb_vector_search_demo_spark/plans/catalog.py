@@ -2023,6 +2023,82 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+from ydb_vector_search_demo_spark.operators import retrieval as R
+
+_BM25_TERMS = R.query_terms(FLAGSHIP_QUERY)
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+_BM25_CTE = f"""
+    t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl
+              FROM t),
+    tokq AS (SELECT doc_id, len(toks) AS dl, lower(unnest(toks)) AS tt FROM t),
+    f AS (SELECT doc_id, dl, tt, count(*) AS tf FROM tokq
+          WHERE tt IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2, 3),
+    dft AS (SELECT tt, count(*) AS df FROM f GROUP BY 1),
+    sc AS (SELECT doc_id,
+                  ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                    AS s
+           FROM f JOIN dft USING (tt) CROSS JOIN stats),
+    bm AS (SELECT doc_id, sum(s) AS raw FROM sc GROUP BY doc_id)
+"""
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH {_BM25_CTE}
+    SELECT doc_id, round(raw, 6) AS bm25
+    FROM bm ORDER BY raw DESC, doc_id LIMIT 10
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (operators.retrieval.bm25_topk): exact
+    tf/df counts, Lucene-positive idf, k1=1.2 b=0.75 — the query terms
+    are pushed as an isin filter BEFORE the token explode aggregates,
+    so only matching tokens shuffle. Fully oracle-checked."""
+    return R.bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+@register(
+    "hybrid_rrf_top5",
+    f"""
+    WITH {_BM25_CTE},
+    lex AS (SELECT doc_id, row_number() OVER (ORDER BY raw DESC, doc_id)::INTEGER
+                     AS rl
+            FROM bm ORDER BY raw DESC, doc_id LIMIT 20),
+    vec AS (SELECT vec_id AS doc_id,
+                   row_number() OVER (ORDER BY raw, vec_id)::INTEGER AS rv
+            FROM (SELECT vec_id,
+                         1.0 - list_cosine_similarity(embedding::DOUBLE[],
+                                                      {_vec_sql(QV)}) AS raw
+                  FROM embeddings)
+            ORDER BY raw, vec_id LIMIT 20)
+    SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+           round(coalesce(1.0 / (60 + rl), 0.0)
+                 + coalesce(1.0 / (60 + rv), 0.0), 6) AS rrf,
+           rl AS lex_rank, rv AS vec_rank
+    FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 5
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators.retrieval.hybrid_rrf_topk): BM25
+    top-20 ∪ exact-KNN top-20 fused by reciprocal-rank fusion
+    (1/(60+rank) per system, Cormack et al. 2009) — lexical recall for
+    exact terms, vector recall for paraphrases, one ranking. Both
+    pools are TakeOrderedAndProject plans; the fusion join touches
+    ≤ 40 rows. Fully oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    embs = _t(spark, sf_dir, "embeddings")
+    out = R.hybrid_rrf_topk(docs, embs, FLAGSHIP_QUERY, QV, k=5, pool=20)
+    return out.select(
+        "doc_id", "rrf",
+        F.col("lex_rank").cast("int").alias("lex_rank"),
+        F.col("vec_rank").cast("int").alias("vec_rank"),
+    )
+
+
 _NGRAM_N = 8
 
 
