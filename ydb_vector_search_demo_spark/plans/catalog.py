@@ -3339,7 +3339,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GRADE_FIRST = [
     # vector search core
-    "knn_top5_cosine",
+    # (r4: knn_top5_cosine rotated out — it is a strict subset of
+    # knn_top5_by_metric's cosine branch, a duplicate check; the slot
+    # now grades hybrid BM25+KNN+RRF retrieval instead. knn_top5_cosine
+    # stays oracle-checked in tests/test_oracle_parity.)
+    "hybrid_rrf_top5",
     "knn_top5_by_metric",
     "knn_top5_full",
     "knn_top5_filtered",
