@@ -123,28 +123,34 @@ def duplicated_ngram_spans(
     # (the window pass is the compute-heavy part); no-op at real scale
     df = fan_out(df)
     toks = tokens(F.col(text_col))
-    wins = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n) + 1),
-        lambda i: hash_fn(F.array_join(F.slice(toks, i, n), " ")),
-    )
+    # windows come from word_shingles' shifted-slice zip_with build —
+    # the token array is only ever in ARGUMENT position, evaluated
+    # once per row. (An earlier formulation sliced `toks` inside a
+    # per-window lambda, which re-ran the regex tokenizer once per
+    # window — O(tokens²) splitting; sf0.1 A/B in BASELINE.md r4.)
+    wins = F.transform(word_shingles(F.col(text_col), n), hash_fn)
     base = df.select(
         F.col(id_col),
-        # sequence(1, s) with s < 1 would count DOWN; short docs get []
+        # short docs get [] (word_shingles would give them one
+        # whole-text shingle, a different semantic)
         F.when(F.size(toks) >= n, wins)
         .otherwise(F.array().cast("array<string>"))
         .alias("_wins"),
     )
     per = base.select(id_col, F.explode("_wins").alias("_h"))
-    freq = per.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
-    dup = (
-        per.join(freq, on="_h")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum(
-                F.when(F.col("_c") >= min_count, 1).otherwise(0)
-            ).alias("dup_windows"),
-        )
+    # global window frequency as ONE windowed count over the hash
+    # (single shuffle), not a groupBy + self-join back: the join shape
+    # evaluated the whole window-hash build once per branch (freq and
+    # probe), ~2× the map work and one extra shuffle — A/B'd at sf0.1
+    # in BASELINE.md r4
+    counted = per.withColumn(
+        "_c", F.count(F.lit(1)).over(Window.partitionBy("_h"))
+    )
+    dup = counted.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(
+            F.when(F.col("_c") >= min_count, 1).otherwise(0)
+        ).alias("dup_windows"),
     )
     return (
         df.select(id_col)
