@@ -128,7 +128,9 @@ def duplicated_ngram_spans(
     # once per row. (An earlier formulation sliced `toks` inside a
     # per-window lambda, which re-ran the regex tokenizer once per
     # window — O(tokens²) splitting; sf0.1 A/B in BASELINE.md r4.)
-    wins = F.transform(word_shingles(F.col(text_col), n), hash_fn)
+    # the explicit lambda matters: passing a builtin like F.xxhash64
+    # (signature *cols) directly trips the HOF arity check
+    wins = F.transform(word_shingles(F.col(text_col), n), lambda w: hash_fn(w))
     base = df.select(
         F.col(id_col),
         # short docs get [] (word_shingles would give them one
