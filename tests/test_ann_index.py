@@ -391,3 +391,41 @@ def test_tree_build_survives_near_duplicate_corpus(spark):
     got = tree.search([1.0, 2.0, 3.0, 4.0], k=3, nprobe_top=2, nprobe_sub=4)
     assert got.count() == 3
     tree.assigned.unpersist()
+
+
+def test_compact_partitioned_store_preserves_layout_and_rows(spark, tmp_path):
+    """After N small appends, compaction must shrink file count while
+    keeping the directory layout (pruning) and every row."""
+    import glob
+
+    from ydb_vector_search_demo_spark.sources.tables import (
+        compact_partitioned_store,
+    )
+
+    embs = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    tree = ann.build_kmeans_tree_index(embs, k_top=2, k_sub=2)
+    path = str(tmp_path / "frag")
+    ann.write_tree_partitioned(tree, path)
+    for i in range(5):  # fragment: 5 small appends
+        from pyspark.sql import functions as F
+
+        clones = embs.limit(20).select(
+            (F.col("vec_id") + 1000 * (i + 1)).alias("vec_id"), "embedding"
+        )
+        ann.tree_append(tree.centroids_top, tree.centroids_sub, clones, path)
+
+    before = len(glob.glob(path + "/**/*.parquet", recursive=True))
+    out = str(tmp_path / "compacted")
+    compact_partitioned_store(spark, path, out, ["cell_top", "cell_sub"])
+    after = len(glob.glob(out + "/**/*.parquet", recursive=True))
+    assert after < before
+
+    a = spark.read.parquet(path)
+    b = spark.read.parquet(out)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # layout intact -> cell filters still partition-prune
+    probed = b.filter("cell_top = 0 and cell_sub = 0")
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cell_top" in plan.split("PartitionFilters:")[1].split("]")[0]
+    tree.assigned.unpersist()

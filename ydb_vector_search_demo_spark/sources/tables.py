@@ -184,3 +184,39 @@ def compact_parquet(
         out_path
     )
     return n_files
+
+
+def compact_partitioned_store(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    partition_cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Partition-preserving small-file compaction for the index-store
+    layouts (IVF's ``centroid_id=``, the tree's ``cell_top=/cell_sub=``
+    directories): streaming ingest and incremental appends leave one
+    file per micro-batch per touched leaf, and probe cost becomes
+    file-open-bound. Rewrite with one shuffle keyed by the partition
+    columns so each leaf lands in few, right-sized files, keeping the
+    directory layout (and therefore partition pruning) intact.
+    Writes to ``out_path`` — the atomic swap stays the caller's step,
+    same contract as :func:`compact_parquet`. Returns the shuffle
+    width used."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    width = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    (
+        df.repartition(width, *[df[c] for c in partition_cols])
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(out_path)
+    )
+    return width
