@@ -455,6 +455,13 @@ def ivfpq_recall(
             id_col=id_col, vector_col=vector_col,
         ).collect()
     ]
+    # flat IVF (exact rescan of the same probed cells) at the same
+    # nprobe: the ceiling set by the coarse probe alone. recall ==
+    # recall_ivf_flat means PQ precision costs nothing at this c.
+    flat = [
+        r[0]
+        for r in index.search(qv, k=k, nprobe=nprobe, metric=metric).collect()
+    ]
     return spark.createDataFrame(
         [
             (
@@ -466,10 +473,11 @@ def ivfpq_recall(
                 int(rescore),
                 float(m + 4),  # code bytes + exact norm
                 float(recall_at_k(exact, approx)),
+                float(recall_at_k(exact, flat)),
             )
         ],
         "k INT, k_clusters INT, nprobe INT, m INT, k_star INT, rescore INT, "
-        "bytes_per_vector DOUBLE, recall DOUBLE",
+        "bytes_per_vector DOUBLE, recall DOUBLE, recall_ivf_flat DOUBLE",
     )
 
 
