@@ -191,3 +191,63 @@ def test_redact_pii_is_idempotent(spark, texts):
     once = df.select("i", redact_pii("t").alias("r"))
     twice = once.select("i", redact_pii(F.col("r")).alias("r"))
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+VEC = st.lists(
+    st.one_of(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        st.just(float("nan")),
+        st.just(float("inf")),
+        st.just(float("-inf")),
+        st.just(0.0),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(st.lists(VEC, min_size=1, max_size=6))
+@settings(max_examples=25, deadline=None)
+def test_quantize_total_on_degenerate_vectors(vecs):
+    """quantize_int8 must be TOTAL: any mix of NaN/±inf/zero/huge
+    elements quantizes without an ANSI cast/divide error, every code
+    stays in [-127, 127], and finite well-scaled vectors roundtrip
+    within scale/2 per element."""
+    from ydb_vector_search_demo_spark.operators import quant
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    rows = quant.quantize_int8(df).collect()  # must not raise
+    assert len(rows) == len(vecs)
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r.qvec), r
+        src = vecs[r.vec_id]
+        scale = r.qscale
+        if all(math.isfinite(x) for x in src) and 0 < scale < float("inf"):
+            for x, c in zip(src, r.qvec):
+                assert abs(x - c * scale) <= scale / 2 + 1e-6 * abs(x) + 1e-9, (
+                    x, c, scale)
+
+
+@given(st.lists(VEC, min_size=1, max_size=6))
+@settings(max_examples=25, deadline=None)
+def test_binary_packing_total_and_matches_driver(vecs):
+    """quantize_binary is total on degenerate inputs and always equals
+    the driver-side packing rule (NaN > 0 is False in both)."""
+    from ydb_vector_search_demo_spark.operators import quant
+
+    spark = _get_spark()
+    dim = max(len(v) for v in vecs)
+    padded = [v + [0.0] * (dim - len(v)) for v in vecs]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(padded)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    got = {r.vec_id: list(r.bvec) for r in quant.quantize_binary(df, dim).collect()}
+    for i, v in enumerate(padded):
+        assert got[i] == quant.pack_query_bits(v), (i, v)

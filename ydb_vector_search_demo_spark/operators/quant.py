@@ -58,15 +58,26 @@ def int8_scale(vector_col: Column | str) -> Column:
 
 
 def quantize_expr(vector_col: Column | str, scale: Column) -> Column:
-    """``round(x/scale)`` as ``ARRAY<TINYINT>`` — ``try_divide`` keeps
-    the all-zero vector lawful (NULL ratio → 0) instead of tripping
-    Spark 4's ANSI divide-by-zero error mid-scan."""
+    """``round(x/scale)`` as ``ARRAY<TINYINT>``, lawful on EVERY input:
+    ``try_divide`` keeps the all-zero vector from tripping Spark 4's
+    ANSI divide-by-zero, ``nanvl`` maps NaN elements (and inf/inf
+    ratios) to 0, and a ``[-127, 127]`` clamp guards the final ANSI
+    tinyint cast — without these, a single degenerate embedding in a
+    100 TB corpus aborts the whole scan with CAST_OVERFLOW
+    (reproduced in tests)."""
     v = to_double_array(vector_col)
     return F.transform(
         v,
-        lambda x: F.coalesce(F.round(F.try_divide(x, scale)), F.lit(0.0)).cast(
-            "tinyint"
-        ),
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(
+                F.lit(127.0),
+                F.nanvl(
+                    F.coalesce(F.round(F.try_divide(x, scale)), F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+            ),
+        ).cast("tinyint"),
     )
 
 
@@ -293,12 +304,22 @@ def quantize_binary(
     def word(w: int) -> Column:
         # bits folded high→low so bit index i lands at weight 2^i;
         # F.get is 0-based and NULL out of range (tail word of a dim
-        # that is not a multiple of 32 pads with 0-bits)
+        # that is not a multiple of 32 pads with 0-bits). nanvl: Spark
+        # SQL orders NaN ABOVE every number (NaN > 0 is true, unlike
+        # IEEE/Python), so NaN elements must be normalized to 0 before
+        # the sign test or the packed bits diverge from
+        # pack_query_bits' driver-side rule (hypothesis-caught).
         return F.aggregate(
             F.sequence(F.lit(BITS_PER_WORD - 1), F.lit(0), F.lit(-1)),
             F.lit(0).cast("bigint"),
             lambda acc, i: acc * 2
-            + F.when(F.get(v, F.lit(w * BITS_PER_WORD) + i) > 0, 1).otherwise(0),
+            + F.when(
+                F.nanvl(
+                    F.get(v, F.lit(w * BITS_PER_WORD) + i), F.lit(0.0)
+                )
+                > 0,
+                1,
+            ).otherwise(0),
         )
 
     return vectors.select(
