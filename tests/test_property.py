@@ -251,3 +251,29 @@ def test_binary_packing_total_and_matches_driver(vecs):
     got = {r.vec_id: list(r.bvec) for r in quant.quantize_binary(df, dim).collect()}
     for i, v in enumerate(padded):
         assert got[i] == quant.pack_query_bits(v), (i, v)
+
+
+@given(st.lists(VEC, min_size=1, max_size=4))
+@settings(max_examples=15, deadline=None)
+def test_pq_encode_total_on_degenerate_vectors(vecs):
+    """pq_encode must be total: degenerate elements may land in any
+    cell (NaN distances), but every code stays a valid codebook index
+    and nothing raises."""
+    from ydb_vector_search_demo_spark.operators import pq
+
+    spark = _get_spark()
+    dim = 8
+    padded = [(v + [0.0] * dim)[:dim] for v in vecs]
+    books = [
+        [[0.1 * (c + 1) * ((i + j) % 3 - 1) for i in range(4)] for c in range(4)]
+        for j in range(2)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(padded)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    rows = pq.pq_encode(df, books).collect()  # must not raise
+    assert len(rows) == len(padded)
+    for r in rows:
+        assert len(r.pq_codes) == 2
+        assert all(0 <= c < 4 for c in r.pq_codes), r
