@@ -1452,6 +1452,80 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "correlated_exists_late_ship",
+    """
+    SELECT o_orderpriority, count(*) AS n_late
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4's shape on the fixture schema —
+    late shipments in place of commit/receipt dates): expressed as a
+    left-semi join whose condition carries the correlation (equi key +
+    non-equi date comparison) — exactly what Catalyst decorrelates an
+    EXISTS into; the date range still pushes to the orders scan."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    filtered = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    sem = filtered.join(
+        li,
+        (li.l_orderkey == filtered.o_orderkey)
+        & (li.l_shipdate > filtered.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        sem.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q17_small_qty",
+    f"""
+    SELECT p_brand, count(*) AS n_lines,
+           {_SUM_CENTS_SQL.format(x="l_extendedprice")} AS revenue_cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND l.l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+                                WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated SCALAR subquery (per-part average
+    quantity) gating the outer row. Run through spark.sql so Catalyst's
+    DecorrelateInnerQuery does the rewrite (per-part aggregate joined
+    back) rather than hand-decorrelating — the engine-evidence variant
+    of the relational surface. avg(l_quantity) is exact here (integer
+    quantities sum exactly in double), so the threshold compare is
+    deterministic across engines."""
+    for name in ("lineitem", "part"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n_lines,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+          AND l.l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+                                    WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p_brand ORDER BY p_brand
+        """
+    )
+
+
+@register(
     "order_priority_count",
     """
     SELECT o_orderpriority, count(*) AS n_orders,
