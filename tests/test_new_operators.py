@@ -672,3 +672,29 @@ def test_hybrid_rrf_rewards_dual_system_hits(spark):
     only = [r for r in out if (r.lex_rank is None) != (r.vec_rank is None)]
     if both and only:
         assert max(r.rrf for r in both) > min(r.rrf for r in only)
+
+
+def test_mix_corpus_up_and_down_sampling(spark):
+    """rate 3.0 -> exactly 3 copies of every doc; rate 0 -> dropped;
+    rate 0.5 -> deterministic subset (same result twice); copy ids
+    are 1..copies."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    docs = [(i, f"src{i % 2}", f"text {i}") for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, source STRING, text STRING")
+    tripled = curation.mix_corpus(df, {"src0": 3.0, "src1": 0.0})
+    rows = tripled.collect()
+    assert {r.source for r in rows} == {"src0"}
+    assert len(rows) == 100 * 3
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.copy_id)
+    assert all(sorted(v) == [1, 2, 3] for v in per_doc.values())
+
+    half_a = curation.mix_corpus(df, {"src0": 0.5}, default_rate=1.0)
+    half_b = curation.mix_corpus(df, {"src0": 0.5}, default_rate=1.0)
+    a = sorted((r.doc_id, r.copy_id) for r in half_a.collect())
+    assert a == sorted((r.doc_id, r.copy_id) for r in half_b.collect())
+    kept_src0 = len([1 for d, _ in a if d % 2 == 0])
+    assert 25 <= kept_src0 <= 75  # ~50 of 100 at rate 0.5
+    assert len([1 for d, _ in a if d % 2 == 1]) == 100  # default 1.0

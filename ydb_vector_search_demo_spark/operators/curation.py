@@ -180,6 +180,61 @@ def hash_split(
     return F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("validation"))
 
 
+def mix_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    default_rate: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Deterministic domain mixing — the corpus-composition op every
+    LLM training pipeline runs before tokenization: per-source sampling
+    rates, DOWN (rate < 1: keep a salted-md5-bucketed fraction) and UP
+    (rate > 1: integer repetition plus a bucketed fractional extra
+    copy, e.g. 2.5 → every doc twice, half the docs a third time).
+    Output rows carry ``copy_col`` (1-based repetition index).
+
+    Same stability argument as :func:`hash_split`: the md5 bucket is a
+    pure function of (salt, source, id), so the mix is identical across
+    engines, runs, partitionings and appends — and therefore fully
+    oracle-checkable. Five hex chars → bucket %% 10000 keeps the
+    modulo bias under 0.1%%. Map-only except the explode (which emits
+    exactly the sampled rows); no shuffle."""
+    rate = F.lit(float(default_rate))
+    for s, r in sorted(weights.items()):
+        rate = F.when(F.col(source_col) == s, F.lit(float(r))).otherwise(rate)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.col(source_col),
+                        F.lit(":"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                5,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 10000
+    )
+    base = F.floor(rate).cast("int")
+    frac_extra = F.when(bucket < (rate - F.floor(rate)) * 10000, 1).otherwise(0)
+    copies = (base + frac_extra).alias("_copies")
+    return (
+        df.withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)  # sequence(1,0) would count DOWN
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("_copies"))))
+        .drop("_copies")
+    )
+
+
 # Ordered redaction rules: (name, pattern, replacement). Email first so
 # the phone pattern can't eat the digits inside an address's local
 # part; IP before phone because a dotted quad is also a valid match for

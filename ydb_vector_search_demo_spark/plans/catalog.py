@@ -3276,6 +3276,54 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_mix_counts",
+    """
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             CASE source WHEN 'src1' THEN 2.5 WHEN 'src2' THEN 0.5
+                         WHEN 'src3' THEN 0.0 ELSE 1.0 END AS rate,
+             ('0x' || substring(md5('mix-v1' || source || ':' || doc_id::VARCHAR),
+                                1, 5))::INTEGER % 10000 AS bucket
+      FROM documents
+    ), c AS (
+      SELECT *, CAST(floor(rate) AS INTEGER)
+                + CASE WHEN bucket < (rate - floor(rate)) * 10000
+                       THEN 1 ELSE 0 END AS copies
+      FROM r
+    ), e AS (
+      SELECT source, doc_id, n_chars
+      FROM c CROSS JOIN unnest(generate_series(1, copies)) AS t(i)
+      WHERE copies > 0
+    )
+    SELECT source, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM e GROUP BY source ORDER BY source
+    """,
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing (operators.curation.mix_corpus): src1 upsampled
+    2.5× (every doc twice + a bucketed half third time), src2 kept at
+    0.5, src3 dropped, everything else passed through — per-source
+    emitted rows / distinct docs / characters, fully oracle-checked
+    because the md5 bucket is a pure function of (salt, source, id)."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed = curation.mix_corpus(
+        docs, {"src1": 2.5, "src2": 0.5, "src3": 0.0}, default_rate=1.0
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 _PII_RULES_SQL = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
