@@ -144,3 +144,48 @@ def test_tree_recall_probe_filters_cells(spark):
     assert "cell_top" in plan and "cell_sub" in plan
     assert "TakeOrderedAndProject" in plan, "probe result must stay a top-k"
     tree.assigned.unpersist()
+
+
+def test_bm25_no_cartesian_and_stats_broadcast(spark):
+    """BM25: per-term df and the one-row corpus stats must broadcast
+    into the scoring join; nothing may plan a real cartesian (the
+    1-row stats crossJoin is a broadcast nested loop by construction);
+    the final top-k must not globally sort."""
+    plan = plan_of(spark, "text_bm25_topk")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    for py_node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py_node not in plan
+
+
+def test_hybrid_rrf_pools_stay_bounded(spark):
+    """Both retrieval pools must reach the fusion join as bounded
+    top-k plans (TakeOrderedAndProject), never a global sort of either
+    corpus; the fusion itself is a tiny join."""
+    plan = plan_of(spark, "hybrid_rrf_top5")
+    assert plan.count("TakeOrderedAndProject") >= 2, "both pools top-k"
+    assert "CartesianProduct" not in plan
+    for py_node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py_node not in plan
+
+
+def test_window_suite_single_window_node(spark):
+    """All seven window functions share one spec -> ONE Window node
+    over one keyed exchange (plus the final presentation sort)."""
+    plan = plan_of(spark, "window_function_suite")
+    assert plan.count("Window [") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ngram_spans_single_hash_shuffle_no_join(spark):
+    """The substring-dedup signal must be the windowed-count shape:
+    no self-join back onto the exploded hashes (the old shape
+    evaluated the window build once per branch)."""
+    plan = plan_of(spark, "dedup_ngram_spans")
+    assert "SortMergeJoin" not in plan.split("Window")[0], (
+        "no join may feed the frequency window"
+    )
+    assert "Window" in plan
+    for py_node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py_node not in plan
