@@ -698,3 +698,45 @@ def test_mix_corpus_up_and_down_sampling(spark):
     kept_src0 = len([1 for d, _ in a if d % 2 == 0])
     assert 25 <= kept_src0 <= 75  # ~50 of 100 at rate 0.5
     assert len([1 for d, _ in a if d % 2 == 1]) == 100  # default 1.0
+
+
+def test_rag_chunk_maxp_matches_python_recompute(spark):
+    """The chunk-retrieval query must equal a driver-side Python
+    recomputation of the same stub arithmetic (chunking, embedding,
+    cosine, per-doc best, global top-5) — the rows-only equivalent of
+    an oracle."""
+    import math
+
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+    from ydb_vector_search_demo_spark.pipeline.rag import embed_query_stub
+    from ydb_vector_search_demo_spark.plans.catalog import QUERIES, QV
+
+    got = [
+        (r.doc_id, r.chunk_id, r.score)
+        for r in QUERIES["rag_chunk_maxp"](spark, SF_SMOKE).collect()
+    ]
+
+    docs = duckdb.sql(
+        f"select doc_id, text from '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return 1.0 - dot / (na * nb) if na and nb else None
+
+    best = []
+    for doc_id, text in docs:
+        per = []
+        for ci, start in enumerate(range(0, max(len(text), 1), 90)):
+            chunk = text[start : start + 120]
+            s = cos([float(x) for x in embed_query_stub(chunk)], QV)
+            per.append((s if s is not None else float("inf"), ci, chunk))
+        s, ci, chunk = min(per)
+        best.append((s, doc_id, ci))
+    best.sort()
+    expected = [(d, ci, round(s, 6)) for s, d, ci in best[:5]]
+    assert got == expected, (got, expected)

@@ -49,6 +49,7 @@ def test_rows_only_set_is_intentional():
         "multimodal_frame_sample",
         "multimodal_resize",
         "multimodal_union_search",
+        "rag_chunk_maxp",
         "rag_full_pipeline",
         "streaming_stateful_user_counts",
         "text_tfidf_top_terms",

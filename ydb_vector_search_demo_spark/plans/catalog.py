@@ -967,6 +967,58 @@ def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("rag_chunk_maxp")
+def q_rag_chunk_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level retrieval with document-level max-p aggregation —
+    the RAG shape that retrieves the best PASSAGE, not just the best
+    document: chunk (size 120 / stride 90, the same splitter as
+    text_chunk_overlap), embed each chunk at the pandas-UDF model seam
+    (stubbed, rows-only), cosine-score against the flagship query
+    vector JVM-side, reduce to each document's best chunk via a
+    deterministic struct-min (score, chunk_id, text — ties break on
+    chunk position), and return the top-5 documents by best-chunk
+    score. One keyed shuffle (the per-doc min); the chunk explode is
+    map-only; the embed UDF is the only Python and sits exactly at
+    the model boundary."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(90)
+                )
+            ).alias("start"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.expr("(start - 1) div 90").alias("chunk_id"),
+            F.expr("substring(text, start, 120)").alias("chunk_text"),
+        )
+    )
+    emb = chunks.withColumn("cvec", rag.embed_texts_udf()(F.col("chunk_text")))
+    scored = emb.select(
+        "doc_id",
+        F.struct(
+            V.cosine_distance("cvec", F.lit(QV)).alias("cscore"),
+            F.col("chunk_id").alias("chunk_id"),
+            F.col("chunk_text").alias("chunk_text"),
+        ).alias("_best"),
+    )
+    best = scored.groupBy("doc_id").agg(F.min("_best").alias("b"))
+    return (
+        best.select(
+            "doc_id",
+            F.col("b.chunk_id").alias("chunk_id"),
+            F.round(F.col("b.cscore"), 6).alias("score"),
+            F.col("b.chunk_text").alias("chunk_text"),
+        )
+        .orderBy(F.col("score").asc_nulls_last(), F.col("doc_id").asc())
+        .limit(5)
+    )
+
+
 @register("text_tfidf_top_terms")
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib text-analysis pipeline (SURVEY.md §2.6): RegexTokenizer →
