@@ -740,3 +740,31 @@ def test_rag_chunk_maxp_matches_python_recompute(spark):
     best.sort()
     expected = [(d, ci, round(s, 6)) for s, d, ci in best[:5]]
     assert got == expected, (got, expected)
+
+
+def test_retrieval_reranked_matches_python_recompute(spark):
+    """Pipeline pin: the reranked top-5 must equal recomputing the
+    cross-encoder stub driver-side over the collected hybrid pool."""
+    from tests.conftest import SF_ORACLE
+    from ydb_vector_search_demo_spark.operators import retrieval as R
+    from ydb_vector_search_demo_spark.plans.catalog import (
+        FLAGSHIP_QUERY, QUERIES, QV,
+    )
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+
+    got = [
+        (r.doc_id, r.rerank_score)
+        for r in QUERIES["retrieval_reranked_top5"](spark, SF_ORACLE).collect()
+    ]
+    docs = load_table(spark, SF_ORACLE, "documents")
+    embs = load_table(spark, SF_ORACLE, "embeddings")
+    pool = R.hybrid_rrf_topk(docs, embs, FLAGSHIP_QUERY, QV, k=20, pool=20)
+    texts = {
+        r.doc_id: r.text
+        for r in docs.join(pool.select("doc_id"), "doc_id").collect()
+    }
+    rescored = sorted(
+        ((-R.cross_encoder_stub(FLAGSHIP_QUERY, texts[d]), d) for d in texts),
+    )[:5]
+    expected = [(d, round(-s, 6)) for s, d in rescored]
+    assert got == expected, (got, expected)

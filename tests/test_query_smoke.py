@@ -51,6 +51,7 @@ def test_rows_only_set_is_intentional():
         "multimodal_union_search",
         "rag_chunk_maxp",
         "rag_full_pipeline",
+        "retrieval_reranked_top5",
         "streaming_stateful_user_counts",
         "text_tfidf_top_terms",
     ], f"unexpected rows-only queries: {ROWS_ONLY}"

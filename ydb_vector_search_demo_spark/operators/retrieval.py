@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -32,6 +33,63 @@ from ydb_vector_search_demo_spark.functions.textstats import token_count, tokens
 from ydb_vector_search_demo_spark.operators.knn import knn_scores
 
 RRF_K = 60
+
+
+def cross_encoder_stub(query: str, text: str) -> float:
+    """Deterministic cross-encoder stand-in (the production slot holds
+    a real (query, passage) relevance model): Jaccard overlap of
+    lowercased token sets, plus an md5-derived tiebreak < 1e-6 so
+    equal-overlap passages still rank deterministically."""
+    import hashlib
+
+    q = set(query.lower().split())
+    t = set(text.lower().split())
+    union = len(q | t) or 1
+    base = len(q & t) / union
+    tie = (
+        int(hashlib.md5((query + "\x00" + text).encode("utf-8")).hexdigest()[:8], 16)
+        / 16**8
+        * 1e-6
+    )
+    return base + tie
+
+
+def rerank_udf(query_text: str, rerank_fn=cross_encoder_stub):
+    """Arrow-batched pandas UDF wrapping the cross-encoder call — the
+    same model-seam pattern as pipeline.rag.embed_texts_udf/llm_udf:
+    the UDF boundary is the ONLY Python, and it runs over the tiny
+    fused pool, never the corpus."""
+    from pyspark.sql.types import DoubleType
+
+    from ydb_vector_search_demo_spark.shipping import ensure_package_on_workers
+
+    ensure_package_on_workers()
+
+    @F.pandas_udf(DoubleType())
+    def _rr(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: rerank_fn(query_text, t or ""))
+
+    return _rr
+
+
+def rerank(
+    pool: DataFrame,
+    query_text: str,
+    text_col: str = "text",
+    k: int = 5,
+    id_col: str = "doc_id",
+    rerank_fn=cross_encoder_stub,
+) -> DataFrame:
+    """Second-stage reranking — the standard retrieve→rerank split:
+    first-stage retrieval (BM25/vector/hybrid) bounds the candidate
+    pool to dozens of rows, and only those pay the expensive
+    cross-encoder. Descending score, id tiebreak."""
+    scored = pool.withColumn(
+        "rerank_score", rerank_udf(query_text, rerank_fn)(F.col(text_col))
+    )
+    return scored.orderBy(
+        F.col("rerank_score").desc(), F.col(id_col).asc()
+    ).limit(k)
 
 
 def query_terms(query: str) -> list[str]:

@@ -2225,6 +2225,28 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("retrieval_reranked_top5")
+def q_retrieval_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full first/second-stage retrieval stack: hybrid BM25+vector
+    RRF pool (top-20, both pools TakeOrderedAndProject) → join document
+    text for the 20 survivors → cross-encoder rerank at the pandas-UDF
+    model seam (stubbed: token-overlap + md5 tiebreak) → top-5. The
+    expensive model scores 20 rows, never the corpus — the standard
+    retrieve→rerank split. Rows-only (the reranker is the Python
+    boundary); pinned against a driver-side recomputation in pytest."""
+    docs = _t(spark, sf_dir, "documents")
+    embs = _t(spark, sf_dir, "embeddings")
+    pool = R.hybrid_rrf_topk(docs, embs, FLAGSHIP_QUERY, QV, k=20, pool=20)
+    with_text = pool.join(
+        docs.select("doc_id", "text"), on="doc_id", how="inner"
+    )
+    out = R.rerank(with_text, FLAGSHIP_QUERY, text_col="text", k=5)
+    return out.select(
+        "doc_id", "rrf",
+        F.round("rerank_score", 6).alias("rerank_score"),
+    )
+
+
 _NGRAM_N = 8
 
 
