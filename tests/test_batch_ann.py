@@ -1,0 +1,166 @@
+"""Batched ANN probe (r4 verdict task #1): a DataFrame of query vectors
+through ONE pruned scan of the IVF / tree store.
+
+Contracts under test:
+* row-identity with the per-query ``index.search`` loop at equal nprobe
+  (the batch path must be a pure execution-shape change, not a
+  semantics change);
+* the parquet serving path returns the same rows as the in-memory path;
+* a full probe (nprobe = k_clusters) equals exact KNN — recall 1.0;
+* plan shape: one pruned scan, Partial WindowGroupLimit below the keyed
+  exchange, zero Python nodes (the batch_knn contract, knn.py:147-153).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from ydb_vector_search_demo_spark.operators import ann
+from ydb_vector_search_demo_spark.pipeline import rag
+from ydb_vector_search_demo_spark.sources.tables import load_table
+
+QUERIES = ["hash join spark", "window order data", "customer query line"]
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def qvs():
+    return [rag.embed_query_stub(q) for q in QUERIES]
+
+
+@pytest.fixture(scope="module")
+def qdf(spark, qvs):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(qvs)],
+        "query_id INT, query_vec ARRAY<DOUBLE>",
+    )
+
+
+@pytest.fixture(scope="module")
+def ivf(embs):
+    index = ann.build_ivf_index(embs, k_clusters=8)
+    yield index
+    index.assigned.unpersist()
+
+
+@pytest.fixture(scope="module")
+def tree(embs):
+    index = ann.build_kmeans_tree_index(embs, k_top=4, k_sub=2)
+    yield index
+    index.assigned.unpersist()
+
+
+def _rows(df, qid_col="query_id"):
+    return [
+        (r["vec_id"], round(r["score"], 9))
+        for r in df.orderBy(qid_col, "rank").collect()
+    ]
+
+
+def test_ivf_batch_equals_per_query_loop(ivf, qdf, qvs):
+    batch = ivf.batch_search(qdf, k=5, nprobe=3).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["score"], 9))
+        )
+    for i, qv in enumerate(qvs):
+        loop = [
+            (r["vec_id"], round(r["score"], 9))
+            for r in ivf.search(qv, k=5, nprobe=3).collect()
+        ]
+        assert by_q[i] == loop, f"query {i}: batch != per-query search"
+
+
+def test_tree_batch_equals_per_query_loop(tree, qdf, qvs):
+    batch = tree.batch_search(qdf, k=5, nprobe_top=2, nprobe_sub=1).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["score"], 9))
+        )
+    for i, qv in enumerate(qvs):
+        loop = [
+            (r["vec_id"], round(r["score"], 9))
+            for r in tree.search(qv, k=5, nprobe_top=2, nprobe_sub=1).collect()
+        ]
+        assert by_q[i] == loop, f"query {i}: batch != per-query search"
+
+
+def test_ivf_batch_parquet_matches_in_memory(spark, ivf, qdf, tmp_path):
+    store = str(tmp_path / "ivf_store")
+    ann.write_ivf_partitioned(ivf, store)
+    mem = _rows(ivf.batch_search(qdf, k=5, nprobe=3))
+    pq = _rows(
+        ann.ivf_batch_search_parquet(spark, store, ivf.centroids, qdf, k=5, nprobe=3)
+    )
+    assert mem == pq
+
+
+def test_full_probe_recall_is_one(spark, embs, qdf):
+    report = ann.ivf_batch_recall(
+        spark, embs, qdf, k=10, k_clusters=8, nprobe=8
+    ).collect()[0]
+    assert report.n_queries == 3
+    assert report.mean_recall == 1.0 and report.min_recall == 1.0
+
+
+def test_partial_probe_recall_sane(spark, embs, qdf):
+    report = ann.ivf_batch_recall(
+        spark, embs, qdf, k=10, k_clusters=8, nprobe=2
+    ).collect()[0]
+    assert 0.0 <= report.min_recall <= report.mean_recall <= 1.0
+
+
+def test_batch_probe_plan_shape(spark, ivf, qdf, tmp_path):
+    """One pruned parquet scan, Partial WindowGroupLimit below the keyed
+    exchange, no Python nodes — the 100 TB posture of the batched probe."""
+    store = str(tmp_path / "ivf_store_plan")
+    ann.write_ivf_partitioned(ivf, store)
+    df = ann.ivf_batch_search_parquet(spark, store, ivf.centroids, qdf, k=5, nprobe=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, "the whole batch must share one scan"
+    assert "centroid_id" in plan, "union-of-cells filter must reach the scan"
+    assert plan.count("WindowGroupLimit") == 2, "need Partial + Final group-limit"
+    below_shuffle = plan.split("Exchange hashpartitioning")[-1]
+    assert "WindowGroupLimit" in below_shuffle and "Partial" in below_shuffle
+    assert "BroadcastHashJoin" in plan, "membership join must broadcast"
+    assert "SortMergeJoin" not in plan
+    for py_node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py_node not in plan, "batched probe must stay JVM-side"
+
+
+def test_tree_batch_parquet_matches_in_memory(spark, tree, qdf, tmp_path):
+    store = str(tmp_path / "tree_store")
+    ann.write_tree_partitioned(tree, store)
+    mem = _rows(tree.batch_search(qdf, k=5, nprobe_top=2, nprobe_sub=1))
+    pq = _rows(
+        ann.tree_batch_search_parquet(
+            spark, store, tree.centroids_top, tree.centroids_sub, qdf,
+            k=5, nprobe_top=2, nprobe_sub=1,
+        )
+    )
+    assert mem == pq
+
+
+def test_ivf_batch_filtered_predicate(spark, embs, qdf):
+    """Predicate applies inside the pruned scan: every returned row
+    satisfies it, per query."""
+    index = ann.build_ivf_index(embs, k_clusters=8, keep_cols=("label",))
+    try:
+        out = index.batch_search(
+            qdf, k=5, nprobe=8, predicate="label = 1"
+        )
+        labels = (
+            out.join(embs.select("vec_id", "label"), on="vec_id")
+            .select("label")
+            .collect()
+        )
+        assert labels and all(r.label == 1 for r in labels)
+    finally:
+        index.assigned.unpersist()

@@ -128,6 +128,14 @@ class IvfIndex:
             vector_col=self.vector_col,
         )
 
+    def batch_search(self, queries: DataFrame, **kwargs) -> DataFrame:
+        """Batched probe: the whole query DataFrame through one pruned
+        scan — see :func:`ivf_batch_search`."""
+        return ivf_batch_search(
+            self.assigned, self.centroids, queries,
+            id_col=self.id_col, vector_col=self.vector_col, **kwargs,
+        )
+
 
 def rank_centroids(
     centroids: list[list[float]], query_vector: Sequence[float], metric: str = "cosine"
@@ -492,6 +500,14 @@ class KMeansTreeIndex:
         return knn_scores(
             pruned_at(level), qv, k=k, metric=metric, id_col=self.id_col,
             vector_col=self.vector_col,
+        )
+
+    def batch_search(self, queries: DataFrame, **kwargs) -> DataFrame:
+        """Batched probe: the whole query DataFrame through one pruned
+        scan — see :func:`tree_batch_search`."""
+        return tree_batch_search(
+            self.assigned, self.centroids_top, self.centroids_sub, queries,
+            id_col=self.id_col, vector_col=self.vector_col, **kwargs,
         )
 
 
@@ -1035,6 +1051,292 @@ def filtered_recall(
         ],
         "k INT, n_matching BIGINT, min_candidates INT, nprobe_fixed INT, "
         "recall_fixed DOUBLE, nprobe_widened INT, recall_widened DOUBLE",
+    )
+
+
+# --------------------------------------------------------------------------
+# Batched ANN probe: a whole DataFrame of queries through ONE pruned scan
+# --------------------------------------------------------------------------
+
+
+def _collect_query_vectors(
+    queries: DataFrame, query_id_col: str, query_vec_col: str
+) -> list[tuple]:
+    """Driver-side snapshot of the query batch as (id, float-list) pairs.
+    The batch is small by construction — the same assumption under which
+    ``knn.batch_knn`` broadcasts it; a query set too large to collect is
+    a similarity JOIN (operators.dedup) or a block GEMM
+    (``knn.block_batch_knn``), not a probe batch."""
+    return [
+        (r[0], [float(x) for x in r[1]])
+        for r in queries.select(query_id_col, query_vec_col).collect()
+    ]
+
+
+def _membership_df(
+    queries: DataFrame,
+    query_id_col: str,
+    rows: list[tuple],
+    cell_fields: list[str],
+):
+    """(query_id, *cell columns, _qv) broadcast side for the batched
+    probe: which queries probe which cells, with the query vector riding
+    along so scoring needs no second join. Size is Q × nprobe rows —
+    driver/broadcast scale by construction."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(query_id_col, queries.schema[query_id_col].dataType),
+            *[StructField(c, IntegerType()) for c in cell_fields],
+            StructField("_qv", ArrayType(DoubleType())),
+        ]
+    )
+    return queries.sparkSession.createDataFrame(rows, schema)
+
+
+def _batch_topk(
+    scored: DataFrame,
+    k: int,
+    query_id_col: str,
+    id_col: str,
+    score_col: str,
+    rank_col: str,
+) -> DataFrame:
+    """Per-query top-k cut, the same two-stage JVM shape as
+    ``knn.batch_knn``: ``row_number() <= k`` triggers Catalyst's
+    InferWindowGroupLimit rewrite, so each scan task keeps only its k
+    best rows per query (Partial WindowGroupLimit) before the keyed
+    exchange — the scored candidate set never shuffles in full."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col(score_col).asc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def ivf_batch_search(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    score_col: str = "score",
+    rank_col: str = "rank",
+    predicate: Column | str | None = None,
+) -> DataFrame:
+    """Batched IVF probe: route a DataFrame of query vectors through the
+    index in ONE pruned scan — the reference's flagship search
+    (/root/reference/app.py:124) at training-pipeline volume (negative
+    mining, RAG dataset construction), where looping single-query
+    ``IvfIndex.search`` calls from the driver is the anti-pattern the
+    engine otherwise avoids, and exact ``knn.batch_knn`` scans the full
+    corpus per batch.
+
+    Shape: centroids are ranked per query driver-side over the
+    already-driver-resident codebook (Q × k_clusters comparisons);
+    the union of probed cells becomes one ``centroid_id IN (...)``
+    filter (partition pruning on the persisted layout); a broadcast
+    (query_id, centroid_id, query_vec) membership join fans each
+    corpus row out ONLY to the queries that probed its cell; distances
+    compute in whole-stage codegen; and the per-query top-k cut is the
+    same Partial WindowGroupLimit shape as ``knn.batch_knn``
+    (knn.py:147-153) — zero Python nodes anywhere (plan-asserted in
+    tests/test_batch_ann.py). Per query the candidate set is exactly
+    the cells its single-query ``search`` would probe, so results are
+    row-identical to the per-query loop at equal nprobe.
+
+    ``predicate`` filters inside the pruned scan (filtered batch
+    retrieval); selectivity-aware widening is per-query by nature and
+    stays a single-query concern (``IvfIndex.search(min_candidates=)``)."""
+    qrows = _collect_query_vectors(queries, query_id_col, query_vec_col)
+    nprobe = max(1, min(int(nprobe), len(centroids)))
+    members = []
+    for qid, qv in qrows:
+        for c in rank_centroids(centroids, qv, metric)[:nprobe]:
+            members.append((qid, int(c), qv))
+    union_cells = sorted({m[1] for m in members})
+    mem = _membership_df(queries, query_id_col, members, ["centroid_id"])
+    pred = _pred(predicate)
+    pruned = assigned.filter(F.col("centroid_id").isin(union_cells))
+    if pred is not None:
+        pruned = pruned.filter(pred)
+    scored = pruned.join(F.broadcast(mem), on="centroid_id").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        distance(vector_col, F.col("_qv"), metric).alias(score_col),
+    )
+    return _batch_topk(scored, k, query_id_col, id_col, score_col, rank_col)
+
+
+def ivf_batch_search_parquet(
+    spark: SparkSession,
+    path: str,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """Batched probe against the persisted centroid-partitioned store:
+    the union-of-cells IN filter becomes Parquet PARTITION pruning, so
+    the whole batch reads at most ``|union cells|/k_clusters`` of the
+    directory tree once — not per query."""
+    return ivf_batch_search(spark.read.parquet(path), centroids, queries, **kwargs)
+
+
+def tree_batch_search(
+    assigned: DataFrame,
+    centroids_top: list[list[float]],
+    centroids_sub: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    nprobe_top: int = 2,
+    nprobe_sub: int = 2,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    score_col: str = "score",
+    rank_col: str = "rank",
+    predicate: Column | str | None = None,
+) -> DataFrame:
+    """Batched two-level-tree probe, mirroring :func:`ivf_batch_search`:
+    per query rank top cells then only the probed cells' child codebooks
+    (driver-side, sub-linear in cell count exactly like the single-query
+    path), prune ONE scan to the union of (cell_top, cell_sub) pairs,
+    fan out via a broadcast membership join on both cell columns, cut
+    per query with the Partial-WindowGroupLimit shape. Row-identical to
+    the per-query ``KMeansTreeIndex.search`` loop at equal nprobes."""
+    import functools
+
+    qrows = _collect_query_vectors(queries, query_id_col, query_vec_col)
+    members = []
+    for qid, qv in qrows:
+        tops = rank_centroids(centroids_top, qv, metric)[:nprobe_top]
+        for t in tops:
+            subs = rank_centroids(centroids_sub[t], qv, metric)[:nprobe_sub]
+            for s in subs:
+                members.append((qid, int(t), int(s), qv))
+    mem = _membership_df(
+        queries, query_id_col, members, ["cell_top", "cell_sub"]
+    )
+    # union OR-of-AND clause: per top cell, the union of probed subs —
+    # the filter shape that partition-prunes the two-level layout
+    by_top: dict[int, set[int]] = {}
+    for _qid, t, s, _qv in members:
+        by_top.setdefault(t, set()).add(s)
+    clause = functools.reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("cell_top") == t) & F.col("cell_sub").isin(sorted(subs))
+            for t, subs in sorted(by_top.items())
+        ],
+    )
+    pred = _pred(predicate)
+    pruned = assigned.filter(clause)
+    if pred is not None:
+        pruned = pruned.filter(pred)
+    scored = pruned.join(
+        F.broadcast(mem), on=["cell_top", "cell_sub"]
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        distance(vector_col, F.col("_qv"), metric).alias(score_col),
+    )
+    return _batch_topk(scored, k, query_id_col, id_col, score_col, rank_col)
+
+
+def tree_batch_search_parquet(
+    spark: SparkSession,
+    path: str,
+    centroids_top: list[list[float]],
+    centroids_sub: list[list[list[float]]],
+    queries: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """Batched tree probe against the persisted two-level store — the
+    OR-of-AND union filter partition-prunes both directory levels."""
+    return tree_batch_search(
+        spark.read.parquet(path), centroids_top, centroids_sub, queries, **kwargs
+    )
+
+
+def ivf_batch_recall(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_clusters: int = 16,
+    nprobe: int = 4,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    cache_key: object | None = None,
+    **build_kwargs,
+) -> DataFrame:
+    """One-row quality report for the batched probe: per-query recall@k
+    of :func:`ivf_batch_search` vs exact ``knn.batch_knn`` ground truth
+    on the same corpus, reported as mean and min over the batch (the
+    min exposes the worst-served query, which a mean alone hides)."""
+    from ydb_vector_search_demo_spark.operators.knn import batch_knn
+
+    def _by_query(rows) -> dict:
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r[0], []).append(r[1])
+        return out
+
+    exact = _by_query(
+        batch_knn(
+            queries, embeddings, k=k, metric=metric,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        )
+        .select(query_id_col, "vec_id")
+        .collect()
+    )
+    index = get_or_build_ivf_index(
+        embeddings, k_clusters=k_clusters, cache_key=cache_key, **build_kwargs
+    )
+    approx = _by_query(
+        index.batch_search(
+            queries, k=k, nprobe=nprobe, metric=metric,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        )
+        .select(query_id_col, "vec_id")
+        .collect()
+    )
+    recalls = [
+        recall_at_k(exact.get(q, []), approx.get(q, [])) for q in exact
+    ]
+    mean_r = sum(recalls) / len(recalls) if recalls else 1.0
+    return spark.createDataFrame(
+        [
+            (
+                len(recalls),
+                k,
+                k_clusters,
+                int(nprobe),
+                round(float(mean_r), 6),
+                round(float(min(recalls)) if recalls else 1.0, 6),
+            )
+        ],
+        "n_queries INT, k INT, k_clusters INT, nprobe INT, "
+        "mean_recall DOUBLE, min_recall DOUBLE",
     )
 
 
