@@ -1,0 +1,177 @@
+"""Flat-IVF drift maintenance + atomic store publication (r4 verdict
+tasks #2 and #4): the tree layout's skewed-append → detect → rebalance
+loop replayed on the flat centroid-partitioned store, and the
+manifest/current-pointer protocol that makes the rebuild swap atomic
+for concurrent readers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from ydb_vector_search_demo_spark import stores
+from ydb_vector_search_demo_spark.operators import ann
+from ydb_vector_search_demo_spark.sources.tables import load_table
+
+
+def test_ivf_drift_detection_and_rebalance(spark, tmp_path):
+    """The tree maintenance contract on the flat layout: skewed appends
+    trip the drift report at the shared skew_ratio-4.0 threshold;
+    rebalance_ivf rebuilds with zero row loss and lower skew."""
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    index = ann.build_ivf_index(embs, k_clusters=8)
+    path = str(tmp_path / "ivf_drift")
+    ann.write_ivf_partitioned(index, path)
+    balanced = ann.ivf_drift_report(spark, path).collect()[0]
+
+    # skewed append: clone ONE cell's vectors 6x with fresh ids — they
+    # route back to the same cell by construction
+    cell = spark.read.parquet(path).limit(1).collect()[0]
+    one_cell = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid_id") == cell.centroid_id)
+        .select("vec_id", "embedding")
+    )
+    for i in range(6):
+        clones = one_cell.select(
+            (F.col("vec_id") + 100000 * (i + 1)).alias("vec_id"), "embedding"
+        )
+        ann.ivf_append(index.centroids, clones, path)
+
+    drifted = ann.ivf_drift_report(spark, path).collect()[0]
+    assert drifted.skew_ratio > balanced.skew_ratio
+    assert drifted.needs_rebalance, drifted
+
+    # stats carry real byte counts per cell
+    stats = ann.ivf_leaf_stats(spark, path).collect()
+    assert all(r.leaf_bytes > 0 for r in stats)
+    assert sum(r.n_rows for r in stats) == drifted.total_rows
+
+    # balanced store: no-op (returns None, store untouched)
+    pre = ann.rebalance_ivf(
+        spark, path, str(tmp_path / "never"),
+        skew_threshold=drifted.skew_ratio + 1,
+    )
+    assert pre is None
+
+    out = str(tmp_path / "ivf_rebalanced")
+    new_index = ann.rebalance_ivf(spark, path, out, k_clusters=8)
+    assert new_index is not None
+    after = ann.ivf_drift_report(spark, out).collect()[0]
+    assert after.total_rows == drifted.total_rows  # nothing lost
+    assert after.skew_ratio < drifted.skew_ratio
+    new_index.assigned.unpersist()
+    index.assigned.unpersist()
+
+
+def test_publish_store_roundtrip_and_history(spark, tmp_path):
+    root = str(tmp_path / "store_root")
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.range(10).write.parquet(v1)
+    spark.range(20).write.parquet(v2)
+
+    assert stores.current_store_path(spark, root) is None
+    assert stores.publish_store(spark, root, v1) == 1
+    assert stores.current_store_path(spark, root) == v1
+    assert stores.read_current_store(spark, root).count() == 10
+
+    assert stores.publish_store(spark, root, v2) == 2
+    assert stores.read_current_store(spark, root).count() == 20
+    assert stores.store_history(spark, root) == [(1, v1), (2, v2)]
+
+    # rollback = republish the old path
+    assert stores.publish_store(spark, root, v1) == 3
+    assert stores.read_current_store(spark, root).count() == 10
+
+
+def test_reader_resolving_mid_swap_sees_old_or_new(spark, tmp_path):
+    """The r4-verdict 'done' bar: a reader resolving the store while a
+    publish is in flight sees the previous complete version (manifest
+    not yet renamed) or the new one — never a partial state. Simulated
+    by interleaving resolutions with the publish's own steps: the temp
+    manifest is invisible to resolution by construction (prefix
+    filter), so the only observable states are seq N and seq N+1."""
+    root = str(tmp_path / "swap_root")
+    v1 = str(tmp_path / "sv1")
+    v2 = str(tmp_path / "sv2")
+    spark.range(5).write.parquet(v1)
+    spark.range(6).write.parquet(v2)
+    stores.publish_store(spark, root, v1)
+
+    # mid-swap state: the new manifest exists only under its temp name
+    jvm, root_hpath, fs = stores._fs(spark, root)
+    tmp_manifest = jvm.org.apache.hadoop.fs.Path(
+        root, "_tmp-" + stores._manifest_name(2) + ".12345"
+    )
+    stores._write_file(
+        jvm, fs, tmp_manifest, b'{"path": "%s"}' % v2.encode()
+    )
+    assert stores.current_store_path(spark, root) == v1, (
+        "temp manifest must be invisible to readers"
+    )
+    # the swap completes (atomic rename) — readers now see v2
+    final = jvm.org.apache.hadoop.fs.Path(root, stores._manifest_name(2))
+    assert fs.rename(tmp_manifest, final)
+    assert stores.current_store_path(spark, root) == v2
+
+
+def test_publish_collision_retries_next_seq(spark, tmp_path):
+    """Two publishers racing the same sequence number: the loser's
+    rename fails (destination exists) and it retries at the next
+    number — publishes serialize without a lock service."""
+    root = str(tmp_path / "race_root")
+    v1 = str(tmp_path / "rv1")
+    v2 = str(tmp_path / "rv2")
+    spark.range(3).write.parquet(v1)
+    spark.range(4).write.parquet(v2)
+    stores.publish_store(spark, root, v1)
+
+    # pre-plant manifest-2 (the "other publisher" winning the race),
+    # then publish: it must land at seq 3, not clobber seq 2
+    jvm, root_hpath, fs = stores._fs(spark, root)
+    planted = jvm.org.apache.hadoop.fs.Path(root, stores._manifest_name(2))
+    stores._write_file(jvm, fs, planted, b'{"path": "%s"}' % v1.encode())
+
+    seq = stores.publish_store(spark, root, v2)
+    assert seq == 3
+    assert stores.current_store_path(spark, root) == v2
+    assert [s for s, _ in stores.store_history(spark, root)] == [1, 2, 3]
+
+
+def test_rebalance_publish_end_to_end(spark, tmp_path):
+    """The full maintenance loop the verdict asked for: build → publish
+    → skewed append → drift detected → rebalance to a NEW path →
+    publish → readers see the rebalanced store, zero row loss."""
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    index = ann.build_ivf_index(embs, k_clusters=8)
+    root = str(tmp_path / "ivf_root")
+    v1 = str(tmp_path / "ivf_v1")
+    ann.write_ivf_partitioned(index, v1)
+    stores.publish_store(spark, root, v1)
+    n0 = stores.read_current_store(spark, root).count()
+
+    cell = spark.read.parquet(v1).limit(1).collect()[0]
+    one_cell = (
+        spark.read.parquet(v1)
+        .filter(F.col("centroid_id") == cell.centroid_id)
+        .select("vec_id", "embedding")
+    )
+    for i in range(6):
+        ann.ivf_append(
+            index.centroids,
+            one_cell.select(
+                (F.col("vec_id") + 100000 * (i + 1)).alias("vec_id"), "embedding"
+            ),
+            v1,
+        )
+    total = stores.read_current_store(spark, root).count()
+
+    v2 = str(tmp_path / "ivf_v2")
+    new_index = ann.rebalance_ivf(spark, v1, v2, k_clusters=8)
+    assert new_index is not None
+    stores.publish_store(spark, root, v2)
+    assert stores.read_current_store(spark, root).count() == total
+    assert total > n0
+    new_index.assigned.unpersist()
+    index.assigned.unpersist()

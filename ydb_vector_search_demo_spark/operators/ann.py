@@ -847,45 +847,48 @@ def tree_leaf_stats(spark: SparkSession, path: str) -> DataFrame:
     parquet reader materializes cell_top/cell_sub from directory names,
     reading no data pages); byte counts from a recursive FileSystem
     listing (a metadata op on any Hadoop FS, never a data read)."""
+    return _leaf_stats(spark, path, ["cell_top", "cell_sub"])
+
+
+def _leaf_stats(
+    spark: SparkSession, path: str, partition_cols: list[str]
+) -> DataFrame:
+    """Shared leaf-stats shape for any partition-directory store layout:
+    row counts from one partition-column-only aggregation (no data
+    pages read), byte counts from the Hadoop FS recursive listing
+    (``tables.fs_file_bytes`` — a metadata op on any Hadoop FS)."""
     import re
+
+    from ydb_vector_search_demo_spark.sources.tables import fs_file_bytes
 
     rows = (
         spark.read.parquet(path)
-        .groupBy("cell_top", "cell_sub")
+        .groupBy(*partition_cols)
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    it = fs.listFiles(hpath, True)
-    by_leaf: dict[tuple[int, int], int] = {}
-    while it.hasNext():
-        f = it.next()
-        m = re.search(r"cell_top=(\d+)/cell_sub=(\d+)/", f.getPath().toString())
+    pat = re.compile("/".join(f"{c}=(\\d+)" for c in partition_cols) + "/")
+    by_leaf: dict[tuple[int, ...], int] = {}
+    for fpath, fbytes in fs_file_bytes(spark, path):
+        m = pat.search(fpath)
         if m:
-            key = (int(m.group(1)), int(m.group(2)))
-            by_leaf[key] = by_leaf.get(key, 0) + f.getLen()
+            key = tuple(int(g) for g in m.groups())
+            by_leaf[key] = by_leaf.get(key, 0) + fbytes
     sizes = spark.createDataFrame(
-        [(t, s, b) for (t, s), b in sorted(by_leaf.items())],
-        "cell_top INT, cell_sub INT, leaf_bytes BIGINT",
+        [(*k, b) for k, b in sorted(by_leaf.items())],
+        ", ".join(f"{c} INT" for c in partition_cols) + ", leaf_bytes BIGINT",
     )
     return (
-        rows.join(F.broadcast(sizes), on=["cell_top", "cell_sub"], how="left")
-        .orderBy("cell_top", "cell_sub")
+        rows.join(F.broadcast(sizes), on=partition_cols, how="left")
+        .orderBy(*partition_cols)
     )
 
 
-def tree_drift_report(
-    spark: SparkSession, path: str, skew_threshold: float = 4.0
+def _drift_report(
+    spark: SparkSession, counts: list[int], skew_threshold: float
 ) -> DataFrame:
-    """One-row leaf-balance summary with the rebalance decision:
-    ``skew_ratio`` = max leaf rows / mean leaf rows. The documented
-    threshold (default 4.0) is a probe-latency budget: a query probing
-    the fattest leaf scans ``skew_ratio``× the average leaf, so once
-    drift exceeds the budget, :func:`rebalance_tree` rebuilds. Leaf
-    counts are k_top·k_sub — driver-side math over a tiny collect."""
-    stats = tree_leaf_stats(spark, path).collect()
-    counts = [r.n_rows for r in stats]
+    """One-row balance summary shared by the tree and flat-IVF layouts:
+    ``skew_ratio`` = max leaf rows / mean leaf rows, compared against
+    the documented probe-latency budget."""
     total = sum(counts)
     mean = total / len(counts) if counts else 0.0
     skew = (max(counts) / mean) if mean else 0.0
@@ -908,6 +911,19 @@ def tree_drift_report(
     )
 
 
+def tree_drift_report(
+    spark: SparkSession, path: str, skew_threshold: float = 4.0
+) -> DataFrame:
+    """One-row leaf-balance summary with the rebalance decision:
+    ``skew_ratio`` = max leaf rows / mean leaf rows. The documented
+    threshold (default 4.0) is a probe-latency budget: a query probing
+    the fattest leaf scans ``skew_ratio``× the average leaf, so once
+    drift exceeds the budget, :func:`rebalance_tree` rebuilds. Leaf
+    counts are k_top·k_sub — driver-side math over a tiny collect."""
+    counts = [r.n_rows for r in tree_leaf_stats(spark, path).collect()]
+    return _drift_report(spark, counts, skew_threshold)
+
+
 def rebalance_tree(
     spark: SparkSession,
     path: str,
@@ -926,9 +942,10 @@ def rebalance_tree(
     ``force``), refit the two-level tree on the store's CURRENT
     contents (metadata columns are preserved as keep_cols) and write
     the rebalanced store to ``out_path``. Returns the new index, or
-    None when the store is still balanced. Never writes in place — the
-    atomic swap is the caller's rename/metastore step, same contract
-    as :func:`~ydb_vector_search_demo_spark.pipeline.rag.compact_store`."""
+    None when the store is still balanced. Never writes in place —
+    publish ``out_path`` atomically with ``stores.publish_store``
+    (write-new-then-rename manifest), same contract as
+    :func:`~ydb_vector_search_demo_spark.pipeline.rag.compact_store`."""
     if not force:
         report = tree_drift_report(spark, path, skew_threshold).collect()[0]
         if not report.needs_rebalance:
@@ -940,6 +957,61 @@ def rebalance_tree(
         keep_cols=keep, **build_kwargs,
     )
     write_tree_partitioned(index, out_path)
+    return index
+
+
+def ivf_leaf_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell (centroid_id) row AND byte counts for a persisted flat
+    IVF store — maintenance parity with :func:`tree_leaf_stats` on the
+    simpler (and more commonly deployed) single-level layout (r4
+    verdict, What's-missing #2): ``ivf_append`` and the streaming
+    ingest route new vectors into existing cells without refitting, so
+    popular cells fatten and probe cost skews. Row counts are a
+    partition-column-only aggregation; byte counts come from the
+    Hadoop FS recursive listing — no data pages read by either."""
+    return _leaf_stats(spark, path, ["centroid_id"])
+
+
+def ivf_drift_report(
+    spark: SparkSession, path: str, skew_threshold: float = 4.0
+) -> DataFrame:
+    """One-row cell-balance summary with the rebalance decision for the
+    flat IVF store — the same skew_ratio-vs-threshold contract (default
+    4.0, a probe-latency budget) as :func:`tree_drift_report`."""
+    counts = [r.n_rows for r in ivf_leaf_stats(spark, path).collect()]
+    return _drift_report(spark, counts, skew_threshold)
+
+
+def rebalance_ivf(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    k_clusters: int = 16,
+    skew_threshold: float = 4.0,
+    force: bool = False,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    **build_kwargs,
+) -> IvfIndex | None:
+    """Threshold-triggered re-clustering of the flat IVF store,
+    mirroring :func:`rebalance_tree`: when :func:`ivf_drift_report`
+    crosses ``skew_threshold`` (or ``force``), refit KMeans on the
+    store's CURRENT contents (metadata columns preserved as keep_cols)
+    and write the rebalanced store to ``out_path``. Returns the new
+    index, or None while the store is still balanced. Never writes in
+    place — publish the new path atomically with
+    ``stores.publish_store`` (write-new-then-rename manifest)."""
+    if not force:
+        report = ivf_drift_report(spark, path, skew_threshold).collect()[0]
+        if not report.needs_rebalance:
+            return None
+    data = spark.read.parquet(path).drop("centroid_id")
+    keep = tuple(c for c in data.columns if c not in (id_col, vector_col))
+    index = build_ivf_index(
+        data, k_clusters=k_clusters, id_col=id_col, vector_col=vector_col,
+        keep_cols=keep, **build_kwargs,
+    )
+    write_ivf_partitioned(index, out_path)
     return index
 
 

@@ -157,6 +157,29 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def fs_file_bytes(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """Recursive (file path, bytes) listing via the Hadoop FileSystem
+    API — a pure metadata operation that works on ANY Hadoop FS (local,
+    HDFS, S3A). ``os.walk`` silently totals 0 bytes for non-local
+    paths, which would collapse a compaction's shuffle width to 1 and
+    rewrite a whole store through a single task — the failure mode this
+    helper exists to prevent (shared by ann.tree_leaf_stats /
+    ann.ivf_leaf_stats and the compactors below)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    out = []
+    while it.hasNext():
+        f = it.next()
+        out.append((f.getPath().toString(), int(f.getLen())))
+    return out
+
+
+def _parquet_bytes(spark: SparkSession, path: str) -> int:
+    return sum(b for p, b in fs_file_bytes(spark, path) if p.endswith(".parquet"))
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -169,16 +192,11 @@ def compact_parquet(
     sinks and incremental appends (e.g. ivf_append) accumulate small
     files; scan cost then becomes file-open-bound rather than
     byte-bound. Returns the output file count. Writes to ``out_path``
-    (never in place — the swap is the caller's atomic rename/metastore
-    step, exactly like a production compactor)."""
+    (never in place — publish with ``stores.publish_store`` or the
+    caller's metastore swap, exactly like a production compactor)."""
     import math
-    import os
 
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
+    total = _parquet_bytes(spark, path)
     n_files = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(
         out_path
@@ -200,17 +218,14 @@ def compact_partitioned_store(
     file-open-bound. Rewrite with one shuffle keyed by the partition
     columns so each leaf lands in few, right-sized files, keeping the
     directory layout (and therefore partition pruning) intact.
-    Writes to ``out_path`` — the atomic swap stays the caller's step,
-    same contract as :func:`compact_parquet`. Returns the shuffle
-    width used."""
+    Writes to ``out_path`` — publish with ``stores.publish_store`` or
+    the caller's metastore swap, same contract as
+    :func:`compact_parquet`. Returns the shuffle width used. Sizing
+    uses the Hadoop FS listing (:func:`fs_file_bytes`), so the width
+    is right on HDFS/S3 stores too, not only local paths."""
     import math
-    import os
 
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
+    total = _parquet_bytes(spark, path)
     width = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     (
