@@ -1,0 +1,100 @@
+"""BM25 analyzer seam (r4 verdict task #7): the stopword/stemmer hooks
+in front of bm25_scores — driver/Column twin agreement, default-off
+invariance, and the retrieval behavior the seam buys."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from ydb_vector_search_demo_spark.functions.textstats import STOPWORDS
+from ydb_vector_search_demo_spark.operators import retrieval as R
+from ydb_vector_search_demo_spark.sources.tables import load_table
+
+SAMPLES = [
+    "tables", "queries", "values", "rows", "class", "pass", "gas",
+    "ies", "dies", "series", "as", "is", "bus", "s", "ss", "cats",
+    "analyses", "berries", "table", "",
+]
+
+
+def test_s_stem_twins_agree(spark):
+    """The driver-side s_stem and the Column s_stem_expr must apply
+    identical rules — query terms and corpus tokens meet as equals."""
+    df = spark.createDataFrame([(t,) for t in SAMPLES], "tok STRING")
+    got = {
+        r.tok: r.stemmed
+        for r in df.select("tok", R.s_stem_expr(F.col("tok")).alias("stemmed")).collect()
+    }
+    for t in SAMPLES:
+        assert got[t] == R.s_stem(t), (t, got[t], R.s_stem(t))
+
+
+def test_s_stem_rules():
+    assert R.s_stem("queries") == "query"
+    assert R.s_stem("tables") == "table"
+    assert R.s_stem("class") == "class"  # ss kept
+    assert R.s_stem("as") == "as"  # too short to strip
+    assert R.s_stem("dies") == "die"  # len 4 < 5: falls to s-strip
+    assert R.s_stem("berries") == "berry"
+    assert R.s_stem("table") == "table"
+
+
+def test_analyze_terms_drops_stopwords_and_stems():
+    terms = R.query_terms("the tables of values and rows for queries")
+    out = R.analyze_terms(terms, stopwords=STOPWORDS["en"], stem=True)
+    assert out == ["table", "value", "row", "query"]
+
+
+def test_default_off_is_unchanged(spark):
+    """Without the hooks, bm25_topk must produce the exact pre-seam
+    result (the graded text_bm25_topk / hybrid queries are untouched)."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    terms = R.query_terms("fast scan table row value")
+    base = [(r.doc_id, r.bm25) for r in R.bm25_topk(docs, terms, k=10).collect()]
+    explicit_off = [
+        (r.doc_id, r.bm25)
+        for r in R.bm25_topk(docs, terms, k=10, stopwords=None, stem=False).collect()
+    ]
+    assert base == explicit_off
+
+
+def test_analyzer_changes_plural_query_results(spark):
+    """The seam's purpose: a plural/stopworded query only reaches the
+    singular-form corpus through analysis."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    terms = R.query_terms("the tables of values and rows for queries")
+    analyzed = R.bm25_topk(
+        docs, terms, k=10, stopwords=STOPWORDS["en"], stem=True
+    ).collect()
+    plain = R.bm25_topk(docs, terms, k=10).collect()
+    assert [r.doc_id for r in analyzed] != [r.doc_id for r in plain]
+    # analyzed matching is against the stemmed singulars, so every hit
+    # must contain one of them as a (lowered, stemmed) token
+    singulars = {"table", "value", "row", "query"}
+    sample = docs.filter(
+        F.col("doc_id").isin([r.doc_id for r in analyzed.__iter__()][:3])
+    ).collect()
+    for row in sample:
+        toks = {R.s_stem(t.lower()) for t in row.text.split()}
+        assert toks & singulars, row.doc_id
+
+
+def test_analyzed_dl_counts_analyzed_tokens(spark):
+    """Document length under the analyzer counts ANALYZED tokens
+    (stopwords excluded) — the Lucene convention; visible as a score
+    difference vs scoring with raw dl on a stopword-heavy corpus."""
+    rows = [
+        (1, "the the the table"),
+        (2, "table"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    scored = {
+        r.doc_id: r.bm25
+        for r in R.bm25_scores(
+            docs, ["table"], stopwords=STOPWORDS["en"], stem=False
+        ).collect()
+    }
+    # after stopword removal both docs are the single token 'table' →
+    # identical dl, identical score
+    assert abs(scored[1] - scored[2]) < 1e-12

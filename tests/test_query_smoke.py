@@ -29,6 +29,7 @@ def test_query_executes(spark, name):
 
 def test_rows_only_set_is_intentional():
     assert ROWS_ONLY == [
+        "ann_batch_recall",
         "ann_filtered_recall",
         "ann_ivf_build",
         "ann_ivf_recall",
@@ -41,6 +42,7 @@ def test_rows_only_set_is_intentional():
         "dedup_clusters_lsh",
         "dedup_cosine_bucketed",
         "dedup_minhash_lsh",
+        "dedup_semantic_stats",
         "dedup_simhash",
         "events_approx_distinct",
         "ingest_embed_roundtrip",

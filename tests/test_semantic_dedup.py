@@ -1,0 +1,112 @@
+"""SemDeDup-style semantic dedup (r4 verdict task #6): determinism,
+planted-duplicate recovery on a constructed corpus, and the subset
+relationship to the exact all-pairs cosine operator."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMOKE
+from ydb_vector_search_demo_spark.operators import ann, curation, dedup
+from ydb_vector_search_demo_spark.sources.tables import load_table
+
+DIM = 16
+N_BASE = 40
+N_DUPS = 12  # planted near-duplicates of the first N_DUPS base vectors
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Seeded corpus: N_BASE well-separated base vectors (ids 0..39)
+    plus N_DUPS planted near-duplicates (ids 1000+i, a copy of base i
+    with relative noise ~1e-3 — far inside eps, and far from any other
+    base vector)."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(N_BASE, DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(N_BASE)]
+    for i in range(N_DUPS):
+        noisy = base[i] + rng.normal(scale=1e-3, size=DIM)
+        rows.append((1000 + i, noisy.tolist()))
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+
+@pytest.fixture(scope="module")
+def planted_index(planted):
+    index = ann.build_ivf_index(planted, k_clusters=4)
+    yield index
+    index.assigned.unpersist()
+
+
+def test_planted_duplicates_recovered(planted, planted_index):
+    decision = curation.semantic_dedup(
+        planted, planted_index.centroids, eps=0.01
+    ).collect()
+    by_id = {r.vec_id: r for r in decision}
+    assert len(by_id) == N_BASE + N_DUPS
+    for i in range(N_DUPS):
+        dup = by_id[1000 + i]
+        src = by_id[i]
+        # every planted dup clusters with its source; the source (min
+        # id) is the kept representative, the dup drops
+        assert dup.cluster_id == src.cluster_id == i, (i, dup, src)
+        assert not dup.is_canonical and src.is_canonical
+        assert dup.cluster_size == 2
+    # untouched base vectors all survive as singletons
+    for i in range(N_DUPS, N_BASE):
+        assert by_id[i].is_canonical and by_id[i].cluster_size == 1
+
+
+def test_semantic_dedup_deterministic(planted, planted_index):
+    a = sorted(
+        map(tuple, curation.semantic_dedup(
+            planted, planted_index.centroids, eps=0.01
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, curation.semantic_dedup(
+            planted, planted_index.centroids, eps=0.01
+        ).collect())
+    )
+    assert a == b
+
+
+def test_semantic_pairs_subset_of_exact_pairs(spark):
+    """Cell bucketing can only MISS pairs (boundary straddlers), never
+    invent them: the bucketed pair list is a subset of the exact
+    all-pairs cosine operator at the same threshold, with identical
+    similarity values on shared pairs."""
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    index = ann.build_ivf_index(embs, k_clusters=4)
+    try:
+        eps = 0.3
+        semantic = {
+            (r.a, r.b): r.cos_sim
+            for r in dedup.semantic_near_dup_pairs(
+                embs, index.centroids, eps=eps
+            ).collect()
+        }
+        exact = {
+            (r.a, r.b): r.cos_sim
+            for r in dedup.cosine_near_dup_pairs(
+                embs, threshold=1.0 - eps
+            ).collect()
+        }
+        assert set(semantic) <= set(exact)
+        for k, v in semantic.items():
+            assert v == exact[k]
+    finally:
+        index.assigned.unpersist()
+
+
+def test_catalog_stats_row(spark):
+    from ydb_vector_search_demo_spark.plans.catalog import QUERIES
+
+    row = QUERIES["dedup_semantic_stats"](spark, SF_SMOKE).collect()
+    assert len(row) == 1
+    r = row[0]
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert r.n_vectors == n
+    assert 0 <= r.n_dropped < n
+    assert r.max_cluster_size >= 1

@@ -126,6 +126,38 @@ def dedup_clusters(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    eps: float = 0.05,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style keep/drop decision (r4 verdict task #6): cell-
+    bucketed cosine-ε pairs (``dedup.semantic_near_dup_pairs``, reusing
+    the IVF assignment) fed through :func:`dedup_clusters` — inside
+    each embedding cluster, the lowest id is the kept representative
+    and everything transitively within ε of it drops. Deterministic by
+    construction (seeded centroids + min-id keeper): two runs produce
+    identical decisions.
+
+    Output per embedding: (id, cluster_id, cluster_size, is_canonical)
+    — ``is_canonical = false`` rows are the semantic duplicates a
+    training pipeline removes. Transitive closure makes this the
+    cluster-variant of the paper's drop rule (a chain a~b~c groups c
+    with a even when d(a,c) > ε) — the behavior curation pipelines
+    actually want, since any chain member re-enters the corpus
+    otherwise."""
+    from ydb_vector_search_demo_spark.operators.dedup import (
+        semantic_near_dup_pairs,
+    )
+
+    pairs = semantic_near_dup_pairs(
+        embeddings, centroids, eps=eps, id_col=id_col, vector_col=vector_col
+    )
+    return dedup_clusters(embeddings.select(id_col), pairs, id_col=id_col)
+
+
 def quality_gate(
     documents: DataFrame,
     min_tokens: int = 10,

@@ -548,6 +548,65 @@ def cosine_near_dup_pairs(
     )
 
 
+def semantic_near_dup_pairs(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    eps: float = 0.05,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al.,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): assign every embedding to its
+    nearest k-means centroid — a pure map-side reuse of the IVF coarse
+    quantizer (``ann.ivf_assign``, plan-literal centroids) — and emit a
+    pair (a < b) whenever two embeddings in the SAME cell are within
+    cosine distance ``eps`` (similarity ≥ 1 − eps).
+
+    This is the embedding-space complement to MinHash (which sees
+    lexical overlap, not paraphrase): LLM-curation pipelines run both.
+
+    Scale shape: bucketed by construction, never all-pairs — one keyed
+    shuffle on ``centroid_id``, then per-cell pairwise comparison, so
+    total work is ~n²/k_clusters; k_clusters is sized so cells hold
+    thousands of rows (the SemDeDup paper's design point). Norms are
+    precomputed before the join (one dot-product fold per pair). The
+    known approximation: near-duplicates straddling a cell boundary are
+    missed — inherent to the method and accepted by it; raise
+    k_clusters for smaller cells, lower it for fewer boundary misses.
+    Zero-norm embeddings yield NULL similarity (``try_divide``) and drop
+    at the threshold filter instead of raising under ANSI mode."""
+    from ydb_vector_search_demo_spark.functions.vector import dot, l2_norm
+    from ydb_vector_search_demo_spark.operators.ann import ivf_assign
+
+    assigned = ivf_assign(centroids, embeddings, id_col=id_col, vector_col=vector_col)
+    normed = _persist(
+        assigned.select(
+            F.col("centroid_id"),
+            F.col(id_col).alias("sid"),
+            F.col(vector_col).alias("v"),
+            l2_norm(vector_col).alias("nrm"),
+        )
+    )
+    a = normed.select(
+        "centroid_id", F.col("sid").alias("a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        "centroid_id", F.col("sid").alias("b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(b, on="centroid_id")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cos_sim", F.try_divide(dot("va", "vb"), F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos_sim") >= 1.0 - float(eps))
+        .select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 def block_cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -101,6 +101,82 @@ def query_terms(query: str) -> list[str]:
     return list(seen)
 
 
+# ---------------------------------------------------------------- analyzer
+# The analyzer seam in front of BM25 (r4 verdict task #7): optional
+# stopword removal and a naive S-stemmer, OFF by default so the graded
+# text_bm25_topk/hybrid oracles and plans are untouched. Both hooks are
+# pure expressions with exact driver-side twins (the query terms must be
+# analyzed under the SAME rules as the corpus tokens) and are
+# deliberately SQL-replayable, so the analyzed variant stays fully
+# DuckDB-oracle-checked.
+
+
+def s_stem(term: str) -> str:
+    """Naive S-stemmer (Harman 1991-style plural stripping), the
+    driver-side twin of :func:`s_stem_expr`: ``…ies → …y`` (length ≥ 5),
+    ``…ss`` kept, trailing ``s`` stripped (length ≥ 4)."""
+    if len(term) >= 5 and term.endswith("ies"):
+        return term[:-3] + "y"
+    if term.endswith("ss"):
+        return term
+    if len(term) >= 4 and term.endswith("s"):
+        return term[:-1]
+    return term
+
+
+def s_stem_expr(t: Column) -> Column:
+    """Column twin of :func:`s_stem` — same three rules, same order."""
+    ln = F.length(t)
+    return (
+        F.when(
+            (ln >= 5) & t.endswith("ies"),
+            F.concat(t.substr(F.lit(1), ln - 3), F.lit("y")),
+        )
+        .when(t.endswith("ss"), t)
+        .when((ln >= 4) & t.endswith("s"), t.substr(F.lit(1), ln - 1))
+        .otherwise(t)
+    )
+
+
+def analyze_terms(
+    terms: Sequence[str],
+    stopwords: Sequence[str] | None = None,
+    stem: bool = False,
+) -> list[str]:
+    """Apply the analyzer to query terms driver-side: lowercase, drop
+    stopwords, stem, dedup order-preserving — the exact rules
+    :func:`analyzed_tokens` applies to corpus tokens, which is what
+    makes matching an equality again after analysis."""
+    sw = {w.lower() for w in stopwords} if stopwords else set()
+    seen: dict[str, None] = {}
+    for t in terms:
+        t = t.lower()
+        if t in sw:
+            continue
+        if stem:
+            t = s_stem(t)
+        if t:
+            seen.setdefault(t, None)
+    return list(seen)
+
+
+def analyzed_tokens(
+    text_col: str | Column,
+    stopwords: Sequence[str] | None = None,
+    stem: bool = False,
+) -> Column:
+    """Analyzed token array of a text column: lowercase always, then
+    optional stopword filter (tiny list as a plan literal) and
+    S-stemming — all higher-order array expressions, JVM-side."""
+    toks = F.transform(tokens(text_col), F.lower)
+    if stopwords:
+        sw = F.array(*[F.lit(w.lower()) for w in stopwords])
+        toks = F.filter(toks, lambda t: ~F.array_contains(sw, t))
+    if stem:
+        toks = F.transform(toks, s_stem_expr)
+    return toks
+
+
 def bm25_scores(
     docs: DataFrame,
     terms: Sequence[str],
@@ -108,11 +184,53 @@ def bm25_scores(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stopwords: Sequence[str] | None = None,
+    stem: bool = False,
 ) -> DataFrame:
     """(id, bm25) for every document containing ≥1 query term; exact
     counts, standard Lucene-positive idf. Matching is lowercased
-    whole-token equality (the oracle-reproducible core; stemming and
-    analyzers are tokenizer concerns layered in front)."""
+    whole-token equality; ``stopwords``/``stem`` switch on the analyzer
+    seam (:func:`analyzed_tokens` on the corpus, :func:`analyze_terms`
+    on the query — default off, preserving the original oracle), under
+    which document length counts ANALYZED tokens, the Lucene
+    convention."""
+    if stopwords or stem:
+        terms = analyze_terms(terms, stopwords=stopwords, stem=stem)
+        tl = F.array(*[F.lit(t) for t in terms])
+        base = docs.select(
+            F.col(id_col),
+            analyzed_tokens(text_col, stopwords=stopwords, stem=stem).alias("_toks"),
+        )
+        stats = base.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.avg(F.size(F.col("_toks"))).alias("_avgdl"),
+        )
+        tok = base.select(
+            F.col(id_col),
+            F.size(F.col("_toks")).alias("_dl"),
+            F.explode(F.col("_toks")).alias("_t"),
+        ).filter(F.array_contains(tl, F.col("_t")))
+        tf = tok.groupBy(id_col, "_dl", "_t").agg(F.count(F.lit(1)).alias("_tf"))
+        df_t = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+        scored = (
+            tf.join(F.broadcast(df_t), on="_t")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                F.col(id_col),
+                (
+                    F.log(
+                        F.lit(1.0)
+                        + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+                    )
+                    * (F.col("_tf") * (k1 + 1))
+                    / (
+                        F.col("_tf")
+                        + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+                    )
+                ).alias("_s"),
+            )
+        )
+        return scored.groupBy(id_col).agg(F.sum("_s").alias("bm25"))
     terms = [t.lower() for t in terms]
     tl = F.array(*[F.lit(t) for t in terms])
     stats = docs.agg(
@@ -155,10 +273,14 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stopwords: Sequence[str] | None = None,
+    stem: bool = False,
 ) -> DataFrame:
     """Top-k lexical matches, (score desc, id asc) deterministic —
-    compiles to a TakeOrderedAndProject over the per-doc sums."""
-    s = bm25_scores(docs, terms, k1, b, text_col, id_col)
+    compiles to a TakeOrderedAndProject over the per-doc sums.
+    ``stopwords``/``stem`` pass through to the analyzer seam."""
+    s = bm25_scores(docs, terms, k1, b, text_col, id_col,
+                    stopwords=stopwords, stem=stem)
     return (
         s.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
@@ -184,7 +306,16 @@ def hybrid_rrf_topk(
     TakeOrderedAndProject plans — two bounded scans), full-outer-join
     the two tiny pools on id, score ``1/(k_rrf+rank)`` per side (rank
     missing → contributes 0), return the RRF top-k. The fusion join
-    touches ≤ 2·pool rows — driver-scale, exactly as RRF is deployed."""
+    touches ≤ 2·pool rows — driver-scale, exactly as RRF is deployed.
+
+    ID-SPACE CONTRACT: the fusion assumes ``doc_id_col`` values and
+    ``vec_id_col`` values name the SAME entities 1:1 (the testdata
+    fixture's doc_id == vec_id convention, FIXTURES.md). With a store
+    whose vectors are chunk- or row-keyed instead of doc-keyed, map
+    the embedding side to document ids FIRST and reduce to one row per
+    document (e.g. the max-p shape of plans.catalog.q_rag_chunk_maxp)
+    — otherwise the full-outer join degenerates into two disjoint rank
+    lists and RRF never fuses."""
     lex = bm25_topk(docs, query_terms(query_text), k=pool,
                     text_col=text_col, id_col=doc_id_col)
     w_lex = Window.orderBy(F.col("bm25").desc(), F.col(doc_id_col).asc())

@@ -998,6 +998,11 @@ def q_rag_chunk_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     emb = chunks.withColumn("cvec", rag.embed_texts_udf()(F.col("chunk_text")))
+    # NULL cosine scores (zero-norm chunk embeddings) are dropped BEFORE
+    # the struct-min: Spark struct ordering sorts NULL fields FIRST, so
+    # an unscored chunk would otherwise win the per-doc min and mask
+    # real scored chunks — the opposite of the asc_nulls_last convention
+    # every other scoring path uses (ADVICE r4).
     scored = emb.select(
         "doc_id",
         F.struct(
@@ -1005,7 +1010,7 @@ def q_rag_chunk_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chunk_id").alias("chunk_id"),
             F.col("chunk_text").alias("chunk_text"),
         ).alias("_best"),
-    )
+    ).filter(F.col("_best.cscore").isNotNull())
     best = scored.groupBy("doc_id").agg(F.min("_best").alias("b"))
     return (
         best.select(
@@ -2186,6 +2191,69 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
 
 
+# Analyzer seam (r4 verdict task #7): a query whose surface forms only
+# match after stopword removal + S-stemming — 'the/of/and/for' drop,
+# 'tables/values/rows/queries' stem to the singulars the corpus uses.
+_BM25_AN_QUERY = "the tables of values and rows for queries"
+_BM25_AN_TERMS = R.analyze_terms(
+    R.query_terms(_BM25_AN_QUERY), stopwords=T.STOPWORDS["en"], stem=True
+)
+_STEM_SQL = (
+    "CASE WHEN length(x) >= 5 AND x LIKE '%ies' "
+    "THEN substr(x, 1, length(x) - 3) || 'y' "
+    "WHEN x LIKE '%ss' THEN x "
+    "WHEN length(x) >= 4 AND x LIKE '%s' THEN substr(x, 1, length(x) - 1) "
+    "ELSE x END"
+)
+
+
+@register(
+    "text_bm25_analyzed",
+    f"""
+    WITH t0 AS (SELECT doc_id,
+                       list_transform({_TOKENS_SQL}, x -> lower(x)) AS lt
+                FROM documents),
+    t AS (SELECT doc_id,
+                 list_transform(
+                   list_filter(lt, x -> x NOT IN ({_SW_EN[1:-1]})),
+                   x -> {_STEM_SQL}) AS toks
+          FROM t0),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl
+              FROM t),
+    tokq AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tt FROM t),
+    f AS (SELECT doc_id, dl, tt, count(*) AS tf FROM tokq
+          WHERE tt IN ({", ".join(f"'{t}'" for t in _BM25_AN_TERMS)})
+          GROUP BY 1, 2, 3),
+    dft AS (SELECT tt, count(*) AS df FROM f GROUP BY 1),
+    sc AS (SELECT doc_id,
+                  ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                    AS s
+           FROM f JOIN dft USING (tt) CROSS JOIN stats),
+    bm AS (SELECT doc_id, sum(s) AS raw FROM sc GROUP BY doc_id)
+    SELECT doc_id, round(raw, 6) AS bm25
+    FROM bm ORDER BY raw DESC, doc_id LIMIT 10
+    """,
+)
+def q_bm25_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 behind the analyzer seam (operators.retrieval, r4 verdict
+    What's-missing #4): stopword removal + naive S-stemming applied to
+    BOTH corpus tokens and query terms under identical rules (Column
+    exprs with exact driver-side twins), document length counting
+    analyzed tokens — so 'the tables of values and rows for queries'
+    retrieves documents written with the singular forms. Default-off:
+    text_bm25_topk and the hybrid query are byte-identical to r4.
+    Fully oracle-checked (DuckDB replays the list filter + CASE
+    stemmer)."""
+    return R.bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        R.query_terms(_BM25_AN_QUERY),
+        k=10,
+        stopwords=T.STOPWORDS["en"],
+        stem=True,
+    )
+
+
 @register(
     "hybrid_rrf_top5",
     f"""
@@ -3298,6 +3366,34 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n=3, num_hashes=64, bands=16, threshold=0.5
     ).select("a", "b")
     return curation.dedup_clusters(docs.select("doc_id"), pairs)
+
+
+@register("dedup_semantic_stats")
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table
+    (operators.curation.semantic_dedup, Abbas et al. 2023): reuse the
+    session-cached IVF assignment as the cluster bucketing, pair
+    embeddings within a cell at cosine distance <= eps, keep the min-id
+    representative per connected component. One-row summary: corpus
+    size, semantic duplicates dropped, multi-member cluster count, and
+    the largest cluster. Rows-only: the bucketing is a KMeans fit.
+    Determinism + planted-duplicate recovery are pinned in
+    tests/test_semantic_dedup.py."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    embs = _t(spark, sf_dir, "embeddings")
+    index = ann.get_or_build_ivf_index(
+        embs, k_clusters=16, cache_key=sf_dir, fit_sample_fraction=0.25
+    )
+    decision = curation.semantic_dedup(embs, index.centroids, eps=0.15)
+    return decision.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.when(~F.col("is_canonical"), 1).otherwise(0)).alias("n_dropped"),
+        F.count_distinct(
+            F.when(F.col("cluster_size") > 1, F.col("cluster_id"))
+        ).alias("n_dup_clusters"),
+        F.max("cluster_size").alias("max_cluster_size"),
+    )
 
 
 @register(
