@@ -51,6 +51,14 @@ HEADLINE = [
     "quant_hamming_topk",
     "dedup_ngram_spans",
     "text_repetition_stats",
+    # round-5 additions (likewise outside the comparable subsets):
+    # hybrid BM25+vector RRF (graded since r4), the batched ANN probe
+    # (one pruned scan per query batch, reuses ann_ivf_build's session-
+    # cached index), SemDeDup-style semantic dedup (cell-bucketed
+    # pairwise + connected components)
+    "hybrid_rrf_top5",
+    "ann_batch_recall",
+    "dedup_semantic_stats",
 ]
 
 
@@ -128,24 +136,40 @@ def main() -> None:
             # query so the driver JSON is self-diagnosing (r3 verdict #7).
             "mm_ratio": round(samples[-1] / samples[0], 2) if samples[0] else None,
         }
+        # second recovery channel (r4 task #8): per-query numbers land
+        # on stderr the moment they exist, so no stdout truncation mode
+        # can lose a query entirely
+        # leading newline: Spark's console progress bar ends lines with
+        # a carriage return, so without it this marker can land mid-line
+        # and defeat a ^bench grep
+        print(f"\nbench {name} {json.dumps(spread[name])}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Key ORDER is part of the robustness contract (r4 verdict task #8:
+    # BENCH_r04's tail was front-truncated by the driver capture and
+    # lost one query's numbers). The driver keeps the TAIL of stdout,
+    # so the big "spread" blob goes FIRST and the two complete compact
+    # per-query dicts ("queries" medians, then "queries_min" — the
+    # BASELINE.md contract metric) plus the scalar summary go LAST:
+    # any front truncation eats spread detail before it can touch a
+    # per-query number. Each query's spread is also mirrored to stderr
+    # as it is measured, as a second recovery channel.
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_time_total",
-                "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "trials": TRIALS,
+                "spread": spread,
                 "queries": timings,
                 # CONTRACT METRIC (BASELINE.md): total of per-query
                 # min-of-5 — the least-contended estimate of the same
                 # plans on a shared host. Medians stay in "value"/
                 # "queries" for round-over-round continuity.
-                "value_min": round(sum(s["min"] for s in spread.values()), 3),
                 "queries_min": {n: s["min"] for n, s in spread.items()},
-                "spread": spread,
-                "trials": TRIALS,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "value_min": round(sum(s["min"] for s in spread.values()), 3),
+                "value": round(sum(timings.values()), 3),
             }
         )
     )
