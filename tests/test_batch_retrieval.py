@@ -1,0 +1,163 @@
+"""Batched hybrid retrieval (r5): a DataFrame of (query_text, query_vec)
+queries through ONE corpus pass per system — BM25 contributions computed
+once over the union of terms, vector pools from one batch-KNN (or one
+pruned batched ANN probe), RRF fused per query.
+
+Contracts under test:
+* per-query row-identity with the single-query ``hybrid_rrf_topk`` loop
+  at equal pool/k (the batch path is an execution-shape change, not a
+  semantics change);
+* same identity for the BM25-only batch vs looped ``bm25_topk``;
+* the IVF-routed vector side at full probe equals the exact batch;
+* analyzer seam (stopwords+stem) composes with the batch path;
+* plan hygiene: no row-at-a-time Python eval anywhere in the fused plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from ydb_vector_search_demo_spark.operators import ann
+from ydb_vector_search_demo_spark.operators import retrieval as R
+from ydb_vector_search_demo_spark.pipeline import rag
+from ydb_vector_search_demo_spark.sources.tables import load_table
+
+QUERIES = ["hash join spark", "window order data", "customer query line"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def qvs():
+    return [rag.embed_query_stub(q) for q in QUERIES]
+
+
+@pytest.fixture(scope="module")
+def qdf(spark, qvs):
+    return spark.createDataFrame(
+        [(i, q, v) for i, (q, v) in enumerate(zip(QUERIES, qvs))],
+        "query_id LONG, query_text STRING, query_vec ARRAY<DOUBLE>",
+    )
+
+
+def test_bm25_batch_equals_loop(docs, qdf):
+    batch = R.bm25_batch_topk(docs, qdf, k=10)
+    got = {
+        qid: sorted(
+            [(r["doc_id"], r["bm25"], r["rank"]) for r in rows],
+            key=lambda t: t[2],
+        )
+        for qid, rows in _group(batch.collect(), "query_id").items()
+    }
+    for qid, q in enumerate(QUERIES):
+        loop = R.bm25_topk(docs, R.query_terms(q), k=10).collect()
+        want = [(r["doc_id"], r["bm25"], i + 1) for i, r in enumerate(loop)]
+        assert got[qid] == want, f"query {qid} diverges from bm25_topk loop"
+
+
+def _group(rows, key):
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r[key], []).append(r)
+    return out
+
+
+def _fused_rows(rows):
+    return [
+        (r["doc_id"], r["rrf"], r["lex_rank"], r["vec_rank"])
+        for r in sorted(rows, key=lambda r: r["rank"])
+    ]
+
+
+def test_hybrid_batch_equals_single_query_loop(docs, embs, qdf, qvs):
+    batch = R.hybrid_rrf_batch_topk(docs, embs, qdf, k=5, pool=20)
+    got = {
+        qid: _fused_rows(rows)
+        for qid, rows in _group(batch.collect(), "query_id").items()
+    }
+    for qid, (q, v) in enumerate(zip(QUERIES, qvs)):
+        single = R.hybrid_rrf_topk(docs, embs, q, v, k=5, pool=20).collect()
+        want = [
+            (r["doc_id"], r["rrf"], r["lex_rank"], r["vec_rank"]) for r in single
+        ]
+        assert got[qid] == want, f"query {qid} diverges from hybrid loop"
+
+
+def test_hybrid_batch_ivf_full_probe_equals_exact(docs, embs, qdf):
+    index = ann.build_ivf_index(embs, k_clusters=8)
+    try:
+        exact = R.hybrid_rrf_batch_topk(docs, embs, qdf, k=5, pool=20)
+        ivf = R.hybrid_rrf_batch_topk(
+            docs, embs, qdf, k=5, pool=20, index=index, nprobe=8
+        )
+        e = {q: _fused_rows(r) for q, r in _group(exact.collect(), "query_id").items()}
+        i = {q: _fused_rows(r) for q, r in _group(ivf.collect(), "query_id").items()}
+        assert e == i, "full-probe IVF-routed batch must equal exact batch"
+    finally:
+        index.assigned.unpersist()
+
+
+def test_hybrid_batch_analyzer_seam(docs, embs, spark, qvs):
+    """Stopworded/stemmed queries retrieve through the batch path under
+    the same analyzer rules as the single-query seam."""
+    from ydb_vector_search_demo_spark.functions.textstats import STOPWORDS
+
+    texts = ["the tables of values", "rows for queries and"]
+    qdf2 = spark.createDataFrame(
+        [(i, t, qvs[i]) for i, t in enumerate(texts)],
+        "query_id LONG, query_text STRING, query_vec ARRAY<DOUBLE>",
+    )
+    batch = R.hybrid_rrf_batch_topk(
+        docs, embs, qdf2, k=5, pool=20,
+        stopwords=STOPWORDS["en"], stem=True,
+    )
+    got = {
+        qid: _fused_rows(rows)
+        for qid, rows in _group(batch.collect(), "query_id").items()
+    }
+    for qid, t in enumerate(texts):
+        terms = R.analyze_terms(
+            R.query_terms(t), stopwords=STOPWORDS["en"], stem=True
+        )
+        lex = R.bm25_topk(
+            docs, terms, k=20, stopwords=STOPWORDS["en"], stem=True
+        )
+        # lexical ranks inside the fused rows must match the analyzed
+        # single-query BM25 ordering
+        lex_rank = {r["doc_id"]: i + 1 for i, r in enumerate(lex.collect())}
+        for doc_id, _rrf, rl, _rv in got[qid]:
+            if rl is not None:
+                assert lex_rank.get(doc_id) == rl
+
+
+def test_all_stopword_batch_is_empty_lex(docs, embs, spark, qvs):
+    """A batch whose queries analyze to zero terms must still fuse —
+    pure-vector ranks, no crash on the empty lexical side."""
+    from ydb_vector_search_demo_spark.functions.textstats import STOPWORDS
+
+    qdf3 = spark.createDataFrame(
+        [(0, "the of and", qvs[0])],
+        "query_id LONG, query_text STRING, query_vec ARRAY<DOUBLE>",
+    )
+    out = R.hybrid_rrf_batch_topk(
+        docs, embs, qdf3, k=5, pool=20,
+        stopwords=STOPWORDS["en"], stem=True,
+    ).collect()
+    assert len(out) == 5
+    assert all(r["lex_rank"] is None for r in out)
+    assert all(r["vec_rank"] is not None for r in out)
+
+
+def test_hybrid_batch_plan_no_python_eval(docs, embs, qdf):
+    plan = R.hybrid_rrf_batch_topk(docs, embs, qdf, k=5, pool=20)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WindowGroupLimit" in plan

@@ -346,3 +346,254 @@ def hybrid_rrf_topk(
     return (
         fused.orderBy(F.col("rrf").desc(), F.col(doc_id_col).asc()).limit(k)
     )
+
+
+# ------------------------------------------------------------- batched
+# Batched retrieval (r5): a whole DataFrame of queries through ONE
+# corpus pass per system — the training-pipeline shape (RAG dataset
+# construction, negative mining) where looping single-query
+# hybrid_rrf_topk from the driver re-tokenizes and re-scans the corpus
+# per query. The corpus-side work (token explode, tf, df, stats, BM25
+# term contributions) is QUERY-INDEPENDENT and computed once; queries
+# attach via a broadcast (query_id, term) membership join, exactly the
+# shape ann.ivf_batch_search uses for cells. The query batch is small
+# by construction (same contract as ann._collect_query_vectors); a
+# batch too large to broadcast is a similarity join, not retrieval.
+
+
+def _collect_query_terms(
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    stopwords: Sequence[str] | None = None,
+    stem: bool = False,
+) -> list[tuple]:
+    """Driver-side (query_id, analyzed-terms) snapshot of the batch."""
+    rows = queries.select(query_id_col, query_text_col).collect()
+    out = []
+    for r in rows:
+        terms = query_terms(r[1] or "")
+        if stopwords or stem:
+            terms = analyze_terms(terms, stopwords=stopwords, stem=stem)
+        out.append((r[0], terms))
+    return out
+
+
+def bm25_batch_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    stopwords: Sequence[str] | None = None,
+    stem: bool = False,
+) -> DataFrame:
+    """(query_id, id, bm25) for every (query, doc) pair sharing ≥1 term.
+
+    One corpus pass for the whole batch: per-(doc, term) BM25
+    contributions ``idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`` are
+    query-independent, so they are computed ONCE over the union of all
+    queries' terms (pushed as one isin filter before the token explode
+    aggregates) and then summed per query through a broadcast
+    (query_id, term) join — Q× cheaper than looping
+    :func:`bm25_scores`, identical numbers (equality-tested)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    qterms = _collect_query_terms(
+        queries, query_id_col, query_text_col, stopwords=stopwords, stem=stem
+    )
+    union_terms = sorted({t for _, ts in qterms for t in ts})
+    spark = queries.sparkSession
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in qterms for t in ts],
+        StructType(
+            [
+                StructField(query_id_col, queries.schema[query_id_col].dataType),
+                StructField("_t", StringType()),
+            ]
+        ),
+    )
+    if not union_terms:
+        # degenerate batch (all-stopword queries): empty result, stable schema
+        return qt.select(
+            query_id_col, F.lit(None).cast("long").alias(id_col),
+            F.lit(0.0).alias("bm25"),
+        ).limit(0)
+    tl = F.array(*[F.lit(t) for t in union_terms])
+    if stopwords or stem:
+        base = docs.select(
+            F.col(id_col),
+            analyzed_tokens(text_col, stopwords=stopwords, stem=stem).alias("_toks"),
+        )
+        stats = base.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.avg(F.size(F.col("_toks"))).alias("_avgdl"),
+        )
+        tok = base.select(
+            F.col(id_col),
+            F.size(F.col("_toks")).alias("_dl"),
+            F.explode(F.col("_toks")).alias("_t"),
+        ).filter(F.array_contains(tl, F.col("_t")))
+    else:
+        stats = docs.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.avg(token_count(text_col)).alias("_avgdl"),
+        )
+        tok = (
+            docs.select(
+                F.col(id_col),
+                token_count(text_col).alias("_dl"),
+                F.explode(tokens(text_col)).alias("_t"),
+            )
+            .withColumn("_t", F.lower(F.col("_t")))
+            .filter(F.array_contains(tl, F.col("_t")))
+        )
+    tf = tok.groupBy(id_col, "_dl", "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    df_t = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    contrib = (
+        tf.join(F.broadcast(df_t), on="_t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.col("_t"),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+                )
+                * (F.col("_tf") * (k1 + 1))
+                / (
+                    F.col("_tf")
+                    + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+                )
+            ).alias("_s"),
+        )
+    )
+    return (
+        contrib.join(F.broadcast(qt), on="_t")
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_s").alias("bm25"))
+    )
+
+
+def bm25_batch_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Per-query lexical top-k over the batch, cut with the same
+    ``row_number() <= k`` shape as knn.batch_knn — Catalyst's Partial
+    WindowGroupLimit keeps only k rows per query per task before the
+    keyed exchange."""
+    query_id_col = kwargs.get("query_id_col", "query_id")
+    id_col = kwargs.get("id_col", "doc_id")
+    s = bm25_batch_scores(docs, queries, **kwargs)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        s.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select(
+            query_id_col, id_col, F.round("bm25", 6).alias("bm25"),
+            F.col("_r").alias("rank"),
+        )
+    )
+
+
+def hybrid_rrf_batch_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    metric: str = "cosine",
+    k_rrf: int = RRF_K,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    query_vec_col: str = "query_vec",
+    index=None,
+    nprobe: int = 4,
+    stopwords: Sequence[str] | None = None,
+    stem: bool = False,
+) -> DataFrame:
+    """Batched hybrid retrieval: every query's BM25 top-``pool`` and
+    vector top-``pool`` fused by RRF, per query, in ONE pass per system
+    — the composition of :func:`hybrid_rrf_topk` (reference search,
+    /root/reference/app.py:117-138, + lexical recall) with the batch
+    discipline of ann.ivf_batch_search / knn.batch_knn.
+
+    Vector side: exact ``batch_knn`` by default; pass ``index`` (an
+    ann.IvfIndex or ann.KMeansTreeIndex) to route the batch through one
+    pruned ANN scan instead (``nprobe`` forwarded) — same fused shape,
+    sub-linear scan. Per query the result is row-identical to the
+    single-query :func:`hybrid_rrf_topk` at equal pool/k (equality-
+    tested); ID-SPACE CONTRACT as documented there.
+
+    Output: (query_id, doc_id, rrf, lex_rank, vec_rank, rank) — rank is
+    the per-query fused position, 1-based."""
+    from ydb_vector_search_demo_spark.operators.knn import batch_knn
+
+    lex = bm25_batch_topk(
+        docs, queries, k=pool, text_col=text_col, id_col=doc_id_col,
+        query_id_col=query_id_col, query_text_col=query_text_col,
+        stopwords=stopwords, stem=stem,
+    )
+    # the per-query rank was computed over UNROUNDED bm25 inside
+    # bm25_batch_topk — reuse it so ties past 6 dp rank exactly as the
+    # single-query path's window over raw scores does
+    lex_r = lex.select(
+        query_id_col,
+        F.col(doc_id_col).alias("_id"),
+        F.col("rank").cast("int").alias("_rl"),
+    )
+    qvecs = queries.select(query_id_col, query_vec_col)
+    if index is not None:
+        # the index carries its own id/vector column names; only route
+        # the batch and probe width through
+        vec = index.batch_search(
+            qvecs, k=pool, metric=metric, query_id_col=query_id_col,
+            query_vec_col=query_vec_col, **(
+                {"nprobe": nprobe} if type(index).__name__ == "IvfIndex" else {}
+            ),
+        )
+        vec_id_col = getattr(index, "id_col", vec_id_col)
+    else:
+        vec = batch_knn(
+            qvecs, embeddings, k=pool, metric=metric,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+            id_col=vec_id_col, vector_col=vector_col,
+        )
+    vec_r = vec.select(
+        query_id_col,
+        F.col(vec_id_col).alias("_id"),
+        F.col("rank").cast("int").alias("_rv"),
+    )
+    fused = lex_r.join(
+        vec_r, on=[query_id_col, "_id"], how="full_outer"
+    ).select(
+        F.col(query_id_col),
+        F.col("_id").alias(doc_id_col),
+        F.round(
+            F.coalesce(1.0 / (F.lit(k_rrf) + F.col("_rl")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k_rrf) + F.col("_rv")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        F.col("_rl").alias("lex_rank"),
+        F.col("_rv").alias("vec_rank"),
+    )
+    w_f = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf").desc(), F.col(doc_id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= k)
+    )

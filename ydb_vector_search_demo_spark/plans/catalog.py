@@ -2157,14 +2157,20 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ydb_vector_search_demo_spark.operators import retrieval as R
 
 _BM25_TERMS = R.query_terms(FLAGSHIP_QUERY)
-_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
-_BM25_CTE = f"""
+
+
+def _bm25_cte(terms: list[str]) -> str:
+    """Parameterized DuckDB twin of operators.retrieval.bm25_scores:
+    ends with CTE ``bm(doc_id, raw)`` — reused by the single-query and
+    batched hybrid oracles with different term lists."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""
     t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
     stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl
               FROM t),
     tokq AS (SELECT doc_id, len(toks) AS dl, lower(unnest(toks)) AS tt FROM t),
     f AS (SELECT doc_id, dl, tt, count(*) AS tf FROM tokq
-          WHERE tt IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2, 3),
+          WHERE tt IN ({terms_sql}) GROUP BY 1, 2, 3),
     dft AS (SELECT tt, count(*) AS df FROM f GROUP BY 1),
     sc AS (SELECT doc_id,
                   ln(1 + (n - df + 0.5) / (df + 0.5))
@@ -2173,6 +2179,9 @@ _BM25_CTE = f"""
            FROM f JOIN dft USING (tt) CROSS JOIN stats),
     bm AS (SELECT doc_id, sum(s) AS raw FROM sc GROUP BY doc_id)
 """
+
+
+_BM25_CTE = _bm25_cte(_BM25_TERMS)
 
 
 @register(
@@ -2313,6 +2322,67 @@ def q_retrieval_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "rrf",
         F.round("rerank_score", 6).alias("rerank_score"),
     )
+
+
+def _hybrid_batch_branch_sql(qid: int, query: str, qv: list[float]) -> str:
+    """One query's hybrid top-5 as a self-contained subquery (DuckDB
+    scopes the WITH per branch) — the oracle twin of one query_id slice
+    of operators.retrieval.hybrid_rrf_batch_topk."""
+    return f"""
+    SELECT {qid}::BIGINT AS query_id, fused.* FROM (
+      WITH {_bm25_cte(R.query_terms(query))},
+      lex AS (SELECT doc_id,
+                     row_number() OVER (ORDER BY raw DESC, doc_id)::INTEGER AS rl
+              FROM bm ORDER BY raw DESC, doc_id LIMIT 20),
+      vec AS (SELECT vec_id AS doc_id,
+                     row_number() OVER (ORDER BY raw, vec_id)::INTEGER AS rv
+              FROM (SELECT vec_id,
+                           1.0 - list_cosine_similarity(embedding::DOUBLE[],
+                                                        {_vec_sql(qv)}) AS raw
+                    FROM embeddings)
+              ORDER BY raw, vec_id LIMIT 20),
+      fus AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+                     round(coalesce(1.0 / (60 + rl), 0.0)
+                           + coalesce(1.0 / (60 + rv), 0.0), 6) AS rrf,
+                     rl AS lex_rank, rv AS vec_rank
+              FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+      SELECT doc_id, rrf, lex_rank, vec_rank,
+             row_number() OVER (ORDER BY rrf DESC, doc_id)::INTEGER AS rank
+      FROM fus ORDER BY rrf DESC, doc_id LIMIT 5
+    ) fused"""
+
+
+@register(
+    "hybrid_batch_rrf",
+    "\nUNION ALL\n".join(
+        _hybrid_batch_branch_sql(i, q, v)
+        for i, (q, v) in enumerate(zip(BATCH_QUERIES, BATCH_QVS))
+    )
+    + "\nORDER BY query_id, rank",
+)
+def q_hybrid_batch_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched hybrid retrieval
+    (operators.retrieval.hybrid_rrf_batch_topk): the whole query batch's
+    BM25 pools from ONE corpus tokenization (per-(doc, term)
+    contributions are query-independent; queries attach via a broadcast
+    (query_id, term) join) and its vector pools from ONE batch-KNN scan
+    (Partial WindowGroupLimit cut), fused per query by RRF — the
+    reference's search (app.py:117-138) + lexical recall at
+    training-pipeline volume. Fully oracle-checked; per-query rows
+    equal the single-query hybrid loop (equality-tested in pytest)."""
+    docs = _t(spark, sf_dir, "documents")
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        [(i, q, v) for i, (q, v) in enumerate(zip(BATCH_QUERIES, BATCH_QVS))],
+        "query_id long, query_text string, query_vec array<double>",
+    )
+    out = R.hybrid_rrf_batch_topk(docs, embs, queries, k=5, pool=20)
+    return out.select(
+        "query_id", "doc_id", "rrf",
+        F.col("lex_rank").cast("int").alias("lex_rank"),
+        F.col("vec_rank").cast("int").alias("vec_rank"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")
 
 
 _NGRAM_N = 8
