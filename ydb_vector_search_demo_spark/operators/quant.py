@@ -518,3 +518,196 @@ def quantized_recall(
         "k INT, rescore INT, recall_int8_coarse DOUBLE, "
         "recall_int8_rescored DOUBLE, bin_rescore INT, recall_bit_rescored DOUBLE",
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka (prefix-dimension) coarse search — the DIMENSION axis of the
+# bytes-for-recall ladder (int8/1-bit/PQ trade precision per element;
+# this trades the NUMBER of elements). Matryoshka-style embeddings
+# (Kusupati et al. 2022) are trained so information concentrates in the
+# leading dimensions, making the d'-prefix a usable coarse scorer; the
+# same coarse→exact-rescore discipline as quantized_search keeps the
+# final top-k exact regardless of how lossy the prefix is.
+# --------------------------------------------------------------------------
+
+
+def mrl_prefix(vector_col: Column | str, dims: int) -> Column:
+    """Leading-``dims`` slice of a vector column (1-based F.slice)."""
+    c = F.col(vector_col) if isinstance(vector_col, str) else vector_col
+    return F.slice(c, 1, int(dims))
+
+
+def mrl_coarse_distance(
+    vector_col: Column | str,
+    query_vector: Sequence[float],
+    dims: int,
+    metric: str = "cosine",
+) -> Column:
+    """Distance between the ``dims``-prefixes of the stored vector and
+    the query — a pure slice + the shared distance expressions, JVM-side."""
+    qv = [float(x) for x in query_vector][: int(dims)]
+    return distance(mrl_prefix(vector_col, dims), F.lit(qv), metric)
+
+
+def mrl_search(
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    dims: int = 16,
+    k: int = 5,
+    rescore: int = 4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    prefix_col: str | None = None,
+    predicate=None,
+) -> DataFrame:
+    """Coarse-scan on the ``dims``-prefix for the top ``rescore·k``
+    candidates (TakeOrderedAndProject — no shuffle of scored rows),
+    broadcast those ids into the float relation, exact-rescore
+    full-dimension, return the exact top-k of the candidates.
+
+    With ``prefix_col`` set, the coarse pass reads a pre-truncated
+    prefix column (see :func:`write_mrl_store`) — at 100 TB that is the
+    point: the full corpus is scanned at d'/d of the float bytes
+    (d'=16 of 64 → 4×, multiplying with int8 on the prefix if both are
+    applied), and full-width vectors are fetched for c·k rows only.
+    Without it the prefix is sliced inline from the full column —
+    same semantics, no byte saving (the in-memory/testing path)."""
+    qv = [float(x) for x in query_vector]
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    base = embeddings if predicate is None else embeddings.filter(predicate)
+    score = (
+        distance(F.col(prefix_col), F.lit(qv[: int(dims)]), metric)
+        if prefix_col is not None
+        else mrl_coarse_distance(vector_col, qv, dims, metric)
+    )
+    coarse = (
+        base.select(F.col(id_col), score.alias("mscore"))
+        .orderBy(F.col("mscore").asc_nulls_last(), F.col(id_col).asc())
+        .limit(int(rescore) * k)
+    )
+    candidates = embeddings.join(
+        F.broadcast(coarse.select(id_col)), on=id_col, how="inner"
+    )
+    return knn_scores(
+        candidates, qv, k=k, metric=metric, id_col=id_col, vector_col=vector_col
+    )
+
+
+def write_mrl_store(
+    embeddings: DataFrame,
+    path: str,
+    dims: int = 16,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    keep_cols: Sequence[str] = (),
+) -> None:
+    """Persist the (id, dims-prefix) companion store — the byte lever
+    made physical: the coarse scan reads d'/d of the float bytes. The
+    full-width store stays where it is for candidate rescore (the same
+    pairing as write_quantized_store)."""
+    embeddings.select(
+        F.col(id_col),
+        mrl_prefix(vector_col, dims).alias("prefix"),
+        *[F.col(c) for c in keep_cols],
+    ).write.mode("overwrite").parquet(path)
+
+
+def mrl_search_parquet(
+    spark: SparkSession,
+    prefix_path: str,
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    dims: int = 16,
+    k: int = 5,
+    rescore: int = 4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    predicate=None,
+) -> DataFrame:
+    """Serving path: coarse pass over the persisted prefix store (the
+    only full scan), exact rescore against the float relation."""
+    pref = spark.read.parquet(prefix_path)
+    # join the prefix store to nothing — it IS the coarse relation; the
+    # embeddings arg supplies full-width vectors for rescore only
+    qv = [float(x) for x in query_vector]
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    if predicate is not None:
+        pref = pref.filter(predicate)
+    coarse = (
+        pref.select(
+            F.col(id_col),
+            distance(F.col("prefix"), F.lit(qv[: int(dims)]), metric).alias(
+                "mscore"
+            ),
+        )
+        .orderBy(F.col("mscore").asc_nulls_last(), F.col(id_col).asc())
+        .limit(int(rescore) * k)
+    )
+    candidates = embeddings.join(
+        F.broadcast(coarse.select(id_col)), on=id_col, how="inner"
+    )
+    return knn_scores(
+        candidates, qv, k=k, metric=metric, id_col=id_col, vector_col=vector_col
+    )
+
+
+def mrl_recall(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    dims_list: Sequence[int] = (8, 16, 32),
+    k: int = 10,
+    rescore: int = 4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the prefix coarse ordering and of coarse+rescore vs
+    exact KNN, one row per prefix width — the report that sizes
+    (dims, rescore) for a target recall, mirroring quantized_recall."""
+    from ydb_vector_search_demo_spark.operators.ann import recall_at_k
+
+    qv = [float(x) for x in query_vector]
+    exact = [
+        r[0]
+        for r in knn_scores(
+            embeddings, qv, k, metric, id_col=id_col, vector_col=vector_col
+        ).collect()
+    ]
+    rows = []
+    for dims in dims_list:
+        coarse_only = [
+            r[0]
+            for r in embeddings.select(
+                F.col(id_col),
+                mrl_coarse_distance(vector_col, qv, dims, metric).alias("s"),
+            )
+            .orderBy(F.col("s").asc_nulls_last(), F.col(id_col).asc())
+            .limit(k)
+            .collect()
+        ]
+        rescored = [
+            r[0]
+            for r in mrl_search(
+                embeddings, qv, dims=dims, k=k, rescore=rescore, metric=metric,
+                id_col=id_col, vector_col=vector_col,
+            ).collect()
+        ]
+        rows.append(
+            (
+                int(dims),
+                k,
+                int(rescore),
+                float(recall_at_k(exact, coarse_only)),
+                float(recall_at_k(exact, rescored)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "dims INT, k INT, rescore INT, recall_coarse DOUBLE, "
+        "recall_rescored DOUBLE",
+    )

@@ -2735,6 +2735,59 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRL_DIMS = 16
+_MRL_POOL = 20  # rescore(4) × k(5)
+
+
+@register(
+    "mrl_rescore_topk",
+    f"""
+    WITH coarse AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               1.0 - list_cosine_similarity(
+                       (embedding::DOUBLE[])[1:{_MRL_DIMS}],
+                       {_vec_sql(QV[:_MRL_DIMS])}) AS ms
+        FROM embeddings)
+      ORDER BY ms, vec_id LIMIT {_MRL_POOL}
+    )
+    SELECT vec_id, round(raw, 6) AS score FROM (
+      SELECT e.vec_id,
+             1.0 - list_cosine_similarity(embedding::DOUBLE[], {_vec_sql(QV)})
+               AS raw
+      FROM embeddings e JOIN coarse USING (vec_id))
+    ORDER BY raw, vec_id LIMIT 5
+    """,
+)
+def q_mrl_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-dimension search (operators.quant.mrl_search,
+    Kusupati et al. 2022): coarse top-20 by cosine over the leading 16
+    of 64 dims (a TakeOrderedAndProject over a slice — at scale the
+    persisted prefix store reads 4× fewer float bytes), exact full-dim
+    rescore of the candidates, exact top-5 of the pool. The dimension
+    axis of the bytes ladder, composing with int8/PQ per element.
+    Fully oracle-checked (DuckDB replays the list slice)."""
+    from ydb_vector_search_demo_spark.operators import quant
+
+    embs = _t(spark, sf_dir, "embeddings")
+    out = quant.mrl_search(embs, QV, dims=_MRL_DIMS, k=5, rescore=4)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@register("mrl_recall_report")
+def q_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the prefix coarse ordering and of coarse+rescore
+    (c=4) vs exact KNN at prefix widths 8/16/32 of 64 — the report
+    that sizes the (dims, rescore) point, mirroring
+    ann_quantized_recall. Rows-only (recall is a set comparison)."""
+    from ydb_vector_search_demo_spark.operators import quant
+
+    return quant.mrl_recall(
+        spark, _t(spark, sf_dir, "embeddings"), QV,
+        dims_list=(8, 16, 32), k=10, rescore=4,
+    )
+
+
 # Fixed deterministic PQ codebooks (m=4 subspaces × k*=4 centroids ×
 # 16 dims) derived from QV arithmetic and rounded to 6 dp so the SQL
 # literals equal the Python floats exactly — with codebooks FIXED, PQ
