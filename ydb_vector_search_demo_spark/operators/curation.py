@@ -13,7 +13,7 @@ embedding (reference ingest script absent from the snapshot,
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -440,3 +440,128 @@ def connected_components_star(
             F.coalesce(F.col("root"), F.col("node")).alias("cluster_id"),
         )
     )
+
+
+# ----------------------------------------------------------- contrastive
+# Contrastive training-data construction (r5): hard-negative mining and
+# (anchor, positive, negative) triplet assembly — the batch-retrieval
+# consumer the engine's ANN/batch-KNN paths exist to feed (embedding-
+# model fine-tuning, reranker training). The anchor batch is small by
+# construction (the same contract as knn.batch_knn's broadcast side);
+# mining for EVERY corpus item is a self-join — route that through
+# dedup's banded-LSH candidates or ann.ivf_batch_search per shard.
+
+
+def mine_hard_negatives(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    label_col: str = "label",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Per anchor: the k nearest corpus items with a DIFFERENT label —
+    the items an embedding model most confuses (hard negatives).
+
+    Shape: one corpus scan; the anchor batch (vector + label) rides a
+    broadcast crossJoin, the label-mismatch filter applies BEFORE the
+    per-anchor top-k window, and the cut is the same Partial
+    WindowGroupLimit as knn.batch_knn — the scored product never
+    shuffles in full, no Python nodes. Output: (query_id, vec_id,
+    score, rank)."""
+    from ydb_vector_search_demo_spark.functions.vector import distance
+    from ydb_vector_search_demo_spark.sources.tables import fan_out
+
+    corpus = fan_out(embeddings)
+    scored = corpus.crossJoin(F.broadcast(anchors)).filter(
+        F.col(label_col) != F.col(query_label_col)
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    scored = scored.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        distance(vector_col, F.col(query_vec_col), metric).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").asc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def mine_positives(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    k: int = 1,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per anchor: the k nearest SAME-label items excluding the anchor
+    itself — in-batch positives for contrastive pairs. Same plan shape
+    as :func:`mine_hard_negatives` with the label filter flipped."""
+    from ydb_vector_search_demo_spark.functions.vector import distance
+    from ydb_vector_search_demo_spark.sources.tables import fan_out
+
+    corpus = fan_out(embeddings)
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .filter(F.col(label_col) == F.col(query_label_col))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            distance(vector_col, F.col(query_vec_col), metric).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").asc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def build_triplets(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    n_negatives: int = 3,
+    metric: str = "cosine",
+    **kwargs,
+) -> DataFrame:
+    """(anchor, positive, negative) rows: the rank-1 same-label
+    neighbour as positive × the ``n_negatives`` nearest other-label
+    items — the standard triplet-loss batch, built from two broadcast
+    corpus scans and one tiny per-anchor join. Output: (query_id,
+    pos_id, pos_score, neg_id, neg_score, neg_rank), margin-ready
+    (neg_score − pos_score is the triplet margin in distance space)."""
+    query_id_col = kwargs.get("query_id_col", "query_id")
+    pos = mine_positives(
+        embeddings, anchors, k=1, metric=metric, **kwargs
+    ).select(
+        query_id_col,
+        F.col("vec_id").alias("pos_id"),
+        F.col("score").alias("pos_score"),
+    )
+    neg = mine_hard_negatives(
+        embeddings, anchors, k=n_negatives, metric=metric, **kwargs
+    ).select(
+        query_id_col,
+        F.col("vec_id").alias("neg_id"),
+        F.col("score").alias("neg_score"),
+        F.col("rank").alias("neg_rank"),
+    )
+    return pos.join(neg, on=query_id_col, how="inner")

@@ -3519,6 +3519,61 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANCHOR_IDS = (0, 1, 2)
+
+
+@register(
+    "contrastive_triplets",
+    f"""
+    WITH a AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                      label AS ql
+               FROM embeddings
+               WHERE vec_id IN ({", ".join(map(str, _ANCHOR_IDS))})),
+    sc AS (SELECT a.query_id, e.vec_id, e.label, a.ql,
+                  1.0 - list_cosine_similarity(e.embedding::DOUBLE[], a.qv)
+                    AS raw
+           FROM embeddings e CROSS JOIN a
+           WHERE e.vec_id != a.query_id),
+    posr AS (SELECT query_id, vec_id, raw,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY raw, vec_id) AS rk
+             FROM sc WHERE label = ql),
+    negr AS (SELECT query_id, vec_id, raw,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY raw, vec_id) AS rk
+             FROM sc WHERE label != ql)
+    SELECT p.query_id, p.vec_id AS pos_id, round(p.raw, 6) AS pos_score,
+           n.vec_id AS neg_id, round(n.raw, 6) AS neg_score,
+           n.rk::INTEGER AS neg_rank
+    FROM posr p JOIN negr n USING (query_id)
+    WHERE p.rk = 1 AND n.rk <= 3
+    ORDER BY query_id, neg_rank
+    """,
+)
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet construction
+    (operators.curation.build_triplets): per anchor the rank-1
+    same-label neighbour (positive) × the 3 nearest other-label items
+    (hard negatives) — the batch an embedding-model fine-tune consumes.
+    Anchors ride a broadcast; the label filters apply BEFORE the
+    per-anchor Partial-WindowGroupLimit cut, so the scored product
+    never shuffles in full. Fully oracle-checked."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    embs = _t(spark, sf_dir, "embeddings")
+    anchors = embs.filter(F.col("vec_id").isin(*_ANCHOR_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = curation.build_triplets(embs, anchors, n_negatives=3)
+    return out.select(
+        "query_id", "pos_id", F.round("pos_score", 6).alias("pos_score"),
+        "neg_id", F.round("neg_score", 6).alias("neg_score"),
+        F.col("neg_rank").cast("int").alias("neg_rank"),
+    ).orderBy("query_id", "neg_rank")
+
+
 @register(
     "quality_gate_stats",
     f"""
