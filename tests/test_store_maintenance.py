@@ -6,6 +6,7 @@ for concurrent readers."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
@@ -175,3 +176,72 @@ def test_rebalance_publish_end_to_end(spark, tmp_path):
     assert total > n0
     new_index.assigned.unpersist()
     index.assigned.unpersist()
+
+
+def test_snapshot_read_and_rollback(spark, tmp_path):
+    """Time-travel surface (r5): read_store_at pins an exact published
+    version; rollback_store publishes FORWARD to an old path (history
+    append-only)."""
+    root = str(tmp_path / "tt_root")
+    v1 = str(tmp_path / "tt_v1")
+    v2 = str(tmp_path / "tt_v2")
+    spark.range(10).write.parquet(v1)
+    spark.range(20).write.parquet(v2)
+    stores.publish_store(spark, root, v1)
+    stores.publish_store(spark, root, v2)
+
+    assert stores.read_store_at(spark, root, 1).count() == 10
+    assert stores.read_store_at(spark, root, 2).count() == 20
+    with pytest.raises(ValueError, match="no manifest 7"):
+        stores.store_path_at(spark, root, 7)
+
+    new_seq = stores.rollback_store(spark, root, 1)
+    assert new_seq == 3
+    assert stores.current_store_path(spark, root) == v1
+    # forensics intact: the rolled-back-over version is still readable
+    assert stores.read_store_at(spark, root, 2).count() == 20
+
+
+def test_vacuum_drops_unreferenced_keeps_referenced_and_external(spark, tmp_path):
+    """vacuum_store deletes only data dirs under the root that no
+    retained manifest references; a path kept live by a later rollback
+    survives, and external dirs are never deleted."""
+    import os
+
+    root = str(tmp_path / "vac_root")
+    os.makedirs(root, exist_ok=True)
+    in1 = os.path.join(root, "v1")
+    in2 = os.path.join(root, "v2")
+    in3 = os.path.join(root, "v3")
+    ext = str(tmp_path / "external_v")
+    spark.range(5).write.parquet(in1)
+    spark.range(6).write.parquet(in2)
+    spark.range(7).write.parquet(in3)
+    spark.range(8).write.parquet(ext)
+
+    stores.publish_store(spark, root, in1)   # seq 1
+    stores.publish_store(spark, root, ext)   # seq 2 (external)
+    stores.publish_store(spark, root, in2)   # seq 3
+    stores.rollback_store(spark, root, 1)    # seq 4 -> in1 again
+    stores.publish_store(spark, root, in3)   # seq 5
+
+    out = stores.vacuum_store(spark, root, keep_last=2)  # keep seq 4, 5
+    # in1 is referenced by retained seq 4 → kept; ext external → kept;
+    # in2 unreferenced and under root → removed
+    assert out["removed"] == [in2]
+    assert in1 in out["kept"] and ext in out["kept"]
+    assert not os.path.exists(in2)
+    assert os.path.exists(in1) and os.path.exists(ext)
+    # history now starts at seq 4
+    assert [s for s, _ in stores.store_history(spark, root)] == [4, 5]
+    assert stores.read_store_at(spark, root, 4).count() == 5
+    with pytest.raises(ValueError):
+        stores.read_store_at(spark, root, 2)
+    # current store untouched throughout
+    assert stores.read_current_store(spark, root).count() == 7
+
+
+def test_vacuum_keep_last_validation(spark, tmp_path):
+    root = str(tmp_path / "vac_val")
+    with pytest.raises(ValueError, match="keep_last"):
+        stores.vacuum_store(spark, root, keep_last=0)

@@ -140,3 +140,67 @@ def store_history(spark: SparkSession, root: str) -> list[tuple[int, str]]:
         manifest = jvm.org.apache.hadoop.fs.Path(root, _manifest_name(seq))
         out.append((seq, json.loads(_read_file(jvm, fs, manifest))["path"]))
     return out
+
+
+def store_path_at(spark: SparkSession, root: str, seq: int) -> str:
+    """Resolve the data directory a specific published sequence number
+    points at — the snapshot-read surface (Iceberg-style time travel,
+    simplified to sequence numbers)."""
+    jvm, root_hpath, fs = _fs(spark, root)
+    if seq not in _list_manifest_seqs(jvm, fs, root_hpath):
+        raise ValueError(
+            f"no manifest {seq} under {root!r} (vacuumed or never published)"
+        )
+    manifest = jvm.org.apache.hadoop.fs.Path(root, _manifest_name(seq))
+    return json.loads(_read_file(jvm, fs, manifest))["path"]
+
+
+def read_store_at(spark: SparkSession, root: str, seq: int) -> DataFrame:
+    """Read the store as of a specific published version: reproducible
+    pipeline re-runs against the exact snapshot an earlier job saw,
+    as long as that version has not been vacuumed."""
+    return spark.read.parquet(store_path_at(spark, root, seq))
+
+
+def rollback_store(spark: SparkSession, root: str, to_seq: int) -> int:
+    """Roll back by PUBLISHING FORWARD: a new manifest pointing at the
+    old version's data directory. History is append-only — the bad
+    version's manifest stays for forensics, concurrent readers switch
+    with the same old-or-new guarantee as any publish. Returns the new
+    sequence number."""
+    return publish_store(spark, root, store_path_at(spark, root, to_seq))
+
+
+def vacuum_store(
+    spark: SparkSession, root: str, keep_last: int = 2
+) -> dict[str, list[str]]:
+    """Drop all but the last ``keep_last`` manifests and delete data
+    directories no retained manifest references (a path republished by
+    a rollback stays live however old its first manifest is). Only
+    directories UNDER ``root`` are ever deleted — externally-located
+    version paths are reported but left alone. Returns
+    ``{"removed": [...], "kept": [...]}`` of data paths."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the current version stays)")
+    jvm, root_hpath, fs = _fs(spark, root)
+    seqs = _list_manifest_seqs(jvm, fs, root_hpath)
+    history = dict(store_history(spark, root))
+    drop_seqs = seqs[:-keep_last]
+    keep_paths = {history[s] for s in seqs[-keep_last:]}
+    root_prefix = root.rstrip("/") + "/"
+    removed, kept = [], []
+    for path in sorted({history[s] for s in drop_seqs}):
+        if path in keep_paths:
+            kept.append(path)
+            continue
+        if not path.startswith(root_prefix):
+            kept.append(path)  # external dir: report, never delete
+            continue
+        fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+        removed.append(path)
+    # manifests go last: if vacuum dies mid-delete, stale manifests may
+    # reference removed dirs, but the CURRENT version (highest seq) is
+    # always in keep_paths and intact
+    for s in drop_seqs:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(root, _manifest_name(s)), False)
+    return {"removed": removed, "kept": sorted(kept)}
