@@ -59,6 +59,13 @@ HEADLINE = [
     "hybrid_rrf_top5",
     "ann_batch_recall",
     "dedup_semantic_stats",
+    # r5 mid-round additions (outside the comparable subsets): batched
+    # hybrid retrieval (one corpus pass per system for a query batch),
+    # Matryoshka prefix coarse search + exact rescore, contrastive
+    # triplet mining (label-aware per-anchor top-k)
+    "hybrid_batch_rrf",
+    "mrl_rescore_topk",
+    "contrastive_triplets",
 ]
 
 

@@ -3887,15 +3887,28 @@ _GRADE_FIRST = [
     "pivot_status_counts",
     "datetime_order_stats",
     "semi_anti_customers",
-    "order_priority_count",
+    # r5 mid-round rotation: order_priority_count out (its pushed-date-
+    # filter + distinct-agg surface is graded through tpch_q3_shipping's
+    # pushed filters and datetime_order_stats' aggregates; stays
+    # oracle-checked in pytest) — in its place the batched hybrid
+    # retrieval query, a new surface (one corpus pass per system for a
+    # whole query batch).
+    "hybrid_batch_rrf",
     "window_function_suite",
     "segment_acctbal_stats",
     "part_like_filter",
-    # events: windows, JSON, sessions, asof, bands, percentiles
-    "events_hourly",
+    # events: windows, JSON, sessions, asof, bands, percentiles.
+    # r5 mid-round rotation: events_hourly out (identical aggregation
+    # to the graded streaming_hourly_counts row, which is checked
+    # against the SAME batch SQL oracle — a duplicate slot) and
+    # events_sessions out (manual lag-gap sessionization; the native
+    # session_window row and the graded streaming-session row cover the
+    # surface) — both stay oracle-checked in pytest. In their place:
+    # Matryoshka prefix-rescore search and contrastive triplet mining.
+    "mrl_rescore_topk",
     "events_json_stats",
     "events_props_map",
-    "events_sessions",
+    "contrastive_triplets",
     "events_asof_purchase_click",
     "events_session_window",
     "events_value_bands",
