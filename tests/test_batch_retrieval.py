@@ -161,3 +161,44 @@ def test_hybrid_batch_plan_no_python_eval(docs, embs, qdf):
     plan = R.hybrid_rrf_batch_topk(docs, embs, qdf, k=5, pool=20)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_rerank_batch_equals_single_query_loop(docs, embs, qdf, qvs):
+    """Batched second stage == per-query rerank loop, per query."""
+    pool = R.hybrid_rrf_batch_topk(docs, embs, qdf, k=20, pool=20)
+    with_text = pool.join(docs.select("doc_id", "text"), on="doc_id")
+    batch = R.rerank_batch(with_text, qdf, k=5)
+    got = {
+        qid: [
+            (r["doc_id"], round(r["rerank_score"], 9), r["rerank_rank"])
+            for r in sorted(rows, key=lambda r: r["rerank_rank"])
+        ]
+        for qid, rows in _group(batch.collect(), "query_id").items()
+    }
+    for qid, (q, v) in enumerate(zip(QUERIES, qvs)):
+        single_pool = R.hybrid_rrf_topk(docs, embs, q, v, k=20, pool=20).join(
+            docs.select("doc_id", "text"), on="doc_id"
+        )
+        single = R.rerank(single_pool, q, k=5).collect()
+        want = [
+            (r["doc_id"], round(r["rerank_score"], 9), i + 1)
+            for i, r in enumerate(single)
+        ]
+        assert got[qid] == want, f"query {qid} diverges from rerank loop"
+
+
+def test_rerank_batch_python_only_on_pool(docs, embs, qdf):
+    """The Arrow UDF must sit ABOVE the pooled join, not on the corpus
+    scan: its input row count is bounded by Q x pool."""
+    pool = R.hybrid_rrf_batch_topk(docs, embs, qdf, k=20, pool=20)
+    with_text = pool.join(docs.select("doc_id", "text"), on="doc_id")
+    out = R.rerank_batch(with_text, qdf, k=5)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    assert all(len(v) == 5 for v in _group(rows, "query_id").values())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE prints Final + Initial sections; count the final plan only:
+    # exactly one Arrow eval node (the rerank seam), zero row-at-a-time
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan

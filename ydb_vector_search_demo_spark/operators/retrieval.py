@@ -597,3 +597,59 @@ def hybrid_rrf_batch_topk(
         fused.withColumn("rank", F.row_number().over(w_f))
         .filter(F.col("rank") <= k)
     )
+
+
+def rerank_pair_udf(rerank_fn=cross_encoder_stub):
+    """Two-column Arrow-batched pandas UDF for BATCHED reranking: the
+    query text travels as a column (one value per pooled row), so one
+    UDF evaluation serves every query in the batch. Same model-seam
+    contract as rerank_udf — Python runs only over the fused pools
+    (Q × pool rows), never the corpus."""
+    from pyspark.sql.types import DoubleType
+
+    from ydb_vector_search_demo_spark.shipping import ensure_package_on_workers
+
+    ensure_package_on_workers()
+
+    @F.pandas_udf(DoubleType())
+    def _rr(queries: pd.Series, texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [rerank_fn(q or "", t or "") for q, t in zip(queries, texts)]
+        )
+
+    return _rr
+
+
+def rerank_batch(
+    pool: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    rerank_fn=cross_encoder_stub,
+) -> DataFrame:
+    """Per-query second-stage rerank over a batched first-stage pool
+    (e.g. the output of :func:`hybrid_rrf_batch_topk` joined with
+    document text): broadcast the (query_id, query_text) batch onto the
+    pool, score every (query, passage) pair in one Arrow-batched UDF
+    pass, cut per query with the WindowGroupLimit shape. Per query the
+    surviving rows equal the single-query :func:`rerank` loop
+    (equality-tested). Output adds (rerank_score, rerank_rank)."""
+    with_q = pool.join(
+        F.broadcast(queries.select(query_id_col, query_text_col)),
+        on=query_id_col,
+    )
+    scored = with_q.withColumn(
+        "rerank_score",
+        rerank_pair_udf(rerank_fn)(F.col(query_text_col), F.col(text_col)),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("rerank_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rerank_rank", F.row_number().over(w))
+        .filter(F.col("rerank_rank") <= k)
+        .drop(query_text_col)
+    )

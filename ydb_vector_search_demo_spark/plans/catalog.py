@@ -2324,6 +2324,32 @@ def q_retrieval_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("retrieval_reranked_batch")
+def q_retrieval_reranked_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batched retrieve→rerank stack end to end: batched hybrid
+    first stage (one corpus pass per system for the whole query batch)
+    → text join for the Q×20 survivors → one Arrow-batched
+    cross-encoder pass scoring every (query, passage) pair → per-query
+    top-5 via WindowGroupLimit. The expensive model scores Q×20 rows,
+    never the corpus. Rows-only (the reranker is the Python boundary);
+    per-query equality with the single-query rerank loop is pinned in
+    tests/test_batch_retrieval.py."""
+    docs = _t(spark, sf_dir, "documents")
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        [(i, q, v) for i, (q, v) in enumerate(zip(BATCH_QUERIES, BATCH_QVS))],
+        "query_id long, query_text string, query_vec array<double>",
+    )
+    pool = R.hybrid_rrf_batch_topk(docs, embs, queries, k=20, pool=20)
+    with_text = pool.join(docs.select("doc_id", "text"), on="doc_id")
+    out = R.rerank_batch(with_text, queries, k=5)
+    return out.select(
+        "query_id", "doc_id", "rrf",
+        F.round("rerank_score", 6).alias("rerank_score"),
+        F.col("rerank_rank").cast("int").alias("rerank_rank"),
+    ).orderBy("query_id", "rerank_rank")
+
+
 def _hybrid_batch_branch_sql(qid: int, query: str, qv: list[float]) -> str:
     """One query's hybrid top-5 as a self-contained subquery (DuckDB
     scopes the WITH per branch) — the oracle twin of one query_id slice
