@@ -110,3 +110,49 @@ def test_catalog_stats_row(spark):
     assert r.n_vectors == n
     assert 0 <= r.n_dropped < n
     assert r.max_cluster_size >= 1
+
+
+def test_bucketed_components_equal_star_method(spark, sf_smoke):
+    """The one-shuffle bucket-wise union-find must produce the exact
+    decision table the global large-star/small-star method does on the
+    cell-local SemDeDup graph."""
+    from ydb_vector_search_demo_spark.operators import ann, curation, dedup
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+
+    embs = load_table(spark, sf_smoke, "embeddings")
+    index = ann.build_ivf_index(embs, k_clusters=8)
+    try:
+        eps = 0.8  # loose threshold → non-trivial clusters on testdata
+        bucketed_pairs = dedup.semantic_near_dup_pairs_bucketed(
+            embs, index.centroids, eps=eps
+        )
+        flat_pairs = dedup.semantic_near_dup_pairs(embs, index.centroids, eps=eps)
+        fast = curation.dedup_clusters_bucketed(
+            embs.select("vec_id"), bucketed_pairs, id_col="vec_id"
+        )
+        star = curation.dedup_clusters(
+            embs.select("vec_id"), flat_pairs, id_col="vec_id"
+        )
+        f = sorted(tuple(r) for r in fast.collect())
+        s = sorted(tuple(r) for r in star.collect())
+        assert f == s
+        # sanity: threshold actually formed clusters
+        assert any(r[2] > 1 for r in f)
+    finally:
+        index.assigned.unpersist()
+
+
+def test_bucketed_components_chain_within_bucket(spark):
+    """Transitive chains inside a bucket collapse to the min id even
+    when the endpoints are not directly paired."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    pairs = spark.createDataFrame(
+        [(0, 5, 6), (0, 6, 7), (0, 7, 8), (1, 20, 30)],
+        "centroid_id INT, a LONG, b LONG",
+    )
+    comp = {
+        r["node"]: r["cluster_id"]
+        for r in curation.bucketed_components(pairs).collect()
+    }
+    assert comp == {5: 5, 6: 5, 7: 5, 8: 5, 20: 20, 30: 20}

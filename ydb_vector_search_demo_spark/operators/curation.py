@@ -149,13 +149,19 @@ def semantic_dedup(
     actually want, since any chain member re-enters the corpus
     otherwise."""
     from ydb_vector_search_demo_spark.operators.dedup import (
-        semantic_near_dup_pairs,
+        semantic_near_dup_pairs_bucketed,
     )
 
-    pairs = semantic_near_dup_pairs(
+    # pairs are cell-local by construction → components resolve with
+    # ONE shuffle (bucket-wise union-find) instead of the global star
+    # method's O(log n) iterative rounds; output contract identical
+    # (equality with the star path pinned in tests).
+    pairs = semantic_near_dup_pairs_bucketed(
         embeddings, centroids, eps=eps, id_col=id_col, vector_col=vector_col
     )
-    return dedup_clusters(embeddings.select(id_col), pairs, id_col=id_col)
+    return dedup_clusters_bucketed(
+        embeddings.select(id_col), pairs, id_col=id_col
+    )
 
 
 def quality_gate(
@@ -565,3 +571,91 @@ def build_triplets(
         F.col("rank").alias("neg_rank"),
     )
     return pos.join(neg, on=query_id_col, how="inner")
+
+
+def bucketed_components(
+    pairs: DataFrame,
+    bucket_col: str = "centroid_id",
+    src_col: str = "a",
+    dst_col: str = "b",
+) -> DataFrame:
+    """Connected components for a pair graph whose edges NEVER span
+    buckets (e.g. SemDeDup pairs, which exist only within an IVF cell
+    by construction): group the edges by bucket and resolve each
+    bucket's components with a local union-find in ONE Arrow-batched
+    pass — one shuffle total, versus the O(log n) rounds × two keyed
+    shuffles each of the global star method. Buckets are bounded (cells
+    hold thousands of rows by index design), so per-group state is
+    small. Output: (node, cluster_id = min node id in component) for
+    every node that appears in a pair; singletons are absent (callers
+    coalesce to the node's own id).
+
+    This is a partition-wise specialization, not a replacement:
+    a graph whose edges can cross buckets needs
+    :func:`connected_components_star`. Equality with the star method on
+    bucket-local graphs is pinned in tests/test_semantic_dedup.py."""
+    import pandas as pd
+
+    node_type = pairs.schema[src_col].dataType.simpleString()
+
+    def _find(parent: dict, x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    def _union_find(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+        for a, b in zip(pdf[src_col], pdf[dst_col]):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = _find(parent, a), _find(parent, b)
+            if ra != rb:
+                # union by min id so the root IS the canonical keeper
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        return pd.DataFrame(
+            {
+                "node": list(parent),
+                "cluster_id": [_find(parent, n) for n in parent],
+            }
+        )
+
+    return (
+        pairs.select(bucket_col, src_col, dst_col)
+        .groupBy(bucket_col)
+        .applyInPandas(_union_find, f"node {node_type}, cluster_id {node_type}")
+    )
+
+
+def dedup_clusters_bucketed(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    bucket_col: str = "centroid_id",
+    src_col: str = "a",
+    dst_col: str = "b",
+) -> DataFrame:
+    """:func:`dedup_clusters` for bucket-local pair graphs: same output
+    contract — (id, cluster_id, cluster_size, is_canonical) for EVERY
+    document, min-id keeper — with components from the one-shuffle
+    :func:`bucketed_components` instead of the iterative star method."""
+    comp = bucketed_components(
+        pairs, bucket_col=bucket_col, src_col=src_col, dst_col=dst_col
+    )
+    full = documents.select(F.col(id_col)).join(
+        comp, F.col(id_col) == F.col("node"), "left"
+    ).select(
+        id_col,
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+    )
+    sizes = full.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return full.join(F.broadcast(sizes), "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+    )

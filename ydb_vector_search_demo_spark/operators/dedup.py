@@ -576,6 +576,36 @@ def semantic_near_dup_pairs(
     k_clusters for smaller cells, lower it for fewer boundary misses.
     Zero-norm embeddings yield NULL similarity (``try_divide``) and drop
     at the threshold filter instead of raising under ANSI mode."""
+    return _semantic_pairs_impl(
+        embeddings, centroids, eps, id_col, vector_col, keep_bucket=False
+    )
+
+
+def semantic_near_dup_pairs_bucketed(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    eps: float = 0.05,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """:func:`semantic_near_dup_pairs` with the ``centroid_id`` bucket
+    column retained — the input shape
+    :func:`curation.bucketed_components` needs to resolve components
+    with ONE shuffle (pairs never span cells, so the bucket is a valid
+    partitioning of the component graph)."""
+    return _semantic_pairs_impl(
+        embeddings, centroids, eps, id_col, vector_col, keep_bucket=True
+    )
+
+
+def _semantic_pairs_impl(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    eps: float,
+    id_col: str,
+    vector_col: str,
+    keep_bucket: bool,
+) -> DataFrame:
     from ydb_vector_search_demo_spark.functions.vector import dot, l2_norm
     from ydb_vector_search_demo_spark.operators.ann import ivf_assign
 
@@ -596,15 +626,18 @@ def semantic_near_dup_pairs(
         "centroid_id", F.col("sid").alias("b"),
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
-    return (
+    out = (
         a.join(b, on="centroid_id")
         .filter(F.col("a") < F.col("b"))
         .withColumn(
             "cos_sim", F.try_divide(dot("va", "vb"), F.col("na") * F.col("nb"))
         )
         .filter(F.col("cos_sim") >= 1.0 - float(eps))
-        .select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+    cols = ["a", "b", F.round("cos_sim", 6).alias("cos_sim")]
+    if keep_bucket:
+        cols = ["centroid_id", *cols]
+    return out.select(*cols)
 
 
 def block_cosine_pairs(
