@@ -1,0 +1,85 @@
+"""Gap-fill semantics (operators.timeseries) on constructed series —
+fabricated rows, zero-fill vs LOCF vs leave-NULL, per-key spine bounds.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from ydb_vector_search_demo_spark.operators import timeseries as TS
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rows = [
+        # key "a": hours 0, 3 observed -> 1, 2 fabricated
+        ("a", datetime(2024, 1, 1, 0, 30), 10.0),
+        ("a", datetime(2024, 1, 1, 3, 10), 40.0),
+        ("a", datetime(2024, 1, 1, 3, 50), 60.0),
+        # key "b": single hour -> no fabrication
+        ("b", datetime(2024, 1, 2, 7, 5), 5.0),
+    ]
+    return spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+
+def _run(series, **kw):
+    out = TS.bucketed_agg_gapfill(
+        series,
+        keys=["k"],
+        ts_col="ts",
+        bucket="1 hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("v"), 6).alias("avg_v"),
+        ],
+        **kw,
+    )
+    return sorted(
+        ((r["k"], r["bucket"].hour, r["n"], r["avg_v"]) for r in out.collect())
+    )
+
+
+def test_gapfill_zero_and_locf(series):
+    got = _run(series, fill_zero=["n"], fill_locf=["avg_v"])
+    assert got == [
+        ("a", 0, 1, 10.0),
+        ("a", 1, 0, 10.0),   # fabricated: n=0, avg carried forward
+        ("a", 2, 0, 10.0),
+        ("a", 3, 2, 50.0),
+        ("b", 7, 1, 5.0),    # single-bucket key: nothing fabricated
+    ]
+
+
+def test_gapfill_default_leaves_null(series):
+    got = _run(series)
+    fabricated = [g for g in got if g[0] == "a" and g[1] in (1, 2)]
+    assert all(n is None and a is None for _, _, n, a in fabricated)
+
+
+def test_spine_is_per_key_not_global(series):
+    """Key 'b' must NOT get rows for key 'a''s hours (no global
+    calendar cross join)."""
+    got = _run(series, fill_zero=["n"])
+    assert [g for g in got if g[0] == "b"] == [("b", 7, 1, 5.0)]
+
+
+def test_leading_gap_stays_null_under_locf(spark):
+    """LOCF has nothing to carry before the first observation of a
+    column that starts NULL (an aggregated NULL, e.g. avg of no rows
+    can't happen post-agg, so emulate with a NULL-valued bucket)."""
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 15), None),
+        ("a", datetime(2024, 1, 1, 2, 15), 7.0),
+    ]
+    series = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = TS.bucketed_agg_gapfill(
+        series, keys=["k"], ts_col="ts", bucket="1 hour",
+        aggs=[F.avg("v").alias("avg_v")], fill_locf=["avg_v"],
+    ).collect()
+    by_hour = {r["bucket"].hour: r["avg_v"] for r in out}
+    assert by_hour[0] is None          # leading NULL: nothing to carry
+    assert by_hour[1] is None          # fabricated before first value
+    assert by_hour[2] == 7.0

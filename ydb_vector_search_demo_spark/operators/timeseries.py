@@ -1,0 +1,116 @@
+"""Time-series gap-fill: a dense per-key time spine over sparse bucketed
+aggregates, with configurable fill (none / zero / LOCF forward-fill) —
+the hypertable-rollup companion operator (TimescaleDB's
+``time_bucket_gapfill`` + ``locf``, InfluxDB's ``fill(previous)``)
+re-expressed as DataFrame primitives. Spark has no native gap-fill;
+dashboards and feature pipelines need dense series (a missing hour must
+read as 0 events / carried-forward metric, not as an absent row).
+
+Scale shape: the spine is generated per key from that key's own
+[min, max] bucket range — one ``sequence()`` + ``explode`` per key, no
+driver-side range materialization and no cross join against a global
+calendar (a global spine × keys would fabricate |keys| × |buckets| rows
+even for keys alive one hour). The left join back to the aggregates is
+keyed on (key, bucket) — same shuffle key as the aggregation itself —
+and the LOCF pass is one window per key ordered by bucket (
+``last_value(ignorenulls=True)``, rows unbounded-preceding → current).
+Everything is JVM Column expressions; fully DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_BUCKET_SECONDS = {
+    "1 hour": 3600,
+    "1 day": 86400,
+    "1 minute": 60,
+}
+
+
+def time_bucket(ts_col: Column | str, bucket: str = "1 hour") -> Column:
+    """Truncate a timestamp to its bucket start (epoch-aligned)."""
+    secs = _BUCKET_SECONDS[bucket]
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return F.timestamp_seconds(
+        (F.unix_timestamp(c) / secs).cast("bigint") * secs
+    )
+
+
+def gapfill(
+    aggregated: DataFrame,
+    keys: Sequence[str],
+    bucket_col: str = "bucket",
+    bucket: str = "1 hour",
+    fill_zero: Sequence[str] = (),
+    fill_locf: Sequence[str] = (),
+) -> DataFrame:
+    """Densify a bucketed aggregate: emit one row per key per bucket in
+    that key's [min, max] observed range. ``fill_zero`` columns read 0
+    in fabricated rows (counts/sums); ``fill_locf`` columns carry the
+    last observed value forward (gauges/metrics; leading gaps stay
+    NULL); all other non-key columns stay NULL in fabricated rows.
+
+    Input must already be aggregated to one row per (keys, bucket) —
+    this operator fabricates rows, it never re-aggregates."""
+    secs = _BUCKET_SECONDS[bucket]
+    spine = (
+        aggregated.groupBy(*keys)
+        .agg(
+            F.min(bucket_col).alias("_lo"),
+            F.max(bucket_col).alias("_hi"),
+        )
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(
+                    "_lo", "_hi", F.expr(f"INTERVAL {secs} SECONDS")
+                )
+            ).alias(bucket_col),
+        )
+    )
+    joined = spine.join(aggregated, on=[*keys, bucket_col], how="left")
+    out_cols: list[Column] = [F.col(c) for c in keys] + [F.col(bucket_col)]
+    locf_w = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in aggregated.columns:
+        if c in keys or c == bucket_col:
+            continue
+        if c in fill_zero:
+            out_cols.append(F.coalesce(F.col(c), F.lit(0)).alias(c))
+        elif c in fill_locf:
+            out_cols.append(
+                F.last(F.col(c), ignorenulls=True).over(locf_w).alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)
+
+
+def bucketed_agg_gapfill(
+    events: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    bucket: str = "1 hour",
+    aggs: Sequence[Column] = (),
+    fill_zero: Sequence[str] = (),
+    fill_locf: Sequence[str] = (),
+) -> DataFrame:
+    """Bucketed aggregation + gap-fill in one call: groupBy (keys,
+    time_bucket) with the caller's aggregate expressions, then densify.
+    The bucket truncation happens BEFORE the shuffle, so the exchange
+    is keyed exactly (keys, bucket) and the spine join reuses that
+    partitioning."""
+    agged = events.groupBy(
+        *keys, time_bucket(ts_col, bucket).alias("bucket")
+    ).agg(*aggs)
+    return gapfill(
+        agged, keys, bucket_col="bucket", bucket=bucket,
+        fill_zero=fill_zero, fill_locf=fill_locf,
+    )

@@ -1814,6 +1814,99 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.hourly_counts(_t(spark, sf_dir, "events"))
 
 
+@register(
+    "events_gapfill_hourly",
+    """
+    WITH agg AS (
+      SELECT event_type,
+             to_timestamp((floor(epoch(ts))::BIGINT // 3600) * 3600) AS bucket,
+             count(*) AS n_events,
+             round(avg(value), 6) AS avg_value
+      FROM events GROUP BY 1, 2),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(min(bucket), max(bucket),
+                                    INTERVAL 3600 SECOND)) AS bucket
+      FROM agg GROUP BY event_type),
+    j AS (
+      SELECT s.event_type, s.bucket,
+             coalesce(a.n_events, 0) AS n_events, a.avg_value
+      FROM spine s LEFT JOIN agg a USING (event_type, bucket))
+    SELECT event_type, bucket::TIMESTAMP AS bucket, n_events,
+           last_value(avg_value IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS avg_value
+    FROM j ORDER BY event_type, bucket
+    """,
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap-fill (operators.timeseries, the TimescaleDB
+    time_bucket_gapfill + locf shape Spark lacks natively): hourly
+    per-event-type aggregates densified over each key's own [min, max]
+    bucket range — fabricated hours read n_events = 0 and carry the
+    last observed avg_value forward. Spine generation is a per-key
+    sequence/explode (never a global-calendar cross join); the spine
+    join reuses the aggregation's own (key, bucket) shuffle key.
+    Fully oracle-checked."""
+    from ydb_vector_search_demo_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    out = TS.bucketed_agg_gapfill(
+        ev,
+        keys=["event_type"],
+        ts_col="ts",
+        bucket="1 hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        ],
+        fill_zero=["n_events"],
+        fill_locf=["avg_value"],
+    )
+    return out.orderBy("event_type", "bucket")
+
+
+@register(
+    "orders_range_frame_7d",
+    """
+    SELECT o_orderkey, o_custkey,
+           count(*) OVER w AS n_week,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+                AS BIGINT) AS week_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)::BIGINT
+                 RANGE BETWEEN 604800 PRECEDING AND 604800 FOLLOWING)
+    ORDER BY o_orderkey
+    """,
+)
+def q_orders_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (the value-based frame the window suite's
+    ROWS frames don't cover): per order, the customer's order count and
+    exact-cents revenue within ±7 calendar days — a rolling-window
+    feature computed without a self-join, frame bounds in epoch seconds
+    so both engines use identical numeric range semantics. Fully
+    oracle-checked."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, 604800)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.count(F.lit(1)).over(w).alias("n_week"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .over(w)
+            .cast("bigint")
+            .alias("week_cents"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 @register("events_rollup_serve", ORACLES["events_hourly"])
 def q_events_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate serving (hypertable-rollup pattern): closed
