@@ -98,3 +98,49 @@ def test_predicate_filters_inside_coarse(embs):
         knn_scores(filtered, QV, k=5)
     )
     assert set(got_ids) <= {r["vec_id"] for r in filtered.select("vec_id").collect()}
+
+
+def test_mrl_quantized_store_composes(embs, tmp_path):
+    """int8-quantized prefix store: coarse bytes = d'/d x 1/4 of float
+    full-width; full-width dims + rescore covering the corpus recovers
+    exact KNN (the coarse->rescore guarantee survives both losses)."""
+    spark = embs.sparkSession
+    path = str(tmp_path / "mrl_q16")
+    quant.write_mrl_quantized_store(embs, path, dims=16)
+    store = spark.read.parquet(path)
+    row = store.first()
+    assert len(row["qprefix"]) == 16
+    assert store.schema["qprefix"].dataType.simpleString() == "array<tinyint>"
+
+    out = quant.mrl_quantized_search_parquet(
+        spark, path, embs, QV, dims=16, k=5, rescore=4
+    ).collect()
+    assert len(out) == 5
+    # exactness at the degenerate point: rescore pool = whole corpus
+    n = embs.count()
+    full = quant.mrl_quantized_search_parquet(
+        spark, path, embs, QV, dims=16, k=5, rescore=(n // 5) + 1
+    ).collect()
+    exact = knn_scores(embs, QV, k=5).collect()
+    assert [(r["vec_id"], round(r["score"], 9)) for r in full] == [
+        (r["vec_id"], round(r["score"], 9)) for r in exact
+    ]
+
+
+def test_mrl_quantized_bytes_are_smaller(embs, tmp_path):
+    """The composed store must be materially smaller on disk than the
+    float store (the whole point of the lever)."""
+    import os
+
+    fl = str(tmp_path / "float_store")
+    qp = str(tmp_path / "mrl_q_store")
+    embs.select("vec_id", "embedding").write.parquet(fl)
+    quant.write_mrl_quantized_store(embs, qp, dims=16)
+
+    def du(p):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+        )
+
+    assert du(qp) * 3 < du(fl), (du(qp), du(fl))

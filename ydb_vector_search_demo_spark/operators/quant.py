@@ -711,3 +711,72 @@ def mrl_recall(
         "dims INT, k INT, rescore INT, recall_coarse DOUBLE, "
         "recall_rescored DOUBLE",
     )
+
+
+def write_mrl_quantized_store(
+    embeddings: DataFrame,
+    path: str,
+    dims: int = 16,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    keep_cols: Sequence[str] = (),
+) -> None:
+    """The two byte levers COMPOSED: int8-quantize the ``dims``-prefix —
+    the persisted coarse store holds d'/d × 1/4 of the float bytes
+    (16 of 64 dims → 16×). The coarse scan stays a pure Column scan;
+    the full-width float store still serves the exact rescore."""
+    pref = embeddings.select(
+        F.col(id_col),
+        mrl_prefix(vector_col, dims).alias("prefix"),
+        *[F.col(c) for c in keep_cols],
+    )
+    scale = int8_scale("prefix")
+    pref.select(
+        F.col(id_col),
+        quantize_expr("prefix", scale).alias("qprefix"),
+        scale.alias("qscale"),
+        *[F.col(c) for c in keep_cols],
+    ).write.mode("overwrite").parquet(path)
+
+
+def mrl_quantized_search_parquet(
+    spark: SparkSession,
+    store_path: str,
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    dims: int = 16,
+    k: int = 5,
+    rescore: int = 4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    predicate=None,
+) -> DataFrame:
+    """Serving path over the int8-quantized prefix store: the ONLY full
+    scan reads ~16× fewer bytes than float full-width (4× dims × 4×
+    precision at the 16-of-64 default); candidates broadcast into the
+    float relation for the exact top-k. Same coarse→rescore guarantee
+    as quantized_search: the final top-k is exact over the candidate
+    pool whatever the coarse loss."""
+    store = spark.read.parquet(store_path)
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    if predicate is not None:
+        store = store.filter(predicate)
+    qv = [float(x) for x in query_vector]
+    coarse = (
+        store.select(
+            F.col(id_col),
+            coarse_distance("qprefix", "qscale", qv[: int(dims)], metric).alias(
+                "mqscore"
+            ),
+        )
+        .orderBy(F.col("mqscore").asc_nulls_last(), F.col(id_col).asc())
+        .limit(int(rescore) * k)
+    )
+    candidates = embeddings.join(
+        F.broadcast(coarse.select(id_col)), on=id_col, how="inner"
+    )
+    return knn_scores(
+        candidates, qv, k=k, metric=metric, id_col=id_col, vector_col=vector_col
+    )
