@@ -46,6 +46,7 @@ def test_rows_only_set_is_intentional():
         "dedup_simhash",
         "events_approx_distinct",
         "ingest_embed_roundtrip",
+        "mrl_recall_report",
         "multimodal_decode_meta",
         "multimodal_embedding",
         "multimodal_frame_sample",
@@ -53,6 +54,7 @@ def test_rows_only_set_is_intentional():
         "multimodal_union_search",
         "rag_chunk_maxp",
         "rag_full_pipeline",
+        "retrieval_reranked_batch",
         "retrieval_reranked_top5",
         "streaming_stateful_user_counts",
         "text_tfidf_top_terms",
