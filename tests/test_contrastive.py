@@ -83,3 +83,30 @@ def test_plan_no_python_and_group_limit(embs, anchors):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_stratified_sample_exact_and_deterministic(spark):
+    """Exactly n per stratum (or the whole stratum when smaller),
+    identical across physical orderings, different across seeds."""
+    from ydb_vector_search_demo_spark.operators import curation
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("lang", "doc_id")
+    out = curation.stratified_sample(docs, ["lang"], 5, seed=42)
+    per = {}
+    for r in out.collect():
+        per.setdefault(r["lang"], []).append((r["sample_rank"], r["doc_id"]))
+    sizes = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, rows in per.items():
+        assert len(rows) == min(5, sizes[lang])
+        assert sorted(r for r, _ in rows) == list(range(1, len(rows) + 1))
+    # physical order independence: repartitioned input -> same selection
+    out2 = curation.stratified_sample(
+        docs.repartition(7, "doc_id"), ["lang"], 5, seed=42
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+    # a different seed draws a different sample
+    out3 = curation.stratified_sample(docs, ["lang"], 5, seed=43)
+    assert sorted(map(tuple, out.collect())) != sorted(map(tuple, out3.collect()))

@@ -659,3 +659,41 @@ def dedup_clusters_bucketed(
         "cluster_size",
         (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n_per_stratum: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    hash_fn=None,
+) -> DataFrame:
+    """EXACT deterministic stratified sampling: at most ``n_per_stratum``
+    rows per stratum, chosen by rank over a seeded content hash — the
+    balanced-subsample step of a training-data pipeline where
+    ``df.sampleBy`` is unusable (approximate counts, no determinism
+    across retries/partitionings).
+
+    Every row gets ``_rk = row_number() over (stratum, order by
+    hash(id, seed), id)`` and survives iff ``_rk <= n``. The hash
+    ordering makes the selection (a) deterministic for a given seed,
+    (b) independent of physical row order, (c) re-drawable — a new seed
+    yields an independent sample. One keyed shuffle (the window), cut
+    by Catalyst's WindowGroupLimit before the exchange.
+
+    Default hash is md5 over ``id:seed`` (engine-portable → the catalog
+    query is fully DuckDB-oracle-checked); pass ``hash_fn`` (e.g. a
+    xxhash64 wrapper) for 8-byte shuffle keys in production, same
+    contract as dedup's hash seams."""
+    h = hash_fn or (
+        lambda c: F.md5(F.concat_ws(":", c.cast("string"), F.lit(str(seed))))
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(
+        h(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(n_per_stratum))
+        .withColumnRenamed("_rk", "sample_rank")
+    )

@@ -3694,6 +3694,36 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample_docs",
+    """
+    WITH r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR || ':42'),
+                                         doc_id) AS sample_rank
+      FROM documents)
+    SELECT lang, doc_id, sample_rank::INTEGER AS sample_rank
+    FROM r WHERE sample_rank <= 20 ORDER BY lang, sample_rank
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deterministic stratified sampling
+    (operators.curation.stratified_sample): at most 20 documents per
+    language, ranked by a seeded md5 content hash — balanced
+    subsampling that is exact (sampleBy is approximate), deterministic
+    across retries/partitionings, and re-drawable by seed. One keyed
+    window shuffle, WindowGroupLimit cut. Fully oracle-checked (md5 is
+    engine-portable; xxhash64 via hash_fn in production)."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    out = curation.stratified_sample(docs, ["lang"], 20, seed=42)
+    return out.select(
+        "lang", "doc_id", F.col("sample_rank").cast("int").alias("sample_rank")
+    ).orderBy("lang", "sample_rank")
+
+
+@register(
     "quality_gate_stats",
     f"""
     WITH tk AS (
