@@ -66,6 +66,7 @@ HEADLINE = [
     "hybrid_batch_rrf",
     "mrl_rescore_topk",
     "contrastive_triplets",
+    "events_gapfill_hourly",
 ]
 
 

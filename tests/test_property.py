@@ -277,3 +277,74 @@ def test_pq_encode_total_on_degenerate_vectors(vecs):
     for r in rows:
         assert len(r.pq_codes) == 2
         assert all(0 <= c < 4 for c in r.pq_codes), r
+
+
+# ------------------------------------------------------- gap-fill laws
+# Invariants of operators.timeseries.bucketed_agg_gapfill under random
+# sparse series: the spine is dense per key, observed aggregates
+# survive unchanged, zero-fill only fabricates zeros, LOCF only ever
+# repeats previously-observed values.
+
+_SERIES = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2", "k3"]),
+        st.integers(min_value=0, max_value=72),      # hour offset
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(_SERIES)
+def test_gapfill_laws(rows):
+    from datetime import datetime, timedelta
+
+    from ydb_vector_search_demo_spark.operators import timeseries as TS
+
+    spark = _get_spark()
+    base = datetime(2024, 1, 1)
+    data = [(k, base + timedelta(hours=h, minutes=7), v) for k, h, v in rows]
+    df = spark.createDataFrame(data, "k string, ts timestamp, v double")
+    out = TS.bucketed_agg_gapfill(
+        df, keys=["k"], ts_col="ts", bucket="1 hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).alias("sv"),
+        ],
+        fill_zero=["n"], fill_locf=["sv"],
+    ).collect()
+
+    observed_hours = {}
+    for k, h, _ in rows:
+        observed_hours.setdefault(k, set()).add(h)
+    got = {}
+    for r in out:
+        got.setdefault(r["k"], {})[int((r["bucket"] - base).total_seconds() // 3600)] = r
+
+    for k, hours in observed_hours.items():
+        lo, hi = min(hours), max(hours)
+        # law 1: dense spine exactly [min, max] per key
+        assert sorted(got[k]) == list(range(lo, hi + 1))
+        # law 2: observed buckets keep exact counts; fabricated are 0
+        for h, r in got[k].items():
+            expected_n = sum(
+                1 for kk, hh, _ in rows if kk == k and hh == h
+            )
+            assert r["n"] == expected_n
+        # law 3: total event count preserved
+        assert sum(r["n"] for r in got[k].values()) == sum(
+            1 for kk, _, _ in rows if kk == k
+        )
+        # law 4: LOCF values are always some previously-observed bucket sum
+        observed_sums = {
+            h: round(sum(v for kk, hh, v in rows if kk == k and hh == h), 6)
+            for h in hours
+        }
+        carry = None
+        for h in range(lo, hi + 1):
+            if h in observed_sums:
+                carry = observed_sums[h]
+            sv = got[k][h]["sv"]
+            assert sv is not None and abs(sv - carry) < 1e-6
