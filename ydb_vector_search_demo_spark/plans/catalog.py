@@ -1821,7 +1821,8 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              to_timestamp((floor(epoch(ts))::BIGINT // 3600) * 3600) AS bucket,
              count(*) AS n_events,
-             round(avg(value), 6) AS avg_value
+             round(sum(CAST(round(value * 100) AS BIGINT))::DOUBLE
+                   / (100.0 * count(*)), 6) AS avg_value
       FROM events GROUP BY 1, 2),
     spine AS (
       SELECT event_type,
@@ -1859,7 +1860,15 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket="1 hour",
         aggs=[
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # avg through exact integer cents (catalog convention):
+            # a plain double avg() is partial-agg-order-dependent and
+            # diverged from DuckDB by 1 ulp at the 6-dp rounding
+            # boundary at sf0.1 (caught by the cross-scale sweep)
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                / (100.0 * F.count(F.lit(1))),
+                6,
+            ).alias("avg_value"),
         ],
         fill_zero=["n_events"],
         fill_locf=["avg_value"],
