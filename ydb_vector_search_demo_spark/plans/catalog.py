@@ -3806,6 +3806,115 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_pipeline_funnel",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, text, source, {_TOKENS_SQL} AS toks,
+             length(text) AS n,
+             length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS np
+      FROM documents),
+    m AS (
+      SELECT doc_id, text, source, len(toks) AS n_tok,
+             {_sql_sw_ratio(_SW_EN)} AS sw,
+             CASE WHEN n = 0 THEN 0.0 ELSE np::DOUBLE / n END AS pr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+                       / len(toks) END AS awl
+      FROM tk),
+    kept AS (
+      SELECT doc_id, text, source FROM m
+      WHERE NOT (n_tok < 10) AND NOT (n_tok > 100000) AND NOT (pr > 0.2)
+        AND round(0.3 * least(n_tok / 50.0, 1.0)
+                + 0.3 * (1.0 - least(abs(sw - 0.4) / 0.4, 1.0))
+                + 0.2 * (1.0 - least(pr / 0.2, 1.0))
+                + 0.2 * (1.0 - least(abs(awl - 5.0) / 5.0, 1.0)), 6) >= 0.3),
+    canon AS (
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rk
+        FROM kept)
+      WHERE rk = 1),
+    mixed AS (
+      SELECT doc_id,
+             (CAST(floor(rate) AS INTEGER)
+              + CASE WHEN bucket < (rate - floor(rate)) * 10000
+                     THEN 1 ELSE 0 END)::BIGINT AS copies,
+             split
+      FROM (SELECT doc_id,
+                   CASE source WHEN 'src1' THEN 2.5 WHEN 'src2' THEN 0.5
+                               WHEN 'src3' THEN 0.0 ELSE 1.0 END AS rate,
+                   ('0x' || substring(md5('mix-v1' || source || ':'
+                                          || doc_id::VARCHAR), 1, 5))::INTEGER
+                     % 10000 AS bucket,
+                   CASE WHEN ('0x' || substring(md5('split-v1'
+                                                    || doc_id::VARCHAR),
+                                                1, 4))::INTEGER % 100 < 90
+                        THEN 'train' ELSE 'validation' END AS split
+            FROM canon))
+    SELECT * FROM (
+      SELECT 1 AS stage_id, 'raw' AS stage, count(*)::BIGINT AS n_rows
+      FROM documents
+      UNION ALL SELECT 2, 'quality_keep', count(*)::BIGINT FROM kept
+      UNION ALL SELECT 3, 'exact_canonical', count(*)::BIGINT FROM canon
+      UNION ALL SELECT 4, 'mixed', coalesce(sum(copies), 0)::BIGINT FROM mixed
+      UNION ALL SELECT 5, 'train',
+        coalesce(sum(CASE WHEN split = 'train' THEN copies ELSE 0 END), 0)::BIGINT
+        FROM mixed
+      UNION ALL SELECT 6, 'validation',
+        coalesce(sum(CASE WHEN split = 'validation' THEN copies ELSE 0 END), 0)::BIGINT
+        FROM mixed
+    ) ORDER BY stage_id
+    """,
+)
+def q_corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining-corpus pipeline END TO END, as a stage funnel:
+    raw → quality gate (keep) → exact dedup (canonical) → domain mixing
+    (src1 2.5×, src2 0.5×, src3 dropped) → train/validation split —
+    each stage the exact operator the catalog grades individually
+    (quality_gate_stats, dedup_exact_stats, corpus_mix_counts,
+    corpus_split_counts), composed the way a real ingest runs them, one
+    count per stage. Lazily unioned → Spark executes the chain once per
+    branch from a common gated/deduped subplan. Fully oracle-checked —
+    the whole funnel is deterministic (md5 buckets, min-id keepers).
+    Semantic dedup joins the chain via semantic_dedup (rows-only,
+    KMeans) and is exercised in tests, not here, to keep the funnel
+    oracle-exact."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    gated = curation.quality_gate(docs).filter(F.col("gate") == "keep")
+    canon = (
+        dedup.exact_dedup(gated)
+        .filter(~F.col("is_duplicate"))
+        .select("doc_id", "text", "source")
+    )
+    mixed = curation.mix_corpus(
+        canon, {"src1": 2.5, "src2": 0.5, "src3": 0.0}
+    )
+    mixed = mixed.withColumn("split", curation.hash_split(mixed))
+
+    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(i).alias("stage_id"),
+            F.lit(name).alias("stage"),
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("bigint").alias("n_rows"),
+        )
+
+    out = (
+        stage(1, "raw", docs)
+        .unionAll(stage(2, "quality_keep", gated))
+        .unionAll(stage(3, "exact_canonical", canon))
+        .unionAll(stage(4, "mixed", mixed))
+        .unionAll(stage(5, "train", mixed.filter(F.col("split") == "train")))
+        .unionAll(
+            stage(6, "validation", mixed.filter(F.col("split") == "validation"))
+        )
+    )
+    return out.orderBy("stage_id")
+
+
+
+@register(
     "corpus_mix_counts",
     """
     WITH r AS (
