@@ -67,6 +67,7 @@ HEADLINE = [
     "mrl_rescore_topk",
     "contrastive_triplets",
     "events_gapfill_hourly",
+    "corpus_pipeline_funnel",
 ]
 
 

@@ -4186,7 +4186,11 @@ _GRADE_FIRST = [
     "dedup_jaccard_pairs",
     "dedup_cosine_pairs",
     "dedup_ngram_spans",
-    "corpus_mix_counts",
+    # r5 mid-round rotation #2: corpus_mix_counts out — it is literally
+    # stage 4 of corpus_pipeline_funnel (same weights, same md5
+    # buckets), so the funnel grades the mix AND its composition with
+    # gate/dedup/split in one slot; mix stays oracle-checked in pytest.
+    "corpus_pipeline_funnel",
     # streaming
     "streaming_dedup_events",
     "streaming_hourly_counts",
