@@ -42,6 +42,7 @@ def test_rows_only_set_is_intentional():
         "dedup_clusters_lsh",
         "dedup_cosine_bucketed",
         "dedup_minhash_lsh",
+        "dedup_semantic_incremental_stats",
         "dedup_semantic_stats",
         "dedup_simhash",
         "events_approx_distinct",

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 from ydb_vector_search_demo_spark.operators import ann, curation, dedup
@@ -156,3 +157,80 @@ def test_bucketed_components_chain_within_bucket(spark):
         for r in curation.bucketed_components(pairs).collect()
     }
     assert comp == {5: 5, 6: 5, 7: 5, 8: 5, 20: 20, 30: 20}
+
+
+def _vec(base, jitter, dim=8):
+    v = [0.0] * dim
+    v[base] = 1.0
+    v[(base + 1) % dim] = jitter
+    return v
+
+
+def test_incremental_semantic_dedup_planted(spark):
+    """Constructed corpus: batch rows that duplicate corpus rows drop
+    with matched_corpus and the corpus id; batch-internal duplicates
+    collapse to min-id; novel rows survive as canonical."""
+    from ydb_vector_search_demo_spark.operators import dedup
+
+    # centroids at axes 0 and 4 -> two cells
+    centroids = [_vec(0, 0.0), _vec(4, 0.0)]
+    corpus = spark.createDataFrame(
+        [(0, _vec(0, 0.0)), (1, _vec(4, 0.0))],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, _vec(0, 0.05)),   # near corpus 0 -> drop, matched
+            (11, _vec(4, 0.05)),   # near corpus 1 -> drop, matched
+            (12, _vec(0, 0.9)),    # novel in cell 0
+            (13, _vec(0, 0.91)),   # near 12 -> in-batch dup of 12
+            (14, _vec(4, 0.9)),    # novel in cell 1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in dedup.incremental_semantic_dedup(
+            batch, corpus, centroids, eps=0.05
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[10]["matched_corpus"] and out[10]["cluster_id"] == 0
+    assert not out[10]["is_canonical"]
+    assert out[11]["matched_corpus"] and out[11]["cluster_id"] == 1
+    assert out[12]["is_canonical"] and out[12]["cluster_id"] == 12
+    assert not out[13]["is_canonical"] and out[13]["cluster_id"] == 12
+    assert not out[13]["matched_corpus"]
+    assert out[14]["is_canonical"] and out[14]["cluster_id"] == 14
+
+
+def test_incremental_semantic_matches_batch_when_no_bridges(spark, sf_smoke):
+    """On the natural testdata at a tight eps (no cross-cluster
+    bridges, corpus itself dup-free at that eps), the incremental kept
+    set over a split corpus equals the batch decision over the union."""
+    from ydb_vector_search_demo_spark.operators import ann, curation, dedup
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+
+    embs = load_table(spark, sf_smoke, "embeddings")
+    index = ann.build_ivf_index(embs, k_clusters=8)
+    try:
+        eps = 0.35
+        full = curation.semantic_dedup(embs, index.centroids, eps=eps)
+        corpus = embs.filter(F.col("vec_id") < 250)
+        # precondition for equivalence: the corpus half must be
+        # internally duplicate-free at this eps
+        corpus_dec = curation.semantic_dedup(corpus, index.centroids, eps=eps)
+        assert corpus_dec.filter(~F.col("is_canonical")).count() == 0
+        batch = embs.filter(F.col("vec_id") >= 250)
+        inc = dedup.incremental_semantic_dedup(
+            batch, corpus, index.centroids, eps=eps
+        )
+        kept_inc = {r["vec_id"] for r in inc.filter("is_canonical").collect()} | {
+            r["vec_id"] for r in corpus.select("vec_id").collect()
+        }
+        kept_full = {
+            r["vec_id"] for r in full.filter("is_canonical").collect()
+        }
+        assert kept_inc == kept_full
+    finally:
+        index.assigned.unpersist()

@@ -922,3 +922,105 @@ def minhash_incremental_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def incremental_semantic_dedup(
+    new_embeddings: DataFrame,
+    corpus_embeddings: DataFrame,
+    centroids: list[list[float]],
+    eps: float = 0.05,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup for an INCOMING batch against a frozen corpus —
+    the SemDeDup companion to :func:`incremental_exact_dedup`, for the
+    same production ingest flow (the corpus is never re-clustered per
+    batch; its keep decisions stand).
+
+    Stages, all cell-bucketed by the FROZEN centroids (refit-free —
+    the same contract as streaming ingest / ivf_append):
+
+    1. cross-corpus: a batch row within cosine ``eps`` of ANY corpus
+       row in its cell drops, attributed to the lowest-id corpus match
+       (``matched_corpus = true``, ``cluster_id`` = that corpus id);
+    2. in-batch: the survivors pair within their cell and resolve with
+       the one-shuffle bucket-wise union-find
+       (curation.bucketed_components) — min-id keeper, exactly the
+       batch-local semantic_dedup rule.
+
+    Output per NEW row: (id, cluster_id, is_canonical, matched_corpus).
+    Known incremental-vs-batch divergence (inherent and accepted, same
+    as every streaming dedup): a batch row that would have BRIDGED two
+    existing corpus clusters cannot merge them — corpus decisions are
+    immutable here."""
+    from ydb_vector_search_demo_spark.functions.vector import dot, l2_norm
+    from ydb_vector_search_demo_spark.operators.ann import ivf_assign
+    from ydb_vector_search_demo_spark.operators.curation import (
+        bucketed_components,
+    )
+
+    def _normed(df: DataFrame, prefix: str) -> DataFrame:
+        assigned = ivf_assign(
+            centroids, df, id_col=id_col, vector_col=vector_col
+        )
+        return assigned.select(
+            "centroid_id",
+            F.col(id_col).alias(f"{prefix}id"),
+            F.col(vector_col).alias(f"{prefix}v"),
+            l2_norm(vector_col).alias(f"{prefix}n"),
+        )
+
+    new_n = _persist(_normed(new_embeddings, "n_"))
+    corp_n = _normed(corpus_embeddings, "c_")
+    thresh = 1.0 - float(eps)
+
+    # stage 1: lowest-id corpus match per batch row (cell-bucketed join)
+    corpus_match = (
+        new_n.join(corp_n, on="centroid_id")
+        .withColumn(
+            "_sim", F.try_divide(dot("n_v", "c_v"), F.col("n_n") * F.col("c_n"))
+        )
+        .filter(F.col("_sim") >= thresh)
+        .groupBy("n_id")
+        .agg(F.min("c_id").alias("corpus_id"))
+    )
+    matched = corpus_match.select(
+        F.col("n_id").alias(id_col),
+        F.col("corpus_id").alias("cluster_id"),
+        F.lit(False).alias("is_canonical"),
+        F.lit(True).alias("matched_corpus"),
+    )
+
+    # stage 2: survivors pair in-batch within their cell
+    survivors = new_n.join(
+        corpus_match.select(F.col("n_id")), on="n_id", how="left_anti"
+    )
+    a = survivors.select(
+        "centroid_id", F.col("n_id").alias("a"),
+        F.col("n_v").alias("va"), F.col("n_n").alias("na"),
+    )
+    b = survivors.select(
+        "centroid_id", F.col("n_id").alias("b"),
+        F.col("n_v").alias("vb"), F.col("n_n").alias("nb"),
+    )
+    pairs = (
+        a.join(b, on="centroid_id")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "_sim", F.try_divide(dot("va", "vb"), F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("_sim") >= thresh)
+        .select("centroid_id", "a", "b")
+    )
+    comp = bucketed_components(pairs)
+    in_batch = (
+        survivors.select(F.col("n_id").alias(id_col))
+        .join(comp, F.col(id_col) == F.col("node"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+        .withColumn("matched_corpus", F.lit(False))
+    )
+    return matched.unionByName(in_batch)

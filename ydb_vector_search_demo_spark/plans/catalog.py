@@ -3702,6 +3702,39 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "neg_rank")
 
 
+@register("dedup_semantic_incremental_stats")
+def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (operators.dedup.incremental_semantic_dedup):
+    the second half of the embeddings table arrives as a batch against
+    the frozen first half — cell-bucketed by the frozen centroids
+    (refit-free), corpus matches dropped with attribution, survivors
+    resolved in-batch with the one-shuffle union-find. One-row summary.
+    Rows-only (KMeans centroids); planted-duplicate recovery and
+    batch-equivalence (bridge-free corpora) pinned in
+    tests/test_semantic_dedup.py."""
+    from ydb_vector_search_demo_spark.operators import curation as _c
+    from ydb_vector_search_demo_spark.operators import dedup as _d
+
+    embs = _t(spark, sf_dir, "embeddings")
+    half = embs.agg((F.max("vec_id") / 2).cast("long").alias("h")).first()["h"]
+    corpus = embs.filter(F.col("vec_id") <= half)
+    batch = embs.filter(F.col("vec_id") > half)
+    index = ann.get_or_build_ivf_index(
+        embs, k_clusters=16, cache_key=sf_dir, fit_sample_fraction=0.25
+    )
+    out = _d.incremental_semantic_dedup(batch, corpus, index.centroids, eps=0.15)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.when(F.col("matched_corpus"), 1).otherwise(0)).alias(
+            "n_matched_corpus"
+        ),
+        F.sum(
+            F.when(~F.col("matched_corpus") & ~F.col("is_canonical"), 1).otherwise(0)
+        ).alias("n_in_batch_dups"),
+        F.sum(F.when(F.col("is_canonical"), 1).otherwise(0)).alias("n_kept"),
+    )
+
+
 @register(
     "stratified_sample_docs",
     """
