@@ -697,3 +697,37 @@ def stratified_sample(
         .filter(F.col("_rk") <= int(n_per_stratum))
         .withColumnRenamed("_rk", "sample_rank")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorize (clip) a numeric column at exact percentiles — the
+    outlier-taming step feature pipelines run before normalization
+    (a handful of extreme values otherwise dominate scale statistics).
+
+    Uses Spark's EXACT ``percentile`` aggregate (PostgreSQL
+    percentile_cont interpolation — portable to DuckDB's quantile_cont,
+    so the catalog query is fully oracle-checked), computed ONCE in a
+    one-row aggregate that is broadcast into a map-only clip. Bounds
+    are rounded to 6 dp before clipping so both engines clip with the
+    identical literal. At scale swap ``percentile`` for
+    ``approx_percentile`` — same plan shape, sketch-merged instead of
+    exact (the catalog keeps the exact form for the oracle)."""
+    out_col = out_col or f"{value_col}_w"
+    bounds = df.agg(
+        F.round(F.expr(f"percentile({value_col}, {float(p_lo)})"), 6).alias("_lo"),
+        F.round(F.expr(f"percentile({value_col}, {float(p_hi)})"), 6).alias("_hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            out_col,
+            F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")),
+        )
+        .drop("_lo", "_hi")
+    )

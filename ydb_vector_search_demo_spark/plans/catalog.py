@@ -3702,6 +3702,47 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "neg_rank")
 
 
+@register(
+    "events_value_winsorized",
+    """
+    WITH b AS (
+      SELECT round(quantile_cont(value, 0.01), 6) AS lo,
+             round(quantile_cont(value, 0.99), 6) AS hi
+      FROM events),
+    c AS (
+      SELECT event_type, least(greatest(value, lo), hi) AS w
+      FROM events CROSS JOIN b)
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(w * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           round(min(w), 6) AS min_w, round(max(w), 6) AS max_w
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized value stats (operators.curation.winsorize): events'
+    value clipped at the exact 1st/99th percentiles (bounds rounded to
+    6 dp so both engines clip with the identical literal, sums through
+    exact cents), grouped by type — the outlier-taming prep step of a
+    feature pipeline. Fully oracle-checked (Spark percentile and DuckDB
+    quantile_cont share percentile_cont interpolation)."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    ev = _t(spark, sf_dir, "events")
+    w = curation.winsorize(ev, "value", 0.01, 0.99)
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value_w") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+            F.round(F.min("value_w"), 6).alias("min_w"),
+            F.round(F.max("value_w"), 6).alias("max_w"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register("dedup_semantic_incremental_stats")
 def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SemDeDup (operators.dedup.incremental_semantic_dedup):
