@@ -768,3 +768,44 @@ def test_retrieval_reranked_matches_python_recompute(spark):
     )[:5]
     expected = [(d, round(-s, 6)) for s, d in rescored]
     assert got == expected, (got, expected)
+
+
+def test_decontaminate_planted(spark):
+    """Planted overlap: a corpus doc embedding an 8-token benchmark
+    span is flagged; disjoint and too-short docs are not."""
+    from ydb_vector_search_demo_spark.operators import dedup
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    bench = spark.createDataFrame(
+        [(0, f"intro words {span} closing words")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (100, f"leading text {span} trailing text"),       # contaminated
+            (101, "totally different words all the way here now"),  # clean
+            (102, "short doc"),                                 # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.decontaminate(corpus, bench, n=8).collect()
+    }
+    assert out[100]["contaminated"] and out[100]["hit_windows"] >= 1
+    assert not out[101]["contaminated"] and out[101]["hit_windows"] == 0
+    assert not out[102]["contaminated"] and out[102]["n_windows"] == 0
+    # every corpus row is reported exactly once
+    assert sorted(out) == [100, 101, 102]
+
+
+def test_decontaminate_no_python_nodes(spark, sf_smoke):
+    from ydb_vector_search_demo_spark.operators import dedup
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    df = dedup.decontaminate(
+        docs.filter("doc_id >= 20"), docs.filter("doc_id < 20"), n=8
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -1024,3 +1024,69 @@ def incremental_semantic_dedup(
         .withColumn("matched_corpus", F.lit(False))
     )
     return matched.unionByName(in_batch)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=None,
+) -> DataFrame:
+    """Benchmark decontamination: flag every corpus document sharing at
+    least one n-token window with the benchmark/eval set — the overlap
+    rule training pipelines apply before pretraining (the GPT-3 paper's
+    13-gram rule; Lee et al. 2022 §6 discuss the same window machinery)
+    so eval scores measure generalization, not leakage.
+
+    Output: corpus rows as (id, n_windows, hit_windows, contaminated).
+    Documents shorter than ``n`` tokens have zero windows and are never
+    flagged (the standard rule; lower ``n`` to tighten).
+
+    Scale shape: the benchmark side reduces to DISTINCT window hashes —
+    eval sets are tiny relative to the corpus, so this side is
+    broadcast-joined; the corpus side is the same map-side window-hash
+    build as :func:`duplicated_ngram_spans` (one row per token, 8-byte
+    keys with ``hash_fn=F.xxhash64``), and the join is a broadcast
+    semi-probe — the corpus never shuffles. Default md5 keeps the
+    catalog query DuckDB-oracle-checked."""
+    if hash_fn is None:
+        hash_fn = F.md5
+    corpus = fan_out(corpus)
+    toks = tokens(F.col(text_col))
+    wins = F.transform(word_shingles(F.col(text_col), n), lambda w: hash_fn(w))
+    bench_h = (
+        benchmark.select(
+            F.explode(
+                F.when(
+                    F.size(tokens(F.col(text_col))) >= n,
+                    F.transform(
+                        word_shingles(F.col(text_col), n), lambda w: hash_fn(w)
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("_h")
+        )
+        .distinct()
+    )
+    per = corpus.select(
+        F.col(id_col),
+        F.when(F.size(toks) >= n, wins)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_wins"),
+    )
+    exploded = per.select(id_col, F.size("_wins").alias("_nw"), F.explode_outer("_wins").alias("_h"))
+    hits = (
+        exploded.join(F.broadcast(bench_h.withColumn("_hit", F.lit(1))), on="_h", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.max("_nw").alias("n_windows"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hit_windows"),
+        )
+    )
+    return hits.select(
+        id_col,
+        F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+        F.coalesce("hit_windows", F.lit(0)).alias("hit_windows"),
+        (F.coalesce("hit_windows", F.lit(0)) > 0).alias("contaminated"),
+    )

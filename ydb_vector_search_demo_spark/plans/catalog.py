@@ -3702,6 +3702,70 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "neg_rank")
 
 
+_DECON_N = 8  # testdata docs are short; production default is 13
+
+
+@register(
+    "corpus_decontamination_stats",
+    f"""
+    WITH bench AS (SELECT text FROM documents WHERE doc_id < 20),
+    corp AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+    bh AS (
+      SELECT DISTINCT unnest(
+        CASE WHEN len({_TOKENS_SQL}) >= {_DECON_N}
+             THEN list_transform(
+                    generate_series(1, len({_TOKENS_SQL}) - {_DECON_N} + 1),
+                    i -> md5(array_to_string(({_TOKENS_SQL})[i:i+{_DECON_N}-1],
+                                             ' ')))
+             ELSE []::VARCHAR[] END) AS h
+      FROM bench),
+    cw AS (
+      SELECT doc_id,
+             CASE WHEN len({_TOKENS_SQL}) >= {_DECON_N}
+                  THEN list_transform(
+                         generate_series(1, len({_TOKENS_SQL}) - {_DECON_N} + 1),
+                         i -> md5(array_to_string(({_TOKENS_SQL})[i:i+{_DECON_N}-1],
+                                                  ' ')))
+                  ELSE []::VARCHAR[] END AS ws
+      FROM corp),
+    perw AS (SELECT doc_id, unnest(ws) AS w FROM cw),
+    hitsj AS (
+      SELECT doc_id, count(*) AS hit_windows
+      FROM perw JOIN bh ON perw.w = bh.h GROUP BY doc_id),
+    per AS (
+      SELECT cw.doc_id, len(ws) AS n_windows,
+             coalesce(hit_windows, 0) AS hit_windows
+      FROM cw LEFT JOIN hitsj USING (doc_id))
+    SELECT count(*) AS n_docs,
+           sum(CASE WHEN hit_windows > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_contaminated,
+           CAST(sum(n_windows) AS BIGINT) AS total_windows,
+           CAST(sum(hit_windows) AS BIGINT) AS total_hits
+    FROM per
+    """,
+)
+def q_corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.dedup.decontaminate, the
+    GPT-3 13-gram overlap rule — 8 here, sized to the short synthetic
+    docs): documents 0-19 stand in for an eval set; every other
+    document is flagged if any of its 8-token windows appears in the
+    eval set's window-hash table (DISTINCT, broadcast — the corpus
+    never shuffles). One-row summary. Fully oracle-checked (md5 window
+    hashes; xxhash64 via hash_fn in production)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    corp = docs.filter(F.col("doc_id") >= 20)
+    per = dedup.decontaminate(corp, bench, n=_DECON_N)
+    return per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("contaminated"), 1).otherwise(0)).alias(
+            "n_contaminated"
+        ),
+        F.sum("n_windows").cast("bigint").alias("total_windows"),
+        F.sum("hit_windows").cast("bigint").alias("total_hits"),
+    )
+
+
 @register(
     "events_value_winsorized",
     """
