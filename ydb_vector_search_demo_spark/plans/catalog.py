@@ -1930,14 +1930,18 @@ def q_events_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIDE-EFFECT NOTE (intentional): unlike every other catalog query,
     this one WRITES — the pre-aggregate materialization under /tmp is
     the operator under test (a rollup you don't materialize is just
-    events_hourly). The path is source-keyed and overwrite-mode, so
-    repeated invocations are deterministic and never accumulate; in
-    production the write is the incremental streaming job's sink and
-    the swap is an atomic rename/metastore step, with readers pinned
-    to the previous snapshot (like ann_ivf_build, the maintenance op
-    would live beside, not inside, the serving query)."""
+    events_hourly). Since r5 the write goes through the
+    manifest-publish protocol (stores.publish_store): each invocation
+    writes a NEW sequence-named data directory and atomically publishes
+    it, so a concurrent reader resolving the rollup mid-refresh sees
+    the previous complete snapshot, never a half-written overwrite —
+    the carried r2-r4 concurrency caveat is closed. Old versions are
+    vacuumed down to the last two (reference-safe), so repeated
+    invocations never accumulate."""
     import os
     import tempfile
+
+    from ydb_vector_search_demo_spark import stores
 
     ev = _t(spark, sf_dir, "events")
     row = (
@@ -1948,15 +1952,20 @@ def q_events_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary = row["b"]
     if boundary is None:  # empty table: nothing is closed, serve = direct
         return EV.hourly_counts(ev)
-    # deterministic source-keyed path (same pattern as the stream
-    # sources): repeated invocations overwrite instead of accumulating
-    path = os.path.join(
+    # source-keyed ROOT; versioned data dirs + manifests live under it
+    root = os.path.join(
         tempfile.gettempdir(), "ydbvs_rollup",
-        os.path.abspath(sf_dir).strip("/").replace("/", "_"), "hourly",
+        os.path.abspath(sf_dir).strip("/").replace("/", "_"), "hourly_root",
+    )
+    history = stores.store_history(spark, root)
+    version_path = os.path.join(
+        root, f"v{(history[-1][0] + 1) if history else 1}"
     )
     preagg_src = EV.hourly_counts(ev.filter(F.col("ts") < F.lit(boundary)))
-    preagg_src.write.mode("overwrite").parquet(path)
-    preagg = spark.read.parquet(path)
+    preagg_src.write.mode("overwrite").parquet(version_path)
+    stores.publish_store(spark, root, version_path)
+    stores.vacuum_store(spark, root, keep_last=2)
+    preagg = stores.read_current_store(spark, root)
     return EV.serve_hourly_rollup(ev, preagg, boundary)
 
 
