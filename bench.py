@@ -68,6 +68,11 @@ HEADLINE = [
     "contrastive_triplets",
     "events_gapfill_hourly",
     "corpus_pipeline_funnel",
+    # build/probe split (same pattern as ann_ivf_build/ann_ivf_recall):
+    # the build pays the tokenize+postings pass, the probe touches only
+    # the query terms' postings
+    "text_bm25_index_build",
+    "text_bm25_indexed",
 ]
 
 
@@ -129,6 +134,10 @@ def main() -> None:
         for _ in range(TRIALS):
             if name == "ann_ivf_build":
                 ann.clear_index_cache()
+            if name == "text_bm25_index_build":
+                from ydb_vector_search_demo_spark.operators import retrieval
+
+                retrieval.clear_bm25_cache()
             t0 = time.time()
             QUERIES[name](spark, sf_dir).collect()
             samples.append(time.time() - t0)

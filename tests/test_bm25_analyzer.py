@@ -98,3 +98,68 @@ def test_analyzed_dl_counts_analyzed_tokens(spark):
     # after stopword removal both docs are the single token 'table' →
     # identical dl, identical score
     assert abs(scored[1] - scored[2]) < 1e-12
+
+
+def test_bm25_index_probe_equals_direct(spark, sf_smoke):
+    """Build/probe split: the indexed probe must produce byte-identical
+    rows to the direct bm25_topk scan, and the persisted postings store
+    round-trips."""
+    from ydb_vector_search_demo_spark.operators import retrieval as R
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    terms = R.query_terms("fast scan table row value")
+    idx = R.build_bm25_index(docs)
+    try:
+        direct = [tuple(r) for r in R.bm25_topk(docs, terms, k=10).collect()]
+        probed = [tuple(r) for r in idx.topk(terms, k=10).collect()]
+        assert direct == probed
+        # empty-terms probe: stable empty result
+        assert idx.topk([], k=10).collect() == []
+    finally:
+        idx.postings.unpersist()
+
+
+def test_bm25_postings_roundtrip(spark, sf_smoke, tmp_path):
+    from ydb_vector_search_demo_spark.operators import retrieval as R
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    terms = R.query_terms("fast scan table row value")
+    idx = R.build_bm25_index(docs)
+    path = str(tmp_path / "postings")
+    try:
+        R.write_bm25_postings(idx, path)
+        reopened = R.read_bm25_index(spark, path)
+        assert reopened.n == idx.n and abs(reopened.avgdl - idx.avgdl) < 1e-12
+        a = [tuple(r) for r in idx.topk(terms, k=10).collect()]
+        b = [tuple(r) for r in reopened.topk(terms, k=10).collect()]
+        assert a == b
+        # the probe's term filter reaches the parquet scan
+        plan = reopened._scores(terms, 1.2, 0.75)._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan or "pushedFilters" in plan.lower()
+    finally:
+        idx.postings.unpersist()
+
+
+def test_bm25_index_analyzed_variant(spark, sf_smoke):
+    from ydb_vector_search_demo_spark.functions.textstats import STOPWORDS
+    from ydb_vector_search_demo_spark.operators import retrieval as R
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    q = "the tables of values and rows for queries"
+    terms = R.analyze_terms(R.query_terms(q), stopwords=STOPWORDS["en"], stem=True)
+    idx = R.build_bm25_index(docs, stopwords=STOPWORDS["en"], stem=True)
+    try:
+        direct = [
+            tuple(r)
+            for r in R.bm25_topk(
+                docs, R.query_terms(q), k=10,
+                stopwords=STOPWORDS["en"], stem=True,
+            ).collect()
+        ]
+        probed = [tuple(r) for r in idx.topk(terms, k=10).collect()]
+        assert direct == probed
+    finally:
+        idx.postings.unpersist()

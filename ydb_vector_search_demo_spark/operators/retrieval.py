@@ -26,7 +26,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ydb_vector_search_demo_spark.functions.textstats import token_count, tokens
@@ -653,3 +653,158 @@ def rerank_batch(
         .filter(F.col("rerank_rank") <= k)
         .drop(query_text_col)
     )
+
+
+# ------------------------------------------------------ inverted index
+# Build/probe split for BM25 — the production serving shape (mirroring
+# ann.build_ivf_index / search): tokenization, tf, dl, df and corpus
+# stats are paid ONCE at build into a postings relation; each query
+# probes only its own terms' postings. Like a search engine's inverted
+# index re-expressed relationally: postings = (term, doc_id, tf, dl,
+# df), written sorted by term so the probe's term filter prunes at the
+# parquet row-group level.
+
+
+class Bm25Index:
+    """Materialized BM25 postings + corpus stats.
+
+    ``postings``: (term, doc_id, tf, dl, df) — df denormalized per row
+    so the probe needs ZERO joins (filter → score → per-doc sum →
+    top-k). ``n``/``avgdl`` are driver-resident scalars that travel as
+    plan literals, exactly like IVF centroids."""
+
+    def __init__(self, postings: DataFrame, n: float, avgdl: float,
+                 id_col: str = "doc_id"):
+        self.postings = postings
+        self.n = float(n)
+        self.avgdl = float(avgdl)
+        self.id_col = id_col
+
+    def _scores(self, terms: Sequence[str], k1: float, b: float) -> DataFrame:
+        terms = [t.lower() for t in terms]
+        if not terms:
+            return self.postings.select(
+                F.col(self.id_col), F.lit(0.0).alias("bm25")
+            ).limit(0)
+        tl = F.array(*[F.lit(t) for t in terms])
+        p = self.postings.filter(F.array_contains(tl, F.col("term")))
+        scored = p.select(
+            F.col(self.id_col),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(self.n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.lit(self.avgdl))
+                )
+            ).alias("_s"),
+        )
+        return scored.groupBy(self.id_col).agg(F.sum("_s").alias("bm25"))
+
+    def topk(self, terms: Sequence[str], k: int = 10,
+             k1: float = 1.2, b: float = 0.75) -> DataFrame:
+        """Probe: identical rows to ``bm25_topk`` on the source corpus
+        (equality-tested) — but the scan touches only the query terms'
+        postings, not the corpus."""
+        s = self._scores(terms, k1, b)
+        return (
+            s.orderBy(F.col("bm25").desc(), F.col(self.id_col).asc())
+            .limit(k)
+            .select(self.id_col, F.round("bm25", 6).alias("bm25"))
+        )
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: Sequence[str] | None = None,
+    stem: bool = False,
+) -> Bm25Index:
+    """One tokenize/aggregate pass over the corpus → postings with df
+    denormalized, plus (N, avgdl) collected driver-side (two scalars).
+    The postings relation is persisted (build/probe split, like
+    ann.build_ivf_index); analyzer seam shared with bm25_scores."""
+    if stopwords or stem:
+        base = docs.select(
+            F.col(id_col),
+            analyzed_tokens(text_col, stopwords=stopwords, stem=stem).alias(
+                "_toks"
+            ),
+        )
+    else:
+        base = docs.select(
+            F.col(id_col),
+            F.transform(tokens(text_col), F.lower).alias("_toks"),
+        )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg(F.size("_toks")).alias("_avgdl")
+    ).first()
+    tok = base.select(
+        F.col(id_col),
+        F.size("_toks").alias("dl"),
+        F.explode("_toks").alias("term"),
+    )
+    tf = tok.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    postings = tf.join(F.broadcast(df_t), on="term").select(
+        "term", id_col, "tf", "dl", "df"
+    )
+    # plain persist owned by the returned index (lifecycle:
+    # clear_bm25_cache / caller unpersist) — NOT dedup._persist, whose
+    # release_persisted() runs between bench queries and tests and
+    # would silently strip the cache's storage
+    return Bm25Index(
+        postings.persist(), stats["_n"], float(stats["_avgdl"] or 0.0),
+        id_col=id_col,
+    )
+
+
+def write_bm25_postings(index: Bm25Index, path: str) -> None:
+    """Persist the postings SORTED BY TERM (one file per shuffle
+    partition, each covering a term range) so a probe's term filter
+    prunes at the parquet row-group level — the serving layout. Stats
+    ride in a 1-row sidecar."""
+    index.postings.sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark = index.postings.sparkSession
+    spark.createDataFrame(
+        [(index.n, index.avgdl)], "n double, avgdl double"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "_stats")
+
+
+def read_bm25_index(spark: SparkSession, path: str,
+                    id_col: str = "doc_id") -> Bm25Index:
+    """Open a persisted postings store for probing."""
+    stats = spark.read.parquet(path + "_stats").first()
+    return Bm25Index(
+        spark.read.parquet(path), stats["n"], stats["avgdl"], id_col=id_col
+    )
+
+
+_BM25_CACHE: dict = {}
+
+
+def get_or_build_bm25_index(
+    docs: DataFrame, cache_key: str, **kwargs
+) -> Bm25Index:
+    """Session-scoped build cache (same contract as
+    ann.get_or_build_ivf_index): the postings build is paid once per
+    (corpus, analyzer) key; probes reuse it."""
+    key = (cache_key, kwargs.get("stem", False),
+           tuple(kwargs.get("stopwords") or ()))
+    idx = _BM25_CACHE.get(key)
+    if idx is None:
+        idx = build_bm25_index(docs, **kwargs)
+        _BM25_CACHE[key] = idx
+    return idx
+
+
+def clear_bm25_cache() -> None:
+    for idx in _BM25_CACHE.values():
+        idx.postings.unpersist()
+    _BM25_CACHE.clear()

@@ -2311,6 +2311,41 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
 
 
+@register("text_bm25_index_build")
+def q_bm25_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 inverted-index BUILD (operators.retrieval.build_bm25_index,
+    the build/probe split mirroring ann_ivf_build): one tokenize pass →
+    persisted postings (term, doc_id, tf, dl, df) with corpus stats as
+    driver scalars. Returns a 1-row build summary. Rows-only (the
+    relation is the product); probe equality is oracle-checked by
+    text_bm25_indexed."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = R.get_or_build_bm25_index(docs, cache_key=sf_dir)
+    return idx.postings.agg(
+        F.count(F.lit(1)).alias("n_postings"),
+        F.count_distinct("term").alias("n_terms"),
+        F.lit(int(idx.n)).alias("n_docs"),
+        F.round(F.lit(idx.avgdl), 6).alias("avgdl"),
+    )
+
+
+@register("text_bm25_indexed")
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 PROBE against the session-cached inverted index: identical
+    rows to text_bm25_topk (same oracle, attached below) but the scan
+    touches only the query terms' postings — at scale, a term-sorted
+    parquet store prunes to the probed terms' row groups instead of
+    tokenizing the corpus per query."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = R.get_or_build_bm25_index(docs, cache_key=sf_dir)
+    return idx.topk(_BM25_TERMS, k=10)
+
+
+# the probe must produce byte-identical rows to the direct BM25 query —
+# same oracle SQL
+ORACLES["text_bm25_indexed"] = ORACLES["text_bm25_topk"]
+
+
 # Analyzer seam (r4 verdict task #7): a query whose surface forms only
 # match after stopword removal + S-stemming — 'the/of/and/for' drop,
 # 'tables/values/rows/queries' stem to the singulars the corpus uses.
