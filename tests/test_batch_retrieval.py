@@ -202,3 +202,38 @@ def test_rerank_batch_python_only_on_pool(docs, embs, qdf):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_hybrid_with_bm25_index_equals_direct(docs, embs, qdf, qvs):
+    """Both hybrid paths with the inverted-index lexical backend must
+    equal the direct-scan versions exactly."""
+    idx = R.build_bm25_index(docs)
+    try:
+        # single-query
+        for q, v in zip(QUERIES, qvs):
+            a = [tuple(r) for r in
+                 R.hybrid_rrf_topk(docs, embs, q, v, k=5, pool=20).collect()]
+            b = [tuple(r) for r in
+                 R.hybrid_rrf_topk(docs, embs, q, v, k=5, pool=20,
+                                   bm25_index=idx).collect()]
+            assert a == b
+        # batch
+        a = sorted(map(tuple,
+            R.hybrid_rrf_batch_topk(docs, embs, qdf, k=5, pool=20).collect()))
+        b = sorted(map(tuple,
+            R.hybrid_rrf_batch_topk(docs, embs, qdf, k=5, pool=20,
+                                    bm25_index=idx).collect()))
+        assert a == b
+    finally:
+        idx.postings.unpersist()
+
+
+def test_bm25_index_batch_equals_scan_batch(docs, qdf):
+    idx = R.build_bm25_index(docs)
+    try:
+        a = sorted(map(tuple, R.bm25_batch_topk(docs, qdf, k=10).collect()))
+        b = sorted(map(tuple,
+            R.bm25_index_batch_topk(idx, qdf, k=10).collect()))
+        assert a == b
+    finally:
+        idx.postings.unpersist()

@@ -301,6 +301,7 @@ def hybrid_rrf_topk(
     doc_id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
     vector_col: str = "embedding",
+    bm25_index=None,
 ) -> DataFrame:
     """Fused top-k: take each system's top-``pool`` (both are
     TakeOrderedAndProject plans — two bounded scans), full-outer-join
@@ -316,8 +317,14 @@ def hybrid_rrf_topk(
     document (e.g. the max-p shape of plans.catalog.q_rag_chunk_maxp)
     — otherwise the full-outer join degenerates into two disjoint rank
     lists and RRF never fuses."""
-    lex = bm25_topk(docs, query_terms(query_text), k=pool,
-                    text_col=text_col, id_col=doc_id_col)
+    # optional inverted-index lexical backend (build/probe split):
+    # identical rows to the direct scan (equality-tested), but only the
+    # query terms' postings are read
+    if bm25_index is not None:
+        lex = bm25_index.topk(query_terms(query_text), k=pool)
+    else:
+        lex = bm25_topk(docs, query_terms(query_text), k=pool,
+                        text_col=text_col, id_col=doc_id_col)
     w_lex = Window.orderBy(F.col("bm25").desc(), F.col(doc_id_col).asc())
     lex_r = lex.select(
         F.col(doc_id_col).alias("_id"), F.row_number().over(w_lex).alias("_rl")
@@ -524,6 +531,7 @@ def hybrid_rrf_batch_topk(
     nprobe: int = 4,
     stopwords: Sequence[str] | None = None,
     stem: bool = False,
+    bm25_index=None,
 ) -> DataFrame:
     """Batched hybrid retrieval: every query's BM25 top-``pool`` and
     vector top-``pool`` fused by RRF, per query, in ONE pass per system
@@ -542,11 +550,18 @@ def hybrid_rrf_batch_topk(
     the per-query fused position, 1-based."""
     from ydb_vector_search_demo_spark.operators.knn import batch_knn
 
-    lex = bm25_batch_topk(
-        docs, queries, k=pool, text_col=text_col, id_col=doc_id_col,
-        query_id_col=query_id_col, query_text_col=query_text_col,
-        stopwords=stopwords, stem=stem,
-    )
+    if bm25_index is not None:
+        lex = bm25_index_batch_topk(
+            bm25_index, queries, k=pool, query_id_col=query_id_col,
+            query_text_col=query_text_col, stopwords=stopwords, stem=stem,
+        )
+        doc_id_col = bm25_index.id_col
+    else:
+        lex = bm25_batch_topk(
+            docs, queries, k=pool, text_col=text_col, id_col=doc_id_col,
+            query_id_col=query_id_col, query_text_col=query_text_col,
+            stopwords=stopwords, stem=stem,
+        )
     # the per-query rank was computed over UNROUNDED bm25 inside
     # bm25_batch_topk — reuse it so ties past 6 dp rank exactly as the
     # single-query path's window over raw scores does
@@ -808,3 +823,81 @@ def clear_bm25_cache() -> None:
     for idx in _BM25_CACHE.values():
         idx.postings.unpersist()
     _BM25_CACHE.clear()
+
+
+def bm25_index_batch_topk(
+    index: Bm25Index,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    stopwords: Sequence[str] | None = None,
+    stem: bool = False,
+) -> DataFrame:
+    """Batched probe against the inverted index: one postings filter on
+    the union of all queries' terms, per-term scores from the stored
+    columns (no corpus tokenization at all), broadcast (query_id, term)
+    attach, per-query WindowGroupLimit cut — the indexed twin of
+    :func:`bm25_batch_topk`, row-identical to it (equality-tested).
+
+    NOTE: ``stopwords``/``stem`` analyze the QUERY terms only and must
+    match the analyzer the index was BUILT with (the corpus side was
+    analyzed at build time)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    id_col = index.id_col
+    qterms = _collect_query_terms(
+        queries, query_id_col, query_text_col, stopwords=stopwords, stem=stem
+    )
+    union_terms = sorted({t for _, ts in qterms for t in ts})
+    spark = queries.sparkSession
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in qterms for t in ts],
+        StructType(
+            [
+                StructField(query_id_col, queries.schema[query_id_col].dataType),
+                StructField("term", StringType()),
+            ]
+        ),
+    )
+    if not union_terms:
+        return qt.select(
+            query_id_col, F.lit(None).cast("long").alias(id_col),
+            F.lit(0.0).alias("bm25"), F.lit(0).alias("rank"),
+        ).limit(0)
+    tl = F.array(*[F.lit(t) for t in union_terms])
+    contrib = index.postings.filter(
+        F.array_contains(tl, F.col("term"))
+    ).select(
+        "term",
+        F.col(id_col),
+        (
+            F.log(
+                F.lit(1.0)
+                + (F.lit(index.n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.lit(index.avgdl))
+            )
+        ).alias("_s"),
+    )
+    s = (
+        contrib.join(F.broadcast(qt), on="term")
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_s").alias("bm25"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        s.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select(
+            query_id_col, id_col, F.round("bm25", 6).alias("bm25"),
+            F.col("_r").alias("rank"),
+        )
+    )
