@@ -163,3 +163,50 @@ def test_bm25_index_analyzed_variant(spark, sf_smoke):
         assert direct == probed
     finally:
         idx.postings.unpersist()
+
+
+def test_bm25_append_equals_full_rebuild(spark, sf_smoke, tmp_path):
+    """Incremental postings append + df/stats recompute must be EXACTLY
+    a full rebuild over corpus ∪ batch — probes byte-identical — and
+    each append publishes a new atomic version (old one still
+    readable)."""
+    from ydb_vector_search_demo_spark import stores
+    from ydb_vector_search_demo_spark.operators import retrieval as R
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_smoke, "documents")
+    first = docs.filter(F.col("doc_id") < 300)
+    batch = docs.filter(F.col("doc_id") >= 300)
+    root = str(tmp_path / "bm25_root")
+
+    idx0 = R.build_bm25_index(first)
+    try:
+        R.publish_bm25_index(spark, root, idx0)
+    finally:
+        idx0.postings.unpersist()
+
+    seq = R.append_bm25_index(spark, root, batch)
+    assert seq == 2
+
+    terms = R.query_terms("fast scan table row value")
+    appended = R.read_current_bm25_index(spark, root)
+    full = R.build_bm25_index(docs)
+    try:
+        a = [tuple(r) for r in appended.topk(terms, k=10).collect()]
+        b = [tuple(r) for r in full.topk(terms, k=10).collect()]
+        assert a == b
+        assert appended.n == full.n
+        assert abs(appended.avgdl - full.avgdl) < 1e-9
+        # postings relations are row-identical too
+        pa = sorted(map(tuple, appended.postings.collect()))
+        pb = sorted(map(tuple, full.postings.collect()))
+        assert pa == pb
+    finally:
+        full.postings.unpersist()
+
+    # version history: the pre-append index is still resolvable
+    assert [s for s, _ in stores.store_history(spark, root)] == [1, 2]
+    old = stores.store_path_at(spark, root, 1)
+    old_stats = spark.read.parquet(old + "/stats").first()
+    assert old_stats["n"] == 300

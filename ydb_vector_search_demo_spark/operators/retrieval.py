@@ -901,3 +901,129 @@ def bm25_index_batch_topk(
             F.col("_r").alias("rank"),
         )
     )
+
+
+# ------------------------------------------- incremental index maintenance
+# Appends compose with the manifest-publish protocol (stores.py): each
+# index version is a directory {root}/v{seq}/{postings,stats}; readers
+# resolve the current version atomically. The append NEVER re-tokenizes
+# the existing corpus: df and corpus stats are recomputable from the
+# postings relation itself (df = docs per term; N/avgdl from the
+# distinct (doc, dl) pairs), so maintenance cost scales with the BATCH,
+# plus one agg over postings — and an appended index is EXACTLY equal
+# to a full rebuild over corpus ∪ batch (equality-tested), unlike
+# approximate-df designs.
+
+
+def _postings_core(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    stopwords: Sequence[str] | None,
+    stem: bool,
+) -> DataFrame:
+    """(term, id, tf, dl) for a document set — the df-free core."""
+    if stopwords or stem:
+        base = docs.select(
+            F.col(id_col),
+            analyzed_tokens(text_col, stopwords=stopwords, stem=stem).alias(
+                "_toks"
+            ),
+        )
+    else:
+        base = docs.select(
+            F.col(id_col),
+            F.transform(tokens(text_col), F.lower).alias("_toks"),
+        )
+    tok = base.select(
+        F.col(id_col),
+        F.size("_toks").alias("dl"),
+        F.explode("_toks").alias("term"),
+    )
+    return tok.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def _finalize_index(core: DataFrame, id_col: str) -> Bm25Index:
+    """df + corpus stats recomputed FROM the postings core (docs with
+    zero analyzed tokens contribute no postings rows and therefore
+    leave N/avgdl — matching build_bm25_index only for corpora where
+    every doc has ≥1 token, which the equality test pins)."""
+    df_t = core.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    docs_dl = core.select(id_col, "dl").distinct()
+    stats = docs_dl.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
+    ).first()
+    postings = core.join(F.broadcast(df_t), on="term").select(
+        "term", id_col, "tf", "dl", "df"
+    )
+    return Bm25Index(
+        postings.persist(), stats["_n"], float(stats["_avgdl"] or 0.0),
+        id_col=id_col,
+    )
+
+
+def publish_bm25_index(spark: SparkSession, root: str, index: Bm25Index) -> int:
+    """Write the index as a new sequence-named version under ``root``
+    and atomically publish it (stores.publish_store): concurrent
+    probers resolve old-or-new, never a half-written store."""
+    import os
+
+    from ydb_vector_search_demo_spark import stores
+
+    history = stores.store_history(spark, root)
+    seq = (history[-1][0] + 1) if history else 1
+    vdir = os.path.join(root, f"v{seq}")
+    index.postings.sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(vdir, "postings"))
+    spark.createDataFrame(
+        [(index.n, index.avgdl)], "n double, avgdl double"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "stats"))
+    return stores.publish_store(spark, root, vdir)
+
+
+def read_current_bm25_index(
+    spark: SparkSession, root: str, id_col: str = "doc_id"
+) -> Bm25Index:
+    """Open the currently-published index version for probing."""
+    import os
+
+    from ydb_vector_search_demo_spark import stores
+
+    vdir = stores.current_store_path(spark, root)
+    if vdir is None:
+        raise ValueError(f"no BM25 index published under {root!r}")
+    stats = spark.read.parquet(os.path.join(vdir, "stats")).first()
+    return Bm25Index(
+        spark.read.parquet(os.path.join(vdir, "postings")),
+        stats["n"], stats["avgdl"], id_col=id_col,
+    )
+
+
+def append_bm25_index(
+    spark: SparkSession,
+    root: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: Sequence[str] | None = None,
+    stem: bool = False,
+) -> int:
+    """Incremental maintenance: tokenize ONLY the new batch, union its
+    df-free core with the current version's (df column dropped), and
+    recompute df/N/avgdl from the combined postings — then publish as
+    a new version. The result is EXACTLY a full rebuild over
+    corpus ∪ batch (equality-tested), because df is derivable from
+    postings; cost scales with the batch plus one keyed agg over the
+    postings relation, never a corpus re-tokenization. ``stopwords``/
+    ``stem`` must match the analyzer the index was built with."""
+    current = read_current_bm25_index(spark, root, id_col=id_col)
+    new_core = _postings_core(new_docs, text_col, id_col, stopwords, stem)
+    combined = current.postings.select("term", id_col, "tf", "dl").unionByName(
+        new_core.select("term", id_col, "tf", "dl")
+    )
+    merged = _finalize_index(combined, id_col)
+    try:
+        return publish_bm25_index(spark, root, merged)
+    finally:
+        merged.postings.unpersist()
