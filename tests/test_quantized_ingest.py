@@ -224,3 +224,48 @@ def test_pq_train_degenerate_corpus_does_not_abort(spark):
     # distance for the constant corpus (codes reconstruct perfectly)
     lut = pq.adc_lut([1.0] * DIM, books, "euclidean")
     assert all(abs(min(row)) < 1e-9 for row in lut)
+
+
+def test_stream_bm25_ingest_equals_full_rebuild(spark, tmp_path):
+    """Two micro-batches of documents through stream_bm25_ingest: the
+    published index must equal a batch build over everything ingested,
+    and each micro-batch must have published its own version."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from ydb_vector_search_demo_spark import stores
+    from ydb_vector_search_demo_spark.operators import retrieval as R
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+    from ydb_vector_search_demo_spark.streaming import ingest
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = tmp_path / "docs_src"
+    root = str(tmp_path / "bm25_root")
+    ckpt = str(tmp_path / "ckpt")
+    schema = docs.schema
+
+    # batch 1
+    docs.filter(F.col("doc_id") < 250).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q = ingest.stream_bm25_ingest(stream, root, ckpt).start()
+    q.awaitTermination(120)
+    # batch 2 (new file -> second availableNow run)
+    docs.filter(F.col("doc_id") >= 250).write.parquet(str(src / "b2"))
+    q2 = ingest.stream_bm25_ingest(
+        spark.readStream.schema(schema).parquet(str(src) + "/*"), root, ckpt
+    ).start()
+    q2.awaitTermination(120)
+
+    seqs = [s for s, _ in stores.store_history(spark, root)]
+    assert seqs == [1, 2], seqs
+
+    terms = R.query_terms("fast scan table row value")
+    streamed = R.read_current_bm25_index(spark, root)
+    full = R.build_bm25_index(docs)
+    try:
+        a = [tuple(r) for r in streamed.topk(terms, k=10).collect()]
+        b = [tuple(r) for r in full.topk(terms, k=10).collect()]
+        assert a == b
+        assert streamed.n == full.n == docs.count()
+    finally:
+        full.postings.unpersist()

@@ -120,3 +120,57 @@ def stream_tree_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_bm25_ingest(
+    docs_stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords=None,
+    stem: bool = False,
+):
+    """Streaming LEXICAL ingest: each micro-batch of new documents is
+    appended to the published BM25 inverted index via
+    ``retrieval.append_bm25_index`` inside ``foreachBatch`` — tokenize
+    the batch, merge df-free postings cores, recompute df/stats from
+    postings (never re-tokenizing the corpus), publish a new atomic
+    version. Probers resolve the current version between batches and
+    always see a complete index equal to a full rebuild over
+    everything ingested so far (the batch append's equality contract).
+
+    Unlike the vector ingests above this is NOT a file-sink append —
+    publishing a new version per micro-batch is a metadata swap, the
+    streaming analogue of the continuous-aggregate refresh
+    (events_rollup_serve). Exactly-once comes from the foreachBatch
+    checkpoint: a replayed batch re-publishes an identical version.
+    Empty micro-batches are skipped (no empty version churn)."""
+    from ydb_vector_search_demo_spark.operators import retrieval as R
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        from ydb_vector_search_demo_spark import stores
+
+        if stores.current_store_path(spark, root) is None:
+            idx = R.build_bm25_index(
+                batch_df, text_col=text_col, id_col=id_col,
+                stopwords=stopwords, stem=stem,
+            )
+            try:
+                R.publish_bm25_index(spark, root, idx)
+            finally:
+                idx.postings.unpersist()
+        else:
+            R.append_bm25_index(
+                spark, root, batch_df, text_col=text_col, id_col=id_col,
+                stopwords=stopwords, stem=stem,
+            )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
