@@ -164,3 +164,63 @@ def test_ivf_batch_filtered_predicate(spark, embs, qdf):
         assert labels and all(r.label == 1 for r in labels)
     finally:
         index.assigned.unpersist()
+
+
+def test_quantized_batch_equals_single_query_loop(spark, embs, qdf, qvs):
+    """Batched flat-quantized search == per-query quantized_search."""
+    from ydb_vector_search_demo_spark.operators import quant
+
+    quantized = quant.quantize_int8(embs)
+    batch = quant.quantized_batch_search(
+        quantized, embs, qdf, k=5, rescore=4
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], round(r["score"], 9))
+        )
+    for qid, qv in enumerate(qvs):
+        single = quant.quantized_search(
+            quantized, embs, qv, k=5, rescore=4
+        ).collect()
+        want = [
+            (i + 1, r["vec_id"], round(r["score"], 9))
+            for i, r in enumerate(single)
+        ]
+        assert sorted(got[qid]) == want, f"query {qid}"
+
+
+def test_ivf_quantized_batch_parquet_equals_loop(spark, embs, qdf, qvs, ivf, tmp_path):
+    """Batched pruned+quantized serving == per-query
+    ivf_quantized_search_parquet loop at equal nprobe/rescore."""
+    from ydb_vector_search_demo_spark.operators import quant
+
+    path = str(tmp_path / "ivfq")
+    quant.write_ivf_quantized(ivf, path)
+    batch = quant.ivf_quantized_batch_search_parquet(
+        spark, path, embs, ivf.centroids, qdf, k=5, nprobe=4, rescore=4
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], round(r["score"], 9))
+        )
+    for qid, qv in enumerate(qvs):
+        single = quant.ivf_quantized_search_parquet(
+            spark, path, embs, ivf.centroids, qv, k=5, nprobe=4, rescore=4
+        ).collect()
+        want = [
+            (i + 1, r["vec_id"], round(r["score"], 9))
+            for i, r in enumerate(single)
+        ]
+        assert sorted(got[qid]) == want, f"query {qid}"
+
+
+def test_quantized_batch_plan_shape(spark, embs, qdf):
+    from ydb_vector_search_demo_spark.operators import quant
+
+    quantized = quant.quantize_int8(embs)
+    df = quant.quantized_batch_search(quantized, embs, qdf, k=5, rescore=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WindowGroupLimit" in plan

@@ -780,3 +780,163 @@ def mrl_quantized_search_parquet(
     return knn_scores(
         candidates, qv, k=k, metric=metric, id_col=id_col, vector_col=vector_col
     )
+
+
+# --------------------------------------------------------------------------
+# Batched quantized probes — the r5 composition of the batched-ANN
+# discipline (one scan for a whole query batch, ann.ivf_batch_search)
+# with the quantized coarse stores: the single coarse scan reads the
+# pruned, int8 bytes ONCE for every query, and only the per-query
+# rescore touches float vectors (Q × rescore·k rows).
+# --------------------------------------------------------------------------
+
+
+def coarse_distance_col(
+    q_col: Column | str,
+    scale_col: Column | str,
+    qv_col: Column,
+    metric: str = "cosine",
+) -> Column:
+    """Column-vs-column twin of :func:`coarse_distance` for batched
+    probes, where the query vector arrives as a (broadcast) column."""
+    if metric == "cosine":
+        return distance(to_double_array(q_col), qv_col, metric)
+    return distance(dequantize_expr(q_col, scale_col), qv_col, metric)
+
+
+def _batch_rescore(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str,
+    query_id_col: str,
+    query_vec_col: str,
+    id_col: str,
+    vector_col: str,
+) -> DataFrame:
+    """Exact rescore of per-query candidate pools: broadcast the
+    (query_id, id) pool into the float relation, re-attach the query
+    vector, exact distance, per-query WindowGroupLimit top-k — the
+    batch twin of the coarse→rescore contract (final top-k exact over
+    each query's pool)."""
+    from pyspark.sql import Window
+
+    pool = candidates.select(query_id_col, id_col)
+    cand = embeddings.join(F.broadcast(pool), on=id_col)
+    scored = cand.join(
+        F.broadcast(queries.select(query_id_col, query_vec_col)),
+        on=query_id_col,
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        distance(vector_col, F.col(query_vec_col), metric).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").asc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def quantized_batch_search(
+    quantized: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rescore: int = 4,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    q_col: str = "qvec",
+    scale_col: str = "qscale",
+    predicate=None,
+) -> DataFrame:
+    """Batched flat-quantized search: ONE int8 coarse scan scores every
+    query (broadcast crossJoin of the batch), per-query coarse
+    top-``rescore·k`` via Partial WindowGroupLimit, then the batch
+    rescore. Per query row-identical to :func:`quantized_search` at
+    equal parameters (equality-tested)."""
+    from ydb_vector_search_demo_spark.operators.ann import _batch_topk
+
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    if predicate is not None:
+        quantized = quantized.filter(predicate)
+    coarse = quantized.crossJoin(
+        F.broadcast(queries.select(query_id_col, query_vec_col))
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        coarse_distance_col(q_col, scale_col, F.col(query_vec_col), metric).alias(
+            "qscore"
+        ),
+    )
+    pool = _batch_topk(
+        coarse, int(rescore) * k, query_id_col, id_col, "qscore", "qrank"
+    )
+    return _batch_rescore(
+        pool, embeddings, queries, k, metric, query_id_col, query_vec_col,
+        id_col, vector_col,
+    )
+
+
+def ivf_quantized_batch_search_parquet(
+    spark: SparkSession,
+    quantized_path: str,
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    rescore: int = 4,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """The full 100 TB batched serving composition: union-of-cells
+    partition pruning (the whole batch reads at most |union|/k_clusters
+    of the quantized directory tree ONCE) × int8 bytes × broadcast
+    (query_id, cell, query_vec) membership fan-out × per-query Partial
+    WindowGroupLimit coarse cut × batch exact rescore. Per query
+    row-identical to the single-query
+    :func:`ivf_quantized_search_parquet` loop at equal nprobe/rescore
+    (equality-tested)."""
+    from ydb_vector_search_demo_spark.operators.ann import (
+        _batch_topk,
+        _collect_query_vectors,
+        _membership_df,
+        rank_centroids,
+    )
+
+    qrows = _collect_query_vectors(queries, query_id_col, query_vec_col)
+    nprobe = max(1, min(int(nprobe), len(centroids)))
+    members = []
+    for qid, qv in qrows:
+        for c in rank_centroids(centroids, qv, metric)[:nprobe]:
+            members.append((qid, int(c), qv))
+    union_cells = sorted({m[1] for m in members})
+    mem = _membership_df(queries, query_id_col, members, ["centroid_id"])
+    pruned = spark.read.parquet(quantized_path).filter(
+        F.col("centroid_id").isin(union_cells)
+    )
+    coarse = pruned.join(F.broadcast(mem), on="centroid_id").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        coarse_distance_col("qvec", "qscale", F.col("_qv"), metric).alias(
+            "qscore"
+        ),
+    )
+    pool = _batch_topk(
+        coarse, int(rescore) * k, query_id_col, id_col, "qscore", "qrank"
+    )
+    return _batch_rescore(
+        pool, embeddings, queries, k, metric, query_id_col, query_vec_col,
+        id_col, vector_col,
+    )
