@@ -224,3 +224,67 @@ def test_quantized_batch_plan_shape(spark, embs, qdf):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_pq_batch_equals_single_query_loop(spark, embs, qdf, qvs):
+    """Batched ADC search == per-query pq_search loop."""
+    from ydb_vector_search_demo_spark.operators import pq
+
+    dim = len(qvs[0])
+    books = pq.train_pq_codebooks(embs, dim, m=8, k_star=16)
+    encoded = pq.pq_encode(embs, books)
+    batch = pq.pq_batch_search(
+        encoded, embs, books, qdf, k=5, rescore=4
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], round(r["score"], 9))
+        )
+    for qid, qv in enumerate(qvs):
+        single = pq.pq_search(encoded, embs, books, qv, k=5, rescore=4).collect()
+        want = [
+            (i + 1, r["vec_id"], round(r["score"], 9))
+            for i, r in enumerate(single)
+        ]
+        assert sorted(got[qid]) == want, f"query {qid}"
+
+
+def test_ivfpq_companion_batch_parquet_equals_loop(
+    spark, embs, qdf, qvs, ivf, tmp_path
+):
+    """Batched pruned PQ-companion serving == per-query loop."""
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_demo_spark.operators import ann as _ann
+    from ydb_vector_search_demo_spark.operators import pq
+
+    dim = len(qvs[0])
+    books = pq.train_pq_codebooks(embs, dim, m=8, k_star=16)
+    path = str(tmp_path / "ivfpq_comp")
+    # the layout stream_ivf_ingest writes: cell + PQ companion columns
+    _ann.ivf_assign(ivf.centroids, embs).select(
+        "vec_id", "centroid_id",
+        pq.encode_expr("embedding", books).alias("pq_codes"),
+    ).join(
+        pq.pq_encode(embs, books).select("vec_id", "vnorm"), on="vec_id"
+    ).write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+
+    batch = pq.ivf_pq_companion_batch_search_parquet(
+        spark, path, embs, ivf.centroids, books, qdf, k=5, nprobe=4, rescore=4
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], round(r["score"], 9))
+        )
+    for qid, qv in enumerate(qvs):
+        single = pq.ivf_pq_companion_search_parquet(
+            spark, path, ivf.centroids, books, embs, qv,
+            k=5, nprobe=4, rescore=4,
+        ).collect()
+        want = [
+            (i + 1, r["vec_id"], round(r["score"], 9))
+            for i, r in enumerate(single)
+        ]
+        assert sorted(got[qid]) == want, f"query {qid}"

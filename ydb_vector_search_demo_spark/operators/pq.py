@@ -708,3 +708,175 @@ def pq_recall(
         "k INT, m INT, k_star INT, rescore INT, compression_x DOUBLE, "
         "recall_adc_coarse DOUBLE, recall_adc_rescored DOUBLE",
     )
+
+
+# --------------------------------------------------------------------------
+# Batched ADC probes (r5): the batch discipline composed with PQ codes.
+# The per-query LUT (m × k* floats) rides the broadcast query batch as
+# a column, so ONE coarse scan of the m-byte codes serves every query —
+# the scan cost is paid once per batch at the best bytes/recall point
+# of the quantization ladder.
+# --------------------------------------------------------------------------
+
+
+def adc_score_col(
+    codes_col: Column | str,
+    lut_col: Column,
+    metric: str,
+    qnorm_col: Column,
+    norm_col: Column | str = "vnorm",
+) -> Column:
+    """Column-LUT twin of :func:`adc_score` for batched probes: the
+    lookup table and query norm arrive as (broadcast) columns instead
+    of plan literals — same m lookups + fold, JVM-side."""
+    codes = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    nrm = F.col(norm_col) if isinstance(norm_col, str) else norm_col
+    picked = F.zip_with(
+        codes, lut_col, lambda c, row: F.element_at(row, c.cast("int") + 1)
+    )
+    total = F.aggregate(picked, F.lit(0.0), lambda acc, x: acc + x)
+    if metric in ("euclidean", "manhattan"):
+        return total
+    if metric == "inner_product":
+        return -total
+    if metric == "cosine":
+        return F.lit(1.0) - F.try_divide(total, nrm * qnorm_col)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def _pq_query_batch_df(
+    queries: DataFrame,
+    codebooks: Codebooks,
+    metric: str,
+    query_id_col: str,
+    query_vec_col: str,
+    extra: dict | None = None,
+):
+    """Broadcast side for batched ADC: (query_id, _qv, _lut, _qn
+    [, extra cell columns]) — LUTs computed driver-side over the
+    driver-resident codebooks, exactly like the single-query path."""
+    import math as _math
+
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    )
+
+    rows = []
+    for r in queries.select(query_id_col, query_vec_col).collect():
+        qv = [float(x) for x in r[1]]
+        lut = adc_lut(qv, codebooks, metric)
+        qn = _math.sqrt(sum(x * x for x in qv))
+        if extra is None:
+            rows.append((r[0], qv, lut, qn))
+        else:
+            for cell in extra[r[0]]:
+                rows.append((r[0], int(cell), qv, lut, qn))
+    fields = [StructField(query_id_col, queries.schema[query_id_col].dataType)]
+    if extra is not None:
+        fields.append(StructField("centroid_id", IntegerType()))
+    fields += [
+        StructField("_qv", ArrayType(DoubleType())),
+        StructField("_lut", ArrayType(ArrayType(DoubleType()))),
+        StructField("_qn", DoubleType()),
+    ]
+    return queries.sparkSession.createDataFrame(rows, StructType(fields))
+
+
+def pq_batch_search(
+    encoded: DataFrame,
+    embeddings: DataFrame,
+    codebooks: Codebooks,
+    queries: DataFrame,
+    k: int = 5,
+    rescore: int = 4,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    norm_col: str = "vnorm",
+) -> DataFrame:
+    """Batched ADC search: ONE coarse scan of the m-byte codes scores
+    every query (per-query LUT as a broadcast column), per-query
+    Partial-WindowGroupLimit coarse cut, shared exact batch rescore.
+    Per query row-identical to :func:`pq_search` at equal parameters
+    (equality-tested)."""
+    from ydb_vector_search_demo_spark.operators.ann import _batch_topk
+    from ydb_vector_search_demo_spark.operators.quant import _batch_rescore
+
+    qb = _pq_query_batch_df(
+        queries, codebooks, metric, query_id_col, query_vec_col
+    )
+    coarse = encoded.crossJoin(F.broadcast(qb)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        adc_score_col(
+            codes_col, F.col("_lut"), metric, F.col("_qn"), norm_col
+        ).alias("pq_score"),
+    )
+    pool = _batch_topk(
+        coarse, int(rescore) * k, query_id_col, id_col, "pq_score", "qrank"
+    )
+    return _batch_rescore(
+        pool, embeddings, queries, k, metric, query_id_col, query_vec_col,
+        id_col, vector_col,
+    )
+
+
+def ivf_pq_companion_batch_search_parquet(
+    spark: SparkSession,
+    pq_path: str,
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    codebooks: Codebooks,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    rescore: int = 4,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """The batched 100 TB PQ serving composition: union-of-cells
+    partition pruning on the PQ companion store × m-byte ADC scoring ×
+    broadcast (query_id, cell, LUT) membership fan-out × per-query
+    coarse cut × shared batch rescore. Per query row-identical to the
+    single-query :func:`ivf_pq_companion_search_parquet` loop at equal
+    nprobe/rescore (equality-tested)."""
+    from ydb_vector_search_demo_spark.operators.ann import (
+        _batch_topk,
+        rank_centroids,
+    )
+    from ydb_vector_search_demo_spark.operators.quant import _batch_rescore
+
+    nprobe = max(1, min(int(nprobe), len(centroids)))
+    probes = {
+        r[0]: rank_centroids(
+            centroids, [float(x) for x in r[1]], metric
+        )[:nprobe]
+        for r in queries.select(query_id_col, query_vec_col).collect()
+    }
+    union_cells = sorted({c for cs in probes.values() for c in cs})
+    qb = _pq_query_batch_df(
+        queries, codebooks, metric, query_id_col, query_vec_col, extra=probes
+    )
+    pruned = spark.read.parquet(pq_path).filter(
+        F.col("centroid_id").isin(union_cells)
+    )
+    coarse = pruned.join(F.broadcast(qb), on="centroid_id").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        adc_score_col(
+            "pq_codes", F.col("_lut"), metric, F.col("_qn"), "vnorm"
+        ).alias("pq_score"),
+    )
+    pool = _batch_topk(
+        coarse, int(rescore) * k, query_id_col, id_col, "pq_score", "qrank"
+    )
+    return _batch_rescore(
+        pool, embeddings, queries, k, metric, query_id_col, query_vec_col,
+        id_col, vector_col,
+    )
