@@ -144,3 +144,102 @@ def test_mrl_quantized_bytes_are_smaller(embs, tmp_path):
         )
 
     assert du(qp) * 3 < du(fl), (du(qp), du(fl))
+
+
+# ------------------------------------------------------------- batch axis
+
+QUERIES_B = ["hash join spark", "window order data", "customer query line"]
+QVS_B = [rag.embed_query_stub(q) for q in QUERIES_B]
+
+
+@pytest.fixture(scope="module")
+def qdf(spark):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(QVS_B)],
+        "query_id INT, query_vec ARRAY<DOUBLE>",
+    )
+
+
+def _by_query(rows):
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], round(r["score"], 9))
+        )
+    return got
+
+
+def test_mrl_batch_equals_single_query_loop(embs, qdf):
+    got = _by_query(
+        quant.mrl_batch_search(embs, qdf, dims=16, k=5, rescore=4).collect()
+    )
+    for qid, qv in enumerate(QVS_B):
+        single = quant.mrl_search(embs, qv, dims=16, k=5, rescore=4).collect()
+        want = [
+            (i + 1, r["vec_id"], round(r["score"], 9))
+            for i, r in enumerate(single)
+        ]
+        assert sorted(got[qid]) == want, f"query {qid}"
+
+
+def test_mrl_batch_parquet_equals_loop(embs, qdf, tmp_path):
+    spark = embs.sparkSession
+    path = str(tmp_path / "mrl_prefix_b")
+    quant.write_mrl_store(embs, path, dims=16)
+    got = _by_query(
+        quant.mrl_batch_search_parquet(
+            spark, path, embs, qdf, dims=16, k=5, rescore=4
+        ).collect()
+    )
+    for qid, qv in enumerate(QVS_B):
+        single = quant.mrl_search_parquet(
+            spark, path, embs, qv, dims=16, k=5, rescore=4
+        ).collect()
+        want = [
+            (i + 1, r["vec_id"], round(r["score"], 9))
+            for i, r in enumerate(single)
+        ]
+        assert sorted(got[qid]) == want, f"query {qid}"
+
+
+def test_mrl_quantized_batch_parquet_equals_loop(embs, qdf, tmp_path):
+    spark = embs.sparkSession
+    path = str(tmp_path / "mrl_q_b")
+    quant.write_mrl_quantized_store(embs, path, dims=16)
+    got = _by_query(
+        quant.mrl_quantized_batch_search_parquet(
+            spark, path, embs, qdf, dims=16, k=5, rescore=4
+        ).collect()
+    )
+    for qid, qv in enumerate(QVS_B):
+        single = quant.mrl_quantized_search_parquet(
+            spark, path, embs, qv, dims=16, k=5, rescore=4
+        ).collect()
+        want = [
+            (i + 1, r["vec_id"], round(r["score"], 9))
+            for i, r in enumerate(single)
+        ]
+        assert sorted(got[qid]) == want, f"query {qid}"
+
+
+def test_mrl_batch_full_width_equals_exact_batch(embs, qdf):
+    """dims = d + corpus-covering pool degenerates to exact batch KNN."""
+    from ydb_vector_search_demo_spark.operators.knn import batch_knn
+
+    n = embs.count()
+    d = len(QVS_B[0])
+    got = _by_query(
+        quant.mrl_batch_search(
+            embs, qdf, dims=d, k=5, rescore=(n // 5) + 1
+        ).collect()
+    )
+    exact = _by_query(batch_knn(qdf, embs, k=5).collect())
+    assert got == exact
+
+
+def test_mrl_batch_plan_shape(embs, qdf):
+    """Coarse + cut stay JVM-side: no Python nodes, WindowGroupLimit cut."""
+    df = quant.mrl_batch_search(embs, qdf, dims=16, k=5, rescore=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WindowGroupLimit" in plan

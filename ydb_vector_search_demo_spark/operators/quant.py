@@ -885,6 +885,147 @@ def quantized_batch_search(
     )
 
 
+def mrl_batch_search(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dims: int = 16,
+    k: int = 5,
+    rescore: int = 4,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    predicate=None,
+) -> DataFrame:
+    """Batched Matryoshka prefix search — the DIMENSION lever composed
+    with the batched-probe discipline: ONE coarse scan over the
+    ``dims``-prefixes scores every query in the batch (broadcast
+    crossJoin, both sides sliced inside whole-stage codegen), per-query
+    coarse top-``rescore·k`` via Partial WindowGroupLimit, then the
+    shared batch exact rescore (float reads = Q × rescore·k rows).
+    Per query row-identical to the single-query :func:`mrl_search` loop
+    at equal (dims, rescore) — equality-tested; dims = d with a full
+    pool degenerates to exact ``batch_knn``."""
+    from ydb_vector_search_demo_spark.operators.ann import _batch_topk
+
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    base = embeddings if predicate is None else embeddings.filter(predicate)
+    coarse = base.crossJoin(
+        F.broadcast(queries.select(query_id_col, query_vec_col))
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        distance(
+            mrl_prefix(vector_col, dims),
+            F.slice(F.col(query_vec_col), 1, int(dims)),
+            metric,
+        ).alias("mscore"),
+    )
+    pool = _batch_topk(
+        coarse, int(rescore) * k, query_id_col, id_col, "mscore", "mrank"
+    )
+    return _batch_rescore(
+        pool, embeddings, queries, k, metric, query_id_col, query_vec_col,
+        id_col, vector_col,
+    )
+
+
+def mrl_batch_search_parquet(
+    spark: SparkSession,
+    prefix_path: str,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dims: int = 16,
+    k: int = 5,
+    rescore: int = 4,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    predicate=None,
+) -> DataFrame:
+    """Batched serving path over the persisted prefix store
+    (:func:`write_mrl_store`): the whole batch's only full scan reads
+    d'/d of the float bytes ONCE; full-width vectors are fetched for
+    Q × rescore·k broadcast candidates only. Per query row-identical to
+    the single-query :func:`mrl_search_parquet` loop."""
+    from ydb_vector_search_demo_spark.operators.ann import _batch_topk
+
+    pref = spark.read.parquet(prefix_path)
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    if predicate is not None:
+        pref = pref.filter(predicate)
+    coarse = pref.crossJoin(
+        F.broadcast(queries.select(query_id_col, query_vec_col))
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        distance(
+            F.col("prefix"), F.slice(F.col(query_vec_col), 1, int(dims)), metric
+        ).alias("mscore"),
+    )
+    pool = _batch_topk(
+        coarse, int(rescore) * k, query_id_col, id_col, "mscore", "mrank"
+    )
+    return _batch_rescore(
+        pool, embeddings, queries, k, metric, query_id_col, query_vec_col,
+        id_col, vector_col,
+    )
+
+
+def mrl_quantized_batch_search_parquet(
+    spark: SparkSession,
+    store_path: str,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dims: int = 16,
+    k: int = 5,
+    rescore: int = 4,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    predicate=None,
+) -> DataFrame:
+    """Both byte levers × the batch axis: one coarse scan over the
+    int8-quantized ``dims``-prefix store
+    (:func:`write_mrl_quantized_store` — d'/d × 1/4 of the float bytes)
+    scores the whole batch; per-query Partial-WindowGroupLimit cut;
+    shared exact rescore. Per query row-identical to the single-query
+    :func:`mrl_quantized_search_parquet` loop."""
+    from ydb_vector_search_demo_spark.operators.ann import _batch_topk
+
+    store = spark.read.parquet(store_path)
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    if predicate is not None:
+        store = store.filter(predicate)
+    coarse = store.crossJoin(
+        F.broadcast(queries.select(query_id_col, query_vec_col))
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        coarse_distance_col(
+            "qprefix",
+            "qscale",
+            F.slice(F.col(query_vec_col), 1, int(dims)),
+            metric,
+        ).alias("mqscore"),
+    )
+    pool = _batch_topk(
+        coarse, int(rescore) * k, query_id_col, id_col, "mqscore", "mqrank"
+    )
+    return _batch_rescore(
+        pool, embeddings, queries, k, metric, query_id_col, query_vec_col,
+        id_col, vector_col,
+    )
+
+
 def ivf_quantized_batch_search_parquet(
     spark: SparkSession,
     quantized_path: str,

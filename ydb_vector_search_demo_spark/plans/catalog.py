@@ -2960,6 +2960,64 @@ def q_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mrl_batch_branch_sql(qid: int, qv: list[float]) -> str:
+    """One query's prefix-coarse → exact-rescore top-5 as a
+    self-contained subquery — the oracle twin of one query_id slice of
+    operators.quant.mrl_batch_search."""
+    return f"""
+    SELECT {qid}::BIGINT AS query_id, r.* FROM (
+      WITH coarse AS (
+        SELECT vec_id FROM (
+          SELECT vec_id,
+                 1.0 - list_cosine_similarity(
+                         (embedding::DOUBLE[])[1:{_MRL_DIMS}],
+                         {_vec_sql(qv[:_MRL_DIMS])}) AS ms
+          FROM embeddings)
+        ORDER BY ms, vec_id LIMIT {_MRL_POOL}
+      )
+      SELECT vec_id, round(raw, 6) AS score,
+             row_number() OVER (ORDER BY raw, vec_id)::INTEGER AS rank
+      FROM (SELECT e.vec_id,
+                   1.0 - list_cosine_similarity(embedding::DOUBLE[],
+                                                {_vec_sql(qv)}) AS raw
+            FROM embeddings e JOIN coarse USING (vec_id))
+      ORDER BY raw, vec_id LIMIT 5
+    ) r"""
+
+
+@register(
+    "mrl_batch_rescore",
+    "\nUNION ALL\n".join(
+        _mrl_batch_branch_sql(i, v) for i, v in enumerate(BATCH_QVS)
+    )
+    + "\nORDER BY query_id, rank",
+)
+def q_mrl_batch_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched Matryoshka search (operators.quant.mrl_batch_search):
+    the DIMENSION byte lever composed with the batched-probe discipline
+    — ONE coarse scan over the 16-of-64-dim prefixes scores the whole
+    query batch (both sides sliced inside whole-stage codegen),
+    per-query coarse top-20 via Partial WindowGroupLimit, shared exact
+    full-width rescore (float reads = Q × 20 broadcast candidate rows).
+    Completes the batch matrix's dims axis alongside
+    quantized_batch_search / pq_batch_search. Fully oracle-checked;
+    per-query rows equal the single-query mrl_search loop
+    (equality-tested in tests/test_mrl.py)."""
+    from ydb_vector_search_demo_spark.operators import quant
+
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(BATCH_QVS)],
+        "query_id long, query_vec array<double>",
+    )
+    out = quant.mrl_batch_search(embs, queries, dims=_MRL_DIMS, k=5, rescore=4)
+    return out.select(
+        "query_id", "vec_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
 # Fixed deterministic PQ codebooks (m=4 subspaces × k*=4 centroids ×
 # 16 dims) derived from QV arithmetic and rounded to 6 dp so the SQL
 # literals equal the Python floats exactly — with codebooks FIXED, PQ
