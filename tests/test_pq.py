@@ -158,3 +158,89 @@ def test_ivfpq_recall_report(spark, tmp_path):
     assert row.recall >= 0.8, row
     assert row.bytes_per_vector == 12.0
     ann.clear_index_cache()
+
+
+# --------------------------------------------------------- codebook drift
+
+
+def test_reconstruction_error_matches_driver_side_math(spark):
+    """error expr == ||x - decode(encode(x))||^2 computed in Python."""
+    vecs = [[math.sin(i * 0.7 + s) for i in range(16)] for s in range(6)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    got = {
+        r.vec_id: r.e
+        for r in df.select(
+            "vec_id",
+            pq.reconstruction_error_expr("embedding", FIXED_BOOKS).alias("e"),
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        codes = _encode_py(v)
+        want = sum(
+            (a - b) ** 2
+            for j, c in enumerate(codes)
+            for a, b in zip(v[j * 8 : j * 8 + 8], FIXED_BOOKS[j][c])
+        )
+        assert got[i] == pytest.approx(want, rel=1e-9), f"row {i}"
+
+
+def test_drift_report_flags_planted_shift(spark):
+    """In-distribution batch: ratio ~= 1, no refit. Shifted batch:
+    reconstruction error blows past threshold, refit recommended; a
+    refit on the drifted data brings its error back down."""
+    import pyspark.sql.functions as F
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    dim = len(QV)
+    books = pq.train_pq_codebooks(embs, dim, m=4, k_star=8)
+    baseline = pq.pq_quantization_mse(embs, books)
+    assert baseline > 0.0
+
+    ok = pq.pq_drift_report(spark, embs, books, baseline).first()
+    assert ok.mse_ratio == pytest.approx(1.0, rel=1e-6)
+    assert not ok.refit_recommended
+
+    drifted = embs.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * 3.0 + 5.0).alias("embedding"),
+    )
+    bad = pq.pq_drift_report(spark, drifted, books, baseline).first()
+    assert bad.mse_ratio > bad.threshold and bad.refit_recommended
+
+    refit = pq.train_pq_codebooks(drifted, dim, m=4, k_star=8)
+    healed = pq.pq_quantization_mse(drifted, refit)
+    assert healed < bad.batch_mse / 2
+
+
+def test_drift_report_zero_baseline_guard(spark):
+    """Perfectly-reconstructed baseline (constant corpus): identical
+    batch -> ratio 0 / no refit; any divergence -> refit recommended."""
+    const = spark.createDataFrame(
+        [(i, [1.0] * 16) for i in range(8)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    books = pq.train_pq_codebooks(const, 16, m=2, k_star=4)
+    base = pq.pq_quantization_mse(const, books)
+    assert base == 0.0
+    same = pq.pq_drift_report(spark, const, books, base).first()
+    assert same.mse_ratio == 0.0 and not same.refit_recommended
+    other = spark.createDataFrame(
+        [(i, [2.5] * 16) for i in range(8)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    diff = pq.pq_drift_report(spark, other, books, base).first()
+    assert diff.refit_recommended and diff.mse_ratio == float("inf")
+
+
+def test_drift_error_stays_jvm_side(spark):
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    books = pq.train_pq_codebooks(embs, len(QV), m=4, k_star=8)
+    df = embs.select(
+        pq.reconstruction_error_expr("embedding", books).alias("e")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for py_node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py_node not in plan

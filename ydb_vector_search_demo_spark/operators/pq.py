@@ -711,6 +711,107 @@ def pq_recall(
 
 
 # --------------------------------------------------------------------------
+# Codebook drift maintenance (r5): the quantizer counterpart of the
+# cell-population drift loop (ann.tree_drift_report / ivf_drift_report).
+# Cell sizes can stay balanced while the DISTRIBUTION moves away from
+# the frozen codebooks — reconstruction error is the signal for that
+# failure mode, and it is computable map-side with zero extra state.
+# --------------------------------------------------------------------------
+
+
+def reconstruction_error_expr(
+    vector_col: Column | str, codebooks: Codebooks
+) -> Column:
+    """Squared reconstruction error ``||x − decode(encode(x))||²`` per
+    row as a pure Column expression: per subspace, the distance to the
+    NEAREST centroid — ``array_min`` over the same per-centroid
+    distances :func:`encode_expr` argmins over — IS that subspace's
+    reconstruction error, so encode→decode never materializes. The
+    codebooks travel as plan literals; no Python anywhere."""
+    v = to_double_array(vector_col)
+
+    def dist_to(sub: Column):
+        def inner(c: Column) -> Column:
+            return F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        return inner
+
+    total: Column | None = None
+    start = 0
+    for book in codebooks:
+        length = len(book[0])
+        sub = F.slice(v, start + 1, length)
+        dists = F.transform(F.array(*[F.lit(c) for c in book]), dist_to(sub))
+        term = F.array_min(dists)
+        total = term if total is None else total + term
+        start += length
+    assert total is not None
+    return total
+
+
+def pq_quantization_mse(
+    vectors: DataFrame,
+    codebooks: Codebooks,
+    vector_col: str = "embedding",
+) -> float:
+    """Mean squared reconstruction error of a relation under frozen
+    codebooks — ONE map-side aggregation (no shuffle beyond the final
+    1-row combine). Record this at build/refit time as the baseline the
+    drift report compares appended batches against; the corpus is never
+    rescanned afterwards."""
+    row = vectors.select(
+        F.avg(reconstruction_error_expr(vector_col, codebooks)).alias("mse")
+    ).first()
+    return float(row["mse"]) if row["mse"] is not None else 0.0
+
+
+def pq_drift_report(
+    spark: SparkSession,
+    batch: DataFrame,
+    codebooks: Codebooks,
+    baseline_mse: float,
+    threshold: float = 2.0,
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """One-row codebook-drift report for an appended/streamed batch:
+    the batch's reconstruction MSE under the FROZEN codebooks vs the
+    build-time baseline. ``mse_ratio > threshold`` (default 2.0 —
+    reconstruction error doubled) recommends a refit + re-encode cycle
+    (train_pq_codebooks on corpus ∪ batch, republish via the store
+    manifest protocol, stores.publish_store) — the quantizer analogue
+    of the skew_ratio-4.0 contract shared by ann.tree_drift_report /
+    ann.ivf_drift_report, closing the maintenance loop for the one
+    index family (PQ/IVF-PQ stores) whose accuracy can rot while cell
+    populations stay perfectly balanced. Cost: one map-side agg over
+    the BATCH only."""
+    mse = pq_quantization_mse(batch, codebooks, vector_col=vector_col)
+    n = batch.count()
+    base = float(baseline_mse)
+    if base > 0.0:
+        ratio = mse / base
+    else:
+        ratio = 0.0 if mse == 0.0 else float("inf")
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                float(mse),
+                base,
+                float(ratio),
+                float(threshold),
+                bool(ratio > threshold),
+            )
+        ],
+        "n_batch BIGINT, batch_mse DOUBLE, baseline_mse DOUBLE, "
+        "mse_ratio DOUBLE, threshold DOUBLE, refit_recommended BOOLEAN",
+    )
+
+
+# --------------------------------------------------------------------------
 # Batched ADC probes (r5): the batch discipline composed with PQ codes.
 # The per-query LUT (m × k* floats) rides the broadcast query batch as
 # a column, so ONE coarse scan of the m-byte codes serves every query —

@@ -3137,6 +3137,46 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pq_codebook_drift")
+def q_pq_codebook_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-drift maintenance report (operators.pq.pq_drift_report,
+    the quantizer counterpart of ann.tree_drift_report /
+    ivf_drift_report): reconstruction MSE of an appended batch under
+    FROZEN codebooks vs the build-time baseline — the signal for the
+    failure mode cell-size skew can't see (balanced cells, rotten
+    accuracy). Two rows: an in-distribution batch (ratio ≈ 1, no
+    refit) and a planted distribution shift (×3 + 5 per element —
+    ratio ≫ 2, refit + re-encode recommended). One map-side agg per
+    batch; the corpus is never rescanned. Rows-only (KMeans-trained
+    codebooks); the error expression itself is pinned against
+    driver-side math in tests/test_pq.py."""
+    from ydb_vector_search_demo_spark.operators import pq
+
+    embs = _t(spark, sf_dir, "embeddings")
+    books = pq.train_pq_codebooks(
+        embs, len(QV), m=8, k_star=16, fit_sample_fraction=0.5
+    )
+    baseline = pq.pq_quantization_mse(embs, books)
+    same = pq.pq_drift_report(spark, embs, books, baseline)
+    drifted = embs.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * 3.0 + 5.0).alias("embedding"),
+    )
+    moved = pq.pq_drift_report(spark, drifted, books, baseline)
+    return (
+        same.withColumn("batch", F.lit("in_distribution"))
+        .unionByName(moved.withColumn("batch", F.lit("planted_shift")))
+        .select(
+            "batch", "n_batch",
+            F.round("batch_mse", 6).alias("batch_mse"),
+            F.round("baseline_mse", 6).alias("baseline_mse"),
+            F.round("mse_ratio", 4).alias("mse_ratio"),
+            "refit_recommended",
+        )
+        .orderBy("batch")
+    )
+
+
 @register("multimodal_decode_meta")
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing: payload → typed metadata via
