@@ -288,3 +288,60 @@ def test_ivfpq_companion_batch_parquet_equals_loop(
             for i, r in enumerate(single)
         ]
         assert sorted(got[qid]) == want, f"query {qid}"
+
+
+def test_tree_quantized_batch_parquet_equals_loop(spark, embs, qdf, qvs, tree, tmp_path):
+    """Batched int8 tree probe == per-query tree_quantized_search_parquet
+    loop — the two-level pruning × int8 bytes × batch-axis composition."""
+    from ydb_vector_search_demo_spark.operators import quant
+
+    path = str(tmp_path / "tree_q")
+    quant.write_tree_quantized(tree, path)
+    batch = quant.tree_quantized_batch_search_parquet(
+        spark, path, embs, tree.centroids_top, tree.centroids_sub, qdf,
+        k=5, nprobe_top=2, nprobe_sub=2, rescore=4,
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], round(r["score"], 9))
+        )
+    for qid, qv in enumerate(qvs):
+        single = quant.tree_quantized_search_parquet(
+            spark, path, embs, tree.centroids_top, tree.centroids_sub, qv,
+            k=5, nprobe_top=2, nprobe_sub=2, rescore=4,
+        ).collect()
+        want = [
+            (i + 1, r["vec_id"], round(r["score"], 9))
+            for i, r in enumerate(single)
+        ]
+        assert sorted(got[qid]) == want, f"query {qid}"
+
+
+def test_tree_pq_batch_parquet_equals_loop(spark, embs, qdf, qvs, tree, tmp_path):
+    """Batched ADC tree probe == per-query tree_pq_search_parquet loop."""
+    from ydb_vector_search_demo_spark.operators import pq
+
+    dim = len(qvs[0])
+    books = pq.train_pq_codebooks(embs, dim, m=8, k_star=16)
+    path = str(tmp_path / "tree_pq")
+    pq.write_tree_pq(tree, books, path)
+    batch = pq.tree_pq_batch_search_parquet(
+        spark, path, tree.centroids_top, tree.centroids_sub, books, embs,
+        qdf, k=5, nprobe_top=2, nprobe_sub=2, rescore=4,
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], round(r["score"], 9))
+        )
+    for qid, qv in enumerate(qvs):
+        single = pq.tree_pq_search_parquet(
+            spark, path, tree.centroids_top, tree.centroids_sub, books,
+            embs, qv, k=5, nprobe_top=2, nprobe_sub=2, rescore=4,
+        ).collect()
+        want = [
+            (i + 1, r["vec_id"], round(r["score"], 9))
+            for i, r in enumerate(single)
+        ]
+        assert sorted(got[qid]) == want, f"query {qid}"

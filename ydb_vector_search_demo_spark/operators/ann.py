@@ -1278,6 +1278,50 @@ def ivf_batch_search_parquet(
     return ivf_batch_search(spark.read.parquet(path), centroids, queries, **kwargs)
 
 
+def _tree_batch_membership(
+    queries: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    centroids_top: list[list[float]],
+    centroids_sub: list[list[list[float]]],
+    nprobe_top: int,
+    nprobe_sub: int,
+    metric: str,
+):
+    """Shared batched-tree probe planning: per query rank top cells then
+    only the probed cells' child codebooks (driver-side, sub-linear in
+    cell count like the single-query path), returning (a) the broadcast
+    (query_id, cell_top, cell_sub, _qv) membership relation and (b) the
+    union OR-of-AND clause — per top cell, the union of probed subs —
+    that partition-prunes the two-level layout. Used by the float,
+    int8, and PQ batched tree probes so all three share one planning
+    rule."""
+    import functools
+
+    qrows = _collect_query_vectors(queries, query_id_col, query_vec_col)
+    members = []
+    for qid, qv in qrows:
+        tops = rank_centroids(centroids_top, qv, metric)[:nprobe_top]
+        for t in tops:
+            subs = rank_centroids(centroids_sub[t], qv, metric)[:nprobe_sub]
+            for s in subs:
+                members.append((qid, int(t), int(s), qv))
+    mem = _membership_df(
+        queries, query_id_col, members, ["cell_top", "cell_sub"]
+    )
+    by_top: dict[int, set[int]] = {}
+    for _qid, t, s, _qv in members:
+        by_top.setdefault(t, set()).add(s)
+    clause = functools.reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("cell_top") == t) & F.col("cell_sub").isin(sorted(subs))
+            for t, subs in sorted(by_top.items())
+        ],
+    )
+    return mem, clause
+
+
 def tree_batch_search(
     assigned: DataFrame,
     centroids_top: list[list[float]],
@@ -1302,30 +1346,9 @@ def tree_batch_search(
     fan out via a broadcast membership join on both cell columns, cut
     per query with the Partial-WindowGroupLimit shape. Row-identical to
     the per-query ``KMeansTreeIndex.search`` loop at equal nprobes."""
-    import functools
-
-    qrows = _collect_query_vectors(queries, query_id_col, query_vec_col)
-    members = []
-    for qid, qv in qrows:
-        tops = rank_centroids(centroids_top, qv, metric)[:nprobe_top]
-        for t in tops:
-            subs = rank_centroids(centroids_sub[t], qv, metric)[:nprobe_sub]
-            for s in subs:
-                members.append((qid, int(t), int(s), qv))
-    mem = _membership_df(
-        queries, query_id_col, members, ["cell_top", "cell_sub"]
-    )
-    # union OR-of-AND clause: per top cell, the union of probed subs —
-    # the filter shape that partition-prunes the two-level layout
-    by_top: dict[int, set[int]] = {}
-    for _qid, t, s, _qv in members:
-        by_top.setdefault(t, set()).add(s)
-    clause = functools.reduce(
-        lambda a, b: a | b,
-        [
-            (F.col("cell_top") == t) & F.col("cell_sub").isin(sorted(subs))
-            for t, subs in sorted(by_top.items())
-        ],
+    mem, clause = _tree_batch_membership(
+        queries, query_id_col, query_vec_col, centroids_top, centroids_sub,
+        nprobe_top, nprobe_sub, metric,
     )
     pred = _pred(predicate)
     pruned = assigned.filter(clause)

@@ -925,6 +925,100 @@ def pq_batch_search(
     )
 
 
+def tree_pq_batch_search_parquet(
+    spark: SparkSession,
+    store_path: str,
+    centroids_top: list[list[float]],
+    centroids_sub: list[list[list[float]]],
+    codebooks: Codebooks,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe_top: int = 2,
+    nprobe_sub: int = 2,
+    rescore: int = 4,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    norm_col: str = "vnorm",
+) -> DataFrame:
+    """Batched ADC probe of the two-level tree PQ store
+    (:func:`write_tree_pq`): the whole batch's OR-of-AND union clause
+    prunes BOTH directory levels of ONE m-byte scan, the broadcast
+    (query_id, cell_top, cell_sub, LUT) membership join fans each leaf
+    row out only to the queries that probed its leaf, per-query
+    Partial-WindowGroupLimit coarse cut, shared exact batch rescore.
+    Per query row-identical to the single-query
+    :func:`tree_pq_search_parquet` loop at equal nprobes/rescore."""
+    import functools
+    import math as _math
+
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    )
+
+    from ydb_vector_search_demo_spark.operators.ann import (
+        _batch_topk,
+        rank_centroids,
+    )
+    from ydb_vector_search_demo_spark.operators.quant import _batch_rescore
+
+    rows = []
+    by_top: dict[int, set[int]] = {}
+    for r in queries.select(query_id_col, query_vec_col).collect():
+        qv = [float(x) for x in r[1]]
+        lut = adc_lut(qv, codebooks, metric)
+        qn = _math.sqrt(sum(x * x for x in qv))
+        for t in rank_centroids(centroids_top, qv, metric)[:nprobe_top]:
+            for s in rank_centroids(centroids_sub[t], qv, metric)[:nprobe_sub]:
+                rows.append((r[0], int(t), int(s), qv, lut, qn))
+                by_top.setdefault(int(t), set()).add(int(s))
+    clause = functools.reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("cell_top") == t) & F.col("cell_sub").isin(sorted(subs))
+            for t, subs in sorted(by_top.items())
+        ],
+    )
+    mem = spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField(
+                    query_id_col, queries.schema[query_id_col].dataType
+                ),
+                StructField("cell_top", IntegerType()),
+                StructField("cell_sub", IntegerType()),
+                StructField("_qv", ArrayType(DoubleType())),
+                StructField("_lut", ArrayType(ArrayType(DoubleType()))),
+                StructField("_qn", DoubleType()),
+            ]
+        ),
+    )
+    coarse = (
+        spark.read.parquet(store_path)
+        .filter(clause)
+        .join(F.broadcast(mem), on=["cell_top", "cell_sub"])
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            adc_score_col(
+                codes_col, F.col("_lut"), metric, F.col("_qn"), norm_col
+            ).alias("pq_score"),
+        )
+    )
+    pool = _batch_topk(
+        coarse, int(rescore) * k, query_id_col, id_col, "pq_score", "qrank"
+    )
+    return _batch_rescore(
+        pool, embeddings, queries, k, metric, query_id_col, query_vec_col,
+        id_col, vector_col,
+    )
+
+
 def ivf_pq_companion_batch_search_parquet(
     spark: SparkSession,
     pq_path: str,

@@ -885,6 +885,62 @@ def quantized_batch_search(
     )
 
 
+def tree_quantized_batch_search_parquet(
+    spark: SparkSession,
+    quantized_path: str,
+    embeddings: DataFrame,
+    centroids_top: list[list[float]],
+    centroids_sub: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    nprobe_top: int = 2,
+    nprobe_sub: int = 2,
+    rescore: int = 4,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Batched probe of the int8 TREE store
+    (:func:`write_tree_quantized`): the whole batch's OR-of-AND union
+    clause prunes BOTH directory levels of ONE int8 scan; the broadcast
+    (query_id, cell_top, cell_sub, query_vec) membership join fans each
+    leaf row out only to the queries that probed its leaf; per-query
+    Partial-WindowGroupLimit coarse cut; shared exact rescore. Per
+    query row-identical to the single-query
+    :func:`tree_quantized_search_parquet` loop at equal
+    nprobes/rescore."""
+    from ydb_vector_search_demo_spark.operators.ann import (
+        _batch_topk,
+        _tree_batch_membership,
+    )
+
+    mem, clause = _tree_batch_membership(
+        queries, query_id_col, query_vec_col, centroids_top, centroids_sub,
+        nprobe_top, nprobe_sub, metric,
+    )
+    coarse = (
+        spark.read.parquet(quantized_path)
+        .filter(clause)
+        .join(F.broadcast(mem), on=["cell_top", "cell_sub"])
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            coarse_distance_col("qvec", "qscale", F.col("_qv"), metric).alias(
+                "qscore"
+            ),
+        )
+    )
+    pool = _batch_topk(
+        coarse, int(rescore) * k, query_id_col, id_col, "qscore", "qrank"
+    )
+    return _batch_rescore(
+        pool, embeddings, queries, k, metric, query_id_col, query_vec_col,
+        id_col, vector_col,
+    )
+
+
 def mrl_batch_search(
     embeddings: DataFrame,
     queries: DataFrame,
