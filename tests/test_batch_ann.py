@@ -345,3 +345,32 @@ def test_tree_pq_batch_parquet_equals_loop(spark, embs, qdf, qvs, tree, tmp_path
             for i, r in enumerate(single)
         ]
         assert sorted(got[qid]) == want, f"query {qid}"
+
+
+def test_ivfpq_residual_batch_parquet_equals_loop(spark, embs, qdf, qvs, ivf, tmp_path):
+    """Batched residual IVF-PQ probe == per-query ivfpq_search_parquet
+    loop — per-(query, cell) residual LUTs ride the membership join."""
+    from ydb_vector_search_demo_spark.operators import pq
+
+    dim = len(qvs[0])
+    books = pq.train_ivfpq_codebooks(ivf, dim, m=8, k_star=16)
+    path = str(tmp_path / "ivfpq_res")
+    pq.write_ivfpq_store(ivf, books, path)
+    batch = pq.ivfpq_batch_search_parquet(
+        spark, path, ivf.centroids, books, embs, qdf, k=5, nprobe=4, rescore=4
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], round(r["score"], 9))
+        )
+    for qid, qv in enumerate(qvs):
+        single = pq.ivfpq_search_parquet(
+            spark, path, ivf.centroids, books, embs, qv,
+            k=5, nprobe=4, rescore=4,
+        ).collect()
+        want = [
+            (i + 1, r["vec_id"], round(r["score"], 9))
+            for i, r in enumerate(single)
+        ]
+        assert sorted(got[qid]) == want, f"query {qid}"

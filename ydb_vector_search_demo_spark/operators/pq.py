@@ -572,6 +572,88 @@ def ivfpq_search_parquet(
     )
 
 
+def ivfpq_batch_search_parquet(
+    spark: SparkSession,
+    store_path: str,
+    centroids: list[list[float]],
+    codebooks: Codebooks,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    rescore: int = 8,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    norm_col: str = "vnorm",
+) -> DataFrame:
+    """Batched probe of the RESIDUAL-encoded IVF-PQ store
+    (:func:`write_ivfpq_store`): residual LUTs are per-(query, cell)
+    by construction, so the broadcast membership relation carries
+    (query_id, centroid_id, cell-residual LUT, query norm) rows —
+    Q × nprobe of them, driver/broadcast scale — and each pruned store
+    row joins ONLY the (query, LUT) pairs that probed its cell. One
+    m-byte coarse scan for the batch, per-query
+    Partial-WindowGroupLimit cut, shared exact rescore. Per query
+    row-identical to the single-query :func:`ivfpq_search_parquet`
+    loop at equal nprobe/rescore (equality-tested)."""
+    import math as _math
+
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    )
+
+    from ydb_vector_search_demo_spark.operators.ann import (
+        _batch_topk,
+        rank_centroids,
+    )
+    from ydb_vector_search_demo_spark.operators.quant import _batch_rescore
+
+    nprobe = max(1, min(int(nprobe), len(centroids)))
+    rows = []
+    for r in queries.select(query_id_col, query_vec_col).collect():
+        qv = [float(x) for x in r[1]]
+        qn = _math.sqrt(sum(x * x for x in qv))
+        for t in rank_centroids(centroids, qv, metric)[:nprobe]:
+            lut = _ivfpq_cell_lut(qv, centroids[t], codebooks, metric)
+            rows.append((r[0], int(t), qv, lut, qn))
+    union_cells = sorted({t for _, t, _, _, _ in rows})
+    mem = spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField(
+                    query_id_col, queries.schema[query_id_col].dataType
+                ),
+                StructField("centroid_id", IntegerType()),
+                StructField("_qv", ArrayType(DoubleType())),
+                StructField("_lut", ArrayType(ArrayType(DoubleType()))),
+                StructField("_qn", DoubleType()),
+            ]
+        ),
+    )
+    pruned = spark.read.parquet(store_path).filter(
+        F.col("centroid_id").isin(union_cells)
+    )
+    coarse = pruned.join(F.broadcast(mem), on="centroid_id").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        adc_score_col(
+            codes_col, F.col("_lut"), metric, F.col("_qn"), norm_col
+        ).alias("pq_score"),
+    )
+    pool = _batch_topk(
+        coarse, int(rescore) * k, query_id_col, id_col, "pq_score", "qrank"
+    )
+    return _batch_rescore(
+        pool, embeddings, queries, k, metric, query_id_col, query_vec_col,
+        id_col, vector_col,
+    )
+
+
 def ivfpq_recall(
     spark: SparkSession,
     embeddings: DataFrame,
