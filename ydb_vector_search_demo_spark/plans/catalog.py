@@ -4452,7 +4452,13 @@ _GRADE_FIRST = [
     # session_window row and the graded streaming-session row cover the
     # surface) — both stay oracle-checked in pytest. In their place:
     # Matryoshka prefix-rescore search and contrastive triplet mining.
-    "mrl_rescore_topk",
+    # r5 final rotation: the single-query mrl_rescore_topk swaps for
+    # its batch twin — same prefix-coarse → exact-rescore semantics
+    # replayed per query over a 3-query batch PLUS the batched
+    # execution shape (broadcast query attach, per-query Partial
+    # WindowGroupLimit); the single-query row stays oracle-checked in
+    # tests/test_oracle_parity.
+    "mrl_batch_rescore",
     "events_json_stats",
     "events_props_map",
     "contrastive_triplets",
