@@ -73,6 +73,11 @@ HEADLINE = [
     # the query terms' postings
     "text_bm25_index_build",
     "text_bm25_indexed",
+    # r5 final additions (outside the comparable subsets): batched
+    # Matryoshka probes — the graded mrl_batch_rescore (3-query batch
+    # through one prefix coarse scan; mrl_rescore_topk above stays for
+    # cross-round continuity)
+    "mrl_batch_rescore",
 ]
 
 
