@@ -2960,6 +2960,62 @@ def q_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_cells_sql() -> str:
+    """DuckDB twin of layout.zvalue_expr over (value∈[0,500], hour∈[0,23])
+    at 4 bits/dim: identical clamp → scale → floor → bit-interleave
+    arithmetic (IEEE doubles both sides), so the z-values match
+    bit-for-bit."""
+    bval = (
+        "CAST(floor(least(greatest((coalesce(value, 0.0) - 0.0) / 500.0,"
+        " 0.0), 1.0) * 15) AS BIGINT)"
+    )
+    bhr = (
+        "CAST(floor(least(greatest((hour(ts)::DOUBLE - 0.0) / 23.0,"
+        " 0.0), 1.0) * 15) AS BIGINT)"
+    )
+    terms = []
+    for i in range(4):
+        terms.append(f"((({bval} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({bhr} >> {i}) & 1) << {2 * i + 1})")
+    z = " | ".join(terms)
+    return f"""
+    SELECT zcell, n FROM (
+      SELECT ({z}) AS zcell, count(*) AS n
+      FROM events GROUP BY 1)
+    ORDER BY n DESC, zcell LIMIT 20
+    """
+
+
+@register("events_zorder_cells", _zorder_cells_sql())
+def q_events_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order cell histogram (operators.layout.zvalue_expr): the
+    Morton key that write_zordered clusters files by, computed over
+    (value, hour-of-day) with fixed data-independent ranges — pure
+    shift/and/or Column arithmetic, fully oracle-checked against
+    DuckDB's identical bitwise expression. The layout lever itself
+    (repartitionByRange on this key + footer-stats pruning in every
+    interleaved dimension) is pinned in tests/test_zorder.py, where an
+    x-sorted layout full-scans a y-band probe and the z-ordered layout
+    prunes both dimensions."""
+    from ydb_vector_search_demo_spark.operators import layout
+
+    ev = _t(spark, sf_dir, "events")
+    z = layout.zvalue_expr(
+        [
+            (F.col("value"), 0.0, 500.0),
+            (F.hour("ts").cast("double"), 0.0, 23.0),
+        ],
+        bits=4,
+    )
+    return (
+        ev.select(z.alias("zcell"))
+        .groupBy("zcell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("zcell").asc())
+        .limit(20)
+    )
+
+
 def _mrl_batch_branch_sql(qid: int, qv: list[float]) -> str:
     """One query's prefix-coarse → exact-rescore top-5 as a
     self-contained subquery — the oracle twin of one query_id slice of
