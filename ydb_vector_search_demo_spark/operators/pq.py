@@ -54,6 +54,16 @@ from ydb_vector_search_demo_spark.operators.knn import knn_scores
 Codebooks = list[list[list[float]]]  # m × k* × (dim/m)
 
 
+def _apply_pred(df: DataFrame, predicate) -> DataFrame:
+    """Filtered-search seam shared with quant._apply_pred: optional
+    Column / SQL-string predicate applied inside a coarse scan (filter
+    columns must be in the store — ``keep_cols`` at encode/write time);
+    the final top-k stays exact over the filtered pool."""
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    return df if predicate is None else df.filter(predicate)
+
+
 def subspace_bounds(dim: int, m: int) -> list[tuple[int, int]]:
     """(start, length) per subspace; dim must divide evenly by m so the
     stored layout is self-describing (no ragged tail subspace)."""
@@ -181,13 +191,16 @@ def pq_encode(
     vector_col: str = "embedding",
     codes_col: str = "pq_codes",
     norm_col: str = "vnorm",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Ingest-side encoding: (id, m-byte codes, exact float norm). The
-    norm keeps cosine exact up to the reconstructed dot product."""
+    norm keeps cosine exact up to the reconstructed dot product.
+    ``keep_cols`` carries metadata columns for filtered probes."""
     return vectors.select(
         F.col(id_col),
         encode_expr(vector_col, codebooks).alias(codes_col),
         l2_norm(vector_col).cast("float").alias(norm_col),
+        *[F.col(c) for c in keep_cols],
     )
 
 
@@ -258,14 +271,16 @@ def pq_search(
     vector_col: str = "embedding",
     codes_col: str = "pq_codes",
     norm_col: str = "vnorm",
+    predicate=None,
 ) -> DataFrame:
     """ADC coarse pass over the m-byte codes (TakeOrderedAndProject —
     no shuffle of scored rows), broadcast the top ``rescore·k`` ids
-    into the float relation, exact rescore, exact top-k of candidates."""
+    into the float relation, exact rescore, exact top-k of candidates.
+    ``predicate`` applies inside the coarse scan (filtered probe)."""
     qv = [float(x) for x in query_vector]
     lut = adc_lut(qv, codebooks, metric)
     coarse = (
-        encoded.select(
+        _apply_pred(encoded, predicate).select(
             F.col(id_col),
             adc_score(codes_col, lut, metric, qv, norm_col).alias("pq_score"),
         )
@@ -286,13 +301,15 @@ def write_pq_store(
     path: str,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    keep_cols: tuple = (),
 ) -> None:
     """Persist the PQ companion store (id, codes, norm). Composes with
     the IVF layout exactly like quant.write_ivf_quantized — add the
     centroid_id column before writing and partition by it."""
-    pq_encode(vectors, codebooks, id_col=id_col, vector_col=vector_col).write.mode(
-        "overwrite"
-    ).parquet(path)
+    pq_encode(
+        vectors, codebooks, id_col=id_col, vector_col=vector_col,
+        keep_cols=keep_cols,
+    ).write.mode("overwrite").parquet(path)
 
 
 # --------------------------------------------------------------------------
@@ -326,21 +343,27 @@ def ivf_pq_companion_search_parquet(
     vector_col: str = "embedding",
     codes_col: str = "pq_codes",
     norm_col: str = "vnorm",
+    predicate=None,
 ) -> DataFrame:
     """Coarse ADC search over a centroid-partitioned store carrying
     raw-vector PQ companion columns (the layout ``stream_ivf_ingest``
     writes): partition-prune to ``nprobe`` cells, score m-byte codes
     against the global LUT, exact-rescore the top ``rescore·k`` from
     the float relation — ``quant.ivf_quantized_search_parquet``'s
-    shape at PQ compression."""
+    shape at PQ compression. ``predicate`` applies inside the pruned
+    scan."""
     from ydb_vector_search_demo_spark.operators.ann import rank_centroids
 
     qv = [float(x) for x in query_vector]
     probes = rank_centroids(centroids, qv, metric)[:nprobe]
     lut = adc_lut(qv, codebooks, metric)
     coarse = (
-        spark.read.parquet(store_path)
-        .filter(F.col("centroid_id").isin(probes))
+        _apply_pred(
+            spark.read.parquet(store_path).filter(
+                F.col("centroid_id").isin(probes)
+            ),
+            predicate,
+        )
         .select(
             F.col(id_col),
             adc_score(codes_col, lut, metric, qv, norm_col).alias("pq_score"),
@@ -362,11 +385,13 @@ def write_tree_pq(
     path: str,
     codes_col: str = "pq_codes",
     norm_col: str = "vnorm",
+    keep_cols: tuple = (),
 ) -> None:
     """PQ companion on the two-level tree layout: (id, codes, norm,
     cell_top, cell_sub) partitioned by both cell levels — the tree
     store's first quantized companion (r4 verdict, What's-missing #3).
-    ``index`` is an ``ann.KMeansTreeIndex``."""
+    ``index`` is an ``ann.KMeansTreeIndex``. ``keep_cols`` carries
+    metadata for filtered probes."""
     (
         index.assigned.select(
             F.col(index.id_col),
@@ -374,6 +399,7 @@ def write_tree_pq(
             l2_norm(index.vector_col).cast("float").alias(norm_col),
             F.col("cell_top"),
             F.col("cell_sub"),
+            *[F.col(c) for c in keep_cols],
         )
         .write.mode("overwrite")
         .partitionBy("cell_top", "cell_sub")
@@ -398,11 +424,13 @@ def tree_pq_search_parquet(
     vector_col: str = "embedding",
     codes_col: str = "pq_codes",
     norm_col: str = "vnorm",
+    predicate=None,
 ) -> DataFrame:
     """Coarse ADC search over the tree-partitioned PQ companion store:
     two-level OR-of-AND partition pruning × m-byte codes, global LUT,
     exact rescore — both scan levers multiply, same contract as
-    ``quant.tree_quantized_search_parquet`` at PQ compression."""
+    ``quant.tree_quantized_search_parquet`` at PQ compression.
+    ``predicate`` applies inside the pruned scan."""
     from ydb_vector_search_demo_spark.operators.ann import _tree_probe_clause
 
     qv = [float(x) for x in query_vector]
@@ -411,8 +439,7 @@ def tree_pq_search_parquet(
     )
     lut = adc_lut(qv, codebooks, metric)
     coarse = (
-        spark.read.parquet(store_path)
-        .filter(clause)
+        _apply_pred(spark.read.parquet(store_path).filter(clause), predicate)
         .select(
             F.col(id_col),
             adc_score(codes_col, lut, metric, qv, norm_col).alias("pq_score"),
@@ -469,11 +496,13 @@ def ivfpq_encode(
     codebooks: Codebooks,
     codes_col: str = "pq_codes",
     norm_col: str = "vnorm",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """(id, centroid_id, residual codes, exact norm) — one map-only
     pass; written ``partitionBy("centroid_id")`` this is the full
     IVF-PQ store: a probe partition-prunes to nprobe directories and
-    scans m bytes + 4 per vector."""
+    scans m bytes + 4 per vector. ``keep_cols`` carries metadata for
+    filtered probes."""
     return index.assigned.select(
         F.col(index.id_col),
         F.col("centroid_id"),
@@ -481,13 +510,16 @@ def ivfpq_encode(
             _residual_expr(index.vector_col, index.centroids), codebooks
         ).alias(codes_col),
         l2_norm(index.vector_col).cast("float").alias(norm_col),
+        *[F.col(c) for c in keep_cols],
     )
 
 
-def write_ivfpq_store(index, codebooks: Codebooks, path: str) -> None:
-    ivfpq_encode(index, codebooks).write.mode("overwrite").partitionBy(
-        "centroid_id"
-    ).parquet(path)
+def write_ivfpq_store(
+    index, codebooks: Codebooks, path: str, keep_cols: tuple = ()
+) -> None:
+    ivfpq_encode(index, codebooks, keep_cols=keep_cols).write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(path)
 
 
 def _ivfpq_cell_lut(
@@ -525,12 +557,14 @@ def ivfpq_search_parquet(
     vector_col: str = "embedding",
     codes_col: str = "pq_codes",
     norm_col: str = "vnorm",
+    predicate=None,
 ) -> DataFrame:
     """The 100 TB ANN serving shape: partition-prune to ``nprobe``
     cells, ADC-score m-byte residual codes against per-cell LUTs
     (rows pick their LUT by probe index — the literal scales with
     nprobe, never k_clusters), coarse top-``rescore·k``, broadcast
-    exact rescore from the float relation."""
+    exact rescore from the float relation. ``predicate`` applies
+    inside the pruned scan."""
     from ydb_vector_search_demo_spark.operators.ann import rank_centroids
 
     qv = [float(x) for x in query_vector]
@@ -538,8 +572,11 @@ def ivfpq_search_parquet(
     luts = [
         _ivfpq_cell_lut(qv, centroids[t], codebooks, metric) for t in probes
     ]
-    base = spark.read.parquet(store_path).filter(
-        F.col("centroid_id").isin(probes)
+    base = _apply_pred(
+        spark.read.parquet(store_path).filter(
+            F.col("centroid_id").isin(probes)
+        ),
+        predicate,
     )
     probe_idx = F.array_position(
         F.lit([int(t) for t in probes]), F.col("centroid_id")
@@ -589,6 +626,7 @@ def ivfpq_batch_search_parquet(
     vector_col: str = "embedding",
     codes_col: str = "pq_codes",
     norm_col: str = "vnorm",
+    predicate=None,
 ) -> DataFrame:
     """Batched probe of the RESIDUAL-encoded IVF-PQ store
     (:func:`write_ivfpq_store`): residual LUTs are per-(query, cell)
@@ -635,8 +673,11 @@ def ivfpq_batch_search_parquet(
             ]
         ),
     )
-    pruned = spark.read.parquet(store_path).filter(
-        F.col("centroid_id").isin(union_cells)
+    pruned = _apply_pred(
+        spark.read.parquet(store_path).filter(
+            F.col("centroid_id").isin(union_cells)
+        ),
+        predicate,
     )
     coarse = pruned.join(F.broadcast(mem), on="centroid_id").select(
         F.col(query_id_col),
@@ -979,6 +1020,7 @@ def pq_batch_search(
     vector_col: str = "embedding",
     codes_col: str = "pq_codes",
     norm_col: str = "vnorm",
+    predicate=None,
 ) -> DataFrame:
     """Batched ADC search: ONE coarse scan of the m-byte codes scores
     every query (per-query LUT as a broadcast column), per-query
@@ -991,7 +1033,7 @@ def pq_batch_search(
     qb = _pq_query_batch_df(
         queries, codebooks, metric, query_id_col, query_vec_col
     )
-    coarse = encoded.crossJoin(F.broadcast(qb)).select(
+    coarse = _apply_pred(encoded, predicate).crossJoin(F.broadcast(qb)).select(
         F.col(query_id_col),
         F.col(id_col),
         adc_score_col(
@@ -1026,6 +1068,7 @@ def tree_pq_batch_search_parquet(
     vector_col: str = "embedding",
     codes_col: str = "pq_codes",
     norm_col: str = "vnorm",
+    predicate=None,
 ) -> DataFrame:
     """Batched ADC probe of the two-level tree PQ store
     (:func:`write_tree_pq`): the whole batch's OR-of-AND union clause
@@ -1081,8 +1124,7 @@ def tree_pq_batch_search_parquet(
         ),
     )
     coarse = (
-        spark.read.parquet(store_path)
-        .filter(clause)
+        _apply_pred(spark.read.parquet(store_path).filter(clause), predicate)
         .join(F.broadcast(mem), on=["cell_top", "cell_sub"])
         .select(
             F.col(query_id_col),
@@ -1116,6 +1158,7 @@ def ivf_pq_companion_batch_search_parquet(
     query_vec_col: str = "query_vec",
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    predicate=None,
 ) -> DataFrame:
     """The batched 100 TB PQ serving composition: union-of-cells
     partition pruning on the PQ companion store × m-byte ADC scoring ×
@@ -1140,8 +1183,11 @@ def ivf_pq_companion_batch_search_parquet(
     qb = _pq_query_batch_df(
         queries, codebooks, metric, query_id_col, query_vec_col, extra=probes
     )
-    pruned = spark.read.parquet(pq_path).filter(
-        F.col("centroid_id").isin(union_cells)
+    pruned = _apply_pred(
+        spark.read.parquet(pq_path).filter(
+            F.col("centroid_id").isin(union_cells)
+        ),
+        predicate,
     )
     coarse = pruned.join(F.broadcast(qb), on="centroid_id").select(
         F.col(query_id_col),

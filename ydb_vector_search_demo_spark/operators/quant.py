@@ -174,18 +174,32 @@ def quantized_search(
     )
 
 
+def _apply_pred(df: DataFrame, predicate) -> DataFrame:
+    """Shared filtered-search seam: apply an optional Column / SQL-string
+    predicate inside a coarse scan (the filter columns must be in the
+    store — ``keep_cols`` at write time). Filtering the COARSE relation
+    keeps every serving path's exactness contract: the final top-k is
+    exact over the filtered candidate pool."""
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    return df if predicate is None else df.filter(predicate)
+
+
 def write_quantized_store(
     embeddings: DataFrame,
     path: str,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    keep_cols: tuple = (),
 ) -> None:
     """Persist the int8 companion store. The float store stays where it
     is — the pair (quantized store for the coarse scan, float store for
-    candidate rescore) is the serving layout."""
-    quantize_int8(embeddings, id_col=id_col, vector_col=vector_col).write.mode(
-        "overwrite"
-    ).parquet(path)
+    candidate rescore) is the serving layout. ``keep_cols`` carries
+    metadata columns so filtered coarse scans can push predicates into
+    the store."""
+    quantize_int8(
+        embeddings, id_col=id_col, vector_col=vector_col, keep_cols=keep_cols
+    ).write.mode("overwrite").parquet(path)
 
 
 def quantized_search_parquet(
@@ -198,6 +212,7 @@ def quantized_search_parquet(
     metric: str = "cosine",
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    predicate=None,
 ) -> DataFrame:
     """Serving path: coarse pass over the persisted int8 store (the
     only full scan — ~4× fewer bytes), exact rescore against the float
@@ -211,6 +226,7 @@ def quantized_search_parquet(
         metric=metric,
         id_col=id_col,
         vector_col=vector_col,
+        predicate=predicate,
     )
 
 
@@ -219,13 +235,14 @@ def quantized_search_parquet(
 # --------------------------------------------------------------------------
 
 
-def write_ivf_quantized(index, path: str) -> None:
+def write_ivf_quantized(index, path: str, keep_cols: tuple = ()) -> None:
     """Quantized companion of ``ann.write_ivf_partitioned``: (id, qvec,
     qscale, centroid_id) partitioned by ``centroid_id``. The two scan
     levers MULTIPLY at the coarse stage — a probe reads
     nprobe/k_clusters of the directories AND ~4× fewer bytes inside
     them; the float store keeps serving the c·k-row rescore. This is
-    the realistic 100 TB serving layout."""
+    the realistic 100 TB serving layout. ``keep_cols`` carries metadata
+    columns for filtered probes."""
     assigned = index.assigned
     scale = int8_scale(index.vector_col)
     (
@@ -234,6 +251,7 @@ def write_ivf_quantized(index, path: str) -> None:
             quantize_expr(index.vector_col, scale).alias("qvec"),
             scale.cast("float").alias("qscale"),
             F.col("centroid_id"),
+            *[F.col(c) for c in keep_cols],
         )
         .write.mode("overwrite")
         .partitionBy("centroid_id")
@@ -253,18 +271,25 @@ def ivf_quantized_search_parquet(
     metric: str = "cosine",
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    predicate=None,
 ) -> DataFrame:
     """Serve from the quantized IVF store: rank centroids driver-side,
     partition-prune to ``nprobe`` cells, coarse-score the int8 column
     inside them (TakeOrderedAndProject), exact-rescore the top
-    ``rescore·k`` from the float relation."""
+    ``rescore·k`` from the float relation. ``predicate`` applies inside
+    the pruned scan (filtered probe; columns via write-time
+    ``keep_cols``)."""
     from ydb_vector_search_demo_spark.operators.ann import rank_centroids
 
     qv = [float(x) for x in query_vector]
     probes = rank_centroids(centroids, qv, metric)[:nprobe]
     coarse = (
-        spark.read.parquet(quantized_path)
-        .filter(F.col("centroid_id").isin(probes))
+        _apply_pred(
+            spark.read.parquet(quantized_path).filter(
+                F.col("centroid_id").isin(probes)
+            ),
+            predicate,
+        )
         .select(
             F.col(id_col),
             coarse_distance("qvec", "qscale", qv, metric).alias("qscore"),
@@ -280,13 +305,13 @@ def ivf_quantized_search_parquet(
     )
 
 
-def write_tree_quantized(index, path: str) -> None:
+def write_tree_quantized(index, path: str, keep_cols: tuple = ()) -> None:
     """int8 companion of ``ann.write_tree_partitioned`` — the two-level
     analogue of :func:`write_ivf_quantized` (r4 verdict, What's-missing
     #3: the tree store previously had no quantized companion): (id,
     qvec, qscale) partitioned by (cell_top, cell_sub), so a probe
     prunes BOTH directory levels and reads ~4× fewer bytes inside the
-    probed leaves."""
+    probed leaves. ``keep_cols`` carries metadata for filtered probes."""
     assigned = index.assigned
     scale = int8_scale(index.vector_col)
     (
@@ -296,6 +321,7 @@ def write_tree_quantized(index, path: str) -> None:
             scale.cast("float").alias("qscale"),
             F.col("cell_top"),
             F.col("cell_sub"),
+            *[F.col(c) for c in keep_cols],
         )
         .write.mode("overwrite")
         .partitionBy("cell_top", "cell_sub")
@@ -317,13 +343,14 @@ def tree_quantized_search_parquet(
     metric: str = "cosine",
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    predicate=None,
 ) -> DataFrame:
     """Serve from the quantized tree store: rank top cells then only
     the probed cells' child codebooks (driver-side), push the
     OR-of-AND (cell_top, cell_sub) filter into the int8 scan
     (two-level partition pruning × ~4× fewer bytes — the levers
     multiply), coarse top-``rescore·k``, exact rescore from the float
-    relation."""
+    relation. ``predicate`` applies inside the pruned scan."""
     from ydb_vector_search_demo_spark.operators.ann import _tree_probe_clause
 
     qv = [float(x) for x in query_vector]
@@ -331,8 +358,7 @@ def tree_quantized_search_parquet(
         centroids_top, centroids_sub, qv, nprobe_top, nprobe_sub, metric
     )
     coarse = (
-        spark.read.parquet(quantized_path)
-        .filter(clause)
+        _apply_pred(spark.read.parquet(quantized_path).filter(clause), predicate)
         .select(
             F.col(id_col),
             coarse_distance("qvec", "qscale", qv, metric).alias("qscore"),
@@ -901,6 +927,7 @@ def tree_quantized_batch_search_parquet(
     query_vec_col: str = "query_vec",
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    predicate=None,
 ) -> DataFrame:
     """Batched probe of the int8 TREE store
     (:func:`write_tree_quantized`): the whole batch's OR-of-AND union
@@ -921,8 +948,7 @@ def tree_quantized_batch_search_parquet(
         nprobe_top, nprobe_sub, metric,
     )
     coarse = (
-        spark.read.parquet(quantized_path)
-        .filter(clause)
+        _apply_pred(spark.read.parquet(quantized_path).filter(clause), predicate)
         .join(F.broadcast(mem), on=["cell_top", "cell_sub"])
         .select(
             F.col(query_id_col),
@@ -1096,6 +1122,7 @@ def ivf_quantized_batch_search_parquet(
     query_vec_col: str = "query_vec",
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    predicate=None,
 ) -> DataFrame:
     """The full 100 TB batched serving composition: union-of-cells
     partition pruning (the whole batch reads at most |union|/k_clusters
@@ -1120,8 +1147,11 @@ def ivf_quantized_batch_search_parquet(
             members.append((qid, int(c), qv))
     union_cells = sorted({m[1] for m in members})
     mem = _membership_df(queries, query_id_col, members, ["centroid_id"])
-    pruned = spark.read.parquet(quantized_path).filter(
-        F.col("centroid_id").isin(union_cells)
+    pruned = _apply_pred(
+        spark.read.parquet(quantized_path).filter(
+            F.col("centroid_id").isin(union_cells)
+        ),
+        predicate,
     )
     coarse = pruned.join(F.broadcast(mem), on="centroid_id").select(
         F.col(query_id_col),
