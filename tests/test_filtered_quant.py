@@ -111,3 +111,34 @@ def test_filtered_tree_pq_parquet(spark, embs, tmp_path):
         assert _pairs(got) == _pairs(want)
     finally:
         tree.assigned.unpersist()
+
+
+def test_hybrid_batch_serves_from_quantized_store(spark, embs, ivf, tmp_path):
+    """The hybrid retrieval stack's vector side served from the
+    persisted int8 IVF layout via the QuantizedIvfStore adapter: at the
+    degenerate point (full probe, corpus-covering rescore) the fused
+    output equals the exact-batch_knn hybrid row for row."""
+    from ydb_vector_search_demo_spark.operators import retrieval as R
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    queries = spark.createDataFrame(
+        [
+            (i, q, rag.embed_query_stub(q))
+            for i, q in enumerate(["hash join spark", "window order data"])
+        ],
+        "query_id long, query_text string, query_vec array<double>",
+    )
+    path = str(tmp_path / "ivfq_hybrid")
+    quant.write_ivf_quantized(ivf, path)
+    n = embs.count()
+    store = quant.QuantizedIvfStore(
+        spark, path, ivf.centroids, embs,
+        nprobe=len(ivf.centroids), rescore=(n // 20) + 1,
+    )
+    got = R.hybrid_rrf_batch_topk(
+        docs, embs, queries, k=5, pool=20, index=store
+    ).collect()
+    want = R.hybrid_rrf_batch_topk(docs, embs, queries, k=5, pool=20).collect()
+    assert sorted(map(tuple, got), key=lambda t: (t[0], t[-1])) == sorted(
+        map(tuple, want), key=lambda t: (t[0], t[-1])
+    )

@@ -911,6 +911,68 @@ def quantized_batch_search(
     )
 
 
+class QuantizedIvfStore:
+    """Serving-store adapter: makes the PERSISTED int8 IVF layout
+    (:func:`write_ivf_quantized` + the float relation for rescore)
+    pluggable wherever an in-memory ``ann.IvfIndex`` is accepted —
+    notably ``retrieval.hybrid_rrf_batch_topk(index=...)``, so the
+    hybrid retrieval stack can serve its vector side from the 100 TB
+    store layout (partition pruning × int8 bytes × one scan per batch)
+    instead of an in-memory assignment. Probe width and rescore are
+    fixed at construction (the serving configuration); ``search`` /
+    ``batch_search`` mirror the IvfIndex method shapes."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        centroids: list[list[float]],
+        embeddings: DataFrame,
+        nprobe: int = 4,
+        rescore: int = 4,
+        id_col: str = "vec_id",
+        vector_col: str = "embedding",
+        predicate=None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.centroids = centroids
+        self.embeddings = embeddings
+        self.nprobe = int(nprobe)
+        self.rescore = int(rescore)
+        self.id_col = id_col
+        self.vector_col = vector_col
+        self.predicate = predicate
+
+    def search(
+        self, query_vector: Sequence[float], k: int = 5, metric: str = "cosine",
+        **kwargs,
+    ) -> DataFrame:
+        return ivf_quantized_search_parquet(
+            self.spark, self.path, self.embeddings, self.centroids,
+            query_vector, k=k, nprobe=self.nprobe, rescore=self.rescore,
+            metric=metric, id_col=self.id_col, vector_col=self.vector_col,
+            predicate=self.predicate,
+        )
+
+    def batch_search(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        metric: str = "cosine",
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        **kwargs,
+    ) -> DataFrame:
+        return ivf_quantized_batch_search_parquet(
+            self.spark, self.path, self.embeddings, self.centroids, queries,
+            k=k, nprobe=self.nprobe, rescore=self.rescore, metric=metric,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+            id_col=self.id_col, vector_col=self.vector_col,
+            predicate=self.predicate,
+        )
+
+
 def tree_quantized_batch_search_parquet(
     spark: SparkSession,
     quantized_path: str,
