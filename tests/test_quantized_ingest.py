@@ -269,3 +269,48 @@ def test_stream_bm25_ingest_equals_full_rebuild(spark, tmp_path):
         assert streamed.n == full.n == docs.count()
     finally:
         full.postings.unpersist()
+
+
+def test_stream_ingest_mrl_prefix_companion(spark, embs, ivf, tmp_path):
+    """The MRL prefix companion streams too: the prefix column equals
+    the batch slice row for row, and the streamed-in store serves the
+    MRL coarse search directly — exact at the degenerate point (the
+    last precision of the ladder maintained incrementally)."""
+    src = tmp_path / "mrl_drops"
+    src.mkdir()
+    store = str(tmp_path / "mrl_stream_store")
+    ckpt = str(tmp_path / "mrl_ckpt")
+    embs.write.parquet(str(src / "batch1"))
+    stream = ingest.read_embeddings_stream(
+        spark, str(src) + "/*", dim_hint_df=embs
+    )
+    q = ingest.stream_ivf_ingest(
+        stream, ivf.centroids, store, ckpt, mrl_dims=16
+    )
+    q.awaitTermination(120)
+
+    back = spark.read.parquet(store)
+    assert back.selectExpr("max(size(prefix)) m").first()["m"] == 16
+    import pyspark.sql.functions as F
+
+    mism = (
+        back.select("vec_id", "prefix")
+        .join(embs, on="vec_id")
+        .filter(F.expr("prefix != slice(embedding, 1, 16)"))
+        .count()
+    )
+    assert mism == 0
+
+    n = embs.count()
+    got = quant.mrl_batch_search_parquet(
+        spark, store,
+        embs,
+        spark.createDataFrame(
+            [(0, QV)], "query_id INT, query_vec ARRAY<DOUBLE>"
+        ),
+        dims=16, k=5, rescore=(n // 5) + 1,
+    ).collect()
+    want = knn_scores(embs, QV, k=5).collect()
+    assert [(r["vec_id"], round(r["score"], 9)) for r in got] == [
+        (r["vec_id"], round(r["score"], 9)) for r in want
+    ]

@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from ydb_vector_search_demo_spark.functions.vector import l2_norm
 from ydb_vector_search_demo_spark.operators.ann import ivf_assign, tree_assign
 from ydb_vector_search_demo_spark.operators.pq import encode_expr
-from ydb_vector_search_demo_spark.operators.quant import int8_scale, quantize_expr
+from ydb_vector_search_demo_spark.operators.quant import (
+    int8_scale,
+    mrl_prefix,
+    quantize_expr,
+)
 
 
 def _with_companions(
@@ -30,12 +34,18 @@ def _with_companions(
     quantize: bool,
     pq_codebooks,
     vector_col: str = "embedding",
+    mrl_dims: int | None = None,
 ) -> DataFrame:
     """Optional quantized companion columns, computed in the same
-    map-only micro-batch pass as the cell routing: int8 (qvec, qscale)
-    and/or PQ (pq_codes, vnorm) with FROZEN codebooks travelling as
-    plan literals — the ingest stays refit-free; codebook refresh is
-    the batch rebalance job's concern, exactly like the centroids."""
+    map-only micro-batch pass as the cell routing: int8 (qvec, qscale),
+    PQ (pq_codes, vnorm) with FROZEN codebooks travelling as plan
+    literals, and/or a Matryoshka ``mrl_dims``-prefix column — the
+    ingest stays refit-free; codebook refresh is the batch rebalance
+    job's concern, exactly like the centroids. With the prefix column
+    the streamed-in store serves MRL coarse searches
+    (``quant.mrl_search_parquet`` / ``mrl_batch_search_parquet``)
+    directly — every precision of the ladder is now maintained
+    incrementally."""
     if quantize:
         scale = int8_scale(vector_col)
         assigned = assigned.withColumns(
@@ -46,6 +56,10 @@ def _with_companions(
         assigned = assigned.withColumns(
             {"pq_codes": encode_expr(vector_col, pq_codebooks),
              "vnorm": l2_norm(vector_col).cast("float")}
+        )
+    if mrl_dims is not None:
+        assigned = assigned.withColumn(
+            "prefix", mrl_prefix(vector_col, mrl_dims)
         )
     return assigned
 
@@ -70,6 +84,7 @@ def stream_ivf_ingest(
     checkpoint_dir: str,
     quantize: bool = False,
     pq_codebooks=None,
+    mrl_dims: int | None = None,
     available_now: bool = True,
 ):
     """Continuous IVF ingest: map-only centroid routing (+ optional
@@ -81,7 +96,8 @@ def stream_ivf_ingest(
     (``pq.ivf_pq_companion_search_parquet``) run directly on the
     streamed-in store."""
     assigned = _with_companions(
-        ivf_assign(centroids, stream), quantize, pq_codebooks
+        ivf_assign(centroids, stream), quantize, pq_codebooks,
+        mrl_dims=mrl_dims,
     )
     writer = (
         assigned.writeStream.format("parquet")
@@ -102,6 +118,7 @@ def stream_tree_ingest(
     checkpoint_dir: str,
     quantize: bool = False,
     pq_codebooks=None,
+    mrl_dims: int | None = None,
     available_now: bool = True,
 ):
     """Continuous two-level-tree ingest: (cell_top, cell_sub) routing
@@ -109,7 +126,8 @@ def stream_tree_ingest(
     same optional int8/PQ companion columns as the IVF path, so the
     tree store composes with the quantized coarse scans too."""
     assigned = _with_companions(
-        tree_assign(centroids_top, centroids_sub, stream), quantize, pq_codebooks
+        tree_assign(centroids_top, centroids_sub, stream), quantize,
+        pq_codebooks, mrl_dims=mrl_dims,
     )
     writer = (
         assigned.writeStream.format("parquet")
