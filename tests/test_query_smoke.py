@@ -46,6 +46,7 @@ def test_rows_only_set_is_intentional():
         "dedup_semantic_stats",
         "dedup_simhash",
         "events_approx_distinct",
+        "events_zorder_skip_report",
         "ingest_embed_roundtrip",
         "mrl_recall_report",
         "multimodal_decode_meta",

@@ -3016,6 +3016,64 @@ def q_events_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_zorder_skip_report")
+def q_events_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-order layout lever end to end
+    (operators.layout.write_zordered + file_skip_report): events
+    rewritten once as 16 z-clustered files on (value, hour) vs a
+    value-sorted linear layout, then a metadata-only footer audit of
+    an equal-selectivity box probe per dimension. The report shows the
+    layout contract in numbers: the linear layout full-scans the
+    hour-band probe while the z-order prunes every dimension.
+    SIDE-EFFECT NOTE: writes both layouts under deterministic /tmp
+    paths (overwrite-keyed by sf_dir hash), the events_rollup_serve /
+    ann_ivfpq_recall convention. Rows-only (file counts depend on the
+    writer's range sampling, not on query semantics)."""
+    import hashlib
+
+    from ydb_vector_search_demo_spark.operators import layout
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    zpath = f"/tmp/spark_graft_zord_{tag}"
+    lpath = f"/tmp/spark_graft_zlin_{tag}"
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "value", F.hour("ts").cast("double").alias("hr")
+    )
+    layout.write_zordered(
+        ev, zpath, [("value", 0.0, 500.0), ("hr", 0.0, 23.0)],
+        bits=5, num_files=16,
+    )
+    (
+        ev.repartitionByRange(16, "value")
+        .sortWithinPartitions("value")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    rows = []
+    for probe, box in [
+        ("value_band", {"value": (200.0, 262.0)}),
+        ("hour_band", {"hr": (9.0, 11.0)}),
+        ("box_2d", {"value": (200.0, 262.0), "hr": (9.0, 11.0)}),
+    ]:
+        zr = layout.file_skip_report(spark, zpath, box)
+        lr = layout.file_skip_report(spark, lpath, box)
+        rows.append(
+            (
+                probe,
+                zr["files_scanned"],
+                lr["files_scanned"],
+                zr["files_total"],
+                zr["skip_fraction"],
+                lr["skip_fraction"],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "probe STRING, zorder_scanned INT, linear_scanned INT, "
+        "files_total INT, zorder_skip DOUBLE, linear_skip DOUBLE",
+    )
+
+
 def _mrl_batch_branch_sql(qid: int, qv: list[float]) -> str:
     """One query's prefix-coarse → exact-rescore top-5 as a
     self-contained subquery — the oracle twin of one query_id slice of
