@@ -809,3 +809,30 @@ def test_decontaminate_no_python_nodes(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_unigram_ppl_orders_common_vs_rare(spark):
+    """The LM filter's defining law: a document written in the corpus's
+    common tokens scores fewer bits/token than one written in hapaxes;
+    scores are finite and positive; exact integer micro-bit summing
+    makes the result partitioning-independent."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        unigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat " * 20),
+            (1, "the cat sat on the mat"),
+            (2, "zyx qwv jkl pmn xoq wib"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = {r.doc_id: r for r in unigram_logprob_scores(docs).collect()}
+    assert rows[1].bits_per_token < rows[2].bits_per_token
+    assert all(0 < r.bits_per_token < 64 for r in rows.values())
+    repart = {
+        r.doc_id: r.bits_per_token
+        for r in unigram_logprob_scores(docs.repartition(7)).collect()
+    }
+    assert repart == {i: rows[i].bits_per_token for i in rows}

@@ -731,3 +731,66 @@ def winsorize(
         )
         .drop("_lo", "_hi")
     )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """LM-perplexity quality lever (the CCNet filter, Wenzek et al.
+    2020, at unigram order): train an add-``alpha``-smoothed unigram
+    model on the corpus itself — the count relation IS the model, one
+    keyed aggregation, nothing collected — and score every document's
+    mean surprisal in bits/token. Pipelines drop or bucket the
+    high-surprisal tail (gibberish, boilerplate soup) and the
+    low-surprisal head (degenerate repetition).
+
+    Determinism contract: per-token surprisal is rounded to 6 dp and
+    summed as exact integer micro-bits (the integer-cents convention),
+    so the per-doc mean is independent of partial-aggregation order —
+    a plain double sum across a shuffle is not.
+
+    Scale shape: token explode → one count agg (map-side combine) →
+    1-row stats broadcast → token-keyed join back (the vocabulary
+    relation; Spark broadcasts it when it fits, shuffles otherwise) →
+    one per-doc agg. No driver-side model object; a higher-order LM
+    swaps the count key for an n-gram window without changing the
+    shape."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_t")
+    )
+    cnt = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    stats = cnt.agg(
+        F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("_v")
+    )
+    vocab = cnt.crossJoin(F.broadcast(stats)).select(
+        "_t",
+        F.round(
+            -F.log2(
+                (F.col("_c") + F.lit(float(alpha)))
+                / (F.col("_n") + F.lit(float(alpha)) * F.col("_v"))
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("_ubits"),
+    )
+    return (
+        toks.join(vocab, on="_t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_ubits").alias("_s"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.round(
+                F.col("_s") / (F.lit(1e6) * F.col("n_tokens")), 6
+            ).alias("bits_per_token"),
+        )
+    )

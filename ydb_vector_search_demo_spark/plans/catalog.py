@@ -3016,6 +3016,39 @@ def q_events_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_unigram_ppl",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents),
+    cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    stats AS (SELECT sum(c) AS n, count(*) AS v FROM cnt),
+    vocab AS (SELECT t,
+                     CAST(round(-log2((c + 0.5) / (n + 0.5 * v)) * 1e6)
+                          AS BIGINT) AS ubits
+              FROM cnt CROSS JOIN stats),
+    ds AS (SELECT doc_id, count(*) AS n_tokens, sum(ubits) AS s
+           FROM toks JOIN vocab USING (t) GROUP BY doc_id)
+    SELECT doc_id, n_tokens::INTEGER AS n_tokens,
+           round(s / (1e6 * n_tokens), 6) AS bits_per_token
+    FROM ds ORDER BY bits_per_token DESC, doc_id LIMIT 20
+    """,
+)
+def q_text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality filter (curation.unigram_logprob_scores,
+    the CCNet lever at unigram order): corpus-trained add-0.5-smoothed
+    unigram surprisal per document, highest-surprisal 20 shown (the
+    tail a pipeline drops). Per-token surprisal is summed as exact
+    integer micro-bits so the score is partial-agg-order independent —
+    fully oracle-checked (DuckDB replays the count model, the smoothing
+    arithmetic, and the integer-micro-bit sum)."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    out = curation.unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+    return out.orderBy(
+        F.col("bits_per_token").desc(), F.col("doc_id").asc()
+    ).limit(20)
+
+
 @register("events_zorder_skip_report")
 def q_events_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The z-order layout lever end to end
