@@ -794,3 +794,35 @@ def unigram_logprob_scores(
             ).alias("bits_per_token"),
         )
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet's corpus split by LM score (head/middle/tail at the
+    default 3): rank every document by :func:`unigram_logprob_scores`
+    surprisal and ntile into ``n_buckets`` equal-count bands —
+    bucket 1 is the most-predictable head (kept, or down-weighted for
+    dedup-adjacent boilerplate), the last bucket the high-surprisal
+    tail a pipeline drops or routes to heavier cleaning.
+
+    Deterministic: the ntile orders by (bits_per_token, doc_id), so
+    ties at the 6-dp score boundary split identically everywhere.
+    Scale shape: the scoring passes plus ONE global sort for the
+    ntile — the same single-total-order cost any exact quantile split
+    pays; swap in percentile_approx bounds + a map-only CASE when an
+    approximate split is acceptable."""
+    scored = unigram_logprob_scores(
+        docs, text_col=text_col, id_col=id_col, alpha=alpha
+    )
+    w = Window.orderBy(F.col("bits_per_token").asc(), F.col(id_col).asc())
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "bits_per_token",
+        F.ntile(int(n_buckets)).over(w).alias("ppl_bucket"),
+    )

@@ -3049,6 +3049,53 @@ def q_text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+@register(
+    "text_ppl_buckets",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents),
+    cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    stats AS (SELECT sum(c) AS n, count(*) AS v FROM cnt),
+    vocab AS (SELECT t,
+                     CAST(round(-log2((c + 0.5) / (n + 0.5 * v)) * 1e6)
+                          AS BIGINT) AS ubits
+              FROM cnt CROSS JOIN stats),
+    ds AS (SELECT doc_id, count(*) AS n_tokens, sum(ubits) AS s
+           FROM toks JOIN vocab USING (t) GROUP BY doc_id),
+    bkt AS (SELECT doc_id, n_tokens,
+                   round(s / (1e6 * n_tokens), 6) AS bpt,
+                   ntile(3) OVER (ORDER BY round(s / (1e6 * n_tokens), 6),
+                                  doc_id) AS ppl_bucket
+            FROM ds)
+    SELECT ppl_bucket::INTEGER AS ppl_bucket,
+           count(*)::BIGINT AS n_docs,
+           round(min(bpt), 6) AS min_bpt,
+           round(max(bpt), 6) AS max_bpt,
+           sum(n_tokens)::BIGINT AS tokens
+    FROM bkt GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split
+    (curation.perplexity_buckets): documents ntiled by unigram-LM
+    surprisal with a deterministic (score, doc_id) order, summarized
+    per band — the split a pipeline uses to keep the head, sample the
+    middle, and drop or re-clean the tail. Fully oracle-checked
+    (DuckDB replays the model, the micro-bit sum, and the ntile)."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    b = curation.perplexity_buckets(_t(spark, sf_dir, "documents"))
+    return (
+        b.groupBy(F.col("ppl_bucket").cast("int").alias("ppl_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("bits_per_token"), 6).alias("min_bpt"),
+            F.round(F.max("bits_per_token"), 6).alias("max_bpt"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+        )
+        .orderBy("ppl_bucket")
+    )
+
+
 @register("events_zorder_skip_report")
 def q_events_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The z-order layout lever end to end
