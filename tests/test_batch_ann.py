@@ -374,3 +374,28 @@ def test_ivfpq_residual_batch_parquet_equals_loop(spark, embs, qdf, qvs, ivf, tm
             for i, r in enumerate(single)
         ]
         assert sorted(got[qid]) == want, f"query {qid}"
+
+
+def test_binary_batch_equals_single_query_loop(spark, embs, qdf, qvs):
+    """Batched 1-bit Hamming search == per-query binary_search loop —
+    the last precision of the ladder on the batch axis."""
+    from ydb_vector_search_demo_spark.operators import quant
+
+    binarized = quant.quantize_binary(embs, dim=len(qvs[0]))
+    batch = quant.binary_batch_search(
+        binarized, embs, qdf, k=5, rescore=16
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], round(r["score"], 9))
+        )
+    for qid, qv in enumerate(qvs):
+        single = quant.binary_search(
+            binarized, embs, qv, k=5, rescore=16
+        ).collect()
+        want = [
+            (i + 1, r["vec_id"], round(r["score"], 9))
+            for i, r in enumerate(single)
+        ]
+        assert sorted(got[qid]) == want, f"query {qid}"

@@ -475,6 +475,76 @@ def binary_search(
     )
 
 
+def hamming_distance_col(b_col: Column | str, qwords_col: Column) -> Column:
+    """Column-vs-column twin of :func:`hamming_distance` for batched
+    probes: the packed query words arrive as a (broadcast) column."""
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    per_word = F.zip_with(b, qwords_col, lambda x, y: F.bit_count(x.bitwiseXOR(y)))
+    return F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x)
+
+
+def binary_batch_search(
+    binarized: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rescore: int = 16,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    b_col: str = "bvec",
+    predicate=None,
+) -> DataFrame:
+    """Batched 1-bit Hamming search — the last precision of the ladder
+    composed with the batch axis: queries are sign-packed driver-side
+    (:func:`pack_query_bits`) and broadcast as a words column, so ONE
+    popcount(xor) scan of the packed store (~32× fewer bytes than
+    float) scores the whole batch; per-query Partial-WindowGroupLimit
+    coarse cut at the wide 1-bit rescore factor; shared exact batch
+    rescore. Per query row-identical to the single-query
+    :func:`binary_search` loop (equality-tested)."""
+    from ydb_vector_search_demo_spark.operators.ann import _batch_topk
+
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    rows = [
+        (r[0], [float(x) for x in r[1]], pack_query_bits(r[1]))
+        for r in queries.select(query_id_col, query_vec_col).collect()
+    ]
+    qb = queries.sparkSession.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField(
+                    query_id_col, queries.schema[query_id_col].dataType
+                ),
+                StructField("_qv", ArrayType(DoubleType())),
+                StructField("_qw", ArrayType(LongType())),
+            ]
+        ),
+    )
+    coarse = (
+        _apply_pred(binarized, predicate)
+        .crossJoin(F.broadcast(qb))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            hamming_distance_col(b_col, F.col("_qw")).alias("hdist"),
+        )
+    )
+    pool = _batch_topk(
+        coarse, int(rescore) * k, query_id_col, id_col, "hdist", "hrank"
+    )
+    return _batch_rescore(
+        pool, embeddings, queries, k, metric, query_id_col, query_vec_col,
+        id_col, vector_col,
+    )
+
+
 # --------------------------------------------------------------------------
 # Quality measurement
 # --------------------------------------------------------------------------
