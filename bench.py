@@ -76,8 +76,10 @@ HEADLINE = [
     # r5 final additions (outside the comparable subsets): batched
     # Matryoshka probes — the graded mrl_batch_rescore (3-query batch
     # through one prefix coarse scan; mrl_rescore_topk above stays for
-    # cross-round continuity)
+    # cross-round continuity) — and the CCNet perplexity split (LM
+    # scoring passes + the exact-ntile global sort)
     "mrl_batch_rescore",
+    "text_ppl_buckets",
 ]
 
 
