@@ -4658,7 +4658,15 @@ _GRADE_FIRST = [
     "contrastive_triplets",
     "events_asof_purchase_click",
     "events_session_window",
-    "events_value_bands",
+    # r5 close-out rotation: events_value_bands out (a CASE banding —
+    # the value-distribution surface stays graded through
+    # events_value_percentiles, and CASE projection through the
+    # pivot/grouping rows; stays oracle-checked in pytest). In its
+    # place the LM-perplexity corpus split — a brand-new curation
+    # surface (corpus-trained unigram model, integer micro-bit
+    # scoring, deterministic ntile), transitively grading
+    # unigram_logprob_scores too.
+    "text_ppl_buckets",
     "events_value_percentiles",
     # dedup + curation (north-star; r5: + substring-level n-gram-span
     # dedup and the domain-mixing sampler, both r4 oracles)
