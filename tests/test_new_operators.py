@@ -836,3 +836,38 @@ def test_unigram_ppl_orders_common_vs_rare(spark):
         for r in unigram_logprob_scores(docs.repartition(7)).collect()
     }
     assert repart == {i: rows[i].bits_per_token for i in rows}
+
+
+def test_bigram_ppl_sees_word_order(spark):
+    """The bigram model's defining law: the same token multiset in
+    corpus-typical order scores LOWER than shuffled — a signal the
+    unigram model is provably blind to (its scores are equal on both).
+    Single-token and empty docs behave (unigram-only / dropped)."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+
+    base = "the cat sat on the mat and the dog ran to the cat"
+    docs = spark.createDataFrame(
+        [
+            (0, (base + " ") * 10),
+            (1, "the cat sat on the mat"),
+            (2, "mat the on sat cat the"),  # same multiset, shuffled
+            (3, "cat"),
+            (4, "   "),
+        ],
+        "doc_id INT, text STRING",
+    )
+    uni = {r.doc_id: r.bits_per_token for r in unigram_logprob_scores(docs).collect()}
+    assert uni[1] == uni[2]  # unigram: order-blind
+    bi = {r.doc_id: r for r in bigram_logprob_scores(docs).collect()}
+    assert bi[1].bits_per_token < bi[2].bits_per_token  # bigram: order-aware
+    assert bi[3].n_tokens == 1  # single token: unigram-only first term
+    assert 4 not in bi  # empty text: no tokens, dropped
+    assert bi[1].n_tokens == 6
+    repart = {
+        r.doc_id: r.bits_per_token
+        for r in bigram_logprob_scores(docs.repartition(7)).collect()
+    }
+    assert repart == {i: bi[i].bits_per_token for i in bi}

@@ -826,3 +826,98 @@ def perplexity_buckets(
         "bits_per_token",
         F.ntile(int(n_buckets)).over(w).alias("ppl_bucket"),
     )
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """The higher-order LM :func:`unigram_logprob_scores` documents —
+    Jelinek-Mercer interpolated bigram surprisal:
+    ``p(v|u) = λ·c(u,v)/c(u·) + (1−λ)·p_uni(v)`` with the same
+    add-``alpha`` unigram base; each document's first token scores at
+    the unigram, tokens 2..n at the bigram. Word ORDER now matters —
+    a document whose tokens follow corpus-typical sequences scores
+    lower than the same token multiset shuffled, the signal a unigram
+    model is blind to (pinned in tests).
+
+    Same determinism contract (per-token surprisal → 6 dp → exact
+    integer micro-bit sums) and the same relational shape one order
+    up: the model is the PAIR-count relation (one extra keyed agg over
+    the shifted-slice pair explode — the dedup_ngram_spans window
+    trick at n=2), context totals are an agg over it, and scoring is
+    a pair-keyed join back. Nothing is collected; a trigram swaps the
+    pair key for a triple without changing the shape."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+
+    ts = docs.select(F.col(id_col), tokens(text_col).alias("_ts")).filter(
+        F.size("_ts") > 0
+    )
+    toks = ts.select(F.col(id_col), F.explode("_ts").alias("_t"))
+    cnt = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    stats = cnt.agg(F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("_v"))
+    a = float(alpha)
+    vocab = cnt.crossJoin(F.broadcast(stats)).select(
+        "_t",
+        (
+            (F.col("_c") + F.lit(a))
+            / (F.col("_n") + F.lit(a) * F.col("_v"))
+        ).alias("_p"),
+    )
+    ub = lambda p: F.round(-F.log2(p) * 1e6).cast("bigint")  # noqa: E731
+
+    # pair explode via the shifted-slice trick: u at 0-based i pairs
+    # with ts[i+1]
+    pairs = ts.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.slice("_ts", 1, F.size("_ts") - 1),
+                lambda u, i: F.struct(
+                    u.alias("u"), F.get("_ts", i + 1).alias("v")
+                ),
+            )
+        ).alias("_pr"),
+    ).select(F.col(id_col), F.col("_pr.u").alias("_u"), F.col("_pr.v").alias("_v2"))
+    pc = pairs.groupBy("_u", "_v2").agg(F.count(F.lit(1)).alias("_cuv"))
+    cc = pc.groupBy("_u").agg(F.sum("_cuv").alias("_cu"))
+    l = float(lam)
+    pair_bits = (
+        pairs.join(pc, on=["_u", "_v2"])
+        .join(cc, on="_u")
+        .join(vocab.select(F.col("_t").alias("_v2"), "_p"), on="_v2")
+        .select(
+            F.col(id_col),
+            ub(
+                F.lit(l) * F.col("_cuv") / F.col("_cu")
+                + F.lit(1.0 - l) * F.col("_p")
+            ).alias("_ub"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_ub").alias("_ps"), F.count(F.lit(1)).alias("_pn"))
+    )
+    first_bits = (
+        ts.select(F.col(id_col), F.get("_ts", 0).alias("_t"))
+        .join(vocab, on="_t")
+        .select(F.col(id_col), ub(F.col("_p")).alias("_fb"))
+    )
+    return (
+        first_bits.join(pair_bits, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            (F.coalesce(F.col("_pn"), F.lit(0)) + 1)
+            .cast("int")
+            .alias("n_tokens"),
+            F.round(
+                (F.col("_fb") + F.coalesce(F.col("_ps"), F.lit(0)))
+                / (
+                    F.lit(1e6)
+                    * (F.coalesce(F.col("_pn"), F.lit(0)) + 1)
+                ),
+                6,
+            ).alias("bits_per_token"),
+        )
+    )

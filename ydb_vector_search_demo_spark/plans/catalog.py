@@ -3096,6 +3096,54 @@ def q_text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_bigram_ppl",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents
+               WHERE len({_TOKENS_SQL}) > 0),
+    toks AS (SELECT doc_id, unnest(ts) AS t FROM d),
+    cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    stats AS (SELECT sum(c) AS n, count(*) AS v FROM cnt),
+    vocab AS (SELECT t, (c + 0.5) / (n + 0.5 * v) AS p
+              FROM cnt CROSS JOIN stats),
+    pp AS (SELECT doc_id, ts[i] AS u, ts[i+1] AS v2
+           FROM d, unnest(generate_series(1, len(ts) - 1)) AS g(i)),
+    pc AS (SELECT u, v2, count(*) AS cuv FROM pp GROUP BY u, v2),
+    cc AS (SELECT u, sum(cuv) AS cu FROM pc GROUP BY u),
+    pb AS (SELECT doc_id,
+                  CAST(round(-log2({0.7!r} * cuv / cu + {1.0 - 0.7!r} * p)
+                             * 1e6) AS BIGINT) AS ubits
+           FROM pp JOIN pc USING (u, v2) JOIN cc USING (u)
+                JOIN (SELECT t AS v2, p FROM vocab) USING (v2)),
+    pa AS (SELECT doc_id, sum(ubits) AS ps, count(*) AS pn
+           FROM pb GROUP BY doc_id),
+    fb AS (SELECT doc_id, CAST(round(-log2(p) * 1e6) AS BIGINT) AS fbits
+           FROM (SELECT doc_id, ts[1] AS t FROM d) JOIN vocab USING (t)),
+    ds AS (SELECT doc_id, coalesce(pn, 0) + 1 AS n_tokens,
+                  fbits + coalesce(ps, 0) AS s
+           FROM fb LEFT JOIN pa USING (doc_id))
+    SELECT doc_id, n_tokens::INTEGER AS n_tokens,
+           round(s / (1e6 * n_tokens), 6) AS bits_per_token
+    FROM ds ORDER BY bits_per_token DESC, doc_id LIMIT 20
+    """,
+)
+def q_text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM surprisal
+    (curation.bigram_logprob_scores, λ=0.7 Jelinek-Mercer over the
+    add-0.5 unigram base): the word-ORDER-aware quality score — the
+    pair-count relation is the model, one extra keyed agg over the
+    shifted-slice pair explode. Highest-surprisal 20 shown. Fully
+    oracle-checked: DuckDB replays the pair explode, both count
+    models, the interpolation arithmetic (including the
+    float-faithful 1−λ literal), and the integer micro-bit sums."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    out = curation.bigram_logprob_scores(_t(spark, sf_dir, "documents"))
+    return out.orderBy(
+        F.col("bits_per_token").desc(), F.col("doc_id").asc()
+    ).limit(20)
+
+
 @register("events_zorder_skip_report")
 def q_events_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The z-order layout lever end to end
