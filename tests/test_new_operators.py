@@ -871,3 +871,28 @@ def test_bigram_ppl_sees_word_order(spark):
         for r in bigram_logprob_scores(docs.repartition(7)).collect()
     }
     assert repart == {i: bi[i].bits_per_token for i in bi}
+
+
+def test_source_kl_flags_drifted_source(spark):
+    """KL-drift law: a source matching the corpus mix scores near 0; a
+    planted off-distribution source scores much higher; KL >= 0 up to
+    the 1e-6 rounding grain; partitioning-independent."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        source_kl_divergence,
+    )
+
+    normal = "the cat sat on the mat and the dog ran to the mat"
+    docs = spark.createDataFrame(
+        [(i, normal, "steady") for i in range(20)]
+        + [(100 + i, "zzz buy now click here zzz buy now", "spammy")
+           for i in range(2)],
+        "doc_id INT, text STRING, source STRING",
+    )
+    kl = {r.source: r for r in source_kl_divergence(docs).collect()}
+    assert kl["spammy"].kl_bits > kl["steady"].kl_bits * 5
+    assert all(r.kl_bits >= -1e-5 for r in kl.values())
+    repart = {
+        r.source: r.kl_bits
+        for r in source_kl_divergence(docs.repartition(7)).collect()
+    }
+    assert repart == {s: kl[s].kl_bits for s in kl}

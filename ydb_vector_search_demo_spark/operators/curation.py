@@ -921,3 +921,60 @@ def bigram_logprob_scores(
             ).alias("bits_per_token"),
         )
     )
+
+
+def source_kl_divergence(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-source distribution drift on the TEXT side — the lexical
+    analogue of pq.pq_drift_report's embedding-space signal: KL(source
+    ‖ corpus) in bits over add-``alpha``-smoothed unigram
+    distributions, where a source whose token mix wanders from the
+    corpus (a feed gone spammy, a scraper picking up a new template)
+    shows a rising KL long before quality gates trip on individual
+    documents.
+
+    Smoothing puts every CORPUS token in every source's support
+    (q > 0 and p > 0 throughout), so the sum is finite and runs over
+    the corpus vocabulary per source. Determinism: each token's
+    contribution p·log2(p/q) rounds to 6 dp of micro-bits and sums as
+    exact integers — the same convention as the LM scores.
+
+    Scale shape: one (source, token) agg, one token agg, a broadcast
+    1-row stats join, and a token-keyed join of the two count
+    relations — vocabulary-sized intermediates, nothing collected."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+
+    a = float(alpha)
+    toks = docs.select(
+        F.col(source_col).alias("_src"), F.explode(tokens(text_col)).alias("_t")
+    )
+    # corpus distribution q(t)
+    cnt = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    stats = cnt.agg(F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("_v"))
+    # per-source counts over the FULL corpus vocabulary (left join →
+    # zero counts smooth to alpha mass)
+    sc = toks.groupBy("_src", "_t").agg(F.count(F.lit(1)).alias("_cs"))
+    stot = sc.groupBy("_src").agg(F.sum("_cs").alias("_ns"))
+    grid = (
+        cnt.crossJoin(stot.select("_src", "_ns"))
+        .join(sc, on=["_src", "_t"], how="left")
+        .crossJoin(F.broadcast(stats.select("_n", "_v")))
+    )
+    p = (F.coalesce(F.col("_cs"), F.lit(0)) + F.lit(a)) / (
+        F.col("_ns") + F.lit(a) * F.col("_v")
+    )
+    q = (F.col("_c") + F.lit(a)) / (F.col("_n") + F.lit(a) * F.col("_v"))
+    term = F.round(p * F.log2(p / q) * 1e6).cast("bigint")
+    return (
+        grid.select("_src", "_ns", term.alias("_ub"))
+        .groupBy(F.col("_src").alias(source_col))
+        .agg(
+            F.max("_ns").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("_ub") / 1e6, 6).alias("kl_bits"),
+        )
+    )

@@ -3144,6 +3144,46 @@ def q_text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+@register(
+    "corpus_source_kl",
+    f"""
+    WITH toks AS (SELECT source AS src, unnest({_TOKENS_SQL}) AS t
+                  FROM documents),
+    cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    stats AS (SELECT sum(c) AS n, count(*) AS v FROM cnt),
+    sc AS (SELECT src, t, count(*) AS cs FROM toks GROUP BY src, t),
+    stot AS (SELECT src, sum(cs) AS ns FROM sc GROUP BY src),
+    grid AS (SELECT src, t, c, ns, cs
+             FROM cnt CROSS JOIN stot LEFT JOIN sc USING (src, t)),
+    term AS (SELECT src, ns,
+                    CAST(round(
+                      ((coalesce(cs, 0) + 0.5) / (ns + 0.5 * v))
+                      * log2(((coalesce(cs, 0) + 0.5) / (ns + 0.5 * v))
+                             / ((c + 0.5) / (n + 0.5 * v)))
+                      * 1e6) AS BIGINT) AS ub
+             FROM grid CROSS JOIN stats)
+    SELECT src AS source, max(ns)::BIGINT AS n_tokens,
+           round(sum(ub) / 1e6, 6) AS kl_bits
+    FROM term GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical drift monitor
+    (curation.source_kl_divergence): KL(source ‖ corpus) in bits over
+    add-0.5-smoothed unigram distributions — the TEXT-side analogue of
+    pq_codebook_drift's embedding-space signal, catching a feed whose
+    token mix wanders (spam, template change) before per-document
+    gates trip. Each token's contribution sums as exact integer
+    micro-bits (partial-agg-order independent). Fully oracle-checked
+    (DuckDB replays both count models, the smoothing, and the
+    micro-bit sum)."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    return curation.source_kl_divergence(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("source")
+
+
 @register("events_zorder_skip_report")
 def q_events_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The z-order layout lever end to end
