@@ -896,3 +896,27 @@ def test_source_kl_flags_drifted_source(spark):
         for r in source_kl_divergence(docs.repartition(7)).collect()
     }
     assert repart == {s: kl[s].kl_bits for s in kl}
+
+
+def test_approx_ppl_buckets_agree_with_exact(spark):
+    """The approximate split (sketch bounds + map-only CASE) assigns
+    >=90% of documents to the same band as the exact ntile, and its
+    plan has no global sort of the corpus relation's rows into one
+    ordered partition beyond the sketch agg."""
+    from tests.conftest import SF_SMOKE
+    from ydb_vector_search_demo_spark.operators.curation import (
+        perplexity_buckets,
+        perplexity_buckets_approx,
+    )
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {r.doc_id: r.ppl_bucket for r in perplexity_buckets(docs).collect()}
+    approx = {
+        r.doc_id: r.ppl_bucket
+        for r in perplexity_buckets_approx(docs).collect()
+    }
+    assert set(exact) == set(approx)
+    agree = sum(1 for d in exact if exact[d] == approx[d])
+    assert agree / len(exact) >= 0.9, agree / len(exact)
+    assert set(approx.values()) == {1, 2, 3}
