@@ -83,3 +83,60 @@ def test_leading_gap_stays_null_under_locf(spark):
     assert by_hour[0] is None          # leading NULL: nothing to carry
     assert by_hour[1] is None          # fabricated before first value
     assert by_hour[2] == 7.0
+
+
+def test_interval_join_bucketed_equals_naive_and_avoids_nested_loop(spark):
+    """Chunked range join: row-set equality with the naive non-equi
+    join on a constructed case that spans chunk boundaries (intervals
+    crossing chunks, points on exact bounds), collision guard, and a
+    plan with a hash equi-join — no nested loop / cartesian."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_demo_spark.operators import timeseries as TS
+
+    base = dt.datetime(2024, 1, 1)
+    iv = spark.createDataFrame(
+        [
+            (1, base, base + dt.timedelta(days=2)),          # crosses chunks
+            (2, base + dt.timedelta(hours=3), base + dt.timedelta(hours=4)),
+            (3, base + dt.timedelta(days=9), base + dt.timedelta(days=20)),
+        ],
+        "iid INT, start_ts TIMESTAMP, end_ts TIMESTAMP",
+    )
+    pts = spark.createDataFrame(
+        [
+            (10, base),                                     # exact start
+            (11, base + dt.timedelta(days=2)),              # exact end
+            (12, base + dt.timedelta(hours=3, minutes=30)),
+            (13, base + dt.timedelta(days=15)),
+            (14, base + dt.timedelta(days=40)),             # matches nothing
+        ],
+        "pid INT, ts TIMESTAMP",
+    )
+    got = sorted(
+        (r.iid, r.pid)
+        for r in TS.interval_point_join_bucketed(
+            iv, pts, chunk_seconds=86400
+        ).collect()
+    )
+    naive = sorted(
+        (r.iid, r.pid)
+        for r in iv.crossJoin(pts)
+        .filter((F.col("ts") >= F.col("start_ts")) & (F.col("ts") <= F.col("end_ts")))
+        .collect()
+    )
+    assert got == naive and len(got) == 5
+
+    plan = (
+        TS.interval_point_join_bucketed(iv, pts, chunk_seconds=86400)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="collision"):
+        TS.interval_point_join_bucketed(iv, iv.withColumnRenamed("iid", "x"))

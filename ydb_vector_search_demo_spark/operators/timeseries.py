@@ -114,3 +114,54 @@ def bucketed_agg_gapfill(
         agged, keys, bucket_col="bucket", bucket=bucket,
         fill_zero=fill_zero, fill_locf=fill_locf,
     )
+
+
+def interval_point_join_bucketed(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    point_col: str = "ts",
+    chunk_seconds: int = 86400,
+) -> DataFrame:
+    """Scalable interval×point range join. Spark plans a raw
+    ``p.ts BETWEEN i.start AND i.end`` join as a BroadcastNestedLoop /
+    cartesian — quadratic the moment neither side broadcasts. The
+    standard scale route (the chunking trick behind range-join
+    optimizations in several engines' public docs): explode each
+    interval to the fixed-length time chunks it covers (bounded by
+    interval_len/chunk + 1 rows), bucket each point into exactly one
+    chunk, EQUI-join on the chunk (shuffle or broadcast hash — never a
+    nested loop), then refine with the exact range predicate. Row-set
+    identical to the naive join (equality-tested; a point pairs with
+    an interval in exactly one chunk — the point's own — so no dedup
+    step is needed).
+
+    ``chunk_seconds`` trades fan-out (long intervals explode into
+    more chunks) against join selectivity (big chunks pair more
+    non-overlapping rows for the refine filter to drop); set it near
+    the typical interval length.
+
+    Output: every (interval row ⨯ matching point row), both sides'
+    columns preserved. Column names must not collide across the two
+    inputs (rename before calling)."""
+    overlap = set(intervals.columns) & set(points.columns)
+    if overlap:
+        raise ValueError(f"column collision across inputs: {sorted(overlap)}")
+    iv = intervals.withColumn(
+        "_chunk",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / chunk_seconds),
+                F.floor(F.unix_timestamp(F.col(end_col)) / chunk_seconds),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "_chunk", F.floor(F.unix_timestamp(F.col(point_col)) / chunk_seconds)
+    )
+    joined = iv.join(pt, on="_chunk").filter(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) <= F.col(end_col))
+    )
+    return joined.drop("_chunk")

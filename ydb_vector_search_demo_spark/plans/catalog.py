@@ -3184,6 +3184,55 @@ def q_corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+@register(
+    "orders_interval_ship_join",
+    """
+    SELECT o_orderkey,
+           count(*)::BIGINT AS n_shipments,
+           sum(CAST(l_quantity AS BIGINT))::BIGINT AS qty
+    FROM orders o JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 6 DAY
+    WHERE o.o_orderkey % 97 = 0
+    GROUP BY 1 ORDER BY 1 LIMIT 20
+    """,
+)
+def q_orders_interval_ship_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×point range join at scale
+    (timeseries.interval_point_join_bucketed): shipments falling in
+    each sampled order's 7-day window. Spark plans the raw BETWEEN
+    join as a nested loop (quadratic once neither side broadcasts);
+    the chunking rewrite explodes each interval to its covered
+    fixed-length chunks, buckets each point into one chunk, EQUI-joins
+    on the chunk, and refines with the exact predicate — row-set
+    identical (a point pairs with an interval only in its own chunk)
+    and always a hash join. Quantities sum as exact BIGINTs. Fully
+    oracle-checked (DuckDB runs the naive range join — small scale is
+    exactly where naive is fine, which is the point)."""
+    from ydb_vector_search_demo_spark.operators import timeseries as TS
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    iv = orders.filter("o_orderkey % 97 = 0").select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("start_ts"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 6 DAYS")).alias("end_ts"),
+    )
+    pts = li.select(F.col("l_shipdate").alias("ts"), "l_quantity")
+    out = TS.interval_point_join_bucketed(
+        iv, pts, chunk_seconds=7 * 86400
+    )
+    return (
+        out.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipments"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        )
+        .orderBy("o_orderkey")
+        .limit(20)
+    )
+
+
 @register("events_zorder_skip_report")
 def q_events_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The z-order layout lever end to end
