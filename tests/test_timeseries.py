@@ -140,3 +140,51 @@ def test_interval_join_bucketed_equals_naive_and_avoids_nested_loop(spark):
 
     with _pt.raises(ValueError, match="collision"):
         TS.interval_point_join_bucketed(iv, iv.withColumnRenamed("iid", "x"))
+
+
+def test_interval_interval_join_exact_multiplicity(spark):
+    """Interval-overlap join: equality with the naive non-equi join on
+    a case where overlaps span MANY chunks (the duplication trap the
+    overlap-start filter exists for), touching/nested/disjoint pairs."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_demo_spark.operators import timeseries as TS
+
+    b = dt.datetime(2024, 1, 1)
+    d = dt.timedelta
+    left = spark.createDataFrame(
+        [
+            (1, b, b + d(days=10)),          # long: spans 11 chunks
+            (2, b + d(days=5), b + d(days=6)),
+            (3, b + d(days=30), b + d(days=31)),
+        ],
+        "lid INT, start_ts TIMESTAMP, end_ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, b + d(days=2), b + d(days=9)),   # 8-chunk overlap with lid 1
+            (11, b + d(days=10), b + d(days=12)), # touches lid 1's end point
+            (12, b + d(days=5, hours=12), b + d(days=5, hours=13)),  # nested
+            (13, b + d(days=50), b + d(days=51)),  # disjoint
+        ],
+        "rid INT, r_start_ts TIMESTAMP, r_end_ts TIMESTAMP",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in TS.interval_interval_join_bucketed(left, right).collect()
+    )
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in left.crossJoin(right)
+        .filter(
+            (F.col("start_ts") <= F.col("r_end_ts"))
+            & (F.col("r_start_ts") <= F.col("end_ts"))
+        )
+        .collect()
+    )
+    assert got == naive
+    assert len(got) == len(set(got)), "duplicated pairs leaked through"
+    assert (1, 10) in got and (1, 11) in got and (2, 12) in got
+    assert (3, 13) not in got

@@ -165,3 +165,55 @@ def interval_point_join_bucketed(
         & (F.col(point_col) <= F.col(end_col))
     )
     return joined.drop("_chunk")
+
+
+def interval_interval_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str = "start_ts",
+    l_end: str = "end_ts",
+    r_start: str = "r_start_ts",
+    r_end: str = "r_end_ts",
+    chunk_seconds: int = 86400,
+) -> DataFrame:
+    """Interval×interval OVERLAP join by the same chunking rewrite as
+    :func:`interval_point_join_bucketed`, generalized: both sides
+    explode to their covered chunks, equi-join on the chunk, refine
+    with the overlap predicate (``l_start ≤ r_end AND r_start ≤
+    l_end``). An overlapping pair shares EVERY chunk its overlap
+    spans, so naive chunk-joining duplicates it; instead of a
+    distinct (a full extra shuffle of the output), each pair is kept
+    only in the single chunk containing its OVERLAP START
+    (``greatest(l_start, r_start)``) — a map-side filter, zero extra
+    shuffles, exact multiplicity. Row-set identical to the naive
+    non-equi join (equality-tested). Column names must not collide."""
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"column collision across inputs: {sorted(overlap)}")
+
+    def chunks(df, s, e):
+        return df.withColumn(
+            "_chunk",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(s)) / chunk_seconds),
+                    F.floor(F.unix_timestamp(F.col(e)) / chunk_seconds),
+                )
+            ),
+        )
+
+    lv = chunks(left, l_start, l_end)
+    rv = chunks(right, r_start, r_end)
+    ov_start = F.greatest(F.col(l_start), F.col(r_start))
+    return (
+        lv.join(rv, on="_chunk")
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (
+                F.col("_chunk")
+                == F.floor(F.unix_timestamp(ov_start) / chunk_seconds)
+            )
+        )
+        .drop("_chunk")
+    )
