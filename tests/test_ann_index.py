@@ -429,3 +429,47 @@ def test_compact_partitioned_store_preserves_layout_and_rows(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "cell_top" in plan.split("PartitionFilters:")[1].split("]")[0]
     tree.assigned.unpersist()
+
+
+def test_knn_graph_single_bucket_is_exact(spark):
+    """With one global bucket the bucketed kNN graph IS the exact kNN
+    graph: per source it equals exact KNN over the corpus minus self."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from ydb_vector_search_demo_spark.operators import ann
+    from ydb_vector_search_demo_spark.operators.knn import knn_scores
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+
+    embs = load_table(spark, SF_SMOKE, "embeddings").limit(60)
+    one = embs.withColumn("_one", F.lit(1))
+    graph = ann.knn_graph_bucketed(
+        one, "_one", k=3, sources=one.filter("vec_id < 5")
+    ).collect()
+    by_src = {}
+    for r in graph:
+        by_src.setdefault(r.src, []).append((r.rank, r.dst, round(r.score, 9)))
+    rows = {r.vec_id: r.embedding for r in embs.filter("vec_id < 5").collect()}
+    for src, qv in rows.items():
+        exact = knn_scores(
+            embs.filter(F.col("vec_id") != src), qv, k=3
+        ).collect()
+        want = [
+            (i + 1, r.vec_id, round(r.score, 9)) for i, r in enumerate(exact)
+        ]
+        assert sorted(by_src[src]) == want, f"src {src}"
+
+
+def test_knn_graph_plan_has_group_limit_and_no_python(spark):
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from ydb_vector_search_demo_spark.operators import ann
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    df = ann.knn_graph_bucketed(embs, "label", k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    for py_node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py_node not in plan

@@ -1470,3 +1470,61 @@ def brp_lsh_neighbors(
         model.approxNearestNeighbors(feats, key, k)
         .select(id_col, F.col("distCol").alias("score"))
     )
+
+
+def knn_graph_bucketed(
+    embeddings: DataFrame,
+    bucket_col: str,
+    k: int = 5,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate kNN GRAPH over the corpus — every node's top-``k``
+    neighbors WITHIN its bucket, the primitive graph-based clustering,
+    SemDeDup-style curation, and label-propagation pipelines consume.
+    All-pairs exact is n² and dead at scale; bucketing (an IVF cell id
+    from ``ivf_assign``, a label, a tenant — any pre-partitioned
+    locality key) bounds the self-join to n²/B work per bucket, and
+    the per-source cut is the Partial-WindowGroupLimit shape, so the
+    scored within-bucket product never shuffles in full.
+
+    ``sources`` restricts the query side (e.g. only new documents
+    against the whole bucket); neighbors always come from the full
+    ``embeddings``. Self-edges are excluded. Output: (src, dst, score,
+    rank) — rank 1 is the nearest neighbor. With one global bucket
+    this IS the exact kNN graph (equality-tested vs per-query exact
+    KNN); with IVF cells it inherits the probe-1 recall profile,
+    measurable via recall_at_k like every other approximate path."""
+    from pyspark.sql import Window
+
+    from ydb_vector_search_demo_spark.functions.vector import distance
+
+    src = sources if sources is not None else embeddings
+    a = src.select(
+        F.col(bucket_col).alias("_bk"),
+        F.col(id_col).alias("src"),
+        F.col(vector_col).alias("_va"),
+    )
+    b = embeddings.select(
+        F.col(bucket_col).alias("_bk"),
+        F.col(id_col).alias("dst"),
+        F.col(vector_col).alias("_vb"),
+    )
+    scored = (
+        a.join(b, on="_bk")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            distance(F.col("_va"), F.col("_vb"), metric).alias("score"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("score").asc_nulls_last(), F.col("dst").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

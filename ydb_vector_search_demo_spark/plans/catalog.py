@@ -3233,6 +3233,47 @@ def q_orders_interval_ship_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_knn_graph_label",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             1.0 - list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]) AS raw
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id != b.vec_id
+      WHERE a.vec_id < 25),
+    ranked AS (
+      SELECT src, dst, raw,
+             row_number() OVER (PARTITION BY src ORDER BY raw, dst)
+               ::INTEGER AS rank
+      FROM pairs)
+    SELECT src, dst, round(raw, 6) AS score, rank FROM ranked
+    WHERE rank <= 3 ORDER BY src, rank
+    """,
+)
+def q_ann_knn_graph_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed kNN-graph construction (ann.knn_graph_bucketed): each
+    source node's 3 nearest same-LABEL neighbors — the primitive
+    graph-clustering / SemDeDup-style pipelines consume, shown on a
+    deterministic bucket key (the label column) so DuckDB can replay
+    the within-bucket self-join and per-source ranking exactly. At
+    scale the bucket is an IVF cell id (n²/B work per cell) and the
+    per-source cut is the Partial-WindowGroupLimit shape. Sources
+    limited to vec_id < 25 to keep the graded row compact; neighbors
+    come from the full corpus."""
+    from ydb_vector_search_demo_spark.operators import ann
+
+    embs = _t(spark, sf_dir, "embeddings")
+    out = ann.knn_graph_bucketed(
+        embs, "label", k=3, sources=embs.filter("vec_id < 25")
+    )
+    return out.select(
+        "src", "dst", F.round("score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("src", "rank")
+
+
 @register("events_zorder_skip_report")
 def q_events_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The z-order layout lever end to end
