@@ -80,6 +80,10 @@ HEADLINE = [
     # scoring passes + the exact-ntile global sort)
     "mrl_batch_rescore",
     "text_ppl_buckets",
+    # tenth wave: chunked range join (equi-join rewrite of the BETWEEN
+    # join) and bucketed kNN-graph construction
+    "orders_interval_ship_join",
+    "ann_knn_graph_label",
 ]
 
 
