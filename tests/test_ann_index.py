@@ -473,3 +473,35 @@ def test_knn_graph_plan_has_group_limit_and_no_python(spark):
     assert "WindowGroupLimit" in plan
     for py_node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert py_node not in plan
+
+
+def test_mutual_knn_clusters_recover_planted_groups(spark):
+    """Two tight planted clusters + one outlier: mutual-kNN clustering
+    recovers exactly the planted grouping — the outlier stays a
+    singleton even though IT has nearest neighbors (they don't
+    reciprocate: the asymmetry the mutual filter exists for). Output
+    honors the dedup-cluster contract (min-id canonical, full node
+    coverage)."""
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_demo_spark.operators import ann
+
+    def around(base, i):
+        return [x + 0.001 * i for x in base]
+
+    a, b = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    rows = (
+        [(i, around(a, i)) for i in range(4)]
+        + [(10 + i, around(b, i)) for i in range(4)]
+        + [(99, [0.5, 0.5, 0.7, 0.1])]  # outlier
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).withColumn("bucket", F.lit(1))
+    out = {r.vec_id: r for r in ann.mutual_knn_clusters(df, "bucket", k=3).collect()}
+    assert len(out) == 9
+    assert {out[i].cluster_id for i in range(4)} == {0}
+    assert {out[10 + i].cluster_id for i in range(4)} == {10}
+    assert out[99].cluster_id == 99 and out[99].cluster_size == 1
+    assert out[0].is_canonical and not out[1].is_canonical
+    assert out[0].cluster_size == 4

@@ -1480,6 +1480,7 @@ def knn_graph_bucketed(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     sources: DataFrame | None = None,
+    keep_bucket: bool = False,
 ) -> DataFrame:
     """Approximate kNN GRAPH over the corpus — every node's top-``k``
     neighbors WITHIN its bucket, the primitive graph-based clustering,
@@ -1516,6 +1517,7 @@ def knn_graph_bucketed(
         a.join(b, on="_bk")
         .filter(F.col("src") != F.col("dst"))
         .select(
+            *(["_bk"] if keep_bucket else []),
             "src",
             "dst",
             distance(F.col("_va"), F.col("_vb"), metric).alias("score"),
@@ -1527,4 +1529,48 @@ def knn_graph_bucketed(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def mutual_knn_clusters(
+    embeddings: DataFrame,
+    bucket_col: str,
+    k: int = 5,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Mutual-kNN clustering — the classic density-robust pipeline
+    built entirely from this module's primitives: the bucketed kNN
+    graph (:func:`knn_graph_bucketed`), keep only MUTUAL edges (u in
+    v's top-k AND v in u's top-k — the standard asymmetry filter that
+    stops hub nodes gluing unrelated regions together), connected
+    components over the surviving edges. Output matches the dedup
+    cluster contract: (id, cluster_id, cluster_size, is_canonical) for
+    every embedding, singletons included.
+
+    Scale shape: the graph is n²/B per bucket with a WindowGroupLimit
+    cut; the mutual filter is a self-join of the (≤ n·k)-row edge list
+    on the reversed key; components run bucket-wise in one shuffle
+    when edges are bucket-local (they are, by construction — both
+    endpoints share the bucket)."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        dedup_clusters_bucketed,
+    )
+
+    graph = knn_graph_bucketed(
+        embeddings, bucket_col, k=k, metric=metric,
+        id_col=id_col, vector_col=vector_col, keep_bucket=True,
+    ).select("_bk", "src", "dst")
+    rev = graph.select(
+        "_bk", F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mutual = graph.intersect(rev).filter(F.col("src") < F.col("dst"))
+    pairs = mutual.select(
+        F.col("_bk").alias("centroid_id"),
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+    )
+    return dedup_clusters_bucketed(
+        embeddings.select(F.col(id_col)), pairs, id_col=id_col
     )

@@ -3274,6 +3274,60 @@ def q_ann_knn_graph_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("src", "rank")
 
 
+@register(
+    "ann_mutual_knn_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             1.0 - list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]) AS raw
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id != b.vec_id),
+    ranked AS (SELECT src, dst,
+                      row_number() OVER (PARTITION BY src
+                                         ORDER BY raw, dst) AS rk
+               FROM pairs),
+    g AS (SELECT src, dst FROM ranked WHERE rk <= 3),
+    mutual AS (SELECT g.src AS a, g.dst AS b
+               FROM g JOIN g g2 ON g.src = g2.dst AND g.dst = g2.src
+               WHERE g.src < g.dst),
+    edges AS (SELECT a AS x, b AS y FROM mutual
+              UNION SELECT b, a FROM mutual),
+    reach(x, y) AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e2.y FROM reach r JOIN edges e2 ON r.y = e2.x
+    ),
+    comp AS (
+      SELECT e.vec_id,
+             least(e.vec_id, coalesce(min(r.y), e.vec_id)) AS cluster_id
+      FROM embeddings e LEFT JOIN reach r ON r.x = e.vec_id
+      GROUP BY e.vec_id
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM comp GROUP BY cluster_id)
+    SELECT c.vec_id, c.cluster_id, s.cluster_size,
+           c.vec_id = c.cluster_id AS is_canonical
+    FROM comp c JOIN sizes s USING (cluster_id)
+    ORDER BY c.vec_id
+    """,
+)
+def q_ann_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN clustering end to end (ann.mutual_knn_clusters): the
+    bucketed kNN graph filtered to MUTUAL edges (the asymmetry filter
+    that stops hub nodes gluing regions together) resolved to
+    connected components with the dedup-cluster contract — built
+    entirely from existing primitives (knn_graph_bucketed →
+    one-shuffle bucketed union-find). Label buckets keep the oracle
+    deterministic; DuckDB replays the graph, the mutual self-join,
+    and a WITH RECURSIVE transitive closure. Fully oracle-checked
+    over EVERY embedding."""
+    from ydb_vector_search_demo_spark.operators import ann
+
+    embs = _t(spark, sf_dir, "embeddings")
+    return ann.mutual_knn_clusters(embs, "label", k=3).orderBy("vec_id")
+
+
 @register("events_zorder_skip_report")
 def q_events_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The z-order layout lever end to end
