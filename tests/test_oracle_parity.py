@@ -55,8 +55,11 @@ ORACLE_NAMES = sorted(set(entry_mod.queries()) & set(entry_mod.oracle_sql()))
 # set has to sit inside it.
 GRADING_WINDOW = 50
 _MUST_GRADE = {
+    # r5 close-out: events_value_bands rotated out for the LM split
+    # (text_ppl_buckets) — the value-distribution surface stays graded
+    # via events_value_percentiles
     "events_asof_purchase_click", "events_session_window",
-    "events_value_bands", "events_value_percentiles",
+    "text_ppl_buckets", "events_value_percentiles",
     "dedup_exact_stats", "dedup_jaccard_pairs", "dedup_cosine_pairs",
     "streaming_dedup_events", "streaming_hourly_counts",
     "streaming_session_windows",
