@@ -505,3 +505,26 @@ def test_mutual_knn_clusters_recover_planted_groups(spark):
     assert out[99].cluster_id == 99 and out[99].cluster_size == 1
     assert out[0].is_canonical and not out[1].is_canonical
     assert out[0].cluster_size == 4
+
+
+def test_knn_graph_recall_report_shape(spark):
+    """The cell-bucketed graph's recall report: min <= mean in [0, 1],
+    and a coarser clustering (fewer, larger cells) never reports WORSE
+    mean recall than a finer one on the same corpus — more of each
+    node's true neighborhood shares its cell. (Exactness of the
+    single-bucket graph is pinned separately in
+    test_knn_graph_single_bucket_is_exact.)"""
+    from tests.conftest import SF_SMOKE
+    from ydb_vector_search_demo_spark.operators import ann
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    coarse = ann.knn_graph_recall(
+        spark, embs, k=5, k_clusters=2, n_sources=5
+    ).first()
+    fine = ann.knn_graph_recall(
+        spark, embs, k=5, k_clusters=8, n_sources=5
+    ).first()
+    for r in (coarse, fine):
+        assert 0.0 <= r.min_recall <= r.mean_recall <= 1.0
+    assert coarse.mean_recall >= fine.mean_recall - 1e-9

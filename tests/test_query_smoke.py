@@ -35,6 +35,7 @@ def test_rows_only_set_is_intentional():
         "ann_ivf_recall",
         "ann_ivf_recall_sweep",
         "ann_ivfpq_recall",
+        "ann_knn_graph_recall",
         "ann_lsh_top5",
         "ann_pq_recall",
         "ann_quantized_recall",

@@ -1574,3 +1574,70 @@ def mutual_knn_clusters(
     return dedup_clusters_bucketed(
         embeddings.select(F.col(id_col)), pairs, id_col=id_col
     )
+
+
+def knn_graph_recall(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    k: int = 5,
+    k_clusters: int = 16,
+    n_sources: int = 20,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    cache_key: object | None = None,
+) -> DataFrame:
+    """One-row quality report for the IVF-cell kNN graph: per-source
+    recall@k of :func:`knn_graph_bucketed` over the cell assignment vs
+    the exact graph (per-source exact KNN minus self), mean and min
+    over ``n_sources`` deterministic sample sources (lowest ids). The
+    cell-bucketed graph pays n²/B work instead of n² and this report
+    prices that trade — the same honest-reporting contract as
+    ivf_batch_recall / mrl_recall (the min exposes the worst-served
+    node a mean hides; a node near a cell boundary loses the neighbors
+    that sit across it)."""
+    from ydb_vector_search_demo_spark.operators.knn import knn_scores
+
+    index = get_or_build_ivf_index(
+        embeddings, k_clusters=k_clusters, cache_key=cache_key,
+        id_col=id_col, vector_col=vector_col,
+    )
+    srcs = (
+        embeddings.select(id_col, vector_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(int(n_sources))
+    )
+    src_rows = srcs.collect()
+    src_ids = {r[0] for r in src_rows}
+    graph = knn_graph_bucketed(
+        index.assigned, "centroid_id", k=k, metric=metric,
+        id_col=id_col, vector_col=vector_col,
+        sources=index.assigned.filter(F.col(id_col).isin(sorted(src_ids))),
+    ).collect()
+    approx: dict = {}
+    for r in graph:
+        approx.setdefault(r["src"], []).append(r["dst"])
+    recalls = []
+    for r in src_rows:
+        exact = [
+            x[0]
+            for x in knn_scores(
+                embeddings.filter(F.col(id_col) != r[0]),
+                [float(v) for v in r[1]],
+                k, metric, id_col=id_col, vector_col=vector_col,
+            ).collect()
+        ]
+        recalls.append(recall_at_k(exact, approx.get(r[0], [])))
+    return spark.createDataFrame(
+        [
+            (
+                int(len(src_rows)),
+                k,
+                int(k_clusters),
+                float(sum(recalls) / len(recalls)),
+                float(min(recalls)),
+            )
+        ],
+        "n_sources INT, k INT, k_clusters INT, mean_recall DOUBLE, "
+        "min_recall DOUBLE",
+    )

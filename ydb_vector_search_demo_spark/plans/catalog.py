@@ -3328,6 +3328,24 @@ def q_ann_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.mutual_knn_clusters(embs, "label", k=3).orderBy("vec_id")
 
 
+@register("ann_knn_graph_recall")
+def q_ann_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality report for the IVF-cell kNN graph
+    (ann.knn_graph_recall): per-source recall@5 of the cell-bucketed
+    graph (n²/B work) vs the exact graph, mean and min over 20 sample
+    sources — the report that prices the bucketing trade, mirroring
+    ivf_batch_recall's contract (the min exposes boundary nodes whose
+    neighbors sit across a cell edge). Rows-only (KMeans cells);
+    the label-bucketed graph itself is fully oracle-checked
+    (ann_knn_graph_label)."""
+    from ydb_vector_search_demo_spark.operators import ann
+
+    return ann.knn_graph_recall(
+        spark, _t(spark, sf_dir, "embeddings"), k=5, k_clusters=8,
+        n_sources=20, cache_key=(sf_dir, "graph8"),
+    )
+
+
 @register("events_zorder_skip_report")
 def q_events_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The z-order layout lever end to end
