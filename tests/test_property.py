@@ -348,3 +348,163 @@ def test_gapfill_laws(rows):
                 carry = observed_sums[h]
             sv = got[k][h]["sv"]
             assert sv is not None and abs(sv - carry) < 1e-6
+
+
+# ------------------------------------------------ chunked range joins
+
+_TS0 = 1_700_000_000  # fixed epoch base; hypothesis varies offsets
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400_000),
+            st.integers(min_value=0, max_value=300_000),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    pts=st.lists(
+        st.integers(min_value=-100_000, max_value=800_000),
+        min_size=1,
+        max_size=12,
+    ),
+    chunk=st.sampled_from([3600, 86400, 100_000]),
+)
+def test_interval_point_join_equals_naive_randomized(ivs, pts, chunk):
+    """Randomized equality: the chunk-join rewrite must match the naive
+    non-equi join for ANY interval/point layout and chunk size —
+    including intervals shorter than, equal to, and spanning many
+    chunks, and points outside every interval."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_demo_spark.operators import timeseries as TS
+
+    spark = _get_spark()
+
+    def ts(sec):
+        return dt.datetime.utcfromtimestamp(_TS0 + sec)
+
+    iv = spark.createDataFrame(
+        [(i, ts(s), ts(s + d)) for i, (s, d) in enumerate(ivs)],
+        "iid INT, start_ts TIMESTAMP, end_ts TIMESTAMP",
+    )
+    pt = spark.createDataFrame(
+        [(j, ts(p)) for j, p in enumerate(pts)],
+        "pid INT, ts TIMESTAMP",
+    )
+    got = sorted(
+        (r.iid, r.pid)
+        for r in TS.interval_point_join_bucketed(
+            iv, pt, chunk_seconds=chunk
+        ).collect()
+    )
+    want = sorted(
+        (r.iid, r.pid)
+        for r in iv.crossJoin(pt)
+        .filter(
+            (F.col("ts") >= F.col("start_ts")) & (F.col("ts") <= F.col("end_ts"))
+        )
+        .collect()
+    )
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lhs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400_000),
+            st.integers(min_value=0, max_value=300_000),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    rhs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400_000),
+            st.integers(min_value=0, max_value=300_000),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    chunk=st.sampled_from([3600, 86400]),
+)
+def test_interval_interval_join_equals_naive_randomized(lhs, rhs, chunk):
+    """Randomized equality incl. exact multiplicity (no duplicated
+    pairs from multi-chunk overlaps) for the interval-overlap join."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_demo_spark.operators import timeseries as TS
+
+    spark = _get_spark()
+
+    def ts(sec):
+        return dt.datetime.utcfromtimestamp(_TS0 + sec)
+
+    lv = spark.createDataFrame(
+        [(i, ts(s), ts(s + d)) for i, (s, d) in enumerate(lhs)],
+        "lid INT, start_ts TIMESTAMP, end_ts TIMESTAMP",
+    )
+    rv = spark.createDataFrame(
+        [(j, ts(s), ts(s + d)) for j, (s, d) in enumerate(rhs)],
+        "rid INT, r_start_ts TIMESTAMP, r_end_ts TIMESTAMP",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in TS.interval_interval_join_bucketed(
+            lv, rv, chunk_seconds=chunk
+        ).collect()
+    )
+    want = sorted(
+        (r.lid, r.rid)
+        for r in lv.crossJoin(rv)
+        .filter(
+            (F.col("start_ts") <= F.col("r_end_ts"))
+            & (F.col("r_start_ts") <= F.col("end_ts"))
+        )
+        .collect()
+    )
+    assert got == want
+    assert len(got) == len(set(got))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    xy=st.lists(
+        st.tuples(
+            st.floats(min_value=-50.0, max_value=500.0, allow_nan=False),
+            st.floats(min_value=-50.0, max_value=500.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    bits=st.sampled_from([4, 6, 8]),
+)
+def test_zvalue_column_matches_reference_randomized(xy, bits):
+    """The Column z-value equals the driver-side reference interleave
+    for arbitrary doubles, including values outside the clamp range."""
+    from ydb_vector_search_demo_spark.operators import layout
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(xy)],
+        "id INT, x DOUBLE, y DOUBLE",
+    )
+    got = {
+        r.id: r.z
+        for r in df.select(
+            "id",
+            layout.zvalue_expr(
+                [("x", 0.0, 255.0), ("y", 0.0, 255.0)], bits=bits
+            ).alias("z"),
+        ).collect()
+    }
+    for i, (x, y) in enumerate(xy):
+        want = layout.zvalue_py([x, y], [(0.0, 255.0), (0.0, 255.0)], bits=bits)
+        assert got[i] == want, (i, x, y, bits)
