@@ -920,3 +920,35 @@ def test_approx_ppl_buckets_agree_with_exact(spark):
     agree = sum(1 for d in exact if exact[d] == approx[d])
     assert agree / len(exact) >= 0.9, agree / len(exact)
     assert set(approx.values()) == {1, 2, 3}
+
+
+def test_compression_quality_matches_driver_zlib_and_flags(spark):
+    """Arrow-seam contract: the UDF's ratio equals driver-side zlib
+    byte-for-byte; a heavily repeated document flags too_redundant
+    while prose-like text passes; NULL/empty texts yield NULL ratio."""
+    import zlib
+
+    from ydb_vector_search_demo_spark.operators.curation import (
+        compression_quality,
+    )
+
+    texts = {
+        0: "spam " * 400,
+        1: "the quick brown fox jumps over the lazy dog and then "
+           "wanders into a completely different paragraph about spark",
+        2: "",
+        3: None,
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id INT, text STRING"
+    )
+    out = {r.doc_id: r for r in compression_quality(docs).collect()}
+    for k, t in texts.items():
+        if not t:
+            assert out[k].compression_ratio is None
+            continue
+        raw = t.encode("utf-8")
+        want = round(len(zlib.compress(raw, 6)) / len(raw), 6)
+        assert out[k].compression_ratio == want, k
+    assert out[0].verdict == "too_redundant"
+    assert out[1].verdict == "ok"

@@ -62,5 +62,6 @@ def test_rows_only_set_is_intentional():
         "retrieval_reranked_top5",
         "streaming_stateful_user_counts",
         "text_bm25_index_build",
+        "text_compression_quality",
         "text_tfidf_top_terms",
     ], f"unexpected rows-only queries: {ROWS_ONLY}"

@@ -13,6 +13,7 @@ embedding (reference ingest script absent from the snapshot,
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1015,4 +1016,54 @@ def perplexity_buckets_approx(
         ).otherwise(0)
     return out.select(
         id_col, "n_tokens", "bits_per_token", bucket.alias("ppl_bucket")
+    )
+
+
+def compression_ratio_udf():
+    """Arrow-batched zlib compression ratio (compressed/raw bytes) —
+    the Gopher-era redundancy signal: template spam and repeated
+    boilerplate compress far below prose, random noise barely
+    compresses at all. There is no JVM Column form of DEFLATE, so this
+    is one of the few legitimately-Python operators in the engine —
+    an Arrow-batched pandas UDF (never row-at-a-time), stdlib zlib at
+    level 6, deterministic."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    return _ratio
+
+
+def compression_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_ratio: float = 0.3,
+    max_ratio: float = 1.1,
+) -> DataFrame:
+    """Per-document compression-ratio gate: ratio below ``min_ratio``
+    flags heavy redundancy (boilerplate/template spam — the
+    repetition_stats signal seen through a different lens), above
+    ``max_ratio`` flags incompressible noise (binary junk in a text
+    column). Map-only; one Arrow pass."""
+    r = compression_ratio_udf()(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.round(r, 6).alias("compression_ratio"),
+        F.when(r < F.lit(float(min_ratio)), F.lit("too_redundant"))
+        .when(r > F.lit(float(max_ratio)), F.lit("incompressible"))
+        .otherwise(F.lit("ok"))
+        .alias("verdict"),
     )

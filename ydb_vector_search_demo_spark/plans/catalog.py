@@ -3346,6 +3346,29 @@ def q_ann_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_compression_quality")
+def q_text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality gate
+    (curation.compression_quality, the Gopher-era redundancy lever):
+    per-verdict counts and ratio bounds over the corpus — template
+    spam compresses far below prose, binary junk barely compresses.
+    One Arrow-batched zlib pass (a legitimately-Python boundary: no
+    JVM Column DEFLATE exists); rows-only, the UDF's byte math pinned
+    against driver-side zlib in tests/test_new_operators.py."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    out = curation.compression_quality(_t(spark, sf_dir, "documents"))
+    return (
+        out.groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("compression_ratio"), 6).alias("min_ratio"),
+            F.round(F.max("compression_ratio"), 6).alias("max_ratio"),
+        )
+        .orderBy("verdict")
+    )
+
+
 @register("events_zorder_skip_report")
 def q_events_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The z-order layout lever end to end
