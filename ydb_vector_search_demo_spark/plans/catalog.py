@@ -4833,6 +4833,77 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rotation_rescore_sql() -> str:
+    """DuckDB twin of rotation.pca_prefix_search under the pinned
+    Hadamard basis: every matrix entry is ±1/8 (exactly representable),
+    so the rotated coordinates are bit-identical double sums in both
+    engines, and the coarse cosine + exact rescore reuse the proven
+    list-function parity."""
+    from ydb_vector_search_demo_spark.operators import rotation as _rot
+
+    rot = _rot.hadamard_rotation(64)
+    rq = _rot.rotate_vector(QV, rot)[:16]
+    ips = ",\n             ".join(
+        f"list_inner_product(embedding::DOUBLE[], {_vec_sql(row)})"
+        for row in rot[:16]
+    )
+    return f"""
+    WITH rotated AS (
+      SELECT vec_id,
+             [{ips}] AS rvec
+      FROM embeddings
+    ), coarse AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               1.0 - list_cosine_similarity(rvec, {_vec_sql(rq)}) AS rs
+        FROM rotated)
+      ORDER BY rs, vec_id LIMIT 20
+    )
+    SELECT vec_id, round(raw, 6) AS score FROM (
+      SELECT e.vec_id,
+             1.0 - list_cosine_similarity(embedding::DOUBLE[], {_vec_sql(QV)})
+               AS raw
+      FROM embeddings e JOIN coarse USING (vec_id))
+    ORDER BY raw, vec_id LIMIT 5
+    """
+
+
+@register("rotation_rescore_topk", _rotation_rescore_sql())
+def q_rotation_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotated-prefix search (operators.rotation, the PCA/OPQ basis
+    lever of Ge et al. 2013 in front of the Matryoshka machinery):
+    coarse top-20 by cosine over the leading 16 ROTATED coordinates —
+    a 16×64 multiply-add per row, pure transform/zip_with/aggregate
+    Columns inside codegen — then exact full-width rescore from the
+    original float column. Pinned to the data-independent Hadamard
+    basis (entries ±1/8, exactly representable) so DuckDB replays the
+    identical double arithmetic; the FITTED variance-descending basis
+    is exercised by ann_pca_recall and tests/test_rotation.py."""
+    from ydb_vector_search_demo_spark.operators import rotation as _rot
+
+    embs = _t(spark, sf_dir, "embeddings")
+    rot = _rot.hadamard_rotation(64)
+    out = _rot.pca_prefix_search(embs, rot, QV, dims=16, k=5, rescore=4)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@register("ann_pca_recall")
+def q_ann_pca_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain prefix vs fitted-PCA prefix recall@10 (coarse and
+    rescored) at widths 8/16/32 — what a learned rotation buys the
+    prefix-dimension coarse scan on THIS corpus. On the near-isotropic
+    synthetic embeddings the gain is honestly small; on low-rank real
+    embedding distributions the fitted basis dominates (pinned as a law
+    on a constructed corpus in tests/test_rotation.py). Rows-only:
+    recall is a set comparison."""
+    from ydb_vector_search_demo_spark.operators import rotation as _rot
+
+    return _rot.pca_recall_report(
+        spark, _t(spark, sf_dir, "embeddings"), QV,
+        dims_list=(8, 16, 32), k=10, rescore=4, sample=4096,
+    )
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
