@@ -1641,3 +1641,279 @@ def knn_graph_recall(
         "n_sources INT, k INT, k_clusters INT, mean_recall DOUBLE, "
         "min_recall DOUBLE",
     )
+
+
+def ivf_assign_multiprobe(
+    centroids: list[list[float]],
+    vectors: DataFrame,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Route every vector to its ``nprobe`` nearest (Euclidean) cells —
+    the multi-probe generalization of :func:`ivf_assign`, one output
+    row per (vector, probed cell) with ``probe_rank`` 0-based. Pure
+    map-side Column arithmetic over the centroid plan literal (the
+    per-cell distances are computed once, sorted as (d, i) structs for
+    a deterministic tie-break, sliced to ``nprobe``, exploded); no
+    shuffle, no MLlib model object."""
+    cents = F.array(*[F.lit([float(x) for x in c]) for c in centroids])
+    v = F.col(vector_col).cast("array<double>")
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.alias("i"),
+        ),
+    )
+    top = F.slice(F.array_sort(scored), 1, int(nprobe))
+    return (
+        vectors.select(
+            F.col(id_col),
+            F.col(vector_col),
+            F.posexplode(top).alias("probe_rank", "_s"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(vector_col),
+            F.col("probe_rank").cast("int"),
+            F.col("_s.i").cast("int").alias("centroid_id"),
+        )
+    )
+
+
+def knn_graph_multiprobe(
+    embeddings: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    k_clusters: int = 16,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    index: IvfIndex | None = None,
+    sources: DataFrame | None = None,
+    cache_key: object | None = None,
+) -> DataFrame:
+    """Cell-boundary repair for the bucketed kNN graph: each SOURCE
+    probes its ``nprobe`` nearest cells while neighbors come from each
+    cell's resident (primary-assignment) population, so a node sitting
+    on a cell boundary sees across it. Work is nprobe·n²/B instead of
+    n²/B; each (src, dst) pair appears at most once by construction
+    (dst lives in exactly one primary cell, probed cells are distinct),
+    so no dedup pass is needed before the per-source
+    Partial-WindowGroupLimit cut.
+
+    Laws (tests/test_nn_descent.py): recall is monotone in ``nprobe``
+    (probed-cell sets are nested), and nprobe = k_clusters degenerates
+    to the exact kNN graph."""
+    from pyspark.sql import Window
+
+    idx = index if index is not None else get_or_build_ivf_index(
+        embeddings, k_clusters=k_clusters, cache_key=cache_key,
+        id_col=id_col, vector_col=vector_col,
+    )
+    src_base = sources if sources is not None else embeddings
+    a = ivf_assign_multiprobe(
+        idx.centroids, src_base.select(id_col, vector_col), nprobe,
+        id_col=id_col, vector_col=vector_col,
+    ).select(
+        F.col("centroid_id").alias("_bk"),
+        F.col(id_col).alias("src"),
+        F.col(vector_col).alias("_va"),
+    )
+    b = idx.assigned.select(
+        F.col("centroid_id").alias("_bk"),
+        F.col(id_col).alias("dst"),
+        F.col(vector_col).alias("_vb"),
+    )
+    scored = (
+        a.join(b, on="_bk")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", distance(F.col("_va"), F.col("_vb"), metric).alias("score"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("score").asc_nulls_last(), F.col("dst").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def nn_descent(
+    embeddings: DataFrame,
+    graph: DataFrame,
+    k: int = 5,
+    iters: int = 2,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """NN-descent refinement (Dong et al., WWW 2011): iteratively
+    improve an approximate kNN graph by scoring each node against its
+    neighbors' neighbors — "a neighbor of a neighbor is likely a
+    neighbor" — and keeping the best k. Takes ANY initial (src, dst[,
+    score]) graph (a cell-bucketed or multi-probe graph from this
+    module, an LSH candidate graph, a random graph) and returns the
+    refined (src, dst, score, rank).
+
+    Scale shape per iteration: candidate generation joins the
+    UNDIRECTED edge list (2·n·k rows) with itself on the shared node —
+    at most (2k)² candidates per node and the corpus itself never
+    enters that join; embeddings attach to the candidate pairs by two
+    hash joins keyed on id; the merge + top-k cut is one keyed window
+    (Partial WindowGroupLimit below the exchange, same shape as
+    batch_knn). Each round is materialized (persist + count) so the
+    iterated plan never grows — the standard Spark discipline for
+    iterative algorithms.
+
+    Laws (tests/test_nn_descent.py): the EXACT graph is a fixed point
+    (candidates can't beat the true top-k), and recall vs the exact
+    graph is non-decreasing in iterations on the corpora tested."""
+    from pyspark.sql import Window
+
+    emb_a = embeddings.select(F.col(id_col).alias("src"), F.col(vector_col).alias("_va"))
+    emb_b = embeddings.select(F.col(id_col).alias("dst"), F.col(vector_col).alias("_vb"))
+    has_score = "score" in graph.columns
+    cur = (
+        graph.select("src", "dst", "score")
+        if has_score
+        else graph.join(emb_a, on="src").join(emb_b, on="dst").select(
+            "src", "dst", distance(F.col("_va"), F.col("_vb"), metric).alias("score")
+        )
+    ).persist()
+    cur.count()
+    w = Window.partitionBy("src").orderBy(
+        F.col("score").asc_nulls_last(), F.col("dst").asc()
+    )
+    for _ in range(int(iters)):
+        und = cur.select("src", "dst").union(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        x = und.select(F.col("src").alias("_xs"), F.col("dst").alias("_xd"))
+        y = und.select(F.col("src").alias("_ys"), F.col("dst").alias("_yd"))
+        cand = (
+            x.join(y, x["_xd"] == y["_ys"])
+            .select(F.col("_xs").alias("src"), F.col("_yd").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        scored = (
+            cand.join(emb_a, on="src")
+            .join(emb_b, on="dst")
+            .select(
+                "src", "dst",
+                distance(F.col("_va"), F.col("_vb"), metric).alias("score"),
+            )
+        )
+        merged = cur.unionByName(scored).dropDuplicates(["src", "dst"])
+        nxt = (
+            merged.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop("rank")
+            .persist()
+        )
+        nxt.count()  # materialize before dropping the previous round
+        cur.unpersist()
+        cur = nxt
+    return cur.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def knn_graph_improvement_report(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    k: int = 5,
+    k_clusters: int = 16,
+    nprobe: int = 2,
+    iters: int = 2,
+    n_sources: int = 20,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    cache_key: object | None = None,
+) -> DataFrame:
+    """The priced ladder for approximate kNN-graph construction: mean
+    and min per-source recall@k vs the exact graph for (a) the
+    single-cell bucketed graph, (b) the multi-probe graph, (c) the
+    multi-probe graph refined by NN-descent — one row per variant,
+    same deterministic sample sources as knn_graph_recall. This is the
+    repair ladder for the honest recall hole that report exposes
+    (boundary nodes score 0 with one probe); each rung buys recall at
+    a bounded extra cost (nprobe× the join work; iters extra
+    edge-list passes)."""
+    from ydb_vector_search_demo_spark.operators.knn import knn_scores as _ks
+
+    index = get_or_build_ivf_index(
+        embeddings, k_clusters=k_clusters, cache_key=cache_key,
+        id_col=id_col, vector_col=vector_col,
+    )
+    srcs = (
+        embeddings.select(id_col, vector_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(int(n_sources))
+    )
+    src_rows = srcs.collect()
+    src_ids = sorted(r[0] for r in src_rows)
+    sources = index.assigned.filter(F.col(id_col).isin(src_ids))
+    exact: dict = {}
+    for r in src_rows:
+        exact[r[0]] = [
+            x[0]
+            for x in _ks(
+                embeddings.filter(F.col(id_col) != r[0]),
+                [float(v) for v in r[1]],
+                k, metric, id_col=id_col, vector_col=vector_col,
+            ).collect()
+        ]
+
+    def stats(graph_rows) -> tuple[float, float]:
+        approx: dict = {}
+        for g in graph_rows:
+            approx.setdefault(g["src"], []).append(g["dst"])
+        recalls = [
+            recall_at_k(exact[i], approx.get(i, [])) for i in exact
+        ]
+        return float(sum(recalls) / len(recalls)), float(min(recalls))
+
+    cell = knn_graph_bucketed(
+        index.assigned, "centroid_id", k=k, metric=metric,
+        id_col=id_col, vector_col=vector_col, sources=sources,
+    ).collect()
+    multi_df = knn_graph_multiprobe(
+        embeddings, k=k, nprobe=nprobe, metric=metric, id_col=id_col,
+        vector_col=vector_col, index=index,
+        sources=embeddings.filter(F.col(id_col).isin(src_ids)),
+    )
+    multi = multi_df.collect()
+    # refine the FULL multi-probe graph (descent needs the whole edge
+    # list — neighbors-of-neighbors pass through non-source nodes),
+    # then report the sampled sources from it
+    full_multi = knn_graph_multiprobe(
+        embeddings, k=k, nprobe=nprobe, metric=metric, id_col=id_col,
+        vector_col=vector_col, index=index,
+    )
+    refined = (
+        nn_descent(
+            embeddings, full_multi.select("src", "dst", "score"), k=k,
+            iters=iters, metric=metric, id_col=id_col, vector_col=vector_col,
+        )
+        .filter(F.col("src").isin(src_ids))
+        .collect()
+    )
+    rows = []
+    for variant, g in (
+        (f"cell(k_clusters={k_clusters})", cell),
+        (f"multiprobe(nprobe={nprobe})", multi),
+        (f"nn_descent(iters={iters})", refined),
+    ):
+        mean_r, min_r = stats(g)
+        rows.append((variant, int(len(exact)), k, mean_r, min_r))
+    return spark.createDataFrame(
+        rows,
+        "variant STRING, n_sources INT, k INT, mean_recall DOUBLE, "
+        "min_recall DOUBLE",
+    )

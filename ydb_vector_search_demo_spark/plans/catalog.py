@@ -4904,6 +4904,25 @@ def q_ann_pca_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_knn_graph_refined")
+def q_ann_knn_graph_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repair ladder for ann_knn_graph_recall's honest hole (mean
+    0.3 / min 0.0 at single-probe cell bucketing): mean/min per-source
+    recall@5 for (a) the cell graph, (b) the multi-probe graph — each
+    source probes its 2 nearest cells while neighbors stay in their
+    primary cell, nprobe·n²/B work — and (c) NN-descent refinement
+    (Dong et al. 2011: score neighbors-of-neighbors, keep best k; the
+    corpus never enters the candidate join, per-round cut is the
+    Partial-WindowGroupLimit shape). Monotonicity, the nprobe =
+    k_clusters degeneracy, and the exact-graph fixed point are pinned
+    in tests/test_nn_descent.py. Rows-only: MLlib KMeans centroids are
+    not SQL-expressible."""
+    return ann.knn_graph_improvement_report(
+        spark, _t(spark, sf_dir, "embeddings"), k=5, k_clusters=8,
+        nprobe=2, iters=1, n_sources=20, cache_key=("graph-refined", sf_dir),
+    )
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
