@@ -1203,3 +1203,124 @@ def ivf_pq_companion_batch_search_parquet(
         pool, embeddings, queries, k, metric, query_id_col, query_vec_col,
         id_col, vector_col,
     )
+
+
+# --------------------------------------------------------------------------
+# Codebook persistence + the refit cycle (the other half of pq_drift_report:
+# detect -> REFIT -> re-encode -> atomic publish, mirroring the
+# rebalance_tree / rebalance_ivf maintenance contract on the quantizer).
+# --------------------------------------------------------------------------
+
+
+def save_codebooks(
+    spark: SparkSession,
+    store_path: str,
+    codebooks: Codebooks,
+    baseline_mse: float,
+) -> None:
+    """Persist the codebooks + their build-time baseline MSE as
+    ``_pq_codebooks.json`` INSIDE the codes directory — underscore
+    files are invisible to the parquet reader (the _SUCCESS
+    convention), so a PQ store version is one self-contained directory
+    the manifest protocol can point at. Written via the Hadoop FS API
+    (works on any store scheme, the compact_partitioned_store lesson).
+    JSON floats round-trip exactly (repr-grade precision both ways)."""
+    import json as _json
+
+    from ydb_vector_search_demo_spark import stores
+
+    jvm, _, fs = stores._fs(spark, store_path)
+    target = jvm.org.apache.hadoop.fs.Path(store_path, "_pq_codebooks.json")
+    payload = _json.dumps(
+        {"codebooks": codebooks, "baseline_mse": float(baseline_mse)}
+    ).encode("utf-8")
+    if fs.exists(target):
+        fs.delete(target, False)
+    stores._write_file(jvm, fs, target, payload)
+
+
+def load_codebooks(
+    spark: SparkSession, store_path: str
+) -> tuple[Codebooks, float]:
+    """Read back (codebooks, baseline_mse) written by
+    :func:`save_codebooks` for a store version directory."""
+    import json as _json
+
+    from ydb_vector_search_demo_spark import stores
+
+    jvm, _, fs = stores._fs(spark, store_path)
+    target = jvm.org.apache.hadoop.fs.Path(store_path, "_pq_codebooks.json")
+    doc = _json.loads(stores._read_file(jvm, fs, target))
+    books = [[[float(v) for v in c] for c in book] for book in doc["codebooks"]]
+    return books, float(doc["baseline_mse"])
+
+
+def refit_pq(
+    spark: SparkSession,
+    vectors: DataFrame,
+    codebooks: Codebooks,
+    baseline_mse: float,
+    out_path: str,
+    dim: int,
+    m: int = 8,
+    k_star: int = 64,
+    threshold: float = 2.0,
+    force: bool = False,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    keep_cols: tuple = (),
+    **train_kwargs,
+) -> tuple[Codebooks, float] | None:
+    """Threshold-triggered codebook refit — the quantizer twin of
+    :func:`ann.rebalance_ivf`: when :func:`pq_drift_report` over
+    ``vectors`` (the store's CURRENT float contents, corpus ∪ appended
+    batches) crosses ``threshold`` (or ``force``), train fresh
+    codebooks on that data, re-encode EVERY vector, write the new codes
+    store to ``out_path`` with the refreshed codebooks + baseline
+    embedded (:func:`save_codebooks`), and return them. Returns None —
+    and writes nothing — while reconstruction error is still healthy.
+    Never writes in place: the caller publishes ``out_path`` atomically
+    with ``stores.publish_store``, so probers resolve the
+    old-books/old-codes or new-books/new-codes version, never a
+    mixture (codes decoded with the wrong generation's books are
+    silent garbage — the reason the books live inside the version
+    directory instead of beside the manifest).
+
+    Scale shape: the drift check is one map-side agg over ``vectors``;
+    the refit is m sampled subspace KMeans fits (thread-pooled,
+    ``fit_sample_fraction`` passes through); the re-encode is one
+    map-only pass writing ``out_path``."""
+    if not force:
+        report = pq_drift_report(
+            spark, vectors, codebooks, baseline_mse, threshold=threshold,
+            vector_col=vector_col,
+        ).collect()[0]
+        if not report.refit_recommended:
+            return None
+    new_books = train_pq_codebooks(
+        vectors, dim=dim, m=m, k_star=k_star, seed=seed,
+        vector_col=vector_col, **train_kwargs,
+    )
+    write_pq_store(
+        vectors, new_books, out_path, id_col=id_col, vector_col=vector_col,
+        keep_cols=keep_cols,
+    )
+    new_baseline = pq_quantization_mse(vectors, new_books, vector_col=vector_col)
+    save_codebooks(spark, out_path, new_books, new_baseline)
+    return new_books, new_baseline
+
+
+def read_current_pq_store(
+    spark: SparkSession, root: str
+) -> tuple[DataFrame, Codebooks, float]:
+    """Resolve the manifest-current PQ store version: (codes relation,
+    its codebooks, its baseline MSE) — always a consistent
+    (codes, books) generation pair by construction."""
+    from ydb_vector_search_demo_spark import stores
+
+    path = stores.current_store_path(spark, root)
+    if path is None:
+        raise ValueError(f"no published PQ store under {root!r}")
+    books, baseline = load_codebooks(spark, path)
+    return spark.read.parquet(path), books, baseline
