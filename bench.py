@@ -174,34 +174,57 @@ def main() -> None:
         print(f"\nbench {name} {json.dumps(spread[name])}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # Key ORDER is part of the robustness contract (r4 verdict task #8:
-    # BENCH_r04's tail was front-truncated by the driver capture and
-    # lost one query's numbers). The driver keeps the TAIL of stdout,
-    # so the big "spread" blob goes FIRST and the two complete compact
-    # per-query dicts ("queries" medians, then "queries_min" — the
-    # BASELINE.md contract metric) plus the scalar summary go LAST:
-    # any front truncation eats spread detail before it can touch a
-    # per-query number. Each query's spread is also mirrored to stderr
-    # as it is measured, as a second recovery channel.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time_total",
-                "unit": "sec",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "trials": TRIALS,
-                "spread": spread,
-                "queries": timings,
-                # CONTRACT METRIC (BASELINE.md): total of per-query
-                # min-of-5 — the least-contended estimate of the same
-                # plans on a shared host. Medians stay in "value"/
-                # "queries" for round-over-round continuity.
-                "queries_min": {n: s["min"] for n, s in spread.items()},
-                "value_min": round(sum(s["min"] for s in spread.values()), 3),
-                "value": round(sum(timings.values()), 3),
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    value_min = round(sum(s["min"] for s in spread.values()), 3)
+    value_median = round(sum(timings.values()), 3)
+
+    # The driver capture keeps only the LAST ~2000 chars of stdout and
+    # json-parses them (BENCH_r01/r02 parsed; r03-r05 did not once the
+    # single output line outgrew the window — r5 verdict task #2). So:
+    # the FULL record (spread, medians, mins, totals) is written to
+    # BENCH_DETAIL.json next to this script and mirrored to stderr,
+    # while stdout carries EXACTLY ONE compact JSON line sized under
+    # the capture window. The compact line reports the CONTRACT metric
+    # (BASELINE.md: per-query min-of-5 and their total, min-vs-min
+    # round comparisons); medians/max/mm_ratio live in the detail file
+    # and in the per-query stderr mirror emitted during the run.
+    full = {
+        "metric": "headline_query_wall_time_total",
+        "unit": "sec",
+        "sf": sf_val,
+        "trials": TRIALS,
+        "spread": spread,
+        "queries_median": timings,
+        "queries_min": {n: s["min"] for n, s in spread.items()},
+        "value_min": value_min,
+        "value_median": value_median,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(full, f, indent=1)
+    print("\nbench full " + json.dumps(full), file=sys.stderr)
+
+    compact = {
+        "metric": "headline_query_wall_time_total",
+        "unit": "sec",
+        "sf": sf_val,
+        "trials": TRIALS,
+        "stat": "min_of_5",
+        "value": value_min,
+        "value_median": value_median,
+        "queries": {n: s["min"] for n, s in spread.items()},
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:
+        # headline set grew past the capture window: drop per-query
+        # detail from stdout (it survives in the detail file + stderr)
+        compact.pop("queries")
+        compact["queries_in"] = "BENCH_DETAIL.json"
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

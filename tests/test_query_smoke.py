@@ -36,7 +36,9 @@ def test_rows_only_set_is_intentional():
         "ann_ivf_recall_sweep",
         "ann_ivfpq_recall",
         "ann_knn_graph_recall",
+        "ann_knn_graph_refined",
         "ann_lsh_top5",
+        "ann_pca_recall",
         "ann_pq_recall",
         "ann_quantized_recall",
         "ann_tree_recall",

@@ -143,3 +143,95 @@ def test_recall_report_shape(spark, sf_oracle):
             assert 0.0 <= r[c] <= 1.0
         # exact rescore can only help a coarse pool
         assert r["pca_rescored"] >= r["pca_coarse"] - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# batch paths (r5 verdict task #4): the learned-basis lever joins the
+# "complete batch matrix" — same laws as tests/test_mrl.py's batch block.
+
+QUERIES_B = [
+    [((i * 31 + 7 * q) % 23 - 11) / 11.0 for i in range(64)] for q in range(3)
+]
+
+
+@pytest.fixture()
+def qdf(spark):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(QUERIES_B)],
+        "query_id INT, query_vec ARRAY<DOUBLE>",
+    )
+
+
+def _by_query(rows):
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], round(r["score"], 9))
+        )
+    return got
+
+
+def test_pca_batch_equals_single_query_loop(spark, sf_oracle, qdf):
+    embs = load_table(spark, sf_oracle, "embeddings")
+    rot = R.fit_pca_rotation(embs, sample=256)
+    got = _by_query(
+        R.pca_batch_search(embs, rot, qdf, dims=16, k=5, rescore=4).collect()
+    )
+    for qid, qv in enumerate(QUERIES_B):
+        single = R.pca_prefix_search(
+            embs, rot, qv, dims=16, k=5, rescore=4
+        ).collect()
+        want = [
+            (i + 1, r["vec_id"], round(r["score"], 9))
+            for i, r in enumerate(single)
+        ]
+        assert sorted(got[qid]) == want, f"query {qid}"
+
+
+def test_pca_batch_parquet_equals_loop(spark, sf_oracle, qdf, tmp_path):
+    embs = load_table(spark, sf_oracle, "embeddings")
+    rot = R.hadamard_rotation(64)
+    path = str(tmp_path / "rotstore_b")
+    R.write_rotated_store(embs, path, rot, dims=16)
+    got = _by_query(
+        R.pca_batch_search_parquet(
+            spark, path, embs, rot, qdf, dims=16, k=5, rescore=4
+        ).collect()
+    )
+    for qid, qv in enumerate(QUERIES_B):
+        single = R.pca_search_parquet(
+            spark, path, embs, rot, qv, dims=16, k=5, rescore=4
+        ).collect()
+        want = [
+            (i + 1, r["vec_id"], round(r["score"], 9))
+            for i, r in enumerate(single)
+        ]
+        assert sorted(got[qid]) == want, f"query {qid}"
+
+
+def test_pca_batch_full_width_equals_exact_batch(spark, sf_oracle, qdf):
+    """dims = d + corpus-covering pool degenerates to exact batch KNN:
+    the rotation preserves full-width distances, so the coarse order at
+    d'=d is the exact order and the rescore pool covers the corpus."""
+    from ydb_vector_search_demo_spark.operators.knn import batch_knn
+
+    embs = load_table(spark, sf_oracle, "embeddings")
+    rot = R.fit_pca_rotation(embs, sample=256)
+    n = embs.count()
+    got = _by_query(
+        R.pca_batch_search(
+            embs, rot, qdf, dims=64, k=5, rescore=(n // 5) + 1
+        ).collect()
+    )
+    exact = _by_query(batch_knn(qdf, embs, k=5).collect())
+    assert got == exact
+
+
+def test_pca_batch_plan_shape(spark, sf_oracle, qdf):
+    """Coarse + cut stay JVM-side: no Python nodes, WindowGroupLimit cut."""
+    embs = load_table(spark, sf_oracle, "embeddings")
+    rot = R.hadamard_rotation(64)
+    df = R.pca_batch_search(embs, rot, qdf, dims=16, k=5, rescore=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WindowGroupLimit" in plan

@@ -228,6 +228,122 @@ def pca_search_parquet(
     )
 
 
+def _rotated_query_prefix(
+    queries: DataFrame,
+    rotation: Rotation,
+    dims: int,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """(query_id, rotated d'-prefix) for the broadcast side of a batched
+    coarse scan. The rotation runs in-plan over the bounded query batch
+    (Q rows, d'·d multiply-adds each); because ``rotate_expr`` folds in
+    the same order as the driver-side ``rotate_vector``, the batch
+    coarse scores are bit-identical to the single-query loop's."""
+    return queries.select(
+        F.col(query_id_col),
+        rotate_expr(query_vec_col, rotation, dims).alias("_rq"),
+    )
+
+
+def pca_batch_search(
+    embeddings: DataFrame,
+    rotation: Rotation,
+    queries: DataFrame,
+    dims: int = 16,
+    k: int = 5,
+    rescore: int = 4,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    predicate=None,
+) -> DataFrame:
+    """Batched learned-rotation prefix search — the PCA basis lever
+    composed with the batched-probe discipline (the rotation analogue
+    of ``quant.mrl_batch_search``): each corpus row is rotated ONCE
+    into its d'-prefix, the bounded query batch is rotated in-plan and
+    broadcast, one coarse scan scores every query, per-query coarse
+    top-``rescore·k`` via Partial WindowGroupLimit, then the shared
+    exact full-width rescore from the ORIGINAL float column (float
+    reads = Q × rescore·k rows). Per query row-identical to the
+    single-query :func:`pca_prefix_search` loop at equal
+    (rotation, dims, rescore); dims = d with a corpus-covering pool
+    degenerates to exact ``batch_knn``."""
+    from ydb_vector_search_demo_spark.operators.ann import _batch_topk
+    from ydb_vector_search_demo_spark.operators.quant import _batch_rescore
+
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    base = embeddings if predicate is None else embeddings.filter(predicate)
+    rq = _rotated_query_prefix(queries, rotation, dims, query_id_col, query_vec_col)
+    coarse = (
+        base.select(
+            F.col(id_col), rotate_expr(vector_col, rotation, dims).alias("_rp")
+        )
+        .crossJoin(F.broadcast(rq))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            distance(F.col("_rp"), F.col("_rq"), metric).alias("rscore"),
+        )
+    )
+    pool = _batch_topk(
+        coarse, int(rescore) * k, query_id_col, id_col, "rscore", "rrank"
+    )
+    return _batch_rescore(
+        pool, embeddings, queries, k, metric, query_id_col, query_vec_col,
+        id_col, vector_col,
+    )
+
+
+def pca_batch_search_parquet(
+    spark: SparkSession,
+    prefix_path: str,
+    embeddings: DataFrame,
+    rotation: Rotation,
+    queries: DataFrame,
+    dims: int = 16,
+    k: int = 5,
+    rescore: int = 4,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    predicate=None,
+) -> DataFrame:
+    """Batched serving path over the persisted rotated-prefix store
+    (:func:`write_rotated_store`): the whole batch's only full scan
+    reads the d'-wide rotated parquet ONCE (d'/d of the float bytes);
+    full-width vectors are fetched for the Q × rescore·k broadcast
+    candidates only. Per query row-identical to the single-query
+    :func:`pca_search_parquet` loop — ``quant.mrl_batch_search_parquet``
+    with the learned basis supplying the prefix."""
+    from ydb_vector_search_demo_spark.operators.ann import _batch_topk
+    from ydb_vector_search_demo_spark.operators.quant import _batch_rescore
+
+    pref = spark.read.parquet(prefix_path)
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    if predicate is not None:
+        pref = pref.filter(predicate)
+    rq = _rotated_query_prefix(queries, rotation, dims, query_id_col, query_vec_col)
+    coarse = pref.crossJoin(F.broadcast(rq)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        distance(F.col("prefix"), F.col("_rq"), metric).alias("rscore"),
+    )
+    pool = _batch_topk(
+        coarse, int(rescore) * k, query_id_col, id_col, "rscore", "rrank"
+    )
+    return _batch_rescore(
+        pool, embeddings, queries, k, metric, query_id_col, query_vec_col,
+        id_col, vector_col,
+    )
+
+
 def pca_recall_report(
     spark: SparkSession,
     embeddings: DataFrame,

@@ -5045,7 +5045,15 @@ _GRADE_FIRST = [
     # streaming
     "streaming_dedup_events",
     "streaming_hourly_counts",
-    "streaming_session_windows",
+    # r6 rotation (r5 verdict task #3): streaming_session_windows out —
+    # it is checked against the SAME batch session_window SQL oracle as
+    # the graded events_session_window (a duplicate slot; it stays
+    # oracle-checked in tests/test_oracle_parity and rows-pinned by the
+    # streaming equality tests). In its place the learned-rotation
+    # (PCA/OPQ-style) prefix search with exact rescore, whose DuckDB
+    # oracle pins the Hadamard basis end-to-end — the newest
+    # oracle-bearing surface, previously outside the window.
+    "rotation_rescore_topk",
 ]
 
 
