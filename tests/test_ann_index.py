@@ -528,3 +528,90 @@ def test_knn_graph_recall_report_shape(spark):
     for r in (coarse, fine):
         assert 0.0 <= r.min_recall <= r.mean_recall <= 1.0
     assert coarse.mean_recall >= fine.mean_recall - 1e-9
+
+
+def test_mutual_knn_clusters_default_repairs_cell_boundary(spark):
+    """r5 verdict task #6: the DEFAULT graph source for mutual-kNN
+    clustering is the multi-probe (repaired) graph. Boundary-heavy
+    corpus: two anchor blobs pull the IVF centroids, and a tight
+    4-point group straddles the Voronoi midline so its members land
+    2/2 in different cells. Single-probe (nprobe=1) cannot form the
+    cross-cell mutual edges and splits the planted group; the default
+    nprobe=2 sees across the boundary and recovers it whole. The index
+    is constructed explicitly (ivf_assign on pinned centroids) so the
+    cell split is deterministic, not a KMeans-convergence accident."""
+    from ydb_vector_search_demo_spark.operators import ann
+
+    def around(base, i, dx=0.001):
+        return [base[0] + dx * i, base[1], base[2], base[3]]
+
+    rows = (
+        [(i, around([0.0, 10.0, 0.0, 0.0], i)) for i in range(8)]
+        + [(100 + i, around([20.0, 10.0, 0.0, 0.0], i)) for i in range(8)]
+        # straddle group, symmetric around the x=10 midline
+        + [(50, [9.9985, 10.0, 0.0, 0.0]), (51, [9.9995, 10.0, 0.0, 0.0]),
+           (52, [10.0005, 10.0, 0.0, 0.0]), (53, [10.0015, 10.0, 0.0, 0.0])]
+    )
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    cents = [[0.0, 10.0, 0.0, 0.0], [20.0, 10.0, 0.0, 0.0]]
+    idx = ann.IvfIndex(ann.ivf_assign(cents, df), cents, "vec_id", "embedding")
+    asn = {
+        r["vec_id"]: r["centroid_id"]
+        for r in idx.assigned.select("vec_id", "centroid_id").collect()
+    }
+    assert {asn[50], asn[51]} == {0} and {asn[52], asn[53]} == {1}
+
+    single = {
+        r.vec_id: r.cluster_id
+        for r in ann.mutual_knn_clusters(
+            df, k=3, metric="euclidean", nprobe=1, index=idx
+        ).collect()
+    }
+    multi = {
+        r.vec_id: r.cluster_id
+        for r in ann.mutual_knn_clusters(
+            df, k=3, metric="euclidean", nprobe=2, index=idx
+        ).collect()
+    }
+    straddle = (50, 51, 52, 53)
+    assert {single[i] for i in straddle} == {50, 52}  # split at the boundary
+    assert {multi[i] for i in straddle} == {50}       # repaired
+    assert {multi[i] for i in range(8)} == {0}
+    assert {multi[100 + i] for i in range(8)} == {100}
+
+
+def test_mutual_knn_clusters_refined_graph_source(spark):
+    """refine_iters plumbs NN-descent in as the default-path refiner:
+    on a corpus the multi-probe graph already serves well, refinement
+    must not change the recovered clustering (exact graph is a fixed
+    point); and passing graph=... overrides the built-in sources."""
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_demo_spark.operators import ann
+
+    def around(base, i):
+        return [x + 0.001 * i for x in base]
+
+    a, b = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    rows = (
+        [(i, around(a, i)) for i in range(4)]
+        + [(10 + i, around(b, i)) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    base = ann.mutual_knn_clusters(
+        df, k=3, metric="euclidean", nprobe=2, k_clusters=2, cache_key="mkc-r"
+    ).collect()
+    refined = ann.mutual_knn_clusters(
+        df, k=3, metric="euclidean", nprobe=2, refine_iters=1,
+        k_clusters=2, cache_key="mkc-r",
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, refined))
+    # explicit graph override: a graph connecting everything collapses
+    # the corpus to one cluster
+    n = df.count()
+    allg = df.selectExpr("vec_id as src").crossJoin(
+        df.selectExpr("vec_id as dst")
+    ).filter(F.col("src") != F.col("dst"))
+    one = ann.mutual_knn_clusters(df, graph=allg).collect()
+    assert {r.cluster_id for r in one} == {0}
+    assert all(r.cluster_size == n for r in one)

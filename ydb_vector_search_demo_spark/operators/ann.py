@@ -1534,46 +1534,126 @@ def knn_graph_bucketed(
 
 def mutual_knn_clusters(
     embeddings: DataFrame,
-    bucket_col: str,
+    bucket_col: str | None = None,
     k: int = 5,
     metric: str = "cosine",
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    *,
+    graph: DataFrame | None = None,
+    nprobe: int = 2,
+    refine_iters: int = 0,
+    k_clusters: int = 16,
+    cache_key: object | None = None,
+    index: "IvfIndex | None" = None,
 ) -> DataFrame:
     """Mutual-kNN clustering — the classic density-robust pipeline
-    built entirely from this module's primitives: the bucketed kNN
-    graph (:func:`knn_graph_bucketed`), keep only MUTUAL edges (u in
-    v's top-k AND v in u's top-k — the standard asymmetry filter that
-    stops hub nodes gluing unrelated regions together), connected
-    components over the surviving edges. Output matches the dedup
-    cluster contract: (id, cluster_id, cluster_size, is_canonical) for
-    every embedding, singletons included.
+    built entirely from this module's primitives: an approximate kNN
+    graph, keep only MUTUAL edges (u in v's top-k AND v in u's top-k —
+    the standard asymmetry filter that stops hub nodes gluing unrelated
+    regions together), connected components over the surviving edges.
+    Output matches the dedup cluster contract: (id, cluster_id,
+    cluster_size, is_canonical) for every embedding, singletons
+    included.
 
-    Scale shape: the graph is n²/B per bucket with a WindowGroupLimit
-    cut; the mutual filter is a self-join of the (≤ n·k)-row edge list
-    on the reversed key; components run bucket-wise in one shuffle
-    when edges are bucket-local (they are, by construction — both
-    endpoints share the bucket)."""
+    Graph source (r5 verdict task #6 — the default is the REPAIRED
+    graph, not the single-probe one whose own recall report shows a
+    0.0-min boundary hole):
+
+    * ``graph=...`` — any caller-built (src, dst[, score]) edge list
+      (e.g. an :func:`nn_descent`-refined graph);
+    * ``bucket_col='label'`` — the label-bucketed graph
+      (:func:`knn_graph_bucketed`), for corpora with a trusted
+      partition key; edges are bucket-local, so components run
+      bucket-wise in one shuffle;
+    * neither (default) — :func:`knn_graph_multiprobe` over the cached
+      IVF assignment (every source probes its ``nprobe`` nearest
+      cells, so boundary nodes see across their cell), refined by
+      ``refine_iters`` rounds of :func:`nn_descent` when > 0 — the
+      corpus-scale recipe: multiprobe repairs the boundary hole at
+      nprobe·n²/B join cost, NN-descent then converges recall toward
+      1.0 with edge-list-sized passes that never touch n².
+
+    Scale shape: each graph is n²/B-ish with a WindowGroupLimit cut
+    (never all-pairs); the mutual filter is a self-join of the
+    (≤ n·k)-row edge list on the reversed key; components run
+    bucket-wise when edges are bucket-local, and by the
+    large-star/small-star O(log n)-round method when they cross cells
+    (multi-probe/refined edges do, by design)."""
     from ydb_vector_search_demo_spark.operators.curation import (
+        dedup_clusters,
         dedup_clusters_bucketed,
     )
 
-    graph = knn_graph_bucketed(
-        embeddings, bucket_col, k=k, metric=metric,
-        id_col=id_col, vector_col=vector_col, keep_bucket=True,
-    ).select("_bk", "src", "dst")
-    rev = graph.select(
-        "_bk", F.col("dst").alias("src"), F.col("src").alias("dst")
+    if graph is None and bucket_col is not None:
+        g = knn_graph_bucketed(
+            embeddings, bucket_col, k=k, metric=metric,
+            id_col=id_col, vector_col=vector_col, keep_bucket=True,
+        ).select("_bk", "src", "dst")
+        rev = g.select(
+            "_bk", F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        mutual = g.intersect(rev).filter(F.col("src") < F.col("dst"))
+        pairs = mutual.select(
+            F.col("_bk").alias("centroid_id"),
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+        )
+        return dedup_clusters_bucketed(
+            embeddings.select(F.col(id_col)), pairs, id_col=id_col
+        )
+
+    if graph is None:
+        graph = knn_graph_multiprobe(
+            embeddings, k=k, nprobe=nprobe, k_clusters=k_clusters,
+            metric=metric, id_col=id_col, vector_col=vector_col,
+            cache_key=cache_key, index=index,
+        )
+        if refine_iters > 0:
+            graph = nn_descent(
+                embeddings, graph.select("src", "dst", "score"), k=k,
+                iters=refine_iters, metric=metric,
+                id_col=id_col, vector_col=vector_col, trust_scores=True,
+            )
+    edges = graph.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = edges.intersect(rev).filter(F.col("src") < F.col("dst"))
+    pairs = mutual.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    return dedup_clusters(embeddings.select(F.col(id_col)), pairs, id_col=id_col)
+
+
+def _exact_neighbor_lists(
+    embeddings: DataFrame,
+    src_rows: list,
+    k: int,
+    metric: str,
+    id_col: str,
+    vector_col: str,
+) -> dict:
+    """Exact kNN-minus-self for a bounded set of sampled sources in ONE
+    ``batch_knn`` pass (one corpus scan for the whole sample — the
+    single-pass discipline of ``filtered_recall``; previously one
+    knn_scores job per source). Asks for k+1 and drops the self row
+    afterward: removing one element of a (score asc, id asc) ranking
+    preserves the relative order of the rest, so the result is
+    row-identical to scoring each source against ``embeddings.filter(id
+    != src)`` separately. Returns {src_id: [neighbor ids, best first]}."""
+    from ydb_vector_search_demo_spark.operators.knn import batch_knn
+
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame(
+        [(r[0], [float(v) for v in r[1]]) for r in src_rows],
+        ["query_id", "query_vec"],
     )
-    mutual = graph.intersect(rev).filter(F.col("src") < F.col("dst"))
-    pairs = mutual.select(
-        F.col("_bk").alias("centroid_id"),
-        F.col("src").alias("a"),
-        F.col("dst").alias("b"),
-    )
-    return dedup_clusters_bucketed(
-        embeddings.select(F.col(id_col)), pairs, id_col=id_col
-    )
+    rows = batch_knn(
+        qdf, embeddings, k=int(k) + 1, metric=metric,
+        id_col=id_col, vector_col=vector_col,
+    ).collect()
+    per: dict = {r[0]: [] for r in src_rows}
+    for r in sorted(rows, key=lambda x: (x["query_id"], x["rank"])):
+        if r[id_col] != r["query_id"]:
+            per[r["query_id"]].append(r[id_col])
+    return {qid: ids[: int(k)] for qid, ids in per.items()}
 
 
 def knn_graph_recall(
@@ -1596,8 +1676,6 @@ def knn_graph_recall(
     ivf_batch_recall / mrl_recall (the min exposes the worst-served
     node a mean hides; a node near a cell boundary loses the neighbors
     that sit across it)."""
-    from ydb_vector_search_demo_spark.operators.knn import knn_scores
-
     index = get_or_build_ivf_index(
         embeddings, k_clusters=k_clusters, cache_key=cache_key,
         id_col=id_col, vector_col=vector_col,
@@ -1617,17 +1695,12 @@ def knn_graph_recall(
     approx: dict = {}
     for r in graph:
         approx.setdefault(r["src"], []).append(r["dst"])
-    recalls = []
-    for r in src_rows:
-        exact = [
-            x[0]
-            for x in knn_scores(
-                embeddings.filter(F.col(id_col) != r[0]),
-                [float(v) for v in r[1]],
-                k, metric, id_col=id_col, vector_col=vector_col,
-            ).collect()
-        ]
-        recalls.append(recall_at_k(exact, approx.get(r[0], [])))
+    exact = _exact_neighbor_lists(
+        embeddings, src_rows, k, metric, id_col, vector_col
+    )
+    recalls = [
+        recall_at_k(exact[r[0]], approx.get(r[0], [])) for r in src_rows
+    ]
     return spark.createDataFrame(
         [
             (
@@ -1752,6 +1825,7 @@ def nn_descent(
     metric: str = "cosine",
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    trust_scores: bool = False,
 ) -> DataFrame:
     """NN-descent refinement (Dong et al., WWW 2011): iteratively
     improve an approximate kNN graph by scoring each node against its
@@ -1771,6 +1845,15 @@ def nn_descent(
     iterated plan never grows — the standard Spark discipline for
     iterative algorithms.
 
+    Init scores: new candidates are always scored under ``metric``, so
+    a caller-provided ``score`` column is only comparable if it was
+    computed under the SAME metric — merging, say, a cosine-scored init
+    into a Euclidean descent would silently produce a wrong top-k. The
+    init's scores are therefore recomputed from the embeddings by
+    default; pass ``trust_scores=True`` to skip that pass when the init
+    graph's scores are known to match ``metric`` (e.g. a
+    :func:`knn_graph_multiprobe` graph built with the same metric).
+
     Laws (tests/test_nn_descent.py): the EXACT graph is a fixed point
     (candidates can't beat the true top-k), and recall vs the exact
     graph is non-decreasing in iterations on the corpora tested."""
@@ -1778,7 +1861,7 @@ def nn_descent(
 
     emb_a = embeddings.select(F.col(id_col).alias("src"), F.col(vector_col).alias("_va"))
     emb_b = embeddings.select(F.col(id_col).alias("dst"), F.col(vector_col).alias("_vb"))
-    has_score = "score" in graph.columns
+    has_score = trust_scores and "score" in graph.columns
     cur = (
         graph.select("src", "dst", "score")
         if has_score
@@ -1820,7 +1903,22 @@ def nn_descent(
         nxt.count()  # materialize before dropping the previous round
         cur.unpersist()
         cur = nxt
-    return cur.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # Truncate the iterative lineage and release the last round's
+    # pinned storage before returning: a plain `return cur...` would
+    # leave cur persisted for the rest of the session (callers can't
+    # unpersist what they can't see), while unpersisting cur without
+    # the checkpoint would make the caller's first action replay every
+    # round. localCheckpoint blocks are dropped by the ContextCleaner
+    # once the returned DataFrame is garbage collected — no manual
+    # release hook needed. (The edge list is n·k rows; for a
+    # fault-tolerant handoff at cluster scale, write it to parquet.)
+    out = (
+        cur.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .localCheckpoint(eager=True)
+    )
+    cur.unpersist()
+    return out
 
 
 def knn_graph_improvement_report(
@@ -1845,8 +1943,6 @@ def knn_graph_improvement_report(
     (boundary nodes score 0 with one probe); each rung buys recall at
     a bounded extra cost (nprobe× the join work; iters extra
     edge-list passes)."""
-    from ydb_vector_search_demo_spark.operators.knn import knn_scores as _ks
-
     index = get_or_build_ivf_index(
         embeddings, k_clusters=k_clusters, cache_key=cache_key,
         id_col=id_col, vector_col=vector_col,
@@ -1859,16 +1955,9 @@ def knn_graph_improvement_report(
     src_rows = srcs.collect()
     src_ids = sorted(r[0] for r in src_rows)
     sources = index.assigned.filter(F.col(id_col).isin(src_ids))
-    exact: dict = {}
-    for r in src_rows:
-        exact[r[0]] = [
-            x[0]
-            for x in _ks(
-                embeddings.filter(F.col(id_col) != r[0]),
-                [float(v) for v in r[1]],
-                k, metric, id_col=id_col, vector_col=vector_col,
-            ).collect()
-        ]
+    exact = _exact_neighbor_lists(
+        embeddings, src_rows, k, metric, id_col, vector_col
+    )
 
     def stats(graph_rows) -> tuple[float, float]:
         approx: dict = {}
@@ -1900,6 +1989,9 @@ def knn_graph_improvement_report(
         nn_descent(
             embeddings, full_multi.select("src", "dst", "score"), k=k,
             iters=iters, metric=metric, id_col=id_col, vector_col=vector_col,
+            # the multi-probe graph above was scored under this same
+            # metric, so its scores are safe to merge without a rescore
+            trust_scores=True,
         )
         .filter(F.col("src").isin(src_ids))
         .collect()
