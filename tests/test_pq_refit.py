@@ -97,3 +97,80 @@ def test_drift_refit_publish_cycle(spark, tmp_path):
     assert [g[0] for g in got] == [e[0] for e in exact]
     corpus.unpersist()
     drifted.unpersist()
+
+
+def test_batch_gate_is_not_diluted_by_healthy_corpus(spark, tmp_path):
+    """A small drifted batch that crosses the batch-level threshold
+    must trigger the refit even when merged-corpus MSE stays healthy:
+    the gate runs on drift_batch when given (the detect→refuse
+    dilution hole). The default (merged) gate on the same inputs
+    declines — both behaviors pinned."""
+    corpus = _corpus(spark, n=400).cache()
+    books = pq.train_pq_codebooks(corpus, dim=DIM, m=M, k_star=8)
+    base = pq.pq_quantization_mse(corpus, books)
+    # tiny, badly drifted batch: crosses threshold alone, diluted merged
+    batch = _corpus(spark, shift=1.5, n=8, start_id=50_000, seed=11).cache()
+    assert pq.pq_drift_report(spark, batch, books, base).collect()[0].refit_recommended
+    merged = corpus.unionByName(batch)
+    assert not pq.pq_drift_report(
+        spark, merged, books, base
+    ).collect()[0].refit_recommended, "corpus too small to demonstrate dilution"
+
+    out_default = str(tmp_path / "v_default")
+    assert pq.refit_pq(
+        spark, merged, books, base, out_default, dim=DIM, m=M, k_star=8
+    ) is None  # merged gate: diluted, declines
+
+    out_batch = str(tmp_path / "v_batchgate")
+    got = pq.refit_pq(
+        spark, merged, books, base, out_batch, dim=DIM, m=M, k_star=8,
+        drift_batch=batch,
+    )
+    assert got is not None  # batch gate: refits
+    corpus.unpersist()
+    batch.unpersist()
+
+
+def test_maintenance_cycle_append_then_refit(spark, tmp_path):
+    """pq_maintenance_cycle replay (the catalog row pq_refit_lifecycle
+    with pinned assertions): healthy batch -> frozen-books append
+    (books unchanged, codes grow by the batch); drifted batch ->
+    refit + re-encode (new books, post ratio back under threshold);
+    every generation published atomically and time-travelable."""
+    root = str(tmp_path / "root")
+    corpus = _corpus(spark, n=200).cache()
+    books = pq.train_pq_codebooks(corpus, dim=DIM, m=M, k_star=8)
+    base = pq.pq_quantization_mse(corpus, books)
+    v1 = str(tmp_path / "v1")
+    pq.write_pq_store(corpus, books, v1)
+    pq.save_codebooks(spark, v1, books, base)
+    stores.publish_store(spark, root, v1)
+
+    healthy = _corpus(spark, n=100, start_id=1_000, seed=21).cache()
+    c1 = pq.pq_maintenance_cycle(
+        spark, root, corpus, healthy, str(tmp_path / "v2"), dim=DIM, m=M,
+        k_star=8,
+    ).collect()[0]
+    assert c1.action == "append_frozen" and not c1.refit_recommended
+    assert c1.published_seq == 2 and c1.n_store == 300
+    cur_books, cur_base = pq.load_codebooks(
+        spark, stores.current_store_path(spark, root)
+    )
+    assert cur_books == books and cur_base == base  # frozen across append
+
+    corpus2 = corpus.unionByName(healthy)
+    drifted = _corpus(spark, shift=20.0, n=100, start_id=2_000, seed=22).cache()
+    c2 = pq.pq_maintenance_cycle(
+        spark, root, corpus2, drifted, str(tmp_path / "v3"), dim=DIM, m=M,
+        k_star=8,
+    ).collect()[0]
+    assert c2.action == "refit_reencode" and c2.refit_recommended
+    assert c2.mse_ratio > 2.0
+    assert c2.published_seq == 3 and c2.n_store == 400
+    assert not c2.post_refit_recommended  # the loop closed
+    new_books, _ = pq.load_codebooks(spark, stores.current_store_path(spark, root))
+    assert new_books != books  # actually refit
+    # time travel: generation 2 still resolves with its own books
+    assert spark.read.parquet(stores.store_path_at(spark, root, 2)).count() == 300
+    for df in (corpus, healthy, drifted):
+        df.unpersist()

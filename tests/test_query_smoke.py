@@ -58,6 +58,7 @@ def test_rows_only_set_is_intentional():
         "multimodal_resize",
         "multimodal_union_search",
         "pq_codebook_drift",
+        "pq_refit_lifecycle",
         "rag_chunk_maxp",
         "rag_full_pipeline",
         "retrieval_reranked_batch",

@@ -1270,16 +1270,29 @@ def refit_pq(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     keep_cols: tuple = (),
+    drift_batch: DataFrame | None = None,
     **train_kwargs,
 ) -> tuple[Codebooks, float] | None:
     """Threshold-triggered codebook refit — the quantizer twin of
-    :func:`ann.rebalance_ivf`: when :func:`pq_drift_report` over
-    ``vectors`` (the store's CURRENT float contents, corpus ∪ appended
-    batches) crosses ``threshold`` (or ``force``), train fresh
-    codebooks on that data, re-encode EVERY vector, write the new codes
-    store to ``out_path`` with the refreshed codebooks + baseline
-    embedded (:func:`save_codebooks`), and return them. Returns None —
-    and writes nothing — while reconstruction error is still healthy.
+    :func:`ann.rebalance_ivf`: when :func:`pq_drift_report` crosses
+    ``threshold`` (or ``force``), train fresh codebooks on ``vectors``
+    (the store's CURRENT float contents, corpus ∪ appended batches),
+    re-encode EVERY vector, write the new codes store to ``out_path``
+    with the refreshed codebooks + baseline embedded
+    (:func:`save_codebooks`), and return them. Returns None — and
+    writes nothing — while reconstruction error is still healthy.
+
+    The gate runs on ``drift_batch`` when given, else on ``vectors``.
+    Pass the APPENDED batch as ``drift_batch`` to match the detection
+    path's recommendation: a badly-drifted small batch that crosses the
+    batch-level threshold is otherwise diluted below it in the merged
+    corpus (a 1%-of-corpus batch at 10× baseline MSE moves the merged
+    ratio by ~0.09 — detected, then refused). The merged-corpus gate
+    (default) is the right call only when the threshold is meant as
+    "overall store health", and the two differ exactly when the corpus
+    is large and healthy — the common case, so callers coming from
+    :func:`pq_drift_report` on a batch should pass that batch here.
+
     Never writes in place: the caller publishes ``out_path`` atomically
     with ``stores.publish_store``, so probers resolve the
     old-books/old-codes or new-books/new-codes version, never a
@@ -1287,13 +1300,14 @@ def refit_pq(
     silent garbage — the reason the books live inside the version
     directory instead of beside the manifest).
 
-    Scale shape: the drift check is one map-side agg over ``vectors``;
-    the refit is m sampled subspace KMeans fits (thread-pooled,
-    ``fit_sample_fraction`` passes through); the re-encode is one
-    map-only pass writing ``out_path``."""
+    Scale shape: the drift check is one map-side agg over the gate
+    relation; the refit is m sampled subspace KMeans fits
+    (thread-pooled, ``fit_sample_fraction`` passes through); the
+    re-encode is one map-only pass writing ``out_path``."""
     if not force:
+        gate = drift_batch if drift_batch is not None else vectors
         report = pq_drift_report(
-            spark, vectors, codebooks, baseline_mse, threshold=threshold,
+            spark, gate, codebooks, baseline_mse, threshold=threshold,
             vector_col=vector_col,
         ).collect()[0]
         if not report.refit_recommended:
@@ -1324,3 +1338,97 @@ def read_current_pq_store(
         raise ValueError(f"no published PQ store under {root!r}")
     books, baseline = load_codebooks(spark, path)
     return spark.read.parquet(path), books, baseline
+
+
+def pq_maintenance_cycle(
+    spark: SparkSession,
+    root: str,
+    vectors: DataFrame,
+    batch: DataFrame,
+    version_path: str,
+    dim: int,
+    m: int = 8,
+    k_star: int = 64,
+    threshold: float = 2.0,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    keep_cols: tuple = (),
+    **train_kwargs,
+) -> DataFrame:
+    """One turn of the PQ store maintenance loop, end to end — the
+    codebook analogue of the cell-rebalance lifecycle
+    (ann.rebalance_ivf / tests/test_store_maintenance.py):
+
+    1. resolve the manifest-current generation (codes + books +
+       baseline, :func:`read_current_pq_store`);
+    2. :func:`pq_drift_report` on the APPENDED ``batch`` under the
+       frozen books — the batch is the gate, not the merged corpus, so
+       a badly-drifted feed can't be diluted below threshold by a
+       large healthy corpus (the detect→refuse failure mode);
+    3. healthy batch → frozen-books append: encode ONLY the batch
+       (one map-only pass over the batch; the corpus is never
+       rescanned) and write current-codes ∪ new-codes as the next
+       version, books unchanged;
+       drifted batch → :func:`refit_pq` on corpus ∪ batch (fresh
+       books, EVERY vector re-encoded, new baseline);
+    4. atomic publish of the new version via ``stores.publish_store``
+       — probers resolve a consistent (codes, books) generation,
+       never a mixture, and time travel / rollback apply as on any
+       manifest store.
+
+    ``vectors`` is the store's current float contents (the source of
+    truth the codes derive from); ``batch`` the newly-arrived floats.
+    Returns a one-row audit DataFrame: the gate's verdict, the action
+    taken, the published seq, the new store's row count, and the same
+    batch's drift ratio under the published generation (post ratio ≈ 1
+    after a refit — the loop observably closed)."""
+    from ydb_vector_search_demo_spark import stores
+
+    codes, books, baseline = read_current_pq_store(spark, root)
+    report = pq_drift_report(
+        spark, batch, books, baseline, threshold=threshold,
+        vector_col=vector_col,
+    ).collect()[0]
+    if report.refit_recommended:
+        merged = vectors.unionByName(batch.select(*vectors.columns))
+        new_books, new_baseline = refit_pq(
+            spark, merged, books, baseline, version_path, dim=dim, m=m,
+            k_star=k_star, threshold=threshold, force=True, seed=seed,
+            id_col=id_col, vector_col=vector_col, keep_cols=keep_cols,
+            **train_kwargs,
+        )
+        action = "refit_reencode"
+    else:
+        codes.unionByName(
+            pq_encode(
+                batch, books, id_col=id_col, vector_col=vector_col,
+                keep_cols=keep_cols,
+            )
+        ).write.mode("overwrite").parquet(version_path)
+        save_codebooks(spark, version_path, books, baseline)
+        new_books, new_baseline = books, baseline
+        action = "append_frozen"
+    seq = stores.publish_store(spark, root, version_path)
+    post = pq_drift_report(
+        spark, batch, new_books, new_baseline, threshold=threshold,
+        vector_col=vector_col,
+    ).collect()[0]
+    n_store = spark.read.parquet(version_path).count()
+    return spark.createDataFrame(
+        [
+            (
+                action,
+                int(report.n_batch),
+                float(report.mse_ratio),
+                bool(report.refit_recommended),
+                int(seq),
+                int(n_store),
+                float(post.mse_ratio),
+                bool(post.refit_recommended),
+            )
+        ],
+        "action STRING, n_batch BIGINT, mse_ratio DOUBLE, "
+        "refit_recommended BOOLEAN, published_seq INT, n_store BIGINT, "
+        "post_mse_ratio DOUBLE, post_refit_recommended BOOLEAN",
+    )

@@ -3644,6 +3644,72 @@ def q_pq_codebook_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pq_refit_lifecycle")
+def q_pq_refit_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full PQ-store maintenance loop, exercised end to end
+    (operators.pq.pq_maintenance_cycle — r5 verdict task #7): publish
+    generation 1, then run two cycles against the manifest. Cycle 1
+    feeds an in-distribution batch → the gate reads ratio ≈ 1 and takes
+    the frozen-books APPEND path (only the batch is encoded; the corpus
+    is never rescanned). Cycle 2 feeds a planted pure-translation
+    shift (+5 per element — it moves the mode WITHOUT changing its
+    spread, so the refit baseline over the merged corpus prices the
+    batch fairly; a variance-inflating ×3 shift would legitimately
+    keep the post ratio above 1) → the BATCH-level gate (not the
+    merged corpus, where a small bad batch would be diluted below
+    threshold) recommends refit: fresh codebooks on corpus ∪ batch,
+    every vector re-encoded, new baseline, atomic publish. One audit
+    row per cycle; the drifted batch's post-publish ratio returns to
+    ≈ 1 — the loop observably closes. Rows-only (KMeans-trained codebooks); the same cycle is
+    replayed with pinned assertions in tests/test_pq_refit.py."""
+    import tempfile
+
+    from ydb_vector_search_demo_spark import stores
+    from ydb_vector_search_demo_spark.operators import pq
+
+    embs = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(QV)
+    tmp = tempfile.mkdtemp(prefix="spark_graft_pq_lifecycle_")
+    root = f"{tmp}/store"
+    books = pq.train_pq_codebooks(
+        embs, dim, m=8, k_star=16, fit_sample_fraction=0.5
+    )
+    baseline = pq.pq_quantization_mse(embs, books)
+    v1 = f"{tmp}/v1"
+    pq.write_pq_store(embs, books, v1)
+    pq.save_codebooks(spark, v1, books, baseline)
+    stores.publish_store(spark, root, v1)
+
+    healthy = embs.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    cycle1 = pq.pq_maintenance_cycle(
+        spark, root, embs, healthy, f"{tmp}/v2", dim=dim, m=8, k_star=16,
+        fit_sample_fraction=0.5,
+    )
+    drifted = embs.select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + 5.0).alias("embedding"),
+    )
+    corpus2 = embs.unionByName(healthy)
+    cycle2 = pq.pq_maintenance_cycle(
+        spark, root, corpus2, drifted, f"{tmp}/v3", dim=dim, m=8, k_star=16,
+        fit_sample_fraction=0.5,
+    )
+    return (
+        cycle1.withColumn("cycle", F.lit("1_in_distribution"))
+        .unionByName(cycle2.withColumn("cycle", F.lit("2_planted_shift")))
+        .select(
+            "cycle", "action", "n_batch",
+            F.round("mse_ratio", 4).alias("mse_ratio"),
+            "refit_recommended", "published_seq", "n_store",
+            F.round("post_mse_ratio", 4).alias("post_mse_ratio"),
+            "post_refit_recommended",
+        )
+        .orderBy("cycle")
+    )
+
+
 @register("multimodal_decode_meta")
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing: payload → typed metadata via
