@@ -360,6 +360,95 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_dedup_pairs_portable(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Engine-portable MinHash-LSH near-dup pairs — the DuckDB-checkable
+    twin of :func:`minhash_dedup_pairs` (r5 verdict task #8: pinned
+    determinization for a previously rows-only surface). Same pipeline
+    — per-doc signatures, banding, exact-Jaccard verification of the
+    candidates only — but the hash family is ``md5(f"{i}:" + shingle)``
+    with the LEXICOGRAPHIC min over hex strings as the min-hash (any
+    total order over a uniform hash family is a valid min-hash;
+    Broder 1997 needs only a random permutation of shingle space).
+    md5-hex is bit-identical across Spark and DuckDB, so the whole
+    pipeline is recomputable in ANSI SQL; the xxhash64 double-hashing
+    variant stays the production path (8-byte keys, 2 hashes per
+    shingle vs ``num_hashes`` here — this variant is the verification
+    harness, priced accordingly).
+
+    Same scale shape as the production variant: signatures are a
+    map-only pass, banding shuffles (band_idx, band_val) keys, the
+    candidate join is band-bucketed (never all-pairs), verification
+    touches candidates only."""
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError(f"bands {bands} must divide num_hashes {num_hashes}")
+    shingles = F.array_distinct(word_shingles(F.col(text_col), n))
+    base = fan_out(df).select(
+        F.col(id_col).alias("sid"), shingles.alias("shingles")
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
+            )
+        ).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    # feeds both banding sides + verification, same persist contract as
+    # the production variant (release via release_persisted)
+    sigs = _persist(base.select("sid", "shingles", *sig_cols))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"sig_{b * rows_per_band + j}") for j in range(rows_per_band)],
+                ).alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("sid", F.explode(band_structs).alias("bv")).select(
+        "sid",
+        F.col("bv.band_idx").alias("band_idx"),
+        F.col("bv.band_val").alias("band_val"),
+    )
+    cands = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_idx", "band_val"])
+        .filter(F.col("x.sid") < F.col("y.sid"))
+        .select(F.col("x.sid").alias("a"), F.col("y.sid").alias("b"))
+        .distinct()
+    )
+    shs = sigs.select("sid", "shingles")
+    return (
+        cands.join(
+            shs.select(F.col("sid").alias("a"), F.col("shingles").alias("sh_a")), "a"
+        )
+        .join(
+            shs.select(F.col("sid").alias("b"), F.col("shingles").alias("sh_b")), "b"
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     n: int = 3,

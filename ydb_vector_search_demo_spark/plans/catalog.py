@@ -2663,6 +2663,215 @@ def q_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- pinned-determinization oracles (r5 verdict task #8): the trick
+#     that made pq_adc_fixed checkable, applied to three more rows-only
+#     surfaces. Each pins the trained/hashed artifact (centroids /
+#     hyperplanes / hash family) to literals both engines can compute,
+#     so the FULL pipeline — assignment, probing, banding, verification
+#     — is recomputed independently by DuckDB; the KMeans/xxhash64
+#     production variants stay rows-only beside them. ---
+
+# 4 pinned IVF centroids: embed-stub vectors, so they sit in the same
+# space as the corpus and partition it evenly (110/145/132/113 at
+# sf0.01; QV-scaled arithmetic centroids degenerate to a 498/2/0/0
+# split). Rounded to 6 dp so the SQL literals equal the Python floats.
+_IVF_FIXED_CENTS = [
+    [round(float(x), 6) for x in rag.embed_query_stub(w)]
+    for w in ("join", "scan", "filter", "aggregate")
+]
+_IVF_FIXED_PROBED = ann.rank_centroids(_IVF_FIXED_CENTS, QV, metric="euclidean")[:2]
+
+
+def _ivf_fixed_oracle_sql() -> str:
+    dists = (
+        "list_transform(["
+        + ",".join(_vec_sql(c) for c in _IVF_FIXED_CENTS)
+        + "], c -> list_sum(list_transform(list_zip(v, c),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))))"
+    )
+    probed = ", ".join(str(int(c)) for c in _IVF_FIXED_PROBED)
+    return f"""
+    WITH a AS (
+      SELECT vec_id, v, list_position(d, list_min(d)) - 1 AS cell
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v, {dists} AS d FROM embeddings)
+    )
+    SELECT vec_id, cell, round(raw, 6) AS score,
+           row_number() OVER (ORDER BY raw, vec_id)::INTEGER AS rank
+    FROM (SELECT vec_id, cell,
+                 1.0 - list_cosine_similarity(v, {_vec_sql(QV)}) AS raw
+          FROM a WHERE cell IN ({probed}))
+    ORDER BY raw, vec_id LIMIT 5
+    """
+
+
+@register("ann_ivf_fixed", _ivf_fixed_oracle_sql())
+def q_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete IVF probe path against a full DuckDB oracle: with
+    the centroids PINNED, nearest-centroid assignment (ann.ivf_assign
+    — the real incremental-ingest assignment expression), driver-side
+    probe ranking (ann.rank_centroids), the nprobe=2-of-4 candidate
+    cut and the exact top-5 rescore are all pure arithmetic DuckDB
+    recomputes from the raw floats. The KMeans-trained variants
+    (ann_ivf_build / ann_ivf_recall) stay rows-only; this row pins the
+    probe MACHINERY they share."""
+    embs = _t(spark, sf_dir, "embeddings")
+    assigned = ann.ivf_assign(_IVF_FIXED_CENTS, embs)
+    cand = assigned.filter(
+        F.col("centroid_id").isin([int(c) for c in _IVF_FIXED_PROBED])
+    )
+    w = Window.orderBy(F.col("_raw").asc_nulls_last(), F.col("vec_id").asc())
+    return (
+        cand.select(
+            "vec_id",
+            F.col("centroid_id").alias("cell"),
+            V.distance("embedding", F.lit(QV), "cosine").alias("_raw"),
+        )
+        .orderBy(F.col("_raw").asc_nulls_last(), F.col("vec_id").asc())
+        .limit(5)
+        .select(
+            "vec_id",
+            "cell",
+            F.round("_raw", 6).alias("score"),
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+    )
+
+
+# 8 pinned hyperplanes (embed stubs recentered to ~zero mean so signs
+# split the corpus) — the sign-code is the bucketing primitive of
+# dedup.bucketed_cosine_near_dup_pairs and ann.hyperplane LSH, here
+# recomputable in SQL. Probing is Hamming <= 1 over the 8-bit codes
+# (the classic multi-probe widening).
+_LSH_FIXED_PLANES = [
+    [round(float(x) - 0.5, 6) for x in rag.embed_query_stub(w)]
+    for w in ("alpha", "bravo", "charlie", "delta",
+              "echo", "foxtrot", "golf", "hotel")
+]
+_LSH_FIXED_QCODE = 0
+for _p in _LSH_FIXED_PLANES:
+    _LSH_FIXED_QCODE = _LSH_FIXED_QCODE * 2 + (
+        1 if sum(a * b for a, b in zip(QV, _p)) > 0 else 0
+    )
+
+
+def _lsh_fixed_oracle_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_vec_sql(p)}) > 0"
+        f" THEN {1 << (len(_LSH_FIXED_PLANES) - 1 - j)} ELSE 0 END)"
+        for j, p in enumerate(_LSH_FIXED_PLANES)
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id, v,
+             bit_count(xor(code, {_LSH_FIXED_QCODE})::BIT)::BIGINT AS hamming
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   ({terms})::BIGINT AS code FROM embeddings)
+    )
+    SELECT vec_id, hamming, round(raw, 6) AS score,
+           row_number() OVER (ORDER BY raw, vec_id)::INTEGER AS rank
+    FROM (SELECT vec_id, hamming,
+                 1.0 - list_cosine_similarity(v, {_vec_sql(QV)}) AS raw
+          FROM c WHERE hamming <= 1)
+    ORDER BY raw, vec_id LIMIT 5
+    """
+
+
+@register("ann_lsh_fixed", _lsh_fixed_oracle_sql())
+def q_ann_lsh_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane (sign) LSH top-5 against a full DuckDB oracle: with
+    the hyperplanes PINNED, the 8-bit sign-code, the Hamming<=1
+    multi-probe widening and the exact cosine rescore are pure
+    arithmetic in both engines. Pins the bucketing primitive the
+    rows-only LSH surfaces (ann_lsh_top5's MLlib tables,
+    dedup_cosine_bucketed's seeded planes) are built on. The code fold
+    packs plane 0 at the MSB — the bucketed_cosine_near_dup_pairs
+    convention."""
+    embs = _t(spark, sf_dir, "embeddings")
+    code = F.aggregate(
+        F.transform(
+            F.array(*[F.lit(p) for p in _LSH_FIXED_PLANES]),
+            lambda p: F.when(
+                V.dot(F.col("embedding"), p) > 0, F.lit(1)
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc * 2 + b,
+    )
+    w = Window.orderBy(F.col("_raw").asc_nulls_last(), F.col("vec_id").asc())
+    return (
+        embs.select(
+            "vec_id",
+            F.bit_count(
+                code.bitwiseXOR(F.lit(_LSH_FIXED_QCODE))
+            ).cast("bigint").alias("hamming"),
+            V.distance("embedding", F.lit(QV), "cosine").alias("_raw"),
+        )
+        .filter(F.col("hamming") <= 1)
+        .orderBy(F.col("_raw").asc_nulls_last(), F.col("vec_id").asc())
+        .limit(5)
+        .select(
+            "vec_id",
+            "hamming",
+            F.round("_raw", 6).alias("score"),
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+    )
+
+
+def _minhash_fixed_oracle_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    rpb = num_hashes // bands
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS sig_{i}"
+        for i in range(num_hashes)
+    )
+    band_sel = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, concat_ws('|', "
+        + ", ".join(f"sig_{b * rpb + j}" for j in range(rpb))
+        + ") AS band_val FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles FROM documents
+    ),
+    sig AS (SELECT doc_id, shingles, {sig_exprs} FROM sh),
+    banded AS ({band_sel}),
+    cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM banded x JOIN banded y
+               ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+              AND x.doc_id < y.doc_id),
+    v AS (SELECT c.a, c.b,
+                 len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+                 len(sa.shingles) AS na, len(sb.shingles) AS nb
+          FROM cand c JOIN sh sa ON sa.doc_id = c.a
+                      JOIN sh sb ON sb.doc_id = c.b)
+    SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+    FROM v WHERE inter::DOUBLE / (na + nb - inter) >= {threshold}
+    ORDER BY a, b
+    """
+
+
+@register("dedup_minhash_fixed", _minhash_fixed_oracle_sql())
+def q_dedup_minhash_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs against a full DuckDB oracle
+    (dedup.minhash_dedup_pairs_portable): the hash family is
+    md5(i || ':' || shingle) with the lexicographic min over hex
+    strings as the min-hash — bit-identical in both engines — so
+    signatures, the 4x4 banding, the band-bucketed candidate join and
+    the exact-Jaccard verification are ALL recomputed independently by
+    SQL. Recovers the same >= 0.5 pairs as the graded exact
+    dedup_jaccard_pairs on this corpus modulo LSH candidate misses
+    (none at sf0.01 with 16 hashes); the xxhash64 double-hashing
+    variant (dedup_minhash_lsh) stays the production path and stays
+    rows-only."""
+    return dedup.minhash_dedup_pairs_portable(
+        _t(spark, sf_dir, "documents"), n=3, num_hashes=16, bands=4,
+        threshold=0.5,
+    ).orderBy("a", "b")
+
+
 # --- rows-only checked (xxhash64 signatures / MLlib / mapInPandas /
 #     Structured Streaming — not ANSI-SQL-expressible; SURVEY.md §5.2) ---
 
