@@ -84,6 +84,11 @@ HEADLINE = [
     # join) and bucketed kNN-graph construction
     "orders_interval_ship_join",
     "ann_knn_graph_label",
+    # round-6 additions (outside the comparable subsets): the learned-
+    # rotation prefix search (graded this round) and its batch twin —
+    # one rotated coarse scan for the 3-query batch
+    "rotation_rescore_topk",
+    "rotation_batch_rescore",
 ]
 
 

@@ -314,3 +314,59 @@ def test_stream_ingest_mrl_prefix_companion(spark, embs, ivf, tmp_path):
     assert [(r["vec_id"], round(r["score"], 9)) for r in got] == [
         (r["vec_id"], round(r["score"], 9)) for r in want
     ]
+
+
+def test_stream_ingest_rotated_prefix_companion(spark, embs, ivf, tmp_path):
+    """The learned-rotation prefix companion streams too (r6): the
+    prefix column equals write_rotated_store's batch rotation row for
+    row, the streamed-in store serves pca_batch_search_parquet
+    directly — exact at the degenerate point (dims=d, corpus-covering
+    pool) — and the mrl/rotation prefix companions are mutually
+    exclusive (both write 'prefix')."""
+    from ydb_vector_search_demo_spark.operators import rotation as R
+
+    rot = R.hadamard_rotation(DIM)
+    src = tmp_path / "rot_drops"
+    src.mkdir()
+    store = str(tmp_path / "rot_stream_store")
+    ckpt = str(tmp_path / "rot_ckpt")
+    embs.write.parquet(str(src / "batch1"))
+    stream = ingest.read_embeddings_stream(
+        spark, str(src) + "/*", dim_hint_df=embs
+    )
+    q = ingest.stream_ivf_ingest(
+        stream, ivf.centroids, store, ckpt, rotation=rot, rotation_dims=16
+    )
+    q.awaitTermination(120)
+
+    back = spark.read.parquet(store)
+    assert back.selectExpr("max(size(prefix)) m").first()["m"] == 16
+    batch = {
+        r["vec_id"]: [round(x, 9) for x in r["prefix"]]
+        for r in embs.select(
+            "vec_id", R.rotate_expr("embedding", rot, 16).alias("prefix")
+        ).collect()
+    }
+    for r in back.select("vec_id", "prefix").collect():
+        assert [round(x, 9) for x in r["prefix"]] == batch[r["vec_id"]]
+
+    n = embs.count()
+    got = R.pca_batch_search_parquet(
+        spark, store, embs, rot,
+        spark.createDataFrame(
+            [(0, QV)], "query_id INT, query_vec ARRAY<DOUBLE>"
+        ),
+        dims=16, k=5, rescore=(n // 5) + 1,
+    ).collect()
+    # dims=16 (not d) with a corpus-covering pool: the coarse stage can
+    # only order the pool, the rescore is exact over ALL of it -> exact
+    want = knn_scores(embs, QV, k=5).collect()
+    assert [(r["vec_id"], round(r["score"], 9)) for r in got] == [
+        (r["vec_id"], round(r["score"], 9)) for r in want
+    ]
+
+    with pytest.raises(ValueError, match="prefix"):
+        ingest.stream_ivf_ingest(
+            stream, ivf.centroids, store, ckpt, mrl_dims=16,
+            rotation=rot, rotation_dims=16,
+        )

@@ -38,6 +38,7 @@ def test_rows_only_set_is_intentional():
         "ann_knn_graph_recall",
         "ann_knn_graph_refined",
         "ann_lsh_top5",
+        "ann_mutual_knn_multiprobe",
         "ann_pca_recall",
         "ann_pq_recall",
         "ann_quantized_recall",

@@ -394,15 +394,23 @@ def minhash_dedup_pairs_portable(
     base = fan_out(df).select(
         F.col(id_col).alias("sid"), shingles.alias("shingles")
     )
-    sig_cols = [
-        F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
-            )
+
+    def _sig(i: int):
+        # The loop index must reach the lambda via CLOSURE over a
+        # prebuilt literal, never as a defaulted second parameter:
+        # PySpark dispatches on the lambda's arity, so
+        # ``lambda s, i=i: ...`` silently becomes transform's
+        # (element, index) form — ``i`` rebinds to the array-index
+        # Column and ``f"{i}:"`` stringifies that Column object into a
+        # session-dependent junk prefix (found as a nondeterministic
+        # one-pair LSH miss at sf0.1; tests/test_dedup_portable.py pins
+        # the signature against driver-side hashlib).
+        prefix = F.lit(f"{i}:")
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(prefix, s)))
         ).alias(f"sig_{i}")
-        for i in range(num_hashes)
-    ]
+
+    sig_cols = [_sig(i) for i in range(num_hashes)]
     # feeds both banding sides + verification, same persist contract as
     # the production variant (release via release_persisted)
     sigs = _persist(base.select("sid", "shingles", *sig_cols))

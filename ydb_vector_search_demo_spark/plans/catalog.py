@@ -5162,6 +5162,74 @@ def q_rotation_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+def _rotation_batch_branch_sql(i: int, qv: list[float]) -> str:
+    """Per-query branch of the batched-rotation oracle: same Hadamard
+    arithmetic as _rotation_rescore_sql, replayed for query ``i`` —
+    the UNION ALL of branches is the SQL image of \'per query
+    row-identical to the single-query loop\' (the law
+    tests/test_rotation.py pins for the Spark side)."""
+    from ydb_vector_search_demo_spark.operators import rotation as _rot
+
+    rot = _rot.hadamard_rotation(64)
+    rq = _rot.rotate_vector(qv, rot)[:16]
+    ips = ",\n                 ".join(
+        f"list_inner_product(embedding::DOUBLE[], {_vec_sql(row)})"
+        for row in rot[:16]
+    )
+    return f"""
+    SELECT {i} AS query_id, vec_id, round(raw, 6) AS score,
+           row_number() OVER (ORDER BY raw, vec_id)::INTEGER AS rank
+    FROM (
+      SELECT e.vec_id,
+             1.0 - list_cosine_similarity(e.embedding::DOUBLE[],
+                                          {_vec_sql(qv)}) AS raw
+      FROM embeddings e
+      JOIN (
+        SELECT vec_id FROM (
+          SELECT vec_id,
+                 1.0 - list_cosine_similarity([{ips}],
+                                              {_vec_sql(rq)}) AS rs
+          FROM embeddings)
+        ORDER BY rs, vec_id LIMIT 20
+      ) c USING (vec_id))
+    ORDER BY raw, vec_id LIMIT 5
+    """
+
+
+@register(
+    "rotation_batch_rescore",
+    "\nUNION ALL\n".join(
+        f"SELECT * FROM ({_rotation_batch_branch_sql(i, v)})"
+        for i, v in enumerate(BATCH_QVS)
+    )
+    + "\nORDER BY query_id, rank",
+)
+def q_rotation_batch_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched rotated-prefix search (rotation.pca_batch_search — the
+    r6 completion of the batch matrix\'s learned-basis lever): each
+    corpus row is rotated ONCE into its 16-of-64 Hadamard prefix, the
+    3-query batch is rotated in-plan (bit-identical to the driver-side
+    fold — pinned in tests/test_rotation.py) and broadcast, one coarse
+    scan scores every query, per-query Partial-WindowGroupLimit top-20
+    cut, shared exact full-width rescore. Fully oracle-checked under
+    the pinned Hadamard basis; per-query rows equal the single-query
+    rotation_rescore_topk loop."""
+    from ydb_vector_search_demo_spark.operators import rotation as _rot
+
+    embs = _t(spark, sf_dir, "embeddings")
+    rot = _rot.hadamard_rotation(64)
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(BATCH_QVS)],
+        "query_id long, query_vec array<double>",
+    )
+    out = _rot.pca_batch_search(embs, rot, queries, dims=16, k=5, rescore=4)
+    return out.select(
+        "query_id", "vec_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
 @register("ann_pca_recall")
 def q_ann_pca_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain prefix vs fitted-PCA prefix recall@10 (coarse and
@@ -5176,6 +5244,36 @@ def q_ann_pca_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rot.pca_recall_report(
         spark, _t(spark, sf_dir, "embeddings"), QV,
         dims_list=(8, 16, 32), k=10, rescore=4, sample=4096,
+    )
+
+
+@register("ann_mutual_knn_multiprobe")
+def q_ann_mutual_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN clustering on the DEFAULT (repaired) graph source —
+    ann.mutual_knn_clusters with no bucket column: the multi-probe
+    kNN graph over the cached IVF assignment (every source probes its
+    2 nearest cells, so boundary nodes see across their cell), mutual
+    asymmetry filter, star connected components (edges cross cells by
+    design). Summary row per cluster-size band so the output is stable
+    under id relabeling. Rows-only (MLlib KMeans centroids); the
+    boundary-repair law — single-probe splits a straddling planted
+    group, the default recovers it — is pinned on a deterministic
+    index in tests/test_ann_index.py. The label-bucketed variant
+    (ann_mutual_knn_clusters) keeps its full oracle."""
+    out = ann.mutual_knn_clusters(
+        _t(spark, sf_dir, "embeddings"), k=3, k_clusters=8,
+        cache_key=("mutual-default", sf_dir),
+    )
+    return (
+        out.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count_distinct("cluster_id").alias("n_clusters"),
+            F.sum(F.when(F.col("is_canonical"), 1).otherwise(0)).alias(
+                "n_canonical"
+            ),
+        )
+        .orderBy("cluster_size")
     )
 
 

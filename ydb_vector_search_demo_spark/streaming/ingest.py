@@ -35,17 +35,30 @@ def _with_companions(
     pq_codebooks,
     vector_col: str = "embedding",
     mrl_dims: int | None = None,
+    rotation=None,
+    rotation_dims: int | None = None,
 ) -> DataFrame:
     """Optional quantized companion columns, computed in the same
     map-only micro-batch pass as the cell routing: int8 (qvec, qscale),
     PQ (pq_codes, vnorm) with FROZEN codebooks travelling as plan
-    literals, and/or a Matryoshka ``mrl_dims``-prefix column — the
-    ingest stays refit-free; codebook refresh is the batch rebalance
-    job's concern, exactly like the centroids. With the prefix column
-    the streamed-in store serves MRL coarse searches
-    (``quant.mrl_search_parquet`` / ``mrl_batch_search_parquet``)
-    directly — every precision of the ladder is now maintained
-    incrementally."""
+    literals, a Matryoshka ``mrl_dims``-prefix column, or a
+    learned-rotation ``rotation_dims``-prefix (the fitted PCA/Hadamard
+    basis is data-independent once fitted, so it freezes into plan
+    literals exactly like the codebooks) — the ingest stays refit-free;
+    codebook/basis refresh is the batch rebalance job's concern,
+    exactly like the centroids. With the prefix column the streamed-in
+    store serves MRL coarse searches (``quant.mrl_search_parquet`` /
+    ``mrl_batch_search_parquet``) or rotated-prefix searches
+    (``rotation.pca_search_parquet`` / ``pca_batch_search_parquet``)
+    directly — every precision of the ladder is maintained
+    incrementally. ``mrl_dims`` and ``rotation`` are mutually
+    exclusive: both write the ``prefix`` column and a store can only
+    serve one basis."""
+    if mrl_dims is not None and rotation is not None:
+        raise ValueError(
+            "mrl_dims and rotation both write the 'prefix' companion; "
+            "a store serves one basis — pick one"
+        )
     if quantize:
         scale = int8_scale(vector_col)
         assigned = assigned.withColumns(
@@ -60,6 +73,12 @@ def _with_companions(
     if mrl_dims is not None:
         assigned = assigned.withColumn(
             "prefix", mrl_prefix(vector_col, mrl_dims)
+        )
+    if rotation is not None:
+        from ydb_vector_search_demo_spark.operators.rotation import rotate_expr
+
+        assigned = assigned.withColumn(
+            "prefix", rotate_expr(vector_col, rotation, rotation_dims)
         )
     return assigned
 
@@ -85,6 +104,8 @@ def stream_ivf_ingest(
     quantize: bool = False,
     pq_codebooks=None,
     mrl_dims: int | None = None,
+    rotation=None,
+    rotation_dims: int | None = None,
     available_now: bool = True,
 ):
     """Continuous IVF ingest: map-only centroid routing (+ optional
@@ -97,7 +118,7 @@ def stream_ivf_ingest(
     streamed-in store."""
     assigned = _with_companions(
         ivf_assign(centroids, stream), quantize, pq_codebooks,
-        mrl_dims=mrl_dims,
+        mrl_dims=mrl_dims, rotation=rotation, rotation_dims=rotation_dims,
     )
     writer = (
         assigned.writeStream.format("parquet")
@@ -119,6 +140,8 @@ def stream_tree_ingest(
     quantize: bool = False,
     pq_codebooks=None,
     mrl_dims: int | None = None,
+    rotation=None,
+    rotation_dims: int | None = None,
     available_now: bool = True,
 ):
     """Continuous two-level-tree ingest: (cell_top, cell_sub) routing
@@ -127,7 +150,8 @@ def stream_tree_ingest(
     tree store composes with the quantized coarse scans too."""
     assigned = _with_companions(
         tree_assign(centroids_top, centroids_sub, stream), quantize,
-        pq_codebooks, mrl_dims=mrl_dims,
+        pq_codebooks, mrl_dims=mrl_dims, rotation=rotation,
+        rotation_dims=rotation_dims,
     )
     writer = (
         assigned.writeStream.format("parquet")
