@@ -74,3 +74,48 @@ def test_portable_pairs_superset_of_exact_on_smoke(spark):
         assert v == pytest.approx(exact[k], abs=1e-9)
     assert set(lsh) == set(exact), "16-hash LSH missed pairs on smoke corpus"
     dedup.release_persisted()
+
+
+def test_portable_simhash_blocking_is_complete(spark):
+    """Pigeonhole law: block-equality candidates must contain EVERY
+    pair within max_hamming — the portable pipeline's pair list equals
+    brute-force Hamming over the fingerprints (recomputed driver-side
+    from hashlib md5 digit parities, so this also pins the bit math)."""
+    import hashlib
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = sorted(
+        (r["a"], r["b"], r["hamming"])
+        for r in dedup.simhash_pairs_portable(
+            docs, bits=32, max_hamming=3, n=3
+        ).collect()
+    )
+    # driver-side recomputation
+    from ydb_vector_search_demo_spark.functions.textstats import word_shingles
+
+    rows = docs.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh"),
+        F.size(F.expr("split(trim(text), '\\\\s+')")).alias("_nt"),
+        F.trim("text").alias("_t"),
+    ).collect()
+    fps = {}
+    for r in rows:
+        if r["_t"] == "":
+            continue
+        fp = 0
+        for j in range(32):
+            votes = sum(
+                1 if hashlib.md5(s.encode()).hexdigest()[j] in "13579bdf" else -1
+                for s in r["sh"]
+            )
+            fp = (fp << 1) | (1 if votes > 0 else 0)
+        fps[r["doc_id"]] = fp
+    ids = sorted(fps)
+    want = sorted(
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    )
+    assert got == want
+    dedup.release_persisted()

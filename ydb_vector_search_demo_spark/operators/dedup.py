@@ -457,6 +457,99 @@ def minhash_dedup_pairs_portable(
     )
 
 
+def simhash_pairs_portable(
+    df: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 3,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Engine-portable SimHash near-dup pairs — the DuckDB-checkable
+    twin of :func:`simhash_near_pairs` (the second r6 pinned
+    determinization after :func:`minhash_dedup_pairs_portable`). The
+    fingerprint's bit j is the sign of the per-feature vote sum where
+    feature f votes +1/-1 by the PARITY OF HEX DIGIT j of md5(f) — a
+    pure string predicate (digit in 1,3,5,7,9,b,d,f) both engines
+    evaluate identically, no integer hash conversion needed. Features
+    are distinct ``n``-word shingles (tokens collide too much on a
+    small shared vocabulary — measured 8.9% of all pairs under
+    Hamming<=3 at sf0.01 with token features vs exactly the true
+    near-dup population with shingles).
+
+    Candidates come from the standard pigeonhole blocking: the
+    ``bits``-bit fingerprint splits into ``max_hamming + 1`` blocks,
+    and any pair within ``max_hamming`` agrees on at least one block
+    (it cannot differ in more blocks than it has differing bits), so
+    block-equality candidates are COMPLETE — never all-pairs, the same
+    banding shape as MinHash-LSH. Exact Hamming verification on the
+    candidates only. Documents with zero tokens are excluded on both
+    engines (their vote sums are empty; the SQL twin cannot see them
+    either). xxhash64 :func:`simhash64` stays the production
+    fingerprint (one 64-bit hash per token vs 32 string predicates per
+    feature here — this variant is the verification harness)."""
+    if bits % (max_hamming + 1):
+        raise ValueError(
+            f"bits {bits} must split into max_hamming+1={max_hamming + 1} blocks"
+        )
+    block_width = bits // (max_hamming + 1)
+    odd = ["1", "3", "5", "7", "9", "b", "d", "f"]
+    feats = F.array_distinct(word_shingles(F.col(text_col), n))
+    base = (
+        fan_out(df)
+        .filter(F.size(tokens(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("sid"),
+            F.transform(feats, lambda t: F.md5(t)).alias("_m"),
+        )
+    )
+
+    def _bit(j: int):
+        votes = F.aggregate(
+            F.col("_m"),
+            F.lit(0),
+            lambda acc, m: acc
+            + F.when(F.substring(m, j + 1, 1).isin(odd), F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        return F.when(votes > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+
+    fp = None
+    for j in range(bits):
+        term = _bit(j) * F.lit(1 << (bits - 1 - j)).cast("bigint")
+        fp = term if fp is None else fp + term
+    fps = _persist(base.select("sid", fp.alias("fp")))
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bi"),
+                F.shiftright(F.col("fp"), block_width * b)
+                .bitwiseAND(F.lit((1 << block_width) - 1))
+                .alias("bv"),
+            )
+            for b in range(max_hamming + 1)
+        ]
+    )
+    blocks = fps.select("sid", "fp", F.explode(block_structs).alias("s")).select(
+        "sid", "fp", F.col("s.bi").alias("bi"), F.col("s.bv").alias("bv")
+    )
+    left = blocks.select(F.col("sid").alias("a"), F.col("fp").alias("fa"), "bi", "bv")
+    right = blocks.select(F.col("sid").alias("b"), F.col("fp").alias("fb"), "bi", "bv")
+    return (
+        left.join(right, ["bi", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     n: int = 3,

@@ -2872,6 +2872,58 @@ def q_dedup_minhash_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def _simhash_fixed_oracle_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    bw = bits // (max_hamming + 1)
+    sums = ", ".join(
+        f"SUM(CASE WHEN substr(m, {j + 1}, 1) IN"
+        " ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s_{}".format(j)
+        for j in range(bits)
+    )
+    fpsql = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN {1 << (bits - 1 - j)} ELSE 0 END)"
+        for j in range(bits)
+    )
+    bsel = "\nUNION ALL\n".join(
+        f"SELECT doc_id, fp, {b} AS bi, (fp >> {bw * b}) & {(1 << bw) - 1} AS bv"
+        " FROM fp"
+        for b in range(max_hamming + 1)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, md5(t) AS m
+      FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS t
+            FROM documents WHERE len({_TOKENS_SQL}) > 0)
+    ), bits AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id),
+    fp AS (SELECT doc_id, ({fpsql})::BIGINT AS fp FROM bits),
+    blocks AS ({bsel}),
+    cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                    x.fp AS fa, y.fp AS fb
+             FROM blocks x JOIN blocks y
+               ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id)
+    SELECT a, b, bit_count(xor(fa, fb)::BIT)::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)::BIT) <= {max_hamming}
+    ORDER BY a, b
+    """
+
+
+@register("dedup_simhash_fixed", _simhash_fixed_oracle_sql())
+def q_dedup_simhash_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs against a full DuckDB oracle
+    (dedup.simhash_pairs_portable): fingerprint bit j = sign of the
+    per-shingle vote sum, voting by the PARITY OF HEX DIGIT j of
+    md5(shingle) — a pure string predicate identical in both engines —
+    with the pigeonhole 4-block candidate join (complete for
+    Hamming<=3 by construction) and exact Hamming verification.
+    Features are 3-word shingles: token features collide en masse on
+    the fixture's small shared vocabulary (8.9% of ALL pairs under
+    Hamming<=3 at sf0.01) while shingle fingerprints recover exactly
+    the true near-dup population. The xxhash64 simhash64 variant
+    (dedup_simhash) stays the production path and stays rows-only."""
+    return dedup.simhash_pairs_portable(
+        _t(spark, sf_dir, "documents"), bits=32, max_hamming=3, n=3
+    ).orderBy("a", "b")
+
+
 # --- rows-only checked (xxhash64 signatures / MLlib / mapInPandas /
 #     Structured Streaming — not ANSI-SQL-expressible; SURVEY.md §5.2) ---
 
