@@ -63,7 +63,6 @@ def test_rows_only_set_is_intentional():
         "rag_chunk_maxp",
         "rag_full_pipeline",
         "retrieval_reranked_batch",
-        "retrieval_reranked_top5",
         "streaming_stateful_user_counts",
         "text_bm25_index_build",
         "text_compression_quality",

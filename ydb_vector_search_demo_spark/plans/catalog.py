@@ -2448,15 +2448,64 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("retrieval_reranked_top5")
+def _reranked_oracle_sql() -> str:
+    """DuckDB twin of the retrieve→rerank stack (r6: the rerank seam
+    determinized — the stub is pure arithmetic, so even the pandas-UDF
+    model boundary is SQL-replayable): the hybrid top-20 pool CTEs,
+    text join, then the stub's exact math — Jaccard of lowercased
+    token SETS against the query's literal token set, plus the
+    md5-hex-prefix/16^8·1e-6 tiebreak ((query || chr(0) || text) —
+    byte-identical UTF-8 in both engines). Order by the FULL-precision
+    score (the tiebreak lives below the 6-dp display rounding)."""
+    q = ['fast', 'scan', 'table', 'row', 'value']
+    q_sql = "[" + ", ".join(f"'{t}'" for t in q) + "]"
+    tset = (
+        "list_distinct(CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+        "ELSE list_transform(string_split_regex(trim(text), '\\s+'), "
+        "x -> lower(x)) END)"
+    )
+    return f"""
+    WITH {_BM25_CTE},
+    lex AS (SELECT doc_id, row_number() OVER (ORDER BY raw DESC, doc_id)::INTEGER
+                     AS rl
+            FROM bm ORDER BY raw DESC, doc_id LIMIT 20),
+    vec AS (SELECT vec_id AS doc_id,
+                   row_number() OVER (ORDER BY raw, vec_id)::INTEGER AS rv
+            FROM (SELECT vec_id,
+                         1.0 - list_cosine_similarity(embedding::DOUBLE[],
+                                                      {_vec_sql(QV)}) AS raw
+                  FROM embeddings)
+            ORDER BY raw, vec_id LIMIT 20),
+    fused AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+                     round(coalesce(1.0 / (60 + rl), 0.0)
+                           + coalesce(1.0 / (60 + rv), 0.0), 6) AS rrf
+              FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+              ORDER BY rrf DESC, doc_id LIMIT 20),
+    wt AS (SELECT f.doc_id, f.rrf, d.text, {tset} AS tset
+           FROM fused f JOIN documents d USING (doc_id)),
+    scored AS (SELECT doc_id, rrf,
+                      (len(list_intersect(tset, {q_sql}))::DOUBLE
+                       / greatest(len(list_distinct(tset || {q_sql})), 1))
+                      + ('0x' || substr(md5('{" ".join(q)}' || chr(0) || text),
+                                        1, 8))::BIGINT
+                        / 4294967296.0 * 1e-6 AS rs
+               FROM wt)
+    SELECT doc_id, rrf, round(rs, 6) AS rerank_score
+    FROM scored ORDER BY rs DESC, doc_id LIMIT 5
+    """
+
+
+@register("retrieval_reranked_top5", _reranked_oracle_sql())
 def q_retrieval_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full first/second-stage retrieval stack: hybrid BM25+vector
     RRF pool (top-20, both pools TakeOrderedAndProject) → join document
     text for the 20 survivors → cross-encoder rerank at the pandas-UDF
     model seam (stubbed: token-overlap + md5 tiebreak) → top-5. The
     expensive model scores 20 rows, never the corpus — the standard
-    retrieve→rerank split. Rows-only (the reranker is the Python
-    boundary); pinned against a driver-side recomputation in pytest."""
+    retrieve→rerank split. Fully oracle-checked since r6: the stub is
+    pure arithmetic, so DuckDB recomputes the UDF's scores exactly —
+    the Arrow boundary itself is what's being pinned (also against a
+    driver-side recomputation in pytest)."""
     docs = _t(spark, sf_dir, "documents")
     embs = _t(spark, sf_dir, "embeddings")
     pool = R.hybrid_rrf_topk(docs, embs, FLAGSHIP_QUERY, QV, k=20, pool=20)
