@@ -2519,16 +2519,71 @@ def q_retrieval_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("retrieval_reranked_batch")
+def _reranked_batch_branch_sql(qid: int, query: str, qv: list[float]) -> str:
+    """One query's reranked top-5 as a self-contained subquery — the
+    single-query rerank oracle (:func:`_reranked_oracle_sql`) with the
+    branch's own BM25 terms, query vector, token set and md5 literal;
+    the UNION ALL of branches is the SQL image of 'per query
+    row-identical to the single-query rerank loop'."""
+    q_terms = sorted(set(query.lower().split()))
+    q_sql = "[" + ", ".join(f"'{t}'" for t in q_terms) + "]"
+    tset = (
+        "list_distinct(CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+        "ELSE list_transform(string_split_regex(trim(text), '\\s+'), "
+        "x -> lower(x)) END)"
+    )
+    return f"""
+    SELECT {qid}::BIGINT AS query_id, rr.* FROM (
+      WITH {_bm25_cte(R.query_terms(query))},
+      lex AS (SELECT doc_id,
+                     row_number() OVER (ORDER BY raw DESC, doc_id)::INTEGER AS rl
+              FROM bm ORDER BY raw DESC, doc_id LIMIT 20),
+      vec AS (SELECT vec_id AS doc_id,
+                     row_number() OVER (ORDER BY raw, vec_id)::INTEGER AS rv
+              FROM (SELECT vec_id,
+                           1.0 - list_cosine_similarity(embedding::DOUBLE[],
+                                                        {_vec_sql(qv)}) AS raw
+                    FROM embeddings)
+              ORDER BY raw, vec_id LIMIT 20),
+      fused AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+                       round(coalesce(1.0 / (60 + rl), 0.0)
+                             + coalesce(1.0 / (60 + rv), 0.0), 6) AS rrf
+                FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+                ORDER BY rrf DESC, doc_id LIMIT 20),
+      wt AS (SELECT f.doc_id, f.rrf, d.text, {tset} AS tset
+             FROM fused f JOIN documents d USING (doc_id)),
+      scored AS (SELECT doc_id, rrf,
+                        (len(list_intersect(tset, {q_sql}))::DOUBLE
+                         / greatest(len(list_distinct(tset || {q_sql})), 1))
+                        + ('0x' || substr(md5('{query}' || chr(0) || text),
+                                          1, 8))::BIGINT
+                          / 4294967296.0 * 1e-6 AS rs
+                 FROM wt)
+      SELECT doc_id, rrf, round(rs, 6) AS rerank_score,
+             row_number() OVER (ORDER BY rs DESC, doc_id)::INTEGER
+               AS rerank_rank
+      FROM scored ORDER BY rs DESC, doc_id LIMIT 5
+    ) rr"""
+
+
+@register(
+    "retrieval_reranked_batch",
+    "\nUNION ALL\n".join(
+        _reranked_batch_branch_sql(i, q, v)
+        for i, (q, v) in enumerate(zip(BATCH_QUERIES, BATCH_QVS))
+    )
+    + "\nORDER BY query_id, rerank_rank",
+)
 def q_retrieval_reranked_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batched retrieve→rerank stack end to end: batched hybrid
     first stage (one corpus pass per system for the whole query batch)
     → text join for the Q×20 survivors → one Arrow-batched
     cross-encoder pass scoring every (query, passage) pair → per-query
     top-5 via WindowGroupLimit. The expensive model scores Q×20 rows,
-    never the corpus. Rows-only (the reranker is the Python boundary);
-    per-query equality with the single-query rerank loop is pinned in
-    tests/test_batch_retrieval.py."""
+    never the corpus. Fully oracle-checked since r6 (the stub is pure
+    arithmetic — the Arrow boundary's scores are recomputed by SQL per
+    branch); per-query equality with the single-query rerank loop is
+    pinned in tests/test_batch_retrieval.py."""
     docs = _t(spark, sf_dir, "documents")
     embs = _t(spark, sf_dir, "embeddings")
     queries = spark.createDataFrame(
