@@ -62,7 +62,11 @@ _MUST_GRADE = {
     "text_ppl_buckets", "events_value_percentiles",
     "dedup_exact_stats", "dedup_jaccard_pairs", "dedup_cosine_pairs",
     "streaming_dedup_events", "streaming_hourly_counts",
-    "streaming_session_windows",
+    # r6 (r5 verdict task #3): streaming_session_windows rotated out —
+    # it shares its batch session_window oracle with the graded
+    # events_session_window (duplicate slot; still oracle-checked by
+    # this file's parity sweep) — for the learned-rotation search.
+    "rotation_rescore_topk",
 }
 
 
