@@ -61,7 +61,6 @@ def test_rows_only_set_is_intentional():
         "pq_codebook_drift",
         "pq_refit_lifecycle",
         "rag_chunk_maxp",
-        "rag_full_pipeline",
         "streaming_stateful_user_counts",
         "text_bm25_index_build",
         "text_compression_quality",

@@ -4094,13 +4094,29 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.frame_sample(media.synthesize_media_table(docs), every_n=8)
 
 
-@register("rag_full_pipeline")
+@register(
+    "rag_full_pipeline",
+    # r6: the whole POST /search dataflow gains a DuckDB oracle — the
+    # query embedding is a driver-side literal (compute-once V1), the
+    # prompt assembly is the already-oracle-backed rag_prompt SQL, and
+    # the ONLY in-plan UDF (the LLM seam) runs the md5-expressible
+    # summarize_stub, so SQL replays even the Arrow boundary:
+    # summary = trim('[stub-summary ' || substr(md5(prompt),1,12) || ']').
+    f"""
+    SELECT length(prompt)::INTEGER AS prompt_len,
+           trim('[stub-summary ' || substr(md5(prompt), 1, 12) || ']')
+             AS summary,
+           n_docs
+    FROM ({ORACLES["rag_prompt"]}) p
+    """,
+)
 def q_rag_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete POST /search dataflow as one plan (app.py:103-171):
     embed (stub) → exact KNN top-5 → top-3 context → Russian prompt →
-    LLM UDF (stub) → stripped summary. Rows-only: the LLM seam is a
-    pandas UDF; its deterministic stub is golden-tested byte-exactly in
-    tests/test_golden_rag.py."""
+    LLM UDF (stub) → stripped summary. Fully oracle-checked since r6
+    (the LLM stub is pure md5 arithmetic, so DuckDB recomputes the
+    pandas-UDF seam exactly); the stub is also golden-tested
+    byte-exactly in tests/test_golden_rag.py."""
     out = rag.search_with_summary(spark, sf_dir, FLAGSHIP_QUERY, k=5)
     return out.select(
         F.length("prompt").alias("prompt_len"), "summary", "n_docs"
@@ -5488,7 +5504,13 @@ _GRADE_FIRST = [
     "quant_hamming_topk",
     # RAG pipeline
     "rag_context_top3",
-    "rag_prompt",
+    # r6 rotation: rag_prompt out, rag_full_pipeline in — the full
+    # POST /search dataflow gained an oracle this round, and its
+    # summary column is trim('[stub-summary ' || substr(md5(prompt),
+    # 1,12) || ']'), so grading it checks the prompt BYTES (md5
+    # equality) plus the LLM seam and length in one slot; rag_prompt
+    # stays oracle-checked in tests/test_oracle_parity.
+    "rag_full_pipeline",
     "rag_envelope_json",
     "health",
     "metadata_struct_json",
