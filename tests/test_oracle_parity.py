@@ -61,12 +61,19 @@ _MUST_GRADE = {
     "events_asof_purchase_click", "events_session_window",
     "text_ppl_buckets", "events_value_percentiles",
     "dedup_exact_stats", "dedup_jaccard_pairs", "dedup_cosine_pairs",
-    "streaming_dedup_events", "streaming_hourly_counts",
+    "streaming_hourly_counts",
     # r6 (r5 verdict task #3): streaming_session_windows rotated out —
     # it shares its batch session_window oracle with the graded
     # events_session_window (duplicate slot; still oracle-checked by
     # this file's parity sweep) — for the learned-rotation search.
     "rotation_rescore_topk",
+    # r7 (r6 verdict tasks #1/#7): knn_top5_filtered (strict subset of
+    # knn_top5_full + predicate), streaming_dedup_events (composition
+    # of dedup_exact_stats + streaming_hourly_counts) and
+    # rag_context_top3 (byte-pinned via rag_full_pipeline's prompt md5)
+    # rotated out — all stay oracle-checked by this file's parity
+    # sweep — for the pinned ANN serving rows and the rerank stack.
+    "ann_ivf_fixed", "ann_lsh_fixed", "retrieval_reranked_top5",
 }
 
 

@@ -5488,7 +5488,15 @@ _GRADE_FIRST = [
     "hybrid_rrf_top5",
     "knn_top5_by_metric",
     "knn_top5_full",
-    "knn_top5_filtered",
+    # r7 rotation (r6 verdict task #1): knn_top5_filtered out — it is a
+    # strict subset of knn_top5_full + a pushed predicate (its filter
+    # surface stays graded through the pushed-filter relational rows and
+    # it stays oracle-checked in tests/test_oracle_parity). In its place
+    # the pinned-centroid IVF probe row: V4 — the reference's own
+    # disabled index path (app.py:37) — gets a DIRECT graded row after
+    # six rounds of transitive coverage (assignment, probe ranking,
+    # nprobe cut and exact rescore all recomputed by DuckDB).
+    "ann_ivf_fixed",
     "batch_knn_cosine",
     # r3 verdict #4: batch_knn_cosine_gemm shares batch_knn_cosine's
     # oracle (a duplicate check burning a graded slot) — rotated out for
@@ -5503,7 +5511,14 @@ _GRADE_FIRST = [
     "pq_adc_fixed",
     "quant_hamming_topk",
     # RAG pipeline
-    "rag_context_top3",
+    # r7 rotation (r6 verdict task #7): rag_context_top3 out — its
+    # surface (top-3 truncation, drop-score projection, ordered \n\n
+    # string-agg) is byte-pinned by the graded rag_full_pipeline, whose
+    # oracle md5-hashes the PROMPT the context assembly feeds; it stays
+    # oracle-checked in tests/test_oracle_parity. In its place the
+    # retrieve→rerank stack: the cross-encoder seam (determinized in r6
+    # to pure md5 arithmetic DuckDB replays) gets a direct graded row.
+    "retrieval_reranked_top5",
     # r6 rotation: rag_prompt out, rag_full_pipeline in — the full
     # POST /search dataflow gained an oracle this round, and its
     # summary column is trim('[stub-summary ' || substr(md5(prompt),
@@ -5594,7 +5609,16 @@ _GRADE_FIRST = [
     # gate/dedup/split in one slot; mix stays oracle-checked in pytest.
     "corpus_pipeline_funnel",
     # streaming
-    "streaming_dedup_events",
+    # r7 rotation (r6 verdict task #1): streaming_dedup_events out —
+    # its surface is the composition of the graded dedup_exact_stats
+    # (hash-keyed dedup) and streaming_hourly_counts (file-source
+    # incremental execution), and it stays oracle-checked in
+    # tests/test_oracle_parity plus rows-pinned by the streaming
+    # equality tests. In its place the pinned-hyperplane LSH row: the
+    # sign-code bucketing primitive every LSH surface builds on gets a
+    # direct graded row (code fold, Hamming<=1 multi-probe and exact
+    # rescore all recomputed by DuckDB).
+    "ann_lsh_fixed",
     "streaming_hourly_counts",
     # r6 rotation (r5 verdict task #3): streaming_session_windows out —
     # it is checked against the SAME batch session_window SQL oracle as
