@@ -196,7 +196,6 @@ def bm25_scores(
     convention."""
     if stopwords or stem:
         terms = analyze_terms(terms, stopwords=stopwords, stem=stem)
-        tl = F.array(*[F.lit(t) for t in terms])
         base = docs.select(
             F.col(id_col),
             analyzed_tokens(text_col, stopwords=stopwords, stem=stem).alias("_toks"),
@@ -209,7 +208,7 @@ def bm25_scores(
             F.col(id_col),
             F.size(F.col("_toks")).alias("_dl"),
             F.explode(F.col("_toks")).alias("_t"),
-        ).filter(F.array_contains(tl, F.col("_t")))
+        ).filter(F.col("_t").isin(list(terms)))
         tf = tok.groupBy(id_col, "_dl", "_t").agg(F.count(F.lit(1)).alias("_tf"))
         df_t = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
         scored = (
@@ -232,7 +231,6 @@ def bm25_scores(
         )
         return scored.groupBy(id_col).agg(F.sum("_s").alias("bm25"))
     terms = [t.lower() for t in terms]
-    tl = F.array(*[F.lit(t) for t in terms])
     stats = docs.agg(
         F.count(F.lit(1)).alias("_n"),
         F.avg(token_count(text_col)).alias("_avgdl"),
@@ -241,7 +239,7 @@ def bm25_scores(
         F.col(id_col),
         token_count(text_col).alias("_dl"),
         F.explode(tokens(text_col)).alias("_t"),
-    ).withColumn("_t", F.lower(F.col("_t"))).filter(F.array_contains(tl, F.col("_t")))
+    ).withColumn("_t", F.lower(F.col("_t"))).filter(F.col("_t").isin(list(terms)))
     tf = tok.groupBy(id_col, "_dl", "_t").agg(F.count(F.lit(1)).alias("_tf"))
     df_t = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     scored = (
@@ -374,9 +372,21 @@ def _collect_query_terms(
     query_text_col: str,
     stopwords: Sequence[str] | None = None,
     stem: bool = False,
+    qtexts: Sequence[tuple] | None = None,
 ) -> list[tuple]:
-    """Driver-side (query_id, analyzed-terms) snapshot of the batch."""
-    rows = queries.select(query_id_col, query_text_col).collect()
+    """Driver-side (query_id, analyzed-terms) snapshot of the batch.
+
+    ``qtexts`` — optional (query_id, raw_text) pairs for batches the
+    driver already holds (a serving tier's request batch IS driver
+    data): skips the ``queries.collect()`` round trip, whose fixed job
+    latency otherwise dominates an indexed probe. Must agree with the
+    ``queries`` relation; the analyzer still runs here so the terms
+    can never diverge from the collected path."""
+    rows = (
+        list(qtexts)
+        if qtexts is not None
+        else queries.select(query_id_col, query_text_col).collect()
+    )
     out = []
     for r in rows:
         terms = query_terms(r[1] or "")
@@ -397,6 +407,7 @@ def bm25_batch_scores(
     query_text_col: str = "query_text",
     stopwords: Sequence[str] | None = None,
     stem: bool = False,
+    qtexts: Sequence[tuple] | None = None,
 ) -> DataFrame:
     """(query_id, id, bm25) for every (query, doc) pair sharing ≥1 term.
 
@@ -410,7 +421,8 @@ def bm25_batch_scores(
     from pyspark.sql.types import StringType, StructField, StructType
 
     qterms = _collect_query_terms(
-        queries, query_id_col, query_text_col, stopwords=stopwords, stem=stem
+        queries, query_id_col, query_text_col, stopwords=stopwords, stem=stem,
+        qtexts=qtexts,
     )
     union_terms = sorted({t for _, ts in qterms for t in ts})
     spark = queries.sparkSession
@@ -429,7 +441,8 @@ def bm25_batch_scores(
             query_id_col, F.lit(None).cast("long").alias(id_col),
             F.lit(0.0).alias("bm25"),
         ).limit(0)
-    tl = F.array(*[F.lit(t) for t in union_terms])
+    # isin, not array_contains, for the pushed-token filter (see
+    # Bm25Index._scores for the pushdown rationale)
     if stopwords or stem:
         base = docs.select(
             F.col(id_col),
@@ -443,7 +456,7 @@ def bm25_batch_scores(
             F.col(id_col),
             F.size(F.col("_toks")).alias("_dl"),
             F.explode(F.col("_toks")).alias("_t"),
-        ).filter(F.array_contains(tl, F.col("_t")))
+        ).filter(F.col("_t").isin(union_terms))
     else:
         stats = docs.agg(
             F.count(F.lit(1)).alias("_n"),
@@ -456,7 +469,7 @@ def bm25_batch_scores(
                 F.explode(tokens(text_col)).alias("_t"),
             )
             .withColumn("_t", F.lower(F.col("_t")))
-            .filter(F.array_contains(tl, F.col("_t")))
+            .filter(F.col("_t").isin(union_terms))
         )
     tf = tok.groupBy(id_col, "_dl", "_t").agg(F.count(F.lit(1)).alias("_tf"))
     df_t = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
@@ -532,6 +545,7 @@ def hybrid_rrf_batch_topk(
     stopwords: Sequence[str] | None = None,
     stem: bool = False,
     bm25_index=None,
+    qtexts: Sequence[tuple] | None = None,
 ) -> DataFrame:
     """Batched hybrid retrieval: every query's BM25 top-``pool`` and
     vector top-``pool`` fused by RRF, per query, in ONE pass per system
@@ -554,13 +568,14 @@ def hybrid_rrf_batch_topk(
         lex = bm25_index_batch_topk(
             bm25_index, queries, k=pool, query_id_col=query_id_col,
             query_text_col=query_text_col, stopwords=stopwords, stem=stem,
+            qtexts=qtexts,
         )
         doc_id_col = bm25_index.id_col
     else:
         lex = bm25_batch_topk(
             docs, queries, k=pool, text_col=text_col, id_col=doc_id_col,
             query_id_col=query_id_col, query_text_col=query_text_col,
-            stopwords=stopwords, stem=stem,
+            stopwords=stopwords, stem=stem, qtexts=qtexts,
         )
     # the per-query rank was computed over UNROUNDED bm25 inside
     # bm25_batch_topk — reuse it so ties past 6 dp rank exactly as the
@@ -701,8 +716,12 @@ class Bm25Index:
             return self.postings.select(
                 F.col(self.id_col), F.lit(0.0).alias("bm25")
             ).limit(0)
-        tl = F.array(*[F.lit(t) for t in terms])
-        p = self.postings.filter(F.array_contains(tl, F.col("term")))
+        # isin (Catalyst In/InSet), not array_contains: same semantics on
+        # the non-null term column, but it reaches parquet as a pushed
+        # filter — against the term-SORTED store layout
+        # (write_bm25_postings) the probe prunes to the matching row
+        # groups instead of decoding every posting
+        p = self.postings.filter(F.col("term").isin(list(terms)))
         scored = p.select(
             F.col(self.id_col),
             (
@@ -835,6 +854,7 @@ def bm25_index_batch_topk(
     query_text_col: str = "query_text",
     stopwords: Sequence[str] | None = None,
     stem: bool = False,
+    qtexts: Sequence[tuple] | None = None,
 ) -> DataFrame:
     """Batched probe against the inverted index: one postings filter on
     the union of all queries' terms, per-term scores from the stored
@@ -844,12 +864,14 @@ def bm25_index_batch_topk(
 
     NOTE: ``stopwords``/``stem`` analyze the QUERY terms only and must
     match the analyzer the index was BUILT with (the corpus side was
-    analyzed at build time)."""
+    analyzed at build time). ``qtexts`` — optional driver-held
+    (query_id, raw_text) pairs, see :func:`_collect_query_terms`."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     id_col = index.id_col
     qterms = _collect_query_terms(
-        queries, query_id_col, query_text_col, stopwords=stopwords, stem=stem
+        queries, query_id_col, query_text_col, stopwords=stopwords, stem=stem,
+        qtexts=qtexts,
     )
     union_terms = sorted({t for _, ts in qterms for t in ts})
     spark = queries.sparkSession
@@ -867,9 +889,10 @@ def bm25_index_batch_topk(
             query_id_col, F.lit(None).cast("long").alias(id_col),
             F.lit(0.0).alias("bm25"), F.lit(0).alias("rank"),
         ).limit(0)
-    tl = F.array(*[F.lit(t) for t in union_terms])
+    # isin, not array_contains: pushes down to the term-sorted parquet
+    # store (see Bm25Index._scores)
     contrib = index.postings.filter(
-        F.array_contains(tl, F.col("term"))
+        F.col("term").isin(union_terms)
     ).select(
         "term",
         F.col(id_col),

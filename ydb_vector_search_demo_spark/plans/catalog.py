@@ -2590,7 +2590,11 @@ def q_retrieval_reranked_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, q, v) for i, (q, v) in enumerate(zip(BATCH_QUERIES, BATCH_QVS))],
         "query_id long, query_text string, query_vec array<double>",
     )
-    pool = R.hybrid_rrf_batch_topk(docs, embs, queries, k=20, pool=20)
+    pool = R.hybrid_rrf_batch_topk(
+        docs, embs, queries, k=20, pool=20,
+        bm25_index=R.get_or_build_bm25_index(docs, cache_key=sf_dir),
+        qtexts=list(enumerate(BATCH_QUERIES)),
+    )
     with_text = pool.join(docs.select("doc_id", "text"), on="doc_id")
     out = R.rerank_batch(with_text, queries, k=5)
     return out.select(
@@ -2645,14 +2649,26 @@ def q_hybrid_batch_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Partial WindowGroupLimit cut), fused per query by RRF — the
     reference's search (app.py:117-138) + lexical recall at
     training-pipeline volume. Fully oracle-checked; per-query rows
-    equal the single-query hybrid loop (equality-tested in pytest)."""
+    equal the single-query hybrid loop (equality-tested in pytest).
+
+    r7 (r6 verdict task #4): the lexical side is served from the
+    session-cached BM25 inverted index (get_or_build_bm25_index — the
+    build is priced separately by text_bm25_index_build, exactly like
+    ann_ivf_build/ann_ivf_recall), so a probe filters the postings to
+    the batch's union of terms instead of re-tokenizing the corpus per
+    call; bm25_index_batch_topk is row-identical to the direct-scan
+    path (equality-tested), so the oracle is unchanged."""
     docs = _t(spark, sf_dir, "documents")
     embs = _t(spark, sf_dir, "embeddings")
     queries = spark.createDataFrame(
         [(i, q, v) for i, (q, v) in enumerate(zip(BATCH_QUERIES, BATCH_QVS))],
         "query_id long, query_text string, query_vec array<double>",
     )
-    out = R.hybrid_rrf_batch_topk(docs, embs, queries, k=5, pool=20)
+    idx = R.get_or_build_bm25_index(docs, cache_key=sf_dir)
+    out = R.hybrid_rrf_batch_topk(
+        docs, embs, queries, k=5, pool=20, bm25_index=idx,
+        qtexts=list(enumerate(BATCH_QUERIES)),
+    )
     return out.select(
         "query_id", "doc_id", "rrf",
         F.col("lex_rank").cast("int").alias("lex_rank"),
