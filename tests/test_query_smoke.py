@@ -39,6 +39,7 @@ def test_rows_only_set_is_intentional():
         "ann_knn_graph_refined",
         "ann_lsh_top5",
         "ann_mutual_knn_multiprobe",
+        "ann_opq_recall",
         "ann_pca_recall",
         "ann_pq_recall",
         "ann_quantized_recall",

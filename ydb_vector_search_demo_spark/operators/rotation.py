@@ -42,21 +42,17 @@ from ydb_vector_search_demo_spark.operators.knn import knn_scores
 Rotation = list[list[float]]
 
 
-def fit_pca_rotation(
+def _pca_eig(
     embeddings: DataFrame,
-    sample: int = 8192,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vector_col: str = "embedding",
-) -> Rotation:
-    """Fit the variance-descending orthonormal basis on a deterministic
-    sample: rows ranked by a seeded md5 of their id (the same
-    partitioning-independent draw as ``curation.stratified_sample``),
-    covariance of the mean-centered sample, ``eigh``, eigenvectors
-    sorted by descending eigenvalue and sign-normalized (the
-    largest-|component| coordinate is made positive) so the fit is
-    bit-reproducible across runs and partitionings. Returns R as a list
-    of d rows; ``rotated[i] = <R[i], x>``."""
+    sample: int,
+    seed: int,
+    id_col: str,
+    vector_col: str,
+) -> tuple[list[float], Rotation]:
+    """Shared fit core: (variance-descending eigenvalues, matching
+    sign-normalized eigenvector rows) from the deterministic seeded
+    sample — see :func:`fit_pca_rotation` for the determinism
+    contract."""
     import numpy as np
 
     rows = (
@@ -78,7 +74,73 @@ def fit_pca_rotation(
         j = int(np.argmax(np.abs(R[i])))
         if R[i, j] < 0:
             R[i] = -R[i]
-    return [[float(v) for v in row] for row in R]
+    return (
+        [float(vals[i]) for i in order],
+        [[float(v) for v in row] for row in R],
+    )
+
+
+def fit_pca_rotation(
+    embeddings: DataFrame,
+    sample: int = 8192,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> Rotation:
+    """Fit the variance-descending orthonormal basis on a deterministic
+    sample: rows ranked by a seeded md5 of their id (the same
+    partitioning-independent draw as ``curation.stratified_sample``),
+    covariance of the mean-centered sample, ``eigh``, eigenvectors
+    sorted by descending eigenvalue and sign-normalized (the
+    largest-|component| coordinate is made positive) so the fit is
+    bit-reproducible across runs and partitionings. Returns R as a list
+    of d rows; ``rotated[i] = <R[i], x>``."""
+    return _pca_eig(embeddings, sample, seed, id_col, vector_col)[1]
+
+
+def fit_opq_rotation(
+    embeddings: DataFrame,
+    m: int,
+    sample: int = 8192,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> Rotation:
+    """Parametric OPQ basis (Ge, He, Ke, Sun 2013 §5, "OPQ-P"): the
+    PCA eigenbasis with its components PERMUTED by greedy eigenvalue
+    allocation so each of the ``m`` PQ subspaces receives (nearly)
+    equal variance PRODUCT — descending eigenvalues assigned one at a
+    time to the non-full bucket with the smallest log-variance sum.
+
+    Rationale: a raw variance-descending order (``fit_pca_rotation``)
+    is optimal for a d'-PREFIX cut but adversarial for PQ — it piles
+    all the variance into subspace 0, whose k* centroids then carry
+    the entire quantization burden while the tail subspaces quantize
+    noise. Balancing the per-subspace variance products minimizes the
+    (independence-assumption) bound on total reconstruction error,
+    which is exactly the quantity PQ's per-subspace KMeans minimizes.
+    A row permutation of an orthonormal matrix is orthonormal, so all
+    the rotation-invariance laws (L2/dot/norm preserved; exact rescore
+    unaffected) hold unchanged. Same sampled-fit determinism contract
+    as :func:`fit_pca_rotation`."""
+    import math
+
+    vals, R = _pca_eig(embeddings, sample, seed, id_col, vector_col)
+    dim = len(R)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    cap = dim // m
+    floor = 1e-12 * (max(vals) if vals and max(vals) > 0 else 1.0)
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    logsum = [0.0] * m
+    for i, lam in enumerate(vals):  # already variance-descending
+        j = min(
+            (b for b in range(m) if len(buckets[b]) < cap),
+            key=lambda b: (logsum[b], b),
+        )
+        buckets[j].append(i)
+        logsum[j] += math.log(max(float(lam), floor))
+    return [R[i] for b in buckets for i in b]
 
 
 def hadamard_rotation(dim: int) -> Rotation:

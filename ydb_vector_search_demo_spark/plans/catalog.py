@@ -3943,6 +3943,124 @@ def q_pq_adc_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# OPQ determinization (r6 verdict task #2): the pq_adc_fixed trick with
+# the rotation seam IN the loop — a pinned Hadamard basis (every entry
+# ±1/8, exactly representable) rotates the vectors before encode, the
+# codebooks are fixed literals in the ROTATED space, and the ADC LUT is
+# built from the rotated query. DuckDB replays rotation → encode → ADC
+# end to end from the raw floats; the trained variant (ann_opq_recall)
+# stays rows-only beside it.
+def _opq_fixed_parts():
+    from ydb_vector_search_demo_spark.operators import rotation as _rot
+
+    H = _rot.hadamard_rotation(64)
+    qrot = _rot.rotate_vector(QV, H)  # full precision, shared verbatim
+    books = [
+        [
+            [
+                round(qrot[(j * 16 + i) % 64] * (c + 1) - 0.05 * c, 6)
+                for i in range(16)
+            ]
+            for c in range(4)
+        ]
+        for j in range(4)
+    ]
+    return H, qrot, books
+
+
+_OPQ_H, _OPQ_QROT, _OPQ_FIXED_BOOKS = _opq_fixed_parts()
+
+
+def _pq_opq_fixed_oracle_sql() -> str:
+    def dlist(xs):
+        return "[" + ",".join(repr(float(x)) for x in xs) + "]"
+
+    ips = ",\n             ".join(
+        f"list_inner_product(v, {_vec_sql(row)})" for row in _OPQ_H
+    )
+    code_exprs, adc_terms = [], []
+    for j, book in enumerate(_OPQ_FIXED_BOOKS):
+        sub = f"r[{j * 16 + 1}:{j * 16 + 16}]"
+        books_sql = "[" + ",".join(dlist(c) for c in book) + "]"
+        dists = (
+            f"list_transform({books_sql}, c -> list_sum("
+            f"list_transform(list_zip({sub}, c), p -> (p[1]-p[2])*(p[1]-p[2]))))"
+        )
+        code_exprs.append(
+            f"list_position({dists}, list_min({dists}))::INTEGER AS code_{j}"
+        )
+        # euclidean ADC LUT for the ROTATED fixed query — computed here
+        # in Python and inlined, the exact floats pq.adc_lut produces
+        qsub = _OPQ_QROT[j * 16 : j * 16 + 16]
+        lut = [sum((a - b) ** 2 for a, b in zip(qsub, c)) for c in book]
+        adc_terms.append(f"({dlist(lut)})[code_{j}]")
+    return f"""
+    WITH rotated AS (
+      SELECT vec_id, [{ips}] AS r
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    ), coded AS (
+      SELECT vec_id, {", ".join(code_exprs)} FROM rotated
+    )
+    SELECT vec_id, code_0, code_1, code_2, code_3,
+           round({" + ".join(adc_terms)}, 6) AS adc_score
+    FROM coded ORDER BY vec_id
+    """
+
+
+@register("pq_opq_fixed", _pq_opq_fixed_oracle_sql())
+def q_pq_opq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ encode + ADC (operators.pq with ``rotation=``) against a
+    full DuckDB oracle: the pinned Hadamard basis rotates each vector
+    in-plan (rotation.rotate_expr through pq.encode_expr's rotation
+    seam), the nearest-centroid code per ROTATED subspace and the
+    rotated-query ADC lookup-sum are recomputed independently by
+    DuckDB from the raw floats. Pins the exact composition OPQ adds
+    over pq_adc_fixed: rotate → slice → encode → rotated-LUT ADC.
+    Codes 1-based to match SQL list_position."""
+    from ydb_vector_search_demo_spark.operators import pq
+
+    embs = _t(spark, sf_dir, "embeddings")
+    codes = pq.encode_expr("embedding", _OPQ_FIXED_BOOKS, rotation=_OPQ_H)
+    lut = pq.adc_lut(_OPQ_QROT, _OPQ_FIXED_BOOKS, "euclidean")
+    return (
+        embs.select(
+            "vec_id",
+            codes.alias("_codes"),
+            F.round(
+                pq.adc_score("_codes", lut, "euclidean", _OPQ_QROT), 6
+            ).alias("adc_score"),
+        )
+        .select(
+            "vec_id",
+            *[
+                (F.element_at("_codes", j + 1).cast("int") + 1).alias(f"code_{j}")
+                for j in range(4)
+            ],
+            "adc_score",
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register("ann_opq_recall")
+def q_ann_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain PQ vs OPQ (operators.pq.opq_recall): the learned
+    eigenvalue-allocated rotation (rotation.fit_opq_rotation, Ge et
+    al. 2013 parametric OPQ) composed with the standard PQ
+    train/encode/ADC path via the ``rotation=`` seam — one row per
+    variant with the quantization MSE each basis achieves (the OPQ
+    objective) and coarse/rescored recall@10 vs exact. Rows-only
+    (MLlib KMeans + eigh fits); the composition's arithmetic is
+    oracle-pinned by pq_opq_fixed."""
+    from ydb_vector_search_demo_spark.operators import pq
+
+    return pq.opq_recall(
+        spark, _t(spark, sf_dir, "embeddings"), QV,
+        dim=len(QV), m=8, k_star=32, k=10, rescore=8,
+        fit_sample_fraction=0.5, sample=2048,
+    )
+
+
 @register("ann_pq_recall")
 def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization end-to-end (operators.pq): m=8 KMeans
