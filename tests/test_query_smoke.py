@@ -45,7 +45,6 @@ def test_rows_only_set_is_intentional():
         "ann_quantized_recall",
         "ann_tree_recall",
         "dedup_clusters_lsh",
-        "dedup_cosine_bucketed",
         "dedup_minhash_lsh",
         "dedup_semantic_incremental_stats",
         "dedup_semantic_stats",
@@ -53,7 +52,6 @@ def test_rows_only_set_is_intentional():
         "events_approx_distinct",
         "events_zorder_skip_report",
         "ingest_embed_roundtrip",
-        "mrl_recall_report",
         "multimodal_decode_meta",
         "multimodal_embedding",
         "multimodal_frame_sample",
@@ -63,7 +61,6 @@ def test_rows_only_set_is_intentional():
         "pq_refit_lifecycle",
         "rag_chunk_maxp",
         "streaming_stateful_user_counts",
-        "text_bm25_index_build",
         "text_compression_quality",
         "text_tfidf_top_terms",
     ], f"unexpected rows-only queries: {ROWS_ONLY}"
