@@ -235,3 +235,82 @@ def test_pca_batch_plan_shape(spark, sf_oracle, qdf):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "WindowGroupLimit" in plan
+
+
+# ------------------------------------------------------ basis drift (r7)
+
+
+def test_captured_energy_fraction_full_width_is_one(spark, sf_oracle):
+    """Law: any orthonormal basis captures the full energy at d' = d
+    (‖Rx‖ = ‖x‖), and a d'-prefix captures at most that."""
+    embs = load_table(spark, sf_oracle, "embeddings")
+    H = R.hadamard_rotation(64)
+    assert R.captured_energy_fraction(embs, H, dims=64) == pytest.approx(1.0, abs=1e-9)
+    part = R.captured_energy_fraction(embs, H, dims=16)
+    assert 0.0 < part < 1.0
+
+
+def test_rotation_drift_planted_shift_detection_and_refit(spark, sf_oracle, tmp_path):
+    """The full maintenance loop on the FITTED PCA basis: an
+    in-distribution batch passes the gate; a batch with energy pumped
+    into a tail basis direction trips it; refit_rotation returns a
+    fresh basis whose prefix re-captures the shifted direction (post
+    ratio healthy — loop observably closed)."""
+    import pyspark.sql.functions as F
+
+    embs = load_table(spark, sf_oracle, "embeddings")
+    basis = R.fit_pca_rotation(embs, sample=256)
+    base = R.captured_energy_fraction(embs, basis, dims=16)
+    healthy = R.rotation_drift_report(
+        spark, embs.filter(F.col("vec_id") % 3 == 0), basis, base, dims=16
+    ).collect()[0]
+    assert not healthy.refit_recommended
+    assert healthy.capture_ratio == pytest.approx(1.0, abs=0.2)
+    # plant the shift along the basis's LAST component — orthogonal to
+    # the 16-prefix by construction, so captured energy collapses
+    tail = basis[-1]
+    drifted = embs.select(
+        "vec_id",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.lit(tail),
+            lambda x, h: x + (F.col("vec_id") % 5).cast("double") * F.lit(2.0) * h,
+        ).alias("embedding"),
+    )
+    tripped = R.rotation_drift_report(
+        spark, drifted, basis, base, dims=16
+    ).collect()[0]
+    assert tripped.refit_recommended
+    assert tripped.capture_ratio < 0.5
+    # drift_batch gate (the pq.refit_pq contract): healthy merged
+    # corpus, drifted batch — gating on the batch recommends the refit
+    merged = embs.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(drifted)
+    assert R.refit_rotation(spark, embs, basis, base, dims=16,
+                            drift_batch=embs.limit(50), sample=256) is None
+    out = R.refit_rotation(
+        spark, merged, basis, base, dims=16, drift_batch=drifted, sample=256
+    )
+    assert out is not None
+    new_rot, new_base = out
+    post = R.rotation_drift_report(
+        spark, drifted, new_rot, new_base, dims=16
+    ).collect()[0]
+    assert not post.refit_recommended
+
+
+def test_refit_rotation_opq_variant_returns_allocated_basis(spark, sf_oracle):
+    """m= routes the refit through fit_opq_rotation (the OPQ basis for
+    rotated-PQ stores): forced refit returns an orthonormal basis."""
+    import numpy as np
+
+    embs = load_table(spark, sf_oracle, "embeddings")
+    basis = R.hadamard_rotation(64)
+    base = R.captured_energy_fraction(embs, basis, dims=16)
+    new_rot, new_base = R.refit_rotation(
+        spark, embs, basis, base, dims=16, m=8, force=True, sample=256
+    )
+    Rm = np.array(new_rot)
+    assert np.abs(Rm @ Rm.T - np.eye(64)).max() < 1e-9
+    assert 0.0 < new_base <= 1.0 + 1e-9

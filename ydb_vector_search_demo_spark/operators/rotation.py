@@ -406,6 +406,140 @@ def pca_batch_search_parquet(
     )
 
 
+# ---------------------------------------------------------------------
+# Basis drift maintenance (r6 verdict task #6): the rotation analogue of
+# pq_drift_report / tree_drift_report, completing the drift matrix
+# (cells, codebooks, postings, token distributions, + basis). A fitted
+# basis rots when the data distribution turns: the d'-prefix stops
+# carrying the signal it was fitted to carry, coarse recall quietly
+# decays, and no cell-size or reconstruction metric sees it. The signal
+# here is the PREFIX ENERGY FRACTION — E[‖first-d' rotated coords‖²] /
+# E[‖x‖²], i.e. the share of the corpus's (uncentered) second moment
+# the prefix captures. Energy, not centered variance, deliberately:
+# the denominator is basis-invariant (‖Rx‖ = ‖x‖), both sides are
+# single-pass SCALAR aggregates (no per-coordinate mean vector to
+# shuffle), and a mean shift along tail directions raises tail energy
+# just the same — exactly the failure the gate must catch.
+# ---------------------------------------------------------------------
+
+
+def captured_energy_fraction(
+    batch: DataFrame,
+    rotation: Rotation,
+    dims: int = 16,
+    vector_col: str = "embedding",
+) -> float:
+    """Share of the batch's second moment the d'-prefix of the ROTATED
+    coordinates carries — ONE map-side aggregation (two scalar sums);
+    1.0 at dims = d for any orthonormal basis (tested). Record this at
+    fit time as the baseline :func:`rotation_drift_report` compares
+    appended batches against."""
+    pref = rotate_expr(vector_col, rotation, dims)
+    sq = lambda col: F.aggregate(  # noqa: E731 — tiny local combinator
+        col, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    row = batch.select(
+        F.avg(sq(pref)).alias("p"),
+        F.avg(sq(F.col(vector_col).cast("array<double>"))).alias("t"),
+    ).first()
+    if row["t"] is None or row["t"] == 0.0:
+        return 1.0
+    return float(row["p"]) / float(row["t"])
+
+
+def rotation_drift_report(
+    spark: SparkSession,
+    batch: DataFrame,
+    rotation: Rotation,
+    baseline_captured: float,
+    dims: int = 16,
+    threshold: float = 0.8,
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """One-row basis-drift report for an appended/streamed batch: the
+    batch's prefix energy fraction under the FROZEN basis vs the
+    fit-time baseline. ``capture_ratio < threshold`` (default 0.8 —
+    the prefix lost a fifth of its share) recommends a basis refit +
+    rotated-store rewrite (:func:`refit_rotation`; republish via
+    stores.publish_store like every index artifact) — same contract
+    family as pq.pq_drift_report, with the inequality flipped because
+    here LOW is bad. Cost: one map-side agg over the BATCH only."""
+    cap = captured_energy_fraction(
+        batch, rotation, dims=dims, vector_col=vector_col
+    )
+    n = batch.count()
+    base = float(baseline_captured)
+    ratio = cap / base if base > 0.0 else 1.0
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                int(dims),
+                float(cap),
+                base,
+                float(ratio),
+                float(threshold),
+                bool(ratio < threshold),
+            )
+        ],
+        "n_batch BIGINT, dims INT, captured_fraction DOUBLE, "
+        "baseline_fraction DOUBLE, capture_ratio DOUBLE, threshold DOUBLE, "
+        "refit_recommended BOOLEAN",
+    )
+
+
+def refit_rotation(
+    spark: SparkSession,
+    vectors: DataFrame,
+    rotation: Rotation,
+    baseline_captured: float,
+    dims: int = 16,
+    m: int | None = None,
+    threshold: float = 0.8,
+    force: bool = False,
+    drift_batch: DataFrame | None = None,
+    sample: int = 8192,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> tuple[Rotation, float] | None:
+    """Threshold-triggered basis refit — the rotation twin of
+    pq.refit_pq, including its ``drift_batch`` gate contract: the gate
+    runs on ``drift_batch`` when given (so a badly-drifted small batch
+    is not diluted below threshold by a large healthy corpus), else on
+    ``vectors``. Healthy → returns None, nothing refit. Drifted (or
+    ``force``) → fit a fresh basis on ``vectors`` (corpus ∪ appended
+    batches) — :func:`fit_opq_rotation` when ``m`` is given, else
+    :func:`fit_pca_rotation` — and return (new_rotation,
+    new_baseline_captured). The caller rewrites the rotated-prefix
+    store with the new basis and publishes atomically; a frozen-basis
+    store and its rotation version MUST travel together (prefixes
+    rotated under the wrong generation's basis are silent garbage —
+    the pq codes-vs-books argument verbatim)."""
+    if not force:
+        gate = drift_batch if drift_batch is not None else vectors
+        report = rotation_drift_report(
+            spark, gate, rotation, baseline_captured, dims=dims,
+            threshold=threshold, vector_col=vector_col,
+        ).collect()[0]
+        if not report.refit_recommended:
+            return None
+    if m is not None:
+        new_rot = fit_opq_rotation(
+            vectors, m=m, sample=sample, seed=seed, id_col=id_col,
+            vector_col=vector_col,
+        )
+    else:
+        new_rot = fit_pca_rotation(
+            vectors, sample=sample, seed=seed, id_col=id_col,
+            vector_col=vector_col,
+        )
+    new_base = captured_energy_fraction(
+        vectors, new_rot, dims=dims, vector_col=vector_col
+    )
+    return new_rot, new_base
+
+
 def pca_recall_report(
     spark: SparkSession,
     embeddings: DataFrame,

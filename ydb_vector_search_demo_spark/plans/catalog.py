@@ -5703,6 +5703,93 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rotation_drift_oracle_sql() -> str:
+    """Full DuckDB twin of rotation.rotation_drift_report under the
+    pinned Hadamard basis: prefix energy fraction = avg ‖first-16
+    rotated coords‖² / avg ‖x‖², replayed for the corpus baseline, an
+    in-distribution batch (vec_id % 3) and a planted tail-energy shift
+    (+ (vec_id % 5)·2·H₄₈ — orthogonal to every prefix row, so the
+    prefix energy is untouched while the total energy balloons: the
+    exact failure mode the gate exists for)."""
+    from ydb_vector_search_demo_spark.operators import rotation as _rot
+
+    H = _rot.hadamard_rotation(64)
+    ips = "[" + ", ".join(
+        f"list_inner_product(v, {_vec_sql(r)})" for r in H[:16]
+    ) + "]"
+    cap = (
+        f"avg(list_sum(list_transform({ips}, y -> y*y)))"
+        " / avg(list_sum(list_transform(v, x -> x*x)))"
+    )
+    h48 = _vec_sql(H[48])
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b1 AS (SELECT vec_id, v FROM base WHERE vec_id % 3 = 0),
+    b2 AS (SELECT vec_id,
+                  list_transform(list_zip(v, {h48}),
+                    p -> p[1] + (vec_id % 5) * 2.0 * p[2]) AS v
+           FROM base),
+    c0 AS (SELECT {cap} AS f FROM base),
+    c1 AS (SELECT count(*) AS n, {cap} AS f FROM b1),
+    c2 AS (SELECT count(*) AS n, {cap} AS f FROM b2)
+    SELECT '1_in_distribution' AS cycle, c1.n AS n_batch, 16 AS dims,
+           round(c1.f, 6) AS captured_fraction,
+           round(c0.f, 6) AS baseline_fraction,
+           round(c1.f / c0.f, 6) AS capture_ratio,
+           (c1.f / c0.f < 0.8) AS refit_recommended
+    FROM c1, c0
+    UNION ALL
+    SELECT '2_planted_shift', c2.n, 16,
+           round(c2.f, 6), round(c0.f, 6), round(c2.f / c0.f, 6),
+           (c2.f / c0.f < 0.8)
+    FROM c2, c0
+    ORDER BY cycle
+    """
+
+
+@register("rotation_drift_report", _rotation_drift_oracle_sql())
+def q_rotation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basis-drift maintenance (operators.rotation.rotation_drift_report
+    — the rotation analogue of pq_codebook_drift, completing the drift
+    matrix: cells, codebooks, postings, token dists, + basis): prefix
+    energy fraction of an appended batch under the FROZEN basis vs the
+    fit-time baseline, ``capture_ratio < 0.8`` gating a refit. Two
+    cycles: an in-distribution batch (ratio ≈ 1, healthy) and a
+    planted shift that pumps energy into a tail basis direction
+    (ratio ≪ 1 → refit recommended). Fully oracle-checked under the
+    pinned Hadamard basis; the FITTED-PCA production path and the
+    refit_rotation loop (incl. the drift_batch gate) are pinned by
+    tests/test_rotation.py."""
+    from ydb_vector_search_demo_spark.operators import rotation as rot_mod
+
+    embs = _t(spark, sf_dir, "embeddings")
+    H = rot_mod.hadamard_rotation(64)
+    base = rot_mod.captured_energy_fraction(embs, H, dims=16)
+    b1 = embs.filter(F.col("vec_id") % 3 == 0)
+    b2 = embs.select(
+        "vec_id",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.lit(H[48]),
+            lambda x, h: x + (F.col("vec_id") % 5).cast("double") * F.lit(2.0) * h,
+        ).alias("embedding"),
+    )
+    r1 = rot_mod.rotation_drift_report(spark, b1, H, base, dims=16)
+    r2 = rot_mod.rotation_drift_report(spark, b2, H, base, dims=16)
+    out = r1.withColumn("cycle", F.lit("1_in_distribution")).unionByName(
+        r2.withColumn("cycle", F.lit("2_planted_shift"))
+    )
+    return out.select(
+        "cycle",
+        "n_batch",
+        "dims",
+        F.round("captured_fraction", 6).alias("captured_fraction"),
+        F.round("baseline_fraction", 6).alias("baseline_fraction"),
+        F.round("capture_ratio", 6).alias("capture_ratio"),
+        "refit_recommended",
+    ).orderBy("cycle")
+
+
 def _rotation_rescore_sql() -> str:
     """DuckDB twin of rotation.pca_prefix_search under the pinned
     Hadamard basis: every matrix entry is ±1/8 (exactly representable),
