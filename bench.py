@@ -89,6 +89,13 @@ HEADLINE = [
     # one rotated coarse scan for the 3-query batch
     "rotation_rescore_topk",
     "rotation_batch_rescore",
+    # round-7 additions (outside the comparable subsets): the pinned
+    # serving twins — two-level tree partition-prune probe, and the
+    # pruned x int8-coarse x exact-rescore composition — both fully
+    # oracle-checked rows, so the benched serving shapes are also
+    # correctness-graded
+    "ann_tree_fixed",
+    "quant_ivf_fixed",
 ]
 
 

@@ -77,6 +77,23 @@ def _maybe_rotated(vector_col: Column | str, rotation) -> Column:
     return rotate_expr(vector_col, rotation)
 
 
+def _with_rotated(
+    df: DataFrame, vector_col: str, rotation, tmp: str = "_opq_rotated"
+) -> tuple[DataFrame, str]:
+    """(df', rotated-column-name): the rotated full-width vector
+    materialized ONCE in its own projection. Subspace consumers
+    (encode_expr, reconstruction_error_expr, the training slices)
+    reference their input m times, and a Column-level rotation would be
+    re-evaluated per slice — CollapseProject deliberately keeps the
+    duplicated expensive expression in a separate Project node, which
+    measured 14× on the sf0.1 encode path. No-op without a rotation."""
+    if rotation is None:
+        return df, vector_col
+    from ydb_vector_search_demo_spark.operators.rotation import rotate_expr
+
+    return df.withColumn(tmp, rotate_expr(vector_col, rotation)), tmp
+
+
 def _maybe_rotate_q(query_vector: Sequence[float], rotation) -> list[float]:
     """Driver-side twin of :func:`_maybe_rotated` for query vectors —
     same multiply-add order as the Column expression (rotation.
@@ -131,7 +148,8 @@ def train_pq_codebooks(
     if k_star > 128:
         raise ValueError(f"k_star {k_star} > 128 does not fit TINYINT codes")
     bounds = subspace_bounds(dim, m)
-    v = _maybe_rotated(vector_col, rotation)
+    vectors, vector_col = _with_rotated(vectors, vector_col, rotation)
+    v = to_double_array(vector_col)
     feats = vectors.select(
         *[
             array_to_vector(F.slice(v, start + 1, length)).alias(f"_sub{j}")
@@ -240,9 +258,10 @@ def pq_encode(
     norm keeps cosine exact up to the reconstructed dot product, and is
     computed on the ORIGINAL vector (a rotation preserves it anyway).
     ``keep_cols`` carries metadata columns for filtered probes."""
-    return vectors.select(
+    rotated, rot_col = _with_rotated(vectors, vector_col, rotation)
+    return rotated.select(
         F.col(id_col),
-        encode_expr(vector_col, codebooks, rotation=rotation).alias(codes_col),
+        encode_expr(rot_col, codebooks).alias(codes_col),
         l2_norm(vector_col).cast("float").alias(norm_col),
         *[F.col(c) for c in keep_cols],
     )
@@ -557,13 +576,14 @@ def ivfpq_encode(
     IVF-PQ store: a probe partition-prunes to nprobe directories and
     scans m bytes + 4 per vector. ``keep_cols`` carries metadata for
     filtered probes."""
-    return index.assigned.select(
+    res = index.assigned.withColumn(
+        "_res", _residual_expr(index.vector_col, index.centroids)
+    )
+    rotated, res_col = _with_rotated(res, "_res", rotation)
+    return rotated.select(
         F.col(index.id_col),
         F.col("centroid_id"),
-        encode_expr(
-            _residual_expr(index.vector_col, index.centroids), codebooks,
-            rotation=rotation,
-        ).alias(codes_col),
+        encode_expr(res_col, codebooks).alias(codes_col),
         l2_norm(index.vector_col).cast("float").alias(norm_col),
         *[F.col(c) for c in keep_cols],
     )
@@ -1053,10 +1073,9 @@ def pq_quantization_mse(
     1-row combine). Record this at build/refit time as the baseline the
     drift report compares appended batches against; the corpus is never
     rescanned afterwards."""
-    row = vectors.select(
-        F.avg(
-            reconstruction_error_expr(vector_col, codebooks, rotation=rotation)
-        ).alias("mse")
+    rotated, rot_col = _with_rotated(vectors, vector_col, rotation)
+    row = rotated.select(
+        F.avg(reconstruction_error_expr(rot_col, codebooks)).alias("mse")
     ).first()
     return float(row["mse"]) if row["mse"] is not None else 0.0
 

@@ -4309,14 +4309,16 @@ def q_pq_opq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ydb_vector_search_demo_spark.operators import pq
 
     embs = _t(spark, sf_dir, "embeddings")
-    codes = pq.encode_expr("embedding", _OPQ_FIXED_BOOKS, rotation=_OPQ_H)
     lut = pq.adc_lut(_OPQ_QROT, _OPQ_FIXED_BOOKS, "euclidean")
+    # pq_encode's rotation seam materializes the rotated vector ONCE
+    # (see pq._with_rotated) — the full ingest-side OPQ path under test
+    enc = pq.pq_encode(embs, _OPQ_FIXED_BOOKS, rotation=_OPQ_H)
     return (
-        embs.select(
+        enc.select(
             "vec_id",
-            codes.alias("_codes"),
+            F.col("pq_codes").alias("_codes"),
             F.round(
-                pq.adc_score("_codes", lut, "euclidean", _OPQ_QROT), 6
+                pq.adc_score("pq_codes", lut, "euclidean", _OPQ_QROT), 6
             ).alias("adc_score"),
         )
         .select(
