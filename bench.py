@@ -96,6 +96,10 @@ HEADLINE = [
     # correctness-graded
     "ann_tree_fixed",
     "quant_ivf_fixed",
+    # the rotated-prefix SERVING split (store build paid in trial 1 via
+    # the session cache; min-of-5 prices the steady-state probe — the
+    # sub-second shape the BASELINE round-7 note refers to)
+    "rotation_store_serve",
 ]
 
 

@@ -228,3 +228,42 @@ def test_refit_pq_threads_rotation_through_gate_and_reencode(spark, corpus, tmp_
         spark, drifted, new_books, new_baseline, rotation=opq
     ).collect()[0]
     assert not post.refit_recommended  # loop observably closed
+
+
+def test_tree_pq_rotation_write_and_probe_equality(spark, corpus, tmp_path):
+    """OPQ on the tree companion layout: rotated-codebook store via
+    write_tree_pq(rotation=), single probe == batch probe per query."""
+    from ydb_vector_search_demo_spark.operators.ann import build_kmeans_tree_index
+
+    index = build_kmeans_tree_index(corpus, k_top=2, k_sub=2, seed=3)
+    opq = rot.fit_opq_rotation(corpus, m=M, sample=240)
+    books = pq.train_pq_codebooks(corpus, DIM, m=M, k_star=8, rotation=opq)
+    path = str(tmp_path / "tree_pq_opq")
+    pq.write_tree_pq(index, books, path, rotation=opq)
+    qvs = [[math.sin(i * 0.3 + s) for i in range(DIM)] for s in range(2)]
+    singles = {
+        qid: [
+            (r["vec_id"], round(r["score"], 9))
+            for r in pq.tree_pq_search_parquet(
+                spark, path, index.centroids_top, index.centroids_sub,
+                books, corpus, qv, k=5, nprobe_top=2, nprobe_sub=1,
+                rescore=4, rotation=opq,
+            ).collect()
+        ]
+        for qid, qv in enumerate(qvs)
+    }
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(qvs)],
+        "query_id BIGINT, query_vec ARRAY<DOUBLE>",
+    )
+    batch = pq.tree_pq_batch_search_parquet(
+        spark, path, index.centroids_top, index.centroids_sub, books,
+        corpus, queries, k=5, nprobe_top=2, nprobe_sub=1, rescore=4,
+        rotation=opq,
+    ).collect()
+    got_b: dict = {}
+    for r in batch:
+        got_b.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["score"], 9))
+        )
+    assert got_b == singles

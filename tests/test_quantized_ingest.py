@@ -370,3 +370,62 @@ def test_stream_ingest_rotated_prefix_companion(spark, embs, ivf, tmp_path):
             stream, ivf.centroids, store, ckpt, mrl_dims=16,
             rotation=rot, rotation_dims=16,
         )
+
+
+def test_stream_ingest_opq_companion_equals_batch_and_serves(
+    spark, embs, ivf, tmp_path
+):
+    """pq_rotation (r7): the streamed PQ companion is OPQ-encoded with
+    a frozen basis — codes equal the batch pq_encode(rotation=) of the
+    same rows, and the streamed-in store serves the rotated companion
+    probe (single == batch, oracle-grade rounding)."""
+    from ydb_vector_search_demo_spark.operators import rotation as rot
+
+    H = rot.hadamard_rotation(DIM)
+    opq_books = pq.train_pq_codebooks(embs, DIM, m=8, k_star=16, rotation=H)
+    src = tmp_path / "drops"
+    src.mkdir()
+    store = str(tmp_path / "opq_store")
+    ckpt = str(tmp_path / "ckpt_opq")
+    embs.write.parquet(str(src / "batch1"))
+    stream = ingest.read_embeddings_stream(spark, str(src) + "/*", dim_hint_df=embs)
+    q = ingest.stream_ivf_ingest(
+        stream, ivf.centroids, store, ckpt,
+        pq_codebooks=opq_books, pq_rotation=H,
+    )
+    q.awaitTermination(120)
+
+    batch = pq.pq_encode(
+        ann.ivf_assign(ivf.centroids, embs), opq_books,
+        keep_cols=("centroid_id",), rotation=H,
+    )
+    got = sorted(
+        (r.vec_id, tuple(r.pq_codes), round(r.vnorm, 5))
+        for r in spark.read.parquet(store).select(
+            "vec_id", "pq_codes", "vnorm"
+        ).collect()
+    )
+    want = sorted(
+        (r.vec_id, tuple(r.pq_codes), round(r.vnorm, 5))
+        for r in batch.select("vec_id", "pq_codes", "vnorm").collect()
+    )
+    assert got == want
+
+    single = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in pq.ivf_pq_companion_search_parquet(
+            spark, store, ivf.centroids, opq_books, embs, QV,
+            k=5, nprobe=2, rescore=4, rotation=H,
+        ).collect()
+    ]
+    queries = spark.createDataFrame(
+        [(0, QV)], "query_id BIGINT, query_vec ARRAY<DOUBLE>"
+    )
+    batch_hits = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in pq.ivf_pq_companion_batch_search_parquet(
+            spark, store, embs, ivf.centroids, opq_books, queries,
+            k=5, nprobe=2, rescore=4, rotation=H,
+        ).collect()
+    ]
+    assert batch_hits == single

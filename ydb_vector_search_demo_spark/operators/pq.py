@@ -413,6 +413,7 @@ def ivf_pq_companion_search_parquet(
     codes_col: str = "pq_codes",
     norm_col: str = "vnorm",
     predicate=None,
+    rotation=None,
 ) -> DataFrame:
     """Coarse ADC search over a centroid-partitioned store carrying
     raw-vector PQ companion columns (the layout ``stream_ivf_ingest``
@@ -420,12 +421,16 @@ def ivf_pq_companion_search_parquet(
     against the global LUT, exact-rescore the top ``rescore·k`` from
     the float relation — ``quant.ivf_quantized_search_parquet``'s
     shape at PQ compression. ``predicate`` applies inside the pruned
-    scan."""
+    scan. ``rotation``: the OPQ basis of an OPQ-encoded companion
+    store (stream_ivf_ingest's ``pq_rotation``) — the global LUT is
+    built from the rotated query; probe ranking and rescore stay in
+    the original basis."""
     from ydb_vector_search_demo_spark.operators.ann import rank_centroids
 
     qv = [float(x) for x in query_vector]
     probes = rank_centroids(centroids, qv, metric)[:nprobe]
-    lut = adc_lut(qv, codebooks, metric)
+    cq = _maybe_rotate_q(qv, rotation)
+    lut = adc_lut(cq, codebooks, metric)
     coarse = (
         _apply_pred(
             spark.read.parquet(store_path).filter(
@@ -435,7 +440,7 @@ def ivf_pq_companion_search_parquet(
         )
         .select(
             F.col(id_col),
-            adc_score(codes_col, lut, metric, qv, norm_col).alias("pq_score"),
+            adc_score(codes_col, lut, metric, cq, norm_col).alias("pq_score"),
         )
         .orderBy(F.col("pq_score").asc_nulls_last(), F.col(id_col).asc())
         .limit(int(rescore) * k)
@@ -455,16 +460,19 @@ def write_tree_pq(
     codes_col: str = "pq_codes",
     norm_col: str = "vnorm",
     keep_cols: tuple = (),
+    rotation=None,
 ) -> None:
     """PQ companion on the two-level tree layout: (id, codes, norm,
     cell_top, cell_sub) partitioned by both cell levels — the tree
     store's first quantized companion (r4 verdict, What's-missing #3).
     ``index`` is an ``ann.KMeansTreeIndex``. ``keep_cols`` carries
-    metadata for filtered probes."""
+    metadata for filtered probes. ``rotation``: OPQ basis for
+    rotated-space codebooks (materialized once per row)."""
+    rotated, rot_col = _with_rotated(index.assigned, index.vector_col, rotation)
     (
-        index.assigned.select(
+        rotated.select(
             F.col(index.id_col),
-            encode_expr(index.vector_col, codebooks).alias(codes_col),
+            encode_expr(rot_col, codebooks).alias(codes_col),
             l2_norm(index.vector_col).cast("float").alias(norm_col),
             F.col("cell_top"),
             F.col("cell_sub"),
@@ -494,24 +502,28 @@ def tree_pq_search_parquet(
     codes_col: str = "pq_codes",
     norm_col: str = "vnorm",
     predicate=None,
+    rotation=None,
 ) -> DataFrame:
     """Coarse ADC search over the tree-partitioned PQ companion store:
     two-level OR-of-AND partition pruning × m-byte codes, global LUT,
     exact rescore — both scan levers multiply, same contract as
     ``quant.tree_quantized_search_parquet`` at PQ compression.
-    ``predicate`` applies inside the pruned scan."""
+    ``predicate`` applies inside the pruned scan; ``rotation`` is the
+    OPQ basis of a rotated-codebook store (LUT from the rotated
+    query, probes/rescore in the original basis)."""
     from ydb_vector_search_demo_spark.operators.ann import _tree_probe_clause
 
     qv = [float(x) for x in query_vector]
     clause = _tree_probe_clause(
         centroids_top, centroids_sub, qv, nprobe_top, nprobe_sub, metric
     )
-    lut = adc_lut(qv, codebooks, metric)
+    cq = _maybe_rotate_q(qv, rotation)
+    lut = adc_lut(cq, codebooks, metric)
     coarse = (
         _apply_pred(spark.read.parquet(store_path).filter(clause), predicate)
         .select(
             F.col(id_col),
-            adc_score(codes_col, lut, metric, qv, norm_col).alias("pq_score"),
+            adc_score(codes_col, lut, metric, cq, norm_col).alias("pq_score"),
         )
         .orderBy(F.col("pq_score").asc_nulls_last(), F.col(id_col).asc())
         .limit(int(rescore) * k)
@@ -1266,6 +1278,7 @@ def tree_pq_batch_search_parquet(
     codes_col: str = "pq_codes",
     norm_col: str = "vnorm",
     predicate=None,
+    rotation=None,
 ) -> DataFrame:
     """Batched ADC probe of the two-level tree PQ store
     (:func:`write_tree_pq`): the whole batch's OR-of-AND union clause
@@ -1292,8 +1305,9 @@ def tree_pq_batch_search_parquet(
     by_top: dict[int, set[int]] = {}
     for r in queries.select(query_id_col, query_vec_col).collect():
         qv = [float(x) for x in r[1]]
-        lut = adc_lut(qv, codebooks, metric)
-        qn = _math.sqrt(sum(x * x for x in qv))
+        cq = _maybe_rotate_q(qv, rotation)
+        lut = adc_lut(cq, codebooks, metric)
+        qn = _math.sqrt(sum(x * x for x in cq))
         for t in rank_centroids(centroids_top, qv, metric)[:nprobe_top]:
             for s in rank_centroids(centroids_sub[t], qv, metric)[:nprobe_sub]:
                 rows.append((r[0], int(t), int(s), qv, lut, qn))
@@ -1356,13 +1370,15 @@ def ivf_pq_companion_batch_search_parquet(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     predicate=None,
+    rotation=None,
 ) -> DataFrame:
     """The batched 100 TB PQ serving composition: union-of-cells
     partition pruning on the PQ companion store × m-byte ADC scoring ×
     broadcast (query_id, cell, LUT) membership fan-out × per-query
     coarse cut × shared batch rescore. Per query row-identical to the
     single-query :func:`ivf_pq_companion_search_parquet` loop at equal
-    nprobe/rescore (equality-tested)."""
+    nprobe/rescore (equality-tested, with and without an OPQ
+    ``rotation``)."""
     from ydb_vector_search_demo_spark.operators.ann import (
         _batch_topk,
         rank_centroids,
@@ -1378,7 +1394,8 @@ def ivf_pq_companion_batch_search_parquet(
     }
     union_cells = sorted({c for cs in probes.values() for c in cs})
     qb = _pq_query_batch_df(
-        queries, codebooks, metric, query_id_col, query_vec_col, extra=probes
+        queries, codebooks, metric, query_id_col, query_vec_col, extra=probes,
+        rotation=rotation,
     )
     pruned = _apply_pred(
         spark.read.parquet(pq_path).filter(

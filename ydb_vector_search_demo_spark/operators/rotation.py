@@ -252,6 +252,45 @@ def write_rotated_store(
     ).write.mode("overwrite").parquet(path)
 
 
+_STORE_CACHE: dict = {}
+
+
+def get_or_write_rotated_store(
+    embeddings: DataFrame,
+    rotation: Rotation,
+    cache_key: str,
+    dims: int = 16,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> str:
+    """Session-scoped rotated-store build cache (the
+    ann.get_or_build_ivf_index / retrieval.get_or_build_bm25_index
+    contract): the rotate-and-persist pass is paid once per
+    (corpus, basis, dims) key under a deterministic /tmp path; probes
+    (:func:`pca_search_parquet` / :func:`pca_batch_search_parquet`)
+    reuse it. This is the SERVING split for the rotation lever — the
+    build is the periodic batch job, the store probe is the steady
+    state that reads d'/d of the float bytes."""
+    import hashlib
+    import tempfile
+
+    key = (cache_key, int(dims), id_col, vector_col)
+    path = _STORE_CACHE.get(key)
+    if path is None:
+        tag = hashlib.md5(repr(key).encode()).hexdigest()[:10]
+        path = f"{tempfile.gettempdir()}/ydbvs_rotated_{tag}"
+        write_rotated_store(
+            embeddings, path, rotation, dims=dims, id_col=id_col,
+            vector_col=vector_col,
+        )
+        _STORE_CACHE[key] = path
+    return path
+
+
+def clear_rotated_store_cache() -> None:
+    _STORE_CACHE.clear()
+
+
 def pca_search_parquet(
     spark: SparkSession,
     prefix_path: str,

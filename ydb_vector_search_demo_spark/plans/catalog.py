@@ -5846,6 +5846,31 @@ def q_rotation_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+@register("rotation_store_serve", _rotation_rescore_sql())
+def q_rotation_store_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rotated-prefix SERVING path (the production shape the
+    BASELINE round-7 note prices): coarse scan over the persisted
+    d'=16 rotated-prefix store (session-cached build via
+    rotation.get_or_write_rotated_store — the build/probe split of
+    ann_ivf_build), exact full-width rescore from the float relation.
+    Row-identical to rotation_rescore_topk (same pinned Hadamard
+    basis), so it shares that row's full DuckDB oracle — grading that
+    the STORE path returns exactly what the inline path returns.
+    SIDE-EFFECT NOTE: writes the store under a deterministic /tmp
+    path, the events_rollup_serve convention."""
+    from ydb_vector_search_demo_spark.operators import rotation as _rot
+
+    embs = _t(spark, sf_dir, "embeddings")
+    rot = _rot.hadamard_rotation(64)
+    path = _rot.get_or_write_rotated_store(
+        embs, rot, cache_key=sf_dir, dims=16
+    )
+    out = _rot.pca_search_parquet(
+        spark, path, embs, rot, QV, dims=16, k=5, rescore=4
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
 def _rotation_batch_branch_sql(i: int, qv: list[float]) -> str:
     """Per-query branch of the batched-rotation oracle: same Hadamard
     arithmetic as _rotation_rescore_sql, replayed for query ``i`` —

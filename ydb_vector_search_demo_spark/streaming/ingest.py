@@ -37,6 +37,7 @@ def _with_companions(
     mrl_dims: int | None = None,
     rotation=None,
     rotation_dims: int | None = None,
+    pq_rotation=None,
 ) -> DataFrame:
     """Optional quantized companion columns, computed in the same
     map-only micro-batch pass as the cell routing: int8 (qvec, qscale),
@@ -66,10 +67,27 @@ def _with_companions(
              "qscale": scale.cast("float")}
         )
     if pq_codebooks is not None:
-        assigned = assigned.withColumns(
-            {"pq_codes": encode_expr(vector_col, pq_codebooks),
-             "vnorm": l2_norm(vector_col).cast("float")}
-        )
+        # pq_rotation: the codebooks were OPQ-trained (pq.train_pq_
+        # codebooks(rotation=...)); the frozen basis rotates each
+        # streamed vector before encoding, materialized ONCE in its
+        # own projection (pq._with_rotated rationale). The probe side
+        # passes the same basis to pq_search/pq_batch_search.
+        if pq_rotation is not None:
+            from ydb_vector_search_demo_spark.operators.rotation import (
+                rotate_expr,
+            )
+
+            assigned = assigned.withColumn(
+                "_opq_rot", rotate_expr(vector_col, pq_rotation)
+            ).withColumns(
+                {"pq_codes": encode_expr("_opq_rot", pq_codebooks),
+                 "vnorm": l2_norm(vector_col).cast("float")}
+            ).drop("_opq_rot")
+        else:
+            assigned = assigned.withColumns(
+                {"pq_codes": encode_expr(vector_col, pq_codebooks),
+                 "vnorm": l2_norm(vector_col).cast("float")}
+            )
     if mrl_dims is not None:
         assigned = assigned.withColumn(
             "prefix", mrl_prefix(vector_col, mrl_dims)
@@ -106,6 +124,7 @@ def stream_ivf_ingest(
     mrl_dims: int | None = None,
     rotation=None,
     rotation_dims: int | None = None,
+    pq_rotation=None,
     available_now: bool = True,
 ):
     """Continuous IVF ingest: map-only centroid routing (+ optional
@@ -119,6 +138,7 @@ def stream_ivf_ingest(
     assigned = _with_companions(
         ivf_assign(centroids, stream), quantize, pq_codebooks,
         mrl_dims=mrl_dims, rotation=rotation, rotation_dims=rotation_dims,
+        pq_rotation=pq_rotation,
     )
     writer = (
         assigned.writeStream.format("parquet")
@@ -142,6 +162,7 @@ def stream_tree_ingest(
     mrl_dims: int | None = None,
     rotation=None,
     rotation_dims: int | None = None,
+    pq_rotation=None,
     available_now: bool = True,
 ):
     """Continuous two-level-tree ingest: (cell_top, cell_sub) routing
@@ -151,7 +172,7 @@ def stream_tree_ingest(
     assigned = _with_companions(
         tree_assign(centroids_top, centroids_sub, stream), quantize,
         pq_codebooks, mrl_dims=mrl_dims, rotation=rotation,
-        rotation_dims=rotation_dims,
+        rotation_dims=rotation_dims, pq_rotation=pq_rotation,
     )
     writer = (
         assigned.writeStream.format("parquet")
