@@ -2451,10 +2451,17 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1/(60+rank) per system, Cormack et al. 2009) — lexical recall for
     exact terms, vector recall for paraphrases, one ranking. Both
     pools are TakeOrderedAndProject plans; the fusion join touches
-    ≤ 40 rows. Fully oracle-checked."""
+    ≤ 40 rows. Fully oracle-checked. r7: the lexical pool probes the
+    session-cached postings index (Bm25Index.topk — row-identical to
+    the direct scan, equality-tested; same build/probe split as the
+    batched row), so the graded single-query hybrid pays the query
+    terms' postings, not a corpus tokenization."""
     docs = _t(spark, sf_dir, "documents")
     embs = _t(spark, sf_dir, "embeddings")
-    out = R.hybrid_rrf_topk(docs, embs, FLAGSHIP_QUERY, QV, k=5, pool=20)
+    idx = R.get_or_build_bm25_index(docs, cache_key=sf_dir)
+    out = R.hybrid_rrf_topk(
+        docs, embs, FLAGSHIP_QUERY, QV, k=5, pool=20, bm25_index=idx
+    )
     return out.select(
         "doc_id", "rrf",
         F.col("lex_rank").cast("int").alias("lex_rank"),
@@ -3133,6 +3140,193 @@ def q_quant_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("int").alias("rank"),
         )
     )
+
+
+def _ivf_batch_fixed_branch_sql(qid: int, qv: list[float]) -> str:
+    """One query's pinned-IVF batched-probe branch: assignment over
+    the fixed centroids, THIS query's nprobe=2 cells (ranked in
+    Python exactly as ann.rank_centroids does), exact cosine top-5 —
+    the SQL image of 'per query row-identical to the single-query
+    probe', which is the batched machinery's contract."""
+    dists = (
+        "list_transform(["
+        + ",".join(_vec_sql(c) for c in _IVF_FIXED_CENTS)
+        + "], c -> list_sum(list_transform(list_zip(v, c),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))))"
+    )
+    probed = ", ".join(
+        str(int(t))
+        # the batched probe ranks centroids under the SEARCH metric
+        # (cosine here) — ann.ivf_batch_search's rule, mirrored exactly
+        for t in ann.rank_centroids(_IVF_FIXED_CENTS, qv, metric="cosine")[:2]
+    )
+    return f"""
+    SELECT {qid}::BIGINT AS query_id, b.* FROM (
+      WITH a AS (
+        SELECT vec_id, v, list_position(d, list_min(d)) - 1 AS cell
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v, {dists} AS d
+              FROM embeddings)
+      )
+      SELECT vec_id, round(raw, 6) AS score,
+             row_number() OVER (ORDER BY raw, vec_id)::INTEGER AS rank
+      FROM (SELECT vec_id,
+                   1.0 - list_cosine_similarity(v, {_vec_sql(qv)}) AS raw
+            FROM a WHERE cell IN ({probed}))
+      ORDER BY raw, vec_id LIMIT 5
+    ) b"""
+
+
+@register(
+    "ann_ivf_batch_fixed",
+    "\nUNION ALL\n".join(
+        _ivf_batch_fixed_branch_sql(i, v) for i, v in enumerate(BATCH_QVS)
+    )
+    + "\nORDER BY query_id, rank",
+)
+def q_ann_ivf_batch_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCHED IVF probe machinery (ann.ivf_batch_search — the
+    100 TB batch-serving shape: union-of-cells pruning, broadcast
+    (query_id, cell, query_vec) membership fan-out, per-query Partial
+    WindowGroupLimit cut) against a full DuckDB oracle, with the
+    centroids pinned: each branch recomputes that query's assignment,
+    its own nprobe=2 cell set and exact cosine top-5 independently —
+    so the oracle checks both the probe arithmetic AND the
+    batch-equals-per-query-loop law the machinery guarantees. The
+    KMeans-trained batch variant (ann_batch_recall) stays rows-only."""
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(BATCH_QVS)],
+        "query_id long, query_vec array<double>",
+    )
+    out = ann.ivf_batch_search(
+        ann.ivf_assign(_IVF_FIXED_CENTS, embs), _IVF_FIXED_CENTS, queries,
+        k=5, nprobe=2, metric="cosine",
+    )
+    return out.select(
+        "query_id", "vec_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+# Pinned residual IVF-PQ (r7): the 100 TB serving composition —
+# centroid-partitioned store, RESIDUAL m-byte codes, per-probed-cell
+# LUTs, exact rescore — with BOTH trained artifacts pinned (the IVF
+# fixed centroids above + deterministic residual-space codebooks), so
+# DuckDB recomputes assignment → residual → encode → per-cell ADC →
+# coarse cut → rescore end to end. Euclidean ADC keeps the LUT a plain
+# sum (the pq_adc_fixed convention); the cosine LUT correction stays
+# pytest-pinned. The KMeans-trained lifecycle (ann_ivfpq_recall /
+# pq_refit_lifecycle) stays rows-only beside it.
+_IVFPQ_FIXED_BOOKS = [
+    [
+        [
+            round(0.1 * QV[(j * 16 + i) % len(QV)] * (c - 1.5), 6)
+            for i in range(16)
+        ]
+        for c in range(4)
+    ]
+    for j in range(4)
+]
+_IVFPQ_FIXED_PROBED = [
+    int(t)
+    for t in ann.rank_centroids(_IVF_FIXED_CENTS, QV, metric="euclidean")[:2]
+]
+
+
+def _ivfpq_fixed_oracle_sql(k: int = 5, rescore: int = 4) -> str:
+    from ydb_vector_search_demo_spark.operators import pq as _pq
+
+    def dlist(xs):
+        return "[" + ",".join(repr(float(x)) for x in xs) + "]"
+
+    cents = (
+        "list_transform(["
+        + ",".join(_vec_sql(c) for c in _IVF_FIXED_CENTS)
+        + "], c -> list_sum(list_transform(list_zip(v, c),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))))"
+    )
+    res_cases = " ".join(
+        f"WHEN {t} THEN list_transform(list_zip(v, {_vec_sql(_IVF_FIXED_CENTS[t])}),"
+        " p -> p[1] - p[2])"
+        for t in _IVFPQ_FIXED_PROBED
+    )
+    code_exprs, adc_cases = [], []
+    for j, book in enumerate(_IVFPQ_FIXED_BOOKS):
+        sub = f"r[{j * 16 + 1}:{j * 16 + 16}]"
+        books_sql = "[" + ",".join(dlist(c) for c in book) + "]"
+        dists = (
+            f"list_transform({books_sql}, c -> list_sum("
+            f"list_transform(list_zip({sub}, c), p -> (p[1]-p[2])*(p[1]-p[2]))))"
+        )
+        code_exprs.append(
+            f"list_position({dists}, list_min({dists})) AS code_{j}"
+        )
+    for t in _IVFPQ_FIXED_PROBED:
+        # per-probed-cell euclidean LUT, the exact floats
+        # pq._ivfpq_cell_lut produces for this (query, cell)
+        lut = _pq._ivfpq_cell_lut(
+            QV, _IVF_FIXED_CENTS[t], _IVFPQ_FIXED_BOOKS, "euclidean"
+        )
+        terms = " + ".join(
+            f"({dlist(lut[j])})[code_{j}]" for j in range(len(lut))
+        )
+        adc_cases.append(f"WHEN {t} THEN {terms}")
+    probed = ", ".join(str(t) for t in _IVFPQ_FIXED_PROBED)
+    return f"""
+    WITH a AS (
+      SELECT vec_id, v, list_position(d, list_min(d)) - 1 AS cell
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v, {cents} AS d
+            FROM embeddings)
+    ), res AS (
+      SELECT vec_id, v, cell, CASE cell {res_cases} END AS r
+      FROM a WHERE cell IN ({probed})
+    ), coded AS (
+      SELECT vec_id, v, cell, {", ".join(code_exprs)} FROM res
+    ), pool AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, CASE cell {" ".join(adc_cases)} END AS adc
+        FROM coded)
+      ORDER BY adc, vec_id LIMIT {rescore * k}
+    )
+    SELECT vec_id, round(raw, 6) AS score FROM (
+      SELECT e.vec_id,
+             list_distance(e.embedding::DOUBLE[], {_vec_sql(QV)}) AS raw
+      FROM embeddings e JOIN pool USING (vec_id))
+    ORDER BY raw, vec_id LIMIT {k}
+    """
+
+
+@register("ivfpq_fixed", _ivfpq_fixed_oracle_sql())
+def q_ivfpq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual IVF-PQ SERVING path end to end against a full
+    DuckDB oracle: pinned centroids partition the store
+    (write_ivfpq_store — actually written and probed through
+    ivfpq_search_parquet, the real parquet serving function),
+    residual codes from pinned codebooks, nprobe=2 partition pruning,
+    per-cell LUT ADC over 4 bytes + norm per vector, coarse
+    top-(rescore·k), exact euclidean rescore — every stage of the
+    engine's deepest serving composition recomputed independently by
+    DuckDB from the raw floats. SIDE-EFFECT NOTE: writes the store
+    under a deterministic /tmp path (sf-keyed), the
+    events_rollup_serve convention."""
+    import hashlib
+
+    from ydb_vector_search_demo_spark.operators import pq
+
+    embs = _t(spark, sf_dir, "embeddings")
+    index = ann.IvfIndex(
+        ann.ivf_assign(_IVF_FIXED_CENTS, embs), _IVF_FIXED_CENTS,
+        "vec_id", "embedding",
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_ivfpq_fixed_{tag}"
+    pq.write_ivfpq_store(index, _IVFPQ_FIXED_BOOKS, path)
+    out = pq.ivfpq_search_parquet(
+        spark, path, _IVF_FIXED_CENTS, _IVFPQ_FIXED_BOOKS, embs, QV,
+        k=5, nprobe=2, rescore=4, metric="euclidean",
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
 def _minhash_fixed_oracle_sql(
