@@ -189,3 +189,49 @@ def test_ngram_spans_single_hash_shuffle_no_join(spark):
     assert "Window" in plan
     for py_node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert py_node not in plan
+
+
+def test_quant_ivf_fixed_pruned_scan_no_python(spark):
+    """The pinned pruned×byte-reduced serving row: the cell filter and
+    the coarse cut stay JVM-side; the rescore side broadcasts the pool."""
+    plan = plan_of(spark, "quant_ivf_fixed")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_fixed_store_probe_prunes_partitions(spark):
+    """The residual IVF-PQ serving row probes the written store with a
+    centroid_id partition filter (the 100 TB prune) and broadcasts the
+    coarse pool into the float rescore."""
+    plan = plan_of(spark, "ivfpq_fixed")
+    # several scans appear (store + float relation); the STORE scan's
+    # PartitionFilters section must carry the centroid cut
+    sections = [p.split("]")[0] for p in plan.split("PartitionFilters:")[1:]]
+    assert any("centroid_id" in sec for sec in sections), (
+        f"nprobe cut must reach the store scan as a partition filter: {sections}"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_batch_fixed_membership_broadcast_and_group_limit(spark):
+    """The batched probe machinery: broadcast membership join (never
+    SMJ/cartesian on the corpus) and a Partial WindowGroupLimit below
+    the per-query exchange."""
+    plan = plan_of(spark, "ann_ivf_batch_fixed")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rotation_store_serve_reads_prefix_store_only_for_coarse(spark):
+    """The rotated-store serving split: coarse side scans the d'-wide
+    prefix store (ReadSchema carries `prefix`, not `embedding`); the
+    float relation joins only for the broadcast candidates."""
+    plan = plan_of(spark, "rotation_store_serve")
+    assert "prefix" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
