@@ -952,3 +952,58 @@ def test_compression_quality_matches_driver_zlib_and_flags(spark):
         assert out[k].compression_ratio == want, k
     assert out[0].verdict == "too_redundant"
     assert out[1].verdict == "ok"
+
+
+# ------------------------------------------ hashed linear classifier (r7)
+
+
+def test_classifier_score_engine_matches_python_twin(spark):
+    import pytest
+
+    from ydb_vector_search_demo_spark.operators import curation
+
+    texts = [
+        "fast scan table row value",
+        "a b",
+        "singleword",
+        "",
+        "Mixed CASE tokens repeat repeat repeat",
+    ]
+    w = [round(((i * 37) % 101 - 50) / 60.0, 6) for i in range(64)]
+    b = 0.2
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id",
+            curation.classifier_score_expr("text", w, b).alias("s"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == pytest.approx(
+            curation.score_text_py(t, w, b), rel=1e-12
+        ), t
+
+
+def test_quality_classifier_distills_the_heuristic_gate(spark, sf_oracle):
+    """Train on the heuristic gate's verdict over a seeded sample, then
+    audit agreement over the FULL corpus — the distillation must
+    recover the rule stack it learned from (deterministic fit: same
+    call twice gives identical parameters)."""
+    from ydb_vector_search_demo_spark.operators import curation
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
+    gated = curation.quality_gate(docs).withColumn(
+        "label", (F.col("gate") == "keep").cast("double")
+    )
+    w1, b1 = curation.train_quality_classifier(gated, "label", sample=400)
+    w2, b2 = curation.train_quality_classifier(gated, "label", sample=400)
+    assert w1 == w2 and b1 == b2  # bit-reproducible fit
+    rep = curation.classifier_agreement_report(
+        spark, gated, "label", w1, b1
+    ).collect()[0]
+    assert rep.n == docs.count()
+    assert rep.agreement >= 0.9, rep

@@ -14,7 +14,7 @@ embedding (reference ingest script absent from the snapshot,
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -1066,4 +1066,184 @@ def compression_quality(
         .when(r > F.lit(float(max_ratio)), F.lit("incompressible"))
         .otherwise(F.lit("ok"))
         .alias("verdict"),
+    )
+
+
+# --------------------------------------------------------- linear classifier
+# (r7) fastText-style hashed linear quality classifier — the trained-
+# classifier lever of the CCNet/Gopher curation stacks (Joulin et al.
+# 2016: bag of hashed unigrams+bigrams, linear model, sigmoid), as the
+# step past this module's heuristic gates: distill the heuristics (or
+# any labeled sample) into ONE map-side scoring expression. The
+# feature hash is the engine-portable salted-md5 bucket every split/
+# mix operator here uses, so the SCORING path is pure Column
+# arithmetic DuckDB replays exactly; training is a bounded seeded
+# sample to the driver (the fit_pca_rotation pattern) + a tiny numpy
+# logistic regression — nothing corpus-sized ever leaves the executors,
+# and the fitted (weights, bias) travel back as plan literals.
+
+
+def _classifier_features(text_col: str | Column) -> Column:
+    """Lowercased unigrams + space-joined bigrams of the whitespace
+    tokens — the fastText bag. Zero/one-token docs contribute their
+    unigrams only (slice length 0 → empty bigram side)."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+
+    toks = F.transform(tokens(text_col), F.lower)
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bi = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(toks, bi)
+
+
+def _feature_bucket(feat: Column, n_buckets: int, salt: str) -> Column:
+    """Salted-md5 hex-prefix bucket of one feature string — the
+    hash_split construction, applied to features instead of ids."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), feat)), 1, 4), 16, 10
+        ).cast("int")
+        % n_buckets
+    )
+
+
+def _py_features(text: str) -> list[str]:
+    toks = [t.lower() for t in (text or "").strip().split()]
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _py_bucket(feat: str, n_buckets: int, salt: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5((salt + ":" + feat).encode("utf-8")).hexdigest()[:4], 16) % n_buckets
+
+
+def classifier_score_expr(
+    text_col: str | Column,
+    weights: list[float],
+    bias: float,
+    n_buckets: int | None = None,
+    salt: str = "qclf-v1",
+) -> Column:
+    """Sigmoid linear score over the hashed feature bag as ONE pure
+    Column: per feature, one md5 + one array lookup into the
+    weight-vector plan literal; mean-pooled (the fastText average),
+    plus bias, through the logistic. No joins, no Python — the
+    trained model IS an expression, shippable into any scan."""
+    n = n_buckets or len(weights)
+    w = F.lit([float(x) for x in weights])
+    feats = _classifier_features(text_col)
+    contrib = F.aggregate(
+        F.transform(
+            feats, lambda f: F.element_at(w, _feature_bucket(f, n, salt) + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    z = F.lit(float(bias)) + contrib / F.greatest(F.size(feats), F.lit(1))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def score_text_py(
+    text: str, weights: list[float], bias: float, salt: str = "qclf-v1"
+) -> float:
+    """Driver-side twin of :func:`classifier_score_expr` (same feature
+    bag, same buckets, same mean-pool) — the parity law's other half."""
+    import math
+
+    feats = _py_features(text)
+    n = len(weights)
+    contrib = sum(weights[_py_bucket(f, n, salt)] for f in feats)
+    z = bias + contrib / max(len(feats), 1)
+    return 1.0 / (1.0 + math.exp(-z))
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    label_col: str | Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    sample: int = 2048,
+    seed: int = 42,
+    salt: str = "qclf-v1",
+    iters: int = 200,
+    lr: float = 0.5,
+    l2: float = 1e-3,
+) -> tuple[list[float], float]:
+    """Fit (weights, bias) by logistic regression on a DETERMINISTIC
+    seeded sample (rows ranked by salted md5 of their id — the
+    fit_pca_rotation draw): featurize the sampled texts driver-side
+    with the byte-identical Python twin of the engine's hash, run
+    full-batch gradient descent with L2 (zero init, fixed iters —
+    bit-reproducible), return plan-literal-sized parameters. The
+    classic use: ``label_col`` = the heuristic quality gate's verdict,
+    distilling this module's rule stack into one scoring expression;
+    any labeled relation works the same."""
+    import numpy as np
+
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    rows = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_t"),
+            lab.cast("double").alias("_y"),
+        )
+        .orderBy(
+            F.md5(F.concat(F.lit(f"qclf:{seed}:"), F.col("_id").cast("string"))),
+            F.col("_id").asc(),
+        )
+        .limit(int(sample))
+        .collect()
+    )
+    X = np.zeros((len(rows), n_buckets))
+    y = np.array([float(r["_y"]) for r in rows])
+    for i, r in enumerate(rows):
+        feats = _py_features(r["_t"])
+        if not feats:
+            continue
+        for f in feats:
+            X[i, _py_bucket(f, n_buckets, salt)] += 1.0
+        X[i] /= len(feats)
+    w = np.zeros(n_buckets)
+    b = 0.0
+    for _ in range(int(iters)):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g / len(rows) + l2 * w)
+        b -= lr * float(g.mean())
+    return [float(v) for v in w], float(b)
+
+
+def classifier_agreement_report(
+    spark: SparkSession,
+    docs: DataFrame,
+    label_col: str | Column,
+    weights: list[float],
+    bias: float,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    salt: str = "qclf-v1",
+) -> DataFrame:
+    """One-row distillation audit: agreement of the classifier's
+    thresholded score with the reference labels over the FULL relation
+    (one map-side pass), plus the positive rates of both — the check
+    that a distilled gate can replace the rule stack it learned from."""
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    score = classifier_score_expr(text_col, weights, bias, salt=salt)
+    pred = score >= F.lit(float(threshold))
+    row = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(lab.cast("double")).alias("label_rate"),
+        F.avg(pred.cast("double")).alias("pred_rate"),
+        F.avg((pred == lab.cast("boolean")).cast("double")).alias("agreement"),
+    ).first()
+    return spark.createDataFrame(
+        [(int(row["n"]), float(row["label_rate"]), float(row["pred_rate"]),
+          float(row["agreement"]))],
+        "n BIGINT, label_rate DOUBLE, pred_rate DOUBLE, agreement DOUBLE",
     )

@@ -3765,6 +3765,67 @@ def q_mrl_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+# (r7) fastText-style hashed linear quality classifier with PINNED
+# parameters — the trained-model seam (curation.train_quality_classifier
+# fits real weights on a seeded sample; pytest pins the distillation)
+# scored through the identical expression with a deterministic weight
+# literal, so the full scoring path — lowercased unigram+bigram bag,
+# salted-md5 bucket, weight lookup, mean pool, bias, sigmoid — is pure
+# arithmetic DuckDB recomputes from the raw text.
+import math as _math
+
+_QCLF_W = [round(_math.sin(i * 0.37) * 0.8, 6) for i in range(256)]
+_QCLF_B = -0.05
+
+
+def _qclf_oracle_sql() -> str:
+    w_sql = "[" + ",".join(repr(float(x)) for x in _QCLF_W) + "]"
+    return f"""
+    WITH f AS (
+      SELECT doc_id, list_concat(toks,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])) AS feats
+      FROM (SELECT doc_id,
+                   list_transform({_TOKENS_SQL}, t -> lower(t)) AS toks
+            FROM documents)
+    )
+    SELECT doc_id, round(score, 6) AS score, score >= 0.5 AS keep
+    FROM (
+      SELECT doc_id,
+             1.0 / (1.0 + exp(-({_QCLF_B} +
+               coalesce(list_sum(list_transform(feats,
+                 f -> ({w_sql})[
+                   ('0x' || substring(md5('qclf-v1:' || f), 1, 4))::INTEGER
+                   % 256 + 1])), 0.0)
+               / greatest(len(feats), 1)))) AS score
+      FROM f)
+    ORDER BY doc_id
+    """
+
+
+@register("text_quality_classifier", _qclf_oracle_sql())
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier
+    (curation.classifier_score_expr, Joulin et al. 2016 fastText shape):
+    per document, sigmoid of the mean-pooled hashed unigram+bigram
+    weights + bias, thresholded at 0.5 — the trained-classifier lever
+    of the CCNet/Gopher curation stacks as ONE map-side Column (md5 +
+    array lookups, no joins, no Python). Parameters PINNED to a
+    deterministic literal so the full scoring arithmetic is DuckDB-
+    oracle-checked; the REAL training path (seeded-sample numpy
+    logistic regression distilling the heuristic quality gate, ≥90%
+    agreement) is pinned in tests/test_new_operators.py."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    d = _t(spark, sf_dir, "documents")
+    score = curation.classifier_score_expr("text", _QCLF_W, _QCLF_B)
+    return d.select(
+        "doc_id",
+        F.round(score, 6).alias("score"),
+        (score >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
 def _mrl_recall_branch_sql(d: int, k: int = 10, rescore: int = 4) -> str:
     """One prefix width of the mrl_recall report as a self-contained
     branch (DuckDB scopes the WITH per parenthesized subquery — the
