@@ -323,6 +323,7 @@ def ivf_assign(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Assign vectors to their nearest (Euclidean) centroid as a pure
     map-side expression — the incremental-ingest path: new embeddings
@@ -344,6 +345,9 @@ def ivf_assign(
         F.col(id_col),
         F.col(vector_col),
         centroid_id.cast("int").alias("centroid_id"),
+        # metadata for filtered probes — same keep_cols contract as the
+        # quantized/PQ store writers (predicates must live IN the store)
+        *[F.col(c) for c in keep_cols],
     )
 
 

@@ -3209,6 +3209,50 @@ def q_ann_ivf_batch_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _ivf_filtered_fixed_oracle_sql() -> str:
+    dists = (
+        "list_transform(["
+        + ",".join(_vec_sql(c) for c in _IVF_FIXED_CENTS)
+        + "], c -> list_sum(list_transform(list_zip(v, c),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))))"
+    )
+    probed = ", ".join(
+        str(int(t))
+        # IvfIndex.search ranks centroids under the SEARCH metric
+        for t in ann.rank_centroids(_IVF_FIXED_CENTS, QV, metric="cosine")[:2]
+    )
+    return f"""
+    WITH a AS (
+      SELECT vec_id, v, label, list_position(d, list_min(d)) - 1 AS cell
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v, label, {dists} AS d
+            FROM embeddings)
+    )
+    SELECT vec_id, round(raw, 6) AS score
+    FROM (SELECT vec_id, 1.0 - list_cosine_similarity(v, {_vec_sql(QV)}) AS raw
+          FROM a WHERE cell IN ({probed}) AND label = 1)
+    ORDER BY raw, vec_id LIMIT 5
+    """
+
+
+@register("ann_filtered_fixed", _ivf_filtered_fixed_oracle_sql())
+def q_ann_filtered_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FILTERED ANN probe (metadata predicate INSIDE the pruned
+    scan — the RAG-over-a-tenant/label-slice shape) against a full
+    DuckDB oracle: pinned centroids, the real IvfIndex.search(
+    predicate=) path over an assignment that carries the label via
+    ivf_assign's keep_cols (predicates must live IN the store), exact
+    cosine top-5 over the filtered pool. The selectivity-aware
+    widening variant (min_candidates) and the KMeans-trained filtered
+    recall (ann_filtered_recall) stay pytest/rows-only beside it."""
+    embs = _t(spark, sf_dir, "embeddings")
+    index = ann.IvfIndex(
+        ann.ivf_assign(_IVF_FIXED_CENTS, embs, keep_cols=("label",)),
+        _IVF_FIXED_CENTS, "vec_id", "embedding",
+    )
+    out = index.search(QV, k=5, nprobe=2, metric="cosine", predicate="label = 1")
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
 # Pinned residual IVF-PQ (r7): the 100 TB serving composition —
 # centroid-partitioned store, RESIDUAL m-byte codes, per-probed-cell
 # LUTs, exact rescore — with BOTH trained artifacts pinned (the IVF
