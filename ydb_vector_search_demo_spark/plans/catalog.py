@@ -3373,9 +3373,13 @@ def q_ivfpq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
-def _minhash_fixed_oracle_sql(
+def _minhash_portable_ctes(
     num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
 ) -> str:
+    """CTE chain replaying dedup.minhash_dedup_pairs_portable in DuckDB,
+    ending in ``jp(a, b, jaccard)`` — the verified >= threshold pair
+    list. Shared by the pair-level oracle (dedup_minhash_fixed) and the
+    cluster-level one (dedup_clusters_lsh_fixed)."""
     rpb = num_hashes // bands
     sig_exprs = ", ".join(
         f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS sig_{i}"
@@ -3387,8 +3391,7 @@ def _minhash_fixed_oracle_sql(
         + ") AS band_val FROM sig"
         for b in range(bands)
     )
-    return f"""
-    WITH sh AS (
+    return f"""sh AS (
       SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles FROM documents
     ),
     sig AS (SELECT doc_id, shingles, {sig_exprs} FROM sh),
@@ -3401,10 +3404,17 @@ def _minhash_fixed_oracle_sql(
                  len(list_intersect(sa.shingles, sb.shingles)) AS inter,
                  len(sa.shingles) AS na, len(sb.shingles) AS nb
           FROM cand c JOIN sh sa ON sa.doc_id = c.a
-                      JOIN sh sb ON sb.doc_id = c.b)
-    SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
-    FROM v WHERE inter::DOUBLE / (na + nb - inter) >= {threshold}
-    ORDER BY a, b
+                      JOIN sh sb ON sb.doc_id = c.b),
+    jp AS (SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+           FROM v WHERE inter::DOUBLE / (na + nb - inter) >= {threshold})"""
+
+
+def _minhash_fixed_oracle_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    return f"""
+    WITH {_minhash_portable_ctes(num_hashes, bands, threshold)}
+    SELECT a, b, jaccard FROM jp ORDER BY a, b
     """
 
 
@@ -5339,10 +5349,10 @@ _JACCARD_EDGES_CTES = f"""
 """
 
 
-@register(
-    "dedup_clusters",
-    f"""
-    WITH RECURSIVE {_JACCARD_EDGES_CTES},
+# Transitive closure + canonical-keeper suffix over any CTE chain that
+# ends in jp(a, b): shared by the exact-Jaccard cluster oracle
+# (dedup_clusters) and the portable-LSH one (dedup_clusters_lsh_fixed).
+_CLUSTER_CLOSURE_SQL = """
     edges AS (SELECT a AS x, b AS y FROM jp UNION SELECT b, a FROM jp),
     reach(x, y) AS (
       SELECT x, y FROM edges
@@ -5359,6 +5369,14 @@ _JACCARD_EDGES_CTES = f"""
     SELECT c.doc_id, c.cluster_id, s.cluster_size,
            c.doc_id = c.cluster_id AS is_canonical
     FROM comp c JOIN sizes s USING (cluster_id)
+"""
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_JACCARD_EDGES_CTES},
+    {_CLUSTER_CLOSURE_SQL}
     """,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5395,6 +5413,38 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(
         docs, n=3, num_hashes=64, bands=16, threshold=0.5
+    ).select("a", "b")
+    return curation.dedup_clusters(docs.select("doc_id"), pairs)
+
+
+@register(
+    "dedup_clusters_lsh_fixed",
+    f"""
+    WITH RECURSIVE {_minhash_portable_ctes()},
+    {_CLUSTER_CLOSURE_SQL}
+    """,
+)
+def q_dedup_clusters_lsh_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH→clusters SCALE path under ONE full DuckDB oracle — the
+    pinned-determinization twin of dedup_clusters_lsh: portable
+    md5-family MinHash signatures → 4x4 banding → band-bucketed
+    candidate join → exact-Jaccard >= 0.5 verification
+    (dedup.minhash_dedup_pairs_portable, the oracle-proven pair SQL of
+    dedup_minhash_fixed) feeding the same large-star/small-star
+    connected components + canonical keeper
+    (curation.dedup_clusters). DuckDB independently recomputes the
+    entire chain — signatures, bands, candidates, Jaccard, then the
+    WITH RECURSIVE transitive closure — so the cluster decision the
+    training pipeline acts on (keep/drop per document) is verified end
+    to end on the banded path, not just transitively via the exact
+    pair generator. Same scale shape as production: pair generation is
+    band-bucketed (never all-pairs), components converge in O(log n)
+    star rounds."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs_portable(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.5
     ).select("a", "b")
     return curation.dedup_clusters(docs.select("doc_id"), pairs)
 
