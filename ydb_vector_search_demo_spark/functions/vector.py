@@ -99,3 +99,41 @@ def distance(a: ColumnOrName, b: ColumnOrName, metric: str = "cosine") -> Column
         return METRICS[metric](a, b)
     except KeyError:
         raise ValueError(f"unknown metric {metric!r}; one of {sorted(METRICS)}") from None
+
+
+def portable_embed_expr(col: ColumnOrName, dim: int = 8) -> Column:
+    """Engine-portable text embedding (determinization harness, the
+    md5-family pattern of dedup.minhash_dedup_pairs_portable applied to
+    dense vectors): dimension ``i`` is md5(f"{i}:" + text)'s leading 8
+    hex digits scaled to [-1, 1) — ``conv`` here, ``('0x'||hex)::BIGINT``
+    in DuckDB, bit-identical — so a chunk → embed → score → reduce
+    dataflow can run under a FULL SQL oracle. NOT a semantic model: the
+    pandas-UDF model seam (pipeline.rag.embed_texts_udf) stays the
+    production path; this exercises the distributed plumbing with an
+    embedding both engines recompute independently. Pure Columns —
+    ``dim`` md5 calls per row inside whole-stage codegen, no Python."""
+    c = _c(col)
+    dims = [
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), c)), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+        * F.lit(2.0)
+        - F.lit(1.0)
+        for i in range(dim)
+    ]
+    return F.array(*dims)
+
+
+def portable_embed(text: str, dim: int = 8) -> list[float]:
+    """Driver-side twin of :func:`portable_embed_expr` (hashlib md5,
+    same scale arithmetic in the same order) for inlining query vectors
+    as plan/SQL literals."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{i}:{text}".encode("utf-8")).hexdigest()[:8], 16)
+        / 4294967296.0
+        * 2.0
+        - 1.0
+        for i in range(dim)
+    ]

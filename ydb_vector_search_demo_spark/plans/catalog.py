@@ -1024,6 +1024,90 @@ def q_rag_chunk_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chunk_maxp_fixed_oracle_sql(dim: int = 8, k: int = 5) -> str:
+    pqv = V.portable_embed(FLAGSHIP_QUERY, dim)
+    u_exprs = ", ".join(
+        f"(('0x' || substr(md5('{i}:' || chunk_text), 1, 8))::BIGINT"
+        f" / 4294967296.0 * 2.0 - 1.0) AS u_{i}"
+        for i in range(dim)
+    )
+    u_list = "[" + ", ".join(f"u_{i}" for i in range(dim)) + "]"
+    return f"""
+    WITH chunks AS (
+      SELECT doc_id, (start - 1) // 90 AS chunk_id,
+             substr(text, start, 120) AS chunk_text
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text), 1) + 1, 90)) AS start
+            FROM documents)
+    ),
+    dims AS (SELECT doc_id, chunk_id, chunk_text, {u_exprs} FROM chunks),
+    scored AS (
+      SELECT doc_id, chunk_id, chunk_text,
+             round(1.0 - list_cosine_similarity({u_list}, {_vec_sql(pqv)}), 6)
+               AS score
+      FROM dims
+    ),
+    best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score, chunk_id) AS rn
+             FROM scored)
+    SELECT doc_id, chunk_id, score, chunk_text
+    FROM best WHERE rn = 1
+    ORDER BY score, doc_id LIMIT {k}
+    """
+
+
+@register("rag_chunk_maxp_fixed", _chunk_maxp_fixed_oracle_sql())
+def q_rag_chunk_maxp_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rag_chunk_maxp's pinned-determinization twin: the same chunk →
+    embed → per-doc best-chunk (max-p) → top-5 dataflow, with the
+    pandas-UDF model seam swapped for the engine-portable md5 embedding
+    (functions.vector.portable_embed_expr) so EVERY stage — the
+    stride-90 splitter, the per-chunk embedding, the cosine score
+    against the flagship query vector, the struct-min max-p reduction
+    and the final cut — is recomputed independently by DuckDB. Same
+    plan shape as the production row: map-only chunk explode, 8
+    md5+arithmetic dims per chunk inside codegen, ONE keyed shuffle
+    (the per-doc min), TakeOrdered top-5. Ranking happens on the
+    6-dp-rounded score (ties → chunk position, then doc_id) so a
+    last-ulp difference can't flip the winner."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(90))
+        ).alias("start"),
+        "text",
+    ).select(
+        "doc_id",
+        F.expr("(start - 1) div 90").cast("long").alias("chunk_id"),
+        F.expr("substring(text, start, 120)").alias("chunk_text"),
+    )
+    # cvec in its own projection: cosine_distance references it twice
+    # (dot + norm) and CollapseProject would inline the 8-dim md5 array
+    # per reference (the pq._with_rotated lesson).
+    emb = chunks.withColumn("cvec", V.portable_embed_expr("chunk_text", 8))
+    qv = V.portable_embed(FLAGSHIP_QUERY, 8)
+    scored = emb.select(
+        "doc_id",
+        F.struct(
+            F.round(V.cosine_distance("cvec", F.lit(qv)), 6).alias("score"),
+            F.col("chunk_id").alias("chunk_id"),
+            F.col("chunk_text").alias("chunk_text"),
+        ).alias("_best"),
+    )
+    best = scored.groupBy("doc_id").agg(F.min("_best").alias("b"))
+    return (
+        best.select(
+            "doc_id",
+            F.col("b.chunk_id").alias("chunk_id"),
+            F.col("b.score").alias("score"),
+            F.col("b.chunk_text").alias("chunk_text"),
+        )
+        .orderBy(F.col("score").asc(), F.col("doc_id").asc())
+        .limit(5)
+    )
+
+
 @register("text_tfidf_top_terms")
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib text-analysis pipeline (SURVEY.md §2.6): RegexTokenizer →
