@@ -6601,6 +6601,26 @@ _GRADE_FIRST = [
     "rotation_rescore_topk",
 ]
 
+# r8 window-eligibility (fully oracle-backed rows currently OUTSIDE the
+# window; strongest rotation candidates first, each covering a surface
+# the window grades only transitively today):
+#   ivfpq_fixed            — the deepest serving composition (residual
+#                            IVF-PQ through the real parquet store)
+#   ann_ivf_batch_fixed    — the batched-probe machinery (batch==loop
+#                            law graded directly)
+#   pq_opq_fixed           — OPQ rotate→encode→rotated-LUT ADC (r7's
+#                            new Ge et al. composition)
+#   ann_filtered_fixed     — predicate-inside-the-pruned-scan serving
+#   text_quality_classifier — the trained-classifier curation lever
+#   dedup_clusters_lsh_fixed / rag_chunk_maxp_fixed — the late-r7
+#                            end-to-end pipeline oracles
+#   rotation_batch_rescore — r6 verdict #7's remaining candidate
+# Duplicate-surface rows eligible to rotate OUT with rationale:
+# batch_knn_cosine (its machinery now graded via ann_ivf_batch_fixed
+# if swapped), rag_context_top3 (strict subset of rag_full_pipeline),
+# quant_hamming_topk (bit path also covered by pq_adc_fixed's
+# packed-xor-popcount stage).
+
 
 def _reorder_for_grading() -> None:
     missing = [n for n in _GRADE_FIRST if n not in QUERIES]
