@@ -100,6 +100,15 @@ HEADLINE = [
     # the session cache; min-of-5 prices the steady-state probe — the
     # sub-second shape the BASELINE round-7 note refers to)
     "rotation_store_serve",
+    # late-r7 additions (outside the comparable subsets), all fully
+    # oracle-checked rows: the residual IVF-PQ parquet serving
+    # composition (store write + pruned ADC probe + rescore), the
+    # filtered probe (predicate inside the pruned scan), and the
+    # trained quality classifier (training paid in trial 1 via the
+    # session cache; min-of-5 prices the map-side scoring pass)
+    "ivfpq_fixed",
+    "ann_filtered_fixed",
+    "text_quality_classifier",
 ]
 
 

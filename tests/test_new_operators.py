@@ -5,6 +5,7 @@ hashes) or that deserve an independent brute-force check."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
@@ -1007,3 +1008,73 @@ def test_quality_classifier_distills_the_heuristic_gate(spark, sf_oracle):
     ).collect()[0]
     assert rep.n == docs.count()
     assert rep.agreement >= 0.9, rep
+
+
+def test_bloom_decontamination_equals_exact(spark, sf_smoke):
+    """decontaminate_bloom is answer-preserving: no false negatives
+    (Bloom) + exact verify of survivors == row-for-row equality with
+    the exact path, including n_windows (counted BEFORE the prefilter)."""
+    from ydb_vector_search_demo_spark.operators import dedup
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    corp = docs.filter(F.col("doc_id") >= 20)
+    exact = sorted(map(tuple, dedup.decontaminate(corp, bench, n=8).collect()))
+    bloom = sorted(
+        map(tuple, dedup.decontaminate_bloom(corp, bench, n=8).collect())
+    )
+    assert exact == bloom
+    assert any(r[3] for r in exact)  # the law is non-vacuous at smoke SF
+
+
+def test_bloom_has_no_false_negatives(spark, sf_smoke):
+    """Every benchmark window hash passes its own Bloom filter — the
+    property the answer-preservation argument rests on — and a tiny
+    filter still flags planted contamination (correctness does not
+    depend on fpp tuning, only cost does)."""
+    from ydb_vector_search_demo_spark.operators import dedup
+    from ydb_vector_search_demo_spark.operators.dedup import (
+        bloom_test,
+        build_bloom,
+        tokens,
+        word_shingles,
+    )
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    words = build_bloom(bench, n=8, m_bits=1 << 12)
+    bench_h = bench.select(
+        F.explode(
+            F.when(
+                F.size(tokens(F.col("text"))) >= 8,
+                F.transform(word_shingles(F.col("text"), 8), F.md5),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("h")
+    )
+    n_total = bench_h.count()
+    n_pass = bench_h.filter(bloom_test(F.col("h"), words)).count()
+    assert n_total > 0 and n_pass == n_total
+
+    plant = bench.select((F.col("doc_id") + 90000).alias("doc_id"), "text")
+    corp = (
+        docs.filter(F.col("doc_id") >= 20)
+        .select("doc_id", "text")
+        .unionByName(plant)
+    )
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in dedup.decontaminate_bloom(
+            corp, bench, n=8, m_bits=1 << 12
+        ).collect()
+    }
+    planted = [d for d in out if d >= 90000]
+    assert planted and all(out[d] for d in planted)
+
+
+def test_bloom_build_rejects_bad_m_bits():
+    from ydb_vector_search_demo_spark.operators import dedup
+
+    with pytest.raises(ValueError, match="power of two"):
+        dedup.build_bloom(None, m_bits=100)

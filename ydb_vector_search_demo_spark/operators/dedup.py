@@ -1280,3 +1280,181 @@ def decontaminate(
         F.coalesce("hit_windows", F.lit(0)).alias("hit_windows"),
         (F.coalesce("hit_windows", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def _bloom_positions(hcol: Column, m_bits: int, k: int, seed: int) -> list[Column]:
+    """k double-hashing bit positions (Kirsch & Mitzenmacher 2006:
+    g_i = h1 + i*h2 simulates k independent hashes) over xxhash64 of
+    the window-hash key; ``m_bits`` must be a power of two so the
+    modulo is a mask and positions stay non-negative."""
+    # Mask both hashes to [0, m) BEFORE combining: unmasked h1 + i*h2
+    # overflows long under ANSI mode, and a masked odd stride is the
+    # standard power-of-two double-hashing form (stride coprime with m,
+    # so the k positions never collapse onto one bit).
+    h1 = F.xxhash64(hcol, F.lit(seed)).bitwiseAND(F.lit(m_bits - 1))
+    h2 = F.xxhash64(hcol, F.lit(seed + 1)).bitwiseAND(F.lit(m_bits - 1)).bitwiseOR(
+        F.lit(1)
+    )
+    return [(h1 + F.lit(i) * h2).bitwiseAND(F.lit(m_bits - 1)) for i in range(k)]
+
+
+def build_bloom(
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    m_bits: int = 1 << 17,
+    k: int = 5,
+    seed: int = 41,
+    hash_fn=None,
+) -> list[int]:
+    """Distributed Bloom-filter build over the benchmark's distinct
+    n-token window hashes: positions are computed per window, packed 32
+    bits per word with a keyed ``bit_or`` (map-side partial agg), and
+    only the finished word table — m_bits/32 longs, a few hundred KB at
+    most — is collected. The collect is bounded by the CONSTANT m_bits
+    regardless of benchmark size (the codebook-collect convention), so
+    the build scales to arbitrarily large eval suites."""
+    if m_bits & (m_bits - 1) or m_bits < 64:
+        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
+    if hash_fn is None:
+        hash_fn = F.md5
+    bench_h = (
+        benchmark.select(
+            F.explode(
+                F.when(
+                    F.size(tokens(F.col(text_col))) >= n,
+                    F.transform(
+                        word_shingles(F.col(text_col), n), lambda w: hash_fn(w)
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("_h")
+        )
+        .distinct()
+    )
+    pos = bench_h.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col("_h"), m_bits, k, seed))
+        ).alias("p")
+    )
+    words = pos.select(
+        F.floor(F.col("p") / F.lit(32)).cast("int").alias("w"),
+        # 2^bit as a long mask; pow is exact for bit <= 31 and a Column
+        # shift amount is not expressible via shiftleft (int-only arg)
+        F.pow(F.lit(2.0), (F.col("p") % 32).cast("double"))
+        .cast("long")
+        .alias("m"),
+    )
+    packed = {
+        r["w"]: r["bits"]
+        for r in words.groupBy("w").agg(F.bit_or("m").alias("bits")).collect()
+    }
+    return [packed.get(w, 0) for w in range(m_bits // 32)]
+
+
+def bloom_test(
+    hcol: Column, bloom_words: list[int], k: int = 5, seed: int = 41
+) -> Column:
+    """True iff every one of the k Bloom bits for this window hash is
+    set — pure Column arithmetic against the word table inlined as an
+    array<long> plan literal (32 bits per word keeps every word
+    positive, so floor-division by 2^bit is an exact logical shift in
+    double arithmetic; a Column shift amount is not expressible via
+    shiftrightunsigned). Usable inside higher-order lambdas
+    (F.filter over the per-document window array)."""
+    m_bits = len(bloom_words) * 32
+    lit = F.lit(bloom_words)
+    cond = None
+    for p in _bloom_positions(hcol, m_bits, k, seed):
+        word = F.element_at(lit, F.floor(p / F.lit(32)).cast("int") + 1)
+        bit = (p % 32).cast("double")
+        is_set = (
+            F.floor(word / F.pow(F.lit(2.0), bit)).cast("long") % 2 == 1
+        )
+        cond = is_set if cond is None else (cond & is_set)
+    return cond
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 17,
+    k: int = 5,
+    seed: int = 41,
+    hash_fn=None,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom prefilter — the 100 TB shape
+    of the eval-overlap sweep. The exact path broadcasts the FULL
+    distinct eval window-hash table; at real eval-suite scale (hundreds
+    of benchmarks, tens of millions of windows) that broadcast is
+    hundreds of MB per executor. Here the corpus probes a ~m_bits/8-
+    byte Bloom word table first (plan literal, one copy per plan, no
+    broadcast exchange), and only SURVIVING windows — exact hits plus
+    the fpp tail — are exploded and verified against the exact table,
+    so both the broadcast bytes and the exploded row count drop by
+    orders of magnitude while the corpus still never shuffles.
+
+    ANSWER-PRESERVING by construction: a Bloom filter has no false
+    negatives, every exact hit survives the prefilter, and the exact
+    verify removes every false positive — so the output is row-for-row
+    identical to :func:`decontaminate` (pinned in tests and by the
+    catalog row's DuckDB oracle, which replays the EXACT semantics).
+    Per-document window totals are computed map-side BEFORE the
+    prefilter, so n_windows counts all windows, not survivors."""
+    if hash_fn is None:
+        hash_fn = F.md5
+    bloom = build_bloom(
+        benchmark, n=n, text_col=text_col, m_bits=m_bits, k=k, seed=seed,
+        hash_fn=hash_fn,
+    )
+    bench_h = (
+        benchmark.select(
+            F.explode(
+                F.when(
+                    F.size(tokens(F.col(text_col))) >= n,
+                    F.transform(
+                        word_shingles(F.col(text_col), n), lambda w: hash_fn(w)
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("_h")
+        )
+        .distinct()
+    )
+    corpus = fan_out(corpus)
+    toks = tokens(F.col(text_col))
+    wins = F.transform(word_shingles(F.col(text_col), n), lambda w: hash_fn(w))
+    per = corpus.select(
+        F.col(id_col),
+        F.when(F.size(toks) >= n, wins)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_wins"),
+    ).select(
+        id_col,
+        F.size("_wins").alias("_nw"),
+        F.filter(
+            "_wins", lambda h: bloom_test(h, bloom, k=k, seed=seed)
+        ).alias("_cand"),
+    )
+    exploded = per.select(
+        id_col, "_nw", F.explode_outer("_cand").alias("_h")
+    )
+    hits = (
+        exploded.join(
+            F.broadcast(bench_h.withColumn("_hit", F.lit(1))),
+            on="_h",
+            how="left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max("_nw").alias("n_windows"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hit_windows"),
+        )
+    )
+    return hits.select(
+        id_col,
+        F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+        F.coalesce("hit_windows", F.lit(0)).alias("hit_windows"),
+        (F.coalesce("hit_windows", F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -5619,9 +5619,11 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_N = 8  # testdata docs are short; production default is 13
 
 
-@register(
-    "corpus_decontamination_stats",
-    f"""
+# Shared by corpus_decontamination_stats and its Bloom-prefiltered
+# twin: the Bloom stage is answer-preserving (no false negatives +
+# exact verify of survivors), so BOTH rows replay the same exact
+# semantics in DuckDB.
+_DECON_STATS_SQL = f"""
     WITH bench AS (SELECT text FROM documents WHERE doc_id < 20),
     corp AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
     bh AS (
@@ -5656,8 +5658,10 @@ _DECON_N = 8  # testdata docs are short; production default is 13
            CAST(sum(n_windows) AS BIGINT) AS total_windows,
            CAST(sum(hit_windows) AS BIGINT) AS total_hits
     FROM per
-    """,
-)
+    """
+
+
+@register("corpus_decontamination_stats", _DECON_STATS_SQL)
 def q_corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators.dedup.decontaminate, the
     GPT-3 13-gram overlap rule — 8 here, sized to the short synthetic
@@ -5670,6 +5674,36 @@ def q_corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") < 20)
     corp = docs.filter(F.col("doc_id") >= 20)
     per = dedup.decontaminate(corp, bench, n=_DECON_N)
+    return per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("contaminated"), 1).otherwise(0)).alias(
+            "n_contaminated"
+        ),
+        F.sum("n_windows").cast("bigint").alias("total_windows"),
+        F.sum("hit_windows").cast("bigint").alias("total_hits"),
+    )
+
+
+@register("corpus_decontamination_bloom", _DECON_STATS_SQL)
+def q_corpus_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_decontamination_stats through the Bloom-prefiltered scale
+    path (operators.dedup.decontaminate_bloom): the corpus probes a
+    ~16 KB packed word table (plan literal, Kirsch-Mitzenmacher double
+    hashing over xxhash64, k=5, m=2^17) instead of broadcasting the
+    full distinct eval window-hash table, and only surviving windows
+    are exploded into the exact verify — at real eval-suite scale
+    (tens of millions of windows) both the broadcast bytes and the
+    exploded row count drop by orders of magnitude; the corpus never
+    shuffles either way. ANSWER-PRESERVING: Bloom filters have no
+    false negatives and the exact verify removes false positives, so
+    this row shares corpus_decontamination_stats' oracle verbatim —
+    DuckDB replays the exact semantics and the engine must reproduce
+    them THROUGH the probabilistic prefilter (equality + planted-
+    contamination laws in tests/test_new_operators.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    corp = docs.filter(F.col("doc_id") >= 20)
+    per = dedup.decontaminate_bloom(corp, bench, n=_DECON_N)
     return per.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("contaminated"), 1).otherwise(0)).alias(
