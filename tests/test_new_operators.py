@@ -1078,3 +1078,61 @@ def test_bloom_build_rejects_bad_m_bits():
 
     with pytest.raises(ValueError, match="power of two"):
         dedup.build_bloom(None, m_bits=100)
+
+
+def test_bloom_union_is_wordwise_or(spark, sf_smoke):
+    """build_bloom(A ∪ B) == merge_blooms(build(A), build(B)) exactly —
+    the law that makes eval-suite appends incremental."""
+    from ydb_vector_search_demo_spark.operators import dedup
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    a = docs.filter(F.col("doc_id") < 10)
+    b = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+    both = docs.filter(F.col("doc_id") < 20)
+    m = 1 << 12
+    wa = dedup.build_bloom(a, n=8, m_bits=m)
+    wb = dedup.build_bloom(b, n=8, m_bits=m)
+    wu = dedup.build_bloom(both, n=8, m_bits=m)
+    assert dedup.merge_blooms(wa, wb) == wu
+    with pytest.raises(ValueError, match="differ in size"):
+        dedup.merge_blooms(wa, wa + [0])
+
+
+def test_streaming_decontamination_equals_batch(spark):
+    """The catalog's streaming row equals the batch bloom path (and so
+    the exact path) per document on the same corpus."""
+    import __spark_entry__ as m
+
+    sf = SF_SMOKE
+    stream_out = sorted(
+        map(tuple, m.queries()["streaming_decontamination"](spark, sf).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            m.queries()["corpus_decontamination_bloom"](spark, sf).collect(),
+        )
+    )
+    # batch row is the one-row stats; recompute per-doc for comparison
+    from ydb_vector_search_demo_spark.operators import dedup
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    corp = docs.filter(F.col("doc_id") >= 20)
+    per = sorted(
+        map(
+            tuple,
+            dedup.decontaminate_bloom(corp, bench, n=8)
+            .select(
+                "doc_id",
+                F.col("n_windows").cast("bigint"),
+                F.col("hit_windows").cast("bigint"),
+                "contaminated",
+            )
+            .collect(),
+        )
+    )
+    assert stream_out == per
+    assert len(batch) == 1

@@ -1458,3 +1458,18 @@ def decontaminate_bloom(
         F.coalesce("hit_windows", F.lit(0)).alias("hit_windows"),
         (F.coalesce("hit_windows", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def merge_blooms(a: list[int], b: list[int]) -> list[int]:
+    """Union two Bloom word tables built with the SAME (m_bits, k,
+    seed): bit positions depend only on the window hash and those
+    parameters, so the filter over the union of two eval suites is
+    EXACTLY the word-wise OR of their filters (law pinned in tests) —
+    eval-suite appends never rebuild over the full corpus of suites,
+    the incremental-maintenance contract of the drift/refit family."""
+    if len(a) != len(b):
+        raise ValueError(
+            f"bloom word tables differ in size: {len(a)} vs {len(b)} "
+            "(built with different m_bits?)"
+        )
+    return [x | y for x, y in zip(a, b)]

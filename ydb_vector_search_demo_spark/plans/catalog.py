@@ -5619,12 +5619,12 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_N = 8  # testdata docs are short; production default is 13
 
 
-# Shared by corpus_decontamination_stats and its Bloom-prefiltered
-# twin: the Bloom stage is answer-preserving (no false negatives +
-# exact verify of survivors), so BOTH rows replay the same exact
-# semantics in DuckDB.
-_DECON_STATS_SQL = f"""
-    WITH bench AS (SELECT text FROM documents WHERE doc_id < 20),
+# Shared by corpus_decontamination_stats, its Bloom-prefiltered twin
+# and the streaming row: the Bloom stage is answer-preserving (no
+# false negatives + exact verify of survivors) and streaming == batch
+# on the same corpus, so ALL the rows replay the same exact semantics
+# in DuckDB.
+_DECON_PER_CTES = f"""bench AS (SELECT text FROM documents WHERE doc_id < 20),
     corp AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
     bh AS (
       SELECT DISTINCT unnest(
@@ -5651,12 +5651,23 @@ _DECON_STATS_SQL = f"""
     per AS (
       SELECT cw.doc_id, len(ws) AS n_windows,
              coalesce(hit_windows, 0) AS hit_windows
-      FROM cw LEFT JOIN hitsj USING (doc_id))
+      FROM cw LEFT JOIN hitsj USING (doc_id))"""
+
+_DECON_STATS_SQL = f"""
+    WITH {_DECON_PER_CTES}
     SELECT count(*) AS n_docs,
            sum(CASE WHEN hit_windows > 0 THEN 1 ELSE 0 END)::BIGINT
              AS n_contaminated,
            CAST(sum(n_windows) AS BIGINT) AS total_windows,
            CAST(sum(hit_windows) AS BIGINT) AS total_hits
+    FROM per
+    """
+
+_DECON_PER_DOC_SQL = f"""
+    WITH {_DECON_PER_CTES}
+    SELECT doc_id, n_windows::BIGINT AS n_windows,
+           hit_windows::BIGINT AS hit_windows,
+           hit_windows > 0 AS contaminated
     FROM per
     """
 
@@ -5711,6 +5722,82 @@ def q_corpus_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFram
         ),
         F.sum("n_windows").cast("bigint").alias("total_windows"),
         F.sum("hit_windows").cast("bigint").alias("total_hits"),
+    )
+
+
+@register("streaming_decontamination", _DECON_PER_DOC_SQL)
+def q_streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination AS A STREAM — the deployment shape of the
+    eval-overlap rule: the eval suite is FIXED (Bloom word table +
+    exact hash table built once from the static bench side before the
+    stream starts), the corpus arrives as a Structured Streaming file
+    source, and each document is flagged in flight: map-side window
+    hashes → Bloom prefilter (plan-literal probe, stateless) → explode
+    ONLY survivors → stream-static broadcast join against the exact
+    table → per-document counts. NOTE the state posture: the per-doc
+    aggregation runs complete-mode (documents may straddle micro-
+    batches in general), O(corpus) state like streaming_knn_top5 —
+    with source-ordered ingest the stateless map side plus an append
+    per-batch agg is the bounded form (the running_topk pattern).
+    Oracle: per-document (doc_id, n_windows, hit_windows,
+    contaminated) — streaming == batch decontaminate_bloom == the
+    EXACT DuckDB semantics, the answer-preservation law end to end."""
+    _STREAM_COUNTER["n"] += 1
+    name = f"stream_decon_{_STREAM_COUNTER['n']}"
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    bloom = dedup.build_bloom(bench, n=_DECON_N)
+    bench_h = (
+        bench.select(
+            F.explode(
+                F.when(
+                    F.size(dedup.tokens(F.col("text"))) >= _DECON_N,
+                    F.transform(
+                        dedup.word_shingles(F.col("text"), _DECON_N), F.md5
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("_h")
+        ).distinct()
+    )
+    stream = EV.read_table_stream(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= 20
+    )
+    toks = dedup.tokens(F.col("text"))
+    wins = F.transform(dedup.word_shingles(F.col("text"), _DECON_N), F.md5)
+    per = stream.select(
+        "doc_id",
+        F.when(F.size(toks) >= _DECON_N, wins)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_wins"),
+    ).select(
+        "doc_id",
+        F.size("_wins").alias("_nw"),
+        F.filter("_wins", lambda h: dedup.bloom_test(h, bloom)).alias("_cand"),
+    )
+    exploded = per.select("doc_id", "_nw", F.explode_outer("_cand").alias("_h"))
+    hits = (
+        exploded.join(
+            F.broadcast(bench_h.withColumn("_hit", F.lit(1))), on="_h", how="left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("_nw").alias("n_windows"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hit_windows"),
+        )
+    )
+    q = (
+        hits.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "doc_id",
+        F.col("n_windows").cast("bigint").alias("n_windows"),
+        F.col("hit_windows").cast("bigint").alias("hit_windows"),
+        (F.col("hit_windows") > 0).alias("contaminated"),
     )
 
 
