@@ -1136,3 +1136,26 @@ def test_streaming_decontamination_equals_batch(spark):
     )
     assert stream_out == per
     assert len(batch) == 1
+
+
+def test_bloom_stats_tracks_fill(spark, sf_smoke):
+    from ydb_vector_search_demo_spark.operators import dedup
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    small = dedup.bloom_stats(dedup.build_bloom(bench, n=8, m_bits=1 << 12))
+    big = dedup.bloom_stats(dedup.build_bloom(bench, n=8, m_bits=1 << 17))
+    assert small["m_bits"] == 1 << 12 and big["m_bits"] == 1 << 17
+    assert 0 < big["fill_ratio"] < small["fill_ratio"] < 1
+    assert big["est_fpp"] < small["est_fpp"]
+    # the union law extends to stats: merged fill >= each part's fill
+    a = dedup.build_bloom(docs.filter(F.col("doc_id") < 10), n=8, m_bits=1 << 12)
+    b = dedup.build_bloom(
+        docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)),
+        n=8, m_bits=1 << 12,
+    )
+    merged = dedup.bloom_stats(dedup.merge_blooms(a, b))
+    assert merged["set_bits"] >= max(
+        dedup.bloom_stats(a)["set_bits"], dedup.bloom_stats(b)["set_bits"]
+    )

@@ -1473,3 +1473,21 @@ def merge_blooms(a: list[int], b: list[int]) -> list[int]:
             "(built with different m_bits?)"
         )
     return [x | y for x, y in zip(a, b)]
+
+
+def bloom_stats(words: list[int], k: int = 5) -> dict:
+    """Health metrics for a Bloom word table — the maintenance view of
+    the sketch (the drift-report convention: cells, codebooks,
+    postings, token dists, basis, and now the filter): bit fill ratio
+    and the standard fpp estimate fill^k. A filter past ~50% fill has
+    outgrown its m_bits (fpp ≈ 3% at k=5) — rebuild wider or shard by
+    eval-suite family before the prefilter stops paying for itself."""
+    m_bits = len(words) * 32
+    set_bits = sum(bin(w & 0xFFFFFFFF).count("1") for w in words)
+    fill = set_bits / m_bits
+    return {
+        "m_bits": m_bits,
+        "set_bits": set_bits,
+        "fill_ratio": round(fill, 6),
+        "est_fpp": round(fill**k, 6),
+    }
