@@ -1351,25 +1351,47 @@ def build_bloom(
     return [packed.get(w, 0) for w in range(m_bits // 32)]
 
 
+def _bloom_bytes(bloom_words: list[int]) -> bytes:
+    """The word table re-laid as a flat byte string, each word
+    little-endian, so filter bit p lives at bit ``p % 8`` of byte
+    ``p // 8`` and the whole filter is ONE binary plan literal.
+
+    Why this encoding (both alternatives measured on the sf0.1
+    wide-split A/B, BASELINE r7): an ``array<long>`` literal is a
+    CreateArray of m/32 children that codegen rebuilds PER ROW — a
+    2^21-bit filter probed over the corpus measured 60 s vs 2.4 s for
+    the exact path. A flat STRING literal (one hex nibble per char)
+    is a true constant, but ``Substring`` on StringType counts
+    UTF-8 characters from byte 0 on every call — O(position) — and a
+    512 KB table turned the probe stage into a multi-minute scan. On
+    BinaryType, ``Substring`` is a direct arraycopy at the requested
+    offset: O(1) per probe, and the literal is a constant byte[]
+    reference in the generated code."""
+    out = bytearray()
+    for w in bloom_words:
+        out += int(w).to_bytes(8, "little")[:4]
+    return bytes(out)
+
+
 def bloom_test(
     hcol: Column, bloom_words: list[int], k: int = 5, seed: int = 41
 ) -> Column:
     """True iff every one of the k Bloom bits for this window hash is
-    set — pure Column arithmetic against the word table inlined as an
-    array<long> plan literal (32 bits per word keeps every word
-    positive, so floor-division by 2^bit is an exact logical shift in
-    double arithmetic; a Column shift amount is not expressible via
-    shiftrightunsigned). Usable inside higher-order lambdas
-    (F.filter over the per-document window array)."""
+    set — pure Column arithmetic against the byte-table binary
+    literal (:func:`_bloom_bytes`): per probe, one Column-positioned
+    ``substr`` slicing a single byte (a Column shift/index is
+    expressible neither via shiftrightunsigned nor
+    element_at-on-folded-array, see _bloom_bytes), one ``hex``+
+    ``conv`` of that byte, and a ``getbit`` test. Usable inside
+    higher-order lambdas (F.filter over the per-document window
+    array)."""
     m_bits = len(bloom_words) * 32
-    lit = F.lit(bloom_words)
+    table = F.lit(_bloom_bytes(bloom_words))
     cond = None
     for p in _bloom_positions(hcol, m_bits, k, seed):
-        word = F.element_at(lit, F.floor(p / F.lit(32)).cast("int") + 1)
-        bit = (p % 32).cast("double")
-        is_set = (
-            F.floor(word / F.pow(F.lit(2.0), bit)).cast("long") % 2 == 1
-        )
+        byte = table.substr(F.floor(p / F.lit(8)).cast("int") + 1, F.lit(1))
+        val = F.conv(F.hex(byte), 16, 10).cast("int")
+        is_set = F.getbit(val, p % 8) == 1
         cond = is_set if cond is None else (cond & is_set)
     return cond
 
@@ -1401,8 +1423,23 @@ def decontaminate_bloom(
     verify removes every false positive — so the output is row-for-row
     identical to :func:`decontaminate` (pinned in tests and by the
     catalog row's DuckDB oracle, which replays the EXACT semantics).
-    Per-document window totals are computed map-side BEFORE the
-    prefilter, so n_windows counts all windows, not survivors."""
+    Per-document window totals are computed map-side from the window
+    array, so n_windows counts all windows, not survivors.
+
+    Plan shape note: the probe runs as a codegen'd WHERE on the
+    exploded window rows (an F.filter lambda over the window array is
+    evaluated interpreted; the two forms measured within ~15% of each
+    other on the sf0.1 wide-split A/B once the byte-table encoding
+    made the probe O(1), BASELINE r7). Honest cost accounting at test
+    scale: the probe's ~30 expression evals per window make this
+    ~2× the exact path's wall-clock at sf0.1, where the exact
+    broadcast hash relation is small and cheap — the Bloom's value is
+    at eval-suite scale, where the exact side stops being
+    broadcastable and :func:`decontaminate` must shuffle EVERY corpus
+    window; here only the survivors (true hits + ~0.1% false
+    positives) reach the verify join, so the join input collapses
+    from O(corpus windows) to O(hits). The explode itself is map-side
+    row generation with no shuffle."""
     if hash_fn is None:
         hash_fn = F.md5
     bloom = build_bloom(
@@ -1430,33 +1467,22 @@ def decontaminate_bloom(
         F.when(F.size(toks) >= n, wins)
         .otherwise(F.array().cast("array<string>"))
         .alias("_wins"),
-    ).select(
-        id_col,
-        F.size("_wins").alias("_nw"),
-        F.filter(
-            "_wins", lambda h: bloom_test(h, bloom, k=k, seed=seed)
-        ).alias("_cand"),
     )
-    exploded = per.select(
-        id_col, "_nw", F.explode_outer("_cand").alias("_h")
+    base = per.select(id_col, F.size("_wins").alias("_nw"))
+    surv = (
+        per.select(id_col, F.explode("_wins").alias("_h"))
+        .where(bloom_test(F.col("_h"), bloom, k=k, seed=seed))
     )
     hits = (
-        exploded.join(
-            F.broadcast(bench_h.withColumn("_hit", F.lit(1))),
-            on="_h",
-            how="left",
-        )
+        surv.join(F.broadcast(bench_h), on="_h", how="inner")
         .groupBy(id_col)
-        .agg(
-            F.max("_nw").alias("n_windows"),
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hit_windows"),
-        )
+        .agg(F.count(F.lit(1)).alias("_hits"))
     )
-    return hits.select(
+    return base.join(hits, on=id_col, how="left").select(
         id_col,
-        F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
-        F.coalesce("hit_windows", F.lit(0)).alias("hit_windows"),
-        (F.coalesce("hit_windows", F.lit(0)) > 0).alias("contaminated"),
+        F.col("_nw").alias("n_windows"),
+        F.coalesce("_hits", F.lit(0)).alias("hit_windows"),
+        (F.coalesce("_hits", F.lit(0)) > 0).alias("contaminated"),
     )
 
 
