@@ -6559,6 +6559,78 @@ def q_ann_knn_graph_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_fixed_oracle_sql() -> str:
+    """Full DuckDB twin of the SemDeDup decision under PINNED cell
+    centroids: nearest-Euclidean-centroid assignment (the proven
+    ann_ivf_fixed CTE — list_position of list_min matches
+    ann.ivf_assign's array_position-of-array_min first-minimum tie
+    break), within-cell cosine >= 1-eps pairs, WITH RECURSIVE
+    transitive closure, min-id keeper — the entire keep/drop chain
+    recomputed independently per vector."""
+    dists = (
+        "list_transform(["
+        + ",".join(_vec_sql(c) for c in _IVF_FIXED_CENTS)
+        + "], c -> list_sum(list_transform(list_zip(v, c),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))))"
+    )
+    return f"""
+    WITH RECURSIVE a AS (
+      SELECT vec_id, v, list_position(d, list_min(d)) - 1 AS cell
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v, {dists} AS d
+            FROM embeddings)
+    ),
+    jp AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE list_cosine_similarity(x.v, y.v) >= 0.5
+    ),
+    edges AS (SELECT a AS x, b AS y FROM jp UNION SELECT b, a FROM jp),
+    reach(x, y) AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e2.y FROM reach r JOIN edges e2 ON r.y = e2.x
+    ),
+    comp AS (
+      SELECT e.vec_id,
+             least(e.vec_id, coalesce(min(r.y), e.vec_id)) AS cluster_id
+      FROM a e LEFT JOIN reach r ON r.x = e.vec_id
+      GROUP BY e.vec_id
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM comp GROUP BY cluster_id)
+    SELECT c.vec_id, c.cluster_id, s.cluster_size,
+           c.vec_id = c.cluster_id AS is_canonical
+    FROM comp c JOIN sizes s USING (cluster_id)
+    """
+
+
+@register("dedup_semantic_fixed", _semantic_fixed_oracle_sql())
+def q_dedup_semantic_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's keep/drop decision under ONE full DuckDB oracle —
+    the pinned-determinization twin of dedup_semantic_stats (Abbas et
+    al. 2023; curation.semantic_dedup): with the cell centroids PINNED
+    to the ann_ivf_fixed literals, the whole chain — Euclidean cell
+    assignment (ann.ivf_assign), within-cell cosine >= 1-eps pair
+    generation (dedup.semantic_near_dup_pairs_bucketed, n²/k never
+    all-pairs), one-shuffle bucket-local union-find
+    (curation.dedup_clusters_bucketed), min-id canonical keeper — is
+    recomputed end to end by DuckDB per VECTOR (the stats row checks
+    only four aggregate numbers; this checks every individual
+    keep/drop decision the training pipeline acts on). The fixture
+    eps is 0.5 — the synthetic embeddings are near-orthogonal (max
+    within-cell cosine 0.51/0.60 at sf0.01/sf0.1), so a production-
+    tight eps yields zero pairs and would leave the pair + closure
+    stages unexercised; at 0.5 real multi-member clusters form at
+    both SFs with no cosine near enough the threshold for a last-ulp
+    engine difference to flip membership. The KMeans-fit production
+    variant stays rows-only beside it with its planted-duplicate
+    recovery tests."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    embs = _t(spark, sf_dir, "embeddings")
+    return curation.semantic_dedup(embs, _IVF_FIXED_CENTS, eps=0.5)
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
