@@ -109,6 +109,10 @@ HEADLINE = [
     "ivfpq_fixed",
     "ann_filtered_fixed",
     "text_quality_classifier",
+    # graph-ANN serving (outside the comparable subsets): beam search
+    # over the pinned-bucket kNN graph — graph build + 3-query batch,
+    # 3 hops, fully oracle-checked (ann_graph_fixed)
+    "ann_graph_fixed",
 ]
 
 

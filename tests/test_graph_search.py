@@ -1,0 +1,143 @@
+"""Laws for graph-ANN serving (operators.ann.graph_search):
+
+1. Exhaustive law — on the COMPLETE graph with beam >= n and one hop,
+   beam search degenerates to exact KNN, so its top-k must equal
+   batch_knn's bit for bit (same (score, id) tie-break contract).
+2. Exact-dedup law — no (query_id, vec_id) is ever scored twice across
+   entry scoring and all expansion rounds (the visited anti-join).
+3. Monotone-coverage law — the visited set only grows with rounds, so
+   adding a hop can never lose a result the shorter search had.
+4. The catalog row's oracle parity (ann_graph_fixed) is covered by the
+   parametrized sweep in test_oracle_parity; the production-graph
+   recall report is smoke-checked in test_query_smoke.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from ydb_vector_search_demo_spark.operators import ann
+from ydb_vector_search_demo_spark.operators.knn import batch_knn
+from ydb_vector_search_demo_spark.pipeline import rag
+from ydb_vector_search_demo_spark.sources.tables import load_table
+
+
+def _queries(spark):
+    vecs = [rag.embed_query_stub(w) for w in ("graph", "beam", "hop")]
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "query_id INT, query_vec ARRAY<DOUBLE>",
+    )
+
+
+def _complete_graph(embs):
+    """One global bucket + k=n-1 == the complete directed graph."""
+    n = embs.count()
+    return ann.knn_graph_bucketed(
+        embs.withColumn("_one", F.lit(0)), "_one", k=n - 1,
+    ).select("src", "dst"), n
+
+
+def test_exhaustive_beam_search_equals_exact_knn(spark):
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    graph, n = _complete_graph(embs)
+    q = _queries(spark)
+    got = ann.graph_search(
+        graph, embs, q, entry_ids=[0], k=5, beam=n, rounds=1,
+    ).collect()
+    want = batch_knn(q, embs, k=5, metric="cosine").collect()
+    g = sorted((r["query_id"], r["rank"], r["vec_id"], r["score"]) for r in got)
+    w = sorted((r["query_id"], r["rank"], r["vec_id"], r["score"]) for r in want)
+    assert g == w
+
+
+def test_visited_set_never_scores_a_node_twice(spark):
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    graph, n = _complete_graph(embs)
+    visited = ann.graph_search_visited(
+        graph, embs, _queries(spark), entry_ids=[0, 1], beam=4, rounds=3,
+    )
+    dupes = (
+        visited.groupBy("query_id", "vec_id")
+        .count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0
+
+
+def test_visited_monotone_in_rounds(spark):
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    graph, _ = _complete_graph(embs)
+    q = _queries(spark)
+
+    def vset(rounds):
+        return {
+            (r["query_id"], r["vec_id"])
+            for r in ann.graph_search_visited(
+                graph, embs, q, entry_ids=[0], beam=3, rounds=rounds
+            ).collect()
+        }
+
+    v1, v2 = vset(1), vset(2)
+    assert v1 <= v2
+
+
+def test_graph_search_deterministic(spark):
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    graph, _ = _complete_graph(embs)
+    q = _queries(spark)
+
+    def run():
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"], r["score"])
+            for r in ann.graph_search(
+                graph, embs, q, entry_ids=[0, 1, 2], k=5, beam=4, rounds=2
+            ).collect()
+        )
+
+    assert run() == run()
+
+
+def test_graph_append_planted_twin_links_both_ways(spark):
+    """HNSW-insert law: appending an exact copy of a corpus vector must
+    (a) give the new node its twin as the rank-1 out-edge at distance
+    ~0, and (b) push the new node to the TOP of the twin's re-pruned
+    adjacency list (the reverse link displaces a worse old edge)."""
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    scored_graph = ann.knn_graph_bucketed(
+        embs.withColumn("_one", F.lit(0)), "_one", k=4,
+    ).select("src", "dst", "score")
+    twin_src = embs.filter(F.col("vec_id") == 7).collect()[0]
+    new = spark.createDataFrame(
+        [(100000, list(twin_src["embedding"]))],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    out = ann.graph_append(
+        scored_graph, embs, new, entry_ids=[0, 1], degree=4, beam=8,
+        rounds=4,
+    ).collect()
+    new_edges = sorted(
+        (r["rank"], r["dst"], r["score"]) for r in out if r["src"] == 100000
+    )
+    assert new_edges[0][1] == 7 and new_edges[0][2] < 1e-9
+    twin_edges = sorted(
+        (r["rank"], r["dst"]) for r in out if r["src"] == 7
+    )
+    assert twin_edges[0][1] == 100000, "reverse link must win the re-prune"
+
+
+def test_graph_append_degree_bound_holds_everywhere(spark):
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = embs.filter(F.col("vec_id") % 10 != 0)
+    newb = embs.filter(F.col("vec_id") % 10 == 0)
+    corpus_graph = ann.knn_graph_bucketed(
+        corpus.withColumn("_one", F.lit(0)), "_one", k=4,
+    ).select("src", "dst", "score")
+    out = ann.graph_append(
+        corpus_graph, corpus, newb, entry_ids=[1, 2], degree=4, beam=8,
+        rounds=3,
+    )
+    over = (
+        out.groupBy("src").count().filter(F.col("count") > 4).count()
+    )
+    assert over == 0

@@ -235,3 +235,16 @@ def test_rotation_store_serve_reads_prefix_store_only_for_coarse(spark):
     assert "prefix" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_graph_search_big_sides_never_shuffle(spark):
+    """Graph serving (ann_graph_fixed): every frontier/candidate/visited
+    set is broadcast-sized by construction, so the edge list and the
+    vector store must only ever be the probe side of broadcast joins —
+    no SortMergeJoin, no cartesian anywhere in the multi-round plan.
+    The only exchanges allowed are the per-query window cuts."""
+    plan = plan_of(spark, "ann_graph_fixed")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -31,6 +31,7 @@ def test_rows_only_set_is_intentional():
     assert ROWS_ONLY == [
         "ann_batch_recall",
         "ann_filtered_recall",
+        "ann_graph_search_recall",
         "ann_ivf_build",
         "ann_ivf_recall",
         "ann_ivf_recall_sweep",

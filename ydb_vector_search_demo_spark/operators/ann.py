@@ -2013,3 +2013,279 @@ def knn_graph_improvement_report(
         "variant STRING, n_sources INT, k INT, mean_recall DOUBLE, "
         "min_recall DOUBLE",
     )
+
+
+def graph_search_visited(
+    graph: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    entry_ids: Sequence[int],
+    beam: int = 8,
+    rounds: int = 3,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Synchronous beam search over a kNN graph — the full VISITED set.
+
+    The query-time half of the graph-ANN family (the HNSW/NSG serving
+    idea re-expressed as bounded dataflow): start from fixed entry
+    nodes, then for ``rounds`` synchronous hops expand the per-query
+    frontier along graph edges, score the newly reached nodes against
+    the query, and keep the ``beam`` best new nodes as the next
+    frontier. Returns every (query_id, vec_id, score) ever scored;
+    :func:`graph_search` applies the final top-k cut.
+
+    Scale shape (the reason this is NOT a driver-side traversal): the
+    frontier, candidate and visited sets are all bounded by
+    Q x beam x degree x rounds — broadcast-sized by construction — so
+    every join here broadcasts the SMALL side and the two big tables
+    (the edge list and the vector store) are only ever the probe side
+    of a broadcast-hash join: no shuffle of either, ever. Per round
+    the big tables are each touched once; at 100 TB store both
+    bucketed/sorted by id so the point-fetch joins prune files via
+    min/max stats instead of scanning. ``rounds`` is the only
+    sequential factor, exactly like the nprobe ladder prices IVF.
+
+    Determinism contract (what the DuckDB oracle replays): candidate
+    sets are exact-deduped, already-visited nodes are dropped before
+    scoring, and every cut ranks by (score asc nulls last, id asc) —
+    no RNG, no iteration-order dependence.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select("query_id", "query_vec")
+    emb = embeddings.select(
+        F.col(id_col).alias("__gid"), F.col(vector_col).alias("__gv")
+    )
+    score = distance(F.col("__gv"), F.col("query_vec"), metric)
+    entries = emb.filter(F.col("__gid").isin([int(i) for i in entry_ids]))
+    visited = (
+        entries.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("__gid").alias("vec_id"),
+            score.alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc_nulls_last(), F.col("vec_id").asc()
+    )
+    frontier = (
+        visited.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(beam))
+        .select("query_id", "vec_id")
+    )
+    edges = graph.select("src", "dst")
+    for _ in range(int(rounds)):
+        cand = (
+            edges.join(
+                F.broadcast(frontier), edges.src == frontier.vec_id
+            )
+            .select("query_id", F.col("dst").alias("vec_id"))
+            .distinct()
+            .join(
+                F.broadcast(visited.select("query_id", "vec_id")),
+                ["query_id", "vec_id"],
+                "left_anti",
+            )
+        )
+        scored = (
+            emb.join(F.broadcast(cand), emb.__gid == cand.vec_id)
+            .join(F.broadcast(q), "query_id")
+            .select("query_id", "vec_id", score.alias("score"))
+        )
+        visited = visited.unionByName(scored)
+        frontier = (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= int(beam))
+            .select("query_id", "vec_id")
+        )
+    return visited
+
+
+def graph_search(
+    graph: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    entry_ids: Sequence[int],
+    k: int = 5,
+    beam: int = 8,
+    rounds: int = 3,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Top-k graph-ANN serving: beam search over a prebuilt kNN graph.
+
+    Completes the serving matrix next to ivf_search_parquet /
+    tree_search_parquet / the LSH probes: same (query_id, vec_id,
+    score, rank) contract as batch_knn, same (score, id) tie-break,
+    score raw (callers round for display). The reference runs with its
+    index disabled (app.py:37); this is the graph member of the index
+    family it would enable. See :func:`graph_search_visited` for the
+    dataflow and scale argument.
+    """
+    from pyspark.sql import Window
+
+    visited = graph_search_visited(
+        graph, embeddings, queries, entry_ids, beam=beam, rounds=rounds,
+        metric=metric, id_col=id_col, vector_col=vector_col,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc_nulls_last(), F.col("vec_id").asc()
+    )
+    return (
+        visited.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "vec_id", "score", F.col("rank").cast("int"))
+    )
+
+
+def graph_search_recall(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    k: int = 5,
+    beam: int = 8,
+    rounds: int = 3,
+    degree: int = 8,
+    k_clusters: int = 8,
+    nprobe: int = 2,
+    n_queries: int = 20,
+    n_entries: int = 4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    cache_key: object | None = None,
+) -> DataFrame:
+    """Recall report for graph-ANN SERVING (not graph construction —
+    that is knn_graph_recall's job): mean/min recall@k of
+    :func:`graph_search` over the multi-probe kNN graph vs the exact
+    answer, for ``n_queries`` deterministic sample queries (lowest
+    ids, self-match excluded on both sides), plus the mean visited-set
+    size — the honest price tag: recall bought per node scored, the
+    graph analogue of the nprobe ladder. Exact baseline is ONE
+    batch_knn pass via _exact_neighbor_lists."""
+    qrows = (
+        embeddings.select(id_col, vector_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(int(n_queries))
+        .collect()
+    )
+    queries = spark.createDataFrame(
+        [(int(r[0]), [float(x) for x in r[1]]) for r in qrows],
+        "query_id BIGINT, query_vec ARRAY<DOUBLE>",
+    )
+    index = get_or_build_ivf_index(
+        embeddings, k_clusters=k_clusters, cache_key=cache_key,
+        id_col=id_col, vector_col=vector_col,
+    )
+    graph = knn_graph_multiprobe(
+        embeddings, k=degree, nprobe=nprobe, metric=metric,
+        id_col=id_col, vector_col=vector_col, index=index,
+    ).select("src", "dst")
+    entry_ids = [int(r[0]) for r in qrows[: int(n_entries)]]
+    visited = graph_search_visited(
+        graph, embeddings, queries, entry_ids, beam=beam, rounds=rounds,
+        metric=metric, id_col=id_col, vector_col=vector_col,
+    ).collect()  # bounded: n_queries x (entries + beam*degree*rounds)
+    exact = _exact_neighbor_lists(
+        embeddings, qrows, k, metric, id_col, vector_col
+    )
+    per_q: dict[int, list[tuple[float, int]]] = {}
+    n_visited: dict[int, int] = {}
+    for r in visited:
+        qid, vid = int(r["query_id"]), int(r["vec_id"])
+        n_visited[qid] = n_visited.get(qid, 0) + 1
+        if vid != qid:  # self-match excluded, as in the exact lists
+            sc = r["score"]
+            per_q.setdefault(qid, []).append(
+                (float("inf") if sc is None else float(sc), vid)
+            )
+    recalls = []
+    for r in qrows:
+        qid = int(r[0])
+        got = [v for _, v in sorted(per_q.get(qid, []))[: int(k)]]
+        recalls.append(recall_at_k(exact[qid], got))
+    mean_visited = float(sum(n_visited.values()) / max(len(n_visited), 1))
+    return spark.createDataFrame(
+        [
+            (
+                int(len(qrows)), k, int(beam), int(rounds), int(degree),
+                float(sum(recalls) / len(recalls)), float(min(recalls)),
+                mean_visited,
+            )
+        ],
+        "n_queries INT, k INT, beam INT, rounds INT, degree INT, "
+        "mean_recall DOUBLE, min_recall DOUBLE, mean_visited DOUBLE",
+    )
+
+
+def graph_append(
+    graph_scored: DataFrame,
+    embeddings: DataFrame,
+    new_embeddings: DataFrame,
+    entry_ids: Sequence[int],
+    degree: int = 4,
+    beam: int = 8,
+    rounds: int = 3,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Incremental kNN-graph maintenance — the graph member of the
+    ingest family next to :func:`ivf_append` / :func:`tree_append`
+    (and the HNSW insert rule re-expressed as batch dataflow): each
+    NEW vector finds its ``degree`` nearest reachable nodes by beam
+    search against the FROZEN graph (one :func:`graph_search` for the
+    whole batch), gains those as out-edges plus the reverse
+    (bidirectional) links, and every adjacency list is re-pruned to
+    the best ``degree`` edges by (score, dst) — a corpus node that
+    gains a closer reverse neighbor drops its worst old edge.
+
+    ``graph_scored`` must carry (src, dst, score) under the SAME
+    metric (knn_graph_bucketed / multiprobe output); returns the full
+    updated (src, dst, score, rank) edge list. One keyed shuffle (the
+    re-prune window over the edge list) beyond the broadcast-only
+    search — the same cost class as one graph-build round, amortized
+    over the whole batch. Known batch-append semantics (documented,
+    same contract as incremental_semantic_dedup): new nodes do not
+    link to EACH OTHER — the batch searches the frozen pre-append
+    graph; run consecutive batches (or a final refine pass via
+    nn_descent) when intra-batch links matter."""
+    from pyspark.sql import Window
+
+    from ydb_vector_search_demo_spark.functions.vector import (
+        to_double_array,
+    )
+
+    q = new_embeddings.select(
+        F.col(id_col).alias("query_id"),
+        to_double_array(vector_col).alias("query_vec"),
+    )
+    found = graph_search(
+        graph_scored.select("src", "dst"), embeddings, q, entry_ids,
+        k=degree, beam=beam, rounds=rounds, metric=metric,
+        id_col=id_col, vector_col=vector_col,
+    )
+    newe = found.select(
+        F.col("query_id").alias("src"),
+        F.col("vec_id").alias("dst"),
+        "score",
+    )
+    rev = newe.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "score"
+    )
+    alle = (
+        graph_scored.select("src", "dst", "score")
+        .unionByName(newe)
+        .unionByName(rev)
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("score").asc_nulls_last(), F.col("dst").asc()
+    )
+    return (
+        alle.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(degree))
+        .select("src", "dst", "score", F.col("rank").cast("int"))
+    )

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ydb_vector_search_demo_spark.functions import strings as S
@@ -3040,6 +3040,260 @@ def q_ann_lsh_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_raw", 6).alias("score"),
             F.row_number().over(w).cast("int").alias("rank"),
         )
+    )
+
+
+# Graph-ANN serving, pinned end to end: the kNN graph itself is made
+# deterministic by bucketing on the SAME pinned hyperplane sign-codes
+# as ann_lsh_fixed (exact top-`degree` within each 8-bit bucket — pure
+# arithmetic, no KMeans), and the beam search over it (ann.graph_search)
+# is exact-dedup + (score, id) tie-breaks by contract, so DuckDB can
+# replay every hop: graph construction, entry scoring, `rounds`
+# frontier expansions with visited-set anti-joins, per-round beam cuts
+# and the final top-k — one chained-CTE block per hop.
+_GRAPH_FIXED_DEGREE = 4
+_GRAPH_FIXED_BEAM = 8
+_GRAPH_FIXED_ROUNDS = 3
+_GRAPH_FIXED_ENTRIES = [0, 1, 2, 3]
+
+
+def _sign_code_terms_sql() -> str:
+    """The ann_lsh_fixed sign-code as a DuckDB expression over `v`."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_vec_sql(p)}) > 0"
+        f" THEN {1 << (len(_LSH_FIXED_PLANES) - 1 - j)} ELSE 0 END)"
+        for j, p in enumerate(_LSH_FIXED_PLANES)
+    )
+
+
+def _sign_code_col() -> Column:
+    """The same sign-code as a Spark Column fold over `embedding`
+    (plane 0 at the MSB — the bucketed_cosine_near_dup_pairs
+    convention, identical to ann_lsh_fixed's inline fold)."""
+    return F.aggregate(
+        F.transform(
+            F.array(*[F.lit(p) for p in _LSH_FIXED_PLANES]),
+            lambda p: F.when(
+                V.dot(F.col("embedding"), p) > 0, F.lit(1)
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc * 2 + b,
+    )
+
+
+def _beam_round_ctes(score_rel: str) -> list[str]:
+    """The shared beam-search CTE chain (one s/n/v/f block per hop),
+    scoring candidates against ``score_rel`` (the relation carrying
+    (vec_id, v)). Expects q / g / v0 / f0 CTEs defined upstream."""
+    ctes = []
+    for r in range(1, _GRAPH_FIXED_ROUNDS + 1):
+        ctes += [
+            f"""s{r} AS (
+      SELECT DISTINCT f.query_id, g.dst AS vec_id
+      FROM f{r - 1} f JOIN g ON f.vec_id = g.src
+      WHERE NOT EXISTS (SELECT 1 FROM v{r - 1} v
+                        WHERE v.query_id = f.query_id
+                          AND v.vec_id = g.dst)
+    )""",
+            f"""n{r} AS (
+      SELECT s.query_id, s.vec_id,
+             1.0 - list_cosine_similarity(c.v, q.qv) AS raw
+      FROM s{r} s JOIN {score_rel} c ON c.vec_id = s.vec_id
+                 JOIN q ON q.query_id = s.query_id
+    )""",
+            f"""v{r} AS (SELECT * FROM v{r - 1} UNION ALL SELECT * FROM n{r})""",
+            f"""f{r} AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY raw, vec_id) AS rk
+        FROM n{r}) WHERE rk <= {_GRAPH_FIXED_BEAM}
+    )""",
+        ]
+    return ctes
+
+
+def _graph_fixed_oracle_sql() -> str:
+    qvals = ", ".join(
+        f"({i}, {_vec_sql(v)})" for i, v in enumerate(BATCH_QVS)
+    )
+    entries = ", ".join(str(i) for i in _GRAPH_FIXED_ENTRIES)
+    ctes = [
+        f"""q(query_id, qv) AS (VALUES {qvals})""",
+        f"""c AS (
+      SELECT vec_id, v, ({_sign_code_terms_sql()})::BIGINT AS code
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    )""",
+        f"""g AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY 1.0 - list_cosine_similarity(a.v, b.v), b.vec_id
+               ) AS rk
+        FROM c a JOIN c b ON a.code = b.code AND a.vec_id <> b.vec_id
+      ) WHERE rk <= {_GRAPH_FIXED_DEGREE}
+    )""",
+        f"""v0 AS (
+      SELECT q.query_id::INTEGER AS query_id, c.vec_id,
+             1.0 - list_cosine_similarity(c.v, q.qv) AS raw
+      FROM c CROSS JOIN q WHERE c.vec_id IN ({entries})
+    )""",
+        f"""f0 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY raw, vec_id) AS rk
+        FROM v0) WHERE rk <= {_GRAPH_FIXED_BEAM}
+    )""",
+        *_beam_round_ctes("c"),
+    ]
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block}
+    SELECT query_id, vec_id, round(raw, 6) AS score, rank
+    FROM (SELECT query_id, vec_id, raw,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY raw, vec_id)::INTEGER AS rank
+          FROM v{_GRAPH_FIXED_ROUNDS})
+    WHERE rank <= 5
+    """
+
+
+@register("ann_graph_fixed", _graph_fixed_oracle_sql())
+def q_ann_graph_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN serving under a full DuckDB oracle — the query-time
+    member the graph family was missing next to build/refine/recall
+    (the HNSW-style beam search over a kNN graph, re-expressed as the
+    bounded broadcast dataflow of ann.graph_search). The graph is the
+    exact top-4 within pinned-hyperplane sign buckets (ann_lsh_fixed's
+    planes — deterministic, no KMeans), built by the REAL constructor
+    (ann.knn_graph_bucketed); entries, 3 expansion hops with
+    visited-set anti-joins, per-hop beam-8 cuts and the final top-5
+    are replayed hop by hop by the oracle's chained CTEs. The
+    KMeans/multi-probe production graphs stay rows-only beside it
+    (ann_graph_search_recall prices their recall)."""
+    embs = _t(spark, sf_dir, "embeddings")
+    graph = ann.knn_graph_bucketed(
+        embs.withColumn("_code", _sign_code_col()), "_code",
+        k=_GRAPH_FIXED_DEGREE, metric="cosine",
+    ).select("src", "dst")
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(BATCH_QVS)],
+        "query_id INT, query_vec ARRAY<DOUBLE>",
+    )
+    out = ann.graph_search(
+        graph, embs, qdf, entry_ids=_GRAPH_FIXED_ENTRIES, k=5,
+        beam=_GRAPH_FIXED_BEAM, rounds=_GRAPH_FIXED_ROUNDS,
+        metric="cosine",
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+@register("ann_graph_search_recall")
+def q_ann_graph_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/price report for graph-ANN serving over the PRODUCTION
+    graph (multi-probe IVF-bucketed kNN graph, KMeans cells — hence
+    rows-only; the serving machinery itself is fully oracle-checked in
+    ann_graph_fixed): mean/min recall@5 of ann.graph_search vs the
+    exact answer for 20 deterministic sample queries, plus the mean
+    visited-set size — recall bought per node scored, the graph
+    analogue of the nprobe ladder. Exact baseline is ONE batch_knn
+    pass; shares the k_clusters=8 index cache with
+    ann_knn_graph_recall."""
+    return ann.graph_search_recall(
+        spark, _t(spark, sf_dir, "embeddings"), k=5, beam=8, rounds=3,
+        degree=8, k_clusters=8, nprobe=2, n_queries=20,
+        cache_key=(sf_dir, "graph8"),
+    )
+
+
+def _graph_append_fixed_oracle_sql() -> str:
+    """Full DuckDB twin of the graph APPEND rule: every 50th vector
+    plays the incoming batch, the rest the frozen corpus; the corpus
+    graph, the per-new-node beam search, the degree cut, the reverse
+    links and the global re-prune are all replayed."""
+    d = _GRAPH_FIXED_DEGREE
+    ctes = [
+        f"""c AS (
+      SELECT vec_id, v, ({_sign_code_terms_sql()})::BIGINT AS code
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    )""",
+        """cp AS (SELECT * FROM c WHERE vec_id % 50 <> 0)""",
+        f"""g AS (
+      SELECT src, dst, raw FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               1.0 - list_cosine_similarity(a.v, b.v) AS raw,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY 1.0 - list_cosine_similarity(a.v, b.v), b.vec_id
+               ) AS rk
+        FROM cp a JOIN cp b ON a.code = b.code AND a.vec_id <> b.vec_id
+      ) WHERE rk <= {d}
+    )""",
+        """q AS (SELECT vec_id AS query_id, v AS qv
+             FROM c WHERE vec_id % 50 = 0)""",
+        """v0 AS (
+      SELECT q.query_id, cp.vec_id,
+             1.0 - list_cosine_similarity(cp.v, q.qv) AS raw
+      FROM cp CROSS JOIN q WHERE cp.vec_id IN (1, 2, 3, 4)
+    )""",
+        f"""f0 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY raw, vec_id) AS rk
+        FROM v0) WHERE rk <= {_GRAPH_FIXED_BEAM}
+    )""",
+        *_beam_round_ctes("cp"),
+        f"""newe AS (
+      SELECT query_id AS src, vec_id AS dst, raw FROM (
+        SELECT query_id, vec_id, raw, row_number() OVER (
+          PARTITION BY query_id ORDER BY raw, vec_id) AS rk
+        FROM v{_GRAPH_FIXED_ROUNDS}) WHERE rk <= {d}
+    )""",
+        """alle AS (
+      SELECT src, dst, raw FROM g
+      UNION ALL SELECT src, dst, raw FROM newe
+      UNION ALL SELECT dst AS src, src AS dst, raw FROM newe
+    )""",
+    ]
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block}
+    SELECT src, dst, round(raw, 6) AS score, rank
+    FROM (SELECT src, dst, raw,
+                 row_number() OVER (PARTITION BY src
+                   ORDER BY raw, dst)::INTEGER AS rank
+          FROM alle)
+    WHERE rank <= {d}
+    """
+
+
+@register("ann_graph_append_fixed", _graph_append_fixed_oracle_sql())
+def q_ann_graph_append_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental graph maintenance under a full DuckDB oracle — the
+    ingest member of the graph family (ann.graph_append), completing
+    the lifecycle symmetry with ivf_append / tree_append: every 50th
+    vector plays the incoming batch against the frozen pinned-bucket
+    corpus graph. DuckDB independently replays the batch beam search
+    (one graph_search for all new nodes), the per-node degree cut,
+    the bidirectional link insertion and the global (score, dst)
+    re-prune — every edge of the updated graph is checked, including
+    the corpus adjacency lists that must DROP their worst old edge
+    when a closer reverse neighbor arrives."""
+    embs = _t(spark, sf_dir, "embeddings")
+    corpus = embs.filter(F.col("vec_id") % 50 != 0)
+    newb = embs.filter(F.col("vec_id") % 50 == 0)
+    graph = ann.knn_graph_bucketed(
+        corpus.withColumn("_code", _sign_code_col()), "_code",
+        k=_GRAPH_FIXED_DEGREE, metric="cosine",
+    ).select("src", "dst", "score")
+    out = ann.graph_append(
+        graph, corpus, newb, entry_ids=[1, 2, 3, 4],
+        degree=_GRAPH_FIXED_DEGREE, beam=_GRAPH_FIXED_BEAM,
+        rounds=_GRAPH_FIXED_ROUNDS, metric="cosine",
+    )
+    return out.select(
+        "src", "dst", F.round("score", 6).alias("score"), "rank"
     )
 
 
