@@ -6885,6 +6885,91 @@ def q_dedup_semantic_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.semantic_dedup(embs, _IVF_FIXED_CENTS, eps=0.5)
 
 
+def _semantic_incremental_fixed_oracle_sql() -> str:
+    """Full DuckDB twin of the INCREMENTAL SemDeDup decision (batch vs
+    frozen corpus) under the same pinned centroids: cell assignment
+    for both sides, stage 1 = lowest-id corpus match per batch row
+    (cell-bucketed cosine >= 1-eps), stage 2 = the survivors'
+    in-batch pairs + WITH RECURSIVE closure + min-id keeper."""
+    dists = (
+        "list_transform(["
+        + ",".join(_vec_sql(c) for c in _IVF_FIXED_CENTS)
+        + "], c -> list_sum(list_transform(list_zip(v, c),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))))"
+    )
+    return f"""
+    WITH RECURSIVE a AS (
+      SELECT vec_id, v, list_position(d, list_min(d)) - 1 AS cell
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v, {dists} AS d
+            FROM embeddings)
+    ),
+    nb AS (SELECT * FROM a WHERE vec_id % 5 = 4),
+    cp AS (SELECT * FROM a WHERE vec_id % 5 <> 4),
+    cm AS (
+      SELECT nb.vec_id, min(cp.vec_id) AS corpus_id
+      FROM nb JOIN cp ON nb.cell = cp.cell
+      WHERE list_cosine_similarity(nb.v, cp.v) >= 0.5
+      GROUP BY nb.vec_id
+    ),
+    surv AS (SELECT * FROM nb
+             WHERE vec_id NOT IN (SELECT vec_id FROM cm)),
+    jp AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM surv x JOIN surv y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE list_cosine_similarity(x.v, y.v) >= 0.5
+    ),
+    edges AS (SELECT a AS x, b AS y FROM jp UNION SELECT b, a FROM jp),
+    reach(x, y) AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e2.y FROM reach r JOIN edges e2 ON r.y = e2.x
+    ),
+    comp AS (
+      SELECT s.vec_id,
+             least(s.vec_id, coalesce(min(r.y), s.vec_id)) AS cluster_id
+      FROM surv s LEFT JOIN reach r ON r.x = s.vec_id
+      GROUP BY s.vec_id
+    )
+    SELECT vec_id, corpus_id AS cluster_id,
+           FALSE AS is_canonical, TRUE AS matched_corpus
+    FROM cm
+    UNION ALL
+    SELECT vec_id, cluster_id,
+           vec_id = cluster_id AS is_canonical,
+           FALSE AS matched_corpus
+    FROM comp
+    """
+
+
+@register(
+    "dedup_semantic_incremental_fixed",
+    _semantic_incremental_fixed_oracle_sql(),
+)
+def q_dedup_semantic_incremental_fixed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production INGEST shape of SemDeDup under ONE full DuckDB
+    oracle — the pinned-determinization twin of
+    dedup_semantic_incremental_stats (dedup.incremental_semantic_dedup):
+    every 5th vector plays the incoming batch, the rest the frozen
+    corpus, centroids pinned to the ann_ivf_fixed literals. DuckDB
+    independently recomputes both stages per vector: the cell-bucketed
+    lowest-id corpus match (a batch row within eps of ANY corpus row
+    in its cell drops, corpus decisions immutable) and the survivors'
+    in-batch pair + closure + min-id keeper. Same fixture eps (0.5)
+    and rationale as dedup_semantic_fixed. The KMeans-fit incremental
+    variant stays rows-only beside it with its bridging-divergence
+    law in tests/test_semantic_dedup.py."""
+    embs = _t(spark, sf_dir, "embeddings")
+    out = dedup.incremental_semantic_dedup(
+        embs.filter(F.col("vec_id") % 5 == 4),
+        embs.filter(F.col("vec_id") % 5 != 4),
+        _IVF_FIXED_CENTS,
+        eps=0.5,
+    )
+    return out.orderBy("vec_id")
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
