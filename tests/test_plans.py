@@ -248,3 +248,14 @@ def test_graph_search_big_sides_never_shuffle(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_graph_append_no_smj_no_python(spark):
+    """Graph append (ann_graph_append_fixed): search joins broadcast
+    like the serving row; the only shuffles are the bucket graph build
+    and the global re-prune window — never an SMJ of candidate sets,
+    never a cartesian, never a Python boundary."""
+    plan = plan_of(spark, "ann_graph_append_fixed")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
