@@ -74,6 +74,11 @@ _MUST_GRADE = {
     # rotated out — all stay oracle-checked by this file's parity
     # sweep — for the pinned ANN serving rows and the rerank stack.
     "ann_ivf_fixed", "ann_lsh_fixed", "retrieval_reranked_top5",
+    # late-r7: quant_hamming_topk rotated out (its packed-bit
+    # xor-popcount surface is graded through pq_adc_fixed's coarse
+    # stage; still oracle-checked by this file's parity sweep) so the
+    # new graph-ANN serving family gets a direct graded row.
+    "ann_graph_fixed",
 }
 
 

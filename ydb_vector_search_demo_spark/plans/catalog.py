@@ -7006,12 +7006,19 @@ _GRADE_FIRST = [
     # is distinct. gemm stays covered by tests/test_oracle_parity.
     "store_lifecycle_counts",
     "label_centroids",
-    # quantization ladder (r5 rotation, r4 verdict task #5: fully
-    # oracle-backed since r4 but previously outside the window —
-    # pq_adc_fixed pins ADC arithmetic against fixed codebooks,
-    # quant_hamming_topk pins the 1-bit Hamming coarse scan)
+    # quantization ladder (r5 rotation, r4 verdict task #5:
+    # pq_adc_fixed pins ADC arithmetic against fixed codebooks)
     "pq_adc_fixed",
-    "quant_hamming_topk",
+    # late-r7 rotation: quant_hamming_topk out — its packed-bit
+    # xor-popcount surface is graded through pq_adc_fixed's coarse
+    # stage (the catalog's own duplicate-surface note below); it stays
+    # oracle-checked in tests/test_oracle_parity. In its place the
+    # NEW graph-ANN serving member (beam search over a pinned-bucket
+    # kNN graph — entry scoring, 3 expansion hops with visited
+    # anti-joins, beam cuts and the final top-5 all replayed by
+    # chained CTEs), so the family that completed the serving matrix
+    # this round gets a direct graded row immediately.
+    "ann_graph_fixed",
     # RAG pipeline
     # r7 rotation (r6 verdict task #7): rag_context_top3 out — its
     # surface (top-3 truncation, drop-score projection, ordered \n\n
@@ -7149,9 +7156,9 @@ _GRADE_FIRST = [
 #   rotation_batch_rescore — r6 verdict #7's remaining candidate
 # Duplicate-surface rows eligible to rotate OUT with rationale:
 # batch_knn_cosine (its machinery now graded via ann_ivf_batch_fixed
-# if swapped), rag_context_top3 (strict subset of rag_full_pipeline),
-# quant_hamming_topk (bit path also covered by pq_adc_fixed's
-# packed-xor-popcount stage).
+# if swapped), rag_context_top3 (strict subset of rag_full_pipeline).
+# quant_hamming_topk was rotated out late-r7 under exactly this note
+# (bit path covered by pq_adc_fixed) for ann_graph_fixed.
 
 
 def _reorder_for_grading() -> None:
