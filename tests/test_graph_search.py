@@ -141,3 +141,45 @@ def test_graph_append_degree_bound_holds_everywhere(spark):
         out.groupBy("src").count().filter(F.col("count") > 4).count()
     )
     assert over == 0
+
+
+def test_store_serving_equals_in_memory_search(spark, tmp_path):
+    """graph_search_parquet is a physical-strategy twin: same results
+    as graph_search on the same graph, bit for bit."""
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    graph = ann.knn_graph_bucketed(
+        embs.withColumn("_one", F.lit(0)), "_one", k=4,
+    ).select("src", "dst")
+    q = _queries(spark)
+    path = str(tmp_path / "gstore")
+    ann.write_graph_store(graph, embs, path, n_buckets=8)
+    got = ann.graph_search_parquet(
+        spark, path, q, entry_ids=[0, 1], k=5, beam=4, rounds=3,
+        n_buckets=8,
+    ).collect()
+    want = ann.graph_search(
+        graph, embs, q, entry_ids=[0, 1], k=5, beam=4, rounds=3,
+    ).collect()
+    norm = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["score"]) for r in rows
+    )
+    assert norm(got) == norm(want)
+
+
+def test_pruned_fetch_prunes_partitions_and_pushes_id_filter(spark, tmp_path):
+    """The point-fetch plan: bucket literals reach PartitionFilters
+    (partition pruning) and the id set reaches PushedFilters (row-group
+    skipping on the sorted key) — the 100 TB hop cost argument."""
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    graph = ann.knn_graph_bucketed(
+        embs.withColumn("_one", F.lit(0)), "_one", k=4,
+    ).select("src", "dst")
+    path = str(tmp_path / "gstore2")
+    ann.write_graph_store(graph, embs, path, n_buckets=8)
+    edges = spark.read.parquet(path + "/edges")
+    fetched = ann._pruned_fetch(edges, [3, 11], 8, "src")
+    plan = fetched._jdf.queryExecution().executedPlan().toString()
+    part = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "bucket" in part, f"bucket literals must prune partitions: {part}"
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "src" in pushed, f"id set must push into the scan: {pushed}"

@@ -2289,3 +2289,161 @@ def graph_append(
         .filter(F.col("rank") <= int(degree))
         .select("src", "dst", "score", F.col("rank").cast("int"))
     )
+
+
+def write_graph_store(
+    graph: DataFrame,
+    vectors: DataFrame,
+    path: str,
+    n_buckets: int = 16,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> None:
+    """Persist a kNN graph for POINT-FETCH serving: adjacency under
+    ``path``/edges partitioned by ``bucket = pmod(src, n_buckets)``
+    and src-sorted within files, vectors under ``path``/vectors
+    partitioned/sorted the same way by id. A beam-search hop touches
+    O(frontier) ids, so the layout turns each hop into partition
+    pruning (bucket literals) + row-group skipping (min/max stats on
+    the sorted id) instead of a scan — at 100 TB this is the
+    difference between reading a few megabytes per hop and reading
+    the table. Callers pass the same ``n_buckets`` to
+    :func:`graph_search_parquet` (the ivf-store convention: layout
+    parameters travel with the caller, not a manifest)."""
+    (
+        graph.select("src", "dst")
+        .withColumn("bucket", F.pmod(F.col("src"), F.lit(int(n_buckets))))
+        .repartition("bucket")
+        .sortWithinPartitions("src")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path + "/edges")
+    )
+    (
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vector_col).alias("embedding"),
+        )
+        .withColumn("bucket", F.pmod(F.col("vec_id"), F.lit(int(n_buckets))))
+        .repartition("bucket")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path + "/vectors")
+    )
+
+
+def _pruned_fetch(
+    store: DataFrame, ids: Sequence[int], n_buckets: int, key_col: str
+) -> DataFrame:
+    """Point-fetch rows whose ``key_col`` is in ``ids`` from a
+    bucket-partitioned store: the bucket set and the id set are both
+    LITERALS (the serving loop collects the driver-bounded frontier),
+    so the bucket predicate prunes partitions at planning time and
+    the id predicate pushes into the parquet scan for row-group
+    skipping on the sorted key — no join, no shuffle, no scan."""
+    ids = sorted({int(i) for i in ids})
+    buckets = sorted({i % int(n_buckets) for i in ids})
+    return store.filter(
+        F.col("bucket").isin(buckets) & F.col(key_col).isin(ids)
+    )
+
+
+def graph_search_parquet(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    entry_ids: Sequence[int],
+    k: int = 5,
+    beam: int = 8,
+    rounds: int = 3,
+    metric: str = "cosine",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Graph-ANN serving from the persisted store
+    (:func:`write_graph_store`) — identical results to
+    :func:`graph_search` (equality-tested), different physical
+    strategy: every hop collects the frontier's ids (driver-bounded
+    Q x beam by the beam-search contract, the same boundedness that
+    lets the in-memory variant broadcast) and re-reads ONLY the
+    bucket partitions and row groups holding them via
+    :func:`_pruned_fetch`. Per hop: one pruned edge fetch (frontier
+    adjacency, collected — O(frontier x degree) rows), one pruned
+    vector fetch scored map-side against the broadcast queries. The
+    scored hops stay DataFrames; the final top-k cut is the usual
+    per-query window."""
+    from pyspark.sql import Window
+
+    edges = spark.read.parquet(path + "/edges")
+    vectors = spark.read.parquet(path + "/vectors")
+    q = queries.select("query_id", "query_vec")
+    qids = [r["query_id"] for r in q.select("query_id").collect()]
+    score = distance(F.col("embedding"), F.col("query_vec"), metric)
+
+    def scored_fetch(per_query_ids: dict) -> DataFrame:
+        """One pruned vector fetch for the union of ids, fanned back
+        out to (query_id, vec_id, score) for exactly the requested
+        (query, id) pairs."""
+        all_ids = sorted({i for ids in per_query_ids.values() for i in ids})
+        pairs = spark.createDataFrame(
+            [(int(qi), int(vi)) for qi, ids in per_query_ids.items()
+             for vi in ids],
+            "query_id INT, vec_id BIGINT",
+        )
+        fetched = _pruned_fetch(vectors, all_ids, n_buckets, "vec_id")
+        return (
+            fetched.join(F.broadcast(pairs), "vec_id")
+            .join(F.broadcast(q), "query_id")
+            .select("query_id", "vec_id", score.alias("score"))
+        )
+
+    entry = [int(i) for i in entry_ids]
+    visited: dict = {int(qi): set(entry) for qi in qids}
+    layer = scored_fetch({qi: entry for qi in qids})
+    scored_layers = [layer]
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc_nulls_last(), F.col("vec_id").asc()
+    )
+    for _ in range(int(rounds)):
+        frontier_rows = (
+            layer.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= int(beam))
+            .select("query_id", "vec_id")
+            .collect()
+        )
+        frontier: dict = {}
+        for r in frontier_rows:
+            frontier.setdefault(int(r["query_id"]), set()).add(
+                int(r["vec_id"])
+            )
+        front_ids = sorted({i for ids in frontier.values() for i in ids})
+        if not front_ids:
+            break
+        adj_rows = (
+            _pruned_fetch(edges, front_ids, n_buckets, "src")
+            .select("src", "dst")
+            .collect()
+        )
+        adj: dict = {}
+        for r in adj_rows:
+            adj.setdefault(int(r["src"]), []).append(int(r["dst"]))
+        cand: dict = {}
+        for qi, ids in frontier.items():
+            new = {
+                d for i in ids for d in adj.get(i, ())
+            } - visited[qi]
+            if new:
+                cand[qi] = new
+                visited[qi] |= new
+        if not cand:
+            break
+        layer = scored_fetch(cand)
+        scored_layers.append(layer)
+    allv = scored_layers[0]
+    for extra in scored_layers[1:]:
+        allv = allv.unionByName(extra)
+    return (
+        allv.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "vec_id", "score", F.col("rank").cast("int"))
+    )

@@ -3208,6 +3208,43 @@ def q_ann_graph_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_graph_store_serve", _graph_fixed_oracle_sql())
+def q_ann_graph_store_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN serving from the PERSISTED store — identical results
+    to ann_graph_fixed (same oracle, the batch_knn_cosine_gemm
+    convention), different physical strategy: the pinned-bucket graph
+    and the vectors are written bucket-partitioned + id-sorted
+    (ann.write_graph_store), and every beam hop re-reads ONLY the
+    bucket partitions and row groups holding the frontier's ids
+    (ann.graph_search_parquet / _pruned_fetch — bucket literals prune
+    partitions, the pushed id predicate skips row groups on the
+    sorted key). At 100 TB a hop reads O(frontier) data, not the
+    table. SIDE-EFFECT NOTE: writes the store under a deterministic
+    /tmp path (sf-keyed), the events_rollup_serve convention."""
+    import hashlib
+
+    embs = _t(spark, sf_dir, "embeddings")
+    graph = ann.knn_graph_bucketed(
+        embs.withColumn("_code", _sign_code_col()), "_code",
+        k=_GRAPH_FIXED_DEGREE, metric="cosine",
+    ).select("src", "dst")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_graph_store_{tag}"
+    ann.write_graph_store(graph, embs, path, n_buckets=16)
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(BATCH_QVS)],
+        "query_id INT, query_vec ARRAY<DOUBLE>",
+    )
+    out = ann.graph_search_parquet(
+        spark, path, qdf, entry_ids=_GRAPH_FIXED_ENTRIES, k=5,
+        beam=_GRAPH_FIXED_BEAM, rounds=_GRAPH_FIXED_ROUNDS,
+        metric="cosine", n_buckets=16,
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _graph_append_fixed_oracle_sql() -> str:
     """Full DuckDB twin of the graph APPEND rule: every 50th vector
     plays the incoming batch, the rest the frozen corpus; the corpus
