@@ -111,8 +111,11 @@ HEADLINE = [
     "text_quality_classifier",
     # graph-ANN serving (outside the comparable subsets): beam search
     # over the pinned-bucket kNN graph — graph build + 3-query batch,
-    # 3 hops, fully oracle-checked (ann_graph_fixed)
+    # 3 hops, fully oracle-checked (ann_graph_fixed) — and the
+    # persisted-store split (store write + per-hop pruned point-fetch,
+    # the ivfpq_fixed convention of paying the write in the row)
     "ann_graph_fixed",
+    "ann_graph_store_serve",
 ]
 
 

@@ -183,3 +183,44 @@ def test_pruned_fetch_prunes_partitions_and_pushes_id_filter(spark, tmp_path):
     assert "bucket" in part, f"bucket literals must prune partitions: {part}"
     pushed = plan.split("PushedFilters:")[1].split("]")[0]
     assert "src" in pushed, f"id set must push into the scan: {pushed}"
+
+
+def test_graph_drift_detect_repair_recheck(spark):
+    """The drift-matrix contract for the adjacency member: a fresh
+    exact graph passes the gate; a wave of appended twin vectors makes
+    it stale (true neighborhoods shift under it) and trips the gate;
+    graph_append of the missing nodes repairs it and the re-check
+    clears."""
+    corpus = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    fresh = ann.knn_graph_bucketed(
+        corpus.withColumn("_one", F.lit(0)), "_one", k=4,
+    ).select("src", "dst", "score")
+    clear = ann.graph_drift_report(
+        fresh, corpus, n_sources=10, k=4, threshold=0.9
+    ).collect()[0]
+    assert clear["mean_recall"] == 1.0 and not clear["refine_recommended"]
+
+    twins = corpus.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    grown = corpus.unionByName(twins)
+    stale = ann.graph_drift_report(
+        fresh, grown, n_sources=10, k=4, threshold=0.9
+    ).collect()[0]
+    assert stale["refine_recommended"], (
+        f"planted twins must trip the gate: {stale}"
+    )
+    assert stale["mean_recall"] < 0.9
+
+    repaired = ann.graph_append(
+        fresh, corpus, twins, entry_ids=[0, 1], degree=4, beam=8,
+        rounds=2,
+    ).select("src", "dst", "score")
+    rechecked = ann.graph_drift_report(
+        repaired, grown, n_sources=10, k=4, threshold=0.9
+    ).collect()[0]
+    assert not rechecked["refine_recommended"], (
+        f"append must close the loop: {rechecked}"
+    )

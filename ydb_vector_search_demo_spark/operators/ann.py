@@ -2447,3 +2447,66 @@ def graph_search_parquet(
         .filter(F.col("rank") <= int(k))
         .select("query_id", "vec_id", "score", F.col("rank").cast("int"))
     )
+
+
+def graph_drift_report(
+    graph_scored: DataFrame,
+    embeddings: DataFrame,
+    n_sources: int = 20,
+    k: int = 4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Staleness gate for a MAINTAINED kNN graph — the adjacency member
+    of the drift matrix (cells, codebooks, postings, token dists,
+    rotation basis, + graph): per-source recall@k of the graph's
+    CURRENT adjacency lists vs the exact neighbors under the CURRENT
+    corpus, for ``n_sources`` deterministic sample nodes (lowest ids,
+    one batch_knn pass), threshold-gated refine recommendation. A
+    graph built before a wave of appends goes stale exactly here: the
+    true neighborhoods shift under it while its edges stand still;
+    when the gate trips, the repair is :func:`graph_append` for the
+    missing nodes plus an :func:`nn_descent` refine pass — the same
+    detect → repair → re-check contract as pq_drift_report/refit_pq.
+    With k a power of two the per-source recalls are exact binary
+    fractions, so the mean is bit-reproducible across engines (the
+    ann_graph_drift_fixed oracle relies on this)."""
+    src_rows = (
+        embeddings.select(id_col, vector_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(int(n_sources))
+        .collect()
+    )
+    src_ids = [int(r[0]) for r in src_rows]
+    exact = _exact_neighbor_lists(
+        embeddings, src_rows, k, metric, id_col, vector_col
+    )
+    adj_rows = (
+        graph_scored.filter(F.col("src").isin(src_ids))
+        .select("src", "dst", "score")
+        .collect()
+    )
+    per: dict = {}
+    for r in adj_rows:
+        sc = r["score"]
+        per.setdefault(int(r["src"]), []).append(
+            (float("inf") if sc is None else float(sc), int(r["dst"]))
+        )
+    recalls = []
+    for sid in src_ids:
+        got = [d for _, d in sorted(per.get(sid, []))[: int(k)]]
+        recalls.append(len(set(got) & set(exact[sid])) / float(k))
+    mean_r = float(sum(recalls) / len(recalls))
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(len(src_ids)), int(k), mean_r, float(min(recalls)),
+                float(threshold), bool(mean_r < threshold),
+            )
+        ],
+        "n_sources INT, k INT, mean_recall DOUBLE, min_recall DOUBLE, "
+        "threshold DOUBLE, refine_recommended BOOLEAN",
+    )

@@ -3245,6 +3245,75 @@ def q_ann_graph_store_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph_drift_fixed_oracle_sql() -> str:
+    """Full DuckDB twin of the graph staleness gate over the pinned
+    bucket graph: sampled exact neighbors, adjacency intersection
+    counts, quarter-exact recalls, threshold verdict."""
+    return f"""
+    WITH c AS (
+      SELECT vec_id, v, ({_sign_code_terms_sql()})::BIGINT AS code
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    ),
+    g AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY 1.0 - list_cosine_similarity(a.v, b.v), b.vec_id
+               ) AS rk
+        FROM c a JOIN c b ON a.code = b.code AND a.vec_id <> b.vec_id
+      ) WHERE rk <= {_GRAPH_FIXED_DEGREE}
+    ),
+    src20 AS (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT 20),
+    ex AS (
+      SELECT src, dst FROM (
+        SELECT s.vec_id AS src, e.vec_id AS dst,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY 1.0 - list_cosine_similarity(e.v, s.v), e.vec_id
+               ) AS rk
+        FROM src20 s JOIN c e ON e.vec_id <> s.vec_id
+      ) WHERE rk <= {_GRAPH_FIXED_DEGREE}
+    ),
+    hits AS (
+      SELECT s.vec_id AS src,
+             (SELECT count(*) FROM g a JOIN ex e
+                ON a.src = e.src AND a.dst = e.dst
+              WHERE a.src = s.vec_id) AS cnt
+      FROM src20 s
+    ),
+    rec AS (SELECT src,
+                   cnt::DOUBLE / {_GRAPH_FIXED_DEGREE} AS recall
+            FROM hits)
+    SELECT 20 AS n_sources, {_GRAPH_FIXED_DEGREE} AS k,
+           avg(recall) AS mean_recall, min(recall) AS min_recall,
+           0.8::DOUBLE AS threshold,
+           avg(recall) < 0.8 AS refine_recommended
+    FROM rec
+    """
+
+
+@register("ann_graph_drift_fixed", _graph_drift_fixed_oracle_sql())
+def q_ann_graph_drift_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph staleness gate (ann.graph_drift_report — the
+    adjacency member of the drift matrix: cells, codebooks, postings,
+    token dists, rotation basis, + graph) under a full DuckDB oracle:
+    over the pinned-bucket graph the sampled exact neighbors, the
+    adjacency intersection counts, the per-source recalls (quarters —
+    exact binary fractions, so the mean is bit-reproducible) and the
+    threshold verdict are pure arithmetic both engines recompute.
+    The detect → repair → re-check loop (planted stale graph trips
+    the gate; graph_append of the missing nodes clears it) is pinned
+    in tests/test_graph_search.py."""
+    embs = _t(spark, sf_dir, "embeddings")
+    graph = ann.knn_graph_bucketed(
+        embs.withColumn("_code", _sign_code_col()), "_code",
+        k=_GRAPH_FIXED_DEGREE, metric="cosine",
+    ).select("src", "dst", "score")
+    return ann.graph_drift_report(
+        graph, embs, n_sources=20, k=_GRAPH_FIXED_DEGREE,
+        metric="cosine", threshold=0.8,
+    )
+
+
 def _graph_append_fixed_oracle_sql() -> str:
     """Full DuckDB twin of the graph APPEND rule: every 50th vector
     plays the incoming batch, the rest the frozen corpus; the corpus
