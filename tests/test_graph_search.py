@@ -224,3 +224,32 @@ def test_graph_drift_detect_repair_recheck(spark):
     assert not rechecked["refine_recommended"], (
         f"append must close the loop: {rechecked}"
     )
+
+
+def test_filtered_search_routes_through_failing_nodes(spark):
+    """Route-through law: the only path from the entry to the true
+    match crosses a node that FAILS the predicate. Filtering the
+    traversal would strand the beam at the entry; filtering only the
+    result set finds the match. This is why graph_search_filtered
+    admits results after the walk, never before."""
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 1),   # entry, passes
+            (1, [0.9, 0.1, 0.0, 0.0], 0),   # bridge, FAILS
+            (2, [0.8, 0.2, 0.0, 0.0], 1),   # true match, passes
+        ],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT",
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "src BIGINT, dst BIGINT"
+    )
+    q = spark.createDataFrame(
+        [(0, [0.8, 0.2, 0.0, 0.0])], "query_id INT, query_vec ARRAY<DOUBLE>"
+    )
+    got = ann.graph_search_filtered(
+        edges, vecs, q, entry_ids=[0], predicate=F.col("label") == 1,
+        k=2, beam=2, rounds=2,
+    ).collect()
+    ranked = sorted((r["rank"], r["vec_id"], r["score"]) for r in got)
+    assert ranked[0][1] == 2 and ranked[0][2] < 1e-12, ranked
+    assert all(r["vec_id"] != 1 for r in got), "failing node must not surface"

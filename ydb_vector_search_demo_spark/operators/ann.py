@@ -2510,3 +2510,48 @@ def graph_drift_report(
         "n_sources INT, k INT, mean_recall DOUBLE, min_recall DOUBLE, "
         "threshold DOUBLE, refine_recommended BOOLEAN",
     )
+
+
+def graph_search_filtered(
+    graph: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    entry_ids: Sequence[int],
+    predicate: Column | str,
+    k: int = 5,
+    beam: int = 8,
+    rounds: int = 3,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Filtered graph-ANN serving with ROUTE-THROUGH semantics — the
+    graph member of the filtered-ANN story next to the IVF
+    ``ivf_search_parquet(predicate=)`` path: the beam TRAVERSES the
+    graph unfiltered (a node failing the metadata predicate still
+    routes — pre-filtering the traversal would disconnect regions
+    whose only paths run through failing nodes, the classic filtered-
+    HNSW failure mode, pinned as a law in tests/test_graph_search.py),
+    and the predicate applies to the RESULT set only: visited nodes
+    join their metadata, failing nodes drop, the top-k cut ranks what
+    remains. Costs one broadcast join of the bounded visited set
+    against the store — the big side still never shuffles."""
+    from pyspark.sql import Window
+
+    visited = graph_search_visited(
+        graph, embeddings, queries, entry_ids, beam=beam, rounds=rounds,
+        metric=metric, id_col=id_col, vector_col=vector_col,
+    )
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    passing = embeddings.filter(pred).select(
+        F.col(id_col).alias("vec_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc_nulls_last(), F.col("vec_id").asc()
+    )
+    return (
+        passing.join(F.broadcast(visited), "vec_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "vec_id", "score", F.col("rank").cast("int"))
+    )

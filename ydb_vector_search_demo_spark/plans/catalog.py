@@ -3113,12 +3113,15 @@ def _beam_round_ctes(score_rel: str) -> list[str]:
     return ctes
 
 
-def _graph_fixed_oracle_sql() -> str:
+def _graph_fixed_ctes() -> list[str]:
+    """The pinned serving chain ending in v{ROUNDS} (the scored visited
+    set per query) — shared by the plain, store-served and filtered
+    serving oracles."""
     qvals = ", ".join(
         f"({i}, {_vec_sql(v)})" for i, v in enumerate(BATCH_QVS)
     )
     entries = ", ".join(str(i) for i in _GRAPH_FIXED_ENTRIES)
-    ctes = [
+    return [
         f"""q(query_id, qv) AS (VALUES {qvals})""",
         f"""c AS (
       SELECT vec_id, v, ({_sign_code_terms_sql()})::BIGINT AS code
@@ -3146,7 +3149,10 @@ def _graph_fixed_oracle_sql() -> str:
     )""",
         *_beam_round_ctes("c"),
     ]
-    cte_block = ",\n    ".join(ctes)
+
+
+def _graph_fixed_oracle_sql() -> str:
+    cte_block = ",\n    ".join(_graph_fixed_ctes())
     return f"""
     WITH {cte_block}
     SELECT query_id, vec_id, round(raw, 6) AS score, rank
@@ -3239,6 +3245,55 @@ def q_ann_graph_store_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, qdf, entry_ids=_GRAPH_FIXED_ENTRIES, k=5,
         beam=_GRAPH_FIXED_BEAM, rounds=_GRAPH_FIXED_ROUNDS,
         metric="cosine", n_buckets=16,
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def _graph_filtered_fixed_oracle_sql() -> str:
+    """The serving chain + route-through predicate: the beam traverses
+    unfiltered (same v{ROUNDS} CTEs), the label predicate applies to
+    the RESULT set only."""
+    cte_block = ",\n    ".join(_graph_fixed_ctes())
+    return f"""
+    WITH {cte_block}
+    SELECT query_id, vec_id, round(raw, 6) AS score, rank
+    FROM (SELECT v.query_id, v.vec_id, v.raw,
+                 row_number() OVER (PARTITION BY v.query_id
+                   ORDER BY v.raw, v.vec_id)::INTEGER AS rank
+          FROM v{_GRAPH_FIXED_ROUNDS} v
+          JOIN embeddings e ON e.vec_id = v.vec_id
+          WHERE e.label <= 3)
+    WHERE rank <= 5
+    """
+
+
+@register("ann_graph_filtered_fixed", _graph_filtered_fixed_oracle_sql())
+def q_ann_graph_filtered_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered graph serving under a full DuckDB oracle — the graph
+    member of the filtered-ANN story next to ann_filtered_fixed's IVF
+    predicate-inside-the-pruned-scan: ann.graph_search_filtered with
+    ROUTE-THROUGH semantics (the beam traverses the pinned graph
+    unfiltered; pre-filtering traversal would disconnect regions whose
+    only paths run through failing nodes — the law test builds such a
+    graph), the ``label <= 3`` predicate applied to the result set
+    only, then the top-5 cut over what passes. The oracle reuses the
+    serving chain's CTEs verbatim and filters v3 through the labels —
+    both engines recompute every hop AND the admission decision."""
+    embs = _t(spark, sf_dir, "embeddings")
+    graph = ann.knn_graph_bucketed(
+        embs.withColumn("_code", _sign_code_col()), "_code",
+        k=_GRAPH_FIXED_DEGREE, metric="cosine",
+    ).select("src", "dst")
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(BATCH_QVS)],
+        "query_id INT, query_vec ARRAY<DOUBLE>",
+    )
+    out = ann.graph_search_filtered(
+        graph, embs, qdf, entry_ids=_GRAPH_FIXED_ENTRIES,
+        predicate=F.col("label") <= 3, k=5, beam=_GRAPH_FIXED_BEAM,
+        rounds=_GRAPH_FIXED_ROUNDS, metric="cosine",
     )
     return out.select(
         "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
