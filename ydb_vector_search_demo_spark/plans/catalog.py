@@ -7132,6 +7132,100 @@ def q_dedup_semantic_incremental_fixed(
 
 
 # ===========================================================================
+# Portable sketches (functions.sketch): approximate aggregation the
+# oracle can replay. events_approx_distinct (the built-in HLL++) stays
+# rows-only because its register state is engine-private; these rows are
+# the same capabilities on an md5 register/counter state BOTH engines
+# recompute, so the sketch internals — not just the rounded estimate —
+# are value-checked.
+# ===========================================================================
+
+from ydb_vector_search_demo_spark.functions import sketch as SK
+
+
+def _hll_users_oracle_sql() -> str:
+    frag = SK.hll_oracle_cte("events", "event_type", "user_id", out="hll_users")
+    return f"""
+    WITH est AS ({frag}),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY event_type
+    )
+    SELECT k AS event_type, hll_users, raw_sum, n_regs, exact_users
+    FROM est JOIN exact ON est.k = exact.event_type
+    ORDER BY event_type
+    """
+
+
+@register("events_hll_users", _hll_users_oracle_sql())
+def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the PORTABLE HyperLogLog
+    (functions.sketch.hll_registers/hll_estimate) next to the exact
+    count — the oracle-checkable twin of events_approx_distinct. The
+    only shuffle is the (event_type, register) partial-max — at most
+    groups x 512 rows however many events feed it (a count-distinct at
+    100 TB shuffles every user_id). The integer sketch internals
+    (raw_sum, n_regs) are in the row, so the oracle pins the register
+    state bit-for-bit, not just the rounded estimate."""
+    ev = _t(spark, sf_dir, "events")
+    regs = SK.hll_registers(ev, ["event_type"], "user_id")
+    est = SK.hll_estimate(regs, ["event_type"], out="hll_users")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select("event_type", "hll_users", "raw_sum", "n_regs", "exact_users")
+        .orderBy("event_type")
+    )
+
+
+def _cms_tokens_oracle_sql() -> str:
+    frag = SK.cms_oracle_cte("toksrc", "token")
+    return f"""
+    WITH toksrc AS (
+      SELECT unnest({_TOKENS_SQL}) AS token FROM documents
+    ),
+    est AS ({frag}),
+    exact AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS true_cnt
+      FROM toksrc GROUP BY token
+    )
+    SELECT k AS token, cms_cnt, true_cnt
+    FROM est JOIN exact ON est.k = exact.token
+    ORDER BY cms_cnt DESC, token
+    LIMIT 10
+    """
+
+
+@register("text_heavy_hitters_cms", _cms_tokens_oracle_sql())
+def q_text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token mining over the corpus via the portable Count-Min
+    sketch (functions.sketch.cms_build/cms_estimate): top-10 tokens by
+    sketch estimate with the exact count beside it. The sketch is a
+    bounded 4x1024 counter table (map-side partial sums; the wire cost
+    is the counter table, not the token stream) and the point lookups
+    are broadcast joins — the 100 TB shape of "what are the most common
+    n-grams in my corpus". One-sided error by construction (the
+    estimate never undercounts — Cormode & Muthukrishnan 2005), pinned
+    as a law in tests/test_sketch.py."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens("text")).alias("token"))
+    cms = SK.cms_build(toks, "token")
+    cands = toks.select("token").distinct()
+    est = SK.cms_estimate(cms, cands, "token")
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_cnt")
+    )
+    return (
+        est.join(exact, "token")
+        .select("token", "cms_cnt", "true_cnt")
+        .orderBy(F.desc("cms_cnt"), "token")
+        .limit(10)
+    )
+
+
+# ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
 # the 50 below are all oracle-bearing and cover every distinct surface;
