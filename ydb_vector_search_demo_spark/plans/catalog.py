@@ -7226,6 +7226,78 @@ def q_text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Skew handling (operators.skew): the explicit salting lever for
+# degenerate join-key histograms, plus the diagnostic that says when to
+# pull it. The salt is invisible in the result (equality law in
+# tests/test_skew.py), so the oracle is the plain join.
+# ===========================================================================
+
+from ydb_vector_search_demo_spark.operators import skew as SKW
+
+
+@register(
+    "events_salted_join_enrich",
+    """
+    WITH dim AS (
+      SELECT event_type, avg(value) AS type_avg FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(abs(e.value - d.type_avg)), 6) AS mean_abs_dev
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def q_events_salted_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim enrichment over a DEGENERATE join key (event_type: 5
+    values carry every row — the worst case an unsalted shuffle join
+    can see, 5 reduce tasks on a 1000-executor cluster) through
+    operators.skew.salted_join: the fact side salts on event_id, the
+    dim replicates n_salt ways, the hot keys spread over n_salt x 5
+    tasks. Result is row-identical to the plain join (the oracle IS
+    the plain join); broadcast stays the first choice when the dim
+    fits — this row exercises the mechanism for when it doesn't."""
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    joined = SKW.salted_join(
+        ev, dim, on=["event_type"], salt_by="event_id", n_salt=8
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.avg(F.abs(F.col("value") - F.col("type_avg"))), 6).alias(
+                "mean_abs_dev"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_skew_report",
+    """
+    WITH counts AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY event_type
+    ), tot AS (SELECT sum(n_rows) AS t FROM counts)
+    SELECT event_type, n_rows,
+           round(n_rows / t, 6) AS row_share
+    FROM counts, tot
+    ORDER BY n_rows DESC, event_type
+    LIMIT 5
+    """,
+)
+def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew diagnostic (operators.skew.skew_report): heaviest join
+    keys with their row share — the number a pipeline checks before
+    choosing broadcast / AQE / salted_join. One map-side-combinable
+    keyed count; output bounded by ``top``."""
+    return SKW.skew_report(_t(spark, sf_dir, "events"), "event_type", top=5)
+
+
+# ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
 # the 50 below are all oracle-bearing and cover every distinct surface;
