@@ -7297,6 +7297,41 @@ def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SKW.skew_report(_t(spark, sf_dir, "events"), "event_type", top=5)
 
 
+@register("streaming_hll_users", _hll_users_oracle_sql())
+def q_streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable HLL's deployment shape: a Structured Streaming job
+    maintains the REGISTER STATE — one bounded aggregation, max rank
+    per (event_type, register), state <= groups x 512 rows forever —
+    and serving derives the estimate from the state table (streaming
+    allows a single aggregation per query, which is exactly the
+    sketch-state/serving split a production pipeline wants anyway).
+    Exact companion computed batch-side. Oracle: identical SQL to
+    events_hll_users — streaming state == batch state == DuckDB."""
+    _STREAM_COUNTER["n"] += 1
+    name = f"stream_hll_{_STREAM_COUNTER['n']}"
+    stream = EV.read_events_stream(spark, sf_dir)
+    regs = SK.hll_registers(stream, ["event_type"], "user_id")
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    est = SK.hll_estimate(spark.table(name), ["event_type"], out="hll_users")
+    exact = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_users"))
+    )
+    return (
+        est.join(exact, "event_type")
+        .select("event_type", "hll_users", "raw_sum", "n_regs", "exact_users")
+        .orderBy("event_type")
+    )
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
