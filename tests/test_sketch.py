@@ -53,6 +53,58 @@ def test_hll_estimate_error_bound(spark):
         assert abs(r["hll_users"] - true) / true < 0.15, (r, true)
 
 
+def test_hist_quantile_error_bound(spark):
+    """Each estimate is within one bin width above the exact quantile
+    (percentile_disc rank rule: the estimate is the upper edge of the
+    bin holding the rank-k element)."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    lo, hi, nbins = 0.0, 1000.0, 200
+    width = (hi - lo) / nbins
+    hist = SK.hist_counts(ev, ["event_type"], "value", lo, hi, nbins)
+    est = {
+        r["event_type"]: r
+        for r in SK.hist_quantiles(
+            hist, ["event_type"], [0.5, 0.9], lo, hi, nbins
+        ).collect()
+    }
+    import math
+
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for k, v in vals.items():
+        v.sort()
+        for q, col in [(0.5, "p50_est"), (0.9, "p90_est")]:
+            exact = v[math.ceil(q * len(v)) - 1]
+            got = est[k][col]
+            assert exact <= got <= exact + width, (k, q, exact, got)
+
+
+def test_hist_merge(spark):
+    """Bin counts merge by summation: hist(A) + hist(B) == hist(A|B)."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    lo, hi, nbins = 0.0, 1000.0, 200
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    full = SK.hist_counts(ev, ["event_type"], "value", lo, hi, nbins)
+    merged = (
+        SK.hist_counts(a, ["event_type"], "value", lo, hi, nbins)
+        .withColumnRenamed("cnt", "ca")
+        .join(
+            SK.hist_counts(b, ["event_type"], "value", lo, hi, nbins)
+            .withColumnRenamed("cnt", "cb"),
+            ["event_type", "bin"],
+            "full_outer",
+        )
+        .select(
+            "event_type",
+            "bin",
+            (F.coalesce("ca", F.lit(0)) + F.coalesce("cb", F.lit(0))).alias("cnt"),
+        )
+    )
+    assert _rows(full) == _rows(merged)
+
+
 def test_cms_never_undercounts(spark):
     """Cormode & Muthukrishnan 2005: estimates are one-sided — every
     candidate's min-of-rows counter >= its true count, so heavy-hitter

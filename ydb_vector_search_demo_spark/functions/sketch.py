@@ -183,6 +183,107 @@ def hll_oracle_cte(
 
 
 # ---------------------------------------------------------------------------
+# Histogram quantile sketch
+# ---------------------------------------------------------------------------
+# The quantile member of the mergeable-sketch family (HLL = distinct,
+# CMS = frequency, histogram = rank): equi-width integer bin counts over
+# a declared [lo, hi) domain. One map-side-combinable pass, state
+# bounded by nbins per group, merge = bin-wise sum, quantile error
+# bounded by one bin width. The production alternative
+# (approx_percentile's KLL/GK summary) is engine-private state — like
+# HLL++, unverifiable by an independent oracle; this trades adaptivity
+# (fixed domain, declared up front or taken from a prior min/max pass)
+# for a sketch any engine replays exactly: bin = floor(value/width)
+# clamped, every count an integer, the estimate a bin edge.
+
+
+def hist_bin_expr(col: ColumnOrName, lo: float, hi: float, nbins: int) -> Column:
+    """Clamped equi-width bin index in [0, nbins)."""
+    width = (hi - lo) / nbins
+    raw = F.floor((_c(col) - F.lit(lo)) / F.lit(width)).cast("int")
+    return F.greatest(F.lit(0), F.least(F.lit(nbins - 1), raw))
+
+
+def hist_counts(
+    df: DataFrame, keys: list[str], value_col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Sketch state: (keys..., bin, cnt) — at most ``groups x nbins``
+    rows cross the shuffle regardless of input size."""
+    return (
+        df.select(*keys, hist_bin_expr(value_col, lo, hi, nbins).alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    keys: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Quantile estimates from histogram state: for each q, the upper
+    edge of the first bin whose cumulative count reaches ceil(q * N) —
+    the percentile_disc rank rule, so the answer is within one bin
+    width of the exact quantile (law in tests/test_sketch.py). Pure
+    integer cumulative sums; the only floats are the bin edges."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / nbins
+    w = Window.partitionBy(*keys).orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy(*keys))
+    )
+    aggs = [F.max("n").cast("bigint").alias("n_rows")]
+    for q in qs:
+        thresh = F.ceil(F.lit(q) * F.col("n"))
+        edge = (F.col("bin") + 1) * F.lit(width) + F.lit(lo)
+        aggs.append(
+            F.min(F.when(F.col("cum") >= thresh, edge)).alias(
+                f"p{int(round(q * 100))}_est"
+            )
+        )
+    return cum.groupBy(*keys).agg(*aggs)
+
+
+def hist_quantiles_oracle_cte(
+    table: str,
+    key_sql: str,
+    value_sql: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> str:
+    """DuckDB replay of hist_counts + hist_quantiles: fragment
+    ``SELECT k, n_rows, p*_est...``."""
+    width = (hi - lo) / nbins
+    est_cols = ", ".join(
+        f"min(CASE WHEN cum >= ceil({q!r} * n) THEN (bin + 1) * {width!r} + {lo!r} END) AS p{int(round(q * 100))}_est"
+        for q in qs
+    )
+    return f"""
+    WITH __hb AS (
+      SELECT {key_sql} AS k,
+             greatest(0, least({nbins - 1},
+               CAST(floor(({value_sql} - {lo!r}) / {width!r}) AS INTEGER))) AS bin
+      FROM {table}
+    ), __hc AS (
+      SELECT k, bin, CAST(count(*) AS BIGINT) AS cnt FROM __hb GROUP BY k, bin
+    ), __cum AS (
+      SELECT k, bin, cnt,
+             sum(cnt) OVER (PARTITION BY k ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY k) AS n
+      FROM __hc
+    )
+    SELECT k, CAST(max(n) AS BIGINT) AS n_rows, {est_cols}
+    FROM __cum GROUP BY k
+    """
+
+
+# ---------------------------------------------------------------------------
 # Count-Min
 # ---------------------------------------------------------------------------
 

@@ -7332,6 +7332,46 @@ def q_streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QSK_LO, _QSK_HI, _QSK_BINS = 0.0, 1000.0, 200
+
+
+def _quantile_sketch_oracle_sql() -> str:
+    frag = SK.hist_quantiles_oracle_cte(
+        "events", "event_type", "value", [0.5, 0.9, 0.99],
+        _QSK_LO, _QSK_HI, _QSK_BINS,
+    )
+    return f"""
+    WITH est AS ({frag})
+    SELECT k AS event_type, n_rows, p50_est, p90_est, p99_est
+    FROM est ORDER BY event_type
+    """
+
+
+@register("events_quantile_sketch", _quantile_sketch_oracle_sql())
+def q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from bounded sketch state — the rank member of the
+    portable-sketch family (functions.sketch.hist_counts/
+    hist_quantiles): equi-width integer bin counts per event type (one
+    map-side-combinable pass, state <= groups x 200 bins, mergeable by
+    bin-wise sum), p50/p90/p99 read off the cumulative counts with
+    error <= one bin width. events_value_percentiles is the exact
+    (full-sort-per-key) surface; this is what replaces it when the key
+    carries 10^10 values. approx_percentile's KLL summary is the
+    engine-private production alternative — unverifiable by an
+    independent oracle, which is why this sketch exists (the
+    events_approx_distinct note, applied to rank)."""
+    ev = _t(spark, sf_dir, "events")
+    hist = SK.hist_counts(
+        ev, ["event_type"], "value", _QSK_LO, _QSK_HI, _QSK_BINS
+    )
+    out = SK.hist_quantiles(
+        hist, ["event_type"], [0.5, 0.9, 0.99], _QSK_LO, _QSK_HI, _QSK_BINS
+    )
+    return out.select(
+        "event_type", "n_rows", "p50_est", "p90_est", "p99_est"
+    ).orderBy("event_type")
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
