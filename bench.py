@@ -116,6 +116,15 @@ HEADLINE = [
     # the ivfpq_fixed convention of paying the write in the row)
     "ann_graph_fixed",
     "ann_graph_store_serve",
+    # portable-sketch wave (outside the comparable subsets), all fully
+    # oracle-checked rows: md5-register HLL distinct (graded), the
+    # histogram quantile sketch (graded), Count-Min frequent tokens,
+    # and the salted skew join (result-identical to the plain join —
+    # the benched delta vs an unsalted join is the fan-out price)
+    "events_hll_users",
+    "events_quantile_sketch",
+    "text_heavy_hitters_cms",
+    "events_salted_join_enrich",
 ]
 
 

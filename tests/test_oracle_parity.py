@@ -57,9 +57,9 @@ GRADING_WINDOW = 50
 _MUST_GRADE = {
     # r5 close-out: events_value_bands rotated out for the LM split
     # (text_ppl_buckets) — the value-distribution surface stays graded
-    # via events_value_percentiles
+    # via the quantile rows (see the r7 sketch rotation below).
     "events_asof_purchase_click", "events_session_window",
-    "text_ppl_buckets", "events_value_percentiles",
+    "text_ppl_buckets",
     "dedup_exact_stats", "dedup_jaccard_pairs", "dedup_cosine_pairs",
     "streaming_hourly_counts",
     # r6 (r5 verdict task #3): streaming_session_windows rotated out —
@@ -79,6 +79,14 @@ _MUST_GRADE = {
     # stage; still oracle-checked by this file's parity sweep) so the
     # new graph-ANN serving family gets a direct graded row.
     "ann_graph_fixed",
+    # r7 sketch rotation: segment_acctbal_stats out (CASE banding is
+    # graded through the pivot/grouping rows — the events_value_bands
+    # precedent) and events_value_percentiles out (exact per-key rank
+    # stays oracle-checked by this file's sweep) — for the portable
+    # sketch family: the md5-register HLL with bit-pinned integer
+    # state, and the histogram quantile sketch grading the same
+    # p50/p90/p99 readout plus the bounded-state estimator.
+    "events_hll_users", "events_quantile_sketch",
 }
 
 

@@ -7476,7 +7476,15 @@ _GRADE_FIRST = [
     # whole query batch).
     "hybrid_batch_rrf",
     "window_function_suite",
-    "segment_acctbal_stats",
+    # r7 sketch rotation: segment_acctbal_stats out — CASE-banded
+    # aggregation is graded through the pivot/grouping rows (the same
+    # rationale that rotated events_value_bands out at the r5
+    # close-out); it stays oracle-checked in pytest. In its place the
+    # portable-sketch family's distinct counter: md5-register
+    # HyperLogLog whose integer state the oracle pins bit-for-bit next
+    # to the exact count (the oracle-checkable twin of the rows-only
+    # events_approx_distinct).
+    "events_hll_users",
     "part_like_filter",
     # events: windows, JSON, sessions, asof, bands, percentiles.
     # r5 mid-round rotation: events_hourly out (identical aggregation
@@ -7507,7 +7515,13 @@ _GRADE_FIRST = [
     # scoring, deterministic ntile), transitively grading
     # unigram_logprob_scores too.
     "text_ppl_buckets",
-    "events_value_percentiles",
+    # r7 sketch rotation: events_value_percentiles out — the exact
+    # per-key rank surface stays oracle-checked in pytest; in its place
+    # the histogram quantile sketch grades the SAME p50/p90/p99
+    # distribution readout PLUS the bounded-state estimator (bin
+    # counts, integer cumulative ranks, percentile_disc rule) that
+    # replaces the full per-key sort at 100 TB.
+    "events_quantile_sketch",
     # dedup + curation (north-star; r5: + substring-level n-gram-span
     # dedup and the domain-mixing sampler, both r4 oracles)
     "dedup_exact_stats",
