@@ -121,40 +121,6 @@ def test_block_cosine_equals_fold(spark):
     assert len(blk) > 0
 
 
-def test_salted_join_equals_plain_join(spark):
-    from ydb_vector_search_demo_spark.operators.skew import salted_join
-
-    ev = load_table(spark, SF_SMOKE, "events")
-    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_total"))
-    plain = sorted(
-        tuple(r)
-        for r in ev.join(dim, "user_id")
-        .select("event_id", "user_id", "user_total")
-        .collect()
-    )
-    salted = sorted(
-        tuple(r)
-        for r in salted_join(ev, dim, "user_id", salt_src="event_id", n_salts=4)
-        .select("event_id", "user_id", "user_total")
-        .collect()
-    )
-    assert salted == plain
-
-
-def test_salted_left_join_keeps_unmatched_fact_rows(spark):
-    from ydb_vector_search_demo_spark.operators.skew import salted_join
-
-    fact = spark.createDataFrame(
-        [(1, 10), (2, 20), (3, 30)], "k INT, fid INT"
-    )
-    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
-    got = {
-        r["fid"]: r["v"]
-        for r in salted_join(fact, dim, "k", salt_src="fid", n_salts=3, how="left").collect()
-    }
-    assert got == {10: "a", 20: "b", 30: None}
-
-
 def test_load_table_rejects_unknown_name(spark):
     import pytest as _pytest
 

@@ -78,11 +78,12 @@ def salted_join(
 
 
 def skew_report(df: DataFrame, key: str, top: int = 5) -> DataFrame:
-    """Per-key skew diagnostic: the ``top`` heaviest keys with their
-    row share, plus how many reduce-task-equivalents the heaviest key
-    would monopolize under an unsalted shuffle (share x partitions is
-    the straggler's relative size). One keyed count — map-side
-    combinable, output bounded by ``top``."""
+    """Per-key skew diagnostic: the ``top`` heaviest keys as
+    ``(key, n_rows, row_share)``. Under an unsalted shuffle a key's
+    whole group lands on one reduce task, so ``row_share`` IS the
+    straggler signal (share x shuffle-partition-count = how many
+    task-equivalents that key monopolizes). One keyed count —
+    map-side combinable, output bounded by ``top``."""
     counts = df.groupBy(key).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     total = counts.agg(F.sum("n_rows").alias("t"))
     return (
