@@ -253,3 +253,35 @@ def test_filtered_search_routes_through_failing_nodes(spark):
     ranked = sorted((r["rank"], r["vec_id"], r["score"]) for r in got)
     assert ranked[0][1] == 2 and ranked[0][2] < 1e-12, ranked
     assert all(r["vec_id"] != 1 for r in got), "failing node must not surface"
+
+
+def test_beam_search_plan_stays_bounded_in_rounds(spark):
+    """Plan-shape guard for the r7 recompute regression: an iterative
+    loop that rebinds visited/frontier as LAZY DataFrames duplicates
+    every prior round's subtree — the pre-fix executed plan of the
+    graded serving row held 57 parquet scans and 75 Window nodes for
+    one logical build + 3 hops (28.6 s at sf0.1). Post-fix each round
+    is localCheckpointed, so the FINAL plan must contain zero parquet
+    scans (all leaves are checkpoint reads), at most one Window (the
+    final top-k cut), and stay small — and these bounds must hold at
+    rounds=5 just as at rounds=3 (O(1) in the final plan; the
+    per-round work runs in its own bounded job)."""
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    graph = ann.knn_graph_bucketed(
+        embs.withColumn("_one", F.lit(0)), "_one", k=4,
+    ).select("src", "dst")
+    q = _queries(spark)
+    counts = {}
+    for rounds in (3, 5):
+        out = ann.graph_search(
+            graph, embs, q, entry_ids=[0, 1], k=5, beam=4, rounds=rounds,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        n_scan = plan.count("Scan parquet")
+        # one logical window = Window + partial/final WindowGroupLimit
+        n_window = plan.count("Window")
+        assert n_scan == 0, f"rounds={rounds}: {n_scan} parquet scans leaked"
+        assert n_window <= 4, f"rounds={rounds}: {n_window} Window nodes"
+        assert len(plan) < 100_000, f"rounds={rounds}: plan {len(plan)}B"
+        counts[rounds] = (n_scan, n_window)
+    assert counts[5] == counts[3], f"plan must be O(1) in rounds: {counts}"
