@@ -60,7 +60,11 @@ _MUST_GRADE = {
     # via the quantile rows (see the r7 sketch rotation below).
     "events_asof_purchase_click", "events_session_window",
     "text_ppl_buckets",
-    "dedup_exact_stats", "dedup_jaccard_pairs", "dedup_cosine_pairs",
+    # r8 (r7 verdict task #6): dedup_cosine_pairs rotated out — its
+    # pieces are graded directly (cosine scoring via the knn/ann rows,
+    # pair enumeration via dedup_jaccard_pairs, bucketed scale path via
+    # the LSH/semantic oracles in this file's sweep).
+    "dedup_exact_stats", "dedup_jaccard_pairs",
     "streaming_hourly_counts",
     # r6 (r5 verdict task #3): streaming_session_windows rotated out —
     # it shares its batch session_window oracle with the graded
@@ -87,6 +91,15 @@ _MUST_GRADE = {
     # state, and the histogram quantile sketch grading the same
     # p50/p90/p99 readout plus the bounded-state estimator.
     "events_hll_users", "events_quantile_sketch",
+    # r8 (r7 verdict task #6): the serving compositions rotate in —
+    # residual IVF-PQ through the parquet store, the batched pinned
+    # probe (batch==loop law), and the OPQ rotate→encode→rotated-LUT
+    # seam. Out with rationale (all still oracle-checked by this
+    # file's sweep): text_tfidf_argmax (term weighting graded through
+    # the hybrid BM25 rows), batch_knn_cosine (batch machinery graded
+    # via ann_ivf_batch_fixed, exact scoring via knn_top5_*),
+    # dedup_cosine_pairs (see above).
+    "ivfpq_fixed", "ann_ivf_batch_fixed", "pq_opq_fixed",
 }
 
 

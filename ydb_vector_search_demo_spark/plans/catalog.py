@@ -7419,7 +7419,16 @@ _GRADE_FIRST = [
     # six rounds of transitive coverage (assignment, probe ranking,
     # nprobe cut and exact rescore all recomputed by DuckDB).
     "ann_ivf_fixed",
-    "batch_knn_cosine",
+    # r8 rotation (r7 verdict task #6): batch_knn_cosine out — the
+    # exact single-query scoring it batches is graded via
+    # knn_top5_by_metric/knn_top5_full, and the batched-execution
+    # machinery (broadcast query attach, per-query Partial
+    # WindowGroupLimit) is graded DIRECTLY by the incoming
+    # ann_ivf_batch_fixed, whose oracle additionally pins the
+    # batch==loop law through the pinned-centroid pruned probe; it
+    # stays oracle-checked in tests/test_oracle_parity (the rotation
+    # note at the window's tail anticipated exactly this swap).
+    "ann_ivf_batch_fixed",
     # r3 verdict #4: batch_knn_cosine_gemm shares batch_knn_cosine's
     # oracle (a duplicate check burning a graded slot) — rotated out for
     # the store delete-lifecycle query, whose window + anti-join oracle
@@ -7469,7 +7478,17 @@ _GRADE_FIRST = [
     "text_quality",
     "text_langid",
     "text_chunk_overlap",
-    "text_tfidf_argmax",
+    # r8 rotation (r7 verdict task #6): text_tfidf_argmax out — its
+    # term-weighting surface (df/idf over tokenized documents, per-doc
+    # argmax) is graded through the hybrid BM25 rows
+    # (hybrid_rrf_top5 / hybrid_batch_rrf score the same tokenize →
+    # df → idf-weight chain, plus the length normalization tf-idf
+    # lacks); it stays oracle-checked in tests/test_oracle_parity. In
+    # its place the deepest serving composition previously outside the
+    # window: residual IVF-PQ through the real parquet store
+    # (ivfpq_fixed — coarse assign, residual encode, per-cell ADC and
+    # exact top-k all recomputed by DuckDB).
+    "ivfpq_fixed",
     "text_repetition_stats",
     # relational surface. r5 rotation: region_revenue (a strict-subset
     # star-join shape of supplier_nation_revenue), cube/rollup (special
@@ -7544,7 +7563,16 @@ _GRADE_FIRST = [
     # dedup and the domain-mixing sampler, both r4 oracles)
     "dedup_exact_stats",
     "dedup_jaccard_pairs",
-    "dedup_cosine_pairs",
+    # r8 rotation (r7 verdict task #6): dedup_cosine_pairs out — its
+    # surface decomposes into pieces the window already grades
+    # directly: embedding-cosine scoring via the knn/ann rows, all-pair
+    # near-dup enumeration via dedup_jaccard_pairs, and the bucketed
+    # scale path via dedup_semantic/LSH oracles in the pytest sweep; it
+    # stays oracle-checked in tests/test_oracle_parity. In its place
+    # the OPQ seam (pq_opq_fixed): learned-rotation → residual encode →
+    # rotated-LUT ADC, the Ge et al. composition that r7 added — a
+    # surface the window graded only transitively through pq_adc_fixed.
+    "pq_opq_fixed",
     "dedup_ngram_spans",
     # r5 mid-round rotation #2: corpus_mix_counts out — it is literally
     # stage 4 of corpus_pipeline_funnel (same weights, same md5
@@ -7574,25 +7602,25 @@ _GRADE_FIRST = [
     "rotation_rescore_topk",
 ]
 
-# r8 window-eligibility (fully oracle-backed rows currently OUTSIDE the
+# r9 window-eligibility (fully oracle-backed rows currently OUTSIDE the
 # window; strongest rotation candidates first, each covering a surface
-# the window grades only transitively today):
-#   ivfpq_fixed            — the deepest serving composition (residual
-#                            IVF-PQ through the real parquet store)
-#   ann_ivf_batch_fixed    — the batched-probe machinery (batch==loop
-#                            law graded directly)
-#   pq_opq_fixed           — OPQ rotate→encode→rotated-LUT ADC (r7's
-#                            new Ge et al. composition)
+# the window grades only transitively today). The r8 rotation graded
+# ivfpq_fixed, ann_ivf_batch_fixed and pq_opq_fixed (out:
+# text_tfidf_argmax, batch_knn_cosine, dedup_cosine_pairs — rationales
+# inline above); still eligible:
+#   ann_tree_fixed         — two-level pruned probe (tops → children →
+#                            candidate cells → exact rescore)
+#   quant_ivf_fixed        — pruned×quantized composition
+#   ann_graph_append_fixed — graph ingest (all updated edges checked)
 #   ann_filtered_fixed     — predicate-inside-the-pruned-scan serving
 #   text_quality_classifier — the trained-classifier curation lever
 #   dedup_clusters_lsh_fixed / rag_chunk_maxp_fixed — the late-r7
 #                            end-to-end pipeline oracles
 #   rotation_batch_rescore — r6 verdict #7's remaining candidate
 # Duplicate-surface rows eligible to rotate OUT with rationale:
-# batch_knn_cosine (its machinery now graded via ann_ivf_batch_fixed
-# if swapped), rag_context_top3 (strict subset of rag_full_pipeline).
-# quant_hamming_topk was rotated out late-r7 under exactly this note
-# (bit path covered by pq_adc_fixed) for ann_graph_fixed.
+# text_chunk_overlap (windowed shingling is exercised by the dedup
+# n-gram rows), pivot_status_counts (CASE-pivot over the same keys as
+# grouping_sets_status_priority).
 
 
 def _reorder_for_grading() -> None:
