@@ -47,10 +47,8 @@ def test_rows_only_set_is_intentional():
         "ann_tree_recall",
         "dedup_clusters_lsh",
         "dedup_minhash_lsh",
-        "dedup_semantic_incremental_stats",
         "dedup_semantic_stats",
         "dedup_simhash",
-        "events_approx_distinct",
         "events_zorder_skip_report",
         "ingest_embed_roundtrip",
         "multimodal_decode_meta",
@@ -61,7 +59,6 @@ def test_rows_only_set_is_intentional():
         "pq_codebook_drift",
         "pq_refit_lifecycle",
         "rag_chunk_maxp",
-        "streaming_stateful_user_counts",
         "text_compression_quality",
         "text_tfidf_top_terms",
     ], f"unexpected rows-only queries: {ROWS_ONLY}"
