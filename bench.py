@@ -125,6 +125,18 @@ HEADLINE = [
     "events_quantile_sketch",
     "text_heavy_hitters_cms",
     "events_salted_join_enrich",
+    # r8 serving-shapes wave (outside the comparable subsets), all
+    # fully oracle-checked rows: keyset page-2 (cursor filter + the
+    # same TakeOrdered as page 1 — its min should track
+    # knn_top5_full's), faceted per-label top-3 (one scan + Partial
+    # WindowGroupLimit), MMR diversity re-rank (one corpus pass +
+    # bounded candidate self-join), ColBERT-style MaxSim (token
+    # explode + one keyed agg), and the two-level token-budget fill
+    "knn_page2_cursor",
+    "knn_top3_per_label",
+    "retrieval_mmr_fixed",
+    "retrieval_maxsim_fixed",
+    "corpus_budget_fill",
 ]
 
 

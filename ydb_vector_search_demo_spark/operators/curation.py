@@ -1247,3 +1247,82 @@ def classifier_agreement_report(
           float(row["agreement"]))],
         "n BIGINT, label_rate DOUBLE, pred_rate DOUBLE, agreement DOUBLE",
     )
+
+
+def budget_fill(
+    df: DataFrame,
+    order_col: str,
+    cost_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget greedy fill: keep the best documents, in
+    ``(order_col DESC, id ASC)`` order, whose cumulative ``cost_col``
+    stays within ``budget`` — the selection rule behind "fill a
+    10B-token training budget with the highest-quality data first".
+    Returns the kept rows with their ``cum_cost``.
+
+    Scale shape (why this is NOT one global window): a cumulative sum
+    over a global ORDER BY is a single reduce task at 100 TB. The fill
+    instead runs two-level: (1) per-ORDER-VALUE cost totals — one
+    keyed map-side-combinable aggregation, output bounded by the
+    number of DISTINCT order values (a 6-dp quality score, a small
+    integer grade...), (2) the running total over those per-value rows
+    — a window over the tiny value relation only, yielding each
+    value's budget headroom, broadcast back, (3) values that fit
+    entirely are kept with a map-side filter; the ONE boundary value
+    that straddles the budget line gets the only per-row window,
+    ordered by ``id_col``, restricted to its own rows. Equal, row for
+    row, to the naive global-window fill (that equality IS the oracle)
+    as long as ties inside an order value break on ``id_col`` —
+    ``order_col`` must therefore be the discretized ranking key
+    itself (e.g. the ROUNDED quality score), which is also what makes
+    the per-value relation bounded."""
+    per_val = df.groupBy(order_col).agg(
+        F.sum(F.col(cost_col)).cast("bigint").alias("_val_cost")
+    )
+    w_vals = Window.orderBy(F.col(order_col).desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vals = per_val.select(
+        order_col,
+        (F.sum("_val_cost").over(w_vals) - F.col("_val_cost")).alias(
+            "_cum_before"
+        ),
+        F.col("_val_cost"),
+    )
+    full = vals.filter(
+        F.col("_cum_before") + F.col("_val_cost") <= F.lit(int(budget))
+    ).select(order_col, "_cum_before")
+    boundary = (
+        vals.filter(
+            (F.col("_cum_before") < F.lit(int(budget)))
+            & (F.col("_cum_before") + F.col("_val_cost") > F.lit(int(budget)))
+        )
+        .select(order_col, "_cum_before")
+    )
+    kept_full = df.join(F.broadcast(full), order_col).select(
+        df["*"], F.col("_cum_before")
+    )
+    w_rows = Window.partitionBy(order_col).orderBy(F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    kept_boundary = (
+        df.join(F.broadcast(boundary), order_col)
+        .withColumn("_run", F.sum(F.col(cost_col)).over(w_rows))
+        .filter(F.col("_cum_before") + F.col("_run") <= F.lit(int(budget)))
+        .select(df["*"], F.col("_cum_before"))
+    )
+    # cum_cost of each kept row = value headroom start + running sum
+    # within the value (recomputed for the full values too, so the
+    # output column is uniform)
+    out = kept_full.unionByName(kept_boundary.drop("_run"), allowMissingColumns=True)
+    return (
+        out.withColumn("_run", F.sum(F.col(cost_col)).over(w_rows))
+        .select(
+            *df.columns,
+            (F.col("_cum_before") + F.col("_run"))
+            .cast("bigint")
+            .alias("cum_cost"),
+        )
+    )

@@ -267,3 +267,83 @@ def distance_column(
 ) -> Column:
     """Convenience: distance of a vector column to a literal query vector."""
     return distance(vector_col, F.lit([float(x) for x in query_vector]), metric)
+
+
+def knn_page_after(
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    cursor_score: float,
+    cursor_id: int,
+    k: int = 5,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """KEYSET pagination of a KNN result: the next ``k`` results
+    strictly after the cursor ``(cursor_score, cursor_id)`` in the
+    global (score asc, id asc) order — page n+1 given page n's last
+    row, the serving shape behind a "more results" button.
+
+    Scale: the naive page-2 plan is ``ORDER BY ... LIMIT k OFFSET k``,
+    and OFFSET does not push down — every page re-sorts and discards
+    the whole prefix, so page p costs O(p·k) heap space per task and
+    the pattern degrades linearly with page depth. The keyset form is
+    a pure tuple-compare FILTER + the same TakeOrderedAndProject as
+    page 1: every page costs exactly what page 1 costs, at any depth,
+    and the filter participates in whole-stage codegen. Rows with NULL
+    scores (zero-norm vectors) sort after every real score and are not
+    reachable through a numeric cursor; they are excluded, keeping the
+    page contract total-order clean (same rows as the OFFSET oracle,
+    which never reaches the NULL tail either)."""
+    qv = F.lit([float(x) for x in query_vector])
+    sc = distance(vector_col, qv, metric)
+    scored = embeddings.select(F.col(id_col), sc.alias(score_col)).filter(
+        F.col(score_col).isNotNull()
+    )
+    after = (F.col(score_col) > F.lit(float(cursor_score))) | (
+        (F.col(score_col) == F.lit(float(cursor_score)))
+        & (F.col(id_col) > F.lit(int(cursor_id)))
+    )
+    return (
+        scored.filter(after)
+        .orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def knn_topk_per_group(
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    group_col: str,
+    k: int = 3,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Faceted KNN: the top-``k`` nearest neighbors WITHIN each value
+    of ``group_col`` (label, tenant, language, shard...) in one corpus
+    pass — the serving shape behind "best match per category" result
+    pages, and the retrieval side of per-class contrastive mining.
+
+    Plan shape: one scored scan + the row_number window whose
+    ``<= k`` filter triggers Catalyst's Partial WindowGroupLimit, so
+    each scan task keeps only k rows per group and the keyed exchange
+    carries at most partitions x groups x k rows — the batch_knn
+    boundedness argument with groups playing the query role. NULL
+    scores sort last and never displace real matches."""
+    qv = F.lit([float(x) for x in query_vector])
+    scored = embeddings.select(
+        F.col(group_col),
+        F.col(id_col),
+        distance(vector_col, qv, metric).alias(score_col),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(group_col, "rank", id_col, score_col)
+    )

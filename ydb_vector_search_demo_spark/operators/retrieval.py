@@ -1050,3 +1050,183 @@ def append_bm25_index(
         return publish_bm25_index(spark, root, merged)
     finally:
         merged.postings.unpersist()
+
+
+def _round6_half_up(x: float) -> float:
+    """Driver-side twin of Spark's round(x, 6) / DuckDB's round(x, 6)
+    (both HALF_UP on the exact binary value). Python's built-in round
+    is HALF_EVEN and would diverge on exact .5e-6 boundaries."""
+    import decimal
+
+    return float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 5,
+    n_candidates: int = 12,
+    lmb: float = 0.7,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-ranking (Carbonell &
+    Goldstein 1998): from the cosine top-``n_candidates``, greedily
+    pick ``k`` results maximizing ``lmb * sim(q,d) - (1-lmb) *
+    max_{s in selected} sim(d,s)`` — relevance traded against
+    redundancy, the serving-side answer to "the top five results are
+    five near-copies" (which a near-dup-heavy corpus guarantees;
+    dedup curbs it at ingest, MMR at query time).
+
+    Scale shape: stage 1 is the ordinary KNN TakeOrderedAndProject
+    (one corpus pass, no shuffle); stage 2's pairwise similarities are
+    computed over the n_candidates×n_candidates broadcast self-join
+    (bounded by construction — n_candidates plays the beam role); the
+    greedy selection itself is O(k·n) over a driver-local set of at
+    most n_candidates rows, exactly like the IVF probe ranking. The
+    corpus is touched once.
+
+    Determinism (the DuckDB oracle replays every pick): similarities
+    are rounded to 6 dp before the greedy loop, the MMR value is
+    rounded to 6 dp, picks tie-break on (value desc, id asc), and the
+    driver rounds with HALF_UP to match both engines' round()."""
+    from ydb_vector_search_demo_spark.functions.vector import (
+        cosine_distance,
+    )
+
+    qv = [float(x) for x in query_vector]
+    dist = cosine_distance(vector_col, F.lit(qv))
+    cand = (
+        embeddings.select(F.col(id_col).alias("_id"), dist.alias("_d"))
+        .filter(F.col("_d").isNotNull())
+        .orderBy(F.col("_d").asc(), F.col("_id").asc())
+        .limit(int(n_candidates))
+    )
+    cvecs = embeddings.join(
+        F.broadcast(cand), embeddings[id_col] == cand["_id"]
+    ).select(F.col("_id"), F.col(vector_col).alias("_v"), F.col("_d"))
+    a = cvecs.select(F.col("_id").alias("_a"), F.col("_v").alias("_va"))
+    b = cvecs.select(F.col("_id").alias("_b"), F.col("_v").alias("_vb"))
+    pair_sim = F.round(
+        F.lit(1.0) - cosine_distance(F.col("_va"), F.col("_vb")), 6
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("_a") != F.col("_b"))
+        .select("_a", "_b", pair_sim.alias("_s"))
+        .collect()
+    )
+    crows = cvecs.select(
+        "_id", F.round(F.lit(1.0) - F.col("_d"), 6).alias("_simq")
+    ).collect()
+    simq = {int(r["_id"]): float(r["_simq"]) for r in crows}
+    psim = {(int(r["_a"]), int(r["_b"])): float(r["_s"]) for r in pairs}
+    lmb = float(lmb)
+    one_m = 1.0 - lmb
+    remaining = set(simq)
+    selected: list[tuple[int, float, float]] = []  # (id, simq, mmr)
+    for _ in range(min(int(k), len(remaining))):
+        best = None
+        for d in remaining:
+            if selected:
+                red = max(psim.get((d, s[0]), 0.0) for s in selected)
+            else:
+                red = 0.0
+            val = _round6_half_up(lmb * simq[d] - one_m * red)
+            key = (-val, d)
+            if best is None or key < best[0]:
+                best = (key, d, val)
+        _, d, val = best
+        remaining.discard(d)
+        selected.append((d, simq[d], val))
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [
+            (i + 1, int(d), float(s), float(v))
+            for i, (d, s, v) in enumerate(selected)
+        ],
+        "mmr_rank INT, vec_id BIGINT, simq DOUBLE, mmr DOUBLE",
+    )
+
+
+def maxsim_topk(
+    docs: DataFrame,
+    query_tokens: Sequence[str],
+    k: int = 5,
+    dim: int = 8,
+    max_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-vector late-interaction retrieval (the ColBERT MaxSim
+    rule, Khattab & Zaharia 2020): every document token gets its own
+    embedding; a document's score for the query is the SUM over query
+    tokens of the MAX similarity any document token achieves against
+    that query token. Distinguishes "doc containing all query concepts
+    somewhere" from single-vector pooling, which averages them away;
+    the chunk-max-p row pools per chunk — this interacts per token.
+
+    Dataflow: one explode of the first ``max_tokens`` tokens per doc
+    (the documented fan-out — T× rows through the map stage, no
+    shuffle), per-token embedding + Q similarity columns inside
+    codegen, then ONE keyed aggregation computing all Q per-query-token
+    maxima map-side-combinably, the fixed-order sum, and a TakeOrdered
+    top-k. At 100 TB the token fan-out never leaves the map side and
+    the shuffle carries one row per document.
+
+    Embeddings are the engine-portable md5 family
+    (functions.vector.portable_embed_expr), so every stage — token
+    slice, per-token vectors, maxima, sum, cut — is replayed exactly
+    by the DuckDB oracle; per-token similarities round to 6 dp before
+    the max (the rank-on-rounded convention)."""
+    from ydb_vector_search_demo_spark.functions.textstats import (
+        tokens as _tokens,
+    )
+    from ydb_vector_search_demo_spark.functions.vector import (
+        cosine_distance,
+        portable_embed,
+        portable_embed_expr,
+    )
+
+    toked = docs.select(
+        F.col(id_col),
+        F.explode(F.slice(_tokens(text_col), 1, int(max_tokens))).alias(
+            "_tok"
+        ),
+    )
+    emb = toked.withColumn("_tv", portable_embed_expr("_tok", dim))
+    sims = emb.select(
+        id_col,
+        *[
+            F.round(
+                F.lit(1.0)
+                - cosine_distance(
+                    F.col("_tv"), F.lit(portable_embed(qt, dim))
+                ),
+                6,
+            ).alias(f"_s{i}")
+            for i, qt in enumerate(query_tokens)
+        ],
+    )
+    maxes = sims.groupBy(id_col).agg(
+        *[
+            F.max(f"_s{i}").alias(f"_m{i}")
+            for i in range(len(query_tokens))
+        ]
+    )
+    total = None
+    for i in range(len(query_tokens)):
+        c = F.col(f"_m{i}")
+        total = c if total is None else total + c
+    return (
+        maxes.select(
+            id_col, F.round(total, 6).alias("maxsim"),
+            *[F.col(f"_m{i}").alias(f"m{i}") for i in range(len(query_tokens))],
+        )
+        .orderBy(F.col("maxsim").desc_nulls_last(), F.col(id_col).asc())
+        .limit(int(k))
+    )

@@ -31,7 +31,9 @@ from ydb_vector_search_demo_spark.operators import ann, dedup
 from ydb_vector_search_demo_spark.operators.knn import (
     batch_knn,
     block_batch_knn,
+    knn_page_after,
     knn_scores,
+    knn_topk_per_group,
 )
 from ydb_vector_search_demo_spark.pipeline import rag
 from ydb_vector_search_demo_spark.sources.tables import fan_out, load_table
@@ -7406,6 +7408,282 @@ def q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n_rows", "p50_est", "p90_est", "p99_est"
     ).orderBy("event_type")
+
+
+# ===========================================================================
+# Serving-side result shaping (r8): keyset pagination, faceted KNN,
+# MMR diversity re-ranking, multi-vector late interaction — the query
+# features a production search API layers over the core top-k, each
+# fully oracle-backed.
+# ===========================================================================
+
+_PAGE_RAW_SQL = (
+    f"1.0 - list_cosine_similarity(embedding::DOUBLE[], {_vec_sql(QV)})"
+)
+
+
+@register(
+    "knn_page2_cursor",
+    f"""
+    WITH scored AS (
+      SELECT vec_id, {_PAGE_RAW_SQL} AS raw FROM embeddings
+    )
+    SELECT vec_id, round(raw, 6) AS score
+    FROM scored WHERE NOT isnan(raw)
+    ORDER BY raw, vec_id LIMIT 5 OFFSET 5
+    """,
+)
+def q_knn_page2_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYSET pagination (operators.knn.knn_page_after): page 2 of the
+    flagship KNN, fetched with a (score, id) cursor taken from page
+    1's last row instead of OFFSET. The oracle IS the offset form —
+    the law is that the cursor page equals rows 6-10 of the global
+    order — while the Spark plan is the scale-honest one: a pure
+    tuple-compare filter + the same TakeOrderedAndProject as page 1,
+    so page depth never changes the cost (OFFSET re-sorts and discards
+    the whole prefix; it also cannot push down)."""
+    embs = _t(spark, sf_dir, "embeddings")
+    page1 = knn_scores(embs, QV, k=5, metric="cosine").collect()
+    last = page1[-1]
+    out = knn_page_after(
+        embs, QV, float(last["score"]), int(last["vec_id"]), k=5
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "knn_top3_per_label",
+    f"""
+    WITH scored AS (
+      SELECT label, vec_id, {_PAGE_RAW_SQL} AS raw FROM embeddings
+    )
+    SELECT label, rank, vec_id, round(raw, 6) AS score
+    FROM (SELECT label, vec_id, raw,
+                 row_number() OVER (PARTITION BY label
+                   ORDER BY raw, vec_id)::INTEGER AS rank
+          FROM scored WHERE NOT isnan(raw))
+    WHERE rank <= 3 ORDER BY label, rank
+    """,
+)
+def q_knn_top3_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted KNN (operators.knn.knn_topk_per_group): the top-3
+    nearest neighbors WITHIN each label in one corpus pass — the
+    "best match per category" serving shape. One scored scan, one
+    Partial-WindowGroupLimit window keyed by label: each scan task
+    keeps <= 3 rows per label, so the exchange carries at most
+    partitions x labels x 3 rows (the batch_knn boundedness argument
+    with groups in the query role)."""
+    embs = _t(spark, sf_dir, "embeddings")
+    out = knn_topk_per_group(embs, QV, "label", k=3, metric="cosine")
+    return out.select(
+        "label", "rank", "vec_id", F.round("score", 6).alias("score")
+    ).orderBy("label", "rank")
+
+
+_MMR_LMB = 0.7
+_MMR_ONE_M = 1.0 - _MMR_LMB  # NOT 0.3: must be the same double the driver uses
+_MMR_N = 12
+_MMR_K = 5
+
+
+def _mmr_fixed_oracle_sql() -> str:
+    """Unrolled greedy-MMR replay: candidate CTE, pairwise-similarity
+    CTE, then one (step, pick, cumulative-selected) CTE triple per
+    rank — every pick re-derived from scratch by DuckDB, including the
+    rounded MMR values and the (value desc, id asc) tie-breaks."""
+    ctes = [
+        f"""cand AS (
+      SELECT vec_id, round(1.0 - raw, 6) AS simq
+      FROM (SELECT vec_id, {_PAGE_RAW_SQL} AS raw FROM embeddings)
+      WHERE NOT isnan(raw) ORDER BY raw, vec_id LIMIT {_MMR_N}
+    )""",
+        """vecs AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+      FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id
+    )""",
+        """pairs AS (
+      SELECT a.vec_id AS pa, b.vec_id AS pb,
+             round(1.0 - (1.0 - list_cosine_similarity(a.v, b.v)), 6) AS ps
+      FROM vecs a JOIN vecs b ON a.vec_id <> b.vec_id
+    )""",
+        f"""sel1 AS (
+      SELECT vec_id, simq, round({_MMR_LMB!r} * simq, 6) AS mmr,
+             1 AS mmr_rank
+      FROM cand ORDER BY round({_MMR_LMB!r} * simq, 6) DESC, vec_id LIMIT 1
+    )""",
+        """selc1 AS (SELECT vec_id FROM sel1)""",
+    ]
+    for j in range(2, _MMR_K + 1):
+        ctes.append(
+            f"""step{j} AS (
+      SELECT c.vec_id, c.simq,
+             round({_MMR_LMB!r} * c.simq - {_MMR_ONE_M!r} * (
+               SELECT max(p.ps) FROM pairs p
+               JOIN selc{j - 1} s ON p.pa = c.vec_id AND p.pb = s.vec_id
+             ), 6) AS mmr
+      FROM cand c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM selc{j - 1})
+    )"""
+        )
+        ctes.append(
+            f"""sel{j} AS (
+      SELECT vec_id, simq, mmr, {j} AS mmr_rank
+      FROM step{j} ORDER BY mmr DESC, vec_id LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""selc{j} AS (
+      SELECT vec_id FROM selc{j - 1} UNION ALL SELECT vec_id FROM sel{j}
+    )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT mmr_rank, vec_id, simq, mmr FROM sel{j}"
+        for j in range(1, _MMR_K + 1)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT mmr_rank::INTEGER AS mmr_rank, vec_id, simq, mmr"
+        + f"\n    FROM ({union}) ORDER BY mmr_rank\n    "
+    )
+
+
+@register("retrieval_mmr_fixed", _mmr_fixed_oracle_sql())
+def q_retrieval_mmr_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (operators.retrieval.mmr_rerank,
+    Carbonell & Goldstein 1998) under a full DuckDB oracle: from the
+    cosine top-12, greedily pick 5 maximizing lmb*sim(q,d) -
+    (1-lmb)*max_selected sim(d,s) — every pick, every rounded MMR
+    value and every tie-break replayed by the oracle's unrolled CTE
+    chain. Similarities round to 6 dp before the greedy loop, the
+    driver rounds HALF_UP (matching both engines' round), and the
+    (1-lmb) coefficient is the driver's own computed double inlined
+    via repr so the two engines multiply by the same bits."""
+    embs = _t(spark, sf_dir, "embeddings")
+    return R.mmr_rerank(
+        embs, QV, k=_MMR_K, n_candidates=_MMR_N, lmb=_MMR_LMB
+    )
+
+
+_MAXSIM_QTOKENS = BATCH_QUERIES[0].split()  # hash, join, spark
+_MAXSIM_T = 32
+
+
+def _maxsim_fixed_oracle_sql(dim: int = 8, k: int = 5) -> str:
+    u_exprs = ", ".join(
+        f"(('0x' || substr(md5('{i}:' || tok), 1, 8))::BIGINT"
+        f" / 4294967296.0 * 2.0 - 1.0) AS u_{i}"
+        for i in range(dim)
+    )
+    u_list = "[" + ", ".join(f"u_{i}" for i in range(dim)) + "]"
+    sim_cols = ", ".join(
+        f"round(1.0 - (1.0 - list_cosine_similarity({u_list}, "
+        f"{_vec_sql(V.portable_embed(qt, dim))})), 6) AS s_{i}"
+        for i, qt in enumerate(_MAXSIM_QTOKENS)
+    )
+    max_cols = ", ".join(
+        f"max(s_{i}) AS m{i}" for i in range(len(_MAXSIM_QTOKENS))
+    )
+    total = " + ".join(f"m{i}" for i in range(len(_MAXSIM_QTOKENS)))
+    m_out = ", ".join(f"m{i}" for i in range(len(_MAXSIM_QTOKENS)))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_slice({_TOKENS_SQL}, 1, {_MAXSIM_T})) AS tok
+      FROM documents
+    ),
+    dims AS (SELECT doc_id, {u_exprs} FROM toks),
+    sims AS (SELECT doc_id, {sim_cols} FROM dims),
+    maxes AS (SELECT doc_id, {max_cols} FROM sims GROUP BY doc_id)
+    SELECT doc_id, round({total}, 6) AS maxsim, {m_out}
+    FROM maxes ORDER BY maxsim DESC, doc_id LIMIT {k}
+    """
+
+
+@register("retrieval_maxsim_fixed", _maxsim_fixed_oracle_sql())
+def q_retrieval_maxsim_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector late-interaction retrieval
+    (operators.retrieval.maxsim_topk — the ColBERT MaxSim rule): each
+    of the first 32 document tokens gets its own engine-portable md5
+    embedding; a document scores the SUM over the 3 query tokens of
+    the MAX similarity any of its tokens achieves. One map-side token
+    explode (no shuffle), Q similarity columns in codegen, ONE keyed
+    aggregation for all maxima, fixed-order sum, TakeOrdered top-5 —
+    and every stage is recomputed by DuckDB, per-token sims rounded
+    to 6 dp before the max (the rank-on-rounded convention)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = R.maxsim_topk(
+        docs, _MAXSIM_QTOKENS, k=5, dim=8, max_tokens=_MAXSIM_T
+    )
+    return out
+
+
+_BUDGET_TOKENS = 3000
+
+
+@register(
+    "corpus_budget_fill",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks, text,
+             length(text) AS n,
+             length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS np
+      FROM documents
+    ), m AS (
+      SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+             len(toks)::DOUBLE AS n_tok,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks, t -> list_contains({_SW_EN}, lower(t))))::DOUBLE / len(toks)
+             END AS sw,
+             CASE WHEN n = 0 THEN 0.0 ELSE np::DOUBLE / n END AS pr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+             END AS awl
+      FROM tk
+    ), q AS (
+      SELECT doc_id, n_tokens,
+             round(0.3 * least(n_tok / 50.0, 1.0)
+                 + 0.3 * (1.0 - least(abs(sw - 0.4) / 0.4, 1.0))
+                 + 0.2 * (1.0 - least(pr / 0.2, 1.0))
+                 + 0.2 * (1.0 - least(abs(awl - 5.0) / 5.0, 1.0)), 6) AS quality
+      FROM m
+    ), filled AS (
+      SELECT doc_id, quality, n_tokens,
+             sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_cost
+      FROM q
+    )
+    SELECT doc_id, quality, n_tokens, CAST(cum_cost AS BIGINT) AS cum_cost
+    FROM filled WHERE cum_cost <= {_BUDGET_TOKENS}
+    ORDER BY quality DESC, doc_id
+    """,
+)
+def q_corpus_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget greedy fill (operators.curation.budget_fill): keep
+    the highest-quality documents, in (rounded quality DESC, doc_id)
+    order, until the 3000-token training budget is spent. The ORACLE is
+    the naive global-window cumulative sum; the SPARK plan is the
+    two-level scale form — per-quality-value token totals (one bounded
+    keyed agg), the running total over that tiny value relation, a
+    map-side keep filter for values that fit entirely, and a per-row
+    window restricted to the ONE boundary value — because a global
+    ORDER BY cumsum is a single reduce task at 100 TB. The equality of
+    the two is the law being graded."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", T.tokens("text").alias("toks"), "text"
+    ).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        T.quality_score_of(F.col("toks"), "text", "en").alias("quality"),
+    )
+    from ydb_vector_search_demo_spark.operators import curation as CUR
+
+    out = CUR.budget_fill(
+        staged, "quality", "n_tokens", _BUDGET_TOKENS, id_col="doc_id"
+    )
+    return out.select(
+        "doc_id", "quality", "n_tokens", "cum_cost"
+    ).orderBy(F.col("quality").desc(), "doc_id")
 
 
 # ===========================================================================
