@@ -1125,3 +1125,36 @@ def test_bloom_stats_tracks_fill(spark, sf_smoke):
     assert merged["set_bits"] >= max(
         dedup.bloom_stats(a)["set_bits"], dedup.bloom_stats(b)["set_bits"]
     )
+
+
+def test_asof_tolerance_gates_distant_matches(spark):
+    from datetime import datetime as DT
+
+    left = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 10, 0, 0)), (2, DT(2024, 1, 1, 12, 0, 0))],
+        "k INT, t TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, DT(2024, 1, 1, 10, 10, 0), 5.0),   # 10 min after left#1
+            (2, DT(2024, 1, 1, 13, 30, 0), 7.0),   # 90 min after left#2
+        ],
+        "k INT, t TIMESTAMP, v DOUBLE",
+    )
+    got = {
+        r["k"]: r["matched_v"]
+        for r in as_of_join(
+            left, right, "k", "t", "t", ["v"],
+            direction="forward", inclusive=False, tolerance_seconds=1800,
+        ).collect()
+    }
+    assert got == {1: 5.0, 2: None}, got
+    # without the tolerance both match
+    got2 = {
+        r["k"]: r["matched_v"]
+        for r in as_of_join(
+            left, right, "k", "t", "t", ["v"],
+            direction="forward", inclusive=False,
+        ).collect()
+    }
+    assert got2 == {1: 5.0, 2: 7.0}, got2

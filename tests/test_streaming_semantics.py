@@ -205,3 +205,124 @@ def test_streaming_tree_ingest_matches_batch_assignment(spark, tmp_path):
     ).select("vec_id", "cell_top", "cell_sub")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
     tree.assigned.unpersist()
+
+
+def test_watermark_drop_rule_pinned(spark, tmp_path):
+    """Empirical pin of the late-data rule the streaming_late_data_hourly
+    oracle replays: (a) the watermark USED in batch k is max(event time
+    through batch k-1) - delay; (b) a late row merges into still-LIVE
+    window state (batch 2's 10:05 row is NOT dropped — its window is
+    only evicted at the end of that same batch); (c) a late row whose
+    window was evicted in an earlier batch IS dropped (batch 3's 10:05
+    twin); (d) append mode emits exactly the windows whose end <= the
+    final watermark."""
+    import os
+    import time as _time
+    from datetime import datetime as DT
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "wm")
+    os.makedirs(d)
+    ts_t = pa.timestamp("us")
+    mk = lambda ts: pa.table({"ts": pa.array(ts, ts_t), "v": [1] * len(ts)})
+    pq.write_table(mk([DT(2024, 1, 1, 10, 0), DT(2024, 1, 1, 20, 0)]), f"{d}/b0.parquet")
+    pq.write_table(mk([DT(2024, 1, 1, 20, 10)]), f"{d}/b1.parquet")
+    pq.write_table(mk([DT(2024, 1, 1, 10, 5), DT(2024, 1, 1, 20, 20)]), f"{d}/b2.parquet")
+    now = _time.time()
+    for i, f in enumerate(["b0", "b1", "b2"]):
+        os.utime(f"{d}/{f}.parquet", (now - 100 + 10 * i,) * 2)
+    raw = (
+        spark.readStream.schema("ts TIMESTAMP, v INT")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(d)
+    )
+    agg = (
+        raw.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("h"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_pin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1, f"exactly batch 3's late row must drop, got {dropped}"
+    got = sorted((str(r["h"]), r["n"]) for r in spark.table("wm_pin").collect())
+    # 10:00 window: b0's row only (b2's 10:05 dropped); 20:00 window
+    # (end 21:00 > final wm 19:50) never emitted.
+    assert got == [("2024-01-01 10:00:00", 1)], got
+
+
+def test_late_data_hourly_actually_drops_rows(spark):
+    """At smoke SF the 3-batch replay must drop a nonzero number of
+    late rows — otherwise the row degenerates to the plain hourly
+    count and the oracle's late-drop branch is dead code."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+    from ydb_vector_search_demo_spark.streaming import events as EV
+
+    agg = EV.late_data_hourly_counts(spark, SF_SMOKE, delay="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped > 0, "no late rows dropped — watermark never fired"
+    # The emitted result must equal the pinned rule, recomputed in
+    # batch Spark (the same formula the DuckDB oracle replays): keep
+    # batch-3 rows only if their window outlived the batch-1 watermark,
+    # emit windows the final watermark closed. Note the state-level
+    # drop metric above undercounts total lateness — rows can also be
+    # cut by the un-metered input-side watermark filter — which is why
+    # this asserts the full rule, not full_count - metric.
+    ev = load_table(spark, SF_SMOKE, "events")
+    emitted = spark.table("late_smoke")
+    wm1 = ev.filter(F.col("event_id") % 3 == 0).agg(
+        (F.max("ts") - F.expr("INTERVAL 30 MINUTES")).alias("wm")
+    ).first()["wm"]
+    wm_final = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 30 MINUTES")).alias("wm")
+    ).first()["wm"]
+    want = (
+        ev.withColumn("w", F.window("ts", "1 hour"))
+        .filter(
+            (F.col("event_id") % 3 != 2) | (F.col("w.end") > F.lit(wm1))
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("w.end") <= F.lit(wm_final))
+        .select(F.col("w.start").alias("hour_start"), "n")
+    )
+    got_rows = sorted(tuple(r) for r in emitted.collect())
+    want_rows = sorted(tuple(r) for r in want.collect())
+    assert got_rows == want_rows
+    # and lateness really removed rows from the emitted range
+    full_total = (
+        ev.withColumn("w", F.window("ts", "1 hour"))
+        .filter(F.col("w.end") <= F.lit(wm_final))
+        .count()
+    )
+    assert full_total > sum(r[1] for r in got_rows)

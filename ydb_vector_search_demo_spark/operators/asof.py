@@ -27,12 +27,20 @@ def as_of_join(
     right_value_cols: list[str],
     inclusive: bool = True,
     direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For every left row, attach the right row with the greatest
     timestamp <= the left timestamp (``direction='backward'``, the
     default) or the smallest timestamp >= it (``'forward'``);
     ``inclusive=False`` makes the comparison strict. Right payload
     columns come back null when no match.
+
+    ``tolerance_seconds`` bounds the match window (the pandas
+    merge_asof ``tolerance`` semantic): a matched right row farther
+    than the tolerance from the left timestamp is treated as NO match
+    (payload nulls) — "the next purchase, but only if it happened
+    within 30 minutes". Applied as a post-window conditional on the
+    single carried struct, so the one-shuffle sweep is unchanged.
 
     The right side must be unique per (key, ts) — pre-aggregate it if it
     is not, or the carried value is order-dependent.
@@ -76,6 +84,18 @@ def as_of_join(
     merged = l_side.unionByName(r_side).withColumn(
         "_matched", F.last(payload, ignorenulls=True).over(w)
     )
+    if tolerance_seconds is not None:
+        gap_us = F.abs(
+            F.unix_micros(F.col(ts))
+            - F.unix_micros(F.col("_matched")[right_ts_col])
+        )
+        merged = merged.withColumn(
+            "_matched",
+            F.when(
+                gap_us <= F.lit(int(tolerance_seconds) * 1_000_000),
+                F.col("_matched"),
+            ),
+        )
     out = merged.filter(F.col(tag) == 1).select(
         *[F.col("_lrow")[c].alias(c) for c in left.columns],
         F.col("_matched")[right_ts_col].alias(f"matched_{right_ts_col}"),

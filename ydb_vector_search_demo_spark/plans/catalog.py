@@ -7686,6 +7686,114 @@ def q_corpus_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("quality").desc(), "doc_id")
 
 
+_ASOF_TOL_S = 1800
+
+
+@register(
+    "events_asof_click_next_purchase",
+    f"""
+    WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, max(value) AS purchase_value
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT event_id, user_id, ts,
+           CASE WHEN ok THEN pts END AS matched_ts,
+           CASE WHEN ok THEN round(purchase_value, 2) END AS matched_purchase_value,
+           CASE WHEN ok THEN CAST((epoch_us(pts) - epoch_us(ts)) // 1000000 AS BIGINT) END AS gap_s
+    FROM (
+      SELECT c.event_id, c.user_id, c.ts, p.ts AS pts, p.purchase_value,
+             p.ts IS NOT NULL
+               AND epoch_us(p.ts) - epoch_us(c.ts) <= {_ASOF_TOL_S} * 1000000 AS ok
+      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts < p.ts
+    )
+    """,
+)
+def q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD, STRICT, TOLERANCE-bounded as-of join — the other three
+    axes of the operator next to the graded backward/inclusive row
+    (events_asof_purchase_click): each click matched to the user's
+    NEXT purchase strictly after it, kept only when it lands within 30
+    minutes (operators.asof.as_of_join(direction='forward',
+    inclusive=False, tolerance_seconds=1800) — the pandas merge_asof
+    tolerance semantic). Same one-shuffle union-window sweep, time
+    reversed; the tolerance is a post-window conditional on the single
+    carried struct. The oracle is DuckDB's native ASOF LEFT JOIN with
+    the strict forward inequality plus the same gap gate."""
+    from ydb_vector_search_demo_spark.operators.asof import (
+        as_of_join,
+        gap_seconds,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    joined = as_of_join(
+        clicks, purchases, key_col="user_id", left_ts_col="ts",
+        right_ts_col="ts", right_value_cols=["purchase_value"],
+        inclusive=False, direction="forward",
+        tolerance_seconds=_ASOF_TOL_S,
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "matched_ts",
+        F.round("matched_purchase_value", 2).alias("matched_purchase_value"),
+        gap_seconds("matched_ts", "ts").alias("gap_s"),
+    )
+
+
+@register(
+    "streaming_late_data_hourly",
+    """
+    WITH m0 AS (SELECT max(ts) - INTERVAL '30 minutes' AS wm
+                FROM events WHERE event_id % 3 = 0),
+         mf AS (SELECT max(ts) - INTERVAL '30 minutes' AS wm FROM events),
+    kept AS (
+      SELECT ts FROM events
+      WHERE event_id % 3 <> 2
+         OR time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+            > (SELECT wm FROM m0)
+    ),
+    agg AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM kept GROUP BY 1)
+    SELECT hour_start, n FROM agg
+    WHERE hour_start + INTERVAL '1 hour' <= (SELECT wm FROM mf)
+    ORDER BY hour_start
+    """,
+)
+def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics under a full DuckDB oracle — the
+    row where the watermark actually fires (every other streaming row
+    runs one availableNow batch, which can never be late against
+    itself, so its watermark is decorative). The events replay as
+    three deterministic micro-batches split by event_id % 3
+    (streaming.events.multi_batch_events_dir); each file spans the
+    full time range, so batch 3 delivers rows far older than the
+    watermark inherited from batch 1 and they are genuinely dropped.
+    The oracle replays the empirically pinned rule
+    (tests/test_streaming_semantics.py): a batch-k row is dropped iff
+    its hour-window end <= max(event time through batch k-2) - delay
+    (state for its window was evicted at the end of batch k-1), and
+    append mode emits exactly the surviving windows whose end <=
+    max(all event time) - delay."""
+    _STREAM_COUNTER["n"] += 1
+    name = f"stream_late_{_STREAM_COUNTER['n']}"
+    agg = EV.late_data_hourly_counts(spark, sf_dir, delay="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("hour_start")
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:

@@ -214,3 +214,91 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+def multi_batch_events_dir(
+    spark: SparkSession, sf_dir: str, n_batches: int = 3
+) -> str:
+    """Materialize the events table as an ``n_batches``-FILE streaming
+    source directory: file k holds event_id % n_batches == k, with
+    strictly increasing mtimes so the file source (latestFirst=false,
+    maxFilesPerTrigger=1) replays them as deterministic micro-batches
+    in k order. Because every file spans the FULL time range, each
+    later batch delivers rows older than the earlier batches' maximum
+    event time — real late data, which is what lets the watermark row
+    below exercise actual late-row dropping (a single-batch stream can
+    never be late against itself, and with only TWO batches nothing
+    drops either: Spark merges a late row into still-live state, and
+    state for a window is only evicted at the end of the first batch
+    whose inherited watermark passes the window end — so the earliest
+    droppable row is in batch 3, empirically pinned in
+    tests/test_streaming_semantics.py). Idempotent per (sf, n)."""
+    import os
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "spark_events_nbatch",
+        f"{src.strip('/').replace('/', '_')}_n{n_batches}",
+    )
+    done = os.path.join(out_dir, "_ready")
+    if not os.path.exists(done):
+        os.makedirs(out_dir, exist_ok=True)
+        t = pq.read_table(src)
+        ids = t.column("event_id").to_pylist()
+        now = _time.time()
+        for k in range(n_batches):
+            mask = pa.array(
+                [i is not None and i % n_batches == k for i in ids]
+            )
+            f = os.path.join(out_dir, f"b{k}.parquet")
+            pq.write_table(t.filter(mask), f)
+            os.utime(f, (now - 100 + 10 * k, now - 100 + 10 * k))
+        open(done, "w").close()
+    return out_dir
+
+
+def late_data_hourly_counts(
+    spark: SparkSession, sf_dir: str, delay: str = "30 minutes"
+) -> DataFrame:
+    """Hourly tumbling-window counts under a REAL watermark: the events
+    replay as three micro-batches (:func:`multi_batch_events_dir`), so
+    late rows are genuinely DROPPED — the core correctness rule of
+    production streaming that the other streaming rows (one batch,
+    effectively infinite watermark) cannot exhibit.
+
+    The exact semantics, empirically pinned (see
+    tests/test_streaming_semantics.py) and replayed by the DuckDB
+    oracle: the watermark USED in batch k is max(event time through
+    batch k-1) - delay; a window's state is evicted (and, in append
+    mode, emitted) at the end of the first batch whose watermark
+    passes its end; an input row whose window was already evicted —
+    equivalently, window_end <= watermark used in batch k-1 — is
+    dropped. With the 3-way id split: batch-3 rows drop iff their hour
+    ends at or before max(batch-1 event time) - delay, and the final
+    empty availableNow batch emits every surviving window whose end
+    <= max(all event time) - delay."""
+    import os
+
+    from ydb_vector_search_demo_spark.sources.tables import normalize_event_ts
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    stream_dir = multi_batch_events_dir(spark, sf_dir, n_batches=3)
+    raw = (
+        spark.readStream.schema(_events_schema(spark, src))
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stream_dir)
+    )
+    ev = normalize_event_ts(raw)
+    return (
+        ev.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "n")
+    )
