@@ -134,6 +134,10 @@ HEADLINE = [
     # explode + one keyed agg), and the two-level token-budget fill
     "knn_page2_cursor",
     "knn_top3_per_label",
+    # normalized-store serving split (store write paid in trial 1 via
+    # the session cache; min-of-5 prices the one-fold-per-row scan —
+    # A/B against knn_top5_full's three-fold scan in BASELINE)
+    "knn_normalized_store_serve",
     "retrieval_mmr_fixed",
     "retrieval_maxsim_fixed",
     "corpus_budget_fill",

@@ -159,3 +159,30 @@ def test_budget_fill_equals_naive_global_window(spark):
         CUR.budget_fill(staged, "quality", "n_tokens", 10**12).count()
         == total
     )
+
+
+def test_normalized_store_matches_exact_cosine(spark, tmp_path):
+    """The normalized store is a physical-strategy twin of exact
+    cosine: same top-k ids in the same order (rank-on-rounded), and
+    the stored units really are unit-norm."""
+    from ydb_vector_search_demo_spark.operators import knn as K
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "normstore")
+    K.write_normalized_store(embs, path)
+    got = [
+        (r["vec_id"], r["score"])
+        for r in K.knn_cosine_normalized_parquet(spark, path, QV, k=5).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["score"], 6))
+        for r in K.knn_scores(embs, QV, k=5, metric="cosine").collect()
+    ]
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) < 2e-6, (a, b)
+    store = spark.read.parquet(path)
+    from ydb_vector_search_demo_spark.functions.vector import l2_norm
+
+    norms = store.select(l2_norm("unit").alias("n")).collect()
+    assert all(abs(r["n"] - 1.0) < 1e-12 for r in norms)

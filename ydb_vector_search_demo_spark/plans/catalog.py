@@ -28,6 +28,7 @@ from ydb_vector_search_demo_spark.functions import strings as S
 from ydb_vector_search_demo_spark.functions import textstats as T
 from ydb_vector_search_demo_spark.functions import vector as V
 from ydb_vector_search_demo_spark.operators import ann, dedup
+from ydb_vector_search_demo_spark.operators import knn as knn_store
 from ydb_vector_search_demo_spark.operators.knn import (
     batch_knn,
     block_batch_knn,
@@ -7792,6 +7793,39 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("hour_start")
+
+
+def _norm_store_oracle_sql() -> str:
+    import math
+
+    qn = math.sqrt(sum(x * x for x in QV))
+    qu = [x / qn for x in QV]
+    return f"""
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+      FROM embeddings),
+    u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+          FROM n WHERE nrm > 0)
+    SELECT vec_id, round(1.0 - list_dot_product(u, {_vec_sql(qu)}), 6) AS score
+    FROM u ORDER BY score, vec_id LIMIT 5
+    """
+
+
+@register("knn_normalized_store_serve", _norm_store_oracle_sql())
+def q_knn_normalized_store_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-5 from the UNIT-NORMALIZED store
+    (operators.knn.write_normalized_store) — the normalize-at-ingest
+    serving split: the per-vector norm is paid once at the (session-
+    cached) store write, the query normalizes once driver-side, and
+    the steady-state scan pays ONE dot fold per row instead of
+    cosine_distance's three (dot + two norms). Same top-5 as
+    knn_top5_full's scoring (rank-on-rounded; zero-norm rows dropped
+    at ingest, which the NULL-cosine contract already excludes). The
+    oracle recomputes the normalization chain end to end."""
+    embs = _t(spark, sf_dir, "embeddings")
+    path = knn_store.get_or_write_normalized_store(embs, cache_key=sf_dir)
+    return knn_store.knn_cosine_normalized_parquet(spark, path, QV, k=5)
 
 
 # ===========================================================================
