@@ -238,16 +238,38 @@ def test_rotation_store_serve_reads_prefix_store_only_for_coarse(spark):
 
 
 def test_graph_search_big_sides_never_shuffle(spark):
-    """Graph serving (ann_graph_fixed): every frontier/candidate/visited
-    set is broadcast-sized by construction, so the edge list and the
-    vector store must only ever be the probe side of broadcast joins —
-    no SortMergeJoin, no cartesian anywhere in the multi-round plan.
-    The only exchanges allowed are the per-query window cuts."""
-    plan = plan_of(spark, "ann_graph_fixed")
+    """Graph serving: every frontier/candidate/visited set is
+    broadcast-sized by construction, so the edge list and the vector
+    store must only ever be the probe side of broadcast joins — no
+    SortMergeJoin, no cartesian anywhere in the multi-round
+    composition. Since r8 the SERVED plan is lineage-truncated
+    (per-round localCheckpoint — tests/test_graph_search.py pins that
+    shape), so the join property is asserted on the un-truncated
+    composition via ``checkpoint=False`` (plan-inspection-only mode);
+    the graded row's final plan must contain no join at all."""
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_demo_spark.operators import ann
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+
+    embs = load_table(spark, SF_ORACLE, "embeddings")
+    graph = ann.knn_graph_bucketed(
+        embs.withColumn("_one", F.lit(0)), "_one", k=4,
+    ).select("src", "dst")
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64)], "query_id INT, query_vec ARRAY<DOUBLE>"
+    )
+    lazy = ann.graph_search_visited(
+        graph, embs.select("vec_id", "embedding"), q, entry_ids=[0, 1],
+        beam=4, rounds=3, checkpoint=False,
+    )
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    served = plan_of(spark, "ann_graph_fixed")
+    assert "Join" not in served, "served plan must be checkpoint reads only"
 
 
 def test_graph_append_no_smj_no_python(spark):

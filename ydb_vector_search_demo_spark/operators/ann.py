@@ -2073,6 +2073,7 @@ def graph_search_visited(
     metric: str = "cosine",
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Synchronous beam search over a kNN graph — the full VISITED set.
 
@@ -2131,8 +2132,9 @@ def graph_search_visited(
             F.col("__gid").alias("vec_id"),
             score.alias("score"),
         )
-        .localCheckpoint(eager=True)
     )
+    if checkpoint:
+        scored0 = scored0.localCheckpoint(eager=True)
     visited = scored0
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").asc_nulls_last(), F.col("vec_id").asc()
@@ -2149,7 +2151,12 @@ def graph_search_visited(
     # One materialization of the edge list: callers usually hand us a
     # lazily-built graph (a bucketed self-join) — without this the
     # build would re-execute inside every round's candidate join.
-    edges = graph.select("src", "dst").localCheckpoint(eager=True)
+    # ``checkpoint=False`` keeps the whole composition lazy — ONLY for
+    # plan inspection (tests/test_plans.py asserts the broadcast-only
+    # join shape on the un-truncated plan); never serve with it.
+    edges = graph.select("src", "dst")
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=True)
     for _ in range(int(rounds)):
         cand = (
             edges.join(
@@ -2167,8 +2174,10 @@ def graph_search_visited(
             emb.join(F.broadcast(cand), emb.__gid == cand.vec_id)
             .join(F.broadcast(q), "query_id")
             .select("query_id", "vec_id", score.alias("score"))
-            .localCheckpoint(eager=True)  # truncate: one emb scan/round
         )
+        if checkpoint:
+            # truncate lineage: one emb scan per round
+            scored = scored.localCheckpoint(eager=True)
         visited = visited.unionByName(scored)
         frontier = beam_cut(scored)
     return visited
