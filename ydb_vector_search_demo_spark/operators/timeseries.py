@@ -217,3 +217,109 @@ def interval_interval_join_bucketed(
         )
         .drop("_chunk")
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis: how many users reached step k having
+    reached step k-1 STRICTLY EARLIER — the product-analytics staple
+    (view → click → purchase). For each user, step 1's time is their
+    earliest step-1 event; step k's time is their earliest step-k
+    event after their step-(k-1) time. Returns one row per step:
+    (step_idx, step, n_users, conversion_from_prev, conversion_from_first),
+    rates rounded to 6 dp.
+
+    Scale shape: step 1 is one keyed min; each later step is a keyed
+    min over a per-user-filtered slice joined to the (already
+    aggregated, one-row-per-user) previous stage — every join keys on
+    the user, so a co-partitioned plan shuffles each event subset
+    once and the per-user state never exceeds one timestamp per step.
+    No windows over the raw event stream, no per-user event sorting."""
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t1"))
+    )
+    counts = [cur.count()]
+    prev_ts = "_t1"
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(cur.select(user_col, prev_ts), user_col)
+            .filter(F.col(ts_col) > F.col(prev_ts))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"_t{i}"))
+        )
+        counts.append(nxt.count())
+        cur, prev_ts = nxt, f"_t{i}"
+    import decimal
+
+    def _r6(x: float) -> float:
+        # HALF_UP to match Spark's round() and DuckDB's round() —
+        # Python's builtin round is HALF_EVEN and can diverge on exact
+        # .5e-6 integer-ratio boundaries.
+        return float(
+            decimal.Decimal(x).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    spark = events.sparkSession
+    rows = []
+    for i, (step, n) in enumerate(zip(steps, counts), start=1):
+        prev = counts[i - 2] if i >= 2 else counts[0]
+        rows.append(
+            (
+                i,
+                step,
+                int(n),
+                _r6(n / prev) if prev else 0.0,
+                _r6(n / counts[0]) if counts[0] else 0.0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "step_idx INT, step STRING, n_users BIGINT, "
+        "conversion_from_prev DOUBLE, conversion_from_first DOUBLE",
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    max_offset_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users grouped by FIRST-EVENT day (their
+    cohort), counted as retained on day offsets 0..max_offset_days —
+    the classic retention triangle. Returns
+    (cohort_day, day_offset, n_users) with n_users = distinct cohort
+    members active exactly offset days after their first day.
+
+    Scale shape: first-event day is one keyed min (map-side
+    combinable); activity days dedupe to one row per (user, day)
+    BEFORE the cohort join (the raw event volume never reaches the
+    join), and the final count is a keyed agg on
+    (cohort_day, offset) — bounded by days × max_offset rows out."""
+    first = events.groupBy(user_col).agg(
+        F.to_date(F.min(ts_col)).alias("cohort_day")
+    )
+    active = events.select(
+        user_col, F.to_date(ts_col).alias("_day")
+    ).distinct()
+    return (
+        active.join(first, user_col)
+        .select(
+            user_col,
+            "cohort_day",
+            F.datediff("_day", "cohort_day").alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= int(max_offset_days))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct(F.col(user_col)).cast("bigint").alias("n_users"))
+    )

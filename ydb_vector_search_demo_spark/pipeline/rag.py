@@ -333,3 +333,75 @@ def health(spark: SparkSession) -> DataFrame:
         F.lit(True).alias("vector_store_available"),
         F.lit(True).alias("yandex_gpt_available"),
     )
+
+
+def read_store_at(
+    base: DataFrame,
+    upserts: DataFrame,
+    deletes: DataFrame,
+    version: int,
+    key_col: str = "doc_id",
+    version_col: str = "_v",
+) -> DataFrame:
+    """TIME TRAVEL over the log-structured store: the merged view AS OF
+    ``version`` — replay only log entries with version <= v, exactly
+    the Delta/Iceberg ``VERSION AS OF`` read re-expressed on the raw
+    logs. A version filter on the (already small) log sides is the
+    only change vs :func:`read_store`, so the snapshot costs what the
+    current view costs; no store rewrite, no copy."""
+    v = int(version)
+    return read_store(
+        base,
+        upserts.filter(F.col(version_col) <= v),
+        deletes.filter(F.col(version_col) <= v),
+        key_col,
+        version_col,
+    )
+
+
+def store_changes_between(
+    base: DataFrame,
+    upserts: DataFrame,
+    deletes: DataFrame,
+    v_from: int,
+    v_to: int,
+    key_col: str = "doc_id",
+    compare_col: str = "text",
+) -> DataFrame:
+    """CHANGE DATA FEED between two store versions: one row per key
+    whose live value differs between the ``v_from`` and ``v_to``
+    snapshots, tagged insert / update / delete (unchanged keys are
+    absent — the Delta CDF contract). ``compare_col`` decides update
+    detection (payload equality, null-safe).
+
+    Scale shape: two snapshot views over the SAME base relation and a
+    full outer join keyed on the key — all three shuffles share the
+    key, so a co-partitioned (bucketed) store pays one exchange per
+    log replay and none for the diff join; output is bounded by the
+    churn between the versions, never the store size."""
+    a = read_store_at(base, upserts, deletes, v_from, key_col)
+    b = read_store_at(base, upserts, deletes, v_to, key_col)
+    a_side = a.select(
+        F.col(key_col),
+        F.col(compare_col).alias("_before"),
+        F.lit(1).alias("_in_a"),
+    )
+    b_side = b.select(
+        F.col(key_col),
+        F.col(compare_col).alias("_after"),
+        F.lit(1).alias("_in_b"),
+    )
+    joined = a_side.join(b_side, key_col, "full_outer")
+    change = (
+        F.when(F.col("_in_a").isNull(), F.lit("insert"))
+        .when(F.col("_in_b").isNull(), F.lit("delete"))
+        .when(
+            ~F.col("_before").eqNullSafe(F.col("_after")), F.lit("update")
+        )
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(key_col, "change_type", "_before", "_after")
+        .withColumnsRenamed({"_before": "before", "_after": "after"})
+    )

@@ -7828,6 +7828,142 @@ def q_knn_normalized_store_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_store.knn_cosine_normalized_parquet(spark, path, QV, k=5)
 
 
+@register(
+    "store_cdc_v0_v2",
+    """
+    WITH base AS (SELECT doc_id, text, 0 AS v FROM documents),
+    ups AS (
+      SELECT doc_id, 'UPDATED: ' || text AS text, 1 AS v
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 100000, text, 1 AS v
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    dels AS (SELECT doc_id, 2 AS v FROM documents WHERE doc_id % 13 = 0),
+    snap_a AS (SELECT doc_id, text FROM base),
+    allr AS (SELECT * FROM base UNION ALL SELECT * FROM ups),
+    latest AS (
+      SELECT doc_id, text, v FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rn
+        FROM allr) WHERE rn = 1
+    ),
+    snap_b AS (
+      SELECT l.doc_id, l.text FROM latest l
+      LEFT JOIN dels d ON l.doc_id = d.doc_id AND d.v >= l.v
+      WHERE d.doc_id IS NULL
+    ),
+    diff AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'insert'
+                  WHEN b.doc_id IS NULL THEN 'delete'
+                  WHEN a.text IS DISTINCT FROM b.text THEN 'update'
+             END AS change_type,
+             a.text AS before, b.text AS after
+      FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, change_type, before, after
+    FROM diff WHERE change_type IS NOT NULL
+    """,
+)
+def q_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL + CHANGE DATA FEED over the log-structured store
+    (pipeline.rag.read_store_at / store_changes_between — the Delta
+    ``VERSION AS OF`` + CDF contract on raw parquet logs): the diff
+    between the version-0 snapshot (base only) and the version-2
+    snapshot (after the lifecycle row's upserts, synthetic inserts and
+    tombstones) tags every churned key insert / update / delete with
+    before/after payloads; unchanged keys are absent. Three
+    same-keyed shuffles (two log replays + the diff join — zero extra
+    on a bucketed store); output bounded by churn, not store size.
+    The oracle rebuilds both snapshots and the full outer diff."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat(F.lit("UPDATED: "), F.col("text")).alias("text"),
+        F.lit(1).alias("_v"),
+    )
+    ins = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text",
+        F.lit(1).alias("_v"),
+    )
+    dels = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", F.lit(2).alias("_v")
+    )
+    return rag.store_changes_between(
+        docs, ups.unionByName(ins), dels, v_from=0, v_to=2
+    )
+
+
+@register(
+    "events_funnel_conversion",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+    n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+                 (SELECT count(*) FROM s2) AS n2,
+                 (SELECT count(*) FROM s3) AS n3)
+    SELECT * FROM (
+      SELECT 1 AS step_idx, 'view' AS step, n1::BIGINT AS n_users,
+             round(1.0, 6) AS conversion_from_prev,
+             round(1.0, 6) AS conversion_from_first FROM n
+      UNION ALL
+      SELECT 2, 'click', n2::BIGINT,
+             round(n2 / n1::DOUBLE, 6), round(n2 / n1::DOUBLE, 6) FROM n
+      UNION ALL
+      SELECT 3, 'purchase', n3::BIGINT,
+             round(n3 / n2::DOUBLE, 6), round(n3 / n1::DOUBLE, 6) FROM n
+    ) ORDER BY step_idx
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (operators.timeseries.funnel_conversion):
+    users reaching view -> click (strictly later) -> purchase
+    (strictly later still), with per-step counts and conversion rates
+    — the product-analytics staple. Every stage is a keyed min over a
+    filtered slice joined to the one-row-per-user previous stage;
+    per-user state never exceeds one timestamp per step. Driver
+    rounds HALF_UP to match both engines' round()."""
+    from ydb_vector_search_demo_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    return TS.funnel_conversion(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH first AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT f.cohort_day, (a.day - f.cohort_day) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN first f ON a.user_id = f.user_id
+    WHERE (a.day - f.cohort_day) <= 7
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (operators.timeseries.cohort_retention):
+    users grouped by first-event day, counted active at day offsets
+    0..7. First-event day is one keyed min; activity days dedupe to
+    one row per (user, day) BEFORE the cohort join so raw event volume
+    never reaches it; output bounded by days x offsets."""
+    from ydb_vector_search_demo_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    out = TS.cohort_retention(ev, max_offset_days=7)
+    return out.select(
+        "cohort_day", F.col("day_offset").cast("int").alias("day_offset"),
+        "n_users",
+    ).orderBy("cohort_day", "day_offset")
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
