@@ -8191,6 +8191,17 @@ _GRADE_FIRST = [
 #   dedup_clusters_lsh_fixed / rag_chunk_maxp_fixed — the late-r7
 #                            end-to-end pipeline oracles
 #   rotation_batch_rescore — r6 verdict #7's remaining candidate
+# r8 additions, all fully oracle-backed and pytest-swept, strongest
+# first:
+#   streaming_late_data_hourly — the only row where the watermark
+#                            actually drops late rows (real streaming
+#                            correctness, graded only transitively)
+#   retrieval_mmr_fixed / retrieval_maxsim_fixed — diversity re-rank
+#                            and multi-vector late interaction
+#   knn_normalized_store_serve / knn_page2_cursor — serving splits
+#   store_cdc_v0_v2 — time travel + change feed (lifecycle depth)
+#   corpus_budget_fill / events_funnel_conversion /
+#   events_cohort_retention — curation + analytics breadth
 # Duplicate-surface rows eligible to rotate OUT with rationale:
 # text_chunk_overlap (windowed shingling is exercised by the dedup
 # n-gram rows), pivot_status_counts (CASE-pivot over the same keys as
