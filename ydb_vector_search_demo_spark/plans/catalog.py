@@ -7941,7 +7941,8 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
       FROM events GROUP BY user_id),
     active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
-    SELECT f.cohort_day, (a.day - f.cohort_day) AS day_offset,
+    SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+           (a.day - f.cohort_day) AS day_offset,
            CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
     FROM active a JOIN first f ON a.user_id = f.user_id
     WHERE (a.day - f.cohort_day) <= 7
@@ -7958,8 +7959,12 @@ def q_events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     out = TS.cohort_retention(ev, max_offset_days=7)
+    # dates travel as ISO strings: Spark DATE lands in pandas as
+    # object while DuckDB DATE lands as datetime64, and the driver
+    # hash compares dtype kinds (the datetime_order_stats convention)
     return out.select(
-        "cohort_day", F.col("day_offset").cast("int").alias("day_offset"),
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        F.col("day_offset").cast("int").alias("day_offset"),
         "n_users",
     ).orderBy("cohort_day", "day_offset")
 
