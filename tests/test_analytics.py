@@ -101,6 +101,47 @@ def test_funnel_monotone_on_fixture(spark):
     assert ns[0] >= ns[1] >= ns[2] >= 0
 
 
+def test_funnel_empty_corpus_rates_match_oracle_convention(spark):
+    """Degenerate funnel (no step-1 events): step 1 converts from
+    itself — 1.0 by definition in BOTH engines (the oracle hardcodes
+    round(1.0, 6)); later steps are 0/0, emitted as 0.0."""
+    ev = spark.createDataFrame(
+        [(1, 1, "click", DT(2024, 1, 1, 9))],
+        "event_id INT, user_id INT, event_type STRING, ts TIMESTAMP",
+    )
+    rows = {
+        r["step_idx"]: (r["n_users"], r["conversion_from_prev"],
+                        r["conversion_from_first"])
+        for r in TS.funnel_conversion(ev, ["view", "click"]).collect()
+    }
+    assert rows[1] == (0, 1.0, 1.0)
+    assert rows[2] == (0, 0.0, 0.0)
+
+
+def test_funnel_counts_single_action_one_scan_per_step(spark):
+    """Plan-shape guard for the r8 verdict's recompute finding
+    (timeseries.py funnel_conversion rebinding `cur = nxt` lazily with
+    a `.count()` per step — step k re-executed steps 1..k-1). The
+    unioned single-action plan must hold at most ONE filtered events
+    scan per step: stage k's aggregation subplan is shared between its
+    own count branch and stage k+1's join branch, and ReuseExchange
+    dedups it (the test_beam_search_plan guard pattern)."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    steps = ["view", "click", "purchase"]
+    counts_df = TS.funnel_step_counts(ev, steps)
+    assert len(counts_df.collect()) == len(steps)  # THIS execution's plan
+    plan = counts_df._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString appends the pre-runtime "Initial Plan" section,
+    # which double-counts every node — measure the Final Plan only.
+    final = plan.split("Initial Plan")[0]
+    n_scan = final.count("Scan parquet")
+    assert n_scan <= len(steps), (
+        f"{n_scan} parquet scans for {len(steps)} steps — per-step "
+        f"recompute is back"
+    )
+    assert final.count("ReusedExchange") >= len(steps) - 1, final[:2000]
+
+
 def test_cohort_offset_zero_equals_cohort_size(spark):
     ev = load_table(spark, SF_SMOKE, "events")
     ret = TS.cohort_retention(ev, max_offset_days=7)

@@ -1270,9 +1270,18 @@ def budget_fill(
     integer grade...), (2) the running total over those per-value rows
     — a window over the tiny value relation only, yielding each
     value's budget headroom, broadcast back, (3) values that fit
-    entirely are kept with a map-side filter; the ONE boundary value
-    that straddles the budget line gets the only per-row window,
-    ordered by ``id_col``, restricted to its own rows. Equal, row for
+    entirely are kept with a map-side filter; only the ONE boundary
+    value that straddles the budget line needs a per-row window to
+    decide WHICH of its rows are kept. Emitting each kept row's
+    ``cum_cost`` does, however, pay one more per-row running sum: the
+    final projection applies a window partitioned by ``order_col``
+    over ALL kept rows (a within-value running sum added to the
+    broadcast ``_cum_before`` prefix — per-row cum_cost is not
+    derivable without it). Its skew bound is the largest single order
+    value's row count, i.e. one hot quality score = one large window
+    task; that is the price of the cum_cost OUTPUT column, not of the
+    keep/drop decision, and remains far below the single reduce task
+    of a global ORDER BY cumsum. Equal, row for
     row, to the naive global-window fill (that equality IS the oracle)
     as long as ties inside an order value break on ``id_col`` —
     ``order_col`` must therefore be the discretized ranking key
@@ -1294,9 +1303,15 @@ def budget_fill(
     full = vals.filter(
         F.col("_cum_before") + F.col("_val_cost") <= F.lit(int(budget))
     ).select(order_col, "_cum_before")
+    # <= (not <): a straddling value whose preceding cumulative cost
+    # lands EXACTLY on the budget can still contribute zero-cost rows
+    # (cum_cost == budget), which the naive global-window fill keeps —
+    # the per-row `_cum_before + _run <= budget` filter below admits
+    # exactly those. Still disjoint from `full` (which needs
+    # _cum_before + _val_cost <= budget, contradicting the > here).
     boundary = (
         vals.filter(
-            (F.col("_cum_before") < F.lit(int(budget)))
+            (F.col("_cum_before") <= F.lit(int(budget)))
             & (F.col("_cum_before") + F.col("_val_cost") > F.lit(int(budget)))
         )
         .select(order_col, "_cum_before")

@@ -239,24 +239,17 @@ def funnel_conversion(
     aggregated, one-row-per-user) previous stage — every join keys on
     the user, so a co-partitioned plan shuffles each event subset
     once and the per-user state never exceeds one timestamp per step.
-    No windows over the raw event stream, no per-user event sorting."""
-    cur = (
-        events.filter(F.col(type_col) == steps[0])
-        .groupBy(user_col)
-        .agg(F.min(ts_col).alias("_t1"))
-    )
-    counts = [cur.count()]
-    prev_ts = "_t1"
-    for i, step in enumerate(steps[1:], start=2):
-        nxt = (
-            events.filter(F.col(type_col) == step)
-            .join(cur.select(user_col, prev_ts), user_col)
-            .filter(F.col(ts_col) > F.col(prev_ts))
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias(f"_t{i}"))
-        )
-        counts.append(nxt.count())
-        cur, prev_ts = nxt, f"_t{i}"
+    No windows over the raw event stream, no per-user event sorting.
+    All step counts come from ONE action over a lazily unioned plan
+    (the corpus_pipeline_funnel pattern): stage k's subplan appears in
+    both its own count branch and stage k+1's join branch as the SAME
+    exchange, so Catalyst's ReuseExchange dedups it and each step's
+    filtered event slice is scanned once — not the per-step `.count()`
+    chain that re-executes steps 1..k-1 K times (the r8 verdict's
+    recompute finding; plan-guarded in tests/test_timeseries.py)."""
+    counts_df = funnel_step_counts(events, steps, user_col, type_col, ts_col)
+    got = {int(r["step_idx"]): int(r["n"]) for r in counts_df.collect()}
+    counts = [got[i] for i in range(1, len(steps) + 1)]
     import decimal
 
     def _r6(x: float) -> float:
@@ -278,8 +271,13 @@ def funnel_conversion(
                 i,
                 step,
                 int(n),
-                _r6(n / prev) if prev else 0.0,
-                _r6(n / counts[0]) if counts[0] else 0.0,
+                # step 1 converts from itself: 1.0 by definition, even
+                # on an empty funnel (the oracle hardcodes round(1.0, 6)
+                # for step 1 — both engines must agree on degenerate
+                # corpora); later steps with an empty previous stage are
+                # 0/0, emitted as 0.0 in both engines.
+                1.0 if i == 1 else (_r6(n / prev) if prev else 0.0),
+                1.0 if i == 1 else (_r6(n / counts[0]) if counts[0] else 0.0),
             )
         )
     return spark.createDataFrame(
@@ -287,6 +285,66 @@ def funnel_conversion(
         "step_idx INT, step STRING, n_users BIGINT, "
         "conversion_from_prev DOUBLE, conversion_from_first DOUBLE",
     )
+
+
+def funnel_step_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The funnel's per-step user counts as ONE lazily unioned plan —
+    (step_idx, n), one row per step, all counts from a single action.
+    Stage k is a keyed min over the step-k event slice joined to stage
+    k-1's one-row-per-user output; each stage subplan is shared between
+    its own count branch and the next stage's join branch, so the
+    executed plan holds one filtered events scan PER STEP (ReuseExchange
+    dedups the shared aggregations — asserted in tests), not the
+    O(K^2) re-execution a per-step `.count()` chain pays.
+
+    Two details make the reuse actually fire (without them the count
+    branch's subplan diverges from the join branch's and Catalyst sees
+    two different exchanges over the same data):
+
+    * the base relation pre-filters ``user_col IS NOT NULL``, so the
+      null-filter the joins INFER on their key is already present in
+      the count branches too (null users can't survive any join step,
+      so the counts are unchanged);
+    * each count keeps the stage's ``min(ts)`` aggregate alive via
+      ``greatest(count(1), count(_tk))`` — plain ``count(1)`` lets
+      column pruning drop the min, splitting the subplans. The value
+      is still the GROUP count (count(1) >= count(_tk) always), so a
+      degenerate all-null-ts user stays counted exactly like the
+      oracle's count(*)."""
+    base = events.filter(F.col(user_col).isNotNull())
+    cur = (
+        base.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t1"))
+    )
+    stages = [cur]
+    prev_ts = "_t1"
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            base.filter(F.col(type_col) == step)
+            .join(stages[-1].select(user_col, prev_ts), user_col)
+            .filter(F.col(ts_col) > F.col(prev_ts))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"_t{i}"))
+        )
+        stages.append(nxt)
+        prev_ts = f"_t{i}"
+    out = None
+    for i, st in enumerate(stages, start=1):
+        c = st.agg(
+            F.lit(i).alias("step_idx"),
+            F.greatest(F.count(F.lit(1)), F.count(F.col(f"_t{i}")))
+            .cast("bigint")
+            .alias("n"),
+        )
+        out = c if out is None else out.unionAll(c)
+    return out
 
 
 def cohort_retention(

@@ -7913,10 +7913,12 @@ def q_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(1.0, 6) AS conversion_from_first FROM n
       UNION ALL
       SELECT 2, 'click', n2::BIGINT,
-             round(n2 / n1::DOUBLE, 6), round(n2 / n1::DOUBLE, 6) FROM n
+             CASE WHEN n1 = 0 THEN 0.0 ELSE round(n2 / n1::DOUBLE, 6) END,
+             CASE WHEN n1 = 0 THEN 0.0 ELSE round(n2 / n1::DOUBLE, 6) END FROM n
       UNION ALL
       SELECT 3, 'purchase', n3::BIGINT,
-             round(n3 / n2::DOUBLE, 6), round(n3 / n1::DOUBLE, 6) FROM n
+             CASE WHEN n2 = 0 THEN 0.0 ELSE round(n3 / n2::DOUBLE, 6) END,
+             CASE WHEN n1 = 0 THEN 0.0 ELSE round(n3 / n1::DOUBLE, 6) END FROM n
     ) ORDER BY step_idx
     """,
 )

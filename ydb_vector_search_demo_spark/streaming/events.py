@@ -241,10 +241,17 @@ def multi_batch_events_dir(
     import pyarrow.parquet as pq
 
     src = os.path.abspath(f"{sf_dir}/events.parquet")
+    # cache key includes the SOURCE file's size+mtime: the _ready marker
+    # persists across sessions under /tmp, and a regenerated
+    # events.parquet at the same path must invalidate the split (else
+    # the stream replays stale batches while the DuckDB oracle reads
+    # the fresh table — a silent mismatch).
+    st = os.stat(src)
     out_dir = os.path.join(
         tempfile.gettempdir(),
         "spark_events_nbatch",
-        f"{src.strip('/').replace('/', '_')}_n{n_batches}",
+        f"{src.strip('/').replace('/', '_')}_n{n_batches}"
+        f"_s{st.st_size}_m{int(st.st_mtime)}",
     )
     done = os.path.join(out_dir, "_ready")
     if not os.path.exists(done):
