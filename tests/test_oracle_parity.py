@@ -66,11 +66,11 @@ _MUST_GRADE = {
     # the LSH/semantic oracles in this file's sweep).
     "dedup_exact_stats", "dedup_jaccard_pairs",
     "streaming_hourly_counts",
-    # r6 (r5 verdict task #3): streaming_session_windows rotated out —
-    # it shares its batch session_window oracle with the graded
-    # events_session_window (duplicate slot; still oracle-checked by
-    # this file's parity sweep) — for the learned-rotation search.
-    "rotation_rescore_topk",
+    # r9 (r8 verdict task #1): rotation_rescore_topk rotated out — the
+    # learned-rotation surface has a direct graded row in pq_opq_fixed
+    # since r8, and coarse→exact-rescore is graded via
+    # ann_ivf_fixed/ivfpq_fixed; it stays oracle-checked by this
+    # file's parity sweep.
     # r7 (r6 verdict tasks #1/#7): knn_top5_filtered (strict subset of
     # knn_top5_full + predicate), streaming_dedup_events (composition
     # of dedup_exact_stats + streaming_hourly_counts) and
@@ -100,6 +100,19 @@ _MUST_GRADE = {
     # via ann_ivf_batch_fixed, exact scoring via knn_top5_*),
     # dedup_cosine_pairs (see above).
     "ivfpq_fixed", "ann_ivf_batch_fixed", "pq_opq_fixed",
+    # r9 (r8 verdict task #1): the r8 serving-shape/analytics/streaming
+    # waves rotate in — MMR diversity re-rank (every greedy pick
+    # oracle-replayed), the ordered funnel (single-action unioned plan,
+    # the r8 recompute fix), the normalize-at-ingest serving split, and
+    # the one streaming row whose watermark actually drops late rows.
+    # Out with rationale (all still oracle-checked by this file's
+    # sweep): text_chunk_overlap (windowed shingling graded via
+    # dedup_ngram_spans), pivot_status_counts (CASE-pivot over the same
+    # keys as grouping_sets_status_priority), mrl_batch_rescore (batch
+    # machinery via ann_ivf_batch_fixed, prefix semantics via
+    # mrl_rescore_topk in this sweep), rotation_rescore_topk (above).
+    "retrieval_mmr_fixed", "events_funnel_conversion",
+    "knn_normalized_store_serve", "streaming_late_data_hourly",
 }
 
 

@@ -8058,7 +8058,16 @@ _GRADE_FIRST = [
     "text_token_stats",
     "text_quality",
     "text_langid",
-    "text_chunk_overlap",
+    # r9 rotation (r8 verdict task #1): text_chunk_overlap out — its
+    # windowed-shingling surface is exercised by the graded
+    # dedup_ngram_spans (the same tokenize → sliding-window → span
+    # arithmetic, plus the cross-document match the chunk row lacks);
+    # it stays oracle-checked in tests/test_oracle_parity. In its
+    # place the MMR diversity re-rank (retrieval_mmr_fixed) — the
+    # serving-shaping family's strongest row: every greedy
+    # relevance-vs-redundancy pick is replayed by the DuckDB oracle
+    # with driver-inlined coefficients.
+    "retrieval_mmr_fixed",
     # r8 rotation (r7 verdict task #6): text_tfidf_argmax out — its
     # term-weighting surface (df/idf over tokenized documents, per-doc
     # argmax) is graded through the hybrid BM25 rows
@@ -8083,7 +8092,16 @@ _GRADE_FIRST = [
     "tpch_q3_shipping",
     "supplier_nation_revenue",
     "grouping_sets_status_priority",
-    "pivot_status_counts",
+    # r9 rotation (r8 verdict task #1): pivot_status_counts out — a
+    # CASE-pivot over the SAME keys as the kept
+    # grouping_sets_status_priority row (the catalog's own
+    # duplicate-surface note); it stays oracle-checked in
+    # tests/test_oracle_parity. In its place the ordered-funnel
+    # analytics row (events_funnel_conversion), whose per-step keyed
+    # min → join chain and conversion arithmetic the oracle replays
+    # with chained CTEs — and whose single-action unioned plan is the
+    # r8 verdict's recompute fix, now plan-guarded.
+    "events_funnel_conversion",
     "datetime_order_stats",
     "semi_anti_customers",
     # r5 mid-round rotation: order_priority_count out (its pushed-date-
@@ -8118,7 +8136,19 @@ _GRADE_FIRST = [
     # execution shape (broadcast query attach, per-query Partial
     # WindowGroupLimit); the single-query row stays oracle-checked in
     # tests/test_oracle_parity.
-    "mrl_batch_rescore",
+    # r9 rotation (r8 verdict task #1): mrl_batch_rescore out — both
+    # of its constituent surfaces now have DIRECT graded rows: the
+    # batched-execution machinery via ann_ivf_batch_fixed (same
+    # broadcast query attach + per-query Partial WindowGroupLimit,
+    # plus the batch==loop law its oracle pins) and the prefix-coarse
+    # → exact-rescore shape via ivfpq_fixed/ann_ivf_fixed; the MRL
+    # prefix semantics itself stays oracle-checked through
+    # mrl_rescore_topk in tests/test_oracle_parity. In its place the
+    # normalize-at-ingest serving split (knn_normalized_store_serve):
+    # the store/serve contract where cosine degrades to one dot fold
+    # because norms were paid at write time — a serving surface the
+    # window graded only transitively.
+    "knn_normalized_store_serve",
     "events_json_stats",
     "events_props_map",
     "contrastive_triplets",
@@ -8180,15 +8210,29 @@ _GRADE_FIRST = [
     # (PCA/OPQ-style) prefix search with exact rescore, whose DuckDB
     # oracle pins the Hadamard basis end-to-end — the newest
     # oracle-bearing surface, previously outside the window.
-    "rotation_rescore_topk",
+    # r9 rotation (r8 verdict task #1): rotation_rescore_topk out —
+    # since r8 the learned-rotation surface has a DIRECT graded row in
+    # pq_opq_fixed (rotation application → residual encode →
+    # rotated-LUT ADC, end to end), and the prefix-coarse →
+    # exact-rescore shape is graded via ann_ivf_fixed/ivfpq_fixed; the
+    # Hadamard-basis row stays oracle-checked in
+    # tests/test_oracle_parity. In its place the one streaming row
+    # where the watermark actually FIRES (streaming_late_data_hourly):
+    # three deterministic micro-batches with genuinely late rows, the
+    # drop/emit semantics pinned empirically in
+    # tests/test_streaming_semantics.py and replayed by the DuckDB
+    # oracle — real streaming correctness, previously graded only
+    # transitively.
+    "streaming_late_data_hourly",
 ]
 
-# r9 window-eligibility (fully oracle-backed rows currently OUTSIDE the
-# window; strongest rotation candidates first, each covering a surface
-# the window grades only transitively today). The r8 rotation graded
-# ivfpq_fixed, ann_ivf_batch_fixed and pq_opq_fixed (out:
-# text_tfidf_argmax, batch_knn_cosine, dedup_cosine_pairs — rationales
-# inline above); still eligible:
+# r10 window-eligibility (fully oracle-backed rows currently OUTSIDE
+# the window; strongest rotation candidates first, each covering a
+# surface the window grades only transitively today). The r9 rotation
+# graded retrieval_mmr_fixed, events_funnel_conversion,
+# knn_normalized_store_serve and streaming_late_data_hourly (out:
+# text_chunk_overlap, pivot_status_counts, mrl_batch_rescore,
+# rotation_rescore_topk — rationales inline above); still eligible:
 #   ann_tree_fixed         — two-level pruned probe (tops → children →
 #                            candidate cells → exact rescore)
 #   quant_ivf_fixed        — pruned×quantized composition
@@ -8198,21 +8242,16 @@ _GRADE_FIRST = [
 #   dedup_clusters_lsh_fixed / rag_chunk_maxp_fixed — the late-r7
 #                            end-to-end pipeline oracles
 #   rotation_batch_rescore — r6 verdict #7's remaining candidate
-# r8 additions, all fully oracle-backed and pytest-swept, strongest
-# first:
-#   streaming_late_data_hourly — the only row where the watermark
-#                            actually drops late rows (real streaming
-#                            correctness, graded only transitively)
-#   retrieval_mmr_fixed / retrieval_maxsim_fixed — diversity re-rank
-#                            and multi-vector late interaction
-#   knn_normalized_store_serve / knn_page2_cursor — serving splits
+#   retrieval_maxsim_fixed — multi-vector late interaction
+#   knn_page2_cursor — keyset pagination serving split
 #   store_cdc_v0_v2 — time travel + change feed (lifecycle depth)
-#   corpus_budget_fill / events_funnel_conversion /
-#   events_cohort_retention — curation + analytics breadth
+#   corpus_budget_fill / events_cohort_retention — curation +
+#                            analytics breadth
 # Duplicate-surface rows eligible to rotate OUT with rationale:
-# text_chunk_overlap (windowed shingling is exercised by the dedup
-# n-gram rows), pivot_status_counts (CASE-pivot over the same keys as
-# grouping_sets_status_priority).
+# grouping_sets_status_priority vs datetime_order_stats overlap is
+# partial only (grouping sets are a distinct surface — keep both);
+# events_json_stats vs events_props_map both grade the map/JSON
+# surface (the weaker one-row props readout is the out candidate).
 
 
 def _reorder_for_grading() -> None:
