@@ -615,3 +615,30 @@ def test_mutual_knn_clusters_refined_graph_source(spark):
     one = ann.mutual_knn_clusters(df, graph=allg).collect()
     assert {r.cluster_id for r in one} == {0}
     assert all(r.cluster_size == n for r in one)
+
+
+def test_brp_lsh_neighbors_recall_law(spark):
+    """MLlib BucketedRandomProjectionLSH keeps a catalog-independent
+    exercise after its rows-only catalog row retired in r9 (its LSH
+    serving surface is graded via the pinned ann_lsh_fixed; the MLlib
+    tables are seeded-random and can never carry a cross-engine
+    oracle): seeded run is deterministic, scores are true Euclidean
+    distances, and recall@10 against exact search clears the floor the
+    recall reports document for hash-bucketed probes."""
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    got = ann.brp_lsh_neighbors(
+        embs, QV, k=10, bucket_length=2.0, num_hash_tables=3
+    ).collect()
+    again = ann.brp_lsh_neighbors(
+        embs, QV, k=10, bucket_length=2.0, num_hash_tables=3
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in again
+    ], "seeded MLlib LSH must be deterministic"
+    assert len(got) == 10
+    exact = {
+        r["vec_id"]
+        for r in knn_scores(embs, QV, k=10, metric="euclidean").collect()
+    }
+    hits = sum(1 for r in got if r["vec_id"] in exact)
+    assert hits >= 5, f"recall@10 {hits}/10 below the bucketed-probe floor"

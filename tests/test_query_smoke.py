@@ -38,7 +38,6 @@ def test_rows_only_set_is_intentional():
         "ann_ivfpq_recall",
         "ann_knn_graph_recall",
         "ann_knn_graph_refined",
-        "ann_lsh_top5",
         "ann_mutual_knn_multiprobe",
         "ann_opq_recall",
         "ann_pca_recall",
@@ -51,9 +50,7 @@ def test_rows_only_set_is_intentional():
         "dedup_simhash",
         "events_zorder_skip_report",
         "ingest_embed_roundtrip",
-        "multimodal_decode_meta",
         "multimodal_embedding",
-        "multimodal_frame_sample",
         "multimodal_resize",
         "multimodal_union_search",
         "pq_codebook_drift",

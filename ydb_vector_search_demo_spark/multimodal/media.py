@@ -264,6 +264,59 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode, META_SCHEMA)
 
 
+CONTENT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_sum", LongType()),
+    ]
+)
+
+
+def media_content_stats(media: DataFrame) -> DataFrame:
+    """Content-level stats through the REAL decoders: per media row,
+    the payload byte size and the integer sum of every decoded content
+    value — pixel bytes (image), PCM16 sample values (audio), planar
+    frame bytes (video). This is the multimodal family's oracle
+    surface: the synthesized payloads are closed-form functions of the
+    media id, so a SQL engine can recompute each sum analytically
+    (generate_series over the same formulas) WITHOUT parsing bytes,
+    while Spark computes it by actually decoding the binary column —
+    any header misparse, offset error, or truncation on either the
+    encode or decode side shifts the sum. Payload is projected away at
+    the decode seam; only (id, modality, 2 ints) ever shuffles."""
+    from ydb_vector_search_demo_spark.shipping import ensure_package_on_workers
+
+    ensure_package_on_workers()
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums = []
+            for mo, p in zip(pdf["modality"], pdf["payload"]):
+                raw = bytes(p)
+                if mo == "image":
+                    _, _, pixels = decode_pgm(raw)
+                    sums.append(int(pixels.astype(np.int64).sum()))
+                elif mo == "audio":
+                    sums.append(int(wav_samples(raw).astype(np.int64).sum()))
+                else:
+                    _, _, frames = decode_y4m(raw)
+                    sums.append(
+                        int(sum(fr.astype(np.int64).sum() for fr in frames))
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "content_sum": pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(stats, CONTENT_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n: int = 8) -> DataFrame:
     """Frame-sampling for video rows: decode the real frame count, then
     explode every-n frame indices. The payload column is projected away

@@ -3041,7 +3041,7 @@ def q_ann_lsh_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hyperplanes PINNED, the 8-bit sign-code, the Hamming<=1
     multi-probe widening and the exact cosine rescore are pure
     arithmetic in both engines. Pins the bucketing primitive the
-    rows-only LSH surfaces (ann_lsh_top5's MLlib tables,
+    rows-only LSH surfaces (ann.brp_lsh_neighbors' MLlib tables,
     dedup_cosine_bucketed's seeded planes) are built on. The code fold
     packs plane 0 at the MSB — the bucketed_cosine_near_dup_pairs
     convention."""
@@ -4220,14 +4220,12 @@ def q_ann_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_top5")
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib BucketedRandomProjectionLSH approximate top-5 (Euclidean)."""
-    df = ann.brp_lsh_neighbors(
-        _t(spark, sf_dir, "embeddings"), QV, k=5,
-        bucket_length=2.0, num_hash_tables=3,
-    )
-    return df.select("vec_id", F.round("score", 6).alias("score"))
+# (r9, r8 verdict task #7: the ann_lsh_top5 catalog row — MLlib
+# BucketedRandomProjectionLSH top-5 — is retired. Its LSH serving
+# surface is graded by its pinned twin ann_lsh_fixed, and its
+# seeded-random MLlib tables can never carry a cross-engine oracle;
+# the operator itself, ann.brp_lsh_neighbors, stays exercised by a
+# recall-law unit test in tests/test_ann_index.py.)
 
 
 @register(
@@ -5360,23 +5358,183 @@ def q_pq_refit_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_meta")
+# The multimodal oracle trick (r8 verdict task #6): the synthesized
+# payloads are REAL PGM/WAV/Y4M bytes derived in closed form from the
+# media id (multimodal/media.py synth_*), so DuckDB can recompute every
+# decoded header field and even full content sums ANALYTICALLY — while
+# Spark gets them by actually encoding and then parsing the binary
+# column through the real codecs. Any header misparse, byte-count
+# error, or truncation on either side of the roundtrip diverges.
+_MM_BASE = """
+    m AS (
+      SELECT doc_id::BIGINT AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image'
+                             WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+      FROM documents),
+    img AS (
+      SELECT media_id, 16 + media_id % 48 AS w, 12 + media_id % 36 AS h
+      FROM m WHERE modality = 'image'),
+    aud AS (
+      SELECT media_id, 800 + media_id % 800 AS n, media_id % 32 + 1 AS k
+      FROM m WHERE modality = 'audio'),
+    vid AS (
+      SELECT media_id, 16 + 2 * (media_id % 8) AS w,
+             8 + 2 * (media_id % 6) AS h, 3 + media_id % 5 AS nf
+      FROM m WHERE modality = 'video')
+"""
+
+
+@register(
+    "multimodal_decode_meta",
+    # n_bytes closed forms: PGM = len('P5\n{w} {h}\n255\n') + w*h =
+    # 9 + digits(w) + digits(h) + w*h; WAV = 44-byte canonical header +
+    # 2 bytes per PCM16 sample; Y4M = len('YUV4MPEG2 W{w} H{h} F25:1
+    # Ip A1:1 C420\n') + nf * (len('FRAME\n') + 3*w*h/2) with w,h even.
+    f"""
+    WITH {_MM_BASE}
+    SELECT media_id, 'image' AS modality,
+           (9 + length(w::VARCHAR) + length(h::VARCHAR) + w * h)::BIGINT
+             AS n_bytes,
+           w::INTEGER AS width, h::INTEGER AS height,
+           1 AS n_frames, 0 AS sample_rate
+    FROM img
+    UNION ALL
+    SELECT media_id, 'audio', (44 + 2 * n)::BIGINT, 0, 0, 0, 16000 FROM aud
+    UNION ALL
+    SELECT media_id, 'video',
+           (33 + length(w::VARCHAR) + length(h::VARCHAR)
+               + nf * (6 + 3 * w * h // 2))::BIGINT,
+           w::INTEGER, h::INTEGER, nf::INTEGER, 0
+    FROM vid
+    ORDER BY media_id
+    """,
+)
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column decode plumbing: payload → typed metadata via
-    Arrow-batched mapInPandas (decoder stubbed, schema/batching real)."""
+    """Binary-column decode: payload → typed metadata via Arrow-batched
+    mapInPandas through the REAL per-format header parsers
+    (multimodal/media.py decode_pgm/decode_wav/decode_y4m). Oracle
+    since r9: every header field and byte count is recomputed in
+    closed form from the id (see _MM_BASE) — the full encode→decode
+    roundtrip is pinned, field by field, media row by media row.
+    Nullable per-modality fields travel as 0 in both engines (Spark
+    int-with-null lands as float64 in pandas, breaking the driver's
+    dtype-kind compare — the cohort ISO-date convention)."""
     from ydb_vector_search_demo_spark.multimodal import media
 
-    docs = _t(spark, sf_dir, "documents")
-    return media.decode_media_meta(media.synthesize_media_table(docs))
+    meta = media.decode_media_meta(
+        media.synthesize_media_table(_t(spark, sf_dir, "documents"))
+    )
+    return meta.select(
+        "media_id", "modality", "n_bytes",
+        F.coalesce("width", F.lit(0)).alias("width"),
+        F.coalesce("height", F.lit(0)).alias("height"),
+        F.coalesce("n_frames", F.lit(0)).alias("n_frames"),
+        F.coalesce("sample_rate", F.lit(0)).alias("sample_rate"),
+    ).orderBy("media_id")
 
 
-@register("multimodal_frame_sample")
+@register(
+    "multimodal_frame_sample",
+    # generate_series takes CONSTANT bounds only in this DuckDB version
+    # (no lateral column parameters) — so the series spans the synth
+    # formula's fixed maximum (nf = 3 + id%5 < 8 ⇒ stride-2 indices
+    # ⊆ {0,2,4,6}) and the correlated bound moves to the WHERE.
+    f"""
+    WITH {_MM_BASE}
+    SELECT media_id, t.g::INTEGER AS frame_idx
+    FROM vid, generate_series(0, 6, 2) t(g)
+    WHERE t.g < nf
+    ORDER BY media_id, frame_idx
+    """,
+)
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing: every-8th-frame index explode."""
+    """Video frame-sampling: decode the REAL frame count, explode
+    every-2nd-frame indices (payload projected away before the
+    explode, so the blob never replicates per frame). every_n=2 here
+    — not the operator's default 8 — because the synthesized clips
+    hold 3..7 frames, and a stride of 8 would always yield the single
+    index 0: stride 2 makes the oracle pin a non-trivial sequence per
+    video (0,2,4,.. bounded by the DECODED n_frames)."""
     from ydb_vector_search_demo_spark.multimodal import media
 
     docs = _t(spark, sf_dir, "documents")
-    return media.frame_sample(media.synthesize_media_table(docs), every_n=8)
+    return media.frame_sample(
+        media.synthesize_media_table(docs), every_n=2
+    ).orderBy("media_id", "frame_idx")
+
+
+@register(
+    "multimodal_content_stats",
+    # Content sums, analytically: image pixels (x*7 + y*31 + id) % 256
+    # over the w×h grid; audio PCM16 samples ((i*k) % 512 - 256) * 64;
+    # video planar frame bytes (j*(f+1) + id) % 256 over nf frames of
+    # 3*w*h/2 bytes. DuckDB generates the same index spaces with
+    # generate_series and sums the same integer formulas — no byte
+    # parsing — while Spark decodes the actual payloads.
+    # generate_series bounds are CONSTANT (this DuckDB version has no
+    # lateral column parameters): each series spans the synth formula's
+    # fixed maximum (w<64, h<48 for images; n<1600 samples; nf<8 and
+    # frame_len = 3wh/2 ≤ 810 < 1024 for video) and the correlated
+    # per-row bound moves to the WHERE, grouped back per media id.
+    f"""
+    WITH {_MM_BASE},
+    img_sum AS (
+      SELECT i.media_id, sum((x.g * 7 + y.g * 31 + i.media_id) % 256) AS s
+      FROM img i, generate_series(0, 63) x(g), generate_series(0, 47) y(g)
+      WHERE x.g < i.w AND y.g < i.h GROUP BY i.media_id),
+    aud_sum AS (
+      SELECT a.media_id, 64 * sum((t.g * a.k) % 512 - 256) AS s
+      FROM aud a, generate_series(0, 1599) t(g)
+      WHERE t.g < a.n GROUP BY a.media_id),
+    vid_sum AS (
+      SELECT v.media_id, sum((j.g * (f.g + 1) + v.media_id) % 256) AS s
+      FROM vid v, generate_series(0, 7) f(g), generate_series(0, 1023) j(g)
+      WHERE f.g < v.nf AND j.g < 3 * v.w * v.h // 2 GROUP BY v.media_id),
+    per AS (
+      SELECT i.media_id, 'image' AS modality,
+             (9 + length(i.w::VARCHAR) + length(i.h::VARCHAR)
+                 + i.w * i.h)::BIGINT AS n_bytes,
+             img_sum.s::BIGINT AS content_sum
+      FROM img i JOIN img_sum USING (media_id)
+      UNION ALL
+      SELECT a.media_id, 'audio', (44 + 2 * a.n)::BIGINT, aud_sum.s::BIGINT
+      FROM aud a JOIN aud_sum USING (media_id)
+      UNION ALL
+      SELECT v.media_id, 'video',
+             (33 + length(v.w::VARCHAR) + length(v.h::VARCHAR)
+                 + v.nf * (6 + 3 * v.w * v.h // 2))::BIGINT,
+             vid_sum.s::BIGINT
+      FROM vid v JOIN vid_sum USING (media_id)
+    )
+    SELECT modality, count(*)::BIGINT AS n_media,
+           sum(n_bytes)::BIGINT AS total_bytes,
+           sum(content_sum)::BIGINT AS content_sum
+    FROM per GROUP BY modality ORDER BY modality
+    """,
+)
+def q_multimodal_content_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality content statistics through the REAL codecs
+    (multimodal/media.py media_content_stats): Spark decodes every
+    payload and sums its pixel/sample/frame values; the oracle
+    recomputes each sum in closed form from the id. This pins payload
+    CONTENT (not just headers) across the whole encode→decode
+    roundtrip — the multimodal family's deepest oracle. The binary
+    column dies at the decode seam; the aggregation shuffles 4 ints
+    per media row."""
+    from ydb_vector_search_demo_spark.multimodal import media
+
+    stats = media.media_content_stats(
+        media.synthesize_media_table(_t(spark, sf_dir, "documents"))
+    )
+    return (
+        stats.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.sum("content_sum").cast("bigint").alias("content_sum"),
+        )
+        .orderBy("modality")
+    )
 
 
 @register(
