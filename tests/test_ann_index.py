@@ -642,3 +642,59 @@ def test_brp_lsh_neighbors_recall_law(spark):
     }
     hits = sum(1 for r in got if r["vec_id"] in exact)
     assert hits >= 5, f"recall@10 {hits}/10 below the bucketed-probe floor"
+
+
+def test_knn_graph_max_bucket_laws(spark):
+    """Heavy-tail cap laws for knn_graph_bucketed(max_bucket=...):
+    (1) a cap at or above every bucket's size is a no-op — output
+    identical to the uncapped build; (2) with a binding cap, every
+    edge's endpoints share the secondary sign sub-code (recomputed
+    here via the same pinned planes), edges stay within their primary
+    bucket, and each kept pair's score still equals the exact
+    metric."""
+    from pyspark.sql import functions as F
+
+    embs = load_table(spark, SF_SMOKE, "embeddings").withColumn(
+        "_one", F.lit(0)
+    )
+    n = embs.count()
+    uncapped = sorted(
+        map(tuple, ann.knn_graph_bucketed(embs, "_one", k=3).collect())
+    )
+    noop = sorted(
+        map(
+            tuple,
+            ann.knn_graph_bucketed(embs, "_one", k=3, max_bucket=n).collect(),
+        )
+    )
+    assert noop == uncapped, "cap >= bucket size must be a no-op"
+
+    capped = ann.knn_graph_bucketed(
+        embs, "_one", k=3, max_bucket=max(n // 8, 2), split_bits=3
+    )
+    rows = capped.collect()
+    assert rows, "capped build lost everything"
+    dim = len(embs.select("embedding").first()[0])
+    planes = ann.pinned_split_planes(dim, 3)
+    # the one bucket (size n, cap n//8) splits by min(3, ceil(log2(8)))
+    # = 3 bits -> the FULL 3-bit code must match across every edge
+    codes = {
+        r["vec_id"]: r["c"]
+        for r in embs.select(
+            "vec_id", ann.split_sign_code(F.col("embedding"), planes).alias("c")
+        ).collect()
+    }
+    for r in rows:
+        assert codes[r["src"]] == codes[r["dst"]], (
+            r["src"], r["dst"], codes[r["src"]], codes[r["dst"]],
+        )
+    # scores are still the exact metric for the kept pairs
+    from ydb_vector_search_demo_spark.functions.vector import cosine_distance
+
+    vecs = {r["vec_id"]: r["embedding"] for r in embs.collect()}
+    pair_df = spark.createDataFrame(
+        [(r["src"], r["dst"], vecs[r["src"]], vecs[r["dst"]], r["score"])
+         for r in rows],
+        "src BIGINT, dst BIGINT, va ARRAY<FLOAT>, vb ARRAY<FLOAT>, got DOUBLE",
+    ).select((F.abs(cosine_distance("va", "vb") - F.col("got"))).alias("e"))
+    assert pair_df.agg(F.max("e")).first()[0] < 1e-9

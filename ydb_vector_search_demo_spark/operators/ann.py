@@ -1476,6 +1476,45 @@ def brp_lsh_neighbors(
     )
 
 
+def pinned_split_planes(
+    dim: int, n_planes: int, seed: str = "graph-split-v1"
+) -> list[list[float]]:
+    """Deterministic md5-derived secondary hyperplanes for the
+    heavy-tail bucket split (Charikar SimHash planes without an RNG —
+    the repo's pinned-determinization pattern): component d of plane p
+    is md5(seed:p:d) mapped uniformly into [-1, 1). Same inputs, same
+    planes, every run and every engine."""
+    import hashlib
+
+    return [
+        [
+            int(
+                hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:8], 16
+            )
+            / 2.0**32
+            * 2.0
+            - 1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def split_sign_code(vec: Column, planes: list[list[float]]) -> Column:
+    """Fold the sign bits of ``vec`` against each pinned plane into one
+    integer code, plane 0 at the MSB (the repo's sign-fold
+    convention). Pure Column arithmetic over plane literals."""
+    from ydb_vector_search_demo_spark.functions.vector import dot
+
+    code: Column = F.lit(0).cast("bigint")
+    for p in planes:
+        bit = F.when(
+            dot(vec, F.array(*[F.lit(float(x)) for x in p])) > 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        code = code * 2 + bit
+    return code
+
+
 def knn_graph_bucketed(
     embeddings: DataFrame,
     bucket_col: str,
@@ -1486,6 +1525,8 @@ def knn_graph_bucketed(
     sources: DataFrame | None = None,
     keep_bucket: bool = False,
     n_salt: int = 16,
+    max_bucket: int | None = None,
+    split_bits: int = 4,
 ) -> DataFrame:
     """Approximate kNN GRAPH over the corpus — every node's top-``k``
     neighbors WITHIN its bucket, the primitive graph-based clustering,
@@ -1526,7 +1567,39 @@ def knn_graph_bucketed(
     bit-identical, equality-verified at sf0.1), not once per PAIR:
     hoisting the norms out of the n²/B pair loop cut the measured
     sf0.1 build 2.7× (23 s → 8.5 s; the remaining cost is
-    materializing the 1.1 M scored pairs themselves)."""
+    materializing the 1.1 M scored pairs themselves).
+
+    Heavy-tail cap (``max_bucket``): sign-code buckets concentrate
+    pair cost super-linearly — the r8 profile put ~74% of rows in
+    2/164 buckets, i.e. 2 cells paid ~1.1 M of the pairs. With
+    ``max_bucket=m`` set, any bucket larger than m is SPLIT by
+    ceil(log2(n/m)) extra sign bits (capped at ``split_bits``) from a
+    pinned md5-derived secondary hyperplane set (Charikar SimHash
+    planes, the repo's pinned-determinization pattern — no RNG, same
+    split every run), and neighbors are confined to the sub-bucket:
+    a bucket of n rows drops from n² pairs toward n²/2^bits at the
+    price of boundary recall inside that cell only. Buckets at or
+    under the cap keep bit-identical output to ``max_bucket=None``:
+    their sub-code is 0 bits, and the split set is derived from the
+    NEIGHBOR side, so src rows of an under-cap bucket never split
+    either. The size census is one keyed count (output bounded by
+    #buckets, broadcast back); the secondary code is per-row map work.
+
+    Measured at sf0.1 on the pinned 8-plane sign code (2,000 vectors,
+    hot buckets ~740 rows; same-host interleaved A/B, BASELINE r9):
+    build min 10.9 → 4.3 s at ``max_bucket=200`` (2 effective bits in
+    the hot cells), edge count unchanged; graph recall@4 vs the exact
+    graph 0.39 → 0.15 (0.24 at ``max_bucket=400``/1 bit — each random
+    secondary plane cuts roughly half of a node's true neighbors on
+    this un-clustered corpus). Note the cap's recall CANNOT be bought
+    back by :func:`nn_descent`: the capped graph is exact WITHIN each
+    sub-bucket, so neighbor-of-neighbor candidates never leave the
+    sub-bucket (measured: 0 edges changed in 3 rounds) — recovering
+    cross-cell neighbors needs cross-cell candidates (the
+    :func:`knn_graph_multiprobe` pattern), not refinement. Use the cap
+    where build cost dominates and the consumer tolerates within-cell
+    neighborhoods (SemDeDup-style curation; beam-search entry fanout),
+    not where graph recall is the product."""
     from pyspark.sql import Window
 
     from ydb_vector_search_demo_spark.functions.vector import (
@@ -1564,10 +1637,61 @@ def knn_graph_bucketed(
         )
     else:
         score_col = distance(F.col("_va"), F.col("_vb"), metric)
+    join_keys = ["_bk"]
+    if max_bucket:
+        # one-row action: plane literals need the vector dimension
+        dim = embeddings.select(
+            F.size(F.col(vector_col)).alias("d")
+        ).first()["d"]
+        planes = pinned_split_planes(dim, split_bits)
+        # size census over the NEIGHBOR side (one keyed count, output
+        # bounded by the number of buckets, broadcast back)
+        plan = (
+            embeddings.groupBy(F.col(bucket_col).alias("_bk"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .select(
+                "_bk",
+                F.least(
+                    F.lit(split_bits),
+                    F.greatest(
+                        F.lit(0),
+                        F.ceil(
+                            F.log2(F.col("_n") / F.lit(float(max_bucket)))
+                        ),
+                    ),
+                )
+                .cast("int")
+                .alias("_bits"),
+            )
+        )
+
+        def with_sub(side: DataFrame, vcol: str) -> DataFrame:
+            # full split_bits-bit secondary code, then keep only the
+            # TOP _bits bits for this row's bucket (0 bits -> sub 0:
+            # under-cap buckets are bit-identical to max_bucket=None)
+            code = split_sign_code(F.col(vcol), planes)
+            return (
+                side.join(F.broadcast(plan), "_bk")
+                .withColumn(
+                    "_sb",
+                    F.floor(
+                        code
+                        / F.pow(
+                            F.lit(2.0),
+                            F.lit(split_bits) - F.col("_bits"),
+                        )
+                    ).cast("bigint"),
+                )
+                .drop("_bits")
+            )
+
+        a = with_sub(a, "_va")
+        b = with_sub(b, "_vb")
+        join_keys = ["_bk", "_sb"]
     joined = (
-        SKW.salted_join(a, b, on=["_bk"], salt_by="src", n_salt=n_salt)
+        SKW.salted_join(a, b, on=join_keys, salt_by="src", n_salt=n_salt)
         if n_salt
-        else a.join(b, on="_bk")
+        else a.join(b, on=join_keys)
     )
     scored = joined.filter(F.col("src") != F.col("dst")).select(
         *(["_bk"] if keep_bucket else []),
