@@ -158,3 +158,112 @@ def test_cohort_offset_zero_equals_cohort_size(spark):
         .collect()
     }
     assert zero == sizes
+
+
+def test_attribution_credit_conservation_and_models(spark):
+    """Crafted funnel: credit is moved, never created — per model the
+    channel revenues sum to the total conversion value; last-touch
+    picks the latest in-window touch (ties on higher event id); linear
+    splits evenly; out-of-window or touchless conversions go to
+    'direct'."""
+    ev = spark.createDataFrame(
+        [
+            # u1: view(1h before) + click(30m before) -> purchase 10.0
+            (1, 1, "view", DT(2024, 1, 2, 9), 0.0),
+            (2, 1, "click", DT(2024, 1, 2, 9, 30), 0.0),
+            (3, 1, "purchase", DT(2024, 1, 2, 10), 10.0),
+            # u2: only touch is 25h before -> direct
+            (4, 2, "view", DT(2024, 1, 1, 8), 0.0),
+            (5, 2, "purchase", DT(2024, 1, 2, 10), 4.0),
+            # u3: two views, later one ties with a click at same ts ->
+            # the higher event_id wins last-touch
+            (6, 3, "view", DT(2024, 1, 2, 8), 0.0),
+            (7, 3, "click", DT(2024, 1, 2, 9), 0.0),
+            (8, 3, "view", DT(2024, 1, 2, 9), 0.0),
+            (9, 3, "purchase", DT(2024, 1, 2, 10), 6.0),
+        ],
+        "event_id INT, user_id INT, event_type STRING, ts TIMESTAMP,"
+        " value DOUBLE",
+    )
+    rows = {
+        (r["model"], r["channel"]): (r["n_touches"], r["revenue"])
+        for r in TS.attribution(ev).collect()
+    }
+    # last-touch: u1 -> click, u3 -> view (event 8 beats 7 at same ts)
+    assert rows[("last_touch", "click")] == (1, 10.0)
+    assert rows[("last_touch", "view")] == (1, 6.0)
+    assert rows[("last_touch", "direct")] == (1, 4.0)
+    # linear: u1 10/2 each; u3 6/3 each
+    assert rows[("linear", "click")] == (2, round(10 / 2 + 6 / 3, 4))
+    assert rows[("linear", "view")] == (3, round(10 / 2 + 2 * 6 / 3, 4))
+    assert rows[("linear", "direct")] == (1, 4.0)
+    for model in ("last_touch", "linear"):
+        total = sum(v[1] for (m, _), v in rows.items() if m == model)
+        assert abs(total - 20.0) < 1e-6, (model, total)
+
+
+def test_transition_matrix_rows_and_probabilities(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    rows = TS.transition_matrix(ev).collect()
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in rows) == n_events - n_users
+    from collections import defaultdict
+
+    per_from = defaultdict(float)
+    for r in rows:
+        per_from[r["from_type"]] += r["p"]
+    for ft, s in per_from.items():
+        assert abs(s - 1.0) < 1e-4, (ft, s)
+
+
+def test_priority_sample_laws(spark):
+    """A-ES laws: scaling every weight by a constant leaves the
+    selected set (and order) unchanged; equal weights degrade to pure
+    hash order; non-positive weights are never sampled."""
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_demo_spark.operators import curation
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = [
+        r["doc_id"]
+        for r in curation.priority_sample(docs, "n_chars", k=15).collect()
+    ]
+    scaled = [
+        r["doc_id"]
+        for r in curation.priority_sample(
+            docs.withColumn("n_chars", F.col("n_chars") * 7), "n_chars", k=15
+        ).collect()
+    ]
+    assert base == scaled, "weight scaling must not change the sample"
+    eq = docs.withColumn("w", F.lit(1.0))
+    got = [r["doc_id"] for r in curation.priority_sample(eq, "w", k=10).collect()]
+    # equal weights: priority = u -> top-10 by the pinned md5-uniform
+    by_u = [
+        r["doc_id"]
+        for r in eq.select(
+            "doc_id",
+            (
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit("psample-v1:"),
+                                           F.col("doc_id").cast("string"))),
+                            1, 13,
+                        ), 16, 10,
+                    ).cast("double")
+                    + F.lit(0.5)
+                ) / F.lit(float(2**52))
+            ).alias("u"),
+        )
+        .orderBy(F.col("u").desc(), F.col("doc_id"))
+        .limit(10)
+        .collect()
+    ]
+    assert got == by_u
+    zeroed = docs.withColumn(
+        "n_chars", F.when(F.col("doc_id") < 100, F.lit(0)).otherwise(F.col("n_chars"))
+    )
+    z = curation.priority_sample(zeroed, "n_chars", k=500).collect()
+    assert all(r["doc_id"] >= 100 for r in z)

@@ -1341,3 +1341,52 @@ def budget_fill(
             .alias("cum_cost"),
         )
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "psample-v1",
+) -> DataFrame:
+    """Weighted sampling without replacement, deterministically — the
+    Efraimidis–Spirakis A-ES scheme (Inf. Process. Lett. 97(5), 2006):
+    each row draws a uniform u and takes priority u^(1/w); the top-k
+    priorities ARE a weight-proportional sample without replacement.
+    Here u is a pinned md5-uniform of the row id (no RNG — the repo's
+    pinned-determinization pattern): 13 hex digits = 52 bits, so the
+    integer is exactly representable in a double in BOTH engines, and
+    u = (v + 0.5) / 2^52 lies strictly inside (0, 1). Rows with
+    non-positive weight are excluded (they can never be sampled).
+    Returns the k sampled rows with their raw priority.
+
+    Laws (tested): scaling ALL weights by a constant c > 0 leaves the
+    selected set unchanged (u^(1/(cw)) is a monotone transform of
+    u^(1/w)); with equal weights the sample degrades to pure hash
+    order.
+
+    Scale shape: per-row map work (md5 + pow) and ONE top-k cut —
+    TakeOrderedAndProject, a per-partition heap then a k-row merge at
+    the driver side of the exchange; no global sort, no full shuffle
+    of the corpus. This is the corpus-subsampling primitive ("sample
+    50k docs proportional to quality") that replaces ORDER BY
+    rand()-style anti-patterns at 100 TB."""
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(float(2**52))
+    w = F.col(weight_col).cast("double")
+    pri = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.filter(w > 0)
+        .withColumn("priority", pri)
+        .orderBy(F.col("priority").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )

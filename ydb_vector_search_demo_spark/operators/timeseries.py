@@ -381,3 +381,143 @@ def cohort_retention(
         .groupBy("cohort_day", "day_offset")
         .agg(F.count_distinct(F.col(user_col)).cast("bigint").alias("n_users"))
     )
+
+
+def attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    window_hours: int = 24,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Marketing-style revenue attribution: credit each conversion's
+    value to the touch events (views/clicks) the same user produced in
+    the ``window_hours`` before it, under two standard models at once —
+    ``last_touch`` (the most recent touch takes the full value; ties
+    break on the higher event id) and ``linear`` (the value splits
+    evenly across all touches in the window). Conversions with NO
+    in-window touch are credited to the synthetic channel ``direct``
+    under both models. Returns one row per (model, channel):
+    (model, channel, n_touches, revenue) with revenue rounded to 4 dp
+    and n_touches = credited touch events (conversions for `direct`).
+
+    Law: for each model, sum(revenue) over channels equals the total
+    conversion value — credit is moved, never created (tested).
+
+    Scale shape: one keyed join (user) between the conversion slice
+    and the touch slice — co-partitioned, shuffled once each; the
+    window predicate filters in the join; per-conversion state is
+    bounded by the user's touch count inside the window (a per-user
+    activity bound, not a corpus bound). Last-touch is one
+    row_number per conversion (Partial WindowGroupLimit shape);
+    linear's per-touch share is one count window per conversion.
+    Output is bounded by models × channels."""
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_cts"),
+        F.col(id_col).alias("_cid"),
+        F.col(value_col).alias("_val"),
+    )
+    tou = events.filter(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_tts"),
+        F.col(id_col).alias("_tid"),
+        F.col(type_col).alias("channel"),
+    )
+    j = conv.join(tou, "_u").filter(
+        (F.col("_tts") <= F.col("_cts"))
+        & (
+            F.col("_tts")
+            >= F.col("_cts") - F.expr(f"INTERVAL {int(window_hours)} HOURS")
+        )
+    )
+    w_last = Window.partitionBy("_cid").orderBy(
+        F.col("_tts").desc(), F.col("_tid").desc()
+    )
+    last = (
+        j.withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("_val").alias("_rev"),
+        )
+        .select(F.lit("last_touch").alias("model"), "channel", "n_touches", "_rev")
+    )
+    w_n = Window.partitionBy("_cid")
+    linear = (
+        j.withColumn("_n", F.count(F.lit(1)).over(w_n))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum(F.col("_val") / F.col("_n")).alias("_rev"),
+        )
+        .select(F.lit("linear").alias("model"), "channel", "n_touches", "_rev")
+    )
+    direct = (
+        conv.join(j.select("_cid").distinct(), "_cid", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.coalesce(F.sum("_val"), F.lit(0.0)).alias("_rev"),
+        )
+    )
+    directs = None
+    for mdl in ("last_touch", "linear"):
+        d = direct.select(
+            F.lit(mdl).alias("model"),
+            F.lit("direct").alias("channel"),
+            "n_touches",
+            "_rev",
+        )
+        directs = d if directs is None else directs.unionAll(d)
+    return (
+        last.unionByName(linear)
+        .unionByName(directs)
+        .select(
+            "model", "channel", "n_touches",
+            F.round(F.col("_rev"), 4).alias("revenue"),
+        )
+        .orderBy("model", "channel")
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user event-type transition counts and probabilities — the
+    first-order Markov readout behind "what do users do after a
+    click?". Orders each user's events by (ts, event_id) (the id
+    breaks timestamp ties deterministically), pairs each event with
+    its successor via one lag/lead window, and aggregates
+    (from_type, to_type, n, p) where p = n / sum(n) over the from_type
+    (rounded to 6 dp).
+
+    Scale shape: ONE window over (user, ts, id) — the shuffle carries
+    (user, ts, id, type) only, never payloads; the aggregation output
+    is bounded by |event types|²; the per-from normalization is a
+    window over that tiny relation, not the events."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = (
+        events.select(user_col, ts_col, id_col, F.col(type_col).alias("from_type"))
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_from), 6).alias("p"),
+    ).orderBy("from_type", "to_type")

@@ -8129,6 +8129,115 @@ def q_events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cohort_day", "day_offset")
 
 
+@register(
+    "events_attribution",
+    """
+    WITH conv AS (
+      SELECT user_id AS u, ts AS cts, event_id AS cid, value AS val
+      FROM events WHERE event_type = 'purchase'),
+    tou AS (
+      SELECT user_id AS u, ts AS tts, event_id AS tid,
+             event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click')),
+    j AS (
+      SELECT c.cid, c.val, t.channel, t.tts, t.tid
+      FROM conv c JOIN tou t ON c.u = t.u
+      WHERE t.tts <= c.cts AND t.tts >= c.cts - INTERVAL 24 HOURS),
+    last AS (
+      SELECT channel, count(*)::BIGINT AS n_touches, sum(val) AS rev
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY cid ORDER BY tts DESC, tid DESC) AS rn FROM j)
+      WHERE rn = 1 GROUP BY channel),
+    lin AS (
+      SELECT channel, count(*)::BIGINT AS n_touches, sum(val / n) AS rev
+      FROM (SELECT *, count(*) OVER (PARTITION BY cid) AS n FROM j)
+      GROUP BY channel),
+    direct AS (
+      SELECT count(*)::BIGINT AS n_touches,
+             coalesce(sum(val), 0.0) AS rev
+      FROM conv WHERE cid NOT IN (SELECT cid FROM j))
+    SELECT * FROM (
+      SELECT 'last_touch' AS model, channel, n_touches,
+             round(rev, 4) AS revenue FROM last
+      UNION ALL
+      SELECT 'linear', channel, n_touches, round(rev, 4) FROM lin
+      UNION ALL
+      SELECT 'last_touch', 'direct', n_touches, round(rev, 4) FROM direct
+      UNION ALL
+      SELECT 'linear', 'direct', n_touches, round(rev, 4) FROM direct
+    ) ORDER BY model, channel
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue attribution (operators.timeseries.attribution): credit
+    each purchase's value to the same user's views/clicks in the 24 h
+    before it — last-touch and linear models side by side, untouched
+    conversions as the 'direct' channel. One keyed join + one
+    row_number per conversion; credit conservation is law-tested."""
+    from ydb_vector_search_demo_spark.operators import timeseries as TS
+
+    return TS.attribution(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_transition_matrix",
+    """
+    WITH p AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events),
+    c AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+          FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           round(n::DOUBLE / (sum(n) OVER (PARTITION BY from_type)), 6) AS p
+    FROM c ORDER BY from_type, to_type
+    """,
+)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix
+    (operators.timeseries.transition_matrix): one lead window over
+    (user, ts, id), aggregated to |types|² rows with per-from
+    probabilities. The shuffle carries (user, ts, id, type) only."""
+    from ydb_vector_search_demo_spark.operators import timeseries as TS
+
+    return TS.transition_matrix(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "corpus_priority_sample",
+    # u is a pinned md5-uniform of the doc id: 13 hex digits = 52 bits,
+    # exactly representable in a double in both engines; 2^52 =
+    # 4503599627370496. Priority u^(1/w) is the Efraimidis–Spirakis
+    # A-ES key; top-k by priority IS a weight-proportional sample
+    # without replacement.
+    """
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             (('0x' || substring(md5('psample-v1:' || doc_id::VARCHAR),
+                                 1, 13))::BIGINT + 0.5)
+               / 4503599627370496.0 AS u
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, n_chars,
+           round(pow(u, 1.0 / n_chars), 6) AS priority
+    FROM s ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id LIMIT 20
+    """,
+)
+def q_corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus subsample (operators.curation.priority_sample):
+    top-20 documents by the deterministic A-ES priority with n_chars
+    as the weight — the 'sample 50k docs proportional to quality'
+    primitive. Per-row map work + one TakeOrderedAndProject top-k;
+    never a global sort, never ORDER BY rand()."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curation.priority_sample(docs, "n_chars", k=20)
+    return out.select(
+        "doc_id", "n_chars", F.round("priority", 6).alias("priority")
+    )
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
