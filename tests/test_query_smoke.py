@@ -51,7 +51,6 @@ def test_rows_only_set_is_intentional():
         "events_zorder_skip_report",
         "ingest_embed_roundtrip",
         "multimodal_embedding",
-        "multimodal_resize",
         "multimodal_union_search",
         "pq_codebook_drift",
         "pq_refit_lifecycle",

@@ -4055,7 +4055,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates at Hamming<=3 over 63-bit fingerprints."""
+    """SimHash near-dup candidates at Hamming<=3 over 63-bit
+    fingerprints. Rows-only: the fingerprints are xxhash64-seeded
+    (engine-specific hashing a SQL oracle cannot replay); the sign-LSH
+    bucketing arithmetic itself is fully oracle-pinned via the md5
+    ann_lsh_fixed / dedup_clusters_lsh_fixed twins."""
     return dedup.simhash_near_pairs(
         _t(spark, sf_dir, "documents"), max_hamming=3, prefix_bits=16
     )
@@ -4171,7 +4175,11 @@ def q_ann_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_ivf_recall_sweep")
 def q_ann_ivf_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 vs nprobe curve on one IVF index (operators.ann) —
-    the measurement that picks nprobe for a target recall."""
+    the measurement that picks nprobe for a target recall. Rows-only
+    by design: a recall REPORT's ground truth is the exact query
+    itself, so a SQL oracle would restate the measurement rather than
+    check it (every arithmetic piece is graded via the *_fixed rows);
+    the KMeans index is additionally seeded-MLlib."""
     return ann.ivf_recall_sweep(
         spark, _t(spark, sf_dir, "embeddings"), QV,
         k=10, k_clusters=16, nprobes=(1, 2, 4, 8), cache_key=sf_dir,
@@ -4188,7 +4196,9 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered candidate pool reaches 3·k). A ~2.5%-selective predicate
     starves a fixed nprobe=1 probe; the widened probe restores recall —
     the most common production vector-search shape (RAG over a
-    tenant/date slice) measured honestly."""
+    tenant/date slice) measured honestly. Rows-only by design: recall
+    reports carry their own exact ground truth (the filtered-probe
+    ARITHMETIC is oracle-pinned via ann_filtered_fixed)."""
     return ann.filtered_recall(
         spark, _t(spark, sf_dir, "embeddings"), QV,
         predicate=F.col("label") == 1, k=10, k_clusters=16, nprobe=1,
@@ -4321,7 +4331,10 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a) the raw int8 coarse ordering, (b) int8 coarse + exact rescore
     at c=4, and (c) 1-bit Hamming + rescore at the same c. The coarse
     scan reads ~4× (int8) / ~32× (1-bit) fewer bytes than float32;
-    rescore touches float vectors for only c·k candidate rows."""
+    rescore touches float vectors for only c·k candidate rows.
+    Rows-only by design: a recall report carries its own exact ground
+    truth; the quantize/rescore arithmetic is oracle-pinned via
+    quant_roundtrip_error and quant_ivf_fixed."""
     from ydb_vector_search_demo_spark.operators import quant
 
     return quant.quantized_recall(
@@ -5235,7 +5248,10 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact norm) against per-cell LUTs, then exact-rescores c·k floats.
     recall@10 = flat-IVF recall at the same scanned fraction on this
     corpus (the coarse probe, not PQ precision, is the binding
-    constraint — exactly what residual encoding is for).
+    constraint — exactly what residual encoding is for). Rows-only by
+    design: recall reports carry their own exact ground truth, and
+    the codebooks here are corpus-TRAINED (seeded KMeans); the ADC
+    arithmetic is oracle-pinned via pq_adc_fixed/ivfpq_fixed.
     SIDE-EFFECT NOTE: writes the IVF-PQ store under a deterministic
     /tmp path (overwrite-keyed by sf_dir hash), mirroring
     events_rollup_serve's documented convention."""
@@ -5571,7 +5587,12 @@ def q_multimodal_union_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unioned metric search across modalities (SURVEY.md §2.6
     'multimodal columns'): text-corpus embeddings and (stub-encoded)
     media embeddings share one 64-dim space; one top-k runs over the
-    union with a modality tag, ties broken on (score, modality, id)."""
+    union with a modality tag, ties broken on (score, modality, id).
+    Rows-only: the media side embeds through a float32 unit-normalized
+    histogram whose 6-dp display can straddle a rounding boundary
+    between float32 (Spark arrays) and float64 (any SQL replay) — the
+    decode arithmetic beneath it is oracle-pinned via the
+    multimodal_content_stats/resize rows."""
     from ydb_vector_search_demo_spark.multimodal import media
 
     embs = _t(spark, sf_dir, "embeddings").select(
@@ -5630,23 +5651,68 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_resize")
+@register(
+    "multimodal_resize",
+    # Nearest-neighbor resample, analytically: scale = min(32/max(w,h),
+    # 1), dest dims floor(w·scale)/floor(h·scale) (identical double
+    # expressions in both engines), source row/col for dest (i,j) is
+    # floor((i+0.5)·h/nh) / floor((j+0.5)·w/nw), and the resized pixel
+    # sum re-applies the synth formula at those indices. Constant
+    # series bounds (dest dims ≤ 32 < 64) with correlated WHERE — the
+    # multimodal_content_stats convention.
+    f"""
+    WITH {_MM_BASE},
+    dims AS (
+      SELECT media_id, w, h,
+             greatest(CAST(floor(w * least(32.0 / greatest(w, h), 1.0))
+                           AS INTEGER), 1) AS nw,
+             greatest(CAST(floor(h * least(32.0 / greatest(w, h), 1.0))
+                           AS INTEGER), 1) AS nh
+      FROM img),
+    sums AS (
+      SELECT d.media_id,
+             sum((CAST(floor((j.g + 0.5) * d.w / d.nw) AS BIGINT) * 7
+                  + CAST(floor((i.g + 0.5) * d.h / d.nh) AS BIGINT) * 31
+                  + d.media_id) % 256) AS s
+      FROM dims d, generate_series(0, 63) i(g), generate_series(0, 63) j(g)
+      WHERE i.g < d.nh AND j.g < d.nw GROUP BY d.media_id)
+    SELECT d.media_id, d.nw AS width, d.nh AS height,
+           (9 + length(d.nw::VARCHAR) + length(d.nh::VARCHAR)
+               + d.nw * d.nh)::BIGINT AS n_bytes,
+           sums.s::BIGINT AS content_sum
+    FROM dims d JOIN sums USING (media_id) ORDER BY d.media_id
+    """,
+)
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing: payload → smaller payload + new dims via
-    Arrow-batched mapInPandas (resampler stubbed; schema/batching real).
-    The binary column is returned as its size so the check stays
-    value-stable."""
+    """Image resize through the REAL resampler: decode PGM → index-
+    stride nearest-neighbor down to max_side=32 (the synthesized
+    images span 16..63 px, so 32 actually resamples; the operator
+    default 64 would be a no-op on this corpus) → re-encode PGM →
+    decode AGAIN for the content sum. Oracle since r9: destination
+    dims, byte size AND the resized pixel sum are recomputed in closed
+    form — the resample's index arithmetic is pinned pixel-for-pixel
+    through the full encode→resize→re-encode→decode roundtrip."""
     from ydb_vector_search_demo_spark.multimodal import media
 
     docs = _t(spark, sf_dir, "documents")
-    resized = media.resize_images(media.synthesize_media_table(docs), max_side=64)
-    return resized.select("media_id", "width", "height", "n_bytes")
+    resized = media.resize_images(media.synthesize_media_table(docs), max_side=32)
+    stats = media.media_content_stats(
+        resized.select("media_id", F.lit("image").alias("modality"), "payload")
+    )
+    return (
+        resized.select("media_id", "width", "height")
+        .join(stats.select("media_id", "n_bytes", "content_sum"), "media_id")
+        .orderBy("media_id")
+    )
 
 
 @register("multimodal_embedding")
 def q_multimodal_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media feature-extraction plumbing: payload → 64-dim embedding
-    (encoder stubbed) → L2 norm check column."""
+    (encoder stubbed) → L2 norm check column. Rows-only: the
+    unit-normalized float32 histogram has no stable 6-dp SQL replay
+    (see multimodal_union_search); the underlying decode is
+    oracle-pinned via multimodal_content_stats."""
     from ydb_vector_search_demo_spark.multimodal import media
 
     docs = _t(spark, sf_dir, "documents")
@@ -8127,6 +8193,51 @@ def q_events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_offset").cast("int").alias("day_offset"),
         "n_users",
     ).orderBy("cohort_day", "day_offset")
+
+
+@register(
+    "streaming_stream_join_pairs",
+    """
+    SELECT date_trunc('hour', p.ts) AS hour_start,
+           count(*)::BIGINT AS n_pairs,
+           count(DISTINCT p.event_id)::BIGINT AS n_purchases
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTES
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join (streaming.events
+    purchase_click_join_stream): purchases joined to the same user's
+    clicks from the preceding hour, both sides real file streams with
+    watermarks bounding the join state, availableNow replay into a
+    memory sink, then a batch rollup of the sink. Oracle: the plain
+    batch self-join — with a single batch nothing is late, so
+    streaming == batch == DuckDB (the streaming_hourly_counts
+    convention). Completes the Structured Streaming surface next to
+    windowed/session/stateful aggs and the firing-watermark row."""
+    _STREAM_COUNTER["n"] += 1
+    name = f"stream_join_{_STREAM_COUNTER['n']}"
+    pairs = EV.purchase_click_join_stream(spark, sf_dir, window_minutes=60)
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(F.date_trunc("hour", F.col("p_ts")).alias("hour_start"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("purchase_id").cast("bigint").alias("n_purchases"),
+        )
+        .orderBy("hour_start")
+    )
 
 
 @register(

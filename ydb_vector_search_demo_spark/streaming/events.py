@@ -309,3 +309,54 @@ def late_data_hourly_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("hour_start"), "n")
     )
+
+
+def purchase_click_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window_minutes: int = 60,
+    watermark: str = "3650 days",
+) -> DataFrame:
+    """STREAM-STREAM inner join — the remaining Structured Streaming
+    join surface next to the windowed/session/stateful aggs: purchases
+    joined to the same user's clicks from the preceding
+    ``window_minutes``, both sides watermarked (the watermark bounds
+    each side's join STATE: a buffered click can be evicted once no
+    future purchase can reach back to it — state is O(events inside
+    the watermark horizon), never the whole stream). Time-range
+    condition + equi-key is exactly the shape Spark requires to prune
+    state on both sides.
+
+    With the availableNow single-batch replay the oracle is the plain
+    batch self-join (nothing is ever late to a single batch), so the
+    row is fully DuckDB-checked; the default watermark is therefore
+    the equality-mode horizon, and a production caller passes the real
+    lateness bound instead."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts <= p_ts AND "
+            f"c_ts >= p_ts - INTERVAL {int(window_minutes)} MINUTES"
+        ),
+        "inner",
+    )
