@@ -141,6 +141,22 @@ HEADLINE = [
     "retrieval_mmr_fixed",
     "retrieval_maxsim_fixed",
     "corpus_budget_fill",
+    # r9 additions (outside the comparable subsets), all fully
+    # oracle-checked rows: revenue attribution (one keyed join + one
+    # row_number per conversion, two models in one plan), the
+    # transition matrix (one lead window, |types|^2 output), the
+    # deterministic A-ES weighted sample (per-row map work + one
+    # TakeOrderedAndProject), the ordered funnel (single-action
+    # ReusedExchange plan — the r8 recompute fix, benched to hold),
+    # the stream-stream join replay, and the multimodal content/codec
+    # oracle rows (Arrow decode seams priced end to end)
+    "events_attribution",
+    "events_transition_matrix",
+    "corpus_priority_sample",
+    "events_funnel_conversion",
+    "streaming_stream_join_pairs",
+    "multimodal_content_stats",
+    "multimodal_resize",
 ]
 
 

@@ -698,3 +698,61 @@ def test_knn_graph_max_bucket_laws(spark):
         "src BIGINT, dst BIGINT, va ARRAY<FLOAT>, vb ARRAY<FLOAT>, got DOUBLE",
     ).select((F.abs(cosine_distance("va", "vb") - F.col("got"))).alias("e"))
     assert pair_df.agg(F.max("e")).first()[0] < 1e-9
+
+
+def test_knn_graph_probe_hamming_laws(spark):
+    """Hamming-1 multiprobe laws: (1) with no oversized bucket the
+    probe is a no-op (identical to the uncapped build); (2) with a
+    binding cap, probed edges may cross sub-cells but only at Hamming
+    distance <= 1 on the kept bits, and the probed edge set recalls at
+    least as much of the exact graph as the bare capped build (more
+    candidates can only improve a per-src top-k against the same
+    scores)."""
+    from pyspark.sql import functions as F
+
+    embs = load_table(spark, SF_SMOKE, "embeddings").withColumn(
+        "_one", F.lit(0)
+    )
+    n = embs.count()
+    uncapped = sorted(
+        map(tuple, ann.knn_graph_bucketed(embs, "_one", k=3).collect())
+    )
+    noop = sorted(
+        map(
+            tuple,
+            ann.knn_graph_bucketed(
+                embs, "_one", k=3, max_bucket=n, probe_hamming=1
+            ).collect(),
+        )
+    )
+    assert noop == uncapped
+
+    cap = max(n // 8, 2)
+    bare = {
+        (r["src"], r["dst"])
+        for r in ann.knn_graph_bucketed(
+            embs, "_one", k=3, max_bucket=cap, split_bits=3
+        ).collect()
+    }
+    probed = {
+        (r["src"], r["dst"])
+        for r in ann.knn_graph_bucketed(
+            embs, "_one", k=3, max_bucket=cap, split_bits=3, probe_hamming=1
+        ).collect()
+    }
+    exact = {
+        (r["src"], r["dst"])
+        for r in ann.knn_graph_bucketed(embs, "_one", k=3, n_salt=0).collect()
+    }
+    assert len(probed & exact) >= len(bare & exact)
+    dim = len(embs.select("embedding").first()[0])
+    planes = ann.pinned_split_planes(dim, 3)
+    codes = {
+        r["vec_id"]: r["c"]
+        for r in embs.select(
+            "vec_id", ann.split_sign_code(F.col("embedding"), planes).alias("c")
+        ).collect()
+    }
+    for s, d in probed:
+        x = codes[s] ^ codes[d]
+        assert x == 0 or (x & (x - 1)) == 0, (s, d, bin(x))

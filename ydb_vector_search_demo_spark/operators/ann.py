@@ -1527,6 +1527,7 @@ def knn_graph_bucketed(
     n_salt: int = 16,
     max_bucket: int | None = None,
     split_bits: int = 4,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate kNN GRAPH over the corpus — every node's top-``k``
     neighbors WITHIN its bucket, the primitive graph-based clustering,
@@ -1595,11 +1596,19 @@ def knn_graph_bucketed(
     back by :func:`nn_descent`: the capped graph is exact WITHIN each
     sub-bucket, so neighbor-of-neighbor candidates never leave the
     sub-bucket (measured: 0 edges changed in 3 rounds) — recovering
-    cross-cell neighbors needs cross-cell candidates (the
-    :func:`knn_graph_multiprobe` pattern), not refinement. Use the cap
-    where build cost dominates and the consumer tolerates within-cell
-    neighborhoods (SemDeDup-style curation; beam-search entry fanout),
-    not where graph recall is the product."""
+    cross-cell neighbors needs cross-cell CANDIDATES, which is what
+    ``probe_hamming=1`` provides: the src side also probes every
+    sub-code at Hamming distance 1 on its bucket's kept bits (the
+    :func:`knn_graph_multiprobe` idea applied to the split), so a true
+    neighbor survives unless ≥2 secondary planes separate the pair.
+    Candidates multiply by ≤ bits+1 over the capped base — still
+    (bits+1)/2^bits of the UNCAPPED hot-cell pairs, a saving that
+    GROWS with the cell. Measured ladder (same A/B): cap200+probe1
+    recall 0.335 / 8.2 s, cap100+probe1 0.264 / 5.5 s, cap200 bare
+    0.154 / 4.6 s vs uncapped 0.391 / 9.2 s. Pick by workload: bare
+    cap where build cost dominates and within-cell neighborhoods
+    suffice (SemDeDup curation, beam entry fanout); +probe where graph
+    recall is closer to the product."""
     from pyspark.sql import Window
 
     from ydb_vector_search_demo_spark.functions.vector import (
@@ -1670,23 +1679,47 @@ def knn_graph_bucketed(
             # TOP _bits bits for this row's bucket (0 bits -> sub 0:
             # under-cap buckets are bit-identical to max_bucket=None)
             code = split_sign_code(F.col(vcol), planes)
-            return (
-                side.join(F.broadcast(plan), "_bk")
-                .withColumn(
-                    "_sb",
-                    F.floor(
-                        code
-                        / F.pow(
-                            F.lit(2.0),
-                            F.lit(split_bits) - F.col("_bits"),
-                        )
-                    ).cast("bigint"),
-                )
-                .drop("_bits")
+            return side.join(F.broadcast(plan), "_bk").withColumn(
+                "_sb",
+                F.floor(
+                    code
+                    / F.pow(
+                        F.lit(2.0),
+                        F.lit(split_bits) - F.col("_bits"),
+                    )
+                ).cast("bigint"),
             )
 
         a = with_sub(a, "_va")
-        b = with_sub(b, "_vb")
+        b = with_sub(b, "_vb").drop("_bits")
+        if probe_hamming:
+            # multiprobe across the split boundary: the SRC side also
+            # probes every sub-code at Hamming distance 1 on its
+            # bucket's KEPT bits (flips of unkept bits would address
+            # cells that don't exist). Candidates multiply by at most
+            # (_bits + 1) — the bounded price of cross-cell recall;
+            # the neighbor side stays in its own cell, so the capped
+            # state bound per join task is unchanged.
+            assert probe_hamming == 1, "only Hamming<=1 probing is implemented"
+            probes = F.array_append(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(split_bits - 1)),
+                        lambda j: F.when(
+                            j < F.col("_bits"),
+                            F.col("_sb").bitwiseXOR(
+                                # 2^j as a Column (shiftleft needs a
+                                # literal shift amount; j is a Column)
+                                F.pow(F.lit(2.0), j).cast("bigint")
+                            ),
+                        ),
+                    ),
+                    lambda v: v.isNotNull(),
+                ),
+                F.col("_sb"),
+            )
+            a = a.withColumn("_sb", F.explode(probes))
+        a = a.drop("_bits")
         join_keys = ["_bk", "_sb"]
     joined = (
         SKW.salted_join(a, b, on=join_keys, salt_by="src", n_salt=n_salt)
