@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -389,13 +390,19 @@ def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
     )
 
 
-def media_embedding_stub(media: DataFrame, dim: int = 64) -> DataFrame:
+def media_embedding_stub(
+    media: DataFrame, dim: int = 64, as_double: bool = False
+) -> DataFrame:
     """Feature-extraction stage: payload → unit-normalized ``dim``-bin
     intensity histogram over the REAL decoded samples (image pixels,
     audio PCM amplitudes, video first-frame bytes) — a genuine, if
     simple, content feature: near-duplicate media get near-identical
     histograms. A learned vision/audio encoder replaces the histogram
-    in this same mapInPandas seam (name kept for API stability)."""
+    in this same mapInPandas seam (name kept for API stability).
+    ``as_double=True`` skips the float32 cast — the histogram bins are
+    integer counts and cosine is scale-invariant, so the double form
+    is exactly SQL-replayable (the multimodal_union_fixed oracle);
+    float32 stays the default for parity with real encoder output."""
     from ydb_vector_search_demo_spark.shipping import ensure_package_on_workers
 
     ensure_package_on_workers()
@@ -419,13 +426,20 @@ def media_embedding_stub(media: DataFrame, dim: int = 64) -> DataFrame:
                 hist, _ = np.histogram(values, bins=dim, range=(lo, hi))
                 v = hist.astype(np.float64)
                 n = np.linalg.norm(v)
-                vecs.append((v / n if n else v).astype(np.float32).tolist())
+                unit = v / n if n else v
+                vecs.append(
+                    unit.tolist() if as_double
+                    else unit.astype(np.float32).tolist()
+                )
             yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": vecs})
 
     schema = StructType(
         [
             StructField("media_id", LongType()),
-            StructField("embedding", ArrayType(FloatType())),
+            StructField(
+                "embedding",
+                ArrayType(DoubleType() if as_double else FloatType()),
+            ),
         ]
     )
     return media.mapInPandas(embed, schema)

@@ -8196,6 +8196,100 @@ def q_events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_union_fixed",
+    # The media embedding is a 64-bin intensity histogram over the
+    # decoded content values — and the synth values are closed-form, so
+    # the HISTOGRAM is too: bin = min(floor((v - lo) * 64 / span), 63)
+    # per np.histogram's uniform-bin rule (bin edges k·span/64 are
+    # exact binary here: 255/64 and 65535/64 are dyadic, and no
+    # attainable value lands on an interior edge, so one-ulp rounding
+    # differences cannot flip a bin). Cosine is scale-invariant, so the
+    # oracle scores the RAW counts while Spark scores the
+    # unit-normalized double embedding — same cosine, 6-dp display.
+    f"""
+    WITH {_MM_BASE},
+    img_h AS (
+      SELECT i.media_id,
+             least(CAST(floor(((x.g * 7 + y.g * 31 + i.media_id) % 256)
+                              * 64.0 / 255.0) AS INTEGER), 63) AS bin,
+             count(*) AS c
+      FROM img i, generate_series(0, 63) x(g), generate_series(0, 47) y(g)
+      WHERE x.g < i.w AND y.g < i.h GROUP BY 1, 2),
+    aud_h AS (
+      SELECT a.media_id,
+             least(CAST(floor(((((t.g * a.k) % 512 - 256) * 64) + 32768)
+                              * 64.0 / 65535.0) AS INTEGER), 63) AS bin,
+             count(*) AS c
+      FROM aud a, generate_series(0, 1599) t(g)
+      WHERE t.g < a.n GROUP BY 1, 2),
+    vid_h AS (
+      -- first frame only (frame 0 multiplier is 1): (j + id) % 256
+      SELECT v.media_id,
+             least(CAST(floor(((j.g + v.media_id) % 256)
+                              * 64.0 / 255.0) AS INTEGER), 63) AS bin,
+             count(*) AS c
+      FROM vid v, generate_series(0, 1023) j(g)
+      WHERE j.g < 3 * v.w * v.h // 2 GROUP BY 1, 2),
+    allh AS (SELECT * FROM img_h UNION ALL SELECT * FROM aud_h
+             UNION ALL SELECT * FROM vid_h),
+    dense AS (
+      SELECT mb.media_id, mb.bin, coalesce(h.c, 0)::DOUBLE AS c
+      FROM (SELECT m.media_id, b.g AS bin
+            FROM m, generate_series(0, 63) b(g)) mb
+      LEFT JOIN allh h ON h.media_id = mb.media_id AND h.bin = mb.bin),
+    hist AS (
+      SELECT media_id, list(c ORDER BY bin) AS v FROM dense GROUP BY media_id),
+    scored AS (
+      SELECT 'text' AS modality, vec_id AS item_id,
+             1.0 - list_cosine_similarity(embedding::DOUBLE[],
+                                          {_vec_sql(QV)}) AS raw
+      FROM embeddings
+      UNION ALL
+      SELECT 'media', media_id,
+             1.0 - list_cosine_similarity(v, {_vec_sql(QV)})
+      FROM hist)
+    SELECT modality, item_id, round(raw, 6) AS score
+    FROM scored ORDER BY raw, modality, item_id LIMIT 5
+    """,
+)
+def q_multimodal_union_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unioned cross-modality search, fully oracle-checked: text
+    embeddings and DOUBLE-precision media histograms
+    (media_embedding_stub(as_double=True)) share one top-5 under
+    cosine, and DuckDB replays the media side end to end — synth →
+    decode → np.histogram binning → cosine — in closed form. Pins the
+    feature-extraction Arrow seam the float32 production variant
+    (multimodal_union_search, rows-only) runs through; see that row's
+    docstring for why float32 display can't carry an oracle."""
+    from ydb_vector_search_demo_spark.multimodal import media
+
+    embs = _t(spark, sf_dir, "embeddings").select(
+        F.lit("text").alias("modality"),
+        F.col("vec_id").alias("item_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    media_emb = media.media_embedding_stub(
+        media.synthesize_media_table(docs), as_double=True
+    ).select(
+        F.lit("media").alias("modality"),
+        F.col("media_id").alias("item_id"),
+        "embedding",
+    )
+    scored = embs.unionByName(media_emb).select(
+        "modality", "item_id",
+        V.cosine_distance("embedding", F.lit(QV)).alias("score"),
+    )
+    return (
+        scored.orderBy(
+            F.col("score").asc_nulls_last(), F.col("modality"), F.col("item_id")
+        )
+        .limit(5)
+        .select("modality", "item_id", F.round("score", 6).alias("score"))
+    )
+
+
+@register(
     "streaming_stream_join_pairs",
     """
     SELECT date_trunc('hour', p.ts) AS hour_start,
