@@ -267,3 +267,17 @@ def test_priority_sample_laws(spark):
     )
     z = curation.priority_sample(zeroed, "n_chars", k=500).collect()
     assert all(r["doc_id"] >= 100 for r in z)
+
+
+def test_attribution_result_plan_reads_checkpoints_only(spark):
+    """Plan guard (the funnel_step_counts recompute class): five
+    branches consume the conversion slice and the in-window pair
+    relation, so both are localCheckpointed — the RESULT plan must
+    contain zero parquet scans (events is passed exactly twice, in the
+    checkpoint-building jobs)."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = TS.attribution(ev)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 0, final[:1500]

@@ -246,7 +246,7 @@ def funnel_conversion(
     exchange, so Catalyst's ReuseExchange dedups it and each step's
     filtered event slice is scanned once — not the per-step `.count()`
     chain that re-executes steps 1..k-1 K times (the r8 verdict's
-    recompute finding; plan-guarded in tests/test_timeseries.py)."""
+    recompute finding; plan-guarded in tests/test_analytics.py)."""
     counts_df = funnel_step_counts(events, steps, user_col, type_col, ts_col)
     got = {int(r["step_idx"]): int(r["n"]) for r in counts_df.collect()}
     counts = [got[i] for i in range(1, len(steps) + 1)]
@@ -415,12 +415,24 @@ def attribution(
     activity bound, not a corpus bound). Last-touch is one
     row_number per conversion (Partial WindowGroupLimit shape);
     linear's per-touch share is one count window per conversion.
-    Output is bounded by models × channels."""
-    conv = events.filter(F.col(type_col) == conversion_type).select(
-        F.col(user_col).alias("_u"),
-        F.col(ts_col).alias("_cts"),
-        F.col(id_col).alias("_cid"),
-        F.col(value_col).alias("_val"),
+    Output is bounded by models × channels. The conversion slice and
+    the in-window pair relation are each materialized ONCE
+    (localCheckpoint — conv is one row per conversion, pairs are
+    bounded by conversions × per-user in-window touches), because
+    FIVE branches consume them (two models, the anti-join, twice for
+    'direct'): without the checkpoint the final plan re-scans events
+    six times (measured; the funnel_step_counts recompute class), with
+    it the result plan reads checkpoints only — two events passes
+    total, plan-guarded in tests."""
+    conv = (
+        events.filter(F.col(type_col) == conversion_type)
+        .select(
+            F.col(user_col).alias("_u"),
+            F.col(ts_col).alias("_cts"),
+            F.col(id_col).alias("_cid"),
+            F.col(value_col).alias("_val"),
+        )
+        .localCheckpoint(eager=True)
     )
     tou = events.filter(F.col(type_col).isin(*touch_types)).select(
         F.col(user_col).alias("_u"),
@@ -428,12 +440,17 @@ def attribution(
         F.col(id_col).alias("_tid"),
         F.col(type_col).alias("channel"),
     )
-    j = conv.join(tou, "_u").filter(
-        (F.col("_tts") <= F.col("_cts"))
-        & (
-            F.col("_tts")
-            >= F.col("_cts") - F.expr(f"INTERVAL {int(window_hours)} HOURS")
+    j = (
+        conv.join(tou, "_u")
+        .filter(
+            (F.col("_tts") <= F.col("_cts"))
+            & (
+                F.col("_tts")
+                >= F.col("_cts")
+                - F.expr(f"INTERVAL {int(window_hours)} HOURS")
+            )
         )
+        .localCheckpoint(eager=True)
     )
     w_last = Window.partitionBy("_cid").orderBy(
         F.col("_tts").desc(), F.col("_tid").desc()
