@@ -157,6 +157,8 @@ HEADLINE = [
     "streaming_stream_join_pairs",
     "multimodal_content_stats",
     "multimodal_resize",
+    "store_scd2_history",
+    "corpus_priority_sample_by_source",
 ]
 
 
@@ -279,6 +281,19 @@ def main() -> None:
         json.dump(full, f, indent=1)
     print("\nbench full " + json.dumps(full), file=sys.stderr)
 
+    # the round-1 contract subset: judges compare this 20-query total
+    # against the 28.0 s baseline; compute it here so the compact
+    # stdout line carries the contract number even when the per-query
+    # dict has to drop to the detail file (headline > ~60 rows)
+    comparable_20 = [
+        "knn_top5_full", "knn_top5_euclidean", "knn_top5_filtered",
+        "batch_knn_cosine", "rag_prompt", "tpch_q1_pricing",
+        "tpch_q3_shipping", "supplier_nation_revenue", "region_revenue",
+        "top_customers_per_nation", "events_hourly", "events_sessions",
+        "events_asof_purchase_click", "events_session_window",
+        "text_quality", "doc_fingerprint", "dedup_jaccard_pairs",
+        "dedup_minhash_lsh", "dedup_cosine_pairs", "ann_ivf_recall",
+    ]
     compact = {
         "metric": "headline_query_wall_time_total",
         "unit": "sec",
@@ -287,6 +302,9 @@ def main() -> None:
         "stat": "min_of_5",
         "value": value_min,
         "value_median": value_median,
+        "comparable_20_min": round(
+            sum(spread[n]["min"] for n in comparable_20 if n in spread), 3
+        ),
         "queries": {n: s["min"] for n, s in spread.items()},
         "detail": "BENCH_DETAIL.json",
     }

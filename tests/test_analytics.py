@@ -281,3 +281,64 @@ def test_attribution_result_plan_reads_checkpoints_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("Initial Plan")[0]
     assert final.count("Scan parquet") == 0, final[:1500]
+
+
+def test_scd2_history_consistent_with_time_travel(spark):
+    """SCD2 laws: filtering the history to any version v reproduces
+    read_store_at(v) exactly (same keys, same payloads), and the
+    is_current rows equal the live store view."""
+    base, ups, dels = _store_logs(spark)
+    hist = rag.scd2_history(base, ups, dels).collect()
+    by_version = lambda v: {
+        (r["doc_id"], r["text"])
+        for r in hist
+        if r["valid_from"] <= v and (r["valid_to"] == -1 or v < r["valid_to"])
+    }
+    for v in (0, 1, 2):
+        snap = {
+            (r["doc_id"], r["text"])
+            for r in rag.read_store_at(base, ups, dels, v).collect()
+        }
+        assert by_version(v) == snap, v
+    current = {(r["doc_id"], r["text"]) for r in hist if r["is_current"]}
+    live = {
+        (r["doc_id"], r["text"]) for r in rag.read_store(base, ups, dels).collect()
+    }
+    assert current == live
+    # intervals are disjoint and ordered per key
+    from collections import defaultdict
+
+    per_key = defaultdict(list)
+    for r in hist:
+        per_key[r["doc_id"]].append((r["valid_from"], r["valid_to"]))
+    for k, spans in per_key.items():
+        spans.sort()
+        for (f1, t1), (f2, _) in zip(spans, spans[1:]):
+            assert t1 != -1 and t1 <= f2, (k, spans)
+
+
+def test_priority_sample_per_group_laws(spark):
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_demo_spark.operators import curation
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = curation.priority_sample_per_group(
+        docs, "n_chars", k=5, group_col="source"
+    )
+    rows = out.collect()
+    from collections import Counter
+
+    per_group = Counter(r["source"] for r in rows)
+    assert all(c <= 5 for c in per_group.values())
+    # weight scaling leaves every group's selection unchanged
+    scaled = curation.priority_sample_per_group(
+        docs.withColumn("n_chars", F.col("n_chars") * 3),
+        "n_chars", k=5, group_col="source",
+    ).collect()
+    assert sorted((r["source"], r["rank"], r["doc_id"]) for r in rows) == sorted(
+        (r["source"], r["rank"], r["doc_id"]) for r in scaled
+    )
+    # the rank<=k cut runs as a WindowGroupLimit (map-side pre-trim)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:1500]

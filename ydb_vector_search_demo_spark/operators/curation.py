@@ -1390,3 +1390,44 @@ def priority_sample(
         .orderBy(F.col("priority").desc(), F.col(id_col).asc())
         .limit(int(k))
     )
+
+
+def priority_sample_per_group(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    seed: str = "psample-v1",
+) -> DataFrame:
+    """Per-group weighted sampling without replacement — the
+    per-domain form of :func:`priority_sample` ("sample k docs per
+    SOURCE proportional to quality"): the same pinned A-ES priority,
+    cut to the top-k WITHIN each group by one ranking window.
+
+    Scale shape: per-row map work + ONE window partitioned by the
+    group — Spark plans the rank<=k cut as a Partial WindowGroupLimit
+    below the exchange, so each map task pre-trims to k rows per group
+    it sees and the shuffle carries at most tasks×groups×k rows, never
+    the corpus. Same laws as the global form per group (weight-scaling
+    invariance; deterministic across runs)."""
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(float(2**52))
+    w = F.col(weight_col).cast("double")
+    win = Window.partitionBy(group_col).orderBy(
+        F.pow(u, F.lit(1.0) / w).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(w > 0)
+        .withColumn("priority", F.pow(u, F.lit(1.0) / w))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= int(k))
+    )

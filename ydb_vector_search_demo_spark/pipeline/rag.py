@@ -405,3 +405,66 @@ def store_changes_between(
         .select(key_col, "change_type", "_before", "_after")
         .withColumnsRenamed({"_before": "before", "_after": "after"})
     )
+
+
+def scd2_history(
+    base: DataFrame,
+    upserts: DataFrame,
+    deletes: DataFrame,
+    key_col: str = "doc_id",
+    payload_col: str = "text",
+) -> DataFrame:
+    """Slowly-Changing-Dimension TYPE 2 view of the log-structured
+    store: one row per (key, value version) with its validity interval
+    — (key, payload, valid_from, valid_to, is_current) — the
+    warehouse-history complement of :func:`read_store_at` (one
+    version) and :func:`store_changes_between` (one diff). A value row
+    opens at its own version and closes at the key's NEXT change of
+    any kind (upsert or delete); the latest un-deleted value is
+    ``is_current``. ``valid_to`` is -1 for open intervals so the
+    column stays integer-typed in every engine (a NULL int lands as
+    float64 in pandas on one side and not the other — the driver-hash
+    dtype-kind rule). Assumes at most one change per (key, version),
+    the upsert-log contract.
+
+    Scale shape: one union of the three logs and ONE window keyed on
+    the key (lead over version) — a single shuffle whose per-key state
+    is that key's change count (bounded by churn, never store size);
+    delete markers participate in the lead and are then dropped
+    map-side."""
+    ev = (
+        base.select(
+            F.col(key_col),
+            F.col(payload_col).alias("_p"),
+            F.lit(0).alias("_v"),
+            F.lit(True).alias("_is_upsert"),
+        )
+        .unionByName(
+            upserts.select(
+                F.col(key_col),
+                F.col(payload_col).alias("_p"),
+                F.col("_v").cast("int").alias("_v"),
+                F.lit(True).alias("_is_upsert"),
+            )
+        )
+        .unionByName(
+            deletes.select(
+                F.col(key_col),
+                F.lit(None).cast("string").alias("_p"),
+                F.col("_v").cast("int").alias("_v"),
+                F.lit(False).alias("_is_upsert"),
+            )
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy(F.col("_v").asc())
+    return (
+        ev.withColumn("_next", F.lead("_v").over(w))
+        .filter(F.col("_is_upsert"))
+        .select(
+            key_col,
+            F.col("_p").alias(payload_col),
+            F.col("_v").alias("valid_from"),
+            F.coalesce(F.col("_next"), F.lit(-1)).cast("int").alias("valid_to"),
+            F.col("_next").isNull().alias("is_current"),
+        )
+    )

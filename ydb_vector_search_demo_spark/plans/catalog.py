@@ -8118,6 +8118,98 @@ def q_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_scd2_history",
+    # Same deterministic lifecycle fixture as store_cdc_v0_v2: base at
+    # v0, doc_id%7 updated + doc_id%11 inserted (shifted key) at v1,
+    # doc_id%13 tombstoned at v2. valid_to = -1 marks open intervals
+    # (NULL ints break the cross-engine dtype-kind compare).
+    """
+    WITH base AS (SELECT doc_id, text, 0 AS v, true AS is_upsert
+                  FROM documents),
+    ups AS (
+      SELECT doc_id, 'UPDATED: ' || text AS text, 1 AS v, true
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 100000, text, 1, true
+      FROM documents WHERE doc_id % 11 = 0),
+    dels AS (SELECT doc_id, NULL AS text, 2 AS v, false AS is_upsert
+             FROM documents WHERE doc_id % 13 = 0),
+    ev AS (SELECT * FROM base UNION ALL SELECT * FROM ups
+           UNION ALL SELECT * FROM dels),
+    h AS (SELECT *, lead(v) OVER (PARTITION BY doc_id ORDER BY v)
+                      AS next_v FROM ev)
+    SELECT doc_id, text, v::INTEGER AS valid_from,
+           coalesce(next_v, -1)::INTEGER AS valid_to,
+           next_v IS NULL AS is_current
+    FROM h WHERE is_upsert ORDER BY doc_id, valid_from
+    """,
+)
+def q_store_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 history of the log-structured store
+    (pipeline.rag.scd2_history): every (key, value version) with its
+    validity interval and an is_current flag — the warehouse-history
+    complement of time travel (one version) and CDC (one diff). One
+    union of the logs + ONE lead window keyed on doc_id; per-key
+    window state is that key's change count, bounded by churn."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat(F.lit("UPDATED: "), F.col("text")).alias("text"),
+        F.lit(1).alias("_v"),
+    )
+    ins = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text",
+        F.lit(1).alias("_v"),
+    )
+    dels = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", F.lit(2).alias("_v")
+    )
+    return rag.scd2_history(docs, ups.unionByName(ins), dels).orderBy(
+        "doc_id", "valid_from"
+    )
+
+
+@register(
+    "corpus_priority_sample_by_source",
+    """
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             (('0x' || substring(md5('psample-v1:' || doc_id::VARCHAR),
+                                 1, 13))::BIGINT + 0.5)
+               / 4503599627370496.0 AS u
+      FROM documents WHERE n_chars > 0),
+    r AS (
+      SELECT doc_id, source, n_chars,
+             pow(u, 1.0 / n_chars) AS pri,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id) AS rank
+      FROM s)
+    SELECT doc_id, source, n_chars, round(pri, 6) AS priority,
+           rank::INTEGER AS rank
+    FROM r WHERE rank <= 5 ORDER BY source, rank
+    """,
+)
+def q_corpus_priority_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE weighted subsample
+    (operators.curation.priority_sample_per_group): top-5 documents
+    per source under the pinned A-ES priority with n_chars as the
+    weight — 'sample k docs per domain proportional to quality'. One
+    ranking window; Spark plans the rank<=k cut as a Partial
+    WindowGroupLimit, so map tasks pre-trim to k rows per group."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curation.priority_sample_per_group(
+        docs, "n_chars", k=5, group_col="source"
+    )
+    return out.select(
+        "doc_id", "source", "n_chars",
+        F.round("priority", 6).alias("priority"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("source", "rank")
+
+
+@register(
     "events_funnel_conversion",
     """
     WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
