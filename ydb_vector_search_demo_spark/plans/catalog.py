@@ -8811,6 +8811,20 @@ _GRADE_FIRST = [
 #   store_cdc_v0_v2 — time travel + change feed (lifecycle depth)
 #   corpus_budget_fill / events_cohort_retention — curation +
 #                            analytics breadth
+# r9 additions, all fully oracle-backed and pytest-swept, strongest
+# first:
+#   multimodal_content_stats — the multimodal family's deepest oracle
+#                            (payload CONTENT through the real codecs;
+#                            the family had NO graded row ever)
+#   multimodal_resize / multimodal_union_fixed — resample index
+#                            arithmetic, histogram-embedding seam
+#   streaming_stream_join_pairs — the stream-stream join surface
+#   events_attribution — two credit models in one plan (conservation
+#                            law)
+#   store_scd2_history — warehouse-history depth next to CDC
+#   events_transition_matrix / corpus_priority_sample /
+#   corpus_priority_sample_by_source — analytics + weighted-sampling
+#                            breadth
 # Duplicate-surface rows eligible to rotate OUT with rationale:
 # grouping_sets_status_priority vs datetime_order_stats overlap is
 # partial only (grouping sets are a distinct surface — keep both);
