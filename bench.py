@@ -159,6 +159,7 @@ HEADLINE = [
     "multimodal_resize",
     "store_scd2_history",
     "corpus_priority_sample_by_source",
+    "dedup_span_removal",
 ]
 
 

@@ -342,3 +342,31 @@ def test_priority_sample_per_group_laws(spark):
     # the rank<=k cut runs as a WindowGroupLimit (map-side pre-trim)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:1500]
+
+
+def test_remove_duplicate_spans_laws(spark):
+    """Span-removal laws: a corpus with no repeated 8-gram keeps every
+    token (clean text == space-joined tokens); a span planted in two
+    documents is stripped from BOTH, and only tokens covered by the
+    repeated windows go."""
+    from ydb_vector_search_demo_spark.operators import dedup as DD
+
+    span = " ".join(f"dup{i}" for i in range(8))
+    rows = [
+        (1, "alpha beta " + span + " gamma delta"),
+        (2, "zeta " + span + " eta theta iota"),
+        (3, "only unique words live here to stay forever untouched"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["clean_md5"])
+        for r in DD.remove_duplicate_spans(docs, n=8).collect()
+    }
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 3: nothing repeated -> everything kept, text reassembles
+    assert out[3] == (9, 9, md5(rows[2][1]))
+    # docs 1-2: exactly the planted 8 tokens stripped
+    assert out[1] == (12, 4, md5("alpha beta gamma delta"))
+    assert out[2] == (12, 4, md5("zeta eta theta iota"))

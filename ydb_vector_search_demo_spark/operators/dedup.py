@@ -1517,3 +1517,84 @@ def bloom_stats(words: list[int], k: int = 5) -> dict:
         "fill_ratio": round(fill, 6),
         "est_fpp": round(fill**k, 6),
     }
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    hash_fn=None,
+) -> DataFrame:
+    """Exact-substring dedup with REMOVAL (the RefinedWeb / Lee et al.
+    2022 action, not just the :func:`duplicated_ngram_spans` signal):
+    every n-token window whose hash repeats ``min_count``+ times
+    corpus-wide marks its token positions covered, covered tokens are
+    stripped, and the document is re-assembled from the survivors.
+    Returns one row per document:
+    (id, n_tokens, n_kept, clean_md5) — clean_md5 is the md5 of the
+    space-joined kept tokens (the reassembled text itself stays
+    available by dropping the final projection), '' hashing for fully
+    boilerplate documents.
+
+    Scale shape: windows and their positions are map-side HOF
+    expressions; the global frequency is ONE windowed count over the
+    hash (the duplicated_ngram_spans shuffle); covered positions
+    explode only from DUPLICATED windows (bounded by dup density ×
+    n, not the corpus), dedupe on (id, pos), and anti-join the token
+    positions — all joins keyed on the id. Reassembly is one keyed
+    collect_list of (pos, token) structs, sorted in-row."""
+    if hash_fn is None:
+        hash_fn = F.md5
+    from ydb_vector_search_demo_spark.functions.textstats import (
+        tokens,
+        word_shingles,
+    )
+
+    df = fan_out(df)
+    toks = tokens(F.col(text_col))
+    wins = F.transform(word_shingles(F.col(text_col), n), lambda w: hash_fn(w))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        F.when(F.size(toks) >= n, wins)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_wins"),
+    )
+    per = base.select(id_col, F.posexplode("_wins").alias("_i", "_h"))
+    counted = per.withColumn(
+        "_c", F.count(F.lit(1)).over(Window.partitionBy("_h"))
+    )
+    covered = (
+        counted.filter(F.col("_c") >= min_count)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("_i"), F.col("_i") + F.lit(n - 1))
+            ).alias("_p"),
+        )
+        .distinct()
+    )
+    tokpos = base.select(id_col, F.posexplode("_t").alias("_p", "_tok"))
+    kept = tokpos.join(covered, [id_col, "_p"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+        ).alias("_clean"),
+    )
+    return (
+        base.select(id_col, F.size("_t").cast("bigint").alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.md5(F.coalesce("_clean", F.lit(""))).alias("clean_md5"),
+        )
+    )

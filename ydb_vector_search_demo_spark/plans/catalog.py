@@ -8118,6 +8118,69 @@ def q_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_removal",
+    # Same window hashing as dedup_ngram_spans; coverage via a RANGE
+    # join of token ordinals to duplicated-window starts (generate_series
+    # takes constant bounds only in this DuckDB version), reassembly via
+    # ordered string_agg. Both engines hash the SPACE-JOINED kept tokens.
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    wins AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {_NGRAM_N}
+                  THEN list_transform(
+                         generate_series(1, len(t) - {_NGRAM_N} + 1),
+                         i -> md5(array_to_string(t[i:i+{_NGRAM_N}-1], ' ')))
+                  ELSE []::VARCHAR[] END AS ws
+      FROM toks),
+    -- no WITH ORDINALITY in this DuckDB version: index via the scalar
+    -- generate_series (column bounds ARE allowed in list position,
+    -- unlike the table-function form) zipped into structs
+    per0 AS (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(ws)),
+                                          j -> {{'i': j, 'h': ws[j]}})) AS s
+             FROM wins),
+    per AS (SELECT doc_id, s.i AS i, s.h AS h FROM per0),
+    freq AS (SELECT h, count(*) AS c FROM per GROUP BY h),
+    dupw AS (SELECT per.doc_id, per.i FROM per JOIN freq USING (h)
+             WHERE c >= 2),
+    tokpos0 AS (SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(t)),
+                                             j -> {{'p': j, 'tok': t[j]}})) AS s
+                FROM toks),
+    tokpos AS (SELECT doc_id, s.p AS p, s.tok AS tok FROM tokpos0),
+    kept AS (
+      SELECT tp.doc_id, tp.p, tp.tok FROM tokpos tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM dupw w
+        WHERE w.doc_id = tp.doc_id
+          AND tp.p BETWEEN w.i AND w.i + {_NGRAM_N} - 1)),
+    rebuilt AS (
+      SELECT doc_id, count(*)::BIGINT AS n_kept,
+             string_agg(tok, ' ' ORDER BY p) AS clean
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+           coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+           md5(coalesce(r.clean, '')) AS clean_md5
+    FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with REMOVAL
+    (operators.dedup.remove_duplicate_spans — the Lee et al. 2022 /
+    RefinedWeb action on top of the dedup_ngram_spans signal): tokens
+    covered by any corpus-repeated 8-gram window are stripped and the
+    document re-assembled; the oracle rebuilds the cleaned text and
+    both engines md5 the space-joined survivors, so every keep/strip
+    decision AND the reassembly order are pinned byte-for-byte."""
+    out = dedup.remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), n=_NGRAM_N
+    )
+    return out.orderBy("doc_id")
+
+
+@register(
     "store_scd2_history",
     # Same deterministic lifecycle fixture as store_cdc_v0_v2: base at
     # v0, doc_id%7 updated + doc_id%11 inserted (shifted key) at v1,
