@@ -160,6 +160,8 @@ HEADLINE = [
     "store_scd2_history",
     "corpus_priority_sample_by_source",
     "dedup_span_removal",
+    "events_hopping_hourly",
+    "customers_above_avg_never_ordered",
 ]
 
 

@@ -8118,6 +8118,113 @@ def q_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hopping_hourly",
+    # hopping (sliding) windows: each event lands in TWO 1-hour windows
+    # on the 30-minute grid — the oracle enumerates both starts per
+    # event (epoch//1800 alignment, the same epoch-aligned grid Spark's
+    # F.window uses) and aggregates; integer cents keep the sum exact.
+    """
+    WITH w AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             -- make_timestamp(us), NOT to_timestamp(s) (TIMESTAMPTZ vs
+             -- Spark's naive window.start), and epoch_us, NOT
+             -- epoch()::BIGINT (double->int casts ROUND half-even, so
+             -- an event within 0.5 s of a grid line flips windows)
+             unnest([make_timestamp(epoch_us(ts) // 1800000000
+                                    * 1800000000 - 1800000000),
+                     make_timestamp(epoch_us(ts) // 1800000000
+                                    * 1800000000)])
+               AS window_start
+      FROM events)
+    SELECT window_start, event_type,
+           count(*)::BIGINT AS n_events,
+           (sum(cents) / 100.0) AS value_sum
+    FROM w GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING-window aggregation (1-hour windows sliding every 30
+    minutes — F.window(ts, '1 hour', '30 minutes')): the overlapping
+    twin of the tumbling events_hourly row, the shape behind
+    '1-hour metrics refreshed every 30 minutes'. Runs identically
+    under Structured Streaming (same expression family as
+    streaming_hourly_counts); each row fans out to exactly
+    window/slide = 2 grid cells map-side, then ONE keyed agg. Value
+    sums in exact integer cents (partial-agg-order independent)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("_c"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            (F.col("_c") / 100.0).alias("value_sum"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "customers_above_avg_never_ordered",
+    # TPC-H Q22's shape on this schema: a GLOBAL scalar aggregate
+    # subquery gating the filter + an anti-join on the order log,
+    # rolled up per nation.
+    """
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_nationkey,
+           count(*)::BIGINT AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2001-01-01')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_customers_above_avg_never_ordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The TPC-H Q22 surface (global scalar-subquery gate + anti-join)
+    on this schema: DORMANT high-value customers — balance above the
+    positive-balance average, no order since 2001-01-01 (the fixture's
+    order log runs to 2001-08; a no-order-EVER gate matches nobody) —
+    rolled up per nation. The scalar average is a 1-row relation
+    broadcast onto the scan (what Catalyst decorrelates a scalar
+    subquery into); the dormancy gate is a LEFT ANTI join keyed on the
+    customer over the date-filtered (pushed-predicate) order slice."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_a")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("date")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_a"))
+        .join(recent.select(F.col("o_custkey").alias("c_custkey")),
+              "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
     "dedup_span_removal",
     # Same window hashing as dedup_ngram_spans; coverage via a RANGE
     # join of token ordinals to duplicated-window starts (generate_series
