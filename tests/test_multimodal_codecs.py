@@ -112,3 +112,23 @@ def test_media_embedding_is_content_histogram(spark):
         assert len(v) == 64
         assert abs(np.linalg.norm(v) - 1.0) < 1e-5
         assert (v >= 0).all()  # histograms are non-negative
+
+
+def test_resize_row_plan_reads_checkpoint_only(spark):
+    """Plan guard (the funnel/attribution recompute class): the
+    multimodal_resize catalog row feeds the resized relation into TWO
+    consumers (dims projection + media_content_stats), so it must be
+    localCheckpointed — the RESULT plan must contain zero parquet
+    scans (synthesize/decode/resize all ran once, inside the
+    checkpoint-building job) and exactly ONE Python map stage (the
+    content-stats decode over the checkpointed bytes — without the
+    checkpoint the plan carries the full synth→resize chain under
+    BOTH consumers)."""
+    from ydb_vector_search_demo_spark.plans.catalog import QUERIES
+
+    out = QUERIES["multimodal_resize"](spark, SF_SMOKE)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 0, final[:1500]
+    assert final.count("MapInPandas") == 1, final[:1500]

@@ -1648,11 +1648,17 @@ def knn_graph_bucketed(
         score_col = distance(F.col("_va"), F.col("_vb"), metric)
     join_keys = ["_bk"]
     if max_bucket:
-        # one-row action: plane literals need the vector dimension
-        dim = embeddings.select(
+        # one-row action: plane literals need the vector dimension.
+        # first() is None on an EMPTY corpus — then no bucket can
+        # exceed the cap, so fall through to the unsplit path (the
+        # result is empty either way) instead of raising TypeError.
+        dim_row = embeddings.select(
             F.size(F.col(vector_col)).alias("d")
-        ).first()["d"]
-        planes = pinned_split_planes(dim, split_bits)
+        ).first()
+        if dim_row is None or dim_row["d"] is None:
+            max_bucket = None
+    if max_bucket:
+        planes = pinned_split_planes(dim_row["d"], split_bits)
         # size census over the NEIGHBOR side (one keyed count, output
         # bounded by the number of buckets, broadcast back)
         plan = (

@@ -1366,6 +1366,16 @@ def priority_sample(
     u^(1/w)); with equal weights the sample degrades to pure hash
     order.
 
+    Determinism seam: u is bit-pinned, but ``pow`` is the ONE
+    non-pinned op in the chain — JVM Math.pow guarantees ≤1 ulp (not
+    correctly rounded) while DuckDB/libm pow is correctly rounded, so
+    a priority landing within an ulp of a 6-dp display boundary, or
+    two priorities within an ulp of each other exactly at the top-k
+    cut, can in principle diverge across engines (log-priority
+    ln(u)/w would be a monotone replacement but log carries the same
+    ulp class — no free fix). Never observed across the testdata SFs;
+    accepted and documented rather than papered over.
+
     Scale shape: per-row map work (md5 + pow) and ONE top-k cut —
     TakeOrderedAndProject, a per-partition heap then a k-row merge at
     the driver side of the exchange; no global sort, no full shuffle
@@ -1410,7 +1420,8 @@ def priority_sample_per_group(
     below the exchange, so each map task pre-trims to k rows per group
     it sees and the shuffle carries at most tasks×groups×k rows, never
     the corpus. Same laws as the global form per group (weight-scaling
-    invariance; deterministic across runs)."""
+    invariance; deterministic across runs), and the same documented
+    pow ulp seam (see :func:`priority_sample`)."""
     v = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),

@@ -406,7 +406,17 @@ def attribution(
     and n_touches = credited touch events (conversions for `direct`).
 
     Law: for each model, sum(revenue) over channels equals the total
-    conversion value — credit is moved, never created (tested).
+    conversion value — credit is moved, never created (tested), and it
+    holds EXACTLY because revenue accumulates in integer 1e-4 units
+    (values carry 2 decimals, so ``round(value*1e4)`` is an exact
+    bigint — the events_hopping convention): integer sums are
+    partial-agg-order independent, so a sum near a 0.00005 display
+    boundary can never flip between Spark and an oracle engine. The
+    linear model distributes ``val_e4`` with integer division — each
+    touch gets ``val_e4 DIV n`` and the LAST touch (the same
+    deterministic (ts, id) order last-touch uses) absorbs the
+    remainder ``val_e4 % n`` — so even a 3-way split of an odd amount
+    conserves credit to the last 1e-4 unit.
 
     Scale shape: one keyed join (user) between the conversion slice
     and the touch slice — co-partitioned, shuffled once each; the
@@ -430,7 +440,7 @@ def attribution(
             F.col(user_col).alias("_u"),
             F.col(ts_col).alias("_cts"),
             F.col(id_col).alias("_cid"),
-            F.col(value_col).alias("_val"),
+            F.round(F.col(value_col) * 1e4).cast("bigint").alias("_val_e4"),
         )
         .localCheckpoint(eager=True)
     )
@@ -461,25 +471,34 @@ def attribution(
         .groupBy("channel")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_touches"),
-            F.sum("_val").alias("_rev"),
+            F.sum("_val_e4").alias("_rev_e4"),
         )
-        .select(F.lit("last_touch").alias("model"), "channel", "n_touches", "_rev")
+        .select(
+            F.lit("last_touch").alias("model"), "channel", "n_touches", "_rev_e4"
+        )
     )
     w_n = Window.partitionBy("_cid")
+    # integer distribution: each touch gets _val_e4 DIV n; the last
+    # touch (rn == 1 in the same desc order last-touch uses) absorbs
+    # the remainder, so per-conversion credit sums to _val_e4 exactly
+    share_e4 = F.expr("_val_e4 DIV _n") + F.when(
+        F.col("_rn") == 1, F.expr("_val_e4 % _n")
+    ).otherwise(F.lit(0))
     linear = (
         j.withColumn("_n", F.count(F.lit(1)).over(w_n))
+        .withColumn("_rn", F.row_number().over(w_last))
         .groupBy("channel")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_touches"),
-            F.sum(F.col("_val") / F.col("_n")).alias("_rev"),
+            F.sum(share_e4).alias("_rev_e4"),
         )
-        .select(F.lit("linear").alias("model"), "channel", "n_touches", "_rev")
+        .select(F.lit("linear").alias("model"), "channel", "n_touches", "_rev_e4")
     )
     direct = (
         conv.join(j.select("_cid").distinct(), "_cid", "left_anti")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_touches"),
-            F.coalesce(F.sum("_val"), F.lit(0.0)).alias("_rev"),
+            F.coalesce(F.sum("_val_e4"), F.lit(0).cast("bigint")).alias("_rev_e4"),
         )
     )
     directs = None
@@ -488,7 +507,7 @@ def attribution(
             F.lit(mdl).alias("model"),
             F.lit("direct").alias("channel"),
             "n_touches",
-            "_rev",
+            "_rev_e4",
         )
         directs = d if directs is None else directs.unionAll(d)
     return (
@@ -496,7 +515,7 @@ def attribution(
         .unionByName(directs)
         .select(
             "model", "channel", "n_touches",
-            F.round(F.col("_rev"), 4).alias("revenue"),
+            F.round(F.col("_rev_e4") / 1e4, 4).alias("revenue"),
         )
         .orderBy("model", "channel")
     )

@@ -5691,11 +5691,19 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode AGAIN for the content sum. Oracle since r9: destination
     dims, byte size AND the resized pixel sum are recomputed in closed
     form — the resample's index arithmetic is pinned pixel-for-pixel
-    through the full encode→resize→re-encode→decode roundtrip."""
+    through the full encode→resize→re-encode→decode roundtrip.
+
+    The resized relation feeds TWO consumers (the dims projection and
+    media_content_stats), so it is localCheckpointed once — without it
+    the synthesize→decode→resize mapInPandas chain executes twice per
+    run (the funnel/attribution recompute class; plan-guarded in
+    tests/test_multimodal_codecs.py)."""
     from ydb_vector_search_demo_spark.multimodal import media
 
     docs = _t(spark, sf_dir, "documents")
-    resized = media.resize_images(media.synthesize_media_table(docs), max_side=32)
+    resized = media.resize_images(
+        media.synthesize_media_table(docs), max_side=32
+    ).localCheckpoint(eager=True)
     stats = media.media_content_stats(
         resized.select("media_id", F.lit("image").alias("modality"), "payload")
     )
@@ -8600,38 +8608,46 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_attribution",
     """
     WITH conv AS (
-      SELECT user_id AS u, ts AS cts, event_id AS cid, value AS val
+      SELECT user_id AS u, ts AS cts, event_id AS cid,
+             CAST(round(value * 1e4) AS BIGINT) AS val_e4
       FROM events WHERE event_type = 'purchase'),
     tou AS (
       SELECT user_id AS u, ts AS tts, event_id AS tid,
              event_type AS channel
       FROM events WHERE event_type IN ('view', 'click')),
     j AS (
-      SELECT c.cid, c.val, t.channel, t.tts, t.tid
+      SELECT c.cid, c.val_e4, t.channel, t.tts, t.tid
       FROM conv c JOIN tou t ON c.u = t.u
       WHERE t.tts <= c.cts AND t.tts >= c.cts - INTERVAL 24 HOURS),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY cid ORDER BY tts DESC, tid DESC) AS rn,
+             count(*) OVER (PARTITION BY cid) AS n
+      FROM j),
     last AS (
-      SELECT channel, count(*)::BIGINT AS n_touches, sum(val) AS rev
-      FROM (SELECT *, row_number() OVER (
-              PARTITION BY cid ORDER BY tts DESC, tid DESC) AS rn FROM j)
-      WHERE rn = 1 GROUP BY channel),
+      SELECT channel, count(*)::BIGINT AS n_touches,
+             sum(val_e4) AS rev_e4
+      FROM ranked WHERE rn = 1 GROUP BY channel),
     lin AS (
-      SELECT channel, count(*)::BIGINT AS n_touches, sum(val / n) AS rev
-      FROM (SELECT *, count(*) OVER (PARTITION BY cid) AS n FROM j)
-      GROUP BY channel),
+      SELECT channel, count(*)::BIGINT AS n_touches,
+             sum(val_e4 // n
+                 + CASE WHEN rn = 1 THEN val_e4 % n ELSE 0 END) AS rev_e4
+      FROM ranked GROUP BY channel),
     direct AS (
       SELECT count(*)::BIGINT AS n_touches,
-             coalesce(sum(val), 0.0) AS rev
+             coalesce(sum(val_e4), 0)::BIGINT AS rev_e4
       FROM conv WHERE cid NOT IN (SELECT cid FROM j))
     SELECT * FROM (
       SELECT 'last_touch' AS model, channel, n_touches,
-             round(rev, 4) AS revenue FROM last
+             round(rev_e4 / 1e4, 4) AS revenue FROM last
       UNION ALL
-      SELECT 'linear', channel, n_touches, round(rev, 4) FROM lin
+      SELECT 'linear', channel, n_touches, round(rev_e4 / 1e4, 4) FROM lin
       UNION ALL
-      SELECT 'last_touch', 'direct', n_touches, round(rev, 4) FROM direct
+      SELECT 'last_touch', 'direct', n_touches, round(rev_e4 / 1e4, 4)
+      FROM direct
       UNION ALL
-      SELECT 'linear', 'direct', n_touches, round(rev, 4) FROM direct
+      SELECT 'linear', 'direct', n_touches, round(rev_e4 / 1e4, 4)
+      FROM direct
     ) ORDER BY model, channel
     """,
 )
@@ -8677,7 +8693,9 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly representable in a double in both engines; 2^52 =
     # 4503599627370496. Priority u^(1/w) is the Efraimidis–Spirakis
     # A-ES key; top-k by priority IS a weight-proportional sample
-    # without replacement.
+    # without replacement. pow is the one non-pinned op (JVM ≤1 ulp vs
+    # libm correctly-rounded) — the documented seam on
+    # curation.priority_sample; never observed to flip at 6 dp.
     """
     WITH s AS (
       SELECT doc_id, n_chars,

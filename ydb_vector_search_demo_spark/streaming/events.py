@@ -245,13 +245,15 @@ def multi_batch_events_dir(
     # persists across sessions under /tmp, and a regenerated
     # events.parquet at the same path must invalidate the split (else
     # the stream replays stale batches while the DuckDB oracle reads
-    # the fresh table — a silent mismatch).
+    # the fresh table — a silent mismatch). mtime at NANOSECOND
+    # precision: a same-size regeneration within one second would
+    # collide under int(st_mtime).
     st = os.stat(src)
     out_dir = os.path.join(
         tempfile.gettempdir(),
         "spark_events_nbatch",
         f"{src.strip('/').replace('/', '_')}_n{n_batches}"
-        f"_s{st.st_size}_m{int(st.st_mtime)}",
+        f"_s{st.st_size}_m{st.st_mtime_ns}",
     )
     done = os.path.join(out_dir, "_ready")
     if not os.path.exists(done):
