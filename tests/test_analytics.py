@@ -370,3 +370,35 @@ def test_remove_duplicate_spans_laws(spark):
     # docs 1-2: exactly the planted 8 tokens stripped
     assert out[1] == (12, 4, md5("alpha beta gamma delta"))
     assert out[2] == (12, 4, md5("zeta eta theta iota"))
+
+
+def test_remove_duplicate_spans_salted_valve_equality(spark):
+    """Hot-hash valve law (r9 verdict task #4): on a corpus where ONE
+    8-gram dominates (planted in most documents — the boilerplate
+    straggler shape), the salted groupBy+join path (n_salt>0) must be
+    row-for-row equal to the window-count path (n_salt=0), and its
+    plan must contain NO Window over the hash (the single-task skew
+    the valve exists to remove) while carrying the salted join."""
+    from ydb_vector_search_demo_spark.operators import dedup as DD
+
+    hot = " ".join(f"boiler{i}" for i in range(8))
+    rows = [
+        (i, f"lead{i} start{i} " + hot + f" tail{i} end{i}")
+        for i in range(40)
+    ] + [
+        (100, "a corpus row with no repeated window at all here now"),
+        (101, "another fully unique document that keeps every token"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    base = sorted(
+        tuple(r) for r in DD.remove_duplicate_spans(docs, n=8).collect()
+    )
+    salted_df = DD.remove_duplicate_spans(docs, n=8, n_salt=4)
+    salted = sorted(tuple(r) for r in salted_df.collect())
+    assert salted == base
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert "Window" not in final, final[:1500]
+    # the hot window really was stripped from every planted doc
+    kept = {r[0]: r[2] for r in base}
+    assert all(kept[i] == 4 for i in range(40))

@@ -65,7 +65,6 @@ _MUST_GRADE = {
     # pair enumeration via dedup_jaccard_pairs, bucketed scale path via
     # the LSH/semantic oracles in this file's sweep).
     "dedup_exact_stats", "dedup_jaccard_pairs",
-    "streaming_hourly_counts",
     # r9 (r8 verdict task #1): rotation_rescore_topk rotated out — the
     # learned-rotation surface has a direct graded row in pq_opq_fixed
     # since r8, and coarse→exact-rescore is graded via
@@ -77,7 +76,7 @@ _MUST_GRADE = {
     # rag_context_top3 (byte-pinned via rag_full_pipeline's prompt md5)
     # rotated out — all stay oracle-checked by this file's parity
     # sweep — for the pinned ANN serving rows and the rerank stack.
-    "ann_ivf_fixed", "ann_lsh_fixed", "retrieval_reranked_top5",
+    "ann_lsh_fixed", "retrieval_reranked_top5",
     # late-r7: quant_hamming_topk rotated out (its packed-bit
     # xor-popcount surface is graded through pq_adc_fixed's coarse
     # stage; still oracle-checked by this file's parity sweep) so the
@@ -113,6 +112,21 @@ _MUST_GRADE = {
     # mrl_rescore_topk in this sweep), rotation_rescore_topk (above).
     "retrieval_mmr_fixed", "events_funnel_conversion",
     "knn_normalized_store_serve", "streaming_late_data_hourly",
+    # r10 (r9 verdict task #1): the r9 waves rotate in — the multimodal
+    # family's FIRST graded row (the closed-form synth→decode→
+    # histogram→cosine replay), the span-removal action, attribution
+    # with the exact-integer revenue units, and the stream-stream join
+    # whose eviction law this round pins. Out with rationale (all still
+    # oracle-checked by this file's sweep): ann_ivf_fixed (strict
+    # subset of ann_ivf_batch_fixed — same pinned probe + batch==loop
+    # law), pq_adc_fixed (plain ADC is a subset of ivfpq_fixed AND
+    # pq_opq_fixed), events_props_map (map/JSON surface graded via
+    # events_json_stats — the catalog's own duplicate note),
+    # streaming_hourly_counts (agg graded via events_rollup_serve's
+    # identical oracle + the firing-watermark row; incremental file
+    # execution via streaming_late_data_hourly and the join row).
+    "multimodal_union_fixed", "dedup_span_removal",
+    "events_attribution", "streaming_stream_join_pairs",
 }
 
 

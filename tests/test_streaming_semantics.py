@@ -326,3 +326,111 @@ def test_late_data_hourly_actually_drops_rows(spark):
         .count()
     )
     assert full_total > sum(r[1] for r in got_rows)
+
+
+def test_stream_join_state_eviction_law(spark, tmp_path):
+    """State-eviction law for the stream-stream purchase↔click join
+    (streaming.events.purchase_click_pairs): with a FINITE watermark
+    over a deterministic 3-batch replay, (a) buffered click state is
+    observably REMOVED once no non-late purchase can reach back to it
+    (c_ts + window < watermark), (b) a reachable-but-late purchase —
+    one whose window DOES cover an old click under batch semantics —
+    produces NO pair, because the click was evicted before the
+    purchase arrived and the purchase itself is below the watermark,
+    (c) the identical plan over the same rows in BATCH mode does emit
+    that pair (the 3650-day equality-mode default exists precisely
+    because of this divergence), and (d) fresh in-horizon pairs still
+    emit after the eviction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime as DT
+
+    from ydb_vector_search_demo_spark.streaming.events import purchase_click_pairs
+
+    d = str(tmp_path / "join_wm")
+    os.makedirs(d)
+    ts_t = pa.timestamp("us")
+
+    def mk(rows):
+        return pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], ts_t),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        })
+
+    b0 = [  # C1 will be evicted; (P1, C2) is the in-batch control pair
+        (1, DT(2024, 1, 1, 10, 0), 1, "click"),
+        (2, DT(2024, 1, 1, 14, 0), 2, "click"),
+        (100, DT(2024, 1, 1, 14, 30), 2, "purchase"),
+    ]
+    b1 = [  # advance BOTH sides' watermarks (global wm = min of sides)
+        (3, DT(2024, 1, 1, 16, 0), 9, "click"),
+        (101, DT(2024, 1, 1, 16, 10), 8, "purchase"),
+    ]
+    b2 = [  # P_late reaches C1 under batch semantics but is below wm;
+        # (P4, C4) proves the join still works post-eviction
+        (102, DT(2024, 1, 1, 11, 0), 1, "purchase"),
+        (4, DT(2024, 1, 1, 16, 30), 4, "click"),
+        (103, DT(2024, 1, 1, 16, 40), 4, "purchase"),
+    ]
+    now = time.time()
+    for i, rows in enumerate([b0, b1, b2]):
+        f = f"{d}/b{i}.parquet"
+        pq.write_table(mk(rows), f)
+        os.utime(f, (now - 100 + 10 * i,) * 2)
+
+    schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(d)
+        )
+
+    pairs = purchase_click_pairs(
+        src(), src(), window_minutes=60, watermark="10 minutes"
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("join_evict")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("join_evict").collect()
+    )
+    # (d) + (b): the control pairs emit; the late-reachable pair does not
+    assert got == [(100, 2), (103, 4)], got
+
+    # (a) eviction observably happened BEFORE the late purchase's batch:
+    # batch 1's watermark (13:50, from batch 0's max 14:00/14:30 minus
+    # 10 min) passes C1's reach horizon 11:00, so the join operator
+    # reports removed state rows in batch <= 1.
+    removed_by_batch = {
+        p["batchId"]: sum(
+            op.get("numRowsRemoved", 0) for op in p["stateOperators"]
+        )
+        for p in q.recentProgress
+        if p["stateOperators"]
+    }
+    early_removed = sum(v for b, v in removed_by_batch.items() if b <= 1)
+    assert early_removed >= 1, removed_by_batch
+
+    # (c) the identical plan in batch mode DOES pair P_late with C1:
+    # watermarks are no-ops in batch, so the only difference is the
+    # streaming eviction — the divergence this law pins.
+    batch_ev = spark.createDataFrame(b0 + b1 + b2, schema)
+    batch_pairs = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in purchase_click_pairs(
+            batch_ev, batch_ev, window_minutes=60, watermark="10 minutes"
+        ).collect()
+    )
+    assert batch_pairs == [(100, 2), (102, 1), (103, 4)], batch_pairs

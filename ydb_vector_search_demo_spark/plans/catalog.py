@@ -8751,7 +8751,18 @@ _GRADE_FIRST = [
     # disabled index path (app.py:37) — gets a DIRECT graded row after
     # six rounds of transitive coverage (assignment, probe ranking,
     # nprobe cut and exact rescore all recomputed by DuckDB).
-    "ann_ivf_fixed",
+    # r10 rotation (r9 verdict task #1): ann_ivf_fixed out — since r8
+    # it is a strict subset of the graded ann_ivf_batch_fixed, whose
+    # oracle replays the SAME pinned-centroid assignment, probe
+    # ranking, nprobe cut and exact rescore per query over a 3-query
+    # batch AND additionally pins the batch==loop law (the exact
+    # precedent of the r5 mrl_rescore_topk → mrl_batch_rescore swap);
+    # it stays oracle-checked in tests/test_oracle_parity. In its
+    # place the multimodal family's FIRST-EVER graded row
+    # (multimodal_union_fixed): synthesize → real PGM/WAV/Y4M decode →
+    # histogram embedding → cosine ranking, replayed end-to-end in
+    # closed form by the DuckDB oracle.
+    "multimodal_union_fixed",
     # r8 rotation (r7 verdict task #6): batch_knn_cosine out — the
     # exact single-query scoring it batches is graded via
     # knn_top5_by_metric/knn_top5_full, and the batched-execution
@@ -8769,8 +8780,17 @@ _GRADE_FIRST = [
     "store_lifecycle_counts",
     "label_centroids",
     # quantization ladder (r5 rotation, r4 verdict task #5:
-    # pq_adc_fixed pins ADC arithmetic against fixed codebooks)
-    "pq_adc_fixed",
+    # pq_adc_fixed pins ADC arithmetic against fixed codebooks).
+    # r10 rotation (r9 verdict task #1): pq_adc_fixed out — plain ADC
+    # against fixed codebooks is now a strict subset of TWO graded
+    # rows: ivfpq_fixed (coarse assign → residual encode → per-cell
+    # ADC) and pq_opq_fixed (rotation → residual encode → rotated-LUT
+    # ADC) both recompute the full LUT-sum arithmetic in DuckDB; it
+    # stays oracle-checked in tests/test_oracle_parity. In its place
+    # the span REMOVAL action (dedup_span_removal): exact-substring
+    # removal with byte-pinned reassembly on top of the graded
+    # dedup_ngram_spans signal — the r9 wave's curation depth row.
+    "dedup_span_removal",
     # late-r7 rotation: quant_hamming_topk out — its packed-bit
     # xor-popcount surface is graded through pq_adc_fixed's coarse
     # stage (the catalog's own duplicate-surface note below); it stays
@@ -8902,7 +8922,16 @@ _GRADE_FIRST = [
     # window graded only transitively.
     "knn_normalized_store_serve",
     "events_json_stats",
-    "events_props_map",
+    # r10 rotation (r9 verdict task #1): events_props_map out — the
+    # catalog's own duplicate-surface note called it: both it and the
+    # kept events_json_stats grade the map/JSON extraction surface,
+    # and the props row is the weaker one-row readout; it stays
+    # oracle-checked in tests/test_oracle_parity. In its place the
+    # attribution analytics row (events_attribution): last-touch +
+    # linear credit models in ONE plan with the exact-integer revenue
+    # units landed this round, the conservation law tested, and the
+    # checkpointed shared slices plan-guarded.
+    "events_attribution",
     "contrastive_triplets",
     "events_asof_purchase_click",
     "events_session_window",
@@ -8953,7 +8982,21 @@ _GRADE_FIRST = [
     # direct graded row (code fold, Hamming<=1 multi-probe and exact
     # rescore all recomputed by DuckDB).
     "ann_lsh_fixed",
-    "streaming_hourly_counts",
+    # r10 rotation (r9 verdict task #1): streaming_hourly_counts out —
+    # its two constituent surfaces are both graded more strongly
+    # elsewhere: the hourly windowed aggregation by the SAME batch SQL
+    # family (events_rollup_serve's oracle IS events_hourly's, and
+    # streaming_late_data_hourly grades the agg under a watermark that
+    # actually fires), and the file-source incremental execution by
+    # streaming_late_data_hourly's three-micro-batch replay plus the
+    # incoming stream-stream join row; it stays oracle-checked in
+    # tests/test_oracle_parity and rows-pinned by the streaming
+    # equality tests. In its place the STREAM-STREAM join
+    # (streaming_stream_join_pairs): watermarked purchase↔click
+    # interval+equi-key join — the one Structured Streaming join
+    # surface, previously outside the window, with its state-eviction
+    # law pinned this round in tests/test_streaming_semantics.py.
+    "streaming_stream_join_pairs",
     # r6 rotation (r5 verdict task #3): streaming_session_windows out —
     # it is checked against the SAME batch session_window SQL oracle as
     # the graded events_session_window (a duplicate slot; it stays
@@ -8978,13 +9021,14 @@ _GRADE_FIRST = [
     "streaming_late_data_hourly",
 ]
 
-# r10 window-eligibility (fully oracle-backed rows currently OUTSIDE
+# r11 window-eligibility (fully oracle-backed rows currently OUTSIDE
 # the window; strongest rotation candidates first, each covering a
-# surface the window grades only transitively today). The r9 rotation
-# graded retrieval_mmr_fixed, events_funnel_conversion,
-# knn_normalized_store_serve and streaming_late_data_hourly (out:
-# text_chunk_overlap, pivot_status_counts, mrl_batch_rescore,
-# rotation_rescore_topk — rationales inline above); still eligible:
+# surface the window grades only transitively today). The r10 rotation
+# graded multimodal_union_fixed (the family's first graded row ever),
+# dedup_span_removal, events_attribution and
+# streaming_stream_join_pairs (out: ann_ivf_fixed, pq_adc_fixed,
+# events_props_map, streaming_hourly_counts — rationales inline
+# above); still eligible:
 #   ann_tree_fixed         — two-level pruned probe (tops → children →
 #                            candidate cells → exact rescore)
 #   quant_ivf_fixed        — pruned×quantized composition
@@ -8999,25 +9043,25 @@ _GRADE_FIRST = [
 #   store_cdc_v0_v2 — time travel + change feed (lifecycle depth)
 #   corpus_budget_fill / events_cohort_retention — curation +
 #                            analytics breadth
-# r9 additions, all fully oracle-backed and pytest-swept, strongest
-# first:
-#   multimodal_content_stats — the multimodal family's deepest oracle
-#                            (payload CONTENT through the real codecs;
-#                            the family had NO graded row ever)
-#   multimodal_resize / multimodal_union_fixed — resample index
-#                            arithmetic, histogram-embedding seam
-#   streaming_stream_join_pairs — the stream-stream join surface
-#   events_attribution — two credit models in one plan (conservation
-#                            law)
+# r9 additions still outside the window, all fully oracle-backed and
+# pytest-swept, strongest first:
+#   multimodal_content_stats — payload CONTENT through the real codecs
+#                            (the union row now grades the family;
+#                            content_stats is the deeper per-codec
+#                            readout)
+#   multimodal_resize — resample index arithmetic pinned
+#                            pixel-for-pixel
 #   store_scd2_history — warehouse-history depth next to CDC
 #   events_transition_matrix / corpus_priority_sample /
 #   corpus_priority_sample_by_source — analytics + weighted-sampling
 #                            breadth
+#   events_hopping_hourly / customers_above_avg_never_ordered —
+#                            hopping windows, the TPC-H Q22 shape
 # Duplicate-surface rows eligible to rotate OUT with rationale:
 # grouping_sets_status_priority vs datetime_order_stats overlap is
 # partial only (grouping sets are a distinct surface — keep both);
-# events_json_stats vs events_props_map both grade the map/JSON
-# surface (the weaker one-row props readout is the out candidate).
+# knn_top5_by_metric's cosine branch vs knn_top5_full overlap is
+# partial only (the metric matrix vs the metadata/serving envelope).
 
 
 def _reorder_for_grading() -> None:

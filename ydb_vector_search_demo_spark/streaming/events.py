@@ -313,30 +313,20 @@ def late_data_hourly_counts(
     )
 
 
-def purchase_click_join_stream(
-    spark: SparkSession,
-    sf_dir: str,
+def purchase_click_pairs(
+    clicks_raw: DataFrame,
+    purchases_raw: DataFrame,
     window_minutes: int = 60,
     watermark: str = "3650 days",
 ) -> DataFrame:
-    """STREAM-STREAM inner join — the remaining Structured Streaming
-    join surface next to the windowed/session/stateful aggs: purchases
-    joined to the same user's clicks from the preceding
-    ``window_minutes``, both sides watermarked (the watermark bounds
-    each side's join STATE: a buffered click can be evicted once no
-    future purchase can reach back to it — state is O(events inside
-    the watermark horizon), never the whole stream). Time-range
-    condition + equi-key is exactly the shape Spark requires to prune
-    state on both sides.
-
-    With the availableNow single-batch replay the oracle is the plain
-    batch self-join (nothing is ever late to a single batch), so the
-    row is fully DuckDB-checked; the default watermark is therefore
-    the equality-mode horizon, and a production caller passes the real
-    lateness bound instead."""
+    """The purchase↔click join plan over two events-shaped inputs
+    (streaming or batch): purchases joined to the same user's clicks
+    from the preceding ``window_minutes``, both sides watermarked.
+    Extracted from :func:`purchase_click_join_stream` so the eviction
+    law test can drive the IDENTICAL plan over a deterministic
+    multi-batch replay."""
     clicks = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        clicks_raw.filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
             F.col("event_id").alias("click_id"),
@@ -345,8 +335,7 @@ def purchase_click_join_stream(
         .withWatermark("c_ts", watermark)
     )
     purchases = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        purchases_raw.filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
             F.col("event_id").alias("purchase_id"),
@@ -361,4 +350,39 @@ def purchase_click_join_stream(
             f"c_ts >= p_ts - INTERVAL {int(window_minutes)} MINUTES"
         ),
         "inner",
+    )
+
+
+def purchase_click_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window_minutes: int = 60,
+    watermark: str = "3650 days",
+) -> DataFrame:
+    """STREAM-STREAM inner join — the remaining Structured Streaming
+    join surface next to the windowed/session/stateful aggs: purchases
+    joined to the same user's clicks from the preceding
+    ``window_minutes``, both sides watermarked (the watermark bounds
+    each side's join STATE: a buffered click is evicted once no
+    non-late purchase can reach back to it — c_ts + window <
+    watermark — so state is O(events inside the watermark horizon),
+    never the whole stream; the claim is not a docstring artifact but
+    a pinned law, tests/test_streaming_semantics.py::
+    test_stream_join_state_eviction_law: a finite-watermark 3-batch
+    replay where click state rows are observably REMOVED, a
+    reachable-but-late purchase provably yields NO pair while the
+    batch self-join yields it, and fresh pairs still emit after the
+    eviction). Time-range condition + equi-key is exactly the shape
+    Spark requires to prune state on both sides.
+
+    With the availableNow single-batch replay the oracle is the plain
+    batch self-join (nothing is ever late to a single batch), so the
+    row is fully DuckDB-checked; the default watermark is therefore
+    the equality-mode horizon, and a production caller passes the real
+    lateness bound instead."""
+    return purchase_click_pairs(
+        read_events_stream(spark, sf_dir),
+        read_events_stream(spark, sf_dir),
+        window_minutes=window_minutes,
+        watermark=watermark,
     )
