@@ -58,3 +58,19 @@ def test_rows_only_set_is_intentional():
         "text_compression_quality",
         "text_tfidf_top_terms",
     ], f"unexpected rows-only queries: {ROWS_ONLY}"
+
+
+def test_every_rows_only_row_documents_why():
+    """r9 verdict task #5: each rows-only registration must carry its
+    why-no-oracle reason ON the row (inspect.getdoc mentions
+    'rows-only'/'rows only'), not only in a sibling's docstring or a
+    section comment."""
+    import inspect
+    import re
+
+    pat = re.compile(r"rows[- ]only", re.I)
+    missing = [
+        n for n in ROWS_ONLY
+        if not pat.search(inspect.getdoc(QUERIES[n]) or "")
+    ]
+    assert not missing, f"rows-only rows without an on-row reason: {missing}"

@@ -20,8 +20,10 @@ SCHEMA = (
 )
 
 
-def _write_file(spark, rows, directory: str, name: str, mtime: float) -> None:
-    df = spark.createDataFrame(rows, SCHEMA).coalesce(1)
+def _write_file(
+    spark, rows, directory: str, name: str, mtime: float, schema: str = SCHEMA
+) -> None:
+    df = spark.createDataFrame(rows, schema).coalesce(1)
     staging = os.path.join(directory, f"_stage_{name}")
     df.write.mode("overwrite").parquet(staging)
     part = next(
@@ -434,3 +436,66 @@ def test_stream_join_state_eviction_law(spark, tmp_path):
         ).collect()
     )
     assert batch_pairs == [(100, 2), (102, 1), (103, 4)], batch_pairs
+
+
+def test_stream_scd2_ingest_equals_batch_history(spark, tmp_path):
+    """Streaming SCD2/CDC maintenance law (streaming.ingest
+    stream_scd2_ingest): change batches streamed through the
+    foreachBatch log-append + atomic-publish pass yield, at every
+    publish, a history EQUAL to the batch scd2_history over everything
+    ingested so far — including the mid-stream prefix, and the final
+    state after a delete batch."""
+    from ydb_vector_search_demo_spark import stores
+    from ydb_vector_search_demo_spark.pipeline import rag
+    from ydb_vector_search_demo_spark.streaming.ingest import stream_scd2_ingest
+
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "doc_id LONG, text STRING"
+    )
+    sch = "doc_id LONG, text STRING, _v INT, op STRING"
+    b0 = [(1, "one-v1", 1, "upsert"), (4, "four", 1, "upsert")]
+    b1 = [(2, None, 2, "delete"), (1, "one-v3", 3, "upsert")]
+
+    src = str(tmp_path / "changes")
+    os.makedirs(src)
+    root = str(tmp_path / "scd2_store")
+    ckpt = str(tmp_path / "ckpt")
+    now = time.time()
+
+    def run():
+        stream = spark.readStream.schema(sch).parquet(src)
+        q = stream_scd2_ingest(stream, base, root, ckpt).start()
+        q.awaitTermination()
+
+    def current():
+        return sorted(
+            tuple(r)
+            for r in stores.read_current_store(spark, root)
+            .select("doc_id", "text", "valid_from", "valid_to", "is_current")
+            .collect()
+        )
+
+    def batch_hist(rows):
+        ch = spark.createDataFrame(rows, sch)
+        ups = ch.filter("op = 'upsert'").select("doc_id", "text", "_v")
+        dels = ch.filter("op = 'delete'").select("doc_id", "_v")
+        return sorted(
+            tuple(r)
+            for r in rag.scd2_history(base, ups, dels)
+            .select("doc_id", "text", "valid_from", "valid_to", "is_current")
+            .collect()
+        )
+
+    _write_file(spark, b0, src, "b0.parquet", now - 60, schema=sch)
+    run()
+    assert current() == batch_hist(b0), "mid-stream publish diverged"
+
+    _write_file(spark, b1, src, "b1.parquet", now - 30, schema=sch)
+    run()
+    assert current() == batch_hist(b0 + b1), "final publish diverged"
+    # the delete closed doc 2's interval and doc 1 carries 3 versions
+    final = {(r[0], r[2]): (r[3], r[4]) for r in current()}
+    assert final[(2, 0)] == (2, False)
+    assert final[(1, 0)] == (1, False)
+    assert final[(1, 1)] == (3, False)
+    assert final[(1, 3)] == (-1, True)

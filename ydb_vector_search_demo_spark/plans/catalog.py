@@ -4131,7 +4131,11 @@ def q_ann_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (corpus, k_clusters) for the session. Returns per-cell sizes —
     the balance profile that decides when to re-cluster. Splitting this
     from ann_ivf_recall makes bench regressions attributable: build
-    time is the periodic batch job, probe time is the steady state."""
+    time is the periodic batch job, probe time is the steady state.
+    Rows-only: the cell sizes come from an MLlib-KMeans-trained
+    clustering (seeded but engine-specific); the IVF probe ARITHMETIC
+    is fully oracle-graded via the pinned-centroid ann_ivf_fixed /
+    ann_ivf_batch_fixed rows."""
     index = ann.get_or_build_ivf_index(
         _t(spark, sf_dir, "embeddings"), k_clusters=16, cache_key=sf_dir,
         fit_sample_fraction=0.25,
@@ -4148,7 +4152,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (KMeans-partition-pruned) ANN vs exact KNN: recall@10.
     The reference's disabled vector_kmeans_tree path, measured. Uses
     the session-cached index (see ann_ivf_build), so this measures the
-    probe path + exact ground truth, not a KMeans refit per call."""
+    probe path + exact ground truth, not a KMeans refit per call.
+    Rows-only by design: a recall REPORT's ground truth is the exact
+    query itself, so a SQL oracle would restate the measurement rather
+    than check it (the ann_ivf_recall_sweep note); the probe arithmetic
+    is oracle-graded via ann_ivf_fixed."""
     return ann.ivf_recall(
         spark, _t(spark, sf_dir, "embeddings"), QV,
         k=10, k_clusters=16, nprobe=4, cache_key=sf_dir,
@@ -4164,7 +4172,11 @@ def q_ann_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF at k_clusters=32, nprobe=8. Centroid ranking cost: 8 + 4·4 = 24
     comparisons vs the flat index's 32 — the gap that widens to orders
     of magnitude when cell counts reach the tens of thousands (√N top
-    cells × √N children ranks 2√N instead of N)."""
+    cells × √N children ranks 2√N instead of N). Rows-only: the
+    two-level clustering is MLlib-KMeans-trained and the row is a
+    recall report (ground truth = the exact query); the pruned-probe
+    arithmetic is oracle-graded via ann_tree_fixed in the pytest
+    sweep."""
     return ann.tree_recall(
         spark, _t(spark, sf_dir, "embeddings"), QV,
         k=10, k_top=8, k_sub=4, nprobe_top=4, nprobe_sub=2,
@@ -5230,7 +5242,9 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm (~21× compression at dim 64), ADC coarse scan, exact rescore
     at c=8 — recall@10 vs exact float KNN for both the raw ADC
     ordering and the rescored result (1.0 at sf0.01; the coarse-only
-    number is what rescore exists to repair)."""
+    number is what rescore exists to repair). Rows-only: KMeans-trained
+    codebooks + a recall report carrying its own exact ground truth;
+    the ADC arithmetic is oracle-graded via pq_adc_fixed/ivfpq_fixed."""
     from ydb_vector_search_demo_spark.operators import pq
 
     return pq.pq_recall(
@@ -8343,6 +8357,79 @@ def q_store_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rag.scd2_history(docs, ups.unionByName(ins), dels).orderBy(
         "doc_id", "valid_from"
+    )
+
+
+@register("store_scd2_stream", ORACLES["store_scd2_history"])
+def q_store_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED-IN SCD Type-2 history (streaming.ingest
+    stream_scd2_ingest — the lifecycle × streaming cell): the same
+    deterministic change log as store_scd2_history, replayed as two
+    micro-batch files (v1 upserts+inserts, then v2 tombstones) through
+    the foreachBatch log-append + atomic-manifest-publish pass; the
+    returned relation is the PUBLISHED current history, which the
+    equality law (tests/test_streaming_semantics.py) pins to the batch
+    scd2_history — so the oracle is the batch row's SQL verbatim (the
+    streaming_hourly_counts convention: one availableNow replay,
+    nothing late to itself)."""
+    import os
+    import tempfile
+    import time as _time
+
+    from ydb_vector_search_demo_spark import stores
+    from ydb_vector_search_demo_spark.streaming.ingest import (
+        stream_scd2_ingest,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ch_schema = "doc_id LONG, text STRING, _v INT, op STRING"
+    v1 = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.concat(F.lit("UPDATED: "), F.col("text")).alias("text"),
+            F.lit(1).alias("_v"), F.lit("upsert").alias("op"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text",
+                F.lit(1).alias("_v"), F.lit("upsert").alias("op"),
+            )
+        )
+    )
+    v2 = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit(2).alias("_v"), F.lit("delete").alias("op"),
+    )
+    work = tempfile.mkdtemp(prefix="spark_scd2_stream_")
+    src = os.path.join(work, "changes")
+    os.makedirs(src)
+    now = _time.time()
+    for i, sl in enumerate([v1, v2]):
+        staging = os.path.join(work, f"_stage_{i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in os.listdir(staging)
+            if f.endswith(".parquet") and f.startswith("part-")
+        )
+        dest = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(staging, part), dest)
+        os.utime(dest, (now - 60 + 30 * i,) * 2)
+    stream = (
+        spark.readStream.schema(ch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = stream_scd2_ingest(
+        stream, docs, os.path.join(work, "store"),
+        os.path.join(work, "ckpt"),
+    ).start()
+    q.awaitTermination()
+    return (
+        stores.read_current_store(spark, os.path.join(work, "store"))
+        .select("doc_id", "text", "valid_from", "valid_to", "is_current")
+        .orderBy("doc_id", "valid_from")
     )
 
 

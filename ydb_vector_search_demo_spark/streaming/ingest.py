@@ -18,6 +18,7 @@ plan literals fixed at query start, and when drift accumulates
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ydb_vector_search_demo_spark.functions.vector import l2_norm
 from ydb_vector_search_demo_spark.operators.ann import ivf_assign, tree_assign
@@ -237,3 +238,82 @@ def stream_bm25_ingest(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def stream_scd2_ingest(
+    changes_stream: DataFrame,
+    base: DataFrame,
+    root: str,
+    checkpoint: str,
+    key_col: str = "doc_id",
+    payload_col: str = "text",
+    available_now: bool = True,
+):
+    """Streaming SCD2/CDC maintenance of the log-structured store —
+    the lifecycle × streaming cell (the stream_bm25_ingest pattern
+    applied to warehouse history): change rows
+    ``(key, payload, _v, op)`` with ``op`` in {'upsert', 'delete'}
+    arrive as a stream; each micro-batch (a) appends its slices to the
+    upsert/tombstone logs under ``root/log/`` at a DETERMINISTIC
+    per-batch path (``batch=<id>`` — a checkpoint-replayed batch
+    overwrites itself with identical bytes, so exactly-once comes for
+    free), and (b) rebuilds the SCD2 history view from ``base`` + all
+    logs so far (:func:`pipeline.rag.scd2_history` — one union, one
+    lead window keyed on the key) into a fresh versioned directory
+    published via :func:`stores.publish_store`'s atomic manifest swap.
+    Readers between batches always see a COMPLETE history equal to the
+    batch ``scd2_history`` over everything ingested so far (the
+    equality law in tests/test_streaming_semantics.py), and because
+    the history window orders by ``_v``, out-of-order batch arrival
+    converges to the same final history.
+
+    Scale shape: the logs are churn-bound (never the store); the one
+    full-``base`` pass per publish is the rebuild's cost — at 100 TB
+    the publish cadence batches micro-batches (trigger interval), the
+    same continuous-aggregate refresh economics as
+    events_rollup_serve. Returns the writer (caller starts/awaits)."""
+    from ydb_vector_search_demo_spark import stores
+    from ydb_vector_search_demo_spark.pipeline import rag
+
+    ups_schema = base.select(
+        F.col(key_col), F.col(payload_col)
+    ).withColumn("_v", F.lit(1).cast("int")).schema
+    del_schema = base.select(F.col(key_col)).withColumn(
+        "_v", F.lit(1).cast("int")
+    ).schema
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ups = batch_df.filter(F.col("op") == "upsert").select(
+            key_col, payload_col, F.col("_v").cast("int").alias("_v")
+        )
+        dels = batch_df.filter(F.col("op") == "delete").select(
+            key_col, F.col("_v").cast("int").alias("_v")
+        )
+        ups.write.mode("overwrite").parquet(
+            f"{root}/log/upserts/batch={batch_id}"
+        )
+        dels.write.mode("overwrite").parquet(
+            f"{root}/log/deletes/batch={batch_id}"
+        )
+        # explicit schemas: a batch with no deletes writes a part-less
+        # directory, which schema inference cannot read back
+        ups_all = spark.read.schema(ups_schema).parquet(
+            f"{root}/log/upserts"
+        ).select(key_col, payload_col, "_v")
+        dels_all = spark.read.schema(del_schema).parquet(
+            f"{root}/log/deletes"
+        ).select(key_col, "_v")
+        hist = rag.scd2_history(
+            base, ups_all, dels_all, key_col=key_col, payload_col=payload_col
+        )
+        out = f"{root}/history-b{batch_id}"
+        hist.write.mode("overwrite").parquet(out)
+        stores.publish_store(spark, root, out)
+
+    writer = changes_stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer
