@@ -162,6 +162,24 @@ HEADLINE = [
     "dedup_span_removal",
     "events_hopping_hourly",
     "customers_above_avg_never_ordered",
+    # r10 addition (outside the comparable subsets): streamed-in SCD2
+    # history — the foreachBatch log-append + atomic publish pass,
+    # priced end to end (change-log write, two micro-batches, history
+    # rebuild, manifest swap)
+    "store_scd2_stream",
+]
+
+# The round-1 contract subset: judges compare this 20-query total
+# against the 28.0 s baseline. Defined at module level because the
+# trial policy below keys on it.
+COMPARABLE_20 = [
+    "knn_top5_full", "knn_top5_euclidean", "knn_top5_filtered",
+    "batch_knn_cosine", "rag_prompt", "tpch_q1_pricing",
+    "tpch_q3_shipping", "supplier_nation_revenue", "region_revenue",
+    "top_customers_per_nation", "events_hourly", "events_sessions",
+    "events_asof_purchase_click", "events_session_window",
+    "text_quality", "doc_fingerprint", "dedup_jaccard_pairs",
+    "dedup_minhash_lsh", "dedup_cosine_pairs", "ann_ivf_recall",
 ]
 
 
@@ -205,22 +223,29 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # 5 trials per query, reported as min/median/max: single samples on
-    # this shared host swing up to 3x from CPU contention alone
-    # (BASELINE.md variance note). "queries" carries the medians (the
-    # driver-contract headline); "spread" lets the judge separate
+    # Trial policy (r9 verdict task #7, documented in BASELINE.md): the
+    # COMPARABLE_20 contract subset keeps 5 trials per query (its
+    # min-of-5 totals are compared across rounds and against the 28.0 s
+    # round-1 contract — the stat must not change); the long tail runs
+    # 3 trials (min-of-3). Both are reported as min/median/max: single
+    # samples on this shared host swing up to 3x from CPU contention
+    # alone (BASELINE.md variance note). "queries" carries the medians
+    # (the driver-contract headline); "spread" lets the judge separate
     # contention (wide min..max, stable min) from real regression
-    # (shifted min) without re-running. The IVF cache is cleared before
-    # EVERY ann_ivf_build trial, so each measures a full KMeans fit; the
+    # (shifted min) without re-running; per-row "trials" records which
+    # policy each min came from. The IVF cache is cleared before EVERY
+    # ann_ivf_build trial, so each measures a full KMeans fit; the
     # build left by the last trial is what ann_ivf_recall probes.
     from ydb_vector_search_demo_spark.operators import ann
 
-    TRIALS = 5
+    TRIALS_CONTRACT = 5
+    TRIALS_TAIL = 3
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
+        trials = TRIALS_CONTRACT if name in COMPARABLE_20 else TRIALS_TAIL
         samples = []
-        for _ in range(TRIALS):
+        for _ in range(trials):
             if name == "ann_ivf_build":
                 ann.clear_index_cache()
             if name == "text_bm25_index_build":
@@ -233,11 +258,12 @@ def main() -> None:
             # operator-internal caches must not leak across timed queries
             dedup.release_persisted()
         samples.sort()
-        timings[name] = round(samples[TRIALS // 2], 3)
+        timings[name] = round(samples[len(samples) // 2], 3)
         spread[name] = {
             "min": round(samples[0], 3),
             "median": timings[name],
             "max": round(samples[-1], 3),
+            "trials": trials,
             # contention fingerprint: a plan regression shifts min; host
             # contention widens max/min while min stays put. Logged per
             # query so the driver JSON is self-diagnosing (r3 verdict #7).
@@ -270,7 +296,7 @@ def main() -> None:
         "metric": "headline_query_wall_time_total",
         "unit": "sec",
         "sf": sf_val,
-        "trials": TRIALS,
+        "trials": {"contract": TRIALS_CONTRACT, "tail": TRIALS_TAIL},
         "spread": spread,
         "queries_median": timings,
         "queries_min": {n: s["min"] for n, s in spread.items()},
@@ -284,29 +310,20 @@ def main() -> None:
         json.dump(full, f, indent=1)
     print("\nbench full " + json.dumps(full), file=sys.stderr)
 
-    # the round-1 contract subset: judges compare this 20-query total
-    # against the 28.0 s baseline; compute it here so the compact
-    # stdout line carries the contract number even when the per-query
-    # dict has to drop to the detail file (headline > ~60 rows)
-    comparable_20 = [
-        "knn_top5_full", "knn_top5_euclidean", "knn_top5_filtered",
-        "batch_knn_cosine", "rag_prompt", "tpch_q1_pricing",
-        "tpch_q3_shipping", "supplier_nation_revenue", "region_revenue",
-        "top_customers_per_nation", "events_hourly", "events_sessions",
-        "events_asof_purchase_click", "events_session_window",
-        "text_quality", "doc_fingerprint", "dedup_jaccard_pairs",
-        "dedup_minhash_lsh", "dedup_cosine_pairs", "ann_ivf_recall",
-    ]
+    # the contract number travels on the compact stdout line even when
+    # the per-query dict has to drop to the detail file (headline > ~60
+    # rows); the COMPARABLE_20 rows always ran the 5-trial policy, so
+    # this stat is unchanged across rounds
     compact = {
         "metric": "headline_query_wall_time_total",
         "unit": "sec",
         "sf": sf_val,
-        "trials": TRIALS,
-        "stat": "min_of_5",
+        "trials": {"contract": TRIALS_CONTRACT, "tail": TRIALS_TAIL},
+        "stat": "min_of_5_contract__min_of_3_tail",
         "value": value_min,
         "value_median": value_median,
         "comparable_20_min": round(
-            sum(spread[n]["min"] for n in comparable_20 if n in spread), 3
+            sum(spread[n]["min"] for n in COMPARABLE_20 if n in spread), 3
         ),
         "queries": {n: s["min"] for n, s in spread.items()},
         "detail": "BENCH_DETAIL.json",

@@ -499,3 +499,62 @@ def test_stream_scd2_ingest_equals_batch_history(spark, tmp_path):
     assert final[(1, 0)] == (1, False)
     assert final[(1, 1)] == (3, False)
     assert final[(1, 3)] == (-1, True)
+
+
+def test_dedup_within_watermark_eviction_law(spark, tmp_path):
+    """Bounded-state dedup semantics (dropDuplicatesWithinWatermark,
+    the shape streaming_dedup_within_watermark runs): a duplicate key
+    arriving while its state is inside the watermark horizon is
+    DROPPED; once the watermark passes the key's event time the state
+    is evicted, and a later re-occurrence is EMITTED AGAIN — the
+    at-least-once trade that makes the state O(horizon), which plain
+    dropDuplicates (state-forever) never pays."""
+    d = str(tmp_path / "ddwm")
+    os.makedirs(d)
+    sch = "event_id LONG, ts TIMESTAMP"
+    now = time.time()
+    b0 = [(1, datetime(2024, 1, 1, 10, 0)), (2, datetime(2024, 1, 1, 10, 5))]
+    # in-horizon duplicate of key 1 (state alive: wm = 9:55) -> dropped;
+    # 16:00 advances the watermark (to 15:50 for the NEXT batch)
+    b1 = [(1, datetime(2024, 1, 1, 10, 7)), (3, datetime(2024, 1, 1, 16, 0))]
+    # filler batch: state cleanup runs with the inherited wm 15:50,
+    # evicting keys 1 (expiry 10:10) and 2 (10:15) — eviction lags the
+    # advance by one batch (the watermark-used rule the late-data tests
+    # pin); the wm for the NEXT batch becomes 15:55
+    b2 = [(4, datetime(2024, 1, 1, 16, 5))]
+    # post-eviction duplicate of key 1 (not late: 15:58 > 15:55) ->
+    # re-emitted
+    b3 = [(1, datetime(2024, 1, 1, 15, 58))]
+    for i, rows in enumerate([b0, b1, b2, b3]):
+        _write_file(spark, rows, d, f"b{i}.parquet", now - 100 + 10 * i, schema=sch)
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(d)
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ddwm_pin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r["event_id"], str(r["ts"])) for r in spark.table("ddwm_pin").collect())
+    assert got == [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 15:58:00"),  # re-emitted: state was evicted
+        (2, "2024-01-01 10:05:00"),
+        (3, "2024-01-01 16:00:00"),
+        (4, "2024-01-01 16:05:00"),
+    ], got
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        for op in (p["stateOperators"] or [])
+    )
+    assert removed >= 2, f"keys 1 and 2 must be evicted, removed={removed}"

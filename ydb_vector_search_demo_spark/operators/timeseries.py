@@ -557,3 +557,109 @@ def transition_matrix(
         "n",
         F.round(F.col("n") / F.sum("n").over(w_from), 6).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+def rfm_segments(
+    events: DataFrame,
+    purchase_type: str = "purchase",
+    n_tiles: int = 4,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic marketing readout: per purchasing user, days since last
+    purchase (integer microsecond arithmetic against the corpus-max
+    purchase time — no float epoch math), purchase count, and exact
+    integer-cents spend; each dimension is then cut into ``n_tiles``
+    quantile tiles (ntile, with the user id breaking metric ties so
+    the tiling is a total order both engines replay identically —
+    recency ascending so tile 1 is the most recent, frequency and
+    monetary descending so tile 1 is the most active/valuable).
+    Returns segment CELL counts: (r, f, m, n_users) — the |tiles|³
+    -bounded matrix a campaign planner reads.
+
+    Scale shape: one keyed aggregation over the purchase slice (the
+    shuffle carries user ids, bounded by purchasers, never events);
+    the corpus-max is a 1-row broadcast; the three ntiles are global
+    windows — a global sort EACH, but over the per-USER relation, not
+    the event log (ntile cannot pre-aggregate; at 100 TB this is the
+    range-partitioned sort Spark already plans for a global window,
+    on a relation 3-5 orders of magnitude smaller than the input).
+    Output is bounded by n_tiles³."""
+    p = (
+        events.filter(F.col(type_col) == purchase_type)
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(
+            F.max(F.unix_micros(F.col(ts_col))).alias("_last_us"),
+            F.count(F.lit(1)).cast("bigint").alias("_freq"),
+            F.sum(F.round(F.col(value_col) * 100).cast("bigint")).alias(
+                "_cents"
+            ),
+        )
+    )
+    mx = p.agg(F.max("_last_us").alias("_mx"))
+    scored = p.crossJoin(F.broadcast(mx)).withColumn(
+        # integer floor division (DIV) on exact integer micros — the
+        # double-division-then-cast form could truncate differently
+        # from an oracle's integer // at a day boundary
+        "_r_days",
+        F.expr("(_mx - _last_us) DIV 86400000000"),
+    )
+    t = int(n_tiles)
+    r_w = Window.orderBy(F.col("_r_days").asc(), F.col("_u").asc())
+    f_w = Window.orderBy(F.col("_freq").desc(), F.col("_u").asc())
+    m_w = Window.orderBy(F.col("_cents").desc(), F.col("_u").asc())
+    return (
+        scored.select(
+            F.ntile(t).over(r_w).alias("r"),
+            F.ntile(t).over(f_w).alias("f"),
+            F.ntile(t).over(m_w).alias("m"),
+        )
+        .groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("r", "f", "m")
+    )
+
+
+def hourly_anomaly(
+    events: DataFrame,
+    z_threshold: float = 2.0,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Volume-anomaly detection over the hourly event counts: hours
+    whose count sits more than ``z_threshold`` sample standard
+    deviations from the mean — the ops-dashboard "traffic spike/drop"
+    readout. The moments are EXACT integers (count, sum, sum of
+    squares over the hourly-count relation), so mean/std/z are each
+    ONE fixed double expression of three exact integers — identical
+    in any engine regardless of partial-aggregation order (the same
+    trick as the integer-cents sums; a naive stddev_samp over doubles
+    would be order-sensitive at the 6-dp display boundary).
+
+    Scale shape: one hourly groupBy (map-side combinable, output
+    bounded by hours), one 1-row moment aggregate over it, broadcast
+    back — the events log is scanned once; z is map work on the
+    hours relation."""
+    h = (
+        events.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("hour_start"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    mom = h.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c"),
+        F.sum("n").alias("_s1"),
+        F.sum(F.col("n") * F.col("n")).alias("_s2"),
+    )
+    mean = F.col("_s1") / F.col("_c")
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_c")) / (
+        F.col("_c") - F.lit(1)
+    )
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        h.crossJoin(F.broadcast(mom))
+        .withColumn("z", F.round(z, 6))
+        .filter(F.abs(F.col("z")) > float(z_threshold))
+        .select("hour_start", "n", "z")
+        .orderBy("hour_start")
+    )

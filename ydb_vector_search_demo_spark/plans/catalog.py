@@ -8810,6 +8810,229 @@ def q_corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- r10 waves
+
+
+@register(
+    "lineitem_blame_per_supplier",
+    # TPC-H Q21's shape on this schema (no commit/receipt dates in the
+    # fixture, so 'failed' = a returned line): suppliers whose returned
+    # line sits in a multi-supplier order where NO other supplier's
+    # line was returned — the semi-join + anti-join self-composition.
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    bad AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_returnflag = 'R')
+    SELECT s.s_name, count(*)::BIGINT AS n_orders
+    FROM bad b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM pairs p
+                  WHERE p.l_orderkey = b.l_orderkey
+                    AND p.l_suppkey <> b.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM bad b2
+                      WHERE b2.l_orderkey = b.l_orderkey
+                        AND b2.l_suppkey <> b.l_suppkey)
+    GROUP BY 1 ORDER BY n_orders DESC, s_name LIMIT 10
+    """,
+)
+def q_lineitem_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q21 composition (semi-join + anti-join against the
+    SAME self-relation) on this schema: suppliers solely to blame for
+    a returned line in multi-supplier orders. Both existence probes
+    key on the order — the distinct (order, supplier) slice shuffles
+    once and is reused by both sides; the supplier dim broadcasts;
+    the top-10 cut is TakeOrderedAndProject with the unique name
+    breaking count ties."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    bad = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = pairs.select(
+        F.col("l_orderkey").alias("_o_okey"),
+        F.col("l_suppkey").alias("_o_skey"),
+    )
+    other_bad = bad.select(
+        F.col("l_orderkey").alias("_o_okey"),
+        F.col("l_suppkey").alias("_o_skey"),
+    )
+    cond = (F.col("l_orderkey") == F.col("_o_okey")) & (
+        F.col("l_suppkey") != F.col("_o_skey")
+    )
+    sole = bad.join(other, cond, "left_semi").join(
+        other_bad, cond, "left_anti"
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(
+            F.broadcast(sup), sole["l_suppkey"] == sup["s_suppkey"]
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "s_name")
+        .limit(10)
+    )
+
+
+@register(
+    "cheapest_line_per_brand",
+    # argmin-per-group: the oracle replays the struct-min with a
+    # ranking window over the same total order (price, orderkey,
+    # linenumber is unique per line).
+    """
+    SELECT p_brand,
+           round(l_extendedprice, 2) AS min_price,
+           l_orderkey AS orderkey, l_suppkey AS suppkey
+    FROM (
+      SELECT p.p_brand, l.*,
+             row_number() OVER (
+               PARTITION BY p.p_brand
+               ORDER BY l.l_extendedprice, l.l_orderkey, l.l_linenumber
+             ) AS rn
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+    WHERE rn = 1 ORDER BY p_brand
+    """,
+)
+def q_cheapest_line_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARGMIN-per-group as ONE aggregate (min over a lexicographic
+    struct — no ranking window, no self-join): per brand, the cheapest
+    shipped line with its order and supplier. The struct's field order
+    (price, orderkey, linenumber) is a total order, so the argmin is
+    deterministic and the oracle can replay it with a window. Scale
+    shape: map-side partial min per brand (the aggregate combines —
+    a row per group per map task through the shuffle, never the
+    lineitems; a window formulation would shuffle every line)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("l_extendedprice").alias("price"),
+                    F.col("l_orderkey").alias("okey"),
+                    F.col("l_linenumber").alias("lnum"),
+                    F.col("l_suppkey").alias("skey"),
+                )
+            ).alias("_m")
+        )
+    )
+    return m.select(
+        "p_brand",
+        F.round(F.col("_m.price"), 2).alias("min_price"),
+        F.col("_m.okey").alias("orderkey"),
+        F.col("_m.skey").alias("suppkey"),
+    ).orderBy("p_brand")
+
+
+@register(
+    "events_rfm_segments",
+    # ntile over a total order (metric, user) is engine-portable;
+    # recency in integer days from exact epoch micros.
+    """
+    WITH p AS (
+      SELECT user_id,
+             max(epoch_us(ts)) AS last_us,
+             count(*)::BIGINT AS freq,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    mx AS (SELECT max(last_us) AS m FROM p),
+    scored AS (
+      SELECT ntile(4) OVER (ORDER BY (mx.m - last_us) // 86400000000,
+                            user_id) AS r,
+             ntile(4) OVER (ORDER BY freq DESC, user_id) AS f,
+             ntile(4) OVER (ORDER BY cents DESC, user_id) AS m
+      FROM p, mx)
+    SELECT r, f, m, count(*)::BIGINT AS n_users
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (operators.timeseries.rfm_segments): quartile
+    tiles of recency / frequency / monetary over the purchase slice,
+    rolled up to the 4³-bounded segment matrix. One keyed aggregation
+    over purchases + three ntiles over the per-USER relation (orders
+    of magnitude smaller than the log); exact integer cents and
+    integer-day recency keep every tile boundary engine-portable."""
+    from ydb_vector_search_demo_spark.operators import timeseries as TS
+
+    return TS.rfm_segments(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_hourly_anomaly",
+    # z from EXACT integer moments (c, s1, s2) — one fixed double
+    # expression per row, partial-agg-order independent.
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour_start, count(*)::BIGINT AS n
+      FROM events GROUP BY 1),
+    mom AS (SELECT count(*)::BIGINT AS c, sum(n)::BIGINT AS s1,
+                   sum(n * n)::BIGINT AS s2 FROM h)
+    SELECT hour_start, n,
+           round((n - s1 / (1.0 * c))
+                 / sqrt((s2 - s1 * s1 / (1.0 * c)) / (c - 1)), 6) AS z
+    FROM h, mom
+    WHERE abs((n - s1 / (1.0 * c))
+              / sqrt((s2 - s1 * s1 / (1.0 * c)) / (c - 1))) > 2.0
+    ORDER BY hour_start
+    """,
+)
+def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume-anomaly flags
+    (operators.timeseries.hourly_anomaly): hours whose event count
+    sits more than 2 sample standard deviations from the mean. The
+    moments are exact integers over the hours relation, so mean/std/z
+    are fixed double expressions both engines evaluate identically —
+    a naive stddev_samp over doubles would be partial-agg-order
+    sensitive at the display boundary. One events scan; everything
+    after is bounded by hours."""
+    from ydb_vector_search_demo_spark.operators import timeseries as TS
+
+    return TS.hourly_anomaly(_t(spark, sf_dir, "events"), z_threshold=2.0)
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    """
+    SELECT count(*) AS n_events, count(DISTINCT event_id) AS n_unique
+    FROM events
+    """,
+)
+def q_streaming_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state
+    (streaming.events.dedup_events_within_watermark —
+    dropDuplicatesWithinWatermark): the events stream unioned with
+    itself, deduped on the key with state the watermark EVICTS — the
+    only dedup shape a 100 TB stream can run (plain dropDuplicates,
+    the streaming_dedup_events row, keeps every key forever). The
+    at-least-once-outside-the-horizon semantics are pinned by the
+    3-batch eviction law test; this availableNow replay runs at the
+    equality-mode horizon, so the sink equals batch DISTINCT and the
+    oracle is plain batch counts."""
+    _STREAM_COUNTER["n"] += 1
+    name = f"stream_dedup_wm_{_STREAM_COUNTER['n']}"
+    deduped = EV.dedup_events_within_watermark(spark, sf_dir)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_id").alias("n_unique"),
+    )
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:

@@ -386,3 +386,33 @@ def purchase_click_join_stream(
         window_minutes=window_minutes,
         watermark=watermark,
     )
+
+
+def dedup_events_within_watermark(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "3650 days",
+    key_col: str = "event_id",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state —
+    ``dropDuplicatesWithinWatermark``: unlike plain ``dropDuplicates``
+    (whose key state grows forever — the streaming_dedup_events row),
+    a key's dedup state is EVICTED once the watermark passes its event
+    time, so state is O(keys inside the horizon) — the only dedup a
+    100 TB stream can run. The trade is semantic, not just spatial: a
+    duplicate arriving after its key's state was evicted is emitted
+    AGAIN (at-least-once dedup within the horizon) — pinned in
+    tests/test_streaming_semantics.py::
+    test_dedup_within_watermark_eviction_law with a 3-batch replay
+    where the in-horizon duplicate drops and the post-eviction
+    duplicate re-emits. With the availableNow single-batch replay and
+    the equality-mode horizon nothing is ever evicted mid-run, so the
+    row is fully DuckDB-checked against batch DISTINCT (the
+    streaming_hourly_counts convention)."""
+    s1 = read_events_stream(spark, sf_dir)
+    s2 = read_events_stream(spark, sf_dir)
+    return (
+        s1.unionByName(s2)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark([key_col])
+    )
