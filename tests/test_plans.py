@@ -281,3 +281,45 @@ def test_graph_append_no_smj_no_python(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_argmin_per_brand_is_one_aggregate_no_window(spark):
+    """cheapest_line_per_brand encodes argmin as a lexicographic
+    struct-min AGGREGATE: partial min per map task combines through
+    one brand-keyed exchange — a ranking-window formulation would
+    shuffle and sort every lineitem instead."""
+    plan = plan_of(spark, "cheapest_line_per_brand")
+    assert "Window" not in plan, plan[:1500]
+    assert "partial_min" in plan or "min(" in plan
+    assert "BroadcastHashJoin" in plan, "part dim must broadcast"
+
+
+def test_blame_shape_top10_is_takeordered(spark):
+    """lineitem_blame_per_supplier: the semi+anti composition ends in
+    a TakeOrderedAndProject (never a global sort for a top-10), the
+    supplier dim broadcasts, and both existence probes are real
+    semi/anti joins."""
+    plan = plan_of(spark, "lineitem_blame_per_supplier")
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_is_grouped_arrow_pass(spark):
+    """corpus_pack_sequences: the sequential walk runs as ONE
+    Arrow-batched grouped-map pass (FlatMapGroupsInPandas) over the
+    bucket exchange — the bucket is the parallelism unit."""
+    plan = plan_of(spark, "corpus_pack_sequences")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_hourly_anomaly_single_events_scan(spark):
+    """events_hourly_anomaly: the hours relation is localCheckpointed
+    before its two consumers (moments + z projection), so the RESULT
+    plan contains zero parquet scans — events was scanned exactly
+    once, inside the checkpoint-building job."""
+    plan = plan_of(spark, "events_hourly_anomaly")
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 0, final[:2000]
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final

@@ -640,11 +640,15 @@ def hourly_anomaly(
 
     Scale shape: one hourly groupBy (map-side combinable, output
     bounded by hours), one 1-row moment aggregate over it, broadcast
-    back — the events log is scanned once; z is map work on the
-    hours relation."""
+    back — the events log is scanned ONCE because the hours relation
+    is localCheckpointed before its two consumers (the moment branch
+    and the z projection — without it each branch re-derives the
+    hours from a fresh events scan, the funnel/attribution recompute
+    class; plan-guarded); z is map work on the hours relation."""
     h = (
         events.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("hour_start"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
     )
     mom = h.agg(
         F.count(F.lit(1)).cast("bigint").alias("_c"),

@@ -8999,6 +8999,184 @@ def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_per_customer_distribution",
+    # TPC-H Q13's shape: LEFT join so zero-order customers are counted,
+    # then the count-of-counts histogram.
+    """
+    WITH c AS (
+      SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY 1)
+    SELECT n_orders, count(*)::BIGINT AS n_customers
+    FROM c GROUP BY 1 ORDER BY n_customers DESC, n_orders DESC
+    """,
+)
+def q_orders_per_customer_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q13 surface: the distribution of orders per customer
+    INCLUDING the zero bucket (a LEFT join before the count — an inner
+    join would silently drop order-less customers, the classic Q13
+    trap), then a count-of-counts rollup. Two keyed aggregations: the
+    first shuffles on the customer (count(o_orderkey) counts only
+    matched rows — null-skipping does the zero bucket), the second's
+    output is bounded by max orders-per-customer."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+@register(
+    "brand_small_quantity_revenue",
+    # TPC-H Q17's shape: a PER-GROUP scalar aggregate (avg quantity per
+    # part) gating the detail scan. Exact arithmetic: quantities carry
+    # 2 decimals, so the per-part average is an exact-integer-cents sum
+    # over an exact count — the gate threshold 0.2*avg is then ONE
+    # fixed double expression both engines evaluate identically, and
+    # revenue sums in integer cents.
+    """
+    WITH a AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qc,
+             count(*)::BIGINT AS n
+      FROM lineitem GROUP BY 1)
+    SELECT p.p_brand,
+           count(*)::BIGINT AS n_lines,
+           round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                 / 100.0, 2) AS revenue
+    FROM lineitem l
+    JOIN a ON l.l_partkey = a.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity * 100 < 0.2 * (qc / (1.0 * n)) * 100
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_brand_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The TPC-H Q17 surface: lines whose quantity sits below 20% of
+    their OWN part's average — a per-group scalar aggregate gating the
+    detail scan (what Catalyst decorrelates a correlated scalar
+    subquery into: one keyed aggregate joined back on the key), rolled
+    up per brand. Both the average (exact integer-cents sum / exact
+    count) and the revenue are integer-exact, so the gate boundary and
+    the totals are engine-portable. Two shuffles share the part key;
+    the brand dim broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    a = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("qc"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    gated = (
+        li.join(a, "l_partkey")
+        .filter(
+            F.col("l_quantity") * 100
+            < F.lit(0.2) * (F.col("qc") / (F.lit(1.0) * F.col("n"))) * 100
+        )
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    )
+    return (
+        gated.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                ) / 100.0,
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "corpus_pack_sequences",
+    # The greedy next-fit walk is sequential state per bucket — not
+    # expressible as a window (the accumulator RESETS at pack
+    # boundaries, so it is not an associative scan) — but a RECURSIVE
+    # CTE replays it exactly: one recursion step per in-bucket ordinal,
+    # all buckets advancing in lockstep. n_tokens = n_chars DIV 4 (the
+    # repo's BPE-ish estimate) keeps the weight integer and portable.
+    """
+    WITH RECURSIVE d AS (
+      SELECT CAST(('0x' || substring(md5('pack:' || doc_id::VARCHAR),
+                                     1, 4))::BIGINT % 8 AS INTEGER)
+               AS bucket,
+             doc_id, (n_chars // 4)::BIGINT AS n_tokens
+      FROM documents),
+    o AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM d),
+    walk AS (
+      SELECT bucket, rn, doc_id, n_tokens,
+             0 AS pack_id, n_tokens AS acc
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT nxt.bucket, nxt.rn, nxt.doc_id, nxt.n_tokens,
+             CASE WHEN w.acc > 0 AND w.acc + nxt.n_tokens > 2048
+                  THEN w.pack_id + 1 ELSE w.pack_id END,
+             CASE WHEN w.acc > 0 AND w.acc + nxt.n_tokens > 2048
+                  THEN nxt.n_tokens ELSE w.acc + nxt.n_tokens END
+      FROM walk w JOIN o nxt
+        ON nxt.bucket = w.bucket AND nxt.rn = w.rn + 1)
+    SELECT bucket, pack_id::INTEGER AS pack_id,
+           count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS tok_sum
+    FROM walk GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence PACKING for LLM training batches
+    (operators.curation.pack_sequences): documents hash-bucketed 8
+    ways, each bucket walked in doc-id order accumulating a BPE-ish
+    token estimate (n_chars DIV 4), a new pack opened whenever the
+    2048-token budget would overflow. The walk is sequential state per
+    bucket, so it runs as an Arrow-batched applyInPandas over bucket
+    groups (the bucket is the parallelism unit — how a production
+    packer shards); the DuckDB oracle replays the exact walk with a
+    recursive CTE, so the custom-stateful surface is FULLY
+    oracle-graded, not rows-only. Output: per-(bucket, pack) doc count
+    and token sum, bounded by corpus/budget."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))
+                    ),
+                    1, 4,
+                ),
+                16, 10,
+            ).cast("bigint") % 8
+        ).cast("int").alias("bucket"),
+        "doc_id",
+        F.expr("n_chars DIV 4").alias("n_tokens"),
+    )
+    packed = curation.pack_sequences(docs, budget=2048)
+    return (
+        packed.groupBy("bucket", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tok_sum"),
+        )
+        .orderBy("bucket", "pack_id")
+    )
+
+
+@register(
     "streaming_dedup_within_watermark",
     """
     SELECT count(*) AS n_events, count(DISTINCT event_id) AS n_unique
