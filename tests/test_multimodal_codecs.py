@@ -132,3 +132,24 @@ def test_resize_row_plan_reads_checkpoint_only(spark):
     final = plan.split("Initial Plan")[0]
     assert final.count("Scan parquet") == 0, final[:1500]
     assert final.count("MapInPandas") == 1, final[:1500]
+
+
+def test_audio_resample_decimates_and_reencodes(spark):
+    """resample_audio keeps every 4th PCM16 sample and re-encodes a
+    canonical WAV: the payload round-trips through decode_wav /
+    wav_samples equal to the numpy stride of the original samples,
+    the rate is divided, and the byte size is 44 + 2*n_out."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    src = media.synthesize_media_table(docs).filter("modality = 'audio'")
+    orig = {r["media_id"]: bytes(r["payload"]) for r in src.collect()}
+    out = media.resample_audio(
+        media.synthesize_media_table(docs), every_n=4
+    ).collect()
+    assert out
+    for r in out:
+        raw = bytes(r["payload"])
+        rate, n = media.decode_wav(raw)
+        want = media.wav_samples(orig[r["media_id"]])[::4]
+        assert rate == 4000 and n == len(want) == r["n_samples"]
+        assert np.array_equal(media.wav_samples(raw), want)
+        assert r["n_bytes"] == 44 + 2 * len(want) == len(raw)

@@ -390,6 +390,57 @@ def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
     )
 
 
+RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("n_samples", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resample_audio(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Audio DECIMATION through the real codec — completes the
+    per-modality transform matrix next to :func:`resize_images`
+    (image) and :func:`frame_sample` (video): decode the WAV, keep
+    every ``every_n``-th PCM16 sample (index-stride decimation — the
+    nearest-neighbor resample at ratio 1/every_n), re-encode a
+    canonical WAV at the decimated sample rate, report the re-encoded
+    size. The decode→slice→re-encode roundtrip pins the RIFF header
+    arithmetic byte-for-byte, exactly like resize_images' PGM
+    roundtrip; a production impl swaps the slicer for a windowed
+    low-pass resampler in this exact seam."""
+    from ydb_vector_search_demo_spark.shipping import ensure_package_on_workers
+
+    ensure_package_on_workers()
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, ns, nb = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p)
+                rate, _ = decode_wav(raw)
+                kept = wav_samples(raw)[::every_n]
+                out = encode_wav(kept, max(rate // every_n, 1))
+                ids.append(mid)
+                payloads.append(out)
+                ns.append(len(kept))
+                nb.append(len(out))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "n_samples": pd.array(ns, dtype="int32"),
+                    "n_bytes": pd.array(nb, dtype="int64"),
+                }
+            )
+
+    return media.filter(F.col("modality") == "audio").mapInPandas(
+        resample, RESAMPLE_SCHEMA
+    )
+
+
 def media_embedding_stub(
     media: DataFrame, dim: int = 64, as_double: bool = False
 ) -> DataFrame:

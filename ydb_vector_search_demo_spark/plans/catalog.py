@@ -5728,6 +5728,56 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_audio_resample",
+    # Decimation, analytically: kept sample j maps to source index
+    # 4*j, so the sum re-applies the synth formula ((i*k) % 512 - 256)
+    # * 64 at the strided indices; n_out = ceil(n/4); WAV bytes =
+    # 44-byte canonical header + 2 per PCM16 sample. Constant series
+    # bound (n_out <= 400) + correlated WHERE — the
+    # multimodal_content_stats convention.
+    f"""
+    WITH {_MM_BASE},
+    dims AS (
+      SELECT media_id, n, k, (n + 3) // 4 AS n_out FROM aud),
+    sums AS (
+      SELECT d.media_id,
+             sum(((4 * j.g * d.k) % 512 - 256) * 64) AS s
+      FROM dims d, generate_series(0, 399) j(g)
+      WHERE j.g < d.n_out GROUP BY d.media_id)
+    SELECT d.media_id, d.n_out::INTEGER AS n_samples,
+           (44 + 2 * d.n_out)::BIGINT AS n_bytes, s.s::BIGINT AS content_sum
+    FROM dims d JOIN sums s USING (media_id) ORDER BY d.media_id
+    """,
+)
+def q_multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resample through the REAL codec
+    (multimodal.media.resample_audio): decode WAV → every-4th-sample
+    decimation → re-encode → decode AGAIN for the content sum —
+    completing the per-modality transform matrix (image resize, video
+    frame-sample, audio resample), each transform's index arithmetic
+    pinned in closed form by the oracle. The resampled relation feeds
+    two consumers (the dims projection and media_content_stats), so it
+    is localCheckpointed once — the multimodal_resize recompute
+    pattern."""
+    from ydb_vector_search_demo_spark.multimodal import media
+
+    docs = _t(spark, sf_dir, "documents")
+    resampled = media.resample_audio(
+        media.synthesize_media_table(docs), every_n=4
+    ).localCheckpoint(eager=True)
+    stats = media.media_content_stats(
+        resampled.select(
+            "media_id", F.lit("audio").alias("modality"), "payload"
+        )
+    )
+    return (
+        resampled.select("media_id", "n_samples")
+        .join(stats.select("media_id", "n_bytes", "content_sum"), "media_id")
+        .orderBy("media_id")
+    )
+
+
 @register("multimodal_embedding")
 def q_multimodal_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media feature-extraction plumbing: payload → 64-dim embedding
