@@ -237,3 +237,34 @@ def test_bm25_index_batch_equals_scan_batch(docs, qdf):
         assert a == b
     finally:
         idx.postings.unpersist()
+
+
+def test_phrase_match_laws(spark):
+    """Positional phrase search: 3-token phrases, back-to-back and
+    OVERLAPPING occurrences (periodic phrases like 'x x' in 'x x x'
+    start at both 0 and 1 — a substring-replace counter would
+    undercount), and absent phrases."""
+    from ydb_vector_search_demo_spark.operators import retrieval as R
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d a b c"),        # 'a b c' twice, disjoint
+            (2, "x x x"),                # 'x x' overlaps: starts 0,1
+            (3, "a b c a b c a b c"),    # back-to-back: starts 0,3,6
+            (4, "c b a"),                # reversed -> no match
+        ],
+        "doc_id INT, text STRING",
+    )
+    idx = R.build_positional_index(docs)
+
+    def got(phrase):
+        return {
+            r["doc_id"]: r["n_occurrences"]
+            for r in R.phrase_match(idx, phrase).collect()
+        }
+
+    assert got("a b c") == {1: 2, 3: 3}
+    assert got("x x") == {2: 2}
+    assert got("c d a") == {1: 1}
+    assert got("b a") == {4: 1}
+    assert got("d c") == {}

@@ -1230,3 +1230,74 @@ def maxsim_topk(
         .orderBy(F.col("maxsim").desc_nulls_last(), F.col(id_col).asc())
         .limit(int(k))
     )
+
+
+def build_positional_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """POSITIONAL inverted index — the postings layout phrase and
+    proximity queries need next to the BM25 df/tf index: one row per
+    (term, doc) carrying the SORTED array of 0-based token positions.
+    Same whitespace tokenizer as the BM25 path (functions.textstats
+    .tokens), so the two indexes describe the same token stream.
+
+    Scale shape: posexplode is map-side; the single shuffle is the
+    (term, doc) groupBy — one row per posting, the layout's inherent
+    cost; positions arrays are bounded by per-doc term frequency. At
+    100 TB the index is partitioned by term (the write side of
+    write_bm25_postings) so a phrase probe touches only its terms'
+    partitions."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+
+    per = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "term")
+    )
+    return per.groupBy("term", id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("positions")
+    )
+
+
+def phrase_match(
+    postings: DataFrame, phrase: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """EXACT phrase query over the positional index: documents where
+    the phrase's tokens appear CONSECUTIVELY, with the occurrence
+    count. Classic positional-postings intersection (the algorithm
+    every lexical engine runs for quoted queries): start from the
+    first term's positions and, for each later term i, intersect with
+    that term's positions shifted left by i — survivors are exactly
+    the phrase START positions, entirely as JVM array expressions
+    (array_intersect/transform), no UDF, no explode of positions.
+
+    Scale shape: one doc-keyed join per phrase term over the
+    term-FILTERED postings (each side one row per matching doc);
+    every intermediate filters size(starts) > 0, so candidates only
+    shrink; rare-term phrases broadcast. Independent oracle: the
+    catalog row's DuckDB twin replays the query relationally
+    (ordinal-exploded tokens self-joined at +i offsets) — a different
+    algorithm agreeing on every (doc, count)."""
+    terms = phrase.split()
+    if not terms:
+        raise ValueError("empty phrase")
+    cur = postings.filter(F.col("term") == terms[0]).select(
+        F.col(id_col), F.col("positions").alias("_starts")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("term") == t).select(
+            F.col(id_col), F.col("positions").alias("_q")
+        )
+        cur = (
+            cur.join(nxt, id_col)
+            .select(
+                F.col(id_col),
+                F.array_intersect(
+                    F.col("_starts"),
+                    F.transform(F.col("_q"), lambda x: x - F.lit(i)),
+                ).alias("_starts"),
+            )
+            .filter(F.size("_starts") > 0)
+        )
+    return cur.select(
+        F.col(id_col),
+        F.size("_starts").cast("bigint").alias("n_occurrences"),
+    )

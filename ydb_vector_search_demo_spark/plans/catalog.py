@@ -9151,6 +9151,49 @@ def q_brand_small_quantity_revenue(
 
 
 @register(
+    "retrieval_phrase_match",
+    # Independent algorithm on the oracle side: ordinal-exploded
+    # tokens (the unnest(list_transform(generate_series...)) indexing
+    # trick — this DuckDB has no WITH ORDINALITY) self-joined at the
+    # +1 offset, vs Spark's positional-postings array intersection.
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             (CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                   ELSE string_split_regex(trim(text), '\s+') END) AS t
+      FROM documents),
+    pos AS (
+      SELECT doc_id, u.i - 1 AS p, u.x AS tok
+      FROM toks, unnest(list_transform(generate_series(1, len(t)),
+                                       j -> {'i': j, 'x': t[j]})) AS s(u)),
+    a AS (SELECT doc_id, p FROM pos WHERE tok = 'table'),
+    b AS (SELECT doc_id, p FROM pos WHERE tok = 'scan')
+    SELECT a.doc_id AS doc_id, count(*)::BIGINT AS n_occurrences
+    FROM a JOIN b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    GROUP BY 1 ORDER BY n_occurrences DESC, a.doc_id LIMIT 20
+    """,
+)
+def q_retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phrase query ("table scan") over a POSITIONAL inverted
+    index (operators.retrieval.build_positional_index + phrase_match)
+    — the quoted-query surface next to the BM25 term index: per-term
+    position arrays intersected at consecutive offsets, entirely as
+    JVM array expressions. The oracle runs a DIFFERENT algorithm
+    (ordinal-exploded tokens relationally self-joined at +1) and must
+    agree on every (doc, occurrence-count) — top-20 by (count desc,
+    id)."""
+    from ydb_vector_search_demo_spark.operators import retrieval as R
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = R.build_positional_index(docs)
+    return (
+        R.phrase_match(idx, "table scan")
+        .orderBy(F.desc("n_occurrences"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
     "corpus_pack_sequences",
     # The greedy next-fit walk is sequential state per bucket — not
     # expressible as a window (the accumulator RESETS at pack
