@@ -162,11 +162,24 @@ HEADLINE = [
     "dedup_span_removal",
     "events_hopping_hourly",
     "customers_above_avg_never_ordered",
-    # r10 addition (outside the comparable subsets): streamed-in SCD2
-    # history — the foreachBatch log-append + atomic publish pass,
-    # priced end to end (change-log write, two micro-batches, history
-    # rebuild, manifest swap)
+    # r10 additions (outside the comparable subsets), all fully
+    # oracle-checked rows: streamed-in SCD2 history (foreachBatch
+    # log-append + atomic publish, priced end to end), the Q21/Q13/Q17
+    # relational shapes, the argmin struct-min aggregate, RFM
+    # segmentation, integer-moment anomaly flags, the recursive-CTE-
+    # oracled Arrow packer, positional phrase search, the audio
+    # resample roundtrip, and bounded-state streaming dedup
     "store_scd2_stream",
+    "lineitem_blame_per_supplier",
+    "cheapest_line_per_brand",
+    "orders_per_customer_distribution",
+    "brand_small_quantity_revenue",
+    "events_rfm_segments",
+    "events_hourly_anomaly",
+    "corpus_pack_sequences",
+    "retrieval_phrase_match",
+    "multimodal_audio_resample",
+    "streaming_dedup_within_watermark",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

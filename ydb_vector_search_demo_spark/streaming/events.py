@@ -135,11 +135,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ydb_vector_search_demo_spark.sources.tables import normalize_event_ts
 
     src = os.path.abspath(f"{sf_dir}/events.parquet")
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), "spark_events_stream", src.strip("/").replace("/", "_")
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    _ensure_symlink(src, os.path.join(stream_dir, "events.parquet"))
+    if os.path.isdir(src):
+        # already a directory of part-files (the production layout):
+        # stream it directly — the symlink trick would nest a
+        # DIRECTORY inside the stream dir, which the file source does
+        # not recurse into, silently yielding ZERO rows (caught by the
+        # r10 scale probe).
+        stream_dir = src
+    else:
+        stream_dir = os.path.join(
+            tempfile.gettempdir(), "spark_events_stream",
+            src.strip("/").replace("/", "_"),
+        )
+        os.makedirs(stream_dir, exist_ok=True)
+        _ensure_symlink(src, os.path.join(stream_dir, "events.parquet"))
 
     raw = spark.readStream.schema(_events_schema(spark, src)).parquet(stream_dir)
     return normalize_event_ts(raw)
@@ -172,11 +181,18 @@ def read_table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame
     import tempfile
 
     src = os.path.abspath(f"{sf_dir}/{table}.parquet")
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_{table}_stream", src.strip("/").replace("/", "_")
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    _ensure_symlink(src, os.path.join(stream_dir, f"{table}.parquet"))
+    if os.path.isdir(src):
+        # directory-of-part-files layout: stream it directly (the
+        # symlinked-directory form yields zero rows — see
+        # read_events_stream)
+        stream_dir = src
+    else:
+        stream_dir = os.path.join(
+            tempfile.gettempdir(), f"spark_{table}_stream",
+            src.strip("/").replace("/", "_"),
+        )
+        os.makedirs(stream_dir, exist_ok=True)
+        _ensure_symlink(src, os.path.join(stream_dir, f"{table}.parquet"))
     schema = spark.read.parquet(src).schema
     return spark.readStream.schema(schema).parquet(stream_dir)
 
