@@ -180,6 +180,8 @@ HEADLINE = [
     "retrieval_phrase_match",
     "multimodal_audio_resample",
     "streaming_dedup_within_watermark",
+    "retrieval_spell_suggest",
+    "text_pmi_collocations",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

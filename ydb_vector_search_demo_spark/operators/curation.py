@@ -1442,3 +1442,72 @@ def priority_sample_per_group(
         .withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= int(k))
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    window: int = 3,
+    min_count: int = 5,
+    top: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the classic
+    corpus-analysis readout ("which token pairs co-occur far more than
+    chance?") behind phrase induction and tokenizer-merge candidates:
+    ORDERED pairs (a before b, gap ≤ ``window``) are counted, and
+    PMI = ln((n_ab / n_pairs) / ((tf_a / n_toks) · (tf_b / n_toks))).
+    Every input to the formula is an EXACT integer count (pair count,
+    term occurrence counts, corpus totals), so the PMI double is one
+    fixed expression both engines evaluate identically (the hourly-
+    anomaly convention). Returns the ``top`` pairs with n_ab ≥
+    ``min_count`` by (pmi desc, a, b).
+
+    Scale shape: positions explode map-side; the pair relation is a
+    doc-keyed self-join with the position band (each token pairs with
+    at most ``window`` successors — linear in corpus × window, never
+    quadratic); pair counts and term counts are map-side-combinable
+    aggregates bounded by observed vocab² and vocab; the two 1-row
+    totals broadcast."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+
+    per = docs.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(tokens(F.col(text_col))).alias("_p", "_t"),
+    )
+    right = per.select(
+        F.col("_d"), F.col("_p").alias("_pb"), F.col("_t").alias("b")
+    )
+    pairs = (
+        per.join(right, "_d")
+        .filter(
+            (F.col("_pb") > F.col("_p"))
+            & (F.col("_pb") - F.col("_p") <= int(window))
+        )
+        .groupBy(F.col("_t").alias("a"), "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    tf = per.groupBy(F.col("_t").alias("term")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    totals = per.agg(F.count(F.lit(1)).cast("bigint").alias("n_toks"))
+    pair_total = pairs.agg(F.sum("n_ab").alias("n_pairs"))
+    tf_a = tf.select(F.col("term").alias("a"), F.col("tf").alias("tf_a"))
+    tf_b = tf.select(F.col("term").alias("b"), F.col("tf").alias("tf_b"))
+    pmi = F.log(
+        (F.col("n_ab") / F.col("n_pairs"))
+        / ((F.col("tf_a") / F.col("n_toks")) * (F.col("tf_b") / F.col("n_toks")))
+    )
+    return (
+        pairs.filter(F.col("n_ab") >= int(min_count))
+        .join(tf_a, "a")
+        .join(tf_b, "b")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(pair_total))
+        .select(
+            "a", "b", "n_ab", "tf_a", "tf_b",
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "a", "b")
+        .limit(int(top))
+    )

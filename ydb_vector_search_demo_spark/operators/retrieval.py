@@ -1301,3 +1301,68 @@ def phrase_match(
         F.col(id_col),
         F.size("_starts").cast("bigint").alias("n_occurrences"),
     )
+
+
+def build_vocabulary(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary with document and occurrence frequencies:
+    (term, df, tf) — one tokenize pass, one term-keyed aggregate
+    (map-side combinable; output bounded by |vocab|, which is what
+    makes the spell-suggest probe broadcast-able at any corpus
+    size)."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+
+    per = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    return per.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).cast("bigint").alias("df"),
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+    )
+
+
+def spell_suggest(
+    vocab: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    max_distance: int = 2,
+    query_col: str = "query_term",
+) -> DataFrame:
+    """"Did you mean" — spelling suggestions from the corpus's OWN
+    vocabulary (the zero-model baseline every lexical engine ships):
+    candidates within ``max_distance`` Levenshtein edits of each query
+    term, ranked by (distance asc, tf desc, term) — closer beats more
+    frequent beats lexicographic. Returns (query_term, rank,
+    suggestion, distance, tf).
+
+    Scale shape: the QUERY side broadcasts (a handful of misspelled
+    terms) against the vocabulary relation — a broadcast nested-loop
+    whose inner side is |vocab| (already corpus-size-independent), cut
+    per query by one Partial-WindowGroupLimit rank. Levenshtein is the
+    built-in JVM expression — and the same function in DuckDB, so the
+    whole ranking is oracle-replayable. A length-band prefilter
+    (abs(len(term) - len(q)) <= max_distance, a necessary condition
+    for edit distance) cuts the candidate set before the expensive
+    distance evaluates."""
+    q = queries.select(F.col(query_col))
+    cand = (
+        vocab.crossJoin(F.broadcast(q))
+        .filter(
+            F.abs(F.length("term") - F.length(query_col)) <= max_distance
+        )
+        .withColumn("distance", F.levenshtein(F.col("term"), F.col(query_col)))
+        .filter(F.col("distance") <= max_distance)
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("distance").asc(), F.col("tf").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            query_col, F.col("rank").cast("int").alias("rank"),
+            F.col("term").alias("suggestion"), 
+            F.col("distance").cast("int").alias("distance"), "tf",
+        )
+    )

@@ -9194,6 +9194,107 @@ def q_retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retrieval_spell_suggest",
+    # Both engines ship the SAME levenshtein built-in, so the whole
+    # candidate+rank pipeline replays exactly; the length band is a
+    # necessary condition for edit distance <= 2.
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             (CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                   ELSE string_split_regex(trim(text), '\s+') END) AS t
+      FROM documents),
+    vocab AS (
+      SELECT tok AS term, count(*)::BIGINT AS tf
+      FROM toks, unnest(t) AS u(tok) GROUP BY 1),
+    q AS (SELECT unnest(['tabel', 'jion', 'streem']) AS query_term),
+    cand AS (
+      SELECT q.query_term, v.term,
+             levenshtein(v.term, q.query_term) AS distance, v.tf
+      FROM vocab v, q
+      WHERE abs(length(v.term) - length(q.query_term)) <= 2
+        AND levenshtein(v.term, q.query_term) <= 2),
+    r AS (SELECT *, row_number() OVER (
+             PARTITION BY query_term
+             ORDER BY distance, tf DESC, term) AS rank FROM cand)
+    SELECT query_term, rank::INTEGER AS rank, term AS suggestion,
+           distance::INTEGER AS distance, tf
+    FROM r WHERE rank <= 5 ORDER BY query_term, rank
+    """,
+)
+def q_retrieval_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Did you mean" spelling suggestions
+    (operators.retrieval.build_vocabulary + spell_suggest): three
+    misspelled query terms against the corpus's own vocabulary,
+    candidates within 2 Levenshtein edits ranked by (distance, tf
+    desc, term). The tiny query side broadcasts against the
+    vocab-bounded relation; a length-band prefilter runs before the
+    edit distance; per-query cut is a Partial WindowGroupLimit. Both
+    engines evaluate the same built-in levenshtein."""
+    from ydb_vector_search_demo_spark.operators import retrieval as R
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = R.build_vocabulary(docs).select("term", "tf")
+    qs = spark.createDataFrame(
+        [("tabel",), ("jion",), ("streem",)], "query_term STRING"
+    )
+    return R.spell_suggest(vocab, qs, k=5, max_distance=2).orderBy(
+        "query_term", "rank"
+    )
+
+
+@register(
+    "text_pmi_collocations",
+    # Every PMI input is an exact integer count; the log argument is
+    # one fixed double expression mirrored verbatim (the
+    # hourly-anomaly convention). Ordering is on the ROUNDED pmi in
+    # both engines, ties broken lexicographically.
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             (CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                   ELSE string_split_regex(trim(text), '\s+') END) AS t
+      FROM documents),
+    pos AS (
+      SELECT doc_id, u.i - 1 AS p, u.x AS tok
+      FROM toks, unnest(list_transform(generate_series(1, len(t)),
+                                       j -> {'i': j, 'x': t[j]})) AS s(u)),
+    pairs AS (
+      SELECT a.tok AS a, b.tok AS b, count(*)::BIGINT AS n_ab
+      FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id AND b.p > a.p AND b.p - a.p <= 3
+      GROUP BY 1, 2),
+    tf AS (SELECT tok AS term, count(*)::BIGINT AS tf FROM pos GROUP BY 1),
+    tot AS (SELECT count(*)::BIGINT AS n_toks FROM pos),
+    ptot AS (SELECT sum(n_ab)::BIGINT AS n_pairs FROM pairs)
+    SELECT p.a, p.b, p.n_ab, ta.tf AS tf_a, tb.tf AS tf_b,
+           round(ln((p.n_ab / n_pairs)
+                    / ((ta.tf / n_toks) * (tb.tf / n_toks))), 6) AS pmi
+    FROM pairs p
+    JOIN tf ta ON ta.term = p.a
+    JOIN tf tb ON tb.term = p.b, tot, ptot
+    WHERE p.n_ab >= 5
+    ORDER BY pmi DESC, p.a, p.b LIMIT 20
+    """,
+)
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (operators.curation.pmi_collocations):
+    top-20 ordered token pairs co-occurring within 3 positions, scored
+    by pointwise mutual information from exact integer counts — the
+    phrase-induction / tokenizer-merge-candidate primitive. Pair
+    relation is a doc-keyed band self-join (≤ window successors per
+    token — linear, never quadratic); counts combine map-side; totals
+    broadcast. The one cross-engine seam is ln() (libm class, same as
+    the documented pow seam); ordering uses the 6-dp-rounded pmi in
+    both engines."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    return curation.pmi_collocations(
+        _t(spark, sf_dir, "documents"), window=3, min_count=5, top=20
+    )
+
+
+@register(
     "corpus_pack_sequences",
     # The greedy next-fit walk is sequential state per bucket — not
     # expressible as a window (the accumulator RESETS at pack
