@@ -9739,6 +9739,23 @@ _GRADE_FIRST = [
 #                            breadth
 #   events_hopping_hourly / customers_above_avg_never_ordered —
 #                            hopping windows, the TPC-H Q22 shape
+# r10 additions, all fully oracle-backed and pytest-swept, strongest
+# first:
+#   corpus_pack_sequences  — the applyInPandas stateful walk replayed
+#                            by a RECURSIVE CTE (the only graded-
+#                            eligible custom-stateful Arrow surface)
+#   retrieval_phrase_match — positional postings intersection graded
+#                            against a DIFFERENT algorithm
+#   store_scd2_stream      — the streaming × lifecycle cell (atomic
+#                            per-batch publishes)
+#   streaming_dedup_within_watermark — bounded-state dedup (the
+#                            eviction law is pinned in pytest)
+#   lineitem_blame_per_supplier / orders_per_customer_distribution /
+#   brand_small_quantity_revenue / cheapest_line_per_brand — the
+#                            Q21/Q13/Q17/argmin relational shapes
+#   events_rfm_segments / events_hourly_anomaly /
+#   text_pmi_collocations / retrieval_spell_suggest /
+#   multimodal_audio_resample — analytics/retrieval/multimodal breadth
 # Duplicate-surface rows eligible to rotate OUT with rationale:
 # grouping_sets_status_priority vs datetime_order_stats overlap is
 # partial only (grouping sets are a distinct surface — keep both);
