@@ -182,6 +182,9 @@ HEADLINE = [
     "streaming_dedup_within_watermark",
     "retrieval_spell_suggest",
     "text_pmi_collocations",
+    "events_journey_trigrams",
+    "corpus_rank_ensemble",
+    "retrieval_proximity_match",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

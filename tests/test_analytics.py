@@ -402,3 +402,21 @@ def test_remove_duplicate_spans_salted_valve_equality(spark):
     # the hot window really was stripped from every planted doc
     kept = {r[0]: r[2] for r in base}
     assert all(kept[i] == 4 for i in range(40))
+
+
+def test_rank_ensemble_degenerates_to_single_signal(spark):
+    """With one signal at weight 1.0 the ensemble ordering IS the
+    signal's ordering (ties on id); weights scale linearly."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (4, 30)], "doc_id INT, s LONG"
+    )
+    out = curation.rank_ensemble(df, [("s", 1.0)]).orderBy(
+        F.desc("ensemble"), "doc_id"
+    )
+    order = [r["doc_id"] for r in out.collect()]
+    # s desc with id tie-break: 2 (30), 4 (30), 3 (20), 1 (10)
+    assert order == [2, 4, 3, 1]
+    top = out.first()
+    assert top["ensemble"] == 1.0  # best rank -> percent_rank 0 -> 1.0

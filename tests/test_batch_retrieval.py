@@ -294,3 +294,30 @@ def test_spell_suggest_ranking_laws(spark):
     assert "zzzzzzzz" not in terms and "cable" not in terms
     dists = [g[2] for g in got]
     assert dists == sorted(dists) and all(d <= 2 for d in dists)
+
+
+def test_proximity_match_laws(spark):
+    """NEAR is symmetric in term order; min_gap is exact; pairs past
+    the gap are excluded; phrase ⊆ proximity at gap >= 1."""
+    from ydb_vector_search_demo_spark.operators import retrieval as R
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a x x x b"),       # gap 4
+            (2, "b a"),             # gap 1, reversed order
+            (3, "a x x x x x b"),   # gap 6 -> out at max_gap 5
+            (4, "a b a"),           # min over multiple pairs = 1
+        ],
+        "doc_id INT, text STRING",
+    )
+    idx = R.build_positional_index(docs)
+    got = {
+        r["doc_id"]: r["min_gap"]
+        for r in R.proximity_match(idx, "a", "b", max_gap=5).collect()
+    }
+    assert got == {1: 4, 2: 1, 4: 1}
+    sym = {
+        r["doc_id"]: r["min_gap"]
+        for r in R.proximity_match(idx, "b", "a", max_gap=5).collect()
+    }
+    assert sym == got

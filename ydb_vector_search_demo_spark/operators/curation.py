@@ -1511,3 +1511,34 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), "a", "b")
         .limit(int(top))
     )
+
+
+def rank_ensemble(
+    df: DataFrame,
+    signals: list[tuple[str, float]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-signal ENSEMBLE by rank averaging — the standard way to
+    blend incommensurable curation signals (length, lexical diversity,
+    perplexity, classifier score) without normalizing their scales:
+    each signal becomes its percent_rank (higher value = higher rank;
+    the id breaks ties so the rank is a total order both engines
+    replay identically), and the ensemble is the weighted mean of the
+    percent ranks. Adds ``ensemble`` (rounded to 6 dp). Weights should
+    be exact decimals (they become plan literals in both engines).
+
+    Scale shape: one global window per signal — percent_rank needs a
+    global sort, but over the per-DOCUMENT relation (signals are
+    already per-doc aggregates), not raw data; Spark plans it as a
+    range-partitioned sort. At 100 TB with trillions of docs, swap
+    percent_rank for an approx-quantile bucketing (same blending
+    formula over ntile buckets) — the blend itself is unchanged."""
+    acc = None
+    for name, weight in signals:
+        w = Window.orderBy(F.col(name).desc(), F.col(id_col).asc())
+        pr = F.percent_rank().over(w)
+        # percent_rank ASCENDS with rank position; rank 1 (the best
+        # value under desc order) gets 0.0 — invert so better = higher
+        term = F.lit(float(weight)) * (F.lit(1.0) - pr)
+        acc = term if acc is None else acc + term
+    return df.withColumn("ensemble", F.round(acc, 6))

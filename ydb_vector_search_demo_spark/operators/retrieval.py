@@ -1366,3 +1366,43 @@ def spell_suggest(
             F.col("distance").cast("int").alias("distance"), "tf",
         )
     )
+
+
+def proximity_match(
+    postings: DataFrame,
+    term_a: str,
+    term_b: str,
+    max_gap: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PROXIMITY query over the positional index ("a NEAR/5 b"):
+    documents where the two terms appear within ``max_gap`` positions
+    of each other in either order, with the minimum observed gap —
+    the relaxation of :func:`phrase_match` every lexical engine offers
+    next to quoted queries. One doc-keyed join of the two terms'
+    postings, then the per-doc minimum |pa − pb| as nested JVM array
+    folds over the (tf-bounded) position arrays — O(tf_a × tf_b) per
+    doc; a galloping sorted-merge is O(tf_a + tf_b) and becomes worth
+    it only when single-document term frequencies reach thousands
+    (boilerplate-heavy corpora) — at that point the positions explode
+    into rows and the min is a keyed aggregate instead.
+
+    Returns (id, min_gap) for min_gap <= max_gap; min_gap >= 1 (equal
+    positions cannot hold two different terms)."""
+    a = postings.filter(F.col("term") == term_a).select(
+        F.col(id_col), F.col("positions").alias("_pa")
+    )
+    b = postings.filter(F.col("term") == term_b).select(
+        F.col(id_col), F.col("positions").alias("_pb")
+    )
+    gaps = F.flatten(
+        F.transform(
+            F.col("_pa"),
+            lambda pa: F.transform(F.col("_pb"), lambda pb: F.abs(pa - pb)),
+        )
+    )
+    return (
+        a.join(b, id_col)
+        .select(F.col(id_col), F.array_min(gaps).cast("int").alias("min_gap"))
+        .filter(F.col("min_gap") <= int(max_gap))
+    )

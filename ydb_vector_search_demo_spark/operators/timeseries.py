@@ -667,3 +667,37 @@ def hourly_anomaly(
         .select("hour_start", "n", "z")
         .orderBy("hour_start")
     )
+
+
+def journey_trigrams(
+    events: DataFrame,
+    top: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Most common 3-step user journeys — the higher-order sibling of
+    :func:`transition_matrix` (second-order paths answer "what do
+    users do AFTER view→click?" where the first-order matrix cannot):
+    each user's (ts, id)-ordered event stream yields one trigram per
+    position via two lead windows over the SAME sort, counted and cut
+    to the ``top`` paths (ties broken lexicographically).
+
+    Scale shape: ONE window partitioning (both leads share the sort —
+    a single Exchange+Sort, plan-checked by the window-suite
+    convention); the shuffle carries (user, ts, id, type); output is
+    bounded by |types|³ before the cut, top-k by
+    TakeOrderedAndProject."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    tri = (
+        events.select(user_col, ts_col, id_col, F.col(type_col).alias("s0"))
+        .withColumn("s1", F.lead("s0", 1).over(w))
+        .withColumn("s2", F.lead("s0", 2).over(w))
+        .filter(F.col("s2").isNotNull())
+        .groupBy("s0", "s1", "s2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return tri.orderBy(F.desc("n"), "s0", "s1", "s2").limit(int(top))

@@ -9295,6 +9295,139 @@ def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_journey_trigrams",
+    """
+    WITH s AS (
+      SELECT event_type AS s0,
+             lead(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS s1,
+             lead(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS s2
+      FROM events)
+    SELECT s0, s1, s2, count(*)::BIGINT AS n
+    FROM s WHERE s2 IS NOT NULL
+    GROUP BY 1, 2, 3 ORDER BY n DESC, s0, s1, s2 LIMIT 20
+    """,
+)
+def q_events_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step user journeys
+    (operators.timeseries.journey_trigrams): the second-order sibling
+    of the graded transition matrix — two lead windows over one
+    (user, ts, id) sort, |types|³-bounded counts, top-20 via
+    TakeOrderedAndProject with lexicographic tie-breaks."""
+    from ydb_vector_search_demo_spark.operators import timeseries as TS
+
+    return TS.journey_trigrams(_t(spark, sf_dir, "events"), top=20)
+
+
+@register(
+    "corpus_rank_ensemble",
+    # percent_rank over a TOTAL order (signal desc, doc_id) is rank
+    # position/(n-1) in both engines; the blend is a fixed double
+    # expression of those exact rationals with exact-decimal weights.
+    r"""
+    WITH sig AS (
+      SELECT doc_id, n_chars,
+             len((CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                   ELSE string_split_regex(trim(text), '\s+') END))
+               AS n_tokens,
+             len(list_distinct(
+                 (CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                   ELSE string_split_regex(trim(text), '\s+') END)))
+               / (1.0 * greatest(len(
+                 (CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                   ELSE string_split_regex(trim(text), '\s+') END)), 1))
+               AS ttr
+      FROM documents),
+    r AS (
+      SELECT doc_id, n_chars, n_tokens, round(ttr, 6) AS ttr,
+             0.5 * (1.0 - percent_rank() OVER (
+               ORDER BY n_chars DESC, doc_id))
+           + 0.3 * (1.0 - percent_rank() OVER (
+               ORDER BY n_tokens DESC, doc_id))
+           + 0.2 * (1.0 - percent_rank() OVER (
+               ORDER BY ttr DESC, doc_id)) AS e
+      FROM sig)
+    SELECT doc_id, n_chars, n_tokens::BIGINT AS n_tokens, ttr,
+           round(e, 6) AS ensemble
+    FROM r ORDER BY round(e, 6) DESC, doc_id LIMIT 20
+    """,
+)
+def q_corpus_rank_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal ensemble (operators.curation.rank_ensemble):
+    three incommensurable per-doc signals — characters, tokens,
+    type-token ratio — blended by weighted percent-rank averaging
+    (0.5/0.3/0.2), the standard scale-free way to combine curation
+    signals; top-20 by the rounded blend. Each percent_rank runs over
+    a total order (signal desc, id), so both engines assign identical
+    ranks; the signals are per-doc aggregates, so the global sorts
+    never touch raw token data."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+    from ydb_vector_search_demo_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sig = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks))
+            / (F.lit(1.0) * F.greatest(F.size(toks), F.lit(1))),
+            6,
+        ).alias("ttr"),
+    )
+    out = curation.rank_ensemble(
+        sig, [("n_chars", 0.5), ("n_tokens", 0.3), ("ttr", 0.2)]
+    )
+    return out.orderBy(F.desc("ensemble"), "doc_id").limit(20)
+
+
+@register(
+    "retrieval_proximity_match",
+    # min |pa - pb| per doc, replayed relationally from the ordinal
+    # explode (the phrase-match oracle's convention: a different
+    # algorithm agreeing on every row).
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             (CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                   ELSE string_split_regex(trim(text), '\s+') END) AS t
+      FROM documents),
+    pos AS (
+      SELECT doc_id, u.i - 1 AS p, u.x AS tok
+      FROM toks, unnest(list_transform(generate_series(1, len(t)),
+                                       j -> {'i': j, 'x': t[j]})) AS s(u)),
+    a AS (SELECT doc_id, p FROM pos WHERE tok = 'hash'),
+    b AS (SELECT doc_id, p FROM pos WHERE tok = 'join')
+    SELECT a.doc_id AS doc_id,
+           min(abs(a.p - b.p))::INTEGER AS min_gap
+    FROM a JOIN b ON a.doc_id = b.doc_id
+    GROUP BY 1 HAVING min(abs(a.p - b.p)) <= 5
+    ORDER BY min_gap, doc_id LIMIT 20
+    """,
+)
+def q_retrieval_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity query 'hash NEAR/5 join'
+    (operators.retrieval.proximity_match): documents where the terms
+    sit within 5 positions in either order, with the minimum gap —
+    the quoted-query relaxation next to retrieval_phrase_match, the
+    per-doc min computed as nested JVM array folds over the
+    tf-bounded position arrays (one doc-keyed join of two term
+    postings). Same independent-oracle convention: DuckDB recomputes
+    the gaps relationally from ordinal-exploded tokens."""
+    from ydb_vector_search_demo_spark.operators import retrieval as R
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = R.build_positional_index(docs)
+    return (
+        R.proximity_match(idx, "hash", "join", max_gap=5)
+        .orderBy("min_gap", "doc_id")
+        .limit(20)
+    )
+
+
+@register(
     "corpus_pack_sequences",
     # The greedy next-fit walk is sequential state per bucket — not
     # expressible as a window (the accumulator RESETS at pack
