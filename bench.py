@@ -185,6 +185,8 @@ HEADLINE = [
     "events_journey_trigrams",
     "corpus_rank_ensemble",
     "retrieval_proximity_match",
+    "corpus_lang_source_chi2",
+    "lineitem_qty_discount_corr",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

@@ -420,3 +420,32 @@ def test_rank_ensemble_degenerates_to_single_signal(spark):
     assert order == [2, 4, 3, 1]
     top = out.first()
     assert top["ensemble"] == 1.0  # best rank -> percent_rank 0 -> 1.0
+
+
+def test_stats_operators_laws(spark):
+    """chi2: a perfectly independent 2x2 table contributes ~0; a
+    perfectly dependent one contributes n. pearson: exact +1 on a
+    linear relation, ~0 on a constant-free checkerboard; scale
+    invariance (the scales cancel)."""
+    from ydb_vector_search_demo_spark.operators import stats as ST
+
+    indep = spark.createDataFrame(
+        [("a", "x")] * 10 + [("a", "y")] * 10
+        + [("b", "x")] * 10 + [("b", "y")] * 10,
+        "u STRING, v STRING",
+    )
+    cells = ST.chi2_independence(indep, "u", "v").collect()
+    assert all(abs(r["chi2_contrib"]) < 1e-9 for r in cells)
+    dep = spark.createDataFrame(
+        [("a", "x")] * 10 + [("b", "y")] * 10, "u STRING, v STRING"
+    )
+    chi2 = sum(r["chi2_contrib"] for r in ST.chi2_independence(dep, "u", "v").collect())
+    assert abs(chi2 - 20.0) < 1e-6  # phi=1 -> chi2 = n
+
+    lin = spark.createDataFrame(
+        [(float(i), 2.0 * i + 1) for i in range(50)], "x DOUBLE, y DOUBLE"
+    )
+    r = ST.pearson_corr_exact(lin, "x", "y", x_scale=1, y_scale=1).first()
+    assert r["n"] == 50 and abs(r["r"] - 1.0) < 1e-9
+    r2 = ST.pearson_corr_exact(lin, "x", "y", x_scale=10, y_scale=100).first()
+    assert r2["r"] == r["r"]  # scales cancel

@@ -1,0 +1,110 @@
+"""Statistical-test operators over exact integer moments.
+
+Not in the reference's surface (its analytics happen in the external
+store); these are the north-star corpus/ops analytics a 100 TB pipeline
+runs on its own metadata: independence tests between categorical
+dimensions (is language mix independent of source?) and correlations
+between numeric columns. The engine-portability rule throughout: every
+sufficient statistic is an EXACT integer (counts, integer-cent sums,
+sums of products), so the final test statistic is one fixed double
+expression of exact integers — identical in any engine regardless of
+partial-aggregation order (the hourly-anomaly convention; a naive
+corr()/stddev over doubles is order-sensitive at display precision).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chi2_independence(
+    df: DataFrame, col_a: str, col_b: str, top: int = 20
+) -> DataFrame:
+    """Pearson chi-squared independence readout over two categorical
+    columns: the contingency-cell contributions (observed, expected,
+    (o−e)²/e), largest first — the per-cell view an analyst reads to
+    see WHERE independence breaks, with the full χ² as the sum of the
+    column. Expected counts e = row_total·col_total/N are exact
+    rationals of integer counts.
+
+    ZERO cells matter: a perfectly dependent table concentrates half
+    its χ² in the UNOBSERVED cells (o=0, e>0) — a groupBy over the
+    input never emits them, so the full |A|×|B| grid is rebuilt as
+    the cross product of the two marginal relations (both bounded by
+    their category counts, broadcastable) left-joined to the observed
+    counts (law-tested: the dependent 2×2 yields χ² = n, not n/2).
+
+    Scale shape: one keyed count per observed (a, b) cell (map-side
+    combinable, output bounded by |A|·|B|), the two marginal relations
+    derive from the cells (never a second input scan), and the grid /
+    totals broadcast."""
+    obs = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    row_t = obs.groupBy("a").agg(F.sum("o").alias("row_total"))
+    col_t = obs.groupBy("b").agg(F.sum("o").alias("col_total"))
+    n = obs.agg(F.sum("o").alias("n_total"))
+    cells = (
+        row_t.crossJoin(F.broadcast(col_t))
+        .join(obs, ["a", "b"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0).cast("bigint")))
+    )
+    e = F.col("row_total") * F.col("col_total") / F.col("n_total")
+    contrib = (F.col("o") - e) * (F.col("o") - e) / e
+    return (
+        cells.crossJoin(F.broadcast(n))
+        .select(
+            "a", "b", "o",
+            F.round(e, 6).alias("expected"),
+            F.round(contrib, 6).alias("chi2_contrib"),
+        )
+        .orderBy(F.desc("chi2_contrib"), "a", "b")
+        .limit(int(top))
+    )
+
+
+def pearson_corr_exact(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 100,
+    y_scale: int = 100,
+) -> DataFrame:
+    """Pearson correlation from exact integer moments: x and y carry
+    fixed decimals, so ``round(v·scale)`` makes every sufficient
+    statistic (n, Σx, Σy, Σx², Σy², Σxy) an exact bigint sum, and
+    r = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²)) is ONE fixed
+    double expression — the scale factors cancel, so r is the
+    correlation of the original values. Returns one row (n, r).
+    Built-in ``corr()`` aggregates doubles and is partial-agg-order
+    sensitive at display precision; this is its reproducible twin,
+    one map-side-combinable aggregate over the input.
+
+    Overflow bound (why the scales are per-column and small):
+    n · (max|x|·x_scale)² must stay below 2⁶³ — a price-like column
+    at scale 100 squares to ~1e14 per row and overflows a bigint sum
+    within ~10⁵ rows; pick the scale that just captures the column's
+    decimals (quantities are integral → scale 1; discounts carry 2
+    decimals → scale 100). Past the bound, move the moments to
+    DECIMAL(38,0) — at the price of engine-specific exact types."""
+    xi = F.round(F.col(x_col) * x_scale).cast("bigint")
+    yi = F.round(F.col(y_col) * y_scale).cast("bigint")
+    m = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xi).alias("sx"),
+        F.sum(yi).alias("sy"),
+        F.sum(xi * xi).alias("sxx"),
+        F.sum(yi * yi).alias("syy"),
+        F.sum(xi * yi).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # each variance term fits a bigint under the documented bound, but
+    # their PRODUCT does not — multiply as doubles (both engines write
+    # the same `a * 1.0 * b`, so the double rounding is identical)
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.lit(1.0)
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("n", F.round(num / den, 6).alias("r"))

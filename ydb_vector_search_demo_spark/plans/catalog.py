@@ -9428,6 +9428,89 @@ def q_retrieval_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_lang_source_chi2",
+    # expected = row_total*col_total/N from exact integer counts; the
+    # contribution is a fixed double expression of four exact ints.
+    """
+    WITH obs AS (
+      SELECT lang AS a, source AS b, count(*)::BIGINT AS o
+      FROM documents GROUP BY 1, 2),
+    rt AS (SELECT a, sum(o)::BIGINT AS row_total FROM obs GROUP BY 1),
+    ct AS (SELECT b, sum(o)::BIGINT AS col_total FROM obs GROUP BY 1),
+    n AS (SELECT sum(o)::BIGINT AS n_total FROM obs),
+    cells AS (
+      SELECT rt.a, ct.b, coalesce(obs.o, 0)::BIGINT AS o
+      FROM rt CROSS JOIN ct
+      LEFT JOIN obs ON obs.a = rt.a AND obs.b = ct.b)
+    SELECT c.a, c.b, c.o,
+           round(rt.row_total * ct.col_total / (1.0 * n.n_total), 6)
+             AS expected,
+           round((c.o - rt.row_total * ct.col_total / (1.0 * n.n_total))
+                 * (c.o - rt.row_total * ct.col_total / (1.0 * n.n_total))
+                 / (rt.row_total * ct.col_total / (1.0 * n.n_total)), 6)
+             AS chi2_contrib
+    FROM cells c JOIN rt USING (a) JOIN ct USING (b), n
+    ORDER BY chi2_contrib DESC, a, b LIMIT 20
+    """,
+)
+def q_corpus_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence readout
+    (operators.stats.chi2_independence): is the language mix
+    independent of the source? Top-20 contingency-cell contributions
+    (observed, expected, (o−e)²/e) — the per-cell view that shows
+    WHERE independence breaks. One keyed count bounded by
+    |langs|·|sources|; marginals derive from the cells (one input
+    scan) and broadcast back."""
+    from ydb_vector_search_demo_spark.operators import stats as ST
+
+    return ST.chi2_independence(
+        _t(spark, sf_dir, "documents"), "lang", "source", top=20
+    )
+
+
+@register(
+    "lineitem_qty_discount_corr",
+    # Exact integer moments (quantities integral -> scale 1, discounts
+    # 2 decimals -> scale 100); r is one fixed double expression and
+    # the scales cancel.
+    """
+    WITH m AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sx,
+             sum(CAST(round(l_discount * 100) AS BIGINT))::BIGINT AS sy,
+             sum(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_quantity) AS BIGINT))::BIGINT AS sxx,
+             sum(CAST(round(l_discount * 100) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT))::BIGINT AS syy,
+             sum(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT))::BIGINT AS sxy
+      FROM lineitem)
+    SELECT n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)),
+                 6) AS r
+    FROM m
+    """,
+)
+def q_lineitem_qty_discount_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reproducible Pearson correlation
+    (operators.stats.pearson_corr_exact): quantity vs discount over
+    the order lines, from exact integer moments (the built-in corr()
+    sums doubles and is partial-agg-order sensitive at display
+    precision). One map-side-combinable aggregate; the per-column
+    scales (1, 100) keep every squared sum far under the bigint
+    overflow bound documented on the operator."""
+    from ydb_vector_search_demo_spark.operators import stats as ST
+
+    return ST.pearson_corr_exact(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_discount",
+        x_scale=1, y_scale=100,
+    )
+
+
+@register(
     "corpus_pack_sequences",
     # The greedy next-fit walk is sequential state per bucket — not
     # expressible as a window (the accumulator RESETS at pack
