@@ -187,6 +187,7 @@ HEADLINE = [
     "retrieval_proximity_match",
     "corpus_lang_source_chi2",
     "lineitem_qty_discount_corr",
+    "streaming_closed_sessions",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

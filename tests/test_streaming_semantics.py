@@ -558,3 +558,42 @@ def test_dedup_within_watermark_eviction_law(spark, tmp_path):
         for op in (p["stateOperators"] or [])
     )
     assert removed >= 2, f"keys 1 and 2 must be evicted, removed={removed}"
+
+
+def test_running_sessions_merges_across_batches(spark, tmp_path):
+    """Custom stateful gap sessionizer (stateful.running_sessions): a
+    session SPANNING micro-batches is merged, never split — u1's
+    events arrive 2+2 across batches, and the closed session (emitted
+    when the post-gap event arrives in batch 2) covers all three
+    pre-gap events; u2's session never closes, so nothing is emitted
+    for it."""
+    from ydb_vector_search_demo_spark.streaming.stateful import running_sessions
+
+    d = str(tmp_path / "sess")
+    os.makedirs(d)
+    sch = "user_id LONG, ts TIMESTAMP"
+    now = time.time()
+    b0 = [(1, datetime(2024, 1, 1, 10, 0)), (1, datetime(2024, 1, 1, 10, 10)),
+          (2, datetime(2024, 1, 1, 9, 0))]
+    b1 = [(1, datetime(2024, 1, 1, 10, 20)), (1, datetime(2024, 1, 1, 12, 0)),
+          (2, datetime(2024, 1, 1, 9, 5))]
+    for i, rows in enumerate([b0, b1]):
+        _write_file(spark, rows, d, f"b{i}.parquet", now - 60 + 30 * i, schema=sch)
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(d)
+    )
+    out = running_sessions(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_pin")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.table("sess_pin").collect())
+    us = lambda h, m: int(datetime(2024, 1, 1, h, m).timestamp() * 1_000_000)
+    assert got == [(1, us(10, 0), us(10, 20), 3)], got

@@ -9428,6 +9428,73 @@ def q_retrieval_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_closed_sessions",
+    # The custom stateful sessionizer emits CLOSED sessions only; with
+    # the single availableNow batch a session is closed iff a later
+    # post-gap event exists, i.e. everything except each user's LAST
+    # session — which is exactly what the lag-gap replay excludes.
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+    s AS (
+      SELECT user_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                    OR t - lag(t) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+    g AS (
+      SELECT user_id, t,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s),
+    agg AS (SELECT user_id, sid, count(*)::BIGINT AS n
+            FROM g GROUP BY 1, 2),
+    mx AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY 1)
+    SELECT a.user_id, count(*)::BIGINT AS n_closed,
+           sum(a.n)::BIGINT AS n_events
+    FROM agg a JOIN mx USING (user_id)
+    WHERE a.sid < mx.last_sid
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_streaming_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL sessionization
+    (streaming.stateful.running_sessions — applyInPandasWithState):
+    per-user O(1) state (open-session start/last/count), closed
+    sessions emitted the moment the 30-minute gap passes, open
+    sessions held in state — the hand-rolled twin of the native
+    session_window row, demonstrating the arbitrary-state seam a
+    production enrichment/CDC-merge operator uses. The oracle replays
+    the lag-gap sessionization and drops each user's LAST session
+    (open ⇒ never emitted); per-user closed-session counts and event
+    totals must agree."""
+    from ydb_vector_search_demo_spark.streaming.stateful import (
+        running_sessions,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    name = f"closed_sessions_{_STREAM_COUNTER['n']}"
+    stream = EV.read_events_stream(spark, sf_dir)
+    out = running_sessions(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_closed"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "corpus_lang_source_chi2",
     # expected = row_total*col_total/N from exact integer counts; the
     # contribution is a fixed double expression of four exact ints.
