@@ -188,6 +188,15 @@ HEADLINE = [
     "corpus_lang_source_chi2",
     "lineitem_qty_discount_corr",
     "streaming_closed_sessions",
+    # late-r10 relational wave: the remaining expressible TPC-H shapes
+    # (local-supplier Q5, nation-pair Q7, market-share Q8, promo-share
+    # Q14, HAVING-gate Q18, disjunctive-pushdown Q19)
+    "tpch_q5_local_suppliers",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

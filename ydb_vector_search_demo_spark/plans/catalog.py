@@ -9688,6 +9688,380 @@ def q_streaming_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q5_local_suppliers",
+    # TPC-H Q5 proper: the LOCAL-supplier constraint (customer and
+    # supplier share a nation) is the piece supplier_nation_revenue's
+    # Q5-shaped join chain does not exercise — it turns the supplier
+    # join into a TWO-column condition (suppkey equality + nation
+    # equality), which is what distinguishes Q5 from a plain star join.
+    f"""
+    SELECT n.n_name,
+           count(*) AS n_items,
+           {_SUM_CENTS_SQL.format(x="l.l_extendedprice * (1 - l.l_discount)")} AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer cu ON cu.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = cu.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue_cents DESC, n.n_name
+    """,
+)
+def q_tpch_q5_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier revenue): revenue per nation counting
+    only lines whose CUSTOMER and SUPPLIER sit in the same nation — the
+    same-nation predicate rides the supplier join condition instead of
+    being a post-filter, so it prunes during the (broadcast) hash join
+    probe. Plan: lineitem ⋈ orders on orderkey and orders ⋈ customer on
+    custkey are the two shuffles (both on their natural keys — at 100 TB
+    these co-partition with every other orderkey/custkey join in the
+    workload); supplier (10k/SF rows) and nation (25) broadcast.
+    Exact integer-cents revenue; deterministic (revenue, name) order."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == cu.c_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents"),
+        )
+        .orderBy(F.desc("revenue_cents"), "n_name")
+    )
+
+
+@register(
+    "tpch_q7_nation_volume",
+    # TPC-H Q7 (volume shipping): revenue flowing BETWEEN two specific
+    # nations, keyed by (supplier nation, customer nation, ship year) —
+    # the nation dimension joins TWICE under different roles, which is
+    # the shape's point.
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate)::INTEGER AS l_year,
+           count(*) AS n_items,
+           {_SUM_CENTS_SQL.format(x="l.l_extendedprice * (1 - l.l_discount)")} AS volume_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer cu ON cu.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = cu.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (nation-pair trade volume): lines where the supplier
+    sits in one of two named nations and the customer in the OTHER,
+    grouped by (supplier nation, customer nation, ship year). The
+    nation dim joins twice under different ROLES (n1 = seller side,
+    n2 = buyer side) — both broadcast, and the two tiny nation filters
+    prune suppliers/customers before the fact joins (Catalyst pushes
+    each name filter through its own broadcast join; the disjunctive
+    pair predicate then needs only the 2×2 remnant). Shuffles: the same
+    orderkey/custkey pair as every order-grain join here. Year comes
+    from the shipdate (int in both engines); cents-exact volume."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("n1_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    )
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("n2_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+        .filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cu.c_nationkey == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("volume_cents"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    # TPC-H Q8 (national market share): within a fixed market (ASIA
+    # customers buying PROMO parts), the share of revenue supplied by
+    # one nation, per order year. Numerator and denominator are exact
+    # integer cents; the share is the ONE double division, rounded 6dp
+    # in both engines.
+    f"""
+    SELECT year(o.o_orderdate)::INTEGER AS o_year,
+           {_SUM_CENTS_SQL.format(
+               x="CASE WHEN ns.n_name = 'NATION_12' "
+                 "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+             AS nation_cents,
+           {_SUM_CENTS_SQL.format(x="l.l_extendedprice * (1 - l.l_discount)")} AS market_cents,
+           round(sum({_CENTS_SQL.format(
+               x="CASE WHEN ns.n_name = 'NATION_12' "
+                 "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")})
+                 / (1.0 * sum({_CENTS_SQL.format(
+               x="l.l_extendedprice * (1 - l.l_discount)")})), 6) AS mkt_share
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer cu ON cu.c_custkey = o.o_custkey
+    JOIN nation nc ON nc.n_nationkey = cu.c_nationkey AND nc.n_regionkey = 2
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_tpch_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (market share): of the revenue ASIA-region customers
+    spent on PROMO parts, the fraction supplied by NATION_12, per order
+    year — a conditional-sum / total-sum RATIO whose numerator rides
+    the same aggregate pass as the denominator (one scan, no self-join;
+    the naive two-query form would read the market twice). part filters
+    to PROMO before its broadcast; the customer-side nation filter
+    (region = ASIA) prunes through the broadcast nation dim; the
+    supplier-side nation is only a CASE flag, not a filter. Cents-exact
+    numerator/denominator; the share is one double division rounded
+    6dp — partial-agg order cannot move it."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nc = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 2)
+        .select(F.col("n_nationkey").alias("nc_key"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    flagged = cents * F.when(F.col("supp_nation") == "NATION_12", 1).otherwise(0)
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(nc), cu.c_nationkey == F.col("nc_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("ns_key"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(flagged).alias("nation_cents"),
+            F.sum(cents).alias("market_cents"),
+            F.round(
+                F.sum(flagged) / (F.lit(1.0) * F.sum(cents)), 6
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q14_promo_share",
+    # TPC-H Q14 (promo-revenue percentage): one conditional sum over
+    # one unconditional sum in a ship-month window — a single-row
+    # readout with exact-cents operands and one rounded division.
+    f"""
+    SELECT count(*) AS n_lines,
+           {_SUM_CENTS_SQL.format(
+               x="CASE WHEN p.p_type = 'PROMO' "
+                 "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+             AS promo_cents,
+           {_SUM_CENTS_SQL.format(x="l.l_extendedprice * (1 - l.l_discount)")} AS total_cents,
+           round(100.0 * sum({_CENTS_SQL.format(
+               x="CASE WHEN p.p_type = 'PROMO' "
+                 "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")})
+                 / sum({_CENTS_SQL.format(
+               x="l.l_extendedprice * (1 - l.l_discount)")}), 6) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-04-01'
+    """,
+)
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promo revenue share): the percent of Q1-1998 shipped
+    revenue carried by PROMO-type parts. The ship-date range pushes to
+    the lineitem scan (PushedFilters); part broadcasts WITHOUT a type
+    filter (the type drives the CASE numerator, so every matched line
+    must survive); numerator and denominator are exact integer cents
+    accumulated in the SAME aggregate, and the percentage is one double
+    division rounded 6dp. Single-row global agg: partials combine
+    map-side, the final reduce sees one row per task."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = cents * F.when(F.col("p_type") == "PROMO", 1).otherwise(0)
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(promo).alias("promo_cents"),
+        F.sum(cents).alias("total_cents"),
+        F.round(F.lit(100.0) * F.sum(promo) / F.sum(cents), 6).alias(
+            "promo_pct"
+        ),
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    # TPC-H Q18 (large-volume orders): a HAVING gate on a grouped sum
+    # (order quantity > 250) joined BACK to the order/customer grain —
+    # the group-filter-then-rehydrate shape. Quantities carry 2
+    # decimals, so the gate compares exact integer quantity-cents.
+    f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             {_SUM_CENTS_SQL.format(x="l_quantity")} AS qty_cents
+      FROM lineitem GROUP BY 1
+      HAVING sum({_CENTS_SQL.format(x="l_quantity")}) > 25000)
+    SELECT cu.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+           {_CENTS_SQL.format(x="o.o_totalprice")} AS total_cents,
+           big.qty_cents
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer cu ON cu.c_custkey = o.o_custkey
+    ORDER BY total_cents DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q18_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large orders): orders whose total line quantity
+    exceeds 250, rehydrated with customer and order attributes, top-20
+    by order value. The quantity gate is a partial-aggregatable grouped
+    sum (map-side combine on the lineitem scan's natural orderkey
+    clustering), and the HAVING survivor set is tiny by construction —
+    AQE sees its post-shuffle size and demotes the join back to orders
+    to a broadcast at runtime, so the rehydration never shuffles the
+    fact table twice. Exact integer quantity-cents gate; dates emitted
+    as ISO strings (the cross-engine-safe date convention); top-k cuts
+    via TakeOrderedAndProject on (total_cents desc, orderkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents("l_quantity")).alias("qty_cents"))
+        .filter(F.col("qty_cents") > 25000)
+    )
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            _cents("o_totalprice").alias("total_cents"),
+            "qty_cents",
+        )
+        .orderBy(F.desc("total_cents"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    # TPC-H Q19 (disjunctive predicates): an OR of three conjunctive
+    # (brand, size-band, quantity-band) clauses spanning BOTH join
+    # sides — the stress case for predicate pushdown, because only the
+    # per-table residues of the disjunction can reach each scan.
+    f"""
+    SELECT count(*) AS n_lines,
+           {_SUM_CENTS_SQL.format(x="l.l_extendedprice * (1 - l.l_discount)")} AS revenue_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (OR-of-ANDs): revenue from lines matching any of three
+    (brand, size-band, quantity-band) clauses. The disjunction spans
+    both tables, so no single clause can push whole — but Catalyst
+    extracts the per-table RESIDUES (brand ∈ {1,2,3} ∧ size ≤ 15 onto
+    the part scan, quantity ∈ [1,30] onto lineitem) so each scan still
+    prunes before the broadcast join, and the full disjunction runs as
+    the join's post-condition. Single-row cents-exact readout."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & sz.between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents"),
+        )
+    )
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
