@@ -197,6 +197,12 @@ HEADLINE = [
     "tpch_q14_promo_share",
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive",
+    # late-r10 pipeline/stat wave: mixture rebalancing, O(n) embedding
+    # diversity, exact-moment shape stats, cadence percentiles
+    "corpus_rebalance_sample",
+    "vector_label_diversity",
+    "corpus_chars_moments",
+    "events_gap_percentiles",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

@@ -449,3 +449,103 @@ def test_stats_operators_laws(spark):
     assert r["n"] == 50 and abs(r["r"] - 1.0) < 1e-9
     r2 = ST.pearson_corr_exact(lin, "x", "y", x_scale=10, y_scale=100).first()
     assert r2["r"] == r["r"]  # scales cancel
+
+
+def test_sample_mixture_laws(spark):
+    """Cap law: a group smaller than its per-group target keeps every
+    row (rate 1). Determinism: two runs keep the identical set. Budget
+    law: a budget covering every group keeps the whole corpus."""
+    from ydb_vector_search_demo_spark.operators import curation as CU
+
+    rows = [(i, "big") for i in range(20)] + [(100, "small"), (101, "small")]
+    df = spark.createDataFrame(rows, "doc_id INT, grp STRING")
+    kept = CU.sample_mixture(df, "grp", budget=10).collect()
+    small = [r for r in kept if r["grp"] == "small"]
+    assert len(small) == 2 and all(r["keep_rate"] == 1.0 for r in small)
+    big = [r for r in kept if r["grp"] == "big"]
+    assert 0 < len(big) < 20  # rate 0.25 — strictly downsampled
+    kept2 = CU.sample_mixture(df, "grp", budget=10).collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(
+        r["doc_id"] for r in kept2
+    )
+    everything = CU.sample_mixture(df, "grp", budget=1000).collect()
+    assert len(everything) == 22
+
+
+def test_embedding_diversity_laws(spark):
+    """Identical vectors → zero diversity; a small cloud matches the
+    naive O(n²) pairwise mean computed in Python on the same grid."""
+    from ydb_vector_search_demo_spark.operators import curation as CU
+
+    same = [(i, 0, [0.25, -0.5, 0.125]) for i in range(5)]
+    cloud = [
+        (10 + j, 1, v)
+        for j, v in enumerate(
+            [[0.1, 0.2, 0.3], [0.4, -0.1, 0.0], [-0.3, 0.3, 0.25],
+             [0.05, 0.05, -0.45]]
+        )
+    ]
+    df = spark.createDataFrame(
+        same + cloud, "vec_id INT, label INT, embedding ARRAY<FLOAT>"
+    )
+    out = {r["label"]: r for r in CU.embedding_diversity(df).collect()}
+    assert out[0]["mean_pairwise_l2sq"] == 0.0
+
+    qs = [[round(x * 10**4) for x in v] for _, _, v in cloud]
+    n = len(qs)
+    tot = sum(
+        sum((a - b) ** 2 for a, b in zip(qs[i], qs[j]))
+        for i in range(n)
+        for j in range(n)
+        if i != j
+    )
+    naive = tot / (1.0 * n * (n - 1)) / 1e8
+    assert abs(out[1]["mean_pairwise_l2sq"] - naive) < 1e-6
+
+
+def test_moment_stats_laws(spark):
+    """Shift invariance: adding a constant moves the mean only; a
+    symmetric distribution has zero skewness; the two-point ±1
+    distribution has excess kurtosis −2."""
+    from ydb_vector_search_demo_spark.operators import stats as ST
+
+    sym = spark.createDataFrame(
+        [("g", float(v)) for v in (1, 2, 2, 3, 3, 3, 4, 4, 5)],
+        "grp STRING, x DOUBLE",
+    )
+    base = ST.moment_stats(sym, "x", "grp").first()
+    assert base["skewness"] == 0.0
+    shifted = sym.select("grp", (F.col("x") + 1000).alias("x"))
+    sh = ST.moment_stats(shifted, "x", "grp").first()
+    assert sh["mean"] == base["mean"] + 1000
+    assert sh["variance"] == base["variance"]
+    assert sh["skewness"] == base["skewness"]
+    assert sh["kurtosis_excess"] == base["kurtosis_excess"]
+
+    two_point = spark.createDataFrame(
+        [("g", -1.0)] * 10 + [("g", 1.0)] * 10, "grp STRING, x DOUBLE"
+    )
+    tp = ST.moment_stats(two_point, "x", "grp").first()
+    assert tp["variance"] == 1.0 and tp["kurtosis_excess"] == -2.0
+
+
+def test_inter_event_gaps_exact(spark):
+    """Planted gaps 10/20/70 s: median 20, p90 via R-7 interpolation
+    (rank 1.8 → 20 + 0.8·(70−20) = 60)."""
+    from ydb_vector_search_demo_spark.operators import timeseries as T
+
+    rows = [
+        (1, "u1", "click", DT(2024, 1, 1, 0, 0, 0)),
+        (2, "u1", "click", DT(2024, 1, 1, 0, 0, 10)),
+        (3, "u1", "click", DT(2024, 1, 1, 0, 0, 30)),
+        (4, "u1", "click", DT(2024, 1, 1, 0, 1, 40)),
+        (5, "u2", "view", DT(2024, 1, 1, 0, 0, 0)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id INT, user_id STRING, event_type STRING, ts TIMESTAMP"
+    )
+    out = {r["event_type"]: r for r in T.inter_event_gaps(ev).collect()}
+    assert out["click"]["n_gaps"] == 3
+    assert out["click"]["p50_s"] == 20.0
+    assert out["click"]["p90_s"] == 60.0
+    assert "view" not in out  # a single event has no gap

@@ -1542,3 +1542,138 @@ def rank_ensemble(
         term = F.lit(float(weight)) * (F.lit(1.0) - pr)
         acc = term if acc is None else acc + term
     return df.withColumn("ensemble", F.round(acc, 6))
+
+
+def sample_mixture(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    seed: str = "rebal-v1",
+) -> DataFrame:
+    """Domain-mixture REBALANCING: downsample each group (language,
+    source, domain) toward a UNIFORM target mixture of ~``budget`` rows
+    total — the curation step that rebalances a web-scale corpus whose
+    raw group sizes are wildly skewed before training. Complements
+    ``mix_corpus`` (explicit per-source rates, incl. >1 upsampling):
+    here the rates are DERIVED from the observed group sizes, the
+    "hit this mixture under this budget" form. Each group g
+    with n_g rows gets keep-rate r_g = min(1, (budget/k)/n_g) (k =
+    number of observed groups), and a row survives iff its pinned
+    md5-uniform u < r_g — no RNG, so the SAME rows are kept on every
+    run and in every engine (the repo's pinned-determinization
+    pattern; u is 13 md5 hex digits = 52 bits, exactly representable
+    in a double). Groups smaller than the per-group target keep
+    everything (rate capped at 1 — undersupplied domains cannot be
+    upsampled without replication, which this operator does not do).
+    Adds ``keep_rate`` (the group's rate) to the surviving rows.
+
+    Engine-portability: r_g is ONE double expression of exact integers
+    (budget, k, n_g) written identically in the oracle, and u is
+    bit-exact, so the keep decision is reproducible; the only seam
+    would be a rate landing exactly ON a representable u, which the
+    +0.5/2^52 offset construction makes a measure-zero ulp event (same
+    acceptance class as priority_sample's pow seam).
+
+    Scale shape: one map-combinable groupBy count (output bounded by
+    the number of groups), the tiny rate relation broadcast back onto
+    the corpus, then a map-side filter — the corpus itself never
+    shuffles. This is the mixture-rebalancing primitive that replaces
+    driver-side stratified collect loops at 100 TB."""
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_g")
+    )
+    k = counts.agg(F.count(F.lit(1)).cast("bigint").alias("_k"))
+    rates = counts.crossJoin(F.broadcast(k)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            (F.lit(int(budget)) / (F.lit(1.0) * F.col("_k")))
+            / F.col("_n_g"),
+        ).alias("keep_rate"),
+    )
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(float(2**52))
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(u < F.col("keep_rate"))
+    )
+
+
+def embedding_diversity(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 10**4,
+) -> DataFrame:
+    """Per-group embedding DIVERSITY — the mean pairwise squared L2
+    distance between all ordered pairs of vectors in a group — in ONE
+    linear pass, via the moment identity
+    Σ_{i≠j} ||v_i − v_j||² = 2n·Σ_i ||v_i||² − 2·||Σ_i v_i||².
+    The naive form is an n² self-join per group; this needs only each
+    group's vector SUM and norm-square sum, so it scales to groups of
+    billions of vectors (the curation readout for "is this domain's
+    embedding cloud collapsing?" — low diversity flags near-duplicate
+    or template-generated content a dedup pass should visit).
+
+    Engine-portability: components quantize to an integer grid
+    (round(x·scale) — float32 parquet values widen to double exactly,
+    so the rounding is identical in both engines) and every moment is
+    an exact bigint sum; the displayed mean divides back by scale²
+    once, in one fixed double expression. Overflow bound: with
+    |x| ≤ 1, d dims and grid s, 2n²·d·s² must stay below 2⁶³ —
+    d=64, s=10⁴ leaves room for n ≈ 8·10⁵ per group; past that, raise
+    the grid coarser or move the two moments to DECIMAL(38,0).
+
+    Scale shape: one posexplode (map-side, ×d) feeding a (group, dim)
+    sum — map-combinable, output bounded by groups·d — plus a per-row
+    HOF norm reduced per group; both tiny relations join broadcast.
+    No pairwise anything."""
+    # widen float32 → double BEFORE the grid multiply: the widening is
+    # exact and the double product is correctly rounded, so both
+    # engines quantize identically (a float32-precision multiply could
+    # round a borderline .5 differently from a double one)
+    q = lambda x: F.round(x.cast("double") * scale).cast("bigint")  # noqa: E731
+    norm = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: q(x) * q(x)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    per_group = df.groupBy(label_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(norm).alias("sum_norm"),
+    )
+    dims = df.select(
+        label_col, F.posexplode(F.col(vec_col)).alias("pos", "x")
+    )
+    cross = (
+        dims.groupBy(label_col, "pos")
+        .agg(F.sum(q(F.col("x"))).alias("s"))
+        .groupBy(label_col)
+        .agg(F.sum(F.col("s") * F.col("s")).alias("sum_sq_sums"))
+    )
+    pair_sum = (
+        F.lit(2) * F.col("n") * F.col("sum_norm")
+        - F.lit(2) * F.col("sum_sq_sums")
+    )
+    mean = (
+        pair_sum
+        / (F.lit(1.0) * F.col("n") * (F.col("n") - F.lit(1)))
+        / F.lit(float(scale * scale))
+    )
+    return (
+        per_group.join(F.broadcast(cross), label_col)
+        .select(
+            label_col,
+            "n",
+            F.round(mean, 6).alias("mean_pairwise_l2sq"),
+        )
+    )

@@ -108,3 +108,60 @@ def pearson_corr_exact(
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return m.select("n", F.round(num / den, 6).alias("r"))
+
+
+def moment_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    scale: int = 1,
+) -> DataFrame:
+    """Per-group mean / population variance / skewness / excess
+    kurtosis from EXACT integer moments: with x quantized to an
+    integer grid (round(v·scale)), the four power sums m1..m4 are
+    exact bigint aggregates, and each shape statistic is one fixed
+    double expression of them — reproducible across engines and
+    partial-aggregation orders (built-in skewness()/kurtosis()
+    accumulate doubles and drift at display precision; this is their
+    reproducible twin, same convention as pearson_corr_exact).
+
+    Formulas (population; μ = m1/n, central moments via the binomial
+    expansion): var = m2/n − μ²; skew = (m3/n − 3μ·m2/n + 2μ³)/σ³;
+    kurt_excess = (m4/n − 4μ·m3/n + 6μ²·m2/n − 3μ⁴)/σ⁴ − 3.
+
+    Overflow bound: n·(max|x|·scale)⁴ < 2⁶³ — a 4-digit column at
+    scale 1 leaves room for ~10⁸ rows per group; past that, the power
+    sums move to DECIMAL(38,0) (Spark) / int128 (DuckDB) at the price
+    of engine-specific exact types, or the grid coarsens.
+
+    Scale shape: ONE map-combinable aggregate over the input; output
+    is one row per group."""
+    xi = F.round(F.col(value_col) * scale).cast("bigint")
+    m = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xi).alias("m1"),
+        F.sum(xi * xi).alias("m2"),
+        F.sum(xi * xi * xi).alias("m3"),
+        F.sum(xi * xi * xi * xi).alias("m4"),
+    )
+    n = F.col("n") * F.lit(1.0)
+    mu = F.col("m1") / n
+    var = F.col("m2") / n - mu * mu
+    sd = F.sqrt(var)
+    skew = (F.col("m3") / n - F.lit(3.0) * mu * (F.col("m2") / n)
+            + F.lit(2.0) * mu * mu * mu) / (sd * sd * sd)
+    kurt = (
+        F.col("m4") / n
+        - F.lit(4.0) * mu * (F.col("m3") / n)
+        + F.lit(6.0) * mu * mu * (F.col("m2") / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    ) / (var * var) - F.lit(3.0)
+    s = float(scale)
+    return m.select(
+        group_col,
+        "n",
+        F.round(mu / s, 6).alias("mean"),
+        F.round(var / (s * s), 6).alias("variance"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis_excess"),
+    )

@@ -701,3 +701,58 @@ def journey_trigrams(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     return tri.orderBy(F.desc("n"), "s0", "s1", "s2").limit(int(top))
+
+
+def inter_event_gaps(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-event-type cadence profile: exact median and p90 of the gap
+    (in seconds) between CONSECUTIVE events of the same (user, type) —
+    the ops readout behind rate-anomaly rules ("purchases normally
+    arrive hours apart; this user fires one per second"). Ordering
+    tie-breaks on the event id so the lag sequence is a total order
+    both engines replay identically; gaps are exact integer
+    microsecond differences, and the percentiles interpolate linearly
+    (Spark ``percentile`` and DuckDB ``quantile_cont`` both implement
+    the R-7 rule: lower + frac·(upper−lower) — over exact integers the
+    interpolation is one double expression, identical in both).
+
+    Scale shape: one window per (user, type) partition (the same
+    partitioning every sessionization op here shuffles on — at 100 TB
+    the exchange is reused across the family), then a map-combinable
+    groupBy whose output is bounded by the type count. The exact
+    percentile aggregate collects each type's gap multiset on one
+    reducer — bounded by events-per-type; at the scale where that
+    spills, swap in percentile_approx (same row shape, sketch-merged
+    map-side) — the documented exact/approx ladder."""
+    w = Window.partitionBy(user_col, type_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    gaps = (
+        events.select(user_col, type_col, ts_col, id_col)
+        .withColumn("_prev", F.lag(ts_col, 1).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            type_col,
+            (
+                F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_prev"))
+            ).alias("_gap_us"),
+        )
+    )
+    return (
+        gaps.groupBy(type_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.round(
+                F.expr("percentile(_gap_us, 0.5)") / F.lit(1e6), 6
+            ).alias("p50_s"),
+            F.round(
+                F.expr("percentile(_gap_us, 0.9)") / F.lit(1e6), 6
+            ).alias("p90_s"),
+        )
+        .orderBy(type_col)
+    )

@@ -10062,6 +10062,202 @@ def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_rebalance_sample",
+    # Mixture REBALANCING (operators.curation.sample_mixture): rates
+    # derived from observed group sizes under a total budget —
+    # complements corpus_mix_counts' explicit-rate form. The keep
+    # decision is a pinned 52-bit md5 uniform against ONE double
+    # expression of exact integers, so DuckDB replays every decision.
+    """
+    WITH c AS (
+      SELECT lang, count(*)::BIGINT AS n_g FROM documents GROUP BY 1),
+    r AS (
+      SELECT lang, n_g,
+             least(1.0, (300 / (1.0 * (SELECT count(*) FROM c))) / n_g)
+               AS rate
+      FROM c),
+    kept AS (
+      SELECT d.lang, d.n_chars, r.rate
+      FROM documents d JOIN r USING (lang)
+      WHERE (CAST(('0x' || substring(md5('rebal-v1:' || d.doc_id::VARCHAR),
+                                     1, 13))::BIGINT AS DOUBLE) + 0.5)
+            / 4503599627370496.0 < r.rate)
+    SELECT lang, count(*)::BIGINT AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+           round(rate, 6) AS keep_rate
+    FROM kept GROUP BY lang, rate ORDER BY lang
+    """,
+)
+def q_corpus_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus toward a uniform language mixture under a
+    300-doc budget (operators.curation.sample_mixture): each language's
+    keep-rate is min(1, (budget/k)/n_lang) — derived, not hand-set (the
+    en-heavy fixture downsamples to ~0.28 while the smallest languages
+    keep everything) — and each keep decision is a pinned md5-uniform
+    comparison DuckDB replays bit-for-bit. Per-language kept counts /
+    characters / rate. Scale shape: one map-combinable count, the tiny
+    rate relation broadcast back, then a map-side filter — the corpus
+    never shuffles."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = curation.sample_mixture(docs, "lang", budget=300)
+    return (
+        kept.groupBy("lang", "keep_rate")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+        .select(
+            "lang",
+            "n_kept",
+            "kept_chars",
+            F.round("keep_rate", 6).alias("keep_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "vector_label_diversity",
+    # The O(n) pairwise identity: Σ_{i≠j}||vi−vj||² = 2n·Σ||v||² −
+    # 2·||Σv||². Components quantize to an integer grid (widened to
+    # double BEFORE the multiply — exact for float32 — so both engines
+    # round identically) and every moment is an exact bigint.
+    """
+    WITH q AS (
+      SELECT label,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 10000)
+                                      AS BIGINT)) AS l
+      FROM embeddings),
+    norms AS (
+      SELECT label, count(*)::BIGINT AS n,
+             CAST(sum(CAST(list_sum(list_transform(l, v -> v * v))
+                           AS BIGINT)) AS BIGINT) AS sum_norm
+      FROM q GROUP BY 1),
+    dims AS (
+      SELECT label, u.i AS pos, CAST(sum(u.x) AS BIGINT) AS s
+      FROM q, unnest(list_transform(generate_series(1, len(l)),
+                                    j -> {'i': j, 'x': l[j]})) AS t(u)
+      GROUP BY 1, 2),
+    cross_t AS (
+      SELECT label, CAST(sum(s * s) AS BIGINT) AS sum_sq_sums
+      FROM dims GROUP BY 1)
+    SELECT n.label, n.n,
+           round((2 * n.n * n.sum_norm - 2 * c.sum_sq_sums)
+                 / (1.0 * n.n * (n.n - 1)) / 100000000.0, 6)
+             AS mean_pairwise_l2sq
+    FROM norms n JOIN cross_t c USING (label)
+    ORDER BY n.label
+    """,
+)
+def q_vector_label_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-cloud DIVERSITY (operators.curation.
+    embedding_diversity): mean pairwise squared L2 distance across all
+    ordered pairs in each label, computed in ONE linear pass via the
+    moment identity (vector sum + norm-square sum per group) — the
+    n²-free readout that flags collapsing/templated embedding clouds
+    for the dedup pass. Exact integer moments on a 1e-4 grid; the
+    display value is one fixed double expression. Scale shape: a ×64
+    map-side posexplode into a (label, dim) map-combinable sum plus a
+    per-row HOF norm — no pairwise join anywhere."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return curation.embedding_diversity(emb).orderBy("label")
+
+
+@register(
+    "corpus_chars_moments",
+    # Exact-integer power sums m1..m4 per language; every shape
+    # statistic is one fixed double expression of them (the
+    # pearson_corr_exact convention, extended to 3rd/4th moments).
+    """
+    WITH m AS (
+      SELECT lang, count(*)::BIGINT AS n,
+             CAST(sum(x) AS BIGINT) AS m1,
+             CAST(sum(x * x) AS BIGINT) AS m2,
+             CAST(sum(x * x * x) AS BIGINT) AS m3,
+             CAST(sum(x * x * x * x) AS BIGINT) AS m4
+      FROM (SELECT lang, CAST(round(n_chars * 1) AS BIGINT) AS x
+            FROM documents)
+      GROUP BY 1)
+    SELECT lang, n,
+           round((m1 / (n * 1.0)) / 1.0, 6) AS mean,
+           round((m2 / (n * 1.0) - (m1 / (n * 1.0)) * (m1 / (n * 1.0)))
+                 / (1.0 * 1.0), 6) AS variance,
+           round((m3 / (n * 1.0)
+                  - 3.0 * (m1 / (n * 1.0)) * (m2 / (n * 1.0))
+                  + 2.0 * (m1 / (n * 1.0)) * (m1 / (n * 1.0)) * (m1 / (n * 1.0)))
+                 / (sqrt(m2 / (n * 1.0) - (m1 / (n * 1.0)) * (m1 / (n * 1.0)))
+                    * sqrt(m2 / (n * 1.0) - (m1 / (n * 1.0)) * (m1 / (n * 1.0)))
+                    * sqrt(m2 / (n * 1.0) - (m1 / (n * 1.0)) * (m1 / (n * 1.0)))),
+                 6) AS skewness,
+           round((m4 / (n * 1.0)
+                  - 4.0 * (m1 / (n * 1.0)) * (m3 / (n * 1.0))
+                  + 6.0 * (m1 / (n * 1.0)) * (m1 / (n * 1.0)) * (m2 / (n * 1.0))
+                  - 3.0 * (m1 / (n * 1.0)) * (m1 / (n * 1.0))
+                        * (m1 / (n * 1.0)) * (m1 / (n * 1.0)))
+                 / ((m2 / (n * 1.0) - (m1 / (n * 1.0)) * (m1 / (n * 1.0)))
+                    * (m2 / (n * 1.0) - (m1 / (n * 1.0)) * (m1 / (n * 1.0))))
+                 - 3.0, 6) AS kurtosis_excess
+    FROM m ORDER BY lang
+    """,
+)
+def q_corpus_chars_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution SHAPE of document length per language
+    (operators.stats.moment_stats): mean, population variance,
+    skewness, excess kurtosis — all from exact bigint power sums, so
+    the statistics are partial-agg-order independent (built-in
+    skewness()/kurtosis() drift at display precision). The curation
+    use: a language whose length distribution is heavily right-skewed
+    or leptokurtic relative to its peers signals scraped boilerplate
+    or concatenation artifacts worth a targeted dedup pass. ONE
+    map-combinable aggregate; output bounded by the language count."""
+    from ydb_vector_search_demo_spark.operators import stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return stats.moment_stats(docs, "n_chars", "lang").orderBy("lang")
+
+
+@register(
+    "events_gap_percentiles",
+    # Exact integer-microsecond gaps via one lag window; Spark
+    # percentile() and DuckDB quantile_cont() both implement R-7
+    # linear interpolation, and over exact integers the interpolation
+    # is one double expression (verified empirically at 3 SFs).
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT event_type, count(*)::BIGINT AS n_gaps,
+           round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS p50_s,
+           round(quantile_cont(gap_us, 0.9) / 1000000.0, 6) AS p90_s
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_events_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type cadence (operators.timeseries.inter_event_gaps):
+    exact median and p90 seconds between consecutive same-(user, type)
+    events — the readout behind rate-anomaly rules. The lag window
+    tie-breaks on event_id (total order both engines replay); gaps are
+    exact integer microseconds; the percentile interpolation (R-7 in
+    both engines) is the one double op, displayed at 6 dp. The window
+    shuffles on the same (user, type)-family key as the sessionization
+    ops; the exact percentile collects per-type gap multisets (swap to
+    percentile_approx past the documented spill point — same shape)."""
+    from ydb_vector_search_demo_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.inter_event_gaps(ev)
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
