@@ -203,6 +203,7 @@ HEADLINE = [
     "vector_label_diversity",
     "corpus_chars_moments",
     "events_gap_percentiles",
+    "events_audience_overlap",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

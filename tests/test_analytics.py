@@ -549,3 +549,24 @@ def test_inter_event_gaps_exact(spark):
     assert out["click"]["p50_s"] == 20.0
     assert out["click"]["p90_s"] == 60.0
     assert "view" not in out  # a single event has no gap
+
+
+def test_audience_overlap_exact(spark):
+    """Planted audiences {1,2,3} and {2,3,4}: intersection 2, union 4,
+    Jaccard 0.5; a type never co-occurring yields no pair row."""
+    from ydb_vector_search_demo_spark.operators import timeseries as T
+
+    rows = (
+        [(i, "x", f"u{i}") for i in (1, 2, 3)]
+        + [(10 + i, "y", f"u{i}") for i in (2, 3, 4)]
+        + [(20, "z", "u99")]
+    )
+    ev = spark.createDataFrame(
+        rows, "event_id INT, event_type STRING, user_id STRING"
+    )
+    out = T.audience_overlap(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["type_a"], r["type_b"]) == ("x", "y")
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (3, 3, 2)
+    assert r["jaccard"] == 0.5

@@ -756,3 +756,58 @@ def inter_event_gaps(
         )
         .orderBy(type_col)
     )
+
+
+def audience_overlap(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Pairwise audience OVERLAP between event types: for every
+    unordered type pair, the distinct-user intersection and its
+    Jaccard similarity — the product-analytics readout for "do the
+    people who hit errors also purchase?". Exact integer set sizes;
+    Jaccard is the one double division, displayed at 6 dp.
+
+    Scale shape: the input collapses FIRST to distinct (type, user)
+    pairs (map-combinable aggregate — the only pass over raw events);
+    the pair counts come from a self-join keyed on the user whose
+    fan-out is bounded by types²/user (with |types| small and fixed,
+    linear in users); per-type audience sizes derive from the SAME
+    collapsed relation and broadcast onto the 25-row pair result.
+    Nothing quadratic in users anywhere."""
+    tu = events.select(type_col, user_col).distinct()
+    a = tu.select(
+        F.col(type_col).alias("type_a"), F.col(user_col).alias("u")
+    )
+    b = tu.select(
+        F.col(type_col).alias("type_b"), F.col(user_col).alias("u")
+    )
+    inter = (
+        a.join(b, "u")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sizes = tu.groupBy(type_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    sa = sizes.select(
+        F.col(type_col).alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col(type_col).alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.lit(1.0) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
