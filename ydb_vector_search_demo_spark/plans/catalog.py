@@ -10647,6 +10647,25 @@ _GRADE_FIRST = [
 #   events_rfm_segments / events_hourly_anomaly /
 #   text_pmi_collocations / retrieval_spell_suggest /
 #   multimodal_audio_resample — analytics/retrieval/multimodal breadth
+# Late-r10 additions (post-close-out waves), all fully oracle-backed
+# at 3 SFs and pytest-swept, strongest first:
+#   corpus_rebalance_sample — mixture rebalancing with DERIVED rates
+#                            (the budget/target form of domain mixing;
+#                            every keep decision md5-pinned)
+#   vector_label_diversity — the O(n) pairwise-distance identity on an
+#                            exact integer grid (n²-free diversity)
+#   corpus_chars_moments   — exact 3rd/4th-moment shape stats
+#                            (skewness/kurtosis, sibling of the
+#                            graded-eligible chi²/Pearson rows)
+#   events_gap_percentiles — R-7 percentile parity pinned at 3 SFs
+#   events_audience_overlap — exact pairwise set Jaccard, types²-bounded
+#   tpch_q5_local_suppliers / tpch_q7_nation_volume /
+#   tpch_q8_market_share / tpch_q14_promo_share /
+#   tpch_q18_large_orders / tpch_q19_disjunctive — the remaining
+#                            expressible TPC-H shapes (same-nation join
+#                            condition, role-aliased dims, ratio-of-
+#                            conditional-sums, HAVING-gate join-back,
+#                            disjunctive residue pushdown)
 # Duplicate-surface rows eligible to rotate OUT with rationale:
 # grouping_sets_status_priority vs datetime_order_stats overlap is
 # partial only (grouping sets are a distinct surface — keep both);
