@@ -204,6 +204,10 @@ HEADLINE = [
     "corpus_chars_moments",
     "events_gap_percentiles",
     "events_audience_overlap",
+    "orders_brand_basket_lift",
+    "events_dau_mau",
+    "corpus_ngram_novelty",
+    "orders_ship_latency_quantiles",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

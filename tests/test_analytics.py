@@ -570,3 +570,61 @@ def test_audience_overlap_exact(spark):
     assert (r["type_a"], r["type_b"]) == ("x", "y")
     assert (r["n_a"], r["n_b"], r["n_common"]) == (3, 3, 2)
     assert r["jaccard"] == 0.5
+
+
+def test_pair_lift_exact(spark):
+    """Planted baskets: {A,B} in 2 of 4 baskets with n_A=n_B=2 →
+    lift = 2·4/(2·2) = 2; an anti-correlated pair never co-occurs and
+    emits no row; min_support filters singleton pairs."""
+    from ydb_vector_search_demo_spark.operators import stats as ST
+
+    rows = [
+        (1, "A"), (1, "B"),
+        (2, "A"), (2, "B"),
+        (3, "C"), (4, "C"),
+    ]
+    df = spark.createDataFrame(rows, "bk INT, item STRING")
+    out = ST.pair_lift(df, "bk", "item", min_support=2, top=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"], r["n_ab"]) == ("A", "B", 2)
+    assert r["lift"] == 2.0
+
+
+def test_dau_mau_stickiness_exact(spark):
+    """Planted month: 3 distinct users in the month; day 1 sees 2 of
+    them → stickiness 2/3; duplicate same-day events collapse."""
+    from ydb_vector_search_demo_spark.operators import timeseries as T
+
+    rows = [
+        (1, "u1", DT(2024, 5, 1, 9)),
+        (2, "u1", DT(2024, 5, 1, 10)),  # same user+day → one DAU
+        (3, "u2", DT(2024, 5, 1, 11)),
+        (4, "u3", DT(2024, 5, 2, 9)),
+    ]
+    ev = spark.createDataFrame(rows, "event_id INT, user_id STRING, ts TIMESTAMP")
+    out = {r["day"]: r for r in T.dau_mau_stickiness(ev).collect()}
+    assert out["2024-05-01"]["dau"] == 2 and out["2024-05-01"]["mau"] == 3
+    assert out["2024-05-01"]["stickiness"] == round(2 / 3.0, 6)
+    assert out["2024-05-02"]["dau"] == 1
+
+
+def test_ngram_novelty_laws(spark):
+    """A doc repeated verbatim later contributes zero novel shingles;
+    the first doc of a group is 100% novel; docs shorter than n are
+    excluded."""
+    from ydb_vector_search_demo_spark.operators import curation as CU
+
+    rows = [
+        (1, "en", "the quick brown fox jumps"),
+        (2, "en", "the quick brown fox jumps"),  # exact dup → 0 novel
+        (3, "en", "an entirely different sentence here"),
+        (4, "en", "too short"),  # < 3 tokens → no shingles
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, lang STRING, text STRING")
+    out = CU.ngram_novelty(docs, n=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    # doc1: 3 shingles all novel; doc2: 3 shingles, 0 novel; doc3: 3 novel
+    assert r["n_docs"] == 3 and r["n_shingles"] == 9 and r["n_novel"] == 6
+    assert r["novelty"] == round(6 / 9.0, 6)

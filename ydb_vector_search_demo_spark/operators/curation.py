@@ -1677,3 +1677,69 @@ def embedding_diversity(
             F.round(mean, 6).alias("mean_pairwise_l2sq"),
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Corpus NOVELTY curve by group: the fraction of each document's
+    distinct word n-grams seen for the FIRST time (no earlier doc id
+    carries the shingle), aggregated per group — the curation readout
+    for "how much genuinely new text does each language/source
+    contribute?" (a near-zero novelty tail is scraped boilerplate the
+    span-dedup pass should visit; the id order stands in for arrival
+    order, same convention as the incremental-dedup ops). Counts are
+    exact bigints; the mean novelty is one rounded division.
+
+    Scale shape: documents explode to distinct (doc, shingle) pairs
+    (map-side ×tokens, then a map-combinable distinct); the
+    first-occurrence relation is a groupBy-min on the shingle (the
+    same hash family every dedup signal shuffles on — and the same
+    hot-hash exposure: a boilerplate shingle in 10⁸ docs lands on one
+    reducer ONLY as a count, since min() combines map-side); the
+    join back is shingle-keyed. Everything is linear in total
+    shingles; nothing pairwise."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.col(group_col).alias("_grp"),
+        tokens(text_col).alias("_t"),
+    ).filter(F.size("_t") >= n)
+    sh = toks.select(
+        "_doc",
+        "_grp",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+                lambda i: F.array_join(F.slice(F.col("_t"), i, n), " "),
+            )
+        ).alias("_s"),
+    ).distinct()
+    first = sh.groupBy("_s").agg(F.min("_doc").alias("_first"))
+    per_doc = (
+        sh.join(first, "_s")
+        .groupBy("_doc", "_grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n_sh"),
+            F.sum(
+                F.when(F.col("_first") == F.col("_doc"), 1).otherwise(0)
+            ).cast("bigint").alias("_n_novel"),
+        )
+    )
+    return (
+        per_doc.groupBy(F.col("_grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_n_sh").cast("bigint").alias("n_shingles"),
+            F.sum("_n_novel").cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum("_n_novel") / (F.lit(1.0) * F.sum("_n_sh")), 6
+            ).alias("novelty"),
+        )
+        .orderBy(group_col)
+    )

@@ -165,3 +165,69 @@ def moment_stats(
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("kurtosis_excess"),
     )
+
+
+def pair_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 5,
+    top: int = 20,
+) -> DataFrame:
+    """Market-basket association mining: for every unordered item pair
+    co-occurring in ≥ ``min_support`` baskets, the LIFT
+    n_ab·N / (n_a·n_b) — how much more often the pair co-occurs than
+    independence predicts (>1 = affinity, <1 = substitution). All
+    counts are exact bigints from ONE collapsed distinct
+    (basket, item) relation; the lift is the single double expression,
+    displayed at 6 dp and ordered on the rounded value with the pair
+    as tie-break (total order both engines replay).
+
+    Scale shape: the raw input collapses once (map-combinable
+    distinct); the pair counts self-join that relation on the basket —
+    fan-out bounded by items²/basket (bounded basket sizes keep this
+    linear in baskets; a heavy-tailed basket would need the same cap
+    valve as the dedup pair paths); item counts and the global basket
+    count broadcast onto the pair result; the top-k cut is
+    TakeOrderedAndProject."""
+    bi = df.select(basket_col, item_col).distinct()
+    n = bi.select(basket_col).distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_baskets")
+    )
+    item_n = bi.groupBy(item_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    a = bi.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("item_a")
+    )
+    b = bi.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("item_b")
+    )
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_support))
+    )
+    na = item_n.select(
+        F.col(item_col).alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    nb = item_n.select(
+        F.col(item_col).alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a", "item_b", "n_a", "n_b", "n_ab",
+            F.round(
+                (F.col("n_ab") * F.col("n_baskets"))
+                / (F.lit(1.0) * F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "item_a", "item_b")
+        .limit(int(top))
+    )

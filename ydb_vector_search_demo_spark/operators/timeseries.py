@@ -811,3 +811,51 @@ def audience_overlap(
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def dau_mau_stickiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily active users over monthly active users — the stickiness
+    curve. Dates travel as ISO strings (the cross-engine date
+    convention); DAU and MAU are exact distinct counts from two
+    collapses of the same projection, joined on the day's month
+    prefix; stickiness is the one double division at 6 dp.
+
+    Scale shape: both distinct collapses are map-combinable aggregates
+    keyed by (period, user) — the classic two-pass distinct — and the
+    month relation (≤ months observed) broadcasts onto the day rows.
+    No window, no full-history state: at 100 TB this is two shuffles
+    of the collapsed (period, user) relation, each far smaller than
+    the raw events."""
+    base = events.select(
+        F.date_format(ts_col, "yyyy-MM-dd").alias("day"),
+        F.date_format(ts_col, "yyyy-MM").alias("mon"),
+        F.col(user_col).alias("u"),
+    )
+    dau = (
+        base.select("day", "u")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    )
+    mau = (
+        base.select("mon", "u")
+        .distinct()
+        .groupBy("mon")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("mau"))
+    )
+    return (
+        dau.join(
+            F.broadcast(mau), F.substring(F.col("day"), 1, 7) == F.col("mon")
+        )
+        .select(
+            "day", "dau", "mau",
+            F.round(
+                F.col("dau") / (F.lit(1.0) * F.col("mau")), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

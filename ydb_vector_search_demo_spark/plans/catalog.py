@@ -10296,6 +10296,170 @@ def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.audience_overlap(ev)
 
 
+@register(
+    "orders_brand_basket_lift",
+    # Exact integer counts from ONE collapsed distinct (order, brand)
+    # relation; lift is the single double division, ordered on the
+    # rounded value with the pair as tie-break.
+    """
+    WITH bi AS (
+      SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS item
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    n AS (SELECT count(DISTINCT bk)::BIGINT AS n_baskets FROM bi),
+    item_n AS (SELECT item, count(*)::BIGINT AS n_item FROM bi GROUP BY 1),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_ab
+      FROM bi a JOIN bi b ON a.bk = b.bk AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 50)
+    SELECT p.item_a, p.item_b, na.n_item AS n_a, nb.n_item AS n_b, p.n_ab,
+           round((p.n_ab * n.n_baskets) / (1.0 * na.n_item * nb.n_item), 6)
+             AS lift
+    FROM pairs p
+    JOIN item_n na ON na.item = p.item_a
+    JOIN item_n nb ON nb.item = p.item_b
+    CROSS JOIN n
+    ORDER BY lift DESC, p.item_a, p.item_b
+    LIMIT 20
+    """,
+)
+def q_orders_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity between part BRANDS
+    (operators.stats.pair_lift): which brand pairs co-occur in the
+    same order more than independence predicts. Orders are the
+    baskets; the raw line/part join collapses once to distinct
+    (order, brand) — pair fan-out is bounded by brands²/order with
+    |brands| small and order sizes bounded, so the pair path is linear
+    in orders; counts broadcast onto the ≤ brands² result; top-20 cut
+    by (rounded lift desc, pair)."""
+    from ydb_vector_search_demo_spark.operators import stats
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey", F.col("p_brand").alias("brand")
+    )
+    return stats.pair_lift(
+        baskets, "l_orderkey", "brand", min_support=50, top=20
+    )
+
+
+@register(
+    "events_dau_mau",
+    # Two distinct collapses of one projection; dates travel as ISO
+    # strings (the cross-engine date convention); one rounded division.
+    """
+    WITH base AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             strftime(ts, '%Y-%m') AS mon, user_id AS u
+      FROM events),
+    dau AS (
+      SELECT day, count(*)::BIGINT AS dau
+      FROM (SELECT DISTINCT day, u FROM base) GROUP BY 1),
+    mau AS (
+      SELECT mon, count(*)::BIGINT AS mau
+      FROM (SELECT DISTINCT mon, u FROM base) GROUP BY 1)
+    SELECT d.day, d.dau, m.mau,
+           round(d.dau / (1.0 * m.mau), 6) AS stickiness
+    FROM dau d JOIN mau m ON substring(d.day, 1, 7) = m.mon
+    ORDER BY d.day
+    """,
+)
+def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness (operators.timeseries.dau_mau_stickiness):
+    the product-health curve — what fraction of each month's active
+    users shows up on each day. Two map-combinable distinct collapses
+    (the only passes over raw events), month relation broadcast onto
+    the day rows, exact integer counts, one rounded division."""
+    from ydb_vector_search_demo_spark.operators import timeseries
+
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.dau_mau_stickiness(ev)
+
+
+@register(
+    "corpus_ngram_novelty",
+    # First-occurrence via groupBy-min on the shingle (combines
+    # map-side); exact integer counts; one rounded division per group.
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_TOKENS_SQL} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, lang,
+             array_to_string(t[g.i:g.i + 2], ' ') AS s
+      FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+      WHERE len(t) >= 3),
+    first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+    per_doc AS (
+      SELECT sh.doc_id, sh.lang, count(*)::BIGINT AS n_sh,
+             CAST(sum(CASE WHEN f.first_doc = sh.doc_id
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      FROM sh JOIN first f USING (s) GROUP BY 1, 2)
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+           CAST(sum(n_novel) AS BIGINT) AS n_novel,
+           round(sum(n_novel) / (1.0 * sum(n_sh)), 6) AS novelty
+    FROM per_doc GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language trigram NOVELTY (operators.curation.ngram_novelty):
+    the fraction of each doc's distinct 3-grams that no earlier doc id
+    carries, aggregated per language — the "how much new text does
+    this slice actually add?" curation curve (near-zero novelty =
+    boilerplate for the span-dedup pass). Linear in total shingles;
+    the first-occurrence min combines map-side on the same shingle
+    hash family the dedup signals shuffle on."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation.ngram_novelty(docs, n=3)
+
+
+@register(
+    "orders_ship_latency_quantiles",
+    # Integer-day gaps (fixture timestamps sit at midnight, so Spark's
+    # date-part datediff and DuckDB's day-boundary date_diff agree);
+    # R-7 percentile parity as pinned by events_gap_percentiles.
+    """
+    WITH g AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS gap_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+           round(quantile_cont(gap_days, 0.5), 6) AS p50_days,
+           round(quantile_cont(gap_days, 0.9), 6) AS p90_days,
+           max(gap_days) AS max_days
+    FROM g GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: exact
+    integer-day gaps through the orderkey join (the workload's natural
+    co-partitioning), exact median/p90 via the R-7-parity percentile,
+    plus the max — the fulfillment-SLA readout. Map-combinable
+    aggregate bounded by the priority count; the exact percentile
+    collects per-priority gap multisets (the documented
+    percentile_approx ladder past the spill point)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    g = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("gap_days"),
+    )
+    return (
+        g.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias("p50_days"),
+            F.round(F.expr("percentile(gap_days, 0.9)"), 6).alias("p90_days"),
+            F.max("gap_days").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
