@@ -10823,6 +10823,13 @@ _GRADE_FIRST = [
 #                            graded-eligible chi²/Pearson rows)
 #   events_gap_percentiles — R-7 percentile parity pinned at 3 SFs
 #   events_audience_overlap — exact pairwise set Jaccard, types²-bounded
+#   orders_brand_basket_lift — association mining (lift vs
+#                            independence) from one collapsed basket
+#   events_dau_mau         — the stickiness curve (two distinct
+#                            collapses, ISO dates)
+#   corpus_ngram_novelty   — first-occurrence shingle fraction per
+#                            language (the novelty curve)
+#   orders_ship_latency_quantiles — R-7 day-gap quantiles per priority
 #   tpch_q5_local_suppliers / tpch_q7_nation_volume /
 #   tpch_q8_market_share / tpch_q14_promo_share /
 #   tpch_q18_large_orders / tpch_q19_disjunctive — the remaining
