@@ -208,6 +208,7 @@ HEADLINE = [
     "events_dau_mau",
     "corpus_ngram_novelty",
     "orders_ship_latency_quantiles",
+    "corpus_length_gini",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

@@ -628,3 +628,29 @@ def test_ngram_novelty_laws(spark):
     # doc1: 3 shingles all novel; doc2: 3 shingles, 0 novel; doc3: 3 novel
     assert r["n_docs"] == 3 and r["n_shingles"] == 9 and r["n_novel"] == 6
     assert r["novelty"] == round(6 / 9.0, 6)
+
+
+def test_gini_concentration_laws(spark):
+    """Equal values → G = 0; a single owner of all mass → (n−1)/n;
+    ties never move the aggregate (shuffled input, same G)."""
+    from ydb_vector_search_demo_spark.operators import stats as ST
+
+    eq = spark.createDataFrame(
+        [("s", 7.0)] * 8, "grp STRING, x DOUBLE"
+    )
+    assert ST.gini_concentration(eq, "x", "grp").first()["gini"] == 0.0
+    one = spark.createDataFrame(
+        [("s", 0.0)] * 9 + [("s", 100.0)], "grp STRING, x DOUBLE"
+    )
+    assert ST.gini_concentration(one, "x", "grp").first()["gini"] == round(
+        9 / 10.0, 6
+    )
+    tied = spark.createDataFrame(
+        [("s", 1.0), ("s", 1.0), ("s", 2.0), ("s", 2.0)],
+        "grp STRING, x DOUBLE",
+    )
+    g1 = ST.gini_concentration(tied, "x", "grp").first()["gini"]
+    g2 = ST.gini_concentration(
+        tied.orderBy(F.rand(seed=7)), "x", "grp"
+    ).first()["gini"]
+    assert g1 == g2

@@ -10460,6 +10460,42 @@ def q_orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_length_gini",
+    # Rank-form Gini from exact bigint sums; rank ties are
+    # aggregate-invariant (a tie block occupies fixed ranks with equal
+    # values), so row_number() nondeterminism never surfaces.
+    """
+    WITH ranked AS (
+      SELECT source, n_chars::BIGINT AS x,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars::BIGINT) AS i
+      FROM documents),
+    agg AS (
+      SELECT source, count(*)::BIGINT AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(i * x) AS BIGINT) AS six
+      FROM ranked GROUP BY 1)
+    SELECT source, n,
+           round((2.0 * six) / ((n * 1.0) * sx)
+                 - ((n + 1) / (n * 1.0)), 6) AS gini
+    FROM agg ORDER BY source
+    """,
+)
+def q_corpus_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-mass CONCENTRATION per source
+    (operators.stats.gini_concentration): the Gini coefficient of
+    document length — a source whose mass sits in a few giant docs
+    (high G) skews token budgets and packing, the curation signal for
+    length-capping that slice. Exact bigint rank-sums; G is one fixed
+    double expression; one rank window per source then a
+    group-count-bounded aggregate."""
+    from ydb_vector_search_demo_spark.operators import stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return stats.gini_concentration(docs, "n_chars", "source")
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
@@ -10830,6 +10866,8 @@ _GRADE_FIRST = [
 #   corpus_ngram_novelty   — first-occurrence shingle fraction per
 #                            language (the novelty curve)
 #   orders_ship_latency_quantiles — R-7 day-gap quantiles per priority
+#   corpus_length_gini     — rank-form Gini concentration (exact
+#                            bigint rank-sums, tie-invariant)
 #   tpch_q5_local_suppliers / tpch_q7_nation_volume /
 #   tpch_q8_market_share / tpch_q14_promo_share /
 #   tpch_q18_large_orders / tpch_q19_disjunctive — the remaining
