@@ -15,6 +15,10 @@ ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
 MAY_BE_EMPTY = {
     "dedup_jaccard_pairs", "dedup_cosine_pairs", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_cosine_bucketed",
+    # the two-nation pair filter finds no trade at the 150-order smoke
+    # SF (oracle-verified 0 == 0 there; 14 rows at sf0.01 and sf0.1,
+    # where the driver actually grades)
+    "tpch_q7_nation_volume",
 }
 
 
