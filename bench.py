@@ -209,6 +209,7 @@ HEADLINE = [
     "corpus_ngram_novelty",
     "orders_ship_latency_quantiles",
     "corpus_length_gini",
+    "supplier_pareto_8020",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

@@ -654,3 +654,32 @@ def test_gini_concentration_laws(spark):
         tied.orderBy(F.rand(seed=7)), "x", "grp"
     ).first()["gini"]
     assert g1 == g2
+
+
+def test_pareto_8020_exact(spark):
+    """Planted revenue 80/10/10: the first supplier alone covers 80%,
+    so n_top80 = 1 (coverage before it is 0 < 80; before the second it
+    is exactly 80 — NOT below — so the second is excluded: the
+    boundary is integer-exact)."""
+    from ydb_vector_search_demo_spark.plans.catalog import QUERIES  # noqa: F401
+    from pyspark.sql import Window as W
+
+    rev = spark.createDataFrame(
+        [("N", 1, 8000), ("N", 2, 1000), ("N", 3, 1000)],
+        "n_name STRING, s_suppkey INT, cents BIGINT",
+    )
+    wcum = (
+        W.partitionBy("n_name")
+        .orderBy(F.desc("cents"), "s_suppkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = rev.select(
+        "n_name", "cents",
+        F.sum("cents").over(wcum).alias("cum"),
+        F.sum("cents").over(W.partitionBy("n_name")).alias("tot"),
+    )
+    needed = F.when(
+        (F.col("cum") - F.col("cents")) * 10 < F.col("tot") * 8, 1
+    ).otherwise(0)
+    out = ranked.agg(F.sum(needed).alias("n_top80")).first()
+    assert out["n_top80"] == 1

@@ -10496,6 +10496,88 @@ def q_corpus_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.gini_concentration(docs, "n_chars", "source")
 
 
+@register(
+    "supplier_pareto_8020",
+    # The 80% threshold compares EXACT integers ((cum−own)·10 < tot·8),
+    # so no float boundary can flip a supplier across engines; the
+    # (cents desc, suppkey) order is total.
+    f"""
+    WITH rev AS (
+      SELECT n.n_name, s.s_suppkey,
+             {_SUM_CENTS_SQL.format(x="l.l_extendedprice * (1 - l.l_discount)")} AS cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT n_name, cents,
+             sum(cents) OVER (PARTITION BY n_name
+                              ORDER BY cents DESC, s_suppkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cents) OVER (PARTITION BY n_name) AS tot
+      FROM rev)
+    SELECT n_name, count(*)::BIGINT AS n_suppliers,
+           CAST(sum(CASE WHEN (cum - cents) * 10 < tot * 8
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+           round(sum(CASE WHEN (cum - cents) * 10 < tot * 8
+                          THEN 1 ELSE 0 END) / (1.0 * count(*)), 6)
+             AS top80_frac,
+           CAST(max(tot) AS BIGINT) AS revenue_cents
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_supplier_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue CONCENTRATION per nation, Pareto form: how few suppliers
+    cover 80% of the nation's revenue (the sibling readout to
+    corpus_length_gini — "is this nation's supply one mega-vendor?").
+    A supplier is in the top-80 set iff coverage BEFORE it is still
+    below 80%: (cum − own)·10 < tot·8 compares exact integer cents, so
+    the threshold can never straddle a double boundary. One keyed
+    aggregate to per-(nation, supplier) revenue (map-combinable), one
+    cumulative window per nation over that SUPPLIER-grain relation
+    (bounded by suppliers, not lines), then a nation-bounded rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("cents")
+        )
+    )
+    wcum = (
+        Window.partitionBy("n_name")
+        .orderBy(F.desc("cents"), "s_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("n_name")
+    ranked = rev.select(
+        "n_name",
+        "cents",
+        F.sum("cents").over(wcum).alias("cum"),
+        F.sum("cents").over(wtot).alias("tot"),
+    )
+    needed = F.when(
+        (F.col("cum") - F.col("cents")) * 10 < F.col("tot") * 8, 1
+    ).otherwise(0)
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum(needed).cast("bigint").alias("n_top80"),
+            F.round(
+                F.sum(needed) / (F.lit(1.0) * F.count(F.lit(1))), 6
+            ).alias("top80_frac"),
+            F.max("tot").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
@@ -10868,6 +10950,8 @@ _GRADE_FIRST = [
 #   orders_ship_latency_quantiles — R-7 day-gap quantiles per priority
 #   corpus_length_gini     — rank-form Gini concentration (exact
 #                            bigint rank-sums, tie-invariant)
+#   supplier_pareto_8020   — 80/20 concentration with an integer-exact
+#                            threshold compare
 #   tpch_q5_local_suppliers / tpch_q7_nation_volume /
 #   tpch_q8_market_share / tpch_q14_promo_share /
 #   tpch_q18_large_orders / tpch_q19_disjunctive — the remaining
