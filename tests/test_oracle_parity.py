@@ -76,7 +76,11 @@ _MUST_GRADE = {
     # rag_context_top3 (byte-pinned via rag_full_pipeline's prompt md5)
     # rotated out — all stay oracle-checked by this file's parity
     # sweep — for the pinned ANN serving rows and the rerank stack.
-    "ann_lsh_fixed", "retrieval_reranked_top5",
+    # r11 (r10 verdict task #1): ann_lsh_fixed rotated out — the ANN
+    # family held five of the fifty slots, the sign-code fold is
+    # graded through pq_opq_fixed's rotated projections, and the
+    # Hamming≤1 multiprobe stays oracle-checked by this file's sweep.
+    "retrieval_reranked_top5",
     # late-r7: quant_hamming_topk rotated out (its packed-bit
     # xor-popcount surface is graded through pq_adc_fixed's coarse
     # stage; still oracle-checked by this file's parity sweep) so the
@@ -127,6 +131,21 @@ _MUST_GRADE = {
     # execution via streaming_late_data_hourly and the join row).
     "multimodal_union_fixed", "dedup_span_removal",
     "events_attribution", "streaming_stream_join_pairs",
+    # r11 (r10 verdict task #1): the r10 waves rotate in — the only
+    # graded-eligible custom-stateful Arrow surface (the RECURSIVE-CTE
+    # replayed packing walk), the different-algorithm phrase-match
+    # oracle, the streaming × lifecycle SCD2 cell, and the Q21
+    # semi+anti relational shape. Out with rationale (all still
+    # oracle-checked by this file's sweep): ann_lsh_fixed (above),
+    # hybrid_batch_rrf (the r9 mrl_batch_rescore precedent — single
+    # query via hybrid_rrf_top5, batch machinery via
+    # ann_ivf_batch_fixed), text_repetition_stats (the r9
+    # text_chunk_overlap precedent — same tokenize → sliding-window
+    # arithmetic as the graded dedup_ngram_spans),
+    # semi_anti_customers (strict subset of the incoming Q21 row's
+    # LeftSemi/LeftAnti probes).
+    "corpus_pack_sequences", "retrieval_phrase_match",
+    "store_scd2_stream", "lineitem_blame_per_supplier",
 }
 
 

@@ -10706,7 +10706,22 @@ _GRADE_FIRST = [
     # (ivfpq_fixed — coarse assign, residual encode, per-cell ADC and
     # exact top-k all recomputed by DuckDB).
     "ivfpq_fixed",
-    "text_repetition_stats",
+    # r11 rotation (r10 verdict task #1): text_repetition_stats out —
+    # its windowed n-gram repetition arithmetic is the same tokenize →
+    # sliding-window shape the graded dedup_ngram_spans replays (the
+    # exact rationale that rotated text_chunk_overlap out in r9), and
+    # the text-analysis family keeps four direct graded rows
+    # (text_token_stats / text_quality / text_langid /
+    # text_ppl_buckets); it stays oracle-checked in
+    # tests/test_oracle_parity. In its place the streaming × lifecycle
+    # cell (store_scd2_stream): SCD2 history built INCREMENTALLY by a
+    # foreachBatch ingest with deterministic per-batch log paths and
+    # atomic manifest publish, replaying the batch scd2 oracle
+    # verbatim — a composition the window graded only transitively
+    # (store_lifecycle_counts grades the batch lifecycle, the
+    # streaming rows grade incremental execution; this row grades
+    # their product). ×10 probe on record: 1.2× (BASELINE r10).
+    "store_scd2_stream",
     # relational surface. r5 rotation: region_revenue (a strict-subset
     # star-join shape of supplier_nation_revenue), cube/rollup (special
     # cases of the kept grouping-sets row), setops_customers, and
@@ -10730,14 +10745,38 @@ _GRADE_FIRST = [
     # r8 verdict's recompute fix, now plan-guarded.
     "events_funnel_conversion",
     "datetime_order_stats",
-    "semi_anti_customers",
+    # r11 rotation (r10 verdict task #1): semi_anti_customers out —
+    # the bare left-semi/left-anti readout is a strict subset of the
+    # INCOMING lineitem_blame_per_supplier, whose TPC-H Q21 shape runs
+    # BOTH existence probes (EXISTS semi + NOT EXISTS anti, asserted
+    # as real LeftSemi/LeftAnti joins by test_plans.py) inside a
+    # deeper multi-join composition, and whose anti-join surface the
+    # graded store_lifecycle_counts oracle also replays; it stays
+    # oracle-checked in tests/test_oracle_parity. ×10 probe on
+    # record: 5.0× (BASELINE r10 — two distinct slices + semi/anti
+    # joins, all keyed on the order).
+    "lineitem_blame_per_supplier",
     # r5 mid-round rotation: order_priority_count out (its pushed-date-
     # filter + distinct-agg surface is graded through tpch_q3_shipping's
     # pushed filters and datetime_order_stats' aggregates; stays
     # oracle-checked in pytest) — in its place the batched hybrid
     # retrieval query, a new surface (one corpus pass per system for a
     # whole query batch).
-    "hybrid_batch_rrf",
+    # r11 rotation (r10 verdict task #1): hybrid_batch_rrf out — the
+    # exact precedent of the r9 mrl_batch_rescore swap: both of its
+    # constituent surfaces have DIRECT graded rows (single-query
+    # hybrid BM25+KNN+RRF via the kept hybrid_rrf_top5; the
+    # batched-execution machinery — broadcast query attach, per-query
+    # Partial WindowGroupLimit, batch==loop law — via
+    # ann_ivf_batch_fixed); it stays oracle-checked in
+    # tests/test_oracle_parity. In its place the positional phrase
+    # match (retrieval_phrase_match): adjacency-chained positional
+    # postings intersection graded against a DIFFERENT algorithm
+    # (the oracle recomputes matches from the ordinal explode, not
+    # the postings chain) — the strongest oracle style in the
+    # catalog, previously outside the window. ×10 probe on record:
+    # 2.5× (BASELINE r10).
+    "retrieval_phrase_match",
     "window_function_suite",
     # r7 sketch rotation: segment_acctbal_stats out — CASE-banded
     # aggregation is graded through the pivot/grouping rows (the same
@@ -10836,7 +10875,22 @@ _GRADE_FIRST = [
     # sign-code bucketing primitive every LSH surface builds on gets a
     # direct graded row (code fold, Hamming<=1 multi-probe and exact
     # rescore all recomputed by DuckDB).
-    "ann_lsh_fixed",
+    # r11 rotation (r10 verdict task #1): ann_lsh_fixed out — the ANN
+    # family held FIVE of the fifty slots (ann_ivf_batch_fixed,
+    # ann_lsh_fixed, ann_graph_fixed, ivfpq_fixed, pq_opq_fixed); the
+    # pinned-hyperplane sign-code fold is the same broadcast
+    # dot-product fold the kept pq_opq_fixed grades through its
+    # rotated projections, and the Hamming≤1 multiprobe surface stays
+    # oracle-checked through the quant/dedup-LSH oracles in
+    # tests/test_oracle_parity (where ann_lsh_fixed itself also stays
+    # green). In its place the catalog's only graded-eligible
+    # custom-stateful Arrow surface (corpus_pack_sequences): the
+    # greedy per-bucket sequence-packing walk as ONE
+    # FlatMapGroupsInPandas pass, replayed exactly by a RECURSIVE-CTE
+    # DuckDB oracle — a plan family (stateful grouped Arrow) the
+    # window graded nowhere. ×10 probe on record: 1.2× (BASELINE
+    # r10 — walk linear per bucket).
+    "corpus_pack_sequences",
     # r10 rotation (r9 verdict task #1): streaming_hourly_counts out —
     # its two constituent surfaces are both graded more strongly
     # elsewhere: the hourly windowed aggregation by the SAME batch SQL
@@ -10913,19 +10967,16 @@ _GRADE_FIRST = [
 #   events_hopping_hourly / customers_above_avg_never_ordered —
 #                            hopping windows, the TPC-H Q22 shape
 # r10 additions, all fully oracle-backed and pytest-swept, strongest
-# first:
-#   corpus_pack_sequences  — the applyInPandas stateful walk replayed
-#                            by a RECURSIVE CTE (the only graded-
-#                            eligible custom-stateful Arrow surface)
-#   retrieval_phrase_match — positional postings intersection graded
-#                            against a DIFFERENT algorithm
-#   store_scd2_stream      — the streaming × lifecycle cell (atomic
-#                            per-batch publishes)
+# first (the r11 rotation graded corpus_pack_sequences,
+# retrieval_phrase_match, store_scd2_stream and
+# lineitem_blame_per_supplier — out: ann_lsh_fixed, hybrid_batch_rrf,
+# text_repetition_stats, semi_anti_customers, rationales inline
+# above); still eligible:
 #   streaming_dedup_within_watermark — bounded-state dedup (the
 #                            eviction law is pinned in pytest)
-#   lineitem_blame_per_supplier / orders_per_customer_distribution /
+#   orders_per_customer_distribution /
 #   brand_small_quantity_revenue / cheapest_line_per_brand — the
-#                            Q21/Q13/Q17/argmin relational shapes
+#                            Q13/Q17/argmin relational shapes
 #   events_rfm_segments / events_hourly_anomaly /
 #   text_pmi_collocations / retrieval_spell_suggest /
 #   multimodal_audio_resample — analytics/retrieval/multimodal breadth
