@@ -323,3 +323,72 @@ def test_hourly_anomaly_single_events_scan(spark):
     final = plan.split("Initial Plan")[0]
     assert final.count("Scan parquet") == 0, final[:2000]
     assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
+
+def final_plan_of(spark, name: str) -> str:
+    """Execute the query so AQE finalizes, then return only the
+    '== Final Plan ==' section (the Initial Plan echo double-counts
+    nodes — the house convention from the funnel/attribution guards)."""
+    df = QUERIES[name](spark, SF_ORACLE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("Initial Plan")[0]
+
+
+def test_q19_residues_push_to_both_scans(spark):
+    """tpch_q19_disjunctive: the OR-of-ANDs spans both join sides, so
+    no clause pushes whole — the plan claim is that Catalyst extracts
+    the per-table RESIDUES of the disjunction onto EACH scan (quantity
+    bands onto lineitem, brand+size bands onto part) while the full
+    disjunction runs as the broadcast join's post-condition. The
+    PushedFilters metadata string is truncated at 100 chars, so the
+    residues are asserted on the untruncated Filter nodes feeding each
+    scan plus the PushedFilters prefixes."""
+    import re
+
+    final = final_plan_of(spark, "tpch_q19_disjunctive")
+    lines = final.splitlines()
+    # lineitem side: the quantity-band residue reaches the scan
+    li_filter = [
+        l for l in lines
+        if "Filter" in l and "l_quantity" in l and "l_partkey" in l
+    ]
+    assert li_filter, final[:3000]
+    f = li_filter[0]
+    for lo, hi in ((1.0, 11.0), (10.0, 20.0), (20.0, 30.0)):
+        assert re.search(rf"l_quantity#\d+ >= {lo}", f), f
+        assert re.search(rf"l_quantity#\d+ <= {hi}", f), f
+    li_scan = [l for l in lines if "FileScan" in l and "lineitem.parquet" in l][0]
+    assert "l_quantity" in li_scan.split("PushedFilters:")[1], li_scan
+    # part side: the brand/size residue reaches the dim scan
+    p_filter = [l for l in lines if "Filter" in l and "p_brand" in l]
+    assert p_filter, final[:3000]
+    pf = p_filter[0]
+    for brand, hi in (("Brand#1", 5), ("Brand#2", 10), ("Brand#3", 15)):
+        assert f"= {brand})" in pf, pf
+        assert re.search(rf"p_size#\d+ <= {hi}", pf), pf
+    p_scan = [l for l in lines if "FileScan" in l and "part.parquet" in l][0]
+    assert "p_size" in p_scan.split("PushedFilters:")[1], p_scan
+    # the full cross-table disjunction is the join's post-condition
+    join = [l for l in lines if "BroadcastHashJoin" in l]
+    assert join and "p_brand" in join[0] and "l_quantity" in join[0], final[:3000]
+    assert "SortMergeJoin" not in final and "CartesianProduct" not in final
+
+
+def test_q18_having_gate_joins_back_broadcast(spark):
+    """tpch_q18_large_orders: the quantity gate is a partial-
+    aggregatable grouped sum (map-side combine before the one keyed
+    exchange), and the rehydration join-back runs as broadcast hash
+    joins in the FINAL AQE plan — the HAVING survivor set is tiny by
+    construction, so the fact table is never shuffle-joined twice —
+    ending in a TakeOrderedAndProject for the top-20."""
+    final = final_plan_of(spark, "tpch_q18_large_orders")
+    assert "partial_sum" in final, final[:2000]
+    assert final.count("BroadcastHashJoin") == 2, final[:3000]
+    assert "SortMergeJoin" not in final
+    assert "TakeOrderedAndProject" in final
+    # exactly one SHUFFLE exchange (the gate aggregate's orderkey
+    # repartition); everything else moves by broadcast
+    import re
+
+    shuffles = re.findall(r"(?<!Broadcast)Exchange (\w+)", final)
+    assert shuffles == ["hashpartitioning"], shuffles

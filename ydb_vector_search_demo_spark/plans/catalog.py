@@ -9988,7 +9988,10 @@ def q_tpch_q18_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering), and the HAVING survivor set is tiny by construction —
     AQE sees its post-shuffle size and demotes the join back to orders
     to a broadcast at runtime, so the rehydration never shuffles the
-    fact table twice. Exact integer quantity-cents gate; dates emitted
+    fact table twice (plan-guarded:
+    test_plans.test_q18_having_gate_joins_back_broadcast asserts the
+    final AQE plan has exactly one shuffle exchange and two broadcast
+    joins). Exact integer quantity-cents gate; dates emitted
     as ISO strings (the cross-engine-safe date convention); top-k cuts
     via TakeOrderedAndProject on (total_cents desc, orderkey)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -10040,7 +10043,10 @@ def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracts the per-table RESIDUES (brand ∈ {1,2,3} ∧ size ≤ 15 onto
     the part scan, quantity ∈ [1,30] onto lineitem) so each scan still
     prunes before the broadcast join, and the full disjunction runs as
-    the join's post-condition. Single-row cents-exact readout."""
+    the join's post-condition (plan-guarded:
+    test_plans.test_q19_residues_push_to_both_scans asserts each
+    residue on its scan's Filter/PushedFilters and the disjunction on
+    the join). Single-row cents-exact readout."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     q = F.col("l_quantity")
