@@ -422,6 +422,40 @@ def test_rank_ensemble_degenerates_to_single_signal(spark):
     assert top["ensemble"] == 1.0  # best rank -> percent_rank 0 -> 1.0
 
 
+def test_rank_ensemble_approx_agrees_within_bucket_width(spark):
+    """The approx twin's band-agreement law (the
+    perplexity_buckets_approx precedent): on a skewed two-signal
+    relation with ties, the sketch-bucket ensemble agrees with the
+    exact percent-rank ensemble within ~2 bucket widths on >=90% of
+    rows — and its plan has NO Window (the exact form's Exchange
+    SinglePartition sort is gone; the only single-partition exchange
+    moves the percentile sketches, one row per task)."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    rows = [
+        (i, (i * 7919) % 400, ((i * i) % 97) // 3)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, s1 LONG, s2 LONG")
+    sig = [("s1", 0.6), ("s2", 0.4)]
+    exact = {
+        r["doc_id"]: r["ensemble"]
+        for r in curation.rank_ensemble(df, sig, id_col="doc_id").collect()
+    }
+    approx_df = curation.rank_ensemble_approx(df, sig, n_buckets=100)
+    approx = {r["doc_id"]: r["ensemble"] for r in approx_df.collect()}
+    diffs = [abs(exact[k] - approx[k]) for k in exact]
+    agree = sum(d <= 2.0 / 100 for d in diffs) / len(diffs)
+    assert agree >= 0.9, (agree, sorted(diffs)[-5:])
+    assert max(diffs) <= 0.1, max(diffs)
+
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:1500]
+    assert "percentile_approx" in plan
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Exchange SinglePartition") <= 1, final[:2000]
+
+
 def test_stats_operators_laws(spark):
     """chi2: a perfectly independent 2x2 table contributes ~0; a
     perfectly dependent one contributes n. pearson: exact +1 on a

@@ -1527,12 +1527,18 @@ def rank_ensemble(
     percent ranks. Adds ``ensemble`` (rounded to 6 dp). Weights should
     be exact decimals (they become plan literals in both engines).
 
-    Scale shape: one global window per signal — percent_rank needs a
-    global sort, but over the per-DOCUMENT relation (signals are
-    already per-doc aggregates), not raw data; Spark plans it as a
-    range-partitioned sort. At 100 TB with trillions of docs, swap
-    percent_rank for an approx-quantile bucketing (same blending
-    formula over ntile buckets) — the blend itself is unchanged."""
+    Scale shape: one global window per signal — and a partitionBy-less
+    Window is NOT a parallel range-partitioned sort: Spark plans it as
+    ``Exchange SinglePartition`` + one sort, i.e. every row flows
+    through ONE task per signal (a global ``orderBy`` would
+    range-partition, but percent_rank needs the whole order in one
+    partition to know n). Tolerable only because the input is the
+    per-DOCUMENT signal relation (already aggregated), never raw data.
+    At 100 TB with trillions of docs even that single task breaks —
+    use :func:`rank_ensemble_approx`, which replaces each exact
+    percent_rank with an approx-quantile bucket position (a mergeable
+    sketch + a map-only probe, no single-task stage) and agrees with
+    the exact blend to within the bucket width."""
     acc = None
     for name, weight in signals:
         w = Window.orderBy(F.col(name).desc(), F.col(id_col).asc())
@@ -1542,6 +1548,55 @@ def rank_ensemble(
         term = F.lit(float(weight)) * (F.lit(1.0) - pr)
         acc = term if acc is None else acc + term
     return df.withColumn("ensemble", F.round(acc, 6))
+
+
+def rank_ensemble_approx(
+    df: DataFrame,
+    signals: list[tuple[str, float]],
+    n_buckets: int = 100,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The scale swap :func:`rank_ensemble` documents — the
+    perplexity_buckets_approx pattern applied to rank blending. Each
+    signal's exact percent_rank (an Exchange-SinglePartition global
+    window) is replaced by its approximate quantile POSITION: the
+    ``n_buckets``-1 interior quantile bounds come from ONE
+    ``approx_percentile`` aggregate per signal (a mergeable sketch —
+    map-side partials, a 1-row reduce), broadcast as a 1-row relation,
+    and each row's score is (#bounds strictly below its value) /
+    (n_buckets - 1) — a map-only array probe. The blend formula over
+    the positions is unchanged; ``ensemble`` is rounded to 6 dp.
+
+    No stage sees more than a sketch per task: the plan is two map
+    passes over the signal relation with a broadcast in between — no
+    Window, no single-task sort (plan-asserted in
+    tests/test_analytics.py). Agreement law (also tested): positions
+    differ from exact inverted percent_ranks only by bucket
+    quantization + sketch error, so the two ensembles agree within
+    ~1/n_buckets per unit weight on ≥90% of rows at the defaults.
+
+    Orientation note: rank_ensemble ranks each signal DESC and
+    inverts, so its score is the fraction of rows strictly below —
+    exactly the ascending quantile position this twin estimates."""
+    qs = [i / int(n_buckets) for i in range(1, int(n_buckets))]
+    bounds = df.agg(
+        *[
+            F.percentile_approx(name, qs, F.lit(int(accuracy))).alias(
+                f"_bs_{name}"
+            )
+            for name, _ in signals
+        ]
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    denom = F.lit(float(int(n_buckets) - 1))
+    acc = None
+    for name, weight in signals:
+        pos = F.size(
+            F.filter(F.col(f"_bs_{name}"), lambda b: b < F.col(name))
+        )
+        term = F.lit(float(weight)) * (pos / denom)
+        acc = term if acc is None else acc + term
+    return out.select(*df.columns, F.round(acc, 6).alias("ensemble"))
 
 
 def sample_mixture(

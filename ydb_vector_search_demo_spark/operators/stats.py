@@ -252,11 +252,16 @@ def gini_concentration(
     and G is one fixed double expression. Overflow bound:
     n²·max|x|·scale < 2⁶³.
 
-    Scale shape: one rank window per group (range-partitioned sort of
-    the per-ROW relation — the same cost family as rank_ensemble,
-    with the same documented approx ladder: at extreme group sizes,
-    bucket by approx quantiles and apply the grouped form), then a
-    map-combinable aggregate bounded by the group count."""
+    Scale shape: one rank window per group — a hash exchange on the
+    group key plus a per-partition sort, so each GROUP's rows land in
+    one task (not a range-partitioned sort; only a partition-less
+    global sort range-partitions). Parallelism = number of groups,
+    and a single extreme group serializes its own rank — the same
+    cost family as rank_ensemble's global window, with the same
+    documented approx ladder (rank_ensemble_approx's sketch-bucket
+    form: approx-quantile bounds per group, grouped Σx per bucket,
+    rank sums from bucket cumulative counts). Then a map-combinable
+    aggregate bounded by the group count."""
     xi = F.round(F.col(value_col) * scale).cast("bigint")
     w = Window.partitionBy(group_col).orderBy(F.col("_x").asc())
     ranked = df.select(

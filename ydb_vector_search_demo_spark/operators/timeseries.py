@@ -583,10 +583,13 @@ def rfm_segments(
     Scale shape: one keyed aggregation over the purchase slice (the
     shuffle carries user ids, bounded by purchasers, never events);
     the corpus-max is a 1-row broadcast; the three ntiles are global
-    windows — a global sort EACH, but over the per-USER relation, not
-    the event log (ntile cannot pre-aggregate; at 100 TB this is the
-    range-partitioned sort Spark already plans for a global window,
-    on a relation 3-5 orders of magnitude smaller than the input).
+    windows — and a partitionBy-less Window plans Exchange
+    SinglePartition + one sort (every per-user row through ONE task
+    per dimension), not a range-partitioned sort. Tolerable because
+    the windowed relation is per-USER, 3-5 orders of magnitude
+    smaller than the event log; at 100 TB swap each ntile for
+    approx-quantile tile bounds + a map-only CASE (the
+    rank_ensemble_approx / perplexity_buckets_approx pattern).
     Output is bounded by n_tiles³."""
     p = (
         events.filter(F.col(type_col) == purchase_type)
