@@ -422,6 +422,55 @@ def test_rank_ensemble_degenerates_to_single_signal(spark):
     assert top["ensemble"] == 1.0  # best rank -> percent_rank 0 -> 1.0
 
 
+def test_pair_lift_heavy_basket_valve(spark):
+    """pair_lift's heavy-basket valve (r10 verdict task #4 — the
+    span-removal valve template): (1) below the cap the valve is
+    result-INVISIBLE (row-for-row equal to the unvalved form);
+    (2) a planted degenerate basket (many distinct items — the
+    items²/basket blowup) is excluded before every count, so no pair
+    it exclusively produced survives and the statistics stay
+    self-consistent on the post-valve relation; (3) the plan carries
+    the over-cap list as a BROADCAST left-anti probe — no Window, no
+    sort over the basket key."""
+    from ydb_vector_search_demo_spark.operators import stats as ST
+
+    normal = [
+        (b, f"item{i}") for b in range(30) for i in range(4)
+    ]  # every 4-item basket shares items -> stable pairs
+    df = spark.createDataFrame(normal, "bk INT, it STRING")
+    base = sorted(
+        tuple(r)
+        for r in ST.pair_lift(df, "bk", "it", min_support=2, top=50).collect()
+    )
+    valved = sorted(
+        tuple(r)
+        for r in ST.pair_lift(
+            df, "bk", "it", min_support=2, top=50, max_basket=10
+        ).collect()
+    )
+    assert valved == base  # result-invisible below the cap
+
+    heavy = [(999, f"bot{i}") for i in range(60)]
+    df2 = spark.createDataFrame(normal + heavy, "bk INT, it STRING")
+    out_df = ST.pair_lift(
+        df2, "bk", "it", min_support=2, top=500, max_basket=10
+    )
+    out = sorted(tuple(r) for r in out_df.collect())
+    # the degenerate basket is gone: no bot-item pair, and the
+    # remaining statistics equal the heavy-free corpus exactly
+    assert not any("bot" in r[0] or "bot" in r[1] for r in out)
+    assert out == base
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert "Window" not in final, final[:1500]
+    import re
+
+    anti = [
+        l for l in final.splitlines() if "LeftAnti" in l
+    ]
+    assert anti and all("Broadcast" in l for l in anti), anti
+
+
 def test_rank_ensemble_approx_agrees_within_bucket_width(spark):
     """The approx twin's band-agreement law (the
     perplexity_buckets_approx precedent): on a skewed two-signal

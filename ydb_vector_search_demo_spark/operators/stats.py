@@ -173,6 +173,7 @@ def pair_lift(
     item_col: str,
     min_support: int = 5,
     top: int = 20,
+    max_basket: int | None = None,
 ) -> DataFrame:
     """Market-basket association mining: for every unordered item pair
     co-occurring in ≥ ``min_support`` baskets, the LIFT
@@ -183,14 +184,40 @@ def pair_lift(
     displayed at 6 dp and ordered on the rounded value with the pair
     as tie-break (total order both engines replay).
 
+    Heavy-basket valve (``max_basket``): the pair self-join fans out
+    items²/basket, so ONE degenerate basket (a crawler cart, a bot
+    session with 10⁵ items) costs 10¹⁰ pair rows in a single task.
+    With ``max_basket`` set, baskets holding more than that many
+    distinct items are EXCLUDED before every count — the standard
+    association-mining cap (a degenerate basket carries no affinity
+    signal; its pairs are noise at uniform support). Mechanically the
+    same shape as the dedup hot-hash valve: a map-combinable size
+    count, then the (tiny by construction) over-cap basket list
+    broadcast as a LEFT ANTI probe — no window over the basket key,
+    no sort. Result-INVISIBLE below the cap: when no basket exceeds
+    ``max_basket`` the output is row-for-row identical to the
+    unvalved form (all statistics, including n_baskets, are computed
+    on the post-valve relation, so they stay self-consistent either
+    way). Law-tested in tests/test_analytics.py (planted heavy
+    basket + below-cap equality + broadcast-anti plan assert).
+    Fan-out bound with the valve: ≤ max_basket·(max_basket−1)/2
+    pairs per basket, linear in baskets.
+
     Scale shape: the raw input collapses once (map-combinable
     distinct); the pair counts self-join that relation on the basket —
-    fan-out bounded by items²/basket (bounded basket sizes keep this
-    linear in baskets; a heavy-tailed basket would need the same cap
-    valve as the dedup pair paths); item counts and the global basket
+    fan-out bounded by items²/basket (the ``max_basket`` valve is the
+    cap for heavy-tailed baskets); item counts and the global basket
     count broadcast onto the pair result; the top-k cut is
     TakeOrderedAndProject."""
     bi = df.select(basket_col, item_col).distinct()
+    if max_basket is not None:
+        heavy = (
+            bi.groupBy(basket_col)
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .filter(F.col("_sz") > int(max_basket))
+            .select(basket_col)
+        )
+        bi = bi.join(F.broadcast(heavy), basket_col, "left_anti")
     n = bi.select(basket_col).distinct().agg(
         F.count(F.lit(1)).cast("bigint").alias("n_baskets")
     )
