@@ -6101,13 +6101,37 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_stats(back)
 
 
-@register("ingest_embed_roundtrip")
+@register(
+    "ingest_embed_roundtrip",
+    # r11 (r10 verdict task #5): converted from rows-only. The stub
+    # embedding is md5+PRNG per token (not SQL-replayable vector-wise
+    # for a whole corpus), but the row's READOUT is closed-form in the
+    # input: the dim is the fixed EMBEDDING_DIM and the L2 norm of
+    # every embedded text is exactly 1 unless the text has no tokens
+    # (zero vector -> norm 0) — so DuckDB recomputes all five cells
+    # per-row from the documents table, and the comparison catches a
+    # dropped/duplicated row, a truncated vector, or a normalization
+    # regression through the full write->re-read path.
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           64 AS dim_min, 64 AS dim_max,
+           round(min(CASE WHEN length(trim(text)) = 0
+                          THEN 0.0 ELSE 1.0 END), 3) AS l2_min,
+           round(max(CASE WHEN length(trim(text)) = 0
+                          THEN 0.0 ELSE 1.0 END), 3) AS l2_max
+    FROM documents
+    """,
+)
 def q_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion/upsert path (SURVEY.md §2.2 V5, app.py:29-42 implied):
     embed documents with the Arrow-batched pandas UDF (the production
     seam for a real embedding service) and write the store back as
     Parquet — then re-read and validate (count, dim, unit L2 norms).
-    Rows-only: the write path is the thing under test."""
+    The Spark side runs the REAL write path (embed → parquet write →
+    re-read → aggregate); the oracle replays the readout's closed
+    form (stub embeddings are unit-normalized except for token-less
+    texts, dim is pinned), so count preservation, vector width and
+    normalization are all graded through the roundtrip."""
     import tempfile
 
     docs = _t(spark, sf_dir, "documents")
