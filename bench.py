@@ -230,6 +230,28 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+    # Close-out split policy (r10 verdict task #7): the full 100+-row
+    # sweep takes minutes, so a late landing should only re-run the
+    # rows it touched. SPARK_GRAFT_BENCH_ONLY selects a subset:
+    #   (unset/empty) -> the full headline sweep (what the driver runs;
+    #                    writes BENCH_DETAIL.json, unchanged contract)
+    #   "contract"    -> only the COMPARABLE_20 rows at the 5-trial
+    #                    contract policy (the round-over-round stat)
+    #   "a,b,c"       -> only the named headline rows
+    # Subset runs write BENCH_DETAIL_subset.json (never clobbering the
+    # full capture) and tag the compact line with "subset"; the
+    # comparable_20_min stat is emitted only when all 20 rows ran.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if not only:
+        selected = list(HEADLINE)
+    elif only == "contract":
+        selected = list(COMPARABLE_20)
+    else:
+        selected = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in selected if n not in HEADLINE]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY not in HEADLINE: {unknown}")
+
     from ydb_vector_search_demo_spark.plans.catalog import QUERIES
     from ydb_vector_search_demo_spark.session import get_spark
 
@@ -256,7 +278,7 @@ def main() -> None:
     # pays its full KMeans fit in the timed region.
     smoke_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(smoke_dir) and smoke_dir != sf_dir.rstrip("/"):
-        for name in HEADLINE:
+        for name in selected:
             QUERIES[name](spark, smoke_dir).collect()
             dedup.release_persisted()
     else:
@@ -285,7 +307,7 @@ def main() -> None:
     TRIALS_TAIL = 3
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
-    for name in HEADLINE:
+    for name in selected:
         trials = TRIALS_CONTRACT if name in COMPARABLE_20 else TRIALS_TAIL
         samples = []
         for _ in range(trials):
@@ -346,8 +368,11 @@ def main() -> None:
         "value_min": value_min,
         "value_median": value_median,
     }
+    if only:
+        full["subset"] = only
+    detail_name = "BENCH_DETAIL_subset.json" if only else "BENCH_DETAIL.json"
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as f:
         json.dump(full, f, indent=1)
@@ -365,12 +390,15 @@ def main() -> None:
         "stat": "min_of_5_contract__min_of_3_tail",
         "value": value_min,
         "value_median": value_median,
-        "comparable_20_min": round(
-            sum(spread[n]["min"] for n in COMPARABLE_20 if n in spread), 3
-        ),
         "queries": {n: s["min"] for n, s in spread.items()},
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
     }
+    if only:
+        compact["subset"] = only
+    if all(n in spread for n in COMPARABLE_20):
+        compact["comparable_20_min"] = round(
+            sum(spread[n]["min"] for n in COMPARABLE_20), 3
+        )
     line = json.dumps(compact)
     if len(line) > 1900:
         # headline set grew past the capture window: drop per-query
