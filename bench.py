@@ -210,6 +210,17 @@ HEADLINE = [
     "orders_ship_latency_quantiles",
     "corpus_length_gini",
     "supplier_pareto_8020",
+    # r11 additions (outside the comparable subsets), all fully
+    # oracle-checked rows: the remaining partsupp-free TPC-H shapes —
+    # the Q6 pure-pushdown scan aggregate, Q10 returned-item top-20,
+    # the Q15 scalar-max join-back (checkpointed supplier-grain rev),
+    # the Q4-shaped correlated-EXISTS semi join, and the Q12-shaped
+    # conditional-sum mix
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q15_top_supplier",
+    "tpch_q4_priority_exists",
+    "tpch_q12_priority_mix",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

@@ -392,3 +392,14 @@ def test_q18_having_gate_joins_back_broadcast(spark):
 
     shuffles = re.findall(r"(?<!Broadcast)Exchange (\w+)", final)
     assert shuffles == ["hashpartitioning"], shuffles
+
+
+def test_q15_rev_relation_single_fact_scan(spark):
+    """tpch_q15_top_supplier: the supplier-grain rev relation is
+    localCheckpointed before its two consumers (global max + equality
+    gate), so the RESULT plan scans lineitem zero times — the fact
+    table was read exactly once, inside the checkpoint-building job."""
+    final = final_plan_of(spark, "tpch_q15_top_supplier")
+    assert "lineitem" not in final, final[:2000]
+    assert final.count("Scan parquet") <= 1, final[:2000]  # supplier dim only
+    assert "BroadcastHashJoin" in final

@@ -10608,6 +10608,264 @@ def q_supplier_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q6_forecast_revenue",
+    # TPC-H Q6 verbatim (the tables carry every column it needs): a
+    # single-table scan-heavy aggregate whose THREE range predicates
+    # must all reach the parquet scan — the canonical pushdown probe.
+    # Revenue = price×discount in exact cents.
+    f"""
+    SELECT count(*) AS n_lines,
+           {_SUM_CENTS_SQL.format(x="l_extendedprice * l_discount")} AS revenue_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): the would-be revenue of
+    dropping mid-band discounts on small quantities in one ship-year —
+    a pure scan-side aggregate. All three range predicates (date,
+    discount band, quantity cap) push to the parquet scan as
+    PushedFilters, the projection prunes to four columns, and the
+    whole query is one partial-aggregatable map pass + a 1-row reduce:
+    at 100 TB this is bounded by scan bandwidth alone (row-group
+    min/max skip the out-of-year groups). The discount band compares
+    the SAME stored doubles against the same literals in both engines,
+    so the boundary is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            _cents(F.col("l_extendedprice") * F.col("l_discount"))
+        ).alias("revenue_cents"),
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    # TPC-H Q10 (returned-item reporting, minus the address/phone
+    # columns the fixture omits): revenue LOST to returns per customer
+    # in one quarter — fact⋈fact on the orderkey, two broadcast dims,
+    # top-20 by exact-cents revenue.
+    f"""
+    SELECT cu.c_custkey, cu.c_name, n.n_name,
+           {_CENTS_SQL.format(x="cu.c_acctbal")} AS acctbal_cents,
+           count(*) AS n_lines,
+           {_SUM_CENTS_SQL.format(x="l.l_extendedprice * (1 - l.l_discount)")} AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer cu ON cu.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = cu.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue_cents DESC, cu.c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned items): which customers returned the most
+    revenue in a quarter. The returnflag residue pushes to the
+    lineitem scan and the date window to the orders scan BEFORE their
+    orderkey join (the only shuffle — the filtered orders side is a
+    quarter of a year, so AQE can demote even that join to a
+    broadcast at runtime); customer and nation broadcast; the top-20
+    cut is TakeOrderedAndProject on (revenue desc, custkey), never a
+    global sort. Account balances and revenue in exact integer
+    cents."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    cu = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            _cents("c_acctbal").alias("acctbal_cents"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents"),
+        )
+        .orderBy(F.desc("revenue_cents"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    # TPC-H Q15 (top supplier): the revenue "view" per supplier for a
+    # quarter, then the supplier(s) EQUAL to the global maximum — the
+    # scalar-aggregate join-back shape (a different gate than Q18's
+    # constant HAVING: the threshold is itself an aggregate).
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             {_SUM_CENTS_SQL.format(x="l_extendedprice * (1 - l_discount)")} AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, rev.total_cents
+    FROM rev
+    JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total_cents = (SELECT max(total_cents) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): suppliers whose quarterly revenue
+    equals the global maximum. The revenue relation (one
+    map-combinable keyed aggregate over the date-pruned scan, bounded
+    by suppliers) is built ONCE and consumed by both the max and the
+    equality gate: the 1-row max re-aggregates the supplier-grain
+    relation and broadcasts back onto it (a pass over SUPPLIER-grain
+    data, never the fact table), then the surviving row(s) pick up
+    s_name from the broadcast supplier dim. A DataFrame consumed by
+    two result branches re-executes its subplan per branch (the
+    pinned recompute class), so the supplier-grain rev relation is
+    localCheckpointed before fan-out — the final plan reads the
+    checkpoint twice and scans lineitem ZERO times (asserted below).
+    Exact-cents equality, so the max gate can't straddle a double
+    boundary."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey")).agg(
+        F.sum(
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("total_cents")
+    ).localCheckpoint(eager=True)
+    mx = rev.agg(F.max("total_cents").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("_mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q4_priority_exists",
+    # TPC-H Q4's shape on the columns the fixture carries (no
+    # l_commitdate/l_receiptdate): orders in one quarter counted per
+    # priority IFF there EXISTS a line shipped after the order date —
+    # the correlated-EXISTS-then-group shape, run as a real LeftSemi
+    # with a two-sided join condition.
+    """
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): per-priority counts
+    of one quarter's orders having at least one line shipped after
+    the order date. The EXISTS is a LEFT SEMI join on the orderkey
+    with the ship-after-order comparison riding the join condition
+    (probe-side evaluation — no post-filter materializes the matches,
+    no duplicate orders survive to the count); the date window prunes
+    the orders scan first, and the priority rollup is a
+    map-combinable five-group aggregate. At 100 TB the semi join
+    co-partitions with every other orderkey join in the workload."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q12_priority_mix",
+    # TPC-H Q12's shape on the fixture's columns (no l_shipmode /
+    # receipt dates): per return-flag class, how many lines belong to
+    # high-priority vs other orders in one ship-year — the
+    # conditional-sum (CASE inside the aggregate) join readout.
+    """
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_tpch_q12_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (priority mix per line class): both conditional
+    counts accumulate in ONE aggregate over the orderkey join (CASE
+    inside sum — never two scans or a pivot join), the ship-year
+    residue pushes to the lineitem scan, and the projection carries
+    only three columns into the join. The orderkey join is the one
+    shuffle; the final three-row rollup combines map-side."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
