@@ -221,6 +221,16 @@ HEADLINE = [
     "tpch_q15_top_supplier",
     "tpch_q4_priority_exists",
     "tpch_q12_priority_mix",
+    # r11 wave 2 (outside the comparable subsets), all fully
+    # oracle-checked rows: the stream-static dimension join (3-batch
+    # replay + broadcast dim + complete-mode agg), temperature-scaled
+    # mixture sampling (mT5 rule, pinned md5 keeps), the exact-integer
+    # seasonal-naive forecast MAE, and tokenizer-vocabulary OOV
+    # coverage
+    "streaming_enrich_static_join",
+    "corpus_temperature_mixture",
+    "events_seasonal_naive_mae",
+    "corpus_oov_rate",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

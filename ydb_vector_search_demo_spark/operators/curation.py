@@ -1663,6 +1663,66 @@ def sample_mixture(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    seed: str = "temp-v1",
+) -> DataFrame:
+    """TEMPERATURE-scaled mixture sampling — the multilingual-training
+    mixing rule (mT5/XLM-R style): group g gets target probability
+    p_g = n_g^α / Σ_h n_h^α, interpolating between proportional
+    sampling (α=1, big groups dominate) and uniform (α=0,
+    :func:`sample_mixture`'s target); keep-rate
+    r_g = min(1, budget·p_g / n_g) and a row survives iff its pinned
+    52-bit md5-uniform u < r_g — the same no-RNG determinization as
+    sample_mixture, so both engines keep the SAME rows. Adds
+    ``keep_rate`` (rounded 6 dp on output by callers).
+
+    Engine-portability: n_g^α is one ``pow`` of exact integers
+    (α=0.5 is IEEE sqrt, correctly rounded — bit-identical across
+    engines); the Σ over groups is a sum of a handful of doubles
+    whose order could differ at the last ulp, so a u landing within
+    an ulp of r_g is the only seam — the same measure-zero acceptance
+    class as priority_sample's pow.
+
+    Scale shape: identical to sample_mixture — one map-combinable
+    group count, the tiny weight/rate relation broadcast back, a
+    map-side filter; the corpus never shuffles."""
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_g")
+    )
+    w = F.pow(F.col("_n_g").cast("double"), F.lit(float(alpha)))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("_n_g").cast("double"), F.lit(float(alpha)))).alias(
+            "_tot"
+        )
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(int(budget)) * (w / F.col("_tot")) / F.col("_n_g"),
+        ).alias("keep_rate"),
+    )
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(float(2**52))
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(u < F.col("keep_rate"))
+    )
+
+
 def embedding_diversity(
     df: DataFrame,
     label_col: str = "label",

@@ -10866,6 +10866,256 @@ def q_tpch_q12_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_enrich_static_join",
+    # Stream-static join (streaming.events.enrich_static_join_counts):
+    # the oracle is the same batch join+aggregate — stream-static equi
+    # enrichment is exactly-once-equivalent to the batch join because
+    # the static side is wholly available at every trigger.
+    """
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-STATIC join cell (the third Structured Streaming
+    join surface next to the graded stream-stream row and the batch
+    joins): three deterministic micro-batches of events, each
+    broadcast-joined against the static customer dimension, feeding a
+    per-(segment, type) aggregation whose state merges across batches
+    and is read in complete mode. The DuckDB oracle replays the
+    equivalent batch join — equal because the static side is wholly
+    available at every trigger (no watermark, no join state)."""
+    _STREAM_COUNTER["n"] += 1
+    name = f"stream_enrich_{_STREAM_COUNTER['n']}"
+    agg = EV.enrich_static_join_counts(spark, sf_dir)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("c_mktsegment", "event_type")
+
+
+
+@register(
+    "corpus_temperature_mixture",
+    # Temperature-scaled mixing (operators.curation.temperature_mixture,
+    # the mT5/XLM-R rule): p_g ∝ n_g^0.5 — α=0.5 is IEEE sqrt, so the
+    # weight is bit-identical across engines; every keep decision is
+    # the pinned 52-bit md5 uniform DuckDB replays.
+    """
+    WITH c AS (
+      SELECT lang, count(*)::BIGINT AS n_g FROM documents GROUP BY 1),
+    t AS (SELECT sum(pow(n_g, 0.5)) AS tot FROM c),
+    r AS (
+      SELECT lang, n_g,
+             least(1.0, 300 * (pow(n_g, 0.5) / (SELECT tot FROM t)) / n_g)
+               AS rate
+      FROM c),
+    kept AS (
+      SELECT d.lang, d.n_chars, r.rate
+      FROM documents d JOIN r USING (lang)
+      WHERE (CAST(('0x' || substring(md5('temp-v1:' || d.doc_id::VARCHAR),
+                                     1, 13))::BIGINT AS DOUBLE) + 0.5)
+            / 4503599627370496.0 < r.rate)
+    SELECT lang, count(*)::BIGINT AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+           round(rate, 6) AS keep_rate
+    FROM kept GROUP BY lang, rate ORDER BY lang
+    """,
+)
+def q_corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling at α=0.5 under a 300-doc
+    budget (operators.curation.temperature_mixture): the multilingual
+    mixing rule BETWEEN proportional and uniform — the en-heavy
+    fixture keeps a larger share than under sample_mixture's uniform
+    target but still yields the floor to the small languages. Same
+    pinned-md5 determinization and broadcast-rate scale shape as the
+    rebalance row; the sqrt weight is bit-identical across engines.
+    Per-language kept counts / characters / rate."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = curation.temperature_mixture(docs, "lang", budget=300, alpha=0.5)
+    return (
+        kept.groupBy("lang", "keep_rate")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+        .select(
+            "lang",
+            "n_kept",
+            "kept_chars",
+            F.round("keep_rate", 6).alias("keep_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "events_seasonal_naive_mae",
+    # Forecast-eval with EXACT integer arithmetic: per hour-of-day,
+    # predict the train-window mean and score the test window by MAE —
+    # but |v − Σ/n| sums as the exact bigint |v·n − Σ| over a COMMON
+    # denominator per hour, so no double accumulates across rows and
+    # the readout is engine-exact until one final division.
+    """
+    WITH ev AS (
+      SELECT hour(ts) AS hod,
+             CAST(round(value * 100) AS BIGINT) AS v_cents,
+             ts >= TIMESTAMP '2024-01-21' AS is_test
+      FROM events),
+    tr AS (
+      SELECT hod, count(*)::BIGINT AS n_h,
+             CAST(sum(v_cents) AS BIGINT) AS sum_h
+      FROM ev WHERE NOT is_test GROUP BY 1),
+    te AS (
+      SELECT ev.hod, tr.n_h, tr.sum_h,
+             abs(ev.v_cents * tr.n_h - tr.sum_h) AS num
+      FROM ev JOIN tr USING (hod) WHERE ev.is_test)
+    SELECT hod, count(*)::BIGINT AS n_test,
+           CAST(max(n_h) AS BIGINT) AS n_train,
+           round(max(sum_h) / (100.0 * max(n_h)), 6) AS pred_mean,
+           round(CAST(sum(num) AS DOUBLE)
+                 / (count(*) * max(n_h) * 100.0), 6) AS mae
+    FROM te GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_events_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast BASELINE with exact-integer evaluation:
+    train on events before Jan 21, predict each hour-of-day's mean
+    value, report per-hour MAE over the held-out tail — the
+    model-eval primitive a pipeline runs before trusting any learned
+    forecaster. The absolute error |v − Σ/n| is accumulated as the
+    exact bigint |v·n_h − Σ_h| (common denominator per hour), so the
+    MAE is one final double division of exact integers — no
+    cross-row double summation to drift between engines. Overflow
+    bound: max|v_cents|·n_h·n_test < 2⁶³ — a 5-digit cents column
+    leaves ~10¹⁴ row-pairs per hour bucket; past that the numerator
+    moves to DECIMAL(38,0). Scale shape: one map-combinable train
+    aggregate (24 rows), broadcast back onto the test slice, one
+    map-combinable final rollup — the event log never shuffles."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.hour("ts").alias("hod"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+        (F.col("ts") >= F.lit("2024-01-21").cast("timestamp")).alias(
+            "is_test"
+        ),
+    )
+    tr = (
+        ev.filter(~F.col("is_test"))
+        .groupBy("hod")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_h"),
+            F.sum("v_cents").cast("bigint").alias("sum_h"),
+        )
+    )
+    te = (
+        ev.filter(F.col("is_test"))
+        .join(F.broadcast(tr), "hod")
+        .select(
+            "hod",
+            "n_h",
+            "sum_h",
+            F.abs(F.col("v_cents") * F.col("n_h") - F.col("sum_h")).alias(
+                "num"
+            ),
+        )
+    )
+    return (
+        te.groupBy("hod")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.max("n_h").cast("bigint").alias("n_train"),
+            F.round(
+                F.max("sum_h") / (F.lit(100.0) * F.max("n_h")), 6
+            ).alias("pred_mean"),
+            F.round(
+                F.sum("num").cast("double")
+                / (F.count(F.lit(1)) * F.max("n_h") * F.lit(100.0)),
+                6,
+            ).alias("mae"),
+        )
+        .orderBy("hod")
+    )
+
+
+@register(
+    "corpus_oov_rate",
+    # Vocabulary-coverage eval: the top-256 corpus tokens (count desc,
+    # token asc — a total order) are "the tokenizer vocabulary"; the
+    # readout is each language's out-of-vocabulary token fraction as
+    # exact integer counts + one displayed division.
+    rf"""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             (CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                   ELSE string_split_regex(trim(text), '\s+') END) AS t
+      FROM documents),
+    tok AS (SELECT lang, unnest(t) AS tok FROM tk),
+    cnt AS (SELECT tok, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+    vocab AS (
+      SELECT tok FROM cnt ORDER BY n DESC, tok LIMIT 256),
+    scored AS (
+      SELECT tok.lang,
+             CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok LEFT JOIN vocab v USING (tok))
+    SELECT lang, count(*)::BIGINT AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           round(sum(oov) / (1.0 * count(*)), 6) AS oov_rate
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary COVERAGE: freeze the top-256 corpus tokens
+    (count desc, token asc — ties deterministic) as the vocabulary and
+    report each language's out-of-vocabulary token rate — the eval a
+    pipeline runs before committing to a tokenizer (an en-trained
+    vocab leaves zh nearly 100% OOV). Exact integer token/OOV counts;
+    the only double is the displayed rate. Scale shape: one
+    map-combinable token count, a 256-row TakeOrderedAndProject
+    vocabulary broadcast into a LEFT join probe (existence flag, no
+    fan-out), then a per-language rollup — the token stream shuffles
+    once for the count and never again."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    vocab = (
+        cnt.orderBy(F.desc("n"), "tok")
+        .limit(256)
+        .select("tok", F.lit(1).alias("_in_v"))
+    )
+    scored = tok.join(F.broadcast(vocab), "tok", "left").select(
+        "lang",
+        F.when(F.col("_in_v").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("oov").cast("bigint").alias("n_oov"),
+            F.round(
+                F.sum("oov") / (F.lit(1.0) * F.count(F.lit(1))), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:

@@ -432,3 +432,45 @@ def dedup_events_within_watermark(
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark([key_col])
     )
+
+
+def enrich_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC dimension join — the one Structured Streaming
+    join mode the stream-stream row does not cover: facts stream in,
+    the dimension is a plain batch table re-resolved and BROADCAST
+    into every micro-batch's join (the production enrichment shape —
+    no watermark required, no join state kept, because the static
+    side is wholly available each trigger). The events replay as
+    three deterministic micro-batches (:func:`multi_batch_events_dir`),
+    so the enrichment provably runs incrementally; the downstream
+    per-(segment, type) aggregation merges state across batches and
+    is read in complete mode. At 100 TB the stream side is Kafka and
+    the dim is the warehouse customer table: per-trigger cost is
+    |batch| probe rows against a broadcast map, state is bounded by
+    |segments|×|types|."""
+    import os
+
+    from ydb_vector_search_demo_spark.sources.tables import (
+        load_table,
+        normalize_event_ts,
+    )
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    stream_dir = multi_batch_events_dir(spark, sf_dir, n_batches=3)
+    raw = (
+        spark.readStream.schema(_events_schema(spark, src))
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stream_dir)
+    )
+    ev = normalize_event_ts(raw)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+            "value_cents"
+        ),
+    )
