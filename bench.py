@@ -231,6 +231,10 @@ HEADLINE = [
     "corpus_temperature_mixture",
     "events_seasonal_naive_mae",
     "corpus_oov_rate",
+    # r11 wave 3 (outside the comparable subsets): Dirichlet
+    # query-likelihood retrieval — the LM scorer next to BM25, grid
+    # left-join over matched docs, fully oracle-checked
+    "retrieval_qld_topk",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

@@ -1406,3 +1406,75 @@ def proximity_match(
         .select(F.col(id_col), F.array_min(gaps).cast("int").alias("min_gap"))
         .filter(F.col("min_gap") <= int(max_gap))
     )
+
+
+def qld_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    mu: float = 1000.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-likelihood retrieval with DIRICHLET smoothing (Zhai &
+    Lafferty 2001) — the classic language-model alternative to BM25:
+    score(d) = Σ_{t∈q} ln((tf(t,d) + μ·cf(t)/|C|) / (dl(d) + μ)),
+    where cf is the COLLECTION frequency (the smoothing mass BM25 has
+    no analogue of). Every matched document scores ALL query terms —
+    absent terms contribute their background probability — via a
+    (matched docs × query terms) grid LEFT-joined against the exact
+    tf relation; a term absent from the whole corpus drops out of the
+    grid (cf undefined) rather than contributing -inf, identically in
+    both engines. Candidate set: documents containing ≥1 query term
+    (the same match-then-score convention as bm25_topk). Top-k on
+    (rounded score desc, id).
+
+    Scale shape: the query-term isin filter cuts the token explode
+    BEFORE any aggregation (only matching tokens shuffle); the cf/df
+    stats and the 1-row collection length broadcast; the grid is
+    |matched docs|×|terms| (never corpus×terms); the final cut is
+    TakeOrderedAndProject."""
+    terms = [t.lower() for t in terms]
+    base = docs.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    )
+    c_len = base.agg(
+        F.sum(F.size("_toks")).cast("bigint").alias("_c_len")
+    )
+    tok = (
+        base.select(
+            F.col(id_col),
+            F.size("_toks").alias("_dl"),
+            F.explode("_toks").alias("_t"),
+        )
+        .withColumn("_t", F.lower(F.col("_t")))
+        .filter(F.col("_t").isin(list(terms)))
+    )
+    cf = tok.groupBy("_t").agg(F.count(F.lit(1)).cast("bigint").alias("_cf"))
+    tf = tok.groupBy(id_col, "_dl", "_t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_tf")
+    )
+    docs_m = tf.select(id_col, "_dl").distinct()
+    grid = docs_m.crossJoin(F.broadcast(cf))
+    sc = (
+        grid.join(
+            tf.select(id_col, "_t", "_tf"), [id_col, "_t"], "left"
+        )
+        .crossJoin(F.broadcast(c_len))
+        .select(
+            F.col(id_col),
+            F.log(
+                (
+                    F.coalesce(F.col("_tf"), F.lit(0)).cast("double")
+                    + F.lit(float(mu)) * F.col("_cf") / F.col("_c_len")
+                )
+                / (F.col("_dl") + F.lit(float(mu)))
+            ).alias("_s"),
+        )
+    )
+    return (
+        sc.groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("qld"))
+        .orderBy(F.desc("qld"), id_col)
+        .limit(int(k))
+    )

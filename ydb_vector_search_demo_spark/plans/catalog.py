@@ -11116,6 +11116,49 @@ def q_corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QLD_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "retrieval_qld_topk",
+    # Dirichlet query-likelihood (operators.retrieval.qld_topk): the
+    # LM-scoring alternative to BM25 — absent query terms contribute
+    # their background collection probability, replayed exactly by the
+    # grid LEFT-join CTE chain.
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    c AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS c_len FROM t),
+    tok AS (SELECT doc_id, len(toks) AS dl, lower(unnest(toks)) AS term
+            FROM t),
+    m AS (SELECT * FROM tok WHERE term IN ({{terms}})),
+    cf AS (SELECT term, count(*)::BIGINT AS cf FROM m GROUP BY 1),
+    tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+           FROM m GROUP BY 1, 2, 3),
+    dm AS (SELECT DISTINCT doc_id, dl FROM tf),
+    grid AS (SELECT dm.doc_id, dm.dl, cf.term, cf.cf
+             FROM dm CROSS JOIN cf),
+    sc AS (
+      SELECT g.doc_id,
+             ln((CAST(coalesce(tf.tf, 0) AS DOUBLE)
+                 + 1000.0 * g.cf / (SELECT c_len FROM c))
+                / (g.dl + 1000.0)) AS s
+      FROM grid g
+      LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.term = g.term)
+    SELECT doc_id, round(sum(s), 6) AS qld
+    FROM sc GROUP BY 1 ORDER BY qld DESC, doc_id LIMIT 10
+    """.format(terms=_QLD_TERMS_SQL),
+)
+def q_retrieval_qld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-10 for the flagship
+    query terms (operators.retrieval.qld_topk, μ=1000): the
+    language-model retrieval family next to the graded BM25 rows —
+    same exact tf/cf counts, but a doc is penalized for MISSING terms
+    through the background probability (BM25 just omits them), so the
+    two scorers genuinely rank differently. The DuckDB oracle replays
+    the grid LEFT-join composition term for term."""
+    return R.qld_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
