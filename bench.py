@@ -235,6 +235,12 @@ HEADLINE = [
     # query-likelihood retrieval — the LM scorer next to BM25, grid
     # left-join over matched docs, fully oracle-checked
     "retrieval_qld_topk",
+    # r11 wave 4 (outside the comparable subsets): video scene-cut
+    # detection through the real Y4M decode (exact-integer frame
+    # diffs), and the Kaplan-Meier survival curve with right-censoring
+    # (ordered cumulative ln-sum product)
+    "multimodal_scene_cuts",
+    "events_survival_km",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

@@ -494,3 +494,56 @@ def media_embedding_stub(
         ]
     )
     return media.mapInPandas(embed, schema)
+
+
+def scene_cuts(media: DataFrame, threshold: int = 85) -> DataFrame:
+    """Video SCENE-CUT detection over decoded frames — the temporal
+    sibling of frame_sample: for every adjacent frame pair the exact
+    integer sum of per-byte absolute differences, and a cut wherever
+    the pair's total exceeds ``threshold`` mean units per byte
+    (compared as the exact integer s > threshold·frame_len — no
+    float boundary). Pure-integer readout per video: frame count,
+    pair count, cut count, total absolute difference, frame length.
+    One Arrow-batched mapInPandas pass; the payload dies at the
+    decode seam and only five ints per video leave the worker."""
+    from ydb_vector_search_demo_spark.shipping import ensure_package_on_workers
+
+    ensure_package_on_workers()
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "n_frames": [], "n_pairs": [],
+                "n_cuts": [], "total_absdiff": [], "frame_len": [],
+            }
+            for mid, mod, payload in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"]
+            ):
+                if mod != "video":
+                    continue
+                _w, _h, frames = decode_y4m(bytes(payload))
+                fl = int(frames[0].shape[0])
+                total = 0
+                n_cuts = 0
+                for a, b in zip(frames, frames[1:]):
+                    s = int(
+                        np.abs(
+                            b.astype(np.int64) - a.astype(np.int64)
+                        ).sum()
+                    )
+                    total += s
+                    if s > int(threshold) * fl:
+                        n_cuts += 1
+                out["media_id"].append(int(mid))
+                out["n_frames"].append(len(frames))
+                out["n_pairs"].append(len(frames) - 1)
+                out["n_cuts"].append(n_cuts)
+                out["total_absdiff"].append(total)
+                out["frame_len"].append(fl)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        cuts,
+        "media_id long, n_frames int, n_pairs long, n_cuts long, "
+        "total_absdiff long, frame_len int",
+    )

@@ -11159,6 +11159,185 @@ def q_retrieval_qld(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.qld_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
 
 
+@register(
+    "multimodal_scene_cuts",
+    # Scene cuts, analytically: frame f's byte j is (j·(f+1)+id) % 256
+    # (the synth_video closed form), so the pair-(f,f+1) absolute
+    # difference sum is Σ_j |(j·(f+2)+id)%256 − (j·(f+1)+id)%256| —
+    # DuckDB regenerates the index space with constant-bound
+    # generate_series (fl = 3wh/2 ≤ 810 < 1024, pairs ≤ 6) and the
+    # cut compare is exact-integer s > 85·fl, while Spark decodes the
+    # real Y4M payloads.
+    f"""
+    WITH {_MM_BASE},
+    pp AS (
+      SELECT v.media_id, v.nf, 3 * v.w * v.h // 2 AS fl, f.g AS f
+      FROM vid v, generate_series(0, 6) f(g)
+      WHERE f.g < v.nf - 1),
+    d AS (
+      SELECT p.media_id, p.nf, p.fl, p.f,
+             sum(abs((j.g * (p.f + 2) + p.media_id) % 256
+                     - (j.g * (p.f + 1) + p.media_id) % 256)) AS s
+      FROM pp p, generate_series(0, 1023) j(g)
+      WHERE j.g < p.fl
+      GROUP BY 1, 2, 3, 4),
+    agg AS (
+      SELECT media_id, max(nf) AS nf, max(fl) AS fl,
+             count(*)::BIGINT AS n_pairs,
+             CAST(sum(CASE WHEN s > 85 * fl THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cuts,
+             CAST(sum(s) AS BIGINT) AS total_absdiff
+      FROM d GROUP BY 1)
+    SELECT media_id, nf::INTEGER AS n_frames, n_pairs, n_cuts,
+           total_absdiff,
+           round(total_absdiff / (1.0 * n_pairs * fl), 6) AS mean_absdiff
+    FROM agg ORDER BY media_id
+    """,
+)
+def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal video analysis through the real codec
+    (multimodal/media.py scene_cuts): per video, exact integer
+    absolute-difference totals between adjacent decoded frames and the
+    cut count at the 85-mean-units threshold — the shot-boundary
+    primitive a video-training pipeline runs before frame sampling.
+    Spark decodes every Y4M payload in one Arrow pass; the oracle
+    regenerates the frame bytes in closed form from the id — content,
+    not headers, across the whole encode→decode→diff chain. The cut
+    compare is s > 85·frame_len on exact integers, so no float
+    boundary exists anywhere in the row."""
+    from ydb_vector_search_demo_spark.multimodal import media
+
+    cuts = media.scene_cuts(
+        media.synthesize_media_table(_t(spark, sf_dir, "documents")),
+        threshold=85,
+    )
+    return cuts.select(
+        "media_id",
+        "n_frames",
+        "n_pairs",
+        "n_cuts",
+        "total_absdiff",
+        F.round(
+            F.col("total_absdiff")
+            / (F.lit(1.0) * F.col("n_pairs") * F.col("frame_len")),
+            6,
+        ).alias("mean_absdiff"),
+    ).orderBy("media_id")
+
+
+@register(
+    "events_survival_km",
+    # Kaplan-Meier with right-censoring: users last seen within 3 days
+    # of the corpus end are CENSORED (still alive), everyone else
+    # "churns" at their observed lifetime. d/c/n are exact bigints;
+    # the product Π(1 − d/n) runs as exp(Σ ln(...)) over an ORDERED
+    # cumulative window (a total order on duration), so both engines
+    # accumulate the identical doubles in the identical sequence.
+    """
+    WITH u AS (
+      SELECT user_id, min(epoch_us(ts)) AS first_us,
+             max(epoch_us(ts)) AS last_us
+      FROM events GROUP BY 1),
+    mx AS (SELECT max(last_us) AS m FROM u),
+    lab AS (
+      SELECT (last_us - first_us) // 86400000000 AS dur,
+             last_us > (SELECT m FROM mx) - 259200000000 AS censored
+      FROM u),
+    tot AS (SELECT count(*)::BIGINT AS n FROM lab),
+    cnt AS (
+      SELECT dur,
+             CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM lab GROUP BY 1),
+    risk AS (
+      SELECT dur, d, c,
+             (SELECT n FROM tot)
+               - coalesce(sum(d + c) OVER (
+                   ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM cnt),
+    km AS (
+      SELECT dur, n_risk, d, c,
+             exp(sum(ln(1 - d / (1.0 * n_risk))) OVER (
+                 ORDER BY dur ROWS UNBOUNDED PRECEDING)) AS s
+      FROM risk)
+    SELECT dur AS duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_churned, c AS n_censored, round(s, 6) AS survival
+    FROM km ORDER BY duration_days
+    """,
+)
+def q_events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifetime SURVIVAL curve (Kaplan-Meier with right-
+    censoring): lifetime = whole days between a user's first and last
+    event; users last seen within 3 days of the corpus end are
+    censored (they leave the risk set without counting as churn —
+    without censoring KM degenerates to the empirical CDF). At-risk
+    counts come from one ordered cumulative window over the
+    DURATION-grain relation (≤ observation-window days — an Exchange
+    SinglePartition over ~30 rows, not raw events), and the survival
+    product runs as exp of the ordered cumulative ln-sum, so the
+    doubles accumulate in the same total order in both engines. The
+    event log itself contributes one map-combinable per-user min/max
+    aggregate and never shuffles again."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+    mx = u.agg(F.max("last_us").alias("_m"))
+    lab = u.crossJoin(F.broadcast(mx)).select(
+        F.expr("(last_us - first_us) div 86400000000").alias("dur"),
+        (F.col("last_us") > F.col("_m") - F.lit(259200000000)).alias(
+            "censored"
+        ),
+    )
+    tot = lab.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    cnt = lab.groupBy("dur").agg(
+        F.sum(F.when(F.col("censored"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("d"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    )
+    w_prior = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = cnt.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        "c",
+        (
+            F.col("_n")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    w_cum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = risk.select(
+        "dur",
+        "n_risk",
+        "d",
+        "c",
+        F.exp(
+            F.sum(
+                F.log(1 - F.col("d") / (F.lit(1.0) * F.col("n_risk")))
+            ).over(w_cum)
+        ).alias("s"),
+    )
+    return km.select(
+        F.col("dur").alias("duration_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").alias("n_churned"),
+        F.col("c").alias("n_censored"),
+        F.round("s", 6).alias("survival"),
+    ).orderBy("duration_days")
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
