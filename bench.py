@@ -241,6 +241,9 @@ HEADLINE = [
     # (ordered cumulative ln-sum product)
     "multimodal_scene_cuts",
     "events_survival_km",
+    # HLL state merge: register-wise max across segments vs the
+    # oracle's direct union-stream sketch - the mergeability law
+    "events_hll_union",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

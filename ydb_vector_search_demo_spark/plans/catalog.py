@@ -11338,6 +11338,86 @@ def q_events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("duration_days")
 
 
+def _hll_union_oracle_sql() -> str:
+    sub = (
+        "(SELECT event_type, user_id FROM events "
+        "WHERE event_type IN ('click', 'purchase'))"
+    )
+    frag_t = SK.hll_oracle_cte(sub, "event_type", "user_id", out="hll_t")
+    frag_u = SK.hll_oracle_cte(sub, "'click+purchase'", "user_id", out="hll_union")
+    return f"""
+    WITH est_t AS ({frag_t}),
+    est_u AS ({frag_u}),
+    exact AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_union
+      FROM events WHERE event_type IN ('click', 'purchase'))
+    SELECT 'click+purchase' AS segment,
+           u.hll_union, u.raw_sum, u.n_regs,
+           (SELECT hll_t FROM est_t WHERE k = 'click') AS hll_click,
+           (SELECT hll_t FROM est_t WHERE k = 'purchase') AS hll_purchase,
+           round((SELECT hll_t FROM est_t WHERE k = 'click')
+                 + (SELECT hll_t FROM est_t WHERE k = 'purchase')
+                 - u.hll_union, 2) AS hll_intersect,
+           exact.exact_union
+    FROM est_u u CROSS JOIN exact
+    """
+
+
+@register("events_hll_union", _hll_union_oracle_sql())
+def q_events_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes sketches the
+    100 TB answer (shards/streams union by merging state, never
+    rescanning): Spark max-merges the click and purchase segments'
+    HLL REGISTER STATE (register-wise max — the associative merge),
+    while the oracle sketches the union stream directly; their
+    equality down to the integer register internals (raw_sum, n_regs)
+    IS the mergeability law, checked bit-for-bit. The row also reads
+    out the inclusion-exclusion audience-overlap estimate
+    (click + purchase − union) next to the exact union count. Only
+    sketch state ever crosses the wire: the per-type partial-max
+    shuffle is ≤ 2×512 rows, the merge is ≤ 512."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    regs = SK.hll_registers(ev, ["event_type"], "user_id")
+    per = SK.hll_estimate(regs, ["event_type"], out="hll_t")
+    merged = (
+        regs.groupBy("reg")
+        .agg(F.max("mrank").alias("mrank"))
+        .withColumn("segment", F.lit("click+purchase"))
+    )
+    u = SK.hll_estimate(merged, ["segment"], out="hll_union")
+    exact = ev.agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_union")
+    )
+    click = per.filter(F.col("event_type") == "click").select(
+        F.col("hll_t").alias("hll_click")
+    )
+    purchase = per.filter(F.col("event_type") == "purchase").select(
+        F.col("hll_t").alias("hll_purchase")
+    )
+    return (
+        u.crossJoin(F.broadcast(click))
+        .crossJoin(F.broadcast(purchase))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "segment",
+            "hll_union",
+            "raw_sum",
+            "n_regs",
+            "hll_click",
+            "hll_purchase",
+            F.round(
+                F.col("hll_click")
+                + F.col("hll_purchase")
+                - F.col("hll_union"),
+                2,
+            ).alias("hll_intersect"),
+            "exact_union",
+        )
+    )
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
