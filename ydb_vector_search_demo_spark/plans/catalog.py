@@ -11850,6 +11850,34 @@ _GRADE_FIRST = [
 #                            condition, role-aliased dims, ratio-of-
 #                            conditional-sums, HAVING-gate join-back,
 #                            disjunctive residue pushdown)
+# r11 additions, all fully oracle-backed at sf0.01 AND sf0.1,
+# ×10-probed (BASELINE r11) and pytest-swept, strongest first:
+#   events_hll_union       — sketch MERGEABILITY bit-for-bit (Spark
+#                            max-merges register state; the oracle
+#                            sketches the union stream directly)
+#   multimodal_scene_cuts  — temporal video analysis through the real
+#                            Y4M decode; exact-integer cut decisions
+#   events_survival_km     — Kaplan-Meier with right-censoring
+#                            (ordered cumulative ln-sum product)
+#   retrieval_qld_topk     — Dirichlet query-likelihood (the LM
+#                            scorer next to BM25; background mass for
+#                            absent terms)
+#   streaming_enrich_static_join — the stream-STATIC join cell
+#                            (3-batch replay, broadcast dim,
+#                            complete-mode state merge)
+#   events_seasonal_naive_mae — forecast-eval MAE with exact-bigint
+#                            common-denominator error accumulation
+#   corpus_temperature_mixture / corpus_oov_rate — mT5 temperature
+#                            mixing; tokenizer-vocabulary coverage
+#   tpch_q6_forecast_revenue / tpch_q10_returned_items /
+#   tpch_q15_top_supplier / tpch_q4_priority_exists /
+#   tpch_q12_priority_mix — the remaining partsupp-free TPC-H shapes
+#                            (pure pushdown scan, returned-item
+#                            top-20, scalar-max join-back w/
+#                            checkpointed rev, correlated EXISTS,
+#                            conditional-sum mix)
+#   ingest_embed_roundtrip — converted from rows-only (closed-form
+#                            readout through the real write path)
 # Duplicate-surface rows eligible to rotate OUT with rationale:
 # grouping_sets_status_priority vs datetime_order_stats overlap is
 # partial only (grouping sets are a distinct surface — keep both);
