@@ -766,3 +766,172 @@ def test_pareto_8020_exact(spark):
     ).otherwise(0)
     out = ranked.agg(F.sum(needed).alias("n_top80")).first()
     assert out["n_top80"] == 1
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 5: ROC-AUC, ranking metrics, LM examples, token entropy
+# ---------------------------------------------------------------------------
+
+
+def test_roc_auc_laws(spark):
+    """Pair-count AUC laws on planted scores: perfect separation -> 1,
+    inverted separation -> 0, a single all-tied score -> exactly 0.5
+    (the factor-2 numerator keeps the tie half-credit integral), and a
+    known mixed case -> the hand-counted pair fraction."""
+    from ydb_vector_search_demo_spark.operators.stats import roc_auc
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "score BIGINT, is_pos BOOLEAN")
+        return roc_auc(df).first()
+
+    perfect = auc_of([(1, False), (2, False), (3, True), (4, True)])
+    assert perfect["auc"] == 1.0
+    assert (perfect["n_pos"], perfect["n_neg"]) == (2, 2)
+    inverted = auc_of([(9, False), (8, False), (1, True), (2, True)])
+    assert inverted["auc"] == 0.0
+    tied = auc_of([(5, True), (5, False), (5, True), (5, False)])
+    assert tied["auc"] == 0.5 and tied["n_scores"] == 1
+    # mixed: pos scores {3, 1}, neg scores {2, 2}. Pairs: (3 beats 2)
+    # x2 wins, (1 vs 2) x2 losses -> U = 2 of 4 -> 0.5; shift one neg
+    # below both: pos {3,1} neg {2,0} -> wins 2 + 1 = 3 of 4 -> 0.75.
+    mixed = auc_of([(3, True), (1, True), (2, False), (0, False)])
+    assert mixed["auc"] == 0.75
+
+
+def test_roc_auc_grouped_matches_ungrouped(spark):
+    """group_col partitions independently: each group's AUC equals the
+    ungrouped AUC of that group's rows alone."""
+    from ydb_vector_search_demo_spark.operators.stats import roc_auc
+
+    rows = [
+        ("a", 3, True), ("a", 1, True), ("a", 2, False), ("a", 0, False),
+        ("b", 1, False), ("b", 2, True),
+    ]
+    df = spark.createDataFrame(rows, "g STRING, score BIGINT, is_pos BOOLEAN")
+    got = {
+        r["g"]: r["auc"]
+        for r in roc_auc(df, group_col="g").collect()
+    }
+    for g in ("a", "b"):
+        solo = roc_auc(df.filter(F.col("g") == g).drop("g")).first()["auc"]
+        assert got[g] == solo
+    assert got["b"] == 1.0
+
+
+def test_ranking_metrics_laws(spark):
+    """Ranking-metrics laws: (1) retrieving the qrels in ideal order
+    -> P@p = MRR = NDCG = 1; (2) retrieving only irrelevant docs -> all
+    zero; (3) retrieving a relevant doc at pos 2 sets MRR = 1/2; and
+    (4) IDCG uses the FULL qrels — retrieving only the gain-1 doc while
+    the gain-2 doc exists caps NDCG strictly below 1."""
+    from ydb_vector_search_demo_spark.operators.retrieval import (
+        ndcg_discounts,
+        ranking_metrics,
+    )
+
+    qrels = spark.createDataFrame(
+        [("q", 10, 2), ("q", 20, 1)],
+        "query_id STRING, doc_id BIGINT, gain INT",
+    )
+
+    def run(ranked_rows):
+        ranked = spark.createDataFrame(
+            ranked_rows, "query_id STRING, doc_id BIGINT, pos INT"
+        )
+        return ranking_metrics(ranked, qrels, k=10, p=5).first()
+
+    ideal = run([("q", 10, 1), ("q", 20, 2)])
+    assert ideal["ndcg_k"] == 1.0
+    assert ideal["mrr"] == 1.0
+    assert ideal["p_at_p"] == 2 / 5.0
+    assert ideal["n_rel"] == 2
+
+    miss = run([("q", 99, 1), ("q", 98, 2)])
+    assert miss["ndcg_k"] == 0.0 and miss["mrr"] == 0.0
+    assert miss["p_at_p"] == 0.0
+
+    second = run([("q", 99, 1), ("q", 10, 2)])
+    assert second["mrr"] == 0.5
+
+    partial = run([("q", 20, 1)])
+    d = ndcg_discounts(10)
+    expected = (1 * d[0]) / (2 * d[0] + 1 * d[1])
+    assert abs(partial["ndcg_k"] - expected) < 1e-12
+    assert partial["ndcg_k"] < 1.0
+
+
+def test_lm_examples_window_arithmetic(spark):
+    """Example generation on the smoke corpus: every context is exactly
+    8 tokens, every (context, target) pair matches a direct slice of
+    the re-tokenized document, and the per-doc example count is
+    (n - 9) // 4 + 1."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+    from ydb_vector_search_demo_spark.plans.catalog import QUERIES
+
+    out = QUERIES["corpus_lm_examples"](spark, SF_SMOKE).collect()
+    assert out, "smoke corpus yields no examples"
+    docs = {
+        r["doc_id"]: r["t"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .filter((F.col("doc_id") % 37) == 0)
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .collect()
+    }
+    per_doc: dict[int, int] = {}
+    for r in out:
+        t = docs[r["doc_id"]]
+        i = r["ex_idx"]
+        ctx = t[i * 4 : i * 4 + 8]
+        assert len(ctx) == 8
+        assert r["context"] == " ".join(ctx)
+        assert r["target"] == t[i * 4 + 8]
+        per_doc[r["doc_id"]] = max(per_doc.get(r["doc_id"], 0), i + 1)
+    for doc_id, n_ex in per_doc.items():
+        n = len(docs[doc_id])
+        assert n_ex == (n - 9) // 4 + 1
+
+
+def test_token_entropy_laws(spark):
+    """Entropy laws via the catalog shape on planted corpora: a
+    single-token language has H = 0 (perplexity 1); a language using V
+    equally-frequent tokens has H = ln(V) (perplexity V)."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [("mono", "x x x x"), ("quad", "a b c d a b c d")],
+        "lang STRING, text STRING",
+    )
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+
+    tok = df.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = tok.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_cum = (
+        W.partitionBy("lang")
+        .orderBy("tok")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = cnt.select(
+        "lang", "n",
+        F.sum(F.col("n") * F.log(F.col("n").cast("double")))
+        .over(w_cum)
+        .alias("s"),
+    )
+    agg = cum.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.max("s").alias("s"),
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - F.col("s") / F.col(
+        "n_tokens"
+    )
+    got = {
+        r["lang"]: (r["vocab_size"], r["h"])
+        for r in agg.select("lang", "vocab_size", h.alias("h")).collect()
+    }
+    assert got["mono"][0] == 1 and abs(got["mono"][1]) < 1e-12
+    assert got["quad"][0] == 4
+    assert abs(got["quad"][1] - math.log(4)) < 1e-12

@@ -403,3 +403,14 @@ def test_q15_rev_relation_single_fact_scan(spark):
     assert "lineitem" not in final, final[:2000]
     assert final.count("Scan parquet") <= 1, final[:2000]  # supplier dim only
     assert "BroadcastHashJoin" in final
+
+
+def test_eval_metrics_zero_scan_final_plan(spark):
+    """retrieval_eval_metrics: ranked and qrels are localCheckpointed
+    before the metric assembly (qrels alone feeds THREE branches —
+    retrieved-gain join, ideal ranking, n_rel — each of which would
+    otherwise re-run its tokenize+aggregate subplan; 6 corpus scans
+    observed unpinned), so the RESULT plan reads zero parquet files."""
+    plan = plan_of(spark, "retrieval_eval_metrics")
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 0, final[:2000]

@@ -1478,3 +1478,140 @@ def qld_topk(
         .orderBy(F.desc("qld"), id_col)
         .limit(int(k))
     )
+
+
+def ndcg_discounts(k: int) -> list[float]:
+    """The NDCG position discounts 1/log2(pos+1) for pos 1..k, as
+    driver-computed double literals. Inlining the ten doubles (instead
+    of calling log2 inside each engine) removes the one cross-engine
+    seam in the metric: libm log2 is not guaranteed correctly rounded,
+    but a decimal literal parses to the identical nearest double in
+    Spark and DuckDB, so every DCG contribution is the product of an
+    exact integer gain and a bit-identical discount."""
+    import math
+
+    return [1.0 / math.log2(p + 1) for p in range(1, k + 1)]
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    p: int = 5,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    gain_col: str = "gain",
+) -> DataFrame:
+    """Offline retrieval-evaluation metrics per query — Precision@p,
+    MRR and NDCG@k (Järvelin & Kekäläinen 2002) — the eval a pipeline
+    runs over a ranked result set against graded relevance judgments
+    before trusting any retriever change.
+
+    ``ranked``: (query, id, pos) with 1-based positions (pos <= k
+    assumed — the caller's top-k cut). ``qrels``: (query, id, gain)
+    graded relevance, gain > 0 integer. Docs retrieved but unjudged
+    score gain 0; relevant docs NOT retrieved still count toward the
+    ideal ranking (IDCG uses the full qrels, so a retriever is
+    penalized for missing them).
+
+    Cross-engine determinism: gains are exact integers; the position
+    discounts come from :func:`ndcg_discounts` literals; and both DCG
+    and IDCG accumulate through an ORDERED cumulative window over the
+    position order (the survival-curve pattern), so the doubles add in
+    the identical sequence in any replaying engine. MRR is max(1/pos)
+    over hits — single IEEE divisions, no accumulation.
+
+    Scale shape: everything downstream of the inputs aggregates on
+    query_id — per-query candidate sets are at most k (ranked side)
+    or |qrels_q| rows, the windows partition by query (no global
+    sort), and the three per-query aggregates join on the tiny query
+    grain. The expensive parts (scoring, top-k) live in the caller."""
+    disc = ndcg_discounts(k)
+    disc_arr = F.array(*[F.lit(d) for d in disc])
+    j = ranked.join(
+        qrels.select(
+            F.col(query_col), F.col(id_col), F.col(gain_col)
+        ),
+        [query_col, id_col],
+        "left",
+    ).select(
+        query_col,
+        F.col(pos_col),
+        F.coalesce(F.col(gain_col), F.lit(0)).alias("_g"),
+    )
+    w_cum = (
+        Window.partitionBy(query_col)
+        .orderBy(pos_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = j.select(
+        query_col,
+        F.col(pos_col),
+        "_g",
+        F.sum(F.col("_g") * F.element_at(disc_arr, F.col(pos_col)))
+        .over(w_cum)
+        .alias("_cum"),
+    )
+    dagg = cum.groupBy(query_col).agg(
+        F.max("_cum").alias("_dcg"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("_g") > 0) & (F.col(pos_col) <= p), 1
+                ).otherwise(0)
+            )
+            / F.lit(float(p))
+        ).alias("p_at_p"),
+        F.max(
+            F.when(
+                F.col("_g") > 0, F.lit(1.0) / F.col(pos_col)
+            ).otherwise(0.0)
+        ).alias("mrr"),
+    )
+    w_ideal = Window.partitionBy(query_col).orderBy(
+        F.desc(gain_col), id_col
+    )
+    ideal = qrels.filter(F.col(gain_col) > 0).select(
+        query_col,
+        F.col(gain_col),
+        F.row_number().over(w_ideal).alias("_ipos"),
+    )
+    w_icum = (
+        Window.partitionBy(query_col)
+        .orderBy("_ipos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    iagg = (
+        ideal.filter(F.col("_ipos") <= k)
+        .select(
+            query_col,
+            F.sum(
+                F.col(gain_col) * F.element_at(disc_arr, F.col("_ipos"))
+            )
+            .over(w_icum)
+            .alias("_icum"),
+        )
+        .groupBy(query_col)
+        .agg(F.max("_icum").alias("_idcg"))
+    )
+    nrel = (
+        qrels.filter(F.col(gain_col) > 0)
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    )
+    return (
+        dagg.join(F.broadcast(iagg), query_col, "left")
+        .join(F.broadcast(nrel), query_col, "left")
+        .select(
+            query_col,
+            F.coalesce(F.col("n_rel"), F.lit(0)).cast("bigint").alias("n_rel"),
+            F.col("p_at_p"),
+            F.col("mrr"),
+            F.when(
+                F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg")
+            )
+            .otherwise(0.0)
+            .alias("ndcg_k"),
+        )
+    )

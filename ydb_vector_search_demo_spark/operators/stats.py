@@ -307,3 +307,60 @@ def gini_concentration(
         group_col, "n",
         F.round(g, 6).alias("gini"),
     ).orderBy(group_col)
+
+
+def roc_auc(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "is_pos",
+    group_col: str | None = None,
+) -> DataFrame:
+    """ROC-AUC as the tie-adjusted Mann-Whitney pair count — the
+    classifier-evaluation primitive, computed WITHOUT ranking the
+    corpus: AUC = P(score_pos > score_neg) + P(score_pos = score_neg)/2
+    over all positive x negative pairs, so it only needs, per distinct
+    score s, the positive count p_s, the negative count q_s, and the
+    negatives strictly below s. 2U = sum_s(2*p_s*below_s + p_s*q_s) is
+    an exact bigint (the factor 2 keeps the half-credit tie term
+    integral) and AUC = 2U / (2*P*Q) is one final double division.
+
+    ``scored``: one row per example with an orderable exact score (use
+    integer scores — double scores group correctly only if both
+    engines computed them identically) and a boolean label.
+
+    Scale shape: one map-combinable groupBy onto the SCORE GRAIN
+    (distinct scores, not examples), then one ordered cumulative
+    window over that grain (per group when ``group_col`` is set) — the
+    corpus never sorts globally. Overflow: 2U <= 2*P*Q requires
+    P*Q < 2^62 (~2x10^9 balanced examples); past that the numerator
+    moves to DECIMAL(38,0)."""
+    keys = ([group_col] if group_col else []) + [score_col]
+    grain = scored.groupBy(*keys).agg(
+        F.sum(F.when(F.col(label_col), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_p"),
+        F.sum(F.when(F.col(label_col), 0).otherwise(1))
+        .cast("bigint")
+        .alias("_q"),
+    )
+    w_below = (
+        Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    ).orderBy(score_col).rowsBetween(Window.unboundedPreceding, -1)
+    u = grain.select(
+        *([group_col] if group_col else []),
+        "_p",
+        "_q",
+        F.coalesce(F.sum("_q").over(w_below), F.lit(0)).alias("_qb"),
+    )
+    gb = u.groupBy(group_col) if group_col else u.groupBy()
+    return gb.agg(
+        F.sum("_p").cast("bigint").alias("n_pos"),
+        F.sum("_q").cast("bigint").alias("n_neg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_scores"),
+        (
+            F.sum(
+                2 * F.col("_p") * F.col("_qb") + F.col("_p") * F.col("_q")
+            ).cast("double")
+            / (F.lit(2.0) * F.sum("_p") * F.sum("_q"))
+        ).alias("auc"),
+    )

@@ -11418,6 +11418,383 @@ def q_events_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NDCG position discounts 1/log2(pos+1) as driver-computed double
+# literals (operators.retrieval.ndcg_discounts): libm log2 is not
+# guaranteed correctly rounded, but a decimal literal parses to the
+# identical nearest double in both engines.
+_DISC10_SQL = "[" + ", ".join(repr(d) for d in R.ndcg_discounts(10)) + "]"
+
+
+@register(
+    "retrieval_eval_metrics",
+    # Offline retrieval eval replayed end-to-end: the same BM25 CTE the
+    # graded lexical rows use, per-term this time (single-term queries),
+    # ranked per query; graded qrels from exact tf thresholds (tf>=5
+    # relevant, tf>=7 highly relevant — far STRICTER than the
+    # retriever's tf>=1 match, so P@5/MRR genuinely spread); DCG and IDCG
+    # accumulate through ordered cumulative windows with literal
+    # discounts (no libm log2 seam).
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl
+              FROM t),
+    tokq AS (SELECT doc_id, len(toks) AS dl, lower(unnest(toks)) AS tt FROM t),
+    f AS (SELECT doc_id, dl, tt, count(*) AS tf FROM tokq
+          WHERE tt IN ({_QLD_TERMS_SQL}) GROUP BY 1, 2, 3),
+    dft AS (SELECT tt, count(*) AS df FROM f GROUP BY 1),
+    sc AS (SELECT doc_id, tt AS query_id,
+                  ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                    AS s
+           FROM f JOIN dft USING (tt) CROSS JOIN stats),
+    ranked AS (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY s DESC, doc_id) AS pos
+               FROM sc),
+    top AS (SELECT * FROM ranked WHERE pos <= 10),
+    qrels AS (SELECT tt AS query_id, doc_id,
+                     CASE WHEN tf >= 7 THEN 2 ELSE 1 END AS gain
+              FROM f WHERE tf >= 5),
+    g AS (SELECT top.query_id, top.pos, coalesce(q.gain, 0) AS gain
+          FROM top LEFT JOIN qrels q
+            ON q.query_id = top.query_id AND q.doc_id = top.doc_id),
+    dcum AS (SELECT query_id, pos, gain,
+                    sum(gain * list_extract({_DISC10_SQL}, pos)) OVER (
+                        PARTITION BY query_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS cum
+             FROM g),
+    dagg AS (SELECT query_id, max(cum) AS dcg,
+                    sum(CASE WHEN gain > 0 AND pos <= 5 THEN 1 ELSE 0 END)
+                      / 5.0 AS p_at_5,
+                    max(CASE WHEN gain > 0 THEN 1.0 / pos ELSE 0.0 END) AS mrr
+             FROM dcum GROUP BY 1),
+    ideal AS (SELECT query_id, gain,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY gain DESC, doc_id) AS ipos
+              FROM qrels),
+    icum AS (SELECT query_id,
+                    sum(gain * list_extract({_DISC10_SQL}, ipos)) OVER (
+                        PARTITION BY query_id ORDER BY ipos
+                        ROWS UNBOUNDED PRECEDING) AS cum
+             FROM ideal WHERE ipos <= 10),
+    iagg AS (SELECT query_id, max(cum) AS idcg FROM icum GROUP BY 1),
+    nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel
+             FROM qrels GROUP BY 1)
+    SELECT d.query_id,
+           CAST(coalesce(n.n_rel, 0) AS BIGINT) AS n_rel,
+           round(d.p_at_5, 6) AS p_at_5,
+           round(d.mrr, 6) AS mrr,
+           round(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 0.0 END,
+                 6) AS ndcg_10
+    FROM dagg d
+    LEFT JOIN iagg i USING (query_id)
+    LEFT JOIN nrel n USING (query_id)
+    ORDER BY query_id
+    """,
+)
+def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval EVALUATION (operators.retrieval.
+    ranking_metrics): Precision@5, MRR and NDCG@10 per query for the
+    flagship terms run as single-term BM25 queries — the
+    judge-the-retriever primitive a pipeline runs before shipping any
+    scorer change. Relevance judgments are graded from exact term
+    frequencies (tf>=7 -> gain 2, tf in [5,7) -> gain 1, a far
+    STRICTER bar than the retriever's tf>=1 match — measured at
+    sf0.01 the five queries spread P@5 over [0.2, 1.0] and MRR over
+    [0.25, 1.0], because BM25's length normalization ranks short
+    low-tf docs above long high-tf ones and pays for it); IDCG
+    ranks the FULL qrels, so unretrieved relevant docs cost recall.
+    Cross-engine determinism: integer gains x literal discounts
+    (no libm log2 seam — ndcg_discounts inlines the ten doubles into
+    both plans), and DCG/IDCG accumulate through ordered cumulative
+    windows (the survival-curve pattern). Scale shape: the corpus
+    pays one tokenize+isin pass (the graded BM25 machinery); the
+    per-query top-10 cut is a rank Window over candidates sharing a
+    term; every metric aggregate runs on the tiny query grain."""
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(t, t) for t in _BM25_TERMS], "query_id string, query_text string"
+    )
+    sc = R.bm25_batch_scores(
+        docs, queries, qtexts=[(t, t) for t in _BM25_TERMS]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), "doc_id")
+    ranked = sc.select(
+        "query_id", "doc_id", F.row_number().over(w).alias("pos")
+    ).filter(F.col("pos") <= 10)
+    tok = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("_t"))
+        .select("doc_id", F.lower("_t").alias("_t"))
+        .filter(F.col("_t").isin(_BM25_TERMS))
+    )
+    tf = tok.groupBy("doc_id", "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    qrels = tf.filter(F.col("_tf") >= 5).select(
+        F.col("_t").alias("query_id"),
+        "doc_id",
+        F.when(F.col("_tf") >= 7, 2).otherwise(1).alias("gain"),
+    )
+    # ranked (<= 10 rows/query) feeds the DCG branch and qrels feeds
+    # THREE branches (retrieved-gain join, ideal ranking, n_rel) —
+    # without pinning, each branch re-runs its tokenize+aggregate
+    # subplan (the recompute class; 6 corpus scans observed). Both
+    # relations are tiny by construction, so localCheckpoint caps the
+    # action at one bm25 pass + one qrels pass and leaves the final
+    # metric plan scanning ZERO files (plan-guarded in
+    # tests/test_plans.py::test_eval_metrics_zero_scan_final_plan).
+    ranked = ranked.localCheckpoint(eager=True)
+    qrels = qrels.localCheckpoint(eager=True)
+    m = R.ranking_metrics(ranked, qrels, k=10, p=5)
+    return m.select(
+        "query_id",
+        "n_rel",
+        F.round("p_at_p", 6).alias("p_at_5"),
+        F.round("mrr", 6).alias("mrr"),
+        F.round("ndcg_k", 6).alias("ndcg_10"),
+    ).orderBy("query_id")
+
+
+@register(
+    "corpus_detector_auc",
+    # ROC-AUC without a global rank window: the tie-adjusted
+    # Mann-Whitney pair count aggregated on the SCORE grain —
+    # 2U = sum(2*p_s*(negatives strictly below s) + p_s*q_s) is an
+    # exact bigint, and the below-count comes from one ordered
+    # cumulative window over the per-detector score-grain relation.
+    rf"""
+    WITH tk AS (SELECT lang, text, {_TOKENS_SQL} AS t FROM documents),
+    det AS (
+      SELECT 'len_for_heavy_fast' AS detector,
+             len(t)::BIGINT AS score,
+             len(list_filter(t, x -> lower(x) = 'fast')) >= 3 AS is_pos
+      FROM tk
+      UNION ALL
+      SELECT 'ascii_for_en',
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT,
+             lang = 'en'
+      FROM tk),
+    grain AS (
+      SELECT detector, score,
+             CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS q
+      FROM det GROUP BY 1, 2),
+    u AS (
+      SELECT detector, p, q,
+             coalesce(sum(q) OVER (PARTITION BY detector ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS qb
+      FROM grain)
+    SELECT detector,
+           CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(q) AS BIGINT) AS n_neg,
+           count(*)::BIGINT AS n_scores,
+           round(CAST(sum(2 * p * qb + p * q) AS DOUBLE)
+                 / (2.0 * sum(p) * sum(q)), 6) AS auc
+    FROM u GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_corpus_detector_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC for two cheap detector scores — the
+    classifier-evaluation primitive a curation pipeline runs before
+    trusting any filter score, demonstrated on one real signal and
+    one honest null: (1) 'len_for_heavy_fast' scores docs by token
+    count against the label "uses 'fast' >= 3 times" — the classic
+    LENGTH CONFOUND (longer docs accumulate more of every term), a
+    genuine AUC ~0.79 at sf0.01 that a naive quality filter would
+    mistake for signal; (2) 'ascii_for_en' scores by ASCII-letter
+    count against lang='en' — ~0.49 on this deliberately balanced
+    synthetic corpus (all languages draw Latin tokens of the same
+    length law), pinning that the machinery reports a null as a null.
+    AUC is the tie-adjusted Mann-Whitney pair count
+    (operators.stats.roc_auc): per distinct score s, positives p_s
+    and negatives q_s are exact bigints,
+    2U = sum(2*p_s*(negatives strictly below s) + p_s*q_s) (ties
+    count half — exactly, since the numerator carries the factor 2),
+    and AUC = 2U / (2*P*Q) is one final double division. NO global
+    rank window over the corpus: the below-count is an ordered
+    cumulative window over the per-detector SCORE-GRAIN relation
+    (distinct scores, not rows — the survival/pareto pattern), so the
+    corpus contributes one map-combinable groupBy. Overflow bound:
+    2U <= 2*P*Q needs P*Q < 2^62 (~2x10^9 balanced rows); past that
+    the numerator moves to DECIMAL(38,0)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang", "text", T.tokens(F.col("text")).alias("t")
+    )
+    det = (
+        base.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("len_for_heavy_fast").alias("detector"),
+                        F.size("t").cast("bigint").alias("score"),
+                        (
+                            F.size(
+                                F.expr(
+                                    "filter(t, x -> lower(x) = 'fast')"
+                                )
+                            )
+                            >= 3
+                        ).alias("is_pos"),
+                    ),
+                    F.struct(
+                        F.lit("ascii_for_en").alias("detector"),
+                        F.length(
+                            F.regexp_replace("text", "[^A-Za-z]", "")
+                        )
+                        .cast("bigint")
+                        .alias("score"),
+                        (F.col("lang") == "en").alias("is_pos"),
+                    ),
+                )
+            ).alias("d")
+        )
+        .select("d.detector", "d.score", F.col("d.is_pos").alias("is_pos"))
+    )
+    from ydb_vector_search_demo_spark.operators.stats import roc_auc
+
+    return (
+        roc_auc(det, group_col="detector")
+        .select(
+            "detector",
+            "n_pos",
+            "n_neg",
+            "n_scores",
+            F.round("auc", 6).alias("auc"),
+        )
+        .orderBy("detector")
+    )
+
+
+@register(
+    "corpus_lm_examples",
+    # Next-token example generation replayed index-for-index: context
+    # window 8, stride 4, target = the token after the window; DuckDB
+    # regenerates the example index space with scalar generate_series
+    # (column bounds are allowed in the SELECT position) and slices
+    # the identical token list.
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+                WHERE doc_id % 37 = 0),
+    base AS (SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) >= 9),
+    ex AS (SELECT doc_id, t,
+                  unnest(generate_series(0, (n - 9) // 4)) AS i
+           FROM base)
+    SELECT doc_id, i AS ex_idx,
+           array_to_string(list_slice(t, i * 4 + 1, i * 4 + 8), ' ')
+             AS context,
+           t[i * 4 + 9] AS target
+    FROM ex ORDER BY doc_id, ex_idx
+    """,
+)
+def q_corpus_lm_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-token TRAINING-EXAMPLE generation — the LM data-prep step
+    after packing: each document yields sliding (context, target)
+    pairs with context length 8 and stride 4 (example i covers tokens
+    [4i, 4i+8), target = token 4i+8; a doc needs >= 9 tokens to yield
+    one). The deterministic doc_id % 37 slice bounds the graded result
+    while exercising every code path; BOS/EOS decoration is a trivial
+    literal prepend on top of this shape. Exact integer index
+    arithmetic end to end — the oracle regenerates the example space
+    with scalar generate_series and slices the identical token list.
+    Scale shape: pure map-side (filter -> tokenize -> explode), ZERO
+    shuffles — at 100 TB this is the ideal embarrassingly-parallel
+    operator; the fan-out is ~n_tokens/stride examples per doc, each
+    a bounded 8-token string."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 37) == 0
+    )
+    base = (
+        docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") >= 9)
+    )
+    ex = base.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.expr("sequence(0, cast((n - 9) div 4 as int))")
+        ).alias("i"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("i").alias("ex_idx"),
+        F.expr("array_join(slice(t, i * 4 + 1, 8), ' ')").alias("context"),
+        F.expr("element_at(t, i * 4 + 9)").alias("target"),
+    ).orderBy("doc_id", "ex_idx")
+
+
+@register(
+    "corpus_token_entropy",
+    # Shannon entropy over the token-grain relation: H = ln(N) -
+    # (sum n_t ln n_t)/N, with the only cross-row double sum running
+    # as an ordered cumulative window over (lang, tok) — identical
+    # accumulation sequence in both engines (the survival-curve
+    # pattern); counts stay exact bigints.
+    f"""
+    WITH tk AS (SELECT lang, {_TOKENS_SQL} AS t FROM documents),
+    tok AS (SELECT lang, unnest(t) AS tok FROM tk),
+    cnt AS (SELECT lang, tok, count(*)::BIGINT AS n FROM tok GROUP BY 1, 2),
+    cum AS (SELECT lang, n,
+                   sum(n * ln(n)) OVER (PARTITION BY lang ORDER BY tok
+                       ROWS UNBOUNDED PRECEDING) AS s
+            FROM cnt),
+    agg AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+                   count(*)::BIGINT AS vocab_size, max(s) AS s
+            FROM cum GROUP BY 1)
+    SELECT lang, n_tokens, vocab_size,
+           round(ln(n_tokens) - s / n_tokens, 6) AS entropy,
+           round(exp(ln(n_tokens) - s / n_tokens), 6) AS perplexity
+    FROM agg ORDER BY lang
+    """,
+)
+def q_corpus_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Shannon entropy of the token distribution (and its
+    exp, the unigram perplexity) — the lexical-diversity diagnostic a
+    curation pipeline tracks per source/language slice (a collapsing
+    entropy flags boilerplate or dedup failures; perplexity here is
+    the uniform-model ceiling the LM families are compared against).
+    H = ln(N) - (sum n_t ln n_t)/N with exact bigint token counts; the
+    one cross-row double sum accumulates through an ordered cumulative
+    window over the (lang, token)-GRAIN relation (ordered by token — a
+    total order), so both engines add the identical doubles in the
+    identical sequence, and the final H/perplexity are single
+    arithmetic expressions over per-group scalars. Scale shape: one
+    map-combinable (lang, token) count, one per-language window over
+    the vocabulary grain (vocab rows, not corpus rows); the corpus
+    shuffles once."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(T.tokens("text")).alias("tok"))
+    cnt = tok.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cnt.select(
+        "lang",
+        "n",
+        F.sum(F.col("n") * F.log(F.col("n").cast("double")))
+        .over(w_cum)
+        .alias("s"),
+    )
+    agg = cum.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.max("s").alias("s"),
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - F.col("s") / F.col(
+        "n_tokens"
+    )
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "vocab_size",
+        F.round(h, 6).alias("entropy"),
+        F.round(F.exp(h), 6).alias("perplexity"),
+    ).orderBy("lang")
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
@@ -11878,6 +12255,19 @@ _GRADE_FIRST = [
 #                            conditional-sum mix)
 #   ingest_embed_roundtrip — converted from rows-only (closed-form
 #                            readout through the real write path)
+# r11 wave 5 (landed after the first close-out capture; verified at
+# both SFs, ×10-probed — see BASELINE r11 wave-5 rows):
+#   retrieval_eval_metrics — P@5/MRR/NDCG@10 against graded tf qrels
+#                            (literal discounts, ordered-cumulative
+#                            DCG/IDCG; zero-scan final plan guarded)
+#   corpus_detector_auc    — tie-adjusted Mann-Whitney ROC-AUC on the
+#                            score grain (one real signal + one
+#                            honest null; operators.stats.roc_auc)
+#   corpus_lm_examples     — next-token (context, target) generation,
+#                            zero-shuffle map-side; index-for-index
+#                            oracle replay
+#   corpus_token_entropy   — per-language Shannon entropy/perplexity
+#                            via the ordered-cumulative n·ln(n) sum
 # Duplicate-surface rows eligible to rotate OUT with rationale:
 # grouping_sets_status_priority vs datetime_order_stats overlap is
 # partial only (grouping sets are a distinct surface — keep both);
