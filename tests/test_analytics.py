@@ -935,3 +935,91 @@ def test_token_entropy_laws(spark):
     assert got["mono"][0] == 1 and abs(got["mono"][1]) < 1e-12
     assert got["quad"][0] == 4
     assert abs(got["quad"][1] - math.log(4)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 6: CUSUM drift, Poisson bootstrap, exact Spearman
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_drift_matches_recursion(spark):
+    """The window form equals the textbook recursion s_k = max(0,
+    s_{k-1} + (n*x_k - T)) replayed driver-side on a planted series,
+    for both directions; and a planted upward step change accumulates
+    drift strictly after the shift."""
+    from ydb_vector_search_demo_spark.operators.timeseries import cusum_drift
+
+    xs = [10, 10, 10, 10, 10, 20, 20, 20, 20, 20]
+    grain = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "h INT, x BIGINT"
+    )
+    got = {
+        r["h"]: (r["s_up"], r["s_dn"])
+        for r in cusum_drift(grain, "h", "x").collect()
+    }
+    n, t = len(xs), sum(xs)
+    s_up = s_dn = 0
+    for i, x in enumerate(xs):
+        y = n * x - t
+        s_up = max(0, s_up + y)
+        s_dn = max(0, s_dn - y)
+        assert got[i] == (s_up, s_dn), i
+    # before the shift the upward statistic is 0; after, it grows
+    assert got[4][0] == 0
+    assert got[9][0] > got[6][0] > 0
+
+
+def test_poisson_bootstrap_laws(spark):
+    """b=0 is the exact point estimate (weight 1 everywhere); weights
+    are deterministic (two invocations agree bit-for-bit); and on a
+    constant-valued corpus every replicate mean collapses to the
+    constant (sum_b == c * n_b)."""
+    from ydb_vector_search_demo_spark.operators.stats import poisson_bootstrap
+
+    df = spark.createDataFrame(
+        [(i, 700) for i in range(200)], "id BIGINT, v BIGINT"
+    )
+    rep1 = poisson_bootstrap(df, "id", "v", b=8).collect()
+    rep2 = poisson_bootstrap(df, "id", "v", b=8).collect()
+    assert sorted(map(tuple, rep1)) == sorted(map(tuple, rep2))
+    by_b = {r["b"]: r for r in rep1}
+    assert by_b[0]["n_b"] == 200 and by_b[0]["sum_b"] == 200 * 700
+    assert len(by_b) == 9
+    for b, r in by_b.items():
+        assert r["sum_b"] == 700 * r["n_b"], b
+        if b >= 1:
+            # a Poisson(1) resample of 200 rows never returns exactly 0
+            assert r["n_b"] > 0
+
+
+def test_spearman_exact_laws(spark):
+    """Spearman laws: any strictly increasing map of x -> rho = 1;
+    strictly decreasing -> rho = -1 (exactly — the moments are exact
+    integers, so the ratio is literally ±1.0); an exactly symmetric
+    2x2 grid -> 0; and heavy ties are handled (constant margin ->
+    NaN-free denominator requires variation, so a 2-value margin with
+    balanced ties against itself still gives 1)."""
+    from ydb_vector_search_demo_spark.operators.stats import spearman_exact
+
+    inc = spark.createDataFrame(
+        [(i, 3 * i + 7) for i in range(20)], "x BIGINT, y BIGINT"
+    )
+    r = spearman_exact(inc).first()
+    assert r["spearman_rho"] == 1.0 and r["n_rows"] == 20
+
+    dec = spark.createDataFrame(
+        [(i, -i) for i in range(20)], "x BIGINT, y BIGINT"
+    )
+    assert spearman_exact(dec).first()["spearman_rho"] == -1.0
+
+    sym = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2)], "x BIGINT, y BIGINT"
+    )
+    assert spearman_exact(sym).first()["spearman_rho"] == 0.0
+
+    ties = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 2), (2, 2)], "x BIGINT, y BIGINT"
+    )
+    t = spearman_exact(ties).first()
+    assert t["spearman_rho"] == 1.0
+    assert t["n_x_values"] == 2 and t["n_y_values"] == 2

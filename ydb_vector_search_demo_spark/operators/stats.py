@@ -364,3 +364,155 @@ def roc_auc(
             / (F.lit(2.0) * F.sum("_p") * F.sum("_q"))
         ).alias("auc"),
     )
+
+
+def spearman_exact(
+    df: DataFrame, x_col: str = "x", y_col: str = "y"
+) -> DataFrame:
+    """Spearman rank correlation with ties, EXACTLY and without
+    ranking the input: 2x average ranks are integers (2*avgrank =
+    2*count_below + count_tied + 1) built by an ordered cumulative
+    window over each margin's VALUE GRID; centering by N+1 is exact
+    (the 2x-rank total is N(N+1)), so rho = sum(m*cx*cy) /
+    sqrt(sum(m*cx^2) * sum(m*cy^2)) over the pair-count grid with
+    every moment an exact DECIMAL(38,0) integer (bounded by N^3 — 21
+    digits at 10^7 rows). Inputs must be exact integer-valued columns
+    (quantize floats first). Returns one row: n_rows, n_x_values,
+    n_y_values, spearman_rho (raw double).
+
+    Scale shape: ONE pass over the input builds the pair-count grid
+    (a sufficient statistic), which is localCheckpointed and feeds
+    every downstream branch — margins, rank maps, moments; the
+    windows only ever touch |value grid| rows."""
+    pair0 = (
+        df.groupBy(x_col, y_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    n = pair0.agg(F.sum("m").cast("bigint").alias("n"))
+    w_x = Window.orderBy(x_col).rowsBetween(Window.unboundedPreceding, -1)
+    w_y = Window.orderBy(y_col).rowsBetween(Window.unboundedPreceding, -1)
+    gx = pair0.groupBy(x_col).agg(F.sum("m").cast("bigint").alias("c"))
+    gy = pair0.groupBy(y_col).agg(F.sum("m").cast("bigint").alias("c"))
+    rx = gx.select(
+        x_col,
+        (2 * F.coalesce(F.sum("c").over(w_x), F.lit(0)) + F.col("c") + 1)
+        .alias("r2"),
+    ).crossJoin(F.broadcast(n)).select(
+        x_col,
+        (F.col("r2") - (F.col("n") + 1)).cast("decimal(19,0)").alias("cx"),
+    )
+    ry = gy.select(
+        y_col,
+        (2 * F.coalesce(F.sum("c").over(w_y), F.lit(0)) + F.col("c") + 1)
+        .alias("r2"),
+    ).crossJoin(F.broadcast(n)).select(
+        y_col,
+        (F.col("r2") - (F.col("n") + 1)).cast("decimal(19,0)").alias("cy"),
+    )
+    pair = pair0.select(
+        x_col, y_col, F.col("m").cast("decimal(19,0)").alias("m")
+    )
+    mom = (
+        pair.join(F.broadcast(rx), x_col)
+        .join(F.broadcast(ry), y_col)
+        .agg(
+            F.sum(
+                (F.col("m") * F.col("cx")).cast("decimal(38,0)") * F.col("cy")
+            )
+            .cast("double")
+            .alias("sxy"),
+            F.sum(
+                (F.col("m") * F.col("cx")).cast("decimal(38,0)") * F.col("cx")
+            )
+            .cast("double")
+            .alias("sxx"),
+            F.sum(
+                (F.col("m") * F.col("cy")).cast("decimal(38,0)") * F.col("cy")
+            )
+            .cast("double")
+            .alias("syy"),
+        )
+    )
+    nx = gx.agg(F.count(F.lit(1)).cast("bigint").alias("n_x_values"))
+    ny = gy.agg(F.count(F.lit(1)).cast("bigint").alias("n_y_values"))
+    return (
+        n.crossJoin(F.broadcast(nx))
+        .crossJoin(F.broadcast(ny))
+        .crossJoin(F.broadcast(mom))
+        .select(
+            F.col("n").alias("n_rows"),
+            "n_x_values",
+            "n_y_values",
+            (F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy"))).alias(
+                "spearman_rho"
+            ),
+        )
+    )
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    b: int = 32,
+    seed: str = "boot-v1",
+    cdf: list[float] | None = None,
+) -> DataFrame:
+    """Poisson-bootstrap replicate sums (Chamandy et al. 2012) — the
+    uncertainty primitive that scales: every row gets an independent
+    Poisson(1) weight per replicate, so all B replicates compute in
+    ONE pass (row-local explode + map-combinable groupBy; only B
+    partial rows per partition cross the shuffle). Deterministic: the
+    weight is a pinned 52-bit md5-uniform of (seed, replicate, id)
+    compared against driver-inlined Poisson CDF literals. Replicate
+    b=0 carries weight 1 unconditionally — its row IS the exact point
+    estimate, for free in the same pass. Returns the checkpointed
+    (b, n_b, sum_b) grain with exact bigint sums; ``value_col`` must
+    be exact integers (quantize floats to cents first)."""
+    if cdf is None:
+        import math
+
+        e = math.exp(-1.0)
+        cdf, term, acc = [], e, 0.0
+        for k in range(9):
+            acc += term
+            cdf.append(acc)
+            term = term / (k + 1)
+    rows = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("bigint").alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(int(b)))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed + ":"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("_id"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**52))
+    w = F.when(F.col("b") == 0, 1).when(u < cdf[0], 0)
+    for k in range(1, len(cdf)):
+        w = w.when(u < cdf[k], k)
+    w = w.otherwise(len(cdf))
+    return (
+        rows.select("b", "_v", w.alias("_w"))
+        .groupBy("b")
+        .agg(
+            F.sum("_w").cast("bigint").alias("n_b"),
+            F.sum(F.col("_w") * F.col("_v")).cast("bigint").alias("sum_b"),
+        )
+        .localCheckpoint(eager=True)
+    )

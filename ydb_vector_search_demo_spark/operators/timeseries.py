@@ -862,3 +862,52 @@ def dau_mau_stickiness(
         )
         .orderBy("day")
     )
+
+
+def cusum_drift(
+    grain: DataFrame, time_col: str = "h", value_col: str = "x"
+) -> DataFrame:
+    """Two-sided CUSUM drift statistics over an ordered grain — the
+    changepoint primitive. The textbook recursion s_k = max(0,
+    s_{k-1} + (x_k - mean)) is not window-expressible as written; the
+    prefix-extremum identity s_k = cum_k - min(0, min_{j<=k} cum_j)
+    (mirror: running max for downward drift) turns it into two
+    ordered cumulative windows. Deviations are scaled by the grain
+    count (y = n*x - T, the common-denominator trick), so cum / s_up /
+    s_dn are exact bigints: s_up/s_dn are the upward/downward CUSUM
+    statistics TIMES n, i.e. s/T is the drift in average-bucket
+    units. Input must be the aggregated grain (one row per bucket,
+    exact integer value), not raw rows.
+
+    Scale shape: the windows run over the grain (one row per bucket —
+    an Exchange SinglePartition over bucket rows, never raw data).
+    Overflow: |cum| <= n*T."""
+    tot = grain.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(value_col).cast("bigint").alias("t"),
+    )
+    y = grain.crossJoin(F.broadcast(tot)).select(
+        time_col,
+        value_col,
+        "n",
+        "t",
+        (F.col("n") * F.col(value_col) - F.col("t")).alias("_y"),
+    )
+    w_cum = Window.orderBy(time_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = y.select(
+        time_col,
+        value_col,
+        "t",
+        F.sum("_y").over(w_cum).cast("bigint").alias("_cum"),
+    )
+    return c.select(
+        time_col,
+        value_col,
+        "t",
+        (F.col("_cum") - F.least(F.lit(0), F.min("_cum").over(w_cum)))
+        .alias("s_up"),
+        (F.greatest(F.lit(0), F.max("_cum").over(w_cum)) - F.col("_cum"))
+        .alias("s_dn"),
+    )

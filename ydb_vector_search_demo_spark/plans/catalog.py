@@ -11795,6 +11795,289 @@ def q_corpus_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def _poisson1_cdf(kmax: int = 9) -> list[float]:
+    """Cumulative Poisson(1) probabilities P(X <= k) for k < kmax,
+    driver-computed and inlined as double literals into BOTH engines —
+    the weight lookup for the Poisson bootstrap (each engine compares
+    the identical 52-bit md5 uniform against the identical literals,
+    so the resampled weights are bit-pinned with no RNG and no libm
+    seam)."""
+    import math
+
+    e = math.exp(-1.0)
+    out, term = [], e
+    acc = 0.0
+    for k in range(kmax):
+        acc += term
+        out.append(acc)
+        term = term / (k + 1)
+    return out
+
+
+_POIS1 = _poisson1_cdf(9)
+
+
+@register(
+    "events_bootstrap_ci",
+    # Poisson bootstrap (Chamandy et al. 2012, "Estimating Uncertainty
+    # for Massive Data Streams"): replicate b resamples each row with
+    # weight ~ Poisson(1), realized here as a pinned md5-uniform
+    # compared against driver-inlined CDF literals — fully
+    # deterministic, and the ONLY scalable bootstrap (classic
+    # resampling needs n draws per replicate; Poisson weights are
+    # row-local). Replicate means are single divisions of exact
+    # bigint sums; the CI is the R-7 percentile over the 32 replicate
+    # means (the pinned Spark percentile == DuckDB quantile_cont
+    # parity).
+    f"""
+    WITH ev AS (
+      SELECT event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    b AS (SELECT event_id, cents, unnest(generate_series(0, 32)) AS b
+          FROM ev),
+    w AS (
+      SELECT b,
+             cents,
+             (CASE
+                WHEN b = 0 THEN 1
+                WHEN u < {_POIS1[0]!r} THEN 0 WHEN u < {_POIS1[1]!r} THEN 1
+                WHEN u < {_POIS1[2]!r} THEN 2 WHEN u < {_POIS1[3]!r} THEN 3
+                WHEN u < {_POIS1[4]!r} THEN 4 WHEN u < {_POIS1[5]!r} THEN 5
+                WHEN u < {_POIS1[6]!r} THEN 6 WHEN u < {_POIS1[7]!r} THEN 7
+                WHEN u < {_POIS1[8]!r} THEN 8 ELSE 9 END) AS w
+      FROM (SELECT b, cents,
+                   (('0x' || substring(md5('boot-v1:' || b::VARCHAR || ':'
+                                           || event_id::VARCHAR),
+                                       1, 13))::BIGINT + 0.5)
+                     / 4503599627370496.0 AS u
+            FROM b)),
+    rep AS (SELECT b, CAST(sum(w) AS BIGINT) AS n_b,
+                   CAST(sum(w * cents) AS BIGINT) AS sum_b
+            FROM w GROUP BY 1),
+    means AS (SELECT sum_b / (100.0 * n_b) AS mean_b FROM rep WHERE b >= 1),
+    ci AS (SELECT quantile_cont(mean_b, [0.025, 0.975]) AS q,
+                  count(*)::BIGINT AS n_reps
+           FROM means)
+    SELECT rep.n_b AS n_events,
+           ci.n_reps,
+           round(rep.sum_b / (100.0 * rep.n_b), 6) AS est_mean,
+           round(ci.q[1], 6) AS ci_lo,
+           round(ci.q[2], 6) AS ci_hi
+    FROM (SELECT * FROM rep WHERE b = 0) rep CROSS JOIN ci
+    """,
+)
+def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON-BOOTSTRAP confidence interval for the mean purchase
+    value (operators.stats.poisson_bootstrap) — the
+    uncertainty-quantification primitive that actually
+    scales (Chamandy et al. 2012): a classic bootstrap draws n rows
+    per replicate (impossible at 100 TB); the Poisson bootstrap gives
+    every row an independent Poisson(1) weight per replicate, so all
+    32 replicates are computed in ONE pass as a row-local explode +
+    one map-combinable groupBy (only 32 partial rows per partition
+    cross the shuffle). No RNG: the weight is a pinned 52-bit
+    md5-uniform of (replicate, event_id) compared against
+    driver-inlined Poisson CDF literals (identical doubles in both
+    engines). Each replicate mean is one division of exact bigint
+    sums; the 95% CI is the R-7 percentile over the 32 means (pinned
+    Spark percentile == DuckDB quantile_cont parity — identical
+    order statistics, identical interpolation arithmetic).
+    P(a replicate resamples zero rows) = e^-n — unreachable above
+    toy sizes, so no zero-division guard is needed at any graded SF."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    # one fact pass: replicate b=0 carries weight 1 unconditionally,
+    # so its (n_b, sum_b) row IS the exact point estimate — events is
+    # scanned once and the 33 replicate rows are checkpointed for the
+    # two downstream readers (CI + point row).
+    from ydb_vector_search_demo_spark.operators.stats import (
+        poisson_bootstrap,
+    )
+
+    rep = poisson_bootstrap(
+        ev, "event_id", "cents", b=32, seed="boot-v1", cdf=_POIS1
+    )
+    means = rep.filter(F.col("b") >= 1).select(
+        (F.col("sum_b") / (F.lit(100.0) * F.col("n_b"))).alias("mean_b")
+    )
+    ci = means.agg(
+        F.expr("percentile(mean_b, array(0.025, 0.975))").alias("q"),
+        F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+    )
+    pt = rep.filter(F.col("b") == 0)
+    return pt.crossJoin(F.broadcast(ci)).select(
+        F.col("n_b").alias("n_events"),
+        "n_reps",
+        F.round(F.col("sum_b") / (F.lit(100.0) * F.col("n_b")), 6).alias(
+            "est_mean"
+        ),
+        F.round(F.element_at("q", 1), 6).alias("ci_lo"),
+        F.round(F.element_at("q", 2), 6).alias("ci_hi"),
+    )
+
+
+@register(
+    "events_cusum_changepoint",
+    # CUSUM via the prefix-min identity: s_k = max(0, s_{k-1} + y_k)
+    # equals cum_k - min(0, min_{j<=k} cum_j), so the recursive
+    # statistic becomes TWO ordered cumulative windows over the
+    # hourly grain — exact bigints throughout (y_k = n*x_k - T keeps
+    # the mean-deviation integral over the common denominator n).
+    """
+    WITH hx AS (
+      SELECT date_trunc('hour', ts) AS h, count(*)::BIGINT AS x
+      FROM events WHERE event_type = 'click' GROUP BY 1),
+    tot AS (SELECT count(*)::BIGINT AS n, CAST(sum(x) AS BIGINT) AS t
+            FROM hx),
+    y AS (SELECT h, x, (SELECT n FROM tot) * x - (SELECT t FROM tot) AS y
+          FROM hx),
+    c AS (SELECT h, x,
+                 CAST(sum(y) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM y),
+    s AS (SELECT h, x, cum,
+                 cum - least(0, min(cum) OVER (ORDER BY h
+                     ROWS UNBOUNDED PRECEDING)) AS s_up,
+                 greatest(0, max(cum) OVER (ORDER BY h
+                     ROWS UNBOUNDED PRECEDING)) - cum AS s_dn
+          FROM c)
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           x AS clicks,
+           round(s_up / (1.0 * (SELECT t FROM tot)), 6) AS drift_up,
+           round(s_dn / (1.0 * (SELECT t FROM tot)), 6) AS drift_dn,
+           s_up > 4 * (SELECT t FROM tot) AS flag_up,
+           s_dn > 4 * (SELECT t FROM tot) AS flag_dn
+    FROM s ORDER BY hour
+    """,
+)
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over hourly click volume
+    (operators.timeseries.cusum_drift) — the
+    drift monitor a pipeline runs on ingest rates (a mean shift too
+    small for any single hour's z-score accumulates linearly in the
+    CUSUM statistic). The textbook recursion s_k = max(0, s_{k-1} +
+    (x_k - mean)) is NOT window-expressible as written; the identity
+    s_k = cum_k - min(0, min_{j<=k} cum_j) (and its mirror with a
+    running max for downward drift) turns it into two ordered
+    cumulative windows over the HOURLY grain. Exactness: the
+    deviation is scaled by the hour count (y = n*x - T, the
+    seasonal-MAE common-denominator trick), so cum/s_up/s_dn are
+    exact bigints and the flag compare s > 4T (a drift exceeding 4
+    average hours of volume, in scaled units) is integer-exact; the
+    displayed drift (in average-hour units) is one final division.
+    Overflow bound: |cum| <= n*T — a 10^5-hour (11-year) stream at
+    10^9 clicks/hour stays inside 2^63. Scale shape: one
+    map-combinable hourly rollup; the windows run over the hour
+    grain (an Exchange SinglePartition over ~720 rows, not events —
+    at 100 TB the grain is still just one row per hour)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    # the hourly grain feeds both the totals branch and the window
+    # chain — checkpoint it so events is scanned exactly once.
+    hx = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    from ydb_vector_search_demo_spark.operators import timeseries as TS
+
+    s = TS.cusum_drift(hx, time_col="h", value_col="x")
+    return s.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("x").alias("clicks"),
+        F.round(F.col("s_up") / (F.lit(1.0) * F.col("t")), 6).alias(
+            "drift_up"
+        ),
+        F.round(F.col("s_dn") / (F.lit(1.0) * F.col("t")), 6).alias(
+            "drift_dn"
+        ),
+        (F.col("s_up") > 4 * F.col("t")).alias("flag_up"),
+        (F.col("s_dn") > 4 * F.col("t")).alias("flag_dn"),
+    ).orderBy("hour")
+
+
+@register(
+    "lineitem_spearman_qty_discount",
+    # Spearman with ties, exactly: 2x average ranks are integers
+    # (2*avgrank = 2*count_below + count_tied + 1), exactly centered
+    # by N+1 (sum of 2x ranks = N(N+1)), so every moment is an exact
+    # integer sum over the tiny (qty x discount) VALUE GRID — DuckDB
+    # accumulates in HUGEINT natively; the only doubles are the three
+    # final casts and one division.
+    """
+    WITH li AS (
+      SELECT l_quantity::BIGINT AS x,
+             CAST(round(l_discount * 100) AS BIGINT) AS y
+      FROM lineitem),
+    n AS (SELECT count(*)::BIGINT AS n FROM li),
+    gx AS (SELECT x, count(*)::BIGINT AS c FROM li GROUP BY 1),
+    rx AS (SELECT x,
+                  2 * coalesce(sum(c) OVER (ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + c + 1 - ((SELECT n FROM n) + 1) AS cx
+           FROM gx),
+    gy AS (SELECT y, count(*)::BIGINT AS c FROM li GROUP BY 1),
+    ry AS (SELECT y,
+                  2 * coalesce(sum(c) OVER (ORDER BY y
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + c + 1 - ((SELECT n FROM n) + 1) AS cy
+           FROM gy),
+    pair AS (SELECT x, y, count(*)::BIGINT AS m FROM li GROUP BY 1, 2),
+    mom AS (
+      SELECT CAST(sum(m * cx * cy) AS DOUBLE) AS sxy,
+             CAST(sum(m * cx * cx) AS DOUBLE) AS sxx,
+             CAST(sum(m * cy * cy) AS DOUBLE) AS syy
+      FROM pair JOIN rx USING (x) JOIN ry USING (y))
+    SELECT (SELECT n FROM n) AS n_rows,
+           (SELECT count(*) FROM gx)::BIGINT AS n_x_values,
+           (SELECT count(*) FROM gy)::BIGINT AS n_y_values,
+           round(sxy / sqrt(sxx * syy), 6) AS spearman_rho
+    FROM mom
+    """,
+)
+def q_lineitem_spearman_qty_discount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPEARMAN rank correlation between quantity and discount
+    (operators.stats.spearman_exact) — the
+    monotone-association twin of the graded Pearson row (Spearman on
+    ranks is robust to any monotone transform of either margin).
+    Exact with ties and WITHOUT ranking the fact table: 2x average
+    ranks are integers (2*avgrank = 2*count_below + count_tied + 1)
+    computed by an ordered cumulative window over each margin's VALUE
+    GRID (50 quantities x 11 discounts — grain rows, never fact
+    rows), exactly centered by N+1 (the 2x-rank total is N(N+1), so
+    the Pearson mean terms vanish identically and rho =
+    sum(m*cx*cy) / sqrt(sum(m*cx^2) * sum(m*cy^2)) over the pair-count
+    grid). Every moment is an exact integer (Spark: DECIMAL(38,0)
+    partials via pre-multiply casts; DuckDB: native HUGEINT) and both
+    engines convert the identical integers to doubles for the one
+    final division. Overflow: moments are bounded by N^3 — 21 digits
+    at the x10 probe, inside DECIMAL(38,0) with 17 digits to spare.
+    Scale shape: two grain rollups + one pair-count rollup, all
+    map-combinable; the windows never touch more than |value grid|
+    rows."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("y"),
+    )
+    from ydb_vector_search_demo_spark.operators.stats import spearman_exact
+
+    out = spearman_exact(li, "x", "y")
+    return out.select(
+        "n_rows",
+        "n_x_values",
+        "n_y_values",
+        F.round("spearman_rho", 6).alias("spearman_rho"),
+    )
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
@@ -12268,6 +12551,17 @@ _GRADE_FIRST = [
 #                            oracle replay
 #   corpus_token_entropy   — per-language Shannon entropy/perplexity
 #                            via the ordered-cumulative n·ln(n) sum
+# r11 wave 6 (same bar: both SFs, ×10-probed, law-tested):
+#   events_bootstrap_ci    — Poisson bootstrap CI (one fact pass, b=0
+#                            exact-point trick, pinned md5 weights vs
+#                            driver-inlined Poisson CDF literals;
+#                            operators.stats.poisson_bootstrap)
+#   events_cusum_changepoint — CUSUM via the prefix-extremum identity
+#                            (two ordered windows over the hour grain,
+#                            exact bigints; timeseries.cusum_drift)
+#   lineitem_spearman_qty_discount — tie-exact Spearman from the
+#                            pair-count sufficient statistic (one fact
+#                            pass; operators.stats.spearman_exact)
 # Duplicate-surface rows eligible to rotate OUT with rationale:
 # grouping_sets_status_priority vs datetime_order_stats overlap is
 # partial only (grouping sets are a distinct surface — keep both);
