@@ -244,6 +244,47 @@ HEADLINE = [
     # HLL state merge: register-wise max across segments vs the
     # oracle's direct union-stream sketch - the mergeability law
     "events_hll_union",
+    # r11 wave 7 (outside the comparable subsets): the grain-bounded
+    # exact-statistic quartet — per-lag ACF, Mann-Kendall trend + Sen
+    # slope, the Benford first-digit screen, and tie-exact Kendall
+    # tau-b from the value grid (all ~1x at the x10 probe: every pair
+    # structure is grain- or grid-bounded, never fact-bounded)
+    "events_acf_hourly",
+    "events_mann_kendall",
+    "orders_benford_digits",
+    "lineitem_kendall_tau",
+    # r11 wave 8 (outside the comparable subsets): ranker-agreement
+    # RBO over the two graded retrieval stacks, per-language Zipf OLS,
+    # classifier reliability/ECE against the gate it distilled, and
+    # the per-source data card (all <=2x at the x10 probe)
+    "retrieval_rbo_bm25_qld",
+    "corpus_zipf_slope",
+    "corpus_classifier_calibration",
+    "corpus_datacard",
+    # r11 wave 9 (outside the comparable subsets): the streaming x
+    # changepoint cell (3-trigger foreachBatch drift monitor; fixed
+    # replay machinery dominates, flat at x10) and the compaction
+    # lifecycle (16 files -> manifest v0 -> compact to 1 -> manifest
+    # v1 -> read through the current pointer; store session-cached,
+    # min-of-N prices the steady-state read like the build/probe
+    # splits)
+    "streaming_cusum_monitor",
+    "store_compaction",
+    # r11 wave 10 (outside the comparable subsets): exact-integer
+    # PageRank over the within-label kNN graph (3 unrolled power
+    # steps; the graph build dominates and is quadratic IN THE BUCKET
+    # by design — see the BASELINE probe note), and the quantile-
+    # sketch state merge (bin-wise sum == direct-union law)
+    "graph_pagerank_label",
+    "events_quantile_merge",
+    # r11 wave 11 (outside the comparable subsets): temporal-audio
+    # silence detection (Arrow decode seam priced end to end), the
+    # k-anonymity governance audit, and the co-located bucketed join
+    # (layout write session-cached; min-of-N prices the zero-shuffle
+    # steady state)
+    "multimodal_audio_silence",
+    "events_k_anonymity",
+    "bucketed_join_revenue",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

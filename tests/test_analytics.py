@@ -1023,3 +1023,258 @@ def test_spearman_exact_laws(spark):
     t = spearman_exact(ties).first()
     assert t["spearman_rho"] == 1.0
     assert t["n_x_values"] == 2 and t["n_y_values"] == 2
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 7: ACF, Mann-Kendall + Sen, Benford, Kendall tau-b
+# ---------------------------------------------------------------------------
+
+
+def test_acf_exact_laws(spark):
+    """A perfectly linear series correlates exactly 1.0 at every lag
+    (the moments are exact integers, so the ratio is literally 1.0);
+    an alternating series gives acf(1) = -1, acf(2) = +1; and each
+    lag k sees exactly L - k pairs."""
+    from ydb_vector_search_demo_spark.operators.timeseries import acf_exact
+
+    lin = spark.createDataFrame(
+        [(i, 5 + 2 * i) for i in range(12)], "h INT, x BIGINT"
+    )
+    got = acf_exact(lin, "h", "x", max_lag=3).collect()
+    assert [(r["lag"], r["n_pairs"], r["acf"]) for r in got] == [
+        (1, 11, 1.0), (2, 10, 1.0), (3, 9, 1.0),
+    ]
+
+    alt = spark.createDataFrame(
+        [(i, 1 if i % 2 == 0 else 2) for i in range(12)], "h INT, x BIGINT"
+    )
+    a = {r["lag"]: r["acf"] for r in acf_exact(alt, "h", "x", 2).collect()}
+    assert a[1] == -1.0 and a[2] == 1.0
+
+
+def test_mann_kendall_sen_laws(spark):
+    """Strictly increasing -> S = n(n-1)/2, tie term vanishes, Sen's
+    slope is exactly the step; strictly decreasing mirrors S; a
+    constant series has S = 0 AND var18 = 0 (one tie group absorbs
+    the full variance term); and S is invariant under any strictly
+    monotone transform of the values (rank statistic) while Sen's
+    slope is not."""
+    from ydb_vector_search_demo_spark.operators.stats import mann_kendall_sen
+
+    n = 10
+    inc = spark.createDataFrame(
+        [(i, 100 + 7 * i) for i in range(n)], "h INT, x BIGINT"
+    )
+    r = mann_kendall_sen(inc, "h", "x").first()
+    assert r["s_stat"] == n * (n - 1) // 2
+    assert r["var18"] == n * (n - 1) * (2 * n + 5)
+    assert r["sen_slope"] == 7.0
+    import math
+
+    assert abs(
+        r["z_mk"]
+        - (r["s_stat"] - 1) / math.sqrt(r["var18"] / 18.0)
+    ) < 1e-12
+
+    dec = spark.createDataFrame(
+        [(i, -5 * i) for i in range(n)], "h INT, x BIGINT"
+    )
+    rd = mann_kendall_sen(dec, "h", "x").first()
+    assert rd["s_stat"] == -(n * (n - 1) // 2) and rd["sen_slope"] == -5.0
+
+    const = spark.createDataFrame(
+        [(i, 42) for i in range(n)], "h INT, x BIGINT"
+    )
+    rc = mann_kendall_sen(const, "h", "x").first()
+    assert rc["s_stat"] == 0 and rc["var18"] == 0
+    assert rc["z_mk"] is None  # degenerate variance -> test undefined
+
+    cubed = spark.createDataFrame(
+        [(i, (100 + 7 * i) ** 3) for i in range(n)], "h INT, x BIGINT"
+    )
+    r3 = mann_kendall_sen(cubed, "h", "x").first()
+    assert r3["s_stat"] == r["s_stat"] and r3["var18"] == r["var18"]
+
+
+def test_benford_digits_laws(spark):
+    """The spine is dense (a single-digit corpus still yields 9 rows
+    with zero counts elsewhere); digit extraction is pure integer
+    string arithmetic across magnitudes; counts conserve the input;
+    chi2_cum is nondecreasing; and a corpus drawn EXACTLY at the
+    expected proportions has a zero chi-square."""
+    from ydb_vector_search_demo_spark.operators.stats import benford_digits
+
+    probs = [0.5, 0.2, 0.1, 0.05, 0.05, 0.04, 0.03, 0.02, 0.01]
+    vals = spark.createDataFrame(
+        [(7,), (42,), (90210,), (777,)], "v BIGINT"
+    )
+    rows = benford_digits(vals, "v", probs).orderBy("digit").collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    by_d = {r["digit"]: r["n"] for r in rows}
+    assert by_d[7] == 2 and by_d[4] == 1 and by_d[9] == 1 and by_d[1] == 0
+    assert sum(by_d.values()) == 4
+    cums = [r["chi2_cum"] for r in rows]
+    assert all(b >= a - 1e-12 for a, b in zip(cums, cums[1:]))
+
+    # 100 rows drawn exactly at the expected proportions -> chi2 == 0
+    exact = spark.createDataFrame(
+        [(d,) for d in range(1, 10) for _ in range(int(probs[d - 1] * 100))],
+        "v BIGINT",
+    )
+    out = benford_digits(exact, "v", probs).orderBy("digit").collect()
+    assert out[-1]["chi2_cum"] == 0.0
+    assert all(r["share"] == r["expected_share"] for r in out)
+
+
+def test_kendall_tau_exact_laws(spark):
+    """Strictly monotone -> tau = +/-1 exactly; a hand-counted tied
+    grid matches the closed form; swapping the two margins leaves
+    tau invariant (symmetry); and tau is invariant under strictly
+    monotone transforms of either margin (rank statistic)."""
+    from ydb_vector_search_demo_spark.operators.stats import kendall_tau_exact
+
+    inc = spark.createDataFrame(
+        [(i, 2 * i) for i in range(10)], "x BIGINT, y BIGINT"
+    )
+    r = kendall_tau_exact(inc).first()
+    assert r["tau_b"] == 1.0 and r["concordant"] == 45 and r["discordant"] == 0
+
+    dec = spark.createDataFrame(
+        [(i, -i) for i in range(10)], "x BIGINT, y BIGINT"
+    )
+    assert kendall_tau_exact(dec).first()["tau_b"] == -1.0
+
+    # hand-counted: C=7, D=1, n=6, 2n1=2n2=8 -> tau = 12/22
+    data = [(1, 1), (1, 2), (2, 1), (2, 2), (2, 2), (3, 3)]
+    t = kendall_tau_exact(
+        spark.createDataFrame(data, "x BIGINT, y BIGINT")
+    ).first()
+    assert (t["concordant"], t["discordant"]) == (7, 1)
+    assert abs(t["tau_b"] - 12 / 22) < 1e-15
+
+    swapped = kendall_tau_exact(
+        spark.createDataFrame([(y, x) for x, y in data], "x BIGINT, y BIGINT")
+    ).first()
+    assert swapped["tau_b"] == t["tau_b"]
+
+    cubed = kendall_tau_exact(
+        spark.createDataFrame(
+            [(x ** 3, y * 100 + 7) for x, y in data], "x BIGINT, y BIGINT"
+        )
+    ).first()
+    assert cubed["tau_b"] == t["tau_b"]
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 8: RBO, Zipf OLS, classifier calibration
+# ---------------------------------------------------------------------------
+
+
+def test_rbo_overlap_laws(spark):
+    """Identical lists -> RBO@K = 1 - p^K exactly (binary weights);
+    disjoint lists -> 0 at every depth; and a hand-computed partial
+    overlap matches the definition term for term."""
+    from ydb_vector_search_demo_spark.operators.retrieval import rbo_overlap
+
+    w5 = [0.5 ** d for d in range(1, 6)]
+    a = spark.createDataFrame(
+        [(i, i) for i in range(1, 6)], "doc_id BIGINT, r INT"
+    )
+    same = {r["depth"]: r["rbo_cum"] for r in rbo_overlap(a, a, w5).collect()}
+    assert abs(same[5] - (1 - 0.5 ** 5)) < 1e-15
+    assert abs(same[1] - 0.5) < 1e-15
+
+    b = spark.createDataFrame(
+        [(100 + i, i) for i in range(1, 6)], "doc_id BIGINT, r INT"
+    )
+    disj = rbo_overlap(a, b, w5).collect()
+    assert all(r["overlap"] == 0 and r["rbo_cum"] == 0.0 for r in disj)
+
+    # lists [1,2,3] vs [2,1,4]: overlaps 0, 2, 2 -> rbo = 1/4 + 1/12
+    w3 = [0.5, 0.25, 0.125]
+    la = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id BIGINT, r INT"
+    )
+    lb = spark.createDataFrame(
+        [(2, 1), (1, 2), (4, 3)], "doc_id BIGINT, r INT"
+    )
+    got = rbo_overlap(la, lb, w3).orderBy("depth").collect()
+    assert [r["overlap"] for r in got] == [0, 2, 2]
+    assert abs(got[-1]["rbo_cum"] - (0.25 + 1 / 12)) < 1e-15
+
+
+def test_zipf_ols_laws(spark):
+    """An exact power-law corpus (n_r = C/r) regresses to slope -1 and
+    intercept ln(C) up to ulp noise; a flat distribution regresses to
+    slope 0 exactly; the single-rank group yields NULL slope; ranks
+    past ``top`` are excluded."""
+    from ydb_vector_search_demo_spark.operators.stats import zipf_ols
+
+    import math
+
+    c = 27720  # divisible by 1..8 -> exact integer counts
+    pl = spark.createDataFrame(
+        [("a", f"t{r:02d}", c // r) for r in range(1, 9)],
+        "lang STRING, tok STRING, n BIGINT",
+    )
+    r1 = zipf_ols(pl).first()
+    assert r1["n_ranks"] == 8
+    assert abs(r1["zipf_slope"] + 1.0) < 1e-9
+    assert abs(r1["zipf_intercept"] - math.log(c)) < 1e-9
+
+    flat = spark.createDataFrame(
+        [("a", f"t{r}", 500) for r in range(1, 6)],
+        "lang STRING, tok STRING, n BIGINT",
+    )
+    # constant y: the numerator cancels only up to ulp noise in the
+    # ln sums, not to an exact binary zero
+    assert abs(zipf_ols(flat).first()["zipf_slope"]) < 1e-12
+
+    single = spark.createDataFrame(
+        [("a", "only", 9)], "lang STRING, tok STRING, n BIGINT"
+    )
+    assert zipf_ols(single).first()["zipf_slope"] is None
+
+    capped = zipf_ols(pl, top=4).first()
+    assert capped["n_ranks"] == 4
+
+
+def test_calibration_bins_laws(spark):
+    """A perfectly calibrated corpus (per-bin positive fraction equals
+    the constant bin score) has ECE = 0 with acc == conf exactly; a
+    maximally miscalibrated bin contributes its full |acc-conf| mass;
+    the spine is dense (10 rows always, empty bins n=0 and zero ECE
+    contribution); and score 1.0 lands in the top bin."""
+    from ydb_vector_search_demo_spark.operators.stats import calibration_bins
+
+    rows = []
+    # bin 2: 4 rows at score 0.25, exactly 1 positive -> acc=conf=0.25
+    rows += [(0.25, True)] + [(0.25, False)] * 3
+    # bin 7: 4 rows at score 0.75, exactly 3 positive
+    rows += [(0.75, True)] * 3 + [(0.75, False)]
+    cal = calibration_bins(
+        spark.createDataFrame(rows, "score DOUBLE, label BOOLEAN"),
+        "score", "label",
+    ).orderBy("bin").collect()
+    assert len(cal) == 10
+    by = {r["bin"]: r for r in cal}
+    assert by[2]["acc"] == by[2]["conf"] == 0.25
+    assert by[7]["acc"] == by[7]["conf"] == 0.75
+    assert cal[-1]["ece_cum"] == 0.0
+    assert by[0]["n"] == 0 and by[0]["acc"] is None
+
+    # two rows at 0.95, both negative -> ECE = |0 - 0.95| * 2/2
+    bad = calibration_bins(
+        spark.createDataFrame(
+            [(0.95, False), (0.95, False)], "score DOUBLE, label BOOLEAN"
+        ),
+        "score", "label",
+    ).orderBy("bin").collect()
+    assert abs(bad[-1]["ece_cum"] - 0.95) < 1e-12
+    assert bad[9]["n"] == 2
+
+    top = calibration_bins(
+        spark.createDataFrame([(1.0, True)], "score DOUBLE, label BOOLEAN"),
+        "score", "label",
+    ).orderBy("bin").collect()
+    assert top[9]["n"] == 1 and top[9]["conf"] == 1.0

@@ -285,3 +285,35 @@ def test_beam_search_plan_stays_bounded_in_rounds(spark):
         assert len(plan) < 100_000, f"rounds={rounds}: plan {len(plan)}B"
         counts[rounds] = (n_scan, n_window)
     assert counts[5] == counts[3], f"plan must be O(1) in rounds: {counts}"
+
+
+def test_pagerank_integer_laws(spark):
+    """r11 wave 10: on a cycle (all degrees 1) the integer mass is a
+    fixed point — every node stays at exactly `scale` after any number
+    of steps; an asymmetric 3-node graph matches a driver-side integer
+    replay bit-for-bit; and total mass never exceeds N*scale (floor
+    division and leaks only ever LOSE units)."""
+    from ydb_vector_search_demo_spark.operators.ann import pagerank_integer
+
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src BIGINT, dst BIGINT"
+    )
+    got = {r["id"]: r["pr_units"] for r in pagerank_integer(cyc, 4).collect()}
+    assert got == {1: 10**12, 2: 10**12, 3: 10**12}
+
+    edges = [(2, 1), (3, 1), (1, 2)]
+    st = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {
+        r["id"]: (r["out_degree"], r["pr_units"])
+        for r in pagerank_integer(st, 3).collect()
+    }
+    scale, base = 10**12, 10**12 * 15 // 100
+    deg = {1: 1, 2: 1, 3: 1}
+    pr = {v: scale for v in deg}
+    for _ in range(3):
+        c: dict = {}
+        for s, d in edges:
+            c[d] = c.get(d, 0) + ((pr[s] * 85) // 100) // deg[s]
+        pr = {v: base + c.get(v, 0) for v in deg}
+    assert got == {v: (deg[v], pr[v]) for v in deg}
+    assert sum(p for _, p in got.values()) <= 3 * scale

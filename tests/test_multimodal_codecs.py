@@ -153,3 +153,38 @@ def test_audio_resample_decimates_and_reencodes(spark):
         assert rate == 4000 and n == len(want) == r["n_samples"]
         assert np.array_equal(media.wav_samples(raw), want)
         assert r["n_bytes"] == 44 + 2 * len(want) == len(raw)
+
+
+def test_audio_rms_frames_laws(spark):
+    """r11 wave 11: a zero waveform is all-silent with zero energy; a
+    full-scale square wave is all-loud with exactly n*amp^2 energy; a
+    trailing partial frame is counted with its own length (mean-square
+    threshold, not sum threshold); peak_abs is exact."""
+    import numpy as np
+
+    from ydb_vector_search_demo_spark.multimodal import media
+
+    silent = media.encode_wav(np.zeros(320, dtype=np.int64))
+    loud = media.encode_wav(np.full(400, 2000, dtype=np.int64))
+    # 320 quiet samples then 40 loud ones: the partial frame (40
+    # samples at amp 2000) has mean square 4e6 >= 1e6 -> NOT silent
+    mixed = media.encode_wav(
+        np.concatenate(
+            [np.zeros(320, dtype=np.int64), np.full(40, 2000, np.int64)]
+        )
+    )
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(silent)), (2, "audio", bytearray(loud)),
+         (3, "audio", bytearray(mixed))],
+        "media_id LONG, modality STRING, payload BINARY",
+    )
+    got = {
+        r["media_id"]: r.asDict()
+        for r in media.audio_rms_frames(df).collect()
+    }
+    assert got[1]["n_frames"] == 2 and got[1]["n_silent"] == 2
+    assert got[1]["total_sq"] == 0 and got[1]["peak_abs"] == 0
+    assert got[2]["n_frames"] == 3 and got[2]["n_silent"] == 0
+    assert got[2]["total_sq"] == 400 * 2000 * 2000
+    assert got[2]["peak_abs"] == 2000
+    assert got[3]["n_frames"] == 3 and got[3]["n_silent"] == 2

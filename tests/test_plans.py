@@ -414,3 +414,24 @@ def test_eval_metrics_zero_scan_final_plan(spark):
     plan = plan_of(spark, "retrieval_eval_metrics")
     final = plan.split("Initial Plan")[0]
     assert final.count("Scan parquet") == 0, final[:2000]
+
+
+def test_bucketed_join_revenue_has_no_exchange_below_join(spark):
+    """r11 wave 11: the graded bucketed-join row must actually read
+    co-located buckets — SortMergeJoin with NO Exchange on either
+    input (the only allowed Exchange sits above, for the final
+    5-group aggregation). Guards the row's whole point: pay one
+    layout shuffle at write time, never again per query."""
+    from tests.conftest import SF_SMOKE
+    from ydb_vector_search_demo_spark.plans.catalog import QUERIES
+
+    df = QUERIES["bucketed_join_revenue"](spark, SF_SMOKE)
+    assert df.count() > 0  # materialize THIS plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert "SortMergeJoin" in final, final[:1500]
+    below = final.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below, (
+        "bucketed join must read co-located buckets, not shuffle:\n"
+        + below[:1500]
+    )

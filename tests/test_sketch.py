@@ -156,3 +156,38 @@ def test_cms_bucket_bounds(spark):
         (F.col("bucket") < 0) | (F.col("bucket") >= SK.CMS_WIDTH)
     ).count()
     assert bad == 0
+
+
+def test_hist_merge_equals_direct_sketch(spark):
+    """r11 wave 10 (the quantile member of the sketch-mergeability
+    matrix): bin-wise-summing two segments' histogram states yields
+    counts bit-identical to sketching the union stream directly —
+    same n_rows, same cumulative structure, same quantile edges."""
+    import pyspark.sql.functions as F
+
+    from ydb_vector_search_demo_spark.functions import sketch as SK
+
+    rows = [("a", float(v)) for v in range(0, 100)] + [
+        ("b", float(v)) for v in range(50, 250)
+    ]
+    df = spark.createDataFrame(rows, "seg STRING, value DOUBLE")
+    lo, hi, nb = 0.0, 300.0, 30
+    per = SK.hist_counts(df, ["seg"], "value", lo, hi, nb)
+    merged = (
+        per.groupBy("bin")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .withColumn("u", F.lit("all"))
+    )
+    direct = SK.hist_counts(
+        df.withColumn("u", F.lit("all")), ["u"], "value", lo, hi, nb
+    )
+    m = {r["bin"]: r["cnt"] for r in merged.collect()}
+    d = {r["bin"]: r["cnt"] for r in direct.collect()}
+    assert m == d
+
+    qm = SK.hist_quantiles(merged, ["u"], [0.5, 0.9], lo, hi, nb).first()
+    qd = SK.hist_quantiles(direct, ["u"], [0.5, 0.9], lo, hi, nb).first()
+    assert (qm["n_rows"], qm["p50_est"], qm["p90_est"]) == (
+        qd["n_rows"], qd["p50_est"], qd["p90_est"],
+    )
+    assert qm["n_rows"] == 300

@@ -245,3 +245,45 @@ def test_vacuum_keep_last_validation(spark, tmp_path):
     root = str(tmp_path / "vac_val")
     with pytest.raises(ValueError, match="keep_last"):
         stores.vacuum_store(spark, root, keep_last=0)
+
+
+def test_compaction_publish_roundtrip_is_content_invisible(spark, tmp_path):
+    """r11 wave 9: the compaction lifecycle (16 small files -> publish
+    v0 -> compact to 1 -> publish v1) preserves CONTENT exactly through
+    the manifest pointer — and time travel back to v0 still reads the
+    pre-compaction data (old readers are never broken mid-swap)."""
+    import os
+
+    from ydb_vector_search_demo_spark import stores
+    from ydb_vector_search_demo_spark.sources.tables import compact_parquet
+
+    df = spark.range(0, 500).selectExpr(
+        "id", "concat('text-', id) AS text"
+    )
+    root = str(tmp_path / "store")
+    v0, v1 = os.path.join(root, "v0"), os.path.join(root, "v1")
+    os.makedirs(root, exist_ok=True)
+    df.repartition(16).write.parquet(v0)
+    stores.publish_store(spark, root, v0)
+    n_out = compact_parquet(spark, v0, v1, target_file_bytes=1 << 40)
+    assert n_out == 1
+    stores.publish_store(spark, root, v1)
+
+    nf = lambda p: sum(
+        1 for f in os.listdir(p)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    assert nf(v0) == 16 and nf(v1) == 1
+
+    want = sorted(tuple(r) for r in df.collect())
+    cur = sorted(
+        tuple(r) for r in stores.read_current_store(spark, root).collect()
+    )
+    assert cur == want
+    seqs = [s for s, _ in stores.store_history(spark, root)]
+    assert len(seqs) == 2
+    old = sorted(
+        tuple(r)
+        for r in stores.read_store_at(spark, root, seqs[0]).collect()
+    )
+    assert old == want

@@ -597,3 +597,38 @@ def test_running_sessions_merges_across_batches(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.table("sess_pin").collect())
     us = lambda h, m: int(datetime(2024, 1, 1, h, m).timestamp() * 1_000_000)
     assert got == [(1, us(10, 0), us(10, 20), 3)], got
+
+
+def test_cusum_monitor_runs_per_trigger_and_matches_batch(spark):
+    """The streaming drift monitor (r11 wave 9): the foreachBatch
+    CUSUM actually reruns on EVERY trigger (3 micro-batches -> 3
+    monitor readouts, grain coverage nondecreasing as state
+    accumulates), and the final trigger's statistic equals the batch
+    CUSUM over the full table — the streamed-in == batch law."""
+    from ydb_vector_search_demo_spark.operators.timeseries import cusum_drift
+    from ydb_vector_search_demo_spark.sources.tables import load_table
+    from ydb_vector_search_demo_spark.streaming.events import (
+        cusum_monitor_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    state = cusum_monitor_stream(spark, SF_SMOKE, event_type="click")
+    assert len(state["batches"]) == 3, state["batches"]
+    grain_rows = [b[1] for b in state["batches"]]
+    assert grain_rows == sorted(grain_rows)
+    assert grain_rows[-1] > 0
+
+    hx = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    batch = {
+        r["h"]: (r["x"], r["s_up"], r["s_dn"])
+        for r in cusum_drift(hx, "h", "x").collect()
+    }
+    streamed = {
+        r["h"]: (r["x"], r["s_up"], r["s_dn"]) for r in state["final"]
+    }
+    assert streamed == batch

@@ -547,3 +547,70 @@ def scene_cuts(media: DataFrame, threshold: int = 85) -> DataFrame:
         "media_id long, n_frames int, n_pairs long, n_cuts long, "
         "total_absdiff long, frame_len int",
     )
+
+
+RMS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_silent", IntegerType()),
+        StructField("peak_abs", IntegerType()),
+        StructField("total_sq", LongType()),
+    ]
+)
+
+
+def audio_rms_frames(
+    media: DataFrame, frame_len: int = 160, silence_ms: int = 1_000_000
+) -> DataFrame:
+    """Frame-level loudness / SILENCE detection through the real codec
+    — the temporal-audio analysis next to scene_cuts' temporal-video
+    row: decode the WAV, window the PCM16 stream into ``frame_len``-
+    sample frames (10 ms at 16 kHz; the trailing partial frame counts
+    with its own length), and per frame compare the MEAN SQUARE
+    against ``silence_ms`` — entirely in exact integer arithmetic
+    (sum_sq < silence_ms * flen, no division). Speech/music pipelines
+    run exactly this to trim silence before feature extraction; the
+    production VAD swaps into this same Arrow seam. Returns per
+    media_id: n_samples, n_frames, n_silent, peak_abs and the exact
+    total sum of squares (bigint) — RMS is one driver-side sqrt of
+    ints downstream. Overflow: 160 samples × 16384² < 2^36 per frame;
+    the per-media total is < n·2^28 — a 10-hour PCM16 stream stays
+    inside 2^63."""
+    from ydb_vector_search_demo_spark.shipping import ensure_package_on_workers
+
+    ensure_package_on_workers()
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, nf, sil, peak, tot = [], [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                s = wav_samples(bytes(p)).astype(np.int64)
+                n = len(s)
+                n_frames = (n + frame_len - 1) // frame_len
+                n_silent = 0
+                for f in range(n_frames):
+                    fr = s[f * frame_len : (f + 1) * frame_len]
+                    if int((fr * fr).sum()) < silence_ms * len(fr):
+                        n_silent += 1
+                ids.append(mid)
+                ns.append(n)
+                nf.append(n_frames)
+                sil.append(n_silent)
+                peak.append(int(np.abs(s).max()) if n else 0)
+                tot.append(int((s * s).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_samples": pd.array(ns, dtype="int32"),
+                    "n_frames": pd.array(nf, dtype="int32"),
+                    "n_silent": pd.array(sil, dtype="int32"),
+                    "peak_abs": pd.array(peak, dtype="int32"),
+                    "total_sq": pd.array(tot, dtype="int64"),
+                }
+            )
+
+    return media.filter(F.col("modality") == "audio").mapInPandas(
+        stats, RMS_SCHEMA
+    )

@@ -1615,3 +1615,63 @@ def ranking_metrics(
             .alias("ndcg_k"),
         )
     )
+
+
+def rbo_overlap(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    weights: Sequence[float],
+    id_col: str = "doc_id",
+    rank_col: str = "r",
+) -> DataFrame:
+    """Rank-Biased Overlap (Webber, Moffat & Zobel 2010) between two
+    ranked lists, per depth: RBO@K = sum_{d<=K} w_d * |A_d ∩ B_d| / d,
+    where A_d/B_d are the depth-d prefixes and ``weights`` are the
+    per-depth weight literals (1-p)p^{d-1}, DRIVER-computed and
+    inlined into both engines (the Poisson-CDF-literal convention —
+    with p = 1/2 every weight is an exact binary fraction, so there is
+    no pow() seam at all). Inputs: two (id, rank) relations with ranks
+    1..K and a deterministic total order behind each rank. Overlap
+    counts are exact integers; each term is (w * overlap) / d — fixed
+    double arithmetic; rbo_cum accumulates via the ORDERED cumulative
+    window over the K-row depth spine (the house double-sum trick).
+    Returns K rows: depth, overlap, rbo_cum (raw doubles).
+
+    Scale shape: everything downstream of the two top-K cuts touches
+    <= K^2 rows — the join is K-row x K-row on the id, the spine join
+    and the window run over K rows."""
+    k = len(weights)
+    spark = ranked_a.sparkSession
+    a = ranked_a.select(
+        F.col(id_col).alias("_id"), F.col(rank_col).alias("_ra")
+    )
+    b = ranked_b.select(
+        F.col(id_col).alias("_id"), F.col(rank_col).alias("_rb")
+    )
+    pairs = a.join(b, "_id")
+    spine = spark.range(1, k + 1).select(
+        F.col("id").cast("int").alias("depth")
+    )
+    ov = (
+        spine.join(
+            F.broadcast(pairs),
+            (F.col("_ra") <= F.col("depth"))
+            & (F.col("_rb") <= F.col("depth")),
+            "left",
+        )
+        .groupBy("depth")
+        .agg(F.count("_id").cast("bigint").alias("overlap"))
+    )
+    w_col = F.when(F.col("depth") == 1, F.lit(float(weights[0])))
+    for d in range(2, k + 1):
+        w_col = w_col.when(F.col("depth") == d, F.lit(float(weights[d - 1])))
+    w_cum = Window.orderBy("depth").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ov.select(
+        "depth",
+        "overlap",
+        F.sum((w_col * F.col("overlap")) / F.col("depth"))
+        .over(w_cum)
+        .alias("rbo_cum"),
+    ).orderBy("depth")

@@ -516,3 +516,405 @@ def poisson_bootstrap(
         )
         .localCheckpoint(eager=True)
     )
+
+
+def kendall_tau_exact(
+    df: DataFrame, x_col: str = "x", y_col: str = "y"
+) -> DataFrame:
+    """Kendall tau-b with ties, EXACTLY and without enumerating row
+    pairs: collapse to the (x, y) pair-count VALUE GRID, then classify
+    every ordered grid-cell pair with ``b.x > a.x`` as concordant
+    (``b.y > a.y``) or discordant (``b.y < a.y``), weighting by
+    ``m_a * m_b`` — each unordered row pair with distinct x is counted
+    exactly once. The tie terms come from the margins in DOUBLED form
+    (no integer division anywhere): with 2*n0 = n(n-1),
+    2*n1 = sum tx(tx-1), 2*n2 = sum ty(ty-1),
+    tau_b = 2*(C - D) / sqrt((2n0-2n1) * (2n0-2n2)). Every count is an
+    exact DECIMAL(38,0) integer (products bounded by n^2 and the tie
+    terms by n^2, so the radicand is < 4n^4 — 29 digits at 10^7 rows);
+    the only doubles are the final casts and one division. Inputs must
+    be exact integer-valued columns (quantize floats first). Returns
+    one row: n_rows, concordant, discordant, tau_b (raw double).
+
+    Scale shape: ONE pass over the input builds the pair-count grid
+    (a sufficient statistic, localCheckpointed); the cell-pair join is
+    |grid|^2 — grid-bounded, never fact-bounded (50x11 margins mean
+    ~3e5 cell pairs regardless of fact size)."""
+    grid = (
+        df.groupBy(x_col, y_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    a = grid.select(
+        F.col(x_col).alias("_xa"),
+        F.col(y_col).alias("_ya"),
+        F.col("m").cast("decimal(19,0)").alias("_ma"),
+    )
+    b = grid.select(
+        F.col(x_col).alias("_xb"),
+        F.col(y_col).alias("_yb"),
+        F.col("m").cast("decimal(19,0)").alias("_mb"),
+    )
+    cd = (
+        a.join(F.broadcast(b), F.col("_xb") > F.col("_xa"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_yb") > F.col("_ya"),
+                    (F.col("_ma") * F.col("_mb")).cast("decimal(38,0)"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("c"),
+            F.sum(
+                F.when(
+                    F.col("_yb") < F.col("_ya"),
+                    (F.col("_ma") * F.col("_mb")).cast("decimal(38,0)"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("d"),
+        )
+    )
+    n = grid.agg(F.sum("m").cast("decimal(19,0)").alias("n"))
+    tx = (
+        grid.groupBy(x_col)
+        .agg(F.sum("m").cast("decimal(19,0)").alias("t"))
+        .agg(
+            F.sum(
+                (F.col("t") * (F.col("t") - 1)).cast("decimal(38,0)")
+            ).alias("n1x2")
+        )
+    )
+    ty = (
+        grid.groupBy(y_col)
+        .agg(F.sum("m").cast("decimal(19,0)").alias("t"))
+        .agg(
+            F.sum(
+                (F.col("t") * (F.col("t") - 1)).cast("decimal(38,0)")
+            ).alias("n2x2")
+        )
+    )
+    return (
+        n.crossJoin(F.broadcast(cd))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("c").cast("bigint").alias("concordant"),
+            F.col("d").cast("bigint").alias("discordant"),
+            (
+                F.lit(2.0)
+                * (F.col("c") - F.col("d")).cast("double")
+                / F.sqrt(
+                    (
+                        (F.col("n") * (F.col("n") - 1)).cast("decimal(38,0)")
+                        - F.col("n1x2")
+                    ).cast("double")
+                    * (
+                        (F.col("n") * (F.col("n") - 1)).cast("decimal(38,0)")
+                        - F.col("n2x2")
+                    ).cast("double")
+                )
+            ).alias("tau_b"),
+        )
+    )
+
+
+def benford_digits(
+    df: DataFrame, value_col: str, expected: list[float]
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic synthetic-data / fraud screen a pipeline runs on monetary
+    columns. The digit is extracted with INTEGER string arithmetic
+    (first character of the bigint magnitude — no log10, no float
+    seam); counts are exact bigints joined onto a dense 1..9 spine so
+    zero-count digits still surface. ``expected`` is the list of
+    P(digit = d) literals, driver-computed once and inlined into BOTH
+    engines, so the chi-square terms are fixed double expressions of
+    exact integers and identical literals. chi2_cum is the ORDERED
+    cumulative sum over the digit spine (the house determinism trick
+    for summing doubles) — the digit-9 row carries the full statistic.
+    Input rows must be positive integer magnitudes (floor/quantize
+    first). Returns 9 rows: digit, n, share, expected_share, chi2_cum
+    (raw doubles).
+
+    Scale shape: one map-combinable groupBy on a 9-value key; the
+    spine join and the window touch 9 rows."""
+    assert len(expected) == 9
+    spark = df.sparkSession
+    counts = (
+        df.select(
+            F.substring(F.col(value_col).cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    dense = spine.join(F.broadcast(counts), "digit", "left").select(
+        "digit", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    )
+    tot = dense.agg(F.sum("n").cast("bigint").alias("tot"))
+    exp_col = F.when(F.col("digit") == 1, F.lit(expected[0]))
+    for d in range(2, 10):
+        exp_col = exp_col.when(F.col("digit") == d, F.lit(expected[d - 1]))
+    w = Window.orderBy("digit").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = dense.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("tot")).alias("share"),
+        exp_col.alias("expected_share"),
+        (
+            (F.col("n").cast("double") - F.col("tot") * exp_col)
+            * (F.col("n").cast("double") - F.col("tot") * exp_col)
+            / (F.col("tot") * exp_col)
+        ).alias("_chi2_term"),
+    )
+    return t.select(
+        "digit",
+        "n",
+        "share",
+        "expected_share",
+        F.sum("_chi2_term").over(w).alias("chi2_cum"),
+    )
+
+
+def mann_kendall_sen(
+    grain: DataFrame, time_col: str = "h", x_col: str = "x"
+) -> DataFrame:
+    """Mann-Kendall trend test + Sen's slope over an ordered grain —
+    the nonparametric monotone-trend monitor (robust to outliers and
+    any monotone transform, unlike an OLS slope on the raw counts).
+    S = sum over ordered bucket pairs of sign(x_j - x_i) and the
+    tie-corrected variance numerator var18 = n(n-1)(2n+5) -
+    sum_t t(t-1)(2t+5) (var = var18/18) are exact bigints; the normal
+    approximation z = (S -/+ 1)/sqrt(var18/18) and Sen's slope — the
+    MEDIAN of the pairwise slopes (x_j - x_i)/(j - i) over the
+    row-number distance — are fixed double expressions of exact
+    integers (identical int divisions give identical doubles in any
+    engine; the median is the order-insensitive R-7 percentile, the
+    pinned Spark percentile == DuckDB quantile_cont parity). Input
+    must be the aggregated grain (one row per bucket, exact integer
+    value). Returns one row: n_buckets, s_stat, var18, z_mk,
+    sen_slope (raw doubles).
+
+    Scale shape: the pair join is |grain|^2/2 — grain-bounded, never
+    fact-bounded (720 hourly buckets -> ~2.6e5 pairs regardless of
+    fact size); the row_number window runs over grain rows only.
+    Overflow: var18 < 2n^3 + 5n^2 — a 10^5-bucket (11-year hourly)
+    grain stays inside 2^63."""
+    w = Window.orderBy(time_col)
+    r = grain.select(
+        F.row_number().over(w).alias("_rn"),
+        F.col(x_col).cast("bigint").alias("_x"),
+    ).localCheckpoint(eager=True)
+    a = r.select(F.col("_rn").alias("_ra"), F.col("_x").alias("_xa"))
+    b = r.select(F.col("_rn").alias("_rb"), F.col("_x").alias("_xb"))
+    pairs = a.join(F.broadcast(b), F.col("_rb") > F.col("_ra"))
+    s = pairs.agg(
+        F.sum(F.signum((F.col("_xb") - F.col("_xa")).cast("double")))
+        .cast("bigint")
+        .alias("s_stat"),
+        F.expr(
+            "percentile((_xb - _xa) / CAST(_rb - _ra AS DOUBLE), 0.5)"
+        ).alias("sen_slope"),
+    )
+    n = r.agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
+    ties = (
+        r.groupBy("_x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("_tie18")
+        )
+    )
+    return (
+        n.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n_buckets",
+            "s_stat",
+            (
+                F.col("n_buckets")
+                * (F.col("n_buckets") - 1)
+                * (2 * F.col("n_buckets") + 5)
+                - F.col("_tie18")
+            )
+            .cast("bigint")
+            .alias("var18"),
+            "sen_slope",
+        )
+        .select(
+            "n_buckets",
+            "s_stat",
+            "var18",
+            # var18 = 0 only when every bucket ties (one tie group
+            # absorbs the full variance term) — the test is undefined
+            # there, so z_mk is NULL rather than an ANSI 0/0 error.
+            F.when(
+                F.col("var18") > 0,
+                (
+                    F.col("s_stat").cast("double")
+                    - F.signum(F.col("s_stat").cast("double"))
+                )
+                / F.sqrt(F.col("var18").cast("double") / F.lit(18.0)),
+            ).alias("z_mk"),
+            "sen_slope",
+        )
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    score_scale: int = 1_000_000,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error for a
+    probabilistic classifier: scores in [0, 1] bin into ``n_bins``
+    fixed-width buckets (bin = min(floor(s*B), B-1) — integer-exact
+    given identical score doubles), and per bin the POSITIVE fraction
+    (accuracy) is compared against the MEAN score (confidence). The
+    mean-score trap: summing raw doubles across rows is
+    partial-agg-order sensitive — so the score is quantized to an
+    exact integer grid first (round(s * score_scale), the
+    integer-cents convention) and confidence is one division of exact
+    bigints. ece_cum accumulates |acc - conf| * n_b / N via the
+    ORDERED cumulative window over the bin spine (<= n_bins rows) —
+    the last bin's row carries the full ECE. Empty bins are kept via
+    a dense spine (n = 0, null acc/conf, zero ECE contribution).
+    Returns n_bins rows: bin, n, n_pos, acc, conf, ece_cum (raw
+    doubles).
+
+    Scale shape: ONE map-combinable groupBy on an n_bins-value key;
+    the spine join and the window touch n_bins rows."""
+    spark = df.sparkSession
+    s = F.col(score_col)
+    binned = df.select(
+        F.least(
+            F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        F.round(s * score_scale).cast("bigint").alias("_si"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("_y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum("_si").cast("bigint").alias("_ssum"),
+    )
+    spine = spark.range(0, n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    dense = spine.join(F.broadcast(agg), "bin", "left").select(
+        "bin",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce("n_pos", F.lit(0)).cast("bigint").alias("n_pos"),
+        F.coalesce("_ssum", F.lit(0)).cast("bigint").alias("_ssum"),
+    )
+    tot = dense.agg(F.sum("n").cast("bigint").alias("_tot"))
+    acc = F.when(
+        F.col("n") > 0, F.col("n_pos").cast("double") / F.col("n")
+    )
+    conf = F.when(
+        F.col("n") > 0,
+        F.col("_ssum").cast("double")
+        / (F.lit(float(score_scale)) * F.col("n")),
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    term = F.when(
+        F.col("n") > 0,
+        F.abs(acc - conf) * F.col("n") / F.col("_tot"),
+    ).otherwise(F.lit(0.0))
+    return (
+        dense.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            acc.alias("acc"),
+            conf.alias("conf"),
+            F.sum(term).over(w_cum).alias("ece_cum"),
+        )
+        .orderBy("bin")
+    )
+
+
+def zipf_ols(
+    cnt: DataFrame,
+    group_col: str = "lang",
+    token_col: str = "tok",
+    n_col: str = "n",
+    top: int = 100,
+) -> DataFrame:
+    """Per-group Zipf rank-frequency OLS: slope/intercept of
+    ln(count) on ln(rank) over the top ``top`` ranks. Determinism:
+    ranks order by (count desc, token) — a TOTAL order; x = ln(rank)
+    and y = ln(count) are doubles of exact integers (the accepted ln
+    parity seam); the four OLS sums accumulate via ordered cumulative
+    windows over the rank order (every term >= 0, so the running max
+    IS the final value — the entropy-row pattern); slope =
+    (K·Sxy − Sx·Sy)/(K·Sxx − Sx²) and intercept = (Sy − slope·Sx)/K
+    are fixed double expressions of per-group scalars, NULL-guarded
+    for the degenerate single-rank group. Input: the (group, token,
+    count) grain. Returns one row per group: group, n_ranks,
+    zipf_slope, zipf_intercept (raw doubles).
+
+    Scale shape: the rank window runs over the vocabulary grain and
+    the OLS windows over <= top rows per group — never fact rows."""
+    w_r = Window.partitionBy(group_col).orderBy(
+        F.desc(n_col), F.col(token_col)
+    )
+    top_df = (
+        cnt.select(
+            group_col, n_col, F.row_number().over(w_r).alias("_r")
+        )
+        .filter(F.col("_r") <= int(top))
+        .select(
+            group_col,
+            "_r",
+            F.log(F.col("_r").cast("double")).alias("_x"),
+            F.log(F.col(n_col).cast("double")).alias("_y"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("_r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = top_df.select(
+        group_col,
+        "_r",
+        F.sum("_x").over(w_cum).alias("_sx"),
+        F.sum("_y").over(w_cum).alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).over(w_cum).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).over(w_cum).alias("_sxx"),
+    )
+    agg = cum.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.max("_sx").alias("_sx"),
+        F.max("_sy").alias("_sy"),
+        F.max("_sxy").alias("_sxy"),
+        F.max("_sxx").alias("_sxx"),
+    )
+    den = F.col("n_ranks") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = F.when(
+        den > 0,
+        (F.col("n_ranks") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        / den,
+    )
+    return agg.select(
+        group_col,
+        "n_ranks",
+        slope.alias("zipf_slope"),
+        ((F.col("_sy") - slope * F.col("_sx")) / F.col("n_ranks")).alias(
+            "zipf_intercept"
+        ),
+    )

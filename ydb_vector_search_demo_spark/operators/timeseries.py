@@ -911,3 +911,72 @@ def cusum_drift(
         (F.greatest(F.lit(0), F.max("_cum").over(w_cum)) - F.col("_cum"))
         .alias("s_dn"),
     )
+
+
+def acf_exact(
+    grain: DataFrame,
+    time_col: str = "h",
+    x_col: str = "x",
+    max_lag: int = 6,
+) -> DataFrame:
+    """Per-lag autocorrelation over an ordered grain, exactly: for
+    each lag k the (x_t, x_{t+k}) pairs come from a row-number
+    self-join against a dense 1..max_lag lag spine, and every
+    sufficient statistic per lag (pair count, both margin sums, both
+    squared sums, the cross sum) is an exact DECIMAL(38,0) integer —
+    r_k = (n_k*Sxy - Sx*Sy) / sqrt((n_k*Sxx - Sx^2) * (n_k*Syy -
+    Sy^2)), the Pearson-per-lag cross-correlation convention (each
+    lag's pairs standardized by their own moments, the form that is
+    exactly computable; the fixed-global-mean textbook ACF differs by
+    O(k/n) edge terms). Input must be the aggregated grain (one row
+    per bucket, exact integer value); gaps in the grain are treated
+    as adjacent rows (lead-by-rows, not lead-by-time) — gapfill first
+    if calendar lags are wanted. Returns max_lag rows: lag, n_pairs,
+    acf (raw double).
+
+    Scale shape: the row_number window and the self-join run over
+    grain rows x max_lag — grain-bounded, never fact-bounded.
+    Overflow: n_k*Sxx <= n^2*x_max^2 — 10^5 hourly buckets at 10^9
+    events/hour is 10^28, inside DECIMAL(38,0)."""
+    spark = grain.sparkSession
+    w = Window.orderBy(time_col)
+    r = grain.select(
+        F.row_number().over(w).alias("_rn"),
+        F.col(x_col).cast("decimal(19,0)").alias("_x"),
+    ).localCheckpoint(eager=True)
+    lags = spark.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = r.select(F.col("_rn").alias("_ra"), F.col("_x").alias("_xa"))
+    b = r.select(F.col("_rn").alias("_rb"), F.col("_x").alias("_xb"))
+    pairs = a.crossJoin(F.broadcast(lags)).join(
+        F.broadcast(b), F.col("_rb") == F.col("_ra") + F.col("lag")
+    )
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("_n"),
+        F.sum("_xa").cast("decimal(38,0)").alias("_sx"),
+        F.sum("_xb").cast("decimal(38,0)").alias("_sy"),
+        F.sum((F.col("_xa") * F.col("_xa")).cast("decimal(38,0)")).alias(
+            "_sxx"
+        ),
+        F.sum((F.col("_xb") * F.col("_xb")).cast("decimal(38,0)")).alias(
+            "_syy"
+        ),
+        F.sum((F.col("_xa") * F.col("_xb")).cast("decimal(38,0)")).alias(
+            "_sxy"
+        ),
+    )
+    return mom.select(
+        "lag",
+        F.col("_n").cast("bigint").alias("n_pairs"),
+        (
+            (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+            .cast("double")
+            / F.sqrt(
+                (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+                .cast("double")
+                * (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+                .cast("double")
+            )
+        ).alias("acf"),
+    ).orderBy("lag")

@@ -12078,6 +12078,1246 @@ def q_lineitem_spearman_qty_discount(
     )
 
 
+@register(
+    "events_acf_hourly",
+    # Pearson-per-lag autocorrelation over the hourly click grain: the
+    # (x_t, x_{t+k}) pairs come from a row-number self-join against a
+    # dense lag spine, and every per-lag sufficient statistic is an
+    # exact integer (DuckDB sums bigints in HUGEINT natively), so r_k
+    # is one fixed double expression of exact integers.
+    """
+    WITH hx AS (
+      SELECT date_trunc('hour', ts) AS h, count(*)::BIGINT AS x
+      FROM events WHERE event_type = 'click' GROUP BY 1),
+    r AS (SELECT row_number() OVER (ORDER BY h) AS rn, x FROM hx),
+    lags AS (SELECT unnest(generate_series(1, 6)) AS lag),
+    p AS (SELECT lag, a.x AS xa, b.x AS xb
+          FROM r a CROSS JOIN lags JOIN r b ON b.rn = a.rn + lag),
+    m AS (SELECT lag, count(*)::BIGINT AS n,
+                 sum(xa) AS sx, sum(xb) AS sy,
+                 sum(xa * xa) AS sxx, sum(xb * xb) AS syy,
+                 sum(xa * xb) AS sxy
+          FROM p GROUP BY 1)
+    SELECT lag, n AS n_pairs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+    FROM m ORDER BY lag
+    """,
+)
+def q_events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION function at lags 1..6 over hourly click volume
+    (operators.timeseries.acf_exact) — the seasonality/memory readout
+    a pipeline runs before picking a forecast or anomaly model (a
+    diurnal corpus shows the lag-24 >> lag-1 signature; a level shift
+    shows slow decay). Convention: Pearson-per-lag cross-correlation —
+    each lag's overlapping pairs standardized by their OWN moments,
+    the form that is exactly computable from integer sufficient
+    statistics (the fixed-global-mean textbook ACF differs by O(k/n)
+    edge terms). Every per-lag moment is an exact DECIMAL(38,0)
+    integer (DuckDB: native HUGEINT) and r_k is one fixed double
+    expression of them. Scale shape: the hourly rollup is one
+    map-combinable groupBy over events; the row_number window and the
+    lag self-join run over the ~720-row hour grain x 6 lags — an
+    Exchange SinglePartition over grain rows, never raw data, constant
+    as the fact table grows."""
+    from ydb_vector_search_demo_spark.operators.timeseries import acf_exact
+
+    hx = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    out = acf_exact(hx, "h", "x", max_lag=6)
+    return out.select(
+        "lag", "n_pairs", F.round("acf", 6).alias("acf")
+    ).orderBy("lag")
+
+
+@register(
+    "events_mann_kendall",
+    # Mann-Kendall S and its tie-corrected variance are exact integer
+    # sums over the hour-grain pair set; Sen's slope is the R-7 median
+    # (quantile_cont == pinned Spark percentile parity) of pairwise
+    # slopes, each the division of two exact integers.
+    """
+    WITH hx AS (
+      SELECT date_trunc('hour', ts) AS h, count(*)::BIGINT AS x
+      FROM events WHERE event_type = 'click' GROUP BY 1),
+    r AS (SELECT row_number() OVER (ORDER BY h) AS rn, x FROM hx),
+    p AS (SELECT a.x AS xa, b.x AS xb, a.rn AS ra, b.rn AS rb
+          FROM r a JOIN r b ON b.rn > a.rn),
+    s AS (SELECT CAST(sum(CASE WHEN xb > xa THEN 1
+                               WHEN xb < xa THEN -1 ELSE 0 END)
+                      AS BIGINT) AS s_stat,
+                 quantile_cont((xb - xa) / CAST(rb - ra AS DOUBLE), 0.5)
+                   AS sen_slope
+          FROM p),
+    n AS (SELECT count(*)::BIGINT AS nb FROM r),
+    t AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                      AS BIGINT) AS tie18
+          FROM (SELECT count(*)::BIGINT AS t FROM r GROUP BY x))
+    SELECT nb AS n_buckets,
+           s_stat,
+           CAST(nb * (nb - 1) * (2 * nb + 5) - tie18 AS BIGINT) AS var18,
+           round((s_stat - sign(s_stat))
+                 / sqrt(CAST(nb * (nb - 1) * (2 * nb + 5) - tie18
+                             AS DOUBLE) / 18.0), 6) AS z_mk,
+           round(sen_slope, 6) AS sen_slope
+    FROM n, s, t
+    """,
+)
+def q_events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL trend test + SEN'S SLOPE over hourly click volume
+    (operators.stats.mann_kendall_sen) — the nonparametric
+    monotone-trend monitor (robust to outliers and any monotone
+    transform; the CUSUM row detects level SHIFTS, this detects
+    sustained DRIFT — together the standard rate-monitoring pair).
+    S = sum of sign(x_j - x_i) over ordered bucket pairs and the
+    tie-corrected variance numerator var18 = n(n-1)(2n+5) -
+    sum_t t(t-1)(2t+5) are exact bigints; z uses the continuity
+    correction (S -/+ 1); Sen's slope is the MEDIAN of pairwise
+    slopes (x_j - x_i)/(j - i), each slope the division of two exact
+    integers (identical doubles in both engines), the median the
+    order-insensitive R-7 percentile (pinned Spark percentile ==
+    DuckDB quantile_cont parity, the bootstrap-CI precedent). Scale
+    shape: one map-combinable hourly rollup over events; the pair
+    join is grain-bounded (~720 hours -> 2.6e5 pairs, CONSTANT as the
+    fact table grows)."""
+    from ydb_vector_search_demo_spark.operators.stats import (
+        mann_kendall_sen,
+    )
+
+    hx = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    out = mann_kendall_sen(hx, "h", "x")
+    return out.select(
+        "n_buckets",
+        "s_stat",
+        "var18",
+        F.round("z_mk", 6).alias("z_mk"),
+        F.round("sen_slope", 6).alias("sen_slope"),
+    )
+
+
+def _benford_probs() -> list[float]:
+    """P(first digit = d) = log10(1 + 1/d), driver-computed once and
+    inlined as identical double literals into BOTH engines (the
+    Poisson-CDF-literal convention) — no log10 runs inside either
+    engine, so there is no libm seam."""
+    import math
+
+    return [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+_BENFORD = _benford_probs()
+# bare numeric literals with many digits parse as DECIMAL in DuckDB —
+# cast each to DOUBLE so the CASE (and everything downstream of it)
+# stays in the identical double arithmetic Spark uses
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({_BENFORD[d - 1]!r} AS DOUBLE)"
+    for d in range(1, 10)
+) + " END"
+
+
+@register(
+    "orders_benford_digits",
+    # First significant digit via INTEGER string arithmetic (first
+    # char of the bigint magnitude — no log10 on data), dense 1..9
+    # spine, expected shares as driver-inlined literals, chi-square
+    # accumulated by the ORDERED cumulative window over the spine.
+    f"""
+    WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS m
+               FROM orders),
+    c AS (SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS INT) AS digit,
+                 count(*)::BIGINT AS n
+          FROM v GROUP BY 1),
+    spine AS (SELECT unnest(generate_series(1, 9)) AS digit),
+    dense AS (SELECT spine.digit, coalesce(c.n, 0)::BIGINT AS n
+              FROM spine LEFT JOIN c USING (digit)),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM dense),
+    t AS (SELECT digit, n,
+                 CAST(n AS DOUBLE) / (SELECT tot FROM tot) AS share,
+                 {_BENFORD_CASE} AS e,
+                 (CAST(n AS DOUBLE) - (SELECT tot FROM tot)
+                    * {_BENFORD_CASE})
+                 * (CAST(n AS DOUBLE) - (SELECT tot FROM tot)
+                    * {_BENFORD_CASE})
+                 / ((SELECT tot FROM tot) * {_BENFORD_CASE}) AS term
+          FROM dense)
+    SELECT digit, n,
+           round(share, 6) AS share,
+           round(e, 6) AS expected_share,
+           round(sum(term) OVER (ORDER BY digit ROWS UNBOUNDED PRECEDING),
+                 6) AS chi2_cum
+    FROM t ORDER BY digit
+    """,
+)
+def q_orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit screen over order totals
+    (operators.stats.benford_digits) — the classic synthetic-data /
+    fraud / unit-mix-up detector a pipeline runs on monetary columns
+    (numbers spanning several orders of magnitude follow
+    P(d) = log10(1 + 1/d); a capped or uniformly generated column —
+    like this one, bounded at 500k — fails loudly, which is exactly
+    the readout). No float seam anywhere: the digit is the first
+    character of the bigint magnitude (no log10 on data), counts are
+    exact bigints on a dense 1..9 spine (zero-count digits surface),
+    the expected shares are driver-inlined literals (the
+    Poisson-CDF-literal convention), and the chi-square statistic
+    accumulates by the ORDERED cumulative window over the 9-row spine
+    (the house trick for summing doubles) — the digit-9 row carries
+    the full chi2. Scale shape: one map-combinable groupBy on a
+    9-value key; everything downstream touches 9 rows."""
+    from ydb_vector_search_demo_spark.operators.stats import benford_digits
+
+    v = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("m")
+    )
+    out = benford_digits(v, "m", _BENFORD)
+    return out.select(
+        "digit",
+        "n",
+        F.round("share", 6).alias("share"),
+        F.round("expected_share", 6).alias("expected_share"),
+        F.round("chi2_cum", 6).alias("chi2_cum"),
+    ).orderBy("digit")
+
+
+@register(
+    "lineitem_kendall_tau",
+    # Kendall tau-b from the 50x11 value grid: concordant/discordant
+    # pair masses are exact integer sums over ordered grid-cell pairs
+    # (b.x > a.x counts each distinct-x row pair once); tie terms in
+    # DOUBLED form avoid integer division entirely.
+    """
+    WITH li AS (
+      SELECT l_quantity::BIGINT AS x,
+             CAST(round(l_discount * 100) AS BIGINT) AS y
+      FROM lineitem),
+    g AS (SELECT x, y, count(*)::BIGINT AS m FROM li GROUP BY 1, 2),
+    cd AS (SELECT CAST(sum(CASE WHEN b.y > a.y THEN a.m * b.m
+                               ELSE 0 END) AS BIGINT) AS c,
+                  CAST(sum(CASE WHEN b.y < a.y THEN a.m * b.m
+                               ELSE 0 END) AS BIGINT) AS d
+           FROM g a JOIN g b ON b.x > a.x),
+    n AS (SELECT CAST(sum(m) AS BIGINT) AS n FROM g),
+    t1 AS (SELECT sum(t * (t - 1)) AS v
+           FROM (SELECT CAST(sum(m) AS BIGINT) AS t FROM g GROUP BY x)),
+    t2 AS (SELECT sum(t * (t - 1)) AS v
+           FROM (SELECT CAST(sum(m) AS BIGINT) AS t FROM g GROUP BY y))
+    SELECT n.n AS n_rows, cd.c AS concordant, cd.d AS discordant,
+           round(2.0 * (cd.c - cd.d)
+                 / sqrt(CAST(n.n * (n.n - 1) - t1.v AS DOUBLE)
+                        * CAST(n.n * (n.n - 1) - t2.v AS DOUBLE)),
+                 6) AS tau_b
+    FROM n, cd, t1, t2
+    """,
+)
+def q_lineitem_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL tau-b between quantity and discount
+    (operators.stats.kendall_tau_exact) — the third member of the
+    association-statistic family (Pearson: linear; Spearman: monotone
+    via ranks; Kendall: pairwise-order probability, the most robust
+    and the one with a direct probabilistic reading: tau = P(pair
+    concordant) - P(pair discordant)). Exact with ties and WITHOUT
+    enumerating the O(n^2) row pairs: collapse to the (qty, discount)
+    pair-count VALUE GRID (50x11 — grain rows, never fact rows), then
+    classify ordered grid-cell pairs with b.x > a.x as concordant /
+    discordant weighted by m_a*m_b (each distinct-x row pair counted
+    exactly once); tie terms enter in DOUBLED form (2n0 = n(n-1),
+    2n1 = sum t(t-1)) so there is no integer division anywhere —
+    tau_b = 2(C-D)/sqrt((2n0-2n1)(2n0-2n2)), one fixed double
+    expression of exact DECIMAL(38,0) integers (DuckDB: HUGEINT).
+    Scale shape: ONE fact pass builds the grid (map-combinable,
+    localCheckpointed); the cell-pair join is |grid|^2 ~ 3e5 cell
+    pairs regardless of fact size."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("y"),
+    )
+    from ydb_vector_search_demo_spark.operators.stats import (
+        kendall_tau_exact,
+    )
+
+    out = kendall_tau_exact(li, "x", "y")
+    return out.select(
+        "n_rows",
+        "concordant",
+        "discordant",
+        F.round("tau_b", 6).alias("tau_b"),
+    )
+
+
+# RBO depth weights (1-p)·p^(d-1) with p = 1/2 — every weight an exact
+# binary fraction, driver-inlined into both engines so no pow() runs on
+# data anywhere (the Poisson-CDF-literal convention).
+_RBO_W = [0.5 ** d for d in range(1, 11)]
+_RBO_W_CASE = "CASE depth " + " ".join(
+    f"WHEN {d} THEN CAST({_RBO_W[d - 1]!r} AS DOUBLE)"
+    for d in range(1, 11)
+) + " END"
+
+
+@register(
+    "retrieval_rbo_bm25_qld",
+    # Rank-Biased Overlap between the BM25 and QLD top-10 lists for
+    # the flagship terms: both rankers replayed by their graded CTE
+    # chains (the BM25 chain verbatim; QLD rebuilt ON TOP of the
+    # BM25 `f`/`t` CTEs — same tf/dl/cf relations), ranks by
+    # (rounded score desc, doc_id), per-depth prefix-overlap counts
+    # exact integers, RBO accumulated by the ordered window over the
+    # 10-row depth spine with driver-inlined binary weights.
+    f"""
+    WITH {_BM25_CTE},
+    bmt AS (SELECT doc_id, round(raw, 6) AS s
+            FROM bm ORDER BY raw DESC, doc_id LIMIT 10),
+    ra AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY s DESC, doc_id) AS r
+           FROM bmt),
+    qc AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS c_len FROM t),
+    qcf AS (SELECT tt, CAST(sum(tf) AS BIGINT) AS cf FROM f GROUP BY 1),
+    qdm AS (SELECT DISTINCT doc_id, dl FROM f),
+    qgrid AS (SELECT qdm.doc_id, qdm.dl, qcf.tt, qcf.cf
+              FROM qdm CROSS JOIN qcf),
+    qsc AS (
+      SELECT g.doc_id,
+             ln((CAST(coalesce(f2.tf, 0) AS DOUBLE)
+                 + 1000.0 * g.cf / (SELECT c_len FROM qc))
+                / (g.dl + 1000.0)) AS s
+      FROM qgrid g
+      LEFT JOIN f f2 ON f2.doc_id = g.doc_id AND f2.tt = g.tt),
+    qdq AS (SELECT doc_id, round(sum(s), 6) AS qld
+            FROM qsc GROUP BY 1 ORDER BY qld DESC, doc_id LIMIT 10),
+    rb AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY qld DESC, doc_id) AS r
+           FROM qdq),
+    po AS (SELECT ra.r AS r_a, rb.r AS r_b
+           FROM ra JOIN rb USING (doc_id)),
+    depths AS (SELECT unnest(generate_series(1, 10)) AS depth),
+    ov AS (SELECT depth, count(po.r_a)::BIGINT AS overlap
+           FROM depths LEFT JOIN po
+             ON po.r_a <= depth AND po.r_b <= depth
+           GROUP BY 1)
+    SELECT depth, overlap,
+           round(sum(({_RBO_W_CASE} * overlap) / depth)
+                   OVER (ORDER BY depth ROWS UNBOUNDED PRECEDING),
+                 6) AS rbo_cum
+    FROM ov ORDER BY depth
+    """,
+)
+def q_retrieval_rbo_bm25_qld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-BIASED OVERLAP (Webber, Moffat & Zobel 2010) between the
+    BM25 and Dirichlet-QLD top-10 rankings for the flagship terms
+    (operators.retrieval.rbo_overlap) — the ranker-agreement metric
+    retrieval stacks monitor when swapping scorers (unlike Kendall on
+    the intersection, RBO is top-weighted and handles non-conjoint
+    lists: exactly the production case). p = 1/2, so every depth
+    weight (1-p)p^(d-1) is an exact binary fraction, DRIVER-inlined
+    into both engines — no pow() runs on data. Both rankers are the
+    graded rows' own compositions (bm25_topk / qld_topk, identical
+    cuts); ranks order by (rounded score desc, doc_id); per-depth
+    prefix overlaps are exact integers; rbo_cum accumulates via the
+    ordered window over the 10-row depth spine, so the depth-10 row
+    carries RBO@10. Scale shape: everything below the two graded
+    top-10 cuts touches <= 10x10 rows."""
+    docs = _t(spark, sf_dir, "documents")
+    w_rank = Window.orderBy(F.desc("s"), F.col("doc_id"))
+    ra = (
+        R.bm25_topk(docs, _BM25_TERMS, k=10)
+        .select("doc_id", F.col("bm25").alias("s"))
+        .select("doc_id", F.row_number().over(w_rank).alias("r"))
+    )
+    rb = (
+        R.qld_topk(docs, _BM25_TERMS, k=10)
+        .select("doc_id", F.col("qld").alias("s"))
+        .select("doc_id", F.row_number().over(w_rank).alias("r"))
+    )
+    out = R.rbo_overlap(ra, rb, _RBO_W)
+    return out.select(
+        "depth", "overlap", F.round("rbo_cum", 6).alias("rbo_cum")
+    ).orderBy("depth")
+
+
+@register(
+    "corpus_zipf_slope",
+    # Zipf log-log OLS per language over the top-100 token ranks:
+    # ranks by (count desc, token) — a total order; the four double
+    # sums (Sx, Sy, Sxy, Sxx over x=ln rank, y=ln count) accumulate
+    # via ordered cumulative windows over the rank order, so both
+    # engines add the identical doubles in the identical sequence.
+    f"""
+    WITH tk AS (SELECT lang, {_TOKENS_SQL} AS t FROM documents),
+    tok AS (SELECT lang, unnest(t) AS tok FROM tk),
+    cnt AS (SELECT lang, tok, count(*)::BIGINT AS n FROM tok GROUP BY 1, 2),
+    rk AS (SELECT lang, n,
+                  row_number() OVER (PARTITION BY lang
+                      ORDER BY n DESC, tok) AS r
+           FROM cnt),
+    top AS (SELECT lang, r, ln(r) AS x, ln(n) AS y
+            FROM rk WHERE r <= 100),
+    cum AS (SELECT lang, r,
+                   sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                   sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx
+            FROM top
+            WINDOW w AS (PARTITION BY lang ORDER BY r
+                         ROWS UNBOUNDED PRECEDING)),
+    agg AS (SELECT lang, count(*)::BIGINT AS n_ranks,
+                   max(sx) AS sx, max(sy) AS sy,
+                   max(sxy) AS sxy, max(sxx) AS sxx
+            FROM cum GROUP BY 1)
+    SELECT lang, n_ranks,
+           round((n_ranks * sxy - sx * sy)
+                 / (n_ranks * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - ((n_ranks * sxy - sx * sy)
+                        / (n_ranks * sxx - sx * sx)) * sx)
+                 / n_ranks, 6) AS zipf_intercept
+    FROM agg ORDER BY lang
+    """,
+)
+def q_corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF rank-frequency slope per language: OLS of ln(count) on
+    ln(rank) over the top-100 token ranks — the lexical-naturalness
+    diagnostic next to the entropy row (natural text slopes ~ -1;
+    boilerplate or template spam flattens or steepens the curve, and
+    a drifting slope per ingest batch flags a source change).
+    Determinism: ranks order by (count desc, token) — a TOTAL order;
+    x = ln(rank), y = ln(count) are doubles of exact integers (the
+    ln parity seam accepted since the survival/entropy rows); the
+    four OLS sums accumulate via ordered cumulative windows over the
+    rank order (all terms >= 0, so the running max IS the final
+    value — the entropy-row pattern) and slope/intercept are fixed
+    double expressions of per-group scalars, guarded against the
+    degenerate single-rank group. Scale shape: one map-combinable
+    (lang, token) count — the corpus shuffles once; the rank window
+    runs over the vocabulary grain and the OLS windows over <= 100
+    rows per language."""
+    from ydb_vector_search_demo_spark.operators.stats import zipf_ols
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(T.tokens("text")).alias("tok"))
+    cnt = tok.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    out = zipf_ols(cnt, "lang", "tok", "n", top=100)
+    return out.select(
+        "lang",
+        "n_ranks",
+        F.round("zipf_slope", 6).alias("zipf_slope"),
+        F.round("zipf_intercept", 6).alias("zipf_intercept"),
+    ).orderBy("lang")
+
+
+@register(
+    "corpus_classifier_calibration",
+    # Reliability bins for the PINNED hashed classifier against the
+    # heuristic quality gate it distilled: the score chain is the
+    # graded classifier oracle verbatim, the gate chain the graded
+    # quality-gate oracle carrying doc_id; bin/quantized-score/label
+    # are exact integers, confidence one division of exact bigints,
+    # ECE accumulated by the ordered window over the 10-row bin spine.
+    f"""
+    WITH f AS (
+      SELECT doc_id, list_concat(toks,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])) AS feats
+      FROM (SELECT doc_id,
+                   list_transform({_TOKENS_SQL}, t -> lower(t)) AS toks
+            FROM documents)
+    ),
+    sc AS (
+      SELECT doc_id,
+             1.0 / (1.0 + exp(-({_QCLF_B} +
+               coalesce(list_sum(list_transform(feats,
+                 f -> ([{",".join(repr(float(x)) for x in _QCLF_W)}])[
+                   ('0x' || substring(md5('qclf-v1:' || f), 1, 4))::INTEGER
+                   % 256 + 1])), 0.0)
+               / greatest(len(feats), 1)))) AS score
+      FROM f),
+    tk AS (
+      SELECT doc_id, text, {_TOKENS_SQL} AS toks,
+             length(text) AS n,
+             length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS np
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             {_sql_sw_ratio(_SW_EN)} AS sw,
+             CASE WHEN n = 0 THEN 0.0 ELSE np::DOUBLE / n END AS pr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+             END AS awl
+      FROM tk
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN n_tok < 10 THEN 'too_short'
+                  WHEN n_tok > 100000 THEN 'too_long'
+                  WHEN pr > 0.2 THEN 'too_much_punct'
+                  WHEN round(0.3 * least(n_tok / 50.0, 1.0)
+                           + 0.3 * (1.0 - least(abs(sw - 0.4) / 0.4, 1.0))
+                           + 0.2 * (1.0 - least(pr / 0.2, 1.0))
+                           + 0.2 * (1.0 - least(abs(awl - 5.0) / 5.0, 1.0)), 6) < 0.3
+                       THEN 'low_quality'
+                  ELSE 'keep' END AS gate
+      FROM m
+    ),
+    j AS (SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+                 CAST(round(score * 1000000) AS BIGINT) AS si,
+                 (gate = 'keep') AS y
+          FROM sc JOIN g USING (doc_id)),
+    agg AS (SELECT bin, count(*)::BIGINT AS n,
+                   CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_pos,
+                   CAST(sum(si) AS BIGINT) AS ssum
+            FROM j GROUP BY 1),
+    spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+    dense AS (SELECT spine.bin,
+                     coalesce(agg.n, 0)::BIGINT AS n,
+                     coalesce(agg.n_pos, 0)::BIGINT AS n_pos,
+                     coalesce(agg.ssum, 0)::BIGINT AS ssum
+              FROM spine LEFT JOIN agg USING (bin)),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM dense),
+    t AS (SELECT bin, n, n_pos,
+                 CASE WHEN n > 0 THEN CAST(n_pos AS DOUBLE) / n END AS acc,
+                 CASE WHEN n > 0
+                      THEN CAST(ssum AS DOUBLE) / (1000000.0 * n) END
+                   AS conf,
+                 CASE WHEN n > 0
+                      THEN abs(CAST(n_pos AS DOUBLE) / n
+                               - CAST(ssum AS DOUBLE) / (1000000.0 * n))
+                           * n / (SELECT tot FROM tot)
+                      ELSE 0.0 END AS term
+          FROM dense)
+    SELECT bin, n, n_pos,
+           round(acc, 6) AS acc,
+           round(conf, 6) AS conf,
+           round(sum(term) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING),
+                 6) AS ece_cum
+    FROM t ORDER BY bin
+    """,
+)
+def q_corpus_classifier_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RELIABILITY DIAGRAM + expected calibration error for the pinned
+    hashed quality classifier against the heuristic gate it distilled
+    (operators.stats.calibration_bins) — the model-eval readout next
+    to the ROC-AUC row (AUC measures ranking; ECE measures whether
+    score 0.8 MEANS 80% — the property that makes a threshold
+    transferable, and the first thing that silently rots when the
+    corpus drifts from the training slice). Determinism: bins are
+    integer-exact (floor(score*10), identical score doubles — the
+    graded classifier row pins them), confidence avoids the
+    mean-of-doubles trap by quantizing scores to an exact 1e-6
+    integer grid (one division of exact bigints per bin), accuracy
+    is exact-int division, and ECE accumulates via the ordered window
+    over the dense 10-row bin spine (the digit-spine convention —
+    empty bins surface with n = 0). Scale shape: both the score and
+    the gate are pure map-side Columns over one documents scan; one
+    map-combinable groupBy on a 10-value key; everything downstream
+    touches 10 rows."""
+    from ydb_vector_search_demo_spark.operators import curation
+    from ydb_vector_search_demo_spark.operators.stats import (
+        calibration_bins,
+    )
+
+    d = curation.quality_gate(_t(spark, sf_dir, "documents"))
+    scored = d.select(
+        curation.classifier_score_expr("text", _QCLF_W, _QCLF_B).alias(
+            "score"
+        ),
+        (F.col("gate") == "keep").alias("label"),
+    )
+    out = calibration_bins(scored, "score", "label", n_bins=10)
+    return out.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round("acc", 6).alias("acc"),
+        F.round("conf", 6).alias("conf"),
+        F.round("ece_cum", 6).alias("ece_cum"),
+    ).orderBy("bin")
+
+
+@register(
+    "corpus_datacard",
+    # Per-source data card: every statistic either an exact integer,
+    # a single division of exact integers, or (for the language-mix
+    # entropy) the ordered-cumulative n·ln(n) sum over the
+    # (source, lang) grain — the entropy-row pattern.
+    f"""
+    WITH fe AS (
+      SELECT source, lang, n_chars, text, list_concat(toks,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])) AS feats
+      FROM (SELECT source, lang, n_chars, text,
+                   list_transform({_TOKENS_SQL}, t -> lower(t)) AS toks
+            FROM documents)
+    ),
+    base AS (
+      SELECT source, lang, n_chars, md5(text) AS h,
+             1.0 / (1.0 + exp(-({_QCLF_B} +
+               coalesce(list_sum(list_transform(feats,
+                 f -> ([{",".join(repr(float(x)) for x in _QCLF_W)}])[
+                   ('0x' || substring(md5('qclf-v1:' || f), 1, 4))::INTEGER
+                   % 256 + 1])), 0.0)
+               / greatest(len(feats), 1)))) AS score
+      FROM fe
+    ),
+    per AS (
+      SELECT source,
+             count(*)::BIGINT AS n_docs,
+             count(DISTINCT h)::BIGINT AS n_unique_texts,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep
+      FROM base GROUP BY 1),
+    lc AS (SELECT source, lang, count(*)::BIGINT AS n
+           FROM base GROUP BY 1, 2),
+    lcum AS (SELECT source, n,
+                    sum(n * ln(n)) OVER (PARTITION BY source ORDER BY lang
+                        ROWS UNBOUNDED PRECEDING) AS s
+             FROM lc),
+    lent AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tot, max(s) AS s
+             FROM lcum GROUP BY 1)
+    SELECT per.source,
+           per.n_docs,
+           per.n_unique_texts,
+           round((per.n_docs - per.n_unique_texts)
+                 / CAST(per.n_docs AS DOUBLE), 6) AS dup_rate,
+           round(per.sum_chars / CAST(per.n_docs AS DOUBLE), 6) AS avg_chars,
+           round(ln(lent.n_tot) - lent.s / lent.n_tot, 6) AS lang_entropy,
+           round(per.n_keep / CAST(per.n_docs AS DOUBLE), 6) AS keep_rate
+    FROM per JOIN lent ON per.source = lent.source
+    ORDER BY per.source
+    """,
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source DATA CARD — the one-table corpus summary a training
+    run publishes next to its checkpoints (Gebru et al.'s "Datasheets
+    for Datasets" shape): document count, exact-hash unique texts and
+    the implied duplicate rate, mean document length, language-mix
+    Shannon entropy, and the pinned-classifier keep rate. One
+    composition row over graded primitives: the md5 text hash (the
+    exact-dedup convention), the hashed-classifier score Column (the
+    graded classifier row), and the entropy via the ordered-cumulative
+    n·ln(n) sum over the (source, lang) grain (the entropy-row
+    pattern). Every other statistic is an exact integer or a single
+    division of exact integers. Scale shape: ONE documents scan, all
+    score/hash work map-side; one groupBy per grain (source;
+    source×lang — both tiny); count(DISTINCT h) is the only
+    distinct-shuffle and keys on the hash, the same shape as the
+    graded dedup rows."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("h"),
+        curation.classifier_score_expr("text", _QCLF_W, _QCLF_B).alias(
+            "score"
+        ),
+    )
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("h").cast("bigint").alias("n_unique_texts"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.when(F.col("score") >= 0.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_keep"),
+    )
+    lc = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("lang")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lcum = lc.select(
+        "source",
+        "n",
+        F.sum(F.col("n") * F.log(F.col("n").cast("double")))
+        .over(w_cum)
+        .alias("s"),
+    )
+    lent = lcum.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_tot"), F.max("s").alias("s")
+    )
+    return (
+        per.join(F.broadcast(lent), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_unique_texts",
+            F.round(
+                (F.col("n_docs") - F.col("n_unique_texts"))
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+            F.round(
+                F.col("sum_chars") / F.col("n_docs").cast("double"), 6
+            ).alias("avg_chars"),
+            F.round(
+                F.log(F.col("n_tot").cast("double"))
+                - F.col("s") / F.col("n_tot"),
+                6,
+            ).alias("lang_entropy"),
+            F.round(
+                F.col("n_keep") / F.col("n_docs").cast("double"), 6
+            ).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "streaming_cusum_monitor",
+    # Streamed-in == batch law (the stream_scd2_ingest precedent):
+    # the hourly grain accumulates monotonically across micro-batches,
+    # so the FINAL trigger's CUSUM equals the batch CUSUM over the
+    # full table — replayed here verbatim on the purchase slice.
+    """
+    WITH hx AS (
+      SELECT date_trunc('hour', ts) AS h, count(*)::BIGINT AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    tot AS (SELECT count(*)::BIGINT AS n, CAST(sum(x) AS BIGINT) AS t
+            FROM hx),
+    y AS (SELECT h, x, (SELECT n FROM tot) * x - (SELECT t FROM tot) AS y
+          FROM hx),
+    c AS (SELECT h, x,
+                 CAST(sum(y) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM y),
+    s AS (SELECT h, x, cum,
+                 cum - least(0, min(cum) OVER (ORDER BY h
+                     ROWS UNBOUNDED PRECEDING)) AS s_up,
+                 greatest(0, max(cum) OVER (ORDER BY h
+                     ROWS UNBOUNDED PRECEDING)) - cum AS s_dn
+          FROM c)
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           x AS purchases,
+           round(s_up / (1.0 * (SELECT t FROM tot)), 6) AS drift_up,
+           round(s_dn / (1.0 * (SELECT t FROM tot)), 6) AS drift_dn,
+           s_up > 4 * (SELECT t FROM tot) AS flag_up,
+           s_dn > 4 * (SELECT t FROM tot) AS flag_dn
+    FROM s ORDER BY hour
+    """,
+)
+def q_streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitor — the streaming × changepoint cell
+    (streaming.events.cusum_monitor_stream): purchase events replay as
+    three deterministic micro-batches; the hourly rate grain runs
+    INCREMENTALLY in the stream's state store (complete mode), and the
+    two-sided CUSUM statistic — which needs the whole ordered grain —
+    reruns per trigger inside foreachBatch over the complete output
+    (grain rows, never raw events; the per-trigger collect is bounded
+    by ~720 hour rows at ANY data scale). Because the hourly counts
+    grow monotonically across batches, the final trigger's CUSUM
+    equals the batch CUSUM over the full table — the streamed-in ==
+    batch law the DuckDB oracle replays verbatim (the
+    stream_scd2_ingest precedent; the per-trigger monitor execution
+    itself — 3 triggers, each recomputing drift — is pinned in
+    tests/test_streaming_semantics.py). Distinct surface from
+    events_cusum_changepoint: that row grades the WINDOW-IDENTITY
+    arithmetic on the click slice in batch; this row grades the
+    incremental-aggregation + per-trigger-monitor EXECUTION on the
+    purchase slice."""
+    state = EV.cusum_monitor_stream(spark, sf_dir, event_type="purchase")
+    final = spark.createDataFrame(
+        state["final"],
+        "h TIMESTAMP, x BIGINT, t BIGINT, s_up BIGINT, s_dn BIGINT",
+    )
+    return final.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("x").alias("purchases"),
+        F.round(F.col("s_up") / (F.lit(1.0) * F.col("t")), 6).alias(
+            "drift_up"
+        ),
+        F.round(F.col("s_dn") / (F.lit(1.0) * F.col("t")), 6).alias(
+            "drift_dn"
+        ),
+        (F.col("s_up") > 4 * F.col("t")).alias("flag_up"),
+        (F.col("s_dn") > 4 * F.col("t")).alias("flag_dn"),
+    ).orderBy("hour")
+
+
+@register(
+    "store_compaction",
+    # Content invariance + pinned physical layout: compaction must be
+    # result-invisible (the content stats recompute from the source
+    # table) while the file counts are DETERMINISTIC literals of the
+    # job's own parameters (repartition(16) writes exactly 16 part
+    # files; a 2^40-byte target compacts to exactly 1) — so the
+    # oracle pins the physical claim, not just the logical one.
+    """
+    SELECT count(*)::BIGINT AS n_docs,
+           count(DISTINCT md5(text))::BIGINT AS n_unique_texts,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           16 AS n_files_before,
+           1 AS n_files_after,
+           TRUE AS files_reduced
+    FROM documents
+    """,
+)
+def q_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION through the atomic store lifecycle
+    (sources.tables.compact_parquet + stores.publish_store) — the
+    table-maintenance job every long-running ingest needs (streaming
+    sinks and incremental appends accumulate one file per micro-batch;
+    scan cost becomes file-OPEN-bound, not byte-bound). The row drives
+    the full production sequence: write the store as 16 deliberate
+    small files, publish manifest v0, compact to the target size
+    (never in place — a NEW directory), publish manifest v1, then
+    read back through the CURRENT manifest pointer. Graded claims:
+    (1) content invariance — doc count, exact-md5 distinct texts and
+    total chars recompute from the source table (compaction moved
+    bytes, changed nothing); (2) the PHYSICAL layout — both file
+    counts are real directory listings, pinned against the job's own
+    deterministic parameters (16 -> 1). Readers racing the publish see
+    old-or-new, never half-swapped (stores.py manifest protocol,
+    law-tested in tests/test_store_maintenance.py). Scale shape: one
+    shuffle-free read + one repartition write; the listing is
+    metadata-only."""
+    import os
+    import tempfile
+
+    from ydb_vector_search_demo_spark import stores
+    from ydb_vector_search_demo_spark.sources.tables import compact_parquet
+
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    st = os.stat(src)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_store_compact",
+        f"{src.strip('/').replace('/', '_')}"
+        f"_s{st.st_size}_m{st.st_mtime_ns}",
+    )
+    v0, v1 = os.path.join(root, "v0"), os.path.join(root, "v1")
+    done = os.path.join(root, "_ready")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        _t(spark, sf_dir, "documents").repartition(16).write.mode(
+            "overwrite"
+        ).parquet(v0)
+        stores.publish_store(spark, root, v0)
+        compact_parquet(spark, v0, v1, target_file_bytes=1 << 40)
+        stores.publish_store(spark, root, v1)
+        open(done, "w").close()
+
+    def _nf(p: str) -> int:
+        return sum(
+            1
+            for f in os.listdir(p)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+
+    cur = stores.read_current_store(spark, root)
+    return cur.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct(F.md5("text")).cast("bigint").alias(
+            "n_unique_texts"
+        ),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    ).select(
+        "n_docs",
+        "n_unique_texts",
+        "sum_chars",
+        F.lit(_nf(v0)).alias("n_files_before"),
+        F.lit(_nf(v1)).alias("n_files_after"),
+        F.lit(_nf(v1) < _nf(v0)).alias("files_reduced"),
+    )
+
+
+def _pagerank_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled integer-PageRank CTE chain over the within-label kNN
+    graph — the DuckDB twin of ann.knn_graph_bucketed (the graded
+    ann_knn_graph_label construction, all sources) + ann.
+    pagerank_integer's fixed power steps: every mass an exact bigint,
+    every edge share the identical ((pr*85)//100)//deg floor
+    division."""
+    scale, base = 10**12, 10**12 * 15 // 100
+    ctes = [
+        """pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             1.0 - list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]) AS raw
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id != b.vec_id),
+    ranked AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY raw, dst) AS rk
+      FROM pairs),
+    g AS (SELECT src, dst FROM ranked WHERE rk <= 3),
+    deg AS (SELECT src, count(*)::BIGINT AS deg FROM g GROUP BY 1),
+    p0 AS (SELECT src AS id, CAST(%d AS BIGINT) AS pr FROM deg)"""
+        % scale
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""c{t} AS (
+      SELECT g.dst AS id,
+             CAST(sum(((p.pr * 85) // 100) // d.deg) AS BIGINT) AS c
+      FROM g JOIN p{t - 1} p ON p.id = g.src
+             JOIN deg d ON d.src = g.src
+      GROUP BY 1),
+    p{t} AS (
+      SELECT d.src AS id,
+             CAST({base} + coalesce(c{t}.c, 0) AS BIGINT) AS pr
+      FROM deg d LEFT JOIN c{t} ON c{t}.id = d.src)"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT p{iterations}.id AS vec_id, d.deg AS out_degree,
+           p{iterations}.pr AS pr_units
+    FROM p{iterations} JOIN deg d ON d.src = p{iterations}.id
+    ORDER BY pr_units DESC, vec_id LIMIT 20
+    """
+
+
+@register("graph_pagerank_label", _pagerank_oracle_sql(3))
+def q_graph_pagerank_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGERANK centrality over the within-label kNN graph
+    (ann.pagerank_integer over ann.knn_graph_bucketed) — the
+    ITERATIVE-GRAPH-ALGORITHM family expressed Spark-natively: a fixed
+    unrolled chain of joins+aggregates (three power steps), which is
+    how bounded iteration should compile on a cluster (no driver loop
+    over collect(), no RDD iteration — each step is one keyed join +
+    one map-combinable sum over the N·k edge relation, and the kNN
+    graph is checkpointed ONCE so the expensive build never reruns
+    per step). Centrality here reads as corpus REDUNDANCY: a vector
+    many same-label neighbors point at is the dense-cluster medoid —
+    the doc you keep when near-dup pruning, the first candidate for
+    SemDeDup's representative. Exactness: float PageRank is
+    partial-agg-order sensitive; this runs entirely in integer mass
+    units (pr_0 = 10^12, shares via ((pr·85)//100)//deg floor
+    division, damping base 1.5e11), so all 20 output rows are exact
+    bigints and DuckDB replays the identical unrolled CTEs
+    bit-for-bit. Top-20 by (pr desc, vec_id). Scale shape: 3 shuffles
+    per step of the N·k edges — the minimum any distributed PageRank
+    pays; the graph build is the graded ann_knn_graph_label
+    construction over ALL sources."""
+    from ydb_vector_search_demo_spark.operators import ann as A
+
+    embs = _t(spark, sf_dir, "embeddings")
+    g = A.knn_graph_bucketed(embs, "label", k=3).select("src", "dst")
+    pr = A.pagerank_integer(g, iterations=3)
+    return (
+        pr.orderBy(F.desc("pr_units"), "id")
+        .limit(20)
+        .select(F.col("id").alias("vec_id"), "out_degree", "pr_units")
+    )
+
+
+def _quantile_merge_oracle_sql() -> str:
+    frag = SK.hist_quantiles_oracle_cte(
+        "(SELECT 'click+purchase' AS seg, value FROM events"
+        " WHERE event_type IN ('click', 'purchase'))",
+        "seg",
+        "value",
+        [0.5, 0.9, 0.99],
+        _QSK_LO,
+        _QSK_HI,
+        _QSK_BINS,
+    )
+    return f"""
+    WITH est AS ({frag})
+    SELECT k AS segment, n_rows, p50_est, p90_est, p99_est
+    FROM est ORDER BY segment
+    """
+
+
+@register("events_quantile_merge", _quantile_merge_oracle_sql())
+def q_events_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch MERGEABILITY — the histogram member of the
+    mergeable-sketch family gets the same state-merge grading the HLL
+    got in events_hll_union: Spark builds the click and purchase
+    segments' sketch states SEPARATELY (one map-combinable pass, ≤
+    2×200 integer bin counts) and merges them by BIN-WISE SUM — the
+    associative merge that lets shards/streams combine without
+    rescanning — while the DuckDB oracle sketches the union stream
+    directly. Equality of the quantile readouts (and the exact n_rows)
+    IS the mergeability law: bin-wise-sum of per-segment integer
+    counts is bit-identical to the union's counts. Scale shape: only
+    sketch state crosses the wire (≤ 2×200 rows), the merge touches
+    ≤ 200."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    hist = SK.hist_counts(
+        ev, ["event_type"], "value", _QSK_LO, _QSK_HI, _QSK_BINS
+    )
+    merged = (
+        hist.groupBy("bin")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .withColumn("segment", F.lit("click+purchase"))
+    )
+    out = SK.hist_quantiles(
+        merged, ["segment"], [0.5, 0.9, 0.99], _QSK_LO, _QSK_HI, _QSK_BINS
+    )
+    return out.select(
+        "segment", "n_rows", "p50_est", "p90_est", "p99_est"
+    ).orderBy("segment")
+
+
+@register(
+    "multimodal_audio_silence",
+    # Frame-level loudness analytically: sample j of audio id is
+    # ((j*k) % 512 - 256) * 64 (the synth_audio closed form), framed
+    # at 160 samples; DuckDB regenerates the sample space with a
+    # constant-bound generate_series (n <= 1599) while Spark decodes
+    # the real WAV payloads — content through the codec, the
+    # scene_cuts convention. Every compare is exact-integer
+    # (sq < 1e6 * flen); rms is one final sqrt of ints.
+    f"""
+    WITH {_MM_BASE},
+    sm AS (
+      SELECT a.media_id, a.n, j.g // 160 AS f,
+             ((j.g * a.k) % 512 - 256) * 64 AS s
+      FROM aud a, generate_series(0, 1599) j(g)
+      WHERE j.g < a.n),
+    fr AS (SELECT media_id, f, count(*)::BIGINT AS flen,
+                  CAST(sum(s * s) AS BIGINT) AS sq,
+                  CAST(max(abs(s)) AS BIGINT) AS pk
+           FROM sm GROUP BY 1, 2),
+    agg AS (
+      SELECT media_id,
+             CAST(sum(flen) AS BIGINT) AS n_samples,
+             count(*)::BIGINT AS n_frames,
+             CAST(sum(CASE WHEN sq < 1000000 * flen THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_silent,
+             CAST(max(pk) AS BIGINT) AS peak_abs,
+             CAST(sum(sq) AS BIGINT) AS total_sq
+      FROM fr GROUP BY 1)
+    SELECT media_id,
+           n_samples::INTEGER AS n_samples,
+           n_frames::INTEGER AS n_frames,
+           n_silent::INTEGER AS n_silent,
+           peak_abs::INTEGER AS peak_abs,
+           total_sq,
+           round(sqrt(total_sq / (1.0 * n_samples)), 6) AS rms
+    FROM agg ORDER BY media_id
+    """,
+)
+def q_multimodal_audio_silence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temporal AUDIO analysis through the real codec
+    (multimodal/media.py audio_rms_frames) — frame-level loudness and
+    silence detection, the VAD-shaped primitive a speech pipeline
+    runs to trim silence before feature extraction (the audio sibling
+    of scene_cuts' temporal-video row, completing the per-modality
+    TEMPORAL analysis matrix: image had content stats + resize, video
+    frame-sample + scene cuts, audio resample + now this). Spark
+    decodes every WAV payload in one Arrow pass and windows the PCM16
+    stream into 160-sample (10 ms) frames; the silence compare is
+    exact-integer (sum_sq < 1e6·flen — mean-square threshold without
+    division), the per-media totals are exact bigints, and the only
+    float is the final RMS sqrt. The oracle regenerates the sample
+    space in closed form from the id — content, not headers, across
+    the whole encode→decode→frame→threshold chain."""
+    from ydb_vector_search_demo_spark.multimodal import media
+
+    rms = media.audio_rms_frames(
+        media.synthesize_media_table(_t(spark, sf_dir, "documents"))
+    )
+    return rms.select(
+        "media_id",
+        "n_samples",
+        "n_frames",
+        "n_silent",
+        "peak_abs",
+        "total_sq",
+        F.round(
+            F.sqrt(F.col("total_sq") / (F.lit(1.0) * F.col("n_samples"))),
+            6,
+        ).alias("rms"),
+    ).orderBy("media_id")
+
+
+@register(
+    "events_k_anonymity",
+    # Pure integer group-size accounting over the quasi-identifier
+    # grain; the only doubles are two final divisions of exact counts.
+    """
+    WITH qi AS (
+      SELECT event_type,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+             CAST(floor(value / 100) AS BIGINT) AS value_band
+      FROM events),
+    g AS (SELECT event_type, hod, value_band, count(*)::BIGINT AS sz
+          FROM qi GROUP BY 1, 2, 3),
+    tot AS (SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+                   count(*)::BIGINT AS n_groups,
+                   CAST(min(sz) AS BIGINT) AS min_group
+            FROM g),
+    small AS (SELECT count(*)::BIGINT AS n_groups_below,
+                     CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_rows_below
+              FROM g WHERE sz < 5)
+    SELECT tot.n_rows, tot.n_groups, tot.min_group,
+           small.n_groups_below, small.n_rows_below,
+           round(small.n_rows_below / (1.0 * tot.n_rows), 6)
+             AS share_rows_below,
+           tot.min_group >= 5 AS k5_anonymous
+    FROM tot, small
+    """,
+)
+def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit over the event log — the data-governance
+    readout next to the PII-redaction row: with quasi-identifiers
+    (event type, hour of day, value band), how many equivalence
+    classes fall below k = 5, and how much row mass would need
+    suppression/generalization before release (Sweeney's k-anonymity,
+    the standard pre-release privacy screen for telemetry exports).
+    Pure integer group-size accounting — one map-combinable groupBy
+    on the QI grain, two final divisions of exact counts; the
+    k5_anonymous verdict is an integer compare. Scale shape: the QI
+    grain is bounded by |types|·24·|bands| — the groupBy output stays
+    tiny regardless of fact size."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hod"),
+        F.floor(F.col("value") / 100).cast("bigint").alias("value_band"),
+    ).groupBy("event_type", "hod", "value_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    tot = g.agg(
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("sz").cast("bigint").alias("min_group"),
+    )
+    small = g.filter(F.col("sz") < 5).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups_below"),
+        F.coalesce(F.sum("sz"), F.lit(0)).cast("bigint").alias(
+            "n_rows_below"
+        ),
+    )
+    return tot.crossJoin(F.broadcast(small)).select(
+        "n_rows",
+        "n_groups",
+        "min_group",
+        "n_groups_below",
+        "n_rows_below",
+        F.round(
+            F.col("n_rows_below") / (F.lit(1.0) * F.col("n_rows")), 6
+        ).alias("share_rows_below"),
+        (F.col("min_group") >= 5).alias("k5_anonymous"),
+    )
+
+
+@register(
+    "bucketed_join_revenue",
+    # Result equality vs the plain join — bucketing is a pure physical
+    # layout choice; the revenue is summed in exact 1e-4 units
+    # (cents x (100 - discount_cents)), the events_attribution
+    # convention, so no float product exists anywhere.
+    """
+    SELECT o.o_orderpriority,
+           count(*)::BIGINT AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_e4
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-LOCATED BUCKETED JOIN — the shuffle-elimination layout the
+    relational docstrings keep promising ('bucketing both fact tables
+    by orderkey would eliminate the shuffle entirely'), landed as a
+    graded row: orders and lineitem are written ONCE as Hive-bucketed
+    tables (8 buckets on the orderkey, sorted within buckets; cached
+    across the session/process via a content-keyed warehouse path),
+    and the fact-fact join then compiles to a SortMergeJoin with NO
+    Exchange on either side — each task reads matching bucket files
+    from both tables (plan-guarded in tests/test_plans.py; the merge
+    hint only pins the join STRATEGY, the bucketing is what removes
+    the shuffles). This is THE 100 TB answer for repeated fact-fact
+    joins: pay one layout shuffle at write time, never again per
+    query. Result equality vs the plain join is the graded claim —
+    bucketing is physical, not logical; revenue accumulates in exact
+    1e-4 integer units (no float product). Scale shape: zero
+    exchanges below the 5-group aggregation."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/orders.parquet")
+    st = os.stat(src)
+    digest = hashlib.md5(
+        f"{src}_{st.st_size}_{st.st_mtime_ns}_v1".encode()
+    ).hexdigest()[:12]
+    db = f"bkt_{digest}"
+    loc = os.path.join(tempfile.gettempdir(), "spark_bucket_cat", digest)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+
+    def _ensure(table: str, ddl_cols: str, key: str, writer) -> None:
+        # the session catalog is in-memory (fresh per process) while
+        # the bucket FILES persist under /tmp — a fresh process must
+        # re-REGISTER the existing location as an external bucketed
+        # table (the metastore-recovery path a production catalog
+        # does on attach), never rewrite it
+        if spark.catalog.tableExists(f"{db}.{table}"):
+            return
+        tloc = os.path.join(loc, table)
+        if os.path.exists(tloc):
+            spark.sql(
+                f"CREATE TABLE {db}.{table} ({ddl_cols}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
+                f"LOCATION '{tloc}'"
+            )
+        else:
+            writer()
+
+    _ensure(
+        "orders_b",
+        "o_orderkey BIGINT, o_orderpriority STRING",
+        "o_orderkey",
+        lambda: _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(f"{db}.orders_b"),
+    )
+    _ensure(
+        "lineitem_b",
+        "l_orderkey BIGINT, price_c BIGINT, disc_c BIGINT",
+        "l_orderkey",
+        lambda: _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            _cents("l_extendedprice").alias("price_c"),
+            _cents("l_discount").alias("disc_c"),
+        )
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(f"{db}.lineitem_b"),
+    )
+    o = spark.table(f"{db}.orders_b")
+    li = spark.table(f"{db}.lineitem_b")
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.col("price_c") * (F.lit(100) - F.col("disc_c")))
+            .cast("bigint")
+            .alias("revenue_e4"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
@@ -12551,6 +13791,54 @@ _GRADE_FIRST = [
 #                            oracle replay
 #   corpus_token_entropy   — per-language Shannon entropy/perplexity
 #                            via the ordered-cumulative n·ln(n) sum
+# r11 wave 11 (same bar: both SFs, ×10-probed, law-tested):
+#   multimodal_audio_silence — temporal-audio VAD shape (completes
+#                            the per-modality temporal matrix)
+#   events_k_anonymity     — the governance family (QI equivalence
+#                            classes, suppression mass below k)
+#   bucketed_join_revenue  — the co-located zero-shuffle fact-fact
+#                            join (plan-guarded on the write AND the
+#                            fresh-process re-register paths)
+# r11 wave 10 (same bar: both SFs, law-tested, fresh-process
+# driver-contract verified):
+#   graph_pagerank_label   — the iterative-graph family: exact-integer
+#                            PageRank, 3 unrolled power steps,
+#                            bit-replayed by unrolled CTEs
+#   events_quantile_merge  — sketch-mergeability matrix ② (histogram
+#                            bin-wise sum == direct union)
+# r11 wave 9 (same bar: both SFs, ×10-probed flat, law-tested):
+#   streaming_cusum_monitor — the streaming × changepoint cell
+#                            (per-trigger foreachBatch drift over the
+#                            incremental grain; streamed == batch law)
+#   store_compaction       — the compaction lifecycle through the
+#                            manifest protocol (content invariance +
+#                            the physical 16→1 file counts BOTH
+#                            oracle-pinned)
+# r11 wave 8 (same bar: both SFs, ×10-probed ≤2x, law-tested,
+# fresh-process driver-contract verified):
+#   retrieval_rbo_bm25_qld — top-weighted ranker agreement between
+#                            the two graded retrieval stacks (binary
+#                            p=1/2 weights driver-inlined)
+#   corpus_zipf_slope      — per-language rank-frequency OLS
+#                            (ordered-cumulative sums, total-order
+#                            ranks)
+#   corpus_classifier_calibration — reliability + ECE vs the gate the
+#                            classifier distilled (integer-grid
+#                            confidence, dense bin spine)
+#   corpus_datacard        — the per-source datasheet (composition of
+#                            graded primitives, one scan)
+# r11 wave 7 (same bar: both SFs, ×10-probed ~1x — every pair
+# structure grain- or grid-bounded, law-tested):
+#   events_acf_hourly      — per-lag ACF from exact integer moments
+#                            (hour grain × dense lag spine)
+#   events_mann_kendall    — nonparametric trend + Sen slope (exact
+#                            S/var18; R-7 median parity)
+#   orders_benford_digits  — first-digit screen (integer string
+#                            digit, driver-inlined expected literals,
+#                            ordered-cumulative chi²)
+#   lineitem_kendall_tau   — tau-b from the value grid (doubled-form
+#                            tie terms; completes the association
+#                            family Pearson/Spearman/Kendall)
 # r11 wave 6 (same bar: both SFs, ×10-probed, law-tested):
 #   events_bootstrap_ci    — Poisson bootstrap CI (one fact pass, b=0
 #                            exact-point trick, pinned md5 weights vs

@@ -474,3 +474,70 @@ def enrich_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents"
         ),
     )
+
+
+def cusum_monitor_stream(
+    spark: SparkSession, sf_dir: str, event_type: str = "purchase"
+) -> dict:
+    """Streaming DRIFT MONITOR: per micro-batch, recompute the
+    two-sided CUSUM statistic (operators.timeseries.cusum_drift) over
+    the hourly rate grain accumulated so far — the production shape
+    of rate monitoring (the aggregation runs INCREMENTALLY in the
+    stream's state store; the drift statistic, which needs the whole
+    ordered grain, reruns per trigger inside ``foreachBatch`` over
+    the complete-mode output — grain rows, never raw events). The
+    events replay as three deterministic micro-batches
+    (:func:`multi_batch_events_dir`); because the hourly counts grow
+    monotonically across batches, the FINAL trigger's CUSUM equals
+    the batch CUSUM over the full table — the streamed-in == batch
+    law the DuckDB oracle replays (the stream_scd2_ingest precedent).
+
+    Returns ``{"batches": [(batch_id, n_grain_rows, n_flags)],
+    "final": [Row...]}`` — the per-trigger monitor readouts plus the
+    final trigger's full CUSUM rows. The per-trigger collect() is
+    bounded by the hour grain (~720 rows at any data scale)."""
+    import os
+
+    from ydb_vector_search_demo_spark.operators.timeseries import (
+        cusum_drift,
+    )
+    from ydb_vector_search_demo_spark.sources.tables import (
+        normalize_event_ts,
+    )
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    stream_dir = multi_batch_events_dir(spark, sf_dir, n_batches=3)
+    raw = (
+        spark.readStream.schema(_events_schema(spark, src))
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stream_dir)
+    )
+    ev = normalize_event_ts(raw).filter(F.col("event_type") == event_type)
+    grain = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    state: dict = {"batches": [], "final": None}
+
+    def on_batch(bdf: DataFrame, bid: int) -> None:
+        rows = (
+            cusum_drift(bdf.select("h", "x"), "h", "x")
+            .orderBy("h")
+            .collect()
+        )
+        flags = sum(
+            1
+            for r in rows
+            if r["s_up"] > 4 * r["t"] or r["s_dn"] > 4 * r["t"]
+        )
+        state["batches"].append((bid, len(rows), flags))
+        state["final"] = rows
+
+    q = (
+        grain.writeStream.foreachBatch(on_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state
