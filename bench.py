@@ -285,6 +285,12 @@ HEADLINE = [
     "multimodal_audio_silence",
     "events_k_anonymity",
     "bucketed_join_revenue",
+    # r11 wave 12 (outside the comparable subsets): the
+    # experimentation readout (A/B + CUPED from exact moments),
+    # Neyman stratified sampling, and the cohort-LTV curve
+    "events_ab_test_cuped",
+    "corpus_neyman_sample",
+    "orders_cohort_ltv",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

@@ -1278,3 +1278,75 @@ def test_calibration_bins_laws(spark):
         "score", "label",
     ).orderBy("bin").collect()
     assert top[9]["n"] == 1 and top[9]["conf"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# r11 wave 12: A/B + CUPED, Neyman allocation
+# ---------------------------------------------------------------------------
+
+
+def test_ab_test_cuped_laws(spark):
+    """Identical arms -> delta = 0 and z = 0 exactly; y == x (binary)
+    -> theta = 1 exactly and the CUPED delta equals delta minus the
+    raw covariate imbalance; one empty arm -> z is NULL; degenerate
+    pooled rate (all converted) -> z is NULL."""
+    from ydb_vector_search_demo_spark.operators.stats import ab_test_cuped
+
+    same = spark.createDataFrame(
+        [("A", 1, 5), ("A", 0, 3), ("B", 1, 5), ("B", 0, 3)],
+        "arm STRING, y BIGINT, x BIGINT",
+    )
+    r = ab_test_cuped(same).first()
+    assert r["delta"] == 0.0 and r["z"] == 0.0
+    assert r["n_a"] == 2 and r["conv_b"] == 1
+
+    yx = spark.createDataFrame(
+        [("A", 0, 0), ("A", 1, 1), ("B", 1, 1), ("B", 1, 1)],
+        "arm STRING, y BIGINT, x BIGINT",
+    )
+    t = ab_test_cuped(yx).first()
+    assert t["theta"] == 1.0
+    # cuped removes exactly the covariate imbalance when y == x
+    assert abs(t["cuped_delta"] - (t["delta"] - (1.0 - 0.5))) < 1e-15
+    assert abs(t["cuped_delta"]) < 1e-15
+
+    empty_arm = spark.createDataFrame(
+        [("A", 1, 2), ("A", 0, 1)], "arm STRING, y BIGINT, x BIGINT"
+    )
+    # no B rows at all -> the B side is an empty relation; the cross
+    # join yields zero rows, which is the operator's contract there
+    assert ab_test_cuped(empty_arm).count() == 0
+
+    degenerate = spark.createDataFrame(
+        [("A", 1, 1), ("B", 1, 2)], "arm STRING, y BIGINT, x BIGINT"
+    )
+    assert ab_test_cuped(degenerate).first()["z"] is None
+
+
+def test_neyman_allocation_laws(spark):
+    """Zero-variance strata get zero allocation however large; the
+    allocation is proportional to N_h*S_h (two strata with equal
+    N*S split the budget evenly, up to the floor); kept counts never
+    exceed the stratum size; and allocations never exceed the
+    budget."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        neyman_allocation,
+    )
+
+    rows = []
+    # stratum u: 100 rows, all value 50 (zero variance)
+    rows += [("u", i, 50) for i in range(100)]
+    # strata a, b: same size, same spread -> equal N*S
+    rows += [("a", 1000 + i, 10 + (i % 2) * 20) for i in range(50)]
+    rows += [("b", 2000 + i, 10 + (i % 2) * 20) for i in range(50)]
+    df = spark.createDataFrame(rows, "s STRING, id BIGINT, v BIGINT")
+    out = {
+        r["s"]: r.asDict()
+        for r in neyman_allocation(df, "s", "v", "id", budget=100).collect()
+    }
+    assert out["u"]["alloc"] == 0 and out["u"]["n_kept"] == 0
+    assert out["u"]["sd"] == 0.0
+    assert out["a"]["alloc"] == out["b"]["alloc"] == 50
+    for s in out.values():
+        assert s["n_kept"] <= s["n_h"]
+    assert sum(s["alloc"] for s in out.values()) <= 100

@@ -1858,3 +1858,96 @@ def ngram_novelty(
         )
         .orderBy(group_col)
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    id_col: str,
+    budget: int = 1000,
+    seed: str = "neyman-v1",
+) -> DataFrame:
+    """Neyman (variance-optimal) stratified sampling: stratum h gets
+    allocation proportional to N_h·S_h — big AND internally diverse
+    strata get more budget than big-but-uniform ones (the
+    survey-sampling optimum; uniform-rate sampling wastes budget on
+    homogeneous strata). Inputs must carry an exact integer
+    ``value_col``. Per stratum, N_h and the population-variance
+    moments are exact DECIMAL(38,0) sums (S_h = sqrt(N·m2 − m1²)/N);
+    the weight denominator Σ N_h·S_h accumulates via the ORDERED
+    cumulative window over the stratum grain (nonneg terms — the
+    entropy-row pattern), allocations floor(budget·w_h) (remainders
+    deliberately unallocated — documented, deterministic), and every
+    keep decision is the pinned 52-bit md5 uniform u < alloc/N_h that
+    DuckDB replays. Returns one row per stratum: stratum, n_h, sd,
+    alloc, n_kept.
+
+    Scale shape: one map-combinable moment rollup over the input; the
+    window runs over the stratum grain; the keep filter is one
+    map-side pass (rates broadcast)."""
+    v = F.col(value_col).cast("decimal(19,0)")
+    m = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        F.sum(v).cast("decimal(38,0)").alias("m1"),
+        F.sum((v * v).cast("decimal(38,0)")).alias("m2"),
+    )
+    sd = (
+        F.sqrt(
+            (F.col("n_h") * F.col("m2") - F.col("m1") * F.col("m1"))
+            .cast("double")
+        )
+        / F.col("n_h")
+    )
+    w_cum = Window.orderBy(stratum_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = m.select(
+        stratum_col, "n_h", sd.alias("sd"),
+        (F.col("n_h") * sd).alias("_ns"),
+    )
+    cum = scored.select(
+        stratum_col, "n_h", "sd", "_ns",
+        F.sum("_ns").over(w_cum).alias("_cum"),
+    )
+    tot = cum.agg(F.max("_cum").alias("_tot"))
+    alloc = cum.crossJoin(F.broadcast(tot)).select(
+        stratum_col,
+        "n_h",
+        "sd",
+        F.floor(F.lit(int(budget)) * F.col("_ns") / F.col("_tot"))
+        .cast("bigint")
+        .alias("alloc"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed + ":"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**52))
+    kept = (
+        df.join(F.broadcast(alloc), stratum_col)
+        .filter(u < F.col("alloc") / (F.lit(1.0) * F.col("n_h")))
+        .groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    return (
+        alloc.join(F.broadcast(kept), stratum_col, "left")
+        .select(
+            stratum_col,
+            "n_h",
+            "sd",
+            "alloc",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )

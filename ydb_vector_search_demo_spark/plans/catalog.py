@@ -13318,6 +13318,264 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_ab_test_cuped",
+    # Two-proportion z + CUPED adjustment from exact integer moments;
+    # arm assignment is the pinned md5 parity both engines compute
+    # identically; every statistic is one fixed double expression.
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    arm AS (
+      SELECT *,
+             CASE WHEN ('0x' || substring(md5('ab-v1:'
+                          || user_id::VARCHAR), 1, 4))::INTEGER % 2 = 0
+                  THEN 'A' ELSE 'B' END AS a
+      FROM u),
+    pa AS (SELECT count(*)::BIGINT AS n_a,
+                  CAST(sum(y) AS BIGINT) AS conv_a,
+                  CAST(sum(x) AS BIGINT) AS sx_a
+           FROM arm WHERE a = 'A'),
+    pb AS (SELECT count(*)::BIGINT AS n_b,
+                  CAST(sum(y) AS BIGINT) AS conv_b,
+                  CAST(sum(x) AS BIGINT) AS sx_b
+           FROM arm WHERE a = 'B'),
+    mom AS (SELECT count(*)::BIGINT AS nn,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   sum(x * x) AS sxx,
+                   sum(y * x) AS sxy
+            FROM arm),
+    c AS (
+      SELECT n_a, n_b, conv_a, conv_b,
+             conv_a / (1.0 * n_a) AS rate_a,
+             conv_b / (1.0 * n_b) AS rate_b,
+             (conv_a + conv_b) / (1.0 * (n_a + n_b)) AS pool,
+             CAST(nn * sxy - sy * sx AS DOUBLE)
+               / CAST(nn * sxx - sx * sx AS DOUBLE) AS theta,
+             CAST(sx_a AS DOUBLE) / n_a AS mx_a,
+             CAST(sx_b AS DOUBLE) / n_b AS mx_b
+      FROM pa, pb, mom)
+    SELECT n_a, n_b, conv_a, conv_b,
+           round(rate_a, 6) AS rate_a,
+           round(rate_b, 6) AS rate_b,
+           round(rate_b - rate_a, 6) AS delta,
+           round((rate_b - rate_a)
+                 / sqrt(pool * (1 - pool)
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z,
+           round(theta, 6) AS theta,
+           round((rate_b - rate_a) - theta * (mx_b - mx_a), 6)
+             AS cuped_delta
+    FROM c
+    """,
+)
+def q_events_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B EXPERIMENT readout with CUPED variance reduction
+    (operators.stats.ab_test_cuped, Deng et al. 2013) — the
+    experimentation family: users assign to arms by the pinned md5
+    parity (stable across engines, runs and appends — the property a
+    rand() split lacks, and exactly how production experiment
+    platforms hash user ids into buckets), the outcome is per-user
+    purchase conversion, the covariate the user's click count. The
+    two-proportion z and the pooled theta = cov(y,x)/var(x) come from
+    exact integer/DECIMAL(38,0) moments, and the CUPED-adjusted
+    delta subtracts theta·(covariate imbalance) — on an A/A-like
+    split (this synthetic data has no real treatment) the adjusted
+    delta shows how much of the raw delta was covariate noise. Scale
+    shape: one map-combinable user-grain rollup, then scalars."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    arm = u.withColumn(
+        "arm",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ab-v1:"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 2
+            == 0,
+            F.lit("A"),
+        ).otherwise(F.lit("B")),
+    )
+    from ydb_vector_search_demo_spark.operators.stats import ab_test_cuped
+
+    out = ab_test_cuped(arm, "arm", "y", "x")
+    return out.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round("rate_a", 6).alias("rate_a"),
+        F.round("rate_b", 6).alias("rate_b"),
+        F.round("delta", 6).alias("delta"),
+        F.round("z", 6).alias("z"),
+        F.round("theta", 6).alias("theta"),
+        F.round("cuped_delta", 6).alias("cuped_delta"),
+    )
+
+
+@register(
+    "corpus_neyman_sample",
+    # Variance-optimal allocation from exact DECIMAL/HUGEINT moments;
+    # the weight denominator accumulates by the ordered stratum
+    # window; floor allocations; pinned 52-bit md5 keep decisions.
+    """
+    WITH m AS (
+      SELECT lang, count(*)::BIGINT AS n_h,
+             CAST(sum(n_chars) AS HUGEINT) AS m1,
+             CAST(sum(n_chars * n_chars) AS HUGEINT) AS m2
+      FROM documents GROUP BY 1),
+    s AS (SELECT lang, n_h,
+                 sqrt(CAST(n_h * m2 - m1 * m1 AS DOUBLE)) / n_h AS sd
+          FROM m),
+    c AS (SELECT lang, n_h, sd, n_h * sd AS ns,
+                 sum(n_h * sd) OVER (ORDER BY lang
+                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM s),
+    t AS (SELECT max(cum) AS tot FROM c),
+    al AS (SELECT lang, n_h, sd,
+                  CAST(floor(1000 * ns / (SELECT tot FROM t)) AS BIGINT)
+                    AS alloc
+           FROM c),
+    k AS (SELECT d.lang, count(*)::BIGINT AS n_kept
+          FROM documents d JOIN al USING (lang)
+          WHERE (('0x' || substring(md5('neyman-v1:'
+                    || d.doc_id::VARCHAR), 1, 13))::BIGINT + 0.5)
+                / 4503599627370496.0
+                < al.alloc / (1.0 * al.n_h)
+          GROUP BY 1)
+    SELECT al.lang, al.n_h, round(al.sd, 6) AS sd, al.alloc,
+           coalesce(k.n_kept, 0)::BIGINT AS n_kept
+    FROM al LEFT JOIN k USING (lang) ORDER BY al.lang
+    """,
+)
+def q_corpus_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN (variance-optimal) stratified sampling over languages
+    (operators.curation.neyman_allocation) — the survey-sampling
+    optimum next to the uniform/temperature/priority samplers: a
+    stratum's budget share is proportional to N_h·S_h, so big AND
+    internally diverse strata get more rows than big-but-uniform ones
+    (minimizes the variance of the stratified mean at fixed budget —
+    the right sampler for eval-set construction and quality audits).
+    Per-stratum variance moments are exact DECIMAL(38,0)/HUGEINT
+    sums; the weight denominator accumulates via the ordered stratum
+    window (the entropy-row pattern); allocations floor(1000·w_h)
+    with remainders deliberately unallocated (deterministic); every
+    keep decision is the pinned 52-bit md5 uniform DuckDB replays.
+    Scale shape: one moment rollup + one map-side keep pass with
+    broadcast rates; the window runs over the stratum grain."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        neyman_allocation,
+    )
+
+    out = neyman_allocation(
+        _t(spark, sf_dir, "documents"),
+        "lang",
+        "n_chars",
+        "doc_id",
+        budget=1000,
+        seed="neyman-v1",
+    )
+    return out.select(
+        "lang",
+        "n_h",
+        F.round("sd", 6).alias("sd"),
+        "alloc",
+        "n_kept",
+    ).orderBy("lang")
+
+
+@register(
+    "orders_cohort_ltv",
+    # Cohort x age revenue with the cumulative LTV curve: exact cents
+    # throughout; the cumulative window runs over the bounded
+    # (cohort, age) month grid.
+    """
+    WITH f AS (SELECT o_custkey, min(o_orderdate) AS d0
+               FROM orders GROUP BY 1),
+    j AS (
+      SELECT printf('%04d-%02d', year(f.d0), month(f.d0)) AS cohort,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+               - (year(f.d0) * 12 + month(f.d0)) AS age_months,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN f ON f.o_custkey = o.o_custkey),
+    g AS (SELECT cohort, age_months, count(*)::BIGINT AS n_orders,
+                 CAST(sum(cents) AS BIGINT) AS revenue_cents
+          FROM j GROUP BY 1, 2)
+    SELECT cohort, age_months, n_orders, revenue_cents,
+           CAST(sum(revenue_cents) OVER (PARTITION BY cohort
+                ORDER BY age_months ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_revenue_cents
+    FROM g ORDER BY cohort, age_months
+    """,
+)
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LIFETIME-VALUE curve: customers cohort by their
+    first-order month, revenue accumulates per cohort over order-age
+    in months — the retention-economics readout next to
+    events_cohort_retention (that row counts RETAINED USERS; this one
+    accumulates REVENUE, the curve a growth team actually prices
+    against acquisition cost). Exact integer cents throughout; the
+    cumulative window runs over the bounded (cohort × age) month
+    grid, never order rows. Scale shape: one first-order rollup on
+    the customer grain, one keyed join back to orders (both sides
+    shuffle on custkey once — at 100 TB this is the standard fact ⋈
+    derived-dimension co-partition), one map-combinable grid
+    aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("d0"))
+    j = o.join(f, "o_custkey").select(
+        F.format_string(
+            "%04d-%02d", F.year("d0"), F.month("d0")
+        ).alias("cohort"),
+        (
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            - (F.year("d0") * 12 + F.month("d0"))
+        ).alias("age_months"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    g = j.groupBy("cohort", "age_months").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "cohort",
+        "age_months",
+        "n_orders",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("bigint").alias(
+            "cum_revenue_cents"
+        ),
+    ).orderBy("cohort", "age_months")
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
@@ -13791,6 +14049,13 @@ _GRADE_FIRST = [
 #                            oracle replay
 #   corpus_token_entropy   — per-language Shannon entropy/perplexity
 #                            via the ordered-cumulative n·ln(n) sum
+# r11 wave 12 (same bar: both SFs, ×10-probed ≤1.7x, law-tested):
+#   events_ab_test_cuped   — the experimentation family (pinned arm
+#                            hash, exact-moment z + CUPED)
+#   corpus_neyman_sample   — variance-optimal stratified sampling
+#                            (the fourth sampler: uniform /
+#                            temperature / priority / Neyman)
+#   orders_cohort_ltv      — cohort revenue curve in exact cents
 # r11 wave 11 (same bar: both SFs, ×10-probed, law-tested):
 #   multimodal_audio_silence — temporal-audio VAD shape (completes
 #                            the per-modality temporal matrix)
