@@ -291,6 +291,14 @@ HEADLINE = [
     "events_ab_test_cuped",
     "corpus_neyman_sample",
     "orders_cohort_ltv",
+    # r11 wave 13 (outside the comparable subsets): containment dedup
+    # (no size-ratio prefilter by design), label propagation over the
+    # kNN graph, the DP release mechanism, and the sketch-as-stream-
+    # state row (3-trigger replay machinery dominates)
+    "dedup_containment_pairs",
+    "graph_label_prop",
+    "corpus_dp_lang_counts",
+    "streaming_quantile_state",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

@@ -119,3 +119,27 @@ def test_portable_simhash_blocking_is_complete(spark):
     )
     assert got == want
     dedup.release_persisted()
+
+
+def test_containment_pairs_laws(spark):
+    """A doc fully embedded in a bigger doc scores containment 1.0 in
+    the subset direction with Jaccard well below it; unrelated docs
+    never pair; and the measure is direction-correct (the SMALL doc
+    is the contained one)."""
+    from ydb_vector_search_demo_spark.operators.dedup import (
+        shingle_containment_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " eta theta iota kappa lambda mu nu xi omicron pi rho"
+    other = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, other)], "doc_id BIGINT, text STRING"
+    )
+    rows = shingle_containment_pairs(df, n=3, threshold=0.8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    assert r["cont_a_in_b"] == 1.0          # small fully inside big
+    assert r["cont_b_in_a"] < 0.5           # big not inside small
+    assert r["jaccard"] < 0.5               # jaccard misses this dup

@@ -317,3 +317,35 @@ def test_pagerank_integer_laws(spark):
         pr = {v: base + c.get(v, 0) for v in deg}
     assert got == {v: (deg[v], pr[v]) for v in deg}
     assert sum(p for _, p in got.values()) <= 3 * scale
+
+
+def test_label_prop_iter_laws(spark):
+    """Hand graph: majority wins; count ties break to the SMALLEST
+    label; seeds are clamped (never overwritten); a two-hop chain
+    labels in round 2 via a round-1 prediction; an unreachable node
+    stays NULL."""
+    from ydb_vector_search_demo_spark.operators.ann import label_prop_iter
+
+    #  1 -> {2, 3, 4}   (2,3 labeled 7; 4 labeled 9 -> majority 7)
+    #  5 -> {2, 4}      (one vote each: 7 vs 9 -> tie -> smallest = 7)
+    #  6 -> {5}         (5 unlabeled in round 1, predicted 7 -> round 2)
+    #  8 -> {10}        (10 unlabeled forever -> stays NULL)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (5, 2), (5, 4), (6, 5), (8, 10),
+         (2, 3), (3, 2), (4, 2), (10, 8)],
+        "src BIGINT, dst BIGINT",
+    )
+    seeds = spark.createDataFrame(
+        [(1, None), (2, 7), (3, 7), (4, 9), (5, None), (6, None),
+         (8, None), (10, None)],
+        "id BIGINT, label INT",
+    )
+    got = {
+        r["id"]: (r["predicted"], r["was_seed"])
+        for r in label_prop_iter(edges, seeds, iterations=2).collect()
+    }
+    assert got[1] == (7, False)   # majority
+    assert got[5] == (7, False)   # tie -> smallest
+    assert got[6] == (7, False)   # via round-1 prediction of node 5
+    assert got[8] == (None, False)  # unreachable stays NULL
+    assert got[2] == (7, True) and got[4] == (9, True)  # clamped seeds

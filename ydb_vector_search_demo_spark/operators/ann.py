@@ -26,7 +26,7 @@ from collections.abc import Sequence
 from pyspark.ml.clustering import KMeans
 from pyspark.ml.feature import BucketedRandomProjectionLSH
 from pyspark.ml.functions import array_to_vector, vector_to_array
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ydb_vector_search_demo_spark.functions.vector import distance
@@ -2926,4 +2926,79 @@ def pagerank_integer(
             F.col("_deg").alias("out_degree"),
             F.col("_pr").alias("pr_units"),
         )
+    )
+
+
+def label_prop_iter(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 2,
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised LABEL PROPAGATION with clamped seeds — the
+    second member of the iterative-graph family next to
+    :func:`pagerank_integer`, exercising the OTHER aggregation shape
+    (argmax-of-counts instead of sum): labeled nodes keep their label
+    forever; each iteration, every still-unlabeled node takes the
+    MAJORITY label among its out-neighbors' current labels (NULLs
+    excluded), ties broken by the SMALLEST label — exact integer
+    counts and a deterministic total order, so the fixed unrolled
+    iteration is bit-replayable by any engine. A node whose reachable
+    neighborhood is entirely unlabeled after ``iterations`` steps
+    stays NULL (reported, not guessed). ``seeds`` carries (id, label)
+    with label NULL for the unlabeled nodes.
+
+    Scale shape: per iteration one keyed join edges⋈labels + one
+    map-combinable (node, label) count + one deterministic
+    WindowGroupLimit-shaped argmax per node — the edge relation is
+    checkpointed once."""
+    e = edges.select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d")
+    ).localCheckpoint(eager=True)
+    lab = seeds.select(
+        F.col(id_col).alias("_id"), F.col(label_col).alias("_lab")
+    ).localCheckpoint(eager=True)
+    seeded = lab.filter(F.col("_lab").isNotNull())
+    for _ in range(int(iterations)):
+        votes = (
+            e.join(
+                lab.select(
+                    F.col("_id").alias("_d"), F.col("_lab").alias("_nl")
+                ),
+                "_d",
+            )
+            .filter(F.col("_nl").isNotNull())
+            .groupBy(F.col("_s").alias("_id"), F.col("_nl"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        )
+        w = Window.partitionBy("_id").orderBy(
+            F.desc("_c"), F.asc("_nl")
+        )
+        win = (
+            votes.select(
+                "_id", "_nl", F.row_number().over(w).alias("_r")
+            )
+            .filter(F.col("_r") == 1)
+            .select("_id", F.col("_nl").alias("_win"))
+        )
+        lab = (
+            lab.join(win, "_id", "left")
+            .select(
+                "_id",
+                F.coalesce(
+                    # clamped: a seed never changes; a prior-round
+                    # prediction persists unless this round also has
+                    # votes (coalesce keeps the newest non-null first)
+                    F.when(F.col("_lab").isNotNull(), F.col("_lab")),
+                    F.col("_win"),
+                ).alias("_lab"),
+            )
+        )
+    return lab.join(
+        seeded.select("_id", F.col("_lab").alias("_seed")), "_id", "left"
+    ).select(
+        F.col("_id").alias(id_col),
+        F.col("_lab").alias("predicted"),
+        F.col("_seed").isNotNull().alias("was_seed"),
     )

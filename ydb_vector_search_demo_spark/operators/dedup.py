@@ -1631,3 +1631,85 @@ def remove_duplicate_spans(
             F.md5(F.coalesce("_clean", F.lit(""))).alias("clean_md5"),
         )
     )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT join — the asymmetric twin of
+    :func:`shingle_jaccard_pairs` for QUOTE/SUPERSET detection:
+    containment(A in B) = |A∩B| / |A| is high when A's shingles are
+    swallowed by a larger B (a quoted paragraph, a page embedding a
+    boilerplate block, a doc that is another doc plus a header) even
+    though Jaccard — diluted by the big doc's size — stays far below
+    any near-dup threshold. Pairs (a < b) are kept when EITHER
+    direction reaches ``threshold``; both directions and the Jaccard
+    are reported so the caller sees which side is the subset.
+
+    Plan shape: identical to the Jaccard join (distinct shingle
+    arrays → xxhash64 explode → one shingle-keyed self-join → pair
+    count) EXCEPT the size-ratio prefilter is deliberately absent —
+    a tiny doc fully contained in a huge one is exactly the target,
+    and that is the pair the ratio bound would drop. The skew valve
+    at scale is therefore ``max_shingle_doc_freq`` alone (drop
+    ultra-common shingles before the join), which is also the
+    correct semantic choice: a boilerplate shingle shared by
+    millions of docs carries no containment signal."""
+    shingled = fan_out(df).select(
+        F.col(id_col).alias("sid"),
+        F.array_distinct(word_shingles(text_col, n)).alias("shingles"),
+    ).withColumn("n_shingles", F.size("shingles"))
+    exploded = _persist(
+        shingled.filter(F.col("n_shingles") > 0).select(
+            "sid",
+            "n_shingles",
+            F.explode(
+                F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+    )
+    if max_shingle_doc_freq is not None:
+        freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        exploded = exploded.join(
+            F.broadcast(
+                freq.filter(F.col("df_") <= max_shingle_doc_freq)
+            ),
+            "sh",
+        ).drop("df_")
+    a = exploded.select(
+        F.col("sid").alias("a"), F.col("n_shingles").alias("na"), "sh"
+    )
+    b = exploded.select(
+        F.col("sid").alias("b"), F.col("n_shingles").alias("nb"), "sh"
+    )
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    cont_ab = F.col("inter").cast("double") / F.col("na")
+    cont_ba = F.col("inter").cast("double") / F.col("nb")
+    return (
+        pairs.filter(
+            F.greatest(cont_ab, cont_ba) >= F.lit(float(threshold))
+        )
+        .select(
+            "a",
+            "b",
+            "na",
+            "nb",
+            "inter",
+            cont_ab.alias("cont_a_in_b"),
+            cont_ba.alias("cont_b_in_a"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )

@@ -13576,6 +13576,260 @@ def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cohort", "age_months")
 
 
+@register(
+    "dedup_containment_pairs",
+    # Same shingle self-join as the graded Jaccard row but WITHOUT
+    # the size-ratio prefilter (a tiny doc swallowed by a huge one is
+    # the target); asymmetric containment both directions + Jaccard
+    # for contrast, exact integer counts throughout.
+    f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles
+      FROM documents
+    ), e AS (
+      SELECT doc_id, len(shingles) AS ns, unnest(shingles) AS s
+      FROM sh WHERE len(shingles) > 0
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, a.ns AS na, b.ns AS nb,
+             count(*)::BIGINT AS inter
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT a, b, na, nb, inter,
+           round(inter::DOUBLE / na, 6) AS cont_a_in_b,
+           round(inter::DOUBLE / nb, 6) AS cont_b_in_a,
+           round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+    FROM pairs
+    WHERE greatest(inter::DOUBLE / na, inter::DOUBLE / nb) >= 0.8
+    ORDER BY a, b
+    """,
+)
+def q_dedup_containment_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """N-gram CONTAINMENT join (dedup.shingle_containment_pairs) —
+    the asymmetric dedup measure the Jaccard family cannot express:
+    containment(A in B) = |A∩B|/|A| flags QUOTES and SUPERSETS (a doc
+    embedding another doc plus a header scores ~1.0 in one direction
+    while its Jaccard, diluted by the larger doc, stays below every
+    near-dup threshold). The curation action differs too: containment
+    dups keep the SUPERSET, Jaccard dups keep either — which is why
+    pipelines need both measures. Same one-shuffle shingle self-join
+    as the graded Jaccard row, deliberately WITHOUT the size-ratio
+    prefilter (it would drop exactly the target pairs); the scale
+    valve is the shingle doc-frequency cap alone. Exact integer
+    intersection counts; three divisions at the end."""
+    from ydb_vector_search_demo_spark.operators import dedup as DD
+
+    out = DD.shingle_containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+    return out.select(
+        "a",
+        "b",
+        "na",
+        "nb",
+        "inter",
+        F.round("cont_a_in_b", 6).alias("cont_a_in_b"),
+        F.round("cont_b_in_a", 6).alias("cont_b_in_a"),
+        F.round("jaccard", 6).alias("jaccard"),
+    ).orderBy("a", "b")
+
+
+@register(
+    "graph_label_prop",
+    # Two clamped-seed majority-vote iterations over the within-label
+    # kNN graph, unrolled: every vote an exact integer count, every
+    # argmax the deterministic (count desc, label asc) order — the
+    # PageRank row's bit-replay discipline applied to the OTHER
+    # iterative aggregation shape.
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             1.0 - list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]) AS raw
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id != b.vec_id),
+    ranked AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY raw, dst) AS rk
+      FROM pairs),
+    g AS (SELECT src, dst FROM ranked WHERE rk <= 3),
+    nodes AS (SELECT DISTINCT src AS id FROM g),
+    l0 AS (SELECT n.id,
+                  CASE WHEN n.id % 5 = 0 THEN NULL ELSE e.label END AS lab
+           FROM nodes n JOIN embeddings e ON e.vec_id = n.id),
+    v1 AS (SELECT g.src AS id, l.lab AS nl, count(*)::BIGINT AS c
+           FROM g JOIN l0 l ON l.id = g.dst
+           WHERE l.lab IS NOT NULL GROUP BY 1, 2),
+    w1 AS (SELECT id, nl FROM (
+             SELECT id, nl, row_number() OVER (PARTITION BY id
+                 ORDER BY c DESC, nl ASC) AS r FROM v1) WHERE r = 1),
+    l1 AS (SELECT l0.id, coalesce(l0.lab, w1.nl) AS lab
+           FROM l0 LEFT JOIN w1 ON w1.id = l0.id),
+    v2 AS (SELECT g.src AS id, l.lab AS nl, count(*)::BIGINT AS c
+           FROM g JOIN l1 l ON l.id = g.dst
+           WHERE l.lab IS NOT NULL GROUP BY 1, 2),
+    w2 AS (SELECT id, nl FROM (
+             SELECT id, nl, row_number() OVER (PARTITION BY id
+                 ORDER BY c DESC, nl ASC) AS r FROM v2) WHERE r = 1),
+    l2 AS (SELECT l1.id, coalesce(l1.lab, w2.nl) AS lab
+           FROM l1 LEFT JOIN w2 ON w2.id = l1.id)
+    SELECT id AS vec_id, lab AS predicted
+    FROM l2 WHERE id % 5 = 0 ORDER BY vec_id LIMIT 50
+    """,
+)
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised LABEL PROPAGATION (ann.label_prop_iter over
+    ann.knn_graph_bucketed) — the second iterative-graph row next to
+    the PageRank one, exercising the OTHER per-step aggregation shape
+    (majority argmax instead of mass sum): every fifth vector's label
+    is masked, the rest are clamped seeds, and two unrolled vote
+    rounds re-label the masked nodes from their kNN neighborhoods —
+    the production shape for propagating sparse human labels across
+    an embedding corpus. Determinism: votes are exact integer counts
+    and the argmax orders by (count desc, label asc) — a total order —
+    so DuckDB replays both rounds bit-for-bit; a node whose reachable
+    neighborhood stays unlabeled remains NULL (reported, not
+    guessed). Scale shape: per round one keyed join + one
+    map-combinable count + one WindowGroupLimit argmax; the graph is
+    checkpointed once."""
+    from ydb_vector_search_demo_spark.operators import ann as A
+
+    embs = _t(spark, sf_dir, "embeddings")
+    g = A.knn_graph_bucketed(embs, "label", k=3).select("src", "dst")
+    nodes = g.select(F.col("src").alias("vec_id")).distinct()
+    seeds = nodes.join(embs.select("vec_id", "label"), "vec_id").select(
+        F.col("vec_id").alias("id"),
+        F.when(F.col("vec_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("label")
+        ).alias("label"),
+    )
+    out = A.label_prop_iter(g, seeds, iterations=2)
+    return (
+        out.filter(F.col("id") % 5 == 0)
+        .select(F.col("id").alias("vec_id"), "predicted")
+        .orderBy("vec_id")
+        .limit(50)
+    )
+
+
+@register(
+    "corpus_dp_lang_counts",
+    # Laplace mechanism with the noise draw determinized to a pinned
+    # 52-bit md5 uniform through the inverse CDF — the MECHANISM is
+    # graded (sensitivity-1 count query, b = 1/epsilon = 1); a
+    # production deployment swaps the pinned uniform for a CSPRNG at
+    # exactly this seam.
+    """
+    WITH c AS (SELECT lang, count(*)::BIGINT AS n
+               FROM documents GROUP BY 1),
+    u AS (SELECT lang, n,
+                 (('0x' || substring(md5('dp-v1:' || lang), 1,
+                                     13))::BIGINT + 0.5)
+                   / 4503599627370496.0 AS u
+          FROM c)
+    SELECT lang,
+           CAST(round(n + (CASE WHEN u < 0.5 THEN ln(2 * u)
+                           ELSE -ln(2 * (1 - u)) END)) AS BIGINT)
+             AS released_count,
+           1.0 AS epsilon
+    FROM u ORDER BY lang
+    """,
+)
+def q_corpus_dp_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE release mechanism for per-language
+    counts (Laplace mechanism, ε = 1) — the second data-governance
+    row next to the k-anonymity audit: a count query has sensitivity
+    1, so adding Laplace(1/ε) noise gives ε-DP; this row grades the
+    MECHANISM'S ARITHMETIC end to end (inverse-CDF transform
+    sign(u−½)·ln of the uniform, scale b = 1, integer rounding of
+    the release) with the noise draw determinized to the pinned
+    52-bit md5 uniform — the house no-RNG convention; a production
+    deployment swaps a CSPRNG into exactly this seam (and the pinned
+    variant stays useful as the reproducible test harness for DP
+    pipelines). True counts are never emitted. Scale shape: one
+    map-combinable groupBy; noise is per-GROUP, not per-row."""
+    c = _t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp-v1:"), F.col("lang"))), 1, 13),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**52))
+    noise = F.when(u < 0.5, F.log(2 * u)).otherwise(-F.log(2 * (1 - u)))
+    return c.select(
+        "lang",
+        F.round(F.col("n") + noise).cast("bigint").alias(
+            "released_count"
+        ),
+        F.lit(1.0).alias("epsilon"),
+    ).orderBy("lang")
+
+
+@register("streaming_quantile_state", _quantile_sketch_oracle_sql())
+def q_streaming_quantile_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SKETCH × STREAMING cell: the histogram quantile sketch's
+    integer bin counts accumulate INCREMENTALLY in the stream's state
+    store (three deterministic micro-batches, complete mode — the
+    state is exactly the sketch, bounded by groups × 200 bins
+    regardless of stream length), and the quantile readout runs over
+    the final state. Because bin counts merge by sum — the
+    mergeability the events_quantile_merge row grades bit-for-bit —
+    the streamed-in state equals the batch sketch, and this row
+    shares the batch row's oracle verbatim (the text_bm25_indexed
+    convention for equal-output splits). This is the production shape
+    of streaming percentile monitoring: per-trigger cost is |batch|
+    map work + a ≤ groups×bins state merge; nothing ever rescans."""
+    import os
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    stream_dir = EV.multi_batch_events_dir(spark, sf_dir, n_batches=3)
+    from ydb_vector_search_demo_spark.sources.tables import (
+        normalize_event_ts,
+    )
+
+    raw = (
+        spark.readStream.schema(EV._events_schema(spark, src))
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stream_dir)
+    )
+    ev = normalize_event_ts(raw)
+    grain = ev.select(
+        "event_type",
+        SK.hist_bin_expr("value", _QSK_LO, _QSK_HI, _QSK_BINS).alias(
+            "bin"
+        ),
+    ).groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    _STREAM_COUNTER["n"] += 1
+    name = f"stream_qsketch_{_STREAM_COUNTER['n']}"
+    q = (
+        grain.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.table(name)
+    out = SK.hist_quantiles(
+        state, ["event_type"], [0.5, 0.9, 0.99], _QSK_LO, _QSK_HI,
+        _QSK_BINS,
+    )
+    return out.select(
+        "event_type", "n_rows", "p50_est", "p90_est", "p99_est"
+    ).orderBy("event_type")
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
@@ -14049,6 +14303,15 @@ _GRADE_FIRST = [
 #                            oracle replay
 #   corpus_token_entropy   — per-language Shannon entropy/perplexity
 #                            via the ordered-cumulative n·ln(n) sum
+# r11 wave 13 (same bar: both SFs, ×10-probed, law-tested):
+#   dedup_containment_pairs — asymmetric quote/superset detection
+#                            (the measure Jaccard structurally misses)
+#   graph_label_prop       — iterative-graph family ② (majority
+#                            argmax; clamped seeds; unrolled replay)
+#   corpus_dp_lang_counts  — governance family ② (Laplace mechanism,
+#                            pinned-uniform noise seam)
+#   streaming_quantile_state — sketch × streaming (bins ARE the
+#                            stream state; batch oracle shared)
 # r11 wave 12 (same bar: both SFs, ×10-probed ≤1.7x, law-tested):
 #   events_ab_test_cuped   — the experimentation family (pinned arm
 #                            hash, exact-moment z + CUPED)
