@@ -299,6 +299,12 @@ HEADLINE = [
     "graph_label_prop",
     "corpus_dp_lang_counts",
     "streaming_quantile_state",
+    # r11 wave 14 (outside the comparable subsets): RAKE keyword
+    # extraction, the power-analysis closed form, and keep-best
+    # survivorship over the Jaccard clusters
+    "text_rake_keywords",
+    "events_power_analysis",
+    "dedup_keep_best",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

@@ -1350,3 +1350,29 @@ def test_neyman_allocation_laws(spark):
     for s in out.values():
         assert s["n_kept"] <= s["n_h"]
     assert sum(s["alloc"] for s in out.values()) <= 100
+
+
+def test_rake_keywords_laws(spark):
+    """Hand corpus: phrases split at stopwords, degree/freq match the
+    hand count, multi-word phrases outscore their constituent words,
+    and the over-length run is dropped."""
+    from ydb_vector_search_demo_spark.operators.curation import rake_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning models for deep learning"),
+            (2, "one two three four five six"),  # 6-word run -> dropped
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = {
+        r["phrase"]: (r["n_occurrences"], r["n_words"], r["score"])
+        for r in rake_keywords(docs, ("for",), max_phrase_len=4).collect()
+    }
+    # freq(deep)=2 degree(deep)=3+2=5; same for learning; models 1/3
+    # score("deep learning") = 5/2 + 5/2 = 5
+    # score("deep learning models") = 5/2 + 5/2 + 3/1 = 8
+    assert rows["deep learning"] == (1, 2, 5.0)
+    assert rows["deep learning models"] == (1, 3, 8.0)
+    assert "one two three four five six" not in rows
+    assert len(rows) == 2

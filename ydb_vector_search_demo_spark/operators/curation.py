@@ -1951,3 +1951,113 @@ def neyman_allocation(
             F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         )
     )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    stopwords: tuple[str, ...],
+    max_phrase_len: int = 4,
+    top: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — candidate phrases
+    are maximal stopword-free token runs (run ids from a cumulative
+    stopword count per document — one doc-partitioned window over the
+    token grain), scored by sum over member words of
+    degree(w)/freq(w), where freq counts phrase occurrences
+    containing w and degree additionally credits co-occurring words
+    (the sum of phrase lengths over w's phrases) — so multi-word
+    technical phrases outrank single frequent words. Determinism:
+    freq/degree are exact integer aggregates over the exploded
+    phrase-word grain; the per-phrase score sums word ratios via the
+    ORDERED cumulative window over the phrase's word positions (the
+    house double-sum trick), and the final cut orders by (score desc,
+    phrase) — a total order. Phrases longer than ``max_phrase_len``
+    are dropped (boilerplate runs, not keywords). Returns ``top``
+    rows: phrase, n_occurrences, n_words, score (raw double).
+
+    Scale shape: one token explode (the corpus's one shuffle, keyed
+    by doc for the run-id window), one map-combinable phrase count,
+    word stats on the phrase-word grain (vocabulary-bounded), and the
+    score window over <= max_phrase_len rows per distinct phrase."""
+    from ydb_vector_search_demo_spark.functions.textstats import (
+        tokens as _tokens,
+    )
+
+    toks = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(
+            F.transform(_tokens(text_col), lambda t: F.lower(t))
+        ).alias("_pos", "_tok"),
+    )
+    is_stop = F.col("_tok").isin(list(stopwords))
+    w_run = (
+        Window.partitionBy("_doc")
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = toks.select(
+        "_doc",
+        "_pos",
+        "_tok",
+        is_stop.alias("_st"),
+        F.sum(is_stop.cast("int")).over(w_run).alias("_rid"),
+    ).filter(~F.col("_st"))
+    phrases = (
+        runs.groupBy("_doc", "_rid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_tok"))
+                    ),
+                    lambda s: s["_tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+        )
+        .filter(F.col("n_words") <= int(max_phrase_len))
+    )
+    occ = phrases.groupBy("phrase", "n_words").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    ).localCheckpoint(eager=True)
+    pw = occ.select(
+        "phrase",
+        "n_occurrences",
+        "n_words",
+        F.posexplode(F.split("phrase", " ")).alias("_i", "_w"),
+    )
+    stats = pw.groupBy("_w").agg(
+        F.sum("n_occurrences").cast("bigint").alias("_freq"),
+        F.sum(F.col("n_occurrences") * F.col("n_words"))
+        .cast("bigint")
+        .alias("_degree"),
+    )
+    w_cum = (
+        Window.partitionBy("phrase")
+        .orderBy("_i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        pw.join(F.broadcast(stats), "_w")
+        .select(
+            "phrase",
+            "n_occurrences",
+            "n_words",
+            "_i",
+            F.sum(
+                F.col("_degree").cast("double") / F.col("_freq")
+            )
+            .over(w_cum)
+            .alias("_cum"),
+        )
+        .groupBy("phrase", "n_occurrences", "n_words")
+        .agg(F.max("_cum").alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), "phrase")
+        .limit(int(top))
+        .select("phrase", "n_occurrences", "n_words", "score")
+    )

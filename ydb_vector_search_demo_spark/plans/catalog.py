@@ -13733,7 +13733,7 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(n + (CASE WHEN u < 0.5 THEN ln(2 * u)
                            ELSE -ln(2 * (1 - u)) END)) AS BIGINT)
              AS released_count,
-           1.0 AS epsilon
+           CAST(1.0 AS DOUBLE) AS epsilon
     FROM u ORDER BY lang
     """,
 )
@@ -13828,6 +13828,293 @@ def q_streaming_quantile_state(
     return out.select(
         "event_type", "n_rows", "p50_est", "p90_est", "p99_est"
     ).orderBy("event_type")
+
+
+@register(
+    "text_rake_keywords",
+    # RAKE replayed CTE for CTE: run ids from the cumulative stopword
+    # count per doc; phrases by string_agg ORDER BY pos; freq/degree
+    # exact integers on the phrase-word grain; the per-phrase score
+    # sums word ratios via the ordered position window.
+    f"""
+    WITH tk AS (
+      SELECT doc_id, list_transform({_TOKENS_SQL}, t -> lower(t)) AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+      FROM tk),
+    marked AS (
+      SELECT doc_id, pos, tok,
+             list_contains({_SW_EN}, tok) AS st,
+             sum(CASE WHEN list_contains({_SW_EN}, tok) THEN 1 ELSE 0
+                 END) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS rid
+      FROM tok),
+    ph AS (
+      SELECT doc_id, rid,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             count(*)::INTEGER AS n_words
+      FROM marked WHERE NOT st GROUP BY 1, 2
+      HAVING count(*) <= 4),
+    occ AS (SELECT phrase, n_words, count(*)::BIGINT AS n_occurrences
+            FROM ph GROUP BY 1, 2),
+    pw AS (SELECT phrase, n_occurrences, n_words,
+                  unnest(string_split(phrase, ' ')) AS w,
+                  generate_subscripts(string_split(phrase, ' '), 1) AS i
+           FROM occ),
+    stats AS (SELECT w, CAST(sum(n_occurrences) AS BIGINT) AS freq,
+                     CAST(sum(n_occurrences * n_words) AS BIGINT)
+                       AS degree
+              FROM pw GROUP BY 1),
+    cum AS (SELECT pw.phrase, pw.n_occurrences, pw.n_words,
+                   sum(CAST(s.degree AS DOUBLE) / s.freq)
+                     OVER (PARTITION BY pw.phrase ORDER BY pw.i
+                           ROWS UNBOUNDED PRECEDING) AS c
+            FROM pw JOIN stats s ON s.w = pw.w),
+    sc AS (SELECT phrase, n_occurrences, n_words, max(c) AS score
+           FROM cum GROUP BY 1, 2, 3)
+    SELECT phrase, n_occurrences, n_words, round(score, 6) AS score
+    FROM sc ORDER BY score DESC, phrase LIMIT 20
+    """,
+)
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (operators.curation.rake_keywords,
+    Rose et al. 2010) — the unsupervised keyword surface next to the
+    TF-IDF rows: candidate phrases are maximal stopword-free token
+    runs (no model, no training), scored by the degree/freq ratio
+    that makes multi-word technical phrases outrank single frequent
+    words — the standard first pass for corpus topic inventories and
+    search-index enrichment. Determinism: run ids from a cumulative
+    stopword count per document (one doc-partitioned window over the
+    token grain — never a global sort), phrase assembly ordered by
+    position, freq/degree exact integers, and the per-phrase score
+    summed via the ordered position window (≤ 4 terms). Top-20 by
+    (score desc, phrase). Scale shape: one token explode, one
+    map-combinable phrase count, word stats vocabulary-bounded."""
+    from ydb_vector_search_demo_spark.functions.textstats import STOPWORDS
+    from ydb_vector_search_demo_spark.operators.curation import (
+        rake_keywords,
+    )
+
+    out = rake_keywords(
+        _t(spark, sf_dir, "documents"),
+        STOPWORDS["en"],
+        max_phrase_len=4,
+        top=20,
+    )
+    return out.select(
+        "phrase",
+        "n_occurrences",
+        "n_words",
+        F.round("score", 6).alias("score"),
+    ).orderBy(F.desc("score"), "phrase")
+
+
+# standard-normal quantiles for alpha = 0.05 (two-sided) and 80%
+# power, driver-inlined into both engines (the Benford/Poisson-CDF
+# literal convention — no erfinv runs anywhere)
+_Z_ALPHA = 1.959963984540054
+_Z_BETA = 0.8416212335729143
+_MDE = 0.02
+
+
+@register(
+    "events_power_analysis",
+    # Closed-form two-proportion sample-size formula from exact
+    # integer counts + driver-inlined normal quantiles; every
+    # statistic one fixed double expression.
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS y
+      FROM events GROUP BY 1),
+    c AS (SELECT count(*)::BIGINT AS n_users,
+                 CAST(sum(y) AS BIGINT) AS n_conv
+          FROM u),
+    p AS (SELECT n_users, n_conv,
+                 n_conv / (1.0 * n_users) AS p1,
+                 n_conv / (1.0 * n_users) + {_MDE!r} AS p2
+          FROM c)
+    SELECT n_users, n_conv,
+           round(p1, 6) AS baseline_rate,
+           CAST({_MDE!r} AS DOUBLE) AS mde,
+           CAST(ceil(
+             pow({_Z_ALPHA!r} * sqrt(2 * ((p1 + p2) / 2)
+                                     * (1 - (p1 + p2) / 2))
+                 + {_Z_BETA!r} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)),
+                 2)
+             / ({_MDE!r} * {_MDE!r})) AS BIGINT) AS n_per_arm,
+           n_users >= 2 * CAST(ceil(
+             pow({_Z_ALPHA!r} * sqrt(2 * ((p1 + p2) / 2)
+                                     * (1 - (p1 + p2) / 2))
+                 + {_Z_BETA!r} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)),
+                 2)
+             / ({_MDE!r} * {_MDE!r})) AS BIGINT) AS powered
+    FROM p
+    """,
+)
+def q_events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POWER ANALYSIS for the power-user metric (a user with >= 15
+    purchases — the mid-rate metric this synthetic corpus actually
+    has; plain did-purchase saturates at 1.0, where the formula is
+    undefined) — the
+    experiment-design companion of the A/B readout row: the
+    two-proportion sample-size formula n per arm =
+    (z_α·sqrt(2·p̄(1−p̄)) + z_β·sqrt(p₁(1−p₁)+p₂(1−p₂)))² / MDE² at
+    80% power / α = 0.05 / MDE = 2 points, evaluated against the
+    observed baseline rate — answering the question a team asks
+    BEFORE launching: is this corpus even big enough to detect the
+    effect we care about? The normal quantiles are driver-inlined
+    literals (no erfinv in either engine); the baseline rate is one
+    division of exact integers; `powered` compares the available
+    user count against 2·n_per_arm. Scale shape: one map-combinable
+    user-grain rollup, then a single scalar row."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 15,
+            1,
+        )
+        .otherwise(0)
+        .alias("y")
+    )
+    c = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("y").cast("bigint").alias("n_conv"),
+    )
+    p1 = F.col("n_conv") / (F.lit(1.0) * F.col("n_users"))
+    p2 = p1 + F.lit(_MDE)
+    pbar = (p1 + p2) / 2
+    n_arm = F.ceil(
+        F.pow(
+            F.lit(_Z_ALPHA) * F.sqrt(2 * pbar * (1 - pbar))
+            + F.lit(_Z_BETA) * F.sqrt(p1 * (1 - p1) + p2 * (1 - p2)),
+            F.lit(2),
+        )
+        / (F.lit(_MDE) * F.lit(_MDE))
+    ).cast("bigint")
+    return c.select(
+        "n_users",
+        "n_conv",
+        F.round(p1, 6).alias("baseline_rate"),
+        F.lit(_MDE).alias("mde"),
+        n_arm.alias("n_per_arm"),
+        (F.col("n_users") >= 2 * n_arm).alias("powered"),
+    )
+
+
+@register(
+    "dedup_keep_best",
+    # The keep-BEST survivorship policy: clusters replayed by the
+    # recursive closure over the identical Jaccard pair SQL; the
+    # survivor is the deterministic (classifier score desc, doc_id)
+    # argmax within each multi-member cluster.
+    f"""
+    WITH RECURSIVE {{edges}},
+    edges AS (SELECT a AS x, b AS y FROM jp UNION SELECT b, a FROM jp),
+    reach(x, y) AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e2.y FROM reach r JOIN edges e2 ON r.y = e2.x
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    sizes AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+              FROM comp GROUP BY cluster_id),
+    fe AS (
+      SELECT doc_id, list_concat(ltoks,
+               list_transform(range(1, len(ltoks)),
+                              i -> ltoks[i] || ' ' || ltoks[i+1])) AS feats
+      FROM (SELECT doc_id,
+                   list_transform({_TOKENS_SQL}, t -> lower(t)) AS ltoks
+            FROM documents)
+    ),
+    qsc AS (
+      SELECT doc_id,
+             1.0 / (1.0 + exp(-({_QCLF_B} +
+               coalesce(list_sum(list_transform(feats,
+                 f -> ([{",".join(repr(float(x)) for x in _QCLF_W)}])[
+                   ('0x' || substring(md5('qclf-v1:' || f), 1, 4))::INTEGER
+                   % 256 + 1])), 0.0)
+               / greatest(len(feats), 1)))) AS score
+      FROM fe),
+    m AS (SELECT c.cluster_id, c.doc_id, s.cluster_size, qsc.score
+          FROM comp c JOIN sizes s USING (cluster_id)
+          JOIN qsc ON qsc.doc_id = c.doc_id
+          WHERE s.cluster_size > 1),
+    r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+              ORDER BY score DESC, doc_id) AS rk FROM m)
+    SELECT cluster_id, doc_id AS survivor_id,
+           round(score, 6) AS survivor_score,
+           cluster_size AS n_members,
+           cluster_size - 1 AS n_dropped
+    FROM r WHERE rk = 1 ORDER BY cluster_id
+    """.format(edges=_JACCARD_EDGES_CTES),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEP-BEST dedup survivorship — the quality-aware canonical
+    policy next to dedup_clusters' keep-smallest-id: within every
+    multi-member near-dup cluster (the graded Jaccard≥0.5 pair graph
+    resolved to components), the survivor is the member with the
+    HIGHEST pinned-classifier score (ties → smallest id) — the policy
+    curation pipelines actually want, since near-dup groups usually
+    contain one clean copy and several mangled ones, and
+    keep-smallest-id keeps whichever was crawled first. The argmax
+    orders by (score desc, doc_id) — deterministic because the graded
+    classifier row pins every score double; cluster membership
+    replays via DuckDB's recursive closure over the identical pair
+    SQL. Output: one row per multi-member cluster with the survivor,
+    its score, and the drop count. Scale shape: the pair join +
+    one-shuffle components are the graded machinery; the argmax is a
+    WindowGroupLimit per cluster."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.shingle_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_doc_freq=1000
+    ).select("a", "b")
+    comp = curation.dedup_clusters(docs.select("doc_id"), pairs)
+    scored = docs.select(
+        "doc_id",
+        curation.classifier_score_expr("text", _QCLF_W, _QCLF_B).alias(
+            "score"
+        ),
+    )
+    m = (
+        comp.filter(F.col("cluster_size") > 1)
+        .join(scored, "doc_id")
+        .select("cluster_id", "doc_id", "cluster_size", "score")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        m.select(
+            "cluster_id",
+            "doc_id",
+            "cluster_size",
+            "score",
+            F.row_number().over(w).alias("_rk"),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_id"),
+            F.round("score", 6).alias("survivor_score"),
+            F.col("cluster_size").alias("n_members"),
+            (F.col("cluster_size") - 1).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
 
 
 # ===========================================================================
@@ -14303,6 +14590,15 @@ _GRADE_FIRST = [
 #                            oracle replay
 #   corpus_token_entropy   — per-language Shannon entropy/perplexity
 #                            via the ordered-cumulative n·ln(n) sum
+# r11 wave 14 (same bar: both SFs, ×10-probed, law-tested):
+#   text_rake_keywords     — unsupervised keyword extraction (the
+#                            degree/freq surface next to TF-IDF)
+#   events_power_analysis  — experiment DESIGN next to the A/B
+#                            readout (sample-size closed form)
+#   dedup_keep_best        — quality-aware survivorship (per-cluster
+#                            classifier argmax; the ACTION row for
+#                            cluster dedup, as span_removal was for
+#                            span dedup)
 # r11 wave 13 (same bar: both SFs, ×10-probed, law-tested):
 #   dedup_containment_pairs — asymmetric quote/superset detection
 #                            (the measure Jaccard structurally misses)
