@@ -435,3 +435,29 @@ def test_bucketed_join_revenue_has_no_exchange_below_join(spark):
         "bucketed join must read co-located buckets, not shuffle:\n"
         + below[:1500]
     )
+
+
+def test_calibration_scores_documents_once(spark):
+    """r11 wave 15 recompute guard: the calibration row's dense bin
+    spine feeds two branches (the total and the final projection);
+    without a checkpoint each branch re-runs the lineage INCLUDING
+    the per-feature md5 classifier scoring — the one expensive pass
+    in the row. With the 10-row state checkpointed, the FINAL plan
+    contains ZERO parquet scans (the scoring ran exactly once, at
+    checkpoint materialization). The hourly-anomaly guard pattern;
+    the cheap-grain siblings (benford / k-anonymity / A/B) keep their
+    multi-scan plans deliberately — their upstream is one
+    scan+groupBy, and a checkpoint barrier costs more than the
+    rescan (measured: collect-equal at sf0.1)."""
+    from tests.conftest import SF_SMOKE
+    from ydb_vector_search_demo_spark.plans.catalog import QUERIES
+
+    df = QUERIES["corpus_classifier_calibration"](spark, SF_SMOKE)
+    assert df.count() > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    n_scan = final.count("Scan parquet")
+    assert n_scan == 0, (
+        f"{n_scan} parquet scans in the final plan — the classifier "
+        f"scoring is being recomputed per branch"
+    )

@@ -816,7 +816,7 @@ def calibration_bins(
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
         F.coalesce("n_pos", F.lit(0)).cast("bigint").alias("n_pos"),
         F.coalesce("_ssum", F.lit(0)).cast("bigint").alias("_ssum"),
-    )
+    ).localCheckpoint(eager=True)
     tot = dense.agg(F.sum("n").cast("bigint").alias("_tot"))
     acc = F.when(
         F.col("n") > 0, F.col("n_pos").cast("double") / F.col("n")
