@@ -305,6 +305,9 @@ HEADLINE = [
     "text_rake_keywords",
     "events_power_analysis",
     "dedup_keep_best",
+    # r11 wave 16 (outside the comparable subsets): perceptual-hash
+    # image near-dup pairs (Arrow decode + band-LSH + xor popcount)
+    "multimodal_image_ahash_pairs",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

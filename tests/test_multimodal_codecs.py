@@ -188,3 +188,38 @@ def test_audio_rms_frames_laws(spark):
     assert got[2]["total_sq"] == 400 * 2000 * 2000
     assert got[2]["peak_abs"] == 2000
     assert got[3]["n_frames"] == 3 and got[3]["n_silent"] == 2
+
+
+def test_image_ahash_laws(spark):
+    """A global brightness shift WITHOUT wrap leaves every bit (hence
+    every band) unchanged — the invariance that motivates perceptual
+    hashing; a half-inverted image flips bits (hamming large vs its
+    original); and the band grain is 8 rows of byte-ranged ints."""
+    import numpy as np
+
+    from ydb_vector_search_demo_spark.multimodal import media
+
+    rng_w, rng_h = 32, 24
+    yy, xx = np.mgrid[0:rng_h, 0:rng_w]
+    base = (xx * 3 + yy * 2) % 100            # values in [0, 99]
+    shifted = base + 100                      # +100, no wrap at 255
+    half = base.copy(); half[:, rng_w // 2:] = 255 - half[:, rng_w // 2:]
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(media.encode_pgm(rng_w, rng_h, base))),
+            (2, "image", bytearray(media.encode_pgm(rng_w, rng_h, shifted))),
+            (3, "image", bytearray(media.encode_pgm(rng_w, rng_h, half))),
+        ],
+        "media_id LONG, modality STRING, payload BINARY",
+    )
+    rows = media.image_ahash_bands(df).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["media_id"], {})[r["band"]] = r["bv"]
+        assert 0 <= r["bv"] <= 255
+    assert len(by[1]) == 8
+    assert by[1] == by[2]          # brightness invariance
+    ham_13 = sum(
+        bin(by[1][b] ^ by[3][b]).count("1") for b in range(8)
+    )
+    assert ham_13 > 7              # half-inversion is NOT a near-dup

@@ -614,3 +614,71 @@ def audio_rms_frames(
     return media.filter(F.col("modality") == "audio").mapInPandas(
         stats, RMS_SCHEMA
     )
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("band", IntegerType()),
+        StructField("bv", IntegerType()),
+    ]
+)
+
+
+def image_ahash_bands(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual AVERAGE-HASH over decoded images, emitted as the
+    8×8-bit BAND grain the LSH join consumes — the multimodal member
+    of the dedup family (near-duplicate IMAGES, where exact byte
+    equality misses re-encodes and brightness shifts): the image is
+    average-pooled onto a ``grid``×``grid`` block lattice with pure
+    integer floor arithmetic (block j spans x with x·grid//w == j),
+    and bit_j = 1 iff block_sum·(w·h) > total_sum·block_npix — the
+    mean compare WITHOUT division, exact in int64 (the
+    scene-cuts/audio-silence convention). The 64 bits pack into 8
+    byte-valued bands; identical bands are the LSH candidate key (by
+    pigeonhole, hamming ≤ 7 guarantees ≥ 1 exact band). The hash is
+    invariant to global brightness shifts (mean-threshold) and to
+    resolution changes that preserve block means — exactly the
+    near-dup classes byte-hashing misses. Returns (media_id, band,
+    bv) — grid rows per image, all exact integers.
+
+    Scale shape: one Arrow decode pass per image; only 8 small rows
+    per image ever shuffle."""
+    from ydb_vector_search_demo_spark.shipping import ensure_package_on_workers
+
+    ensure_package_on_workers()
+    g = int(grid)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bands, bvs = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, pix = decode_pgm(bytes(p))
+                pix = pix.astype(np.int64)
+                bx = (np.arange(w) * g) // w
+                by = (np.arange(h) * g) // h
+                blk = (by[:, None] * g + bx[None, :]).ravel()
+                acc = np.zeros(g * g, dtype=np.int64)
+                np.add.at(acc, blk, pix.ravel())
+                npx = np.bincount(blk, minlength=g * g).astype(np.int64)
+                tot = int(acc.sum())
+                bits = (acc * (w * h)) > (tot * npx)
+                for band in range(g):
+                    bv = 0
+                    for pos in range(g):
+                        if bits[band * g + pos]:
+                            bv |= 1 << pos
+                    ids.append(mid)
+                    bands.append(band)
+                    bvs.append(bv)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "band": pd.array(bands, dtype="int32"),
+                    "bv": pd.array(bvs, dtype="int32"),
+                }
+            )
+
+    return media.filter(F.col("modality") == "image").mapInPandas(
+        hash_batches, AHASH_SCHEMA
+    )
