@@ -14698,6 +14698,47 @@ _GRADE_FIRST = [
 #                            oracle replay
 #   corpus_token_entropy   — per-language Shannon entropy/perplexity
 #                            via the ordered-cumulative n·ln(n) sum
+# ---------------------------------------------------------------------------
+# r12 rotation-eligibility ranking (the consolidated list — every row
+# below is fully oracle-backed at sf0.01 AND sf0.1, law-tested,
+# ×10-probed and fresh-process driver-contract verified this round;
+# per-wave detail in the notes that follow). Strongest first, each
+# covering a surface the current 50-slot window grades only
+# transitively or not at all:
+#   1. graph_pagerank_label — the ITERATIVE-GRAPH family's first
+#      graded-eligible row (unrolled power steps, bit-identical
+#      unrolled-CTE oracle); nothing in the window grades iteration.
+#   2. bucketed_join_revenue — the zero-shuffle co-located fact-fact
+#      join; the window grades no physical-LAYOUT claim (the oracle
+#      pins result equality, the plan guard pins the no-Exchange
+#      property on both the write and re-register paths).
+#   3. multimodal_image_ahash_pairs — the multimodal × dedup cell
+#      (band-LSH on Hamming space; closed-form pixel oracle).
+#   4. events_ab_test_cuped — the experimentation family (exact-
+#      moment z + CUPED; pinned arm hash); new family, no coverage.
+#   5. streaming_cusum_monitor — the streaming × changepoint cell
+#      (per-trigger foreachBatch recompute; streamed == batch law).
+#   6. store_compaction — the maintenance lifecycle with the
+#      PHYSICAL 16→1 file counts oracle-pinned (lifecycle depth the
+#      store rows don't grade).
+#   7. lineitem_kendall_tau / events_mann_kendall — the association/
+#      trend statistics (pair-count exact; completes
+#      Pearson/Spearman/Kendall and adds the MK/Sen trend pair).
+#   8. dedup_keep_best — the ACTION row for cluster dedup (argmax
+#      survivorship; the span_removal precedent).
+#   9. retrieval_rbo_bm25_qld — ranker-agreement eval over two
+#      graded stacks (binary-weight RBO).
+#  10. corpus_neyman_sample — the fourth sampler (variance-optimal).
+# Out-candidates with documented duplicate-surface rationales, per
+# the house convention: ann_tree_fixed (two-level pruning graded via
+# quant_ivf_fixed's composition), events_hll_users (sketch family
+# holds two slots; the union row grades merge + estimate),
+# text_langid (graded transitively via corpus_lang_source_chi2's
+# margins), rotation_store_serve (the rotated-prefix serving split is
+# a strict composition of pq_opq_fixed's rotation + the store-serve
+# splits), events_gapfill_hourly (spine join graded via
+# events_hopping_hourly's window arithmetic).
+# ---------------------------------------------------------------------------
 # r11 wave 16 (same bar: both SFs, ×10-probed, law-tested):
 #   multimodal_image_ahash_pairs — the multimodal × dedup cell
 #                            (perceptual average-hash, band-LSH,
