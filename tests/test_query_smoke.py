@@ -100,3 +100,38 @@ def test_every_rows_only_row_documents_why():
         if not pat.search(inspect.getdoc(QUERIES[n]) or "")
     ]
     assert not missing, f"rows-only rows without an on-row reason: {missing}"
+
+
+def test_r12_eligibility_ranking_names_are_registered():
+    """The consolidated r12 rotation ranking at the catalog tail must
+    name only registered, oracle-backed queries — a stale name in the
+    rotation plan is exactly the docstring rot the eligibility notes
+    exist to prevent."""
+    import re
+
+    import ydb_vector_search_demo_spark.plans.catalog as cat
+
+    src = open(cat.__file__).read()
+    block = src.split("r12 rotation-eligibility ranking")[1].split(
+        "r11 wave 16"
+    )[0]
+    named = set(re.findall(r"\b([a-z0-9_]{6,})\b", block)) & set(
+        cat.QUERIES
+    )
+    # every explicitly ranked in-candidate must be oracle-backed
+    ranked = [
+        "graph_pagerank_label", "bucketed_join_revenue",
+        "multimodal_image_ahash_pairs", "events_ab_test_cuped",
+        "streaming_cusum_monitor", "store_compaction",
+        "lineitem_kendall_tau", "events_mann_kendall",
+        "dedup_keep_best", "retrieval_rbo_bm25_qld",
+        "corpus_neyman_sample",
+    ]
+    for n in ranked:
+        assert n in cat.QUERIES, n
+        assert n in cat.ORACLES, f"{n} ranked for rotation but rows-only"
+        assert n in named, f"{n} missing from the ranking text"
+    # out-candidates must exist too (they rotate OUT, not away)
+    for n in ["ann_tree_fixed", "events_hll_users", "text_langid",
+              "rotation_store_serve", "events_gapfill_hourly"]:
+        assert n in cat.QUERIES, n
