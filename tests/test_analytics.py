@@ -1352,6 +1352,33 @@ def test_neyman_allocation_laws(spark):
     assert sum(s["alloc"] for s in out.values()) <= 100
 
 
+def test_neyman_allocation_degenerate_fallback(spark):
+    """When EVERY stratum is zero-variance the Neyman weights are
+    0/0-undefined; the documented fallback allocates proportional to
+    stratum size (the limit of the rule as all sd_h tend to a common
+    value) instead of emitting NULLs."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        neyman_allocation,
+    )
+
+    rows = [("a", i, 7) for i in range(30)]
+    rows += [("b", 100 + i, 9) for i in range(10)]
+    df = spark.createDataFrame(rows, "s STRING, id BIGINT, v BIGINT")
+    out = {
+        r["s"]: r.asDict()
+        for r in neyman_allocation(df, "s", "v", "id", budget=20).collect()
+    }
+    assert out["a"]["sd"] == 0.0 and out["b"]["sd"] == 0.0
+    # proportional to N_h: floor(20*30/40)=15, floor(20*10/40)=5
+    assert out["a"]["alloc"] == 15
+    assert out["b"]["alloc"] == 5
+    for s in out.values():
+        # the keep decision is Bernoulli(alloc/n_h) per row, so
+        # n_kept has binomial noise around alloc — only the hard
+        # bound n_kept <= n_h is a law
+        assert s["n_kept"] <= s["n_h"]
+
+
 def test_rake_keywords_laws(spark):
     """Hand corpus: phrases split at stopwords, degree/freq match the
     hand count, multi-word phrases outscore their constituent words,

@@ -143,3 +143,53 @@ def test_containment_pairs_laws(spark):
     assert r["cont_a_in_b"] == 1.0          # small fully inside big
     assert r["cont_b_in_a"] < 0.5           # big not inside small
     assert r["jaccard"] < 0.5               # jaccard misses this dup
+
+
+def test_containment_cap_recomputes_denominators(spark):
+    """Under ``max_shingle_doc_freq`` the denominators must describe
+    the SURVIVING shingle sets: a small doc whose shingles are partly
+    boilerplate (capped away) but otherwise fully contained in a big
+    doc still scores containment 1.0 on the filtered sets — the
+    pre-filter denominator would understate it and drop the pair."""
+    from ydb_vector_search_demo_spark.operators import dedup
+
+    boiler = "click here to subscribe to our newsletter today"
+    uniq = "quark lepton boson hadron meson baryon photon gluon"
+    small = boiler + " " + uniq
+    big = uniq + " axion tachyon graviton neutrino positron muon tauon"
+    # plant the boilerplate in 4 docs so df(boiler shingles) = 4 > cap
+    df = spark.createDataFrame(
+        [
+            (1, small),
+            (2, big),
+            (3, boiler + " filler words alpha"),
+            (4, boiler + " filler words beta"),
+            (5, boiler + " filler words gamma"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    capped = {
+        (r["a"], r["b"]): r.asDict()
+        for r in dedup.shingle_containment_pairs(
+            df, n=3, threshold=0.7, max_shingle_doc_freq=3
+        ).collect()
+    }
+    # after dropping the >=4-doc boilerplate shingles, doc 1 keeps the
+    # 6 uniq-run trigrams (all inside doc 2) plus the 2 boundary
+    # trigrams spanning boiler→uniq (df=1, absent from doc 2):
+    # na = 8, inter = 6 -> containment 0.75, above the 0.7 bar
+    assert (1, 2) in capped
+    assert capped[(1, 2)]["na"] == 8
+    assert capped[(1, 2)]["inter"] == 6
+    assert capped[(1, 2)]["cont_a_in_b"] == 0.75
+    # the pre-filter denominator (16 words -> 14 trigrams) would have
+    # understated it to 6/14 ~ 0.43 and silently dropped the pair
+    raw = {
+        (r["a"], r["b"]): r.asDict()
+        for r in dedup.shingle_containment_pairs(
+            df, n=3, threshold=0.0
+        ).collect()
+    }
+    assert raw[(1, 2)]["na"] == 14
+    assert capped[(1, 2)]["cont_a_in_b"] > raw[(1, 2)]["cont_a_in_b"]
+    dedup.release_persisted()

@@ -562,15 +562,18 @@ RMS_SCHEMA = StructType(
 
 
 def audio_rms_frames(
-    media: DataFrame, frame_len: int = 160, silence_ms: int = 1_000_000
+    media: DataFrame, frame_len: int = 160, silence_mean_sq: int = 1_000_000
 ) -> DataFrame:
     """Frame-level loudness / SILENCE detection through the real codec
     — the temporal-audio analysis next to scene_cuts' temporal-video
     row: decode the WAV, window the PCM16 stream into ``frame_len``-
     sample frames (10 ms at 16 kHz; the trailing partial frame counts
     with its own length), and per frame compare the MEAN SQUARE
-    against ``silence_ms`` — entirely in exact integer arithmetic
-    (sum_sq < silence_ms * flen, no division). Speech/music pipelines
+    against ``silence_mean_sq`` — a squared-amplitude threshold (a
+    frame is silent when mean(s²) < silence_mean_sq, i.e. RMS < 1000
+    at the default), NOT a duration — entirely in exact integer
+    arithmetic (sum_sq < silence_mean_sq * flen, no division).
+    Speech/music pipelines
     run exactly this to trim silence before feature extraction; the
     production VAD swaps into this same Arrow seam. Returns per
     media_id: n_samples, n_frames, n_silent, peak_abs and the exact
@@ -592,7 +595,7 @@ def audio_rms_frames(
                 n_silent = 0
                 for f in range(n_frames):
                     fr = s[f * frame_len : (f + 1) * frame_len]
-                    if int((fr * fr).sum()) < silence_ms * len(fr):
+                    if int((fr * fr).sum()) < silence_mean_sq * len(fr):
                         n_silent += 1
                 ids.append(mid)
                 ns.append(n)

@@ -2987,9 +2987,10 @@ def label_prop_iter(
             .select(
                 "_id",
                 F.coalesce(
-                    # clamped: a seed never changes; a prior-round
-                    # prediction persists unless this round also has
-                    # votes (coalesce keeps the newest non-null first)
+                    # clamped: seeds AND prior-round predictions are
+                    # kept unconditionally once assigned — later
+                    # rounds' votes only ever fill still-unlabeled
+                    # nodes, never revise an existing label
                     F.when(F.col("_lab").isNotNull(), F.col("_lab")),
                     F.col("_win"),
                 ).alias("_lab"),

@@ -1910,12 +1910,25 @@ def neyman_allocation(
         stratum_col, "n_h", "sd", "_ns",
         F.sum("_ns").over(w_cum).alias("_cum"),
     )
-    tot = cum.agg(F.max("_cum").alias("_tot"))
+    tot = cum.agg(
+        F.max("_cum").alias("_tot"),
+        F.sum("n_h").cast("bigint").alias("_ntot"),
+    )
     alloc = cum.crossJoin(F.broadcast(tot)).select(
         stratum_col,
         "n_h",
         "sd",
-        F.floor(F.lit(int(budget)) * F.col("_ns") / F.col("_tot"))
+        # degenerate corpus (every stratum zero-variance => _tot = 0):
+        # Neyman weights are 0/0-undefined, so fall back to the
+        # allocation proportional to stratum size — the limit of the
+        # Neyman rule as all sd_h tend to a common value
+        F.when(
+            F.col("_tot") > 0,
+            F.floor(F.lit(int(budget)) * F.col("_ns") / F.col("_tot")),
+        )
+        .otherwise(
+            F.floor(F.lit(int(budget)) * F.col("n_h") / F.col("_ntot"))
+        )
         .cast("bigint")
         .alias("alloc"),
     )

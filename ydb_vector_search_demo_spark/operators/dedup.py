@@ -190,6 +190,12 @@ def shingle_jaccard_pairs(
     |A|+|B|-|A∩B|. ``max_shingle_doc_freq`` drops ultra-common shingles
     before the join — the skew valve at scale: a stopword-shingle shared
     by millions of docs would otherwise produce a quadratic hot key.
+    Under the cap the denominators keep the PRE-filter set sizes while
+    the intersection only counts surviving shingles, so the reported
+    jaccard is a LOWER BOUND — conservative for a dedup decision (a
+    pair can only fail to reach threshold, never falsely reach it);
+    :func:`shingle_containment_pairs` recomputes post-filter sizes
+    instead because under-estimating containment defeats its purpose.
 
     The join key is ``xxhash64(shingle)``, not the shingle text: the
     shuffle moves 8-byte keys instead of n-gram strings. A 64-bit
@@ -1659,7 +1665,16 @@ def shingle_containment_pairs(
     at scale is therefore ``max_shingle_doc_freq`` alone (drop
     ultra-common shingles before the join), which is also the
     correct semantic choice: a boilerplate shingle shared by
-    millions of docs carries no containment signal."""
+    millions of docs carries no containment signal.
+
+    Under the cap the denominators ``na``/``nb`` are the SURVIVING
+    per-doc shingle counts (recomputed after the doc-frequency
+    filter, one extra sid-keyed window when the valve is on), so
+    containment stays exact ON THE FILTERED SETS — |A'∩B'|/|A'| —
+    rather than the systematic under-estimate |A'∩B'|/|A| that
+    pre-filter counts would give (a doc made mostly of boilerplate
+    shingles could then never reach threshold despite being fully
+    contained)."""
     shingled = fan_out(df).select(
         F.col(id_col).alias("sid"),
         F.array_distinct(word_shingles(text_col, n)).alias("shingles"),
@@ -1675,12 +1690,23 @@ def shingle_containment_pairs(
     )
     if max_shingle_doc_freq is not None:
         freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
-        exploded = exploded.join(
-            F.broadcast(
-                freq.filter(F.col("df_") <= max_shingle_doc_freq)
-            ),
-            "sh",
-        ).drop("df_")
+        # recompute the per-doc set size over the SURVIVING shingles —
+        # the containment denominator must describe the filtered set
+        # (see docstring); one sid-partitioned window, then re-persist
+        # since both sides of the self-join read the capped relation
+        exploded = _persist(
+            exploded.join(
+                F.broadcast(
+                    freq.filter(F.col("df_") <= max_shingle_doc_freq)
+                ),
+                "sh",
+            )
+            .drop("df_", "n_shingles")
+            .withColumn(
+                "n_shingles",
+                F.count(F.lit(1)).over(Window.partitionBy("sid")),
+            )
+        )
     a = exploded.select(
         F.col("sid").alias("a"), F.col("n_shingles").alias("na"), "sh"
     )

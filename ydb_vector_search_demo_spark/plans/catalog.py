@@ -12161,9 +12161,11 @@ def q_events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT nb AS n_buckets,
            s_stat,
            CAST(nb * (nb - 1) * (2 * nb + 5) - tie18 AS BIGINT) AS var18,
-           round((s_stat - sign(s_stat))
-                 / sqrt(CAST(nb * (nb - 1) * (2 * nb + 5) - tie18
-                             AS DOUBLE) / 18.0), 6) AS z_mk,
+           round(CASE WHEN nb * (nb - 1) * (2 * nb + 5) - tie18 > 0
+                      THEN (s_stat - sign(s_stat))
+                           / sqrt(CAST(nb * (nb - 1) * (2 * nb + 5)
+                                       - tie18 AS DOUBLE) / 18.0) END,
+                 6) AS z_mk,
            round(sen_slope, 6) AS sen_slope
     FROM n, s, t
     """,
@@ -12472,11 +12474,15 @@ def q_retrieval_rbo_bm25_qld(spark: SparkSession, sf_dir: str) -> DataFrame:
                    max(sxy) AS sxy, max(sxx) AS sxx
             FROM cum GROUP BY 1)
     SELECT lang, n_ranks,
-           round((n_ranks * sxy - sx * sy)
-                 / (n_ranks * sxx - sx * sx), 6) AS zipf_slope,
-           round((sy - ((n_ranks * sxy - sx * sy)
-                        / (n_ranks * sxx - sx * sx)) * sx)
-                 / n_ranks, 6) AS zipf_intercept
+           round(CASE WHEN n_ranks * sxx - sx * sx > 0
+                      THEN (n_ranks * sxy - sx * sy)
+                           / (n_ranks * sxx - sx * sx) END,
+                 6) AS zipf_slope,
+           round(CASE WHEN n_ranks * sxx - sx * sx > 0
+                      THEN (sy - ((n_ranks * sxy - sx * sy)
+                                  / (n_ranks * sxx - sx * sx)) * sx)
+                           / n_ranks END,
+                 6) AS zipf_intercept
     FROM agg ORDER BY lang
     """,
 )
@@ -13454,10 +13460,14 @@ def q_events_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
                  sum(n_h * sd) OVER (ORDER BY lang
                      ROWS UNBOUNDED PRECEDING) AS cum
           FROM s),
-    t AS (SELECT max(cum) AS tot FROM c),
+    t AS (SELECT max(cum) AS tot, CAST(sum(n_h) AS BIGINT) AS ntot FROM c),
     al AS (SELECT lang, n_h, sd,
-                  CAST(floor(1000 * ns / (SELECT tot FROM t)) AS BIGINT)
-                    AS alloc
+                  CAST(CASE WHEN (SELECT tot FROM t) > 0
+                            THEN floor(1000 * ns / (SELECT tot FROM t))
+                            ELSE floor(1000 * n_h
+                                       / CAST((SELECT ntot FROM t)
+                                              AS DOUBLE)) END
+                       AS BIGINT) AS alloc
            FROM c),
     k AS (SELECT d.lang, count(*)::BIGINT AS n_kept
           FROM documents d JOIN al USING (lang)
