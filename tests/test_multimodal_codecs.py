@@ -223,3 +223,71 @@ def test_image_ahash_laws(spark):
         bin(by[1][b] ^ by[3][b]).count("1") for b in range(8)
     )
     assert ham_13 > 7              # half-inversion is NOT a near-dup
+
+
+def test_image_ahash_pairs_group_cap_valve(spark):
+    """The heavy-group valve on a planted dup-heavy corpus: a 6-image
+    identical-hash group over cap 4 emits the 5-pair STAR to its
+    minimum id instead of the 15-pair clique; an under-cap group is
+    bit-identical to valve-off; and the duplicate CLUSTERS (connected
+    components over the pairs) are identical with and without the
+    valve — the information a downstream dedup action consumes."""
+    import numpy as np
+
+    from ydb_vector_search_demo_spark.multimodal import media
+
+    w, h = 32, 24
+    yy, xx = np.mgrid[0:h, 0:w]
+    img_x = (xx * 3 + yy * 2) % 100
+    img_y = ((xx * 7 + yy * 11) % 13) * 19   # a different pattern
+    rows = [
+        (i, "image", bytearray(media.encode_pgm(w, h, img_x)))
+        for i in range(1, 7)
+    ] + [
+        (i, "image", bytearray(media.encode_pgm(w, h, img_y)))
+        for i in (11, 12)
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id LONG, modality STRING, payload BINARY"
+    )
+    bands = media.image_ahash_bands(df)
+    uncapped = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in media.image_ahash_pairs(bands).collect()
+    }
+    capped = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in media.image_ahash_pairs(
+            media.image_ahash_bands(df), max_band_group=4
+        ).collect()
+    }
+    # uncapped: full cliques — C(6,2) + C(2,2) pairs, all hamming 0
+    assert set(uncapped) == {
+        (a, b) for a in range(1, 7) for b in range(a + 1, 7)
+    } | {(11, 12)}
+    assert all(v == 0 for v in uncapped.values())
+    # capped: the over-cap group degrades to the star on its min id;
+    # the under-cap group is bit-identical to valve-off
+    assert set(capped) == {(1, b) for b in range(2, 7)} | {(11, 12)}
+    assert all(v == 0 for v in capped.values())
+
+    def components(pairs, ids):
+        parent = {i: i for i in ids}
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        groups = {}
+        for i in ids:
+            groups.setdefault(find(i), set()).add(i)
+        return sorted(
+            (frozenset(g) for g in groups.values()), key=min
+        )
+
+    ids = list(range(1, 7)) + [11, 12]
+    assert components(uncapped, ids) == components(capped, ids)

@@ -685,3 +685,95 @@ def image_ahash_bands(media: DataFrame, grid: int = 8) -> DataFrame:
     return media.filter(F.col("modality") == "image").mapInPandas(
         hash_batches, AHASH_SCHEMA
     )
+
+
+def image_ahash_pairs(
+    bands: DataFrame,
+    max_hamming: int = 7,
+    max_band_group: int | None = None,
+    grid: int = 8,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs over the :func:`image_ahash_bands`
+    grain: band-LSH candidates (pigeonhole — hamming <= grid-1 over
+    grid bands implies at least one exactly-equal band) verified by
+    the exact bit_count(xor) Hamming distance summed over band pairs.
+    The candidate join is an explicit TWO-KEY equi-join on
+    ``(band, bv)`` — the LSH bucket IS the join key, so the plan
+    never depends on Catalyst rewriting a post-join ``bva = bvb``
+    filter into the key (``band`` alone has only ``grid`` distinct
+    values; joining on it alone would be a near-cross-product).
+
+    Heavy-group valve (``max_band_group``) — the hash-GROUP cap the
+    dedup paths use (`max_bucket` ann.py, `max_shingle_doc_freq`
+    dedup.py), sized for dup-heavy corpora where identical-hash
+    groups are the expected case, not the tail: the (band, bv)
+    census is bounded by grid·2^grid rows (2048 at the default 8×8)
+    so it always BROADCASTS; groups at or under the cap expand to
+    their full candidate clique (bit-identical to valve-off); groups
+    over the cap switch to STAR expansion — every member pairs with
+    the group's minimum media_id — so their candidate volume is
+    linear in group size instead of quadratic. Exact duplicates of
+    the canonical member still verify at hamming 0 and the star's
+    transitive closure recovers the full duplicate clique downstream;
+    what degrades is only within-oversized-group NON-identical
+    near-dup recall (two images that share nothing but one heavy
+    band) — the standard LSH heavy-bucket trade, taken deliberately
+    because an over-cap group's clique output is itself the scale
+    problem.
+
+    Scale shape: census broadcast (<= 2048 rows), one keyed candidate
+    join, verify join touches candidates × grid. Returns
+    (a, b, hamming) with a < b, hamming <= max_hamming."""
+    bands = bands.localCheckpoint(eager=True)
+    if max_band_group is not None:
+        census = bands.groupBy("band", "bv").agg(
+            F.count(F.lit(1)).alias("_gn"),
+            F.min("media_id").alias("_canon"),
+        )
+        tag = bands.join(F.broadcast(census), ["band", "bv"])
+        under = tag.filter(F.col("_gn") <= int(max_band_group))
+        ua = under.select(F.col("media_id").alias("a"), "band", "bv")
+        ub = under.select(F.col("media_id").alias("b"), "band", "bv")
+        clique = (
+            ua.join(ub, ["band", "bv"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+        star = (
+            tag.filter(
+                (F.col("_gn") > int(max_band_group))
+                & (F.col("media_id") != F.col("_canon"))
+            )
+            .select(
+                F.col("_canon").alias("a"), F.col("media_id").alias("b")
+            )
+        )
+        cand = clique.unionByName(star).distinct()
+    else:
+        a = bands.select(F.col("media_id").alias("a"), "band", "bv")
+        b = bands.select(F.col("media_id").alias("b"), "band", "bv")
+        cand = (
+            a.join(b, ["band", "bv"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+    x = bands.select(
+        F.col("media_id").alias("a"), "band", F.col("bv").alias("bva")
+    )
+    y = bands.select(
+        F.col("media_id").alias("b"), "band", F.col("bv").alias("bvb")
+    )
+    ham = (
+        cand.join(x, "a")
+        .join(y, ["b", "band"])
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.bit_count(F.col("bva").bitwiseXOR(F.col("bvb"))))
+            .cast("bigint")
+            .alias("hamming")
+        )
+    )
+    return ham.filter(F.col("hamming") <= int(max_hamming)).select(
+        "a", "b", "hamming"
+    )

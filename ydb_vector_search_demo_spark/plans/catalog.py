@@ -14188,51 +14188,25 @@ def q_multimodal_image_ahash_pairs(
     the verified distance is bit_count(xor) over band pairs. The
     oracle regenerates the pixel space in closed form from the id —
     content through the whole decode→pool→threshold→band→join chain.
-    Scale shape: 8 small rows per image shuffle; the band join is
-    the standard LSH candidate bound; the verify join touches
-    candidates × 8."""
+    Scale shape: 8 small rows per image shuffle; candidates come from
+    the explicit two-key (band, bv) equi-join — never a band-only
+    join relying on a filter rewrite; the verify join touches
+    candidates × 8. The heavy-group valve runs at max_band_group=128:
+    the (band, bv) census (<= 2048 rows, always broadcast) caps every
+    hash group's candidate expansion — clique at or under the cap,
+    STAR above it — which bounds the dup-heavy worst case (the
+    measured 25.8× ×10-probe factor was pure pair-count growth from
+    replicated images) while staying RESULT-INVISIBLE here: the
+    largest group is 13 at sf0.01 and 90 at sf0.1, so the uncapped
+    closed-form oracle still pins every pair."""
     from ydb_vector_search_demo_spark.multimodal import media
 
     bands = media.image_ahash_bands(
         media.synthesize_media_table(_t(spark, sf_dir, "documents"))
-    ).localCheckpoint(eager=True)
-    a = bands.select(
-        F.col("media_id").alias("a"), "band", F.col("bv").alias("bva")
     )
-    b = bands.select(
-        F.col("media_id").alias("b"), "band", F.col("bv").alias("bvb")
-    )
-    cand = (
-        a.join(b, ["band"])
-        .filter((F.col("a") < F.col("b")) & (F.col("bva") == F.col("bvb")))
-        .select("a", "b")
-        .distinct()
-    )
-    x = bands.select(
-        F.col("media_id").alias("a"), "band", F.col("bv").alias("bva")
-    )
-    y = bands.select(
-        F.col("media_id").alias("b"), "band", F.col("bv").alias("bvb")
-    )
-    ham = (
-        cand.join(x, "a")
-        .join(y, ["b", "band"])
-        .groupBy("a", "b")
-        .agg(
-            F.sum(
-                F.bit_count(
-                    F.col("bva").bitwiseXOR(F.col("bvb"))
-                )
-            )
-            .cast("bigint")
-            .alias("hamming")
-        )
-    )
-    return (
-        ham.filter(F.col("hamming") <= 7)
-        .select("a", "b", "hamming")
-        .orderBy("a", "b")
-    )
+    return media.image_ahash_pairs(
+        bands, max_hamming=7, max_band_group=128
+    ).orderBy("a", "b")
 
 
 # ===========================================================================
