@@ -64,7 +64,7 @@ _MUST_GRADE = {
     # pieces are graded directly (cosine scoring via the knn/ann rows,
     # pair enumeration via dedup_jaccard_pairs, bucketed scale path via
     # the LSH/semantic oracles in this file's sweep).
-    "dedup_exact_stats", "dedup_jaccard_pairs",
+    "dedup_jaccard_pairs",
     # r9 (r8 verdict task #1): rotation_rescore_topk rotated out — the
     # learned-rotation surface has a direct graded row in pq_opq_fixed
     # since r8, and coarse→exact-rescore is graded via
@@ -93,7 +93,7 @@ _MUST_GRADE = {
     # sketch family: the md5-register HLL with bit-pinned integer
     # state, and the histogram quantile sketch grading the same
     # p50/p90/p99 readout plus the bounded-state estimator.
-    "events_hll_users", "events_quantile_sketch",
+    "events_quantile_sketch",
     # r8 (r7 verdict task #6): the serving compositions rotate in —
     # residual IVF-PQ through the parquet store, the batched pinned
     # probe (batch==loop law), and the OPQ rotate→encode→rotated-LUT
@@ -115,7 +115,7 @@ _MUST_GRADE = {
     # machinery via ann_ivf_batch_fixed, prefix semantics via
     # mrl_rescore_topk in this sweep), rotation_rescore_topk (above).
     "retrieval_mmr_fixed", "events_funnel_conversion",
-    "knn_normalized_store_serve", "streaming_late_data_hourly",
+    "streaming_late_data_hourly",
     # r10 (r9 verdict task #1): the r9 waves rotate in — the multimodal
     # family's FIRST graded row (the closed-form synth→decode→
     # histogram→cosine replay), the span-removal action, attribution
@@ -130,7 +130,7 @@ _MUST_GRADE = {
     # identical oracle + the firing-watermark row; incremental file
     # execution via streaming_late_data_hourly and the join row).
     "multimodal_union_fixed", "dedup_span_removal",
-    "events_attribution", "streaming_stream_join_pairs",
+    "streaming_stream_join_pairs",
     # r11 (r10 verdict task #1): the r10 waves rotate in — the only
     # graded-eligible custom-stateful Arrow surface (the RECURSIVE-CTE
     # replayed packing walk), the different-algorithm phrase-match
@@ -146,6 +146,24 @@ _MUST_GRADE = {
     # LeftSemi/LeftAnti probes).
     "corpus_pack_sequences", "retrieval_phrase_match",
     "store_scd2_stream", "lineitem_blame_per_supplier",
+    # r12 (r11 verdict task #2): the consolidated eligibility
+    # ranking's top five rotate in — the iterative-graph family
+    # (unrolled integer power steps), the only physical-layout /
+    # no-Exchange claim, the multimodal × dedup cell (with the r12
+    # heavy-group valve), the experimentation family (exact-moment
+    # z + CUPED), and the streaming × changepoint cell. Out with
+    # rationale (all still oracle-checked by this file's sweep):
+    # events_hll_users (sketch family held two slots; register/merge/
+    # estimate swept), text_langid (assignment recomputed inside
+    # corpus_lang_source_chi2's oracle; grain of several swept rows),
+    # knn_normalized_store_serve (composition of graded knn scoring +
+    # graded store lifecycle), dedup_exact_stats (runs as stage 2
+    # INSIDE the graded corpus_pipeline_funnel's oracle),
+    # events_attribution (composition of the graded as-of pairing +
+    # graded window argmax + shared revenue units).
+    "graph_pagerank_label", "bucketed_join_revenue",
+    "multimodal_image_ahash_pairs", "events_ab_test_cuped",
+    "streaming_cusum_monitor",
 }
 
 

@@ -14315,7 +14315,19 @@ _GRADE_FIRST = [
     # text analysis (r5: + Gopher repetition stats, an r4 oracle)
     "text_token_stats",
     "text_quality",
-    "text_langid",
+    # r12 rotation (r11 verdict task #2): text_langid out — the
+    # catalog's own out-candidate since r11: the n-gram/stopword
+    # assignment arithmetic is recomputed wholesale inside
+    # corpus_lang_source_chi2's oracle (whose chi2 margins are wrong
+    # unless every per-doc language matches) and langid is the grain
+    # of several other swept oracles (entropy, zipf, ppl buckets); it
+    # stays oracle-checked in tests/test_oracle_parity. In its place
+    # the catalog's only PHYSICAL-LAYOUT claim
+    # (bucketed_join_revenue): the pre-bucketed co-located fact-fact
+    # join whose result the oracle pins and whose no-Exchange
+    # property test_plans.py pins on both the write and re-register
+    # paths — a storage-layout surface the window graded nowhere.
+    "bucketed_join_revenue",
     # r9 rotation (r8 verdict task #1): text_chunk_overlap out — its
     # windowed-shingling surface is exercised by the graded
     # dedup_ngram_spans (the same tokenize → sliding-window → span
@@ -14417,7 +14429,17 @@ _GRADE_FIRST = [
     # HyperLogLog whose integer state the oracle pins bit-for-bit next
     # to the exact count (the oracle-checkable twin of the rows-only
     # events_approx_distinct).
-    "events_hll_users",
+    # r12 rotation (r11 verdict task #2): events_hll_users out — the
+    # sketch family held two of the fifty slots; the kept
+    # events_quantile_sketch grades the bounded-state estimator
+    # surface, and the HLL register arithmetic, merge matrix
+    # (bin-wise sum == direct union) and estimate stay oracle-checked
+    # in tests/test_oracle_parity. In its place the streaming ×
+    # changepoint cell (streaming_cusum_monitor): per-trigger
+    # foreachBatch CUSUM recompute over the bounded hour grain with
+    # the streamed == batch law — a monitoring surface the window
+    # graded nowhere. Grain-bounded state (~720 rows at any scale).
+    "streaming_cusum_monitor",
     "part_like_filter",
     # events: windows, JSON, sessions, asof, bands, percentiles.
     # r5 mid-round rotation: events_hourly out (identical aggregation
@@ -14445,7 +14467,18 @@ _GRADE_FIRST = [
     # the store/serve contract where cosine degrades to one dot fold
     # because norms were paid at write time — a serving surface the
     # window graded only transitively.
-    "knn_normalized_store_serve",
+    # r12 rotation (r11 verdict task #2): knn_normalized_store_serve
+    # out — a strict composition of pieces with direct graded rows:
+    # exact cosine scoring via knn_top5_full/knn_top5_by_metric, the
+    # store lifecycle via store_lifecycle_counts + store_scd2_stream;
+    # the normalize-at-ingest dot fold stays oracle-checked in
+    # tests/test_oracle_parity. In its place the ITERATIVE-GRAPH
+    # family's first graded row (graph_pagerank_label): exact-integer
+    # PageRank as three unrolled power steps over the bucketed kNN
+    # graph, bit-replayed by unrolled CTEs — nothing in the window
+    # graded iteration. Edges checkpointed once; depth-linearity
+    # probed at T=1..8 (BASELINE r12).
+    "graph_pagerank_label",
     "events_json_stats",
     # r10 rotation (r9 verdict task #1): events_props_map out — the
     # catalog's own duplicate-surface note called it: both it and the
@@ -14456,7 +14489,17 @@ _GRADE_FIRST = [
     # linear credit models in ONE plan with the exact-integer revenue
     # units landed this round, the conservation law tested, and the
     # checkpointed shared slices plan-guarded.
-    "events_attribution",
+    # r12 rotation (r11 verdict task #2): events_attribution out — a
+    # composition of surfaces with direct graded rows: the ordered
+    # purchase↔click pairing via events_asof_purchase_click, the
+    # per-key window argmax via top_customers_per_nation, and the
+    # exact-integer revenue units shared with datetime_order_stats;
+    # it stays oracle-checked in tests/test_oracle_parity. In its
+    # place the EXPERIMENTATION family's first graded row
+    # (events_ab_test_cuped): two-arm z readout + CUPED variance
+    # reduction from exact integer moments under the pinned-hash arm
+    # seam — a family the window graded nowhere.
+    "events_ab_test_cuped",
     "contrastive_triplets",
     "events_asof_purchase_click",
     "events_session_window",
@@ -14478,7 +14521,18 @@ _GRADE_FIRST = [
     "events_quantile_sketch",
     # dedup + curation (north-star; r5: + substring-level n-gram-span
     # dedup and the domain-mixing sampler, both r4 oracles)
-    "dedup_exact_stats",
+    # r12 rotation (r11 verdict task #2): dedup_exact_stats out — its
+    # stage runs INSIDE the graded corpus_pipeline_funnel's oracle
+    # (the funnel's own docstring: "each stage the exact operator the
+    # catalog grades individually", and its canonical counts are
+    # wrong unless the exact-dedup min-id keeper matches); it stays
+    # oracle-checked in tests/test_oracle_parity. In its place the
+    # multimodal × dedup cell (multimodal_image_ahash_pairs):
+    # perceptual average-hash band-LSH pairs with the closed-form
+    # pixel oracle, now running the r12 heavy-group star valve
+    # (result-invisible cap 128, ×10 probe 25.8× → 2.1×, BASELINE
+    # r12) with the two-key band-join plan pinned by test_plans.py.
+    "multimodal_image_ahash_pairs",
     "dedup_jaccard_pairs",
     # r8 rotation (r7 verdict task #6): dedup_cosine_pairs out — its
     # surface decomposes into pieces the window already grades
@@ -14682,6 +14736,21 @@ _GRADE_FIRST = [
 #                            oracle replay
 #   corpus_token_entropy   — per-language Shannon entropy/perplexity
 #                            via the ordered-cumulative n·ln(n) sum
+# ---------------------------------------------------------------------------
+# r12 rotation EXECUTED (r11 verdict task #2): the ranking's top five
+# are in the graded window — graph_pagerank_label,
+# bucketed_join_revenue, multimodal_image_ahash_pairs (valve ON),
+# events_ab_test_cuped, streaming_cusum_monitor. Out with inline
+# rationales at their old slots: events_hll_users, text_langid,
+# knn_normalized_store_serve, dedup_exact_stats, events_attribution
+# (three of the five r11-listed out-candidates — ann_tree_fixed,
+# rotation_store_serve, events_gapfill_hourly — were already outside
+# the window, so the remaining outs follow the same duplicate-surface
+# convention: each surface keeps a direct graded row or runs inside a
+# graded oracle, and every rotated-out row stays green in the pytest
+# parity sweep). Ranking rows 6-10 (store_compaction, kendall/MK,
+# dedup_keep_best, retrieval_rbo_bm25_qld, corpus_neyman_sample)
+# remain eligible for r13.
 # ---------------------------------------------------------------------------
 # r12 rotation-eligibility ranking (the consolidated list — every row
 # below is fully oracle-backed at sf0.01 AND sf0.1, law-tested,
