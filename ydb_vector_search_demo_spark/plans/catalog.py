@@ -14751,6 +14751,20 @@ _GRADE_FIRST = [
 # parity sweep). Ranking rows 6-10 (store_compaction, kendall/MK,
 # dedup_keep_best, retrieval_rbo_bm25_qld, corpus_neyman_sample)
 # remain eligible for r13.
+#
+# Rows-only tail: FINAL CLOSED VERDICT (r11 verdict task #6). The two
+# classifier-adjacent rows re-checked this round stay rows-only for
+# structural reasons no determinization trick removes:
+# text_tfidf_top_terms exists to exercise the MLlib Pipeline surface
+# itself (SURVEY §2.6) — CountVectorizer's vocabSize-capped vocabulary
+# orders ties by internal hash order, which no SQL replay can pin
+# without replacing the MLlib fit (and its pinned DataFrame twin
+# text_tfidf_argmax IS that replacement, fully oracle-backed);
+# rag_chunk_maxp exists to exercise the real Arrow pandas-UDF model
+# seam, whose determinized twin rag_chunk_maxp_fixed is fully
+# oracle-backed. Every other rows-only row carries its on-row why
+# (guarded by tests/test_query_smoke.py). The tail is closed at 27;
+# future rounds add oracle-backed rows, not conversions here.
 # ---------------------------------------------------------------------------
 # r12 rotation-eligibility ranking (the consolidated list — every row
 # below is fully oracle-backed at sf0.01 AND sf0.1, law-tested,
