@@ -308,6 +308,9 @@ HEADLINE = [
     # r11 wave 16 (outside the comparable subsets): perceptual-hash
     # image near-dup pairs (Arrow decode + band-LSH + xor popcount)
     "multimodal_image_ahash_pairs",
+    # r12 wave 17 (outside the comparable subsets): BPE tokenizer
+    # training — four unrolled merge steps on the word-frequency grain
+    "corpus_bpe_merges",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

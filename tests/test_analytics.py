@@ -1403,3 +1403,59 @@ def test_rake_keywords_laws(spark):
     assert rows["deep learning models"] == (1, 3, 8.0)
     assert "one two three four five six" not in rows
     assert len(rows) == 2
+
+
+def test_bpe_merge_steps_matches_reference(spark):
+    """curation.bpe_merge_steps against an independent line-by-line
+    Sennrich-2016 reference implementation (word-frequency table,
+    pair counts, (count desc, lhs, rhs) winner, leftmost-greedy
+    non-overlapping merge application) on a hand corpus — five full
+    steps, including the run-merge law ('a a a a' + (a,a) -> two
+    merged symbols, odd runs keep the tail)."""
+    from collections import Counter
+
+    from ydb_vector_search_demo_spark.operators.curation import (
+        bpe_merge_steps,
+    )
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "widest widest widest",
+        "aaaa aaaa aa",  # run-merge law: (a,a) applied greedily
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+    )
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"], r["merged"])
+        for r in bpe_merge_steps(docs, steps=5).orderBy("step").collect()
+    ]
+
+    wc = Counter(w for t in texts for w in t.split())
+    syms = {w: list(w) for w in wc}
+    want = []
+    for step in range(1, 6):
+        pc = Counter()
+        for w, s in syms.items():
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += wc[w]
+        mx = max(pc.values())
+        a, b = sorted(k for k, v in pc.items() if v == mx)[0]
+        want.append((step, a, b, mx, a + b))
+        for w, s in syms.items():
+            out, prev = [], None
+            for x in s:
+                if prev is None:
+                    prev = x
+                elif prev == a and x == b:
+                    out.append(a + b)
+                    prev = None
+                else:
+                    out.append(prev)
+                    prev = x
+            if prev is not None:
+                out.append(prev)
+            syms[w] = out
+    assert got == want

@@ -2074,3 +2074,134 @@ def rake_keywords(
         .limit(int(top))
         .select("phrase", "n_occurrences", "n_words", "score")
     )
+
+
+def bpe_merge_steps(
+    docs: DataFrame, steps: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """BPE TOKENIZER TRAINING, the first ``steps`` merges (Sennrich et
+    al. 2016) — the missing member of the corpus-preparation family:
+    every LLM pipeline trains a subword vocabulary before anything
+    else, and the training loop is exactly this: count adjacent
+    symbol pairs (weighted by word frequency), merge the most
+    frequent pair everywhere, repeat. Spark-first shape: the CORPUS
+    shuffles exactly once (the word-frequency rollup — how
+    SentencePiece/HF train too: from the word table, never the raw
+    text); every step after runs on the VOCAB grain — one
+    map-combinable pair count, a 1-row top-1 broadcast, and one
+    map-side fold that applies the merge. No collect: the winning
+    pair stays a DataFrame and joins back in as a broadcast literal.
+
+    Exactness: pair counts are exact bigints; the winner per step is
+    the total order (count desc, lhs, rhs); merge application is the
+    leftmost-greedy non-overlapping scan, expressed as a fold with a
+    (out, prev) string accumulator — prev==lhs and cur==rhs emits the
+    merged symbol and clears prev, so 'a a a a' + (a,a) yields
+    [aa, aa] and 'a a a' yields [aa, a], the reference semantics.
+    DuckDB replays the identical fold via list_reduce, so every step
+    is bit-replayable. Symbols never contain spaces (whitespace
+    tokens), so the space-joined accumulator is unambiguous.
+
+    Scale: vocab is sublinear in corpus size; per-step work is
+    vocab-bounded. ``steps`` unrolls the plan (the
+    pagerank_integer convention), with the word grain checkpointed
+    once and each step's symbol table checkpointed to keep the plan
+    linear in steps. Returns one row per step: (step, lhs, rhs,
+    pair_count, merged)."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+    from ydb_vector_search_demo_spark.sources.tables import fan_out
+
+    wc = (
+        fan_out(docs)
+        .select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+        .localCheckpoint(eager=True)
+    )
+    # char lattice: split at every inner boundary — "(?!^)" alone
+    # would also match the end-of-string zero-width position (Spark's
+    # split keeps trailing empties at limit=-1), so require a
+    # following char
+    syms = wc.select(
+        "w", "n_w", F.split("w", r"(?!^)(?=.)").alias("syms")
+    )
+    outs: list[DataFrame] = []
+    for t in range(1, int(steps) + 1):
+        pairs = (
+            syms.select(
+                "n_w",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(syms, 1, size(syms)-1),"
+                        " slice(syms, 2, size(syms)-1),"
+                        " (l, r) -> named_struct('lhs', l, 'rhs', r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(
+                F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
+            )
+            .agg(F.sum("n_w").cast("bigint").alias("pair_count"))
+        )
+        top1 = (
+            pairs.orderBy(F.desc("pair_count"), "lhs", "rhs")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        outs.append(
+            top1.select(
+                F.lit(t).alias("step"),
+                "lhs",
+                "rhs",
+                "pair_count",
+                F.concat("lhs", "rhs").alias("merged"),
+            )
+        )
+        if t < int(steps):
+            tagged = syms.crossJoin(
+                F.broadcast(top1.select("lhs", "rhs"))
+            )
+            init = F.struct(
+                F.lit("").alias("out"),
+                F.lit(None).cast("string").alias("prev"),
+            )
+
+            def _merge(acc: Column, x: Column) -> Column:
+                emit_merged = F.struct(
+                    F.concat(
+                        acc["out"], F.lit(" "), F.col("lhs"), F.col("rhs")
+                    ).alias("out"),
+                    F.lit(None).cast("string").alias("prev"),
+                )
+                shift = F.struct(
+                    F.concat(acc["out"], F.lit(" "), acc["prev"]).alias(
+                        "out"
+                    ),
+                    x.alias("prev"),
+                )
+                start = F.struct(acc["out"].alias("out"), x.alias("prev"))
+                return (
+                    F.when(acc["prev"].isNull(), start)
+                    .when(
+                        (acc["prev"] == F.col("lhs"))
+                        & (x == F.col("rhs")),
+                        emit_merged,
+                    )
+                    .otherwise(shift)
+                )
+
+            def _finish(acc: Column) -> Column:
+                flushed = F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+                    F.concat(acc["out"], F.lit(" "), acc["prev"])
+                )
+                return F.split(F.ltrim(flushed), " ")
+
+            syms = tagged.select(
+                "w",
+                "n_w",
+                F.aggregate("syms", init, _merge, _finish).alias("syms"),
+            ).localCheckpoint(eager=True)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -14209,6 +14209,94 @@ def q_multimodal_image_ahash_pairs(
     ).orderBy("a", "b")
 
 
+def _bpe_oracle_sql(steps: int = 4) -> str:
+    """Unrolled-CTE replay of curation.bpe_merge_steps: exact-bigint
+    pair counts on the word-frequency grain, the (count desc, lhs,
+    rhs) winner per step, and the leftmost-greedy merge application
+    as the IDENTICAL (out, prev) string-accumulator fold via
+    list_reduce — both engines walk the same states, so every step is
+    bit-replayable (the pagerank unrolled-CTE convention applied to
+    tokenizer training)."""
+    ctes = [
+        f"tk AS (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)",
+        "wc AS (SELECT w, count(*)::BIGINT AS n FROM tk GROUP BY 1)",
+        "s0 AS (SELECT w, n, regexp_extract_all(w, '.') AS syms FROM wc)",
+    ]
+    for t in range(1, steps + 1):
+        p = (
+            f"p{t} AS (SELECT z[1] AS lhs, z[2] AS rhs, "
+            f"CAST(sum(n) AS BIGINT) AS cnt "
+            f"FROM (SELECT n, unnest(list_zip(syms[1:len(syms)-1], "
+            f"syms[2:len(syms)])) AS z FROM s{t - 1}) GROUP BY 1, 2)"
+        )
+        m = (
+            f"m{t} AS (SELECT lhs, rhs, cnt FROM p{t} "
+            f"ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+        )
+        ctes += [p, m]
+        if t < steps:
+            ctes.append(
+                f"s{t} AS (SELECT w, n, string_split(ltrim("
+                f"CASE WHEN red.prev IS NULL THEN red.out "
+                f"ELSE red.out || ' ' || red.prev END, ' '), ' ') AS syms "
+                f"FROM (SELECT w, n, list_reduce("
+                f"list_prepend({{'out': '', 'prev': CAST(NULL AS VARCHAR)}}, "
+                f"[{{'out': '', 'prev': s}} for s in syms]), "
+                f"(acc, x) -> CASE "
+                f"WHEN acc.prev IS NULL THEN "
+                f"{{'out': acc.out, 'prev': x.prev}} "
+                f"WHEN acc.prev = m.lhs AND x.prev = m.rhs THEN "
+                f"{{'out': acc.out || ' ' || m.lhs || m.rhs, "
+                f"'prev': CAST(NULL AS VARCHAR)}} "
+                f"ELSE {{'out': acc.out || ' ' || acc.prev, "
+                f"'prev': x.prev}} END) AS red "
+                f"FROM s{t - 1} CROSS JOIN m{t} m))"
+            )
+    selects = [
+        f"SELECT {t} AS step, lhs, rhs, cnt AS pair_count, "
+        f"lhs || rhs AS merged FROM m{t}"
+        for t in range(1, steps + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY step"
+    )
+
+
+@register("corpus_bpe_merges", _bpe_oracle_sql(4))
+def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, first four merges
+    (operators.curation.bpe_merge_steps) — the corpus-preparation
+    family's missing member: every LLM pipeline trains a subword
+    vocabulary before tokenizing anything, and its training loop
+    (count adjacent symbol pairs weighted by word frequency → merge
+    the argmax pair everywhere → repeat) is a textbook Spark shape
+    once expressed right: the corpus shuffles ONCE into the
+    word-frequency grain (exactly how SentencePiece/HF train — from
+    the word table, never the raw text), then every merge step is one
+    map-combinable pair count over the VOCAB grain, a 1-row top-1
+    broadcast (no collect — the winner stays a DataFrame), and one
+    map-side fold applying the leftmost-greedy merge. Exactness: pair
+    counts are exact bigints, the per-step winner is the (count desc,
+    lhs, rhs) total order, and the merge application is the same
+    (out, prev) string-accumulator fold in both engines (Spark
+    F.aggregate == DuckDB list_reduce), so all four steps replay
+    bit-for-bit — 'a a a a' + (a,a) → [aa, aa], the reference
+    non-overlapping semantics. Scale: vocab is sublinear in corpus
+    bytes; step cost is vocab-bounded and the plan is linear in steps
+    (word grain checkpointed once, symbol table per step)."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        bpe_merge_steps,
+    )
+
+    return bpe_merge_steps(
+        _t(spark, sf_dir, "documents"), steps=4
+    ).orderBy("step")
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
@@ -14805,6 +14893,14 @@ _GRADE_FIRST = [
 # a strict composition of pq_opq_fixed's rotation + the store-serve
 # splits), events_gapfill_hourly (spine join graded via
 # events_hopping_hourly's window arithmetic).
+# ---------------------------------------------------------------------------
+# r12 wave 17 (same bar: both SFs, ×10-probed ~1× vocab-bounded,
+# law-tested against an independent reference implementation):
+#   corpus_bpe_merges      — BPE tokenizer training, four unrolled
+#                            merge steps on the word-frequency grain
+#                            (map-combinable pair counts, 1-row top-1
+#                            broadcast, leftmost-greedy fold replayed
+#                            bit-for-bit by DuckDB list_reduce)
 # ---------------------------------------------------------------------------
 # r11 wave 16 (same bar: both SFs, ×10-probed, law-tested):
 #   multimodal_image_ahash_pairs — the multimodal × dedup cell
