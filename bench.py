@@ -311,6 +311,9 @@ HEADLINE = [
     # r12 wave 17 (outside the comparable subsets): BPE tokenizer
     # training — four unrolled merge steps on the word-frequency grain
     "corpus_bpe_merges",
+    # r12 wave 18 (outside the comparable subsets): DSIR importance
+    # weights (one model pass + one scoring shuffle)
+    "corpus_dsir_weights",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

@@ -1459,3 +1459,71 @@ def test_bpe_merge_steps_matches_reference(spark):
                 out.append(prev)
             syms[w] = out
     assert got == want
+
+
+def test_dsir_importance_weights_matches_reference(spark):
+    """curation.dsir_importance_weights against an independent
+    hand-rolled DSIR reference (hashlib md5 buckets, add-1 smoothed
+    target/raw hashed-ngram models, per-doc signed sum in bucket
+    order) on a hand corpus — and the monotonicity law: a doc made of
+    target-typical text outweighs one made of off-target text."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from ydb_vector_search_demo_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps", "src1"),
+        (2, "the quick brown fox sleeps", "src1"),
+        (3, "stock market prices fall fast", "src2"),
+        (4, "stock market prices rise fast", "src2"),
+        (5, "the quick brown fox returns", "src3"),   # target-like
+        (6, "stock market crash deepens fast", "src3"),  # off-target
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, source STRING"
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], round(r["log_weight"], 6))
+        for r in dsir_importance_weights(
+            docs, target_source="src1", n_buckets=512
+        ).collect()
+    }
+
+    B = 512
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:13], 16) % B
+
+    def grams(text):
+        t = text.split()
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    db = {}
+    for did, text, src in rows:
+        c = Counter(bucket(g) for g in grams(text))
+        db[did] = (src, c)
+    qm, pm = Counter(), Counter()
+    for did, (src, c) in db.items():
+        qm.update(c)
+        if src == "src1":
+            pm.update(c)
+    tq, tp = sum(qm.values()), sum(pm.values())
+    want = {}
+    for did, (src, c) in db.items():
+        part = 0.0
+        for b in sorted(c):  # the ordered-cumulative sequence
+            part += c[b] * (
+                math.log(pm.get(b, 0) + 1) - math.log(qm.get(b, 0) + 1)
+            )
+        n = sum(c.values())
+        lw = part + n * (math.log(tq + B) - math.log(tp + B))
+        want[did] = (n, round(lw, 6))
+    assert got == want
+    # n_ngrams = 2*tokens - 1 (unigrams + bigrams)
+    assert got[1][0] == 2 * 5 - 1
+    # monotonicity: target-like doc 5 outweighs off-target doc 6
+    assert got[5][1] > got[6][1]

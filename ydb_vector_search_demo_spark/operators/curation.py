@@ -2205,3 +2205,135 @@ def bpe_merge_steps(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_source: str = "src1",
+    n_buckets: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169) —
+    the DATA-SELECTION member of the curation family: score every raw
+    document by how much it looks like a TARGET distribution, using
+    hashed n-gram bag-of-words models of target and raw. Per doc,
+    log w(x) = Σ_b n_b(x)·[ln p_b − ln q_b] with add-1-smoothed
+    bucket probabilities p (target = rows whose ``source_col`` equals
+    ``target_source``) and q (the full corpus); high-weight docs are
+    the ones importance resampling keeps. Features are word unigrams
+    + bigrams hashed to ``n_buckets`` via the engine-portable
+    md5-prefix integer (the house hash seam).
+
+    Exactness: all counts are exact bigints; each ln() argument is an
+    exact integer (c_b + 1, tot + B — the accepted ln parity seam);
+    the per-doc sum over its buckets accumulates via an ORDERED
+    cumulative window (bucket ascending) whose final row is read with
+    max_by, so both engines add the identical doubles in the
+    identical sequence (terms are signed, so the running max trick
+    does not apply — the last-row read does). The smoothing-constant
+    part factors out as n_ngrams·[ln(tot_q + B) − ln(tot_p + B)], one
+    fixed expression per doc.
+
+    Scale shape: the two bucket models are map-combinable counts that
+    collapse to ≤ n_buckets rows each — always broadcast; the only
+    corpus-keyed shuffle is the (doc, bucket) count; the scoring join
+    touches ≤ n_buckets rows per doc. Docs with zero tokens carry no
+    n-gram evidence and are excluded (log w undefined, not 0).
+    Returns (doc_id, n_ngrams, log_weight) — raw double log_weight;
+    callers round/rank."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+    from ydb_vector_search_demo_spark.sources.tables import fan_out
+
+    B = int(n_buckets)
+    toks = F.col("_toks")
+    bigrams = F.expr(
+        "zip_with(slice(_toks, 1, size(_toks)-1),"
+        " slice(_toks, 2, size(_toks)-1), (l, r) -> concat(l, ' ', r))"
+    )
+    grams = (
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(source_col).alias("_src"),
+            tokens(text_col).alias("_toks"),
+        )
+        .select(
+            "_id",
+            "_src",
+            F.explode(F.concat(toks, bigrams)).alias("_g"),
+        )
+        .select(
+            "_id",
+            "_src",
+            (
+                F.conv(F.substring(F.md5(F.col("_g")), 1, 13), 16, 10)
+                .cast("bigint")
+                % B
+            ).alias("_b"),
+        )
+    )
+    # BOTH bucket models in one map-combinable pass — the corpus
+    # collapses to <= n_buckets rows before any wide state exists
+    # (never a checkpointed fact-grain relation; the raw (doc, bucket)
+    # grain is built once more below for scoring and flows straight
+    # into its own keyed count)
+    models = grams.groupBy("_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cq"),
+        F.sum(
+            F.when(F.col("_src") == target_source, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("_cp"),
+    ).localCheckpoint(eager=True)
+    tots = models.agg(
+        F.sum("_cq").cast("bigint").alias("_tq"),
+        F.sum("_cp").cast("bigint").alias("_tp"),
+    )
+    db = grams.groupBy("_id", "_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    term = F.col("_n").cast("double") * (
+        F.log(
+            (F.coalesce(F.col("_cp"), F.lit(0)) + 1).cast("double")
+        )
+        - F.log(
+            (F.coalesce(F.col("_cq"), F.lit(0)) + 1).cast("double")
+        )
+    )
+    w_cum = (
+        Window.partitionBy("_id")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        db.join(F.broadcast(models), "_b", "left")
+        .select(
+            "_id",
+            "_b",
+            "_n",
+            F.sum(term).over(w_cum).alias("_cum"),
+        )
+        .groupBy("_id")
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_ngrams"),
+            F.max_by("_cum", "_b").alias("_bucket_part"),
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(tots))
+        .select(
+            F.col("_id").alias(id_col),
+            "n_ngrams",
+            (
+                F.col("_bucket_part")
+                + F.col("n_ngrams").cast("double")
+                * (
+                    F.log((F.col("_tq") + B).cast("double"))
+                    - F.log((F.col("_tp") + B).cast("double"))
+                )
+            ).alias("log_weight"),
+        )
+    )

@@ -14297,6 +14297,89 @@ def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
+@register(
+    "corpus_dsir_weights",
+    # Hashed-ngram importance weights: exact-int bucket counts on both
+    # models, ln of exact ints (the accepted parity seam), the signed
+    # per-doc sum via the ordered-cumulative window read at its LAST
+    # bucket (arg_max), ranking on the 6-dp-rounded weight.
+    f"""
+    WITH tk AS (SELECT doc_id, source, {_TOKENS_SQL} AS t FROM documents),
+    g AS (
+      SELECT doc_id, source, unnest(t) AS g FROM tk
+      UNION ALL
+      SELECT doc_id, source,
+             unnest([t[i] || ' ' || t[i+1]
+                     for i in generate_series(1, len(t)-1)]) AS g
+      FROM tk
+    ),
+    db AS (SELECT doc_id, source,
+                  (('0x' || substring(md5(g), 1, 13))::BIGINT % 512)
+                    AS b,
+                  count(*)::BIGINT AS n
+           FROM g GROUP BY 1, 2, 3),
+    qm AS (SELECT b, CAST(sum(n) AS BIGINT) AS cq FROM db GROUP BY 1),
+    pm AS (SELECT b, CAST(sum(n) AS BIGINT) AS cp FROM db
+           WHERE source = 'src1' GROUP BY 1),
+    qt AS (SELECT CAST(sum(n) AS BIGINT) AS tq FROM db),
+    pt AS (SELECT CAST(sum(n) AS BIGINT) AS tp FROM db
+           WHERE source = 'src1'),
+    cum AS (SELECT db.doc_id, db.b, db.n,
+                   sum(db.n * (ln(CAST(coalesce(pm.cp, 0) + 1 AS DOUBLE))
+                               - ln(CAST(coalesce(qm.cq, 0) + 1
+                                         AS DOUBLE))))
+                     OVER (PARTITION BY db.doc_id ORDER BY db.b
+                           ROWS UNBOUNDED PRECEDING) AS c
+            FROM db LEFT JOIN pm USING (b) LEFT JOIN qm USING (b)),
+    sc AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_ngrams,
+                  arg_max(c, b) AS bucket_part
+           FROM cum GROUP BY 1)
+    SELECT doc_id, n_ngrams,
+           round(bucket_part
+                 + n_ngrams * (ln(CAST(tq + 512 AS DOUBLE))
+                               - ln(CAST(tp + 512 AS DOUBLE))), 6)
+             AS log_weight
+    FROM sc, qt, pt
+    ORDER BY log_weight DESC, doc_id LIMIT 100
+    """,
+)
+def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (curation.dsir_importance_weights; Xie et
+    al. 2023, arXiv:2302.03169) — the top-100 raw documents by
+    importance weight toward the src1 target: the standard
+    pretraining-data SELECTION step (score raw docs by a hashed-ngram
+    bag-of-words likelihood ratio between a trusted target and the
+    raw pool, keep high-weight docs) next to the mixing/sampling rows
+    that consume its output. Spark-first shape: ONE corpus-keyed
+    shuffle (the (doc, bucket) count); both 512-bucket models build
+    in a single map-combinable pass (the corpus collapses to <= 512
+    rows before any wide state exists) and broadcast; the per-doc
+    signed sum runs
+    as an ordered-cumulative window read at its last bucket so both
+    engines add identical doubles in identical order; ranking is on
+    the 6-dp-rounded weight (doc_id tie-break) so a last-ulp ln()
+    difference can never flip the cut. Exact-int counts everywhere;
+    ln() only of exact integers."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+
+    out = dsir_importance_weights(
+        _t(spark, sf_dir, "documents"),
+        target_source="src1",
+        n_buckets=512,
+    )
+    return (
+        out.select(
+            "doc_id",
+            "n_ngrams",
+            F.round("log_weight", 6).alias("log_weight"),
+        )
+        .orderBy(F.desc("log_weight"), "doc_id")
+        .limit(100)
+    )
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
@@ -14893,6 +14976,13 @@ _GRADE_FIRST = [
 # a strict composition of pq_opq_fixed's rotation + the store-serve
 # splits), events_gapfill_hourly (spine join graded via
 # events_hopping_hourly's window arithmetic).
+# ---------------------------------------------------------------------------
+# r12 wave 18 (same bar: both SFs, ×10-probed 1.7×, law-tested
+# against a hand-rolled reference implementation):
+#   corpus_dsir_weights    — DSIR data selection (hashed-ngram
+#                            importance weights toward a target
+#                            source; model pass collapses the corpus
+#                            to <=512 rows before any wide state)
 # ---------------------------------------------------------------------------
 # r12 wave 17 (same bar: both SFs, ×10-probed ~1× vocab-bounded,
 # law-tested against an independent reference implementation):
