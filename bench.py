@@ -314,6 +314,10 @@ HEADLINE = [
     # r12 wave 18 (outside the comparable subsets): DSIR importance
     # weights (one model pass + one scoring shuffle)
     "corpus_dsir_weights",
+    # r12 wave 19 (outside the comparable subsets): exact-integer
+    # Lloyd training steps (3 broadcast-map assignment passes + 2
+    # map-combinable updates)
+    "ann_kmeans_step_fixed",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

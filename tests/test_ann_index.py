@@ -756,3 +756,95 @@ def test_knn_graph_probe_hamming_laws(spark):
     for s, d in probed:
         x = codes[s] ^ codes[d]
         assert x == 0 or (x & (x - 1)) == 0, (s, d, bin(x))
+
+
+def test_kmeans_lloyd_steps_matches_reference(spark):
+    """ann.kmeans_lloyd_steps against an independent Python Lloyd on
+    the same integer lattice (floor·2^g, bigint argmin with
+    ascending-cid tie-break, truncate-toward-zero integer means) —
+    plus the tie-break law (a point equidistant to two centroids
+    joins the LOWER cid) and the empty-cluster carry-over law (a
+    seed whose every point defects keeps its previous centroid)."""
+    from ydb_vector_search_demo_spark.operators.ann import (
+        kmeans_lloyd_steps,
+    )
+
+    # vec 3 duplicates vec 1 (seed of cid 0): it ties and defects to
+    # cid 0, leaving cid 2 empty from iteration 1 onward
+    vecs = {
+        1: [0.10, 0.20],
+        2: [5.00, 5.00],
+        3: [0.10, 0.20],
+        4: [0.30, 0.10],
+        5: [5.20, 4.80],
+        6: [4.90, 5.10],
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    got = {
+        r["cid"]: (r["n_vecs"], r["inertia_units"], r["c_norm1"])
+        for r in kmeans_lloyd_steps(
+            df, k=3, iterations=2, dims=2, grid_bits=18
+        ).collect()
+    }
+
+    import math
+    import struct as _struct
+
+    def f32(x):  # float32 rounding, as parquet/Spark store it
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+
+    g = {
+        i: [math.floor(f32(x) * (1 << 18)) for x in v]
+        for i, v in vecs.items()
+    }
+    cents = {cid: list(g[i]) for cid, i in enumerate(sorted(g)[:3])}
+
+    def assign():
+        out = {}
+        for i, v in g.items():
+            best = None
+            for cid in sorted(cents):
+                d = sum((a - b) ** 2 for a, b in zip(v, cents[cid]))
+                if best is None or d < best[0]:
+                    best = (d, cid)
+            out[i] = best
+        return out
+
+    def tdiv(a, b):  # truncate toward zero, Spark div == DuckDB //
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    for _ in range(2):
+        a = assign()
+        for cid in cents:
+            members = [i for i, (_, c) in a.items() if c == cid]
+            if members:
+                n = len(members)
+                cents[cid] = [
+                    tdiv(sum(g[i][d] for i in members), n)
+                    for d in range(2)
+                ]
+    a = assign()
+    want = {}
+    for cid in cents:
+        members = [i for i, (_, c) in a.items() if c == cid]
+        want[cid] = (
+            len(members),
+            sum(d for i, (d, c) in a.items() if c == cid),
+            sum(abs(x) for x in cents[cid]),
+        )
+    want = {c: v for c, v in want.items() if v[0] > 0}
+    got_nonempty = {c: v for c, v in got.items() if v[0] > 0}
+    assert got_nonempty == want
+    # the tie-then-defect dynamic this corpus plants: iteration 1
+    # ties vecs 1/3 to the LOWER cid 0 (cid 2 empties and carries its
+    # seed centroid over); iteration 2's moved cid-0 centroid loses
+    # them back to the carried centroid sitting exactly on g[1] — so
+    # the final cells are {4}, {2,5,6}, {1,3} with zero inertia in
+    # the two point-coincident cells
+    assert got[0] == (1, 0, sum(abs(x) for x in g[4]))
+    assert got[1][0] == 3
+    assert got[2] == (2, 0, sum(abs(x) for x in g[1]))

@@ -3003,3 +3003,147 @@ def label_prop_iter(
         F.col("_lab").alias("predicted"),
         F.col("_seed").isNotNull().alias("was_seed"),
     )
+
+
+def kmeans_lloyd_steps(
+    embs: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    dims: int = 64,
+    grid_bits: int = 18,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K-MEANS TRAINING (Lloyd 1982) in EXACT INTEGER arithmetic —
+    the index-TRAINING step every IVF/PQ build wraps (the KMeans-fit
+    rows ann_ivf_build / ann_ivf_recall stay rows-only because
+    MLlib's float fit is engine-specific; this row pins the training
+    MATH itself): vectors land on the 2^-grid_bits integer lattice
+    (floor(x·2^g) — float32 → double → ×2^g is exact, so the floor is
+    bit-identical in any engine), assignment is the exact-bigint
+    argmin of Σ(x_d − c_d)² with ascending-cid tie-break, and the
+    centroid update is the per-dimension integer mean (sum div count,
+    both engines truncate toward zero). Deterministic seed: the k
+    lowest-id vectors (the pinned-seed house convention — no RNG).
+    Empty clusters keep their previous centroid.
+
+    Spark shape per iteration: the k centroids collapse into ONE
+    broadcast row (sort_array(collect_list) — k ≤ a few hundred), so
+    ASSIGNMENT is a pure map (a fold over the centroid array, no
+    shuffle, no explode); the UPDATE is one map-combinable groupBy
+    with ``dims`` integer sums — exactly 1 shuffle per iteration of
+    k·dims output. The grid relation is checkpointed once; the plan
+    unrolls per iteration (the pagerank_integer convention).
+
+    Overflow: |g| < 2^(grid_bits+1); per-distance ≤ dims·2^(2g+2)
+    (2^46 at g=18, d=64); the inertia sum holds 2^63 up to ~10^5
+    vectors per cell at these defaults — raise to DECIMAL(38,0) for
+    larger cells (documented bound).
+
+    Returns the post-training readout, one row per cluster: (cid,
+    n_vecs, inertia_units, c_norm1) — final-assignment counts, exact
+    within-cluster squared distance on the lattice, and the final
+    centroid's L1 norm, all exact bigints."""
+    scale = 1 << int(grid_bits)
+    g = embs.select(
+        F.col(id_col).alias("_vid"),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+        ).alias("_g"),
+    ).localCheckpoint(eager=True)
+    w0 = Window.orderBy("_vid")
+    cents = (
+        g.orderBy("_vid")
+        .limit(int(k))
+        .select(
+            (F.row_number().over(w0) - 1).cast("int").alias("_cid"),
+            F.col("_g").alias("_c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _dist(c: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("_g"), c["_c"], lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    def _assign(cents_df: DataFrame) -> DataFrame:
+        one = cents_df.agg(
+            F.sort_array(
+                F.collect_list(F.struct("_cid", "_c"))
+            ).alias("_cents")
+        )
+        init = F.struct(
+            F.lit(None).cast("bigint").alias("d"),
+            F.lit(-1).cast("int").alias("cid"),
+        )
+        best = F.aggregate(
+            F.col("_cents"),
+            init,
+            lambda acc, c: F.when(
+                acc["d"].isNull() | (_dist(c) < acc["d"]),
+                F.struct(
+                    _dist(c).alias("d"), c["_cid"].alias("cid")
+                ),
+            ).otherwise(acc),
+        )
+        return g.crossJoin(F.broadcast(one)).select(
+            "_vid",
+            "_g",
+            best["cid"].alias("_cid"),
+            best["d"].alias("_d"),
+        )
+
+    for _ in range(int(iterations)):
+        assigned = _assign(cents)
+        upd = assigned.groupBy("_cid").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            *[
+                F.sum(F.element_at("_g", i + 1))
+                .cast("bigint")
+                .alias(f"_s{i}")
+                for i in range(int(dims))
+            ],
+        )
+        new_c = upd.select(
+            "_cid",
+            F.array(
+                *[
+                    F.expr(f"_s{i} div _n").cast("bigint")
+                    for i in range(int(dims))
+                ]
+            ).alias("_cnew"),
+        )
+        cents = (
+            cents.join(F.broadcast(new_c), "_cid", "left")
+            .select(
+                "_cid",
+                F.coalesce(F.col("_cnew"), F.col("_c")).alias("_c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    final = _assign(cents)
+    by_cell = final.groupBy("_cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("_d").cast("bigint").alias("inertia_units"),
+    )
+    l1 = cents.select(
+        "_cid",
+        F.aggregate(
+            F.col("_c"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.abs(x),
+        ).alias("c_norm1"),
+    )
+    return (
+        by_cell.join(F.broadcast(l1), "_cid")
+        .select(
+            F.col("_cid").alias("cid"), "n_vecs", "inertia_units",
+            "c_norm1",
+        )
+    )

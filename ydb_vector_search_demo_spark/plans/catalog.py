@@ -14380,6 +14380,98 @@ def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle_sql(
+    k: int = 4, iterations: int = 2, grid_bits: int = 18
+) -> str:
+    """Unrolled-CTE replay of ann.kmeans_lloyd_steps: the 2^-g
+    lattice (floor of an exact double product — bit-identical), the
+    exact-bigint argmin assignment with ascending-cid tie-break, and
+    the truncate-toward-zero integer centroid mean (DuckDB // ==
+    Spark div on negatives) — every Lloyd iteration replays
+    bit-for-bit."""
+    scale = 1 << grid_bits
+    ctes = [
+        f"g0 AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * {scale})"
+        f" AS BIGINT) for x in embedding] AS g FROM embeddings)",
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1"
+        f" AS INTEGER) AS cid, g AS c"
+        f" FROM (SELECT vec_id, g FROM g0 ORDER BY vec_id LIMIT {k}))",
+    ]
+    for t in range(1, iterations + 2):
+        prev_c = f"c{t - 1}"
+        ctes.append(
+            f"d{t} AS (SELECT v.vec_id, v.g, c.cid,"
+            f" CAST(list_sum([(v.g[i] - c.c[i]) * (v.g[i] - c.c[i])"
+            f" for i in generate_series(1, len(v.g))]) AS BIGINT) AS d"
+            f" FROM g0 v CROSS JOIN {prev_c} c)"
+        )
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, g, cid, d FROM"
+            f" (SELECT *, row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY d, cid) AS rn FROM d{t}) WHERE rn = 1)"
+        )
+        if t <= iterations:
+            ctes.append(
+                f"u{t} AS (SELECT cid, i, CAST(sum(gv) AS BIGINT) AS s,"
+                f" count(*)::BIGINT AS n FROM (SELECT cid, unnest(g)"
+                f" AS gv, unnest(generate_series(1, len(g))) AS i"
+                f" FROM a{t}) GROUP BY 1, 2)"
+            )
+            ctes.append(
+                f"n{t} AS (SELECT cid, list(CAST(s // n AS BIGINT)"
+                f" ORDER BY i) AS c FROM u{t} GROUP BY 1)"
+            )
+            ctes.append(
+                f"c{t} AS (SELECT c0.cid, coalesce(n{t}.c, c0.c) AS c"
+                f" FROM {prev_c} c0 LEFT JOIN n{t} USING (cid))"
+            )
+    t = iterations + 1
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    r AS (SELECT cid, count(*)::BIGINT AS n_vecs,
+                 CAST(sum(d) AS BIGINT) AS inertia_units
+          FROM a{t} GROUP BY 1)
+    SELECT r.cid, r.n_vecs, r.inertia_units,
+           CAST(list_sum([abs(y) for y in c.c]) AS BIGINT) AS c_norm1
+    FROM r JOIN c{iterations} c USING (cid) ORDER BY r.cid"""
+    )
+
+
+@register("ann_kmeans_step_fixed", _kmeans_oracle_sql(4, 2, 18))
+def q_ann_kmeans_step_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MEANS TRAINING, two exact Lloyd iterations
+    (ann.kmeans_lloyd_steps) — the INDEX-TRAINING math every IVF/PQ
+    build wraps, finally oracle-backed: the MLlib-fit rows
+    (ann_ivf_build / ann_ivf_recall) stay rows-only because a float
+    KMeans fit is engine-specific, but the training STEP itself —
+    assign to nearest centroid, recompute centroid means, repeat —
+    is exact on the 2^-18 integer lattice (floor of an exact double
+    product), with bigint argmin distances (ascending-cid
+    tie-break), truncate-toward-zero integer means (Spark div ==
+    DuckDB //), pinned lowest-id seeds and empty-cluster carry-over.
+    Spark shape per iteration: centroids collapse to ONE broadcast
+    row so assignment is a pure MAP (fold over the centroid array —
+    no shuffle, no explode); the update is one map-combinable
+    groupBy of k·dims integer sums — 1 shuffle per iteration, the
+    distributed minimum (the pagerank_integer convention applied to
+    Lloyd). Readout: per-cluster counts, exact lattice inertia and
+    the final centroid L1 norm — the convergence numbers a real
+    index build monitors."""
+    from ydb_vector_search_demo_spark.operators.ann import (
+        kmeans_lloyd_steps,
+    )
+
+    return kmeans_lloyd_steps(
+        _t(spark, sf_dir, "embeddings"),
+        k=4,
+        iterations=2,
+        dims=64,
+        grid_bits=18,
+    ).orderBy("cid")
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
@@ -14976,6 +15068,14 @@ _GRADE_FIRST = [
 # a strict composition of pq_opq_fixed's rotation + the store-serve
 # splits), events_gapfill_hourly (spine join graded via
 # events_hopping_hourly's window arithmetic).
+# ---------------------------------------------------------------------------
+# r12 wave 19 (same bar: both SFs, ×10-probed 2.1×, law-tested
+# against an independent Python Lloyd incl. the tie-then-defect and
+# empty-cluster carry-over laws):
+#   ann_kmeans_step_fixed  — exact-integer k-means training (the
+#                            2^-18 lattice Lloyd step; assignment a
+#                            pure map over ONE broadcast centroid
+#                            row, update one map-combinable groupBy)
 # ---------------------------------------------------------------------------
 # r12 wave 18 (same bar: both SFs, ×10-probed 1.7×, law-tested
 # against a hand-rolled reference implementation):
