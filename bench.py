@@ -318,6 +318,9 @@ HEADLINE = [
     # Lloyd training steps (3 broadcast-map assignment passes + 2
     # map-combinable updates)
     "ann_kmeans_step_fixed",
+    # r12 wave 20 (outside the comparable subsets): BPE apply +
+    # per-language fertility (train + segment + lang rollup)
+    "corpus_bpe_fertility",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

@@ -1527,3 +1527,75 @@ def test_dsir_importance_weights_matches_reference(spark):
     assert got[1][0] == 2 * 5 - 1
     # monotonicity: target-like doc 5 outweighs off-target doc 6
     assert got[5][1] > got[6][1]
+
+
+def test_bpe_fertility_matches_reference(spark):
+    """curation.bpe_train_segment fertility readout against the same
+    independent BPE reference: train on the GLOBAL word table, apply
+    every merge, and check per-language tokens-per-word — including
+    that a language whose words resist the learned merges shows
+    higher fertility."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_demo_spark.operators.curation import (
+        bpe_train_segment,
+    )
+
+    rows = [
+        (1, "low low low lowest", "aa"),
+        (2, "lowest low lower", "aa"),
+        (3, "xyz qrs xyz", "bb"),  # shares no pairs with the merges
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING"
+    )
+    seg = bpe_train_segment(docs, steps=2)
+    lc = (
+        docs.select("lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {
+        r["lang"]: (r["nw"], r["ns"])
+        for r in lc.join(seg.select("w", F.size("syms").alias("_l")), "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").alias("nw"),
+            F.sum(F.col("n") * F.col("_l")).alias("ns"),
+        )
+        .collect()
+    }
+
+    wc = Counter(w for _, t, _l in rows for w in t.split())
+    syms = {w: list(w) for w in wc}
+    for _ in range(2):
+        pc = Counter()
+        for w, s in syms.items():
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += wc[w]
+        mx = max(pc.values())
+        a, b = sorted(k for k, v in pc.items() if v == mx)[0]
+        for w, s in syms.items():
+            out, prev = [], None
+            for x in s:
+                if prev is None:
+                    prev = x
+                elif prev == a and x == b:
+                    out.append(a + b)
+                    prev = None
+                else:
+                    out.append(prev)
+                    prev = x
+            if prev is not None:
+                out.append(prev)
+            syms[w] = out
+    want = {}
+    for _, t, lang in rows:
+        for w in t.split():
+            nw, ns = want.get(lang, (0, 0))
+            want[lang] = (nw + 1, ns + len(syms[w]))
+    assert got == want
+    # the merge-resistant language fragments more per word
+    assert got["bb"][1] / got["bb"][0] > got["aa"][1] / got["aa"][0]

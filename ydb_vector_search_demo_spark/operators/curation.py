@@ -2158,53 +2158,104 @@ def bpe_merge_steps(
             )
         )
         if t < int(steps):
-            tagged = syms.crossJoin(
-                F.broadcast(top1.select("lhs", "rhs"))
-            )
-            init = F.struct(
-                F.lit("").alias("out"),
-                F.lit(None).cast("string").alias("prev"),
-            )
-
-            def _merge(acc: Column, x: Column) -> Column:
-                emit_merged = F.struct(
-                    F.concat(
-                        acc["out"], F.lit(" "), F.col("lhs"), F.col("rhs")
-                    ).alias("out"),
-                    F.lit(None).cast("string").alias("prev"),
-                )
-                shift = F.struct(
-                    F.concat(acc["out"], F.lit(" "), acc["prev"]).alias(
-                        "out"
-                    ),
-                    x.alias("prev"),
-                )
-                start = F.struct(acc["out"].alias("out"), x.alias("prev"))
-                return (
-                    F.when(acc["prev"].isNull(), start)
-                    .when(
-                        (acc["prev"] == F.col("lhs"))
-                        & (x == F.col("rhs")),
-                        emit_merged,
-                    )
-                    .otherwise(shift)
-                )
-
-            def _finish(acc: Column) -> Column:
-                flushed = F.when(acc["prev"].isNull(), acc["out"]).otherwise(
-                    F.concat(acc["out"], F.lit(" "), acc["prev"])
-                )
-                return F.split(F.ltrim(flushed), " ")
-
-            syms = tagged.select(
-                "w",
-                "n_w",
-                F.aggregate("syms", init, _merge, _finish).alias("syms"),
-            ).localCheckpoint(eager=True)
+            syms = _bpe_apply_merge(syms, top1)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _bpe_apply_merge(syms: DataFrame, top1: DataFrame) -> DataFrame:
+    """Apply one merge (the broadcast 1-row (lhs, rhs)) to the word
+    symbol table via the leftmost-greedy (out, prev) fold — the exact
+    fold DuckDB's list_reduce replays (see bpe_merge_steps)."""
+    tagged = syms.crossJoin(F.broadcast(top1.select("lhs", "rhs")))
+    init = F.struct(
+        F.lit("").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+
+    def _merge(acc: Column, x: Column) -> Column:
+        emit_merged = F.struct(
+            F.concat(
+                acc["out"], F.lit(" "), F.col("lhs"), F.col("rhs")
+            ).alias("out"),
+            F.lit(None).cast("string").alias("prev"),
+        )
+        shift = F.struct(
+            F.concat(acc["out"], F.lit(" "), acc["prev"]).alias("out"),
+            x.alias("prev"),
+        )
+        start = F.struct(acc["out"].alias("out"), x.alias("prev"))
+        return (
+            F.when(acc["prev"].isNull(), start)
+            .when(
+                (acc["prev"] == F.col("lhs")) & (x == F.col("rhs")),
+                emit_merged,
+            )
+            .otherwise(shift)
+        )
+
+    def _finish(acc: Column) -> Column:
+        flushed = F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.lit(" "), acc["prev"])
+        )
+        return F.split(F.ltrim(flushed), " ")
+
+    return tagged.select(
+        "w",
+        "n_w",
+        F.aggregate("syms", init, _merge, _finish).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+
+def bpe_train_segment(
+    docs: DataFrame, steps: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Train ``steps`` BPE merges (identical math to
+    :func:`bpe_merge_steps`) and return the word-grain SEGMENTATION
+    under them — (w, n_w, syms) with every learned merge applied, the
+    artifact a tokenizer consumer reads (apply-side of the
+    train/apply split; the readout rows derive fertility and
+    vocabulary stats from it). Same scale shape as training: one
+    corpus shuffle into the word grain, then vocab-bounded steps."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+    from ydb_vector_search_demo_spark.sources.tables import fan_out
+
+    wc = (
+        fan_out(docs)
+        .select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+        .localCheckpoint(eager=True)
+    )
+    syms = wc.select(
+        "w", "n_w", F.split("w", r"(?!^)(?=.)").alias("syms")
+    )
+    for _ in range(int(steps)):
+        pairs = (
+            syms.select(
+                "n_w",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(syms, 1, size(syms)-1),"
+                        " slice(syms, 2, size(syms)-1),"
+                        " (l, r) -> named_struct('lhs', l, 'rhs', r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(
+                F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
+            )
+            .agg(F.sum("n_w").cast("bigint").alias("pair_count"))
+        )
+        top1 = (
+            pairs.orderBy(F.desc("pair_count"), "lhs", "rhs")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        syms = _bpe_apply_merge(syms, top1)
+    return syms
 
 
 def dsir_importance_weights(

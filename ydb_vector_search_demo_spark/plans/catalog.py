@@ -14439,6 +14439,111 @@ def _kmeans_oracle_sql(
     )
 
 
+def _bpe_fertility_oracle_sql(steps: int = 4) -> str:
+    """The bpe oracle's CTE chain with EVERY merge applied (the
+    train/apply split's apply side), joined to the per-language word
+    counts for the fertility readout."""
+    ctes = [
+        f"tk AS (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)",
+        "wc AS (SELECT w, count(*)::BIGINT AS n FROM tk GROUP BY 1)",
+        "s0 AS (SELECT w, n, regexp_extract_all(w, '.') AS syms FROM wc)",
+    ]
+    for t in range(1, steps + 1):
+        ctes.append(
+            f"p{t} AS (SELECT z[1] AS lhs, z[2] AS rhs, "
+            f"CAST(sum(n) AS BIGINT) AS cnt "
+            f"FROM (SELECT n, unnest(list_zip(syms[1:len(syms)-1], "
+            f"syms[2:len(syms)])) AS z FROM s{t - 1}) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"m{t} AS (SELECT lhs, rhs, cnt FROM p{t} "
+            f"ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+        )
+        ctes.append(
+            f"s{t} AS (SELECT w, n, string_split(ltrim("
+            f"CASE WHEN red.prev IS NULL THEN red.out "
+            f"ELSE red.out || ' ' || red.prev END, ' '), ' ') AS syms "
+            f"FROM (SELECT w, n, list_reduce("
+            f"list_prepend({{'out': '', 'prev': CAST(NULL AS VARCHAR)}}, "
+            f"[{{'out': '', 'prev': s}} for s in syms]), "
+            f"(acc, x) -> CASE "
+            f"WHEN acc.prev IS NULL THEN "
+            f"{{'out': acc.out, 'prev': x.prev}} "
+            f"WHEN acc.prev = m.lhs AND x.prev = m.rhs THEN "
+            f"{{'out': acc.out || ' ' || m.lhs || m.rhs, "
+            f"'prev': CAST(NULL AS VARCHAR)}} "
+            f"ELSE {{'out': acc.out || ' ' || acc.prev, "
+            f"'prev': x.prev}} END) AS red "
+            f"FROM s{t - 1} CROSS JOIN m{t} m))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    wl AS (SELECT lang, unnest({_TOKENS_SQL}) AS w FROM documents),
+    lc AS (SELECT lang, w, count(*)::BIGINT AS n FROM wl GROUP BY 1, 2)
+    SELECT lc.lang,
+           CAST(sum(lc.n) AS BIGINT) AS n_words,
+           CAST(sum(lc.n * len(s.syms)) AS BIGINT) AS n_subwords,
+           round(CAST(sum(lc.n * len(s.syms)) AS DOUBLE)
+                 / CAST(sum(lc.n) AS DOUBLE), 6) AS fertility
+    FROM lc JOIN s{steps} s USING (w)
+    GROUP BY 1 ORDER BY 1"""
+    )
+
+
+@register("corpus_bpe_fertility", _bpe_fertility_oracle_sql(4))
+def q_corpus_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY + per-language FERTILITY
+    (curation.bpe_train_segment) — the apply side of the train/apply
+    split, and the metric multilingual pipelines actually track:
+    tokens-per-word under a shared vocabulary (a language whose words
+    fragment into many subwords pays more sequence length per unit of
+    text — the fairness/throughput number from the multilingual
+    tokenizer literature). The 4 learned merges (identical training
+    math to the graded corpus_bpe_merges) are applied to the WORD
+    grain, and the per-language rollup joins the lang-word counts to
+    the segmented vocabulary — never re-tokenizing the corpus:
+    fertility(lang) = Σ n·|syms(w)| / Σ n. Exactness: subword counts
+    are exact bigints (array length of the bit-replayed fold), one
+    division at the end. Scale: two corpus shuffles total (the global
+    word grain + the lang-word grain); everything else vocab-bounded."""
+    from ydb_vector_search_demo_spark.functions import textstats as T
+    from ydb_vector_search_demo_spark.operators.curation import (
+        bpe_train_segment,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    seg = bpe_train_segment(docs, steps=4)
+    lc = (
+        fan_out(docs)
+        .select("lang", F.explode(T.tokens("text")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    j = lc.join(seg.select("w", F.size("syms").alias("_len")), "w")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(F.col("n") * F.col("_len"))
+            .cast("bigint")
+            .alias("n_subwords"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_subwords",
+            F.round(
+                F.col("n_subwords").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
 @register("ann_kmeans_step_fixed", _kmeans_oracle_sql(4, 2, 18))
 def q_ann_kmeans_step_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-MEANS TRAINING, two exact Lloyd iterations
@@ -15068,6 +15173,12 @@ _GRADE_FIRST = [
 # a strict composition of pq_opq_fixed's rotation + the store-serve
 # splits), events_gapfill_hourly (spine join graded via
 # events_hopping_hourly's window arithmetic).
+# ---------------------------------------------------------------------------
+# r12 wave 20 (same bar: both SFs, ×10-probed ~1.1× vocab-bounded,
+# law-tested against the same independent BPE reference):
+#   corpus_bpe_fertility   — tokenizer APPLY + per-language fertility
+#                            (learned merges applied on the word
+#                            grain; the multilingual fairness metric)
 # ---------------------------------------------------------------------------
 # r12 wave 19 (same bar: both SFs, ×10-probed 2.1×, law-tested
 # against an independent Python Lloyd incl. the tie-then-defect and
