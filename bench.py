@@ -321,6 +321,9 @@ HEADLINE = [
     # r12 wave 20 (outside the comparable subsets): BPE apply +
     # per-language fertility (train + segment + lang rollup)
     "corpus_bpe_fertility",
+    # r12 wave 21 (outside the comparable subsets): triangle count +
+    # clustering coefficient (own graph build + oriented wedge join)
+    "graph_triangle_stats",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

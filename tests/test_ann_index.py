@@ -848,3 +848,34 @@ def test_kmeans_lloyd_steps_matches_reference(spark):
     assert got[0] == (1, 0, sum(abs(x) for x in g[4]))
     assert got[1][0] == 3
     assert got[2] == (2, 0, sum(abs(x) for x in g[1]))
+
+
+def test_triangle_stats_laws(spark):
+    """ann.triangle_stats on a hand graph: a triangle+tail graph
+    (T=1, W=6, cc=0.5) and a K4 clique (T=4, W=12, cc=1.0) — fed as
+    DIRECTED edges with duplicates and reversals to exercise the
+    undirect+dedup stage; counts and the coefficient match the hand
+    computation exactly."""
+    from ydb_vector_search_demo_spark.operators.ann import triangle_stats
+
+    und0 = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    und1 = [
+        (11, 12), (11, 13), (11, 14), (12, 13), (12, 14), (13, 14),
+    ]
+    directed = []
+    for u, v in und0 + und1:
+        directed += [(u, v), (v, u), (u, v)]  # dupes + reversals
+    edges = spark.createDataFrame(directed, "src BIGINT, dst BIGINT")
+    nodes = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(i, 1) for i in (11, 12, 13, 14)],
+        "vec_id BIGINT, label INT",
+    )
+    got = {
+        r["label"]: (
+            r["n_nodes"], r["n_edges"], r["n_wedges"],
+            r["n_triangles"], r["clustering"],
+        )
+        for r in triangle_stats(edges, nodes).collect()
+    }
+    assert got[0] == (5, 5, 6, 1, 0.5)
+    assert got[1] == (4, 6, 12, 4, 1.0)
