@@ -879,3 +879,63 @@ def test_triangle_stats_laws(spark):
     }
     assert got[0] == (5, 5, 6, 1, 0.5)
     assert got[1] == (4, 6, 12, 4, 1.0)
+
+
+def test_power_iteration_gram_matches_reference(spark):
+    """ann.power_iteration_gram against an independent numpy int64
+    replay (same lattice, same G·v = Σ x(xᵀv) step, same pure-integer
+    renormalization) — and the spectral law: on a corpus with a
+    planted dominant axis the recovered direction concentrates on
+    that axis and lambda_data approximates its second moment."""
+    import numpy as np
+
+    from ydb_vector_search_demo_spark.operators.ann import (
+        power_iteration_gram,
+    )
+
+    rng_vals = []
+    # planted: dim 2 carries ~10x the energy of the rest (8 dims)
+    for i in range(40):
+        v = [((i * 7 + d * 3) % 11 - 5) / 50.0 for d in range(8)]
+        v[2] = ((i % 7) - 3) / 4.0
+        rng_vals.append((i + 1, v))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rng_vals],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    got = {
+        r["dim"]: (r["v_unit"], r["lambda_data"])
+        for r in power_iteration_gram(
+            df, iterations=3, dims=8, grid_bits=12, norm_bits=10
+        ).collect()
+    }
+
+    g = np.array(
+        [
+            [
+                int(np.floor(np.float64(np.float32(x)) * 4096))
+                for x in v
+            ]
+            for _, v in rng_vals
+        ],
+        dtype=np.int64,
+    )
+    v = np.ones(8, dtype=np.int64)
+    for _ in range(3):
+        s = g @ v
+        u = g.T @ s
+        q = max(int(np.max(np.abs(u))) // 1024, 1)
+        # truncate-toward-zero division, as both engines do
+        v = np.array(
+            [int(x) // q if x >= 0 else -((-int(x)) // q) for x in u],
+            dtype=np.int64,
+        )
+    s = g @ v
+    num = int((s.astype(object) ** 2).sum())
+    vv = int((v * v).sum())
+    lam = round(num / (len(g) * vv * 4096.0 * 4096.0), 6)
+    want = {d + 1: (int(v[d]), lam) for d in range(8)}
+    assert got == want
+    # spectral law: the planted axis dominates the direction
+    mags = {d: abs(u[0]) for d, u in got.items()}
+    assert mags[3] == max(mags.values())  # dim is 1-based; axis 2 -> dim 3

@@ -3266,3 +3266,128 @@ def triangle_stats(
             ).alias("clustering"),
         )
     )
+
+
+def power_iteration_gram(
+    embs: DataFrame,
+    iterations: int = 3,
+    dims: int = 64,
+    grid_bits: int = 12,
+    norm_bits: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dominant GRAM-matrix direction by POWER ITERATION in exact
+    integer arithmetic — the iterative LINEAR-ALGEBRA member next to
+    the iterative-graph rows (pagerank iterates over edges; this
+    iterates over the feature space): the top direction of
+    G = Σ x xᵀ is what PCA/whitening/OPQ initialization extracts
+    before rotating or projecting embeddings, and power iteration is
+    its distributed workhorse. The identity that makes each step ONE
+    corpus pass with NO dims×dims matrix ever materialized:
+    G·v = Σ_x x·(xᵀv) — per vector one fold s = gᵀv, then dims
+    map-combinable sums Σ g_d·s.
+
+    Exactness: vectors land on the 2^-grid_bits lattice (exact
+    float32 → double → floor); v renormalizes each step to
+    ~±2^norm_bits by pure integer division
+    v' = u div max(1, max|u| div 2^norm_bits) (truncate-toward-zero
+    in both engines), so every iterate is a bigint vector — power
+    iteration's usual float non-determinism (partial-sum order) is
+    gone, and the sign is pinned by the all-ones seed. Overflow at
+    the defaults: |g| < 2^12, |v| < 2^11+2^10 → s < 2^30,
+    g·s < 2^42 — the update sums hold past 2M vectors in bigint;
+    the Rayleigh numerator Σ s² accumulates in DECIMAL(38,0).
+
+    Readout, one row per dimension: (dim 1-based, v_unit — the final
+    integer direction), with the per-vector Rayleigh quotient in DATA
+    units on every row: lambda_data = Σ s² / (n · vᵀv ·
+    2^(2·grid_bits)) — the explained second moment along the
+    direction, the convergence number a whitening pipeline monitors.
+
+    Scale shape: the lattice relation is checkpointed once; each
+    iteration is one broadcast crossJoin (the 1-row v) + one
+    map-combinable aggregate of dims sums — ZERO keyed shuffles; the
+    plan unrolls per iteration (the pagerank convention)."""
+    d = int(dims)
+    scale = 1 << int(grid_bits)
+    shift = 1 << int(norm_bits)
+    g = embs.select(
+        F.col(id_col).alias("_vid"),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+        ).alias("_g"),
+    ).localCheckpoint(eager=True)
+    spark = embs.sparkSession
+    v = spark.range(1).select(
+        F.expr(
+            f"transform(sequence(1, {d}), i -> CAST(1 AS BIGINT))"
+        ).alias("_v")
+    )
+
+    def _dot(a: str, b: str) -> Column:
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    for _ in range(int(iterations)):
+        s = g.crossJoin(F.broadcast(v)).select(
+            "_g", _dot("_g", "_v").alias("_s")
+        )
+        u = s.agg(
+            *[
+                F.sum(F.element_at("_g", i + 1) * F.col("_s"))
+                .cast("bigint")
+                .alias(f"_u{i}")
+                for i in range(d)
+            ]
+        )
+        q = u.withColumn(
+            "_q",
+            F.greatest(
+                F.expr(
+                    "greatest("
+                    + ", ".join(f"abs(_u{i})" for i in range(d))
+                    + f") div {shift}"
+                ).cast("bigint"),
+                F.lit(1).cast("bigint"),
+            ),
+        )
+        v = q.select(
+            F.array(
+                *[F.expr(f"_u{i} div _q") for i in range(d)]
+            ).alias("_v")
+        ).localCheckpoint(eager=True)
+    sfin = g.crossJoin(F.broadcast(v)).select(
+        _dot("_g", "_v").alias("_s")
+    )
+    tot = sfin.agg(
+        F.sum((F.col("_s") * F.col("_s")).cast("decimal(38,0)")).alias(
+            "_num"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    )
+    lam = (
+        F.col("_num").cast("double")
+        / (
+            F.col("_n").cast("double")
+            * F.col("_vv").cast("double")
+            * F.lit(float(scale * scale))
+        )
+    )
+    return (
+        v.select("_v", _dot("_v", "_v").alias("_vv"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.posexplode("_v").alias("pos", "v_unit"),
+            F.round(lam, 6).alias("lambda_data"),
+        )
+        .select(
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            "v_unit",
+            "lambda_data",
+        )
+    )

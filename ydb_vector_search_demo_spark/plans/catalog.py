@@ -14618,6 +14618,92 @@ def q_graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
+def _power_iter_oracle_sql(
+    iterations: int = 3, grid_bits: int = 12, norm_bits: int = 10
+) -> str:
+    """Unrolled-CTE replay of ann.power_iteration_gram: the 2^-g
+    lattice, the G·v = Σ x(xᵀv) one-pass step, the pure-integer
+    renormalization u // max(1, max|u| // 2^norm), and the Rayleigh
+    readout — every iterate bit-identical."""
+    scale = 1 << grid_bits
+    shift = 1 << norm_bits
+    ctes = [
+        f"g0 AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * {scale})"
+        f" AS BIGINT) for x in embedding] AS g FROM embeddings)",
+        "v0 AS (SELECT [CAST(1 AS BIGINT) for i in"
+        " generate_series(1, 64)] AS v)",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"s{t} AS (SELECT g, CAST(list_sum([g[i] * v[i] for i in"
+            f" generate_series(1, len(g))]) AS BIGINT) AS s"
+            f" FROM g0 CROSS JOIN v{t - 1})"
+        )
+        ctes.append(
+            f"u{t} AS (SELECT i, CAST(sum(gv * s) AS BIGINT) AS u"
+            f" FROM (SELECT s, unnest(g) AS gv,"
+            f" unnest(generate_series(1, len(g))) AS i FROM s{t})"
+            f" GROUP BY 1)"
+        )
+        ctes.append(
+            f"q{t} AS (SELECT greatest(CAST(max(abs(u)) AS BIGINT)"
+            f" // {shift}, 1) AS q FROM u{t})"
+        )
+        ctes.append(
+            f"v{t} AS (SELECT list(CAST(u // (SELECT q FROM q{t})"
+            f" AS BIGINT) ORDER BY i) AS v FROM u{t})"
+        )
+    t = iterations
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    sf AS (SELECT CAST(list_sum([g[i] * v[i] for i in
+                 generate_series(1, len(g))]) AS BIGINT) AS s
+           FROM g0 CROSS JOIN v{t}),
+    r AS (SELECT sum(s * s) AS num, count(*)::BIGINT AS n FROM sf),
+    vv AS (SELECT CAST(list_sum([x * x for x in v]) AS BIGINT) AS vv,
+                  v FROM v{t})
+    SELECT CAST(i AS INTEGER) AS dim, vv.v[i] AS v_unit,
+           round(CAST(r.num AS DOUBLE)
+                 / (CAST(r.n AS DOUBLE) * CAST(vv.vv AS DOUBLE)
+                    * {float(scale * scale)}), 6) AS lambda_data
+    FROM vv CROSS JOIN r
+         CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    ORDER BY dim"""
+    )
+
+
+@register("ann_power_iteration_fixed", _power_iter_oracle_sql(3, 12, 10))
+def q_ann_power_iteration_fixed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dominant Gram direction by exact-integer POWER ITERATION
+    (ann.power_iteration_gram) — the iterative linear-algebra row
+    next to the Lloyd-step row: PCA/whitening/OPQ initialization all
+    start from the top second-moment direction, and the distributed
+    algorithm is this exact shape — G·v = Σ_x x·(xᵀv), one corpus
+    pass per step, the dims×dims matrix never materialized, ZERO
+    keyed shuffles per iteration (one broadcast 1-row v + dims
+    map-combinable sums). Float power iteration is partial-sum-order
+    nondeterministic; on the 2^-12 lattice with the pure-integer
+    renormalization every iterate is a bigint vector both engines
+    replay bit-for-bit. Readout: the final integer direction plus
+    the per-vector Rayleigh quotient in data units — the explained
+    second moment a whitening pipeline monitors for convergence."""
+    from ydb_vector_search_demo_spark.operators.ann import (
+        power_iteration_gram,
+    )
+
+    return power_iteration_gram(
+        _t(spark, sf_dir, "embeddings"),
+        iterations=3,
+        dims=64,
+        grid_bits=12,
+        norm_bits=10,
+    ).orderBy("dim")
+
+
 @register("ann_kmeans_step_fixed", _kmeans_oracle_sql(4, 2, 18))
 def q_ann_kmeans_step_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-MEANS TRAINING, two exact Lloyd iterations
@@ -15247,6 +15333,12 @@ _GRADE_FIRST = [
 # a strict composition of pq_opq_fixed's rotation + the store-serve
 # splits), events_gapfill_hourly (spine join graded via
 # events_hopping_hourly's window arithmetic).
+# ---------------------------------------------------------------------------
+# r12 wave 22 (same bar: both SFs, ×10-probed ~1.1×, numpy-int64
+# reference law + planted-axis spectral law):
+#   ann_power_iteration_fixed — dominant Gram direction by integer
+#                            power iteration (one corpus pass/step,
+#                            zero keyed shuffles, no dims^2 matrix)
 # ---------------------------------------------------------------------------
 # r12 wave 21 (same bar: both SFs, ×10-probed 6.5× — the graph-
 # build-dominated in-contract factor the pagerank row records):
