@@ -327,6 +327,9 @@ HEADLINE = [
     # r12 wave 22 (outside the comparable subsets): integer power
     # iteration (3 one-pass steps + the Rayleigh readout)
     "ann_power_iteration_fixed",
+    # r12 wave 23 (outside the comparable subsets): T5 span-corruption
+    # example generation (pure map-side fold)
+    "corpus_span_corruption",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

@@ -1599,3 +1599,73 @@ def test_bpe_fertility_matches_reference(spark):
     assert got == want
     # the merge-resistant language fragments more per word
     assert got["bb"][1] / got["bb"][0] > got["aa"][1] / got["aa"][0]
+
+
+def test_span_corruption_matches_reference(spark):
+    """curation.span_corruption_examples against an independent
+    Python construction (hashlib md5 phase, 20-stride grid, length-3
+    spans, sentinel assembly) — plus the short-doc passthrough law
+    (no span fits -> n_spans 0 and the text survives verbatim) and
+    the round-trip law (splicing each target span back over its
+    sentinel reconstructs the original token stream)."""
+    import hashlib
+
+    from ydb_vector_search_demo_spark.operators.curation import (
+        span_corruption_examples,
+    )
+
+    texts = {
+        1: " ".join(f"tok{i}" for i in range(45)),
+        2: "only two",
+        3: " ".join(f"w{i}" for i in range(23)),
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in sorted(texts.items())],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_spans"], r["input"], r["target"]
+        )
+        for r in span_corruption_examples(
+            docs, span_len=3, stride=20
+        ).collect()
+    }
+
+    def ref(doc_id, text):
+        t = text.split()
+        n = len(t)
+        k = int(
+            hashlib.md5(f"span-v1:{doc_id}".encode()).hexdigest()[:13],
+            16,
+        ) % 20
+        starts = list(range(k, n - 3 + 1, 20)) if n - 3 >= k else []
+        inp, tgt, prev = [], [], 0
+        for idx, s in enumerate(starts):
+            inp += t[prev:s] + [f"<extra_id_{idx}>"]
+            tgt += [f"<extra_id_{idx}>"] + t[s:s + 3]
+            prev = s + 3
+        inp += t[prev:]
+        return (n, len(starts), " ".join(inp), " ".join(tgt))
+
+    want = {d: ref(d, txt) for d, txt in texts.items()}
+    assert got == want
+    # short-doc passthrough
+    assert got[2][1] == 0 and got[2][2] == texts[2] and got[2][3] == ""
+    # round-trip: splice targets back over sentinels
+    for d, txt in texts.items():
+        n, ns, inp, tgt = got[d]
+        toks = inp.split()
+        tgt_toks = tgt.split()
+        spans = {}
+        cur = None
+        for x in tgt_toks:
+            if x.startswith("<extra_id_"):
+                cur = x
+                spans[cur] = []
+            else:
+                spans[cur].append(x)
+        out = []
+        for x in toks:
+            out += spans[x] if x in spans else [x]
+        assert out == txt.split(), d

@@ -2388,3 +2388,120 @@ def dsir_importance_weights(
             ).alias("log_weight"),
         )
     )
+
+
+def span_corruption_examples(
+    docs: DataFrame,
+    span_len: int = 3,
+    stride: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """T5-style SPAN-CORRUPTION example generation (Raffel et al.
+    2020 §3.1.4) — the denoising-objective twin of the next-token row
+    (corpus_lm_examples): mask token spans with sentinel tokens, emit
+    (input, target) where the input keeps the unmasked text with
+    ``<extra_id_i>`` markers and the target lists each sentinel
+    followed by the tokens it hides. The reference objective samples
+    spans; this deterministic member places length-``span_len`` spans
+    on a ``stride`` grid with a per-document md5 phase offset (the
+    pinned-uniform house seam) — every doc gets ~1/stride·span_len
+    noise density, both engines derive the identical spans, and the
+    per-position RNG of the sampled variant swaps into the same grid
+    expression. Construction is ONE fold over the span starts per doc
+    (string accumulator — the BPE-fold convention): each span appends
+    the clean segment + its sentinel to the input and the sentinel +
+    hidden tokens to the target.
+
+    Scale shape: pure map-side (tokenize → grid spans → fold), ZERO
+    shuffles — embarrassingly parallel at any corpus size. Returns
+    (doc_id, n_tokens, n_spans, input, target); docs shorter than
+    the first span yield n_spans = 0 with the text passed through."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+    from ydb_vector_search_demo_spark.sources.tables import fan_out
+
+    sl, st = int(span_len), int(stride)
+    base = (
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("_id"),
+            tokens(text_col).alias("_t"),
+        )
+        .withColumn("_n", F.size("_t"))
+        .withColumn(
+            "_k",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("span-v1:"),
+                                F.col("_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % st
+            ).cast("int"),
+        )
+        .withColumn(
+            "_starts",
+            F.when(
+                F.col("_n") - sl >= F.col("_k"),
+                F.expr(f"sequence(_k, _n - {sl}, {st})"),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)")),
+        )
+    )
+    init = F.struct(
+        F.lit("").alias("inp"),
+        F.lit("").alias("tgt"),
+        F.lit(0).cast("int").alias("prev"),
+        F.lit(0).cast("int").alias("idx"),
+    )
+
+    def _step(acc: Column, s: Column) -> Column:
+        seg = F.array_join(
+            F.slice(F.col("_t"), acc["prev"] + 1, s - acc["prev"]), " "
+        )
+        hidden = F.array_join(F.slice(F.col("_t"), s + 1, sl), " ")
+        sent = F.concat(
+            F.lit(" <extra_id_"), acc["idx"].cast("string"), F.lit(">")
+        )
+        return F.struct(
+            F.concat(acc["inp"], F.lit(" "), seg, sent).alias("inp"),
+            F.concat(acc["tgt"], sent, F.lit(" "), hidden).alias("tgt"),
+            (s + sl).cast("int").alias("prev"),
+            (acc["idx"] + 1).cast("int").alias("idx"),
+        )
+
+    def _finish(acc: Column) -> Column:
+        tail = F.array_join(
+            F.slice(
+                F.col("_t"),
+                acc["prev"] + 1,
+                F.col("_n") - acc["prev"],
+            ),
+            " ",
+        )
+        return F.struct(
+            F.trim(F.concat(acc["inp"], F.lit(" "), tail)).alias("inp"),
+            F.ltrim(acc["tgt"]).alias("tgt"),
+            acc["idx"].alias("n_spans"),
+        )
+
+    red = base.select(
+        "_id",
+        "_n",
+        F.aggregate("_starts", init, _step, _finish).alias("_r"),
+    )
+    return red.select(
+        F.col("_id").alias(id_col),
+        F.col("_n").cast("bigint").alias("n_tokens"),
+        F.col("_r")["n_spans"].cast("bigint").alias("n_spans"),
+        F.col("_r")["inp"].alias("input"),
+        F.col("_r")["tgt"].alias("target"),
+    )

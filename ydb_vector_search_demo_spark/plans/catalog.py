@@ -14618,6 +14618,77 @@ def q_graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
+_SPAN_CORRUPTION_ORACLE_SQL = f"""
+    WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+                WHERE doc_id % 37 = 0),
+    b AS (SELECT doc_id, t, len(t) AS n,
+                 CAST(('0x' || substring(md5('span-v1:'
+                       || doc_id::VARCHAR), 1, 13))::BIGINT % 20
+                      AS INTEGER) AS k
+          FROM tk),
+    s AS (SELECT doc_id, t, n, k,
+                 CASE WHEN n - 3 >= k
+                      THEN [CAST(x AS INTEGER)
+                            for x in generate_series(k, n - 3, 20)]
+                      ELSE CAST([] AS INTEGER[]) END AS starts
+          FROM b),
+    r AS (SELECT doc_id, n, t,
+            list_reduce(
+              list_prepend(
+                {{'inp': '', 'tgt': '', 'prev': 0, 'idx': 0, 's': 0}},
+                [{{'inp': '', 'tgt': '', 'prev': 0, 'idx': 0, 's': st}}
+                 for st in starts]),
+              (acc, x) -> {{
+                'inp': acc.inp || ' '
+                       || coalesce(array_to_string(
+                              t[acc.prev + 1 : x.s], ' '), '')
+                       || ' <extra_id_' || acc.idx || '>',
+                'tgt': acc.tgt || ' <extra_id_' || acc.idx || '> '
+                       || coalesce(array_to_string(
+                              t[x.s + 1 : x.s + 3], ' '), ''),
+                'prev': x.s + 3, 'idx': acc.idx + 1, 's': 0}}) AS red
+          FROM s)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(red.idx AS BIGINT) AS n_spans,
+           trim(red.inp || ' '
+                || coalesce(array_to_string(t[red.prev + 1 : n], ' '),
+                            '')) AS input,
+           ltrim(red.tgt) AS target
+    FROM r ORDER BY doc_id
+    """
+
+
+@register("corpus_span_corruption", _SPAN_CORRUPTION_ORACLE_SQL)
+def q_corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style SPAN-CORRUPTION training examples
+    (curation.span_corruption_examples; Raffel et al. 2020 §3.1.4) —
+    the denoising-objective member of the training-data family next
+    to the next-token row (corpus_lm_examples) and the packer
+    (corpus_pack_sequences): mask length-3 token spans on a
+    20-stride grid with a per-document md5 phase (the pinned-uniform
+    seam standing in for the sampled variant's RNG), emit the
+    sentinel-marked input and the sentinel+hidden-tokens target.
+    Construction is ONE fold over the span starts per document (the
+    BPE string-accumulator fold, replayed by DuckDB list_reduce), so
+    both engines build byte-identical strings. Same doc_id %% 37
+    slice as the next-token row. Scale shape: pure map-side — ZERO
+    shuffles at any corpus size."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        span_corruption_examples,
+    )
+
+    return (
+        span_corruption_examples(
+            _t(spark, sf_dir, "documents").filter(
+                (F.col("doc_id") % 37) == 0
+            ),
+            span_len=3,
+            stride=20,
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _power_iter_oracle_sql(
     iterations: int = 3, grid_bits: int = 12, norm_bits: int = 10
 ) -> str:
@@ -15333,6 +15404,11 @@ _GRADE_FIRST = [
 # a strict composition of pq_opq_fixed's rotation + the store-serve
 # splits), events_gapfill_hourly (spine join graded via
 # events_hopping_hourly's window arithmetic).
+# ---------------------------------------------------------------------------
+# r12 wave 23 (same bar: both SFs, ×10-probed ~1× map-side,
+# reference + splice-back round-trip laws):
+#   corpus_span_corruption — T5 denoising examples (grid spans, md5
+#                            phase, sentinel fold; zero shuffles)
 # ---------------------------------------------------------------------------
 # r12 wave 22 (same bar: both SFs, ×10-probed ~1.1×, numpy-int64
 # reference law + planted-axis spectral law):
