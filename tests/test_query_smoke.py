@@ -135,3 +135,32 @@ def test_r12_eligibility_ranking_names_are_registered():
     for n in ["ann_tree_fixed", "events_hll_users", "text_langid",
               "rotation_store_serve", "events_gapfill_hourly"]:
         assert n in cat.QUERIES, n
+
+
+def test_r13_eligibility_ranking_names_are_registered():
+    """The consolidated r13 rotation ranking at the catalog tail must
+    name only registered, oracle-backed queries (the r12 guard's
+    convention, carried forward)."""
+    import ydb_vector_search_demo_spark.plans.catalog as cat
+
+    src = open(cat.__file__).read()
+    block = src.split("r13 rotation-eligibility ranking")[1].split(
+        "r12 rotation EXECUTED"
+    )[0]
+    ranked = [
+        "corpus_bpe_merges", "corpus_dsir_weights",
+        "ann_kmeans_step_fixed", "graph_triangle_stats",
+        "store_compaction", "corpus_span_corruption",
+        "ann_power_iteration_fixed", "lineitem_kendall_tau",
+        "events_mann_kendall", "dedup_keep_best",
+        "retrieval_rbo_bm25_qld", "corpus_neyman_sample",
+        "corpus_bpe_fertility",
+    ]
+    for n in ranked:
+        assert n in cat.QUERIES, n
+        assert n in cat.ORACLES, f"{n} ranked for rotation but rows-only"
+        assert n in block, f"{n} missing from the r13 ranking text"
+    for n in ["part_like_filter", "contrastive_triplets",
+              "ivfpq_fixed", "retrieval_reranked_top5"]:
+        assert n in cat.QUERIES, n
+        assert n in block, f"out-candidate {n} missing from the text"

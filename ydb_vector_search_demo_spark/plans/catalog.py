@@ -15336,6 +15336,46 @@ _GRADE_FIRST = [
 #   corpus_token_entropy   — per-language Shannon entropy/perplexity
 #                            via the ordered-cumulative n·ln(n) sum
 # ---------------------------------------------------------------------------
+# r13 rotation-eligibility ranking (consolidated; every row below is
+# fully oracle-backed at sf0.01 AND sf0.1, law-tested, ×10-probed and
+# fresh-process driver-contract verified — per-wave detail in the r12
+# wave notes below). Strongest first, each covering a surface the
+# current window grades only transitively or not at all:
+#   1. corpus_bpe_merges — the TOKENIZER-TRAINING family (bit-replayed
+#      merge fold); nothing in the window grades vocabulary training.
+#   2. corpus_dsir_weights — the DATA-SELECTION family (importance
+#      resampling); the window grades mixing/sampling but not
+#      selection toward a target.
+#   3. ann_kmeans_step_fixed — the index-TRAINING math (V4 depth) the
+#      rows-only MLlib-fit rows wrap; the window grades probe paths,
+#      never the training step.
+#   4. graph_triangle_stats — graph STRUCTURE (the window now grades
+#      iteration via graph_pagerank_label, not structure; the
+#      degree-ordered orientation is its own scale claim).
+#   5. store_compaction — the physical 16→1 file-count lifecycle
+#      (carried from the r12 ranking, still ungraded).
+#   6. corpus_span_corruption — the denoising-objective example
+#      generator next to the graded packer/next-token rows.
+#   7. ann_power_iteration_fixed — iterative LINEAR ALGEBRA (the
+#      PCA/whitening direction; zero-shuffle step).
+#   8. lineitem_kendall_tau / events_mann_kendall — association/trend
+#      statistics (carried from the r12 ranking).
+#   9. dedup_keep_best — the cluster-dedup ACTION row (carried).
+#  10. retrieval_rbo_bm25_qld / corpus_neyman_sample /
+#      corpus_bpe_fertility — ranker agreement, the fourth sampler,
+#      and the tokenizer apply side.
+# Out-candidates with duplicate-surface rationales (house convention;
+# all would stay green in the pytest parity sweep):
+#   part_like_filter (LIKE-pushdown graded through the relational
+#   predicate rows + the pinned plan guards), contrastive_triplets
+#   (label-aware per-anchor top-k = the graded knn scoring + the
+#   graded per-group WindowGroupLimit cut), ivfpq_fixed (coarse
+#   assign → residual → ADC graded via pq_opq_fixed's rotated-LUT ADC
+#   + ann_ivf_batch_fixed's pinned probe), retrieval_reranked_top5
+#   (the md5 cross-encoder seam is the same pinned-model convention
+#   rag_full_pipeline's oracle byte-pins; MMR keeps the serving
+#   re-rank slot).
+# ---------------------------------------------------------------------------
 # r12 rotation EXECUTED (r11 verdict task #2): the ranking's top five
 # are in the graded window — graph_pagerank_label,
 # bucketed_join_revenue, multimodal_image_ahash_pairs (valve ON),
