@@ -489,3 +489,31 @@ def test_ahash_band_join_keys_include_bv(spark):
         # (b, band) — any join seeing band must carry a second,
         # selective key next to it
         assert re.search(r"\bbv[ab]?#\d+", l) or re.search(r"\bb#\d+", l), l
+
+
+def test_power_iteration_zero_keyed_shuffles(spark):
+    """r12 wave 22 plan claim: the power-iteration readout (and by
+    the same construction every unrolled step) moves data only
+    through broadcast (the 1-row v) and ONE global SinglePartition
+    aggregate — never a keyed Exchange. A keyed hashpartitioning
+    appearing here would mean the G·v = Σ x(xᵀv) one-pass identity
+    regressed into a dims-keyed shuffle."""
+    import re
+
+    final = final_plan_of(spark, "ann_power_iteration_fixed")
+    keyed = re.findall(r"Exchange hashpartitioning\(([^,]+)", final)
+    assert keyed == [], keyed
+
+
+def test_span_corruption_zero_keyed_shuffles(spark):
+    """r12 wave 23 plan claim: span-corruption example generation is
+    pure map-side — the only Exchange in the FINAL plan is the
+    rangepartitioning of the row's own output ORDER BY; no keyed
+    (hashpartitioning) shuffle and no aggregate anywhere (the
+    embarrassingly-parallel shape the docstring promises at 100 TB)."""
+    import re
+
+    final = final_plan_of(spark, "corpus_span_corruption")
+    keyed = re.findall(r"Exchange hashpartitioning\(([^,]+)", final)
+    assert keyed == [], keyed
+    assert "HashAggregate" not in final and "SortAggregate" not in final
