@@ -517,3 +517,19 @@ def test_span_corruption_zero_keyed_shuffles(spark):
     keyed = re.findall(r"Exchange hashpartitioning\(([^,]+)", final)
     assert keyed == [], keyed
     assert "HashAggregate" not in final and "SortAggregate" not in final
+
+
+def test_kmeans_readout_single_keyed_shuffle(spark):
+    """r12 wave 19 plan claim: after the checkpointed training steps,
+    the k-means readout's FINAL plan moves data through exactly ONE
+    keyed Exchange — the per-cell aggregate on _cid — with the
+    centroid L1 side joined by broadcast, never sort-merge. (Each
+    unrolled training iteration has the same shape by construction:
+    broadcast-map assignment + one map-combinable update groupBy.)"""
+    import re
+
+    final = final_plan_of(spark, "ann_kmeans_step_fixed")
+    keyed = re.findall(r"Exchange hashpartitioning\(([^,)]+)", final)
+    assert len(keyed) == 1 and keyed[0].startswith("_cid"), keyed
+    assert "SortMergeJoin" not in final
+    assert "BroadcastHashJoin" in final
