@@ -330,6 +330,9 @@ HEADLINE = [
     # r12 wave 23 (outside the comparable subsets): T5 span-corruption
     # example generation (pure map-side fold)
     "corpus_span_corruption",
+    # r12 wave 24 (outside the comparable subsets): the skyline
+    # operator (one window pass over the part grain)
+    "part_skyline_brand",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

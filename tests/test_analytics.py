@@ -1669,3 +1669,42 @@ def test_span_corruption_matches_reference(spark):
         for x in toks:
             out += spans[x] if x in spans else [x]
         assert out == txt.split(), d
+
+
+def test_skyline_2d_laws(spark):
+    """stats.skyline_2d on hand points: dominated points drop, the
+    frontier survives, equal-(cost,gain) duplicates BOTH survive (one
+    strict required for dominance), a same-cost lower-gain point
+    drops, groups are independent — checked against the definition by
+    brute force."""
+    from ydb_vector_search_demo_spark.operators.stats import skyline_2d
+
+    pts = [
+        # group A: frontier is (1,5), (3,8), (7,9); (3,8) duplicated
+        ("A", 1, 1, 5), ("A", 2, 3, 8), ("A", 3, 3, 8),
+        ("A", 4, 3, 7),          # same cost, lower gain -> dominated
+        ("A", 5, 5, 8),          # costlier, no more gain -> dominated
+        ("A", 6, 7, 9),
+        ("A", 7, 8, 1),          # dominated by everything cheap+high
+        # group B: single point always survives
+        ("B", 8, 100, 1),
+    ]
+    df = spark.createDataFrame(
+        pts, "grp STRING, id BIGINT, cost BIGINT, gain BIGINT"
+    )
+    got = {
+        r["id"] for r in skyline_2d(df, "cost", "gain", "grp").collect()
+    }
+
+    def dominated(a, b):  # b dominates a (same group)
+        return (
+            b[0] == a[0] and b[2] <= a[2] and b[3] >= a[3]
+            and (b[2] < a[2] or b[3] > a[3])
+        )
+
+    want = {
+        a[1]
+        for a in pts
+        if not any(dominated((a[0], a[1], a[2], a[3]), b) for b in pts)
+    }
+    assert got == want == {1, 2, 3, 6, 8}

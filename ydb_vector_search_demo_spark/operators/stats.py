@@ -1012,3 +1012,47 @@ def ab_test_cuped(
         theta.alias("theta"),
         ((rate_b - rate_a) - theta * (mx_b - mx_a)).alias("cuped_delta"),
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    cost_col: str,
+    gain_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier) per group — the multi-criteria
+    dominance operator (Börzsönyi et al. 2001, "The Skyline
+    Operator") relational engines bolt on and Spark lacks natively: a
+    row survives iff no other row in its group is at-most-equal cost
+    AND at-least-equal gain with one strict. The naive evaluation is
+    the quadratic self-anti-join; in 2-D the frontier falls out of
+    ONE ordered window pass instead — dominated(r) ⇔
+    max{gain : cost < cost_r} >= gain_r OR max{gain : cost = cost_r}
+    > gain_r — so the operator costs one keyed sort, O(n log n), no
+    self-join at any scale (equal (cost, gain) duplicates are
+    mutually non-dominating and all survive, per the definition's
+    'one strict' clause). Both criteria must be exact integers
+    (cents/units — the house money convention) so the frontier is
+    bit-stable cross-engine.
+
+    Scale shape: one window over (group, cost order) — a single keyed
+    exchange; the frontier result is output-bounded. The quadratic
+    NOT EXISTS form remains the DIFFERENT-ALGORITHM oracle."""
+    gcols = [group_col] if group_col else []
+    w_lt = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col(cost_col).cast("bigint"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy(*gcols, cost_col)
+    lt_max = F.max(gain_col).over(w_lt)
+    eq_max = F.max(gain_col).over(w_eq)
+    return (
+        df.withColumn("_lt", lt_max)
+        .withColumn("_eq", eq_max)
+        .filter(
+            (F.col("_lt").isNull() | (F.col("_lt") < F.col(gain_col)))
+            & (F.col("_eq") == F.col(gain_col))
+        )
+        .drop("_lt", "_eq")
+    )

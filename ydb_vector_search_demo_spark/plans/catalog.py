@@ -14618,6 +14618,66 @@ def q_graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
+_SKYLINE_ORACLE_SQL = """
+    WITH g AS (
+      SELECT p.p_brand AS brand, l.l_partkey AS partkey,
+             CAST(min(round(l.l_extendedprice * 100)) AS BIGINT)
+               AS min_price_cents,
+             CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2)
+    SELECT brand, partkey, min_price_cents, total_qty
+    FROM g a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM g b
+      WHERE b.brand = a.brand
+        AND b.min_price_cents <= a.min_price_cents
+        AND b.total_qty >= a.total_qty
+        AND (b.min_price_cents < a.min_price_cents
+             OR b.total_qty > a.total_qty))
+    ORDER BY brand, min_price_cents, partkey
+    """
+
+
+@register("part_skyline_brand", _SKYLINE_ORACLE_SQL)
+def q_part_skyline_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand SKYLINE of parts (operators.stats.skyline_2d;
+    Börzsönyi et al. 2001) — the multi-criteria dominance operator:
+    within each brand, the Pareto frontier of (cheapest observed line
+    price, total volume moved) — the parts no other part beats on
+    both price and popularity, the shape every catalog/marketplace
+    'best value' query needs and SQL engines bolt on as SKYLINE OF.
+    Spark side: the 2-D frontier falls out of ONE ordered window pass
+    per brand (strictly-cheaper running max via a RANGE frame + an
+    equal-cost max) — one keyed exchange, O(n log n), NO quadratic
+    self-join at any scale. The oracle deliberately runs the
+    DIFFERENT ALGORITHM — the quadratic NOT EXISTS dominance
+    anti-join — so the window rewrite is checked against the
+    definition itself, not a replay of the same plan. Exact integer
+    cents/units on both criteria; equal duplicates mutually
+    non-dominating per the definition."""
+    from ydb_vector_search_demo_spark.operators.stats import skyline_2d
+
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    g = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(
+            F.min(_cents("l_extendedprice")).cast("bigint").alias(
+                "min_price_cents"
+            ),
+            F.sum("l_quantity").cast("bigint").alias("total_qty"),
+        )
+    )
+    return skyline_2d(
+        g, "min_price_cents", "total_qty", group_col="brand"
+    ).orderBy("brand", "min_price_cents", "partkey")
+
+
 _SPAN_CORRUPTION_ORACLE_SQL = f"""
     WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
                 WHERE doc_id % 37 = 0),
@@ -15444,6 +15504,12 @@ _GRADE_FIRST = [
 # a strict composition of pq_opq_fixed's rotation + the store-serve
 # splits), events_gapfill_hourly (spine join graded via
 # events_hopping_hourly's window arithmetic).
+# ---------------------------------------------------------------------------
+# r12 wave 24 (same bar: both SFs, ×10-probed ~1× grain-bounded,
+# DIFFERENT-ALGORITHM oracle, brute-force dominance law):
+#   part_skyline_brand     — the SKYLINE operator (2-D Pareto
+#                            frontier by one ordered window pass vs
+#                            the quadratic NOT EXISTS oracle)
 # ---------------------------------------------------------------------------
 # r12 wave 23 (same bar: both SFs, ×10-probed ~1× map-side,
 # reference + splice-back round-trip laws):
