@@ -333,6 +333,9 @@ HEADLINE = [
     # r12 wave 24 (outside the comparable subsets): the skyline
     # operator (one window pass over the part grain)
     "part_skyline_brand",
+    # r12 wave 25 (outside the comparable subsets): MinHash
+    # estimate-vs-exact accuracy (graded pair relation + sig passes)
+    "dedup_minhash_accuracy",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

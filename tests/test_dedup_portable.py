@@ -193,3 +193,53 @@ def test_containment_cap_recomputes_denominators(spark):
     assert raw[(1, 2)]["na"] == 14
     assert capped[(1, 2)]["cont_a_in_b"] > raw[(1, 2)]["cont_a_in_b"]
     dedup.release_persisted()
+
+
+def test_minhash_accuracy_eval_laws(spark):
+    """dedup.minhash_accuracy_eval laws on a hand corpus: identical
+    docs estimate exactly 1.0 with err_num 0; the estimate matches a
+    driver-side hashlib replay of the 16 md5 min-hashes; and the
+    integer error numerator equals |matches·union − inter·16|."""
+    import hashlib
+
+    from ydb_vector_search_demo_spark.operators import dedup
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = t1  # exact duplicate
+    t3 = "alpha beta gamma delta epsilon zeta eta theta lambda mu"
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3)], "doc_id BIGINT, text STRING"
+    )
+    got = {
+        (r["a"], r["b"]): r.asDict()
+        for r in dedup.minhash_accuracy_eval(
+            df, n=3, num_hashes=16, threshold=0.3
+        ).collect()
+    }
+    assert got[(1, 2)]["mh_est"] == 1.0
+    assert got[(1, 2)]["err_num"] == 0
+    assert got[(1, 2)]["jaccard"] == 1.0
+
+    def shingles(text):
+        t = text.split()
+        return sorted({" ".join(t[i:i + 3]) for i in range(len(t) - 2)})
+
+    def sig(text):
+        return [
+            min(
+                hashlib.md5(f"{i}:{s}".encode()).hexdigest()
+                for s in shingles(text)
+            )
+            for i in range(16)
+        ]
+
+    for (a, b), texts in {(1, 3): (t1, t3), (2, 3): (t2, t3)}.items():
+        sa, sb = sig(texts[0]), sig(texts[1])
+        m = sum(x == y for x, y in zip(sa, sb))
+        row = got[(a, b)]
+        assert row["matches"] == m
+        assert row["mh_est"] == round(m / 16.0, 6)
+        assert row["err_num"] == abs(
+            m * row["union_sz"] - row["inter"] * 16
+        )
+    dedup.release_persisted()

@@ -1739,3 +1739,124 @@ def shingle_containment_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def minhash_accuracy_eval(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """MinHash ESTIMATE-vs-EXACT accuracy — the sketch-accuracy EVAL
+    the HLL and quantile-sketch rows have and MinHash lacked: for
+    every exact-Jaccard pair at or above ``threshold``, the portable
+    md5 signature's match fraction (the MinHash estimate, Broder
+    1997: P[min-hash collision] = J) next to the exact Jaccard, with
+    the error carried as the EXACT INTEGER numerator
+    |matches·union − inter·num_hashes| (common denominator
+    num_hashes·union) so the ranking/aggregation of errors never
+    touches float summation. This is the number that sizes signatures
+    at 100 TB: the observed |err| ~ O(1/√H) curve decides how many
+    hashes a corpus-wide dedup pass pays for.
+
+    est = matches/num_hashes is an exact double for power-of-two H;
+    exact = inter/union is one division of exact ints — identical in
+    both engines. Scale shape: the exact pair relation is the graded
+    one-shuffle shingle self-join; signatures are a map-only pass
+    joined in by pair key."""
+    pairs = shingle_jaccard_pairs(
+        df, n=n, threshold=threshold, text_col=text_col,
+        id_col=id_col, max_shingle_doc_freq=max_shingle_doc_freq,
+    ).select("a", "b", "inter")
+    shingles = F.array_distinct(word_shingles(F.col(text_col), n))
+    base = fan_out(df).select(
+        F.col(id_col).alias("sid"),
+        shingles.alias("shingles"),
+    )
+    # deliberately NOT persisted: the two consumers below each run
+    # their own map-only signature pass instead — the exact-pair path
+    # already pins a corpus-sized cache (its exploded shingle
+    # relation), and stacking a second cache on top of it is what
+    # blew the 1g heap on the ×10 probe; two cheap recomputes beat
+    # cache pressure (at 100 TB: materialize signatures to a table)
+    sig = base.select(
+        "sid",
+        F.size("shingles").alias("ns"),
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("shingles"),
+                        (
+                            lambda pre: lambda s: F.md5(
+                                F.concat(pre, s)
+                            )
+                        )(F.lit(f"{i}:")),
+                    )
+                )
+                for i in range(int(num_hashes))
+            ]
+        ).alias("sig"),
+    )
+    sa = sig.select(
+        F.col("sid").alias("a"),
+        F.col("ns").alias("na"),
+        F.col("sig").alias("siga"),
+    )
+    sb = sig.select(
+        F.col("sid").alias("b"),
+        F.col("ns").alias("nb"),
+        F.col("sig").alias("sigb"),
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("siga"),
+            F.col("sigb"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    H = int(num_hashes)
+    # join direction matters at scale: the PAIR relation (threshold-
+    # bounded) broadcasts into the signature scans — never the other
+    # way around (a corpus-sized signature broadcast is exactly the
+    # not-enough-memory failure the ×10 probe hit). Two persisted-sig
+    # scans, zero wide broadcasts; at pair volumes past broadcast
+    # range this degrades to the plain keyed join by dropping the
+    # hints.
+    out = (
+        sb.join(F.broadcast(sa.join(F.broadcast(pairs), "a")), "b")
+        .select(
+            "a",
+            "b",
+            F.col("inter").cast("bigint").alias("inter"),
+            (F.col("na") + F.col("nb") - F.col("inter"))
+            .cast("bigint")
+            .alias("union_sz"),
+            matches.alias("matches"),
+        )
+        .select(
+            "a",
+            "b",
+            "inter",
+            "union_sz",
+            "matches",
+            F.abs(
+                F.col("matches") * F.col("union_sz")
+                - F.col("inter") * H
+            )
+            .cast("bigint")
+            .alias("err_num"),
+            F.round(F.col("matches") / F.lit(float(H)), 6).alias(
+                "mh_est"
+            ),
+            F.round(
+                F.col("inter").cast("double") / F.col("union_sz"), 6
+            ).alias("jaccard"),
+        )
+    )
+    return out

@@ -14618,6 +14618,61 @@ def q_graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
+_MINHASH_ACC_ORACLE_SQL = f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles
+      FROM documents
+    ),
+    e AS (SELECT doc_id, len(shingles) AS ns, unnest(shingles) AS s
+          FROM sh WHERE len(shingles) > 0),
+    p AS (SELECT a.doc_id AS a, b.doc_id AS b, a.ns AS na, b.ns AS nb,
+                 count(*)::BIGINT AS inter
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+    pr AS (SELECT a, b, inter, na + nb - inter AS u FROM p
+           WHERE least(na, nb)::DOUBLE >= 0.5 * greatest(na, nb)
+             AND inter::DOUBLE / (na + nb - inter) >= 0.5),
+    sig AS (SELECT doc_id, list_min(list_transform(shingles, s -> md5('0:' || s))) AS sig_0, list_min(list_transform(shingles, s -> md5('1:' || s))) AS sig_1, list_min(list_transform(shingles, s -> md5('2:' || s))) AS sig_2, list_min(list_transform(shingles, s -> md5('3:' || s))) AS sig_3, list_min(list_transform(shingles, s -> md5('4:' || s))) AS sig_4, list_min(list_transform(shingles, s -> md5('5:' || s))) AS sig_5, list_min(list_transform(shingles, s -> md5('6:' || s))) AS sig_6, list_min(list_transform(shingles, s -> md5('7:' || s))) AS sig_7, list_min(list_transform(shingles, s -> md5('8:' || s))) AS sig_8, list_min(list_transform(shingles, s -> md5('9:' || s))) AS sig_9, list_min(list_transform(shingles, s -> md5('10:' || s))) AS sig_10, list_min(list_transform(shingles, s -> md5('11:' || s))) AS sig_11, list_min(list_transform(shingles, s -> md5('12:' || s))) AS sig_12, list_min(list_transform(shingles, s -> md5('13:' || s))) AS sig_13, list_min(list_transform(shingles, s -> md5('14:' || s))) AS sig_14, list_min(list_transform(shingles, s -> md5('15:' || s))) AS sig_15 FROM sh),
+    m AS (SELECT pr.a, pr.b, pr.inter, pr.u,
+                 CAST((CASE WHEN x.sig_0 = y.sig_0 THEN 1 ELSE 0 END) + (CASE WHEN x.sig_1 = y.sig_1 THEN 1 ELSE 0 END) + (CASE WHEN x.sig_2 = y.sig_2 THEN 1 ELSE 0 END) + (CASE WHEN x.sig_3 = y.sig_3 THEN 1 ELSE 0 END) + (CASE WHEN x.sig_4 = y.sig_4 THEN 1 ELSE 0 END) + (CASE WHEN x.sig_5 = y.sig_5 THEN 1 ELSE 0 END) + (CASE WHEN x.sig_6 = y.sig_6 THEN 1 ELSE 0 END) + (CASE WHEN x.sig_7 = y.sig_7 THEN 1 ELSE 0 END) + (CASE WHEN x.sig_8 = y.sig_8 THEN 1 ELSE 0 END) + (CASE WHEN x.sig_9 = y.sig_9 THEN 1 ELSE 0 END) + (CASE WHEN x.sig_10 = y.sig_10 THEN 1 ELSE 0 END) + (CASE WHEN x.sig_11 = y.sig_11 THEN 1 ELSE 0 END) + (CASE WHEN x.sig_12 = y.sig_12 THEN 1 ELSE 0 END) + (CASE WHEN x.sig_13 = y.sig_13 THEN 1 ELSE 0 END) + (CASE WHEN x.sig_14 = y.sig_14 THEN 1 ELSE 0 END) + (CASE WHEN x.sig_15 = y.sig_15 THEN 1 ELSE 0 END) AS BIGINT) AS matches
+          FROM pr JOIN sig x ON x.doc_id = pr.a
+                  JOIN sig y ON y.doc_id = pr.b)
+    SELECT a, b, inter, CAST(u AS BIGINT) AS union_sz, matches,
+           CAST(abs(matches * u - inter * 16) AS BIGINT) AS err_num,
+           round(matches / 16.0, 6) AS mh_est,
+           round(inter::DOUBLE / u, 6) AS jaccard
+    FROM m ORDER BY a, b
+    """
+
+
+@register("dedup_minhash_accuracy", _MINHASH_ACC_ORACLE_SQL)
+def q_dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATE-vs-EXACT accuracy
+    (dedup.minhash_accuracy_eval) — the sketch-accuracy EVAL that
+    completes the approximate family's story (HLL and the quantile
+    sketch carry estimate-next-to-exact readouts; MinHash did not):
+    for every exact-Jaccard pair at >= 0.5 (the graded pair
+    relation, hot-shingle valve ON — result-invisible at these SFs,
+    max df 7/25 vs the 1000 cap), the 16-hash portable
+    signature's match fraction next to the exact Jaccard, with the
+    error carried as the EXACT integer numerator
+    |matches*union - inter*16| so error ranking never sums floats.
+    This is the curve that sizes signatures for a corpus-wide dedup
+    pass at 100 TB (|err| ~ O(1/sqrt(H))). est = matches/16 is an
+    exact double (power-of-two denominator); exact = inter/union is
+    one division of exact ints. The oracle recomputes the exact pair
+    relation (including the size-ratio prefilter's algebra) AND all
+    16 md5 min-hashes independently. Scale shape: the graded
+    one-shuffle shingle self-join + a map-only signature pass joined
+    by pair key."""
+    from ydb_vector_search_demo_spark.operators import dedup as DD
+
+    return DD.minhash_accuracy_eval(
+        _t(spark, sf_dir, "documents"), n=3, num_hashes=16,
+        threshold=0.5, max_shingle_doc_freq=1000,
+    ).orderBy("a", "b")
+
+
 _SKYLINE_ORACLE_SQL = """
     WITH g AS (
       SELECT p.p_brand AS brand, l.l_partkey AS partkey,
@@ -15504,6 +15559,12 @@ _GRADE_FIRST = [
 # a strict composition of pq_opq_fixed's rotation + the store-serve
 # splits), events_gapfill_hourly (spine join graded via
 # events_hopping_hourly's window arithmetic).
+# ---------------------------------------------------------------------------
+# r12 wave 25 (same bar: both SFs, ×10-probed 6.5× output-driven —
+# the jaccard-pair-path dup-corpus effect, delta two map-only sig
+# passes; hashlib reference law):
+#   dedup_minhash_accuracy — MinHash estimate-vs-exact eval (exact
+#                            integer error numerators)
 # ---------------------------------------------------------------------------
 # r12 wave 24 (same bar: both SFs, ×10-probed ~1× grain-bounded,
 # DIFFERENT-ALGORITHM oracle, brute-force dominance law):
