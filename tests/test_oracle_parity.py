@@ -80,7 +80,11 @@ _MUST_GRADE = {
     # family held five of the fifty slots, the sign-code fold is
     # graded through pq_opq_fixed's rotated projections, and the
     # Hamming≤1 multiprobe stays oracle-checked by this file's sweep.
-    "retrieval_reranked_top5",
+    # r13 (r12 verdict task #2): retrieval_reranked_top5 rotated out —
+    # the md5 cross-encoder seam is the pinned-model convention
+    # rag_full_pipeline's oracle byte-pins, and retrieval_mmr_fixed
+    # keeps the serving re-rank slot; it stays oracle-checked by this
+    # file's parity sweep.
     # late-r7: quant_hamming_topk rotated out (its packed-bit
     # xor-popcount surface is graded through pq_adc_fixed's coarse
     # stage; still oracle-checked by this file's parity sweep) so the
@@ -102,7 +106,11 @@ _MUST_GRADE = {
     # the hybrid BM25 rows), batch_knn_cosine (batch machinery graded
     # via ann_ivf_batch_fixed, exact scoring via knn_top5_*),
     # dedup_cosine_pairs (see above).
-    "ivfpq_fixed", "ann_ivf_batch_fixed", "pq_opq_fixed",
+    # r13 (r12 verdict task #2): ivfpq_fixed rotated out — coarse
+    # assign → pruned probe graded via ann_ivf_batch_fixed's pinned
+    # centroids, residual → LUT-sum ADC via pq_opq_fixed's rotated-LUT
+    # ADC; it stays oracle-checked by this file's parity sweep.
+    "ann_ivf_batch_fixed", "pq_opq_fixed",
     # r9 (r8 verdict task #1): the r8 serving-shape/analytics/streaming
     # waves rotate in — MMR diversity re-rank (every greedy pick
     # oracle-replayed), the ordered funnel (single-action unioned plan,
@@ -164,6 +172,21 @@ _MUST_GRADE = {
     "graph_pagerank_label", "bucketed_join_revenue",
     "multimodal_image_ahash_pairs", "events_ab_test_cuped",
     "streaming_cusum_monitor",
+    # r13 (r12 verdict task #2): the consolidated r13 eligibility
+    # ranking's top five rotate in — tokenizer training (bit-replayed
+    # BPE merge fold), data selection (DSIR importance weights), the
+    # index-training math (exact-integer Lloyd steps), graph structure
+    # (degree-ordered triangle counting), and the physical file-count
+    # lifecycle (compaction through the manifest pointer). Out with
+    # rationale (all still oracle-checked by this file's sweep):
+    # retrieval_reranked_top5 and ivfpq_fixed (above),
+    # part_like_filter (LIKE pushdown graded through the relational
+    # predicate rows + the pinned PushedFilters plan guards),
+    # contrastive_triplets (graded cosine scoring + graded per-group
+    # WindowGroupLimit cut), label_centroids (grouped mean-of-vectors
+    # is a strict subset of the incoming Lloyd update).
+    "corpus_bpe_merges", "corpus_dsir_weights", "ann_kmeans_step_fixed",
+    "graph_triangle_stats", "store_compaction",
 }
 
 

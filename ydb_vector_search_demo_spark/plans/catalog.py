@@ -14978,7 +14978,16 @@ _GRADE_FIRST = [
     # the store delete-lifecycle query, whose window + anti-join oracle
     # is distinct. gemm stays covered by tests/test_oracle_parity.
     "store_lifecycle_counts",
-    "label_centroids",
+    # r13 rotation (r12 verdict task #2): label_centroids out — its
+    # grouped mean-of-vectors readout is a strict subset of the
+    # INCOMING ann_kmeans_step_fixed, whose exact-integer Lloyd update
+    # recomputes per-cluster component means across three unrolled
+    # training steps PLUS the assignment argmin the centroid readout
+    # lacks; it stays oracle-checked in tests/test_oracle_parity. In
+    # its place the index-TRAINING math itself (V4 depth): the
+    # bit-replayed k-means step the rows-only MLlib-fit rows wrap —
+    # the window graded probe paths, never the training step.
+    "ann_kmeans_step_fixed",
     # quantization ladder (r5 rotation, r4 verdict task #5:
     # pq_adc_fixed pins ADC arithmetic against fixed codebooks).
     # r10 rotation (r9 verdict task #1): pq_adc_fixed out — plain ADC
@@ -15009,7 +15018,16 @@ _GRADE_FIRST = [
     # oracle-checked in tests/test_oracle_parity. In its place the
     # retrieve→rerank stack: the cross-encoder seam (determinized in r6
     # to pure md5 arithmetic DuckDB replays) gets a direct graded row.
-    "retrieval_reranked_top5",
+    # r13 rotation (r12 verdict task #2): retrieval_reranked_top5 out —
+    # the md5 cross-encoder seam is the same pinned-model convention
+    # the graded rag_full_pipeline's oracle byte-pins (its summary IS
+    # an md5 of the assembled prompt), and the serving re-rank slot
+    # stays directly graded through retrieval_mmr_fixed; it stays
+    # oracle-checked in tests/test_oracle_parity. In its place the
+    # TOKENIZER-TRAINING family's first graded row (corpus_bpe_merges):
+    # four bit-replayed BPE merge steps on the word-frequency grain —
+    # nothing in the window graded vocabulary training.
+    "corpus_bpe_merges",
     # r6 rotation: rag_prompt out, rag_full_pipeline in — the full
     # POST /search dataflow gained an oracle this round, and its
     # summary column is trim('[stub-summary ' || substr(md5(prompt),
@@ -15062,7 +15080,18 @@ _GRADE_FIRST = [
     # window: residual IVF-PQ through the real parquet store
     # (ivfpq_fixed — coarse assign, residual encode, per-cell ADC and
     # exact top-k all recomputed by DuckDB).
-    "ivfpq_fixed",
+    # r13 rotation (r12 verdict task #2): ivfpq_fixed out — its
+    # composition decomposes into pieces with direct graded rows:
+    # coarse assign → pruned probe via ann_ivf_batch_fixed's pinned
+    # centroids, residual encode → LUT-sum ADC via pq_opq_fixed's
+    # rotated-LUT ADC (the SAME per-cell arithmetic plus the rotation
+    # ivfpq lacks); it stays oracle-checked in tests/test_oracle_parity
+    # and stays benched as a headline serving row. In its place graph
+    # STRUCTURE (graph_triangle_stats): degree-ordered triangle
+    # counting + clustering coefficient — the window grades graph
+    # ITERATION via graph_pagerank_label, never structure, and the
+    # O(m^1.5) orientation bound is its own 100 TB scale claim.
+    "graph_triangle_stats",
     # r11 rotation (r10 verdict task #1): text_repetition_stats out —
     # its windowed n-gram repetition arithmetic is the same tokenize →
     # sliding-window shape the graded dedup_ngram_spans replays (the
@@ -15154,7 +15183,18 @@ _GRADE_FIRST = [
     # the streamed == batch law — a monitoring surface the window
     # graded nowhere. Grain-bounded state (~720 rows at any scale).
     "streaming_cusum_monitor",
-    "part_like_filter",
+    # r13 rotation (r12 verdict task #2): part_like_filter out — the
+    # LIKE-pushdown surface is graded through the relational predicate
+    # rows (tpch_q3_shipping / tpch_q1_pricing pushed filters, the
+    # Q19-shaped disjunctive residue in the pytest sweep) and the
+    # StartsWith/Contains PushedFilters claims are pinned by
+    # test_plans.py; it stays oracle-checked in
+    # tests/test_oracle_parity. In its place the physical FILE-COUNT
+    # lifecycle (store_compaction): 16 small files → manifest v0 →
+    # compact to 1 → manifest v1 → read through the current pointer —
+    # the small-files operational lever at 100 TB, previously
+    # ungraded (carried from the r12 eligibility ranking).
+    "store_compaction",
     # events: windows, JSON, sessions, asof, bands, percentiles.
     # r5 mid-round rotation: events_hourly out (identical aggregation
     # to the graded streaming_hourly_counts row, which is checked
@@ -15214,7 +15254,19 @@ _GRADE_FIRST = [
     # reduction from exact integer moments under the pinned-hash arm
     # seam — a family the window graded nowhere.
     "events_ab_test_cuped",
-    "contrastive_triplets",
+    # r13 rotation (r12 verdict task #2): contrastive_triplets out —
+    # label-aware per-anchor top-k decomposes into the graded exact
+    # cosine scoring (knn_top5_full / knn_top5_by_metric) and the
+    # graded per-group Partial WindowGroupLimit cut
+    # (ann_ivf_batch_fixed's per-query top-k; the per-key window
+    # argmax via top_customers_per_nation); it stays oracle-checked in
+    # tests/test_oracle_parity and stays benched. In its place the
+    # DATA-SELECTION family's first graded row (corpus_dsir_weights):
+    # DSIR importance weighting — hashed-bigram LM ratio toward a
+    # target domain, one model pass + one scoring shuffle; the window
+    # grades mixing/sampling but graded selection toward a target
+    # nowhere.
+    "corpus_dsir_weights",
     "events_asof_purchase_click",
     "events_session_window",
     # r5 close-out rotation: events_value_bands out (a CASE banding —
@@ -15490,6 +15542,21 @@ _GRADE_FIRST = [
 #   (the md5 cross-encoder seam is the same pinned-model convention
 #   rag_full_pipeline's oracle byte-pins; MMR keeps the serving
 #   re-rank slot).
+# ---------------------------------------------------------------------------
+# r13 rotation EXECUTED (r12 verdict task #2): the consolidated
+# ranking's top five are in the graded window — corpus_bpe_merges,
+# corpus_dsir_weights, ann_kmeans_step_fixed, graph_triangle_stats,
+# store_compaction. Out with inline rationales at their old slots:
+# retrieval_reranked_top5, ivfpq_fixed, part_like_filter,
+# contrastive_triplets (the verdict's four duplicate-surface
+# candidates) and label_centroids (the fifth slot the 5-in swap
+# needs: its grouped mean-of-vectors readout is a strict subset of
+# the incoming Lloyd update). Every rotated-out row stays green in
+# the pytest parity sweep and keeps its bench row where it had one.
+# Ranking rows 6-10 (corpus_span_corruption,
+# ann_power_iteration_fixed, kendall/MK, dedup_keep_best,
+# retrieval_rbo_bm25_qld / corpus_neyman_sample /
+# corpus_bpe_fertility) remain eligible for r14.
 # ---------------------------------------------------------------------------
 # r12 rotation EXECUTED (r11 verdict task #2): the ranking's top five
 # are in the graded window — graph_pagerank_label,
