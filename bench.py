@@ -352,6 +352,129 @@ COMPARABLE_20 = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Hot-host defense (r12 verdict task #1). The judged artifact is the
+# DRIVER's capture, and the driver may launch bench.py seconds after
+# another Spark JVM exits: the r12 driver capture ran a uniform 1.22×
+# hot vs a quiet-box run of the identical tree (BASELINE.md r12 note).
+# Two layers, both recorded in BENCH_DETAIL.json so the capture is
+# self-diagnosing:
+#   1. SETTLE GATE — before the timed region, wait (max
+#      $SPARK_GRAFT_BENCH_SETTLE_SEC, default 150 s) until the 1-min
+#      load average drops under max(4, 0.2×cpus). Load-avg counts
+#      runnable tasks from OTHER processes and decays ~e^(-t/60) after
+#      a JVM exits, so a post-sweep launch settles in ~1-2 min while a
+#      quiet box passes instantly. A single-thread CPU canary is timed
+#      alongside (diagnostic, not gating) so start-vs-end drift is
+#      visible in the detail file.
+#   2. OUTLIER RE-RUN — per row, after the base trials, if the min
+#      exceeds 1.5× the committed quiet-box reference (BENCH_DETAIL.json
+#      read BEFORE this run overwrites it) by more than 0.15 s absolute,
+#      run extra trials (max 5) until two consecutive samples agree
+#      within 10% or the min drops under the gate; the row records
+#      ref_min / ref_ratio / extra_trials and a contaminated flag
+#      (true = still >1.5× after retries: either persistent host
+#      contention or a genuine regression — mm_ratio + the canary
+#      drift separate the two). The reported stat stays "min", so a
+#      retry can only tighten it, never change its meaning.
+# ---------------------------------------------------------------------------
+
+HOT_RATIO = 1.5
+HOT_ABS_SLACK = 0.15
+MAX_EXTRA_TRIALS = 5
+
+
+def _canary_sec() -> float:
+    """Single-thread CPU canary: min-of-3 of a fixed integer loop
+    (~60 ms on an idle core). Pure Python so it measures the CPU this
+    process actually gets, with no BLAS/JVM threading wildcards."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(1_500_000):
+            acc += i * i
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def settle_gate(cpus: int) -> dict:
+    """Block until the host looks quiet (load-avg gate) or the budget
+    runs out; return the probe history for BENCH_DETAIL.json."""
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_SEC", "150"))
+    thresh = max(4.0, 0.2 * cpus)
+    t0 = time.time()
+    history = []
+    while True:
+        load1 = os.getloadavg()[0]
+        canary = _canary_sec()
+        waited = time.time() - t0
+        history.append(
+            {"t": round(waited, 1), "load1": round(load1, 2),
+             "canary": round(canary, 4)}
+        )
+        if load1 <= thresh or waited >= budget:
+            break
+        print(
+            f"\nbench settle: load1={load1:.1f} > {thresh:.1f}, waiting "
+            f"({waited:.0f}/{budget:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(5)
+    return {
+        "thresh": thresh,
+        "budget_sec": budget,
+        "waited_sec": round(time.time() - t0, 1),
+        "settled": history[-1]["load1"] <= thresh,
+        "probes": history if len(history) <= 40 else history[-40:],
+    }
+
+
+def hot_retry(samples: list, ref, run_trial) -> tuple:
+    """Layer-2 re-run (see the hot-host defense note above): while the
+    row's min exceeds HOT_RATIO× its quiet-box reference (by more than
+    HOT_ABS_SLACK absolute), append extra trials — up to
+    MAX_EXTRA_TRIALS — stopping early once two consecutive samples
+    agree within 10% (a stable slowdown, not a burst). Mutates
+    ``samples``; returns (extra_trials, still_hot)."""
+
+    def _hot() -> bool:
+        m = min(samples)
+        return (
+            ref is not None
+            and m > HOT_RATIO * ref
+            and m - ref > HOT_ABS_SLACK
+        )
+
+    extra = 0
+    while _hot() and extra < MAX_EXTRA_TRIALS:
+        samples.append(run_trial())
+        extra += 1
+        a, b = samples[-2], samples[-1]
+        if extra >= 2 and abs(a - b) <= 0.10 * max(a, b):
+            break
+    return extra, _hot()
+
+
+def _load_reference_mins(bench_dir: str, sf_val) -> dict[str, float]:
+    """Per-row quiet-box reference mins: the committed BENCH_DETAIL.json
+    (full capture), with BENCH_DETAIL_subset.json filling rows that only
+    have subset history. Read BEFORE the run overwrites them. A capture
+    taken at a different scale factor is ignored — reference mins are
+    only comparable at the same SF."""
+    ref: dict[str, float] = {}
+    for fname in ("BENCH_DETAIL_subset.json", "BENCH_DETAIL.json"):
+        path = os.path.join(bench_dir, fname)
+        try:
+            with open(path) as f:
+                detail = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if detail.get("sf") == sf_val:
+            ref.update(detail.get("queries_min", {}))
+    return ref
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -377,6 +500,15 @@ def main() -> None:
         unknown = [n for n in selected if n not in HEADLINE]
         if unknown:
             raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY not in HEADLINE: {unknown}")
+
+    # hot-host defense layer 1: settle BEFORE the JVM comes up, so the
+    # load-avg reading reflects OTHER processes, not our own warm-up
+    bench_dir = os.path.dirname(os.path.abspath(__file__))
+    settle = settle_gate(cpus)
+    print("\nbench settle " + json.dumps(settle), file=sys.stderr)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    reference_min = _load_reference_mins(bench_dir, sf_val)
 
     from ydb_vector_search_demo_spark.plans.catalog import QUERIES
     from ydb_vector_search_demo_spark.session import get_spark
@@ -431,35 +563,60 @@ def main() -> None:
 
     TRIALS_CONTRACT = 5
     TRIALS_TAIL = 3
+
+    def run_trial(name: str) -> float:
+        if name == "ann_ivf_build":
+            ann.clear_index_cache()
+        if name == "text_bm25_index_build":
+            from ydb_vector_search_demo_spark.operators import retrieval
+
+            retrieval.clear_bm25_cache()
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).collect()
+        elapsed = time.time() - t0
+        # operator-internal caches must not leak across timed queries
+        dedup.release_persisted()
+        return elapsed
+
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
+    contaminated_rows: list[str] = []
     for name in selected:
         trials = TRIALS_CONTRACT if name in COMPARABLE_20 else TRIALS_TAIL
-        samples = []
-        for _ in range(trials):
-            if name == "ann_ivf_build":
-                ann.clear_index_cache()
-            if name == "text_bm25_index_build":
-                from ydb_vector_search_demo_spark.operators import retrieval
+        samples = [run_trial(name) for _ in range(trials)]
 
-                retrieval.clear_bm25_cache()
-            t0 = time.time()
-            QUERIES[name](spark, sf_dir).collect()
-            samples.append(time.time() - t0)
-            # operator-internal caches must not leak across timed queries
-            dedup.release_persisted()
-        samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
+        # hot-host defense layer 2 (r12 verdict task #1): if this row's
+        # min is far off its committed quiet-box reference, the base
+        # trials likely all ran inside one hot window — re-run via
+        # hot_retry (min over MORE samples only ever tightens the
+        # reported stat).
+        ref = reference_min.get(name)
+        extra, contaminated = hot_retry(
+            samples, ref, lambda: run_trial(name)
+        )
+        if contaminated:
+            contaminated_rows.append(name)
+
+        ordered = sorted(samples)
+        timings[name] = round(ordered[len(ordered) // 2], 3)
         spread[name] = {
-            "min": round(samples[0], 3),
+            "min": round(ordered[0], 3),
             "median": timings[name],
-            "max": round(samples[-1], 3),
+            "max": round(ordered[-1], 3),
             "trials": trials,
             # contention fingerprint: a plan regression shifts min; host
             # contention widens max/min while min stays put. Logged per
             # query so the driver JSON is self-diagnosing (r3 verdict #7).
-            "mm_ratio": round(samples[-1] / samples[0], 2) if samples[0] else None,
+            "mm_ratio": round(ordered[-1] / ordered[0], 2) if ordered[0] else None,
         }
+        if ref is not None:
+            spread[name]["ref_min"] = ref
+            spread[name]["ref_ratio"] = (
+                round(ordered[0] / ref, 2) if ref else None
+            )
+        if extra:
+            spread[name]["extra_trials"] = extra
+        spread[name]["contaminated"] = contaminated
         # second recovery channel (r4 task #8): per-query numbers land
         # on stderr the moment they exist, so no stdout truncation mode
         # can lose a query entirely
@@ -468,8 +625,6 @@ def main() -> None:
         # and defeat a ^bench grep
         print(f"\nbench {name} {json.dumps(spread[name])}", file=sys.stderr)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     value_min = round(sum(s["min"] for s in spread.values()), 3)
     value_median = round(sum(timings.values()), 3)
 
@@ -488,6 +643,16 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "trials": {"contract": TRIALS_CONTRACT, "tail": TRIALS_TAIL},
+        # hot-host defense record: the settle-gate probe history, the
+        # end-of-run canary next to the start one (drift > ~1.3× means
+        # the host heated up DURING the run), and which rows stayed
+        # >1.5× their committed quiet-box reference even after retries
+        "settle": settle,
+        "canary_end": round(_canary_sec(), 4),
+        "contaminated_rows": contaminated_rows,
+        "hot_gate": {"ratio": HOT_RATIO, "abs_slack": HOT_ABS_SLACK,
+                     "max_extra_trials": MAX_EXTRA_TRIALS,
+                     "reference_rows": len(reference_min)},
         "spread": spread,
         "queries_median": timings,
         "queries_min": {n: s["min"] for n, s in spread.items()},
@@ -518,6 +683,9 @@ def main() -> None:
         "value_median": value_median,
         "queries": {n: s["min"] for n, s in spread.items()},
         "detail": detail_name,
+        # hot-host defense summary (full record in the detail file)
+        "settle_sec": settle["waited_sec"],
+        "contaminated": len(contaminated_rows),
     }
     if only:
         compact["subset"] = only
