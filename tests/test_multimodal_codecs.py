@@ -190,6 +190,29 @@ def test_audio_rms_frames_laws(spark):
     assert got[3]["n_frames"] == 3 and got[3]["n_silent"] == 2
 
 
+def test_audio_rms_frames_silence_ms_deprecation_shim(spark):
+    """r12 ADVICE: keyword callers of the pre-r12 name silence_ms=
+    still work (DeprecationWarning, value forwarded to
+    silence_mean_sq); unknown keywords still raise TypeError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ydb_vector_search_demo_spark.multimodal import media
+
+    quiet = media.encode_wav(np.full(160, 500, dtype=np.int64))
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(quiet))],
+        "media_id LONG, modality STRING, payload BINARY",
+    )
+    # mean square = 250_000: silent under the default 1e6 threshold,
+    # loud under a shimmed silence_ms=1 threshold
+    with _pytest.warns(DeprecationWarning, match="silence_mean_sq"):
+        got = media.audio_rms_frames(df, silence_ms=1).collect()
+    assert got[0]["n_silent"] == 0
+    with _pytest.raises(TypeError, match="unexpected keyword"):
+        media.audio_rms_frames(df, silence_db=1)
+
+
 def test_image_ahash_laws(spark):
     """A global brightness shift WITHOUT wrap leaves every bit (hence
     every band) unchanged — the invariance that motivates perceptual

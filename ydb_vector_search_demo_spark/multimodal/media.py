@@ -562,7 +562,10 @@ RMS_SCHEMA = StructType(
 
 
 def audio_rms_frames(
-    media: DataFrame, frame_len: int = 160, silence_mean_sq: int = 1_000_000
+    media: DataFrame,
+    frame_len: int = 160,
+    silence_mean_sq: int = 1_000_000,
+    **deprecated,
 ) -> DataFrame:
     """Frame-level loudness / SILENCE detection through the real codec
     — the temporal-audio analysis next to scene_cuts' temporal-video
@@ -580,7 +583,27 @@ def audio_rms_frames(
     total sum of squares (bigint) — RMS is one driver-side sqrt of
     ints downstream. Overflow: 160 samples × 16384² < 2^36 per frame;
     the per-media total is < n·2^28 — a 10-hour PCM16 stream stays
-    inside 2^63."""
+    inside 2^63.
+
+    The r12 rename ``silence_ms`` → ``silence_mean_sq`` (the old name
+    wrongly suggested a duration) keeps a deprecation shim: keyword
+    callers of the old name still work with a DeprecationWarning."""
+    if "silence_ms" in deprecated:  # pre-r12 keyword (r12 ADVICE shim)
+        import warnings
+
+        warnings.warn(
+            "audio_rms_frames(silence_ms=...) was renamed to "
+            "silence_mean_sq= (it is a squared-amplitude threshold, "
+            "not a duration); the old keyword will be removed",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        silence_mean_sq = deprecated.pop("silence_ms")
+    if deprecated:
+        raise TypeError(
+            f"audio_rms_frames() got unexpected keyword arguments: "
+            f"{sorted(deprecated)}"
+        )
     from ydb_vector_search_demo_spark.shipping import ensure_package_on_workers
 
     ensure_package_on_workers()

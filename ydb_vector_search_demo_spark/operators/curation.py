@@ -2311,6 +2311,11 @@ def dsir_importance_weights(
             F.col(source_col).alias("_src"),
             tokens(text_col).alias("_toks"),
         )
+        # zero-token docs carry no n-gram evidence and are excluded
+        # (docstring contract; the oracle excludes them too) — and the
+        # filter must come BEFORE the bigram slice: size(_toks)-1 is -1
+        # on an empty array, which raises INVALID_PARAMETER_VALUE.LENGTH
+        .where(F.size("_toks") > 0)
         .select(
             "_id",
             "_src",

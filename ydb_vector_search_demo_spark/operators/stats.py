@@ -1033,11 +1033,25 @@ def skyline_2d(
     mutually non-dominating and all survive, per the definition's
     'one strict' clause). Both criteria must be exact integers
     (cents/units — the house money convention) so the frontier is
-    bit-stable cross-engine.
+    bit-stable cross-engine — ENFORCED, not just documented (r12
+    ADVICE): the strictly-cheaper window orders by the cost cast to
+    bigint with rangeBetween(-1), so a fractional cost (10.2 vs 10.7)
+    would land in neither the strict-less frame nor the equal-cost
+    partition and a dominated row would silently survive. Non-integral
+    cost/gain columns raise TypeError; convert money to cents first.
 
     Scale shape: one window over (group, cost order) — a single keyed
     exchange; the frontier result is output-bounded. The quadratic
     NOT EXISTS form remains the DIFFERENT-ALGORITHM oracle."""
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    for col in (cost_col, gain_col):
+        matches = [f for f in df.schema.fields if f.name == col]
+        if matches and matches[0].dataType.simpleString() not in integral:
+            raise TypeError(
+                f"skyline_2d requires exact integer criteria; column "
+                f"{col!r} is {matches[0].dataType.simpleString()} — "
+                f"cast to cents/units (bigint) first"
+            )
     gcols = [group_col] if group_col else []
     w_lt = (
         Window.partitionBy(*gcols)

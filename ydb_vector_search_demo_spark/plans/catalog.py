@@ -14623,8 +14623,15 @@ _MINHASH_ACC_ORACLE_SQL = f"""
       SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles
       FROM documents
     ),
-    e AS (SELECT doc_id, len(shingles) AS ns, unnest(shingles) AS s
+    e0 AS (SELECT doc_id, len(shingles) AS ns, unnest(shingles) AS s
           FROM sh WHERE len(shingles) > 0),
+    -- the hot-shingle valve, replayed (r12 ADVICE): the Spark side
+    -- caps shingles at doc-freq 1000 BEFORE the pair join while ns
+    -- keeps the pre-filter size (shingle_jaccard_pairs' documented
+    -- lower-bound convention), so the oracle must cap identically or
+    -- parity silently breaks at whatever SF the cap first binds
+    hot AS (SELECT s FROM e0 GROUP BY s HAVING count(*) > 1000),
+    e AS (SELECT * FROM e0 WHERE s NOT IN (SELECT s FROM hot)),
     p AS (SELECT a.doc_id AS a, b.doc_id AS b, a.ns AS na, b.ns AS nb,
                  count(*)::BIGINT AS inter
           FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -14652,8 +14659,10 @@ def q_dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     completes the approximate family's story (HLL and the quantile
     sketch carry estimate-next-to-exact readouts; MinHash did not):
     for every exact-Jaccard pair at >= 0.5 (the graded pair
-    relation, hot-shingle valve ON — result-invisible at these SFs,
-    max df 7/25 vs the 1000 cap), the 16-hash portable
+    relation, hot-shingle valve ON; the oracle replays the df<=1000
+    cap in its pair CTE — r12 ADVICE — so parity holds even at SFs
+    where the cap binds; at these SFs it is result-invisible, max df
+    7/25), the 16-hash portable
     signature's match fraction next to the exact Jaccard, with the
     error carried as the EXACT integer numerator
     |matches*union - inter*16| so error ranking never sums floats.
