@@ -1560,6 +1560,160 @@ def test_dsir_importance_weights_excludes_zero_token_docs(spark):
     assert sorted((r["doc_id"], r["n_ngrams"]) for r in rows) == [(1, 1), (2, 1)]
 
 
+def _unigram_reference(texts, L=4, seed_keep=64, final_keep=32):
+    """Independent hand-rolled unigram-LM trainer (Kudo 2018 hard-EM,
+    the test-side twin of curation.unigram_lm_train): substring
+    seeding, integer micro-nat scores, Viterbi with the
+    shortest-piece tie-break, usage-count M-step, keep-all-chars
+    prune, second EM round. Pure Python — shares no code with the
+    operator."""
+    import decimal
+    import math
+    from collections import Counter
+
+    SENT = -(2**62)
+    wc = Counter(w for t in texts for w in t.split())
+    subs = Counter()
+    for w, n in wc.items():
+        for i in range(len(w)):
+            for l in range(1, min(L, len(w) - i) + 1):
+                subs[w[i:i + l]] += n
+    seed = {p: c for p, c in subs.items() if len(p) == 1}
+    seed.update(
+        dict(
+            sorted(
+                ((p, c) for p, c in subs.items() if len(p) >= 2),
+                key=lambda x: (-x[1], x[0]),
+            )[:seed_keep]
+        )
+    )
+
+    def scores(vocab):
+        T, V = sum(vocab.values()), len(vocab)
+        return {
+            p: int(
+                decimal.Decimal(
+                    (math.log(c + 1) - math.log(T + V)) * 1e6
+                ).quantize(0, rounding=decimal.ROUND_HALF_UP)
+            )
+            for p, c in vocab.items()
+        }
+
+    def viterbi(w, sc):
+        dp, seg = [0] + [None] * len(w), [""] * (len(w) + 1)
+        for j in range(1, len(w) + 1):
+            cands = []
+            for l in range(1, L + 1):
+                p = w[j - l:j] if j - l >= 0 else None
+                cands.append(
+                    dp[j - l] + sc[p]
+                    if p is not None and p in sc
+                    else SENT
+                )
+            best = max(cands)
+            dp[j] = best
+            l = cands.index(best) + 1  # smallest l among the argmax set
+            seg[j] = seg[j - l] + " " + w[j - l:j]
+        return dp[len(w)], seg[len(w)].strip()
+
+    def em(vocab):
+        sc = scores(vocab)
+        used, segs = Counter(), {}
+        for w, n in wc.items():
+            d, s = viterbi(w, sc)
+            segs[w] = (d, s)
+            for p in s.split(" "):
+                used[p] += n
+        return {p: used.get(p, 0) for p in vocab}, segs
+
+    c1, _ = em(seed)
+    pruned = {p: c for p, c in c1.items() if len(p) == 1}
+    pruned.update(
+        dict(
+            sorted(
+                ((p, c) for p, c in c1.items() if len(p) >= 2),
+                key=lambda x: (-x[1], x[0]),
+            )[:final_keep]
+        )
+    )
+    c2, segs2 = em(pruned)
+    return c2, scores(c2), segs2, wc
+
+
+_UNIGRAM_TEXTS = [
+    "lowering lowered lower low",
+    "newest newer new news",
+    "widest wider wide",
+    "low lower newest wide widest lowering",
+    "the news is new the newest is newer",
+]
+
+
+def test_unigram_lm_train_matches_reference(spark):
+    """curation.unigram_lm_train against the independent hand-rolled
+    trainer on a hand corpus — seed counts, both EM rounds, the
+    prune, and the final integer micro-nat scores all index-for-index
+    equal (the BPE-reference test convention applied to the unigram
+    family)."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        unigram_lm_train,
+    )
+
+    c2, sc2, _, _ = _unigram_reference(_UNIGRAM_TEXTS)
+    want = {p: (len(p), c2[p], sc2[p]) for p in c2}
+    docs = spark.createDataFrame(
+        list(enumerate(_UNIGRAM_TEXTS)), "doc_id BIGINT, text STRING"
+    )
+    got = {
+        r["piece"]: (r["piece_len"], r["n_uses"], r["score_micro"])
+        for r in unigram_lm_train(docs).collect()
+    }
+    assert got == want
+    # sanity on the corpus itself: multi-char merges actually won
+    assert any(len(p) >= 2 and c > 0 for p, (_, c, _) in got.items())
+
+
+def test_unigram_lm_segment_laws(spark):
+    """unigram_lm_segment invariants: every word's pieces concatenate
+    back to the word exactly (full coverage, no overlap), every piece
+    is in the trained vocabulary, dp_micro equals the sum of the
+    pieces' final-model... (NOT final: the DP ran under the ROUND-1
+    pruned scores — so instead check dp_micro equals the reference
+    segmentation score), and segmentation matches the independent
+    reference word-for-word."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        unigram_lm_segment,
+        unigram_lm_train,
+    )
+
+    _, _, segs2, wcnt = _unigram_reference(_UNIGRAM_TEXTS)
+    docs = spark.createDataFrame(
+        list(enumerate(_UNIGRAM_TEXTS)), "doc_id BIGINT, text STRING"
+    )
+    got = {
+        r["w"]: (r["dp_micro"], list(r["pieces"]), r["n_pieces"], r["n_w"])
+        for r in unigram_lm_segment(docs).collect()
+    }
+    assert set(got) == set(wcnt)
+    vocab = {
+        r["piece"] for r in unigram_lm_train(docs).collect()
+    }
+    for w, (dp, pieces, n_pieces, n_w) in got.items():
+        assert "".join(pieces) == w          # exact coverage
+        assert n_pieces == len(pieces)
+        assert n_w == wcnt[w]
+        assert all(p in vocab for p in pieces)
+        ref_dp, ref_seg = segs2[w]
+        assert (dp, " ".join(pieces)) == (ref_dp, ref_seg)
+    # fertility seam (the bpe_train_segment readout convention):
+    # corpus fertility = sum n_w * n_pieces / sum n_w, bounded by
+    # [1, max word length]
+    tot_pieces = sum(n_w * n for _, (_, _, n, n_w) in got.items())
+    tot_words = sum(wcnt.values())
+    fert = tot_pieces / tot_words
+    assert 1.0 <= fert <= max(len(w) for w in wcnt)
+
+
 def test_bpe_fertility_matches_reference(spark):
     """curation.bpe_train_segment fertility readout against the same
     independent BPE reference: train on the GLOBAL word table, apply

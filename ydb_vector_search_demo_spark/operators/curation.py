@@ -2258,6 +2258,269 @@ def bpe_train_segment(
     return syms
 
 
+_UNIGRAM_SENT = -(2**62)  # invalid-DP sentinel: far below any real score
+
+
+def _viterbi_segment(
+    wc: DataFrame, vocab_scores: DataFrame, max_piece_len: int = 4
+) -> DataFrame:
+    """Viterbi segmentation of the word-frequency grain under a
+    unigram piece model — the E-step of :func:`unigram_lm_train`:
+    per word, the single best split into vocabulary pieces maximizing
+    the sum of integer micro-nat piece scores.
+
+    DP as ONE functional fold per word (F.aggregate over the char
+    positions; the BPE string-fold convention extended to a struct
+    accumulator): the accumulator carries dp/segmentation for the
+    last ``max_piece_len`` positions; at position j the candidates
+    are the pieces ending at j (length L..1), each scored
+    dp[j-l] + score(piece) with the sentinel for out-of-range or
+    out-of-vocabulary; dp[j] = greatest(cands) and the segmentation
+    picks the SMALLEST l among the argmax set (ties prefer the
+    shorter piece — deterministic, and exactly what the oracle's
+    recursive CTE replays; scores are exact bigints so comparisons
+    are exact). Coverage: the caller keeps every single character in
+    the vocabulary, so dp is always reachable.
+
+    Scale shape: vocabulary scores fold into one broadcast MAP row;
+    the DP is a map-side expression on the (already collapsed) word
+    grain — zero shuffles here. Returns (w, n_w, seg, dp_micro) with
+    seg the space-joined piece sequence."""
+    L = int(max_piece_len)
+    vm = vocab_scores.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("piece", "score_micro"))
+        ).alias("vm")
+    )
+    tagged = wc.crossJoin(F.broadcast(vm))
+    sent = F.lit(_UNIGRAM_SENT).cast("bigint")
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("d1"),
+        *[sent.alias(f"d{l}") for l in range(2, L + 1)],
+        *[F.lit("").alias(f"s{l}") for l in range(1, L + 1)],
+    )
+
+    def _piece(j: Column, l: int) -> Column:
+        return F.col("w").substr(j - F.lit(l - 1), F.lit(l))
+
+    def _cand(acc: Column, j: Column, l: int) -> Column:
+        sc = F.try_element_at(F.col("vm"), _piece(j, l))
+        return F.when(
+            (acc[f"d{l}"] == _UNIGRAM_SENT) | sc.isNull(), sent
+        ).otherwise(acc[f"d{l}"] + sc)
+
+    def _step(acc: Column, j: Column) -> Column:
+        cands = [_cand(acc, j, l) for l in range(1, L + 1)]
+        best = F.greatest(*cands)
+        seg = None
+        # smallest l in the argmax set wins: first equality in 1..L
+        for l in range(L, 0, -1):
+            emit = F.concat(acc[f"s{l}"], F.lit(" "), _piece(j, l))
+            seg = (
+                emit
+                if seg is None
+                else F.when(best == cands[l - 1], emit).otherwise(seg)
+            )
+        return F.struct(
+            best.alias("d1"),
+            *[acc[f"d{l - 1}"].alias(f"d{l}") for l in range(2, L + 1)],
+            seg.alias("s1"),
+            *[acc[f"s{l - 1}"].alias(f"s{l}") for l in range(2, L + 1)],
+        )
+
+    folded = tagged.select(
+        "w",
+        "n_w",
+        F.aggregate(
+            F.sequence(F.lit(1), F.length("w")), init, _step
+        ).alias("_acc"),
+    )
+    return folded.select(
+        "w",
+        "n_w",
+        F.ltrim(F.col("_acc.s1")).alias("seg"),
+        F.col("_acc.d1").alias("dp_micro"),
+    )
+
+
+def _unigram_scores(vocab: DataFrame, count_col: str) -> DataFrame:
+    """Add-1-smoothed integer micro-nat scores for a (piece, count)
+    vocabulary: score = round((ln(c+1) − ln(T+V))·1e6) — every ln
+    argument an exact integer (the accepted ln parity seam), the
+    subtraction one deterministic double op, the ×1e6 round the
+    established micro-bit convention. Smoothing keeps zero-count
+    pieces (the always-kept single chars) finite."""
+    totals = vocab.agg(
+        F.sum(count_col).cast("bigint").alias("_t"),
+        F.count(F.lit(1)).cast("bigint").alias("_v"),
+    )
+    return vocab.crossJoin(F.broadcast(totals)).select(
+        "piece",
+        F.col(count_col).alias("n_uses"),
+        F.round(
+            (
+                F.log(F.col(count_col).cast("double") + 1)
+                - F.log((F.col("_t") + F.col("_v")).cast("double"))
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("score_micro"),
+    )
+
+
+def _unigram_lm_rounds(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    seed_keep: int = 64,
+    final_keep: int = 32,
+):
+    """Shared train pipeline for :func:`unigram_lm_train` /
+    :func:`unigram_lm_segment`: seed → EM round 1 → prune → EM round
+    2. Returns (final_vocab_with_counts2, seg2). See unigram_lm_train
+    for the algorithm contract."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+    from ydb_vector_search_demo_spark.sources.tables import fan_out
+
+    L = int(max_piece_len)
+    wc = (
+        fan_out(docs)
+        .select(F.explode(tokens(text_col)).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+        .localCheckpoint(eager=True)
+    )
+    # seed counts: every substring occurrence of length 1..L, weighted
+    # by word frequency (the SentencePiece seed, frequent-substring
+    # form) — vocab-grain after one map-combinable count
+    subs = (
+        wc.select(
+            "n_w",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, length(w)), i -> "
+                    f"transform(sequence(1, least({L}, length(w)-i+1)), "
+                    f"l -> substring(w, i, l))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("n_w").cast("bigint").alias("c"))
+    )
+    chars = subs.where(F.length("piece") == 1)
+    seed = (
+        chars.unionByName(
+            subs.where(F.length("piece") >= 2)
+            .orderBy(F.desc("c"), "piece")
+            .limit(int(seed_keep))
+        )
+    ).localCheckpoint(eager=True)
+
+    def _counts_under(seg: DataFrame, vocab: DataFrame) -> DataFrame:
+        used = (
+            seg.select("n_w", F.explode(F.split("seg", " ")).alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("n_w").cast("bigint").alias("_u"))
+        )
+        return vocab.select("piece").join(used, "piece", "left").select(
+            "piece", F.coalesce("_u", F.lit(0)).cast("bigint").alias("c")
+        )
+
+    # EM round 1 on the seed vocabulary
+    seg1 = _viterbi_segment(wc, _unigram_scores(seed, "c"), L)
+    c1 = _counts_under(seg1, seed)
+    # prune: every single char survives (coverage — SentencePiece's
+    # required-character rule); multi-char pieces keep the top
+    # final_keep by EM-round-1 usage
+    pruned = (
+        c1.where(F.length("piece") == 1)
+        .unionByName(
+            c1.where(F.length("piece") >= 2)
+            .orderBy(F.desc("c"), "piece")
+            .limit(int(final_keep))
+        )
+        .localCheckpoint(eager=True)
+    )
+    # EM round 2 on the pruned vocabulary
+    seg2 = _viterbi_segment(wc, _unigram_scores(pruned, "c"), L)
+    c2 = _counts_under(seg2, pruned)
+    return c2, seg2
+
+
+def unigram_lm_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    seed_keep: int = 64,
+    final_keep: int = 32,
+) -> DataFrame:
+    """UNIGRAM-LM TOKENIZER TRAINING (Kudo 2018, "Subword
+    Regularization", arXiv:1804.10959 — the SentencePiece unigram
+    model): the OTHER production tokenizer family next to
+    :func:`bpe_merge_steps`. Seed a candidate vocabulary from
+    frequent substrings (length 1..``max_piece_len``, frequency-
+    weighted on the word grain; all single chars + top ``seed_keep``
+    multi-char), then hard-EM: Viterbi-segment every word under the
+    current piece scores (E), re-estimate piece scores from usage
+    counts (M), prune to the top ``final_keep`` multi-char pieces
+    (single chars always survive — the coverage rule), and run one
+    more EM round on the pruned vocabulary.
+
+    Exactness: counts are exact bigints; piece scores are integer
+    micro-nats round((ln(c+1) − ln(T+V))·1e6) (each ln argument an
+    exact integer — the accepted ln parity seam; add-1 smoothing
+    keeps zero-count chars finite); the Viterbi DP compares exact
+    integers with a deterministic shortest-piece tie-break, so every
+    E-step is bit-replayable — the DuckDB oracle replays seeding,
+    both EM rounds and the prune with recursive-CTE DPs (hard EM
+    rather than full forward-backward is exactly what keeps the
+    lattice arithmetic cross-engine exact; it is also SentencePiece's
+    own final Viterbi-decode semantics).
+
+    Scale shape: ONE corpus shuffle (the word-frequency rollup — the
+    bpe_merge_steps convention); seeding is one map-combinable count
+    on the word grain; each EM round is a zero-shuffle map-side DP
+    (broadcast score map) plus one vocab-grain count; every vocab
+    relation is checkpointed and ≤ seed_keep + |alphabet| rows.
+    Returns the final model: (piece, piece_len, n_uses, score_micro).
+    """
+    c2, _ = _unigram_lm_rounds(
+        docs, text_col, max_piece_len, seed_keep, final_keep
+    )
+    return _unigram_scores(c2, "c").select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        "n_uses",
+        "score_micro",
+    )
+
+
+def unigram_lm_segment(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    seed_keep: int = 64,
+    final_keep: int = 32,
+) -> DataFrame:
+    """Word-grain SEGMENTATION under the trained unigram LM (identical
+    math to :func:`unigram_lm_train`) — the apply-side artifact a
+    tokenizer consumer reads, and the seam the fertility comparison
+    vs BPE rides (same word grain as :func:`bpe_train_segment`).
+    Returns (w, n_w, pieces, n_pieces, dp_micro)."""
+    _, seg2 = _unigram_lm_rounds(
+        docs, text_col, max_piece_len, seed_keep, final_keep
+    )
+    return seg2.select(
+        "w",
+        "n_w",
+        F.split("seg", " ").alias("pieces"),
+        F.size(F.split("seg", " ")).cast("int").alias("n_pieces"),
+        "dp_micro",
+    )
+
+
 def dsir_importance_weights(
     docs: DataFrame,
     target_source: str = "src1",
