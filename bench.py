@@ -340,6 +340,10 @@ HEADLINE = [
     # (SentencePiece-style) tokenizer training — substring seeding,
     # two Viterbi-EM rounds + prune on the word-frequency grain
     "corpus_unigram_lm",
+    # r13 wave 27 (outside the comparable subsets): interleaved
+    # multimodal training-sequence assembly (span cut + md5 caption
+    # anchors + the graded next-fit packer, metadata-grain media join)
+    "multimodal_interleaved_pack",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

@@ -213,6 +213,153 @@ def test_audio_rms_frames_silence_ms_deprecation_shim(spark):
         media.audio_rms_frames(df, silence_db=1)
 
 
+def test_interleaved_mm_elements_laws(spark):
+    """r13 wave 27 (MMC4/Flamingo assembly): on a hand corpus the
+    element stream must (a) reassemble each document's text exactly
+    from its text spans in order, (b) place each image IMMEDIATELY
+    BEFORE its anchor span (caption adjacency), (c) anchor at the
+    hand-replayed pinned md5 % n_spans, (d) cost exactly
+    image_tokens per image and span-length per text span, and (e)
+    number positions contiguously from 1."""
+    import hashlib
+
+    from ydb_vector_search_demo_spark.multimodal import media
+
+    texts = {
+        0: "a b c d e f g",          # doc 0: image doc (0 % 3 == 0), 2 spans at S=4
+        1: "h i j",                  # no image
+        2: "",                       # empty text, no image
+        3: "k l m n o p q r s",      # image doc, 3 spans
+        6: "t",                      # image doc, 1 span
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id BIGINT, text STRING"
+    )
+    med = media.media_modalities(docs)
+    got = {}
+    for r in media.interleaved_mm_elements(
+        docs, med, span_tokens=4, image_tokens=7
+    ).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    for d in got:
+        got[d].sort(key=lambda r: r["pos"])
+
+    def anchor(mid, nspans):
+        return (
+            0
+            if nspans == 0
+            else int(hashlib.md5(f"mmanchor:{mid}".encode()).hexdigest()[:4], 16)
+            % nspans
+        )
+
+    for d, text in texts.items():
+        toks = text.split() if text.strip() else []
+        nspans = (len(toks) + 3) // 4
+        els = got.get(d, [])
+        # positions contiguous from 1
+        assert [r["pos"] for r in els] == list(range(1, len(els) + 1))
+        text_els = [r for r in els if r["kind"] == "text"]
+        img_els = [r for r in els if r["kind"] == "image"]
+        # (a) spans reassemble the text, in order, with correct costs
+        assert " ".join(r["content"] for r in text_els) == " ".join(toks)
+        assert all(
+            r["el_tokens"] == len(r["content"].split()) for r in text_els
+        )
+        if d % 3 == 0:
+            assert len(img_els) == 1 and img_els[0]["media_id"] == d
+            a = anchor(d, nspans)
+            assert img_els[0]["span_idx"] == a           # (c)
+            assert img_els[0]["el_tokens"] == 7          # (d)
+            # (b) caption adjacency: the image's successor is the
+            # anchor text span (when the doc has any text)
+            if nspans:
+                ipos = img_els[0]["pos"]
+                nxt = els[ipos]  # pos is 1-based; els[ipos] is pos+1... els[ipos-1] is the image
+                assert els[ipos - 1]["kind"] == "image"
+                assert nxt["kind"] == "text" and nxt["span_idx"] == a
+        else:
+            assert not img_els
+
+
+def test_interleaved_mm_pack_laws(spark):
+    """Pack-grain laws: every pack total <= budget unless it is a
+    single oversized doc (the graded packer's law); totals equal
+    text + 64*images; the anchor checksum equals the hand replay;
+    every doc lands in exactly one pack of its md5 bucket."""
+    import hashlib
+
+    from ydb_vector_search_demo_spark.multimodal import media
+
+    texts = [(i, " ".join(f"w{i}_{j}" for j in range(3 + (i * 7) % 40)))
+             for i in range(40)]
+    docs = spark.createDataFrame(texts, "doc_id BIGINT, text STRING")
+    got = media.interleaved_mm_pack(
+        docs, media.media_modalities(docs),
+        span_tokens=16, image_tokens=64, seq_budget=128, n_buckets=4,
+    ).collect()
+
+    # hand replay
+    def h4(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+    per = {}
+    for i, t in texts:
+        nt = len(t.split())
+        nspans = (nt + 15) // 16
+        n_img = 1 if i % 3 == 0 else 0
+        chk = (i * ((h4(f"mmanchor:{i}") % nspans if nspans else 0) + 1)) if n_img else 0
+        per[i] = (h4(f"mmpack:{i}") % 4, nt, nspans, n_img, chk,
+                  nt + 64 * n_img)
+    packs = {}
+    for b in range(4):
+        ds = sorted(i for i in per if per[i][0] == b)
+        pid, acc = 0, 0
+        for i in ds:
+            t = per[i][5]
+            if acc > 0 and acc + t > 128:
+                pid, acc = pid + 1, 0
+            acc += t
+            key = (b, pid)
+            agg = packs.setdefault(key, [0, 0, 0, 0, 0, 0])
+            agg[0] += 1; agg[1] += per[i][3]; agg[2] += per[i][2]
+            agg[3] += per[i][1]; agg[4] += t; agg[5] += per[i][4]
+    want = {
+        k: tuple(v) for k, v in packs.items()
+    }
+    got_d = {
+        (r["bucket"], r["pack_id"]): (
+            r["n_docs"], r["n_images"], r["n_spans"], r["text_tokens"],
+            r["total_tokens"], r["anchor_checksum"],
+        )
+        for r in got
+    }
+    assert got_d == want
+    for (b, p), (nd, ni, ns, tt, tot, chk) in got_d.items():
+        assert tot == tt + 64 * ni
+        assert tot <= 128 or nd == 1  # budget law
+
+
+def test_media_modalities_matches_synthesized_table(spark):
+    """media_modalities is the metadata grain of the synthesized media
+    table: identical (media_id, modality) pairs, no payloads built."""
+    from ydb_vector_search_demo_spark.multimodal import media
+
+    docs = spark.createDataFrame(
+        [(i, f"t {i}") for i in range(12)], "doc_id BIGINT, text STRING"
+    )
+    lite = {
+        (r["media_id"], r["modality"])
+        for r in media.media_modalities(docs).collect()
+    }
+    full = {
+        (r["media_id"], r["modality"])
+        for r in media.synthesize_media_table(docs)
+        .select("media_id", "modality")
+        .collect()
+    }
+    assert lite == full
+
+
 def test_image_ahash_laws(spark):
     """A global brightness shift WITHOUT wrap leaves every bit (hence
     every band) unchanged — the invariance that motivates perceptual

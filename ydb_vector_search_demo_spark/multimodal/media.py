@@ -32,7 +32,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -161,6 +161,24 @@ def synthesize_media_table(documents: DataFrame) -> DataFrame:
             )
 
     return documents.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def media_modalities(documents: DataFrame) -> DataFrame:
+    """The media table's (media_id, modality) METADATA grain as a pure
+    Column expression — byte-identical to
+    :func:`synthesize_media_table`'s id/modality columns (media_id =
+    doc_id, modality = MODALITIES[doc_id % 3]) without building a
+    single payload. Alignment/packing operators join on this grain:
+    at 100 TB you never ship payload bytes through a metadata join
+    (the module-docstring rule \"project the binary column away as
+    early as possible\" applied at the source)."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in MODALITIES]),
+            (F.col("doc_id") % len(MODALITIES) + 1).cast("int"),
+        ).alias("modality"),
+    )
 
 
 # --------------------------------------------------------------- decoders
@@ -799,4 +817,264 @@ def image_ahash_pairs(
     )
     return ham.filter(F.col("hamming") <= int(max_hamming)).select(
         "a", "b", "hamming"
+    )
+
+
+# ------------------------------------------------- interleaved assembly
+# MMC4/Flamingo-style interleaved (text, image) training examples — the
+# multimodal x curation cell (r12 verdict task #4): align images to
+# positions inside their documents, emit the interleaved element
+# stream, and pack documents into training sequences under a token
+# budget (composing the graded curation.pack_sequences walk).
+
+
+def interleaved_mm_elements(
+    docs: DataFrame,
+    media: DataFrame,
+    span_tokens: int = 16,
+    image_tokens: int = 64,
+) -> DataFrame:
+    """The interleaved ELEMENT stream (Alayrac et al. 2022 "Flamingo",
+    arXiv:2204.14198; Zhu et al. 2023 "Multimodal C4",
+    arXiv:2304.06939): each document's text is cut into consecutive
+    ``span_tokens``-token spans, and each image is inserted
+    IMMEDIATELY BEFORE its anchor span (the caption-adjacency rule —
+    the span that follows an image is treated as its caption, the
+    MMC4 assignment convention). Anchors come from the pinned-md5
+    seam: production MMC4 assigns images to sentence indices by CLIP
+    similarity; here the deterministic stand-in is
+    md5('mmanchor:' || media_id) % n_spans (the house pinned-model
+    convention — the Spark-side plumbing is real, the similarity
+    model is the documented fake). An image costs ``image_tokens``
+    vision tokens (the Flamingo/LLaVA fixed per-image budget).
+
+    Output grain: one row per element — (doc_id, pos, kind,
+    media_id, span_idx, el_tokens, content) with pos the 1-based
+    interleaved position, kind in ('image','text'), media_id NULL for
+    text, span_idx the anchor (image) or span ordinal (text), content
+    the span text (NULL for images). Docs with no tokens and no image
+    emit nothing; an image on a zero-span doc anchors at 0.
+
+    Scale shape: the span explode is map-side (one slice per span);
+    the image attach is one keyed join on doc_id; the interleave
+    order is a per-doc window over at most n_spans+n_images rows.
+    Everything is closed-form — the DuckDB oracle replays spans,
+    anchors and positions exactly."""
+    S, IT = int(span_tokens), int(image_tokens)
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+
+    base = docs.select(
+        "doc_id",
+        tokens("text").alias("_toks"),
+    ).select(
+        "doc_id",
+        "_toks",
+        F.size("_toks").alias("_nt"),
+        F.expr(f"(size(_toks) + {S - 1}) div {S}").alias("_nspans"),
+    )
+    text_el = base.where(F.col("_nspans") > 0).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("_nspans") - 1)).alias(
+            "span_idx"
+        ),
+        "_toks",
+    ).select(
+        "doc_id",
+        F.lit("text").alias("kind"),
+        F.lit(None).cast("bigint").alias("media_id"),
+        F.col("span_idx").cast("bigint").alias("span_idx"),
+        F.size(
+            F.slice(F.col("_toks"), F.col("span_idx") * S + 1, S)
+        )
+        .cast("bigint")
+        .alias("el_tokens"),
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("span_idx") * S + 1, S), " "
+        ).alias("content"),
+    )
+    img_el = (
+        media.where(F.col("modality") == "image")
+        .select(F.col("media_id"))
+        .join(
+            base.select("doc_id", "_nspans"),
+            F.col("media_id") == F.col("doc_id"),
+        )
+        .select(
+            "doc_id",
+            F.lit("image").alias("kind"),
+            F.col("media_id").cast("bigint").alias("media_id"),
+            F.when(F.col("_nspans") == 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("mmanchor:"),
+                                F.col("media_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("_nspans")
+            )
+            .alias("span_idx"),
+            F.lit(IT).cast("bigint").alias("el_tokens"),
+            F.lit(None).cast("string").alias("content"),
+        )
+    )
+    both = text_el.unionByName(img_el)
+    # interleave: the image sorts BEFORE the text span it anchors to
+    w = Window.partitionBy("doc_id").orderBy(
+        "span_idx", F.when(F.col("kind") == "image", 0).otherwise(1)
+    )
+    return both.select(
+        "doc_id",
+        F.row_number().over(w).cast("int").alias("pos"),
+        "kind",
+        "media_id",
+        "span_idx",
+        "el_tokens",
+        "content",
+    )
+
+
+def interleaved_mm_pack(
+    docs: DataFrame,
+    media: DataFrame,
+    span_tokens: int = 16,
+    image_tokens: int = 64,
+    seq_budget: int = 512,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Interleaved multimodal TRAINING SEQUENCES under a token budget:
+    per document, the interleaved cost = text tokens +
+    ``image_tokens`` per attached image; documents are packed into
+    sequences by the graded greedy next-fit walk
+    (curation.pack_sequences — bucket = pinned md5 % ``n_buckets``,
+    walk ordered by doc_id, budget ``seq_budget``), and the readout
+    is the PACK grain: (bucket, pack_id, n_docs, n_images, n_spans,
+    text_tokens, total_tokens, anchor_checksum) — anchor_checksum =
+    Σ media_id·(anchor+1) as an exact bigint, wrong unless every
+    image lands on exactly the anchor span the alignment rule
+    assigns, so the oracle pins the interleaving through the
+    aggregate. Pack sums never exceed the budget except single
+    oversized documents (the packer's law, property-tested).
+
+    Scale shape: one map-side cost projection + one keyed image
+    join, then the packer's applyInPandas walk per bucket (the
+    parallelism unit) and one pack-grain aggregate."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+    from ydb_vector_search_demo_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    S, IT = int(span_tokens), int(image_tokens)
+    base = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("_nt"),
+    ).select(
+        "doc_id",
+        "_nt",
+        F.expr(f"(_nt + {S - 1}) div {S}").alias("_nspans"),
+    )
+    img = (
+        media.where(F.col("modality") == "image")
+        .select(F.col("media_id"))
+        .join(
+            base.select("doc_id", "_nspans"),
+            F.col("media_id") == F.col("doc_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("media_id").cast("bigint").alias("media_id"),
+            F.when(F.col("_nspans") == 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("mmanchor:"),
+                                F.col("media_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("_nspans")
+            )
+            .alias("anchor"),
+        )
+    )
+    per_img = img.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum(F.col("media_id") * (F.col("anchor") + 1))
+        .cast("bigint")
+        .alias("anchor_checksum"),
+    )
+    cost = (
+        base.join(per_img, "doc_id", "left")
+        .select(
+            "doc_id",
+            "_nt",
+            "_nspans",
+            F.coalesce("n_images", F.lit(0)).cast("bigint").alias(
+                "n_images"
+            ),
+            F.coalesce("anchor_checksum", F.lit(0))
+            .cast("bigint")
+            .alias("anchor_checksum"),
+        )
+        .select(
+            "doc_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("mmpack:"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.lit(int(n_buckets))
+            )
+            .cast("int")
+            .alias("bucket"),
+            "_nt",
+            "_nspans",
+            "n_images",
+            "anchor_checksum",
+            (F.col("_nt") + F.lit(IT) * F.col("n_images"))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+    packed = pack_sequences(
+        cost, budget=int(seq_budget), bucket_col="bucket",
+        order_col="doc_id", token_col="n_tokens",
+    )
+    return (
+        packed.groupBy("bucket", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_images").cast("bigint").alias("n_images"),
+            F.sum("_nspans").cast("bigint").alias("n_spans"),
+            F.sum("_nt").cast("bigint").alias("text_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("anchor_checksum").cast("bigint").alias(
+                "anchor_checksum"
+            ),
+        )
     )
