@@ -344,6 +344,10 @@ HEADLINE = [
     # multimodal training-sequence assembly (span cut + md5 caption
     # anchors + the graded next-fit packer, metadata-grain media join)
     "multimodal_interleaved_pack",
+    # r13 wave 28 (outside the comparable subsets): churn-merge SCD2
+    # publish (kb-bucketed seed + churn-bound deltas + newest-source
+    # resolution; seed + 2-batch replay + served read priced end to end)
+    "store_scd2_incremental",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

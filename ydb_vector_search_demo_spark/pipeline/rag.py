@@ -456,6 +456,19 @@ def scd2_history(
             )
         )
     )
+    return scd2_from_events(ev, key_col=key_col, payload_col=payload_col)
+
+
+def scd2_from_events(
+    ev: DataFrame, key_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """The SCD2 window over an already-built event relation
+    ``(key, _p, _v, _is_upsert)`` — the shared core of
+    :func:`scd2_history` (full logs) and the incremental churn-merge
+    publish (streaming.ingest.stream_scd2_ingest_incremental, which
+    reconstructs events for the churn keys only). One window keyed on
+    the key (lead over version); per-key state is that key's change
+    count."""
     w = Window.partitionBy(key_col).orderBy(F.col("_v").asc())
     return (
         ev.withColumn("_next", F.lead("_v").over(w))

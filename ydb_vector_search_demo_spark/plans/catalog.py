@@ -15129,6 +15129,84 @@ _INTERLEAVED_ORACLE_SQL = f"""
     """
 
 
+@register("store_scd2_incremental", ORACLES["store_scd2_history"])
+def q_store_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHURN-MERGE streamed SCD2 history (streaming.ingest
+    stream_scd2_ingest_incremental — r12 verdict task #6, the
+    incremental refinement of the graded store_scd2_stream): the SAME
+    deterministic change log (v1 upserts+inserts, then v2
+    tombstones), but each micro-batch publishes a churn-bound DELTA
+    (history recomputed for its keys only, prior state read
+    partition-pruned from the kb-bucketed compacted seed) instead of
+    rebuilding the whole history — publish cost tracks churn, not
+    store size (×10 probe in BASELINE). The returned relation is the
+    newest-source-wins SERVED history, which the equality law
+    (tests/test_streaming_semantics.py) pins to the batch
+    scd2_history at every publish — so the oracle is the batch row's
+    SQL verbatim (the store_scd2_stream convention)."""
+    import os
+    import tempfile
+    import time as _time
+
+    from ydb_vector_search_demo_spark.streaming.ingest import (
+        init_scd2_base,
+        read_scd2_history_incremental,
+        stream_scd2_ingest_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ch_schema = "doc_id LONG, text STRING, _v INT, op STRING"
+    v1 = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.concat(F.lit("UPDATED: "), F.col("text")).alias("text"),
+            F.lit(1).alias("_v"), F.lit("upsert").alias("op"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text",
+                F.lit(1).alias("_v"), F.lit("upsert").alias("op"),
+            )
+        )
+    )
+    v2 = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit(2).alias("_v"), F.lit("delete").alias("op"),
+    )
+    work = tempfile.mkdtemp(prefix="spark_scd2_inc_")
+    src = os.path.join(work, "changes")
+    os.makedirs(src)
+    now = _time.time()
+    for i, sl in enumerate([v1, v2]):
+        staging = os.path.join(work, f"_stage_{i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in os.listdir(staging)
+            if f.endswith(".parquet") and f.startswith("part-")
+        )
+        dest = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(staging, part), dest)
+        os.utime(dest, (now - 60 + 30 * i,) * 2)
+    root = os.path.join(work, "store")
+    init_scd2_base(spark, docs, root)
+    stream = (
+        spark.readStream.schema(ch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = stream_scd2_ingest_incremental(
+        stream, root, os.path.join(work, "ckpt")
+    ).start()
+    q.awaitTermination()
+    return (
+        read_scd2_history_incremental(spark, root)
+        .select("doc_id", "text", "valid_from", "valid_to", "is_current")
+        .orderBy("doc_id", "valid_from")
+    )
+
+
 @register("multimodal_interleaved_pack", _INTERLEAVED_ORACLE_SQL)
 def q_multimodal_interleaved_pack(
     spark: SparkSession, sf_dir: str
@@ -15869,6 +15947,15 @@ _GRADE_FIRST = [
 # a strict composition of pq_opq_fixed's rotation + the store-serve
 # splits), events_gapfill_hourly (spine join graded via
 # events_hopping_hourly's window arithmetic).
+# ---------------------------------------------------------------------------
+# r13 wave 28 (same bar: sf0.01/0.1 parity vs the batch scd2 oracle,
+# equality law at EVERY publish + churn-bound-delta law; ×10 store
+# probe 0.94× flat vs the full rebuild's 1.45× — publish cost tracks
+# churn, not store size):
+#   store_scd2_incremental — churn-merge streamed SCD2 history
+#                            (kb-bucketed compacted seed, per-batch
+#                            churn-key deltas, newest-source-wins
+#                            serve, compaction watermark)
 # ---------------------------------------------------------------------------
 # r13 wave 27 (same bar: 3-SF parity, ×10-probed 1.28×, element/pack
 # law tests with hand md5 replays):

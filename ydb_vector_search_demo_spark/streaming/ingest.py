@@ -317,3 +317,335 @@ def stream_scd2_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer
+
+
+# ----------------------------------------------- incremental SCD2 publish
+# The churn-merge refinement of stream_scd2_ingest (r12 verdict task
+# #6): instead of rebuilding the WHOLE history from base + logs at
+# every publish (one full-`base` window pass + a store-sized write),
+# each micro-batch recomputes history for ITS CHURN KEYS ONLY and
+# publishes a churn-bound DELTA next to a rarely-rebuilt, key-bucketed
+# COMPACTED history — the events_rollup_serve economics applied to
+# warehouse history (materialized closed part + live tail, resolved at
+# read). Publish cost tracks churn, not store size (×10-probed).
+
+
+def _scd2_kb(key_col: str, n_buckets: int):
+    """Pinned-md5 key bucket — the hbase partition column. Pruning the
+    compacted history to the churn keys' buckets is what keeps the
+    per-batch prior-state read sub-store-sized."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("scd2kb:"), F.col(key_col).cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(int(n_buckets))
+    ).cast("int")
+
+
+def _scd2_meta_path(hbase_dir: str) -> str:
+    return f"{hbase_dir}/_scd2_meta.json"
+
+
+def _read_scd2_meta(spark: SparkSession, hbase_dir: str) -> dict:
+    import json as _json
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    path = jvm.org.apache.hadoop.fs.Path(_scd2_meta_path(hbase_dir))
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    stream = fs.open(path)
+    try:
+        return _json.loads(
+            jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        )
+    finally:
+        stream.close()
+
+
+def _write_scd2_meta(spark: SparkSession, hbase_dir: str, meta: dict) -> None:
+    import json as _json
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    path = jvm.org.apache.hadoop.fs.Path(_scd2_meta_path(hbase_dir))
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    out = fs.create(path, True)
+    try:
+        out.write(_json.dumps(meta).encode("utf-8"))
+    finally:
+        out.close()
+
+
+def _scd2_list_delta_ids(spark: SparkSession, ddir: str) -> list:
+    """Batch ids of the existing delta directories (Hadoop FS listing,
+    so any scheme the store itself supports works — never a
+    local-only os.listdir)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    path = jvm.org.apache.hadoop.fs.Path(ddir)
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if name.startswith("batch="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def init_scd2_base(
+    spark: SparkSession,
+    base: DataFrame,
+    root: str,
+    key_col: str = "doc_id",
+    payload_col: str = "text",
+    n_buckets: int = 16,
+) -> None:
+    """One-time seed of the incremental SCD2 store: write ``base``'s
+    initial history (every row an open interval at version 0),
+    PARTITIONED by the pinned-md5 key bucket ``kb``, with a meta file
+    (compaction watermark -1 + the bucket count) INSIDE the version
+    directory — atomic because the directory only becomes visible at
+    the manifest publish. The one O(store) pass, paid once (the
+    bucketed-join layout-write convention); every subsequent publish
+    is churn-bound."""
+    from ydb_vector_search_demo_spark import stores
+    from ydb_vector_search_demo_spark.pipeline import rag
+
+    hroot = f"{root}/hbase"
+    hist = stores.store_history(spark, hroot)
+    vdir = f"{hroot}/v{(hist[-1][0] + 1) if hist else 1}"
+    empty_u = spark.createDataFrame(
+        [], base.select(key_col, payload_col).withColumn(
+            "_v", F.lit(1).cast("int")
+        ).schema
+    )
+    empty_d = spark.createDataFrame(
+        [], base.select(key_col).withColumn("_v", F.lit(1).cast("int")).schema
+    )
+    h = rag.scd2_history(
+        base, empty_u, empty_d, key_col=key_col, payload_col=payload_col
+    ).withColumn("kb", _scd2_kb(key_col, n_buckets))
+    h.write.mode("overwrite").partitionBy("kb").parquet(vdir)
+    _write_scd2_meta(
+        spark, vdir, {"through": -1, "n_buckets": int(n_buckets)}
+    )
+    stores.publish_store(spark, hroot, vdir)
+
+
+def _scd2_resolve(
+    spark: SparkSession,
+    root: str,
+    key_col: str,
+    payload_col: str,
+    prune_buckets: list | None = None,
+) -> DataFrame:
+    """Newest-source-wins resolution of compacted history + deltas:
+    per key, the delta with the highest batch id supersedes the
+    compacted row set; deltas at or below the compaction watermark are
+    ignored (already folded in). ``prune_buckets`` restricts the
+    compacted read to the churn keys' partitions (the per-batch
+    publish path); readers pass None for the full history."""
+    from ydb_vector_search_demo_spark import stores
+
+    hroot = f"{root}/hbase"
+    hdir = stores.current_store_path(spark, hroot)
+    if hdir is None:
+        raise ValueError(f"init_scd2_base has not run for {root!r}")
+    meta = _read_scd2_meta(spark, hdir)
+    hb = spark.read.parquet(hdir)
+    if prune_buckets is not None:
+        hb = hb.filter(F.col("kb").isin([int(b) for b in prune_buckets]))
+    data_schema = hb.select(
+        key_col, payload_col, "valid_from", "valid_to", "is_current"
+    ).schema
+    hb = hb.select(*[f.name for f in data_schema.fields]).withColumn(
+        "_batch", F.lit(-1).cast("long")
+    )
+
+    ddir = f"{root}/hdelta"
+    deltas = None
+    if _scd2_list_delta_ids(spark, ddir):
+        # explicit data schema (a part-less replayed dir is unreadable
+        # by inference — the log-read convention); the batch id comes
+        # from the batch=<id> partition directory
+        deltas = (
+            spark.read.schema(data_schema)
+            .parquet(ddir)
+            .select(
+                *[f.name for f in data_schema.fields],
+                F.col("batch").cast("long").alias("_batch"),
+            )
+            .filter(F.col("_batch") > int(meta["through"]))
+        )
+    allrows = hb if deltas is None else hb.unionByName(deltas)
+    win = allrows.groupBy(key_col).agg(F.max("_batch").alias("_w"))
+    return (
+        allrows.join(win, key_col)
+        .filter(F.col("_batch") == F.col("_w"))
+        .select(key_col, payload_col, "valid_from", "valid_to", "is_current")
+    )
+
+
+def read_scd2_history_incremental(
+    spark: SparkSession,
+    root: str,
+    key_col: str = "doc_id",
+    payload_col: str = "text",
+) -> DataFrame:
+    """The COMPLETE served history of the incremental store — equal,
+    at every publish, to the batch ``scd2_history`` over everything
+    ingested so far (the equality law in
+    tests/test_streaming_semantics.py). Read cost is O(store + open
+    deltas) with one key-grain resolution shuffle — the same order as
+    reading any full history; it is the PUBLISH that became
+    churn-bound."""
+    return _scd2_resolve(spark, root, key_col, payload_col, None)
+
+
+def _scd2_events_from_history(
+    hist: DataFrame, key_col: str, payload_col: str
+) -> DataFrame:
+    """Invert a history slice back into its event log: every row is an
+    upsert at ``valid_from``; a delete happened at ``valid_to``
+    wherever an interval closed and NO successor interval opens at
+    that version (a left-anti self-join on the churn-bound slice)."""
+    ups = hist.select(
+        key_col,
+        F.col(payload_col).alias("_p"),
+        F.col("valid_from").cast("int").alias("_v"),
+        F.lit(True).alias("_is_upsert"),
+    )
+    closed = hist.filter(F.col("valid_to") != -1).select(
+        key_col, F.col("valid_to").cast("int").alias("_v")
+    )
+    opens = hist.select(
+        key_col, F.col("valid_from").cast("int").alias("_v")
+    )
+    dels = closed.join(opens, [key_col, "_v"], "left_anti").select(
+        key_col,
+        F.lit(None).cast("string").alias("_p"),
+        "_v",
+        F.lit(False).alias("_is_upsert"),
+    )
+    return ups.unionByName(dels)
+
+
+def stream_scd2_ingest_incremental(
+    changes_stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    key_col: str = "doc_id",
+    payload_col: str = "text",
+    available_now: bool = True,
+):
+    """CHURN-MERGE streaming SCD2 maintenance (the incremental
+    refinement of :func:`stream_scd2_ingest`; requires
+    :func:`init_scd2_base` to have seeded ``root``): per micro-batch,
+    (a) restrict the served history to the batch's churn keys — the
+    compacted part read PARTITION-PRUNED to those keys' md5 buckets,
+    the open deltas (churn-bound) filtered by a broadcast semi-join;
+    (b) invert that slice back into events, union the batch's events,
+    and re-run the SCD2 window for the churn keys only; (c) write the
+    result as a delta at the DETERMINISTIC path
+    ``root/hdelta/batch=<id>`` (a checkpoint-replayed batch
+    recomputes an identical delta — no later batch exists yet — and
+    overwrites itself, so exactly-once comes for free). Nothing
+    store-sized is read or written after the one-time seed: publish
+    cost tracks CHURN (×10 probe in BASELINE), while
+    :func:`read_scd2_history_incremental` serves the complete history
+    with one resolution shuffle. Out-of-order versions within a key
+    converge exactly as in the full rebuild (the window orders by
+    ``_v``). Compact with :func:`compact_scd2_history` when the delta
+    tail grows (the store_compaction economics)."""
+    from ydb_vector_search_demo_spark.pipeline import rag
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from ydb_vector_search_demo_spark import stores
+
+        hdir = stores.current_store_path(spark, f"{root}/hbase")
+        meta = _read_scd2_meta(spark, hdir)
+        nb = int(meta["n_buckets"])
+        keys = batch_df.select(F.col(key_col)).distinct().withColumn(
+            "kb", _scd2_kb(key_col, nb)
+        ).localCheckpoint(eager=True)
+        buckets = [r["kb"] for r in keys.select("kb").distinct().collect()]
+        prior = _scd2_resolve(
+            spark, root, key_col, payload_col, prune_buckets=buckets
+        ).join(F.broadcast(keys.select(key_col)), key_col)
+        ev_prior = _scd2_events_from_history(prior, key_col, payload_col)
+        ups = batch_df.filter(F.col("op") == "upsert").select(
+            F.col(key_col),
+            F.col(payload_col).alias("_p"),
+            F.col("_v").cast("int").alias("_v"),
+            F.lit(True).alias("_is_upsert"),
+        )
+        dels = batch_df.filter(F.col("op") == "delete").select(
+            F.col(key_col),
+            F.lit(None).cast("string").alias("_p"),
+            F.col("_v").cast("int").alias("_v"),
+            F.lit(False).alias("_is_upsert"),
+        )
+        new_hist = rag.scd2_from_events(
+            ev_prior.unionByName(ups).unionByName(dels),
+            key_col=key_col,
+            payload_col=payload_col,
+        )
+        new_hist.write.mode("overwrite").parquet(
+            f"{root}/hdelta/batch={batch_id}"
+        )
+
+    writer = changes_stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer
+
+
+def compact_scd2_history(
+    spark: SparkSession,
+    root: str,
+    key_col: str = "doc_id",
+    payload_col: str = "text",
+) -> None:
+    """Fold the open deltas into a new compacted, kb-partitioned
+    history version (the rare O(store) pass — store_compaction
+    economics) and advance the watermark so folded deltas are ignored
+    by every subsequent read; the atomic manifest publish means a
+    concurrent reader sees old-complete or new-complete, never a
+    mix. Folded delta directories stay on disk for rollback (the
+    retained older manifests still resolve against them) — vacuum
+    them with the store's own retention policy when the old versions
+    are vacuumed."""
+    from ydb_vector_search_demo_spark import stores
+
+    hroot = f"{root}/hbase"
+    hdir = stores.current_store_path(spark, hroot)
+    meta = _read_scd2_meta(spark, hdir)
+    nb = int(meta["n_buckets"])
+    ddir = f"{root}/hdelta"
+    through = max(
+        [int(meta["through"]), *_scd2_list_delta_ids(spark, ddir)]
+    )
+    full = read_scd2_history_incremental(
+        spark, root, key_col, payload_col
+    ).withColumn("kb", _scd2_kb(key_col, nb))
+    hist = stores.store_history(spark, hroot)
+    vdir = f"{hroot}/v{hist[-1][0] + 1}"
+    full.write.mode("overwrite").partitionBy("kb").parquet(vdir)
+    _write_scd2_meta(
+        spark, vdir, {"through": through, "n_buckets": nb}
+    )
+    stores.publish_store(spark, hroot, vdir)
