@@ -348,6 +348,9 @@ HEADLINE = [
     # publish (kb-bucketed seed + churn-bound deltas + newest-source
     # resolution; seed + 2-batch replay + served read priced end to end)
     "store_scd2_incremental",
+    # r13 wave 29 (outside the comparable subsets): train/eval
+    # decontamination (broadcast eval shingle hashes + one keyed count)
+    "corpus_decontaminate",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total
