@@ -351,6 +351,10 @@ HEADLINE = [
     # r13 wave 29 (outside the comparable subsets): train/eval
     # decontamination (broadcast eval shingle hashes + one keyed count)
     "corpus_decontaminate",
+    # r13 wave 30 (outside the comparable subsets): DoReMi domain
+    # reweighting (two count LMs off one explode, K-row softmax via
+    # the pinned Horner exponential)
+    "corpus_doremi_weights",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

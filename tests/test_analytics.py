@@ -1926,3 +1926,129 @@ def test_skyline_2d_rejects_non_integer_criteria(spark):
         [(1, 10, 5), (2, 11, 4)], "id BIGINT, cost INT, gain INT"
     )
     assert {r["id"] for r in skyline_2d(small, "cost", "gain").collect()} == {1}
+
+
+def test_doremi_domain_weights_matches_reference(spark):
+    """curation.doremi_domain_weights against an independent
+    hand-rolled replay (Counter LMs, decimal-rounded micro-bits, the
+    same 30-term Horner softmax) on a hand corpus — plus the
+    qualitative DoReMi laws: weights sum to ~1, every weight is at
+    least the smoothing floor s/K, and the domain whose own LM beats
+    the global LM by the most bits/token gets the largest weight."""
+    import decimal
+    import math
+    from collections import Counter
+
+    from ydb_vector_search_demo_spark.operators.curation import (
+        doremi_domain_weights,
+    )
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", "specialized"),
+        (2, "alpha beta gamma gamma beta", "specialized"),
+        (3, "one two three four five six", "generic"),
+        (4, "seven eight nine ten one two", "generic"),
+        (5, "alpha one beta two gamma three", "mixed"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, source STRING"
+    )
+    got = {
+        r["source"]: (
+            r["n_tokens"], r["excess_micro"], r["excess_bits"], r["weight"]
+        )
+        for r in doremi_domain_weights(
+            docs, eta=1.0, smoothing=0.2
+        ).collect()
+    }
+
+    # independent reference
+    def rnd(x):
+        return int(
+            decimal.Decimal(x).quantize(0, rounding=decimal.ROUND_HALF_UP)
+        )
+
+    dom_tok = {}
+    for _, t, s in rows:
+        dom_tok.setdefault(s, []).extend(t.split())
+    gc = Counter(t for ts in dom_tok.values() for t in ts)
+    tg, v = sum(gc.values()), len(gc)
+
+    def ubits(c, t):
+        return rnd(-math.log2((c + 0.5) / (t + 0.5 * v)) * 1e6)
+
+    per = {}
+    for s, ts in dom_tok.items():
+        dc = Counter(ts)
+        td = sum(dc.values())
+        ex = sum(
+            (ubits(gc[t], tg) - ubits(dc[t], td)) * n for t, n in dc.items()
+        )
+        per[s] = (td, ex)
+
+    def horner(x, terms=30):
+        p = 1.0
+        for k in range(terms, 0, -1):
+            p = 1.0 + x / k * p
+        return p
+
+    xs = {s: 1.0 * ex / (1e6 * n) for s, (n, ex) in per.items()}
+    m = max(xs.values())
+    es = {s: horner(x - m) for s, x in xs.items()}
+    den = 0.0
+    for s in sorted(es):  # the ordered-cumulative sequence
+        den += es[s]
+    def rnd6(x):
+        # Spark's F.round = BigDecimal.valueOf(double) + HALF_UP, i.e.
+        # HALF_UP on the SHORTEST decimal repr (Double.toString), which
+        # DuckDB's round agrees with at the half boundary (checked on
+        # 8110182/12e6) — NOT Python's banker's round(), and NOT
+        # HALF_UP on the exact binary expansion (Decimal(x) directly)
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    want = {}
+    for s, (n, ex) in per.items():
+        want[s] = (
+            n,
+            ex,
+            rnd6(ex / (1e6 * n)),
+            rnd6(0.8 * es[s] / den + 0.2 / len(per)),
+        )
+    assert got == want
+    # laws
+    total = sum(w for *_, w in got.values())
+    assert abs(total - 1.0) < 1e-5
+    assert all(w >= 0.2 / len(got) - 1e-9 for *_, w in got.values())
+    best = max(got, key=lambda s: got[s][2])
+    assert got[best][3] == max(w for *_, w in got.values())
+    # 'specialized' has the most domain-specific token distribution
+    assert best == "specialized"
+
+
+def test_pinned_exp_is_exact_horner_and_close_to_exp(spark):
+    """pinned_exp must equal the hand Horner evaluation bitwise (the
+    determinism contract) and track math.exp to ~1e-12 on the shifted
+    domain x <= 0 it is used on."""
+    import math
+
+    from pyspark.sql import functions as F
+    from ydb_vector_search_demo_spark.operators.curation import pinned_exp
+
+    vals = [0.0, -0.01, -0.5, -1.0, -2.5, -4.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i INT, x DOUBLE"
+    ).select("i", "x", pinned_exp(F.col("x")).alias("e"))
+
+    def horner(x, terms=30):
+        p = 1.0
+        for k in range(terms, 0, -1):
+            p = 1.0 + x / k * p
+        return p
+
+    for r in df.collect():
+        assert r["e"] == horner(r["x"])  # bitwise (same IEEE op sequence)
+        assert abs(r["e"] - math.exp(r["x"])) <= 1e-12 * math.exp(r["x"]) + 1e-15

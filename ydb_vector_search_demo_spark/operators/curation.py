@@ -2258,6 +2258,152 @@ def bpe_train_segment(
     return syms
 
 
+def pinned_exp(x: Column, terms: int = 30) -> Column:
+    """exp(x) as a PINNED 30-term Horner series — deterministic IEEE
+    +,/,* in a fixed association order, so both engines produce
+    bit-identical doubles (libm exp is NOT cross-engine bitwise: the
+    JVM and DuckDB differ in the last ulp on some arguments —
+    measured r13). Callers shift arguments to x <= 0 (softmax is
+    shift-invariant), where 30 terms are accurate to ~1e-13 for
+    |x| <= 4 — and accuracy is secondary: the SAME value on both
+    sides is the contract."""
+    p = F.lit(1.0)
+    for k in range(int(terms), 0, -1):
+        p = F.lit(1.0) + x / F.lit(float(k)) * p
+    return p
+
+
+def pinned_exp_sql(x: str, terms: int = 30) -> str:
+    """The DuckDB replay of :func:`pinned_exp` — the identical
+    nested-Horner expression, term for term."""
+    expr = "1.0"
+    for k in range(int(terms), 0, -1):
+        expr = f"(1.0 + ({x}) / {k}.0 * {expr})"
+    return expr
+
+
+def doremi_domain_weights(
+    docs: DataFrame,
+    eta: float = 1.0,
+    smoothing: float = 0.2,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DoReMi-style DOMAIN REWEIGHTING (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    arXiv:2305.10429) — the data-MIXING optimizer next to the graded
+    DSIR data-SELECTION row: score each domain (``source_col``) by
+    its EXCESS LOSS — how many more bits/token the corpus-global
+    unigram LM pays on the domain's tokens than the domain's own
+    unigram LM (the proxy for "this domain is underserved by the
+    current mixture", standing in for DoReMi's proxy-model loss gap
+    under the house pinned-model convention) — and emit the
+    exponentiated-gradient mixture
+    w(d) ∝ exp(η·excess(d)), smoothed (1−s)·softmax + s/K (the
+    paper's update, one exact step).
+
+    Exactness: both LMs are add-½-smoothed count models sharing the
+    GLOBAL vocabulary size; per-token surprisal is integer micro-bits
+    (the unigram_logprob convention), so excess numerators are exact
+    bigints; the softmax shifts by the max argument (shift-invariant,
+    keeps x ≤ 0) and exponentiates via :func:`pinned_exp` — a pinned
+    Horner series both engines evaluate bit-identically (libm exp is
+    not cross-engine stable); the denominator accumulates through an
+    ORDERED cumulative window over sources (all terms positive).
+
+    Scale shape: one token explode feeding BOTH count models
+    (map-combinable; the domain model keyed by (source, token)); one
+    token-keyed join back; everything after collapses to the DOMAIN
+    grain (K rows). Returns (source, n_tokens, excess_bits, weight)
+    — round-6 doubles plus the exact integer excess numerator."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+    from ydb_vector_search_demo_spark.sources.tables import fan_out
+
+    toks = fan_out(docs).select(
+        F.col(source_col).alias("_src"),
+        F.explode(tokens(text_col)).alias("_t"),
+    )
+    dom_cnt = toks.groupBy("_src", "_t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cd")
+    )
+    glob_cnt = dom_cnt.groupBy("_t").agg(
+        F.sum("_cd").cast("bigint").alias("_cg")
+    )
+    stats = glob_cnt.agg(
+        F.sum("_cg").cast("bigint").alias("_tg"),
+        F.count(F.lit(1)).cast("bigint").alias("_v"),
+    )
+    dom_tot = dom_cnt.groupBy("_src").agg(
+        F.sum("_cd").cast("bigint").alias("_td")
+    )
+
+    def _ubits(c, t, v):
+        return (
+            F.round(
+                -F.log2(
+                    (c + F.lit(0.5))
+                    / (t + F.lit(0.5) * v)
+                )
+                * 1e6
+            )
+            .cast("bigint")
+        )
+
+    scored = (
+        dom_cnt.join(glob_cnt, "_t")
+        .join(F.broadcast(dom_tot), "_src")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "_src",
+            "_cd",
+            (
+                (
+                    _ubits(F.col("_cg"), F.col("_tg"), F.col("_v"))
+                    - _ubits(F.col("_cd"), F.col("_td"), F.col("_v"))
+                )
+                * F.col("_cd")
+            ).alias("_ex"),
+        )
+    )
+    per_dom = scored.groupBy("_src").agg(
+        F.sum("_cd").cast("bigint").alias("n_tokens"),
+        F.sum("_ex").cast("bigint").alias("_ex_num"),
+    )
+    x = (
+        F.lit(float(eta))
+        * F.col("_ex_num").cast("double")
+        / (F.lit(1e6) * F.col("n_tokens"))
+    )
+    wmax = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ex = per_dom.withColumn("_x", x).withColumn(
+        "_e", pinned_exp(F.col("_x") - F.max("_x").over(wmax))
+    )
+    wcum = Window.orderBy("_src").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ex = ex.withColumn("_den", F.sum("_e").over(wcum)).withColumn(
+        "_dtot", F.max("_den").over(wmax)
+    )
+    k = F.count(F.lit(1)).over(wmax)
+    s = float(smoothing)
+    return ex.select(
+        F.col("_src").alias(source_col),
+        "n_tokens",
+        F.col("_ex_num").alias("excess_micro"),
+        F.round(
+            F.col("_ex_num") / (F.lit(1e6) * F.col("n_tokens")), 6
+        ).alias("excess_bits"),
+        F.round(
+            F.lit(1.0 - s) * F.col("_e") / F.col("_dtot")
+            + F.lit(s) / k,
+            6,
+        ).alias("weight"),
+    )
+
+
 _UNIGRAM_SENT = -(2**62)  # invalid-DP sentinel: far below any real score
 
 

@@ -15129,6 +15129,73 @@ _INTERLEAVED_ORACLE_SQL = f"""
     """
 
 
+def _doremi_oracle_sql(eta: float = 1.0, smoothing: float = 0.2) -> str:
+    """Replay of curation.doremi_domain_weights: both count LMs, the
+    integer micro-bit excess numerators, the max-shifted pinned-Horner
+    softmax (libm exp is NOT cross-engine bitwise — SURVEY Appendix A)
+    and the smoothed mixture. Float literals that DuckDB would parse
+    as DECIMAL are cast to DOUBLE (seam #1)."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        pinned_exp_sql,
+    )
+
+    s = float(smoothing)
+    return f"""
+    WITH tk AS (SELECT source AS src, unnest({_TOKENS_SQL}) AS t
+                FROM documents),
+    dc AS (SELECT src, t, count(*)::BIGINT AS cd FROM tk GROUP BY 1, 2),
+    gc AS (SELECT t, CAST(sum(cd) AS BIGINT) AS cg FROM dc GROUP BY 1),
+    st AS (SELECT CAST(sum(cg) AS BIGINT) AS tg, count(*)::BIGINT AS v
+           FROM gc),
+    dt AS (SELECT src, CAST(sum(cd) AS BIGINT) AS td FROM dc GROUP BY 1),
+    sc AS (SELECT dc.src, dc.cd,
+             (CAST(round(-log2((dc_g.cg + 0.5) / (st.tg + 0.5 * st.v))
+                         * 1e6) AS BIGINT)
+              - CAST(round(-log2((dc.cd + 0.5) / (dt.td + 0.5 * st.v))
+                           * 1e6) AS BIGINT)) * dc.cd AS ex
+           FROM dc JOIN gc dc_g USING (t) JOIN dt USING (src), st),
+    pd AS (SELECT src, CAST(sum(cd) AS BIGINT) AS n_tokens,
+                  CAST(sum(ex) AS BIGINT) AS ex_num
+           FROM sc GROUP BY 1),
+    xx AS (SELECT *, {eta!r}::DOUBLE * ex_num / (1e6 * n_tokens) AS x
+           FROM pd),
+    ee AS (SELECT *,
+             {pinned_exp_sql('x - (SELECT max(x) FROM xx)')} AS e
+           FROM xx),
+    dn AS (SELECT *, sum(e) OVER (ORDER BY src ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS den FROM ee)
+    SELECT src AS source, n_tokens, ex_num AS excess_micro,
+           round(ex_num / (1e6 * n_tokens), 6) AS excess_bits,
+           round({1.0 - s!r}::DOUBLE * e / (SELECT max(den) FROM dn)
+                 + {s!r}::DOUBLE / (SELECT count(*) FROM dn), 6)
+             AS weight
+    FROM dn ORDER BY source
+    """
+
+
+@register("corpus_doremi_weights", _doremi_oracle_sql(1.0, 0.2))
+def q_corpus_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style DOMAIN REWEIGHTING
+    (curation.doremi_domain_weights; Xie et al. 2023) — the
+    data-MIXING optimizer next to the graded DSIR data-SELECTION row:
+    per source domain, the excess loss (global-LM bits/token minus
+    the domain's own LM, exact integer micro-bit numerators) drives
+    one exponentiated-gradient step w(d) ∝ exp(η·excess), smoothed
+    0.8·softmax + 0.2/K. The softmax exponentiates max-shifted
+    arguments through the PINNED 30-term Horner series (libm exp
+    differs between the JVM and DuckDB in the last ulp — measured;
+    the pinned polynomial is bit-identical by construction), and the
+    denominator accumulates through the ordered-cumulative window.
+    Scale shape: one token explode feeding both count models
+    (map-combinable), one token-keyed join back, then the K-row
+    domain grain."""
+    from ydb_vector_search_demo_spark.operators import curation
+
+    return curation.doremi_domain_weights(
+        _t(spark, sf_dir, "documents"), eta=1.0, smoothing=0.2
+    ).orderBy("source")
+
+
 def _shingles_sql(n: int) -> str:
     """The n-token word-shingle replay (generalized _SHINGLES_SQL —
     that constant stays as the n=3 instance the dedup oracles pin):
@@ -16021,6 +16088,15 @@ _GRADE_FIRST = [
 # a strict composition of pq_opq_fixed's rotation + the store-serve
 # splits), events_gapfill_hourly (spine join graded via
 # events_hopping_hourly's window arithmetic).
+# ---------------------------------------------------------------------------
+# r13 wave 30 (same bar: 3-SF parity, independent hand-replay law +
+# pinned-exp bitwise law; ×10 probe 1.33× — token-keyed count models,
+# K-row tail):
+#   corpus_doremi_weights  — DoReMi domain reweighting (exact
+#                            micro-bit excess-loss numerators, one
+#                            exponentiated-gradient step, softmax via
+#                            the PINNED 30-term Horner exp — libm exp
+#                            is not cross-engine bitwise, seam #10)
 # ---------------------------------------------------------------------------
 # r13 wave 29 (same bar: 3-SF parity, hand-shingle law test; ×10
 # probe 6.1× OUTPUT-DRIVEN — the dup-replicated probe corpus puts
