@@ -355,6 +355,10 @@ HEADLINE = [
     # reweighting (two count LMs off one explode, K-row softmax via
     # the pinned Horner exponential)
     "corpus_doremi_weights",
+    # r13 wave 31 (outside the comparable subsets): k-core peeling
+    # trajectory over the kNN graph (own graph build + 5 unrolled
+    # peels — build-dominated like the other graph rows)
+    "graph_kcore_peel",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

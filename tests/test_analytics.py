@@ -2052,3 +2052,42 @@ def test_pinned_exp_is_exact_horner_and_close_to_exp(spark):
     for r in df.collect():
         assert r["e"] == horner(r["x"])  # bitwise (same IEEE op sequence)
         assert abs(r["e"] - math.exp(r["x"])) <= 1e-12 * math.exp(r["x"]) + 1e-15
+
+
+def test_kcore_peel_matches_brute_force(spark):
+    """ann.kcore_peel against a brute-force Python peel on a hand
+    graph with a known 3-core (a K4 clique survives; a pendant chain
+    cascades away round by round), including the isolated-node case
+    (degree 0 counts as < k) and the fixpoint rows (n_removed 0)."""
+    from ydb_vector_search_demo_spark.operators.ann import kcore_peel
+
+    # K4 on {1,2,3,4} (3-core) + chain 4-5-6 + pendant 7 off 5
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 6), (5, 7),
+    ]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = sorted(
+        tuple(r) for r in kcore_peel(df, k=3, rounds=4).collect()
+    )
+
+    # brute force
+    und = {tuple(sorted(e)) for e in edges}
+    nodes = {n for e in und for n in e}
+    want = []
+    for t in range(1, 5):
+        deg = {n: 0 for n in nodes}
+        for u, v in und:
+            deg[u] += 1
+            deg[v] += 1
+        removed = {n for n in nodes if deg[n] < 3}
+        nodes -= removed
+        und = {e for e in und if e[0] in nodes and e[1] in nodes}
+        want.append((t, len(removed), len(nodes), len(und)))
+    assert got == sorted(want)
+    # the K4 clique is the 3-core and survives every round
+    assert got[-1][2] == 4 and got[-1][3] == 6
+    assert got[-1][1] == 0  # fixpoint reached
+    # round 1 peels the fringe {6, 7}; round 2 cascades 5; round 3: 4
+    # stays (its K4 degree is 3 even after 5 leaves)
+    assert got[0][1] == 2 and got[1][1] == 1 and got[2][1] == 0

@@ -3391,3 +3391,98 @@ def power_iteration_gram(
             "lambda_data",
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-CORE PEELING TRAJECTORY over a directed edge relation — the
+    graph-DECOMPOSITION member completing the analytics family
+    (pagerank iterates, triangles measure closure; the k-core is the
+    maximal subgraph where every node keeps >= k neighbors — Seidman
+    1983, and the standard MapReduce peel is Quick et al. 2012): each
+    round deletes every node whose undirected degree has fallen below
+    ``k`` (a deleted neighbor lowers degrees, so peeling cascades),
+    and the fixpoint — visible as n_removed = 0 — is the k-core. On a
+    kNN graph the core is the densely-connected body and the peeled
+    tail the sparse fringe, the graph-quality trim an ANN-graph
+    build runs before serving (fringe nodes make poor beam-search
+    entry points).
+
+    The readout is the per-round TRAJECTORY (round, n_removed,
+    n_nodes, n_edges) for rounds 1..``rounds`` — well-defined for ANY
+    fixed round count (the unrolled-iteration convention: the
+    trajectory converging is the result, so partial convergence is
+    visible, never silent). Exact bigint counts; isolated nodes count
+    degree 0 (left join, not a groupBy over edges — a node whose
+    edges all died must still be peeled).
+
+    Scale shape per round: ONE symmetric-degree count (map-combinable
+    keyed agg) + one broadcast-able anti-join of the removed set +
+    one semi-join pass over the edges; survivor relations are
+    checkpointed per round (the pagerank lineage convention). Output
+    is ``rounds`` rows of exact counters."""
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        und.select(F.col("u").alias("n"))
+        .unionByName(und.select(F.col("v").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    out_rows = []
+    e, nd = und, nodes
+    for t in range(1, int(rounds) + 1):
+        sym = e.select(F.col("u").alias("n")).unionByName(
+            e.select(F.col("v").alias("n"))
+        )
+        deg = sym.groupBy("n").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_d")
+        )
+        degs = nd.join(deg, "n", "left").select(
+            "n", F.coalesce("_d", F.lit(0)).cast("bigint").alias("_d")
+        )
+        removed = degs.filter(F.col("_d") < int(k)).select("n")
+        nd = (
+            degs.filter(F.col("_d") >= int(k))
+            .select("n")
+            .localCheckpoint(eager=True)
+        )
+        e = (
+            e.join(nd.select(F.col("n").alias("u")), "u")
+            .join(nd.select(F.col("n").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        stats = (
+            removed.agg(F.count(F.lit(1)).cast("bigint").alias("n_removed"))
+            .crossJoin(
+                nd.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            )
+            .crossJoin(
+                e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+            )
+            .select(
+                F.lit(t).cast("int").alias("round"),
+                "n_removed",
+                "n_nodes",
+                "n_edges",
+            )
+        )
+        out_rows.append(stats)
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionByName(o)
+    return out
