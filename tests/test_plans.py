@@ -533,3 +533,51 @@ def test_kmeans_readout_single_keyed_shuffle(spark):
     assert len(keyed) == 1 and keyed[0].startswith("_cid"), keyed
     assert "SortMergeJoin" not in final
     assert "BroadcastHashJoin" in final
+
+
+def test_decontaminate_eval_side_broadcasts(spark):
+    """r13 wave 29 plan claim: the eval shingle set joins by
+    BROADCAST (benchmark-sized side into the corpus-sized train
+    explode), never a nested-loop/cartesian — the shape that keeps
+    decontamination one map-side pass + one keyed count at 100 TB."""
+    final = final_plan_of(spark, "corpus_decontaminate")
+    assert "BroadcastHashJoin" in final, final[:2000]
+    assert "BroadcastNestedLoopJoin" not in final, final[:2000]
+    assert "CartesianProduct" not in final, final[:2000]
+
+
+def test_interleaved_pack_builds_no_payload_python_stage(spark):
+    """r13 wave 27 plan claim: the alignment/packing path reads the
+    media side at the METADATA grain — the ONLY Python/Arrow stage in
+    the final plan is the packer's FlatMapGroupsInPandas walk; no
+    MapInPandas payload synthesis ever runs (an alignment join is a
+    metadata join at any scale)."""
+    final = final_plan_of(spark, "multimodal_interleaved_pack")
+    assert "FlatMapGroupsInPandas" in final, final[:2000]
+    assert "MapInPandas" not in final, final[:2000]
+    assert "BroadcastNestedLoopJoin" not in final, final[:2000]
+
+
+def test_unigram_viterbi_is_map_side_after_word_rollup(spark):
+    """r13 wave 26 plan claim: each Viterbi E-step is a MAP-SIDE fold
+    over the word grain under a broadcast score map — the final plan
+    carries no Python stage at all (the DP is pure Column codegen)
+    and every join is a broadcast (the vocab/score relations are
+    vocab-bounded)."""
+    final = final_plan_of(spark, "corpus_unigram_lm")
+    for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython"):
+        assert node not in final, f"{node} in plan:\n" + final[:2000]
+    assert "SortMergeJoin" not in final, final[:2000]
+    assert "CartesianProduct" not in final, final[:2000]
+
+
+def test_doremi_domain_tail_is_broadcast_joined(spark):
+    """r13 wave 30 plan claim: after the one token-keyed join back,
+    everything collapses to the K-row domain grain — the domain-total
+    and vocab-stat attaches are broadcasts, and no Python stage
+    exists (the pinned exponential is a Column expression)."""
+    final = final_plan_of(spark, "corpus_doremi_weights")
+    assert "BroadcastHashJoin" in final, final[:2000]
+    for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython"):
+        assert node not in final, f"{node} in plan:\n" + final[:2000]
+    assert "CartesianProduct" not in final, final[:2000]
