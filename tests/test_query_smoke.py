@@ -137,6 +137,36 @@ def test_r12_eligibility_ranking_names_are_registered():
         assert n in cat.QUERIES, n
 
 
+def test_r14_eligibility_ranking_names_are_registered():
+    """The consolidated r14 rotation ranking at the catalog tail must
+    name only registered, oracle-backed queries (the r12/r13 guards'
+    convention, carried forward)."""
+    import ydb_vector_search_demo_spark.plans.catalog as cat
+
+    src = open(cat.__file__).read()
+    block = src.split("r14 rotation-eligibility ranking")[1].split(
+        "r13 rotation-eligibility ranking"
+    )[0]
+    ranked = [
+        "corpus_unigram_lm", "corpus_decontaminate",
+        "store_scd2_incremental", "multimodal_interleaved_pack",
+        "corpus_doremi_weights", "graph_kcore_peel",
+        "part_skyline_brand", "dedup_minhash_accuracy",
+        "corpus_span_corruption", "ann_power_iteration_fixed",
+        "lineitem_kendall_tau", "events_mann_kendall",
+        "dedup_keep_best", "retrieval_rbo_bm25_qld",
+        "corpus_neyman_sample", "corpus_bpe_fertility",
+    ]
+    for n in ranked:
+        assert n in cat.QUERIES, n
+        assert n in cat.ORACLES, f"{n} ranked for rotation but rows-only"
+        assert n in block, f"{n} missing from the r14 ranking text"
+    for n in ["store_scd2_stream", "corpus_pack_sequences",
+              "text_token_stats", "datetime_order_stats"]:
+        assert n in cat.QUERIES, n
+        assert n in block, f"out-candidate {n} missing from r14 text"
+
+
 def test_r13_eligibility_ranking_names_are_registered():
     """The consolidated r13 rotation ranking at the catalog tail must
     name only registered, oracle-backed queries (the r12 guard's

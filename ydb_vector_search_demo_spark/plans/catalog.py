@@ -16060,6 +16060,48 @@ _GRADE_FIRST = [
 #   corpus_token_entropy   — per-language Shannon entropy/perplexity
 #                            via the ordered-cumulative n·ln(n) sum
 # ---------------------------------------------------------------------------
+# r14 rotation-eligibility ranking (consolidated; every row below is
+# fully oracle-backed at sf0.01 AND sf0.1 — the six r13 waves at
+# sf0.001 too — law-tested, ×10-probed and fresh-process
+# driver-contract verified; per-wave detail in the r13 wave notes
+# above). Strongest first, each covering a surface the current window
+# grades only transitively or not at all:
+#   1. corpus_unigram_lm — the OTHER tokenizer family (unigram-EM /
+#      SentencePiece); the window grades BPE training only.
+#   2. corpus_decontaminate — train/eval CONTAMINATION (asymmetric
+#      overlap against a benchmark); the graded dedup rows are all
+#      symmetric within-corpus.
+#   3. store_scd2_incremental — the churn-bound publish (the graded
+#      store_scd2_stream rebuilds full history per publish; this row
+#      grades the same oracle PLUS the scale economics).
+#   4. multimodal_interleaved_pack — multimodal × curation assembly
+#      (interleave/alignment; packer and codecs are graded apart,
+#      their composition nowhere).
+#   5. corpus_doremi_weights — data MIXING optimization toward
+#      balance (the window grades selection via corpus_dsir_weights;
+#      mixing-weight optimization nowhere) + the pinned-exp seam.
+#   6. graph_kcore_peel — graph DECOMPOSITION (iteration and
+#      structure are graded; the dense-core trim is not).
+#   7. part_skyline_brand / dedup_minhash_accuracy — the wave-24/25
+#      rows, now carrying full-capture bench + sweep history
+#      (multi-criteria dominance; sketch-accuracy eval).
+#   8. corpus_span_corruption / ann_power_iteration_fixed /
+#      lineitem_kendall_tau / events_mann_kendall / dedup_keep_best /
+#      retrieval_rbo_bm25_qld / corpus_neyman_sample /
+#      corpus_bpe_fertility — carried from the r13 ranking.
+# Out-candidates with duplicate-surface rationales (the usual
+# convention; all stay green in the pytest parity sweep):
+#   store_scd2_stream (if store_scd2_incremental rotates in — same
+#   batch-scd2 oracle, the incremental row additionally grades the
+#   churn-merge publish), corpus_pack_sequences (if
+#   multimodal_interleaved_pack rotates in — the SAME next-fit walk
+#   runs inside its oracle's recursive CTE and its Arrow stage is
+#   plan-guarded), text_token_stats (the tokenization grain is
+#   recomputed wholesale inside the dsir/doremi/unigram/chi2 oracles;
+#   text_quality keeps the quality-stat slot), datetime_order_stats
+#   (its date-bucket aggregates are graded through the TPC-H rows +
+#   the window suite).
+# ---------------------------------------------------------------------------
 # r13 rotation-eligibility ranking (consolidated; every row below is
 # fully oracle-backed at sf0.01 AND sf0.1, law-tested, ×10-probed and
 # fresh-process driver-contract verified — per-wave detail in the r12
