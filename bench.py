@@ -348,9 +348,6 @@ HEADLINE = [
     # publish (kb-bucketed seed + churn-bound deltas + newest-source
     # resolution; seed + 2-batch replay + served read priced end to end)
     "store_scd2_incremental",
-    # r13 wave 29 (outside the comparable subsets): train/eval
-    # decontamination (broadcast eval shingle hashes + one keyed count)
-    "corpus_decontaminate",
     # r13 wave 30 (outside the comparable subsets): DoReMi domain
     # reweighting (two count LMs off one explode, K-row softmax via
     # the pinned Horner exponential)

@@ -307,58 +307,3 @@ def test_minhash_accuracy_eval_binding_cap_convention(spark):
     assert row["err_num"] == abs(m * row["union_sz"] - capped_inter * 16)
     dedup.release_persisted()
 
-
-def test_decontaminate_report_laws(spark):
-    """r13 wave 29 (train/eval decontamination): a verbatim copy of an
-    eval doc is fully contaminated (hit_frac 1.0); a doc sharing one
-    8-gram window is flagged with exactly the overlapping distinct
-    shingles counted; a clean doc is absent; an eval text shorter
-    than n contaminates only its verbatim copies (whole-text fallback
-    shingle); decontaminate() drops exactly the flagged ids."""
-    from ydb_vector_search_demo_spark.operators import dedup
-
-    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-    short_eval = "tiny question"
-    train_rows = [
-        (1, eval_text),                                   # verbatim copy
-        (2, "xx " + eval_text + " yy"),                   # embeds eval 8-grams
-        (3, "one two three four five six seven eight nine"),  # clean
-        (4, short_eval),                                  # verbatim short copy
-        (5, "tiny question with a long tail of extra words here"),
-    ]
-    train = spark.createDataFrame(train_rows, "doc_id BIGINT, text STRING")
-    ev = spark.createDataFrame(
-        [(100, eval_text), (101, short_eval)], "doc_id BIGINT, text STRING"
-    )
-    rep = {
-        r["doc_id"]: (r["n_shingles"], r["n_hits"], r["hit_frac"])
-        for r in dedup.decontaminate_report(train, ev, n=8).collect()
-    }
-
-    def sh8(text):
-        t = text.split()
-        if len(t) <= 8:
-            return {" ".join(t)}
-        return {" ".join(t[i:i + 8]) for i in range(len(t) - 7)}
-
-    ev_sh = sh8(eval_text) | sh8(short_eval)
-    for did, text in train_rows:
-        mine = sh8(text)
-        hits = len(mine & ev_sh)
-        if hits:
-            assert rep[did] == (
-                len(mine), hits, round(hits / len(mine), 6)
-            ), did
-        else:
-            assert did not in rep
-    assert rep[1][2] == 1.0          # verbatim copy fully contaminated
-    assert 3 not in rep              # clean doc absent
-    assert rep[4] == (1, 1, 1.0)     # short verbatim copy via fallback
-    # doc 5 contains 'tiny question' only as a PREFIX of longer
-    # 8-gram windows, not as a whole-text shingle -> clean
-    assert 5 not in rep
-
-    clean = {
-        r["doc_id"] for r in dedup.decontaminate(train, ev, n=8).collect()
-    }
-    assert clean == {d for d, _ in train_rows} - set(rep)

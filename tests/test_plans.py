@@ -535,17 +535,6 @@ def test_kmeans_readout_single_keyed_shuffle(spark):
     assert "BroadcastHashJoin" in final
 
 
-def test_decontaminate_eval_side_broadcasts(spark):
-    """r13 wave 29 plan claim: the eval shingle set joins by
-    BROADCAST (benchmark-sized side into the corpus-sized train
-    explode), never a nested-loop/cartesian — the shape that keeps
-    decontamination one map-side pass + one keyed count at 100 TB."""
-    final = final_plan_of(spark, "corpus_decontaminate")
-    assert "BroadcastHashJoin" in final, final[:2000]
-    assert "BroadcastNestedLoopJoin" not in final, final[:2000]
-    assert "CartesianProduct" not in final, final[:2000]
-
-
 def test_interleaved_pack_builds_no_payload_python_stage(spark):
     """r13 wave 27 plan claim: the alignment/packing path reads the
     media side at the METADATA grain — the ONLY Python/Arrow stage in

@@ -148,7 +148,7 @@ def test_r14_eligibility_ranking_names_are_registered():
         "r13 rotation-eligibility ranking"
     )[0]
     ranked = [
-        "corpus_unigram_lm", "corpus_decontaminate",
+        "corpus_unigram_lm",
         "store_scd2_incremental", "multimodal_interleaved_pack",
         "corpus_doremi_weights", "graph_kcore_peel",
         "part_skyline_brand", "dedup_minhash_accuracy",

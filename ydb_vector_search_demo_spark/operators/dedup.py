@@ -1868,94 +1868,3 @@ def minhash_accuracy_eval(
         )
     )
     return out
-
-
-# ----------------------------------------------------- decontamination
-# Train/eval overlap removal — the ASYMMETRIC sibling of the near-dup
-# family: benchmark contamination is measured by n-gram overlap with
-# the evaluation set (the GPT-3 13-gram convention, Brown et al. 2020
-# appendix C; n is a parameter here), and a training corpus ships only
-# after contaminated documents are flagged or dropped.
-
-
-def decontaminate_report(
-    train: DataFrame,
-    eval_docs: DataFrame,
-    n: int = 8,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Contamination report: for every training document sharing at
-    least one distinct n-token shingle with the evaluation corpus,
-    (doc_id, n_shingles, n_hits, hit_frac) — n_hits the number of the
-    doc's DISTINCT shingles that appear anywhere in the eval set
-    (texts shorter than n tokens contribute their whole text as one
-    shingle — the word_shingles fallback, so short eval questions
-    still match verbatim copies).
-
-    Plan shape: the eval shingle set collapses to DISTINCT 8-byte
-    xxhash64 keys and BROADCASTS into the train-side shingle explode
-    (eval sets are small by construction — benchmarks are thousands
-    of documents, not billions; when one is not, drop the hint and
-    this degrades to a plain shuffle join), then ONE keyed count per
-    contaminated doc. The join key is the hash, not the shingle text
-    (the shingle_jaccard_pairs convention: 8-byte shuffle keys; a
-    2^-64 collision flags one extra shingle — harmless for a
-    contamination DECISION, which production pipelines double-check
-    on the flagged minority anyway)."""
-    from ydb_vector_search_demo_spark.functions.textstats import word_shingles
-    from ydb_vector_search_demo_spark.sources.tables import fan_out
-
-    ev = (
-        fan_out(eval_docs)
-        .select(
-            F.explode(
-                F.array_distinct(word_shingles(text_col, n))
-            ).alias("_g")
-        )
-        .select(F.xxhash64("_g").alias("_gh"))
-        .distinct()
-    )
-    tr = (
-        fan_out(train)
-        .select(
-            F.col(id_col),
-            F.array_distinct(word_shingles(text_col, n)).alias("_sh"),
-        )
-        .select(
-            id_col,
-            F.size("_sh").cast("bigint").alias("n_shingles"),
-            F.explode("_sh").alias("_g"),
-        )
-        .select(id_col, "n_shingles", F.xxhash64("_g").alias("_gh"))
-    )
-    return (
-        tr.join(F.broadcast(ev), "_gh")
-        .groupBy(id_col, "n_shingles")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
-        .select(
-            id_col,
-            "n_shingles",
-            "n_hits",
-            F.round(
-                F.col("n_hits") / F.col("n_shingles").cast("double"), 6
-            ).alias("hit_frac"),
-        )
-    )
-
-
-def decontaminate(
-    train: DataFrame,
-    eval_docs: DataFrame,
-    n: int = 8,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """The clean corpus: ``train`` minus every document
-    :func:`decontaminate_report` flags (one broadcast-able left-anti
-    join on the id — the report is bounded by contamination volume).
-    """
-    flagged = decontaminate_report(
-        train, eval_docs, n=n, text_col=text_col, id_col=id_col
-    ).select(id_col)
-    return train.join(flagged, id_col, "left_anti")

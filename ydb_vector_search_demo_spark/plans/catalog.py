@@ -15291,80 +15291,6 @@ def q_corpus_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
-def _shingles_sql(n: int) -> str:
-    """The n-token word-shingle replay (generalized _SHINGLES_SQL —
-    that constant stays as the n=3 instance the dedup oracles pin):
-    texts shorter than n tokens yield their whole text as one shingle
-    (the word_shingles fallback), with the empty-text case coalesced
-    because DuckDB's array_to_string([]) is NULL where Spark's
-    array_join([]) is '' (SURVEY Appendix A seam #3)."""
-    return f"""
-  CASE WHEN len({_TOKENS_SQL}) <= {n}
-       THEN [coalesce(array_to_string({_TOKENS_SQL}, ' '), '')]
-       ELSE list_transform(range(1, len({_TOKENS_SQL}) - {n - 2}),
-                           i -> array_to_string(
-                                  {_TOKENS_SQL}[i:i+{n - 1}], ' '))
-  END
-"""
-
-
-_DECONTAM_ORACLE_SQL = f"""
-    WITH s AS (
-      SELECT doc_id,
-             CASE WHEN ('0x' || substring(md5('split-v1' ||
-                        doc_id::VARCHAR), 1, 4))::INTEGER % 100 < 90
-                  THEN 'train' ELSE 'eval' END AS split,
-             list_distinct({_shingles_sql(8)}) AS sh
-      FROM documents),
-    e AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE split = 'eval'),
-    t AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS g
-          FROM s WHERE split = 'train')
-    SELECT t.doc_id, t.n_shingles::BIGINT AS n_shingles,
-           count(*)::BIGINT AS n_hits,
-           round(count(*) / (1.0 * t.n_shingles), 6) AS hit_frac
-    FROM t JOIN e USING (g)
-    GROUP BY t.doc_id, t.n_shingles ORDER BY t.doc_id
-    """
-
-
-@register("corpus_decontaminate", _DECONTAM_ORACLE_SQL)
-def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRAIN/EVAL DECONTAMINATION (dedup.decontaminate_report — the
-    asymmetric sibling the near-dup family lacked: benchmark
-    contamination by n-gram overlap with the evaluation set, the
-    GPT-3 13-gram convention at n=8): the corpus splits by the graded
-    split-v1 md5 rule (90% train / 10% eval), the eval side collapses
-    to distinct broadcast shingle hashes, and every train document
-    sharing at least one distinct 8-token shingle with the eval set
-    is reported with its hit count and fraction — the flag-then-drop
-    artifact every LLM corpus ships with (dedup.decontaminate is the
-    drop side, law-tested). Scale shape: one map-side shingle explode
-    per side, a broadcast hash join (eval sets are benchmark-sized),
-    ONE keyed count — contamination volume bounds the output. The
-    oracle replays the split, the n=8 shingling (whole-text fallback
-    for short docs) and the distinct-overlap count on the shingle
-    STRINGS (the hash-vs-string join convention of the dedup
-    family)."""
-    from ydb_vector_search_demo_spark.operators import dedup as DD
-
-    docs = _t(spark, sf_dir, "documents")
-    split = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split-v1"), F.col("doc_id").cast("string"))),
-                1,
-                4,
-            ),
-            16,
-            10,
-        ).cast("int")
-        % 100
-    )
-    train = docs.where(split < 90)
-    ev = docs.where(split >= 90)
-    return DD.decontaminate_report(train, ev, n=8).orderBy("doc_id")
-
-
 @register("store_scd2_incremental", ORACLES["store_scd2_history"])
 def q_store_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHURN-MERGE streamed SCD2 history (streaming.ingest
@@ -16068,24 +15994,21 @@ _GRADE_FIRST = [
 # grades only transitively or not at all:
 #   1. corpus_unigram_lm — the OTHER tokenizer family (unigram-EM /
 #      SentencePiece); the window grades BPE training only.
-#   2. corpus_decontaminate — train/eval CONTAMINATION (asymmetric
-#      overlap against a benchmark); the graded dedup rows are all
-#      symmetric within-corpus.
-#   3. store_scd2_incremental — the churn-bound publish (the graded
+#   2. store_scd2_incremental — the churn-bound publish (the graded
 #      store_scd2_stream rebuilds full history per publish; this row
 #      grades the same oracle PLUS the scale economics).
-#   4. multimodal_interleaved_pack — multimodal × curation assembly
+#   3. multimodal_interleaved_pack — multimodal × curation assembly
 #      (interleave/alignment; packer and codecs are graded apart,
 #      their composition nowhere).
-#   5. corpus_doremi_weights — data MIXING optimization toward
+#   4. corpus_doremi_weights — data MIXING optimization toward
 #      balance (the window grades selection via corpus_dsir_weights;
 #      mixing-weight optimization nowhere) + the pinned-exp seam.
-#   6. graph_kcore_peel — graph DECOMPOSITION (iteration and
+#   5. graph_kcore_peel — graph DECOMPOSITION (iteration and
 #      structure are graded; the dense-core trim is not).
-#   7. part_skyline_brand / dedup_minhash_accuracy — the wave-24/25
+#   6. part_skyline_brand / dedup_minhash_accuracy — the wave-24/25
 #      rows, now carrying full-capture bench + sweep history
 #      (multi-criteria dominance; sketch-accuracy eval).
-#   8. corpus_span_corruption / ann_power_iteration_fixed /
+#   7. corpus_span_corruption / ann_power_iteration_fixed /
 #      lineitem_kendall_tau / events_mann_kendall / dedup_keep_best /
 #      retrieval_rbo_bm25_qld / corpus_neyman_sample /
 #      corpus_bpe_fertility — carried from the r13 ranking.
@@ -16246,17 +16169,6 @@ _GRADE_FIRST = [
 #                            exponentiated-gradient step, softmax via
 #                            the PINNED 30-term Horner exp — libm exp
 #                            is not cross-engine bitwise, seam #10)
-# ---------------------------------------------------------------------------
-# r13 wave 29 (same bar: 3-SF parity, hand-shingle law test; ×10
-# probe 6.1× OUTPUT-DRIVEN — the dup-replicated probe corpus puts
-# eval copies of most train docs in the eval split, so the
-# contamination report grows 522× (54 → 28 184 rows) while per-row
-# work stays flat — the dedup_minhash_accuracy convention):
-#   corpus_decontaminate   — train/eval n-gram decontamination (the
-#                            GPT-3 overlap convention at n=8;
-#                            broadcast eval shingle hashes, one keyed
-#                            count; dedup.decontaminate is the drop
-#                            side, law-tested)
 # ---------------------------------------------------------------------------
 # r13 wave 28 (same bar: sf0.01/0.1 parity vs the batch scd2 oracle,
 # equality law at EVERY publish + churn-bound-delta law; ×10 store
