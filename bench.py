@@ -356,6 +356,9 @@ HEADLINE = [
     # trajectory over the kNN graph (own graph build + 5 unrolled
     # peels — build-dominated like the other graph rows)
     "graph_kcore_peel",
+    # r13 wave 32 (outside the comparable subsets): offline FFD
+    # packing on the graded packer's grain (the online/offline A/B)
+    "corpus_pack_ffd",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

@@ -2091,3 +2091,64 @@ def test_kcore_peel_matches_brute_force(spark):
     # round 1 peels the fringe {6, 7}; round 2 cascades 5; round 3: 4
     # stays (its K4 degree is 3 even after 5 leaves)
     assert got[0][1] == 2 and got[1][1] == 1 and got[2][1] == 0
+
+
+def test_pack_sequences_ffd_matches_brute_force(spark):
+    """curation.pack_sequences_ffd against a brute-force FFD replay on
+    hand data: largest-first order with the doc-id tie-break, each
+    item in the lowest-numbered fitting pack, oversized items open
+    their own (overfull) pack, capacity law holds, and on this corpus
+    FFD uses strictly fewer packs than the next-fit walk (the
+    padding-waste claim)."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        pack_sequences,
+        pack_sequences_ffd,
+    )
+
+    rows = [
+        # bucket 0: sizes desc = 7,5,4,3,2 at budget 8
+        (0, 1, 7), (0, 2, 5), (0, 3, 4), (0, 4, 3), (0, 5, 2),
+        # bucket 1: an oversized item + a tie on size (doc order breaks)
+        (1, 6, 9), (1, 7, 4), (1, 8, 4), (1, 9, 4),
+    ]
+    df = spark.createDataFrame(rows, "bucket INT, doc_id BIGINT, n_tokens BIGINT")
+    got = {
+        (r["bucket"], r["doc_id"]): r["pack_id"]
+        for r in pack_sequences_ffd(df, budget=8).collect()
+    }
+
+    def ffd(items, budget=8):
+        caps, out = [], {}
+        for did, t in sorted(items, key=lambda x: (-x[1], x[0])):
+            for i, c in enumerate(caps):
+                if c >= t:
+                    caps[i] = c - t
+                    out[did] = i + 1
+                    break
+            else:
+                caps.append(budget - t)
+                out[did] = len(caps)
+        return out, caps
+
+    want = {}
+    n_packs = {}
+    for b in (0, 1):
+        assign, caps = ffd([(d, t) for bb, d, t in rows if bb == b])
+        n_packs[b] = len(caps)
+        for d, p in assign.items():
+            want[(b, d)] = p
+    assert got == want
+    # capacity law: no pack over budget unless it is one oversized item
+    from collections import defaultdict
+
+    totals = defaultdict(list)
+    for (b, d), p in got.items():
+        t = next(t for bb, dd, t in rows if bb == b and dd == d)
+        totals[(b, p)].append(t)
+    for (b, p), ts in totals.items():
+        assert sum(ts) <= 8 or (len(ts) == 1 and ts[0] > 8), (b, p, ts)
+    # bucket 0: FFD packs {7}, {5,3}, {4,2} = 3 packs; next-fit walks
+    # doc order 7|5|4,3|2 = 4 packs — the offline walk strictly wins
+    nf = pack_sequences(df, budget=8).collect()
+    nf_packs = len({(r["bucket"], r["pack_id"]) for r in nf if r["bucket"] == 0})
+    assert n_packs[0] == 3 and nf_packs == 4
