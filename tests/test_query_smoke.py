@@ -151,6 +151,7 @@ def test_r14_eligibility_ranking_names_are_registered():
         "corpus_unigram_lm",
         "store_scd2_incremental", "multimodal_interleaved_pack",
         "corpus_doremi_weights", "graph_kcore_peel",
+        "corpus_pack_ffd",
         "part_skyline_brand", "dedup_minhash_accuracy",
         "corpus_span_corruption", "ann_power_iteration_fixed",
         "lineitem_kendall_tau", "events_mann_kendall",

@@ -16093,6 +16093,10 @@ _GRADE_FIRST = [
 #      mixing-weight optimization nowhere) + the pinned-exp seam.
 #   5. graph_kcore_peel — graph DECOMPOSITION (iteration and
 #      structure are graded; the dense-core trim is not).
+#   5b. corpus_pack_ffd — the OFFLINE packer (landed post-close-out,
+#      wave 32; subset-benched 0.641 s): if it rotates in, it is the
+#      stronger packing row and corpus_pack_sequences becomes the
+#      out-candidate (same grain, the online/offline A/B).
 #   6. part_skyline_brand / dedup_minhash_accuracy — the wave-24/25
 #      rows, now carrying full-capture bench + sweep history
 #      (multi-criteria dominance; sketch-accuracy eval).
