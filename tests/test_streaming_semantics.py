@@ -748,3 +748,71 @@ def test_cusum_monitor_runs_per_trigger_and_matches_batch(spark):
         r["h"]: (r["x"], r["s_up"], r["s_dn"]) for r in state["final"]
     }
     assert streamed == batch
+
+
+def test_stream_scd2_incremental_replay_is_idempotent(spark, tmp_path):
+    """Checkpoint-replay law (r13 review finding): re-running a
+    micro-batch AFTER its first attempt already wrote its delta must
+    reproduce the identical served history — the prior read excludes
+    deltas at or above the replayed batch id, so neither a complete
+    nor a PARTIAL/corrupt delta from the crashed first attempt can
+    double-apply the batch's events or poison prior state."""
+    from ydb_vector_search_demo_spark.pipeline import rag
+    from ydb_vector_search_demo_spark.streaming.ingest import (
+        apply_scd2_batch,
+        init_scd2_base,
+        read_scd2_history_incremental,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two")], "doc_id LONG, text STRING"
+    )
+    sch = "doc_id LONG, text STRING, _v INT, op STRING"
+    root = str(tmp_path / "scd2_replay")
+    init_scd2_base(spark, base, root, n_buckets=4)
+
+    b0 = spark.createDataFrame([(1, "one-v1", 1, "upsert")], sch)
+    b1 = spark.createDataFrame(
+        [(1, "one-v2", 2, "upsert"), (2, None, 1, "delete")], sch
+    )
+    apply_scd2_batch(b0, 0, root)
+    apply_scd2_batch(b1, 1, root)
+
+    def current():
+        return sorted(
+            tuple(r)
+            for r in read_scd2_history_incremental(spark, root)
+            .select("doc_id", "text", "valid_from", "valid_to", "is_current")
+            .collect()
+        )
+
+    want = current()
+    # batch-oracle cross-check
+    ups = spark.createDataFrame(
+        [(1, "one-v1", 1), (1, "one-v2", 2)], "doc_id LONG, text STRING, _v INT"
+    )
+    dels = spark.createDataFrame([(2, 1)], "doc_id LONG, _v INT")
+    assert want == sorted(
+        tuple(r)
+        for r in rag.scd2_history(base, ups, dels)
+        .select("doc_id", "text", "valid_from", "valid_to", "is_current")
+        .collect()
+    )
+
+    # replay the LAST batch verbatim (crash after write, before the
+    # checkpoint commit): history must be unchanged
+    apply_scd2_batch(b1, 1, root)
+    assert current() == want, "replay double-applied the batch"
+
+    # worse: the first attempt's delta was PARTIAL/corrupt — replace
+    # batch=1 with garbage rows, then replay; the re-run must ignore
+    # it entirely and rebuild the correct delta
+    garbage = spark.createDataFrame(
+        [(1, "CORRUPT", 99, 99, True)],
+        "doc_id LONG, text STRING, valid_from INT, valid_to INT, "
+        "is_current BOOLEAN",
+    )
+    garbage.write.mode("overwrite").parquet(f"{root}/hdelta/batch=1")
+    assert current() != want  # sanity: corruption is visible pre-replay
+    apply_scd2_batch(b1, 1, root)
+    assert current() == want, "replay read its own corrupt delta"

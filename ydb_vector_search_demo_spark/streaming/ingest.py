@@ -448,14 +448,22 @@ def _scd2_resolve(
     root: str,
     key_col: str,
     payload_col: str,
-    prune_buckets: list | None = None,
+    keys: DataFrame | None = None,
+    before_batch: int | None = None,
 ) -> DataFrame:
     """Newest-source-wins resolution of compacted history + deltas:
     per key, the delta with the highest batch id supersedes the
     compacted row set; deltas at or below the compaction watermark are
-    ignored (already folded in). ``prune_buckets`` restricts the
-    compacted read to the churn keys' partitions (the per-batch
-    publish path); readers pass None for the full history."""
+    ignored (already folded in). ``keys`` (the churn keys, with their
+    ``kb`` buckets — the per-batch publish path) restricts BOTH the
+    compacted read (partition-pruned to the churn buckets) AND every
+    relation BEFORE the winner aggregation (broadcast semi-joins), so
+    the resolution shuffle is churn-bound, never store-bound; readers
+    pass None for the full history. ``before_batch`` excludes deltas
+    at or above the given batch id — the CHECKPOINT-REPLAY guard: a
+    re-run micro-batch must not read the delta its crashed first
+    attempt may have written (complete, it applies the batch's events
+    twice; partial, it poisons prior state outright)."""
     from ydb_vector_search_demo_spark import stores
 
     hroot = f"{root}/hbase"
@@ -464,8 +472,13 @@ def _scd2_resolve(
         raise ValueError(f"init_scd2_base has not run for {root!r}")
     meta = _read_scd2_meta(spark, hdir)
     hb = spark.read.parquet(hdir)
-    if prune_buckets is not None:
-        hb = hb.filter(F.col("kb").isin([int(b) for b in prune_buckets]))
+    if keys is not None:
+        buckets = [
+            int(r["kb"]) for r in keys.select("kb").distinct().collect()
+        ]
+        hb = hb.filter(F.col("kb").isin(buckets)).join(
+            F.broadcast(keys.select(key_col)), key_col
+        )
     data_schema = hb.select(
         key_col, payload_col, "valid_from", "valid_to", "is_current"
     ).schema
@@ -488,6 +501,12 @@ def _scd2_resolve(
             )
             .filter(F.col("_batch") > int(meta["through"]))
         )
+        if before_batch is not None:
+            deltas = deltas.filter(F.col("_batch") < int(before_batch))
+        if keys is not None:
+            deltas = deltas.join(
+                F.broadcast(keys.select(key_col)), key_col
+            )
     allrows = hb if deltas is None else hb.unionByName(deltas)
     win = allrows.groupBy(key_col).agg(F.max("_batch").alias("_w"))
     return (
@@ -510,7 +529,7 @@ def read_scd2_history_incremental(
     deltas) with one key-grain resolution shuffle — the same order as
     reading any full history; it is the PUBLISH that became
     churn-bound."""
-    return _scd2_resolve(spark, root, key_col, payload_col, None)
+    return _scd2_resolve(spark, root, key_col, payload_col, keys=None)
 
 
 def _scd2_events_from_history(
@@ -541,6 +560,57 @@ def _scd2_events_from_history(
     return ups.unionByName(dels)
 
 
+def apply_scd2_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    root: str,
+    key_col: str = "doc_id",
+    payload_col: str = "text",
+) -> None:
+    """One incremental-SCD2 micro-batch (the foreachBatch body of
+    :func:`stream_scd2_ingest_incremental`, module-level so the
+    replay-idempotence law can invoke it directly): resolve prior
+    state for the batch's churn keys (bucket-pruned, churn-bound,
+    EXCLUDING deltas at or above this batch id — the checkpoint-replay
+    guard), invert to events, re-run the SCD2 window for those keys,
+    overwrite ``root/hdelta/batch=<id>``."""
+    from ydb_vector_search_demo_spark import stores
+    from ydb_vector_search_demo_spark.pipeline import rag
+
+    spark = batch_df.sparkSession
+    hdir = stores.current_store_path(spark, f"{root}/hbase")
+    meta = _read_scd2_meta(spark, hdir)
+    nb = int(meta["n_buckets"])
+    keys = batch_df.select(F.col(key_col)).distinct().withColumn(
+        "kb", _scd2_kb(key_col, nb)
+    ).localCheckpoint(eager=True)
+    prior = _scd2_resolve(
+        spark, root, key_col, payload_col,
+        keys=keys, before_batch=int(batch_id),
+    )
+    ev_prior = _scd2_events_from_history(prior, key_col, payload_col)
+    ups = batch_df.filter(F.col("op") == "upsert").select(
+        F.col(key_col),
+        F.col(payload_col).alias("_p"),
+        F.col("_v").cast("int").alias("_v"),
+        F.lit(True).alias("_is_upsert"),
+    )
+    dels = batch_df.filter(F.col("op") == "delete").select(
+        F.col(key_col),
+        F.lit(None).cast("string").alias("_p"),
+        F.col("_v").cast("int").alias("_v"),
+        F.lit(False).alias("_is_upsert"),
+    )
+    new_hist = rag.scd2_from_events(
+        ev_prior.unionByName(ups).unionByName(dels),
+        key_col=key_col,
+        payload_col=payload_col,
+    )
+    new_hist.write.mode("overwrite").parquet(
+        f"{root}/hdelta/batch={batch_id}"
+    )
+
+
 def stream_scd2_ingest_incremental(
     changes_stream: DataFrame,
     root: str,
@@ -559,8 +629,10 @@ def stream_scd2_ingest_incremental(
     and re-run the SCD2 window for the churn keys only; (c) write the
     result as a delta at the DETERMINISTIC path
     ``root/hdelta/batch=<id>`` (a checkpoint-replayed batch
-    recomputes an identical delta — no later batch exists yet — and
-    overwrites itself, so exactly-once comes for free). Nothing
+    recomputes an IDENTICAL delta and overwrites itself: its prior
+    read excludes deltas at or above its own batch id, so whatever
+    the crashed first attempt wrote — complete or partial — is
+    invisible to the re-run, and exactly-once comes for free). Nothing
     store-sized is read or written after the one-time seed: publish
     cost tracks CHURN (×10 probe in BASELINE), while
     :func:`read_scd2_history_incremental` serves the complete history
@@ -568,43 +640,8 @@ def stream_scd2_ingest_incremental(
     converge exactly as in the full rebuild (the window orders by
     ``_v``). Compact with :func:`compact_scd2_history` when the delta
     tail grows (the store_compaction economics)."""
-    from ydb_vector_search_demo_spark.pipeline import rag
-
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        from ydb_vector_search_demo_spark import stores
-
-        hdir = stores.current_store_path(spark, f"{root}/hbase")
-        meta = _read_scd2_meta(spark, hdir)
-        nb = int(meta["n_buckets"])
-        keys = batch_df.select(F.col(key_col)).distinct().withColumn(
-            "kb", _scd2_kb(key_col, nb)
-        ).localCheckpoint(eager=True)
-        buckets = [r["kb"] for r in keys.select("kb").distinct().collect()]
-        prior = _scd2_resolve(
-            spark, root, key_col, payload_col, prune_buckets=buckets
-        ).join(F.broadcast(keys.select(key_col)), key_col)
-        ev_prior = _scd2_events_from_history(prior, key_col, payload_col)
-        ups = batch_df.filter(F.col("op") == "upsert").select(
-            F.col(key_col),
-            F.col(payload_col).alias("_p"),
-            F.col("_v").cast("int").alias("_v"),
-            F.lit(True).alias("_is_upsert"),
-        )
-        dels = batch_df.filter(F.col("op") == "delete").select(
-            F.col(key_col),
-            F.lit(None).cast("string").alias("_p"),
-            F.col("_v").cast("int").alias("_v"),
-            F.lit(False).alias("_is_upsert"),
-        )
-        new_hist = rag.scd2_from_events(
-            ev_prior.unionByName(ups).unionByName(dels),
-            key_col=key_col,
-            payload_col=payload_col,
-        )
-        new_hist.write.mode("overwrite").parquet(
-            f"{root}/hdelta/batch={batch_id}"
-        )
+        apply_scd2_batch(batch_df, batch_id, root, key_col, payload_col)
 
     writer = changes_stream.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint
