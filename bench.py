@@ -620,17 +620,23 @@ def main() -> None:
         if contaminated:
             contaminated_rows.append(name)
 
-        ordered = sorted(samples)
-        timings[name] = round(ordered[len(ordered) // 2], 3)
+        # median/max/mm_ratio keep the BASE-trial basis (the stat whose
+        # meaning is compared across rounds — r13 review finding: mixing
+        # hot-retry samples in would silently change the contract
+        # median); min alone folds the retries in, since more samples
+        # can only tighten a min
+        base = sorted(samples[:trials])
+        all_min = min(samples)
+        timings[name] = round(base[len(base) // 2], 3)
         spread[name] = {
-            "min": round(ordered[0], 3),
+            "min": round(all_min, 3),
             "median": timings[name],
-            "max": round(ordered[-1], 3),
+            "max": round(base[-1], 3),
             "trials": trials,
             # contention fingerprint: a plan regression shifts min; host
             # contention widens max/min while min stays put. Logged per
             # query so the driver JSON is self-diagnosing (r3 verdict #7).
-            "mm_ratio": round(ordered[-1] / ordered[0], 2) if ordered[0] else None,
+            "mm_ratio": round(base[-1] / base[0], 2) if base[0] else None,
         }
         if ref is not None:
             spread[name]["ref_min"] = ref

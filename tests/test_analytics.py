@@ -2123,11 +2123,11 @@ def test_pack_sequences_ffd_matches_brute_force(spark):
             for i, c in enumerate(caps):
                 if c >= t:
                     caps[i] = c - t
-                    out[did] = i + 1
+                    out[did] = i
                     break
             else:
                 caps.append(budget - t)
-                out[did] = len(caps)
+                out[did] = len(caps) - 1
         return out, caps
 
     want = {}

@@ -609,6 +609,13 @@ def audio_rms_frames(
     if "silence_ms" in deprecated:  # pre-r12 keyword (r12 ADVICE shim)
         import warnings
 
+        if silence_mean_sq != 1_000_000:
+            # both names passed explicitly: a half-migrated call site —
+            # never let the stale name silently win (r13 review finding)
+            raise TypeError(
+                "audio_rms_frames() got both silence_mean_sq and the "
+                "deprecated silence_ms; pass only silence_mean_sq"
+            )
         warnings.warn(
             "audio_rms_frames(silence_ms=...) was renamed to "
             "silence_mean_sq= (it is a squared-amplitude threshold, "
@@ -828,6 +835,33 @@ def image_ahash_pairs(
 # budget (composing the graded curation.pack_sequences walk).
 
 
+def _mm_anchor():
+    """The pinned-md5 caption anchor — md5('mmanchor:' || media_id) %
+    n_spans, 0 on zero-span docs. ONE definition shared by
+    interleaved_mm_elements and interleaved_mm_pack (the element
+    stream and the pack checksum must agree by construction); the
+    DuckDB oracle and the law tests replay it verbatim."""
+    return F.when(
+        F.col("_nspans") == 0, F.lit(0).cast("bigint")
+    ).otherwise(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("mmanchor:"),
+                        F.col("media_id").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.col("_nspans")
+    )
+
+
 def interleaved_mm_elements(
     docs: DataFrame,
     media: DataFrame,
@@ -903,24 +937,7 @@ def interleaved_mm_elements(
             "doc_id",
             F.lit("image").alias("kind"),
             F.col("media_id").cast("bigint").alias("media_id"),
-            F.when(F.col("_nspans") == 0, F.lit(0).cast("bigint"))
-            .otherwise(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit("mmanchor:"),
-                                F.col("media_id").cast("string"),
-                            )
-                        ),
-                        1,
-                        4,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % F.col("_nspans")
-            )
+            _mm_anchor()
             .alias("span_idx"),
             F.lit(IT).cast("bigint").alias("el_tokens"),
             F.lit(None).cast("string").alias("content"),
@@ -928,8 +945,14 @@ def interleaved_mm_elements(
     )
     both = text_el.unionByName(img_el)
     # interleave: the image sorts BEFORE the text span it anchors to
+    # media_id breaks ties between multiple images anchored to the
+    # SAME span (possible for any media relation with >1 image per
+    # doc) — without it row_number is shuffle-order-dependent and the
+    # determinism contract breaks (r13 review finding)
     w = Window.partitionBy("doc_id").orderBy(
-        "span_idx", F.when(F.col("kind") == "image", 0).otherwise(1)
+        "span_idx",
+        F.when(F.col("kind") == "image", 0).otherwise(1),
+        F.col("media_id").asc_nulls_last(),
     )
     return both.select(
         "doc_id",
@@ -991,24 +1014,7 @@ def interleaved_mm_pack(
         .select(
             "doc_id",
             F.col("media_id").cast("bigint").alias("media_id"),
-            F.when(F.col("_nspans") == 0, F.lit(0).cast("bigint"))
-            .otherwise(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit("mmanchor:"),
-                                F.col("media_id").cast("string"),
-                            )
-                        ),
-                        1,
-                        4,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % F.col("_nspans")
-            )
+            _mm_anchor()
             .alias("anchor"),
         )
     )

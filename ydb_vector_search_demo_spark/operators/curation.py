@@ -369,7 +369,9 @@ def pack_sequences_ffd(
     ``order_col`` ASC — the deterministic tie-break), each item goes
     to the lowest-numbered pack whose remaining capacity fits it,
     else opens a new pack; an item larger than the budget opens its
-    own (permanently overfull) pack — the next-fit convention.
+    own (permanently overfull) pack — the next-fit convention —
+    and ``pack_id`` is 0-based in pack-open order, matching
+    :func:`pack_sequences` so the A/B rows join on identical keys.
     Deterministic: (bucket, sort order) fixes the walk; the DuckDB
     oracle replays it with a recursive CTE carrying the capacity
     LIST as a functional column (never a list_reduce struct fold —
@@ -378,7 +380,7 @@ def pack_sequences_ffd(
     Scale shape: identical to pack_sequences — the bucket is the
     parallelism unit for one Arrow-batched applyInPandas walk; FFD's
     extra state is the open-capacity array (packs-per-bucket sized).
-    Output adds ``pack_id`` (1-based, pack-open order) per row."""
+    Output adds ``pack_id`` (0-based, pack-open order) per row."""
     import pandas as pd
 
     out_fields = df.schema.fields
@@ -398,11 +400,11 @@ def pack_sequences_ffd(
             for i, c in enumerate(caps):
                 if c >= t:
                     caps[i] = c - t
-                    ids.append(i + 1)
+                    ids.append(i)
                     break
             else:
                 caps.append(int(budget) - t)
-                ids.append(len(caps))
+                ids.append(len(caps) - 1)
         pdf["pack_id"] = pd.array(ids, dtype="int32")
         return pdf
 
@@ -2440,8 +2442,22 @@ def doremi_domain_weights(
     wmax = Window.orderBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # the pinned series is only trustworthy on a bounded domain (the
+    # truncated Taylor oscillates catastrophically for large |x| —
+    # r13 review finding): enforce |shifted arg| <= 15 at runtime
+    # instead of documenting it (at -15 the 30-term series still
+    # carries ~5 significant digits; beyond it the 'softmax' can go
+    # NEGATIVE and every emitted weight is garbage with no error)
+    xs = F.col("_x") - F.max("_x").over(wmax)
+    guard = F.assert_true(
+        xs >= F.lit(-15.0),
+        F.lit(
+            "doremi_domain_weights: eta * excess-loss spread exceeds "
+            "the pinned-exp domain (shifted argument < -15); lower eta"
+        ),
+    )
     ex = per_dom.withColumn("_x", x).withColumn(
-        "_e", pinned_exp(F.col("_x") - F.max("_x").over(wmax))
+        "_e", F.when(guard.isNull(), pinned_exp(xs))
     )
     wcum = Window.orderBy("_src").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

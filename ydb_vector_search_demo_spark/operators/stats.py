@@ -1046,7 +1046,17 @@ def skyline_2d(
     integral = {"tinyint", "smallint", "int", "bigint"}
     for col in (cost_col, gain_col):
         matches = [f for f in df.schema.fields if f.name == col]
-        if matches and matches[0].dataType.simpleString() not in integral:
+        if not matches:
+            # an exact-name miss must FAIL here, not fall through to
+            # Spark's case-insensitive resolver — a case-mismatched
+            # 'Cost' would otherwise bypass the integer guard entirely
+            # (r13 review finding)
+            raise TypeError(
+                f"skyline_2d: column {col!r} not found in the schema "
+                f"(exact match required; have "
+                f"{[f.name for f in df.schema.fields]})"
+            )
+        if matches[0].dataType.simpleString() not in integral:
             raise TypeError(
                 f"skyline_2d requires exact integer criteria; column "
                 f"{col!r} is {matches[0].dataType.simpleString()} — "

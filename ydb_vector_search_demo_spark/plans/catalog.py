@@ -8434,29 +8434,20 @@ def q_store_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("store_scd2_stream", ORACLES["store_scd2_history"])
-def q_store_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMED-IN SCD Type-2 history (streaming.ingest
-    stream_scd2_ingest — the lifecycle × streaming cell): the same
-    deterministic change log as store_scd2_history, replayed as two
-    micro-batch files (v1 upserts+inserts, then v2 tombstones) through
-    the foreachBatch log-append + atomic-manifest-publish pass; the
-    returned relation is the PUBLISHED current history, which the
-    equality law (tests/test_streaming_semantics.py) pins to the batch
-    scd2_history — so the oracle is the batch row's SQL verbatim (the
-    streaming_hourly_counts convention: one availableNow replay,
-    nothing late to itself)."""
+def _scd2_change_fixture(spark: SparkSession, sf_dir: str, prefix: str):
+    """The deterministic two-micro-batch SCD2 change log shared by
+    q_store_scd2_stream and q_store_scd2_incremental (one definition —
+    both rows grade against ORACLES["store_scd2_history"] verbatim, so
+    the %7/%11/%13 change pattern and the file staging must stay
+    byte-identical between them): v1 = updates (doc_id%7) + inserts
+    (doc_id%11, shifted ids), v2 = tombstones (doc_id%13), written as
+    two mtime-ordered parquet files under a fresh workdir. Returns
+    (docs, work, src) with src the streaming source directory."""
     import os
     import tempfile
     import time as _time
 
-    from ydb_vector_search_demo_spark import stores
-    from ydb_vector_search_demo_spark.streaming.ingest import (
-        stream_scd2_ingest,
-    )
-
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    ch_schema = "doc_id LONG, text STRING, _v INT, op STRING"
     v1 = (
         docs.filter(F.col("doc_id") % 7 == 0)
         .select(
@@ -8475,7 +8466,7 @@ def q_store_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lit(None).cast("string").alias("text"),
         F.lit(2).alias("_v"), F.lit("delete").alias("op"),
     )
-    work = tempfile.mkdtemp(prefix="spark_scd2_stream_")
+    work = tempfile.mkdtemp(prefix=prefix)
     src = os.path.join(work, "changes")
     os.makedirs(src)
     now = _time.time()
@@ -8489,8 +8480,36 @@ def q_store_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         dest = os.path.join(src, f"b{i}.parquet")
         os.rename(os.path.join(staging, part), dest)
         os.utime(dest, (now - 60 + 30 * i,) * 2)
+    return docs, work, src
+
+
+_SCD2_CH_SCHEMA = "doc_id LONG, text STRING, _v INT, op STRING"
+
+
+@register("store_scd2_stream", ORACLES["store_scd2_history"])
+def q_store_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED-IN SCD Type-2 history (streaming.ingest
+    stream_scd2_ingest — the lifecycle × streaming cell): the same
+    deterministic change log as store_scd2_history, replayed as two
+    micro-batch files (v1 upserts+inserts, then v2 tombstones) through
+    the foreachBatch log-append + atomic-manifest-publish pass; the
+    returned relation is the PUBLISHED current history, which the
+    equality law (tests/test_streaming_semantics.py) pins to the batch
+    scd2_history — so the oracle is the batch row's SQL verbatim (the
+    streaming_hourly_counts convention: one availableNow replay,
+    nothing late to itself)."""
+    import os
+
+    from ydb_vector_search_demo_spark import stores
+    from ydb_vector_search_demo_spark.streaming.ingest import (
+        stream_scd2_ingest,
+    )
+
+    docs, work, src = _scd2_change_fixture(
+        spark, sf_dir, "spark_scd2_stream_"
+    )
     stream = (
-        spark.readStream.schema(ch_schema)
+        spark.readStream.schema(_SCD2_CH_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .option("latestFirst", "false")
         .parquet(src)
@@ -12949,10 +12968,11 @@ def _pagerank_oracle_sql(iterations: int = 3) -> str:
     every edge share the identical ((pr*85)//100)//deg floor
     division."""
     scale, base = 10**12, 10**12 * 15 // 100
-    # every CTE is MATERIALIZED: each peel round references the
-    # previous round's relations several times, and DuckDB would
-    # otherwise inline them — an exponential re-expansion that
-    # exhausts file handles re-opening the parquet view
+    # only `pairs` is MATERIALIZED here (the n²-per-label relation the
+    # downstream CTEs reference; the unrolled power steps reference
+    # each predecessor once, so inlining them is harmless) — unlike
+    # _kcore_oracle_sql, where EVERY peel relation is multi-referenced
+    # and must be materialized to avoid exponential re-expansion
     ctes = [
         """pairs AS MATERIALIZED (
       SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -15310,11 +15330,11 @@ _PACK_FFD_ORACLE_SQL = f"""
       FROM d),
     walk AS (
       SELECT bucket, rn, doc_id, n_tokens,
-             1 AS pack_id, [2048 - n_tokens] AS caps
+             0 AS pack_id, [2048 - n_tokens] AS caps
       FROM o WHERE rn = 1
       UNION ALL
       SELECT nxt.bucket, nxt.rn, nxt.doc_id, nxt.n_tokens,
-             coalesce({_FFD_POS}, len(w.caps) + 1),
+             coalesce({_FFD_POS}, len(w.caps) + 1) - 1,
              CASE WHEN {_FFD_POS} IS NULL
                   THEN list_append(w.caps, 2048 - nxt.n_tokens)
                   ELSE w.caps[1:{_FFD_POS}-1]
@@ -15395,8 +15415,6 @@ def q_store_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     scd2_history at every publish — so the oracle is the batch row's
     SQL verbatim (the store_scd2_stream convention)."""
     import os
-    import tempfile
-    import time as _time
 
     from ydb_vector_search_demo_spark.streaming.ingest import (
         init_scd2_base,
@@ -15404,44 +15422,13 @@ def q_store_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_scd2_ingest_incremental,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    ch_schema = "doc_id LONG, text STRING, _v INT, op STRING"
-    v1 = (
-        docs.filter(F.col("doc_id") % 7 == 0)
-        .select(
-            "doc_id",
-            F.concat(F.lit("UPDATED: "), F.col("text")).alias("text"),
-            F.lit(1).alias("_v"), F.lit("upsert").alias("op"),
-        )
-        .unionByName(
-            docs.filter(F.col("doc_id") % 11 == 0).select(
-                (F.col("doc_id") + 100000).alias("doc_id"), "text",
-                F.lit(1).alias("_v"), F.lit("upsert").alias("op"),
-            )
-        )
+    docs, work, src = _scd2_change_fixture(
+        spark, sf_dir, "spark_scd2_inc_"
     )
-    v2 = docs.filter(F.col("doc_id") % 13 == 0).select(
-        "doc_id", F.lit(None).cast("string").alias("text"),
-        F.lit(2).alias("_v"), F.lit("delete").alias("op"),
-    )
-    work = tempfile.mkdtemp(prefix="spark_scd2_inc_")
-    src = os.path.join(work, "changes")
-    os.makedirs(src)
-    now = _time.time()
-    for i, sl in enumerate([v1, v2]):
-        staging = os.path.join(work, f"_stage_{i}")
-        sl.coalesce(1).write.mode("overwrite").parquet(staging)
-        part = next(
-            f for f in os.listdir(staging)
-            if f.endswith(".parquet") and f.startswith("part-")
-        )
-        dest = os.path.join(src, f"b{i}.parquet")
-        os.rename(os.path.join(staging, part), dest)
-        os.utime(dest, (now - 60 + 30 * i,) * 2)
     root = os.path.join(work, "store")
     init_scd2_base(spark, docs, root)
     stream = (
-        spark.readStream.schema(ch_schema)
+        spark.readStream.schema(_SCD2_CH_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .option("latestFirst", "false")
         .parquet(src)
