@@ -641,7 +641,7 @@ def main() -> None:
         if ref is not None:
             spread[name]["ref_min"] = ref
             spread[name]["ref_ratio"] = (
-                round(ordered[0] / ref, 2) if ref else None
+                round(all_min / ref, 2) if ref else None
             )
         if extra:
             spread[name]["extra_trials"] = extra

@@ -121,3 +121,65 @@ def test_hot_retry_is_bounded():
     extra, hot = bench.hot_retry(samples, 1.0, wild)
     assert extra == bench.MAX_EXTRA_TRIALS == len(calls)
     assert hot is True
+
+
+def test_bench_end_to_end_with_reference(tmp_path):
+    """r13 regression (VERDICT r13 task #2): run bench.py's REAL main()
+    over a tiny selection with a populated committed reference, so the
+    ref_min/ref_ratio/hot-retry bookkeeping — which only executes `if
+    ref is not None` — actually runs. The r13 driver capture crashed on
+    a NameError in exactly this block (bench.py:644, `ordered` leftover
+    from the 7a67da1 rename) while all 11 mechanics tests stayed green,
+    because nothing drove the per-row loop end-to-end with a reference
+    present. bench.py is copied to tmp so the fabricated reference and
+    the run's BENCH_DETAIL_subset.json never touch the committed
+    captures."""
+    import shutil
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench_copy = tmp_path / "bench.py"
+    shutil.copy(os.path.join(repo, "bench.py"), bench_copy)
+    rows = ["knn_top5_full", "tpch_q1_pricing"]
+    # generous ref for one row (ref_ratio path, no retry) and a tiny
+    # ref for the other (forces the hot_retry extra-trial path in situ)
+    (tmp_path / "BENCH_DETAIL.json").write_text(
+        json.dumps({
+            "sf": 0.001,
+            "queries_min": {rows[0]: 999.0, rows[1]: 0.0001},
+        })
+    )
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="8",
+        SPARK_GRAFT_BENCH_SETTLE_SEC="0",
+        SPARK_GRAFT_BENCH_ONLY=",".join(rows),
+        PYTHONPATH=repo,
+    )
+    proc = subprocess.run(
+        [sys.executable, str(bench_copy)],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    # contract: stdout's last non-empty line is ONE compact JSON record
+    line = [l for l in proc.stdout.splitlines() if l.strip()][-1]
+    assert len(line) <= 2000
+    compact = json.loads(line)
+    assert compact["metric"] == "headline_query_wall_time_total"
+    assert set(compact["queries"]) == set(rows)
+    assert compact["value"] > 0
+    detail = json.loads((tmp_path / "BENCH_DETAIL_subset.json").read_text())
+    for name in rows:
+        row = detail["spread"][name]
+        # the r13-crash block: both reference fields must be present
+        # (ref_ratio is computed from the UNROUNDED min, so compare
+        # against the recorded 3dp min with a tolerance)
+        assert row["ref_min"] in (999.0, 0.0001)
+        expected = row["min"] / row["ref_min"]
+        assert abs(row["ref_ratio"] - expected) <= max(0.01, 0.02 * expected)
+    # the tiny-ref row must have walked the retry path and been flagged
+    hot_row = detail["spread"][rows[1]]
+    assert hot_row["extra_trials"] >= 1
+    assert hot_row["contaminated"] is True
+    assert rows[1] in detail["contaminated_rows"]
