@@ -211,6 +211,11 @@ def test_audio_rms_frames_silence_ms_deprecation_shim(spark):
     assert got[0]["n_silent"] == 0
     with _pytest.raises(TypeError, match="unexpected keyword"):
         media.audio_rms_frames(df, silence_db=1)
+    # r13 ADVICE: both names passed raises even when the explicit
+    # silence_mean_sq equals the resolved default (the pre-sentinel
+    # shim let the stale keyword silently win in exactly this case)
+    with _pytest.raises(TypeError, match="both silence_mean_sq"):
+        media.audio_rms_frames(df, silence_mean_sq=1_000_000, silence_ms=1)
 
 
 def test_interleaved_mm_elements_laws(spark):

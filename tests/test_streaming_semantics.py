@@ -816,3 +816,103 @@ def test_stream_scd2_incremental_replay_is_idempotent(spark, tmp_path):
     assert current() != want  # sanity: corruption is visible pre-replay
     apply_scd2_batch(b1, 1, root)
     assert current() == want, "replay read its own corrupt delta"
+
+
+def test_scd2_compaction_excludes_uncommitted_deltas(spark, tmp_path):
+    """Compaction crash-safety law (r13 ADVICE): a delta directory
+    written by a micro-batch whose checkpoint commit never landed is
+    an ORPHAN — the restart will replay and overwrite it — so
+    compact_scd2_history(checkpoint=...) must neither fold it into the
+    new base nor advance the watermark past it. (The _scd2_resolve
+    replay guard can only exclude open deltas; state baked into the
+    compacted base is permanent.)"""
+    from ydb_vector_search_demo_spark.pipeline import rag
+    from ydb_vector_search_demo_spark.streaming.ingest import (
+        _read_scd2_meta,
+        _scd2_last_committed,
+        apply_scd2_batch,
+        compact_scd2_history,
+        init_scd2_base,
+        read_scd2_history_incremental,
+        stream_scd2_ingest_incremental,
+    )
+    from ydb_vector_search_demo_spark import stores
+
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "doc_id LONG, text STRING"
+    )
+    sch = "doc_id LONG, text STRING, _v INT, op STRING"
+    b0 = [(1, "one-v1", 1, "upsert")]
+    b1 = [(2, None, 2, "delete"), (4, "four", 1, "upsert")]
+    b2 = [(1, "one-v2", 3, "upsert"), (3, None, 2, "delete")]
+
+    src = str(tmp_path / "changes")
+    os.makedirs(src)
+    root = str(tmp_path / "scd2_crash")
+    ckpt = str(tmp_path / "ckpt")
+    now = time.time()
+    init_scd2_base(spark, base, root, n_buckets=4)
+
+    def run():
+        stream = spark.readStream.schema(sch).parquet(src)
+        q = stream_scd2_ingest_incremental(stream, root, ckpt).start()
+        q.awaitTermination()
+
+    def current():
+        return sorted(
+            tuple(r)
+            for r in read_scd2_history_incremental(spark, root)
+            .select("doc_id", "text", "valid_from", "valid_to", "is_current")
+            .collect()
+        )
+
+    def batch_hist(rows):
+        ch = spark.createDataFrame(rows, sch)
+        ups = ch.filter("op = 'upsert'").select("doc_id", "text", "_v")
+        dels = ch.filter("op = 'delete'").select("doc_id", "_v")
+        return sorted(
+            tuple(r)
+            for r in rag.scd2_history(base, ups, dels)
+            .select("doc_id", "text", "valid_from", "valid_to", "is_current")
+            .collect()
+        )
+
+    _write_file(spark, b0, src, "b0.parquet", now - 90, schema=sch)
+    run()
+    _write_file(spark, b1, src, "b1.parquet", now - 60, schema=sch)
+    run()
+    assert _scd2_last_committed(spark, ckpt) == 1
+
+    # crash simulation: batch 2's first attempt wrote a PARTIAL delta
+    # (one of its two events) and died before the checkpoint commit
+    partial = spark.createDataFrame(
+        [(1, "one-v2", 3, -1, True)],
+        "doc_id LONG, text STRING, valid_from INT, valid_to INT, "
+        "is_current BOOLEAN",
+    )
+    partial.write.mode("overwrite").parquet(f"{root}/hdelta/batch=2")
+
+    compact_scd2_history(spark, root, checkpoint=ckpt)
+    meta = _read_scd2_meta(
+        spark, stores.current_store_path(spark, f"{root}/hbase")
+    )
+    assert meta["through"] == 1, "watermark advanced past the last commit"
+    # the partial delta is still OPEN (above the watermark) — visible
+    # to resolve until the replay overwrites it — but NOT baked into
+    # the compacted base: the restart replays batch 2 and the served
+    # history converges on the batch oracle with the event applied
+    # exactly once
+    apply_scd2_batch(spark.createDataFrame(b2, sch), 2, root)
+    assert current() == batch_hist(b0 + b1 + b2), (
+        "replayed batch double-applied through the compacted base"
+    )
+
+    # a second compaction AFTER the replay committed may fold it
+    _write_file(spark, b2, src, "b2.parquet", now - 30, schema=sch)
+    run()  # replays batch 2 through the checkpoint, committing it
+    compact_scd2_history(spark, root, checkpoint=ckpt)
+    meta = _read_scd2_meta(
+        spark, stores.current_store_path(spark, f"{root}/hbase")
+    )
+    assert meta["through"] == 2
+    assert current() == batch_hist(b0 + b1 + b2)

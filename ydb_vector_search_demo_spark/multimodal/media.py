@@ -582,7 +582,7 @@ RMS_SCHEMA = StructType(
 def audio_rms_frames(
     media: DataFrame,
     frame_len: int = 160,
-    silence_mean_sq: int = 1_000_000,
+    silence_mean_sq: int | None = None,
     **deprecated,
 ) -> DataFrame:
     """Frame-level loudness / SILENCE detection through the real codec
@@ -609,9 +609,11 @@ def audio_rms_frames(
     if "silence_ms" in deprecated:  # pre-r12 keyword (r12 ADVICE shim)
         import warnings
 
-        if silence_mean_sq != 1_000_000:
+        if silence_mean_sq is not None:
             # both names passed explicitly: a half-migrated call site —
-            # never let the stale name silently win (r13 review finding)
+            # never let the stale name silently win. None-sentinel
+            # default (r13 ADVICE): an explicit silence_mean_sq equal
+            # to the default must ALSO collide, not slip through.
             raise TypeError(
                 "audio_rms_frames() got both silence_mean_sq and the "
                 "deprecated silence_ms; pass only silence_mean_sq"
@@ -624,6 +626,8 @@ def audio_rms_frames(
             stacklevel=2,
         )
         silence_mean_sq = deprecated.pop("silence_ms")
+    if silence_mean_sq is None:
+        silence_mean_sq = 1_000_000
     if deprecated:
         raise TypeError(
             f"audio_rms_frames() got unexpected keyword arguments: "

@@ -651,11 +651,36 @@ def stream_scd2_ingest_incremental(
     return writer
 
 
+def _scd2_last_committed(spark: SparkSession, checkpoint: str) -> int:
+    """Highest batch id whose checkpoint COMMIT landed: Hadoop FS
+    listing of ``<checkpoint>/commits`` (Structured Streaming's
+    commit log — one plain-numeric file per completed micro-batch);
+    -1 when nothing has committed yet. A delta directory with an id
+    ABOVE this is an orphan from a crashed micro-batch: written, but
+    never acknowledged by the checkpoint, so a restart WILL replay
+    and overwrite it."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    path = jvm.org.apache.hadoop.fs.Path(
+        checkpoint.rstrip("/") + "/commits"
+    )
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return -1
+    out = -1
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if name.isdigit():
+            out = max(out, int(name))
+    return out
+
+
 def compact_scd2_history(
     spark: SparkSession,
     root: str,
     key_col: str = "doc_id",
     payload_col: str = "text",
+    checkpoint: str | None = None,
 ) -> None:
     """Fold the open deltas into a new compacted, kb-partitioned
     history version (the rare O(store) pass — store_compaction
@@ -665,7 +690,18 @@ def compact_scd2_history(
     mix. Folded delta directories stay on disk for rollback (the
     retained older manifests still resolve against them) — vacuum
     them with the store's own retention policy when the old versions
-    are vacuumed."""
+    are vacuumed.
+
+    ``checkpoint`` (the ingest query's checkpointLocation) bounds the
+    fold at the stream's LAST COMMITTED batch id (r13 ADVICE): a delta
+    written by a crashed micro-batch whose commit never landed is
+    excluded from the fold and from the watermark, because the replay
+    guard in :func:`_scd2_resolve` can only exclude open DELTAS — once
+    a partial or to-be-replayed delta is baked into the compacted
+    base, the batch's eventual re-run double-applies its events (or
+    the partial write is permanent). Pass it whenever the ingest query
+    may not have terminated cleanly; without it the caller MUST ensure
+    the stream is stopped with all written deltas committed."""
     from ydb_vector_search_demo_spark import stores
 
     hroot = f"{root}/hbase"
@@ -673,11 +709,16 @@ def compact_scd2_history(
     meta = _read_scd2_meta(spark, hdir)
     nb = int(meta["n_buckets"])
     ddir = f"{root}/hdelta"
-    through = max(
-        [int(meta["through"]), *_scd2_list_delta_ids(spark, ddir)]
-    )
-    full = read_scd2_history_incremental(
-        spark, root, key_col, payload_col
+    delta_ids = _scd2_list_delta_ids(spark, ddir)
+    fold_before = None
+    if checkpoint is not None:
+        committed = _scd2_last_committed(spark, checkpoint)
+        delta_ids = [i for i in delta_ids if i <= committed]
+        fold_before = committed + 1
+    through = max([int(meta["through"]), *delta_ids])
+    full = _scd2_resolve(
+        spark, root, key_col, payload_col,
+        keys=None, before_batch=fold_before,
     ).withColumn("kb", _scd2_kb(key_col, nb))
     hist = stores.store_history(spark, hroot)
     vdir = f"{hroot}/v{hist[-1][0] + 1}"
