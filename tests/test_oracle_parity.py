@@ -152,8 +152,10 @@ _MUST_GRADE = {
     # arithmetic as the graded dedup_ngram_spans),
     # semi_anti_customers (strict subset of the incoming Q21 row's
     # LeftSemi/LeftAnti probes).
-    "corpus_pack_sequences", "retrieval_phrase_match",
-    "store_scd2_stream", "lineitem_blame_per_supplier",
+    # (corpus_pack_sequences and store_scd2_stream rotated out again
+    # in r14 — see the r14 entry below.)
+    "retrieval_phrase_match",
+    "lineitem_blame_per_supplier",
     # r12 (r11 verdict task #2): the consolidated eligibility
     # ranking's top five rotate in — the iterative-graph family
     # (unrolled integer power steps), the only physical-layout /
@@ -187,6 +189,25 @@ _MUST_GRADE = {
     # is a strict subset of the incoming Lloyd update).
     "corpus_bpe_merges", "corpus_dsir_weights", "ann_kmeans_step_fixed",
     "graph_triangle_stats", "store_compaction",
+    # r14 (r13 verdict task #4): the consolidated r14 eligibility
+    # ranking's top four rotate in — the OTHER tokenizer-training
+    # family (unigram-LM hard-EM, recursive-CTE Viterbi oracle), the
+    # churn-bound SCD2 publish (same batch oracle PLUS the scale
+    # economics), the multimodal × curation interleaved assembly
+    # (media joined at the metadata grain), and data-mixing
+    # optimization (DoReMi exponentiated-gradient step under the
+    # pinned-exp seam). Out with rationale (all still oracle-checked
+    # by this file's sweep): store_scd2_stream (same batch-scd2
+    # oracle; the incremental row additionally grades the churn-merge
+    # publish), corpus_pack_sequences (the SAME next-fit walk runs
+    # inside the interleaved row's recursive-CTE oracle; the grouped-
+    # Arrow plan family stays pinned by test_plans.py),
+    # text_token_stats (tokenization grain recomputed wholesale
+    # inside the dsir/doremi/unigram/chi2 oracles), and
+    # datetime_order_stats (date-bucket aggregates graded through the
+    # TPC-H rows + the window suite).
+    "corpus_unigram_lm", "store_scd2_incremental",
+    "multimodal_interleaved_pack", "corpus_doremi_weights",
 }
 
 

@@ -15603,7 +15603,19 @@ _GRADE_FIRST = [
     "fn_string_suite",
     "fn_breadcrumb_link",
     # text analysis (r5: + Gopher repetition stats, an r4 oracle)
-    "text_token_stats",
+    # r14 rotation (r13 verdict task #4): text_token_stats out — the
+    # tokenization grain is recomputed WHOLESALE inside the graded
+    # dsir/doremi/unigram/chi2 oracles (each re-tokenizes the corpus
+    # before its own arithmetic, so a per-doc token-count mismatch
+    # fails them all), and text_quality keeps the text-analysis
+    # quality-stat slot; it stays oracle-checked in
+    # tests/test_oracle_parity. In its place the OTHER tokenizer-
+    # training family (corpus_unigram_lm): unigram-LM SentencePiece-
+    # style hard-EM (substring seed → Viterbi E / count M → prune →
+    # second round), whose DuckDB oracle replays the Viterbi
+    # segmentation with recursive CTEs — the window graded BPE
+    # training only.
+    "corpus_unigram_lm",
     "text_quality",
     # r12 rotation (r11 verdict task #2): text_langid out — the
     # catalog's own out-candidate since r11: the n-gram/stopword
@@ -15665,7 +15677,16 @@ _GRADE_FIRST = [
     # (store_lifecycle_counts grades the batch lifecycle, the
     # streaming rows grade incremental execution; this row grades
     # their product). ×10 probe on record: 1.2× (BASELINE r10).
-    "store_scd2_stream",
+    # r14 rotation (r13 verdict task #4): store_scd2_stream out — it
+    # replays the SAME batch scd2_history oracle as the incoming
+    # store_scd2_incremental, which additionally grades the
+    # churn-merge publish economics (kb-bucketed compacted seed,
+    # churn-key deltas, newest-source-wins serve, compaction
+    # watermark; ×10 store probe 0.94× flat vs the full rebuild's
+    # 1.45× — publish cost tracks churn, not store size); it stays
+    # oracle-checked in tests/test_oracle_parity and rows-pinned by
+    # the streaming equality tests.
+    "store_scd2_incremental",
     # relational surface. r5 rotation: region_revenue (a strict-subset
     # star-join shape of supplier_nation_revenue), cube/rollup (special
     # cases of the kept grouping-sets row), setops_customers, and
@@ -15688,7 +15709,18 @@ _GRADE_FIRST = [
     # with chained CTEs — and whose single-action unioned plan is the
     # r8 verdict's recompute fix, now plan-guarded.
     "events_funnel_conversion",
-    "datetime_order_stats",
+    # r14 rotation (r13 verdict task #4): datetime_order_stats out —
+    # its date-bucket aggregates are graded through the TPC-H rows
+    # (tpch_q1_pricing / tpch_q3_shipping date arithmetic + pushed
+    # date filters) and the window suite's frame arithmetic; it stays
+    # oracle-checked in tests/test_oracle_parity. In its place the
+    # data-MIXING optimization row (corpus_doremi_weights): DoReMi
+    # domain reweighting — exact micro-bit excess-loss numerators,
+    # one exponentiated-gradient step, softmax via the PINNED 30-term
+    # Horner exp (libm exp is not cross-engine bitwise, seam #10) —
+    # the window grades selection toward a target (corpus_dsir_
+    # weights) but mixing-weight optimization nowhere.
+    "corpus_doremi_weights",
     # r11 rotation (r10 verdict task #1): semi_anti_customers out —
     # the bare left-semi/left-anti readout is a strict subset of the
     # INCOMING lineitem_blame_per_supplier, whose TPC-H Q21 shape runs
@@ -15899,7 +15931,20 @@ _GRADE_FIRST = [
     # DuckDB oracle — a plan family (stateful grouped Arrow) the
     # window graded nowhere. ×10 probe on record: 1.2× (BASELINE
     # r10 — walk linear per bucket).
-    "corpus_pack_sequences",
+    # r14 rotation (r13 verdict task #4): corpus_pack_sequences out —
+    # the SAME greedy next-fit walk runs inside the incoming
+    # multimodal_interleaved_pack's oracle (its recursive CTE packs
+    # the interleaved element stream with identical budget/overflow
+    # rules), and the stateful grouped-Arrow plan family stays
+    # pinned by test_plans.py; it stays oracle-checked in
+    # tests/test_oracle_parity. In its place the multimodal ×
+    # curation assembly row (multimodal_interleaved_pack):
+    # MMC4/Flamingo-style interleaved (text, image) sequence
+    # assembly — span cuts, pinned-md5 caption anchors, per-image
+    # token cost, then the packer — with media joined at the
+    # METADATA grain (zero payload bytes shuffled), a composition
+    # the window graded nowhere.
+    "multimodal_interleaved_pack",
     # r10 rotation (r9 verdict task #1): streaming_hourly_counts out —
     # its two constituent surfaces are both graded more strongly
     # elsewhere: the hourly windowed aggregation by the SAME batch SQL
@@ -16103,6 +16148,19 @@ _GRADE_FIRST = [
 #   text_quality keeps the quality-stat slot), datetime_order_stats
 #   (its date-bucket aggregates are graded through the TPC-H rows +
 #   the window suite).
+# ---------------------------------------------------------------------------
+# r14 rotation EXECUTED (r13 verdict task #4): the consolidated
+# ranking's top four are in the graded window — corpus_unigram_lm,
+# store_scd2_incremental, multimodal_interleaved_pack,
+# corpus_doremi_weights (4-in/4-out: the ranking listed four
+# out-candidates; graph_kcore_peel, rank 5, stays eligible for r15
+# with no matching out slot). Out with inline rationales at their old
+# slots: text_token_stats, store_scd2_stream, corpus_pack_sequences,
+# datetime_order_stats — every rotated-out row stays green in the
+# pytest parity sweep and keeps its bench row where it had one.
+# Ranking rows 5-7 (graph_kcore_peel, corpus_pack_ffd,
+# part_skyline_brand / dedup_minhash_accuracy, and the carried r13
+# tail) remain eligible for r15.
 # ---------------------------------------------------------------------------
 # r13 rotation-eligibility ranking (consolidated; every row below is
 # fully oracle-backed at sf0.01 AND sf0.1, law-tested, ×10-probed and
