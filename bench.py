@@ -359,6 +359,17 @@ HEADLINE = [
     # r13 wave 32 (outside the comparable subsets): offline FFD
     # packing on the graded packer's grain (the online/offline A/B)
     "corpus_pack_ffd",
+    # r14 graph-serving split (r13 verdict task #5; outside the
+    # comparable subsets): the four iterative-graph analytics rows'
+    # serving twins, priced on the session-cached edge store (build
+    # paid in trial 1 via ann.get_or_write_knn_graph_edges; min-of-N
+    # prices the steady-state analytics pass — the
+    # rotation_store_serve / ann_graph_store_serve convention). The
+    # build-inclusive rows above stay benched for honesty.
+    "graph_pagerank_serve",
+    "graph_label_prop_serve",
+    "graph_triangle_serve",
+    "graph_kcore_serve",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

@@ -349,3 +349,38 @@ def test_label_prop_iter_laws(spark):
     assert got[6] == (7, False)   # via round-1 prediction of node 5
     assert got[8] == (None, False)  # unreachable stays NULL
     assert got[2] == (7, True) and got[4] == (9, True)  # clamped seeds
+
+
+def test_graph_serve_twins_equal_build_rows(spark):
+    """r14 graph-serving split (r13 verdict task #5): each *_serve
+    twin must return EXACTLY the build-inclusive row's result — the
+    only difference is physical (session edge-store cache vs in-row
+    build) — and the edge store must be written once: the second
+    serve call reuses the cached path."""
+    from ydb_vector_search_demo_spark.operators import ann
+    from ydb_vector_search_demo_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    ann.clear_graph_store_cache()
+    for build, serve in [
+        ("graph_pagerank_label", "graph_pagerank_serve"),
+        ("graph_label_prop", "graph_label_prop_serve"),
+        ("graph_triangle_stats", "graph_triangle_serve"),
+        ("graph_kcore_peel", "graph_kcore_serve"),
+    ]:
+        want = sorted(tuple(r) for r in QUERIES[build](spark, sf).collect())
+        got = sorted(tuple(r) for r in QUERIES[serve](spark, sf).collect())
+        assert got == want, f"{serve} diverged from {build}"
+    assert len(ann._KNN_GRAPH_EDGE_CACHE) == 1  # one shared build
+    path = next(iter(ann._KNN_GRAPH_EDGE_CACHE.values()))
+    import os as _os
+
+    mtime = max(
+        _os.path.getmtime(_os.path.join(path, f)) for f in _os.listdir(path)
+    )
+    QUERIES["graph_kcore_serve"](spark, sf).collect()
+    mtime2 = max(
+        _os.path.getmtime(_os.path.join(path, f)) for f in _os.listdir(path)
+    )
+    assert mtime2 == mtime, "serve call rewrote the edge store"
+    ann.clear_graph_store_cache()

@@ -2613,6 +2613,51 @@ def get_or_write_graph_store(
 
 def clear_graph_store_cache() -> None:
     _GRAPH_STORE_CACHE.clear()
+    _KNN_GRAPH_EDGE_CACHE.clear()
+
+
+_KNN_GRAPH_EDGE_CACHE: dict = {}
+
+
+def get_or_write_knn_graph_edges(
+    embeddings: DataFrame,
+    bucket_col: str,
+    cache_key: object,
+    k: int = 3,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Session-scoped kNN-graph EDGE build cache — the
+    :func:`get_or_write_graph_store` contract applied to the graph
+    ANALYTICS consumers (pagerank / label-prop / triangles / k-core):
+    the :func:`knn_graph_bucketed` build (the dominant cost of every
+    in-row graph analytics query — BASELINE r13 plan audit: 4.5-7.7 s
+    rows, all build-dominated) is paid ONCE per (corpus, bucket_col,
+    k, metric) key, its edges written src-sorted to a deterministic
+    /tmp parquet path, and every subsequent analytics pass re-reads
+    the materialized relation — in production the periodic batch
+    graph build feeding many downstream analytics jobs. Iterating
+    consumers still checkpoint once per query (reading parquet is
+    cheap; re-planning it per power step is not). Returns the
+    parquet-backed (src, dst, score, rank) relation."""
+    import hashlib
+    import tempfile
+
+    key = (cache_key, bucket_col, int(k), metric)
+    spark = embeddings.sparkSession
+    path = _KNN_GRAPH_EDGE_CACHE.get(key)
+    if path is None:
+        tag = hashlib.md5(repr(key).encode()).hexdigest()[:10]
+        path = f"{tempfile.gettempdir()}/ydbvs_knn_edges_{tag}"
+        (
+            knn_graph_bucketed(embeddings, bucket_col, k=k, metric=metric)
+            .select("src", "dst", "score", "rank")
+            .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+            .sortWithinPartitions("src")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _KNN_GRAPH_EDGE_CACHE[key] = path
+    return spark.read.parquet(path)
 
 
 def _pruned_fetch(

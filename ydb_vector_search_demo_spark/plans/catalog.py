@@ -15481,6 +15481,103 @@ def q_multimodal_interleaved_pack(
     ).orderBy("bucket", "pack_id")
 
 
+# ---------------------------------------------------------------------------
+# r14 graph-serving split (r13 verdict task #5): the four iterative-
+# graph analytics rows each rebuild their within-label kNN graph
+# in-row — an honest build-inclusive price (BASELINE r13 plan audit:
+# 4.5-7.7 s, all build-dominated) that hides how cheap the analytics
+# themselves are. The ann_graph_store_serve precedent applied: each
+# gets a *_serve twin priced on the session-cached edge store
+# (ann.get_or_write_knn_graph_edges — build paid once in trial 1, the
+# min-of-N stat prices the steady-state analytics pass over the
+# materialized parquet edges, exactly the production shape where one
+# periodic graph build feeds many downstream jobs). Same oracles as
+# the build-inclusive rows — results are identical by construction
+# (equality law in tests/test_graph_search.py); the build rows stay
+# registered, graded-eligible and benched for honesty.
+# ---------------------------------------------------------------------------
+
+
+def _graph_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four serve twins' shared edge relation: the SAME
+    knn_graph_bucketed(embs, "label", k=3) build as the in-row
+    variants, via the session edge-store cache."""
+    from ydb_vector_search_demo_spark.operators import ann as A
+
+    embs = _t(spark, sf_dir, "embeddings")
+    return A.get_or_write_knn_graph_edges(
+        embs, "label", ("label-knn", sf_dir), k=3
+    ).select("src", "dst")
+
+
+@register("graph_pagerank_serve", ORACLES["graph_pagerank_label"])
+def q_graph_pagerank_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_pagerank_label's SERVING twin: identical three unrolled
+    integer power steps (same oracle), but the kNN graph comes from
+    the session edge store instead of an in-row build — see the
+    r14 graph-serving split note above."""
+    from ydb_vector_search_demo_spark.operators import ann as A
+
+    pr = A.pagerank_integer(_graph_edges_cached(spark, sf_dir), iterations=3)
+    return (
+        pr.orderBy(F.desc("pr_units"), "id")
+        .limit(20)
+        .select(F.col("id").alias("vec_id"), "out_degree", "pr_units")
+    )
+
+
+@register("graph_label_prop_serve", ORACLES["graph_label_prop"])
+def q_graph_label_prop_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_label_prop's SERVING twin: identical two clamped-seed
+    vote rounds (same oracle) over the session edge store — see the
+    r14 graph-serving split note above."""
+    from ydb_vector_search_demo_spark.operators import ann as A
+
+    embs = _t(spark, sf_dir, "embeddings")
+    g = _graph_edges_cached(spark, sf_dir)
+    nodes = g.select(F.col("src").alias("vec_id")).distinct()
+    seeds = nodes.join(embs.select("vec_id", "label"), "vec_id").select(
+        F.col("vec_id").alias("id"),
+        F.when(F.col("vec_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("label")
+        ).alias("label"),
+    )
+    out = A.label_prop_iter(g, seeds, iterations=2)
+    return (
+        out.filter(F.col("id") % 5 == 0)
+        .select(F.col("id").alias("vec_id"), "predicted")
+        .orderBy("vec_id")
+        .limit(50)
+    )
+
+
+@register("graph_triangle_serve", ORACLES["graph_triangle_stats"])
+def q_graph_triangle_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_triangle_stats' SERVING twin: identical degree-ordered
+    orientation + wedge closure (same oracle) over the session edge
+    store — see the r14 graph-serving split note above."""
+    from ydb_vector_search_demo_spark.operators import ann as A
+
+    embs = _t(spark, sf_dir, "embeddings")
+    return A.triangle_stats(
+        _graph_edges_cached(spark, sf_dir),
+        embs.select("vec_id", "label"),
+        group_col="label",
+    ).orderBy("label")
+
+
+@register("graph_kcore_serve", ORACLES["graph_kcore_peel"])
+def q_graph_kcore_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_kcore_peel's SERVING twin: identical five unrolled peel
+    rounds at k=4 (same oracle) over the session edge store — see the
+    r14 graph-serving split note above."""
+    from ydb_vector_search_demo_spark.operators import ann as A
+
+    return A.kcore_peel(
+        _graph_edges_cached(spark, sf_dir), k=4, rounds=5
+    ).orderBy("round")
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
