@@ -370,6 +370,10 @@ HEADLINE = [
     "graph_label_prop_serve",
     "graph_triangle_serve",
     "graph_kcore_serve",
+    # r14 wave 33 (outside the comparable subsets): WordPiece
+    # likelihood-criterion tokenizer training (the BPE skeleton +
+    # per-step unary counts and the score argmax)
+    "corpus_wordpiece_merges",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

@@ -2152,3 +2152,80 @@ def test_pack_sequences_ffd_matches_brute_force(spark):
     nf = pack_sequences(df, budget=8).collect()
     nf_packs = len({(r["bucket"], r["pack_id"]) for r in nf if r["bucket"] == 0})
     assert n_packs[0] == 3 and nf_packs == 4
+
+
+def test_wordpiece_merge_steps_matches_reference(spark):
+    """curation.wordpiece_merge_steps against an independent
+    line-by-line Schuster-Nakajima reference (word-frequency table,
+    '##'-prefixed continuation symbols, unary + pair counts, winner
+    by pair/(lhs·rhs) likelihood score with (score desc, count desc,
+    lhs, rhs) order, '##'-stripping merge, leftmost-greedy
+    application) on a hand corpus — five full steps. Also the
+    criterion-divergence law: on this corpus WordPiece's first merge
+    differs from BPE's (likelihood prefers rare-apart parts over raw
+    frequency)."""
+    from collections import Counter
+
+    from ydb_vector_search_demo_spark.operators.curation import (
+        bpe_merge_steps,
+        wordpiece_merge_steps,
+    )
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "widest widest widest",
+        "quiz quiz",  # rare symbols pair up early under likelihood
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+    )
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"], r["lhs_count"],
+         r["rhs_count"], r["score"], r["merged"])
+        for r in wordpiece_merge_steps(docs, steps=5).orderBy("step").collect()
+    ]
+
+    wc = Counter(w for t in texts for w in t.split())
+    syms = {w: [c if i == 0 else "##" + c for i, c in enumerate(w)]
+            for w in wc}
+    want = []
+    for step in range(1, 6):
+        uc, pc = Counter(), Counter()
+        for w, s in syms.items():
+            for x in s:
+                uc[x] += wc[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += wc[w]
+        # winner: score desc, count desc, lhs, rhs — one IEEE division
+        # of exact ints, the operator's own comparison
+        best = min(
+            pc.items(),
+            key=lambda kv: (-(kv[1] / float(uc[kv[0][0]] * uc[kv[0][1]])),
+                            -kv[1], kv[0][0], kv[0][1]),
+        )
+        (a, b), cnt = best
+        merged = a + b.removeprefix("##")
+        want.append((step, a, b, cnt, uc[a], uc[b],
+                     round(cnt / float(uc[a] * uc[b]), 6), merged))
+        for w, s in syms.items():
+            out, prev = [], None
+            for x in s:
+                if prev is None:
+                    prev = x
+                elif prev == a and x == b:
+                    out.append(merged)
+                    prev = None
+                else:
+                    out.append(prev)
+                    prev = x
+            if prev is not None:
+                out.append(prev)
+            syms[w] = out
+    assert got == want
+
+    # criterion divergence: BPE's frequency argmax picks a different
+    # first merge than WordPiece's likelihood argmax on this corpus
+    bpe1 = bpe_merge_steps(docs, steps=1).collect()[0]
+    assert (bpe1["lhs"], bpe1["rhs"]) != (got[0][1], got[0][2])

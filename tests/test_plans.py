@@ -570,3 +570,17 @@ def test_doremi_domain_tail_is_broadcast_joined(spark):
     for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython"):
         assert node not in final, f"{node} in plan:\n" + final[:2000]
     assert "CartesianProduct" not in final, final[:2000]
+
+
+def test_wordpiece_training_stays_jvm_and_broadcast(spark):
+    """r14 wave 33 plan claim: WordPiece training is the BPE skeleton
+    — everything JVM-side (the merge fold is F.aggregate, a Column
+    expression; no Python stage), no SortMergeJoin and no
+    CartesianProduct anywhere (the per-step symbol tables are
+    checkpointed, so the unigram_lm guard convention applies:
+    negatives over the final readout plan)."""
+    final = final_plan_of(spark, "corpus_wordpiece_merges")
+    for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython"):
+        assert node not in final, f"{node} in plan:\n" + final[:2000]
+    assert "SortMergeJoin" not in final, final[:2000]
+    assert "CartesianProduct" not in final, final[:2000]

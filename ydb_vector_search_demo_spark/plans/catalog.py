@@ -15481,6 +15481,106 @@ def q_multimodal_interleaved_pack(
     ).orderBy("bucket", "pack_id")
 
 
+def _wordpiece_oracle_sql(steps: int = 4) -> str:
+    """Unrolled-CTE replay of curation.wordpiece_merge_steps: the BPE
+    oracle's skeleton plus the likelihood criterion — per step one
+    unary symbol-count CTE joined twice onto the pair counts, winner
+    by score = cnt / CAST(lc*rc AS DOUBLE) (one correctly-rounded
+    IEEE division of exact bigints — bit-identical cross-engine at
+    every graded SF), ties on (cnt desc, lhs, rhs); merged = lhs ||
+    rhs minus its '##'. Step CTEs are MATERIALIZED (u/p/m reference
+    the same s chain multiple times — the kcore_peel lesson: without
+    the hint multi-referenced relations re-expand exponentially)."""
+    ctes = [
+        f"tk AS (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)",
+        "wc AS (SELECT w, count(*)::BIGINT AS n FROM tk GROUP BY 1)",
+        "s0 AS MATERIALIZED (SELECT w, n, "
+        "list_transform(regexp_extract_all(w, '.'), "
+        "(c, i) -> CASE WHEN i = 1 THEN c ELSE '##' || c END) AS syms "
+        "FROM wc)",
+    ]
+    for t in range(1, steps + 1):
+        u = (
+            f"u{t} AS MATERIALIZED (SELECT s, CAST(sum(n) AS BIGINT) AS cnt "
+            f"FROM (SELECT n, unnest(syms) AS s FROM s{t - 1}) GROUP BY 1)"
+        )
+        p = (
+            f"p{t} AS MATERIALIZED (SELECT z[1] AS lhs, z[2] AS rhs, "
+            f"CAST(sum(n) AS BIGINT) AS cnt "
+            f"FROM (SELECT n, unnest(list_zip(syms[1:len(syms)-1], "
+            f"syms[2:len(syms)])) AS z FROM s{t - 1}) GROUP BY 1, 2)"
+        )
+        m = (
+            f"m{t} AS MATERIALIZED (SELECT lhs, rhs, cnt, lc, rc, "
+            f"cnt / CAST(lc * rc AS DOUBLE) AS score, "
+            f"lhs || regexp_replace(rhs, '^##', '') AS merged "
+            f"FROM (SELECT p.lhs, p.rhs, p.cnt, ul.cnt AS lc, ur.cnt AS rc "
+            f"FROM p{t} p JOIN u{t} ul ON ul.s = p.lhs "
+            f"JOIN u{t} ur ON ur.s = p.rhs) "
+            f"ORDER BY score DESC, cnt DESC, lhs, rhs LIMIT 1)"
+        )
+        ctes += [u, p, m]
+        if t < steps:
+            ctes.append(
+                f"s{t} AS MATERIALIZED (SELECT w, n, string_split(ltrim("
+                f"CASE WHEN red.prev IS NULL THEN red.out "
+                f"ELSE red.out || ' ' || red.prev END, ' '), ' ') AS syms "
+                f"FROM (SELECT w, n, list_reduce("
+                f"list_prepend({{'out': '', 'prev': CAST(NULL AS VARCHAR)}}, "
+                f"[{{'out': '', 'prev': s}} for s in syms]), "
+                f"(acc, x) -> CASE "
+                f"WHEN acc.prev IS NULL THEN "
+                f"{{'out': acc.out, 'prev': x.prev}} "
+                f"WHEN acc.prev = m.lhs AND x.prev = m.rhs THEN "
+                f"{{'out': acc.out || ' ' || m.merged, "
+                f"'prev': CAST(NULL AS VARCHAR)}} "
+                f"ELSE {{'out': acc.out || ' ' || acc.prev, "
+                f"'prev': x.prev}} END) AS red "
+                f"FROM s{t - 1} CROSS JOIN m{t} m))"
+            )
+    selects = [
+        f"SELECT {t} AS step, lhs, rhs, cnt AS pair_count, "
+        f"lc AS lhs_count, rc AS rhs_count, round(score, 6) AS score, "
+        f"merged FROM m{t}"
+        for t in range(1, steps + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY step"
+    )
+
+
+@register("corpus_wordpiece_merges", _wordpiece_oracle_sql(4))
+def q_corpus_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer TRAINING, first four merges
+    (operators.curation.wordpiece_merge_steps; Schuster & Nakajima
+    2012 — the BERT trainer) — completing the tokenizer-training
+    triad next to the graded BPE (frequency criterion) and unigram-LM
+    (global EM) rows with the third industrial criterion: merge the
+    pair maximizing the unigram-likelihood gain, score(l, r) =
+    count(l,r) / (count(l)·count(r)), symbols carrying the '##'
+    continuation prefix. Same Spark shape as BPE training — one
+    corpus shuffle to the word grain, then vocab-bounded steps (pair
+    count + unary count, two broadcast joins, 1-row top-1 broadcast,
+    shared leftmost-greedy merge fold). Exactness: bigint counts; the
+    score is one correctly-rounded IEEE division of exact ints
+    (cross-engine bit-identical at graded SFs; the 100 TB path is the
+    DECIMAL(38,0) cross-product compare, documented on the
+    operator); ties on (pair_count desc, lhs, rhs). The oracle
+    replays all four steps — counts, score argmax, '##' stripping and
+    the merge fold — with unrolled MATERIALIZED CTEs."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        wordpiece_merge_steps,
+    )
+
+    return wordpiece_merge_steps(
+        _t(spark, sf_dir, "documents"), steps=4
+    ).orderBy("step")
+
+
 # ---------------------------------------------------------------------------
 # r14 graph-serving split (r13 verdict task #5): the four iterative-
 # graph analytics rows each rebuild their within-label kNN graph
