@@ -374,6 +374,10 @@ HEADLINE = [
     # likelihood-criterion tokenizer training (the BPE skeleton +
     # per-step unary counts and the score argmax)
     "corpus_wordpiece_merges",
+    # r14 wave 34 (outside the comparable subsets): repetition-aware
+    # token-budget planning (one corpus pass to the source grain,
+    # K-row decay closed form)
+    "corpus_repetition_plan",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

@@ -2229,3 +2229,73 @@ def test_wordpiece_merge_steps_matches_reference(spark):
     # first merge than WordPiece's likelihood argmax on this corpus
     bpe1 = bpe_merge_steps(docs, steps=1).collect()[0]
     assert (bpe1["lhs"], bpe1["rhs"]) != (got[0][1], got[0][2])
+
+
+def test_repetition_budget_plan_matches_reference(spark):
+    """curation.repetition_budget_plan against an independent
+    hand-rolled Muennighoff-2023 reference (exact floor-division
+    allocation, one-division epochs, the U*(1 + R**(1-e^(-R/R*)))
+    decay with an independently coded 30-term Horner exp) on a hand
+    corpus spanning both regimes — plus the laws: a sub-1-epoch
+    source keeps its allocation verbatim (continuity at 1 epoch), a
+    repeated source's effective tokens fall strictly between U and
+    its allocation, utilization decreases with epochs, and
+    repeat_excess fires exactly above 4 epochs."""
+    from pyspark.sql import functions as F
+
+    from ydb_vector_search_demo_spark.operators.curation import (
+        repetition_budget_plan,
+    )
+
+    # src0 -> share 1, src1 -> share 2, src4 -> share 5 (den = 8)
+    docs = spark.createDataFrame(
+        [(0, "w " * 100, "src0"), (1, "w " * 40, "src1"),
+         (2, "w " * 10, "src4")],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    got = {
+        r["source"]: r.asDict()
+        for r in repetition_budget_plan(
+            docs,
+            share_num=(
+                F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int")
+                % 5 + 1
+            ),
+            budget_epochs=3,
+        ).collect()
+    }
+
+    def horner_exp(x: float, terms: int = 30) -> float:
+        acc = 1.0
+        for k in range(terms, 0, -1):
+            acc = 1.0 + x / k * acc
+        return acc
+
+    T, den, budget = 150, 8, 3 * 150
+    for src, u, num in [("src0", 100, 1), ("src1", 40, 2), ("src4", 10, 5)]:
+        alloc = budget * num // den
+        epochs = alloc / float(u)
+        if epochs <= 1.0:
+            eff = float(alloc)
+        else:
+            r = epochs - 1.0
+            eff = float(u) * (1.0 + 15.4 * (1.0 - horner_exp(-r / 15.4)))
+        row = got[src]
+        assert row["n_tokens"] == u and row["share_num"] == num
+        assert row["allocated_tokens"] == alloc
+        assert row["epochs"] == round(epochs, 6)
+        assert row["effective_tokens"] == round(eff, 3)
+        assert row["utilization"] == round(eff / alloc, 6)
+        assert row["repeat_excess"] is (epochs > 4.0)
+    # regime laws: src0 under one epoch (alloc 56 < 100 tokens);
+    # src1 repeated (alloc 112 over 40 tokens = 2.8 epochs, no flag);
+    # src4 pushed to 28 epochs (flagged, value capped near U*(1+R*))
+    assert got["src0"]["epochs"] < 1.0 and not got["src0"]["repeat_excess"]
+    assert got["src0"]["effective_tokens"] == got["src0"]["allocated_tokens"]
+    assert 1.0 < got["src1"]["epochs"] < 4.0
+    assert got["src1"]["n_tokens"] < got["src1"]["effective_tokens"] \
+        < got["src1"]["allocated_tokens"]
+    assert got["src4"]["repeat_excess"] is True
+    assert got["src4"]["effective_tokens"] < 10 * (1 + 15.4)
+    assert got["src4"]["utilization"] < got["src1"]["utilization"] \
+        < got["src0"]["utilization"]

@@ -584,3 +584,16 @@ def test_wordpiece_training_stays_jvm_and_broadcast(spark):
         assert node not in final, f"{node} in plan:\n" + final[:2000]
     assert "SortMergeJoin" not in final, final[:2000]
     assert "CartesianProduct" not in final, final[:2000]
+
+
+def test_repetition_plan_collapses_to_source_grain(spark):
+    """r14 wave 34 plan claim: one map-combinable token-count pass to
+    the source grain, the (T, den) scalars broadcast back — no
+    Python stage, no SortMergeJoin, no CartesianProduct beyond the
+    1-row broadcast cross (BroadcastNestedLoopJoin)."""
+    final = final_plan_of(spark, "corpus_repetition_plan")
+    for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython"):
+        assert node not in final, f"{node} in plan:\n" + final[:2000]
+    assert "SortMergeJoin" not in final, final[:2000]
+    assert "CartesianProduct" not in final, final[:2000]
+    assert "HashAggregate" in final, final[:2000]

@@ -2465,6 +2465,88 @@ def pinned_exp(x: Column, terms: int = 30) -> Column:
     return p
 
 
+def repetition_budget_plan(
+    docs: DataFrame,
+    share_num: Column,
+    budget_epochs: int = 3,
+    r_star: float = 15.4,
+    flag_epochs: float = 4.0,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """REPETITION-AWARE token-budget planning (Muennighoff et al.
+    2023, "Scaling Data-Constrained Language Models") — the planner
+    that closes the mixing family: DoReMi/DSIR/temperature decide the
+    target SHARES, this row decides what those shares COST when a
+    source is too small to fill its share without repetition. Per
+    source s holding U_s unique tokens and receiving ``share_num(s)``
+    parts of a ``budget_epochs``·T total-token budget (T = corpus
+    total): allocated_s = budget·num_s div den (exact integer floor
+    division — Spark ``div`` == DuckDB ``//``), epochs_s =
+    allocated_s/U_s, and the paper's decay law prices the repeats —
+    effective tokens D'_s = U_s·(1 + R*·(1 − e^(−R_s/R*))) with
+    R_s = epochs_s − 1 repeat passes and the fitted constant
+    R* ≈ 15.4: the first ~4 epochs are nearly free, then value decays
+    toward the U_s·(1+R*) asymptote. Sources under one epoch take
+    allocated_s verbatim (no repeats to discount; the law is
+    continuous at epochs = 1). ``repeat_excess`` flags sources pushed
+    past ``flag_epochs`` — the signal to re-balance shares or go get
+    more data, which is the paper's operational point.
+
+    Exactness: token counts and allocations are exact
+    bigints; epochs is ONE correctly-rounded IEEE division of exact
+    ints; the decay chain is fixed-order IEEE arithmetic with the
+    exponential through the PINNED 30-term Horner series
+    (:func:`pinned_exp` — argument −R/R* ≤ 0 by construction), so
+    both engines replay every double bit-for-bit. Scale shape: one
+    map-combinable token-count pass collapses the corpus to the
+    SOURCE grain (≤ K rows); everything after is K-row closed form
+    with two broadcast scalars (T, den)."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+    from ydb_vector_search_demo_spark.sources.tables import fan_out
+
+    per = (
+        fan_out(docs)
+        .select(
+            F.col(source_col).alias("source"),
+            F.size(tokens(text_col)).cast("bigint").alias("_nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("_nt").cast("bigint").alias("n_tokens"))
+        .withColumn("share_num", share_num.cast("bigint"))
+    )
+    totals = per.agg(
+        F.sum("n_tokens").cast("bigint").alias("_T"),
+        F.sum("share_num").cast("bigint").alias("_den"),
+    )
+    planned = per.crossJoin(F.broadcast(totals)).withColumn(
+        "allocated_tokens",
+        F.expr(f"({int(budget_epochs)} * _T * share_num) div _den"),
+    )
+    epochs = F.col("allocated_tokens") / F.col("n_tokens").cast("double")
+    r = epochs - F.lit(1.0)
+    eff_rep = F.col("n_tokens").cast("double") * (
+        F.lit(1.0)
+        + F.lit(float(r_star))
+        * (F.lit(1.0) - pinned_exp(-r / F.lit(float(r_star))))
+    )
+    eff = F.when(
+        epochs <= F.lit(1.0), F.col("allocated_tokens").cast("double")
+    ).otherwise(eff_rep)
+    return planned.select(
+        "source",
+        "n_tokens",
+        "share_num",
+        "allocated_tokens",
+        F.round(epochs, 6).alias("epochs"),
+        F.round(eff, 3).alias("effective_tokens"),
+        F.round(eff / F.col("allocated_tokens").cast("double"), 6).alias(
+            "utilization"
+        ),
+        (epochs > F.lit(float(flag_epochs))).alias("repeat_excess"),
+    )
+
+
 def pinned_exp_sql(x: str, terms: int = 30) -> str:
     """The DuckDB replay of :func:`pinned_exp` — the identical
     nested-Horner expression, term for term."""

@@ -15481,6 +15481,83 @@ def q_multimodal_interleaved_pack(
     ).orderBy("bucket", "pack_id")
 
 
+def _repetition_plan_oracle_sql(
+    budget_epochs: int = 3, r_star: float = 15.4, flag_epochs: float = 4.0
+) -> str:
+    """Replay of curation.repetition_budget_plan: exact-bigint token
+    counts and floor-division allocations (DuckDB // == Spark div),
+    one IEEE division for epochs, and the Muennighoff decay law
+    U·(1 + R*·(1 − e^(−R/R*))) with the exponential through the
+    pinned 30-term Horner series (seam #10 — libm exp is not
+    cross-engine bitwise). Float literals cast to DOUBLE (seam #1)."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        pinned_exp_sql,
+    )
+
+    rs = f"({r_star!r}::DOUBLE)"
+    e = pinned_exp_sql(f"-(epochs - 1.0) / {rs}")
+    return f"""
+    WITH per AS (
+      SELECT source, CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens,
+             CAST(1 + (CAST(regexp_extract(source, '[0-9]+') AS INT) % 5)
+                  AS BIGINT) AS share_num
+      FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+                   CAST(sum(share_num) AS BIGINT) AS den FROM per),
+    al AS (SELECT per.*,
+                  ({int(budget_epochs)} * t * share_num) // den
+                    AS allocated_tokens
+           FROM per, tot),
+    ep AS (SELECT *, allocated_tokens / CAST(n_tokens AS DOUBLE) AS epochs
+           FROM al),
+    ef AS (SELECT *, CASE WHEN epochs <= 1.0
+                     THEN CAST(allocated_tokens AS DOUBLE)
+                     ELSE CAST(n_tokens AS DOUBLE)
+                          * (1.0 + {rs} * (1.0 - {e})) END AS eff
+           FROM ep)
+    SELECT source, n_tokens, share_num, allocated_tokens,
+           round(epochs, 6) AS epochs,
+           round(eff, 3) AS effective_tokens,
+           round(eff / CAST(allocated_tokens AS DOUBLE), 6) AS utilization,
+           epochs > ({flag_epochs!r}::DOUBLE) AS repeat_excess
+    FROM ef ORDER BY source
+    """
+
+
+@register("corpus_repetition_plan", _repetition_plan_oracle_sql())
+def q_corpus_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPETITION-AWARE token-budget planning
+    (operators.curation.repetition_budget_plan; Muennighoff et al.
+    2023) — the planner row closing the mixing family: given target
+    shares (pinned 1 + src_index % 5 parts, spanning 1-5 so both
+    regimes appear at every SF) and a 3-epoch total-token budget,
+    price each source's allocation in EFFECTIVE tokens under the
+    paper's repeated-data decay law U·(1 + R*·(1 − e^(−R/R*))),
+    R* = 15.4 — the first few epochs are nearly free, then repeats
+    decay toward the U·(1+R*) asymptote — and flag sources pushed
+    past 4 epochs (re-balance or collect more data). Composes with
+    the graded share-pickers (corpus_dsir_weights /
+    corpus_doremi_weights / temperature mixture) downstream of any of
+    them. Exactness: bigint counts and floor-division allocations
+    (Spark div == DuckDB //), one IEEE division for epochs, the decay
+    chain fixed-order IEEE with the pinned Horner exponential (seam
+    #10). Scale shape: one map-combinable token-count pass to the
+    ≤K-source grain, then K-row closed form with two broadcast
+    scalars."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        repetition_budget_plan,
+    )
+
+    return repetition_budget_plan(
+        _t(spark, sf_dir, "documents"),
+        share_num=(
+            F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int") % 5
+            + 1
+        ),
+        budget_epochs=3,
+    ).orderBy("source")
+
+
 def _wordpiece_oracle_sql(steps: int = 4) -> str:
     """Unrolled-CTE replay of curation.wordpiece_merge_steps: the BPE
     oracle's skeleton plus the likelihood criterion — per step one
