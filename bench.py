@@ -382,6 +382,10 @@ HEADLINE = [
     # SemDeDup reconciliation (cell-bucketed cross-shard pairs + one
     # grouped-Arrow union-find pass)
     "dedup_cross_shard_fixed",
+    # r14 wave 36 (outside the comparable subsets): bitext mining by
+    # margin-scored mutual kNN (bucketed cross-side join + window
+    # cuts + ordered-cumulative k-sums)
+    "corpus_bitext_margin",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

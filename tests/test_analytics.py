@@ -2299,3 +2299,80 @@ def test_repetition_budget_plan_matches_reference(spark):
     assert got["src4"]["effective_tokens"] < 10 * (1 + 15.4)
     assert got["src4"]["utilization"] < got["src1"]["utilization"] \
         < got["src0"]["utilization"]
+
+
+def test_bitext_margin_mine_matches_reference(spark):
+    """curation.bitext_margin_mine against an independent brute-force
+    Artetxe-Schwenk reference (sequential-fold cosines, rank-ordered
+    k-sums, ratio margin, margin-argmax both ways with id tie-breaks,
+    intersection, threshold) on a planted corpus — plus the semantic
+    laws: the two planted translation pairs are mined, and the HUB
+    vector (close to everything) is suppressed by the ratio margin
+    even though its raw cosines are high."""
+    import math
+
+    from ydb_vector_search_demo_spark.operators.curation import (
+        bitext_margin_mine,
+    )
+
+    X = {1: [1.0, 0.05, 0.0], 2: [0.0, 1.0, 0.05], 3: [0.6, 0.55, 0.05]}
+    Y = {11: [0.99, 0.06, 0.01],   # planted pair of x1
+         12: [0.01, 0.99, 0.06],   # planted pair of x2
+         13: [0.577, 0.577, 0.577],  # hub: close to every x
+         14: [0.0, 0.05, 1.0]}     # orphan direction
+    k, thresh = 2, 1.15
+
+    def cos(a, b):
+        d = 0.0
+        for p, q in zip(a, b):
+            d += p * q
+        na = math.sqrt(sum(p * p for p in a))
+        nb = math.sqrt(sum(q * q for q in b))
+        return d / (na * nb)
+
+    sc = {(x, y): cos(X[x], Y[y]) for x in X for y in Y}
+
+    def ksum(side_ids, other_ids, key):
+        out = {}
+        for s in side_ids:
+            ranked = sorted(other_ids, key=lambda o: (-sc[key(s, o)], o))[:k]
+            acc = 0.0
+            for o in ranked:
+                acc += sc[key(s, o)]
+            out[s] = acc
+        return out
+
+    sx = ksum(X, Y, lambda s, o: (s, o))
+    sy = ksum(Y, X, lambda s, o: (o, s))
+    mg = {
+        (x, y): sc[(x, y)] / (sx[x] / (2.0 * k) + sy[y] / (2.0 * k))
+        for x in X for y in Y
+    }
+    fwd = {x: min(Y, key=lambda y: (-mg[(x, y)], y)) for x in X}
+    bwd = {y: min(X, key=lambda x: (-mg[(x, y)], x)) for y in Y}
+    want = sorted(
+        (x, y, round(sc[(x, y)], 6), round(mg[(x, y)], 6))
+        for x, y in fwd.items()
+        if bwd[y] == x and mg[(x, y)] >= thresh
+    )
+
+    xdf = spark.createDataFrame(
+        [(0, i, v) for i, v in X.items()],
+        "label INT, vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    ydf = spark.createDataFrame(
+        [(0, i, v) for i, v in Y.items()],
+        "label INT, vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = sorted(
+        tuple(r)
+        for r in bitext_margin_mine(
+            xdf, ydf, k=k, threshold=thresh, bucket_col="label"
+        ).collect()
+    )
+    assert got == want
+    mined = {(a, b) for a, b, _, _ in got}
+    assert (1, 11) in mined and (2, 12) in mined  # planted pairs
+    assert 13 not in {b for _, b in mined}        # hub suppressed
+    # hub raw cosine IS competitive — the ratio margin did the work
+    assert sc[(3, 13)] > sc[(3, 14)]

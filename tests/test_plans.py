@@ -609,3 +609,16 @@ def test_cross_shard_dedup_is_cell_bucketed_single_arrow_pass(spark):
     assert final.count("FlatMapGroupsInPandas") == 1, final[:2000]
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in final, f"{node} in plan:\n" + final[:2000]
+
+
+def test_bitext_mining_is_bucketed_with_window_cuts(spark):
+    """r14 wave 36 plan claim: the cross-side scored join is keyed on
+    the bucket (never a cartesian), the rank-k cuts are
+    WindowGroupLimit windows (map-side Partial cut before the keyed
+    shuffle), and nothing falls out of the JVM."""
+    final = final_plan_of(spark, "corpus_bitext_margin")
+    assert "CartesianProduct" not in final, final[:2000]
+    assert "WindowGroupLimit" in final, final[:2000]
+    for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython",
+                 "ArrowEvalPython"):
+        assert node not in final, f"{node} in plan:\n" + final[:2000]

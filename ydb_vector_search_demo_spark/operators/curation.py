@@ -606,6 +606,119 @@ def mine_positives(
     )
 
 
+def bitext_margin_mine(
+    x_embs: DataFrame,
+    y_embs: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    bucket_col: str | None = None,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """BITEXT MINING by margin-scored mutual nearest neighbors
+    (Artetxe & Schwenk 2019; the CCMatrix/LASER parallel-corpus
+    miner) — the similarity-search family's MINING member: align two
+    embedding collections (two languages, two modalities, two
+    snapshots) by pairing rows whose cosine stands out from each
+    side's local neighborhood, margin(x, y) = cos(x, y) /
+    (avg_k cos(x, NN_k(x→Y))/2 + avg_k cos(y, NN_k(y→X))/2) — the
+    RATIO margin that suppresses hubs (a vector globally close to
+    everything has a high denominator and mines nothing). Mined
+    pairs: x's margin-argmax candidate and y's margin-argmax
+    candidate agree (the intersection strategy) AND the margin clears
+    ``threshold``.
+
+    Shape: one cross-side scored join (confined to ``bucket_col``
+    buckets when given — the knn_graph_bucketed n²/B valve; the
+    graded fixture buckets by label, production buckets by IVF cell),
+    per-side rank-k cuts as Partial-WindowGroupLimit windows, the
+    k-neighbor cosine sums accumulated in RANK ORDER (the
+    ordered-cumulative house convention — double addition is not
+    associative, so both engines must fold identically), one margin
+    projection, two argmax windows, one equi-join for the
+    intersection. Exactness: cosines are fixed-order dot folds;
+    the denominator is sx/(2k) + sy/(2k) in that literal order; ties
+    break on candidate id. Rows with fewer than ``k`` cross-side
+    neighbors in their bucket are dropped (their average would be a
+    different estimator).
+
+    Output: (x_id, y_id, cos, margin) for mined pairs, margin ≥
+    threshold."""
+    from ydb_vector_search_demo_spark.functions.vector import dot, l2_norm
+
+    buckets = [bucket_col] if bucket_col else []
+
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *buckets,
+            F.col(id_col).alias(f"{tag}_id"),
+            F.col(vector_col).alias(f"{tag}_v"),
+            l2_norm(vector_col).alias(f"{tag}_n"),
+        )
+
+    xs, ys = _side(x_embs, "x"), _side(y_embs, "y")
+    scored = (
+        xs.join(ys, on=buckets) if buckets else xs.crossJoin(ys)
+    ).select(
+        "x_id",
+        "y_id",
+        F.try_divide(
+            dot("x_v", "y_v"), F.col("x_n") * F.col("y_n")
+        ).alias("cos"),
+    )
+
+    def _knn_sum(side: str) -> DataFrame:
+        """Sum of the k best cosines per `side` row, folded in rank
+        order via the ordered-cumulative window; rows with < k
+        neighbors drop."""
+        other = "y_id" if side == "x_id" else "x_id"
+        w_rank = Window.partitionBy(side).orderBy(
+            F.col("cos").desc(), F.col(other).asc()
+        )
+        w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return (
+            scored.withColumn("_rk", F.row_number().over(w_rank))
+            .filter(F.col("_rk") <= int(k))
+            .withColumn("_s", F.sum("cos").over(w_cum))
+            .filter(F.col("_rk") == int(k))
+            .select(F.col(side), F.col("_s").alias(f"s_{side[0]}"))
+        )
+
+    two_k = float(2 * int(k))
+    margins = (
+        scored.join(_knn_sum("x_id"), "x_id")
+        .join(_knn_sum("y_id"), "y_id")
+        .withColumn(
+            "margin",
+            F.col("cos")
+            / (F.col("s_x") / F.lit(two_k) + F.col("s_y") / F.lit(two_k)),
+        )
+    )
+    w_fwd = Window.partitionBy("x_id").orderBy(
+        F.col("margin").desc(), F.col("y_id").asc()
+    )
+    w_bwd = Window.partitionBy("y_id").orderBy(
+        F.col("margin").desc(), F.col("x_id").asc()
+    )
+    fwd = (
+        margins.withColumn("_r", F.row_number().over(w_fwd))
+        .filter(F.col("_r") == 1)
+        .select("x_id", "y_id", "cos", "margin")
+    )
+    bwd = (
+        margins.withColumn("_r", F.row_number().over(w_bwd))
+        .filter(F.col("_r") == 1)
+        .select(F.col("x_id").alias("bx"), F.col("y_id").alias("by"))
+    )
+    return fwd.join(
+        bwd,
+        (F.col("x_id") == F.col("bx")) & (F.col("y_id") == F.col("by")),
+    ).filter(F.col("margin") >= F.lit(float(threshold))).select(
+        "x_id", "y_id", F.round("cos", 6).alias("cos"),
+        F.round("margin", 6).alias("margin"),
+    )
+
+
 def build_triplets(
     embeddings: DataFrame,
     anchors: DataFrame,

@@ -7490,6 +7490,82 @@ def q_dedup_semantic_incremental_fixed(
     return out.orderBy("vec_id")
 
 
+def _bitext_margin_oracle_sql(k: int = 4, thresh: float = 1.2) -> str:
+    """Replay of curation.bitext_margin_mine on the even/odd-vec_id
+    fixture: within-label cross-side cosines, per-side rank-k cuts,
+    k-neighbor sums folded in RANK ORDER (ordered-cumulative house
+    convention — double addition is not associative), the ratio
+    margin cos/(s_x/2k + s_y/2k) in that literal order, margin-argmax
+    both directions, intersection, threshold."""
+    return f"""
+    WITH x AS (SELECT label, vec_id AS x_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id % 2 = 0),
+    y AS (SELECT label, vec_id AS y_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id % 2 = 1),
+    sc AS (SELECT x_id, y_id, list_cosine_similarity(x.v, y.v) AS cos
+           FROM x JOIN y USING (label)),
+    rx AS (SELECT x_id, y_id, cos, row_number() OVER (
+             PARTITION BY x_id ORDER BY cos DESC, y_id) AS rk FROM sc),
+    sx AS (SELECT x_id, s_x FROM (
+             SELECT x_id, rk, sum(cos) OVER (PARTITION BY x_id
+               ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW) AS s_x
+             FROM rx WHERE rk <= {k}) WHERE rk = {k}),
+    ry AS (SELECT x_id, y_id, cos, row_number() OVER (
+             PARTITION BY y_id ORDER BY cos DESC, x_id) AS rk FROM sc),
+    sy AS (SELECT y_id, s_y FROM (
+             SELECT y_id, rk, sum(cos) OVER (PARTITION BY y_id
+               ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW) AS s_y
+             FROM ry WHERE rk <= {k}) WHERE rk = {k}),
+    mg AS (SELECT sc.x_id, sc.y_id, sc.cos,
+                  sc.cos / (s_x / {float(2 * k)!r} + s_y / {float(2 * k)!r})
+                    AS margin
+           FROM sc JOIN sx USING (x_id) JOIN sy USING (y_id)),
+    fw AS (SELECT x_id, y_id, cos, margin FROM (
+             SELECT mg.*, row_number() OVER (PARTITION BY x_id
+               ORDER BY margin DESC, y_id) AS r FROM mg) WHERE r = 1),
+    bw AS (SELECT x_id AS bx, y_id AS byid FROM (
+             SELECT x_id, y_id, row_number() OVER (PARTITION BY y_id
+               ORDER BY margin DESC, x_id) AS r FROM mg) WHERE r = 1)
+    SELECT fw.x_id, fw.y_id, round(cos, 6) AS cos,
+           round(margin, 6) AS margin
+    FROM fw JOIN bw ON fw.x_id = bw.bx AND fw.y_id = bw.byid
+    WHERE margin >= ({thresh!r}::DOUBLE)
+    ORDER BY x_id
+    """
+
+
+@register("corpus_bitext_margin", _bitext_margin_oracle_sql(4, 1.2))
+def q_corpus_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEXT MINING by margin-scored mutual nearest neighbors
+    (operators.curation.bitext_margin_mine; Artetxe & Schwenk 2019 —
+    the CCMatrix/LASER parallel-corpus miner) — the similarity-search
+    family's MINING row: even vec_ids play language X, odd play Y,
+    neighborhoods confined to label buckets (the knn_graph_bucketed
+    n²/B valve; production buckets by IVF cell), k = 4. A pair is
+    mined when each side is the other's margin-argmax (intersection
+    strategy) and the RATIO margin cos/(avg_k NN cos of both sides)
+    clears 1.2 — the hub-suppressing score that plain cosine top-1
+    lacks. The k-neighbor cosine sums fold in RANK ORDER on both
+    engines (ordered-cumulative convention); the margin is one fixed
+    expression of those sums; ties break on candidate id. The oracle
+    replays scoring, rank cuts, ordered sums, margins, both argmaxes
+    and the intersection."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        bitext_margin_mine,
+    )
+
+    embs = _t(spark, sf_dir, "embeddings")
+    return bitext_margin_mine(
+        embs.filter(F.col("vec_id") % 2 == 0),
+        embs.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold=1.2,
+        bucket_col="label",
+    ).orderBy("x_id")
+
+
 def _cross_shard_fixed_oracle_sql() -> str:
     """Full DuckDB twin of the cross-shard reconciliation
     (dedup.cross_shard_semantic_dedup) under the pinned centroids:
