@@ -2578,6 +2578,21 @@ def write_graph_store(
 _GRAPH_STORE_CACHE: dict = {}
 
 
+def _session_store_path(cache: dict, kind: str, key: tuple) -> tuple:
+    """Shared mechanics of the session-scoped store caches (r14
+    review: two verbatim copies): memoize a deterministic /tmp path
+    per key. Returns (path, hit) — on a miss the caller writes the
+    store at `path` and records it with cache[key] = path."""
+    import hashlib
+    import tempfile
+
+    path = cache.get(key)
+    if path is not None:
+        return path, True
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:10]
+    return f"{tempfile.gettempdir()}/{kind}_{tag}", False
+
+
 def get_or_write_graph_store(
     graph: DataFrame,
     vectors: DataFrame,
@@ -2595,14 +2610,11 @@ def get_or_write_graph_store(
     graded serving row prices the steady-state probe (r7 verdict
     task: the pre-fix row rebuilt and rewrote the store on every
     execution, 29.3 s vs the probe's ~1 s)."""
-    import hashlib
-    import tempfile
-
     key = (cache_key, int(n_buckets), id_col, vector_col)
-    path = _GRAPH_STORE_CACHE.get(key)
-    if path is None:
-        tag = hashlib.md5(repr(key).encode()).hexdigest()[:10]
-        path = f"{tempfile.gettempdir()}/ydbvs_graph_store_{tag}"
+    path, hit = _session_store_path(
+        _GRAPH_STORE_CACHE, "ydbvs_graph_store", key
+    )
+    if not hit:
         write_graph_store(
             graph, vectors, path, n_buckets=n_buckets, id_col=id_col,
             vector_col=vector_col,
@@ -2639,19 +2651,16 @@ def get_or_write_knn_graph_edges(
     consumers still checkpoint once per query (reading parquet is
     cheap; re-planning it per power step is not). Returns the
     parquet-backed (src, dst, score, rank) relation."""
-    import hashlib
-    import tempfile
-
     key = (cache_key, bucket_col, int(k), metric)
     spark = embeddings.sparkSession
-    path = _KNN_GRAPH_EDGE_CACHE.get(key)
-    if path is None:
-        tag = hashlib.md5(repr(key).encode()).hexdigest()[:10]
-        path = f"{tempfile.gettempdir()}/ydbvs_knn_edges_{tag}"
+    path, hit = _session_store_path(
+        _KNN_GRAPH_EDGE_CACHE, "ydbvs_knn_edges", key
+    )
+    if not hit:
         (
             knn_graph_bucketed(embeddings, bucket_col, k=k, metric=metric)
             .select("src", "dst", "score", "rank")
-            .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+            .repartition(spark.sparkContext.defaultParallelism)
             .sortWithinPartitions("src")
             .write.mode("overwrite")
             .parquet(path)

@@ -657,6 +657,13 @@ def bitext_margin_mine(
         )
 
     xs, ys = _side(x_embs, "x"), _side(y_embs, "y")
+    # NOT checkpointed, deliberately (r14 review A/B): the scored pair
+    # relation appears ~7x in the logical plan (both _knn_sum passes,
+    # the margin projection, both argmax windows), but Spark's runtime
+    # stage/exchange reuse already deduplicates the execution — an
+    # eager localCheckpoint measured SLOWER at sf0.1 (1.64 -> 2.00 s
+    # benched) and neutral at x10 (40.8 vs 45.1 s). Re-measure before
+    # re-adding.
     scored = (
         xs.join(ys, on=buckets) if buckets else xs.crossJoin(ys)
     ).select(
@@ -2253,6 +2260,42 @@ def rake_keywords(
     )
 
 
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """The tokenizer trainers' shared word-frequency grain: ONE corpus
+    shuffle to (w, n_w), checkpointed — every BPE/WordPiece step after
+    runs vocab-bounded (r14 review: this scaffold existed in three
+    verbatim copies; keep it in one place)."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+    from ydb_vector_search_demo_spark.sources.tables import fan_out
+
+    return (
+        fan_out(docs)
+        .select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+        .localCheckpoint(eager=True)
+    )
+
+
+# adjacent-symbol pair extraction shared by every trainer step (the
+# zip_with/slice seam — one spelling, one place to fix)
+_ADJ_PAIRS_EXPR = (
+    "zip_with(slice(syms, 1, size(syms)-1),"
+    " slice(syms, 2, size(syms)-1),"
+    " (l, r) -> named_struct('lhs', l, 'rhs', r))"
+)
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-pair counts over a (n_w, syms)
+    symbol table — one map-combinable aggregation on the vocab grain."""
+    return (
+        syms.select("n_w", F.explode(F.expr(_ADJ_PAIRS_EXPR)).alias("p"))
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("n_w").cast("bigint").alias("pair_count"))
+    )
+
+
 def bpe_merge_steps(
     docs: DataFrame, steps: int = 4, text_col: str = "text"
 ) -> DataFrame:
@@ -2285,16 +2328,7 @@ def bpe_merge_steps(
     once and each step's symbol table checkpointed to keep the plan
     linear in steps. Returns one row per step: (step, lhs, rhs,
     pair_count, merged)."""
-    from ydb_vector_search_demo_spark.functions.textstats import tokens
-    from ydb_vector_search_demo_spark.sources.tables import fan_out
-
-    wc = (
-        fan_out(docs)
-        .select(F.explode(tokens(text_col)).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
-        .localCheckpoint(eager=True)
-    )
+    wc = _word_counts(docs, text_col)
     # char lattice: split at every inner boundary — "(?!^)" alone
     # would also match the end-of-string zero-width position (Spark's
     # split keeps trailing empties at limit=-1), so require a
@@ -2304,22 +2338,7 @@ def bpe_merge_steps(
     )
     outs: list[DataFrame] = []
     for t in range(1, int(steps) + 1):
-        pairs = (
-            syms.select(
-                "n_w",
-                F.explode(
-                    F.expr(
-                        "zip_with(slice(syms, 1, size(syms)-1),"
-                        " slice(syms, 2, size(syms)-1),"
-                        " (l, r) -> named_struct('lhs', l, 'rhs', r))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy(
-                F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
-            )
-            .agg(F.sum("n_w").cast("bigint").alias("pair_count"))
-        )
+        pairs = _pair_counts(syms)
         top1 = (
             pairs.orderBy(F.desc("pair_count"), "lhs", "rhs")
             .limit(1)
@@ -2399,36 +2418,12 @@ def bpe_train_segment(
     train/apply split; the readout rows derive fertility and
     vocabulary stats from it). Same scale shape as training: one
     corpus shuffle into the word grain, then vocab-bounded steps."""
-    from ydb_vector_search_demo_spark.functions.textstats import tokens
-    from ydb_vector_search_demo_spark.sources.tables import fan_out
-
-    wc = (
-        fan_out(docs)
-        .select(F.explode(tokens(text_col)).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
-        .localCheckpoint(eager=True)
-    )
+    wc = _word_counts(docs, text_col)
     syms = wc.select(
         "w", "n_w", F.split("w", r"(?!^)(?=.)").alias("syms")
     )
     for _ in range(int(steps)):
-        pairs = (
-            syms.select(
-                "n_w",
-                F.explode(
-                    F.expr(
-                        "zip_with(slice(syms, 1, size(syms)-1),"
-                        " slice(syms, 2, size(syms)-1),"
-                        " (l, r) -> named_struct('lhs', l, 'rhs', r))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy(
-                F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
-            )
-            .agg(F.sum("n_w").cast("bigint").alias("pair_count"))
-        )
+        pairs = _pair_counts(syms)
         top1 = (
             pairs.orderBy(F.desc("pair_count"), "lhs", "rhs")
             .limit(1)
@@ -2472,16 +2467,7 @@ def wordpiece_merge_steps(
     ties break on the (pair_count desc, lhs, rhs) total order.
     Returns one row per step: (step, lhs, rhs, pair_count, lhs_count,
     rhs_count, score, merged)."""
-    from ydb_vector_search_demo_spark.functions.textstats import tokens
-    from ydb_vector_search_demo_spark.sources.tables import fan_out
-
-    wc = (
-        fan_out(docs)
-        .select(F.explode(tokens(text_col)).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
-        .localCheckpoint(eager=True)
-    )
+    wc = _word_counts(docs, text_col)
     syms = wc.select(
         "w",
         "n_w",
@@ -2497,22 +2483,7 @@ def wordpiece_merge_steps(
             .groupBy("s")
             .agg(F.sum("n_w").cast("bigint").alias("cnt"))
         )
-        pairs = (
-            syms.select(
-                "n_w",
-                F.explode(
-                    F.expr(
-                        "zip_with(slice(syms, 1, size(syms)-1),"
-                        " slice(syms, 2, size(syms)-1),"
-                        " (l, r) -> named_struct('lhs', l, 'rhs', r))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy(
-                F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
-            )
-            .agg(F.sum("n_w").cast("bigint").alias("pair_count"))
-        )
+        pairs = _pair_counts(syms)
         scored = (
             pairs.join(
                 F.broadcast(unary.select(F.col("s").alias("lhs"),

@@ -7591,7 +7591,7 @@ def _cross_shard_fixed_oracle_sql() -> str:
       SELECT x.key AS a, y.key AS b
       FROM a x JOIN a y ON x.cell = y.cell AND x.sh <> y.sh
                        AND x.key < y.key
-      WHERE list_cosine_similarity(x.v, y.v) >= (1.0 - 0.58)
+      WHERE list_cosine_similarity(x.v, y.v) >= (1.0::DOUBLE - 0.58::DOUBLE)
     ),
     edges AS (SELECT a AS x, b AS y FROM jp UNION SELECT b, a FROM jp),
     reach(x, y) AS (
@@ -7631,7 +7631,9 @@ def q_dedup_cross_shard_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs exist at ALL THREE SFs — 6/10/139 demotions at
     sf0.001/0.01/0.1 — and the nearest cosine sits 3.4e-5 from the
     threshold, ~1e11 ulps of margin; the oracle spells the threshold
-    1.0 - 0.58 so both engines compare the identical double). DuckDB
+    1.0::DOUBLE - 0.58::DOUBLE — plain 1.0 - 0.58 is DECIMAL
+    arithmetic one ulp off Spark's double, seam #1 — so both engines
+    compare the bit-identical double). DuckDB
     recomputes every per-row
     decision: assignment, packed keys, cross-shard pairs, recursive
     closure, unpack via // == div. Same-shard pairs are excluded by
