@@ -195,3 +195,33 @@ def test_r13_eligibility_ranking_names_are_registered():
               "ivfpq_fixed", "retrieval_reranked_top5"]:
         assert n in cat.QUERIES, n
         assert n in block, f"out-candidate {n} missing from the text"
+
+
+def test_r15_eligibility_ranking_names_are_registered():
+    """The consolidated r15 rotation ranking at the catalog tail must
+    name only registered, oracle-backed queries (the r12-r14 guards'
+    convention, carried forward)."""
+    import ydb_vector_search_demo_spark.plans.catalog as cat
+
+    src = open(cat.__file__).read()
+    block = src.split("r15 rotation-eligibility ranking")[1].split(
+        "r14 rotation EXECUTED"
+    )[0]
+    ranked = [
+        "dedup_cross_shard_fixed", "corpus_bitext_margin",
+        "corpus_repetition_plan", "corpus_wordpiece_merges",
+        "graph_kcore_peel", "corpus_pack_ffd",
+        "part_skyline_brand", "dedup_minhash_accuracy",
+        "corpus_span_corruption", "ann_power_iteration_fixed",
+        "lineitem_kendall_tau", "events_mann_kendall",
+        "dedup_keep_best", "retrieval_rbo_bm25_qld",
+        "corpus_neyman_sample", "corpus_bpe_fertility",
+    ]
+    for n in ranked:
+        assert n in cat.QUERIES, n
+        assert n in cat.ORACLES, f"{n} ranked for rotation but rows-only"
+        assert n in block, f"{n} missing from the r15 ranking text"
+    for n in ["corpus_bpe_merges", "graph_pagerank_label",
+              "text_quality", "rag_envelope_json"]:
+        assert n in cat.QUERIES, n
+        assert n in block, f"out-candidate {n} missing from r15 text"

@@ -16583,6 +16583,51 @@ _GRADE_FIRST = [
 #   (its date-bucket aggregates are graded through the TPC-H rows +
 #   the window suite).
 # ---------------------------------------------------------------------------
+# r15 rotation-eligibility ranking (consolidated; every row below is
+# fully oracle-backed at sf0.01 AND sf0.1 — the r14 waves at sf0.001
+# too — law-tested, ×10-probed and fresh-process driver-contract
+# verified; per-wave detail in the r14 wave notes in SURVEY.md).
+# Strongest first, each covering a surface the current window grades
+# only transitively or not at all:
+#   1. dedup_cross_shard_fixed — the only frozen-decision incremental
+#      dedup row (cross-shard reconciliation with shard precedence);
+#      the window grades batch pair generation and span actions,
+#      never the multi-shard production flow.
+#   2. corpus_bitext_margin — the MINING surface (margin-scored
+#      mutual kNN, hub suppression); graded nowhere.
+#   3. corpus_repetition_plan — budget PRICING under the repeated-
+#      data decay law; the window grades share-picking (dsir/doremi)
+#      but not what the shares cost.
+#   4. corpus_wordpiece_merges — the third tokenizer-training
+#      criterion (likelihood); if it rotates in, corpus_bpe_merges is
+#      the natural out-candidate (the SAME word-grain scaffold and
+#      merge fold run inside the WordPiece oracle, which additionally
+#      grades the unary counts and the score argmax; BPE stays
+#      oracle-checked and benched).
+#   5. graph_kcore_peel — carried from the r14 ranking (rank 5, no
+#      out slot last round); if it rotates in, the graph family holds
+#      three slots — graph_pagerank_label is then the out-candidate
+#      (kcore grades the same unrolled-iteration bit-replay
+#      convention through five peel rounds; pagerank stays
+#      oracle-checked and keeps both bench rows incl. its serve twin).
+#   6. corpus_pack_ffd — carried (offline packer; its online twin
+#      corpus_pack_sequences rotated out in r14, and the graded
+#      multimodal_interleaved_pack replays the next-fit walk).
+#   7. part_skyline_brand / dedup_minhash_accuracy /
+#      corpus_span_corruption / ann_power_iteration_fixed /
+#      lineitem_kendall_tau / events_mann_kendall / dedup_keep_best /
+#      retrieval_rbo_bm25_qld / corpus_neyman_sample /
+#      corpus_bpe_fertility — the carried tail.
+# Out-candidates with duplicate-surface rationales (house
+# convention; all stay green in the pytest parity sweep):
+#   corpus_bpe_merges (see #4), graph_pagerank_label (see #5),
+#   text_quality (its length/punct/stopword stats are recomputed
+#   inside the graded corpus_pipeline_funnel's quality-gate stage;
+#   text analysis keeps text_ppl_buckets + the unigram/chi2 grains),
+#   rag_envelope_json (count/round/null-summary are byte-pinned
+#   through rag_full_pipeline's envelope; the reference S5/P6/P7
+#   surface keeps direct pytest oracles).
+# ---------------------------------------------------------------------------
 # r14 rotation EXECUTED (r13 verdict task #4): the consolidated
 # ranking's top four are in the graded window — corpus_unigram_lm,
 # store_scd2_incremental, multimodal_interleaved_pack,
