@@ -386,6 +386,10 @@ HEADLINE = [
     # margin-scored mutual kNN (bucketed cross-side join + window
     # cuts + ordered-cumulative k-sums)
     "corpus_bitext_margin",
+    # r14 wave 37 (outside the comparable subsets): group-wise
+    # Benjamini-Hochberg FDR over the (type, hour) anomaly grain
+    # (pinned normal tail + one single-partition rank window)
+    "events_hourly_anomaly_fdr",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

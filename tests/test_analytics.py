@@ -2376,3 +2376,127 @@ def test_bitext_margin_mine_matches_reference(spark):
     assert 13 not in {b for _, b in mined}        # hub suppressed
     # hub raw cosine IS competitive — the ratio margin did the work
     assert sc[(3, 13)] > sc[(3, 14)]
+
+
+def test_pinned_normal_two_sided_p_laws(spark):
+    """stats.pinned_normal_two_sided_p: within the documented A&S
+    1.5e-7 absolute bound of libm erfc on a z grid, symmetric in the
+    sign of z, monotone decreasing in |z|, and bit-identical to the
+    independently-written Python replay of the pinned chain (the
+    cross-engine contract is the SAME double, not closeness)."""
+    import math
+
+    from ydb_vector_search_demo_spark.operators.stats import (
+        _AS_ERFC_A,
+        _AS_ERFC_P,
+        _INV_SQRT2_DEN,
+        pinned_normal_two_sided_p,
+    )
+
+    def py_pinned(z):
+        x = abs(z) / _INV_SQRT2_DEN
+        t = 1.0 / (1.0 + _AS_ERFC_P * x)
+        e = 1.0
+        y = (-(x * x)) / 64.0
+        for k in range(30, 0, -1):
+            e = 1.0 + y / float(k) * e
+        for _ in range(6):
+            e = e * e
+        a1, a2, a3, a4, a5 = _AS_ERFC_A
+        return ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t * e
+
+    zs = [0.0, 0.3, -0.3, 1.0, 2.0, -2.0, 3.5, 4.43, -4.43, 5.22, 7.0]
+    df = spark.createDataFrame([(z,) for z in zs], "z DOUBLE")
+    got = {
+        r["z"]: r["p"]
+        for r in df.withColumn(
+            "p", pinned_normal_two_sided_p(F.col("z"))
+        ).collect()
+    }
+    for z in zs:
+        ref = math.erfc(abs(z) / math.sqrt(2.0))
+        assert abs(got[z] - ref) <= 1.5e-7, (z, got[z], ref)
+        assert got[z] == py_pinned(z), (z, got[z], py_pinned(z))
+    assert got[2.0] == got[-2.0] and got[4.43] == got[-4.43]
+    mags = sorted({abs(z) for z in zs})
+    ps = [got[m] if m in got else got[-m] for m in mags]
+    assert all(a > b for a, b in zip(ps, ps[1:])), ps
+
+
+def test_hourly_anomaly_fdr_matches_reference(spark):
+    """stats.hourly_anomaly_fdr on the sf0.001 events table against an
+    independent plain-Python replay: Counter the (type, hour) grain,
+    exact integer moments per type, the rounded z, the pinned p, and
+    the BH step-up (sort, k* = max{i : p <= i*q/m}, keep 1..k) — exact
+    row/tuple equality. Plus the shape laws: ranks are contiguous from
+    1, every kept row clears its own BH threshold, and the output is
+    p-ascending."""
+    import math
+    from collections import Counter, defaultdict
+
+    from ydb_vector_search_demo_spark.operators.stats import (
+        hourly_anomaly_fdr,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    got = hourly_anomaly_fdr(events, q_fdr=0.1).collect()
+
+    raw = events.select("event_type", "ts").collect()
+    cnt = Counter(
+        (r["event_type"], r["ts"].replace(minute=0, second=0, microsecond=0))
+        for r in raw
+    )
+    per_type = defaultdict(list)
+    for (et, hs), n in cnt.items():
+        per_type[et].append((hs, n))
+
+    def py_pinned(z):
+        x = abs(z) / 1.4142135623730951
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        e = 1.0
+        y = (-(x * x)) / 64.0
+        for k in range(30, 0, -1):
+            e = 1.0 + y / float(k) * e
+        for _ in range(6):
+            e = e * e
+        return (
+            (((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+             - 0.284496736) * t + 0.254829592
+        ) * t * e
+
+    scored = []
+    for et, hours in per_type.items():
+        c = len(hours)
+        s1 = sum(n for _, n in hours)
+        s2 = sum(n * n for _, n in hours)
+        if c <= 1 or (s2 - s1 * s1 / (1.0 * c)) / (c - 1) <= 0:
+            continue
+        for hs, n in hours:
+            z = round(
+                (n - s1 / (1.0 * c))
+                / math.sqrt((s2 - s1 * s1 / (1.0 * c)) / (c - 1)),
+                6,
+            )
+            scored.append((py_pinned(z), et, hs, n, z))
+    scored.sort(key=lambda r: (r[0], r[1], r[2]))
+    m = len(scored)
+    kstar = max(
+        (i + 1 for i, (p, *_) in enumerate(scored) if p <= (i + 1) * 0.1 / m),
+        default=0,
+    )
+    want = [
+        (et, hs, n, z, round(p, 12), i + 1)
+        for i, (p, et, hs, n, z) in enumerate(scored[:kstar])
+    ]
+    got_t = [
+        (r["event_type"], r["hour_start"], r["n"], r["z"], r["p_value"],
+         r["p_rank"])
+        for r in got
+    ]
+    assert got_t == want
+    assert len(got_t) > 0  # fixture is live at sf0.001
+    assert [r[5] for r in got_t] == list(range(1, len(got_t) + 1))
+    for et, hs, n, z, p, rank in got_t:
+        assert p <= rank * 0.1 / m + 1e-15
+    ps = [r[4] for r in got_t]
+    assert ps == sorted(ps)

@@ -622,3 +622,17 @@ def test_bitext_mining_is_bucketed_with_window_cuts(spark):
     for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython",
                  "ArrowEvalPython"):
         assert node not in final, f"{node} in plan:\n" + final[:2000]
+
+
+def test_hourly_anomaly_fdr_fully_checkpointed(spark):
+    """events_hourly_anomaly_fdr: the grain, scored (pinned-p) and
+    ranked relations are all localCheckpointed before their second
+    consumers, so the RESULT plan contains zero parquet scans (events
+    was scanned exactly once, inside the grain checkpoint job) and no
+    window re-sort — only the k* broadcast over the materialized
+    ranked rows."""
+    plan = plan_of(spark, "events_hourly_anomaly_fdr")
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 0, final[:2000]
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
+    assert "Window" not in final, final[:2000]

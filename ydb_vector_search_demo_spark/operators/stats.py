@@ -14,7 +14,7 @@ corr()/stddev over doubles is order-sensitive at display precision).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1079,4 +1079,143 @@ def skyline_2d(
             & (F.col("_eq") == F.col(gain_col))
         )
         .drop("_lt", "_eq")
+    )
+
+
+# Abramowitz & Stegun 7.1.26 rational-polynomial erfc coefficients
+# (|absolute error| <= 1.5e-7 over x >= 0) — inlined as double
+# literals so both engines parse the identical IEEE values.
+_AS_ERFC_P = 0.3275911
+_AS_ERFC_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027,
+              1.061405429)
+_INV_SQRT2_DEN = 1.4142135623730951  # repr(sqrt(2)) — driver-inlined
+
+
+def pinned_normal_two_sided_p(z: Column) -> Column:
+    """Two-sided normal-tail p-value 2·(1 − Φ(|z|)) = erfc(|z|/√2) as
+    a PINNED fixed-order IEEE expression, so Spark and DuckDB produce
+    bit-identical doubles (libm erfc/exp are NOT cross-engine bitwise
+    — the measured r13/r14 seam; ln/log2 and IEEE +,−,×,/ and sqrt
+    are). Two pinned pieces compose it:
+
+    - Abramowitz & Stegun 7.1.26: erfc(x) = (a₁t + … + a₅t⁵)·e^(−x²),
+      t = 1/(1 + p·x), |abs error| ≤ 1.5e-7 for x ≥ 0 — accuracy is
+      secondary; the SAME value on both sides is the contract, and the
+      1.5e-7 bound is only needed for the STATISTICAL claim.
+    - e^(−x²) through the house pinned 30-term Horner
+      (curation.pinned_exp) on the ×(1/64)-REDUCED argument −x²/64
+      followed by SIX exact squarings: the raw argument can reach
+      −x² ≈ −25 where a truncated Maclaurin series cancels
+      catastrophically, but |−x²/64| ≤ 0.4 for |z| ≤ 7 where the
+      series is accurate to ~1e-15, and each squaring is one exact
+      IEEE multiply. Division by 64 is exact (power of two).
+
+    The caller passes the ROUNDED z (6 dp, the display convention) so
+    any sub-6dp engine wobble in z's own derivation cannot leak into
+    p."""
+    from ydb_vector_search_demo_spark.operators.curation import pinned_exp
+
+    a1, a2, a3, a4, a5 = (F.lit(c) for c in _AS_ERFC_A)
+    x = F.abs(z) / F.lit(_INV_SQRT2_DEN)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_ERFC_P) * x)
+    e = pinned_exp((-(x * x)) / F.lit(64.0))
+    for _ in range(6):
+        e = e * e
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return poly * e
+
+
+def hourly_anomaly_fdr(
+    events: DataFrame,
+    q_fdr: float = 0.1,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Group-wise volume-anomaly detection with BENJAMINI–HOCHBERG
+    false-discovery-rate control (Benjamini & Hochberg 1995) — the
+    multiple-testing closer of the anomaly family: the flat
+    hourly_anomaly row thresholds each z in isolation, so at m =
+    types×hours simultaneous tests a fixed z-cut drowns real spikes
+    in expected false flags. Here every (event_type, hour) cell is a
+    hypothesis: z from EXACT per-type integer moments (the
+    hourly-anomaly convention), two-sided p = erfc(|z|/√2) via
+    :func:`pinned_normal_two_sided_p`, then the BH step-up — rank
+    p ascending (ties broken on (event_type, hour_start)), find
+    k* = max{i : p₍ᵢ₎ ≤ i·q/m}, reject ranks 1..k*. Returns the
+    rejected cells with (n, z, p_value, p_rank), p-ascending.
+
+    Exactness: the moments (c, s1, s2) are exact bigints, z is the
+    graded hourly_anomaly fixed double expression rounded to 6 dp, p
+    is the pinned erfc of THAT rounded double, and the BH comparison
+    p ≤ i·q/m is double vs (int·double/int) in one fixed order — every
+    branch decision replays bit-identically cross-engine. Overflow:
+    s1² needs per-type s1 < 3·10⁹ events; past that the moment
+    products move to DECIMAL(38,0) at the documented price.
+
+    Scale shape: one events scan collapses to the (type, hour) grain
+    (map-combinable; localCheckpointed before its two consumers — the
+    per-type moment branch and the z projection); the type-keyed
+    moment join broadcasts (K types); the BH rank is ONE
+    single-partition window over m grain rows — m is bounded by
+    types×hours (a year of hourly grain at 100 types is <10⁶ rows),
+    never by event volume. The scored and ranked relations are
+    localCheckpointed so the 2⁶-squared pinned-exp expression tree is
+    evaluated once and the k* branch does not re-run the sort."""
+    h = (
+        events.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour_start"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    mom = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c"),
+        F.sum("n").alias("_s1"),
+        F.sum(F.col("n") * F.col("n")).alias("_s2"),
+    )
+    mean = F.col("_s1") / F.col("_c")
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_c")) / (
+        F.col("_c") - F.lit(1)
+    )
+    z = F.round((F.col("n") - mean) / F.sqrt(var), 6)
+    scored = (
+        h.join(F.broadcast(mom), "event_type")
+        .filter((F.col("_c") > F.lit(1)) & (var > F.lit(0.0)))
+        .select(
+            "event_type",
+            "hour_start",
+            "n",
+            z.alias("z"),
+        )
+        .withColumn("p", pinned_normal_two_sided_p(F.col("z")))
+        .localCheckpoint(eager=True)
+    )
+    m_row = scored.agg(F.count(F.lit(1)).cast("bigint").alias("_m"))
+    ranked = (
+        scored.crossJoin(F.broadcast(m_row))
+        .withColumn(
+            "p_rank",
+            F.row_number().over(
+                Window.orderBy("p", "event_type", "hour_start")
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ok = F.col("p") <= F.col("p_rank") * F.lit(float(q_fdr)) / F.col("_m")
+    kstar = ranked.agg(
+        F.max(F.when(ok, F.col("p_rank")).otherwise(F.lit(0))).alias("_k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .filter(F.col("p_rank") <= F.col("_k"))
+        .select(
+            "event_type",
+            "hour_start",
+            "n",
+            "z",
+            F.round("p", 12).alias("p_value"),
+            "p_rank",
+        )
+        .orderBy("p_rank")
     )

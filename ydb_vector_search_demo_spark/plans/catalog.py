@@ -15915,6 +15915,88 @@ def q_graph_kcore_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round")
 
 
+def _anomaly_fdr_oracle_sql(q_fdr: float = 0.1) -> str:
+    """Full DuckDB twin of stats.hourly_anomaly_fdr: per-(type, hour)
+    counts, per-type exact integer moments, the graded hourly_anomaly
+    z expression rounded to 6 dp, the PINNED two-sided normal p
+    (A&S 7.1.26 erfc polynomial × pinned-exp on the /64-reduced
+    argument with six exact squarings — every literal CAST AS DOUBLE
+    per the Appendix A DECIMAL-arithmetic seam), then the BH step-up:
+    rank p ascending with (event_type, hour_start) tie-break,
+    k* = max{i : p ≤ i·q/m}, keep ranks ≤ k*. The six squarings run
+    as a CTE chain (SELECT * REPLACE) so the Horner body is written
+    once, mirroring the Spark side's checkpointed single evaluation."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        pinned_exp_sql,
+    )
+    from ydb_vector_search_demo_spark.operators.stats import (
+        _AS_ERFC_A,
+        _AS_ERFC_P,
+        _INV_SQRT2_DEN,
+    )
+
+    a1, a2, a3, a4, a5 = (f"CAST({c!r} AS DOUBLE)" for c in _AS_ERFC_A)
+    sq = "\n    ".join(
+        f"e{i} AS (SELECT * REPLACE (e*e AS e) FROM e{i - 1}),"
+        for i in range(1, 7)
+    )
+    return f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_start,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2),
+    mom AS (SELECT event_type, count(*)::BIGINT AS c,
+                   sum(n)::BIGINT AS s1, sum(n * n)::BIGINT AS s2
+            FROM h GROUP BY 1),
+    zz AS (
+      SELECT event_type, hour_start, n,
+             round((n - s1 / (1.0 * c))
+                   / sqrt((s2 - s1 * s1 / (1.0 * c)) / (c - 1)), 6) AS z
+      FROM h JOIN mom USING (event_type)
+      WHERE c > 1 AND (s2 - s1 * s1 / (1.0 * c)) / (c - 1) > 0),
+    xx AS (SELECT *, abs(z) / CAST({_INV_SQRT2_DEN!r} AS DOUBLE) AS x
+           FROM zz),
+    yy AS (SELECT *, (-(x * x)) / CAST(64.0 AS DOUBLE) AS y,
+                  CAST(1.0 AS DOUBLE)
+                    / (CAST(1.0 AS DOUBLE)
+                       + CAST({_AS_ERFC_P!r} AS DOUBLE) * x) AS t
+           FROM xx),
+    e0 AS (SELECT *, {pinned_exp_sql("y")} AS e FROM yy),
+    {sq}
+    pp AS (SELECT event_type, hour_start, n, z,
+                  ((((({a5} * t + {a4}) * t + {a3}) * t + {a2}) * t
+                    + {a1}) * t) * e AS p
+           FROM e6),
+    rk AS (SELECT *, row_number() OVER (
+             ORDER BY p, event_type, hour_start) AS p_rank,
+             count(*) OVER () AS m FROM pp),
+    ks AS (SELECT max(CASE WHEN p <= p_rank * CAST({q_fdr!r} AS DOUBLE) / m
+                           THEN p_rank ELSE 0 END) AS kstar FROM rk)
+    SELECT event_type, hour_start, n, z, round(p, 12) AS p_value, p_rank
+    FROM rk, ks WHERE p_rank <= kstar ORDER BY p_rank
+    """
+
+
+@register("events_hourly_anomaly_fdr", _anomaly_fdr_oracle_sql(0.1))
+def q_events_hourly_anomaly_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise anomaly flags with BENJAMINI–HOCHBERG FDR control
+    (operators.stats.hourly_anomaly_fdr; Benjamini & Hochberg 1995) —
+    the multiple-testing closer of the anomaly family: the graded
+    events_hourly_anomaly row thresholds each hour's z in isolation,
+    which at m = types×hours simultaneous tests buries real spikes in
+    expected false flags; here each (event_type, hour) cell gets a
+    two-sided p from the PINNED normal tail (A&S erfc polynomial over
+    the pinned /64-reduced exp — libm erfc is not cross-engine
+    bitwise) and the step-up keeps exactly the cells BH rejects at
+    q = 0.1. Fires at all 3 SFs (11/4/1 rejections; the nearest
+    p-vs-threshold decision gap is ≥ 1.8e-5, ~10¹¹ ulps). The oracle
+    replays moments, z, the full pinned p chain, the rank window and
+    the k* cut."""
+    from ydb_vector_search_demo_spark.operators import stats as S
+
+    return S.hourly_anomaly_fdr(_t(spark, sf_dir, "events"), q_fdr=0.1)
+
+
 # ===========================================================================
 # Driver grading window. The correctness driver grades exactly the FIRST
 # 50 registered queries, so registration order is part of the contract:
@@ -16613,6 +16695,14 @@ _GRADE_FIRST = [
 #   6. corpus_pack_ffd — carried (offline packer; its online twin
 #      corpus_pack_sequences rotated out in r14, and the graded
 #      multimodal_interleaved_pack replays the next-fit walk).
+#   6b. events_hourly_anomaly_fdr — multiple-testing CONTROL (wave 37,
+#      landed post-close-out with full 3-SF oracle + probe): the
+#      window grades the flat z-threshold anomaly row; BH step-up
+#      rejection and the pinned normal-tail (erfc) seam are graded
+#      nowhere. If it rotates in, events_hourly_anomaly is the
+#      natural out-candidate (the SAME grain/moments/z expression
+#      runs inside this oracle's zz stage; the flat row stays
+#      oracle-checked and benched).
 #   7. part_skyline_brand / dedup_minhash_accuracy /
 #      corpus_span_corruption / ann_power_iteration_fixed /
 #      lineitem_kendall_tau / events_mann_kendall / dedup_keep_best /
@@ -16626,7 +16716,9 @@ _GRADE_FIRST = [
 #   text analysis keeps text_ppl_buckets + the unigram/chi2 grains),
 #   rag_envelope_json (count/round/null-summary are byte-pinned
 #   through rag_full_pipeline's envelope; the reference S5/P6/P7
-#   surface keeps direct pytest oracles).
+#   surface keeps direct pytest oracles), events_hourly_anomaly
+#   (see #6b — its grain/moments/z replay verbatim inside the FDR
+#   oracle's zz stage).
 # ---------------------------------------------------------------------------
 # r14 rotation EXECUTED (r13 verdict task #4): the consolidated
 # ranking's top four are in the graded window — corpus_unigram_lm,
