@@ -390,6 +390,10 @@ HEADLINE = [
     # Benjamini-Hochberg FDR over the (type, hour) anomaly grain
     # (pinned normal tail + one single-partition rank window)
     "events_hourly_anomaly_fdr",
+    # r14 wave 38 (outside the comparable subsets): WordPiece apply
+    # (greedy longest-match against the trained vocab, one JVM-side
+    # fold) + per-language fertility
+    "corpus_wordpiece_fertility",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

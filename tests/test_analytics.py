@@ -2500,3 +2500,125 @@ def test_hourly_anomaly_fdr_matches_reference(spark):
         assert p <= rank * 0.1 / m + 1e-15
     ps = [r[4] for r in got_t]
     assert ps == sorted(ps)
+
+
+def test_wordpiece_apply_fertility_matches_reference(spark):
+    """curation.wordpiece_apply_fertility against an independent
+    plain-Python replay of the whole chain on a hand corpus: the
+    Schuster-Nakajima trainer (as in the merges test), vocab =
+    alphabet-in-symbol-form + merges, greedy longest-match (MaxMatch)
+    with head/continuation split, per-language fertility rollup —
+    exact tuple equality. Shape laws: n_unk is 0 on a corpus-derived
+    vocabulary (every (char, position-class) occurring in the corpus
+    is in the vocab, so the single-char fallback always matches) and
+    fertility is the rounded subword/word ratio. Plus the guard law:
+    a max_piece_len smaller than a trained merge raises instead of
+    silently never matching it."""
+    from collections import Counter, defaultdict
+
+    import pytest as _pytest
+
+    from ydb_vector_search_demo_spark.operators.curation import (
+        wordpiece_apply_fertility,
+    )
+
+    rows = [
+        ("en", "low low low lower lowest"),
+        ("en", "newest newest wide widest"),
+        ("de", "quiz quiz lower low"),
+        ("de", "widest wide wide"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, lang, t) for i, (lang, t) in enumerate(rows)],
+        "doc_id BIGINT, lang STRING, text STRING",
+    )
+    steps, L = 6, 8
+    got = [
+        (r["lang"], r["n_words"], r["n_subwords"], r["n_unk"],
+         r["fertility"])
+        for r in wordpiece_apply_fertility(docs, steps=steps).collect()
+    ]
+
+    # --- independent replay: trainer ---
+    wc = Counter(w for _, t in rows for w in t.split())
+    syms = {w: [c if i == 0 else "##" + c for i, c in enumerate(w)]
+            for w in wc}
+    merges = []
+    for _ in range(steps):
+        uc, pc = Counter(), Counter()
+        for w, s in syms.items():
+            for x in s:
+                uc[x] += wc[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += wc[w]
+        (a, b), cnt = min(
+            pc.items(),
+            key=lambda kv: (-(kv[1] / float(uc[kv[0][0]] * uc[kv[0][1]])),
+                            -kv[1], kv[0][0], kv[0][1]),
+        )
+        merged = a + b.removeprefix("##")
+        merges.append(merged)
+        for w, s in syms.items():
+            out, prev = [], None
+            for x in s:
+                if prev is None:
+                    prev = x
+                elif prev == a and x == b:
+                    out.append(merged)
+                    prev = None
+                else:
+                    out.append(prev)
+                    prev = x
+            if prev is not None:
+                out.append(prev)
+            syms[w] = out
+    # --- vocab + MaxMatch ---
+    hv, cv = set(), set()
+    for w in wc:
+        hv.add(w[0])
+        for ch in w[1:]:
+            cv.add(ch)
+    for mt in merges:
+        if mt.startswith("##"):
+            cv.add(mt[2:])
+        else:
+            hv.add(mt)
+
+    def maxmatch_len(w):
+        pos, n_tok = 0, 0
+        while pos < len(w):
+            bl = 0
+            for piece_len in range(1, L + 1):
+                if pos + piece_len <= len(w):
+                    piece = w[pos:pos + piece_len]
+                    if (pos == 0 and piece in hv) or (pos > 0 and piece in cv):
+                        bl = piece_len
+            if bl == 0:
+                return None
+            n_tok += 1
+            pos += bl
+        return n_tok
+
+    lcnt = Counter((lang, w) for lang, t in rows for w in t.split())
+    agg = defaultdict(lambda: [0, 0, 0])
+    for (lang, w), n in lcnt.items():
+        ns = maxmatch_len(w)
+        agg[lang][0] += n
+        agg[lang][1] += n * (1 if ns is None else ns)
+        if ns is None:
+            agg[lang][2] += n
+    want = sorted(
+        (lang, a[0], a[1], a[2], round(a[1] / a[0], 6))
+        for lang, a in agg.items()
+    )
+    assert got == want
+    assert all(r[3] == 0 for r in got)  # corpus-derived vocab: no UNK
+    for lang, n_words, n_subwords, n_unk, fert in got:
+        assert fert == round(n_subwords / n_words, 6)
+        assert n_subwords >= n_words
+
+    # guard: a trained merge longer than max_piece_len raises loudly
+    longest = max(len(m.removeprefix("##")) for m in merges)
+    assert longest >= 3  # fixture sanity: the guard below is live
+    with _pytest.raises(Exception, match="vocab token longer"):
+        wordpiece_apply_fertility(docs, steps=steps, max_piece_len=2).collect()

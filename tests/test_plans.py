@@ -636,3 +636,18 @@ def test_hourly_anomaly_fdr_fully_checkpointed(spark):
     assert final.count("Scan parquet") == 0, final[:2000]
     assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
     assert "Window" not in final, final[:2000]
+
+
+def test_wordpiece_fertility_is_jvm_side_maxmatch(spark):
+    """corpus_wordpiece_fertility: the MaxMatch fold is pure JVM
+    expression work (no Python eval nodes anywhere in the plan); the
+    single-row vocab maps arrive via broadcast nested-loop crossJoins;
+    the only parquet scan in the final plan is the lang-word grain —
+    training and the word grain live behind checkpoints."""
+    plan = plan_of(spark, "corpus_wordpiece_fertility")
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 1, final[:2000]
+    assert "BroadcastNestedLoopJoin" in final
+    for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython",
+                 "ArrowEvalPython"):
+        assert node not in final, f"{node} in plan:\n" + final[:2000]

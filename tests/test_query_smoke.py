@@ -211,7 +211,7 @@ def test_r15_eligibility_ranking_names_are_registered():
         "dedup_cross_shard_fixed", "corpus_bitext_margin",
         "corpus_repetition_plan", "corpus_wordpiece_merges",
         "graph_kcore_peel", "corpus_pack_ffd",
-        "events_hourly_anomaly_fdr",
+        "events_hourly_anomaly_fdr", "corpus_wordpiece_fertility",
         "part_skyline_brand", "dedup_minhash_accuracy",
         "corpus_span_corruption", "ann_power_iteration_fixed",
         "lineitem_kendall_tau", "events_mann_kendall",
@@ -224,6 +224,6 @@ def test_r15_eligibility_ranking_names_are_registered():
         assert n in block, f"{n} missing from the r15 ranking text"
     for n in ["corpus_bpe_merges", "graph_pagerank_label",
               "text_quality", "rag_envelope_json",
-              "events_hourly_anomaly"]:
+              "events_hourly_anomaly", "corpus_bpe_fertility"]:
         assert n in cat.QUERIES, n
         assert n in block, f"out-candidate {n} missing from r15 text"

@@ -2534,6 +2534,177 @@ def wordpiece_merge_steps(
     return out
 
 
+def wordpiece_apply_fertility(
+    docs: DataFrame,
+    steps: int = 4,
+    max_piece_len: int = 8,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """WordPiece tokenizer APPLY + per-language FERTILITY — the apply
+    side of the WordPiece train/apply split, completing the
+    inference-algorithm triple next to the BPE merge-fold apply
+    (corpus_bpe_fertility) and the unigram-LM Viterbi segmenter: at
+    inference BERT's tokenizer does NOT replay merges — it greedily
+    takes the LONGEST vocabulary prefix at each position (MaxMatch;
+    Schuster & Nakajima 2012 §3, the HF WordPiece runtime), head
+    tokens at position 1, '##'-continuations after, whole word →
+    [UNK] on any dead end. Greedy-longest and merge-fold can segment
+    the same word differently, which is why the apply algorithm needs
+    its own graded surface.
+
+    Vocabulary = the corpus alphabet in trainer symbol form (first
+    char plain, rest '##'-prefixed) ∪ the ``steps`` trained merges
+    (:func:`wordpiece_merge_steps`). MaxMatch runs as ONE JVM-side
+    F.aggregate fold over each distinct word's positions — per
+    position either decrement the skip counter (inside a match) or
+    probe max_piece_len..1 via try_element_at against the broadcast
+    head/continuation maps (longest probe wins; a window longer than
+    the remaining suffix is guarded off so a short vocab token can
+    never masquerade as a longer consume). No Python rows, no
+    explode: the fold is O(|w|·L) map lookups on the word grain.
+    A vocab token longer than ``max_piece_len`` would silently never
+    match, so map construction raises on one (fixture bound: the
+    4-merge vocab maxes at 4 chars; L = 8 is headroom).
+
+    Fertility(lang) = Σ n·|pieces(w)| / Σ n over the lang-word grain
+    joined to the segmented vocabulary — the corpus is never
+    re-tokenized per language. Returns (lang, n_words, n_subwords,
+    n_unk, fertility); counts exact bigints, one final division.
+
+    Scale shape: two corpus shuffles total (the global word grain +
+    the lang-word grain, both map-combinable); training is
+    vocab-bounded (the graded corpus_wordpiece_merges shape); the
+    alphabet/merge maps are single-row broadcasts; MaxMatch is map
+    work on the distinct-word grain."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+    from ydb_vector_search_demo_spark.sources.tables import fan_out
+
+    L = int(max_piece_len)
+    merges = wordpiece_merge_steps(docs, steps=steps, text_col=text_col)
+    wc = _word_counts(docs, text_col)
+    alpha = (
+        wc.select(
+            F.explode(
+                F.transform(
+                    F.split("w", r"(?!^)(?=.)"),
+                    lambda c, i: F.when(i == 0, c).otherwise(
+                        F.concat(F.lit("##"), c)
+                    ),
+                )
+            ).alias("s")
+        )
+        .union(merges.select(F.col("merged").alias("s")))
+        .distinct()
+    )
+    # the guard rides the map KEY: a too-long token raises instead of
+    # silently never matching (raise_error's null type coerces under
+    # the when branch)
+    checked = F.when(F.length("s") <= F.lit(L), F.col("s")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "wordpiece_apply_fertility: vocab token longer than "
+                    f"max_piece_len={L}: "
+                ),
+                F.col("s"),
+            )
+        )
+    )
+    hm = alpha.filter(~F.col("s").startswith("##")).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(checked.alias("k"), F.lit(1).alias("v")))
+        ).alias("_hm")
+    )
+    cm = alpha.filter(F.col("s").startswith("##")).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.regexp_replace(checked, r"^##", "").alias("k"),
+                    F.lit(1).alias("v"),
+                )
+            )
+        ).alias("_cm")
+    )
+
+    def mk(skip: Column, toks: Column, failed: Column) -> Column:
+        return F.struct(
+            skip.alias("skip"), toks.alias("toks"), failed.alias("failed")
+        )
+
+    def step(acc: Column, i: Column) -> Column:
+        m = F.when(i == F.lit(1), F.col("_hm")).otherwise(F.col("_cm"))
+        bl = F.lit(0)
+        for piece_len in range(1, L + 1):
+            bl = F.when(
+                (i + F.lit(piece_len - 1) <= F.length("w"))
+                & F.try_element_at(
+                    m, F.substring(F.col("w"), i, F.lit(piece_len))
+                ).isNotNull(),
+                F.lit(piece_len),
+            ).otherwise(bl)
+        piece = F.substring(F.col("w"), i, bl)
+        tok = F.when(i == F.lit(1), piece).otherwise(
+            F.concat(F.lit("##"), piece)
+        )
+        return (
+            F.when(acc["failed"], acc)
+            .when(acc["skip"] > F.lit(0), mk(acc["skip"] - 1, acc["toks"], acc["failed"]))
+            .when(bl == F.lit(0), mk(F.lit(0), F.lit("[UNK]"), F.lit(True)))
+            .otherwise(
+                mk(bl - 1, F.concat(acc["toks"], F.lit(" "), tok), F.lit(False))
+            )
+        )
+
+    st = F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        mk(F.lit(0), F.lit(""), F.lit(False)),
+        step,
+    )
+    seg = (
+        wc.crossJoin(F.broadcast(hm))
+        .crossJoin(F.broadcast(cm))
+        .withColumn("_st", st)
+        .select(
+            "w",
+            F.col("_st")["failed"].alias("failed"),
+            F.when(F.col("_st")["failed"], F.lit(1))
+            .otherwise(F.size(F.split(F.ltrim(F.col("_st")["toks"]), " ")))
+            .cast("bigint")
+            .alias("n_sub"),
+        )
+    )
+    lc = (
+        fan_out(docs)
+        .select(F.col(lang_col).alias("lang"), F.explode(tokens(text_col)).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        lc.join(seg, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_sub")).cast("bigint").alias("n_subwords"),
+            F.sum(F.when(F.col("failed"), F.col("n")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_unk"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_subwords",
+            "n_unk",
+            F.round(
+                F.col("n_subwords").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
 def pinned_exp(x: Column, terms: int = 30) -> Column:
     """exp(x) as a PINNED 30-term Horner series — deterministic IEEE
     +,/,* in a fixed association order, so both engines produce

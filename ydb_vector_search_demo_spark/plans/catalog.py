@@ -15915,6 +15915,109 @@ def q_graph_kcore_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round")
 
 
+def _wordpiece_fertility_oracle_sql(steps: int = 4, L: int = 8) -> str:
+    """Full DuckDB twin of curation.wordpiece_apply_fertility: the
+    WordPiece training oracle nested as a subquery for the merges,
+    the alphabet in trainer symbol form, single-row head/continuation
+    vocab maps, then greedy longest-match (MaxMatch) as a RECURSIVE
+    CTE that advances each word by the matched length per iteration
+    — bl = greatest over the L..1 probe windows (each guarded to fit
+    the remaining suffix), dead end → [UNK] — and the per-language
+    fertility rollup on the lang-word grain."""
+
+    def cand(piece_len: int) -> str:
+        piece = f"substr(w, pos, {piece_len})"
+        look = (
+            f"(CASE WHEN pos = 1 THEN list_extract(hm.m[{piece}], 1) "
+            f"ELSE list_extract(cm.m[{piece}], 1) END)"
+        )
+        return (
+            f"(CASE WHEN pos + {piece_len} - 1 <= len(w) "
+            f"AND {look} IS NOT NULL THEN {piece_len} ELSE 0 END)"
+        )
+
+    best = "greatest(" + ", ".join(cand(l) for l in range(1, L + 1)) + ")"
+    return f"""
+    WITH RECURSIVE merges AS MATERIALIZED (
+      SELECT merged FROM ({_wordpiece_oracle_sql(steps)})
+    ),
+    tk2 AS (SELECT unnest({_TOKENS_SQL}) AS w FROM documents),
+    wc2 AS (SELECT w, count(*)::BIGINT AS n FROM tk2 GROUP BY 1),
+    alpha AS (
+      SELECT DISTINCT s FROM (
+        SELECT unnest(list_transform(regexp_extract_all(w, '.'),
+          (c, i) -> CASE WHEN i = 1 THEN c ELSE '##' || c END)) AS s
+        FROM wc2)
+      UNION SELECT merged AS s FROM merges
+    ),
+    hm AS MATERIALIZED (SELECT map(list(s), list(1)) AS m FROM alpha
+                        WHERE s NOT LIKE '##%'),
+    cm AS MATERIALIZED (SELECT map(list(regexp_replace(s, '^##', '')),
+                               list(1)) AS m
+                        FROM alpha WHERE s LIKE '##%'),
+    rec AS (
+      SELECT w, n, 1 AS pos, '' AS toks, FALSE AS failed FROM wc2
+      UNION ALL
+      SELECT w, n,
+             CASE WHEN bl = 0 THEN len(w) + 1 ELSE pos + bl END,
+             CASE WHEN bl = 0 THEN '[UNK]'
+                  ELSE toks || ' ' ||
+                       (CASE WHEN pos = 1 THEN substr(w, pos, bl)
+                             ELSE '##' || substr(w, pos, bl) END) END,
+             bl = 0
+      FROM (SELECT w, n, pos, toks, {best} AS bl
+            FROM rec CROSS JOIN hm CROSS JOIN cm
+            WHERE pos <= len(w) AND NOT failed)
+    ),
+    seg AS (SELECT w,
+                   CASE WHEN failed THEN 1
+                        ELSE len(string_split(ltrim(toks, ' '), ' ')) END
+                     AS n_sub,
+                   failed
+            FROM rec WHERE pos > len(w)),
+    wl AS (SELECT lang, unnest({_TOKENS_SQL}) AS w FROM documents),
+    lc AS (SELECT lang, w, count(*)::BIGINT AS n FROM wl GROUP BY 1, 2)
+    SELECT lc.lang,
+           CAST(sum(lc.n) AS BIGINT) AS n_words,
+           CAST(sum(lc.n * s.n_sub) AS BIGINT) AS n_subwords,
+           CAST(sum(CASE WHEN s.failed THEN lc.n ELSE 0 END) AS BIGINT)
+             AS n_unk,
+           round(CAST(sum(lc.n * s.n_sub) AS DOUBLE)
+                 / CAST(sum(lc.n) AS DOUBLE), 6) AS fertility
+    FROM lc JOIN seg s USING (w)
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@register("corpus_wordpiece_fertility", _wordpiece_fertility_oracle_sql(4, 8))
+def q_corpus_wordpiece_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WordPiece tokenizer APPLY + per-language FERTILITY
+    (operators.curation.wordpiece_apply_fertility; Schuster &
+    Nakajima 2012 §3) — the apply side of the WordPiece train/apply
+    split and the third INFERENCE algorithm next to the BPE
+    merge-fold (corpus_bpe_fertility) and the unigram Viterbi
+    segmenter: greedy longest-vocabulary-prefix (MaxMatch, the HF/
+    BERT runtime — NOT a merge replay; greedy-longest and merge-fold
+    can disagree on the same word), head tokens at position 1,
+    '##'-continuations after, dead end → [UNK]. Spark side: one
+    JVM-side F.aggregate fold over each distinct word's positions
+    probing broadcast head/cont maps via try_element_at (seam #8),
+    longest window wins, windows guarded to the remaining suffix.
+    Oracle: the training oracle nested for the merges + a recursive
+    CTE advancing each word by the matched length. Fertility per
+    language from the lang-word grain join — corpus never
+    re-tokenized."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        wordpiece_apply_fertility,
+    )
+
+    return wordpiece_apply_fertility(
+        _t(spark, sf_dir, "documents"), steps=4, max_piece_len=8
+    )
+
+
 def _anomaly_fdr_oracle_sql(q_fdr: float = 0.1) -> str:
     """Full DuckDB twin of stats.hourly_anomaly_fdr: per-(type, hour)
     counts, per-type exact integer moments, the graded hourly_anomaly
@@ -16686,6 +16789,14 @@ _GRADE_FIRST = [
 #      merge fold run inside the WordPiece oracle, which additionally
 #      grades the unary counts and the score argmax; BPE stays
 #      oracle-checked and benched).
+#   4b. corpus_wordpiece_fertility — the APPLY algorithm (wave 38,
+#      landed post-close-out with full 3-SF oracle + probe): greedy
+#      longest-match (MaxMatch) is the BERT RUNTIME and can disagree
+#      with the merge-fold; no graded row exercises it. Pairs with #4
+#      (train+apply would grade the whole WordPiece lifecycle); if
+#      both rotate in, corpus_bpe_fertility is the additional
+#      out-candidate (same fertility rollup grain; the BPE fold-apply
+#      stays oracle-checked in the sweep).
 #   5. graph_kcore_peel — carried from the r14 ranking (rank 5, no
 #      out slot last round); if it rotates in, the graph family holds
 #      three slots — graph_pagerank_label is then the out-candidate
