@@ -394,6 +394,10 @@ HEADLINE = [
     # (greedy longest-match against the trained vocab, one JVM-side
     # fold) + per-language fertility
     "corpus_wordpiece_fertility",
+    # r14 wave 39 (outside the comparable subsets): per-source
+    # two-sample KS distribution-drift test (exact integer sup, one
+    # keyed window over the bounded value grid)
+    "corpus_ks_drift",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

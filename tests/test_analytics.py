@@ -2622,3 +2622,69 @@ def test_wordpiece_apply_fertility_matches_reference(spark):
     assert longest >= 3  # fixture sanity: the guard below is live
     with _pytest.raises(Exception, match="vocab token longer"):
         wordpiece_apply_fertility(docs, steps=steps, max_piece_len=2).collect()
+
+
+def test_ks_drift_by_group_matches_brute_force(spark):
+    """stats.ks_drift_by_group against the textbook definition by
+    brute force on hand groups: D = max over the pooled value grid of
+    |F_g(v) - F_rest(v)|, evaluated exactly via the integer
+    common-denominator gap; at_value is the smallest grid point
+    attaining the sup. Planted geometry: group B lives on a disjoint
+    (shifted) support, so D(B) = 1.0 and it must flag drift; A and C
+    share a distribution, so their D stays under the critical value."""
+    from fractions import Fraction
+
+    from ydb_vector_search_demo_spark.operators.stats import (
+        ks_drift_by_group,
+    )
+
+    data = (
+        [("A", v) for v in [1, 2, 2, 3, 4, 5, 5, 6, 7, 8]]
+        + [("C", v) for v in [1, 2, 2, 3, 4, 5, 5, 6, 7, 8]]
+        + [("B", v) for v in [101, 102, 103, 104, 105, 106, 107, 108, 109,
+                              110]]
+    )
+    df = spark.createDataFrame(data, "grp STRING, val BIGINT")
+    got = {
+        r["grp"]: (r["n1"], r["n2"], r["at_value"], r["d_num"], r["d"],
+                   r["crit"], r["drift"])
+        for r in ks_drift_by_group(df, "val", "grp", alpha_c=1.224).collect()
+    }
+
+    import math
+    from collections import Counter, defaultdict
+
+    per = defaultdict(Counter)
+    for g, v in data:
+        per[g][v] += 1
+    allv = sorted({v for _, v in data})
+    nt = len(data)
+    for g in per:
+        n1 = sum(per[g].values())
+        n2 = nt - n1
+        best, atv = -1, None
+        C1 = C2 = 0
+        for v in allv:
+            c1 = per[g].get(v, 0)
+            cv = sum(per[x].get(v, 0) for x in per)
+            C1 += c1
+            C2 += cv - c1
+            gap = abs(n2 * C1 - n1 * C2)
+            if gap > best:
+                best, atv = gap, v
+        D = best / float(n1 * n2)
+        crit = 1.224 * math.sqrt(float(nt) / float(n1 * n2))
+        assert got[g] == (n1, n2, atv, best, round(D, 6), round(crit, 6),
+                          D > crit), g
+        # exact-arithmetic law: the double D equals the exact rational
+        # within one rounding
+        assert abs(D - float(Fraction(best, n1 * n2))) == 0.0
+    assert got["B"][4] == 1.0 and got["B"][6] is True
+    # the test is group-vs-REST: A's rest CONTAINS B's shifted support,
+    # so A (and identically C) genuinely drift too — but strictly less
+    # than the disjoint group, and with identical readouts
+    assert got["A"] == got["C"]
+    assert got["A"][4] < got["B"][4]
+    # B's sup is attained before its own support starts: the rest's
+    # CDF saturates while B's is still flat — at the largest rest value
+    assert got["B"][2] == 8

@@ -651,3 +651,17 @@ def test_wordpiece_fertility_is_jvm_side_maxmatch(spark):
     for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython",
                  "ArrowEvalPython"):
         assert node not in final, f"{node} in plan:\n" + final[:2000]
+
+
+def test_ks_drift_single_scan_and_keyed_window(spark):
+    """corpus_ks_drift: the (group, value) grain is localCheckpointed
+    before its five consumers, so the final plan holds zero parquet
+    scans; the cumulative CDFs run as ONE keyed window over the grid
+    (no Python nodes); the gap relation is checkpointed before the
+    max/argmax branches, so no window re-sort survives either."""
+    plan = plan_of(spark, "corpus_ks_drift")
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 0, final[:2000]
+    for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython",
+                 "ArrowEvalPython"):
+        assert node not in final, f"{node} in plan:\n" + final[:2000]

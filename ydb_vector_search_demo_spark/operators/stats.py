@@ -1219,3 +1219,111 @@ def hourly_anomaly_fdr(
         )
         .orderBy("p_rank")
     )
+
+
+def ks_drift_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    alpha_c: float = 1.224,
+) -> DataFrame:
+    """Per-group two-sample KOLMOGOROV–SMIRNOV drift test — the
+    continuous-distribution sibling of :func:`chi2_independence`
+    (categorical) in the corpus-governance family: for every group g,
+    D = sup_v |F_g(v) − F_rest(v)| between the group's empirical CDF
+    of ``value_col`` and the pooled rest — "which source's length/
+    quality/score DISTRIBUTION has drifted", which mean-based
+    monitors miss (two sources can share a mean and differ wildly in
+    shape). Flags drift when D exceeds the classic two-sample
+    critical value c(α)·√((n₁+n₂)/(n₁·n₂)); the default c = 1.224 is
+    α = 0.10 (Smirnov; 1.358 is α = 0.05) — a driver-inlined literal.
+
+    Exactness: D's supremum runs entirely on EXACT integers — at each
+    grid value, gap = |n₂·C₁(v) − n₁·C₂(v)| (the common-denominator
+    trick: comparing n₂C₁ − n₁C₂ avoids ever ordering derived
+    doubles), the per-group max and its argmin location are integer
+    decisions, and D = gap_max / (n₁·n₂) is ONE correctly-rounded
+    IEEE division of exact ints. The sup is evaluated on the POOLED
+    value grid — at values absent from the group, F_g stays flat
+    while F_rest jumps, and the sup can land exactly there. Overflow:
+    n₂·C₁ ≤ n_total², so n_total < 3·10⁹ rows; past that the gap
+    arithmetic moves to DECIMAL(38,0).
+
+    Scale shape: one input scan collapses to the (group, value) grain
+    (map-combinable; localCheckpointed before its five consumers);
+    the grid is |G|·|V| (groups × distinct values — bounded by the
+    value domain, e.g. lengths/scores, not by row count); ONE keyed
+    window per group computes both cumulative counts; the gap
+    relation is checkpointed before its two consumers (the max branch
+    and the argmax join-back). Returns one row per group:
+    (group, n1, n2, at_value, d_num, d, crit, drift), group-ordered."""
+    g, v = "_g", "_v"
+    gv = (
+        df.select(
+            F.col(group_col).alias(g), F.col(value_col).cast("bigint").alias(v)
+        )
+        .groupBy(g, v)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    vals = gv.select(v).distinct()
+    grps = gv.groupBy(g).agg(F.sum("_c").cast("bigint").alias("_n1"))
+    vc = gv.groupBy(v).agg(F.sum("_c").cast("bigint").alias("_cv"))
+    tot = gv.agg(F.sum("_c").cast("bigint").alias("_nt"))
+    grid = grps.crossJoin(vals)
+    j = (
+        grid.join(gv, [g, v], "left")
+        .join(F.broadcast(vc), v)
+        .withColumn("_c1", F.coalesce(F.col("_c"), F.lit(0).cast("bigint")))
+    )
+    w = (
+        Window.partitionBy(g)
+        .orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = j.select(
+        g,
+        "_n1",
+        v,
+        F.sum("_c1").over(w).cast("bigint").alias("_C1"),
+        F.sum(F.col("_cv") - F.col("_c1")).over(w).cast("bigint").alias("_C2"),
+    )
+    gaps = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_gap",
+            F.abs(
+                (F.col("_nt") - F.col("_n1")) * F.col("_C1")
+                - F.col("_n1") * F.col("_C2")
+            ).cast("bigint"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    d = gaps.groupBy(g, "_n1", "_nt").agg(
+        F.max("_gap").cast("bigint").alias("d_num")
+    )
+    atv = (
+        gaps.select(g, v, "_gap")
+        .join(d.select(g, "d_num"), g)
+        .filter(F.col("_gap") == F.col("d_num"))
+        .groupBy(g)
+        .agg(F.min(v).cast("bigint").alias("at_value"))
+    )
+    n2 = (F.col("_nt") - F.col("_n1")).cast("bigint")
+    den = (F.col("_n1") * n2).cast("double")
+    dd = F.col("d_num") / den
+    crit = F.lit(float(alpha_c)) * F.sqrt(F.col("_nt").cast("double") / den)
+    return (
+        d.join(atv, g)
+        .select(
+            F.col(g).alias(group_col),
+            F.col("_n1").alias("n1"),
+            n2.alias("n2"),
+            "at_value",
+            "d_num",
+            F.round(dd, 6).alias("d"),
+            F.round(crit, 6).alias("crit"),
+            (dd > crit).alias("drift"),
+        )
+        .orderBy(group_col)
+    )

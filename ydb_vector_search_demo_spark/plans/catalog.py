@@ -16080,6 +16080,69 @@ def _anomaly_fdr_oracle_sql(q_fdr: float = 0.1) -> str:
     """
 
 
+_KS_DRIFT_ORACLE_SQL = """
+    WITH x AS (SELECT source AS g, length(text)::BIGINT AS v
+               FROM documents),
+    gv AS (SELECT g, v, count(*)::BIGINT AS c FROM x GROUP BY 1, 2),
+    vals AS (SELECT DISTINCT v FROM gv),
+    grps AS (SELECT g, sum(c)::BIGINT AS n1 FROM gv GROUP BY 1),
+    vc AS (SELECT v, sum(c)::BIGINT AS cv FROM gv GROUP BY 1),
+    tot AS (SELECT sum(c)::BIGINT AS nt FROM gv),
+    grid AS (SELECT grps.g, grps.n1, vals.v FROM grps CROSS JOIN vals),
+    j AS (SELECT grid.g, grid.n1, grid.v, coalesce(gv.c, 0)::BIGINT AS c1,
+                 vc.cv
+          FROM grid LEFT JOIN gv ON gv.g = grid.g AND gv.v = grid.v
+          JOIN vc ON vc.v = grid.v),
+    cum AS (SELECT g, n1, v,
+              (sum(c1) OVER (PARTITION BY g ORDER BY v))::BIGINT AS C1,
+              (sum(cv - c1) OVER (PARTITION BY g ORDER BY v))::BIGINT AS C2
+            FROM j),
+    gaps AS (SELECT g, n1, v, abs((nt - n1) * C1 - n1 * C2)::BIGINT AS gap
+             FROM cum CROSS JOIN tot),
+    d AS (SELECT g, n1, max(gap)::BIGINT AS d_num FROM gaps GROUP BY 1, 2),
+    atv AS (SELECT gaps.g, min(gaps.v)::BIGINT AS at_value
+            FROM gaps JOIN d ON d.g = gaps.g AND gaps.gap = d.d_num
+            GROUP BY 1)
+    SELECT d.g AS source, d.n1 AS n1, (nt - d.n1)::BIGINT AS n2,
+           atv.at_value, d.d_num,
+           round(d.d_num / CAST(d.n1 * (nt - d.n1) AS DOUBLE), 6) AS d,
+           round(CAST(1.224 AS DOUBLE)
+                 * sqrt(CAST(nt AS DOUBLE)
+                        / CAST(d.n1 * (nt - d.n1) AS DOUBLE)), 6) AS crit,
+           (d.d_num / CAST(d.n1 * (nt - d.n1) AS DOUBLE))
+             > (CAST(1.224 AS DOUBLE)
+                * sqrt(CAST(nt AS DOUBLE)
+                       / CAST(d.n1 * (nt - d.n1) AS DOUBLE))) AS drift
+    FROM d JOIN atv ON atv.g = d.g CROSS JOIN tot
+    ORDER BY source
+    """
+
+
+@register("corpus_ks_drift", _KS_DRIFT_ORACLE_SQL)
+def q_corpus_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source two-sample KOLMOGOROV–SMIRNOV distribution-drift
+    test on document length (operators.stats.ks_drift_by_group) —
+    the continuous-distribution governance row next to the chi²
+    (categorical) and BH-FDR (multiple-testing) rows: for each
+    source, D = sup|F_source − F_rest| over the pooled length grid,
+    flagged against the classic critical value at α = 0.10
+    (c = 1.224, driver-inlined). The supremum, its location and
+    every comparison run on EXACT integers (gap = |n₂C₁ − n₁C₂|, the
+    common-denominator trick); D and the critical value are one
+    IEEE division + sqrt each. Live at all 3 SFs (drift flags
+    1/2/4). The oracle replays the grid, both cumulative counts, the
+    integer argmax and the flag."""
+    from ydb_vector_search_demo_spark.operators import stats as S
+
+    docs = _t(spark, sf_dir, "documents")
+    return S.ks_drift_by_group(
+        docs.select("source", F.length("text").alias("_len")),
+        "_len",
+        "source",
+        alpha_c=1.224,
+    )
+
+
 @register("events_hourly_anomaly_fdr", _anomaly_fdr_oracle_sql(0.1))
 def q_events_hourly_anomaly_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-wise anomaly flags with BENJAMINI–HOCHBERG FDR control
@@ -16797,6 +16860,12 @@ _GRADE_FIRST = [
 #      both rotate in, corpus_bpe_fertility is the additional
 #      out-candidate (same fertility rollup grain; the BPE fold-apply
 #      stays oracle-checked in the sweep).
+#   4c. corpus_ks_drift — distribution-DRIFT governance (wave 39,
+#      landed post-close-out with full 3-SF oracle + probe): the
+#      window grades categorical independence (chi² via
+#      corpus_lang_source_chi2's family) and mean-based monitors;
+#      the continuous two-sample CDF-sup test is graded nowhere.
+#      No paired out-candidate — new surface.
 #   5. graph_kcore_peel — carried from the r14 ranking (rank 5, no
 #      out slot last round); if it rotates in, the graph family holds
 #      three slots — graph_pagerank_label is then the out-candidate
