@@ -398,6 +398,10 @@ HEADLINE = [
     # two-sample KS distribution-drift test (exact integer sup, one
     # keyed window over the bounded value grid)
     "corpus_ks_drift",
+    # r14 wave 40 (outside the comparable subsets): sentence-BLEU over
+    # the banded near-dup pair feed (clipped n-gram precision, pinned
+    # /64-reduced exp chain split across checkpoint barriers)
+    "corpus_pair_bleu",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

@@ -2688,3 +2688,83 @@ def test_ks_drift_by_group_matches_brute_force(spark):
     # B's sup is attained before its own support starts: the rest's
     # CDF saturates while B's is still flat — at the largest rest value
     assert got["B"][2] == 8
+
+
+def test_pair_bleu_matches_reference(spark):
+    """curation.pair_bleu against a textbook Papineni reference on
+    hand pairs (clipped modified n-gram precision, brevity penalty,
+    geometric mean through the same pinned /64+squarings exp): exact
+    tuple equality, plus the definitional laws — an identical pair
+    scores exactly 1.0 through the pinned chain; clipping caps a
+    repeated candidate word at the reference count; any zero pₙ or a
+    candidate shorter than max_n zeroes BLEU; a short candidate pays
+    BP < 1 while a longer one does not."""
+    from ydb_vector_search_demo_spark.operators.curation import pair_bleu
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog tonight",
+        2: "the quick brown fox jumps over the lazy dog tonight",  # == 1
+        3: "the quick brown fox jumps over a lazy dog",            # near
+        4: "the the the the the the",                              # clip
+        5: "quick brown fox leaps over the lazy red dog tonight ok",
+        6: "colorless green ideas sleep furiously every night ok",  # no 4g
+        7: "fox jumps over",                                       # short
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id BIGINT, text STRING"
+    )
+    pair_list = [(1, 2), (1, 3), (1, 4), (1, 5), (1, 6), (1, 7)]
+    pairs = spark.createDataFrame(pair_list, "a BIGINT, b BIGINT")
+    got = {
+        (r["a"], r["b"]): (r["len_a"], r["len_b"], r["p1"], r["p2"],
+                           r["p3"], r["p4"], r["bleu"])
+        for r in pair_bleu(docs, pairs, max_n=4).collect()
+    }
+
+    from collections import Counter
+
+    def pinned_exp_red(x):
+        e, y = 1.0, x / 64.0
+        for k in range(30, 0, -1):
+            e = 1.0 + y / float(k) * e
+        for _ in range(6):
+            e = e * e
+        return e
+
+    def ref_bleu(a, b):
+        ta, tb = texts[a].split(), texts[b].split()
+        ps, cs = [], []
+        for n in range(1, 5):
+            ca = Counter(tuple(ta[i:i + n]) for i in range(len(ta) - n + 1))
+            cb = Counter(tuple(tb[i:i + n]) for i in range(len(tb) - n + 1))
+            clip = sum(min(c, ca.get(g, 0)) for g, c in cb.items())
+            denom = len(tb) - n + 1
+            cs.append(clip)
+            ps.append(clip / float(denom) if denom >= 1 else 0.0)
+        ok = len(tb) >= 4 and all(c > 0 for c in cs)
+        import math
+        p_out = tuple(
+            round(ps[n - 1], 6) if len(tb) >= n else 0.0 for n in range(1, 5)
+        )
+        if not ok:
+            return (len(ta), len(tb), *p_out, 0.0)
+        y = min(0.0, 1.0 - len(ta) / float(len(tb))) + (
+            math.log(ps[0]) + math.log(ps[1]) + math.log(ps[2])
+            + math.log(ps[3])
+        ) / 4.0
+        return (len(ta), len(tb), *p_out, round(pinned_exp_red(y), 6))
+
+    for ab in pair_list:
+        assert got[ab] == ref_bleu(*ab), (ab, got[ab], ref_bleu(*ab))
+    assert got[(1, 2)][6] == 1.0          # identical pair, exact unity
+    # clipping: candidate 4 repeats 'the' 6x, reference holds 2 -> p1=2/6
+    assert got[(1, 4)][2] == round(2 / 6, 6) and got[(1, 4)][6] == 0.0
+    assert got[(1, 6)][6] == 0.0          # no shared 4-gram
+    assert got[(1, 7)][6] == 0.0          # candidate shorter than max_n
+    assert 0.0 < got[(1, 3)][6] < 1.0     # near-dup scores in between
+    # brevity: candidate 3 (9 toks) vs reference (10) pays BP < 1 — its
+    # bleu is strictly below the pure geometric mean of its precisions
+    import math
+    g13 = got[(1, 3)]
+    geo = pinned_exp_red(sum(math.log(p) for p in g13[2:6]) / 4.0)
+    assert g13[6] < round(geo, 6)

@@ -665,3 +665,18 @@ def test_ks_drift_single_scan_and_keyed_window(spark):
     for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython",
                  "ArrowEvalPython"):
         assert node not in final, f"{node} in plan:\n" + final[:2000]
+
+
+def test_pair_bleu_fully_checkpointed_jvm_side(spark):
+    """corpus_pair_bleu: the pair feed, token grain, gram counts, the
+    materialized y and the horner stage are all behind checkpoint
+    barriers, so the final plan holds zero parquet scans and only the
+    2^6 squaring tree over a plain column — and the whole chain is
+    JVM expression work (no Python eval nodes; the codegen-split
+    barriers keep every stage compilable)."""
+    plan = plan_of(spark, "corpus_pair_bleu")
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 0, final[:2000]
+    for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython",
+                 "ArrowEvalPython"):
+        assert node not in final, f"{node} in plan:\n" + final[:2000]

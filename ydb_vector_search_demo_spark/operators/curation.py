@@ -2811,6 +2811,24 @@ def pinned_exp_sql(x: str, terms: int = 30) -> str:
     return expr
 
 
+def pinned_exp_reduced(x: Column, squarings: int = 6) -> Column:
+    """exp(x) for LARGE-magnitude non-positive arguments: the pinned
+    30-term Horner (:func:`pinned_exp`) cancels catastrophically past
+    |x| ≈ 4, so reduce by 2^squarings first — exp(x) =
+    exp(x/64)^64 — where |x/64| is small and the series is accurate
+    to ~1e-15, then square back up with exact IEEE multiplies.
+    Division by a power of two is exact, each squaring is one fixed
+    multiply, so the whole chain stays bit-identical cross-engine
+    (the r14 normal-tail/BLEU convention; good for |x| ≤ ~25 at the
+    default 6 squarings). exp(0) is exactly 1.0 through the chain.
+    The DuckDB replay is :func:`pinned_exp_sql` on the /64-reduced
+    argument followed by the same number of ``e*e`` squaring CTEs."""
+    y = pinned_exp(x / F.lit(float(2 ** int(squarings))))
+    for _ in range(int(squarings)):
+        y = y * y
+    return y
+
+
 def doremi_domain_weights(
     docs: DataFrame,
     eta: float = 1.0,
@@ -3462,3 +3480,195 @@ def span_corruption_examples(
         F.col("_r")["inp"].alias("input"),
         F.col("_r")["tgt"].alias("target"),
     )
+
+
+def pair_bleu(
+    docs: DataFrame,
+    pairs: DataFrame,
+    max_n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-BLEU (Papineni et al. 2002) over CANDIDATE DOCUMENT
+    PAIRS — the MT-grade overlap metric applied where an LLM-data
+    pipeline actually needs it: scoring near-duplicate / contamination
+    candidates that set-based Jaccard ranks coarsely (BLEU's CLIPPED
+    n-gram precision distinguishes "same vocabulary, reshuffled" from
+    "same phrasing", and the brevity penalty punishes one-sided
+    containment). For each pair (a, b): candidate = b scored against
+    reference = a, pₙ = Σ min(countᵦ(g), countₐ(g)) / (|b| − n + 1)
+    for n = 1..max_n, BP = min(1, e^(1−|a|/|b|)), BLEU =
+    BP·exp(Σ ln pₙ / max_n) — zero whenever any pₙ is zero or the
+    candidate is shorter than max_n tokens (the standard unsmoothed
+    convention; near-dup pairs clear it).
+
+    Exactness: every n-gram count is an exact bigint; each pₙ is one
+    IEEE division; ln is cross-engine bitwise (the r13-measured seam:
+    ln/log2 are, exp is not); BOTH exponentials ride ONE pinned
+    /64-reduced Horner chain (:func:`pinned_exp_reduced`) on
+    y = min(0, 1−r/c) + (Σ ln pₙ)/max_n — exp(a)·exp(b) = exp(a+b)
+    spelled the same fixed way on both engines.
+
+    Scale shape: the gram relation is built ONLY for pair-participant
+    docs (semi-join first — at scale the pair feed is the banded
+    near-dup generator's output, a vanishing fraction of the corpus);
+    one (doc, n, gram)-keyed count, one keyed join per side, and the
+    per-pair rollup — never a corpus-wide self-join. The gram grain
+    is checkpointed before its two consumers (candidate and reference
+    sides)."""
+    from ydb_vector_search_demo_spark.functions.textstats import tokens
+    from ydb_vector_search_demo_spark.sources.tables import fan_out
+
+    N = int(max_n)
+    pr = pairs.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+    ).localCheckpoint(eager=True)
+    pd_ids = (
+        pr.select(F.col("a").alias(id_col))
+        .union(pr.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    tk = (
+        fan_out(docs)
+        .join(pd_ids, id_col)
+        .select(F.col(id_col).alias("_d"), tokens(text_col).alias("_toks"))
+        .withColumn("_nt", F.size("_toks").cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    grams = None
+    for n in range(1, N + 1):
+        g = tk.select(
+            "_d",
+            F.lit(n).alias("_n"),
+            F.explode(
+                F.when(
+                    F.size("_toks") >= F.lit(n),
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_toks") - F.lit(n - 1)),
+                        lambda i: F.array_join(
+                            F.slice("_toks", i, F.lit(n)), " "
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("_gram"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    gc = (
+        grams.groupBy("_d", "_n", "_gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    cb = pr.join(gc, pr["b"] == gc["_d"]).select(
+        "a", "b", "_n", "_gram", F.col("_c").alias("_cb")
+    )
+    ga = gc.select(
+        F.col("_d").alias("_da"),
+        F.col("_n").alias("_na"),
+        F.col("_gram").alias("_grama"),
+        F.col("_c").alias("_ca"),
+    )
+    cl = (
+        cb.join(
+            ga,
+            (cb["a"] == ga["_da"])
+            & (cb["_n"] == ga["_na"])
+            & (cb["_gram"] == ga["_grama"]),
+            "left",
+        )
+        .groupBy("a", "b", "_n")
+        .agg(
+            F.sum(
+                F.least(F.col("_cb"), F.coalesce(F.col("_ca"), F.lit(0)))
+            )
+            .cast("bigint")
+            .alias("_clip")
+        )
+    )
+    pv = cl.groupBy("a", "b").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("_n") == n, F.col("_clip"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"_c{n}")
+            for n in range(1, N + 1)
+        ]
+    )
+    lens = tk.select("_d", "_nt")
+    sc = (
+        pv.join(lens.select(F.col("_d").alias("a"), F.col("_nt").alias("_la")), "a")
+        .join(lens.select(F.col("_d").alias("b"), F.col("_nt").alias("_lb")), "b")
+    )
+    ps = [
+        F.col(f"_c{n}")
+        / (F.col("_lb") - F.lit(n - 1)).cast("double")
+        for n in range(1, N + 1)
+    ]
+    ok = (F.col("_lb") >= F.lit(N)) & functools_reduce_and(
+        [F.col(f"_c{n}") > F.lit(0) for n in range(1, N + 1)]
+    )
+    lnsum = None
+    for p in ps:
+        lnsum = F.log(p) if lnsum is None else lnsum + F.log(p)
+    # the ok gate is also the ANSI-safety gate: Spark 4 ANSI throws on
+    # double division by zero, and a candidate shorter than max_n has
+    # a zero pₙ denominator — CASE short-circuits per row, so y's
+    # divisions only ever run where ok guarantees len_b ≥ max_n and
+    # every clipped count positive (the oracle's CASE-gated lns twin)
+    y = F.when(
+        ok,
+        F.least(
+            F.lit(0.0),
+            F.lit(1.0)
+            - F.col("_la").cast("double") / F.col("_lb").cast("double"),
+        )
+        + lnsum / F.lit(float(N)),
+    ).otherwise(F.lit(0.0))
+    # two checkpoint BARRIERS split the pinned-exp chain into
+    # codegen-sized pieces: CollapseProject would otherwise inline y's
+    # ln/join tree into all 30·2^6 slots of one expression (the
+    # codegen string OOMed the driver, measured r14), and even over a
+    # plain column the fused horner+squarings tree (30·64 refs)
+    # overflows janino's method limit. Materializing y, then the
+    # 30-term horner of y/64, leaves the final squaring tree at 2^6
+    # column refs — every stage compiles, every double is unchanged.
+    sc = sc.withColumn("_y", y).withColumn("_ok", ok).localCheckpoint(
+        eager=True
+    )
+    sc = sc.withColumn(
+        "_h", pinned_exp(F.col("_y") / F.lit(64.0))
+    ).localCheckpoint(eager=True)
+    e = F.col("_h")
+    for _ in range(6):
+        e = e * e
+    bleu = F.when(F.col("_ok"), F.round(e, 6)).otherwise(F.lit(0.0))
+    return sc.select(
+        "a",
+        "b",
+        F.col("_la").alias("len_a"),
+        F.col("_lb").alias("len_b"),
+        *[
+            F.when(
+                F.col("_lb") >= F.lit(n),
+                F.round(
+                    F.col(f"_c{n}")
+                    / (F.col("_lb") - F.lit(n - 1)).cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"p{n}")
+            for n in range(1, N + 1)
+        ],
+        bleu.alias("bleu"),
+    ).orderBy("a", "b")
+
+
+def functools_reduce_and(conds: list[Column]) -> Column:
+    """AND-fold a non-empty condition list (a tiny helper so pair_bleu
+    reads flat)."""
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out

@@ -1113,14 +1113,14 @@ def pinned_normal_two_sided_p(z: Column) -> Column:
     The caller passes the ROUNDED z (6 dp, the display convention) so
     any sub-6dp engine wobble in z's own derivation cannot leak into
     p."""
-    from ydb_vector_search_demo_spark.operators.curation import pinned_exp
+    from ydb_vector_search_demo_spark.operators.curation import (
+        pinned_exp_reduced,
+    )
 
     a1, a2, a3, a4, a5 = (F.lit(c) for c in _AS_ERFC_A)
     x = F.abs(z) / F.lit(_INV_SQRT2_DEN)
     t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_ERFC_P) * x)
-    e = pinned_exp((-(x * x)) / F.lit(64.0))
-    for _ in range(6):
-        e = e * e
+    e = pinned_exp_reduced(-(x * x), squarings=6)
     poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
     return poly * e
 

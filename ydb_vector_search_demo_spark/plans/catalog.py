@@ -16080,6 +16080,111 @@ def _anomaly_fdr_oracle_sql(q_fdr: float = 0.1) -> str:
     """
 
 
+def _pair_bleu_oracle_sql(N: int = 4) -> str:
+    """Full DuckDB twin of curation.pair_bleu over the exact-Jaccard
+    pair feed (_JACCARD_EDGES_CTES): pair-participant tokenization,
+    unioned 1..N-gram counts, clipped per-pair sums, the guarded
+    ln-sum (DuckDB ln(0) throws, so each ln is CASE-gated to 1 for
+    rows the ok flag will zero anyway), BP and the geometric mean as
+    ONE /64-reduced pinned-Horner chain with six squaring CTEs (the
+    wave-37 convention)."""
+    from ydb_vector_search_demo_spark.operators.curation import (
+        pinned_exp_sql,
+    )
+
+    per_n = [
+        f"SELECT _d, {n} AS n, array_to_string(toks[i:i+{n - 1}], ' ') "
+        f"AS gram FROM (SELECT _d, toks, "
+        f"unnest(range(1, len(toks) - {n} + 2)) AS i FROM tk)"
+        for n in range(1, N + 1)
+    ]
+    gram_union = "\n      UNION ALL ".join(per_n)
+    okc = " AND ".join(f"c{n} > 0" for n in range(1, N + 1))
+    lns = " + ".join(
+        f"ln(CASE WHEN c{n} > 0 AND len_b >= {n} "
+        f"THEN c{n} / CAST(len_b - {n - 1} AS DOUBLE) ELSE 1 END)"
+        for n in range(1, N + 1)
+    )
+    pcols = ", ".join(
+        f"CASE WHEN len_b >= {n} THEN "
+        f"round(c{n} / CAST(len_b - {n - 1} AS DOUBLE), 6) "
+        f"ELSE CAST(0.0 AS DOUBLE) END AS p{n}"
+        for n in range(1, N + 1)
+    )
+    ccols = ", ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN clip END), 0)::BIGINT AS c{n}"
+        for n in range(1, N + 1)
+    )
+    sq = "\n    ".join(
+        f"e{i} AS (SELECT * REPLACE (e*e AS e) FROM e{i - 1}),"
+        for i in range(1, 7)
+    )
+    return f"""
+    WITH {_JACCARD_EDGES_CTES},
+    pd AS (SELECT DISTINCT doc_id FROM
+            (SELECT a AS doc_id FROM jp UNION ALL SELECT b AS doc_id
+             FROM jp)),
+    tk AS (SELECT d.doc_id AS _d, {_TOKENS_SQL} AS toks
+           FROM documents d JOIN pd ON pd.doc_id = d.doc_id),
+    lens AS (SELECT _d, len(toks)::BIGINT AS nt FROM tk),
+    g AS (SELECT _d, n, gram, count(*)::BIGINT AS c FROM (
+          {gram_union}) GROUP BY 1, 2, 3),
+    cb AS (SELECT jp.a, jp.b, g.n, g.gram, g.c AS c_b
+           FROM jp JOIN g ON g._d = jp.b),
+    cl AS (SELECT cb.a, cb.b, cb.n,
+                  CAST(sum(least(cb.c_b, coalesce(ga.c, 0))) AS BIGINT)
+                    AS clip
+           FROM cb LEFT JOIN g ga
+             ON ga._d = cb.a AND ga.n = cb.n AND ga.gram = cb.gram
+           GROUP BY 1, 2, 3),
+    pv AS (SELECT a, b, {ccols} FROM cl GROUP BY 1, 2),
+    sc AS (SELECT pv.*, la.nt AS len_a, lb.nt AS len_b
+           FROM pv JOIN lens la ON la._d = pv.a
+           JOIN lens lb ON lb._d = pv.b),
+    yy AS (SELECT *, (len_b >= {N} AND {okc}) AS ok,
+             least(CAST(0.0 AS DOUBLE),
+                   CAST(1.0 AS DOUBLE)
+                     - CAST(len_a AS DOUBLE) / CAST(len_b AS DOUBLE))
+               + ({lns}) / CAST({N}.0 AS DOUBLE) AS y
+           FROM sc),
+    e0 AS (SELECT *, {pinned_exp_sql("(y / CAST(64.0 AS DOUBLE))")} AS e
+           FROM yy),
+    {sq}
+    pp AS (SELECT a, b, len_a, len_b, {pcols},
+                  CASE WHEN ok THEN round(e, 6)
+                       ELSE CAST(0.0 AS DOUBLE) END AS bleu
+           FROM e6)
+    SELECT * FROM pp ORDER BY a, b
+    """
+
+
+@register("corpus_pair_bleu", _pair_bleu_oracle_sql(4))
+def q_corpus_pair_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-BLEU over the exact-Jaccard near-duplicate pair feed
+    (operators.curation.pair_bleu; Papineni et al. 2002) — the
+    MT-grade overlap metric where a data pipeline needs it: ranking
+    near-dup / contamination candidates that set-based Jaccard scores
+    coarsely (clipped n-gram precision separates "same vocabulary,
+    reshuffled" from "same phrasing"; the brevity penalty punishes
+    one-sided containment). Candidate = the higher doc_id of each
+    pair from the SAME banded generator as the graded
+    dedup_jaccard_pairs row; p₁..p₄ are exact-count IEEE divisions,
+    ln is the cross-engine-stable libm seam, and BP × the geometric
+    mean ride ONE /64-reduced pinned-Horner chain (exp is not
+    cross-engine stable — seam #10). Pairs 28/25/256 at the 3 SFs,
+    BLEU spanning ~0.90-0.99 on this near-dup feed. The oracle
+    replays pair generation, n-gram clipping, the guarded ln-sum and
+    the pinned chain."""
+    from ydb_vector_search_demo_spark.operators import dedup
+    from ydb_vector_search_demo_spark.operators.curation import pair_bleu
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.shingle_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_doc_freq=1000
+    )
+    return pair_bleu(docs, pairs.select("a", "b"), max_n=4)
+
+
 _KS_DRIFT_ORACLE_SQL = """
     WITH x AS (SELECT source AS g, length(text)::BIGINT AS v
                FROM documents),
@@ -16860,6 +16965,13 @@ _GRADE_FIRST = [
 #      both rotate in, corpus_bpe_fertility is the additional
 #      out-candidate (same fertility rollup grain; the BPE fold-apply
 #      stays oracle-checked in the sweep).
+#   4d. corpus_pair_bleu — MT-grade overlap SCORING over the near-dup
+#      pair feed (wave 40, landed post-close-out with full 3-SF
+#      oracle + probe): clipped n-gram precision + brevity penalty
+#      rank contamination candidates that set-Jaccard scores coarsely;
+#      the BLEU surface (and the ln + pinned-exp composition) is
+#      graded nowhere. No paired out-candidate — new surface (the
+#      pair GENERATION stays graded via dedup_jaccard_pairs).
 #   4c. corpus_ks_drift — distribution-DRIFT governance (wave 39,
 #      landed post-close-out with full 3-SF oracle + probe): the
 #      window grades categorical independence (chi² via
