@@ -2768,3 +2768,55 @@ def test_pair_bleu_matches_reference(spark):
     g13 = got[(1, 3)]
     geo = pinned_exp_red(sum(math.log(p) for p in g13[2:6]) / 4.0)
     assert g13[6] < round(geo, 6)
+
+
+def test_r14_review_guard_fixes(spark):
+    """The r14 self-review findings, pinned: (1) wordpiece guard
+    measures the BARE matchable key — single-char continuation
+    symbols ('##x', bare length 1) must not trip max_piece_len=2,
+    so a 1-step train (merge bare length 2) runs clean where the old
+    full-symbol-length check raised on every corpus; (2) KS rejects
+    non-integral value columns; (3) KS excludes NULL values/groups
+    from totals AND CDFs consistently (identical non-null
+    distributions read D=0 despite planted NULLs); (4) a single-group
+    input emits no row instead of dividing by zero."""
+    import pytest as _pytest
+
+    from ydb_vector_search_demo_spark.operators.curation import (
+        wordpiece_apply_fertility,
+    )
+    from ydb_vector_search_demo_spark.operators.stats import (
+        ks_drift_by_group,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", "low low lower"), (2, "de", "low slow glow")],
+        "doc_id BIGINT, lang STRING, text STRING",
+    )
+    # (1) bare-key guard: steps=1 merges 'lo'-style pairs (bare len 2)
+    out = wordpiece_apply_fertility(docs, steps=1, max_piece_len=2).collect()
+    assert len(out) == 2 and all(r["n_unk"] == 0 for r in out)
+
+    # (2) non-integral value column raises loudly
+    dbl = spark.createDataFrame(
+        [("A", 0.31), ("B", 0.72)], "grp STRING, score DOUBLE"
+    )
+    with _pytest.raises(TypeError, match="exact integer value column"):
+        ks_drift_by_group(dbl, "score", "grp")
+
+    # (3) NULLs excluded consistently: A and B share the same non-null
+    # distribution; A additionally holds NULL values and there is a
+    # NULL group — both excluded, so neither A nor B shows drift
+    rows = (
+        [("A", v) for v in [1, 2, 3, 4]] + [("A", None)] * 4
+        + [("B", v) for v in [1, 2, 3, 4]] + [(None, 9)] * 3
+    )
+    df = spark.createDataFrame(rows, "grp STRING, val BIGINT")
+    got = {r["grp"]: r for r in ks_drift_by_group(df, "val", "grp").collect()}
+    assert set(got) == {"A", "B"}
+    assert got["A"]["d_num"] == 0 and got["B"]["d_num"] == 0
+    assert got["A"]["n1"] == 4 and got["A"]["n2"] == 4
+
+    # (4) single group: no rest to test against -> empty, no ANSI /0
+    one = spark.createDataFrame([("A", 1), ("A", 2)], "grp STRING, val BIGINT")
+    assert ks_drift_by_group(one, "val", "grp").collect() == []

@@ -2599,28 +2599,37 @@ def wordpiece_apply_fertility(
     )
     # the guard rides the map KEY: a too-long token raises instead of
     # silently never matching (raise_error's null type coerces under
-    # the when branch)
-    checked = F.when(F.length("s") <= F.lit(L), F.col("s")).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "wordpiece_apply_fertility: vocab token longer than "
-                    f"max_piece_len={L}: "
-                ),
-                F.col("s"),
+    # the when branch). It measures the BARE matchable key — the
+    # MaxMatch probe compares window text against the '##'-stripped
+    # continuation key, so a '##'-prefixed symbol of bare length ≤ L
+    # is perfectly matchable and must not raise (r14 review finding).
+    def checked(key: Column) -> Column:
+        return F.when(F.length(key) <= F.lit(L), key).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "wordpiece_apply_fertility: vocab token longer "
+                        f"than max_piece_len={L}: "
+                    ),
+                    key,
+                )
             )
         )
-    )
+
     hm = alpha.filter(~F.col("s").startswith("##")).agg(
         F.map_from_entries(
-            F.collect_list(F.struct(checked.alias("k"), F.lit(1).alias("v")))
+            F.collect_list(
+                F.struct(checked(F.col("s")).alias("k"), F.lit(1).alias("v"))
+            )
         ).alias("_hm")
     )
     cm = alpha.filter(F.col("s").startswith("##")).agg(
         F.map_from_entries(
             F.collect_list(
                 F.struct(
-                    F.regexp_replace(checked, r"^##", "").alias("k"),
+                    checked(F.regexp_replace(F.col("s"), r"^##", "")).alias(
+                        "k"
+                    ),
                     F.lit(1).alias("v"),
                 )
             )
@@ -3605,9 +3614,9 @@ def pair_bleu(
         / (F.col("_lb") - F.lit(n - 1)).cast("double")
         for n in range(1, N + 1)
     ]
-    ok = (F.col("_lb") >= F.lit(N)) & functools_reduce_and(
-        [F.col(f"_c{n}") > F.lit(0) for n in range(1, N + 1)]
-    )
+    ok = F.col("_lb") >= F.lit(N)
+    for n in range(1, N + 1):
+        ok = ok & (F.col(f"_c{n}") > F.lit(0))
     lnsum = None
     for p in ps:
         lnsum = F.log(p) if lnsum is None else lnsum + F.log(p)
@@ -3663,12 +3672,3 @@ def pair_bleu(
         ],
         bleu.alias("bleu"),
     ).orderBy("a", "b")
-
-
-def functools_reduce_and(conds: list[Column]) -> Column:
-    """AND-fold a non-empty condition list (a tiny helper so pair_bleu
-    reads flat)."""
-    out = conds[0]
-    for c in conds[1:]:
-        out = out & c
-    return out

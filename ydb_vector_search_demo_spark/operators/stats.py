@@ -1256,10 +1256,39 @@ def ks_drift_by_group(
     window per group computes both cumulative counts; the gap
     relation is checkpointed before its two consumers (the max branch
     and the argmax join-back). Returns one row per group:
-    (group, n1, n2, at_value, d_num, d, crit, drift), group-ordered."""
+    (group, n1, n2, at_value, d_num, d, crit, drift), group-ordered.
+
+    Input contract (r14 review findings, all enforced/handled):
+    ``value_col`` must be an exact integer column — the supremum's
+    exactness depends on it, so a double (a raw [0,1) quality score
+    would silently floor to one grid cell and hide all drift) raises
+    TypeError; quantize scores first (the moment_stats scale
+    convention). NULL values and NULL group keys are excluded up
+    front — they can enter no CDF, and counting them into the totals
+    while dropping them from the cumulative sums would inflate D. A
+    group covering the whole input (n2 = 0) has no rest to test
+    against and emits no row (the division would also trip Spark 4's
+    ANSI double÷0)."""
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    matches = [f for f in df.schema.fields if f.name == value_col]
+    if not matches:
+        raise TypeError(
+            f"ks_drift_by_group: column {value_col!r} not found in the "
+            f"schema (exact match required; have "
+            f"{[f.name for f in df.schema.fields]})"
+        )
+    if matches[0].dataType.simpleString() not in integral:
+        raise TypeError(
+            f"ks_drift_by_group requires an exact integer value column; "
+            f"{value_col!r} is {matches[0].dataType.simpleString()} — "
+            f"quantize to a grid (round(v*scale)) first"
+        )
     g, v = "_g", "_v"
     gv = (
-        df.select(
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .select(
             F.col(group_col).alias(g), F.col(value_col).cast("bigint").alias(v)
         )
         .groupBy(g, v)
@@ -1315,6 +1344,7 @@ def ks_drift_by_group(
     crit = F.lit(float(alpha_c)) * F.sqrt(F.col("_nt").cast("double") / den)
     return (
         d.join(atv, g)
+        .filter(F.col("_n1") < F.col("_nt"))
         .select(
             F.col(g).alias(group_col),
             F.col("_n1").alias("n1"),

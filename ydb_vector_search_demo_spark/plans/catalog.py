@@ -16187,7 +16187,8 @@ def q_corpus_pair_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KS_DRIFT_ORACLE_SQL = """
     WITH x AS (SELECT source AS g, length(text)::BIGINT AS v
-               FROM documents),
+               FROM documents
+               WHERE source IS NOT NULL AND text IS NOT NULL),
     gv AS (SELECT g, v, count(*)::BIGINT AS c FROM x GROUP BY 1, 2),
     vals AS (SELECT DISTINCT v FROM gv),
     grps AS (SELECT g, sum(c)::BIGINT AS n1 FROM gv GROUP BY 1),
@@ -16219,6 +16220,7 @@ _KS_DRIFT_ORACLE_SQL = """
                 * sqrt(CAST(nt AS DOUBLE)
                        / CAST(d.n1 * (nt - d.n1) AS DOUBLE))) AS drift
     FROM d JOIN atv ON atv.g = d.g CROSS JOIN tot
+    WHERE d.n1 < nt
     ORDER BY source
     """
 
