@@ -402,6 +402,9 @@ HEADLINE = [
     # the banded near-dup pair feed (clipped n-gram precision, pinned
     # /64-reduced exp chain split across checkpoint barriers)
     "corpus_pair_bleu",
+    # r14 wave 41 (outside the comparable subsets): lang x source
+    # mutual information / NMI (cell grain + three ordered ln folds)
+    "corpus_lang_source_mi",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

@@ -2820,3 +2820,45 @@ def test_r14_review_guard_fixes(spark):
     # (4) single group: no rest to test against -> empty, no ANSI /0
     one = spark.createDataFrame([("A", 1), ("A", 2)], "grp STRING, val BIGINT")
     assert ks_drift_by_group(one, "val", "grp").collect() == []
+
+
+def test_mi_dependence_laws(spark):
+    """stats.mi_dependence on hand contingency tables against the
+    definition: a perfectly dependent 2x2 diagonal gives MI = ln 2
+    and NMI = 1.0 exactly (H_a = H_b = ln 2); an independent uniform
+    2x2 gives MI = 0.0 exactly (every cell ratio is 1, ln 1 = 0 with
+    no float residue); a degenerate single-category column yields
+    NULL NMI (no information to normalize by) instead of dividing by
+    zero; NULL keys are excluded from every count."""
+    import math
+
+    from ydb_vector_search_demo_spark.operators.stats import mi_dependence
+
+    dep = spark.createDataFrame(
+        [("x", "p")] * 5 + [("y", "q")] * 5, "a STRING, b STRING"
+    )
+    r = mi_dependence(dep, "a", "b").collect()[0]
+    assert r["n"] == 10
+    assert r["mi_nats"] == round(math.log(2), 6)
+    assert r["h_a_nats"] == r["h_b_nats"] == round(math.log(2), 6)
+    assert r["nmi"] == 1.0
+
+    ind = spark.createDataFrame(
+        [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")] * 3,
+        "a STRING, b STRING",
+    )
+    r = mi_dependence(ind, "a", "b").collect()[0]
+    assert r["mi_nats"] == 0.0 and r["nmi"] == 0.0
+
+    deg = spark.createDataFrame(
+        [("x", "p"), ("x", "q"), ("x", "p")], "a STRING, b STRING"
+    )
+    r = mi_dependence(deg, "a", "b").collect()[0]
+    assert r["h_a_nats"] == 0.0 and r["nmi"] is None and r["mi_nats"] == 0.0
+
+    nul = spark.createDataFrame(
+        [("x", "p"), ("x", None), (None, "q"), ("y", "q")],
+        "a STRING, b STRING",
+    )
+    r = mi_dependence(nul, "a", "b").collect()[0]
+    assert r["n"] == 2  # only fully-keyed rows count

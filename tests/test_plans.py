@@ -680,3 +680,16 @@ def test_pair_bleu_fully_checkpointed_jvm_side(spark):
     for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython",
                  "ArrowEvalPython"):
         assert node not in final, f"{node} in plan:\n" + final[:2000]
+
+
+def test_mi_dependence_zero_scan_assembly(spark):
+    """corpus_lang_source_mi: the cell grain is checkpointed before
+    its three consumers (marginals + joined terms), so the final plan
+    reads zero parquet; the three ordered folds and the one-row
+    assembly are pure JVM work (no Python nodes)."""
+    plan = plan_of(spark, "corpus_lang_source_mi")
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 0, final[:2000]
+    for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython",
+                 "ArrowEvalPython"):
+        assert node not in final, f"{node} in plan:\n" + final[:2000]

@@ -1357,3 +1357,91 @@ def ks_drift_by_group(
         )
         .orderBy(group_col)
     )
+
+
+def mi_dependence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """MUTUAL INFORMATION between two categorical columns — the
+    EFFECT-SIZE companion of :func:`chi2_independence` (chi² answers
+    "is the dependence statistically real?"; MI answers "how MUCH
+    does one column determine the other", in nats) and the third leg
+    of the dependence family next to the KL-drift readouts. Returns
+    ONE row: (n, mi_nats, h_a_nats, h_b_nats, nmi) with
+    MI = Σ_cells (n_xy/n)·ln(n·n_xy/(n_x·n_y)), the marginal Shannon
+    entropies, and NMI = MI/√(H_a·H_b) (NULL when either marginal is
+    degenerate — a single-category column carries no information and
+    the ratio would divide by zero, the ANSI seam).
+
+    Exactness: every count is an exact bigint; each cell term is
+    (one IEEE division)·ln(one IEEE division of exact ints) — ln of
+    exact-int ratios is the cross-engine-STABLE libm seam (unlike
+    exp); the three signed/positive term sums accumulate through
+    ORDERED cumulative windows over their grains (cells by (a, b),
+    marginals by key) with the last row read via max_by(cum, rn) —
+    double addition is not associative, and MI cell terms are
+    SIGNED, so a plain max over the running sum would be wrong (the
+    zipf monotone-cum shortcut does not apply). Unobserved cells
+    contribute exactly 0 and are simply absent (no grid rebuild —
+    unlike chi², where the zero cells carry half the statistic).
+    Overflow: n·n_xy ≤ n², so n < 3·10⁹ rows; past that the ratio
+    arguments move to DECIMAL(38,0).
+
+    Scale shape: one input scan collapses to the (a, b) cell grain
+    (map-combinable, output bounded by |A|·|B|; localCheckpointed
+    before its three consumers); marginals derive from the cells —
+    never a second scan; the three cumulative windows run over
+    category-bounded relations; the final row is a broadcast
+    assembly. NULL keys in either column are excluded up front (the
+    ks_drift convention)."""
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    ra = cells.groupBy("_a").agg(F.sum("_c").cast("bigint").alias("_na"))
+    rb = cells.groupBy("_b").agg(F.sum("_c").cast("bigint").alias("_nb"))
+    tot = cells.agg(F.sum("_c").cast("bigint").alias("_n"))
+
+    def last_of_cum(rel: DataFrame, term: Column, order_cols: list[str],
+                    out: str) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        cum = rel.select(
+            F.row_number().over(w).alias("_rn"),
+            F.sum(term).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("_cum"),
+        )
+        return cum.agg(F.max_by("_cum", "_rn").alias(out))
+
+    jc = (
+        cells.join(F.broadcast(ra), "_a")
+        .join(F.broadcast(rb), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("_c").cast("double") / F.col("_n").cast("double")
+    ratio = (F.col("_n") * F.col("_c")).cast("double") / (
+        F.col("_na") * F.col("_nb")
+    ).cast("double")
+    mi = last_of_cum(jc, p * F.log(ratio), ["_a", "_b"], "_mi")
+    ja = ra.crossJoin(F.broadcast(tot))
+    pa = F.col("_na").cast("double") / F.col("_n").cast("double")
+    ha = last_of_cum(ja, -(pa * F.log(pa)), ["_a"], "_ha")
+    jb = rb.crossJoin(F.broadcast(tot))
+    pb = F.col("_nb").cast("double") / F.col("_n").cast("double")
+    hb = last_of_cum(jb, -(pb * F.log(pb)), ["_b"], "_hb")
+    nmi = F.when(
+        (F.col("_ha") > F.lit(0.0)) & (F.col("_hb") > F.lit(0.0)),
+        F.col("_mi") / F.sqrt(F.col("_ha") * F.col("_hb")),
+    )
+    return (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            F.col("_n").alias("n"),
+            F.round("_mi", 6).alias("mi_nats"),
+            F.round("_ha", 6).alias("h_a_nats"),
+            F.round("_hb", 6).alias("h_b_nats"),
+            F.round(nmi, 6).alias("nmi"),
+        )
+    )

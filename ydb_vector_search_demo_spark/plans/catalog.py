@@ -16080,6 +16080,63 @@ def _anomaly_fdr_oracle_sql(q_fdr: float = 0.1) -> str:
     """
 
 
+_MI_ORACLE_SQL = """
+    WITH cells AS (SELECT lang AS a, source AS b, count(*)::BIGINT AS c
+                   FROM documents
+                   WHERE lang IS NOT NULL AND source IS NOT NULL
+                   GROUP BY 1, 2),
+    ra AS (SELECT a, sum(c)::BIGINT AS na FROM cells GROUP BY 1),
+    rb AS (SELECT b, sum(c)::BIGINT AS nb FROM cells GROUP BY 1),
+    tot AS (SELECT sum(c)::BIGINT AS n FROM cells),
+    mi AS (SELECT max_by(cum, rn) AS mi FROM (
+        SELECT row_number() OVER (ORDER BY a, b) AS rn,
+               sum((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(n * c AS DOUBLE) / CAST(na * nb AS DOUBLE)))
+                 OVER (ORDER BY a, b ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum
+        FROM cells JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot)),
+    ha AS (SELECT max_by(cum, rn) AS ha FROM (
+        SELECT row_number() OVER (ORDER BY a) AS rn,
+               sum(-((CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ln(CAST(na AS DOUBLE) / CAST(n AS DOUBLE))))
+                 OVER (ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum
+        FROM ra CROSS JOIN tot)),
+    hb AS (SELECT max_by(cum, rn) AS hb FROM (
+        SELECT row_number() OVER (ORDER BY b) AS rn,
+               sum(-((CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ln(CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))))
+                 OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum
+        FROM rb CROSS JOIN tot))
+    SELECT n, round(mi, 6) AS mi_nats, round(ha, 6) AS h_a_nats,
+           round(hb, 6) AS h_b_nats,
+           round(CASE WHEN ha > CAST(0.0 AS DOUBLE)
+                       AND hb > CAST(0.0 AS DOUBLE)
+                      THEN mi / sqrt(ha * hb) END, 6) AS nmi
+    FROM tot CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb
+    """
+
+
+@register("corpus_lang_source_mi", _MI_ORACLE_SQL)
+def q_corpus_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between language and source
+    (operators.stats.mi_dependence) — the dependence family's
+    EFFECT-SIZE leg: the graded chi² row asks whether the lang×source
+    dependence is statistically real; this row measures HOW MUCH one
+    determines the other (MI in nats, marginal entropies, NMI ∈
+    [0,1]) — the mixture-design readout ("is my source mix
+    language-balanced?"). Every cell term is an IEEE division times
+    ln of an exact-int ratio (the STABLE libm seam); the three
+    signed/positive sums fold through ordered cumulative windows read
+    at the last row via max_by (signed MI terms make the zipf
+    monotone-max shortcut wrong). The oracle replays cells,
+    marginals, all three ordered folds and the NMI guard."""
+    from ydb_vector_search_demo_spark.operators import stats as S
+
+    return S.mi_dependence(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
 def _pair_bleu_oracle_sql(N: int = 4) -> str:
     """Full DuckDB twin of curation.pair_bleu over the exact-Jaccard
     pair feed (_JACCARD_EDGES_CTES): pair-participant tokenization,
@@ -16967,6 +17024,12 @@ _GRADE_FIRST = [
 #      both rotate in, corpus_bpe_fertility is the additional
 #      out-candidate (same fertility rollup grain; the BPE fold-apply
 #      stays oracle-checked in the sweep).
+#   4e. corpus_lang_source_mi — dependence EFFECT SIZE (wave 41,
+#      landed post-close-out with full 3-SF oracle + probe): the
+#      window grades the chi² significance row; MI/entropy/NMI — the
+#      "how much does source determine language" mixture-design
+#      readout, and the signed-term max_by ordered-fold convention —
+#      are graded nowhere. No paired out-candidate — new surface.
 #   4d. corpus_pair_bleu — MT-grade overlap SCORING over the near-dup
 #      pair feed (wave 40, landed post-close-out with full 3-SF
 #      oracle + probe): clipped n-gram precision + brevity penalty
