@@ -405,6 +405,10 @@ HEADLINE = [
     # r14 wave 41 (outside the comparable subsets): lang x source
     # mutual information / NMI (cell grain + three ordered ln folds)
     "corpus_lang_source_mi",
+    # r14 wave 42 (outside the comparable subsets): average precision
+    # for the detector pair (tie-robust PR integration on the score
+    # grain, prevalence baseline reported)
+    "corpus_detector_ap",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

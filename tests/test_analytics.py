@@ -2862,3 +2862,42 @@ def test_mi_dependence_laws(spark):
     )
     r = mi_dependence(nul, "a", "b").collect()[0]
     assert r["n"] == 2  # only fully-keyed rows count
+
+
+def test_average_precision_laws(spark):
+    """stats.average_precision against the step-function definition
+    by hand: a perfect separator scores AP = 1.0 exactly; a
+    single-block constant score collapses AP to the prevalence
+    exactly (the no-skill identity); a group with no positives reads
+    NULL; and a hand table with ties matches the block-exact
+    reference (each distinct score enters atomically — the per-row
+    P@k sum would depend on tie order)."""
+    from ydb_vector_search_demo_spark.operators.stats import (
+        average_precision,
+    )
+
+    rows = (
+        # perfect: positives at scores 9,8 above negatives 2,1
+        [("perfect", 9, True), ("perfect", 8, True),
+         ("perfect", 2, False), ("perfect", 1, False)]
+        # constant: one block, 3 pos / 7 neg -> AP = prevalence = 0.3
+        + [("const", 5, True)] * 3 + [("const", 5, False)] * 7
+        # nopos: no positives at all
+        + [("nopos", 3, False), ("nopos", 1, False)]
+        # ties: blocks desc: s=3 (1P,1N), s=2 (2P), s=1 (3N)
+        + [("ties", 3, True), ("ties", 3, False), ("ties", 2, True),
+           ("ties", 2, True), ("ties", 1, False), ("ties", 1, False),
+           ("ties", 1, False)]
+    )
+    df = spark.createDataFrame(rows, "det STRING, score BIGINT, is_pos BOOLEAN")
+    got = {
+        r["det"]: r
+        for r in average_precision(df, "score", "is_pos", "det").collect()
+    }
+    assert got["perfect"]["ap"] == 1.0
+    assert got["const"]["ap"] == got["const"]["prevalence"] == 0.3
+    assert got["nopos"]["ap"] is None and got["nopos"]["n_pos"] == 0
+    # ties reference: blocks (p,ctp,cn) = (1,1,2), (2,3,4); P=3
+    want = round((1 / 3) * (1 / 2) + (2 / 3) * (3 / 4), 6)
+    assert got["ties"]["ap"] == want
+    assert got["ties"]["n_scores"] == 3

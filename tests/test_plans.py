@@ -693,3 +693,16 @@ def test_mi_dependence_zero_scan_assembly(spark):
     for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython",
                  "ArrowEvalPython"):
         assert node not in final, f"{node} in plan:\n" + final[:2000]
+
+
+def test_detector_ap_score_grain_no_global_sort(spark):
+    """corpus_detector_ap: the corpus collapses onto the checkpointed
+    per-detector score grain (one scan inside the checkpoint job, so
+    the final plan reads zero parquet); the windows run over the
+    grain relation only; no Python nodes."""
+    plan = plan_of(spark, "corpus_detector_ap")
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 0, final[:2000]
+    for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython",
+                 "ArrowEvalPython"):
+        assert node not in final, f"{node} in plan:\n" + final[:2000]

@@ -1445,3 +1445,115 @@ def mi_dependence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             F.round(nmi, 6).alias("nmi"),
         )
     )
+
+
+def average_precision(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "is_pos",
+    group_col: str | None = None,
+) -> DataFrame:
+    """AVERAGE PRECISION (area under the precision-recall curve by
+    step-function integration, the sklearn definition) — the
+    PR-side companion of :func:`roc_auc`: under heavy class
+    imbalance, ROC-AUC stays rosy while AP collapses toward the
+    prevalence baseline, which is exactly the regime a curation
+    filter lives in (few positives, many negatives). Tie-robust by
+    construction: thresholds are the DISTINCT scores descending, each
+    score block enters atomically —
+    AP = Σ_blocks (p_s/P) · (cumTP_s / cumN_s) with cumTP/cumN taken
+    at the block END; no within-tie ordering ambiguity exists (the
+    naive per-row Σ P@k·rel_k silently depends on how ties shuffle).
+    The no-skill baseline is the prevalence P/(P+Q), reported
+    alongside so a "great" AP on a 99%-positive slice reads honestly.
+
+    Exactness: block counts are exact bigints from ONE map-combinable
+    groupBy onto the score grain (the roc_auc shape — the corpus
+    never sorts globally); each block term is two IEEE divisions and
+    a product; the block sum folds through an ordered cumulative
+    window (score DESCENDING) read at the last row via max_by — the
+    signed-fold convention, though AP terms are positive.
+
+    Returns per group: (n_pos, n_neg, n_scores, prevalence, ap)."""
+    keys = ([group_col] if group_col else []) + [score_col]
+    grain = (
+        scored.groupBy(*keys)
+        .agg(
+            F.sum(F.when(F.col(label_col), 1).otherwise(0))
+            .cast("bigint")
+            .alias("_p"),
+            F.sum(F.when(F.col(label_col), 0).otherwise(1))
+            .cast("bigint")
+            .alias("_q"),
+        )
+        # the totals join back onto the cumulative relation derived
+        # from the same grain — checkpoint breaks the self-join
+        # lineage (AMBIGUOUS_REFERENCE otherwise) and caps the input
+        # scan at one (the mi_dependence convention)
+        .localCheckpoint(eager=True)
+    )
+    part = (
+        Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    )
+    w_cum = part.orderBy(F.desc(score_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grain.select(
+        *([group_col] if group_col else []),
+        "_p",
+        "_q",
+        F.sum("_p").over(w_cum).cast("bigint").alias("_ctp"),
+        F.sum(F.col("_p") + F.col("_q")).over(w_cum).cast("bigint").alias(
+            "_cn"
+        ),
+        F.row_number().over(part.orderBy(F.desc(score_col))).alias("_rn"),
+    )
+    tot = grain.groupBy(*([group_col] if group_col else [])).agg(
+        F.sum("_p").cast("bigint").alias("_ptot"),
+        F.sum("_q").cast("bigint").alias("_qtot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_scores"),
+    )
+    j = (
+        cum.join(F.broadcast(tot), group_col)
+        if group_col
+        else cum.crossJoin(F.broadcast(tot))
+    )
+    # _ptot = 0 (a group with no positives) would make the term 0/0 —
+    # ANSI throws (seam #11); the whole AP is NULL for such a group,
+    # so the fold is CASE-gated per row. (Totals are named _ptot/_qtot,
+    # not _P/_Q: Spark's default resolver is case-INsensitive, so _P
+    # would collide with the grain's _p — measured AMBIGUOUS_REFERENCE.)
+    term = F.when(
+        F.col("_ptot") > F.lit(0),
+        (F.col("_p").cast("double") / F.col("_ptot").cast("double"))
+        * (F.col("_ctp").cast("double") / F.col("_cn").cast("double")),
+    ).otherwise(F.lit(0.0))
+    w_ap = part.orderBy("_rn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    folded = j.select(
+        *([group_col] if group_col else []),
+        "_ptot",
+        "_qtot",
+        "n_scores",
+        "_rn",
+        F.sum(term).over(w_ap).alias("_cum_ap"),
+    )
+    gb = (
+        folded.groupBy(group_col, "_ptot", "_qtot", "n_scores")
+        if group_col
+        else folded.groupBy("_ptot", "_qtot", "n_scores")
+    )
+    prev = F.col("_ptot").cast("double") / (
+        F.col("_ptot") + F.col("_qtot")
+    ).cast("double")
+    return gb.agg(F.max_by("_cum_ap", "_rn").alias("_ap")).select(
+        *([group_col] if group_col else []),
+        F.col("_ptot").alias("n_pos"),
+        F.col("_qtot").alias("n_neg"),
+        "n_scores",
+        F.round(prev, 6).alias("prevalence"),
+        F.round(
+            F.when(F.col("_ptot") > F.lit(0), F.col("_ap")), 6
+        ).alias("ap"),
+    )

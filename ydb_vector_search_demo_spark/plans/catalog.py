@@ -16080,6 +16080,98 @@ def _anomaly_fdr_oracle_sql(q_fdr: float = 0.1) -> str:
     """
 
 
+_DETECTOR_AP_ORACLE_SQL = rf"""
+    WITH tk AS (SELECT lang, text, {{toks}} AS t FROM documents),
+    det AS (
+      SELECT 'len_for_heavy_fast' AS detector,
+             len(t)::BIGINT AS score,
+             len(list_filter(t, x -> lower(x) = 'fast')) >= 3 AS is_pos
+      FROM tk
+      UNION ALL
+      SELECT 'ascii_for_en',
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT,
+             lang = 'en'
+      FROM tk),
+    grain AS (
+      SELECT detector, score,
+             CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS q
+      FROM det GROUP BY 1, 2),
+    cum AS (
+      SELECT detector, p, q,
+             (sum(p) OVER (PARTITION BY detector ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               AS ctp,
+             (sum(p + q) OVER (PARTITION BY detector ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               AS cn,
+             row_number() OVER (PARTITION BY detector ORDER BY score DESC)
+               AS rn
+      FROM grain),
+    tot AS (SELECT detector, sum(p)::BIGINT AS P, sum(q)::BIGINT AS Q,
+                   count(*)::BIGINT AS n_scores
+            FROM cum GROUP BY 1),
+    fold AS (
+      SELECT c.detector, t.P, t.Q, t.n_scores, c.rn,
+             sum(CASE WHEN t.P > 0 THEN
+                   (CAST(c.p AS DOUBLE) / CAST(t.P AS DOUBLE))
+                   * (CAST(c.ctp AS DOUBLE) / CAST(c.cn AS DOUBLE))
+                 ELSE CAST(0.0 AS DOUBLE) END)
+               OVER (PARTITION BY c.detector ORDER BY c.rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_ap
+      FROM cum c JOIN tot t USING (detector))
+    SELECT detector, P AS n_pos, Q AS n_neg, n_scores,
+           round(CAST(P AS DOUBLE) / CAST(P + Q AS DOUBLE), 6)
+             AS prevalence,
+           round(CASE WHEN P > 0 THEN max_by(cum_ap, rn) END, 6) AS ap
+    FROM fold GROUP BY detector, P, Q, n_scores ORDER BY detector
+    """
+
+
+@register(
+    "corpus_detector_ap",
+    _DETECTOR_AP_ORACLE_SQL.format(toks=_TOKENS_SQL),
+)
+def q_corpus_detector_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGE PRECISION for the same two detector scores as the
+    graded corpus_detector_auc row (operators.stats.
+    average_precision) — the PR-side evaluation under imbalance,
+    where ROC-AUC stays rosy while AP collapses to the prevalence
+    baseline: the length-confound detector scores AP 0.52/0.48 vs
+    prevalence 0.28/0.25 at sf0.001/0.01 (real lift), while the
+    honest-null ascii detector reads AP ≈ its own prevalence
+    (0.375 vs 0.386) — the no-skill line is REPORTED so the reading
+    is self-contained. Tie-robust by construction (sklearn's
+    step-function integration: distinct-score blocks enter
+    atomically, so no within-tie ordering ambiguity); block counts
+    exact on the score grain (the roc_auc shape, corpus never
+    globally sorted); the fold reads its last row via max_by."""
+    from ydb_vector_search_demo_spark.operators import stats as S
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("lang", "text", T.tokens(F.col("text")).alias("t"))
+    det = base.select(
+        F.lit("len_for_heavy_fast").alias("detector"),
+        F.size("t").cast("bigint").alias("score"),
+        (
+            F.size(F.filter("t", lambda x: F.lower(x) == "fast"))
+            >= F.lit(3)
+        ).alias("is_pos"),
+    ).unionByName(
+        base.select(
+            F.lit("ascii_for_en").alias("detector"),
+            F.length(
+                F.regexp_replace(F.col("text"), "[^A-Za-z]", "")
+            ).cast("bigint").alias("score"),
+            (F.col("lang") == "en").alias("is_pos"),
+        )
+    )
+    return S.average_precision(
+        det, "score", "is_pos", group_col="detector"
+    ).orderBy("detector")
+
+
 _MI_ORACLE_SQL = """
     WITH cells AS (SELECT lang AS a, source AS b, count(*)::BIGINT AS c
                    FROM documents
@@ -17024,6 +17116,13 @@ _GRADE_FIRST = [
 #      both rotate in, corpus_bpe_fertility is the additional
 #      out-candidate (same fertility rollup grain; the BPE fold-apply
 #      stays oracle-checked in the sweep).
+#   4f. corpus_detector_ap — PR-side classifier evaluation (wave 42,
+#      landed post-close-out with full 3-SF oracle + probe): AP with
+#      the prevalence no-skill baseline on the same detector pair as
+#      corpus_detector_auc; under curation-filter imbalance ROC-AUC
+#      stays rosy while AP collapses — the surface is graded nowhere
+#      (corpus_detector_auc itself sits outside the window, eligible
+#      at #6-tier). No paired out-candidate — new surface.
 #   4e. corpus_lang_source_mi — dependence EFFECT SIZE (wave 41,
 #      landed post-close-out with full 3-SF oracle + probe): the
 #      window grades the chi² significance row; MI/entropy/NMI — the
