@@ -409,6 +409,10 @@ HEADLINE = [
     # for the detector pair (tie-robust PR integration on the score
     # grain, prevalence baseline reported)
     "corpus_detector_ap",
+    # r14 wave 43 (outside the comparable subsets): Holt-Winters
+    # additive smoothing over the dense hourly series (one aggregate
+    # fold; recursive-CTE oracle)
+    "events_holt_winters",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

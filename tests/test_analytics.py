@@ -2901,3 +2901,81 @@ def test_average_precision_laws(spark):
     want = round((1 / 3) * (1 / 2) + (2 / 3) * (3 / 4), 6)
     assert got["ties"]["ap"] == want
     assert got["ties"]["n_scores"] == 3
+
+
+def test_holt_winters_matches_reference(spark):
+    """timeseries.holt_winters_forecast against an independent
+    plain-Python replay on a planted 3-day hourly series (count =
+    4 + hod%3 + day — trend plus a period-3-in-24 profile): exact
+    tuple equality including the dense-spine zero-fill (two hours
+    are left empty on purpose). Fixed-point law: a CONSTANT series
+    is a fixed point of the recurrence (l stays c, b and every
+    seasonal stay 0), so every forecast equals the constant exactly.
+    Guard: fewer than two full seasons raises."""
+    import datetime
+
+    import pytest as _pytest
+
+    from ydb_vector_search_demo_spark.operators.timeseries import (
+        holt_winters_forecast,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    counts = {}
+    for day in range(3):
+        for hod in range(24):
+            ts = base + datetime.timedelta(days=day, hours=hod)
+            c = 4 + (hod % 3) + day
+            if (day, hod) in {(1, 5), (2, 17)}:  # planted gaps
+                c = 0
+            counts[ts] = c
+            for k in range(c):
+                rows.append((ts + datetime.timedelta(seconds=k),))
+    ev = spark.createDataFrame(rows, "ts TIMESTAMP")
+    got = [
+        (r["h"], r["hour_start"], r["forecast"])
+        for r in holt_winters_forecast(
+            ev, alpha=0.3, beta=0.1, gamma=0.2, season=24, horizon=24
+        ).collect()
+    ]
+
+    A, B, G, M = 0.3, 0.1, 0.2, 24
+    NA, NB, NG = 0.7, 0.9, 0.8
+    h0, h1 = min(counts), max(counts)
+    xs = []
+    t = h0
+    while t <= h1:
+        xs.append(float(counts.get(t, 0)))
+        t += datetime.timedelta(hours=1)
+    n = len(xs)
+    l = sum(int(v) for v in xs[:M]) / float(M)
+    b = (sum(int(v) for v in xs[M:2 * M]) - sum(int(v) for v in xs[:M])) / float(M * M)
+    seasons = [x - l for x in xs[:M]]
+    for t in range(M, n):
+        s_old = seasons[t % M]
+        l_new = A * (xs[t] - s_old) + NA * (l + b)
+        b_new = B * (l_new - l) + NB * b
+        seasons[t % M] = G * (xs[t] - l_new) + NG * s_old
+        l, b = l_new, b_new
+    want = [
+        (h, h1 + datetime.timedelta(hours=h),
+         round(l + float(h) * b + seasons[(n - 1 + h) % M], 6))
+        for h in range(1, 25)
+    ]
+    assert got == want
+
+    const = spark.createDataFrame(
+        [(base + datetime.timedelta(hours=i, seconds=k),)
+         for i in range(60) for k in range(7)],
+        "ts TIMESTAMP",
+    )
+    cg = holt_winters_forecast(const).collect()
+    assert all(r["forecast"] == 7.0 for r in cg)
+
+    short = spark.createDataFrame(
+        [(base + datetime.timedelta(hours=i),) for i in range(30)],
+        "ts TIMESTAMP",
+    )
+    with _pytest.raises(Exception, match="two full seasons"):
+        holt_winters_forecast(short).collect()

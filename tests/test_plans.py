@@ -706,3 +706,16 @@ def test_detector_ap_score_grain_no_global_sort(spark):
     for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython",
                  "ArrowEvalPython"):
         assert node not in final, f"{node} in plan:\n" + final[:2000]
+
+
+def test_holt_winters_grain_bounded_fold(spark):
+    """events_holt_winters: the corpus collapses inside the hourly
+    checkpoint job, the assembled-series prep is checkpointed, and
+    the recurrence is ONE JVM aggregate fold on that single row —
+    zero parquet scans and zero Python nodes in the final plan."""
+    plan = plan_of(spark, "events_holt_winters")
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 0, final[:2000]
+    for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython",
+                 "ArrowEvalPython"):
+        assert node not in final, f"{node} in plan:\n" + final[:2000]

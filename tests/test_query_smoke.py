@@ -213,7 +213,7 @@ def test_r15_eligibility_ranking_names_are_registered():
         "graph_kcore_peel", "corpus_pack_ffd",
         "events_hourly_anomaly_fdr", "corpus_wordpiece_fertility",
         "corpus_ks_drift", "corpus_pair_bleu", "corpus_lang_source_mi",
-        "corpus_detector_ap",
+        "corpus_detector_ap", "events_holt_winters",
         "part_skyline_brand", "dedup_minhash_accuracy",
         "corpus_span_corruption", "ann_power_iteration_fixed",
         "lineitem_kendall_tau", "events_mann_kendall",
@@ -226,6 +226,7 @@ def test_r15_eligibility_ranking_names_are_registered():
         assert n in block, f"{n} missing from the r15 ranking text"
     for n in ["corpus_bpe_merges", "graph_pagerank_label",
               "text_quality", "rag_envelope_json",
-              "events_hourly_anomaly", "corpus_bpe_fertility"]:
+              "events_hourly_anomaly", "corpus_bpe_fertility",
+              "events_seasonal_naive_mae"]:
         assert n in cat.QUERIES, n
         assert n in block, f"out-candidate {n} missing from r15 text"

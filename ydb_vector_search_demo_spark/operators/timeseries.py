@@ -980,3 +980,179 @@ def acf_exact(
             )
         ).alias("acf"),
     ).orderBy("lag")
+
+
+def holt_winters_forecast(
+    events: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    season: int = 24,
+    horizon: int = 24,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """HOLT-WINTERS additive triple exponential smoothing over the
+    dense hourly event-count series, with an h-step forecast — the
+    LEARNED forecaster next to the graded seasonal-naive baseline
+    (that row answers "what does no-skill look like"; this one fits
+    level + trend + a ``season``-slot seasonal profile and
+    extrapolates ``horizon`` hours). Standard init: l₀ = mean of the
+    first season, b₀ = (mean₂ − mean₁)/m, s_i = x_i − l₀; then per
+    step l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1}+b_{t−1}),
+    b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1},
+    s_t = γ(x_t − l_t) + (1−γ)s_{t−m}; forecast
+    x̂_{n−1+h} = l + h·b + s_slot((n−1+h) mod m). Returns
+    (h, hour_start, forecast) for h = 1..horizon.
+
+    Exactness: counts are exact bigints on a DENSE spine (a missing
+    hour is a true 0, not an absent row — the gap-fill module's
+    charter); l₀/b₀ are single IEEE divisions of exact integer sums;
+    every recurrence step is fixed-order IEEE +,−,× with
+    driver-inlined α/β/γ and their complements (no libm at all), so
+    the whole trajectory replays bit-for-bit cross-engine — DuckDB
+    runs it as a recursive CTE carrying the seasonal LIST as a
+    functional column (multi-field struct folds are the seam-#7
+    trap; a recursive CTE sidesteps it, the unigram/FFD convention).
+
+    Scale shape: the corpus collapses through ONE map-combinable
+    hourly groupBy; everything after lives on the hours grain —
+    the series is assembled into a single ordered array row
+    (sort_array over (hour, x) structs) and the recurrence runs as
+    ONE F.aggregate fold, O(n·m) scalar ops on that row (an
+    11-year hourly series is 10⁵ steps — driver-trivial; for
+    per-key fleets, run the same fold per key under groupBy). A
+    series shorter than two seasons raises (the init needs both
+    windows)."""
+    m, hz = int(season), int(horizon)
+    a, b_, g = float(alpha), float(beta), float(gamma)
+    na, nb, ng = 1.0 - a, 1.0 - b_, 1.0 - g
+    hc = (
+        events.groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("hour_start")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    bounds = hc.agg(
+        F.min("hour_start").alias("h0"), F.max("hour_start").alias("h1")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.expr("sequence(h0, h1, interval 1 hour)")
+        ).alias("hour_start")
+    )
+    xs = spine.join(hc, "hour_start", "left").select(
+        "hour_start",
+        F.coalesce(F.col("c"), F.lit(0).cast("bigint")).alias("xi"),
+    )
+    one = xs.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("hour_start").alias("hs"),
+                    F.col("xi").alias("xi"),
+                    F.col("xi").cast("double").alias("x"),
+                )
+            )
+        ).alias("arr"),
+        F.max("hour_start").alias("h1"),
+    )
+    n_raw = F.size("arr").cast("bigint")
+    n = F.when(n_raw >= F.lit(2 * m), n_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"holt_winters_forecast: needs >= {2 * m} hours "
+                    "(two full seasons); series has "
+                ),
+                n_raw.cast("string"),
+            )
+        )
+    )
+    sum1 = F.aggregate(
+        F.slice("arr", 1, m),
+        F.lit(0).cast("bigint"),
+        lambda acc, e: acc + e["xi"],
+    )
+    sum2 = F.aggregate(
+        F.slice("arr", m + 1, m),
+        F.lit(0).cast("bigint"),
+        lambda acc, e: acc + e["xi"],
+    )
+    l0 = sum1.cast("double") / F.lit(float(m))
+    b0 = (sum2 - sum1).cast("double") / F.lit(float(m * m))
+    prep = one.select(
+        "arr",
+        "h1",
+        n.alias("n"),
+        l0.alias("l0"),
+        b0.alias("b0"),
+        F.transform(
+            F.slice("arr", 1, m), lambda e: e["x"] - l0
+        ).alias("s0"),
+    ).localCheckpoint(eager=True)
+
+    def step(acc: Column, e: Column) -> Column:
+        slot = (acc["t"] % F.lit(m)).cast("int")
+        s_old = F.element_at(acc["seasons"], slot + F.lit(1))
+        l_new = F.lit(a) * (e["x"] - s_old) + F.lit(na) * (
+            acc["l"] + acc["b"]
+        )
+        b_new = F.lit(b_) * (l_new - acc["l"]) + F.lit(nb) * acc["b"]
+        seasons_new = F.transform(
+            acc["seasons"],
+            lambda v, i: F.when(
+                i == slot, F.lit(g) * (e["x"] - l_new) + F.lit(ng) * v
+            ).otherwise(v),
+        )
+        return F.struct(
+            (acc["t"] + F.lit(1)).alias("t"),
+            l_new.alias("l"),
+            b_new.alias("b"),
+            seasons_new.alias("seasons"),
+        )
+
+    fin = prep.select(
+        "h1",
+        "n",
+        F.aggregate(
+            F.slice(
+                "arr", m + 1, (F.col("n") - F.lit(m)).cast("int")
+            ),
+            F.struct(
+                F.lit(m).cast("bigint").alias("t"),
+                F.col("l0").alias("l"),
+                F.col("b0").alias("b"),
+                F.col("s0").alias("seasons"),
+            ),
+            step,
+        ).alias("st"),
+    )
+    return (
+        fin.select(
+            "h1",
+            "n",
+            F.col("st")["l"].alias("l"),
+            F.col("st")["b"].alias("b"),
+            F.col("st")["seasons"].alias("seasons"),
+            F.col("st")["t"].alias("t"),
+            F.explode(F.sequence(F.lit(1), F.lit(hz))).alias("h"),
+        )
+        .select(
+            F.col("h").cast("bigint").alias("h"),
+            F.expr("h1 + make_interval(0, 0, 0, 0, h)").alias("hour_start"),
+            F.round(
+                F.col("l")
+                + F.col("h").cast("double") * F.col("b")
+                + F.element_at(
+                    F.col("seasons"),
+                    ((F.col("t") - F.lit(1) + F.col("h")) % F.lit(m)).cast(
+                        "int"
+                    )
+                    + F.lit(1),
+                ),
+                6,
+            ).alias("forecast"),
+        )
+        .orderBy("h")
+    )

@@ -16080,6 +16080,110 @@ def _anomaly_fdr_oracle_sql(q_fdr: float = 0.1) -> str:
     """
 
 
+def _holt_winters_oracle_sql(
+    a: float = 0.3,
+    b: float = 0.1,
+    g: float = 0.2,
+    m: int = 24,
+    hz: int = 24,
+) -> str:
+    """Full DuckDB twin of timeseries.holt_winters_forecast: dense
+    hourly spine (constant-bound range filtered to the series span —
+    generate_series rejects lateral/subquery args), exact-int init
+    sums, and the recurrence as a RECURSIVE CTE carrying the seasonal
+    LIST as a functional column (the seam-#7-safe convention); the
+    driver-inlined α/β/γ complements are spelled as literals on both
+    sides so every step is the identical IEEE op sequence."""
+    na, nb, ng = 1.0 - a, 1.0 - b, 1.0 - g
+    lnew = (
+        f"CAST({a!r} AS DOUBLE) * (x.x - seasons[CAST(t % {m} AS "
+        f"INTEGER) + 1]) + CAST({na!r} AS DOUBLE) * (l + b)"
+    )
+    return f"""
+    WITH RECURSIVE bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events),
+    spine AS (
+      SELECT r.range::BIGINT AS idx,
+             b.h0 + r.range * INTERVAL 1 HOUR AS hour_start
+      FROM range(0, 100000) r CROSS JOIN bounds b
+      WHERE r.range <= date_diff('hour', b.h0, b.h1)),
+    hc AS (SELECT date_trunc('hour', ts) AS hour_start,
+                  count(*)::BIGINT AS c
+           FROM events GROUP BY 1),
+    xs AS (SELECT s.idx, s.hour_start,
+                  CAST(coalesce(hc.c, 0) AS DOUBLE) AS x,
+                  coalesce(hc.c, 0)::BIGINT AS xi
+           FROM spine s LEFT JOIN hc USING (hour_start)),
+    n AS (SELECT count(*)::BIGINT AS n FROM xs),
+    init AS (
+      SELECT CAST(sum(CASE WHEN idx < {m} THEN xi ELSE 0 END) AS DOUBLE)
+               / CAST({m} AS DOUBLE) AS l0,
+             CAST(sum(CASE WHEN idx >= {m} AND idx < {2 * m} THEN xi
+                           ELSE 0 END)
+                  - sum(CASE WHEN idx < {m} THEN xi ELSE 0 END) AS DOUBLE)
+               / CAST({m * m} AS DOUBLE) AS b0
+      FROM xs),
+    s0 AS (SELECT list(x - l0 ORDER BY idx) AS seasons
+           FROM xs, init WHERE idx < {m}),
+    rec AS (
+      SELECT {m}::BIGINT AS t, init.l0 AS l, init.b0 AS b,
+             s0.seasons AS seasons
+      FROM init, s0
+      UNION ALL
+      SELECT t + 1,
+             {lnew},
+             CAST({b!r} AS DOUBLE) * (({lnew}) - l)
+               + CAST({nb!r} AS DOUBLE) * b,
+             list_transform(seasons, (v, i) ->
+               CASE WHEN i - 1 = CAST(t % {m} AS INTEGER)
+                    THEN CAST({g!r} AS DOUBLE) * (x.x - ({lnew}))
+                         + CAST({ng!r} AS DOUBLE) * v
+                    ELSE v END)
+      FROM rec JOIN xs x ON x.idx = rec.t CROSS JOIN n
+      WHERE rec.t < n.n),
+    fin AS (SELECT * FROM rec CROSS JOIN n WHERE rec.t = n.n),
+    fc AS (
+      SELECT h.h AS h,
+             fin.l + CAST(h.h AS DOUBLE) * fin.b
+               + fin.seasons[CAST((fin.t - 1 + h.h) % {m} AS INTEGER) + 1]
+               AS forecast
+      FROM fin, (SELECT unnest(range(1, {hz + 1})) AS h) h)
+    SELECT fc.h,
+           b.h1 + fc.h * INTERVAL 1 HOUR AS hour_start,
+           round(fc.forecast, 6) AS forecast
+    FROM fc CROSS JOIN bounds b ORDER BY fc.h
+    """
+
+
+@register("events_holt_winters", _holt_winters_oracle_sql())
+def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple exponential smoothing over the
+    dense hourly event-count series, 24-hour forecast
+    (operators.timeseries.holt_winters_forecast) — the LEARNED
+    forecaster next to the graded seasonal-naive baseline: level +
+    trend + 24-slot seasonal profile, α/β/γ = 0.3/0.1/0.2
+    driver-inlined with their complements (no libm anywhere: the
+    whole trajectory is fixed-order IEEE +,−,× from exact-int
+    starts, so ~700 recurrence steps replay bit-for-bit
+    cross-engine). The series rides a DENSE spine — a missing hour
+    is a true 0 — and the recurrence runs as ONE F.aggregate fold on
+    the single assembled-array row (DuckDB: a recursive CTE carrying
+    the seasonal LIST, the seam-#7-safe convention). The oracle
+    replays spine, init, all steps and the forecast indexing."""
+    from ydb_vector_search_demo_spark.operators import timeseries as TS
+
+    return TS.holt_winters_forecast(
+        _t(spark, sf_dir, "events"),
+        alpha=0.3,
+        beta=0.1,
+        gamma=0.2,
+        season=24,
+        horizon=24,
+    )
+
+
 _DETECTOR_AP_ORACLE_SQL = rf"""
     WITH tk AS (SELECT lang, text, {{toks}} AS t FROM documents),
     det AS (
@@ -17116,6 +17220,13 @@ _GRADE_FIRST = [
 #      both rotate in, corpus_bpe_fertility is the additional
 #      out-candidate (same fertility rollup grain; the BPE fold-apply
 #      stays oracle-checked in the sweep).
+#   4g. events_holt_winters — LEARNED forecasting (wave 43, landed
+#      post-close-out with full 3-SF oracle + probe): level + trend +
+#      seasonal-profile smoothing with a bit-replayed ~700-step
+#      recurrence; the window grades only the seasonal-naive BASELINE
+#      eval. If it rotates in, events_seasonal_naive_mae is the
+#      natural out-candidate (same hourly forecast family; the
+#      baseline stays oracle-checked and benched).
 #   4f. corpus_detector_ap — PR-side classifier evaluation (wave 42,
 #      landed post-close-out with full 3-SF oracle + probe): AP with
 #      the prevalence no-skill baseline on the same detector pair as
