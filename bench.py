@@ -413,6 +413,10 @@ HEADLINE = [
     # additive smoothing over the dense hourly series (one aggregate
     # fold; recursive-CTE oracle)
     "events_holt_winters",
+    # r14 wave 44 (outside the comparable subsets): forecast backtest
+    # A/B — HW vs seasonal-naive MAE on the held-out tail (shared
+    # bit-replayed state, ordered error folds)
+    "events_forecast_backtest",
 ]
 
 # The round-1 contract subset: judges compare this 20-query total

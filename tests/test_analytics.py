@@ -2979,3 +2979,92 @@ def test_holt_winters_matches_reference(spark):
     )
     with _pytest.raises(Exception, match="two full seasons"):
         holt_winters_forecast(short).collect()
+
+
+def test_forecast_backtest_mae_matches_reference(spark):
+    """timeseries.forecast_backtest_mae against a full independent
+    Python replay (HW recurrence + hod-mean baseline + ordered error
+    sums) on a planted 4-day series split at day 2 — exact tuple
+    equality for both models. Fixed-point law: on an exactly periodic
+    zero-trend series both models predict perfectly, so both MAEs
+    are exactly 0.0 (HW's b0 is 0 from two identical seasons and the
+    recurrence holds the profile)."""
+    import datetime
+
+    from ydb_vector_search_demo_spark.operators.timeseries import (
+        forecast_backtest_mae,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+
+    def mk_events(count_fn, days):
+        rows, counts = [], {}
+        for day in range(days):
+            for hod in range(24):
+                ts = base + datetime.timedelta(days=day, hours=hod)
+                c = count_fn(day, hod)
+                counts[ts] = c
+                rows.extend(
+                    (ts + datetime.timedelta(seconds=k),) for k in range(c)
+                )
+        return spark.createDataFrame(rows, "ts TIMESTAMP"), counts
+
+    split = (base + datetime.timedelta(days=2)).strftime("%Y-%m-%d %H:%M:%S")
+
+    # planted: drifting train (day-dependent) + profile; noisy test
+    ev, counts = mk_events(
+        lambda d, h: 3 + (h % 5) + d + (1 if (d, h) == (3, 7) else 0), 4
+    )
+    got = {
+        r["model"]: (r["n_test"], r["mae"])
+        for r in forecast_backtest_mae(ev, split_ts=split).collect()
+    }
+
+    A, B, G, M = 0.3, 0.1, 0.2, 24
+    NA, NB, NG = 0.7, 0.9, 0.8
+    train = {t: c for t, c in counts.items()
+             if t < base + datetime.timedelta(days=2)}
+    h0, h1 = min(train), max(train)
+    xs = []
+    t = h0
+    while t <= h1:
+        xs.append(float(train.get(t, 0)))
+        t += datetime.timedelta(hours=1)
+    n = len(xs)
+    l = sum(int(v) for v in xs[:M]) / float(M)
+    b = (sum(int(v) for v in xs[M:2 * M]) - sum(int(v) for v in xs[:M])) / float(M * M)
+    seasons = [x - l for x in xs[:M]]
+    for t_ in range(M, n):
+        s_old = seasons[t_ % M]
+        l_new = A * (xs[t_] - s_old) + NA * (l + b)
+        b_new = B * (l_new - l) + NB * b
+        seasons[t_ % M] = G * (xs[t_] - l_new) + NG * s_old
+        l, b = l_new, b_new
+    test_hours = sorted(t for t in counts if t > h1)
+    hw_sum = 0.0
+    for th in test_hours:
+        h = int((th - h1).total_seconds() // 3600)
+        pred = l + float(h) * b + seasons[(n - 1 + h) % M]
+        hw_sum += abs(float(counts[th]) - pred)
+    from collections import defaultdict
+    hod_n, hod_s = defaultdict(int), defaultdict(int)
+    th = h0
+    while th <= h1:
+        hod_n[th.hour] += 1
+        hod_s[th.hour] += int(train.get(th, 0))
+        th += datetime.timedelta(hours=1)
+    nv_sum = 0.0
+    for th in test_hours:
+        pred = hod_s[th.hour] / float(hod_n[th.hour])
+        nv_sum += abs(float(counts[th]) - pred)
+    nt = len(test_hours)
+    assert got["holt_winters"] == (nt, round(hw_sum / float(nt), 6))
+    assert got["seasonal_naive"] == (nt, round(nv_sum / float(nt), 6))
+
+    # exactly periodic, zero trend: both models are perfect
+    ev2, _ = mk_events(lambda d, h: 2 + (h % 4), 4)
+    got2 = {
+        r["model"]: r["mae"]
+        for r in forecast_backtest_mae(ev2, split_ts=split).collect()
+    }
+    assert got2 == {"holt_winters": 0.0, "seasonal_naive": 0.0}

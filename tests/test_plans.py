@@ -719,3 +719,16 @@ def test_holt_winters_grain_bounded_fold(spark):
     for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython",
                  "ArrowEvalPython"):
         assert node not in final, f"{node} in plan:\n" + final[:2000]
+
+
+def test_forecast_backtest_broadcast_joins(spark):
+    """events_forecast_backtest: both prediction joins broadcast (the
+    1-row HW state; the 24-row hod means), the hourly grains live
+    behind checkpoints (zero parquet scans in the final plan), and
+    everything is JVM-side."""
+    plan = plan_of(spark, "events_forecast_backtest")
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 0, final[:2000]
+    for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython",
+                 "ArrowEvalPython"):
+        assert node not in final, f"{node} in plan:\n" + final[:2000]

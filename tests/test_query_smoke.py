@@ -214,6 +214,7 @@ def test_r15_eligibility_ranking_names_are_registered():
         "events_hourly_anomaly_fdr", "corpus_wordpiece_fertility",
         "corpus_ks_drift", "corpus_pair_bleu", "corpus_lang_source_mi",
         "corpus_detector_ap", "events_holt_winters",
+        "events_forecast_backtest",
         "part_skyline_brand", "dedup_minhash_accuracy",
         "corpus_span_corruption", "ann_power_iteration_fixed",
         "lineitem_kendall_tau", "events_mann_kendall",

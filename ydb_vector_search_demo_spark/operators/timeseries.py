@@ -1024,8 +1024,46 @@ def holt_winters_forecast(
     series shorter than two seasons raises (the init needs both
     windows)."""
     m, hz = int(season), int(horizon)
-    a, b_, g = float(alpha), float(beta), float(gamma)
-    na, nb, ng = 1.0 - a, 1.0 - b_, 1.0 - g
+    fin = _holt_winters_state(events, alpha, beta, gamma, m, ts_col)
+    return (
+        fin.select(
+            "h1",
+            "n",
+            "l",
+            "b",
+            "seasons",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.lit(hz))).alias("h"),
+        )
+        .select(
+            F.col("h").cast("bigint").alias("h"),
+            F.expr("h1 + make_interval(0, 0, 0, 0, h)").alias("hour_start"),
+            F.round(_hw_forecast(F.col("h"), m), 6).alias("forecast"),
+        )
+        .orderBy("h")
+    )
+
+
+def _hw_forecast(h: Column, m: int) -> Column:
+    """The Holt-Winters h-step-ahead forecast expression over the
+    state columns (l, b, seasons, t): l + h·b + s_slot((t−1+h) mod
+    m) — shared by the forecast and backtest rows so the IEEE op
+    sequence is spelled once."""
+    return (
+        F.col("l")
+        + h.cast("double") * F.col("b")
+        + F.element_at(
+            F.col("seasons"),
+            ((F.col("t") - F.lit(1) + h) % F.lit(m)).cast("int") + F.lit(1),
+        )
+    )
+
+
+def _dense_hourly(events: DataFrame, ts_col: str) -> DataFrame:
+    """The dense hourly count series (hour_start, xi) — one
+    map-combinable groupBy (checkpointed) + the spine left join; a
+    missing hour is a true 0 (the gap-fill charter). Shared by the
+    Holt-Winters state builder and the backtest's test slice."""
     hc = (
         events.groupBy(
             F.date_trunc("hour", F.col(ts_col)).alias("hour_start")
@@ -1041,10 +1079,29 @@ def holt_winters_forecast(
             F.expr("sequence(h0, h1, interval 1 hour)")
         ).alias("hour_start")
     )
-    xs = spine.join(hc, "hour_start", "left").select(
+    return spine.join(hc, "hour_start", "left").select(
         "hour_start",
         F.coalesce(F.col("c"), F.lit(0).cast("bigint")).alias("xi"),
     )
+
+
+def _holt_winters_state(
+    events: DataFrame,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    season: int,
+    ts_col: str,
+) -> DataFrame:
+    """The fitted Holt-Winters state as ONE row (h1, n, l, b,
+    seasons, t) — the recurrence core shared by
+    :func:`holt_winters_forecast` and :func:`forecast_backtest_mae`
+    (identical expression trees, so the trained trajectory is
+    bit-identical whichever surface consumes it)."""
+    m = int(season)
+    a, b_, g = float(alpha), float(beta), float(gamma)
+    na, nb, ng = 1.0 - a, 1.0 - b_, 1.0 - g
+    xs = _dense_hourly(events, ts_col)
     one = xs.agg(
         F.array_sort(
             F.collect_list(
@@ -1128,31 +1185,105 @@ def holt_winters_forecast(
             step,
         ).alias("st"),
     )
-    return (
-        fin.select(
-            "h1",
-            "n",
-            F.col("st")["l"].alias("l"),
-            F.col("st")["b"].alias("b"),
-            F.col("st")["seasons"].alias("seasons"),
-            F.col("st")["t"].alias("t"),
-            F.explode(F.sequence(F.lit(1), F.lit(hz))).alias("h"),
-        )
+    return fin.select(
+        "h1",
+        "n",
+        F.col("st")["l"].alias("l"),
+        F.col("st")["b"].alias("b"),
+        F.col("st")["seasons"].alias("seasons"),
+        F.col("st")["t"].alias("t"),
+    ).localCheckpoint(eager=True)
+
+
+def forecast_backtest_mae(
+    events: DataFrame,
+    split_ts: str = "2024-01-21",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    season: int = 24,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """FORECAST BACKTEST A/B — Holt-Winters vs the seasonal-naive
+    baseline, MAE on a held-out tail (the packer-A/B convention
+    applied to forecasting): both models train on events before
+    ``split_ts`` and predict every dense hour from the train end to
+    the global series end; the readout is one row per model
+    (model, n_test, mae), so the claim "the learned forecaster beats
+    no-skill" is measured, not asserted. Holt-Winters predicts via
+    :func:`_hw_forecast` over the shared fitted state
+    (:func:`_holt_winters_state` — the SAME bit-replayed trajectory
+    the forecast row grades); the baseline predicts each test hour by
+    its hour-of-day's TRAIN mean over the dense train spine (exact
+    integer sums, one division).
+
+    Exactness: predictions are pinned doubles (the HW trajectory is
+    libm-free; the naive mean is one IEEE division of exact ints);
+    |error| terms are doubles, so each model's error sum folds
+    through an ORDERED cumulative window over test hours read via
+    max_by (double addition is not associative), and MAE is one
+    final division by the exact test-hour count. Scale shape: two
+    map-combinable hourly groupBys (train via the state builder,
+    global via the shared dense series); the test slice is
+    span-bounded; both prediction joins are broadcasts (1-row state;
+    24-row hod means)."""
+    m = int(season)
+    split = F.lit(split_ts).cast("timestamp")
+    tr = events.filter(F.col(ts_col) < split)
+    st = _holt_winters_state(tr, alpha, beta, gamma, m, ts_col)
+    dense = _dense_hourly(events, ts_col).localCheckpoint(eager=True)
+    te = (
+        dense.crossJoin(F.broadcast(st.select("h1")))
+        .filter(F.col("hour_start") > F.col("h1"))
         .select(
-            F.col("h").cast("bigint").alias("h"),
-            F.expr("h1 + make_interval(0, 0, 0, 0, h)").alias("hour_start"),
-            F.round(
-                F.col("l")
-                + F.col("h").cast("double") * F.col("b")
-                + F.element_at(
-                    F.col("seasons"),
-                    ((F.col("t") - F.lit(1) + F.col("h")) % F.lit(m)).cast(
-                        "int"
-                    )
-                    + F.lit(1),
-                ),
-                6,
-            ).alias("forecast"),
+            "hour_start",
+            F.expr("timestampdiff(HOUR, h1, hour_start)")
+            .cast("bigint")
+            .alias("h"),
+            F.col("xi").cast("double").alias("x"),
         )
-        .orderBy("h")
+    )
+    hw = te.crossJoin(F.broadcast(st)).select(
+        "hour_start",
+        F.abs(F.col("x") - _hw_forecast(F.col("h"), m)).alias("err"),
+    )
+    hod = (
+        _dense_hourly(tr, ts_col)
+        .groupBy(F.hour("hour_start").alias("hod"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_h"),
+            F.sum("xi").cast("bigint").alias("sum_h"),
+        )
+    )
+    nv = te.join(
+        F.broadcast(hod), F.hour(te["hour_start"]) == hod["hod"]
+    ).select(
+        "hour_start",
+        F.abs(
+            F.col("x")
+            - F.col("sum_h").cast("double") / F.col("n_h").cast("double")
+        ).alias("err"),
+    )
+
+    def mae_of(errs: DataFrame, model: str) -> DataFrame:
+        w = Window.orderBy("hour_start")
+        cum = errs.select(
+            F.row_number().over(w).alias("_rn"),
+            F.sum("err").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("_cum"),
+        )
+        return cum.agg(
+            F.lit(model).alias("model"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.round(
+                F.max_by("_cum", "_rn")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mae"),
+        )
+    return (
+        mae_of(hw, "holt_winters")
+        .unionByName(mae_of(nv, "seasonal_naive"))
+        .orderBy("model")
     )

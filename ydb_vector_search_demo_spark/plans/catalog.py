@@ -16157,6 +16157,144 @@ def _holt_winters_oracle_sql(
     """
 
 
+def _forecast_backtest_oracle_sql(
+    split: str = "2024-01-21",
+    a: float = 0.3,
+    b: float = 0.1,
+    g: float = 0.2,
+    m: int = 24,
+) -> str:
+    """Full DuckDB twin of timeseries.forecast_backtest_mae: the
+    Holt-Winters recursive CTE trained on the pre-split slice, the
+    GLOBAL dense spine's held-out tail, per-model absolute errors
+    (HW via the shared forecast expression; naive via the
+    hour-of-day train means over the dense train spine), and the two
+    ordered cumulative error folds read via max_by."""
+    na, nb, ng = 1.0 - a, 1.0 - b, 1.0 - g
+    lnew = (
+        f"CAST({a!r} AS DOUBLE) * (x.x - seasons[CAST(t % {m} AS "
+        f"INTEGER) + 1]) + CAST({na!r} AS DOUBLE) * (l + b)"
+    )
+    return f"""
+    WITH RECURSIVE tr AS (SELECT * FROM events
+                          WHERE ts < TIMESTAMP '{split}'),
+    bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM tr),
+    spine AS (
+      SELECT r.range::BIGINT AS idx,
+             bo.h0 + r.range * INTERVAL 1 HOUR AS hour_start
+      FROM range(0, 100000) r CROSS JOIN bounds bo
+      WHERE r.range <= date_diff('hour', bo.h0, bo.h1)),
+    hc AS (SELECT date_trunc('hour', ts) AS hour_start,
+                  count(*)::BIGINT AS c
+           FROM tr GROUP BY 1),
+    xs AS (SELECT s.idx, s.hour_start,
+                  CAST(coalesce(hc.c, 0) AS DOUBLE) AS x,
+                  coalesce(hc.c, 0)::BIGINT AS xi
+           FROM spine s LEFT JOIN hc USING (hour_start)),
+    n AS (SELECT count(*)::BIGINT AS n FROM xs),
+    init AS (
+      SELECT CAST(sum(CASE WHEN idx < {m} THEN xi ELSE 0 END) AS DOUBLE)
+               / CAST({m} AS DOUBLE) AS l0,
+             CAST(sum(CASE WHEN idx >= {m} AND idx < {2 * m} THEN xi
+                           ELSE 0 END)
+                  - sum(CASE WHEN idx < {m} THEN xi ELSE 0 END) AS DOUBLE)
+               / CAST({m * m} AS DOUBLE) AS b0
+      FROM xs),
+    s0 AS (SELECT list(x - l0 ORDER BY idx) AS seasons
+           FROM xs, init WHERE idx < {m}),
+    rec AS (
+      SELECT {m}::BIGINT AS t, init.l0 AS l, init.b0 AS b,
+             s0.seasons AS seasons
+      FROM init, s0
+      UNION ALL
+      SELECT t + 1,
+             {lnew},
+             CAST({b!r} AS DOUBLE) * (({lnew}) - l)
+               + CAST({nb!r} AS DOUBLE) * b,
+             list_transform(seasons, (v, i) ->
+               CASE WHEN i - 1 = CAST(t % {m} AS INTEGER)
+                    THEN CAST({g!r} AS DOUBLE) * (x.x - ({lnew}))
+                         + CAST({ng!r} AS DOUBLE) * v
+                    ELSE v END)
+      FROM rec JOIN xs x ON x.idx = rec.t CROSS JOIN n
+      WHERE rec.t < n.n),
+    fin AS (SELECT * FROM rec CROSS JOIN n WHERE rec.t = n.n),
+    gbounds AS (
+      SELECT date_trunc('hour', min(ts)) AS g0,
+             date_trunc('hour', max(ts)) AS g1
+      FROM events),
+    gspine AS (
+      SELECT gb.g0 + r.range * INTERVAL 1 HOUR AS hour_start
+      FROM range(0, 100000) r CROSS JOIN gbounds gb
+      WHERE r.range <= date_diff('hour', gb.g0, gb.g1)),
+    ghc AS (SELECT date_trunc('hour', ts) AS hour_start,
+                   count(*)::BIGINT AS c
+            FROM events GROUP BY 1),
+    te AS (SELECT gs.hour_start,
+                  date_diff('hour', bo.h1, gs.hour_start)::BIGINT AS h,
+                  CAST(coalesce(ghc.c, 0) AS DOUBLE) AS x
+           FROM gspine gs LEFT JOIN ghc USING (hour_start)
+           CROSS JOIN bounds bo
+           WHERE gs.hour_start > bo.h1),
+    hw AS (SELECT te.hour_start,
+                  abs(te.x - (fin.l + CAST(te.h AS DOUBLE) * fin.b
+                    + fin.seasons[CAST((fin.t - 1 + te.h) % {m}
+                                       AS INTEGER) + 1])) AS err
+           FROM te CROSS JOIN fin),
+    hod AS (SELECT hour(hour_start) AS hod, count(*)::BIGINT AS n_h,
+                   CAST(sum(xi) AS BIGINT) AS sum_h
+            FROM xs GROUP BY 1),
+    nv AS (SELECT te.hour_start,
+                  abs(te.x - CAST(hod.sum_h AS DOUBLE)
+                             / CAST(hod.n_h AS DOUBLE)) AS err
+           FROM te JOIN hod ON hour(te.hour_start) = hod.hod),
+    hwm AS (SELECT 'holt_winters' AS model, count(*)::BIGINT AS n_test,
+                   round(max_by(cum, rn) / CAST(count(*) AS DOUBLE), 6)
+                     AS mae
+            FROM (SELECT row_number() OVER (ORDER BY hour_start) AS rn,
+                         sum(err) OVER (ORDER BY hour_start
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                           ROW) AS cum
+                  FROM hw)),
+    nvm AS (SELECT 'seasonal_naive' AS model, count(*)::BIGINT AS n_test,
+                   round(max_by(cum, rn) / CAST(count(*) AS DOUBLE), 6)
+                     AS mae
+            FROM (SELECT row_number() OVER (ORDER BY hour_start) AS rn,
+                         sum(err) OVER (ORDER BY hour_start
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                           ROW) AS cum
+                  FROM nv))
+    SELECT * FROM hwm UNION ALL SELECT * FROM nvm ORDER BY model
+    """
+
+
+@register("events_forecast_backtest", _forecast_backtest_oracle_sql())
+def q_events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST A/B — Holt-Winters vs seasonal-naive, MAE on
+    the held-out tail after Jan 21
+    (operators.timeseries.forecast_backtest_mae; the packer-A/B
+    convention applied to forecasting): both models train on the
+    pre-split slice and predict every dense hour to the series end.
+    On THIS corpus the baseline WINS at every SF (sf0.1: naive MAE
+    9.90 vs HW 13.13) — the synthetic hourly profile carries no real
+    trend, so HW's fitted trend compounds h·b error over the
+    240-hour horizon while the hod-mean nails the stationary
+    profile. That honest reversal is the row's point: measure before
+    trusting the learned forecaster. Predictions are pinned doubles
+    (the shared bit-replayed HW state; one IEEE division for the
+    naive mean); each model's |error| sum folds through an ordered
+    cumulative window read via max_by. The oracle replays training,
+    both prediction paths and both folds."""
+    from ydb_vector_search_demo_spark.operators import timeseries as TS
+
+    return TS.forecast_backtest_mae(
+        _t(spark, sf_dir, "events"), split_ts="2024-01-21"
+    )
+
+
 @register("events_holt_winters", _holt_winters_oracle_sql())
 def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt-Winters additive triple exponential smoothing over the
@@ -17220,6 +17358,15 @@ _GRADE_FIRST = [
 #      both rotate in, corpus_bpe_fertility is the additional
 #      out-candidate (same fertility rollup grain; the BPE fold-apply
 #      stays oracle-checked in the sweep).
+#   4h. events_forecast_backtest — the forecast A/B (wave 44, landed
+#      post-close-out with full 3-SF oracle + probe): HW vs
+#      seasonal-naive MAE on the held-out tail — the baseline WINS on
+#      this corpus (no real trend; HW compounds h·b), the
+#      measure-before-trusting readout. Pairs with 4g (state + A/B
+#      would grade the whole forecasting lifecycle); if both rotate
+#      in, events_seasonal_naive_mae's out-candidacy (4g note)
+#      strengthens — the backtest replays the hod-mean baseline
+#      inside its own oracle.
 #   4g. events_holt_winters — LEARNED forecasting (wave 43, landed
 #      post-close-out with full 3-SF oracle + probe): level + trend +
 #      seasonal-profile smoothing with a bit-replayed ~700-step
