@@ -1063,7 +1063,17 @@ def _dense_hourly(events: DataFrame, ts_col: str) -> DataFrame:
     """The dense hourly count series (hour_start, xi) — one
     map-combinable groupBy (checkpointed) + the spine left join; a
     missing hour is a true 0 (the gap-fill charter). Shared by the
-    Holt-Winters state builder and the backtest's test slice."""
+    Holt-Winters state builder and the backtest's test slice.
+
+    Deliberately NOT routed through :func:`bucketed_agg_gapfill`
+    (r14 review, adjudicated): the values would match (time_bucket
+    == date_trunc on hour grain), but two committed bit-replay
+    oracles pin this exact expression chain incl. the eager
+    checkpoint placement, and the gapfill operator carries per-key
+    spine/LOCF machinery this single-series path doesn't want —
+    spine-semantics changes over there must not silently reprice the
+    forecast trajectory. Revisit only with a dedicated parity
+    re-sweep."""
     hc = (
         events.groupBy(
             F.date_trunc("hour", F.col(ts_col)).alias("hour_start")
@@ -1119,8 +1129,9 @@ def _holt_winters_state(
         F.raise_error(
             F.concat(
                 F.lit(
-                    f"holt_winters_forecast: needs >= {2 * m} hours "
-                    "(two full seasons); series has "
+                    f"holt_winters state: needs >= {2 * m} hours "
+                    "(two full seasons) before the forecast/backtest "
+                    "start; series has "
                 ),
                 n_raw.cast("string"),
             )
@@ -1247,8 +1258,13 @@ def forecast_backtest_mae(
         "hour_start",
         F.abs(F.col("x") - _hw_forecast(F.col("h"), m)).alias("err"),
     )
+    # hod means come from the GLOBAL dense series sliced at the train
+    # end — identical to the train spine (the global spine starts at
+    # the same first event) without a third hourly groupBy+checkpoint
+    # (r14 review finding; the docstring's "two groupBys" is now true)
     hod = (
-        _dense_hourly(tr, ts_col)
+        dense.crossJoin(F.broadcast(st.select(F.col("h1").alias("_trh1"))))
+        .filter(F.col("hour_start") <= F.col("_trh1"))
         .groupBy(F.hour("hour_start").alias("hod"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_h"),

@@ -11732,15 +11732,12 @@ def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
-@register(
-    "corpus_detector_auc",
-    # ROC-AUC without a global rank window: the tie-adjusted
-    # Mann-Whitney pair count aggregated on the SCORE grain —
-    # 2U = sum(2*p_s*(negatives strictly below s) + p_s*q_s) is an
-    # exact bigint, and the below-count comes from one ordered
-    # cumulative window over the per-detector score-grain relation.
-    rf"""
-    WITH tk AS (SELECT lang, text, {_TOKENS_SQL} AS t FROM documents),
+# The detector evaluation feed (one real length-confound signal + one
+# honest null) — SHARED by the ROC-AUC and average-precision rows so
+# the two definitions cannot drift apart (r14 review finding): the
+# SQL CTE pair below and the Python builder _detector_feed() are each
+# written once.
+_DETECTOR_FEED_CTES = rf"""tk AS (SELECT lang, text, {_TOKENS_SQL} AS t FROM documents),
     det AS (
       SELECT 'len_for_heavy_fast' AS detector,
              len(t)::BIGINT AS score,
@@ -11750,7 +11747,48 @@ def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'ascii_for_en',
              length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT,
              lang = 'en'
-      FROM tk),
+      FROM tk)"""
+
+
+def _detector_feed(docs: DataFrame) -> DataFrame:
+    """The Spark twin of _DETECTOR_FEED_CTES: ONE documents scan
+    exploding an array of the two detector structs per row (the
+    unionByName-of-two-selects alternative scans the parquet twice —
+    Spark does no common-subplan elimination across union branches;
+    r14 review finding)."""
+    base = docs.select("lang", "text", T.tokens(F.col("text")).alias("t"))
+    return base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("len_for_heavy_fast").alias("detector"),
+                    F.size("t").cast("bigint").alias("score"),
+                    (
+                        F.size(F.expr("filter(t, x -> lower(x) = 'fast')"))
+                        >= 3
+                    ).alias("is_pos"),
+                ),
+                F.struct(
+                    F.lit("ascii_for_en").alias("detector"),
+                    F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+                    .cast("bigint")
+                    .alias("score"),
+                    (F.col("lang") == "en").alias("is_pos"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.detector", "d.score", "d.is_pos")
+
+
+@register(
+    "corpus_detector_auc",
+    # ROC-AUC without a global rank window: the tie-adjusted
+    # Mann-Whitney pair count aggregated on the SCORE grain —
+    # 2U = sum(2*p_s*(negatives strictly below s) + p_s*q_s) is an
+    # exact bigint, and the below-count comes from one ordered
+    # cumulative window over the per-detector score-grain relation.
+    rf"""
+    WITH {_DETECTOR_FEED_CTES},
     grain AS (
       SELECT detector, score,
              CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
@@ -11794,40 +11832,7 @@ def q_corpus_detector_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus contributes one map-combinable groupBy. Overflow bound:
     2U <= 2*P*Q needs P*Q < 2^62 (~2x10^9 balanced rows); past that
     the numerator moves to DECIMAL(38,0)."""
-    docs = _t(spark, sf_dir, "documents")
-    base = docs.select(
-        "lang", "text", T.tokens(F.col("text")).alias("t")
-    )
-    det = (
-        base.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("len_for_heavy_fast").alias("detector"),
-                        F.size("t").cast("bigint").alias("score"),
-                        (
-                            F.size(
-                                F.expr(
-                                    "filter(t, x -> lower(x) = 'fast')"
-                                )
-                            )
-                            >= 3
-                        ).alias("is_pos"),
-                    ),
-                    F.struct(
-                        F.lit("ascii_for_en").alias("detector"),
-                        F.length(
-                            F.regexp_replace("text", "[^A-Za-z]", "")
-                        )
-                        .cast("bigint")
-                        .alias("score"),
-                        (F.col("lang") == "en").alias("is_pos"),
-                    ),
-                )
-            ).alias("d")
-        )
-        .select("d.detector", "d.score", F.col("d.is_pos").alias("is_pos"))
-    )
+    det = _detector_feed(_t(spark, sf_dir, "documents"))
     from ydb_vector_search_demo_spark.operators.stats import roc_auc
 
     return (
@@ -16105,10 +16110,15 @@ def _holt_winters_oracle_sql(
              date_trunc('hour', max(ts)) AS h1
       FROM events),
     spine AS (
+      -- the constant range is an oracle-side cap (generate_series
+      -- rejects lateral args); a span past it must FAIL LOUDLY, not
+      -- silently truncate the series vs the unbounded Spark spine
       SELECT r.range::BIGINT AS idx,
              b.h0 + r.range * INTERVAL 1 HOUR AS hour_start
       FROM range(0, 100000) r CROSS JOIN bounds b
-      WHERE r.range <= date_diff('hour', b.h0, b.h1)),
+      WHERE r.range <= CASE WHEN date_diff('hour', b.h0, b.h1) >= 100000
+                            THEN error('holt-winters oracle: series span exceeds the 100000-hour spine cap')
+                            ELSE date_diff('hour', b.h0, b.h1) END),
     hc AS (SELECT date_trunc('hour', ts) AS hour_start,
                   count(*)::BIGINT AS c
            FROM events GROUP BY 1),
@@ -16186,7 +16196,9 @@ def _forecast_backtest_oracle_sql(
       SELECT r.range::BIGINT AS idx,
              bo.h0 + r.range * INTERVAL 1 HOUR AS hour_start
       FROM range(0, 100000) r CROSS JOIN bounds bo
-      WHERE r.range <= date_diff('hour', bo.h0, bo.h1)),
+      WHERE r.range <= CASE WHEN date_diff('hour', bo.h0, bo.h1) >= 100000
+                            THEN error('backtest oracle: train span exceeds the 100000-hour spine cap')
+                            ELSE date_diff('hour', bo.h0, bo.h1) END),
     hc AS (SELECT date_trunc('hour', ts) AS hour_start,
                   count(*)::BIGINT AS c
            FROM tr GROUP BY 1),
@@ -16229,7 +16241,9 @@ def _forecast_backtest_oracle_sql(
     gspine AS (
       SELECT gb.g0 + r.range * INTERVAL 1 HOUR AS hour_start
       FROM range(0, 100000) r CROSS JOIN gbounds gb
-      WHERE r.range <= date_diff('hour', gb.g0, gb.g1)),
+      WHERE r.range <= CASE WHEN date_diff('hour', gb.g0, gb.g1) >= 100000
+                            THEN error('backtest oracle: series span exceeds the 100000-hour spine cap')
+                            ELSE date_diff('hour', gb.g0, gb.g1) END),
     ghc AS (SELECT date_trunc('hour', ts) AS hour_start,
                    count(*)::BIGINT AS c
             FROM events GROUP BY 1),
@@ -16323,17 +16337,7 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DETECTOR_AP_ORACLE_SQL = rf"""
-    WITH tk AS (SELECT lang, text, {{toks}} AS t FROM documents),
-    det AS (
-      SELECT 'len_for_heavy_fast' AS detector,
-             len(t)::BIGINT AS score,
-             len(list_filter(t, x -> lower(x) = 'fast')) >= 3 AS is_pos
-      FROM tk
-      UNION ALL
-      SELECT 'ascii_for_en',
-             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT,
-             lang = 'en'
-      FROM tk),
+    WITH {{feed}},
     grain AS (
       SELECT detector, score,
              CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
@@ -16373,7 +16377,7 @@ _DETECTOR_AP_ORACLE_SQL = rf"""
 
 @register(
     "corpus_detector_ap",
-    _DETECTOR_AP_ORACLE_SQL.format(toks=_TOKENS_SQL),
+    _DETECTOR_AP_ORACLE_SQL.format(feed=_DETECTOR_FEED_CTES),
 )
 def q_corpus_detector_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVERAGE PRECISION for the same two detector scores as the
@@ -16388,27 +16392,13 @@ def q_corpus_detector_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
     step-function integration: distinct-score blocks enter
     atomically, so no within-tie ordering ambiguity); block counts
     exact on the score grain (the roc_auc shape, corpus never
-    globally sorted); the fold reads its last row via max_by."""
+    globally sorted); the fold reads its last row via max_by. The
+    feed is the SHARED :func:`_detector_feed` single-scan builder —
+    the original unionByName-of-two-selects scanned documents twice
+    and duplicated the detector definitions (r14 review finding)."""
     from ydb_vector_search_demo_spark.operators import stats as S
 
-    docs = _t(spark, sf_dir, "documents")
-    base = docs.select("lang", "text", T.tokens(F.col("text")).alias("t"))
-    det = base.select(
-        F.lit("len_for_heavy_fast").alias("detector"),
-        F.size("t").cast("bigint").alias("score"),
-        (
-            F.size(F.filter("t", lambda x: F.lower(x) == "fast"))
-            >= F.lit(3)
-        ).alias("is_pos"),
-    ).unionByName(
-        base.select(
-            F.lit("ascii_for_en").alias("detector"),
-            F.length(
-                F.regexp_replace(F.col("text"), "[^A-Za-z]", "")
-            ).cast("bigint").alias("score"),
-            (F.col("lang") == "en").alias("is_pos"),
-        )
-    )
+    det = _detector_feed(_t(spark, sf_dir, "documents"))
     return S.average_precision(
         det, "score", "is_pos", group_col="detector"
     ).orderBy("detector")
