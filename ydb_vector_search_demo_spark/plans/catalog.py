@@ -5651,14 +5651,15 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = EV.read_events_stream(spark, sf_dir)
     s2 = EV.read_events_stream(spark, sf_dir)
     deduped = s1.unionByName(s2).dropDuplicates(["event_id"])
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with EV.stream_shuffle_scope(spark, sf_dir, tables=("events",)):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_id").alias("n_unique"),
@@ -5813,14 +5814,15 @@ def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = EV.read_events_stream(spark, sf_dir)
     # convert nanos column: file stream reads via the same session conf
     agg = EV.streaming_hourly_counts(stream, watermark="3650 days")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with EV.stream_shuffle_scope(spark, sf_dir, tables=("events",)):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -5852,14 +5854,15 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with EV.stream_shuffle_scope(spark, sf_dir, tables=("events",)):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -5907,14 +5910,15 @@ def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFram
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
         & (F.col("c_ts") <= F.col("p_ts")),
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with EV.stream_shuffle_scope(spark, sf_dir, tables=("events",)):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy(F.col("p_user").alias("user_id"))
@@ -5951,14 +5955,15 @@ def q_streaming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("score", "vec_id"))), 1, 5
         ).alias("top")
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with EV.stream_shuffle_scope(spark, sf_dir, tables=("embeddings",)):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .select(F.explode("top").alias("t"))
@@ -5991,13 +5996,14 @@ def q_streaming_knn_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         if rows:
             emissions.append(rows)
 
-    q = (
-        topk.writeStream.foreachBatch(_capture)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with EV.stream_shuffle_scope(spark, sf_dir, tables=("embeddings",)):
+        q = (
+            topk.writeStream.foreachBatch(_capture)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     final = [
         (int(r["id"]), float(r["score"])) for r in (emissions[-1] if emissions else [])
     ]
@@ -6028,6 +6034,8 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_stateful_{_STREAM_COUNTER['n']}"
     stream = EV.read_events_stream(spark, sf_dir)
     counts = stateful.running_user_counts(stream)
+    # NOT stream_shuffle_scope'd — applyInPandasWithState, see
+    # q_streaming_closed_sessions
     q = (
         counts.writeStream.format("memory")
         .queryName(name)
@@ -6581,14 +6589,15 @@ def q_streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hit_windows"),
         )
     )
-    q = (
-        hits.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with EV.stream_shuffle_scope(spark, sf_dir, tables=("documents",)):
+        q = (
+            hits.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "doc_id",
         F.col("n_windows").cast("bigint").alias("n_windows"),
@@ -7830,14 +7839,15 @@ def q_streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_hll_{_STREAM_COUNTER['n']}"
     stream = EV.read_events_stream(spark, sf_dir)
     regs = SK.hll_registers(stream, ["event_type"], "user_id")
-    q = (
-        regs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with EV.stream_shuffle_scope(spark, sf_dir, tables=("events",)):
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     est = SK.hll_estimate(spark.table(name), ["event_type"], out="hll_users")
     exact = (
         _t(spark, sf_dir, "events")
@@ -8264,14 +8274,15 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     _STREAM_COUNTER["n"] += 1
     name = f"stream_late_{_STREAM_COUNTER['n']}"
     agg = EV.late_data_hourly_counts(spark, sf_dir, delay="30 minutes")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with EV.stream_shuffle_scope(spark, sf_dir, tables=("events",)):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("hour_start")
 
 
@@ -8674,11 +8685,12 @@ def q_store_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("latestFirst", "false")
         .parquet(src)
     )
-    q = stream_scd2_ingest(
-        stream, docs, os.path.join(work, "store"),
-        os.path.join(work, "ckpt"),
-    ).start()
-    q.awaitTermination()
+    with EV.stream_shuffle_scope(spark, sf_dir, tables=("documents",)):
+        q = stream_scd2_ingest(
+            stream, docs, os.path.join(work, "store"),
+            os.path.join(work, "ckpt"),
+        ).start()
+        q.awaitTermination()
     return (
         stores.read_current_store(spark, os.path.join(work, "store"))
         .select("doc_id", "text", "valid_from", "valid_to", "is_current")
@@ -8925,14 +8937,15 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _STREAM_COUNTER["n"] += 1
     name = f"stream_join_{_STREAM_COUNTER['n']}"
     pairs = EV.purchase_click_join_stream(spark, sf_dir, window_minutes=60)
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with EV.stream_shuffle_scope(spark, sf_dir, tables=("events",)):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy(F.date_trunc("hour", F.col("p_ts")).alias("hour_start"))
@@ -9678,6 +9691,10 @@ def q_streaming_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"closed_sessions_{_STREAM_COUNTER['n']}"
     stream = EV.read_events_stream(spark, sf_dir)
     out = running_sessions(stream, gap_minutes=30)
+    # NOT stream_shuffle_scope'd: applyInPandasWithState does real
+    # per-key Python compute each trigger, so fewer partitions lose
+    # compute parallelism instead of saving state-store overhead
+    # (A/B'd r14: 1.77 s at 4 partitions vs 1.66 s at the default)
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -9877,14 +9894,15 @@ def q_streaming_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     _STREAM_COUNTER["n"] += 1
     name = f"stream_dedup_wm_{_STREAM_COUNTER['n']}"
     deduped = EV.dedup_events_within_watermark(spark, sf_dir)
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with EV.stream_shuffle_scope(spark, sf_dir, tables=("events",)):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_id").alias("n_unique"),
@@ -11073,14 +11091,15 @@ def q_streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     _STREAM_COUNTER["n"] += 1
     name = f"stream_enrich_{_STREAM_COUNTER['n']}"
     agg = EV.enrich_static_join_counts(spark, sf_dir)
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with EV.stream_shuffle_scope(spark, sf_dir, tables=("events",)):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("c_mktsegment", "event_type")
 
 
@@ -13896,7 +13915,17 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ydb_vector_search_demo_spark.operators import ann as A
 
     embs = _t(spark, sf_dir, "embeddings")
-    g = A.knn_graph_bucketed(embs, "label", k=3).select("src", "dst")
+    # checkpoint the build ONCE, here: both consumers below — the seed
+    # relation (nodes ⋈ labels, eagerly checkpointed inside
+    # label_prop_iter) and the edge relation (likewise) — otherwise
+    # each replay the full n²/B bucketed build at construction time.
+    # Measured r14: 7.85 s → the build exactly once (the docstring's
+    # "checkpointed once" claim was aspirational before this).
+    g = (
+        A.knn_graph_bucketed(embs, "label", k=3)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
     nodes = g.select(F.col("src").alias("vec_id")).distinct()
     seeds = nodes.join(embs.select("vec_id", "label"), "vec_id").select(
         F.col("vec_id").alias("id"),
@@ -14011,14 +14040,15 @@ def q_streaming_quantile_state(
     )
     _STREAM_COUNTER["n"] += 1
     name = f"stream_qsketch_{_STREAM_COUNTER['n']}"
-    q = (
-        grain.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with EV.stream_shuffle_scope(spark, sf_dir, tables=("events",)):
+        q = (
+            grain.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     state = spark.table(name)
     out = SK.hist_quantiles(
         state, ["event_type"], [0.5, 0.9, 0.99], _QSK_LO, _QSK_HI,
@@ -15598,10 +15628,11 @@ def q_store_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("latestFirst", "false")
         .parquet(src)
     )
-    q = stream_scd2_ingest_incremental(
-        stream, root, os.path.join(work, "ckpt")
-    ).start()
-    q.awaitTermination()
+    with EV.stream_shuffle_scope(spark, sf_dir, tables=("documents",)):
+        q = stream_scd2_ingest_incremental(
+            stream, root, os.path.join(work, "ckpt")
+        ).start()
+        q.awaitTermination()
     return (
         read_scd2_history_incremental(spark, root)
         .select("doc_id", "text", "valid_from", "valid_to", "is_current")

@@ -25,6 +25,95 @@ def _events_schema(spark: SparkSession, path: str) -> StructType:
 
 SESSION_GAP_MINUTES = 30
 
+# --------------------------------------------------- state sizing
+# Structured Streaming pins its STATE partitioning to
+# spark.sql.shuffle.partitions at the first batch and AQE never
+# re-coalesces it (state-store layout must stay fixed), so every
+# stateful trigger pays one state-store commit + task per partition
+# PER TRIGGER regardless of data volume. A session-wide constant is
+# therefore wrong in both directions: tuned to the local core count
+# it wastes ~2x wall-clock on replay-bounded state (measured r14:
+# cusum replay 3.75 s at 32 partitions vs 1.69 s at 4, identical
+# results), tuned small it would throttle a 100 TB stream. The
+# guide's prescription (spark_optimization_guide.md §2.2/§2.5) is to
+# DERIVE the partition count from input scale: bytes / target,
+# floored for parallelism, capped at the session's configured
+# default (which a real cluster sizes to 2-3x total cores — the cap
+# keeps the 100 TB posture identical to today's).
+
+STREAM_TARGET_PARTITION_BYTES = 32 * 1024 * 1024
+STREAM_PARTITION_FLOOR = 4
+
+
+def _path_bytes(path: str) -> int:
+    import os
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path, followlinks=True):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def scaled_stream_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = ("events",),
+    target_bytes: int = STREAM_TARGET_PARTITION_BYTES,
+    floor: int = STREAM_PARTITION_FLOOR,
+) -> int:
+    """Shuffle/state partition count for a streaming replay over the
+    named source tables, derived from their on-disk bytes: one
+    partition per ``target_bytes`` of source, at least ``floor``
+    (parallelism floor), at most the session's configured default
+    (the scale cap — a cluster-sized default is never lowered for a
+    genuinely large source)."""
+    import math
+    import os
+
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    total = 0
+    for t in tables:
+        total += _path_bytes(os.path.abspath(f"{sf_dir}/{t}.parquet"))
+    derived = max(int(floor), math.ceil(total / float(target_bytes)))
+    return min(cap, derived)
+
+
+class stream_shuffle_scope:
+    """Bound a streaming query's state partitioning to the
+    source-derived count (:func:`scaled_stream_partitions`) for the
+    duration of a ``with`` block, restoring the session default on
+    exit. Wrap exactly the ``writeStream ... start(); awaitTermination``
+    region: the conf is read at stream-query planning time, so batch
+    work before/after the block keeps the session default (and AQE)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        tables: tuple[str, ...] = ("events",),
+        target_bytes: int = STREAM_TARGET_PARTITION_BYTES,
+        floor: int = STREAM_PARTITION_FLOOR,
+    ) -> None:
+        self._spark = spark
+        self._n = scaled_stream_partitions(
+            spark, sf_dir, tables=tables, target_bytes=target_bytes,
+            floor=floor,
+        )
+
+    def __enter__(self) -> int:
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+        return self._n
+
+    def __exit__(self, *exc) -> None:
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+
 
 def hourly_counts(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour windowed aggregation: count + value sum per
@@ -533,11 +622,15 @@ def cusum_monitor_stream(
         state["batches"].append((bid, len(rows), flags))
         state["final"] = rows
 
-    q = (
-        grain.writeStream.foreachBatch(on_batch)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # the hourly-grain state is replay-bounded; size its partitioning
+    # from the source, not the session core count (the foreachBatch
+    # cusum jobs plan under the same scope — same tiny grain)
+    with stream_shuffle_scope(spark, sf_dir):
+        q = (
+            grain.writeStream.foreachBatch(on_batch)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return state
