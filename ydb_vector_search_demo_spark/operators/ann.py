@@ -2735,29 +2735,42 @@ def graph_search_parquet(
 
     entry = [int(i) for i in entry_ids]
     visited: dict = {int(qi): set(entry) for qi in qids}
-    # Each layer is materialized once (localCheckpoint): the loop
-    # collects its beam cut AND the final union re-reads it — without
-    # the checkpoint the union would re-execute every per-hop pruned
-    # fetch a second time (r7 verdict finding).
-    layer = scored_fetch({qi: entry for qi in qids}).localCheckpoint(
-        eager=True
-    )
-    scored_layers = [layer]
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").asc_nulls_last(), F.col("vec_id").asc()
-    )
-    for _ in range(int(rounds)):
-        frontier_rows = (
-            layer.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= int(beam))
-            .select("query_id", "vec_id")
-            .collect()
+    # Each scored layer is COLLECTED once (it is driver-bounded —
+    # Q × beam × degree rows by the beam-search contract, the same
+    # boundedness that lets the in-memory variant broadcast): the
+    # beam cut runs over the collected rows under the IDENTICAL
+    # (score asc nulls-last, vec_id asc) total order the window used,
+    # and the final ranking recreates one local relation from the
+    # collected layers. This replaces the r7-r13 shape — one eager
+    # localCheckpoint job + one window-cut job per hop — with the
+    # single pruned-fetch job per hop the design needs (r14 measured:
+    # 4.75 s → see OPTIMIZATION_r14.md; scores travel as exact
+    # doubles through collect/createDataFrame, so results are
+    # bit-identical — equality with graph_search stays pinned in
+    # tests/test_graph_search.py).
+    import math
+
+    def _beam_key(r):
+        s = r["score"]
+        # mirror the window order exactly: NULL last, NaN after all
+        # real doubles (Spark's double ordering), vec_id breaks ties
+        return (
+            s is None,
+            isinstance(s, float) and math.isnan(s),
+            0.0 if s is None or math.isnan(s) else s,
+            int(r["vec_id"]),
         )
-        frontier: dict = {}
-        for r in frontier_rows:
-            frontier.setdefault(int(r["query_id"]), set()).add(
-                int(r["vec_id"])
-            )
+
+    layer_rows = scored_fetch({qi: entry for qi in qids}).collect()
+    all_rows = list(layer_rows)
+    for _ in range(int(rounds)):
+        by_q: dict = {}
+        for r in layer_rows:
+            by_q.setdefault(int(r["query_id"]), []).append(r)
+        frontier: dict = {
+            qi: {int(r["vec_id"]) for r in sorted(rs, key=_beam_key)[: int(beam)]}
+            for qi, rs in by_q.items()
+        }
         front_ids = sorted({i for ids in frontier.values() for i in ids})
         if not front_ids:
             break
@@ -2779,11 +2792,15 @@ def graph_search_parquet(
                 visited[qi] |= new
         if not cand:
             break
-        layer = scored_fetch(cand).localCheckpoint(eager=True)
-        scored_layers.append(layer)
-    allv = scored_layers[0]
-    for extra in scored_layers[1:]:
-        allv = allv.unionByName(extra)
+        layer_rows = scored_fetch(cand).collect()
+        all_rows.extend(layer_rows)
+    allv = spark.createDataFrame(
+        [(int(r["query_id"]), int(r["vec_id"]), r["score"]) for r in all_rows],
+        "query_id INT, vec_id BIGINT, score DOUBLE",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc_nulls_last(), F.col("vec_id").asc()
+    )
     return (
         allv.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(k))
