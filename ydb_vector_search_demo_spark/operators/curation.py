@@ -2442,7 +2442,8 @@ def bpe_train_segment(
 
 
 def wordpiece_merge_steps(
-    docs: DataFrame, steps: int = 4, text_col: str = "text"
+    docs: DataFrame, steps: int = 4, text_col: str = "text",
+    _wc: DataFrame | None = None,
 ) -> DataFrame:
     """WordPiece TOKENIZER TRAINING, the first ``steps`` merges
     (Schuster & Nakajima 2012; the BERT tokenizer's trainer) — the
@@ -2475,7 +2476,12 @@ def wordpiece_merge_steps(
     ties break on the (pair_count desc, lhs, rhs) total order.
     Returns one row per step: (step, lhs, rhs, pair_count, lhs_count,
     rhs_count, score, merged)."""
-    wc = _word_counts(docs, text_col)
+    wc = _wc if _wc is not None else _word_counts(docs, text_col)
+    # checkpointed: the '##'-prefixing transform is a CodegenFallback
+    # HOF, and step 1's two explode consumers (unary counts, pair
+    # counts) would re-evaluate it per OUTPUT symbol row (the Generate
+    # re-eval pathology, measured on duplicated_ngram_spans); steps
+    # 2+ already read the checkpointed _bpe_apply_merge output.
     syms = wc.select(
         "w",
         "n_w",
@@ -2483,7 +2489,7 @@ def wordpiece_merge_steps(
             F.split("w", r"(?!^)(?=.)"),
             lambda c, i: F.when(i == 0, c).otherwise(F.concat(F.lit("##"), c)),
         ).alias("syms"),
-    )
+    ).localCheckpoint(eager=True)
     outs: list[DataFrame] = []
     for t in range(1, int(steps) + 1):
         unary = (
@@ -2589,19 +2595,25 @@ def wordpiece_apply_fertility(
     from ydb_vector_search_demo_spark.sources.tables import fan_out
 
     L = int(max_piece_len)
-    merges = wordpiece_merge_steps(docs, steps=steps, text_col=text_col)
+    # ONE word-counts pass shared with the trainer (r14: the apply and
+    # the trainer each ran their own corpus shuffle to the identical
+    # word grain), and the alphabet explode reads a CHECKPOINTED
+    # symbol table (the wordpiece_merge_steps note: Generate
+    # re-evaluates a CodegenFallback child per output row).
     wc = _word_counts(docs, text_col)
+    merges = wordpiece_merge_steps(
+        docs, steps=steps, text_col=text_col, _wc=wc
+    )
+    wsyms = wc.select(
+        F.transform(
+            F.split("w", r"(?!^)(?=.)"),
+            lambda c, i: F.when(i == 0, c).otherwise(
+                F.concat(F.lit("##"), c)
+            ),
+        ).alias("syms")
+    ).localCheckpoint(eager=True)
     alpha = (
-        wc.select(
-            F.explode(
-                F.transform(
-                    F.split("w", r"(?!^)(?=.)"),
-                    lambda c, i: F.when(i == 0, c).otherwise(
-                        F.concat(F.lit("##"), c)
-                    ),
-                )
-            ).alias("s")
-        )
+        wsyms.select(F.explode("syms").alias("s"))
         .union(merges.select(F.col("merged").alias("s")))
         .distinct()
     )

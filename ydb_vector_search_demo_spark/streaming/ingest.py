@@ -436,7 +436,15 @@ def init_scd2_base(
     h = rag.scd2_history(
         base, empty_u, empty_d, key_col=key_col, payload_col=payload_col
     ).withColumn("kb", _scd2_kb(key_col, n_buckets))
-    h.write.mode("overwrite").partitionBy("kb").parquet(vdir)
+    # cluster by the partition column before the partitionBy write
+    # (guide §6 small-files): without it every shuffle-partition task
+    # writes into every kb directory — tasks × n_buckets files (512 at
+    # the 32-partition default), which every subsequent resolve/read
+    # re-lists and re-opens; clustered, the seed is one file per
+    # bucket at any scale.
+    h.repartition("kb").write.mode("overwrite").partitionBy("kb").parquet(
+        vdir
+    )
     _write_scd2_meta(
         spark, vdir, {"through": -1, "n_buckets": int(n_buckets)}
     )
@@ -722,7 +730,11 @@ def compact_scd2_history(
     ).withColumn("kb", _scd2_kb(key_col, nb))
     hist = stores.store_history(spark, hroot)
     vdir = f"{hroot}/v{hist[-1][0] + 1}"
-    full.write.mode("overwrite").partitionBy("kb").parquet(vdir)
+    # cluster by kb before the partitionBy write (the init_scd2_base
+    # note: unclustered, tasks × n_buckets small files)
+    full.repartition("kb").write.mode("overwrite").partitionBy(
+        "kb"
+    ).parquet(vdir)
     _write_scd2_meta(
         spark, vdir, {"through": through, "n_buckets": nb}
     )
