@@ -160,6 +160,11 @@ def synthesize_media_table(documents: DataFrame) -> DataFrame:
                 }
             )
 
+    # NOT fan_out (r14 A/B): the synthesis is cheap relative to the
+    # repartition + per-partition Python-worker coordination it would
+    # add (interleaved: 0.48-0.54 s plain vs 0.60-0.67 s fanned; the
+    # bands path 0.92-1.29 vs 1.35-1.41) — unlike the pair-scoring
+    # operators, where fan_out is a 2-4x win.
     return documents.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
 
 

@@ -1623,8 +1623,15 @@ def knn_graph_bucketed(
         raise ValueError(
             f"unknown metric {metric!r}; one of {sorted(METRICS)}"
         )
+    from ydb_vector_search_demo_spark.sources.tables import fan_out
+
     hoist_norms = metric == "cosine"
-    src = sources if sources is not None else embeddings
+    # fan_out the PROBE side: the n²/B pair scoring happens in the
+    # probe side's partitions (the neighbor side broadcasts at test
+    # scale), so a single-file corpus scan otherwise serializes the
+    # whole build on one core (measured r14: 3.1 s → 1.0 s at sf0.1,
+    # identical edges). No-op at real scale (the scan already splits).
+    src = fan_out(sources if sources is not None else embeddings)
     a = src.select(
         F.col(bucket_col).alias("_bk"),
         F.col(id_col).alias("src"),

@@ -649,7 +649,11 @@ def bitext_margin_mine(
     buckets = [bucket_col] if bucket_col else []
 
     def _side(df: DataFrame, tag: str) -> DataFrame:
-        return df.select(
+        # fan_out: the cross-side pair scoring runs in the probe
+        # side's partitions (the knn_graph_bucketed note)
+        from ydb_vector_search_demo_spark.sources.tables import fan_out
+
+        return fan_out(df).select(
             *buckets,
             F.col(id_col).alias(f"{tag}_id"),
             F.col(vector_col).alias(f"{tag}_v"),

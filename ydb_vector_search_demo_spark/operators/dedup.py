@@ -813,7 +813,12 @@ def _semantic_pairs_impl(
     from ydb_vector_search_demo_spark.functions.vector import dot, l2_norm
     from ydb_vector_search_demo_spark.operators.ann import ivf_assign
 
-    assigned = ivf_assign(centroids, embeddings, id_col=id_col, vector_col=vector_col)
+    # fan_out: the within-cell pair scoring runs in this relation's
+    # partitions — a single-file corpus scan otherwise serializes the
+    # n²/k cosine folds on one core (the knn_graph_bucketed note)
+    assigned = ivf_assign(
+        centroids, fan_out(embeddings), id_col=id_col, vector_col=vector_col
+    )
     normed = _persist(
         assigned.select(
             F.col("centroid_id"),
@@ -1273,7 +1278,10 @@ def cross_shard_semantic_dedup(
 
     pack = F.lit(1 << 40)
     # ivf_assign keeps only (id, vector), so the shard rides INSIDE
-    # the packed key and is unpacked after assignment
+    # the packed key and is unpacked after assignment. fan_out: the
+    # within-cell cross-shard pair scoring runs in this relation's
+    # partitions (the knn_graph_bucketed note).
+    shard_canonicals = fan_out(shard_canonicals)
     keyed = shard_canonicals.select(
         (F.col(shard_col).cast("bigint") * pack
          + F.col(id_col).cast("bigint")).alias("_key"),

@@ -1192,7 +1192,12 @@ def maxsim_topk(
         portable_embed_expr,
     )
 
-    toked = docs.select(
+    from ydb_vector_search_demo_spark.sources.tables import fan_out
+
+    # fan_out: the per-token md5 embedding + Q similarity columns are
+    # the heavy map work and run in the scan's partitions — a
+    # single-file corpus otherwise serializes them on one core
+    toked = fan_out(docs).select(
         F.col(id_col),
         F.explode(F.slice(_tokens(text_col), 1, int(max_tokens))).alias(
             "_tok"
