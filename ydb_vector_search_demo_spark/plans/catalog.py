@@ -1176,7 +1176,10 @@ def q_text_tfidf_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't flip the argmax. The MLlib pipeline variant
     (text_tfidf_top_terms) stays rows-only."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    terms = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    # fan_out: tokenize+explode is the heavy map pass (single-file scan)
+    terms = fan_out(docs).select(
+        "doc_id", F.explode(T.tokens("text")).alias("term")
+    )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     w_term = Window.partitionBy("term")
@@ -4453,7 +4456,7 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + fold pipeline twice per document (r14 A/B: 2.74 s → 1.53 s,
     # bit-identical; staging below the orderBy instead loses — range
     # partitioning SAMPLES its child, re-running the projection).
-    staged = d.select("doc_id", score.alias("_s")).localCheckpoint(
+    staged = fan_out(d).select("doc_id", score.alias("_s")).localCheckpoint(
         eager=True
     )
     return staged.select(
@@ -7747,7 +7750,7 @@ def q_text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate never undercounts — Cormode & Muthukrishnan 2005), pinned
     as a law in tests/test_sketch.py."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(T.tokens("text")).alias("token"))
+    toks = fan_out(docs).select(F.explode(T.tokens("text")).alias("token"))
     cms = SK.cms_build(toks, "token")
     cands = toks.select("token").distinct()
     est = SK.cms_estimate(cms, cands, "token")
@@ -11297,7 +11300,7 @@ def q_corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ydb_vector_search_demo_spark.functions.textstats import tokens
 
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
+    tok = fan_out(docs).select(
         "lang", F.explode(tokens(F.col("text"))).alias("tok")
     )
     cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
@@ -11730,7 +11733,7 @@ def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id", F.row_number().over(w).alias("pos")
     ).filter(F.col("pos") <= 10)
     tok = (
-        docs.select("doc_id", F.explode(T.tokens("text")).alias("_t"))
+        fan_out(docs).select("doc_id", F.explode(T.tokens("text")).alias("_t"))
         .select("doc_id", F.lower("_t").alias("_t"))
         .filter(F.col("_t").isin(_BM25_TERMS))
     )
@@ -11974,7 +11977,9 @@ def q_corpus_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocabulary grain (vocab rows, not corpus rows); the corpus
     shuffles once."""
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select("lang", F.explode(T.tokens("text")).alias("tok"))
+    tok = fan_out(docs).select(
+        "lang", F.explode(T.tokens("text")).alias("tok")
+    )
     cnt = tok.groupBy("lang", "tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
@@ -12718,7 +12723,9 @@ def q_corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ydb_vector_search_demo_spark.operators.stats import zipf_ols
 
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select("lang", F.explode(T.tokens("text")).alias("tok"))
+    tok = fan_out(docs).select(
+        "lang", F.explode(T.tokens("text")).alias("tok")
+    )
     cnt = tok.groupBy("lang", "tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
@@ -12844,7 +12851,7 @@ def q_corpus_classifier_calibration(
         calibration_bins,
     )
 
-    d = curation.quality_gate(_t(spark, sf_dir, "documents"))
+    d = curation.quality_gate(fan_out(_t(spark, sf_dir, "documents")))
     scored = d.select(
         curation.classifier_score_expr("text", _QCLF_W, _QCLF_B).alias(
             "score"
@@ -12937,7 +12944,7 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     graded dedup rows."""
     from ydb_vector_search_demo_spark.operators import curation
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = fan_out(_t(spark, sf_dir, "documents")).select(
         "source",
         "lang",
         "n_chars",
@@ -14325,7 +14332,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n=3, threshold=0.5, max_shingle_doc_freq=1000
     ).select("a", "b")
     comp = curation.dedup_clusters(docs.select("doc_id"), pairs)
-    scored = docs.select(
+    # fan_out: the hashed-classifier scoring pass is the heavy map
+    # work and the single-file scan otherwise runs it on one core
+    scored = fan_out(docs).select(
         "doc_id",
         curation.classifier_score_expr("text", _QCLF_W, _QCLF_B).alias(
             "score"
