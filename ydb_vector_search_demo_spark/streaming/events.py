@@ -45,21 +45,6 @@ STREAM_TARGET_PARTITION_BYTES = 32 * 1024 * 1024
 STREAM_PARTITION_FLOOR = 4
 
 
-def _path_bytes(path: str) -> int:
-    import os
-
-    if os.path.isfile(path):
-        return os.path.getsize(path)
-    total = 0
-    for root, _dirs, files in os.walk(path, followlinks=True):
-        for f in files:
-            try:
-                total += os.path.getsize(os.path.join(root, f))
-            except OSError:
-                pass
-    return total
-
-
 def scaled_stream_partitions(
     spark: SparkSession,
     sf_dir: str,
@@ -72,14 +57,32 @@ def scaled_stream_partitions(
     partition per ``target_bytes`` of source, at least ``floor``
     (parallelism floor), at most the session's configured default
     (the scale cap — a cluster-sized default is never lowered for a
-    genuinely large source)."""
+    genuinely large source).
+
+    Sources are sized through the Hadoop FileSystem API
+    (sources.tables.fs_file_bytes), never ``os.walk``: a local walk
+    silently totals 0 bytes for any non-local scheme (S3A/HDFS), which
+    would collapse a genuinely large remote source to the floor — the
+    exact failure the cap exists to prevent (r14 ADVICE). An
+    unreadable or zero-byte total falls back to the session default:
+    "don't know" must never mean "tiny"."""
     import math
     import os
+
+    from ydb_vector_search_demo_spark.sources.tables import fs_file_bytes
 
     cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
     total = 0
     for t in tables:
-        total += _path_bytes(os.path.abspath(f"{sf_dir}/{t}.parquet"))
+        path = f"{sf_dir}/{t}.parquet"
+        if "://" not in path:
+            path = os.path.abspath(path)
+        try:
+            total += sum(b for _p, b in fs_file_bytes(spark, path))
+        except Exception:
+            return cap
+    if total <= 0:
+        return cap
     derived = max(int(floor), math.ceil(total / float(target_bytes)))
     return min(cap, derived)
 
@@ -90,7 +93,16 @@ class stream_shuffle_scope:
     duration of a ``with`` block, restoring the session default on
     exit. Wrap exactly the ``writeStream ... start(); awaitTermination``
     region: the conf is read at stream-query planning time, so batch
-    work before/after the block keeps the session default (and AQE)."""
+    work before/after the block keeps the session default (and AQE).
+
+    Concurrency contract (r14 ADVICE): ``spark.sql.shuffle.partitions``
+    is session-global, so any batch query PLANNED concurrently from
+    another thread inside the block silently inherits the lowered
+    count — use only where the scoped stream is the session's sole
+    in-flight work (the catalog rows replay their streams serially).
+    LIFO ``with`` nesting restores correctly (each scope re-reads the
+    current value at entry); interleaved enter/exit across scopes, or
+    concurrent scopes on one session, are not supported."""
 
     def __init__(
         self,
