@@ -8653,15 +8653,28 @@ def _scd2_change_fixture(spark: SparkSession, sf_dir: str, prefix: str):
     src = os.path.join(work, "changes")
     os.makedirs(src)
     now = _time.time()
-    for i, sl in enumerate([v1, v2]):
-        staging = os.path.join(work, f"_stage_{i}")
-        sl.coalesce(1).write.mode("overwrite").parquet(staging)
+    # ONE staging write for both batch files (was one job per slice):
+    # partitionBy(_b) splits the two micro-batches into sibling
+    # directories whose single part-files are renamed into mtime order.
+    # Intra-file row order is irrelevant downstream (the replay is
+    # keyed), and the oracle replays from the docs table, not the files.
+    staging = os.path.join(work, "_stage")
+    (
+        v1.withColumn("_b", F.lit(0))
+        .unionByName(v2.withColumn("_b", F.lit(1)))
+        .repartition("_b")
+        .write.mode("overwrite")
+        .partitionBy("_b")
+        .parquet(staging)
+    )
+    for i in (0, 1):
+        bdir = os.path.join(staging, f"_b={i}")
         part = next(
-            f for f in os.listdir(staging)
+            f for f in os.listdir(bdir)
             if f.endswith(".parquet") and f.startswith("part-")
         )
         dest = os.path.join(src, f"b{i}.parquet")
-        os.rename(os.path.join(staging, part), dest)
+        os.rename(os.path.join(bdir, part), dest)
         os.utime(dest, (now - 60 + 30 * i,) * 2)
     return docs, work, src
 
@@ -15643,14 +15656,19 @@ def q_store_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "spark_scd2_inc_"
     )
     root = os.path.join(work, "store")
-    init_scd2_base(spark, docs, root)
     stream = (
         spark.readStream.schema(_SCD2_CH_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .option("latestFirst", "false")
         .parquet(src)
     )
+    # the seed write shares the stream's source-derived partitioning
+    # (scope widened r15): its window + kb-clustered write are sized by
+    # the same source bytes the replay is, and the per-bucket file
+    # layout is unchanged (each kb value lands in exactly one task
+    # either way)
     with EV.stream_shuffle_scope(spark, sf_dir, tables=("documents",)):
+        init_scd2_base(spark, docs, root)
         q = stream_scd2_ingest_incremental(
             stream, root, os.path.join(work, "ckpt")
         ).start()

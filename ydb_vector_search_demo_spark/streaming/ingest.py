@@ -458,6 +458,9 @@ def _scd2_resolve(
     payload_col: str,
     keys: DataFrame | None = None,
     before_batch: int | None = None,
+    hdir: str | None = None,
+    meta: dict | None = None,
+    buckets: list | None = None,
 ) -> DataFrame:
     """Newest-source-wins resolution of compacted history + deltas:
     per key, the delta with the highest batch id supersedes the
@@ -471,19 +474,28 @@ def _scd2_resolve(
     at or above the given batch id — the CHECKPOINT-REPLAY guard: a
     re-run micro-batch must not read the delta its crashed first
     attempt may have written (complete, it applies the batch's events
-    twice; partial, it poisons prior state outright)."""
+    twice; partial, it poisons prior state outright).
+
+    ``hdir``/``meta``/``buckets`` let the per-batch publish path pass
+    in the store pointer, the (immutable-per-version) meta and the
+    churn buckets it already resolved, so one micro-batch pays the
+    manifest/meta metadata reads and the churn-key job exactly once
+    (guide §5 driver latency); readers omit them and resolve here."""
     from ydb_vector_search_demo_spark import stores
 
     hroot = f"{root}/hbase"
-    hdir = stores.current_store_path(spark, hroot)
+    if hdir is None:
+        hdir = stores.current_store_path(spark, hroot)
     if hdir is None:
         raise ValueError(f"init_scd2_base has not run for {root!r}")
-    meta = _read_scd2_meta(spark, hdir)
+    if meta is None:
+        meta = _read_scd2_meta(spark, hdir)
     hb = spark.read.parquet(hdir)
     if keys is not None:
-        buckets = [
-            int(r["kb"]) for r in keys.select("kb").distinct().collect()
-        ]
+        if buckets is None:
+            buckets = [
+                int(r["kb"]) for r in keys.select("kb").distinct().collect()
+            ]
         hb = hb.filter(F.col("kb").isin(buckets)).join(
             F.broadcast(keys.select(key_col)), key_col
         )
@@ -515,12 +527,28 @@ def _scd2_resolve(
             deltas = deltas.join(
                 F.broadcast(keys.select(key_col)), key_col
             )
-    allrows = hb if deltas is None else hb.unionByName(deltas)
-    win = allrows.groupBy(key_col).agg(F.max("_batch").alias("_w"))
+    data_cols = [key_col, payload_col, "valid_from", "valid_to", "is_current"]
+    if deltas is None:
+        # no open deltas (or none visible below the replay guard):
+        # every row carries _batch = -1, the winner window is the
+        # identity — skip its shuffle outright (batch 0 of every
+        # replay, and any read right after a compaction)
+        return hb.select(*data_cols)
+    # newest-source-wins as ONE keyed window, not groupBy(max) + join
+    # back: the join form references the union twice, so the store +
+    # delta union was SCANNED twice per resolution (12 parquet scans in
+    # the served-read plan at 16 buckets; guide §2.4 — remove shuffles/
+    # passes outright). The window reads it once and keeps the same
+    # rows: per key, every row whose _batch equals the key's max.
+    from pyspark.sql import Window
+
     return (
-        allrows.join(win, key_col)
+        hb.unionByName(deltas)
+        .withColumn(
+            "_w", F.max("_batch").over(Window.partitionBy(key_col))
+        )
         .filter(F.col("_batch") == F.col("_w"))
-        .select(key_col, payload_col, "valid_from", "valid_to", "is_current")
+        .select(*data_cols)
     )
 
 
@@ -546,26 +574,49 @@ def _scd2_events_from_history(
     """Invert a history slice back into its event log: every row is an
     upsert at ``valid_from``; a delete happened at ``valid_to``
     wherever an interval closed and NO successor interval opens at
-    that version (a left-anti self-join on the churn-bound slice)."""
-    ups = hist.select(
-        key_col,
+    that version.
+
+    Shape: the successor test rides ONE keyed window (the key's open
+    versions as an in-row array) + a conditional explode — not the
+    earlier left-anti self-join, which referenced ``hist`` three
+    times, so the whole upstream resolution (store + delta scans and
+    their window) was evaluated three times inside every delta-write
+    plan (guide §1.2/§2.4). ``hist`` is already key-partitioned by the
+    resolve window, so the window here adds no Exchange; the event
+    SET is identical (at-most-one-change-per-(key, version) contract:
+    per closed row, exactly one membership decision)."""
+    from pyspark.sql import Window
+
+    up_ev = F.struct(
         F.col(payload_col).alias("_p"),
         F.col("valid_from").cast("int").alias("_v"),
         F.lit(True).alias("_is_upsert"),
     )
-    closed = hist.filter(F.col("valid_to") != -1).select(
-        key_col, F.col("valid_to").cast("int").alias("_v")
-    )
-    opens = hist.select(
-        key_col, F.col("valid_from").cast("int").alias("_v")
-    )
-    dels = closed.join(opens, [key_col, "_v"], "left_anti").select(
-        key_col,
+    del_ev = F.struct(
         F.lit(None).cast("string").alias("_p"),
-        "_v",
+        F.col("valid_to").cast("int").alias("_v"),
         F.lit(False).alias("_is_upsert"),
     )
-    return ups.unionByName(dels)
+    evs = F.when(
+        (F.col("valid_to") != -1)
+        & ~F.array_contains(F.col("_opens"), F.col("valid_to").cast("int")),
+        F.array(up_ev, del_ev),
+    ).otherwise(F.array(up_ev))
+    return (
+        hist.withColumn(
+            "_opens",
+            F.collect_list(F.col("valid_from").cast("int")).over(
+                Window.partitionBy(key_col)
+            ),
+        )
+        .select(F.col(key_col), F.explode(evs).alias("_e"))
+        .select(
+            key_col,
+            F.col("_e._p").alias("_p"),
+            F.col("_e._v").alias("_v"),
+            F.col("_e._is_upsert").alias("_is_upsert"),
+        )
+    )
 
 
 def apply_scd2_batch(
@@ -581,7 +632,16 @@ def apply_scd2_batch(
     state for the batch's churn keys (bucket-pruned, churn-bound,
     EXCLUDING deltas at or above this batch id — the checkpoint-replay
     guard), invert to events, re-run the SCD2 window for those keys,
-    overwrite ``root/hdelta/batch=<id>``."""
+    overwrite ``root/hdelta/batch=<id>``.
+
+    Driver-job budget (guide §5): the churn keys and their buckets
+    come from ONE collect — they are micro-batch-bounded and already
+    had to fit in memory (the resolve broadcasts them), so collecting
+    is the same envelope as the broadcast build it replaces; the
+    collected rows re-enter as a local relation, and the store
+    pointer + meta are read once and passed through the resolve
+    instead of being re-read per helper. One micro-batch is therefore
+    one keys job + one delta-write job."""
     from ydb_vector_search_demo_spark import stores
     from ydb_vector_search_demo_spark.pipeline import rag
 
@@ -589,12 +649,16 @@ def apply_scd2_batch(
     hdir = stores.current_store_path(spark, f"{root}/hbase")
     meta = _read_scd2_meta(spark, hdir)
     nb = int(meta["n_buckets"])
-    keys = batch_df.select(F.col(key_col)).distinct().withColumn(
+    kdf = batch_df.select(F.col(key_col)).distinct().withColumn(
         "kb", _scd2_kb(key_col, nb)
-    ).localCheckpoint(eager=True)
+    )
+    key_rows = kdf.collect()
+    keys = spark.createDataFrame(key_rows, kdf.schema)
+    buckets = sorted({int(r["kb"]) for r in key_rows})
     prior = _scd2_resolve(
         spark, root, key_col, payload_col,
         keys=keys, before_batch=int(batch_id),
+        hdir=hdir, meta=meta, buckets=buckets,
     )
     ev_prior = _scd2_events_from_history(prior, key_col, payload_col)
     ups = batch_df.filter(F.col("op") == "upsert").select(
