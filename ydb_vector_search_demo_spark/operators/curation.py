@@ -3546,51 +3546,74 @@ def pair_bleu(
     docs (semi-join first — at scale the pair feed is the banded
     near-dup generator's output, a vanishing fraction of the corpus);
     one (doc, n, gram)-keyed count, one keyed join per side, and the
-    per-pair rollup — never a corpus-wide self-join. The gram grain
-    is checkpointed before its two consumers (candidate and reference
-    sides)."""
+    per-pair rollup — never a corpus-wide self-join. All four gram
+    orders are built as ONE staged array inside the token checkpoint
+    and leave through ONE Generate (r15: the earlier shape ran four
+    explodes whose transform children are CodegenFallback — Generate
+    re-evaluates such a child per OUTPUT row, the duplicated_ngram_
+    spans pathology, ~O(|toks|²) array_joins per doc per order); the
+    pair feed and the gram counts are persisted, not checkpoint
+    barriers (guide §1.2 — two fewer driver-blocking jobs; each is
+    evaluated once per run and released by the module release hook)."""
     from ydb_vector_search_demo_spark.functions.textstats import tokens
+    from ydb_vector_search_demo_spark.operators.dedup import _persist
     from ydb_vector_search_demo_spark.sources.tables import fan_out
 
     N = int(max_n)
-    pr = pairs.select(
-        F.col("a").cast("bigint").alias("a"),
-        F.col("b").cast("bigint").alias("b"),
-    ).localCheckpoint(eager=True)
+    pr = _persist(
+        pairs.select(
+            F.col("a").cast("bigint").alias("a"),
+            F.col("b").cast("bigint").alias("b"),
+        )
+    )
+    # ONE reference to the pair feed (explode of the [a, b] pair), so
+    # the persisted relation is computed exactly once, inside the token
+    # checkpoint job — a union of two selects would race its own cache
+    # population
     pd_ids = (
-        pr.select(F.col("a").alias(id_col))
-        .union(pr.select(F.col("b").alias(id_col)))
+        pr.select(
+            F.explode(F.array(F.col("a"), F.col("b"))).alias(id_col)
+        )
         .distinct()
+    )
+    gram_arr = F.flatten(
+        F.array(
+            *[
+                F.when(
+                    F.size("_toks") >= F.lit(n),
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_toks") - F.lit(n - 1)),
+                        (
+                            lambda nn: lambda i: F.struct(
+                                F.lit(nn).alias("_n"),
+                                F.array_join(
+                                    F.slice("_toks", i, F.lit(nn)), " "
+                                ).alias("_gram"),
+                            )
+                        )(n),
+                    ),
+                ).otherwise(
+                    F.array().cast(
+                        "array<struct<_n:int,_gram:string>>"
+                    )
+                )
+                for n in range(1, N + 1)
+            ]
+        )
     )
     tk = (
         fan_out(docs)
         .join(pd_ids, id_col)
         .select(F.col(id_col).alias("_d"), tokens(text_col).alias("_toks"))
         .withColumn("_nt", F.size("_toks").cast("bigint"))
+        .withColumn("_grams", gram_arr)
         .localCheckpoint(eager=True)
     )
-    grams = None
-    for n in range(1, N + 1):
-        g = tk.select(
-            "_d",
-            F.lit(n).alias("_n"),
-            F.explode(
-                F.when(
-                    F.size("_toks") >= F.lit(n),
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("_toks") - F.lit(n - 1)),
-                        lambda i: F.array_join(
-                            F.slice("_toks", i, F.lit(n)), " "
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("_gram"),
-        )
-        grams = g if grams is None else grams.unionByName(g)
-    gc = (
-        grams.groupBy("_d", "_n", "_gram")
+    gc = _persist(
+        tk.select("_d", F.explode("_grams").alias("_g"))
+        .select("_d", F.col("_g._n").alias("_n"), F.col("_g._gram").alias("_gram"))
+        .groupBy("_d", "_n", "_gram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
-        .localCheckpoint(eager=True)
     )
     cb = pr.join(gc, pr["b"] == gc["_d"]).select(
         "a", "b", "_n", "_gram", F.col("_c").alias("_cb")
