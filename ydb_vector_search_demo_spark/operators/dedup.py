@@ -1907,12 +1907,27 @@ def minhash_accuracy_eval(
     the graded oracle now does). Scale shape: the exact pair relation
     is the graded one-shuffle shingle self-join; signatures are a
     map-only pass joined in by pair key."""
+    # the pair relation is threshold-bounded (the broadcast below
+    # already requires it to fit in memory) — materialize it ONCE so
+    # it can prune the signature pass AND feed the final join without
+    # re-running the pair discovery (guide §1.2)
     pairs = shingle_jaccard_pairs(
         df, n=n, threshold=threshold, text_col=text_col,
         id_col=id_col, max_shingle_doc_freq=max_shingle_doc_freq,
-    ).select("a", "b", "inter")
+    ).select("a", "b", "inter").localCheckpoint(eager=True)
+    # signatures only for PAIR-PARTICIPANT docs: the final join keeps
+    # exactly these rows, so semi-joining the ids in first (broadcast
+    # — the same boundedness as the pair broadcast) prunes the 16-md5
+    # signature build from two corpus-wide passes to two passes over
+    # the participant set (r15; guide §1.2 "don't compute things you
+    # throw away"). The shingle pipeline itself still runs per pass —
+    # sharing it with the pair path's cache was A/B'd in r14 and
+    # rejected for cache pressure (the ×10-probe heap note below).
+    pd_ids = pairs.select(
+        F.explode(F.array(F.col("a"), F.col("b"))).alias(id_col)
+    ).distinct()
     shingles = F.array_distinct(word_shingles(F.col(text_col), n))
-    base = fan_out(df).select(
+    base = fan_out(df).join(F.broadcast(pd_ids), id_col).select(
         F.col(id_col).alias("sid"),
         shingles.alias("shingles"),
     )
@@ -1921,7 +1936,8 @@ def minhash_accuracy_eval(
     # already pins a corpus-sized cache (its exploded shingle
     # relation), and stacking a second cache on top of it is what
     # blew the 1g heap on the ×10 probe; two cheap recomputes beat
-    # cache pressure (at 100 TB: materialize signatures to a table)
+    # cache pressure (at 100 TB: materialize signatures to a table).
+    # Post-pruning both passes are participant-bounded anyway.
     sig = base.select(
         "sid",
         F.size("shingles").alias("ns"),
