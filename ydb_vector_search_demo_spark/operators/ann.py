@@ -3500,10 +3500,18 @@ def kcore_peel(
     edges all died must still be peeled).
 
     Scale shape per round: ONE symmetric-degree count (map-combinable
-    keyed agg) + one broadcast-able anti-join of the removed set +
-    one semi-join pass over the edges; survivor relations are
-    checkpointed per round (the pagerank lineage convention). Output
-    is ``rounds`` rows of exact counters."""
+    keyed agg) over the surviving edge relation, materialized as a
+    single NODE-grain checkpoint — one driver job per round, not the
+    earlier two (r15; guide §5 driver latency). The fusion leans on a
+    peel invariant: survivors shrink monotonically (ndₜ ⊆ ndₜ₋₁), so
+    the round-t edge set equals the ORIGINAL undirected relation
+    restricted to round-t survivors (eₜ = und|ndₜ) and never needs
+    its own materialization — each round's degree count joins the
+    checkpointed ``und`` against the previous round's (broadcast-able)
+    survivor filter, keeping lineage depth constant. Per-round edge
+    counts fall out of the NEXT round's degree sums (Σ deg = 2·|e|,
+    exact bigints); only the last round pays one lazy edge-count join
+    in the readout. Output is ``rounds`` rows of exact counters."""
     und = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
@@ -3513,53 +3521,68 @@ def kcore_peel(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = (
+    # round-0 survivors: every node — evaluated lazily inside round
+    # 1's degree job (a cheap distinct over the checkpointed und)
+    prev_nodes = (
         und.select(F.col("u").alias("n"))
         .unionByName(und.select(F.col("v").alias("n")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    spark = edges.sparkSession
-    out_rows = []
-    e, nd = und, nodes
+    prev_edges = und
+    degs_list = []
     for t in range(1, int(rounds) + 1):
-        sym = e.select(F.col("u").alias("n")).unionByName(
-            e.select(F.col("v").alias("n"))
+        sym = prev_edges.select(F.col("u").alias("n")).unionByName(
+            prev_edges.select(F.col("v").alias("n"))
         )
         deg = sym.groupBy("n").agg(
             F.count(F.lit(1)).cast("bigint").alias("_d")
         )
-        degs = nd.join(deg, "n", "left").select(
-            "n", F.coalesce("_d", F.lit(0)).cast("bigint").alias("_d")
-        )
-        removed = degs.filter(F.col("_d") < int(k)).select("n")
-        nd = (
-            degs.filter(F.col("_d") >= int(k))
-            .select("n")
+        degs = (
+            prev_nodes.join(deg, "n", "left")
+            .select(
+                "n", F.coalesce("_d", F.lit(0)).cast("bigint").alias("_d")
+            )
             .localCheckpoint(eager=True)
         )
-        e = (
-            e.join(nd.select(F.col("n").alias("u")), "u")
+        degs_list.append(degs)
+        nd = degs.filter(F.col("_d") >= int(k)).select("n")
+        prev_nodes = nd
+        prev_edges = (
+            und.join(nd.select(F.col("n").alias("u")), "u")
             .join(nd.select(F.col("n").alias("v")), "v")
             .select("u", "v")
-            .localCheckpoint(eager=True)
         )
-        stats = (
-            removed.agg(F.count(F.lit(1)).cast("bigint").alias("n_removed"))
-            .crossJoin(
-                nd.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    out_rows = []
+    for t in range(1, int(rounds) + 1):
+        degs = degs_list[t - 1]
+        counts = degs.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_d") < int(k), 1)), F.lit(0)
+            ).cast("bigint").alias("n_removed"),
+            F.coalesce(
+                F.sum(F.when(F.col("_d") >= int(k), 1)), F.lit(0)
+            ).cast("bigint").alias("n_nodes"),
+        )
+        if t < int(rounds):
+            # |eₜ| from round t+1's checkpointed degree sums: every
+            # endpoint of eₜ survives round t, so Σ _d = 2·|eₜ|
+            ecount = degs_list[t].agg(
+                F.expr(
+                    "cast(coalesce(sum(_d), 0) div 2 as bigint)"
+                ).alias("n_edges")
             )
-            .crossJoin(
-                e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        else:
+            ecount = prev_edges.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_edges")
             )
-            .select(
+        out_rows.append(
+            counts.crossJoin(ecount).select(
                 F.lit(t).cast("int").alias("round"),
                 "n_removed",
                 "n_nodes",
                 "n_edges",
             )
         )
-        out_rows.append(stats)
     out = out_rows[0]
     for o in out_rows[1:]:
         out = out.unionByName(o)
