@@ -3121,25 +3121,46 @@ def kmeans_lloyd_steps(
     Returns the post-training readout, one row per cluster: (cid,
     n_vecs, inertia_units, c_norm1) — final-assignment counts, exact
     within-cluster squared distance on the lattice, and the final
-    centroid's L1 norm, all exact bigints."""
+    centroid's L1 norm, all exact bigints.
+
+    r15 driver-latency shape (guide §5, the graph-serving precedent):
+    the k centroids are driver-bounded by contract (the earlier shape
+    already collected them into one broadcast row), so each update is
+    ONE job — the k·dims exact integers come back via collect and
+    re-enter the next assignment as a LITERAL array, dropping the
+    per-pass collect_list aggregate + broadcast exchange and the
+    centroid checkpoint chain. Assignment is an array_min over
+    (distance, cid) structs — the same (d asc, cid asc) winner as the
+    earlier first-strict-improvement fold, with the distance fold
+    evaluated once per centroid instead of twice. The lattice build is
+    fanned out (a single-file scan otherwise runs the whole
+    interpreted fold on one core; metadata-guarded no-op at scale)."""
+    from ydb_vector_search_demo_spark.sources.tables import fan_out
+
     scale = 1 << int(grid_bits)
-    g = embs.select(
+    g = fan_out(embs).select(
         F.col(id_col).alias("_vid"),
         F.expr(
             f"transform({vec_col}, x -> "
             f"CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
         ).alias("_g"),
     ).localCheckpoint(eager=True)
-    w0 = Window.orderBy("_vid")
-    cents = (
-        g.orderBy("_vid")
-        .limit(int(k))
-        .select(
-            (F.row_number().over(w0) - 1).cast("int").alias("_cid"),
-            F.col("_g").alias("_c"),
+    # pinned seeds: the k lowest-id vectors, ascending id → cid 0..k-1
+    cents_py = [
+        (i, [int(x) for x in r["_g"]])
+        for i, r in enumerate(g.orderBy("_vid").limit(int(k)).collect())
+    ]
+
+    def _cents_lit() -> Column:
+        # one JVM-parsed expression string: building k·dims literal
+        # Columns through the Python API is hundreds of py4j calls per
+        # pass
+        parts = ", ".join(
+            "named_struct('_cid', CAST(%d AS INT), '_c', array(%s))"
+            % (cid, ", ".join(f"CAST({x} AS BIGINT)" for x in c))
+            for cid, c in cents_py
         )
-        .localCheckpoint(eager=True)
-    )
+        return F.expr(f"array({parts})")
 
     def _dist(c: Column) -> Column:
         return F.aggregate(
@@ -3150,73 +3171,73 @@ def kmeans_lloyd_steps(
             lambda acc, x: acc + x,
         )
 
-    def _assign(cents_df: DataFrame) -> DataFrame:
-        one = cents_df.agg(
-            F.sort_array(
-                F.collect_list(F.struct("_cid", "_c"))
-            ).alias("_cents")
-        )
-        init = F.struct(
-            F.lit(None).cast("bigint").alias("d"),
-            F.lit(-1).cast("int").alias("cid"),
-        )
-        best = F.aggregate(
-            F.col("_cents"),
-            init,
-            lambda acc, c: F.when(
-                acc["d"].isNull() | (_dist(c) < acc["d"]),
-                F.struct(
+    def _best() -> Column:
+        # lexicographic struct min == (min distance, then min cid):
+        # identical winner and d to the first-strict-improvement fold
+        # over the cid-ascending centroid array
+        return F.array_min(
+            F.transform(
+                _cents_lit(),
+                lambda c: F.struct(
                     _dist(c).alias("d"), c["_cid"].alias("cid")
                 ),
-            ).otherwise(acc),
-        )
-        return g.crossJoin(F.broadcast(one)).select(
-            "_vid",
-            "_g",
-            best["cid"].alias("_cid"),
-            best["d"].alias("_d"),
+            )
         )
 
     for _ in range(int(iterations)):
-        assigned = _assign(cents)
-        upd = assigned.groupBy("_cid").agg(
-            F.count(F.lit(1)).cast("bigint").alias("_n"),
-            *[
-                F.sum(F.element_at("_g", i + 1))
-                .cast("bigint")
-                .alias(f"_s{i}")
-                for i in range(int(dims))
-            ],
-        )
-        new_c = upd.select(
-            "_cid",
-            F.array(
-                *[
-                    F.expr(f"_s{i} div _n").cast("bigint")
-                    for i in range(int(dims))
-                ]
-            ).alias("_cnew"),
-        )
-        cents = (
-            cents.join(F.broadcast(new_c), "_cid", "left")
-            .select(
-                "_cid",
-                F.coalesce(F.col("_cnew"), F.col("_c")).alias("_c"),
+        assigned = g.select("_g", _best()["cid"].alias("_cid"))
+        # update on the (cid, dim) grain via posexplode — NOT dims
+        # separate sum aggregates: a 64-column HashAggregate generates
+        # 64 update slots of whole-stage code that re-compiles every
+        # iteration (the assignment literals change), and the janino
+        # compile dominated the step at small SF. The exploded shape
+        # keeps the generated aggregate tiny and iteration-stable;
+        # sums, counts and the truncating div are unchanged exact
+        # bigint math in Spark.
+        upd = (
+            assigned.select(
+                "_cid", F.posexplode("_g").alias("_i", "_x")
             )
-            .localCheckpoint(eager=True)
+            .groupBy("_cid", "_i")
+            .agg(
+                F.sum("_x").cast("bigint").alias("_s"),
+                F.count(F.lit(1)).cast("bigint").alias("_n"),
+            )
+            .select(
+                "_cid", "_i",
+                F.expr("_s div _n").cast("bigint").alias("_c"),
+            )
         )
-    final = _assign(cents)
+        updated: dict = {}
+        for r in upd.collect():
+            updated.setdefault(int(r["_cid"]), {})[int(r["_i"])] = int(
+                r["_c"]
+            )
+        # empty clusters keep their previous centroid
+        cents_py = [
+            (
+                cid,
+                [updated[cid][i] for i in range(int(dims))]
+                if cid in updated
+                else c,
+            )
+            for cid, c in cents_py
+        ]
+    best = _best()
+    final = g.select(
+        "_g", best["cid"].alias("_cid"), best["d"].alias("_d")
+    )
     by_cell = final.groupBy("_cid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         F.sum("_d").cast("bigint").alias("inertia_units"),
     )
-    l1 = cents.select(
-        "_cid",
-        F.aggregate(
-            F.col("_c"),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + F.abs(x),
-        ).alias("c_norm1"),
+    # exact integer L1 of the final centroids, computed on the driver
+    # (same bigint fold over the same values) and joined back as a
+    # local relation
+    spark = embs.sparkSession
+    l1 = spark.createDataFrame(
+        [(cid, sum(abs(x) for x in c)) for cid, c in cents_py],
+        "_cid int, c_norm1 bigint",
     )
     return (
         by_cell.join(F.broadcast(l1), "_cid")
@@ -3383,14 +3404,23 @@ def power_iteration_gram(
     2^(2·grid_bits)) — the explained second moment along the
     direction, the convergence number a whitening pipeline monitors.
 
-    Scale shape: the lattice relation is checkpointed once; each
-    iteration is one broadcast crossJoin (the 1-row v) + one
-    map-combinable aggregate of dims sums — ZERO keyed shuffles; the
-    plan unrolls per iteration (the pagerank convention)."""
+    Scale shape: the lattice relation is checkpointed once (fanned
+    out — a single-file scan otherwise runs the interpreted fold on
+    one core; metadata-guarded no-op at scale); each iteration is one
+    map pass + one map-combinable aggregate of dims sums — ZERO keyed
+    shuffles. The iterate v is ONE row of dims bigints — driver-
+    bounded by construction — so each step's exact integers come back
+    via collect and re-enter the next pass as a LITERAL array (guide
+    §5, the graph-serving precedent), dropping the per-step broadcast
+    exchange and the v checkpoint chain; every divide stays in Spark
+    (``div``), so the collected ints are bit-identical to the earlier
+    relation-carried iterates."""
     d = int(dims)
     scale = 1 << int(grid_bits)
     shift = 1 << int(norm_bits)
-    g = embs.select(
+    from ydb_vector_search_demo_spark.sources.tables import fan_out
+
+    g = fan_out(embs).select(
         F.col(id_col).alias("_vid"),
         F.expr(
             f"transform({vec_col}, x -> "
@@ -3398,50 +3428,51 @@ def power_iteration_gram(
         ).alias("_g"),
     ).localCheckpoint(eager=True)
     spark = embs.sparkSession
-    v = spark.range(1).select(
-        F.expr(
-            f"transform(sequence(1, {d}), i -> CAST(1 AS BIGINT))"
-        ).alias("_v")
-    )
+    v_py = [1] * d
 
-    def _dot(a: str, b: str) -> Column:
+    def _v_lit() -> Column:
+        # one JVM-parsed expression string (the _cents_lit note)
+        return F.expr(
+            "array(%s)" % ", ".join(f"CAST({x} AS BIGINT)" for x in v_py)
+        )
+
+    def _dot(a, b) -> Column:
+        a = F.col(a) if isinstance(a, str) else a
+        b = F.col(b) if isinstance(b, str) else b
         return F.aggregate(
-            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.zip_with(a, b, lambda x, y: x * y),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
 
     for _ in range(int(iterations)):
-        s = g.crossJoin(F.broadcast(v)).select(
-            "_g", _dot("_g", "_v").alias("_s")
-        )
-        u = s.agg(
-            *[
-                F.sum(F.element_at("_g", i + 1) * F.col("_s"))
+        s = g.select("_g", _dot("_g", _v_lit()).alias("_s"))
+        # update on the dim grain via posexplode — NOT dims separate
+        # sum aggregates, whose 64-slot whole-stage code re-compiles
+        # every step (the v literals change) and dominated the step at
+        # small SF; the exploded sums are the same exact bigints
+        u_rows = sorted(
+            s.select("_s", F.posexplode("_g").alias("_i", "_x"))
+            .groupBy("_i")
+            .agg(
+                F.sum(F.col("_x") * F.col("_s"))
                 .cast("bigint")
-                .alias(f"_u{i}")
-                for i in range(d)
-            ]
+                .alias("_u")
+            )
+            .collect(),
+            key=lambda r: r["_i"],
         )
-        q = u.withColumn(
-            "_q",
-            F.greatest(
-                F.expr(
-                    "greatest("
-                    + ", ".join(f"abs(_u{i})" for i in range(d))
-                    + f") div {shift}"
-                ).cast("bigint"),
-                F.lit(1).cast("bigint"),
-            ),
-        )
-        v = q.select(
-            F.array(
-                *[F.expr(f"_u{i} div _q") for i in range(d)]
-            ).alias("_v")
-        ).localCheckpoint(eager=True)
-    sfin = g.crossJoin(F.broadcast(v)).select(
-        _dot("_g", "_v").alias("_s")
-    )
+        u_py = [int(r["_u"]) for r in u_rows]
+        # pure-integer renormalization on the driver, replicating
+        # Spark's `div` exactly: div truncates toward zero, so
+        # |u| // q (floor of a non-negative) re-signed is the same
+        # value; q's operands are non-negative, so // == div there too
+        q_py = max(max(abs(x) for x in u_py) // shift, 1)
+        v_py = [
+            (abs(x) // q_py) * (1 if x >= 0 else -1) for x in u_py
+        ]
+    v = spark.range(1).select(_v_lit().alias("_v"))
+    sfin = g.select(_dot("_g", _v_lit()).alias("_s"))
     tot = sfin.agg(
         F.sum((F.col("_s") * F.col("_s")).cast("decimal(38,0)")).alias(
             "_num"
