@@ -2348,11 +2348,17 @@ def bpe_merge_steps(
     syms = wc.select(
         "w", "n_w", F.split("w", r"(?!^)(?=.)").alias("syms")
     )
+    # the per-step winner is ONE row: it stays an eagerly-checkpointed
+    # relation for the readout (re-entering collected values through
+    # createDataFrame measured +0.3 s at the final collect), and its
+    # row is read off the materialized checkpoint to enter the merge
+    # fold as LITERALS — dropping the per-step broadcast-crossJoin
+    # exchange (guide §5; r15, measured 0.16 → 0.10 s per apply)
     outs: list[DataFrame] = []
     for t in range(1, int(steps) + 1):
-        pairs = _pair_counts(syms)
         top1 = (
-            pairs.orderBy(F.desc("pair_count"), "lhs", "rhs")
+            _pair_counts(syms)
+            .orderBy(F.desc("pair_count"), "lhs", "rhs")
             .limit(1)
             .localCheckpoint(eager=True)
         )
@@ -2366,23 +2372,32 @@ def bpe_merge_steps(
             )
         )
         if t < int(steps):
-            syms = _bpe_apply_merge(syms, top1)
+            top = top1.collect()
+            if not top:
+                # no adjacent pairs left: every later step is empty
+                # (the checkpointed empties keep the readout shape)
+                continue
+            r = top[0]
+            syms = _bpe_apply_merge(
+                syms, r["lhs"], r["rhs"], r["lhs"] + r["rhs"]
+            )
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
 
 
-def _bpe_apply_merge(syms: DataFrame, top1: DataFrame) -> DataFrame:
-    """Apply one merge (the broadcast 1-row (lhs, rhs)) to the word
-    symbol table via the leftmost-greedy (out, prev) fold — the exact
-    fold DuckDB's list_reduce replays (see bpe_merge_steps). When
-    ``top1`` carries a ``merged`` column (the WordPiece path, where
-    merged = lhs + rhs-without-##), the fold emits it; otherwise the
-    merged symbol is the plain concatenation."""
-    if "merged" not in top1.columns:
-        top1 = top1.withColumn("merged", F.concat("lhs", "rhs"))
-    tagged = syms.crossJoin(F.broadcast(top1.select("lhs", "rhs", "merged")))
+def _bpe_apply_merge(
+    syms: DataFrame, lhs: str, rhs: str, merged: str
+) -> DataFrame:
+    """Apply one merge — the collected winning (lhs, rhs, merged)
+    strings entering as literals — to the word symbol table via the
+    leftmost-greedy (out, prev) fold, the exact fold DuckDB's
+    list_reduce replays (see bpe_merge_steps). ``merged`` is the plain
+    concatenation for BPE and lhs + rhs-without-## for WordPiece.
+    Literal entry (r15) replaces the earlier broadcast 1-row
+    crossJoin: one fewer exchange per trainer step, identical fold."""
+    L, R, M = F.lit(lhs), F.lit(rhs), F.lit(merged)
     init = F.struct(
         F.lit("").alias("out"),
         F.lit(None).cast("string").alias("prev"),
@@ -2390,7 +2405,7 @@ def _bpe_apply_merge(syms: DataFrame, top1: DataFrame) -> DataFrame:
 
     def _merge(acc: Column, x: Column) -> Column:
         emit_merged = F.struct(
-            F.concat(acc["out"], F.lit(" "), F.col("merged")).alias("out"),
+            F.concat(acc["out"], F.lit(" "), M).alias("out"),
             F.lit(None).cast("string").alias("prev"),
         )
         shift = F.struct(
@@ -2400,10 +2415,7 @@ def _bpe_apply_merge(syms: DataFrame, top1: DataFrame) -> DataFrame:
         start = F.struct(acc["out"].alias("out"), x.alias("prev"))
         return (
             F.when(acc["prev"].isNull(), start)
-            .when(
-                (acc["prev"] == F.col("lhs")) & (x == F.col("rhs")),
-                emit_merged,
-            )
+            .when((acc["prev"] == L) & (x == R), emit_merged)
             .otherwise(shift)
         )
 
@@ -2413,7 +2425,7 @@ def _bpe_apply_merge(syms: DataFrame, top1: DataFrame) -> DataFrame:
         )
         return F.split(F.ltrim(flushed), " ")
 
-    return tagged.select(
+    return syms.select(
         "w",
         "n_w",
         F.aggregate("syms", init, _merge, _finish).alias("syms"),
@@ -2435,19 +2447,45 @@ def bpe_train_segment(
         "w", "n_w", F.split("w", r"(?!^)(?=.)").alias("syms")
     )
     for _ in range(int(steps)):
-        pairs = _pair_counts(syms)
-        top1 = (
-            pairs.orderBy(F.desc("pair_count"), "lhs", "rhs")
+        top = (
+            _pair_counts(syms)
+            .orderBy(F.desc("pair_count"), "lhs", "rhs")
             .limit(1)
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        syms = _bpe_apply_merge(syms, top1)
+        if not top:
+            # parity with the earlier broadcast-crossJoin shape, where
+            # an empty winner emptied the symbol table
+            return syms.limit(0)
+        r = top[0]
+        syms = _bpe_apply_merge(
+            syms, r["lhs"], r["rhs"], r["lhs"] + r["rhs"]
+        )
     return syms
+
+
+def _wordpiece_syms(wc: DataFrame) -> DataFrame:
+    """The '##'-prefixed char-lattice symbol table over the word grain,
+    checkpointed once: the prefixing transform is a CodegenFallback
+    HOF, and explode consumers would re-evaluate it per OUTPUT symbol
+    row (the Generate re-eval pathology) — and the trainer's step 1 and
+    the apply side's alphabet both need exactly this relation (r15:
+    previously each built its own checkpoint of the same transform)."""
+    return wc.select(
+        "w",
+        "n_w",
+        F.transform(
+            F.split("w", r"(?!^)(?=.)"),
+            lambda c, i: F.when(i == 0, c).otherwise(
+                F.concat(F.lit("##"), c)
+            ),
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
 
 
 def wordpiece_merge_steps(
     docs: DataFrame, steps: int = 4, text_col: str = "text",
-    _wc: DataFrame | None = None,
+    _wc: DataFrame | None = None, _syms: DataFrame | None = None,
 ) -> DataFrame:
     """WordPiece TOKENIZER TRAINING, the first ``steps`` merges
     (Schuster & Nakajima 2012; the BERT tokenizer's trainer) — the
@@ -2481,19 +2519,12 @@ def wordpiece_merge_steps(
     Returns one row per step: (step, lhs, rhs, pair_count, lhs_count,
     rhs_count, score, merged)."""
     wc = _wc if _wc is not None else _word_counts(docs, text_col)
-    # checkpointed: the '##'-prefixing transform is a CodegenFallback
-    # HOF, and step 1's two explode consumers (unary counts, pair
-    # counts) would re-evaluate it per OUTPUT symbol row (the Generate
-    # re-eval pathology, measured on duplicated_ngram_spans); steps
-    # 2+ already read the checkpointed _bpe_apply_merge output.
-    syms = wc.select(
-        "w",
-        "n_w",
-        F.transform(
-            F.split("w", r"(?!^)(?=.)"),
-            lambda c, i: F.when(i == 0, c).otherwise(F.concat(F.lit("##"), c)),
-        ).alias("syms"),
-    ).localCheckpoint(eager=True)
+    # checkpointed (:func:`_wordpiece_syms`): step 1's two explode
+    # consumers (unary counts, pair counts) would otherwise re-evaluate
+    # the CodegenFallback prefixing transform per OUTPUT symbol row;
+    # steps 2+ already read the checkpointed _bpe_apply_merge output.
+    # ``_syms`` lets the apply side share ONE materialization.
+    syms = _syms if _syms is not None else _wordpiece_syms(wc)
     outs: list[DataFrame] = []
     for t in range(1, int(steps) + 1):
         unary = (
@@ -2519,6 +2550,11 @@ def wordpiece_merge_steps(
                 / (F.col("lhs_count") * F.col("rhs_count")).cast("double"),
             )
         )
+        # the winner stays a checkpointed 1-row relation for the
+        # readout (createDataFrame re-entry measured +0.3 s at the
+        # final collect); its row is read off the checkpoint so the
+        # merge fold takes LITERALS instead of a broadcast crossJoin
+        # (guide §5; r15, 0.16 → 0.10 s per apply)
         top1 = (
             scored.orderBy(
                 F.desc("score"), F.desc("pair_count"), "lhs", "rhs"
@@ -2545,7 +2581,12 @@ def wordpiece_merge_steps(
             )
         )
         if t < int(steps):
-            syms = _bpe_apply_merge(syms, top1)
+            top = top1.collect()
+            if top:
+                r = top[0]
+                syms = _bpe_apply_merge(
+                    syms, r["lhs"], r["rhs"], r["merged"]
+                )
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -2599,25 +2640,17 @@ def wordpiece_apply_fertility(
     from ydb_vector_search_demo_spark.sources.tables import fan_out
 
     L = int(max_piece_len)
-    # ONE word-counts pass shared with the trainer (r14: the apply and
-    # the trainer each ran their own corpus shuffle to the identical
-    # word grain), and the alphabet explode reads a CHECKPOINTED
-    # symbol table (the wordpiece_merge_steps note: Generate
-    # re-evaluates a CodegenFallback child per output row).
+    # ONE word-counts pass AND one symbol-table materialization shared
+    # with the trainer (r14 shared the word grain; r15 also shares the
+    # checkpointed '##'-symbol table — the apply's alphabet previously
+    # re-built and re-checkpointed the identical prefixing transform).
     wc = _word_counts(docs, text_col)
+    syms0 = _wordpiece_syms(wc)
     merges = wordpiece_merge_steps(
-        docs, steps=steps, text_col=text_col, _wc=wc
+        docs, steps=steps, text_col=text_col, _wc=wc, _syms=syms0
     )
-    wsyms = wc.select(
-        F.transform(
-            F.split("w", r"(?!^)(?=.)"),
-            lambda c, i: F.when(i == 0, c).otherwise(
-                F.concat(F.lit("##"), c)
-            ),
-        ).alias("syms")
-    ).localCheckpoint(eager=True)
     alpha = (
-        wsyms.select(F.explode("syms").alias("s"))
+        syms0.select(F.explode("syms").alias("s"))
         .union(merges.select(F.col("merged").alias("s")))
         .distinct()
     )
