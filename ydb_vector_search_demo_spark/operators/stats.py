@@ -1179,6 +1179,17 @@ def hourly_anomaly_fdr(
         F.col("_c") - F.lit(1)
     )
     z = F.round((F.col("n") - mean) / F.sqrt(var), 6)
+    # the pinned p = erfc(|z|/√2) expression is enormous when spelled
+    # whole: the 2^6 squaring chain duplicates the 30-term Horner
+    # subtree 64 times (~40k expression nodes), and per-query CONSTRUCT
+    # + ANALYZE of that tree on the driver dominated this grain-bounded
+    # row (r15; the corpus_pair_bleu staging precedent). Staged: the
+    # checkpoint materializes t and the Horner value h = e^(−x²/64) as
+    # columns, and p = poly(t)·h^64 squares a plain COLUMN — the same
+    # IEEE multiplies over the same doubles, ~70 nodes.
+    from ydb_vector_search_demo_spark.operators.curation import pinned_exp
+
+    x = F.abs(F.col("z")) / F.lit(_INV_SQRT2_DEN)
     scored = (
         h.join(F.broadcast(mom), "event_type")
         .filter((F.col("_c") > F.lit(1)) & (var > F.lit(0.0)))
@@ -1188,17 +1199,30 @@ def hourly_anomaly_fdr(
             "n",
             z.alias("z"),
         )
-        .withColumn("p", pinned_normal_two_sided_p(F.col("z")))
+        .withColumn(
+            "_t", F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_ERFC_P) * x)
+        )
+        .withColumn("_h", pinned_exp(-(x * x) / F.lit(64.0)))
         .localCheckpoint(eager=True)
     )
+    a1, a2, a3, a4, a5 = (F.lit(c) for c in _AS_ERFC_A)
+    tc = F.col("_t")
+    e = F.col("_h")
+    for _ in range(6):
+        e = e * e
+    p_col = ((((a5 * tc + a4) * tc + a3) * tc + a2) * tc + a1) * tc * e
     m_row = scored.agg(F.count(F.lit(1)).cast("bigint").alias("_m"))
     ranked = (
-        scored.crossJoin(F.broadcast(m_row))
+        scored.withColumn("p", p_col)
+        .crossJoin(F.broadcast(m_row))
         .withColumn(
             "p_rank",
             F.row_number().over(
                 Window.orderBy("p", "event_type", "hour_start")
             ),
+        )
+        .select(
+            "event_type", "hour_start", "n", "z", "p", "p_rank", "_m"
         )
         .localCheckpoint(eager=True)
     )
