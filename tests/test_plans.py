@@ -655,13 +655,18 @@ def test_hourly_anomaly_fdr_fully_checkpointed(spark):
 def test_wordpiece_fertility_is_jvm_side_maxmatch(spark):
     """corpus_wordpiece_fertility: the MaxMatch fold is pure JVM
     expression work (no Python eval nodes anywhere in the plan); the
-    single-row vocab maps arrive via broadcast nested-loop crossJoins;
-    the only parquet scan in the final plan is the lang-word grain —
-    training and the word grain live behind checkpoints."""
+    driver-bounded vocabulary enters as literal IN-sets (r15 — hash
+    membership instead of the single-row maps' linear scans, and the
+    hm/cm broadcast crossJoins are gone); the only parquet scan in the
+    final plan is the lang-word grain — training and the word grain
+    live behind checkpoints."""
     plan = plan_of(spark, "corpus_wordpiece_fertility")
     final = plan.split("Initial Plan")[0]
     assert final.count("Scan parquet") == 1, final[:2000]
-    assert "BroadcastNestedLoopJoin" in final
+    assert "BroadcastNestedLoopJoin" not in final, final[:2000]
+    # the literal-membership probes (INSET once past the optimizer's
+    # conversion threshold, IN for the short piece-length slices)
+    assert "INSET" in final or "IN (" in final, final[:2000]
     for node in ("FlatMapGroupsInPandas", "MapInPandas", "BatchEvalPython",
                  "ArrowEvalPython"):
         assert node not in final, f"{node} in plan:\n" + final[:2000]

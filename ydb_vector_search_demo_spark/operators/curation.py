@@ -2649,49 +2649,43 @@ def wordpiece_apply_fertility(
     merges = wordpiece_merge_steps(
         docs, steps=steps, text_col=text_col, _wc=wc, _syms=syms0
     )
-    alpha = (
-        syms0.select(F.explode("syms").alias("s"))
-        .union(merges.select(F.col("merged").alias("s")))
+    # the vocabulary is DRIVER-BOUNDED by construction — the corpus
+    # alphabet (one symbol per distinct character) plus ``steps``
+    # trained merges — so it is collected and the MaxMatch probes
+    # become literal IN-sets (r15): Spark's array-backed maps answer
+    # try_element_at by LINEAR scan, which put an O(|vocab|) string
+    # walk under every probe of every position of every distinct word;
+    # an InSet literal list (the optimizer converts >10-literal INs to
+    # a hash set) answers the identical membership in O(1), and
+    # slicing the sets by piece length shrinks each probe to exactly
+    # the candidates that could match. Same membership, same bl, same
+    # segmentation.
+    vocab = set(
+        r["s"]
+        for r in syms0.select(F.explode("syms").alias("s"))
         .distinct()
-    )
-    # the guard rides the map KEY: a too-long token raises instead of
-    # silently never matching (raise_error's null type coerces under
-    # the when branch). It measures the BARE matchable key — the
-    # MaxMatch probe compares window text against the '##'-stripped
-    # continuation key, so a '##'-prefixed symbol of bare length ≤ L
-    # is perfectly matchable and must not raise (r14 review finding).
-    def checked(key: Column) -> Column:
-        return F.when(F.length(key) <= F.lit(L), key).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "wordpiece_apply_fertility: vocab token longer "
-                        f"than max_piece_len={L}: "
-                    ),
-                    key,
-                )
+        .collect()
+    ) | set(r["merged"] for r in merges.select("merged").collect())
+    heads = sorted(s for s in vocab if not s.startswith("##"))
+    conts = sorted(s[2:] for s in vocab if s.startswith("##"))
+    # the guard measures the BARE matchable key (a '##'-prefixed
+    # symbol of bare length ≤ L is perfectly matchable — r14 review
+    # finding); a longer token would silently never match, so raise
+    for s in heads + conts:
+        if len(s) > L:
+            raise ValueError(
+                "wordpiece_apply_fertility: vocab token longer "
+                f"than max_piece_len={L}: {s}"
             )
-        )
+    heads_by_len = {
+        pl: [s for s in heads if len(s) == pl] for pl in range(1, L + 1)
+    }
+    conts_by_len = {
+        pl: [s for s in conts if len(s) == pl] for pl in range(1, L + 1)
+    }
 
-    hm = alpha.filter(~F.col("s").startswith("##")).agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(checked(F.col("s")).alias("k"), F.lit(1).alias("v"))
-            )
-        ).alias("_hm")
-    )
-    cm = alpha.filter(F.col("s").startswith("##")).agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    checked(F.regexp_replace(F.col("s"), r"^##", "")).alias(
-                        "k"
-                    ),
-                    F.lit(1).alias("v"),
-                )
-            )
-        ).alias("_cm")
-    )
+    def _member(piece: Column, tokens: list) -> Column:
+        return piece.isin(*tokens) if tokens else F.lit(False)
 
     def mk(skip: Column, toks: Column, failed: Column) -> Column:
         return F.struct(
@@ -2699,14 +2693,14 @@ def wordpiece_apply_fertility(
         )
 
     def step(acc: Column, i: Column) -> Column:
-        m = F.when(i == F.lit(1), F.col("_hm")).otherwise(F.col("_cm"))
         bl = F.lit(0)
         for piece_len in range(1, L + 1):
+            piece = F.substring(F.col("w"), i, F.lit(piece_len))
+            hit = F.when(
+                i == F.lit(1), _member(piece, heads_by_len[piece_len])
+            ).otherwise(_member(piece, conts_by_len[piece_len]))
             bl = F.when(
-                (i + F.lit(piece_len - 1) <= F.length("w"))
-                & F.try_element_at(
-                    m, F.substring(F.col("w"), i, F.lit(piece_len))
-                ).isNotNull(),
+                (i + F.lit(piece_len - 1) <= F.length("w")) & hit,
                 F.lit(piece_len),
             ).otherwise(bl)
         piece = F.substring(F.col("w"), i, bl)
@@ -2728,9 +2722,7 @@ def wordpiece_apply_fertility(
         step,
     )
     seg = (
-        wc.crossJoin(F.broadcast(hm))
-        .crossJoin(F.broadcast(cm))
-        .withColumn("_st", st)
+        wc.withColumn("_st", st)
         .select(
             "w",
             F.col("_st")["failed"].alias("failed"),
