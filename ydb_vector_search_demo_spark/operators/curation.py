@@ -456,6 +456,9 @@ def connected_components_star(
         sym = df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
         grouped = sym.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
         m = F.least(F.array_min("nbrs"), F.col("u"))
+        # no .distinct() here (r15): the only consumer is small_star,
+        # whose collect_set dedups — the distinct was one full extra
+        # exchange per round carrying the same rows (guide §2.4)
         return (
             grouped.select(
                 F.explode("nbrs").alias("x"), m.alias("m"), F.col("u")
@@ -463,7 +466,6 @@ def connected_components_star(
             .filter(F.col("x") > F.col("u"))
             .select(F.col("x").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def small_star(df: DataFrame) -> DataFrame:
