@@ -16,6 +16,34 @@ def plan_of(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _count_exec_nodes(df, simple_name: str) -> int:
+    """Count physical operators by JVM class name in the EXECUTED plan
+    tree, expanding each AQE query stage through its materialized
+    .plan() (and AdaptiveSparkPlanExec through .executedPlan()) exactly
+    once. QueryStageExec nodes are leaves of the tree, so a plain
+    children() walk would see none of their contents, while the STRING
+    rendering re-expands them per display section — this walk is the
+    display-robust middle ground. ReusedExchange/stage-reuse nodes stay
+    unexpanded leaves, so reused subtrees count once."""
+    count = 0
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if simple_name in cls:
+            count += 1
+        if "AdaptiveSparkPlan" in cls:
+            stack.append(node.executedPlan())
+            continue
+        if "QueryStage" in cls and "Reused" not in cls:
+            stack.append(node.plan())
+            continue
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return count
+
+
 def test_knn_is_takeordered_no_shuffle(spark):
     plan = plan_of(spark, "knn_top5_cosine")
     assert "TakeOrderedAndProject" in plan
@@ -618,6 +646,14 @@ def test_cross_shard_dedup_is_cell_bucketed_single_arrow_pass(spark):
     df.collect()
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     assert logical.count("FlatMapGroupsInPandas") == 1, logical[:2000]
+    # r15 (r14 ADVICE): additionally bound the PHYSICAL occurrence with
+    # a display-robust count — walk the executed plan tree, expanding
+    # AQE query stages through their .plan() exactly once (ReusedExchange
+    # stays a leaf, so stage reuse is not double-counted) — so a
+    # physical regression that re-executes the union-find (a lost
+    # exchange/stage reuse) fails even though the tree's STRING
+    # rendering re-expands BroadcastQueryStage sections unpredictably.
+    assert _count_exec_nodes(df, "FlatMapGroupsInPandasExec") == 1
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("Initial Plan")[0]
     assert "CartesianProduct" not in final, final[:2000]
