@@ -468,16 +468,22 @@ def scd2_from_events(
     publish (streaming.ingest.stream_scd2_ingest_incremental, which
     reconstructs events for the churn keys only). One window keyed on
     the key (lead over version); per-key state is that key's change
-    count."""
-    w = Window.partitionBy(key_col).orderBy(F.col("_v").asc())
+    count. Spelled as JVM-parsed expression strings: the incremental
+    publish constructs this per micro-batch, and the Python Column
+    API's py4j round-trips were a measurable slice of the per-batch
+    driver latency (guide §5)."""
+    k, p = f"`{key_col}`", f"`{payload_col}`"
     return (
-        ev.withColumn("_next", F.lead("_v").over(w))
-        .filter(F.col("_is_upsert"))
-        .select(
-            key_col,
-            F.col("_p").alias(payload_col),
-            F.col("_v").alias("valid_from"),
-            F.coalesce(F.col("_next"), F.lit(-1)).cast("int").alias("valid_to"),
-            F.col("_next").isNull().alias("is_current"),
+        ev.selectExpr(
+            "*",
+            f"lead(_v) over (partition by {k} order by _v asc) as _next",
+        )
+        .filter("_is_upsert")
+        .selectExpr(
+            k,
+            f"_p as {p}",
+            "_v as valid_from",
+            "cast(coalesce(_next, -1) as int) as valid_to",
+            "(_next is null) as is_current",
         )
     )

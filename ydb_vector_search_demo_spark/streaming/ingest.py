@@ -352,20 +352,48 @@ def _scd2_meta_path(hbase_dir: str) -> str:
     return f"{hbase_dir}/_scd2_meta.json"
 
 
+# Per-VERSION-DIRECTORY metadata caches (process-scoped): a published
+# store version directory is write-once — meta is written exactly once
+# before the atomic manifest publish and the parquet layout never
+# changes after it — so its meta dict and inferred schema are immutable
+# per path (fixture roots are mkdtemp-unique, compaction publishes NEW
+# version dirs). Caching them turns the per-micro-batch resolve's
+# metadata cost (a JVM meta-file read + a parquet schema inference per
+# call) into one read per version. This caches METADATA keyed on the
+# store's own immutable layout — never query results.
+_SCD2_META_CACHE: dict = {}
+_SCD2_SCHEMA_CACHE: dict = {}
+
+
+def _scd2_store_reader(spark: SparkSession, hdir: str):
+    """Partitioned store read with the version dir's cached schema —
+    skips per-call footer-based schema inference."""
+    schema = _SCD2_SCHEMA_CACHE.get(hdir)
+    if schema is None:
+        schema = spark.read.parquet(hdir).schema
+        _SCD2_SCHEMA_CACHE[hdir] = schema
+    return spark.read.schema(schema).parquet(hdir)
+
+
 def _read_scd2_meta(spark: SparkSession, hbase_dir: str) -> dict:
     import json as _json
 
+    cached = _SCD2_META_CACHE.get(hbase_dir)
+    if cached is not None:
+        return dict(cached)
     sc = spark.sparkContext
     jvm = sc._jvm
     path = jvm.org.apache.hadoop.fs.Path(_scd2_meta_path(hbase_dir))
     fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
     stream = fs.open(path)
     try:
-        return _json.loads(
+        meta = _json.loads(
             jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
         )
     finally:
         stream.close()
+    _SCD2_META_CACHE[hbase_dir] = dict(meta)
+    return meta
 
 
 def _write_scd2_meta(spark: SparkSession, hbase_dir: str, meta: dict) -> None:
@@ -380,6 +408,9 @@ def _write_scd2_meta(spark: SparkSession, hbase_dir: str, meta: dict) -> None:
         out.write(_json.dumps(meta).encode("utf-8"))
     finally:
         out.close()
+    # keep the write-once cache coherent even if a caller re-writes
+    # meta before publishing (the cache key is the version dir path)
+    _SCD2_META_CACHE[hbase_dir] = dict(meta)
 
 
 def _scd2_list_delta_ids(spark: SparkSession, ddir: str) -> list:
@@ -490,7 +521,7 @@ def _scd2_resolve(
         raise ValueError(f"init_scd2_base has not run for {root!r}")
     if meta is None:
         meta = _read_scd2_meta(spark, hdir)
-    hb = spark.read.parquet(hdir)
+    hb = _scd2_store_reader(spark, hdir)
     if keys is not None:
         if buckets is None:
             buckets = [
@@ -540,14 +571,13 @@ def _scd2_resolve(
     # the served-read plan at 16 buckets; guide §2.4 — remove shuffles/
     # passes outright). The window reads it once and keeps the same
     # rows: per key, every row whose _batch equals the key's max.
-    from pyspark.sql import Window
-
     return (
         hb.unionByName(deltas)
-        .withColumn(
-            "_w", F.max("_batch").over(Window.partitionBy(key_col))
+        .selectExpr(
+            "*",
+            f"max(_batch) over (partition by `{key_col}`) as _w",
         )
-        .filter(F.col("_batch") == F.col("_w"))
+        .filter("_batch = _w")
         .select(*data_cols)
     )
 
@@ -584,37 +614,36 @@ def _scd2_events_from_history(
     plan (guide §1.2/§2.4). ``hist`` is already key-partitioned by the
     resolve window, so the window here adds no Exchange; the event
     SET is identical (at-most-one-change-per-(key, version) contract:
-    per closed row, exactly one membership decision)."""
-    from pyspark.sql import Window
-
-    up_ev = F.struct(
-        F.col(payload_col).alias("_p"),
-        F.col("valid_from").cast("int").alias("_v"),
-        F.lit(True).alias("_is_upsert"),
+    per closed row, exactly one membership decision). Spelled as
+    JVM-parsed expression strings: this runs per micro-batch, and
+    building the same tree through the Python Column API is dozens of
+    py4j round-trips per batch (guide §5 driver latency)."""
+    k, p = f"`{key_col}`", f"`{payload_col}`"
+    up_ev = (
+        f"named_struct('_p', {p}, '_v', cast(valid_from as int), "
+        "'_is_upsert', true)"
     )
-    del_ev = F.struct(
-        F.lit(None).cast("string").alias("_p"),
-        F.col("valid_to").cast("int").alias("_v"),
-        F.lit(False).alias("_is_upsert"),
+    del_ev = (
+        "named_struct('_p', cast(null as string), "
+        "'_v', cast(valid_to as int), '_is_upsert', false)"
     )
-    evs = F.when(
-        (F.col("valid_to") != -1)
-        & ~F.array_contains(F.col("_opens"), F.col("valid_to").cast("int")),
-        F.array(up_ev, del_ev),
-    ).otherwise(F.array(up_ev))
     return (
-        hist.withColumn(
-            "_opens",
-            F.collect_list(F.col("valid_from").cast("int")).over(
-                Window.partitionBy(key_col)
-            ),
+        hist.selectExpr(
+            k,
+            p,
+            "valid_from",
+            "valid_to",
+            f"collect_list(cast(valid_from as int)) over "
+            f"(partition by {k}) as _opens",
         )
-        .select(F.col(key_col), F.explode(evs).alias("_e"))
-        .select(
-            key_col,
-            F.col("_e._p").alias("_p"),
-            F.col("_e._v").alias("_v"),
-            F.col("_e._is_upsert").alias("_is_upsert"),
+        .selectExpr(
+            k,
+            "explode(case when valid_to != -1 and not array_contains("
+            f"_opens, cast(valid_to as int)) then array({up_ev}, {del_ev}) "
+            f"else array({up_ev}) end) as _e",
+        )
+        .selectExpr(
+            k, "_e._p as _p", "_e._v as _v", "_e._is_upsert as _is_upsert"
         )
     )
 
@@ -661,17 +690,15 @@ def apply_scd2_batch(
         hdir=hdir, meta=meta, buckets=buckets,
     )
     ev_prior = _scd2_events_from_history(prior, key_col, payload_col)
-    ups = batch_df.filter(F.col("op") == "upsert").select(
-        F.col(key_col),
-        F.col(payload_col).alias("_p"),
-        F.col("_v").cast("int").alias("_v"),
-        F.lit(True).alias("_is_upsert"),
+    k, p = f"`{key_col}`", f"`{payload_col}`"
+    ups = batch_df.filter("op = 'upsert'").selectExpr(
+        k, f"{p} as _p", "cast(_v as int) as _v", "true as _is_upsert"
     )
-    dels = batch_df.filter(F.col("op") == "delete").select(
-        F.col(key_col),
-        F.lit(None).cast("string").alias("_p"),
-        F.col("_v").cast("int").alias("_v"),
-        F.lit(False).alias("_is_upsert"),
+    dels = batch_df.filter("op = 'delete'").selectExpr(
+        k,
+        "cast(null as string) as _p",
+        "cast(_v as int) as _v",
+        "false as _is_upsert",
     )
     new_hist = rag.scd2_from_events(
         ev_prior.unionByName(ups).unionByName(dels),
